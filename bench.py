@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark headline queries; prints ONE JSON line.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS  (default all cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_volume",
+    "q_top_customers",
+    "q_events_windowed",
+    "q_events_sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_search_bruteforce",
+    "text_quality",
+    "ingest_parser_input",
+    "ingest_pipeline_e2e",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from navigator_data_ingest_spark import registry
+    from navigator_data_ingest_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = registry.queries()
+    # warm the JVM + parquet footers with a trivial action
+    try:
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    except Exception as e:
+        print(f"bench: warmup failed ({e}); continuing", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = qs[name](spark, sf_dir)
+            # count() forces full execution without driver-collecting rows
+            df.count()
+            dt = time.perf_counter() - t0
+        except Exception as e:  # keep benching even if one query breaks
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            dt = float("nan")
+        # NaN is not valid JSON -> null for failed queries
+        timings[name] = round(dt, 3) if dt == dt else None
+        if dt == dt:
+            total += dt
+
+    print(json.dumps({
+        "metric": "headline_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Content-type detection, upload-name construction, content hashing.
+
+Reference parity:
+  - detect_content_type: utils.py:64 ``determine_content_type`` — a
+    3-stage fallback: magic bytes, then URL file extension, then the
+    Content-Type response header.
+  - upload_file_name: api_client.py:120 ``_create_file_name_for_upload``
+    — byte-aware name trimming (<=200 UTF-8 bytes via a chop-5-chars
+    loop) + S3 1024-byte path budget.
+  - md5 content hash: api_client.py:100.
+
+Everything is a JVM-side expression; the chop-loop fixpoint is expressed
+as a higher-order function over a descending length sequence (monotone
+octet_length makes the first qualifying length the loop's fixpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+CONTENT_TYPE_HTML = "text/html"
+CONTENT_TYPE_DOCX = (
+    "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+)
+CONTENT_TYPE_PDF = "application/pdf"
+CONTENT_TYPE_DOC = "application/msword"
+
+# file-extension -> content type (reference types.py:45 reversed mapping)
+EXTENSION_CONTENT_TYPES = {
+    ".pdf": CONTENT_TYPE_PDF,
+    ".html": CONTENT_TYPE_HTML,
+    ".docx": CONTENT_TYPE_DOCX,
+    ".doc": CONTENT_TYPE_DOC,
+}
+
+
+def _magic_content_type(content: Column) -> Column:
+    """Stage 1: magic-byte sniffing over the leading bytes.
+
+    Mirrors what the ``filetype`` package detects for the pipeline's
+    formats: PDF (%PDF), legacy MS Office OLE2 container (DOC), and the
+    ZIP container used by DOCX. HTML has no magic signature in
+    ``filetype`` (reference tests assert it falls through to stage 2).
+
+    ``content`` is a string column holding the file's leading bytes
+    (latin-1-safe); comparisons are on hex prefixes so binary-origin
+    columns work too.
+    """
+    head_hex = F.upper(F.hex(F.substring(content.cast("binary"), 1, 8)))
+    return (
+        F.when(F.substring(content, 1, 4) == "%PDF", F.lit(CONTENT_TYPE_PDF))
+        # OLE2 compound file signature D0CF11E0A1B11AE1 (legacy .doc)
+        .when(head_hex.startswith("D0CF11E0A1B11AE1"), F.lit(CONTENT_TYPE_DOC))
+        # ZIP local-file header PK\x03\x04 (modern .docx container)
+        .when(head_hex.startswith("504B0304"), F.lit(CONTENT_TYPE_DOCX))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def _extension_content_type(source_url: Column) -> Column:
+    """Stage 2: infer from the file extension in the URL (rindex('.'))."""
+    # substring_index with -1 gives the text after the LAST '.', matching
+    # source_url.rindex('.') in the reference; no '.' -> whole string,
+    # which will not match any known extension.
+    ext = F.concat(F.lit("."), F.substring_index(source_url, ".", -1))
+    mapping = F.create_map(
+        *[F.lit(x) for kv in EXTENSION_CONTENT_TYPES.items() for x in kv]
+    )
+    return mapping.getItem(ext)
+
+
+def _header_content_type(header: Column) -> Column:
+    """Stage 3: Content-Type header, parameters stripped ('; charset=..')."""
+    return F.trim(F.substring_index(F.coalesce(header, F.lit("")), ";", 1))
+
+
+def detect_content_type(
+    content: Column, source_url: Column, header: Column
+) -> Column:
+    """3-stage content-type fallback (utils.py:64). '' when all fail."""
+    return F.coalesce(
+        _magic_content_type(content),
+        _extension_content_type(source_url),
+        _header_content_type(header),
+    )
+
+
+def trimmed_name_col(name: Column, max_bytes: int = 200) -> Column:
+    """``name[:200]`` then chop 5 chars while UTF-8 length > 200 bytes.
+
+    The reference loop (api_client.py:127-129) repeatedly removes 5
+    characters until the UTF-8 encoding fits. Because octet_length is
+    monotone in the character prefix, the loop's fixpoint is the largest
+    length L in {start, start-5, start-10, ...} whose prefix fits — which
+    we find declaratively with filter() over a descending sequence.
+
+    DuckDB oracle equivalent:
+        list_filter(generate_series(least(length(x),200), 0, -5),
+                    k -> octet_length(substr(x,1,k)) <= 200)[1]
+    """
+    start = F.least(F.length(name), F.lit(max_bytes))
+    lengths = F.sequence(start, F.lit(0), F.lit(-5))
+    fit = F.filter(
+        lengths,
+        lambda k: F.octet_length(F.substring(name, 1, k)) <= F.lit(max_bytes),
+    )
+    return F.substring(name, 1, F.element_at(fit, 1))
+
+
+def upload_file_name(
+    s3_prefix: Column,
+    name_without_suffix: Column,
+    file_hash: Column,
+    file_suffix: Column,
+) -> Column:
+    """Full upload object name ``{prefix}/{trimmed_name}_{hash}{suffix}``.
+
+    Applies both budgets from api_client.py:120: the 200-UTF-8-byte
+    filesystem trim, then the S3 1024-byte total-path budget
+    (1024 - len(prefix) - len(suffix) - len(hash) - len('_.')).
+    """
+    fs_trimmed = trimmed_name_col(name_without_suffix)
+    budget = (
+        F.lit(1024)
+        - F.length(s3_prefix)
+        - F.length(file_suffix)
+        - F.length(file_hash)
+        - F.lit(2)
+    )
+    final_name = F.substring(fs_trimmed, 1, budget)
+    return F.concat(s3_prefix, F.lit("/"), final_name, F.lit("_"), file_hash, file_suffix)

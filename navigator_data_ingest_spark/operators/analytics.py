@@ -1,0 +1,248 @@
+"""Analytics workload: the engine's query surface over the test tables.
+
+These exercise the core relational operators (scan→filter→project→
+join→aggregate→window→top-k) the ingest pipeline's reporting and any
+downstream analysis need, shaped for scale:
+
+  - filters/projections are applied before joins so parquet pushdown and
+    column pruning take effect;
+  - dimension tables (region/nation) are explicitly ``broadcast()``;
+  - aggregations are expressed on pre-projected columns so partial
+    (map-side) aggregation kicks in;
+  - top-k uses window rank over the aggregate, not a driver-side sort.
+
+Every computed column is aliased to match the DuckDB oracle in
+``__spark_entry__.oracle_sql`` (the driver hash-compares by column name).
+Doubles are rounded to 6 dp in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from navigator_data_ingest_spark.sources.tables import load_table
+
+
+def _r(col, alias):  # round-and-alias helper for oracle-comparable doubles
+    return F.round(col, 6).alias(alias)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem.
+
+    One scan, map-side partial agg, single shuffle on the two
+    low-cardinality group keys.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity"), "sum_qty"),
+            _r(F.sum("l_extendedprice"), "sum_base_price"),
+            _r(F.sum(disc_price), "sum_disc_price"),
+            _r(F.sum(charge), "sum_charge"),
+            _r(F.avg("l_quantity"), "avg_qty"),
+            _r(F.avg("l_extendedprice"), "avg_price"),
+            _r(F.avg("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered 3-way join + agg + top-10 (TPC-H Q3 shape).
+
+    Filters land before the joins (pushed to the scans); the join keys
+    are the natural shuffle keys; top-k is a sort of the aggregated
+    (small) side only.
+    """
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    return (
+        cust.select("c_custkey")
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              cust["c_custkey"] == orders["o_custkey"])
+        .join(li.select("l_orderkey", "l_extendedprice", "l_discount"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                "revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way join with broadcast dims (TPC-H Q5 shape, minus s/c nation eq).
+
+    region/nation are broadcast; the big fact-fact join (orders⋈lineitem)
+    shuffles on orderkey once.
+    """
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+
+    dims = F.broadcast(
+        nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by spend per nation: agg then window rank.
+
+    The window runs over the aggregated (customer-grain) rows, not the
+    raw facts — the rank shuffle moves ~|customers| rows, not |orders|.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend_raw"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("spend_raw"), F.asc("c_custkey")
+    )
+    return (
+        spend.join(cust.select("c_custkey", "c_name", "c_nationkey"),
+                   spend["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("n_name", "c_custkey", "c_name",
+                _r(F.col("spend_raw"), "total_spend"), "rank")
+        .orderBy("n_name", "rank")
+    )
+
+
+def q_orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + derived columns (the 'enrich' ETL shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dim = F.broadcast(
+        cust.select("c_custkey", "c_mktsegment", "c_nationkey").join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("c_custkey", "c_mktsegment", F.col("n_name").alias("nation_name"))
+    )
+    return (
+        orders.join(dim, orders["o_custkey"] == dim["c_custkey"])
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "nation_name",
+            "c_mktsegment",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            _r(F.col("o_totalprice"), "total_price"),
+            (F.col("o_orderpriority") == "1-URGENT").alias("is_urgent"),
+        )
+    )
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (1 hour) per event_type.
+
+    Batch twin of the streaming operator: same window semantics as
+    ``F.window`` used under a watermark in streaming/.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r(F.sum("value"), "sum_value"),
+            # exact here (small per-window cardinality); swap to
+            # approx_count_distinct for sketch-grade counts at 100 TB
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) per user via lag + cumulative sum.
+
+    Single shuffle on user_id; both windows share the same partitioning
+    so the second window reuses the first's exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user))
+    with_session = (
+        ev.withColumn("new_session",
+                      F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_id",
+                    F.sum("new_session").over(
+                        w_user.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            _r(F.sum("value"), "sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def q_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents profiling: per (lang, source) corpus stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            _r(F.avg("n_chars"), "avg_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang", "source")
+    )
