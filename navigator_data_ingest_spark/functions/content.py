@@ -35,25 +35,37 @@ EXTENSION_CONTENT_TYPES = {
 }
 
 
-def _magic_content_type(content: Column) -> Column:
-    """Stage 1: magic-byte sniffing over the leading bytes.
+# magic signatures as uppercase hex prefixes
+MAGIC_PDF = "25504446"          # '%PDF'
+MAGIC_OLE2 = "D0CF11E0A1B11AE1"  # legacy MS Office compound file (.doc)
+MAGIC_ZIP = "504B0304"          # ZIP local-file header (.docx container)
+
+
+def head_hex_col(content_binary: Column, n: int = 16) -> Column:
+    """Hex-encode the first ``n`` bytes of a binary content column.
+
+    This is the canonical 'file head' representation the detector works
+    on — portable between engines (Spark hex()/DuckDB hex()) and safe
+    for non-UTF8 bytes that a string column would mangle.
+    """
+    return F.upper(F.hex(F.substring(content_binary, 1, n)))
+
+
+def _magic_content_type(head_hex: Column) -> Column:
+    """Stage 1: magic-byte sniffing over the hex-encoded leading bytes.
 
     Mirrors what the ``filetype`` package detects for the pipeline's
     formats: PDF (%PDF), legacy MS Office OLE2 container (DOC), and the
     ZIP container used by DOCX. HTML has no magic signature in
     ``filetype`` (reference tests assert it falls through to stage 2).
 
-    ``content`` is a string column holding the file's leading bytes
-    (latin-1-safe); comparisons are on hex prefixes so binary-origin
-    columns work too.
+    DuckDB oracle: CASE WHEN starts_with(h,'25504446') THEN ... END
     """
-    head_hex = F.upper(F.hex(F.substring(content.cast("binary"), 1, 8)))
+    h = F.upper(head_hex)
     return (
-        F.when(F.substring(content, 1, 4) == "%PDF", F.lit(CONTENT_TYPE_PDF))
-        # OLE2 compound file signature D0CF11E0A1B11AE1 (legacy .doc)
-        .when(head_hex.startswith("D0CF11E0A1B11AE1"), F.lit(CONTENT_TYPE_DOC))
-        # ZIP local-file header PK\x03\x04 (modern .docx container)
-        .when(head_hex.startswith("504B0304"), F.lit(CONTENT_TYPE_DOCX))
+        F.when(h.startswith(MAGIC_PDF), F.lit(CONTENT_TYPE_PDF))
+        .when(h.startswith(MAGIC_OLE2), F.lit(CONTENT_TYPE_DOC))
+        .when(h.startswith(MAGIC_ZIP), F.lit(CONTENT_TYPE_DOCX))
         .otherwise(F.lit(None).cast("string"))
     )
 
@@ -62,12 +74,16 @@ def _extension_content_type(source_url: Column) -> Column:
     """Stage 2: infer from the file extension in the URL (rindex('.'))."""
     # substring_index with -1 gives the text after the LAST '.', matching
     # source_url.rindex('.') in the reference; no '.' -> whole string,
-    # which will not match any known extension.
-    ext = F.concat(F.lit("."), F.substring_index(source_url, ".", -1))
+    # which will not match any known extension. A URL with no '.' at all
+    # must not match (reference catches ValueError from rindex).
+    ext = F.when(
+        source_url.contains("."),
+        F.concat(F.lit("."), F.substring_index(source_url, ".", -1)),
+    )
     mapping = F.create_map(
         *[F.lit(x) for kv in EXTENSION_CONTENT_TYPES.items() for x in kv]
     )
-    return mapping.getItem(ext)
+    return F.element_at(mapping, ext)
 
 
 def _header_content_type(header: Column) -> Column:
@@ -76,11 +92,14 @@ def _header_content_type(header: Column) -> Column:
 
 
 def detect_content_type(
-    content: Column, source_url: Column, header: Column
+    head_hex: Column, source_url: Column, header: Column
 ) -> Column:
-    """3-stage content-type fallback (utils.py:64). '' when all fail."""
+    """3-stage content-type fallback (utils.py:64). '' when all fail.
+
+    ``head_hex`` is the hex-encoded file head (see ``head_hex_col``).
+    """
     return F.coalesce(
-        _magic_content_type(content),
+        _magic_content_type(head_hex),
         _extension_content_type(source_url),
         _header_content_type(header),
     )

@@ -1,0 +1,631 @@
+"""Ingest-pipeline operators: the reference's semantics as DataFrame ops.
+
+Reference: climatepolicyradar/navigator-data-ingest. Each operator cites
+the file:line it re-expresses. The reference loops over documents on a
+thread pool and mutates S3 objects one at a time; here every step is a
+column expression / join over a documents table, so the identical logic
+runs as one distributed plan over any corpus size — no driver-side
+iteration, no per-document Python.
+
+Because the correctness driver only provides the synthetic parquet
+tables, the operators run over a deterministic "new_documents" /
+"updates" derivation of the ``documents`` table. The derivation is
+defined twice — once as Spark expressions, once as a DuckDB CTE — and
+hash-compared, so the operator logic itself is what the oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from navigator_data_ingest_spark.functions.content import (
+    CONTENT_TYPE_DOC,
+    CONTENT_TYPE_DOCX,
+    CONTENT_TYPE_HTML,
+    CONTENT_TYPE_PDF,
+    detect_content_type,
+    trimmed_name_col,
+    upload_file_name,
+)
+from navigator_data_ingest_spark.functions.text import (
+    slugify_col,
+    valid_http_url,
+    watermark_text_col,
+)
+from navigator_data_ingest_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic "new_documents" derivation (shared w/ oracle CTE)
+# ---------------------------------------------------------------------------
+
+GEOGRAPHIES = ["IDN", "USA", "GBR", "FRA", "DEU", "BRA", "IND", "CHN"]
+CATEGORIES = ["executive", "legislative", "litigation"]
+HEADERS = [
+    "application/pdf",
+    "text/html; charset=utf-8",
+    "application/msword",
+    "",
+    "application/octet-stream",
+]
+# file heads, hex-encoded: pdf, docx(zip), doc(ole2), html, plain text
+HEAD_HEXES = [
+    "%PDF-1.7\n".encode().hex().upper(),
+    bytes.fromhex("504B0304").hex().upper() + "14000600",
+    "D0CF11E0A1B11AE1" + "00000000",
+    "<!DOCTYPE html><html>".encode().hex().upper(),
+    "Some plain text content".encode().hex().upper(),
+]
+# update types cycle (reference UpdateTypes)
+UPDATE_TYPES = [
+    "name",
+    "description",
+    "source_url",
+    "metadata",
+    "slug",
+    "reprocess",
+    "reparse",
+]
+# UpdateTypes -> action (updated_document_actions.py:453)
+ACTION_OF_TYPE = {
+    "source_url": "parse",
+    "reprocess": "parse",
+    "name": "update_dont_parse",
+    "description": "update_dont_parse",
+    "metadata": "update_dont_parse",
+    "slug": "update_field_in_all_occurences",
+    "reparse": "reparse",
+}
+# UpdateTypes -> json field (types.py:63 PipelineFieldMapping)
+PIPELINE_FIELD = {
+    "name": "document_name",
+    "description": "document_description",
+    "source_url": "document_source_url",
+    "metadata": "document_metadata",
+    "slug": "document_slug",
+}
+# category -> backend document type (types.py:40 CATEGORY_MAPPING)
+CATEGORY_DOC_TYPE = {
+    "executive": "Policy",
+    "legislative": "Law",
+    "litigation": "Litigation",
+}
+
+ARCHIVE_TS = "2026-01-01-00-00-00"  # fixed for determinism (ref uses now())
+
+
+def _pick(options: list[str], idx: Column) -> Column:
+    """options[idx % len] with 1-based element_at; idx is a bigint col."""
+    return F.element_at(
+        F.array(*[F.lit(o) for o in options]),
+        (idx % len(options)).cast("int") + 1,
+    )
+
+
+def synthetic_new_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BackendDocument-shaped rows from the documents table.
+
+    Mirrors NEW_DOCS_CTE below field-for-field; the pair is what lets
+    DuckDB replay the same inputs for the oracle comparison.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    base_url = F.concat(F.lit("https://example.com/docs/doc"), ds)
+    source_url = (
+        F.when(did % 6 == 0, F.concat(base_url, F.lit(".pdf")))
+        .when(did % 6 == 1, F.concat(F.lit("https://example.com/pages/page"), ds, F.lit(".html")))
+        .when(did % 6 == 2, F.concat(base_url, F.lit(".docx")))
+        .when(did % 6 == 3, F.concat(base_url, F.lit(".doc")))
+        .when(did % 6 == 4, F.concat(F.lit("https://example.com/files/file"), ds))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    # some invalid (non-http) URLs to exercise validation failures
+    source_url = F.when(
+        (did % 13 == 0) & source_url.isNotNull(),
+        F.concat(F.lit("ftp://example.com/doc"), ds),
+    ).otherwise(source_url)
+    return docs.select(
+        did.alias("doc_id"),
+        F.col("text"),
+        F.concat(F.lit("TEST.executive."), ds, F.lit("."), ds).alias("import_id"),
+        F.trim(F.substring("text", 1, 80)).alias("name"),
+        F.trim(F.substring("text", 81, 160)).alias("description"),
+        F.concat(F.lit("slug-"), ds).alias("slug"),
+        F.make_timestamp(
+            (F.lit(1990) + did % 35).cast("int"),
+            (did % 12).cast("int") + 1,
+            (did % 28).cast("int") + 1,
+            F.lit(0), F.lit(0), F.lit(0),
+        ).alias("publication_ts"),
+        _pick(GEOGRAPHIES, did).alias("geography"),
+        _pick(CATEGORIES, did).alias("category"),
+        source_url.alias("source_url"),
+        F.when(did % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("https://cdn.example.com/dl/doc"), ds, F.lit(".pdf")))
+        .alias("download_url"),
+        _pick(HEADERS, did).alias("header"),
+        _pick(HEAD_HEXES, did).alias("head_hex"),
+    )
+
+
+def _sql_pick(options: list[str], idx: str) -> str:
+    lits = ", ".join("'" + o.replace("'", "''") + "'" for o in options)
+    return f"([{lits}])[1 + {idx} % {len(options)}]"
+
+
+NEW_DOCS_CTE = f"""
+new_docs AS (
+    SELECT doc_id, text,
+           'TEST.executive.' || doc_id || '.' || doc_id AS import_id,
+           trim(substr(text, 1, 80))   AS name,
+           trim(substr(text, 81, 160)) AS description,
+           'slug-' || doc_id           AS slug,
+           make_timestamp(1990 + doc_id % 35, 1 + doc_id % 12,
+                          1 + doc_id % 28, 0, 0, 0) AS publication_ts,
+           {_sql_pick(GEOGRAPHIES, 'doc_id')} AS geography,
+           {_sql_pick(CATEGORIES, 'doc_id')} AS category,
+           CASE WHEN doc_id % 13 = 0 AND doc_id % 6 <> 5
+                THEN 'ftp://example.com/doc' || doc_id
+                WHEN doc_id % 6 = 0 THEN 'https://example.com/docs/doc' || doc_id || '.pdf'
+                WHEN doc_id % 6 = 1 THEN 'https://example.com/pages/page' || doc_id || '.html'
+                WHEN doc_id % 6 = 2 THEN 'https://example.com/docs/doc' || doc_id || '.docx'
+                WHEN doc_id % 6 = 3 THEN 'https://example.com/docs/doc' || doc_id || '.doc'
+                WHEN doc_id % 6 = 4 THEN 'https://example.com/files/file' || doc_id
+                ELSE NULL END AS source_url,
+           CASE WHEN doc_id % 4 = 0 THEN NULL
+                ELSE 'https://cdn.example.com/dl/doc' || doc_id || '.pdf' END AS download_url,
+           {_sql_pick(HEADERS, 'doc_id')} AS header,
+           {_sql_pick(HEAD_HEXES, 'doc_id')} AS head_hex
+    FROM documents
+)
+"""
+
+# ---------------------------------------------------------------------------
+# synthetic updates derivation
+# ---------------------------------------------------------------------------
+
+
+def synthetic_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (document_id, seq, update_type) rows: 1-3 per doc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    return (
+        docs.select(
+            did.alias("doc_id"),
+            F.concat(F.lit("TEST.executive."), ds, F.lit("."), ds).alias("document_id"),
+            F.explode(F.sequence(F.lit(1), (did % 3).cast("int") + 1)).alias("seq"),
+        )
+        .withColumn("update_type", _pick(UPDATE_TYPES, F.col("doc_id") + F.col("seq")))
+    )
+
+
+UPDATES_CTE = f"""
+updates AS (
+    SELECT doc_id,
+           'TEST.executive.' || doc_id || '.' || doc_id AS document_id,
+           unnest(generate_series(1, 1 + doc_id % 3)) AS seq
+    FROM documents
+), typed_updates AS (
+    SELECT doc_id, document_id, seq::int AS seq,
+           {_sql_pick(UPDATE_TYPES, '(doc_id + seq)')} AS update_type
+    FROM updates
+)
+"""
+
+
+def _action_of_type(update_type: Column) -> Column:
+    """update type -> action name (updated_document_actions.py:453)."""
+    out = None
+    for t, a in ACTION_OF_TYPE.items():
+        cond = update_type == t
+        out = F.when(cond, F.lit(a)) if out is None else out.when(cond, F.lit(a))
+    return out
+
+
+ACTION_CASE_SQL = "CASE " + " ".join(
+    f"WHEN update_type = '{t}' THEN '{a}'" for t, a in ACTION_OF_TYPE.items()
+) + " END"
+
+
+# ---------------------------------------------------------------------------
+# §2.1 operators
+# ---------------------------------------------------------------------------
+
+
+def ingest_validate_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL validation partition (new_document_actions.py:79).
+
+    The reference raises per-document on invalid URLs; distributed, the
+    same rule is a predicate column that routes rows to the parser-input
+    or error side without breaking the batch.
+    """
+    nd = synthetic_new_documents(spark, sf_dir)
+    return nd.select(
+        "import_id",
+        "source_url",
+        F.when(F.col("source_url").isNull(), F.lit(True))
+        .otherwise(valid_http_url(F.col("source_url")))
+        .alias("url_ok"),
+    ).orderBy("import_id")
+
+
+def ingest_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """slugify(document.name) (new_document_actions.py:30)."""
+    nd = synthetic_new_documents(spark, sf_dir)
+    return nd.select(
+        "import_id", "name", slugify_col(F.col("name")).alias("doc_slug")
+    ).orderBy("import_id")
+
+
+def ingest_s3_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upload prefix {geography}/{publication year} (new_document_actions.py:31)."""
+    nd = synthetic_new_documents(spark, sf_dir)
+    return nd.select(
+        "import_id",
+        "geography",
+        F.year("publication_ts").cast("int").alias("pub_year"),
+        F.concat("geography", F.lit("/"), F.year("publication_ts").cast("string"))
+        .alias("s3_prefix"),
+    ).orderBy("import_id")
+
+
+def ingest_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-stage content-type fallback (utils.py:64 determine_content_type)."""
+    nd = synthetic_new_documents(spark, sf_dir)
+    return nd.select(
+        "import_id",
+        "head_hex",
+        "source_url",
+        "header",
+        detect_content_type(
+            F.col("head_hex"), F.col("source_url"), F.col("header")
+        ).alias("content_type"),
+    ).orderBy("import_id")
+
+
+def ingest_content_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion routing by content type (api_client.py:74-97).
+
+    html -> capture_pdf_from_url (+watermark), doc/docx -> convert_to_pdf
+    (+watermark), pdf -> passthrough, anything else -> unsupported
+    (UnsupportedContentTypeError).
+    """
+    ct = F.col("content_type")
+    base = ingest_content_type(spark, sf_dir)
+    route = (
+        F.when(ct == CONTENT_TYPE_HTML, F.lit("capture_pdf_from_url"))
+        .when(ct.isin(CONTENT_TYPE_DOCX, CONTENT_TYPE_DOC), F.lit("convert_doc_to_pdf"))
+        .when(ct == CONTENT_TYPE_PDF, F.lit("passthrough"))
+        .otherwise(F.lit("unsupported"))
+    )
+    return base.select(
+        "import_id",
+        "content_type",
+        route.alias("route"),
+        route.isin("capture_pdf_from_url", "convert_doc_to_pdf").alias("watermarked"),
+    ).orderBy("import_id")
+
+
+def ingest_upload_skips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip/choose download source (new_document_actions.py:35-48).
+
+    download_url wins when set; else source_url; both empty -> skip (null
+    UploadResult in the reference).
+    """
+    nd = synthetic_new_documents(spark, sf_dir)
+    chosen = F.coalesce(
+        F.nullif(F.col("download_url"), F.lit("")),
+        F.nullif(F.col("source_url"), F.lit("")),
+    )
+    return nd.select(
+        "import_id",
+        "source_url",
+        "download_url",
+        chosen.alias("fetch_url"),
+        chosen.isNull().alias("skipped"),
+    ).orderBy("import_id")
+
+
+def ingest_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content md5 (api_client.py:100); here over the document text bytes."""
+    nd = synthetic_new_documents(spark, sf_dir)
+    return nd.select("import_id", F.md5(F.col("text")).alias("md5_sum")).orderBy(
+        "import_id"
+    )
+
+
+def ingest_file_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trimmed upload object name (api_client.py:120).
+
+    {geo}/{year}/{slugified name <=200 UTF-8 bytes}_{md5}.pdf with the
+    1024-byte S3 path budget.
+    """
+    nd = synthetic_new_documents(spark, sf_dir)
+    prefix = F.concat(
+        F.col("geography"), F.lit("/"), F.year("publication_ts").cast("string")
+    )
+    return nd.select(
+        "import_id",
+        upload_file_name(
+            prefix,
+            slugify_col(F.col("name")),
+            F.md5(F.col("text")),
+            F.lit(".pdf"),
+        ).alias("upload_name"),
+    ).orderBy("import_id")
+
+
+def ingest_watermark_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark page text (pdf_conversion.py:109 generate_watermark_text).
+
+    The reference stamps datetime.now(); for determinism the operator
+    takes the document's publication_ts as the stamp date.
+    """
+    nd = synthetic_new_documents(spark, sf_dir)
+    chosen = F.coalesce(F.col("download_url"), F.col("source_url"))
+    return (
+        nd.where(chosen.isNotNull())
+        .select(
+            "import_id",
+            watermark_text_col(chosen, F.col("publication_ts")).alias("watermark"),
+        )
+        .orderBy("import_id")
+    )
+
+
+def ingest_parser_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial ParserInput projection (new_document_actions.py:88-95).
+
+    Rows with an invalid (non-http) source_url error out in the
+    reference; here they are excluded (they surface in the results
+    report instead). A null source_url is allowed and stays null.
+    """
+    nd = synthetic_new_documents(spark, sf_dir)
+    ok = F.col("source_url").isNull() | valid_http_url(F.col("source_url"))
+    doc_type = None
+    for c, t in CATEGORY_DOC_TYPE.items():
+        cond = F.col("category") == c
+        doc_type = F.when(cond, F.lit(t)) if doc_type is None else doc_type.when(cond, F.lit(t))
+    return (
+        nd.where(ok)
+        .select(
+            F.col("import_id").alias("document_id"),
+            F.col("slug").alias("document_slug"),
+            F.col("name").alias("document_name"),
+            F.col("description").alias("document_description"),
+            F.col("source_url").alias("document_source_url"),
+            doc_type.alias("document_type"),
+            F.col("geography").alias("document_geography"),
+            F.lit(None).cast("string").alias("document_cdn_object"),
+            F.lit(None).cast("string").alias("document_content_type"),
+            F.lit(None).cast("string").alias("document_md5_sum"),
+        )
+        .orderBy("document_id")
+    )
+
+
+def ingest_update_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update type -> action mapping (updated_document_actions.py:453)."""
+    upd = synthetic_updates(spark, sf_dir)
+    return upd.select(
+        "document_id", "seq", "update_type",
+        _action_of_type(F.col("update_type")).alias("action"),
+    ).orderBy("document_id", "seq")
+
+
+def ingest_order_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document action ordering (updated_document_actions.py:65).
+
+    If any action is `parse`, only the FIRST parse action runs. Else all
+    actions run, stable-ordered with `update_dont_parse` last. Expressed
+    with window functions over (document_id) — no driver loop.
+    """
+    from pyspark.sql import Window
+
+    acts = ingest_update_actions(spark, sf_dir)
+    w = Window.partitionBy("document_id")
+    has_parse = F.max((F.col("action") == "parse").cast("int")).over(w)
+    first_parse_seq = F.min(
+        F.when(F.col("action") == "parse", F.col("seq"))
+    ).over(w)
+    priority = F.when(F.col("action") == "update_dont_parse", 1).otherwise(0)
+    w_order = Window.partitionBy("document_id").orderBy(priority.asc(), F.col("seq").asc())
+    return (
+        acts.withColumn("has_parse", has_parse)
+        .withColumn("first_parse_seq", first_parse_seq)
+        .withColumn("rn", F.row_number().over(w_order))
+        .where(
+            ((F.col("has_parse") == 1) & (F.col("seq") == F.col("first_parse_seq")))
+            | (F.col("has_parse") == 0)
+        )
+        .withColumn(
+            "exec_order",
+            F.when(F.col("has_parse") == 1, F.lit(1)).otherwise(F.col("rn")),
+        )
+        .select("document_id", "exec_order", "update_type", "action")
+        .orderBy("document_id", "exec_order")
+    )
+
+
+# archive-path expansion rules per action (updated_document_actions.py):
+#   parse   (l.189): parser_input+embeddings_input+indexer_input × {json,npy}
+#                    × {'', '_translated_en'}
+#   reparse (l.240): embeddings_input+indexer_input × {json,npy} × both
+#   update_dont_parse (l.136-185): indexer_input only, {json,npy}, no
+#                    translated variant
+PREFIXES = ["parser_input", "embeddings_input", "indexer_input"]
+SUFFIXES = ["json", "npy"]
+VARIANTS = ["", "_translated_en"]
+
+
+def ingest_archive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive/rename plans for ordered actions (updated_document_actions.py).
+
+    The reference performs one S3 rename at a time; here the (action ×
+    prefix × suffix × variant) expansion is a lateral explode producing a
+    rename-plan table a distributed mover can execute in bulk.
+    """
+    acts = ingest_order_actions(spark, sf_dir).where(
+        F.col("action").isin("parse", "reparse", "update_dont_parse")
+    )
+    expanded = (
+        acts.withColumn("prefix", F.explode(F.array(*[F.lit(p) for p in PREFIXES])))
+        .withColumn("suffix", F.explode(F.array(*[F.lit(s) for s in SUFFIXES])))
+        .withColumn("variant", F.explode(F.array(*[F.lit(v) for v in VARIANTS])))
+        .where(
+            ((F.col("action") == "parse"))
+            | ((F.col("action") == "reparse") & (F.col("prefix") != "parser_input"))
+            | (
+                (F.col("action") == "update_dont_parse")
+                & (F.col("prefix") == "indexer_input")
+                & (F.col("variant") == "")
+            )
+        )
+    )
+    src = F.concat(
+        F.col("prefix"), F.lit("/"), F.col("document_id"), F.col("variant"),
+        F.lit("."), F.col("suffix"),
+    )
+    dst = F.concat(
+        F.lit("archive/"), F.col("prefix"), F.lit("/"), F.col("document_id"),
+        F.lit("/"), F.lit(ARCHIVE_TS), F.lit("."), F.col("suffix"),
+    )
+    return expanded.select(
+        "document_id", "action", "prefix", "suffix", "variant",
+        src.alias("src_path"), dst.alias("dst_path"),
+    ).orderBy("document_id", "action", "prefix", "suffix", "variant")
+
+
+def ingest_field_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """update_file_field as a join (updated_document_actions.py:342).
+
+    The reference reads each JSON object, compares the current value to
+    the expected s3_value (logging mismatches), writes the new value. As
+    a table op: cache-state ⋈ updates on (document_id, field), emitting
+    the new value plus a mismatch flag. Only update types that carry a
+    field mapping (name/description/metadata/slug via update_dont_parse /
+    update_field_in_all_occurences paths) participate.
+    """
+    upd = ingest_order_actions(spark, sf_dir).where(
+        F.col("action").isin("update_dont_parse", "update_field_in_all_occurences")
+    )
+    field = None
+    for t, f_name in PIPELINE_FIELD.items():
+        cond = F.col("update_type") == t
+        field = F.when(cond, F.lit(f_name)) if field is None else field.when(cond, F.lit(f_name))
+    upd = upd.withColumn("pipeline_field", field)
+    # update_dont_parse touches parser_input+embeddings_input;
+    # update_field_in_all_occurences touches all three prefixes.
+    upd = upd.withColumn(
+        "prefix", F.explode(F.array(*[F.lit(p) for p in PREFIXES]))
+    ).where(
+        (F.col("action") == "update_field_in_all_occurences")
+        | (F.col("prefix") != "indexer_input")
+    )
+    # synthetic current cache value: matches the expected s3 value except
+    # for every 5th document (exercises the mismatch-logging branch)
+    doc_num = F.split(F.col("document_id"), "\\.").getItem(2).cast("bigint")
+    doc_num_s = doc_num.cast("string")
+    current = F.concat(F.lit("cur-"), F.col("update_type"), F.lit("-"), doc_num_s)
+    s3_value = F.when(doc_num % 5 == 0, F.concat(F.lit("stale-"), F.col("update_type"))).otherwise(current)
+    new_value = F.concat(F.lit("new-"), F.col("update_type"), F.lit("-"), doc_num_s)
+    return upd.select(
+        "document_id", "prefix", "pipeline_field",
+        current.alias("old_value"),
+        new_value.alias("new_value"),
+        (current != s3_value).alias("value_mismatch"),
+    ).orderBy("document_id", "prefix", "pipeline_field")
+
+
+def ingest_results_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IngestResult report aggregation (main.py:186-232).
+
+    One row per (ingest type, error class) with counts — the batch
+    summary written to reports/ingest/batch_1.json in the reference.
+    New-document errors: invalid source_url -> ValueError; unsupported
+    content type (when a fetch would happen) -> UnsupportedContentTypeError.
+    """
+    nd = synthetic_new_documents(spark, sf_dir)
+    chosen = F.coalesce(F.col("download_url"), F.col("source_url"))
+    ct = detect_content_type(F.col("head_hex"), F.col("source_url"), F.col("header"))
+    supported = ct.isin(
+        CONTENT_TYPE_PDF, CONTENT_TYPE_HTML, CONTENT_TYPE_DOCX, CONTENT_TYPE_DOC
+    )
+    url_ok = F.col("source_url").isNull() | valid_http_url(F.col("source_url"))
+    new_results = nd.select(
+        F.lit("new").alias("ingest_type"),
+        F.when(~url_ok, F.lit("ValueError"))
+        .when(chosen.isNotNull() & ~supported, F.lit("UnsupportedContentTypeError"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("error"),
+    )
+    upd_results = (
+        synthetic_updates(spark, sf_dir)
+        .select("document_id")
+        .distinct()
+        .select(
+            F.lit("updated").alias("ingest_type"),
+            F.lit(None).cast("string").alias("error"),
+        )
+    )
+    return (
+        new_results.unionAll(upd_results)
+        .groupBy("ingest_type", "error")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("ingest_type", "error")
+    )
+
+
+def ingest_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full batch plan: one row per document with its ingest outcome.
+
+    Composition of the §2.1 operators into the shape main.py produces
+    per run: parser-input payload columns + upload result + archive
+    workload counts. Driver checks rows-only (the composition is
+    exercised piecewise by the per-operator oracles).
+    """
+    nd = synthetic_new_documents(spark, sf_dir)
+    chosen = F.coalesce(F.col("download_url"), F.col("source_url"))
+    ct = detect_content_type(F.col("head_hex"), F.col("source_url"), F.col("header"))
+    url_ok = F.col("source_url").isNull() | valid_http_url(F.col("source_url"))
+    supported = ct.isin(
+        CONTENT_TYPE_PDF, CONTENT_TYPE_HTML, CONTENT_TYPE_DOCX, CONTENT_TYPE_DOC
+    )
+    prefix = F.concat(F.col("geography"), F.lit("/"), F.year("publication_ts").cast("string"))
+    new_side = nd.select(
+        F.col("import_id").alias("document_id"),
+        F.lit("new").alias("ingest_type"),
+        F.when(~url_ok, F.lit("ValueError"))
+        .when(chosen.isNotNull() & ~supported, F.lit("UnsupportedContentTypeError"))
+        .otherwise(F.lit(None).cast("string")).alias("error"),
+        F.when(chosen.isNull(), F.lit(None).cast("string"))
+        .otherwise(
+            upload_file_name(prefix, slugify_col(F.col("name")), F.md5(F.col("text")), F.lit(".pdf"))
+        ).alias("cdn_object"),
+        F.when(chosen.isNull(), F.lit(None).cast("string"))
+        .otherwise(F.md5(F.col("text"))).alias("md5_sum"),
+        ct.alias("content_type"),
+        F.lit(0).cast("bigint").alias("n_renames"),
+    )
+    renames = (
+        ingest_archive_paths(spark, sf_dir)
+        .groupBy("document_id")
+        .agg(F.count(F.lit(1)).alias("n_renames"))
+    )
+    upd_side = (
+        synthetic_updates(spark, sf_dir)
+        .select("document_id").distinct()
+        .join(renames, "document_id", "left")
+        .select(
+            "document_id",
+            F.lit("updated").alias("ingest_type"),
+            F.lit(None).cast("string").alias("error"),
+            F.lit(None).cast("string").alias("cdn_object"),
+            F.lit(None).cast("string").alias("md5_sum"),
+            F.lit(None).cast("string").alias("content_type"),
+            F.coalesce(F.col("n_renames"), F.lit(0)).cast("bigint").alias("n_renames"),
+        )
+    )
+    return new_side.unionAll(upd_side).orderBy("ingest_type", "document_id")

@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from navigator_data_ingest_spark.operators import analytics
+from navigator_data_ingest_spark.operators import analytics, ingest
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -195,3 +195,320 @@ register(
     ORDER BY lang, source
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# §2.1 ingest-pipeline operators (reference parity)
+# --------------------------------------------------------------------------
+
+_ND = "WITH " + ingest.NEW_DOCS_CTE.strip()
+_UP = "WITH " + ingest.UPDATES_CTE.strip()
+
+# shared content-type detection SQL (mirrors functions/content.py)
+_CT_SQL = """
+    coalesce(
+        CASE WHEN starts_with(head_hex, '25504446') THEN 'application/pdf'
+             WHEN starts_with(head_hex, 'D0CF11E0A1B11AE1') THEN 'application/msword'
+             WHEN starts_with(head_hex, '504B0304')
+               THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+        END,
+        CASE WHEN source_url LIKE '%.pdf'  THEN 'application/pdf'
+             WHEN source_url LIKE '%.html' THEN 'text/html'
+             WHEN source_url LIKE '%.docx'
+               THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+             WHEN source_url LIKE '%.doc'  THEN 'application/msword'
+        END,
+        trim(split_part(coalesce(header, ''), ';', 1))
+    )
+"""
+
+_URL_OK_SQL = r"""
+    CASE WHEN source_url IS NULL THEN TRUE
+         ELSE regexp_matches(source_url, '^https?://[^\s/$.?#][^\s]*$') END
+"""
+
+_SLUG_SQL = (
+    "regexp_replace(regexp_replace(lower(name), '[^a-z0-9]+', '-', 'g'),"
+    " '^-+|-+$', '', 'g')"
+)
+
+register(
+    "ingest_validate_url",
+    ingest.ingest_validate_url,
+    _ND + f"""
+    SELECT import_id, source_url, {_URL_OK_SQL} AS url_ok
+    FROM new_docs ORDER BY import_id
+    """,
+)
+
+register(
+    "ingest_slugify",
+    ingest.ingest_slugify,
+    _ND + f"""
+    SELECT import_id, name, {_SLUG_SQL} AS doc_slug
+    FROM new_docs ORDER BY import_id
+    """,
+)
+
+register(
+    "ingest_s3_prefix",
+    ingest.ingest_s3_prefix,
+    _ND + """
+    SELECT import_id, geography,
+           year(publication_ts)::int AS pub_year,
+           geography || '/' || year(publication_ts)::varchar AS s3_prefix
+    FROM new_docs ORDER BY import_id
+    """,
+)
+
+register(
+    "ingest_content_type",
+    ingest.ingest_content_type,
+    _ND + f"""
+    SELECT import_id, head_hex, source_url, header,
+           {_CT_SQL} AS content_type
+    FROM new_docs ORDER BY import_id
+    """,
+)
+
+register(
+    "ingest_content_route",
+    ingest.ingest_content_route,
+    _ND + f"""
+    , ct AS (
+        SELECT import_id, {_CT_SQL} AS content_type FROM new_docs
+    )
+    SELECT import_id, content_type,
+           CASE WHEN content_type = 'text/html' THEN 'capture_pdf_from_url'
+                WHEN content_type IN ('application/vnd.openxmlformats-officedocument.wordprocessingml.document',
+                                      'application/msword') THEN 'convert_doc_to_pdf'
+                WHEN content_type = 'application/pdf' THEN 'passthrough'
+                ELSE 'unsupported' END AS route,
+           CASE WHEN content_type = 'text/html' THEN TRUE
+                WHEN content_type IN ('application/vnd.openxmlformats-officedocument.wordprocessingml.document',
+                                      'application/msword') THEN TRUE
+                ELSE FALSE END AS watermarked
+    FROM ct ORDER BY import_id
+    """,
+)
+
+register(
+    "ingest_upload_skips",
+    ingest.ingest_upload_skips,
+    _ND + """
+    SELECT import_id, source_url, download_url,
+           coalesce(nullif(download_url, ''), nullif(source_url, '')) AS fetch_url,
+           coalesce(nullif(download_url, ''), nullif(source_url, '')) IS NULL AS skipped
+    FROM new_docs ORDER BY import_id
+    """,
+)
+
+register(
+    "ingest_md5",
+    ingest.ingest_md5,
+    _ND + """
+    SELECT import_id, md5(text) AS md5_sum FROM new_docs ORDER BY import_id
+    """,
+)
+
+register(
+    "ingest_file_name",
+    ingest.ingest_file_name,
+    _ND + f"""
+    , named AS (
+        SELECT import_id,
+               geography || '/' || year(publication_ts)::varchar AS prefix,
+               {_SLUG_SQL} AS slug,
+               md5(text) AS h
+        FROM new_docs
+    ), trimmed AS (
+        SELECT import_id, prefix, h,
+               substr(slug, 1,
+                      list_filter(generate_series(least(length(slug), 200), 0, -5),
+                                  k -> strlen(substr(slug, 1, k)) <= 200)[1]
+               ) AS fs_trimmed
+        FROM named
+    )
+    SELECT import_id,
+           prefix || '/' ||
+           substr(fs_trimmed, 1, 1024 - length(prefix) - length('.pdf') - length(h) - 2)
+           || '_' || h || '.pdf' AS upload_name
+    FROM trimmed ORDER BY import_id
+    """,
+)
+
+register(
+    "ingest_watermark_text",
+    ingest.ingest_watermark_text,
+    _ND + """
+    SELECT import_id,
+           'Original publicly accessible source: ' || coalesce(download_url, source_url)
+           || '.
+
+This PDF was created by Climate Policy Radar (climatepolicyradar.org) on '
+           || strftime(publication_ts, '%d %B %Y')
+           || '.
+
+For non-commercial use only. Reach out to us at support@climatepolicyradar.org if you have any enquiries.'
+           AS watermark
+    FROM new_docs
+    WHERE coalesce(download_url, source_url) IS NOT NULL
+    ORDER BY import_id
+    """,
+)
+
+register(
+    "ingest_parser_input",
+    ingest.ingest_parser_input,
+    _ND + f"""
+    SELECT import_id AS document_id,
+           slug AS document_slug,
+           name AS document_name,
+           description AS document_description,
+           source_url AS document_source_url,
+           CASE category WHEN 'executive' THEN 'Policy'
+                         WHEN 'legislative' THEN 'Law'
+                         WHEN 'litigation' THEN 'Litigation' END AS document_type,
+           geography AS document_geography,
+           NULL::varchar AS document_cdn_object,
+           NULL::varchar AS document_content_type,
+           NULL::varchar AS document_md5_sum
+    FROM new_docs
+    WHERE source_url IS NULL OR {_URL_OK_SQL}
+    ORDER BY document_id
+    """,
+)
+
+register(
+    "ingest_update_actions",
+    ingest.ingest_update_actions,
+    _UP + f"""
+    SELECT document_id, seq, update_type, {ingest.ACTION_CASE_SQL} AS action
+    FROM typed_updates ORDER BY document_id, seq
+    """,
+)
+
+_ORDERED_ACTIONS_CTES = _UP + f"""
+    , acts AS (
+        SELECT document_id, seq, update_type,
+               {ingest.ACTION_CASE_SQL} AS action
+        FROM typed_updates
+    ), ann AS (
+        SELECT *,
+               max(CASE WHEN action = 'parse' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY document_id) AS has_parse,
+               min(CASE WHEN action = 'parse' THEN seq END)
+                   OVER (PARTITION BY document_id) AS first_parse_seq,
+               row_number() OVER (
+                   PARTITION BY document_id
+                   ORDER BY CASE WHEN action = 'update_dont_parse' THEN 1 ELSE 0 END, seq
+               ) AS rn
+        FROM acts
+    ), ordered AS (
+        SELECT document_id,
+               (CASE WHEN has_parse = 1 THEN 1 ELSE rn END)::int AS exec_order,
+               update_type, action
+        FROM ann
+        WHERE (has_parse = 1 AND seq = first_parse_seq) OR has_parse = 0
+    )
+"""
+
+register(
+    "ingest_order_actions",
+    ingest.ingest_order_actions,
+    _ORDERED_ACTIONS_CTES + """
+    SELECT document_id, exec_order, update_type, action
+    FROM ordered ORDER BY document_id, exec_order
+    """,
+)
+
+register(
+    "ingest_archive_paths",
+    ingest.ingest_archive_paths,
+    _ORDERED_ACTIONS_CTES + f"""
+    , grid AS (
+        SELECT prefix, suffix, variant
+        FROM (VALUES ('parser_input'), ('embeddings_input'), ('indexer_input')) p(prefix)
+        CROSS JOIN (VALUES ('json'), ('npy')) s(suffix)
+        CROSS JOIN (VALUES (''), ('_translated_en')) v(variant)
+    )
+    SELECT document_id, action, prefix, suffix, variant,
+           prefix || '/' || document_id || variant || '.' || suffix AS src_path,
+           'archive/' || prefix || '/' || document_id || '/{ingest.ARCHIVE_TS}.' || suffix AS dst_path
+    FROM ordered
+    JOIN grid ON (action = 'parse')
+             OR (action = 'reparse' AND prefix <> 'parser_input')
+             OR (action = 'update_dont_parse' AND prefix = 'indexer_input' AND variant = '')
+    WHERE action IN ('parse', 'reparse', 'update_dont_parse')
+    ORDER BY document_id, action, prefix, suffix, variant
+    """,
+)
+
+register(
+    "ingest_field_update",
+    ingest.ingest_field_update,
+    _ORDERED_ACTIONS_CTES + """
+    , fu AS (
+        SELECT document_id, update_type, action,
+               CASE update_type WHEN 'name' THEN 'document_name'
+                                WHEN 'description' THEN 'document_description'
+                                WHEN 'source_url' THEN 'document_source_url'
+                                WHEN 'metadata' THEN 'document_metadata'
+                                WHEN 'slug' THEN 'document_slug' END AS pipeline_field,
+               string_split(document_id, '.')[3]::bigint AS doc_num
+        FROM ordered
+        WHERE action IN ('update_dont_parse', 'update_field_in_all_occurences')
+    ), grid AS (
+        SELECT prefix
+        FROM (VALUES ('parser_input'), ('embeddings_input'), ('indexer_input')) p(prefix)
+    )
+    SELECT document_id, prefix, pipeline_field,
+           'cur-' || update_type || '-' || doc_num AS old_value,
+           'new-' || update_type || '-' || doc_num AS new_value,
+           ('cur-' || update_type || '-' || doc_num) <>
+               (CASE WHEN doc_num % 5 = 0 THEN 'stale-' || update_type
+                     ELSE 'cur-' || update_type || '-' || doc_num END) AS value_mismatch
+    FROM fu
+    JOIN grid ON (action = 'update_field_in_all_occurences')
+             OR (prefix <> 'indexer_input')
+    ORDER BY document_id, prefix, pipeline_field
+    """,
+)
+
+register(
+    "ingest_results_report",
+    ingest.ingest_results_report,
+    _ND + f"""
+    , computed AS (
+        SELECT import_id,
+               coalesce(nullif(download_url, ''), nullif(source_url, '')) AS fetch_url,
+               {_CT_SQL} AS content_type,
+               {_URL_OK_SQL} AS url_ok
+        FROM new_docs
+    ), new_results AS (
+        SELECT 'new' AS ingest_type,
+               CASE WHEN NOT url_ok THEN 'ValueError'
+                    WHEN fetch_url IS NOT NULL
+                         AND content_type NOT IN (
+                             'application/pdf', 'text/html',
+                             'application/vnd.openxmlformats-officedocument.wordprocessingml.document',
+                             'application/msword')
+                    THEN 'UnsupportedContentTypeError'
+                    ELSE NULL END AS error
+        FROM computed
+    ), upd_results AS (
+        SELECT DISTINCT 'updated' AS ingest_type, NULL::varchar AS error,
+               'TEST.executive.' || doc_id || '.' || doc_id AS document_id
+        FROM documents
+    ), unioned AS (
+        SELECT ingest_type, error FROM new_results
+        UNION ALL
+        SELECT ingest_type, error FROM upd_results
+    )
+    SELECT ingest_type, error, count(*)::bigint AS n_docs
+    FROM unioned GROUP BY ingest_type, error
+    ORDER BY ingest_type, error
+    """,
+)
+
+register("ingest_pipeline_e2e", ingest.ingest_pipeline_e2e, None)
