@@ -1,0 +1,75 @@
+"""Paired Spark-SQL / DuckDB-SQL expression builders.
+
+The dedup / similarity / text operators must produce bit-identical
+results in Spark and in the DuckDB oracle. Any drift between the two
+implementations shows up as a hash mismatch, so the expression text for
+BOTH engines is generated here from one template per primitive:
+
+    tokens     — lowercased [a-z0-9]+ token array
+    shingles   — k-token shingle array
+    hash32     — 32-bit seeded md5 hash (same value in both engines)
+    fold_dot   — deterministic left-fold double dot product
+
+All arithmetic that feeds comparisons is either integer (order-free) or
+an explicit left fold (order-fixed), never an unordered SUM over
+doubles — that's what keeps floating point reproducible across engines.
+"""
+
+from __future__ import annotations
+
+
+# --- tokens ---------------------------------------------------------------
+
+def sp_tokens(text: str) -> str:
+    return f"regexp_extract_all(lower({text}), '[a-z0-9]+', 0)"
+
+
+def dk_tokens(text: str) -> str:
+    return f"regexp_extract_all(lower({text}), '[a-z0-9]+')"
+
+
+# --- k-token shingles -----------------------------------------------------
+
+def sp_shingles(t: str, k: int = 3) -> str:
+    parts = " || ' ' || ".join(f"element_at({t}, cast(i + {j} as int))" for j in range(k))
+    return (
+        f"CASE WHEN size({t}) >= {k} THEN "
+        f"transform(sequence(1, size({t}) - {k - 1}), i -> {parts}) "
+        f"ELSE array() END"
+    )
+
+
+def dk_shingles(t: str, k: int = 3) -> str:
+    parts = " || ' ' || ".join(f"{t}[i + {j}]" for j in range(k))
+    return (
+        f"CASE WHEN len({t}) >= {k} THEN "
+        f"list_transform(generate_series(1, len({t}) - {k - 1}), i -> {parts}) "
+        f"ELSE [] END"
+    )
+
+
+# --- 32-bit seeded hash ---------------------------------------------------
+
+def sp_hash32(s: str, seed: int | str) -> str:
+    return f"cast(conv(substr(md5('{seed}:' || {s}), 1, 8), 16, 10) as bigint)"
+
+
+def dk_hash32(s: str, seed: int | str) -> str:
+    return f"('0x' || substr(md5('{seed}:' || {s}), 1, 8))::ubigint::bigint"
+
+
+# --- deterministic left-fold dot product over array columns ---------------
+
+def sp_fold_dot(a: str, b: str, dim: int) -> str:
+    return (
+        f"aggregate(sequence(1, {dim}), cast(0.0 as double), "
+        f"(acc, i) -> acc + cast(element_at({a}, cast(i as int)) as double)"
+        f" * cast(element_at({b}, cast(i as int)) as double))"
+    )
+
+
+def dk_fold_dot(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        f"i -> {a}[i]::double * {b}[i]::double), (x, y) -> x + y)"
+    )

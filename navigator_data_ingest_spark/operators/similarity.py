@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns.
+
+  bruteforce — exact top-k cosine: query set broadcast against the full
+               corpus, window-ranked per query. The corpus side never
+               shuffles; the rank windows on the (small) result of the
+               broadcast join.
+  lsh        — random-hyperplane LSH: each vector gets a sign-bit bucket
+               computed map-side from deterministic pseudo-random
+               hyperplanes; candidates come from bucket equality only.
+               At 100 TB the bucket becomes the partition key and only
+               bucket-local candidates are scored.
+
+Hyperplane components and all dot products are deterministic left folds
+(functions/exprs.py) so the DuckDB oracles reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from navigator_data_ingest_spark.functions import exprs as X
+from navigator_data_ingest_spark.sources.tables import load_table
+
+EMB_DIM = 64
+TOP_K = 5
+QUERY_MOD = 100  # vec_id % QUERY_MOD == 0 -> query vector
+N_PLANES = 6
+PLANE_SEED = 7
+
+
+def _cos(a: str, b: str):
+    dot = F.expr(X.sp_fold_dot(a, b, EMB_DIM))
+    na = F.sqrt(F.expr(X.sp_fold_dot(a, a, EMB_DIM)))
+    nb = F.sqrt(F.expr(X.sp_fold_dot(b, b, EMB_DIM)))
+    return dot / (na * nb)
+
+
+def sim_search_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k per query vector (the ANN baseline)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.where(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    joined = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = _cos("qvec", "embedding")
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    return (
+        joined.select("query_id", "vec_id", cos.alias("_cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "vec_id", F.round(F.col("_cos"), 6).alias("cos_sim"), "rank"
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _plane_component(p: str, i: str) -> str:
+    """Spark SQL for hyperplane p's component at 1-based index i.
+
+    Pseudo-random in [-1, 1] from the shared 32-bit hash; the matching
+    DuckDB text is built in registry (dk_plane_component).
+    """
+    key = f"'p' || cast({p} as string) || 'd' || cast({i} - 1 as string)"
+    return f"(({X.sp_hash32(key, PLANE_SEED)} % 2001) - 1000) / 1000.0"
+
+
+def _bucket_expr(vec: str) -> str:
+    """Sign-bit bucket: bit p set iff dot(vec, plane_p) > 0."""
+    dot_p = (
+        f"aggregate(sequence(1, {EMB_DIM}), cast(0.0 as double), "
+        f"(acc, i) -> acc + cast(element_at({vec}, cast(i as int)) as double)"
+        f" * ({_plane_component('p', 'i')}))"
+    )
+    return (
+        f"aggregate(sequence(0, {N_PLANES - 1}), cast(0 as bigint), (b, p) -> b + "
+        f"CASE WHEN {dot_p} > 0 THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END)"
+    )
+
+
+def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: candidates share the query's hyperplane sign bucket."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", F.expr(_bucket_expr("embedding"))
+    )
+    q = (
+        e.where(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    joined = e.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = _cos("qvec", "embedding")
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    return (
+        joined.select("query_id", "vec_id", F.col("bucket"), cos.alias("_cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "vec_id", "bucket",
+            F.round(F.col("_cos"), 6).alias("cos_sim"), "rank",
+        )
+        .orderBy("query_id", "rank")
+    )

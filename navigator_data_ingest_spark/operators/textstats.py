@@ -1,0 +1,147 @@
+"""Text-analysis operators: language ID, quality scoring, token counts,
+document fingerprinting.
+
+Everything is a map-side column expression — zero shuffles; at 100 TB
+these run at parquet-scan speed inside whole-stage codegen. Ratios are
+computed with integer numerators/denominators and rounded once at the
+output, keeping the DuckDB oracles bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from navigator_data_ingest_spark.functions import exprs as X
+from navigator_data_ingest_spark.sources.tables import load_table
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "no"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "dans", "est"],
+    "de": ["der", "die", "und", "das", "in", "den", "von", "zu", "mit", "ist"],
+}
+LANG_ORDER = ["en", "es", "fr", "de"]  # tie-break precedence
+FINGERPRINT_K = 4       # token k-grams
+FINGERPRINT_SEED = 5
+FINGERPRINT_MOD = 4     # keep hashes where h % MOD == 0 ("0 mod p" winnowing)
+
+# the BPE-ish token pattern: letter runs, digit runs, single punctuation.
+# Two spellings: Spark SQL string literals consume one level of
+# backslash escaping ('\s' -> 's'), DuckDB literals don't.
+BPE_PATTERN_SPARK = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]"
+BPE_PATTERN_DUCK = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def _arr_lit(values: list[str]) -> str:
+    return "array(" + ", ".join(f"'{v}'" for v in values) + ")"
+
+
+def _stop_count(lang: str) -> str:
+    """# tokens (with multiplicity) that are stopwords of ``lang``."""
+    return f"size(filter(t, tok -> array_contains({_arr_lit(STOPWORDS[lang])}, tok)))"
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID with an 'und' floor.
+
+    A language wins if it has the (precedence-ordered) max stopword
+    count and covers >= 2% of tokens; otherwise 'und'. Pure integer
+    comparisons — no float thresholds to drift cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "t", F.expr(X.sp_tokens("text"))
+    )
+    for lang in LANG_ORDER:
+        docs = docs.withColumn(f"c_{lang}", F.expr(_stop_count(lang)))
+    best = F.greatest(*[F.col(f"c_{lang}") for lang in LANG_ORDER])
+    pick = None
+    for lang in LANG_ORDER:  # first language reaching the max wins
+        cond = F.col(f"c_{lang}") == best
+        pick = F.when(cond, F.lit(lang)) if pick is None else pick.when(cond, F.lit(lang))
+    detected = F.when(
+        (best > 0) & (best * 50 >= F.expr("size(t)")), pick
+    ).otherwise(F.lit("und"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        *[F.col(f"c_{lang}").cast("bigint").alias(f"c_{lang}") for lang in LANG_ORDER],
+        detected.alias("detected_lang"),
+    ).orderBy("doc_id")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: length, alpha/punct ratios, stopword ratio.
+
+    The keep/drop verdict mirrors common LLM-corpus filters (Gopher-style
+    length + symbol-ratio rules).
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "t", F.expr(X.sp_tokens("text"))
+    )
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace("text", "[^.,;:!?]", ""))
+    n_tokens = F.expr("size(t)")
+    stop_en = F.expr(_stop_count("en"))
+    alpha_ratio = alpha.cast("double") / n_chars.cast("double")
+    stop_ratio = stop_en.cast("double") / F.nullif(n_tokens, F.lit(0)).cast("double")
+    avg_tok = n_chars.cast("double") / F.nullif(n_tokens, F.lit(0)).cast("double")
+    keep = (n_tokens >= 10) & (alpha * 10 >= n_chars * 6)  # alpha_ratio >= 0.6
+    return docs.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars_actual"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        punct.cast("bigint").alias("n_punct"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish tokens, distinct tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.expr("size(regexp_extract_all(text, '\\\\S+', 0))")
+    bpe = F.expr(f"size(regexp_extract_all(text, '{BPE_PATTERN_SPARK}', 0))")
+    t = X.sp_tokens("text")
+    distinct = F.expr(f"size(array_distinct({t}))")
+    return docs.select(
+        "doc_id",
+        ws.cast("bigint").alias("n_ws_tokens"),
+        bpe.cast("bigint").alias("n_bpe_tokens"),
+        distinct.cast("bigint").alias("n_distinct_tokens"),
+        F.round(
+            F.length("text").cast("double")
+            / F.nullif(bpe, F.lit(0)).cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mod-p fingerprint over hashed token 4-grams (winnowing-style).
+
+    Selected-hash summary stats (size/min/max) rather than the full set
+    keep the output row narrow; the full fingerprint array is one more
+    select away for a real pipeline.
+    """
+    t = X.sp_tokens("text")
+    sh = X.sp_shingles("t", FINGERPRINT_K)
+    hashes = f"transform(array_distinct(sh), s -> {X.sp_hash32('s', FINGERPRINT_SEED)})"
+    selected = f"array_distinct(filter({hashes}, h -> h % {FINGERPRINT_MOD} = 0))"
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("t", F.expr(t))
+        .withColumn("sh", F.expr(sh))
+        .withColumn("fp", F.expr(selected))
+    )
+    return docs.select(
+        "doc_id",
+        F.expr("size(array_distinct(sh))").cast("bigint").alias("n_shingles"),
+        F.expr("size(fp)").cast("bigint").alias("fp_size"),
+        F.expr("array_min(fp)").alias("fp_min"),
+        F.expr("array_max(fp)").alias("fp_max"),
+    ).orderBy("doc_id")

@@ -512,3 +512,303 @@ register(
 )
 
 register("ingest_pipeline_e2e", ingest.ingest_pipeline_e2e, None)
+
+
+# --------------------------------------------------------------------------
+# §2.4 LLM-data-pipeline operators
+# --------------------------------------------------------------------------
+
+from navigator_data_ingest_spark.functions import exprs as X
+from navigator_data_ingest_spark.operators import dedup, similarity, textstats
+
+register(
+    "dedup_exact",
+    dedup.dedup_exact,
+    """
+    SELECT doc_id, md5(text) AS content_hash,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+    FROM documents ORDER BY doc_id
+    """,
+)
+
+_DK_TOKS = X.dk_tokens("text")
+_DK_SH3 = X.dk_shingles("t", 3)
+_MH_COLS = ",\n           ".join(
+    f"list_aggregate(list_transform(sh, s -> {X.dk_hash32('s', i)}), 'min') AS mh{i}"
+    for i in range(dedup.N_MINHASH)
+)
+_BAND_HASH_CASES = " ".join(
+    "WHEN {b} THEN md5({concat})".format(
+        b=b,
+        concat=" || ',' || ".join(
+            f"mh{b * dedup.ROWS_PER_BAND + r}::varchar"
+            for r in range(dedup.ROWS_PER_BAND)
+        ),
+    )
+    for b in range(dedup.N_BANDS)
+)
+
+register(
+    "dedup_minhash_lsh",
+    dedup.dedup_minhash_lsh,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_DK_TOKS} AS t FROM documents
+    ), base AS (
+        SELECT doc_id, list_distinct({_DK_SH3}) AS sh FROM toks
+    ), sig AS (
+        SELECT doc_id,
+           {_MH_COLS}
+        FROM base WHERE len(sh) > 0
+    ), bands AS (
+        SELECT doc_id, band_id,
+               CASE band_id {_BAND_HASH_CASES} END AS band_hash
+        FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) b(band_id)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::bigint AS n_shared_bands
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY doc_a, doc_b
+    """,
+)
+
+register(
+    "dedup_simhash",
+    dedup.dedup_simhash,
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_transform(list_distinct({_DK_TOKS}),
+                              tok -> {X.dk_hash32('tok', dedup.SIMHASH_SEED)}) AS hs
+        FROM documents
+    ), sig AS (
+        SELECT doc_id,
+               list_sum(list_transform(generate_series(0, {dedup.SIMHASH_BITS - 1}), j ->
+                   CASE WHEN list_sum(list_transform(hs,
+                            h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                        THEN (1::bigint << j) ELSE 0 END))::bigint AS simhash
+        FROM base WHERE len(hs) > 0
+    ), bands AS (
+        SELECT doc_id, simhash, band_id,
+               (simhash >> (8 * band_id)) & 255 AS band_val
+        FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) b(band_id)
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash))::int AS hamming
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs
+    WHERE hamming <= {dedup.SIMHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """,
+)
+
+register(
+    "dedup_ngram_jaccard",
+    dedup.dedup_ngram_jaccard,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars, {_DK_TOKS} AS t FROM documents
+    ), base AS (
+        SELECT doc_id, lang, n_chars, list_distinct({_DK_SH3}) AS sh FROM toks
+    ), blocked AS (
+        SELECT doc_id, lang || '|' || (n_chars // 100)::varchar AS block, sh
+        FROM base WHERE len(sh) > 0
+    ), scored AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_filter(a.sh, x -> list_contains(b.sh, x)))::double /
+               (len(a.sh) + len(b.sh)
+                - len(list_filter(a.sh, x -> list_contains(b.sh, x))))::double AS jac
+        FROM blocked a
+        JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+    FROM scored WHERE jac >= {dedup.JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+
+_DK_DOT_AB = X.dk_fold_dot("a.embedding", "b.embedding", dedup.EMB_DIM)
+_DK_DOT_AA = X.dk_fold_dot("a.embedding", "a.embedding", dedup.EMB_DIM)
+_DK_DOT_BB = X.dk_fold_dot("b.embedding", "b.embedding", dedup.EMB_DIM)
+
+register(
+    "dedup_embedding_cosine",
+    dedup.dedup_embedding_cosine,
+    f"""
+    WITH scored AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+               {_DK_DOT_AB} / (sqrt({_DK_DOT_AA}) * sqrt({_DK_DOT_BB})) AS cos
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, label, round(cos, 6) AS cos_sim
+    FROM scored WHERE cos >= {dedup.COSINE_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+)
+
+_DK_DOT_QE = X.dk_fold_dot("q.qvec", "e.embedding", similarity.EMB_DIM)
+_DK_DOT_QQ = X.dk_fold_dot("q.qvec", "q.qvec", similarity.EMB_DIM)
+_DK_DOT_EE = X.dk_fold_dot("e.embedding", "e.embedding", similarity.EMB_DIM)
+
+register(
+    "sim_search_bruteforce",
+    similarity.sim_search_bruteforce,
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id % {similarity.QUERY_MOD} = 0
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               {_DK_DOT_QE} / (sqrt({_DK_DOT_QQ}) * sqrt({_DK_DOT_EE})) AS c
+        FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, c,
+               row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, round(c, 6) AS cos_sim, rank::int AS rank
+    FROM ranked WHERE rank <= {similarity.TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+
+
+def _dk_plane_component(p: str, i: str) -> str:
+    key = f"'p' || {p}::varchar || 'd' || ({i} - 1)::varchar"
+    return f"(({X.dk_hash32(key, similarity.PLANE_SEED)} % 2001) - 1000) / 1000.0"
+
+
+_DK_BUCKET = (
+    f"list_sum(list_transform(generate_series(0, {similarity.N_PLANES - 1}), p -> "
+    f"CASE WHEN list_reduce(list_transform(generate_series(1, {similarity.EMB_DIM}), "
+    f"i -> embedding[i]::double * ({_dk_plane_component('p', 'i')})), (x, y) -> x + y) > 0 "
+    f"THEN (1::bigint << p) ELSE 0::bigint END))::bigint"
+)
+
+register(
+    "sim_search_lsh",
+    similarity.sim_search_lsh,
+    f"""
+    WITH eb AS (
+        SELECT vec_id, embedding, {_DK_BUCKET} AS bucket FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket
+        FROM eb WHERE vec_id % {similarity.QUERY_MOD} = 0
+    ), scored AS (
+        SELECT q.query_id, e.vec_id, e.bucket,
+               {_DK_DOT_QE} / (sqrt({_DK_DOT_QQ}) * sqrt({_DK_DOT_EE})) AS c
+        FROM eb e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, bucket, c,
+               row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, bucket, round(c, 6) AS cos_sim, rank::int AS rank
+    FROM ranked WHERE rank <= {similarity.TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+
+
+def _dk_stop_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in textstats.STOPWORDS[lang]) + "]"
+
+
+_DK_STOP_COUNTS = ",\n               ".join(
+    f"len(list_filter(t, tok -> list_contains({_dk_stop_list(lang)}, tok))) AS c_{lang}"
+    for lang in textstats.LANG_ORDER
+)
+_GREATEST = "greatest(" + ", ".join(f"c_{l}" for l in textstats.LANG_ORDER) + ")"
+_PICK_CASES = " ".join(
+    f"WHEN c_{l} = {_GREATEST} THEN '{l}'" for l in textstats.LANG_ORDER
+)
+
+register(
+    "text_langid",
+    textstats.text_langid,
+    f"""
+    WITH base AS (
+        SELECT doc_id, lang, {_DK_TOKS} AS t FROM documents
+    ), counted AS (
+        SELECT doc_id, lang, len(t) AS n,
+               {_DK_STOP_COUNTS}
+        FROM base
+    )
+    SELECT doc_id, lang AS declared_lang,
+           {", ".join(f"c_{l}::bigint AS c_{l}" for l in textstats.LANG_ORDER)},
+           CASE WHEN {_GREATEST} > 0 AND {_GREATEST} * 50 >= n
+                THEN CASE {_PICK_CASES} END
+                ELSE 'und' END AS detected_lang
+    FROM counted ORDER BY doc_id
+    """,
+)
+
+_DK_ALPHA = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+_DK_C_EN = f"len(list_filter(t, tok -> list_contains({_dk_stop_list('en')}, tok)))"
+
+register(
+    "text_quality",
+    textstats.text_quality,
+    f"""
+    WITH base AS (
+        SELECT doc_id, text, {_DK_TOKS} AS t FROM documents
+    )
+    SELECT doc_id,
+           length(text)::bigint AS n_chars_actual,
+           len(t)::bigint AS n_tokens,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::bigint AS n_punct,
+           round({_DK_ALPHA}::double / length(text)::double, 6) AS alpha_ratio,
+           round({_DK_C_EN}::double / nullif(len(t), 0)::double, 6) AS stopword_ratio,
+           round(length(text)::double / nullif(len(t), 0)::double, 6) AS avg_token_len,
+           (len(t) >= 10 AND {_DK_ALPHA} * 10 >= length(text) * 6) AS keep
+    FROM base ORDER BY doc_id
+    """,
+)
+
+register(
+    "text_tokens",
+    textstats.text_tokens,
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\\S+'))::bigint AS n_ws_tokens,
+           len(regexp_extract_all(text, '{textstats.BPE_PATTERN_DUCK}'))::bigint AS n_bpe_tokens,
+           len(list_distinct({_DK_TOKS}))::bigint AS n_distinct_tokens,
+           round(length(text)::double /
+                 nullif(len(regexp_extract_all(text, '{textstats.BPE_PATTERN_DUCK}')), 0)::double,
+                 6) AS chars_per_token
+    FROM documents ORDER BY doc_id
+    """,
+)
+
+_DK_SH4 = X.dk_shingles("t", textstats.FINGERPRINT_K)
+
+register(
+    "text_fingerprint",
+    textstats.text_fingerprint,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_DK_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, list_distinct({_DK_SH4}) AS shd FROM toks
+    ), fp AS (
+        SELECT doc_id, shd,
+               list_distinct(list_filter(
+                   list_transform(shd, s -> {X.dk_hash32('s', textstats.FINGERPRINT_SEED)}),
+                   h -> h % {textstats.FINGERPRINT_MOD} = 0)) AS sel
+        FROM sh
+    )
+    SELECT doc_id,
+           len(shd)::bigint AS n_shingles,
+           len(sel)::bigint AS fp_size,
+           list_aggregate(sel, 'min') AS fp_min,
+           list_aggregate(sel, 'max') AS fp_max
+    FROM fp ORDER BY doc_id
+    """,
+)
