@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from navigator_data_ingest_spark.functions import exprs as X
-from navigator_data_ingest_spark.sources.tables import load_table
+from navigator_data_ingest_spark.sources.tables import load_table, scatter
 
 N_MINHASH = 16
 N_BANDS = 4
@@ -55,16 +55,43 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one md5 per shingle, then N_MINHASH cheap affine derivations
+# (a_i*h + b_i) mod P — the standard universal-hash family trick that
+# cuts the expensive hash count 16x. P prime < 2^32; products < 2^48
+# stay safely inside bigint.
+MINHASH_P = 4294967291
+
+
+def minhash_coeffs(i: int) -> tuple[int, int]:
+    return 2 * i + 1, 97 * i + 13
+
+
 def _with_signature(docs: DataFrame) -> DataFrame:
-    """Add mh0..mhN minhash columns, computed entirely map-side."""
+    """Add mh0..mhN minhash columns from one md5 pass per shingle.
+
+    The repartition between ``sh_h`` and the mh columns is load-bearing
+    twice over: it spreads a single-file scan across the cluster AND it
+    is a projection-collapse barrier — without it Catalyst inlines the
+    md5 transform into all 16 min columns (lambda expressions are exempt
+    from subexpression elimination), re-hashing every shingle 16 times.
+    It is also the natural place the signature would be persisted in a
+    real pipeline.
+    """
     t = X.sp_tokens("text")
     sh = X.sp_shingles("t")
-    out = docs.withColumn("t", F.expr(t)).withColumn(
-        "sh", F.expr(f"array_distinct({sh})")
-    ).where(F.expr("size(sh) > 0"))
+    spark = docs.sparkSession
+    out = (
+        docs.withColumn("t", F.expr(t))
+        .withColumn("sh", F.expr(f"array_distinct({sh})"))
+        .where(F.expr("size(sh) > 0"))
+        .select("doc_id", F.expr(f"transform(sh, s -> {X.sp_hash32('s', 0)})").alias("sh_h"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     for i in range(N_MINHASH):
+        a, b = minhash_coeffs(i)
         out = out.withColumn(
-            f"mh{i}", F.expr(f"array_min(transform(sh, s -> {X.sp_hash32('s', i)}))")
+            f"mh{i}",
+            F.expr(f"array_min(transform(sh_h, h -> ({a} * h + {b}) % {MINHASH_P}))"),
         )
     return out
 
@@ -131,7 +158,7 @@ def _with_simhash(docs: DataFrame) -> DataFrame:
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: byte-band blocking + hamming verify."""
-    sig = _with_simhash(load_table(spark, sf_dir, "documents")).select(
+    sig = _with_simhash(scatter(spark, load_table(spark, sf_dir, "documents"))).select(
         "doc_id", "simhash"
     )
     bands = sig.select(
@@ -176,7 +203,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = X.sp_tokens("text")
     sh = X.sp_shingles("t")
     docs = (
-        load_table(spark, sf_dir, "documents")
+        scatter(spark, load_table(spark, sf_dir, "documents"))
         .withColumn("t", F.expr(t))
         .withColumn("sh", F.expr(f"array_distinct({sh})"))
         .where(F.expr("size(sh) > 0"))
@@ -209,7 +236,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The dot product is an explicit left fold so Spark and the oracle sum
     in the same order (cross-engine bit-stable floats).
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = scatter(spark, load_table(spark, sf_dir, "embeddings"))
     # rename one side up front: alias-qualified column refs inside
     # F.expr() don't survive a same-source self-join
     b = e.select(

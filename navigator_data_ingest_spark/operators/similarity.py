@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from navigator_data_ingest_spark.functions import exprs as X
-from navigator_data_ingest_spark.sources.tables import load_table
+from navigator_data_ingest_spark.sources.tables import load_table, scatter
 
 EMB_DIM = 64
 TOP_K = 5
@@ -38,7 +38,7 @@ def _cos(a: str, b: str):
 
 def sim_search_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k per query vector (the ANN baseline)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = scatter(spark, load_table(spark, sf_dir, "embeddings"))
     q = (
         e.where(F.col("vec_id") % QUERY_MOD == 0)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
@@ -82,7 +82,7 @@ def _bucket_expr(vec: str) -> str:
 
 def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed ANN: candidates share the query's hyperplane sign bucket."""
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
+    e = scatter(spark, load_table(spark, sf_dir, "embeddings")).withColumn(
         "bucket", F.expr(_bucket_expr("embedding"))
     )
     q = (

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from navigator_data_ingest_spark.functions import exprs as X
-from navigator_data_ingest_spark.sources.tables import load_table
+from navigator_data_ingest_spark.sources.tables import load_table, scatter
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
 STOPWORDS = {
@@ -50,7 +50,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and covers >= 2% of tokens; otherwise 'und'. Pure integer
     comparisons — no float thresholds to drift cross-engine.
     """
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    docs = scatter(spark, load_table(spark, sf_dir, "documents")).withColumn(
         "t", F.expr(X.sp_tokens("text"))
     )
     for lang in LANG_ORDER:
@@ -77,7 +77,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     The keep/drop verdict mirrors common LLM-corpus filters (Gopher-style
     length + symbol-ratio rules).
     """
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    docs = scatter(spark, load_table(spark, sf_dir, "documents")).withColumn(
         "t", F.expr(X.sp_tokens("text"))
     )
     n_chars = F.length("text")
@@ -103,7 +103,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, BPE-ish tokens, distinct tokens."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(spark, load_table(spark, sf_dir, "documents"))
     ws = F.expr("size(regexp_extract_all(text, '\\\\S+', 0))")
     bpe = F.expr(f"size(regexp_extract_all(text, '{BPE_PATTERN_SPARK}', 0))")
     t = X.sp_tokens("text")
@@ -133,7 +133,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = f"transform(array_distinct(sh), s -> {X.sp_hash32('s', FINGERPRINT_SEED)})"
     selected = f"array_distinct(filter({hashes}, h -> h % {FINGERPRINT_MOD} = 0))"
     docs = (
-        load_table(spark, sf_dir, "documents")
+        scatter(spark, load_table(spark, sf_dir, "documents"))
         .withColumn("t", F.expr(t))
         .withColumn("sh", F.expr(sh))
         .withColumn("fp", F.expr(selected))

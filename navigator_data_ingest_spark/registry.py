@@ -535,7 +535,10 @@ register(
 _DK_TOKS = X.dk_tokens("text")
 _DK_SH3 = X.dk_shingles("t", 3)
 _MH_COLS = ",\n           ".join(
-    f"list_aggregate(list_transform(sh, s -> {X.dk_hash32('s', i)}), 'min') AS mh{i}"
+    "list_aggregate(list_transform(sh_h, h -> ({a} * h + {b}) % {p}), 'min') AS mh{i}".format(
+        a=dedup.minhash_coeffs(i)[0], b=dedup.minhash_coeffs(i)[1],
+        p=dedup.MINHASH_P, i=i,
+    )
     for i in range(dedup.N_MINHASH)
 )
 _BAND_HASH_CASES = " ".join(
@@ -557,10 +560,13 @@ register(
         SELECT doc_id, {_DK_TOKS} AS t FROM documents
     ), base AS (
         SELECT doc_id, list_distinct({_DK_SH3}) AS sh FROM toks
+    ), hashed AS (
+        SELECT doc_id, list_transform(sh, s -> {X.dk_hash32("s", 0)}) AS sh_h
+        FROM base WHERE len(sh) > 0
     ), sig AS (
         SELECT doc_id,
            {_MH_COLS}
-        FROM base WHERE len(sh) > 0
+        FROM hashed
     ), bands AS (
         SELECT doc_id, band_id,
                CASE band_id {_BAND_HASH_CASES} END AS band_hash

@@ -51,6 +51,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def scatter(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a small-file scan up to the session's parallelism.
+
+    Two jobs at once for compute-heavy map stages: (1) a single-file
+    parquet scan arrives as one partition, which would serialize all
+    downstream hashing on one core; (2) the exchange is a projection-
+    collapse barrier, so expensive array columns computed before it are
+    NOT re-inlined (Spark excludes lambda-bearing expressions from
+    subexpression elimination) into every consumer afterwards.
+
+    On a real cluster with a well-partitioned source this is a no-op
+    (we only repartition upward).
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every engine table as a dict of DataFrames."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
