@@ -357,10 +357,7 @@ For non-commercial use only. Reach out to us at support@climatepolicyradar.org i
     """,
 )
 
-register(
-    "ingest_parser_input",
-    ingest.ingest_parser_input,
-    _ND + f"""
+_PARSER_INPUT_SQL = _ND + f"""
     SELECT import_id AS document_id,
            slug AS document_slug,
            name AS document_name,
@@ -376,8 +373,9 @@ register(
     FROM new_docs
     WHERE source_url IS NULL OR {_URL_OK_SQL}
     ORDER BY document_id
-    """,
-)
+    """
+
+register("ingest_parser_input", ingest.ingest_parser_input, _PARSER_INPUT_SQL)
 
 register(
     "ingest_update_actions",
@@ -475,10 +473,7 @@ register(
     """,
 )
 
-register(
-    "ingest_results_report",
-    ingest.ingest_results_report,
-    _ND + f"""
+_REPORT_SQL = _ND + f"""
     , computed AS (
         SELECT import_id,
                coalesce(nullif(download_url, ''), nullif(source_url, '')) AS fetch_url,
@@ -508,10 +503,35 @@ register(
     SELECT ingest_type, error, count(*)::bigint AS n_docs
     FROM unioned GROUP BY ingest_type, error
     ORDER BY ingest_type, error
+    """
+
+register("ingest_results_report", ingest.ingest_results_report, _REPORT_SQL)
+
+register("ingest_pipeline_e2e", ingest.ingest_pipeline_e2e, None)
+
+
+# --------------------------------------------------------------------------
+# §2.2 sources / sinks (round-trip queries: write through the sink, read
+# back through the source, compare against the producing operator's oracle
+# — value-equality proves the sink+source pair is lossless)
+# --------------------------------------------------------------------------
+
+from navigator_data_ingest_spark.sources import json_cache, pipeline_updates, sinks
+
+register(
+    "src_pipeline_updates",
+    pipeline_updates.src_pipeline_updates,
+    _UP + """
+    SELECT document_id, seq, update_type,
+           'cur-' || update_type || '-' || doc_id AS s3_value,
+           'new-' || update_type || '-' || doc_id AS db_value
+    FROM typed_updates ORDER BY document_id, seq
     """,
 )
 
-register("ingest_pipeline_e2e", ingest.ingest_pipeline_e2e, None)
+register("src_json_cache", json_cache.src_json_cache, _PARSER_INPUT_SQL)
+register("sink_parser_input", sinks.sink_parser_input, _PARSER_INPUT_SQL)
+register("sink_report", sinks.sink_report, _REPORT_SQL)
 
 
 # --------------------------------------------------------------------------

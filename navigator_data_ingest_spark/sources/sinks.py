@@ -1,0 +1,89 @@
+"""Sinks: parser-input and report writers.
+
+The reference uploads one JSON object per document and one report per
+batch (`main.py:186-232`, `new_document_actions.py:120`). At scale the
+object-per-document layout is replaced by partitioned JSON-lines /
+parquet datasets (same payload schema, one file per task instead of one
+PUT per row); the report stays a single small aggregate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+
+def sink_path(kind: str, key: str) -> str:
+    """Deterministic scratch dir for round-trip queries (safe to rerun)."""
+    h = hashlib.md5(key.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"nav_spark_{kind}_{h}")
+
+
+def write_parser_input(df: DataFrame, path: str, fmt: str = "json") -> None:
+    """ParserInput records -> partitioned JSON-lines or parquet dataset."""
+    writer = df.write.mode("overwrite")
+    if fmt == "json":
+        writer.json(path)
+    elif fmt == "parquet":
+        # geography is the reference's upload prefix ({geo}/{year}); at
+        # scale it is the natural partition key for the cache dataset.
+        writer.partitionBy("document_geography").parquet(path)
+    else:
+        raise ValueError(f"unsupported sink format: {fmt}")
+
+
+REPORT_SCHEMA = StructType(
+    [
+        StructField("ingest_type", StringType()),
+        StructField("error", StringType()),
+        StructField("n_docs", LongType()),
+    ]
+)
+
+
+def write_report(df: DataFrame, path: str) -> None:
+    """Batch results report -> single JSON file (driver-sized aggregate).
+
+    coalesce(1) is correct here, not a smell: the report is a
+    per-(type, error) rollup — a handful of rows regardless of input
+    scale — and the reference writes exactly one report object per batch
+    (reports/ingest/batch_1.json).
+    """
+    df.coalesce(1).write.mode("overwrite").json(path)
+
+
+# ---------------------------------------------------------------------------
+# registry round-trip queries
+# ---------------------------------------------------------------------------
+
+
+def sink_parser_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parser inputs -> partitioned parquet -> read back (lossless check)."""
+    from navigator_data_ingest_spark.operators.ingest import ingest_parser_input
+    from navigator_data_ingest_spark.sources.json_cache import PARSER_INPUT_FIELDS
+
+    out = sink_path("parser_parquet", sf_dir)
+    write_parser_input(ingest_parser_input(spark, sf_dir), out, fmt="parquet")
+    return (
+        spark.read.parquet(out)
+        .select(*PARSER_INPUT_FIELDS)
+        .orderBy("document_id")
+    )
+
+
+def sink_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Results report -> JSON -> read back with explicit schema."""
+    from navigator_data_ingest_spark.operators.ingest import ingest_results_report
+
+    out = sink_path("report", sf_dir)
+    write_report(ingest_results_report(spark, sf_dir), out)
+    return (
+        spark.read.schema(REPORT_SCHEMA)
+        .json(out)
+        .orderBy("ingest_type", "error")
+    )

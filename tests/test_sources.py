@@ -1,0 +1,59 @@
+"""Source/sink unit tests beyond the registry round-trips."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from navigator_data_ingest_spark.operators.ingest import synthetic_new_documents
+from navigator_data_ingest_spark.sources.json_cache import read_json_cache
+from navigator_data_ingest_spark.sources.pipeline_updates import (
+    _synthesize_updates_file,
+    read_pipeline_updates,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_pipeline_updates_new_documents_roundtrip(spark):
+    """new_documents survive the JSON round trip field-for-field."""
+    path = _synthesize_updates_file(spark, SF_SMOKE)
+    new_docs, _ = read_pipeline_updates(spark, path)
+    fields = [
+        "import_id", "name", "description", "slug", "publication_ts",
+        "geography", "category", "source_url", "download_url",
+    ]
+    got = sorted(
+        (tuple(r) for r in new_docs.select(*fields).collect()),
+    )
+    want = sorted(
+        tuple(r)
+        for r in synthetic_new_documents(spark, SF_SMOKE).select(*fields).collect()
+    )
+    assert got == want
+
+
+def test_pipeline_updates_schema_is_closed(spark):
+    """Explicit schema: no inference pass, stable nested types."""
+    path = _synthesize_updates_file(spark, SF_SMOKE)
+    new_docs, updates = read_pipeline_updates(spark, path)
+    assert new_docs.schema["languages"].dataType.simpleString() == "array<string>"
+    assert new_docs.schema["publication_ts"].dataType.simpleString() == "timestamp"
+    assert [f.name for f in updates.schema] == [
+        "document_id", "seq", "update_type", "s3_value", "db_value",
+    ]
+
+
+def test_json_cache_translated_flag(spark):
+    """translated=true recovered from the _translated_en file name."""
+    d = tempfile.mkdtemp(prefix="nav_spark_cache_test_")
+    rec = {"document_id": "TEST.executive.1.1", "document_name": "n"}
+    with open(os.path.join(d, "TEST.executive.1.1.json"), "w") as f:
+        json.dump(rec, f)
+    with open(os.path.join(d, "TEST.executive.1.1_translated_en.json"), "w") as f:
+        json.dump(rec | {"document_name": "n-en"}, f)
+    rows = {
+        (r.document_name, r.translated)
+        for r in read_json_cache(spark, d).collect()
+    }
+    assert rows == {("n", False), ("n-en", True)}
