@@ -1,0 +1,200 @@
+"""Distributed download/convert stage (`ingest_download_fetch`).
+
+Reference: `api_client.py:44 upload_document` — per document: HTTP GET
+(`_download_from_source`), content-type detection on the response
+(`utils.py:64`), HTML->PDF capture / DOC->PDF convert + watermark
+(`pdf_conversion.py`), md5, S3 PUT. The reference runs 4 driver
+processes; here the work list is a DataFrame repartitioned by URL
+domain (politeness: one domain's requests land in one task, so a
+per-task rate limiter sees all of them; salt hot domains at real
+scale) and the side-effecting fetch+convert runs as ONE Arrow-batched
+``mapInPandas`` stage. Everything derivable from the fetched bytes
+(md5, size, upload name) stays JVM-side after the stage.
+
+The network/subprocess side effects are STUBBED with a deterministic
+fake (this container has no network and no soffice/playwright): the
+fake synthesizes bytes whose magic head matches the work list's
+``head_hex`` so routing behaves exactly as the real pipeline would.
+The Spark plumbing — partitioning, Arrow batching, output schema,
+JVM-side derivations — is the real design.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from navigator_data_ingest_spark.functions.content import (
+    CONTENT_TYPE_DOC,
+    CONTENT_TYPE_DOCX,
+    CONTENT_TYPE_HTML,
+    CONTENT_TYPE_PDF,
+    upload_file_name,
+)
+from navigator_data_ingest_spark.functions.text import slugify_col
+from navigator_data_ingest_spark.operators.ingest import synthetic_new_documents
+
+FETCH_RESULT_SCHEMA = (
+    "import_id string, fetch_url string, domain string, status int, "
+    "elapsed_ms int, content binary, content_type string"
+)
+
+# watermark page marker appended by the conversion stub (stands in for
+# add_last_page_watermark's extra PDF page, pdf_conversion.py:109-160)
+WATERMARK_MARKER = b"\n%%WATERMARK-PAGE%%"
+
+
+def _fake_fetch(url: str, head_hex: str) -> tuple[int, bytes, int]:
+    """Deterministic stand-in for requests.get (NO network in-container).
+
+    Returns (status, content, elapsed_ms). Bytes start with the magic
+    head the synthetic work list declared, padded with url-seeded
+    filler, so downstream sniffing sees realistic input. Every 29th url
+    hash 404s to exercise the error path.
+    """
+    seed = hashlib.md5(url.encode()).digest()
+    if int.from_bytes(seed[:4], "big") % 29 == 0:
+        return 404, b"", 10 + seed[5] % 90
+    head = bytes.fromhex(head_hex) if head_hex else b""
+    filler = (seed * (64 + seed[4] % 192))[: 1024 + seed[6] % 4096]
+    return 200, head + filler, 20 + seed[5] % 480
+
+
+def _sniff(content: bytes, url: str, header: str) -> str:
+    """3-stage detection on the RESPONSE, mirroring utils.py:64.
+
+    Same fallback order as functions/content.py's column version; this
+    Python twin exists because the route decision has to happen inside
+    the fetch stage (the reference detects-then-converts in one unit of
+    work, api_client.py:68-97).
+    """
+    if content.startswith(b"%PDF"):
+        return CONTENT_TYPE_PDF
+    if content.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
+        return CONTENT_TYPE_DOC
+    if content.startswith(b"PK\x03\x04"):
+        return CONTENT_TYPE_DOCX
+    if "." in url:
+        ext = "." + url.rsplit(".", 1)[1]
+        from navigator_data_ingest_spark.functions.content import (
+            EXTENSION_CONTENT_TYPES,
+        )
+        if ext in EXTENSION_CONTENT_TYPES:
+            return EXTENSION_CONTENT_TYPES[ext]
+    return (header or "").split(";", 1)[0].strip()
+
+
+def _fetch_and_convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One Arrow batch in -> fetched/converted batch out.
+
+    In production this function holds the requests.Session, the
+    per-domain rate limiter, and the soffice/playwright subprocess —
+    exactly the per-worker state mapInPandas is for. Conversion stub:
+    doc/docx/html content is "converted" by prefixing a PDF header and
+    appending the watermark marker (reference converts to PDF then
+    watermarks the last page). Like the reference (api_client.py:74-97),
+    html capture re-labels the content type to PDF while doc/docx
+    conversion KEEPS the original detected type in the result.
+    """
+    for pdf in batches:
+        statuses, contents, elapsed, ctypes = [], [], [], []
+        for url, head_hex, header in zip(
+            pdf["fetch_url"], pdf["head_hex"], pdf["header"]
+        ):
+            status, content, ms = _fake_fetch(url, head_hex)
+            ct = _sniff(content, url, header) if status == 200 else None
+            if status == 200:
+                if ct == CONTENT_TYPE_HTML:
+                    # capture_pdf_and_get_content_type_from_url stub
+                    content = b"%PDF-1.7\n" + content + WATERMARK_MARKER
+                    ct = CONTENT_TYPE_PDF
+                elif ct in (CONTENT_TYPE_DOCX, CONTENT_TYPE_DOC):
+                    # convert_doc_to_pdf stub; result type stays DOC(X)
+                    content = b"%PDF-1.7\n" + content + WATERMARK_MARKER
+                # PDF passes through; unsupported stays raw (error later)
+            statuses.append(status)
+            contents.append(content)
+            elapsed.append(ms)
+            ctypes.append(ct)
+        yield pd.DataFrame(
+            {
+                "import_id": pdf["import_id"],
+                "fetch_url": pdf["fetch_url"],
+                "domain": pdf["domain"],
+                "status": statuses,
+                "elapsed_ms": elapsed,
+                "content": contents,
+                "content_type": ctypes,
+            }
+        )
+
+
+def ingest_download_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Work list -> domain-partitioned fetch/convert -> upload manifest.
+
+    Output: one row per fetchable document with status, content type
+    (3-stage detection on the FETCHED bytes), md5, size and the final
+    cdn upload name — the UploadResult of api_client.py:44 as a table.
+    """
+    nd = synthetic_new_documents(spark, sf_dir)
+    fetch_url = F.coalesce(
+        F.nullif(F.col("download_url"), F.lit("")),
+        F.nullif(F.col("source_url"), F.lit("")),
+    )
+    work = (
+        nd.withColumn("fetch_url", fetch_url)
+        .where(F.col("fetch_url").isNotNull())
+        .withColumn("domain", F.parse_url("fetch_url", F.lit("HOST")))
+        .select(
+            "import_id", "fetch_url", "domain", "head_hex", "header",
+            "name", "geography", "publication_ts",
+        )
+    )
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    fetched = work.select(
+        "import_id", "fetch_url", "domain", "head_hex", "header"
+    ).repartition(n_parts, "domain").mapInPandas(
+        _fetch_and_convert, schema=FETCH_RESULT_SCHEMA
+    )
+    # everything below is JVM-side column work on the fetched bytes
+    enriched = (
+        fetched.join(
+            work.select("import_id", "name", "geography", "publication_ts"),
+            "import_id",
+        )
+        .withColumn("n_bytes", F.length("content").cast("bigint"))
+        .withColumn("md5_sum", F.when(F.col("status") == 200, F.md5("content")))
+    )
+    supported = F.col("content_type").isin(
+        CONTENT_TYPE_PDF, CONTENT_TYPE_HTML, CONTENT_TYPE_DOCX, CONTENT_TYPE_DOC
+    )
+    prefix = F.concat(
+        F.col("geography"), F.lit("/"), F.year("publication_ts").cast("string")
+    )
+    return (
+        enriched.withColumn(
+            "error",
+            F.when(F.col("status") != 200, F.lit("DownloadError")).when(
+                ~supported, F.lit("UnsupportedContentTypeError")
+            ),
+        )
+        .withColumn(
+            "cdn_object",
+            F.when(
+                F.col("error").isNull(),
+                upload_file_name(
+                    prefix, slugify_col(F.col("name")), F.col("md5_sum"), F.lit(".pdf")
+                ),
+            ),
+        )
+        .select(
+            "import_id", "domain", "status", "elapsed_ms", "content_type",
+            "n_bytes", "md5_sum", "cdn_object", "error",
+        )
+        .orderBy("import_id")
+    )

@@ -509,6 +509,13 @@ register("ingest_results_report", ingest.ingest_results_report, _REPORT_SQL)
 
 register("ingest_pipeline_e2e", ingest.ingest_pipeline_e2e, None)
 
+# distributed fetch/convert stage: side-effecting by nature (stubbed
+# deterministic fake in-container) -> rows-only check; determinism and
+# routing are pytest-asserted instead.
+from navigator_data_ingest_spark.operators import fetch as fetch_op
+
+register("ingest_download_fetch", fetch_op.ingest_download_fetch, None)
+
 
 # --------------------------------------------------------------------------
 # §2.2 sources / sinks (round-trip queries: write through the sink, read
@@ -836,5 +843,46 @@ register(
            list_aggregate(sel, 'min') AS fp_min,
            list_aggregate(sel, 'max') AS fp_max
     FROM fp ORDER BY doc_id
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# §2.4 multimodal plumbing — the decode stub is deterministic, so the
+# whole stage (metadata struct, batch decode, integer-exact resize,
+# digest-derived features) gets a full SQL oracle despite being a
+# mapInPandas operator.
+# --------------------------------------------------------------------------
+
+from navigator_data_ingest_spark.operators import multimodal
+
+register(
+    "mm_decode_stub",
+    multimodal.mm_decode_stub,
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               (['image', 'audio', 'video'])[1 + doc_id % 3] AS modality,
+               octet_length(encode(text)) AS n_bytes,
+               (128 + doc_id % 1920)::int AS w,
+               (128 + (doc_id * 7) % 1080)::int AS h,
+               md5(text) AS d
+        FROM documents
+    ), fmt AS (
+        SELECT *,
+               CASE modality
+                    WHEN 'image' THEN (['png', 'jpeg', 'webp'])[1 + doc_id % 3]
+                    WHEN 'audio' THEN (['wav', 'flac'])[1 + doc_id % 2]
+                    WHEN 'video' THEN (['mp4', 'webm'])[1 + doc_id % 2]
+               END AS format,
+               greatest(w, h) AS m
+        FROM base
+    )
+    SELECT doc_id, modality, format, n_bytes::bigint AS n_bytes,
+           greatest(1, (w * {2 * multimodal.TARGET_SIZE} + m) // (2 * m))::int AS out_width,
+           greatest(1, (h * {2 * multimodal.TARGET_SIZE} + m) // (2 * m))::int AS out_height,
+           list_transform(generate_series(0, {multimodal.FEAT_DIM - 1}), i ->
+               round(('0x' || substr(d, 4 * i + 1, 4))::int / 65535.0, 6)) AS feature
+    FROM fmt ORDER BY doc_id
     """,
 )

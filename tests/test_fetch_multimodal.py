@@ -1,0 +1,79 @@
+"""Tests for the side-effecting stages (fetch stub, multimodal decode)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from navigator_data_ingest_spark.operators.fetch import (
+    WATERMARK_MARKER,
+    _fake_fetch,
+    ingest_download_fetch,
+)
+from navigator_data_ingest_spark.operators.multimodal import (
+    FEAT_DIM,
+    _decode_real,
+    mm_decode_stub,
+    multimodal_table,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_fake_fetch_is_deterministic():
+    a = _fake_fetch("https://example.com/x.pdf", "25504446")
+    b = _fake_fetch("https://example.com/x.pdf", "25504446")
+    assert a == b
+    assert a[0] in (200, 404)
+
+
+def test_fetch_results_routing(spark):
+    df = ingest_download_fetch(spark, SF_SMOKE).cache()
+    rows = df.collect()
+    assert len(rows) > 0
+    by_status = {r.status for r in rows}
+    assert by_status <= {200, 404}
+    for r in rows:
+        if r.status != 200:
+            assert r.error == "DownloadError" and r.cdn_object is None
+        elif r.error == "UnsupportedContentTypeError":
+            assert r.cdn_object is None
+        else:
+            # successful supported fetch: md5 + final upload name present
+            assert r.md5_sum is not None and len(r.md5_sum) == 32
+            assert r.cdn_object is not None and r.cdn_object.endswith(
+                f"_{r.md5_sum}.pdf"
+            )
+    # two runs produce identical manifests (stub is deterministic)
+    again = ingest_download_fetch(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    df.unpersist()
+
+
+def test_fetch_converted_content_types(spark):
+    """html captures re-label to PDF; doc/docx keep their detected type
+    (api_client.py:74-97); nothing supported stays text/html."""
+    df = ingest_download_fetch(spark, SF_SMOKE)
+    ok = df.where(F.col("error").isNull())
+    types = {r.content_type for r in ok.select("content_type").distinct().collect()}
+    assert "text/html" not in types
+    assert types <= {
+        "application/pdf",
+        "application/msword",
+        "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    }
+    assert ok.count() > 0
+
+
+def test_multimodal_schema_and_stub(spark):
+    mm = multimodal_table(spark, SF_SMOKE)
+    assert mm.schema["media"].dataType.simpleString() == "binary"
+    assert mm.schema["meta"].dataType["modality"].dataType.simpleString() == "string"
+    out = mm_decode_stub(spark, SF_SMOKE)
+    rows = out.limit(20).collect()
+    for r in rows:
+        assert len(r.feature) == FEAT_DIM
+        assert all(0.0 <= v <= 1.0 for v in r.feature)
+        assert max(r.out_width, r.out_height) == 224
+    with pytest.raises(NotImplementedError):
+        _decode_real(b"x", "image", "png")
