@@ -886,3 +886,35 @@ register(
     FROM fmt ORDER BY doc_id
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# §2.2 / §2.4 streaming — availableNow drains into a memory sink, so even
+# the streaming plans get full SQL oracles (single-file input => one
+# micro-batch => update mode emits each window exactly once).
+# --------------------------------------------------------------------------
+
+from navigator_data_ingest_spark import streaming as streaming_ops
+
+register(
+    "src_stream_events",
+    streaming_ops.src_stream_events,
+    """
+    SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value
+    FROM events ORDER BY event_id
+    """,
+)
+
+register(
+    "stream_ingest",
+    streaming_ops.stream_ingest,
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS window_start,
+           event_type,
+           count(*)::bigint AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)

@@ -1,0 +1,144 @@
+"""Structured Streaming: events source + watermarked windowed ingest.
+
+The reference is batch-only (one PipelineUpdates file per run); a 100 TB
+pipeline ingests continuously. These operators express the same
+computation as Structured Streaming jobs:
+
+* ``src_stream_events`` — file-based ``readStream`` over the events
+  parquet with an EXPLICIT schema (streaming readers cannot infer), the
+  TIMESTAMP(NANOS) -> microsecond conversion applied in-stream.
+* ``stream_ingest`` — event-time pipeline: watermark, exact dedup on
+  (event_id, ts) with bounded state (the watermark expires dedup state),
+  1-hour tumbling-window aggregation in UPDATE output mode.
+
+For the registry/driver the streams run with ``trigger(availableNow)``
+into a memory sink and return the resulting batch DataFrame; on a
+cluster the same plan runs forever against an arriving-file or Kafka
+source with a parquet/Delta sink — only `.format()`/`.trigger()`
+change. Because the test input is a single parquet file, availableNow
+processes it as one micro-batch, so update mode emits each window
+exactly once and the result is value-equal to the batch oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# explicit source schema: ts is TIMESTAMP(NANOS) in the parquet footer,
+# readable only as a raw long (spark.sql.legacy.parquet.nanosAsLong)
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """events parquet as a streaming DataFrame with a real event-time col.
+
+    ``max_files_per_trigger`` bounds each micro-batch (used by tests to
+    force multi-batch runs that exercise watermark advancement; on a
+    cluster it is the ingest back-pressure knob).
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    # FileStreamSource wants a directory; scope it to the events file
+    # with a glob (on a cluster this is the arriving-files directory)
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option(
+        "pathGlobFilter", glob
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(sf_dir)
+    # integer division: double division corrupts microseconds at ~1e18 ns
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_dedup_agg(ev: DataFrame) -> DataFrame:
+    """Watermark -> exact dedup -> 1-hour tumbling-window aggregation.
+
+    State stays bounded at scale: the 1-hour watermark expires both the
+    dropDuplicates state (key includes the event-time column) and closed
+    windows.
+    """
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id", "ts"])
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drain a stream into a memory sink with availableNow; return table."""
+    spark = stream_df.sparkSession
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"nav_ckpt_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+def _qname(kind: str, sf_dir: str) -> str:
+    return f"{kind}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+
+
+def src_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming pass-through of the events table (stateless append).
+
+    Value-equality with the batch ``SELECT * FROM events`` oracle proves
+    the streaming source reads the same rows/types as the batch reader.
+    """
+    stream = read_stream_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = _run_to_memory(stream, _qname("src_events", sf_dir), "append")
+    return out.orderBy("event_id")
+
+
+def stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + dedup + tumbling-window agg, the streaming headliner.
+
+    count(DISTINCT) is not available in streaming aggs; the exact
+    distinct-users figure has its own batch operator (q_events_windowed).
+    """
+    agg = windowed_dedup_agg(read_stream_events(spark, sf_dir))
+    out = _run_to_memory(agg, _qname("stream_ingest", sf_dir), "update")
+    return out.orderBy("window_start", "event_type")
