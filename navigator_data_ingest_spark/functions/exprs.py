@@ -48,6 +48,23 @@ def dk_shingles(t: str, k: int = 3) -> str:
     )
 
 
+# --- let-binding ----------------------------------------------------------
+
+def sp_let(var: str, value: str, body: str) -> str:
+    """Bind ``value`` to lambda variable ``var``, evaluate ``body`` once.
+
+    ``element_at(transform(array(V), x -> B), 1)`` is Spark SQL's
+    let-expression: V is evaluated exactly once (as the array element)
+    and every reference to ``x`` in B is a variable lookup. This is the
+    antidote to projection collapse: without it, Catalyst inlines a
+    named column's defining expression into EVERY reference site, and a
+    reference inside a lambda body re-evaluates per array element
+    (lambda-bearing expressions are exempt from subexpression
+    elimination) — turning an O(tokens) pipeline into O(tokens x refs).
+    """
+    return f"element_at(transform(array({value}), {var} -> {body}), 1)"
+
+
 # --- 32-bit seeded hash ---------------------------------------------------
 
 def sp_hash32(s: str, seed: int | str) -> str:

@@ -30,6 +30,7 @@ from navigator_data_ingest_spark.sources.tables import load_table, scatter
 N_MINHASH = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_MINHASH // N_BANDS
+SHINGLE_K = 3
 SIMHASH_BITS = 32
 SIMHASH_SEED = 99
 SIMHASH_MAX_HAMMING = 3
@@ -66,34 +67,51 @@ def minhash_coeffs(i: int) -> tuple[int, int]:
     return 2 * i + 1, 97 * i + 13
 
 
-def _with_signature(docs: DataFrame) -> DataFrame:
-    """Add mh0..mhN minhash columns from one md5 pass per shingle.
+def _band_hashes_expr() -> str:
+    """text -> array of N_BANDS band-hash strings, ONE pass per stage.
 
-    The repartition between ``sh_h`` and the mh columns is load-bearing
-    twice over: it spreads a single-file scan across the cluster AND it
-    is a projection-collapse barrier — without it Catalyst inlines the
-    md5 transform into all 16 min columns (lambda expressions are exempt
-    from subexpression elimination), re-hashing every shingle 16 times.
-    It is also the natural place the signature would be persisted in a
-    real pipeline.
+    The whole shingle -> md5 -> 16 affine minhashes -> 4 band hashes
+    chain is a single let-bound expression (X.sp_let), so tokens,
+    shingles and the per-shingle md5 are each computed exactly once per
+    row. Without the let-bindings projection collapse re-inlines the
+    token regex into every shingle reference and the md5 transform into
+    every min — measured 30x slower at sf0.1.
+
+    Signature index i = band*ROWS_PER_BAND + r, affine coeffs
+    (2i+1, 97i+13) mod the 32-bit prime — one md5 per shingle, the rest
+    integer math (the standard universal-hash family trick).
     """
-    t = X.sp_tokens("text")
-    sh = X.sp_shingles("t")
-    spark = docs.sparkSession
-    out = (
-        docs.withColumn("t", F.expr(t))
-        .withColumn("sh", F.expr(f"array_distinct({sh})"))
-        .where(F.expr("size(sh) > 0"))
-        .select("doc_id", F.expr(f"transform(sh, s -> {X.sp_hash32('s', 0)})").alias("sh_h"))
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    i = f"(b * {ROWS_PER_BAND} + r)"
+    affine_min = (
+        f"array_min(transform(hh, h -> ((2 * {i} + 1) * h + (97 * {i} + 13)) % {MINHASH_P}))"
     )
-    for i in range(N_MINHASH):
-        a, b = minhash_coeffs(i)
-        out = out.withColumn(
-            f"mh{i}",
-            F.expr(f"array_min(transform(sh_h, h -> ({a} * h + {b}) % {MINHASH_P}))"),
-        )
-    return out
+    per_band = (
+        f"md5(array_join(transform(sequence(0, {ROWS_PER_BAND - 1}), "
+        f"r -> cast({affine_min} as string)), ','))"
+    )
+    bands = f"transform(sequence(0, {N_BANDS - 1}), b -> {per_band})"
+    hh = f"transform(sh, s -> {X.sp_hash32('s', 0)})"
+    sh = f"array_distinct({X.sp_shingles('t')})"
+    return X.sp_let(
+        "t", X.sp_tokens("text"), X.sp_let("sh", sh, X.sp_let("hh", hh, bands))
+    )
+
+
+def _with_band_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_hashes array<string>) — the LSH signature table.
+
+    ``scatter`` comes FIRST: a single-file scan arrives as one
+    partition, and the band-hash expression is the expensive map work —
+    repartitioning after it would run it all on one core.
+    """
+    spark = docs.sparkSession
+    return (
+        scatter(spark, docs.select("doc_id", "text"))
+        # size(t) >= SHINGLE_K <=> at least one shingle; cheap predicate
+        # kept OUT of the let-chain so the filter needs no band hashing
+        .where(F.expr(f"size({X.sp_tokens('text')}) >= {SHINGLE_K}"))
+        .select("doc_id", F.expr(_band_hashes_expr()).alias("band_hashes"))
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,25 +121,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join shuffles only (band_id, band_hash) — the classic
     shingle→minhash→band→bucket-join layout.
     """
-    sig = _with_signature(load_table(spark, sf_dir, "documents"))
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
-                        for r in range(ROWS_PER_BAND)
-                    ],
-                )
-            ).alias("band_hash"),
-        )
-        for b in range(N_BANDS)
-    ]
+    sig = _with_band_hashes(load_table(spark, sf_dir, "documents"))
     bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_hash")
+        "doc_id", F.posexplode("band_hashes").alias("band_id", "band_hash")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -139,20 +142,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _with_simhash(docs: DataFrame) -> DataFrame:
-    """Add a 32-bit simhash column, computed map-side with integer math."""
+    """Add a 32-bit simhash column, computed map-side with integer math.
+
+    ``hs`` (one md5 per distinct token) is let-bound so the per-bit vote
+    loop (32 inner aggregates) reads a materialized array instead of
+    re-hashing every token per bit; the keyed repartition afterwards is
+    the projection-collapse barrier so the downstream band explode and
+    self-join see ``simhash`` as a stored value, not an expression to
+    re-inline (and it is the natural signature persist point).
+    """
     t = X.sp_tokens("text")
     hs = f"transform(array_distinct({t}), tok -> {X.sp_hash32('tok', SIMHASH_SEED)})"
     # per-bit vote: +1 if the token hash has bit j set, else -1; bit j of
     # the simhash is 1 when the vote is positive. Integer sums -> order-free.
+    # shiftright() as a function call: the '>>' operator fails to PARSE
+    # when nested two lambda levels deep (transform -> aggregate), a
+    # Spark SQL parser quirk
     simhash = (
         f"aggregate(sequence(0, {SIMHASH_BITS - 1}), cast(0 as bigint), (acc, j) -> acc + "
-        f"CASE WHEN aggregate(hs, 0, (a, h) -> a + CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"CASE WHEN aggregate(hs, 0, (a, h) -> a + CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
         f"THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"
     )
+    spark = docs.sparkSession
     return (
-        docs.withColumn("hs", F.expr(hs))
-        .where(F.expr("size(hs) > 0"))
-        .withColumn("simhash", F.expr(simhash))
+        docs.where(F.expr(f"size({t}) > 0"))
+        .select("doc_id", F.expr(X.sp_let("hs", hs, simhash)).alias("simhash"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
 
 
@@ -201,14 +216,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     key becomes the shuffle key and skewed blocks can be salted.
     """
     t = X.sp_tokens("text")
-    sh = X.sp_shingles("t")
+    # let-bound: tokens evaluated once per row, not once per shingle ref
+    sh = X.sp_let("t", t, f"array_distinct({X.sp_shingles('t')})")
     docs = (
         scatter(spark, load_table(spark, sf_dir, "documents"))
-        .withColumn("t", F.expr(t))
-        .withColumn("sh", F.expr(f"array_distinct({sh})"))
-        .where(F.expr("size(sh) > 0"))
+        .where(F.expr(f"size({t}) >= {SHINGLE_K}"))
         .withColumn("block", F.expr("lang || '|' || cast(n_chars div 100 as string)"))
-        .select("doc_id", "block", "sh")
+        .select("doc_id", "block", F.expr(sh).alias("sh"))
     )
     a, b = docs.alias("a"), docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))

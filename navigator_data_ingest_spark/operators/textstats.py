@@ -128,20 +128,35 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the output row narrow; the full fingerprint array is one more
     select away for a real pipeline.
     """
-    t = X.sp_tokens("text")
-    sh = X.sp_shingles("t", FINGERPRINT_K)
-    hashes = f"transform(array_distinct(sh), s -> {X.sp_hash32('s', FINGERPRINT_SEED)})"
+    hashes = f"transform(shd, s -> {X.sp_hash32('s', FINGERPRINT_SEED)})"
     selected = f"array_distinct(filter({hashes}, h -> h % {FINGERPRINT_MOD} = 0))"
+    # one let-bound pass: tokens -> distinct shingles -> selected hashes
+    # -> 4-field summary struct, each stage evaluated once per row (see
+    # X.sp_let); the keyed repartition stops projection collapse from
+    # re-inlining the struct expression into all four output columns.
+    summary = X.sp_let(
+        "t",
+        X.sp_tokens("text"),
+        X.sp_let(
+            "shd",
+            f"array_distinct({X.sp_shingles('t', FINGERPRINT_K)})",
+            X.sp_let(
+                "sel",
+                selected,
+                "named_struct('n_shingles', size(shd), 'fp_size', size(sel), "
+                "'fp_min', array_min(sel), 'fp_max', array_max(sel))",
+            ),
+        ),
+    )
     docs = (
         scatter(spark, load_table(spark, sf_dir, "documents"))
-        .withColumn("t", F.expr(t))
-        .withColumn("sh", F.expr(sh))
-        .withColumn("fp", F.expr(selected))
+        .select("doc_id", F.expr(summary).alias("s"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     return docs.select(
         "doc_id",
-        F.expr("size(array_distinct(sh))").cast("bigint").alias("n_shingles"),
-        F.expr("size(fp)").cast("bigint").alias("fp_size"),
-        F.expr("array_min(fp)").alias("fp_min"),
-        F.expr("array_max(fp)").alias("fp_max"),
+        F.col("s.n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("s.fp_size").cast("bigint").alias("fp_size"),
+        F.col("s.fp_min").alias("fp_min"),
+        F.col("s.fp_max").alias("fp_max"),
     ).orderBy("doc_id")
