@@ -33,7 +33,7 @@ from navigator_data_ingest_spark.functions.text import (
     valid_http_url,
     watermark_text_col,
 )
-from navigator_data_ingest_spark.sources.tables import load_table
+from navigator_data_ingest_spark.sources.tables import load_table, scatter
 
 # ---------------------------------------------------------------------------
 # deterministic synthetic "new_documents" derivation (shared w/ oracle CTE)
@@ -108,7 +108,7 @@ def synthetic_new_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mirrors NEW_DOCS_CTE below field-for-field; the pair is what lets
     DuckDB replay the same inputs for the oracle comparison.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scatter(spark, load_table(spark, sf_dir, "documents"))
     did = F.col("doc_id")
     ds = did.cast("string")
     base_url = F.concat(F.lit("https://example.com/docs/doc"), ds)
@@ -188,7 +188,7 @@ new_docs AS (
 
 def synthetic_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic (document_id, seq, update_type) rows: 1-3 per doc."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = scatter(spark, load_table(spark, sf_dir, "documents").select("doc_id"))
     did = F.col("doc_id")
     ds = did.cast("string")
     return (
