@@ -24,8 +24,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_search_bruteforce",
     "text_quality",
+    "text_vocabulary",
     "ingest_parser_input",
     "ingest_pipeline_e2e",
+    "ingest_download_fetch",
+    "mm_decode_stub",
+    "stream_ingest",
 ]
 
 

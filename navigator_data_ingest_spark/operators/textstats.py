@@ -160,3 +160,32 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.fp_min").alias("fp_min"),
         F.col("s.fp_max").alias("fp_max"),
     ).orderBy("doc_id")
+
+
+VOCAB_TOP_N = 100
+
+
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: token -> (term freq, doc freq), top-N by tf.
+
+    The canonical corpus-scale aggregation: explode tokens, one shuffle
+    on the token key with map-side partial aggregation, top-N via a
+    single final sort of the (small) aggregate. Document frequency
+    counts each token once per doc (distinct inside the per-doc array,
+    counted with max(1) semantics via array_distinct before explode).
+    """
+    docs = scatter(spark, load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(X.sp_tokens("text"))).alias("token")
+    )
+    agg = (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "token")
+        .limit(VOCAB_TOP_N)
+    )
+    return agg.select("token", F.col("tf").cast("bigint").alias("tf"),
+                      F.col("df").cast("bigint").alias("df"))

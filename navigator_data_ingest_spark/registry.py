@@ -918,3 +918,17 @@ register(
     ORDER BY 1, 2
     """,
 )
+
+
+register(
+    "text_vocabulary",
+    textstats.text_vocabulary,
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({X.dk_tokens('text')}) AS token FROM documents
+    )
+    SELECT token, count(*)::bigint AS tf, count(DISTINCT doc_id)::bigint AS df
+    FROM tok GROUP BY token
+    ORDER BY tf DESC, token LIMIT {textstats.VOCAB_TOP_N}
+    """,
+)
