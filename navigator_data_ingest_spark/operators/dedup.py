@@ -141,6 +141,66 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_CC_ITERATIONS = 50
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate pairs -> canonical doc.
+
+    The step a real dedup pipeline needs AFTER pair generation: every
+    document gets the minimum doc_id of its duplicate component as
+    ``canonical_id`` (isolated docs are their own canonical), plus the
+    component size. Iterative min-label propagation: each round joins
+    the current labels across the (undirected) edge set and keeps the
+    elementwise minimum, converging in O(component diameter) rounds —
+    the simple variant of the large-star/small-star map-reduce CC
+    algorithm, which is the drop-in upgrade if diameters get long at
+    100 TB. Convergence is data-checked per round (one count job), with
+    a hard cap as a safety rail; each round's result localCheckpoints so
+    the plan doesn't deepen with the iteration count.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=False)
+    nodes = scatter(spark, load_table(spark, sf_dir, "documents").select("doc_id"))
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(MAX_CC_ITERATIONS):
+        neighbor_min = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy(edges["doc_a"].alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("changed"),
+            )
+        ).localCheckpoint(eager=False)
+        if new_labels.where(F.col("changed")).limit(1).count() == 0:
+            labels = new_labels.select("doc_id", "label")
+            break
+        labels = new_labels.select("doc_id", "label")
+    sizes = labels.groupBy(F.col("label").alias("canonical_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.select("doc_id", F.col("label").alias("canonical_id"))
+        .join(sizes, "canonical_id")
+        .select(
+            "doc_id",
+            "canonical_id",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _with_simhash(docs: DataFrame) -> DataFrame:
     """Add a 32-bit simhash column, computed map-side with integer math.
 

@@ -579,11 +579,7 @@ _BAND_HASH_CASES = " ".join(
     for b in range(dedup.N_BANDS)
 )
 
-register(
-    "dedup_minhash_lsh",
-    dedup.dedup_minhash_lsh,
-    f"""
-    WITH toks AS (
+_MINHASH_CTES = f"""toks AS (
         SELECT doc_id, {_DK_TOKS} AS t FROM documents
     ), base AS (
         SELECT doc_id, list_distinct({_DK_SH3}) AS sh FROM toks
@@ -598,13 +594,51 @@ register(
         SELECT doc_id, band_id,
                CASE band_id {_BAND_HASH_CASES} END AS band_hash
         FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) b(band_id)
-    )
+    )"""
+
+register(
+    "dedup_minhash_lsh",
+    dedup.dedup_minhash_lsh,
+    f"""
+    WITH {_MINHASH_CTES}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::bigint AS n_shared_bands
     FROM bands a
     JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
                 AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     ORDER BY doc_a, doc_b
+    """,
+)
+
+register(
+    "dedup_clusters",
+    dedup.dedup_clusters,
+    # Spark runs iterative min-label propagation; the oracle computes the
+    # same components independently via a recursive transitive closure.
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES}, lsh_pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM lsh_pairs
+    ), reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ), lab AS (
+        SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id
+    ), sz AS (
+        SELECT canonical_id, count(*)::bigint AS cluster_size FROM lab GROUP BY 1
+    )
+    SELECT doc_id, canonical_id, cluster_size,
+           doc_id <> canonical_id AS is_duplicate
+    FROM lab JOIN sz USING (canonical_id)
+    ORDER BY doc_id
     """,
 )
 
