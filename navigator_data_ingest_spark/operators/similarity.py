@@ -109,3 +109,57 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+CENTROID_MOD = 50  # vec_id % CENTROID_MOD == 1 -> centroid seed vector
+NPROBE = 2
+
+
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantize to centroid cells, probe NPROBE.
+
+    Deterministic "training": every (vec_id % CENTROID_MOD == 1) vector
+    seeds a centroid (a real pipeline would k-means; the index/search
+    structure is identical). One n x K broadcast scoring pass serves
+    both cell assignment (argmax cosine, crn=1) and query probing
+    (crn <= NPROBE); candidate scoring then touches only probed cells —
+    at scale the cell id is the partition key and each query scans
+    NPROBE/K of the corpus.
+    """
+    e = scatter(spark, load_table(spark, sf_dir, "embeddings"))
+    cents = e.where(F.col("vec_id") % CENTROID_MOD == 1).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    ccos = _cos("embedding", "cvec")
+    cw = Window.partitionBy("vec_id").orderBy(F.desc("_ccos"), F.asc("centroid_id"))
+    scored = (
+        e.join(F.broadcast(cents))
+        .select("vec_id", "embedding", "centroid_id", ccos.alias("_ccos"))
+        .withColumn("crn", F.row_number().over(cw))
+    )
+    assign = scored.where(F.col("crn") == 1).select(
+        "vec_id", "embedding", F.col("centroid_id").alias("cell")
+    )
+    probe = scored.where(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("crn") <= NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("centroid_id").alias("cell"),
+    )
+    cand = assign.join(
+        F.broadcast(probe),
+        (assign["cell"] == probe["cell"]) & (assign["vec_id"] != probe["query_id"]),
+    )
+    cos = _cos("qvec", "embedding")
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", assign["cell"], cos.alias("_cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "vec_id", "cell",
+            F.round(F.col("_cos"), 6).alias("cos_sim"), "rank",
+        )
+        .orderBy("query_id", "rank")
+    )

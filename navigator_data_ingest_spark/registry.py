@@ -966,3 +966,82 @@ register(
     ORDER BY tf DESC, token LIMIT {textstats.VOCAB_TOP_N}
     """,
 )
+
+
+_DK_CCOS = (
+    f"{X.dk_fold_dot('e.embedding', 'c.cvec', similarity.EMB_DIM)} / "
+    f"(sqrt({X.dk_fold_dot('e.embedding', 'e.embedding', similarity.EMB_DIM)}) * "
+    f"sqrt({X.dk_fold_dot('c.cvec', 'c.cvec', similarity.EMB_DIM)}))"
+)
+
+register(
+    "sim_search_ivf",
+    similarity.sim_search_ivf,
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec
+        FROM embeddings WHERE vec_id % {similarity.CENTROID_MOD} = 1
+    ), scored AS (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               {_DK_CCOS} AS ccos,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_DK_CCOS} DESC, c.centroid_id) AS crn
+        FROM embeddings e CROSS JOIN cents c
+    ), assign AS (
+        SELECT vec_id, embedding, centroid_id AS cell FROM scored WHERE crn = 1
+    ), probe AS (
+        SELECT vec_id AS query_id, embedding AS qvec, centroid_id AS cell
+        FROM scored
+        WHERE vec_id % {similarity.QUERY_MOD} = 0 AND crn <= {similarity.NPROBE}
+    ), cand AS (
+        SELECT p.query_id, a.vec_id, a.cell,
+               {X.dk_fold_dot('p.qvec', 'a.embedding', similarity.EMB_DIM)} /
+               (sqrt({X.dk_fold_dot('p.qvec', 'p.qvec', similarity.EMB_DIM)}) *
+                sqrt({X.dk_fold_dot('a.embedding', 'a.embedding', similarity.EMB_DIM)})) AS c
+        FROM probe p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cell, c,
+               row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+        FROM cand
+    )
+    SELECT query_id, vec_id, cell, round(c, 6) AS cos_sim, rank::int AS rank
+    FROM ranked WHERE rank <= {similarity.TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+
+
+register(
+    "stream_sessionize",
+    streaming_ops.stream_sessionize,
+    # batch replay of the gap-session semantics; session_window's end is
+    # last-event + gap, and a session BREAKS only when the gap is
+    # strictly exceeded in the operator's merge logic (ts < prev + gap
+    # merges), so the batch rule uses > gap to break / >= boundary merge.
+    """
+    WITH ev AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, event_id, value FROM events
+    ), flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*)::bigint AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)

@@ -1,4 +1,5 @@
 from navigator_data_ingest_spark.streaming.streams import (  # noqa: F401
     src_stream_events,
     stream_ingest,
+    stream_sessionize,
 )

@@ -142,3 +142,39 @@ def stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = windowed_dedup_agg(read_stream_events(spark, sf_dir))
     out = _run_to_memory(agg, _qname("stream_ingest", sf_dir), "update")
     return out.orderBy("window_start", "event_type")
+
+
+SESSION_GAP = "30 minutes"
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization with the NATIVE streaming session window.
+
+    ``F.session_window(ts, gap)`` maintains per-user open sessions in
+    the state store, merging events closer than the gap and closing a
+    session when the watermark passes its end — the streaming twin of
+    the batch lag/cumsum operator (q_events_sessionize). Note the
+    session_window end is ``last event + gap`` by definition, so the
+    oracle computes ``max(ts) + INTERVAL gap``.
+    """
+    ev = read_stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", SESSION_GAP), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    # session-window aggs reject update mode (sessions merge); complete
+    # drains the final state here — the infinite-stream deployment uses
+    # append mode, emitting each session once the watermark closes it
+    out = _run_to_memory(agg, _qname("stream_sess", sf_dir), "complete")
+    return out.orderBy("user_id", "session_start")

@@ -64,11 +64,13 @@ def test_q5_dimensions_broadcast(spark):
 
 
 @pytest.mark.parametrize(
-    "name", [n for n in _PLAN_ONLY if n != "sim_search_bruteforce"]
+    "name",
+    [n for n in _PLAN_ONLY if n not in ("sim_search_bruteforce", "sim_search_ivf")],
 )
 def test_no_accidental_cartesian_products(spark, name):
-    # brute-force knn is excluded: its all-pairs scoring is BY DESIGN a
-    # (broadcast) nested-loop — the LSH variant is the scale path
+    # excluded BY DESIGN: brute-force knn's all-pairs scoring and IVF's
+    # n x K centroid scoring are deliberate broadcast nested-loops — the
+    # LSH variant is the pure-equijoin scale path
     audit = plan_audit(_Q[name](spark, SF_CORRECT))
     assert audit.cartesian_products == 0, f"{name} plans a cartesian product"
 
