@@ -1045,3 +1045,21 @@ register(
     ORDER BY user_id, session_start
     """,
 )
+
+
+register(
+    "stream_firstseen",
+    streaming_ops.stream_firstseen,
+    """
+    WITH ranked AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT user_id, ts AS first_ts, event_id AS first_event_id,
+           value AS first_value
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+)

@@ -178,3 +178,72 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # append mode, emitting each session once the watermark closes it
     out = _run_to_memory(agg, _qname("stream_sess", sf_dir), "complete")
     return out.orderBy("user_id", "session_start")
+
+
+FIRSTSEEN_SCHEMA = "user_id bigint, first_ts timestamp, first_event_id bigint, first_value double"
+FIRSTSEEN_STATE_SCHEMA = "seen boolean, first_ts timestamp, first_event_id bigint, first_value double"
+
+
+def _firstseen_fn(key, batches, state):
+    """Emit each user's FIRST event only; all later events are swallowed.
+
+    Custom stateful logic the built-in operators can't express (it is
+    neither an agg nor a windowed dedup: the emitted ROW must carry the
+    first event's full payload, chosen by (ts, event_id) order across
+    micro-batches). State per user is one tiny tuple; in deployment a
+    GroupStateTimeout would expire dormant users.
+    """
+    import pandas as pd
+
+    best = None  # (ts, event_id, value)
+    if state.exists:
+        seen, ts, eid, val = state.get
+        best = (ts, eid, val)
+    emitted_before = best is not None
+    for pdf in batches:
+        for ts, eid, val in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+            cand = (ts, eid, val)
+            if best is None or cand[:2] < best[:2]:
+                best = cand
+    if best is not None:
+        state.update((True, best[0], best[1], best[2]))
+    if best is not None and not emitted_before:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "first_ts": [best[0]],
+                "first_event_id": [best[1]],
+                "first_value": [best[2]],
+            }
+        )
+
+
+def firstseen_agg(ev: DataFrame) -> DataFrame:
+    """Attach the first-seen stateful operator to an event stream."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return ev.select("user_id", "ts", "event_id", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _firstseen_fn,
+        outputStructType=FIRSTSEEN_SCHEMA,
+        stateStructType=FIRSTSEEN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen-per-user via ``applyInPandasWithState``.
+
+    The template for custom stateful streaming operators: grouped state
+    keyed by user, Arrow-batched per-group processing, explicit state
+    schema. First-SEEN is processing-order semantics: the oracle's
+    global (ts, event_id) min matches exactly when the drain is a
+    single micro-batch (true for the single-file registry input); the
+    cross-batch emit-once behavior is pinned in tests with
+    maxFilesPerTrigger.
+    """
+    out = firstseen_agg(read_stream_events(spark, sf_dir))
+    res = _run_to_memory(out, _qname("stream_first", sf_dir), "append")
+    return res.orderBy("user_id")

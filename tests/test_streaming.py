@@ -82,3 +82,25 @@ def test_watermark_drops_late_data_across_batches(spark):
     assert 9 not in hours, f"late event survived the watermark: {rows}"
     assert hours == [10, 11, 12]
     assert all(r.sum_value < 100.0 for r in rows)
+
+
+def test_firstseen_emits_once_across_batches(spark):
+    """A user present in several micro-batches yields exactly one row —
+    the state survives batch boundaries and suppresses re-emission."""
+    from navigator_data_ingest_spark.streaming.streams import (
+        firstseen_agg,
+    )
+
+    d = tempfile.mkdtemp(prefix="nav_stream_first_")
+    a, b = os.path.join(d, "a.parquet"), os.path.join(d, "b.parquet")
+    _write_events(a, [(10, BASE_NS + 2 * HOUR_NS, 5.0), (11, BASE_NS + 1 * HOUR_NS, 7.0)])
+    _write_events(b, [(12, BASE_NS, 9.0)])  # same user, earlier ts, later batch
+    os.utime(a, (1_700_000_000,) * 2)
+    os.utime(b, (1_700_000_100,) * 2)
+    agg = firstseen_agg(
+        read_stream_events(spark, d, glob="*.parquet", max_files_per_trigger=1)
+    )
+    rows = _run_to_memory(agg, "t_firstseen", "append").collect()
+    assert len(rows) == 1
+    # first SEEN = batch-1's (ts, event_id) min, not the global min
+    assert rows[0].first_event_id == 11 and rows[0].first_value == 7.0
