@@ -1,0 +1,79 @@
+"""Parse the reference's OWN fixture batch file through our source.
+
+`/root/reference/src/navigator_data_ingest/tests/fixtures/small/
+new_and_updated_documents.json` is the real input format the reference
+consumes (LawPolicyGenerator, utils.py:19) — nested BackendDocuments,
+and an updated_documents map whose Update.s3_value/db_value are
+POLYMORPHIC (string or whole-document object). This pins that our
+explicit schema reads the production format, not just our synthetic
+derivation.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from navigator_data_ingest_spark.operators.ingest import ACTION_OF_TYPE
+from navigator_data_ingest_spark.sources.pipeline_updates import (
+    read_pipeline_updates,
+)
+
+FIXTURE = (
+    "/root/reference/src/navigator_data_ingest/tests/fixtures/small/"
+    "new_and_updated_documents.json"
+)
+
+
+@pytest.fixture(scope="module")
+def raw():
+    with open(FIXTURE) as f:
+        return json.load(f)
+
+
+def test_new_documents_parse(spark, raw):
+    new_docs, _ = read_pipeline_updates(spark, FIXTURE)
+    rows = {r.import_id: r for r in new_docs.collect()}
+    assert len(rows) == len(raw["new_documents"])
+    for want in raw["new_documents"]:
+        got = rows[want["import_id"]]
+        assert got.name == want["name"]
+        assert got.source_url == want["source_url"]
+        assert got.geography == want["geography"]
+        assert got.slug == want["slug"]
+        assert list(got.languages) == want["languages"]
+        assert got.publication_ts.isoformat() == want["publication_ts"]
+        assert list(got.metadata.keywords or []) == want["metadata"]["keywords"]
+
+
+def test_updates_parse_with_polymorphic_values(spark, raw):
+    _, updates = read_pipeline_updates(spark, FIXTURE)
+    got = {
+        (r.document_id, r.seq): r
+        for r in updates.collect()
+    }
+    n_expected = sum(len(v) for v in raw["updated_documents"].values())
+    assert len(got) == n_expected
+    for doc_id, upds in raw["updated_documents"].items():
+        for i, want in enumerate(upds, start=1):
+            r = got[(doc_id, i)]
+            assert r.update_type == want["type"]
+            if isinstance(want["s3_value"], str):
+                assert r.s3_value == want["s3_value"]
+            else:
+                # object captured losslessly as raw JSON text
+                assert json.loads(r.s3_value) == want["s3_value"]
+            if isinstance(want["db_value"], dict):
+                assert json.loads(r.db_value) == want["db_value"]
+
+
+def test_fixture_update_types_map_to_actions(spark, raw):
+    """Every update type in the fixture is covered by the action map."""
+    _, updates = read_pipeline_updates(spark, FIXTURE)
+    types = {r.update_type for r in updates.select("update_type").distinct().collect()}
+    assert types, "fixture has no updates"
+    unmapped = types - set(ACTION_OF_TYPE)
+    assert not unmapped, f"update types with no action mapping: {unmapped}"
