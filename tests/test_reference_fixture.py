@@ -77,3 +77,61 @@ def test_fixture_update_types_map_to_actions(spark, raw):
     assert types, "fixture has no updates"
     unmapped = types - set(ACTION_OF_TYPE)
     assert not unmapped, f"update types with no action mapping: {unmapped}"
+
+
+PIPELINE_OUT = (
+    "/root/reference/src/navigator_data_ingest/tests/fixtures/pipeline_out"
+)
+
+
+def test_cdn_object_construction_matches_pipeline_out(spark):
+    """Rebuild each pipeline_out cdn_object from its inputs.
+
+    The recorded ``document_cdn_object`` is
+    ``{geography}/{year(publication_ts)}/{slugify(name)}_{md5}.pdf``
+    (new_document_actions.py:30-32 + api_client.py:120). Using the
+    fixture's own md5 (we cannot re-download the bytes), our slugify +
+    prefix + trimmed-filename expressions must reproduce the recorded
+    path byte-for-byte on the reference's REAL document names.
+    """
+    import glob as globmod
+
+    inp = json.load(
+        open(f"{PIPELINE_OUT}/input/2022-11-01T21.53.26.945831/new_and_updated_documents.json")
+    )
+    by_id = {d["import_id"]: d for d in inp["new_documents"]}
+    cases = []
+    for path in sorted(globmod.glob(f"{PIPELINE_OUT}/parser_input/*.json")):
+        out = json.load(open(path))
+        doc = by_id.get(out["document_id"])
+        if doc is None or not out.get("document_cdn_object"):
+            continue
+        cases.append(
+            (
+                out["document_id"],
+                doc["name"],
+                doc["geography"],
+                doc["publication_ts"][:4],
+                out["document_md5_sum"],
+                out["document_cdn_object"],
+            )
+        )
+    assert len(cases) >= 10, "expected enriched parser_input fixtures"
+    df = spark.createDataFrame(
+        [(c[0], c[1], f"{c[2]}/{c[3]}", c[4]) for c in cases],
+        "document_id string, name string, prefix string, md5 string",
+    )
+    from navigator_data_ingest_spark.functions.content import upload_file_name
+    from navigator_data_ingest_spark.functions.text import slugify_col
+
+    got = {
+        r.document_id: r.cdn
+        for r in df.select(
+            "document_id",
+            upload_file_name(
+                F.col("prefix"), slugify_col(F.col("name")), F.col("md5"), F.lit(".pdf")
+            ).alias("cdn"),
+        ).collect()
+    }
+    for c in cases:
+        assert got[c[0]] == c[5], f"{c[0]}: {got[c[0]]!r} != {c[5]!r}"
