@@ -406,16 +406,22 @@ def ingest_parser_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ingest_update_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Update type -> action mapping (updated_document_actions.py:453)."""
-    upd = synthetic_updates(spark, sf_dir)
+def map_update_actions(upd: DataFrame) -> DataFrame:
+    """(document_id, seq, update_type) -> + action column."""
     return upd.select(
         "document_id", "seq", "update_type",
         _action_of_type(F.col("update_type")).alias("action"),
-    ).orderBy("document_id", "seq")
+    )
 
 
-def ingest_order_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ingest_update_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update type -> action mapping (updated_document_actions.py:453)."""
+    return map_update_actions(synthetic_updates(spark, sf_dir)).orderBy(
+        "document_id", "seq"
+    )
+
+
+def order_update_actions(acts: DataFrame) -> DataFrame:
     """Per-document action ordering (updated_document_actions.py:65).
 
     If any action is `parse`, only the FIRST parse action runs. Else all
@@ -424,7 +430,6 @@ def ingest_order_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    acts = ingest_update_actions(spark, sf_dir)
     w = Window.partitionBy("document_id")
     has_parse = F.max((F.col("action") == "parse").cast("int")).over(w)
     first_parse_seq = F.min(
@@ -449,6 +454,11 @@ def ingest_order_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ingest_order_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry wrapper: ordering over the synthetic updates."""
+    return order_update_actions(ingest_update_actions(spark, sf_dir))
+
+
 # archive-path expansion rules per action (updated_document_actions.py):
 #   parse   (l.189): parser_input+embeddings_input+indexer_input × {json,npy}
 #                    × {'', '_translated_en'}
@@ -460,14 +470,17 @@ SUFFIXES = ["json", "npy"]
 VARIANTS = ["", "_translated_en"]
 
 
-def ingest_archive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+def expand_archive_paths(ordered: DataFrame) -> DataFrame:
     """Archive/rename plans for ordered actions (updated_document_actions.py).
 
     The reference performs one S3 rename at a time; here the (action ×
     prefix × suffix × variant) expansion is a lateral explode producing a
-    rename-plan table a distributed mover can execute in bulk.
+    rename-plan table a distributed mover can execute in bulk. The plan
+    is a superset of actual renames: the reference only renames objects
+    that EXIST (e.g. parser_input never has an .npy) — existence is the
+    mover's concern, not the planner's.
     """
-    acts = ingest_order_actions(spark, sf_dir).where(
+    acts = ordered.where(
         F.col("action").isin("parse", "reparse", "update_dont_parse")
     )
     expanded = (
@@ -496,6 +509,11 @@ def ingest_archive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "document_id", "action", "prefix", "suffix", "variant",
         src.alias("src_path"), dst.alias("dst_path"),
     ).orderBy("document_id", "action", "prefix", "suffix", "variant")
+
+
+def ingest_archive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry wrapper: archive plans over the synthetic updates."""
+    return expand_archive_paths(ingest_order_actions(spark, sf_dir))
 
 
 def ingest_field_update(spark: SparkSession, sf_dir: str) -> DataFrame:

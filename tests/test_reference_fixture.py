@@ -135,3 +135,45 @@ def test_cdn_object_construction_matches_pipeline_out(spark):
     }
     for c in cases:
         assert got[c[0]] == c[5], f"{c[0]}: {got[c[0]]!r} != {c[5]!r}"
+
+
+def test_archive_plan_covers_pipeline_out_tree(spark, raw):
+    """Every file the reference actually archived is predicted by our
+    rename plan (tree ⊆ plan; the plan is a superset because it lists
+    candidate objects — existence is the mover's concern, and one
+    fixture doc errors out before archiving)."""
+    import os
+    import re
+
+    from navigator_data_ingest_spark.operators.ingest import (
+        expand_archive_paths,
+        map_update_actions,
+        order_update_actions,
+    )
+
+    inp = json.load(
+        open(f"{PIPELINE_OUT}/input/2022-11-01T21.53.26.945831/new_and_updated_documents.json")
+    )
+    rows = [
+        (doc_id, i + 1, u["type"])
+        for doc_id, upds in inp["updated_documents"].items()
+        for i, u in enumerate(upds)
+    ]
+    upd = spark.createDataFrame(rows, "document_id string, seq int, update_type string")
+    plan = expand_archive_paths(order_update_actions(map_update_actions(upd)))
+    predicted = {
+        (r.prefix, r.document_id, r.suffix, r.variant) for r in plan.collect()
+    }
+    actual = set()
+    root = f"{PIPELINE_OUT}/archive"
+    for prefix in os.listdir(root):
+        for doc_id in os.listdir(f"{root}/{prefix}"):
+            for f in os.listdir(f"{root}/{prefix}/{doc_id}"):
+                m = re.match(r"[\d-]+\.(json|npy)\s*$", f)
+                assert m, f
+                actual.add((prefix, doc_id, m.group(1), ""))
+    missing = actual - predicted
+    assert not missing, f"archived files our plan does not predict: {missing}"
+    # and the parse/reparse prefix rules really bite: reparse-only doc
+    # 6.6 must NOT plan a parser_input rename
+    assert ("parser_input", "TESTCCLW.executive.6.6", "json", "") not in predicted
