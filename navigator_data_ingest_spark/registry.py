@@ -507,7 +507,71 @@ _REPORT_SQL = _ND + f"""
 
 register("ingest_results_report", ingest.ingest_results_report, _REPORT_SQL)
 
-register("ingest_pipeline_e2e", ingest.ingest_pipeline_e2e, None)
+# full-batch composition: the oracle recomputes the whole per-document
+# outcome table (parser-side enrichment + archive workload counts)
+_E2E_SQL = _ORDERED_ACTIONS_CTES + f""",
+    {ingest.NEW_DOCS_CTE.strip()},
+    named AS (
+        SELECT import_id, text,
+               geography || '/' || year(publication_ts)::varchar AS prefix,
+               {_SLUG_SQL} AS slug,
+               md5(text) AS h,
+               coalesce(download_url, source_url) AS fetch_url,
+               {_CT_SQL} AS content_type,
+               {_URL_OK_SQL} AS url_ok
+        FROM new_docs
+    ), name_trimmed AS (
+        SELECT *,
+               substr(slug, 1,
+                      list_filter(generate_series(least(length(slug), 200), 0, -5),
+                                  k -> strlen(substr(slug, 1, k)) <= 200)[1]
+               ) AS fs_trimmed
+        FROM named
+    ), new_side AS (
+        SELECT import_id AS document_id, 'new' AS ingest_type,
+               CASE WHEN NOT url_ok THEN 'ValueError'
+                    WHEN fetch_url IS NOT NULL AND content_type NOT IN (
+                        'application/pdf', 'text/html',
+                        'application/vnd.openxmlformats-officedocument.wordprocessingml.document',
+                        'application/msword')
+                    THEN 'UnsupportedContentTypeError' END AS error,
+               CASE WHEN fetch_url IS NULL THEN NULL
+                    ELSE prefix || '/' ||
+                         substr(fs_trimmed, 1,
+                                1024 - length(prefix) - length('.pdf') - length(h) - 2)
+                         || '_' || h || '.pdf' END AS cdn_object,
+               CASE WHEN fetch_url IS NULL THEN NULL ELSE h END AS md5_sum,
+               content_type,
+               0::bigint AS n_renames
+        FROM name_trimmed
+    ), grid AS (
+        SELECT prefix, suffix, variant
+        FROM (VALUES ('parser_input'), ('embeddings_input'), ('indexer_input')) p(prefix)
+        CROSS JOIN (VALUES ('json'), ('npy')) s(suffix)
+        CROSS JOIN (VALUES (''), ('_translated_en')) v(variant)
+    ), renames AS (
+        SELECT document_id, count(*)::bigint AS n_renames
+        FROM ordered
+        JOIN grid ON (action = 'parse')
+                 OR (action = 'reparse' AND prefix <> 'parser_input')
+                 OR (action = 'update_dont_parse' AND prefix = 'indexer_input' AND variant = '')
+        WHERE action IN ('parse', 'reparse', 'update_dont_parse')
+        GROUP BY document_id
+    ), upd_side AS (
+        SELECT DISTINCT t.document_id, 'updated' AS ingest_type,
+               NULL::varchar AS error, NULL::varchar AS cdn_object,
+               NULL::varchar AS md5_sum, NULL::varchar AS content_type,
+               coalesce(r.n_renames, 0)::bigint AS n_renames
+        FROM typed_updates t
+        LEFT JOIN renames r ON t.document_id = r.document_id
+    )
+    SELECT * FROM new_side
+    UNION ALL
+    SELECT * FROM upd_side
+    ORDER BY ingest_type, document_id
+    """
+
+register("ingest_pipeline_e2e", ingest.ingest_pipeline_e2e, _E2E_SQL)
 
 # distributed fetch/convert stage: side-effecting by nature (stubbed
 # deterministic fake in-container) -> rows-only check; determinism and
