@@ -246,3 +246,32 @@ def q_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior click.
+
+    Spark has no ASOF JOIN; the scalable formulation is a SINGLE-PASS
+    conditional window over the unioned event stream — partition by the
+    join key, order by event time, carry the last-seen right-side row
+    forward with last(..., ignorenulls) — which shuffles each side once
+    and never materializes a range-join blowup. The DuckDB oracle uses
+    its NATIVE ASOF JOIN, making this a genuinely independent
+    cross-check of the as-of semantics.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("event_type") == "click"
+    click_ts = F.last(F.when(is_click, F.col("ts")), ignorenulls=True).over(w)
+    click_val = F.last(F.when(is_click, F.col("value")), ignorenulls=True).over(w)
+    return (
+        ev.withColumn("asof_click_ts", click_ts)
+        .withColumn("asof_click_value", F.round(click_val, 6))
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "asof_click_ts", "asof_click_value")
+        .orderBy("event_id")
+    )

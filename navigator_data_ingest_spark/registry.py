@@ -1127,3 +1127,23 @@ register(
     ORDER BY user_id
     """,
 )
+
+
+register(
+    "q_events_asof",
+    analytics.q_events_asof,
+    """
+    WITH l AS (
+        SELECT event_id, user_id, ts::TIMESTAMP AS ts
+        FROM events WHERE event_type = 'purchase'
+    ), r AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, value
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS asof_click_ts,
+           round(r.value, 6) AS asof_click_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+    ORDER BY l.event_id
+    """,
+)
