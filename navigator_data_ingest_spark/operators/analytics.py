@@ -275,3 +275,39 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "asof_click_ts", "asof_click_value")
         .orderBy("event_id")
     )
+
+
+# value bands for the range join: (band, lo inclusive, hi exclusive)
+VALUE_BANDS = [
+    ("tiny", 0.0, 10.0),
+    ("small", 10.0, 50.0),
+    ("medium", 50.0, 200.0),
+    ("large", 200.0, 1e9),
+]
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events banded by value against an interval dimension.
+
+    The canonical non-equi join: the interval table is tiny, so the
+    right plan is an explicit broadcast nested-loop against it — every
+    executor holds the full band list and the probe never shuffles. (A
+    large interval side would instead be bucketized into an equi-join
+    on overlapping grid cells.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(VALUE_BANDS, "band string, lo double, hi double")
+    joined = ev.join(
+        F.broadcast(bands),
+        (ev["value"] >= bands["lo"]) & (ev["value"] < bands["hi"]),
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r(F.sum("value"), "sum_value"),
+            _r(F.min("value"), "min_value"),
+            _r(F.max("value"), "max_value"),
+        )
+        .orderBy("band")
+    )

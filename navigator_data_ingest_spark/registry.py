@@ -1147,3 +1147,23 @@ register(
     ORDER BY l.event_id
     """,
 )
+
+
+_BANDS_VALUES = ", ".join(
+    f"('{b}', {lo}, {hi})" for b, lo, hi in analytics.VALUE_BANDS
+)
+
+register(
+    "q_events_range_join",
+    analytics.q_events_range_join,
+    f"""
+    WITH bands(band, lo, hi) AS (VALUES {_BANDS_VALUES})
+    SELECT band,
+           count(*)::bigint AS n_events,
+           round(sum(value), 6) AS sum_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band ORDER BY band
+    """,
+)

@@ -63,14 +63,21 @@ def test_q5_dimensions_broadcast(spark):
     assert audit.cartesian_products == 0
 
 
+# excluded BY DESIGN: brute-force knn's all-pairs scoring, IVF's n x K
+# centroid scoring and the range join's non-equi interval probe are
+# deliberate broadcast nested-loops against tiny broadcast sides — the
+# LSH variant / equi-joins are the pure-equijoin scale paths
+_DELIBERATE_NESTED_LOOP = {
+    "sim_search_bruteforce",
+    "sim_search_ivf",
+    "q_events_range_join",
+}
+
+
 @pytest.mark.parametrize(
-    "name",
-    [n for n in _PLAN_ONLY if n not in ("sim_search_bruteforce", "sim_search_ivf")],
+    "name", [n for n in _PLAN_ONLY if n not in _DELIBERATE_NESTED_LOOP]
 )
 def test_no_accidental_cartesian_products(spark, name):
-    # excluded BY DESIGN: brute-force knn's all-pairs scoring and IVF's
-    # n x K centroid scoring are deliberate broadcast nested-loops — the
-    # LSH variant is the pure-equijoin scale path
     audit = plan_audit(_Q[name](spark, SF_CORRECT))
     assert audit.cartesian_products == 0, f"{name} plans a cartesian product"
 
