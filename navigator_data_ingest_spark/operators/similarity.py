@@ -163,3 +163,41 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+QUANT_BITS = 127  # int8 symmetric quantization
+
+
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column.
+
+    The storage/ANN-speed trick for billion-vector corpora: per-vector
+    scale = max|x| / 127, codes = round_half_up(x / scale). Integer
+    half-up arithmetic is spelled out (floor(x + 0.5) on a scaled
+    double) so the DuckDB oracle is bit-identical; reconstruction error
+    is reported as a deterministic left-fold max of |x - code*scale|.
+    """
+    e = scatter(spark, load_table(spark, sf_dir, "embeddings"))
+    absmax = "aggregate(embedding, cast(0.0 as double), (m, x) -> greatest(m, abs(cast(x as double))))"
+    scale = f"(({absmax}) / {QUANT_BITS}.0)"
+    codes = (
+        f"transform(embedding, x -> cast(floor(cast(x as double) / {scale} + 0.5) as bigint))"
+    )
+    max_err = (
+        f"aggregate(zip_with(embedding, {codes}, (x, q) -> "
+        f"abs(cast(x as double) - q * {scale})), "
+        f"cast(0.0 as double), (m, d) -> greatest(m, d))"
+    )
+    return (
+        e.where(F.expr(f"{absmax} > 0"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.expr(scale), 6).alias("scale"),
+            F.expr(f"aggregate({codes}, 0L, (a, q) -> a + q)").alias("code_sum"),
+            F.expr(f"aggregate({codes}, 0L, (a, q) -> greatest(a, abs(q)))")
+            .alias("max_code"),
+            F.round(F.expr(max_err), 6).alias("max_abs_err"),
+        )
+        .orderBy("vec_id")
+    )

@@ -189,3 +189,44 @@ def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select("token", F.col("tf").cast("bigint").alias("tf"),
                       F.col("df").cast("bigint").alias("df"))
+
+
+TFIDF_TOP_K = 5
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K TF-IDF terms per document.
+
+    Corpus-scale layout: one explode-shuffle builds the document
+    frequencies, the (small) df table broadcasts back onto the exploded
+    terms, and the per-doc top-K is a window rank — no driver-side
+    vocabulary. idf = ln(N / df) with N a scalar literal resolved by a
+    separate tiny count job (at deployment it rides the same scan).
+    """
+    from pyspark.sql import Window
+
+    docs = scatter(spark, load_table(spark, sf_dir, "documents"))
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(X.sp_tokens("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_tbl), "token").withColumn(
+        "tfidf",
+        F.col("tf").cast("double")
+        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select(
+            "doc_id", "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("doc_id", "rank")
+    )

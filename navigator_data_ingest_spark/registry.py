@@ -1167,3 +1167,64 @@ register(
     GROUP BY band ORDER BY band
     """,
 )
+
+
+register(
+    "text_tfidf",
+    textstats.text_tfidf,
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({X.dk_tokens('text')}) AS token FROM documents
+    ), tf AS (
+        SELECT doc_id, token, count(*)::bigint AS tf
+        FROM tok GROUP BY doc_id, token
+    ), df_tbl AS (
+        SELECT token, count(*)::bigint AS df FROM tf GROUP BY token
+    ), n AS (
+        SELECT count(*)::double AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf, df_tbl.df,
+               tf.tf::double * ln(n.n_docs / df_tbl.df::double) AS tfidf
+        FROM tf JOIN df_tbl USING (token) CROSS JOIN n
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, token) AS rank
+        FROM scored
+    )
+    SELECT doc_id, token, tf, df, round(tfidf, 6) AS tfidf, rank::int AS rank
+    FROM ranked WHERE rank <= {textstats.TFIDF_TOP_K}
+    ORDER BY doc_id, rank
+    """,
+)
+
+register(
+    "emb_quantize",
+    similarity.emb_quantize,
+    f"""
+    WITH base AS (
+        SELECT vec_id, label, embedding,
+               list_reduce(list_transform(embedding, x -> abs(x::double)),
+                           (m, x) -> greatest(m, x)) AS absmax
+        FROM embeddings
+    ), scaled AS (
+        SELECT vec_id, label, embedding,
+               absmax / {similarity.QUANT_BITS}.0 AS scale
+        FROM base WHERE absmax > 0
+    ), coded AS (
+        SELECT vec_id, label, embedding, scale,
+               list_transform(embedding,
+                              x -> floor(x::double / scale + 0.5)::bigint) AS codes
+        FROM scaled
+    )
+    SELECT vec_id, label,
+           round(scale, 6) AS scale,
+           list_sum(codes)::bigint AS code_sum,
+           list_reduce(list_transform(codes, q -> abs(q)),
+                       (a, q) -> greatest(a, q))::bigint AS max_code,
+           round(list_reduce(
+               list_transform(generate_series(1, {similarity.EMB_DIM}),
+                              i -> abs(embedding[i]::double - codes[i] * scale)),
+               (m, d) -> greatest(m, d)), 6) AS max_abs_err
+    FROM coded ORDER BY vec_id
+    """,
+)
