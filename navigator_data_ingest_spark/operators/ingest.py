@@ -647,3 +647,52 @@ def ingest_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return new_side.unionAll(upd_side).orderBy("ingest_type", "document_id")
+
+
+def ingest_cache_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the batch's field updates as a full cache-table rewrite.
+
+    This is the scale inversion of updated_document_actions.py:342: the
+    reference point-PUTs each changed JSON object; here the WHOLE cache
+    (prefix x document x field) left-joins the change list and the
+    coalesced projection IS the next table version — one shuffle-free
+    broadcast join per batch instead of millions of S3 round trips,
+    written atomically as a new snapshot.
+    """
+    docs = scatter(spark, load_table(spark, sf_dir, "documents").select("doc_id"))
+    ds = F.col("doc_id").cast("string")
+    field_entries = [
+        F.struct(F.lit(t).alias("update_type"), F.lit(fname).alias("pipeline_field"))
+        for t, fname in PIPELINE_FIELD.items()
+    ]
+    cache = (
+        docs.select(
+            F.col("doc_id"),
+            F.concat(F.lit("TEST.executive."), ds, F.lit("."), ds).alias("document_id"),
+        )
+        .withColumn("prefix", F.explode(F.array(*[F.lit(p) for p in PREFIXES])))
+        .withColumn("fe", F.explode(F.array(*field_entries)))
+        .select(
+            "prefix",
+            "document_id",
+            F.col("fe.pipeline_field").alias("pipeline_field"),
+            F.concat(F.lit("cur-"), F.col("fe.update_type"), F.lit("-"), ds)
+            .alias("value"),
+        )
+    )
+    changes = ingest_field_update(spark, sf_dir).select(
+        "document_id", "prefix", "pipeline_field", "new_value"
+    )
+    return (
+        cache.join(
+            F.broadcast(changes), ["document_id", "prefix", "pipeline_field"], "left"
+        )
+        .select(
+            "prefix",
+            "document_id",
+            "pipeline_field",
+            F.coalesce("new_value", "value").alias("value"),
+            F.col("new_value").isNotNull().alias("was_updated"),
+        )
+        .orderBy("prefix", "document_id", "pipeline_field")
+    )

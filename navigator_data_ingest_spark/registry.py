@@ -1228,3 +1228,52 @@ register(
     FROM coded ORDER BY vec_id
     """,
 )
+
+
+_FIELDS_VALUES = ", ".join(
+    f"('{t}', '{f}')" for t, f in ingest.PIPELINE_FIELD.items()
+)
+
+register(
+    "ingest_cache_rewrite",
+    ingest.ingest_cache_rewrite,
+    _ORDERED_ACTIONS_CTES + f"""
+    , fu AS (
+        SELECT document_id, update_type, action,
+               CASE update_type WHEN 'name' THEN 'document_name'
+                                WHEN 'description' THEN 'document_description'
+                                WHEN 'source_url' THEN 'document_source_url'
+                                WHEN 'metadata' THEN 'document_metadata'
+                                WHEN 'slug' THEN 'document_slug' END AS pipeline_field,
+               string_split(document_id, '.')[3]::bigint AS doc_num
+        FROM ordered
+        WHERE action IN ('update_dont_parse', 'update_field_in_all_occurences')
+    ), pgrid AS (
+        SELECT prefix
+        FROM (VALUES ('parser_input'), ('embeddings_input'), ('indexer_input')) p(prefix)
+    ), changes AS (
+        SELECT document_id, prefix, pipeline_field,
+               'new-' || update_type || '-' || doc_num AS new_value
+        FROM fu
+        JOIN pgrid ON (action = 'update_field_in_all_occurences')
+                  OR (prefix <> 'indexer_input')
+    ), fgrid AS (
+        SELECT update_type, pipeline_field
+        FROM (VALUES {_FIELDS_VALUES}) f(update_type, pipeline_field)
+    ), cache AS (
+        SELECT prefix,
+               'TEST.executive.' || doc_id || '.' || doc_id AS document_id,
+               pipeline_field,
+               'cur-' || update_type || '-' || doc_id AS value
+        FROM documents CROSS JOIN pgrid CROSS JOIN fgrid
+    )
+    SELECT c.prefix, c.document_id, c.pipeline_field,
+           coalesce(ch.new_value, c.value) AS value,
+           ch.new_value IS NOT NULL AS was_updated
+    FROM cache c
+    LEFT JOIN changes ch ON c.document_id = ch.document_id
+                        AND c.prefix = ch.prefix
+                        AND c.pipeline_field = ch.pipeline_field
+    ORDER BY c.prefix, c.document_id, c.pipeline_field
+    """,
+)
