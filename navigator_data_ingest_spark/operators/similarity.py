@@ -111,23 +111,29 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CENTROID_MOD = 50  # vec_id % CENTROID_MOD == 1 -> centroid seed vector
+K_CENTROIDS = 40  # bounded centroid count — the IVF scale invariant
 NPROBE = 2
 
 
 def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantize to centroid cells, probe NPROBE.
 
-    Deterministic "training": every (vec_id % CENTROID_MOD == 1) vector
-    seeds a centroid (a real pipeline would k-means; the index/search
-    structure is identical). One n x K broadcast scoring pass serves
-    both cell assignment (argmax cosine, crn=1) and query probing
-    (crn <= NPROBE); candidate scoring then touches only probed cells —
-    at scale the cell id is the partition key and each query scans
-    NPROBE/K of the corpus.
+    Deterministic "training": every (vec_id % mod == 1) vector seeds a
+    centroid, with ``mod = max(1, n // K_CENTROIDS)`` so the centroid
+    count stays BOUNDED as the corpus grows (a real pipeline would
+    k-means; the index/search structure is identical). A corpus-scaling
+    centroid count would make the n x K scoring pass O(n^2/mod) — the
+    20x scale probe caught exactly that regression. The scalar count
+    job that resolves ``mod`` is the IVF build step's bookkeeping.
+
+    One n x K broadcast scoring pass serves both cell assignment
+    (argmax cosine, crn=1) and query probing (crn <= NPROBE); candidate
+    scoring then touches only probed cells — at scale the cell id is
+    the partition key and each query scans ~NPROBE/K of the corpus.
     """
     e = scatter(spark, load_table(spark, sf_dir, "embeddings"))
-    cents = e.where(F.col("vec_id") % CENTROID_MOD == 1).select(
+    mod = max(1, e.count() // K_CENTROIDS)
+    cents = e.where(F.col("vec_id") % mod == 1).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
     ccos = _cos("embedding", "cvec")

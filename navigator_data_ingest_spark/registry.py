@@ -1044,7 +1044,8 @@ register(
     f"""
     WITH cents AS (
         SELECT vec_id AS centroid_id, embedding AS cvec
-        FROM embeddings WHERE vec_id % {similarity.CENTROID_MOD} = 1
+        FROM embeddings
+        WHERE vec_id % greatest(1, (SELECT count(*) FROM embeddings) // {similarity.K_CENTROIDS}) = 1
     ), scored AS (
         SELECT e.vec_id, e.embedding, c.centroid_id,
                {_DK_CCOS} AS ccos,
