@@ -339,3 +339,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_raw")
         .orderBy("vec_a", "vec_b")
     )
+
+
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup over the synthetic work list.
+
+    The CCNet/RefinedWeb-style first pass: canonical form = lowercase,
+    scheme + 'www.' stripped, query/fragment dropped, trailing slash
+    trimmed; duplicates grouped map-side and the min doc_id kept. At
+    corpus scale this is one hash-shuffle on the canonical key.
+    """
+    from navigator_data_ingest_spark.operators.ingest import (
+        synthetic_new_documents,
+    )
+
+    nd = synthetic_new_documents(spark, sf_dir)
+    fetch_url = F.coalesce(F.col("download_url"), F.col("source_url"))
+    canon = F.expr(
+        "regexp_replace(regexp_replace(regexp_replace(lower(fetch_url), "
+        "'^[a-z]+://(www\\\\.)?', ''), '[?#].*$', ''), '/$', '')"
+    )
+    w = Window.partitionBy("canonical_url")
+    return (
+        nd.withColumn("fetch_url", fetch_url)
+        .where(F.col("fetch_url").isNotNull())
+        .withColumn("canonical_url", canon)
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            "canonical_url",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        )
+        .orderBy("doc_id")
+    )

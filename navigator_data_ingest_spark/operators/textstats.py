@@ -230,3 +230,44 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rank")
     )
+
+
+# pre-masking corpus hygiene: the common PII patterns scrubbed before
+# training (emails, long digit runs / phone-ish, bare IPv4)
+PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_DIGITS = "[0-9][0-9 ()+.-]{7,}[0-9]"
+PII_IPV4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact common PII patterns; report counts + the scrubbed text hash.
+
+    Pure JVM regex work at scan speed. Deterministic masks keep the
+    scrubbed corpus stable across runs; counts make the redaction
+    auditable. The DuckDB oracle applies the same POSIX-compatible
+    patterns, so the scrubbed-text md5 is the cross-engine proof the
+    replacement is byte-identical.
+    """
+    docs = scatter(spark, load_table(spark, sf_dir, "documents"))
+    # column API only: patterns are taken VERBATIM (no SQL string-literal
+    # unescaping), so one constant serves extract and replace identically
+    def _count(pat: str):
+        return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+
+    n_email = _count(PII_EMAIL)
+    n_phone = _count(PII_DIGITS)
+    n_ip = _count(PII_IPV4)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>",
+        ),
+        PII_DIGITS, "<NUMBER>",
+    )
+    return docs.select(
+        "doc_id",
+        n_email.cast("bigint").alias("n_emails"),
+        n_phone.cast("bigint").alias("n_phoneish"),
+        n_ip.cast("bigint").alias("n_ipv4"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    ).orderBy("doc_id")

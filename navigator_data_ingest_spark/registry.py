@@ -1283,3 +1283,41 @@ register(
 # float sum order differs from a SQL fold (numpy matmul) -> rows-only
 # for the driver; result parity with the fold-exact twin is pytest-gated
 register("sim_search_bruteforce_np", similarity.sim_search_bruteforce_np, None)
+
+
+register(
+    "text_pii_scrub",
+    textstats.text_pii_scrub,
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{textstats.PII_EMAIL}'))::bigint AS n_emails,
+           len(regexp_extract_all(text, '{textstats.PII_DIGITS}'))::bigint AS n_phoneish,
+           len(regexp_extract_all(text, '{textstats.PII_IPV4}'))::bigint AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{textstats.PII_EMAIL}', '<EMAIL>', 'g'),
+               '{textstats.PII_IPV4}', '<IP>', 'g'),
+               '{textstats.PII_DIGITS}', '<NUMBER>', 'g')) AS scrubbed_md5
+    FROM documents ORDER BY doc_id
+    """,
+)
+
+register(
+    "dedup_url",
+    dedup.dedup_url,
+    _ND + r"""
+    , fl AS (
+        SELECT doc_id, coalesce(download_url, source_url) AS fetch_url
+        FROM new_docs
+        WHERE coalesce(download_url, source_url) IS NOT NULL
+    ), c AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(lower(fetch_url),
+                   '^[a-z]+://(www\.)?', ''), '[?#].*$', ''), '/$', '') AS canonical_url
+        FROM fl
+    )
+    SELECT doc_id, canonical_url,
+           min(doc_id) OVER (PARTITION BY canonical_url) AS canonical_id,
+           doc_id <> min(doc_id) OVER (PARTITION BY canonical_url) AS is_duplicate
+    FROM c ORDER BY doc_id
+    """,
+)
