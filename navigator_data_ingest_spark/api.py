@@ -1,0 +1,121 @@
+"""Public library API: the engine's core operators over YOUR DataFrames.
+
+The registry queries bind to the synthetic test tables; this module is
+the surface a pipeline author actually imports — each function takes an
+arbitrary DataFrame plus the column names that play the operator's
+roles, renames internally, and restores the caller's id column name on
+output. Everything delegates to the same battle-tested implementations
+the oracle gate covers.
+
+    from navigator_data_ingest_spark import api
+    pairs = api.minhash_dedup_pairs(df, id_col="page_id", text_col="body")
+    clusters = api.dedup_clusters(df, id_col="page_id", text_col="body")
+    keep = api.quality_filter(df, id_col="page_id", text_col="body")
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from navigator_data_ingest_spark.operators import dedup as _dedup
+from navigator_data_ingest_spark.operators import similarity as _sim
+from navigator_data_ingest_spark.operators import textstats as _text
+
+
+def _as_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, content_hash, canonical_id, is_duplicate) by exact md5 match."""
+    docs = _as_docs(df, id_col, text_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash")
+    return (
+        docs.withColumn("content_hash", F.md5("text"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .select(
+            F.col("doc_id").alias(id_col),
+            "content_hash",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a, id_b, n_shared_bands)."""
+    out = _dedup.minhash_pairs(_as_docs(df, id_col, text_col))
+    return out.select(
+        F.col("doc_a").alias(f"{id_col}_a"),
+        F.col("doc_b").alias(f"{id_col}_b"),
+        "n_shared_bands",
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, hamming) by simhash distance."""
+    out = _dedup.simhash_pairs(_as_docs(df, id_col, text_col))
+    return out.select(
+        F.col("doc_a").alias(f"{id_col}_a"),
+        F.col("doc_b").alias(f"{id_col}_b"),
+        "hamming",
+    )
+
+
+def dedup_clusters(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, canonical_id, cluster_size, is_duplicate): minhash pairs ->
+    connected components -> canonical per component."""
+    docs = _as_docs(df, id_col, text_col)
+    pairs = _dedup.minhash_pairs(docs).select("doc_a", "doc_b")
+    out = _dedup.connected_components(docs.select("doc_id"), pairs)
+    return out.select(
+        F.col("doc_id").alias(id_col),
+        "canonical_id",
+        "cluster_size",
+        "is_duplicate",
+    )
+
+
+def quality_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style quality metrics + keep/drop verdict per document."""
+    out = _text.quality_signals(_as_docs(df, id_col, text_col))
+    return out.withColumnRenamed("doc_id", id_col)
+
+
+def quality_filter(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The rows of ``df`` that pass the quality verdict (all original
+    columns preserved)."""
+    keep_ids = quality_signals(df, id_col, text_col).where(F.col("keep")).select(id_col)
+    return df.join(keep_ids, id_col, "left_semi")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k of ``queries`` against ``corpus``."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
+    )
+    return _sim.cosine_topk(c, q, k)

@@ -77,9 +77,12 @@ def dk_hash32(s: str, seed: int | str) -> str:
 
 # --- deterministic left-fold dot product over array columns ---------------
 
-def sp_fold_dot(a: str, b: str, dim: int) -> str:
+def sp_fold_dot(a: str, b: str, dim: int | None = None) -> str:
+    """Left-fold dot product; ``dim=None`` folds over size(a) (same
+    order, any dimensionality — the library-API path)."""
+    n = str(dim) if dim is not None else f"size({a})"
     return (
-        f"aggregate(sequence(1, {dim}), cast(0.0 as double), "
+        f"aggregate(sequence(1, {n}), cast(0.0 as double), "
         f"(acc, i) -> acc + cast(element_at({a}, cast(i as int)) as double)"
         f" * cast(element_at({b}, cast(i as int)) as double))"
     )

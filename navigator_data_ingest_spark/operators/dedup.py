@@ -114,14 +114,14 @@ def _with_band_hashes(docs: DataFrame) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs: (doc_a, doc_b, n_shared_bands).
+def minhash_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH candidate pairs over any (doc_id, text) DataFrame.
 
     Signature is a per-row array computation (zero shuffle); the band
     self-join shuffles only (band_id, band_hash) — the classic
     shingle→minhash→band→bucket-join layout.
     """
-    sig = _with_band_hashes(load_table(spark, sf_dir, "documents"))
+    sig = _with_band_hashes(docs)
     bands = sig.select(
         "doc_id", F.posexplode("band_hashes").alias("band_id", "band_hash")
     )
@@ -139,6 +139,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry wrapper: MinHash-LSH pairs over the documents table."""
+    return minhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
 MAX_CC_ITERATIONS = 50
@@ -160,10 +165,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan doesn't deepen with the iteration count.
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = scatter(spark, load_table(spark, sf_dir, "documents").select("doc_id"))
+    return connected_components(nodes, pairs).orderBy("doc_id")
+
+
+def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Min-label connected components over any (doc_a, doc_b) pair set.
+
+    Returns (doc_id, canonical_id, cluster_size, is_duplicate) for every
+    node (isolated nodes are their own canonical).
+    """
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=False)
-    nodes = scatter(spark, load_table(spark, sf_dir, "documents").select("doc_id"))
     labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(
         eager=False
     )
@@ -197,7 +211,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster_size").cast("bigint").alias("cluster_size"),
             (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -231,11 +244,11 @@ def _with_simhash(docs: DataFrame) -> DataFrame:
     )
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: byte-band blocking + hamming verify."""
-    sig = _with_simhash(scatter(spark, load_table(spark, sf_dir, "documents"))).select(
-        "doc_id", "simhash"
-    )
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """SimHash near-dup pairs over any (doc_id, text) DataFrame:
+    byte-band blocking + hamming verify."""
+    spark = docs.sparkSession
+    sig = _with_simhash(scatter(spark, docs)).select("doc_id", "simhash")
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -267,6 +280,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(F.col("hamming") <= SIMHASH_MAX_HAMMING).orderBy(
         "doc_a", "doc_b"
     )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry wrapper: SimHash pairs over the documents table."""
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,31 +30,42 @@ PLANE_SEED = 7
 
 
 def _cos(a: str, b: str):
-    dot = F.expr(X.sp_fold_dot(a, b, EMB_DIM))
-    na = F.sqrt(F.expr(X.sp_fold_dot(a, a, EMB_DIM)))
-    nb = F.sqrt(F.expr(X.sp_fold_dot(b, b, EMB_DIM)))
+    # dynamic-length fold: same left-fold order at any dimensionality,
+    # so the fixed-dim DuckDB oracle still matches on the test vectors
+    dot = F.expr(X.sp_fold_dot(a, b))
+    na = F.sqrt(F.expr(X.sp_fold_dot(a, a)))
+    nb = F.sqrt(F.expr(X.sp_fold_dot(b, b)))
     return dot / (na * nb)
 
 
-def sim_search_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k per query vector (the ANN baseline)."""
-    e = scatter(spark, load_table(spark, sf_dir, "embeddings"))
-    q = (
-        e.where(F.col("vec_id") % QUERY_MOD == 0)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
-    )
-    joined = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact cosine top-k: any (vec_id, embedding) corpus vs any
+    (query_id, qvec) query set (the ANN baseline). The query set
+    broadcasts; the corpus side never shuffles; the rank windows on the
+    (small) result of the broadcast join."""
+    joined = corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
     cos = _cos("qvec", "embedding")
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
     return (
         joined.select("query_id", "vec_id", cos.alias("_cos"))
         .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
+        .where(F.col("rank") <= k)
         .select(
             "query_id", "vec_id", F.round(F.col("_cos"), 6).alias("cos_sim"), "rank"
         )
         .orderBy("query_id", "rank")
     )
+
+
+def sim_search_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry wrapper: every (vec_id % QUERY_MOD == 0) vector queries
+    the embeddings table."""
+    e = scatter(spark, load_table(spark, sf_dir, "embeddings"))
+    q = (
+        e.where(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    return cosine_topk(e, q, TOP_K)
 
 
 def _plane_component(p: str, i: str) -> str:

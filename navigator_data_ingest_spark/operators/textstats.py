@@ -71,13 +71,14 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality signals: length, alpha/punct ratios, stopword ratio.
+def quality_signals(raw_docs: DataFrame) -> DataFrame:
+    """Quality signals over any (doc_id, text) DataFrame.
 
-    The keep/drop verdict mirrors common LLM-corpus filters (Gopher-style
-    length + symbol-ratio rules).
+    Length, alpha/punct ratios, stopword ratio; the keep/drop verdict
+    mirrors common LLM-corpus filters (Gopher-style length +
+    symbol-ratio rules).
     """
-    docs = scatter(spark, load_table(spark, sf_dir, "documents")).withColumn(
+    docs = scatter(raw_docs.sparkSession, raw_docs).withColumn(
         "t", F.expr(X.sp_tokens("text"))
     )
     n_chars = F.length("text")
@@ -99,6 +100,11 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(avg_tok, 6).alias("avg_token_len"),
         keep.alias("keep"),
     ).orderBy("doc_id")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry wrapper: quality signals over the documents table."""
+    return quality_signals(load_table(spark, sf_dir, "documents"))
 
 
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,71 @@
+"""Library-API tests: the operators run over ARBITRARY DataFrames with
+caller-chosen column names, not just the synthetic test tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from navigator_data_ingest_spark import api
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the calm river "
+    "flows past the old stone bridge near the quiet village square at dusk"
+)
+DOCS = [
+    (1, BASE),
+    (2, BASE),  # exact dup
+    (3, BASE + " tonight"),  # near dup: one appended token
+    (4, "completely different content about spark dataframes and shuffles here"),
+    (5, "x"),  # fails quality (too short)
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "page_id bigint, body string")
+
+
+def test_exact_dedup_custom_columns(spark):
+    out = {r.page_id: r for r in api.exact_dedup(_df(spark), "page_id", "body").collect()}
+    assert out[2].is_duplicate and out[2].canonical_id == 1
+    assert not out[1].is_duplicate
+    assert not out[3].is_duplicate  # near dup is NOT an exact dup
+
+
+def test_minhash_pairs_find_near_dup(spark):
+    pairs = {
+        (r.page_id_a, r.page_id_b)
+        for r in api.minhash_dedup_pairs(_df(spark), "page_id", "body").collect()
+    }
+    assert (1, 2) in pairs  # identical docs share all bands
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup shares >= 1 band
+    assert not any(4 in p for p in pairs)
+
+
+def test_dedup_clusters_custom_columns(spark):
+    out = {
+        r.page_id: r for r in api.dedup_clusters(_df(spark), "page_id", "body").collect()
+    }
+    assert out[1].canonical_id == out[2].canonical_id == out[3].canonical_id == 1
+    assert out[1].cluster_size == 3
+    assert out[4].canonical_id == 4 and out[4].cluster_size == 1
+
+
+def test_quality_filter_keeps_original_columns(spark):
+    kept = api.quality_filter(_df(spark), "page_id", "body")
+    assert kept.columns == ["page_id", "body"]
+    ids = {r.page_id for r in kept.collect()}
+    assert 5 not in ids and 1 in ids
+
+
+def test_cosine_topk_any_dimension(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(8)],
+        "item bigint, v array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.01])],
+        "qid bigint, qv array<double>",
+    )
+    out = api.cosine_topk(corpus, queries, "item", "v", "qid", "qv", k=2).collect()
+    assert [r.vec_id for r in out] == [0, 7]  # nearest axes of the query
+    assert out[0].rank == 1 and out[0].cos_sim > 0.99
