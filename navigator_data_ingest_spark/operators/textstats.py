@@ -277,3 +277,61 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ip.cast("bigint").alias("n_ipv4"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     ).orderBy("doc_id")
+
+
+REGRESSION_RESULT_SCHEMA = (
+    "lang string, n bigint, slope double, intercept double, r2 double"
+)
+
+
+def _fit_group(pdf):
+    """Closed-form least squares per group (numpy, one batch per group).
+
+    The applyInPandas grouped-map template: per-group model fitting is
+    the case window functions can't cover once the 'fit' is more than a
+    moment — here it is deliberately a closed form so the DuckDB
+    regr_slope/regr_intercept/regr_r2 oracle can verify the plumbing.
+    """
+    import numpy as np
+    import pandas as pd
+
+    x = pdf["x"].to_numpy(dtype=np.float64)
+    y = pdf["y"].to_numpy(dtype=np.float64)
+    n = len(x)
+    mx, my = x.mean(), y.mean()
+    sxx = ((x - mx) ** 2).sum()
+    sxy = ((x - mx) * (y - my)).sum()
+    slope = sxy / sxx if sxx > 0 else float("nan")
+    intercept = my - slope * mx
+    syy = ((y - my) ** 2).sum()
+    r2 = (sxy * sxy) / (sxx * syy) if sxx > 0 and syy > 0 else float("nan")
+    return pd.DataFrame(
+        {
+            "lang": [pdf["lang"].iloc[0]],
+            "n": [n],
+            "slope": [round(slope, 6)],
+            "intercept": [round(intercept, 6)],
+            "r2": [round(r2, 6)],
+        }
+    )
+
+
+def stats_length_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language regression of char length on token count.
+
+    ``groupBy(lang).applyInPandas`` — the grouped-map Python edge: each
+    language's rows arrive as ONE pandas batch (fine for bounded group
+    count; a skewed group key would be pre-aggregated or sampled). The
+    fit itself is numpy closed-form least squares.
+    """
+    docs = scatter(spark, load_table(spark, sf_dir, "documents"))
+    xy = docs.select(
+        "lang",
+        F.expr(f"cast(size({X.sp_tokens('text')}) as double)").alias("x"),
+        F.length("text").cast("double").alias("y"),
+    )
+    return (
+        xy.groupBy("lang")
+        .applyInPandas(_fit_group, schema=REGRESSION_RESULT_SCHEMA)
+        .orderBy("lang")
+    )

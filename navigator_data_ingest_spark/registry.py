@@ -1321,3 +1321,22 @@ register(
     FROM c ORDER BY doc_id
     """,
 )
+
+
+register(
+    "stats_length_regression",
+    textstats.stats_length_regression,
+    f"""
+    WITH xy AS (
+        SELECT lang,
+               len({X.dk_tokens('text')})::double AS x,
+               length(text)::double AS y
+        FROM documents
+    )
+    SELECT lang, count(*)::bigint AS n,
+           round(regr_slope(y, x), 6) AS slope,
+           round(regr_intercept(y, x), 6) AS intercept,
+           round(regr_r2(y, x), 6) AS r2
+    FROM xy GROUP BY lang ORDER BY lang
+    """,
+)
