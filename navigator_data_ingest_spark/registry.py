@@ -1340,3 +1340,25 @@ register(
     FROM xy GROUP BY lang ORDER BY lang
     """,
 )
+
+
+register(
+    "stream_enrich_join",
+    streaming_ops.stream_enrich_join,
+    """
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts::TIMESTAMP AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT event_id AS click_id, user_id, ts::TIMESTAMP AS click_ts,
+               value AS click_value
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id, p.user_id, p.purchase_ts,
+           c.click_id, c.click_ts, round(c.click_value, 6) AS click_value
+    FROM p JOIN c ON p.user_id = c.user_id
+                 AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+                 AND c.click_ts <= p.purchase_ts
+    ORDER BY purchase_id, click_id
+    """,
+)

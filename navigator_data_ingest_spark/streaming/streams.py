@@ -247,3 +247,51 @@ def stream_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = firstseen_agg(read_stream_events(spark, sf_dir))
     res = _run_to_memory(out, _qname("stream_first", sf_dir), "append")
     return res.orderBy("user_id")
+
+
+def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases enriched with the same
+    user's clicks from the preceding hour.
+
+    The remaining Structured Streaming capability class: both sides are
+    watermarked streams, the join condition carries the event-time range
+    bound that lets Spark expire join state (clicks older than the
+    watermark minus the interval are dropped from the state store).
+    Single-batch availableNow makes the result value-equal to the batch
+    interval join, which is the oracle.
+    """
+    ev = read_stream_events(spark, sf_dir)
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").alias("purchase_ts"),
+        "click_id",
+        F.col("c_ts").alias("click_ts"),
+        F.round("click_value", 6).alias("click_value"),
+    )
+    out = _run_to_memory(joined, _qname("stream_enrich", sf_dir), "append")
+    return out.orderBy("purchase_id", "click_id")
