@@ -177,3 +177,23 @@ def test_archive_plan_covers_pipeline_out_tree(spark, raw):
     # and the parse/reparse prefix rules really bite: reparse-only doc
     # 6.6 must NOT plan a parser_input rename
     assert ("parser_input", "TESTCCLW.executive.6.6", "json", "") not in predicted
+
+
+def test_run_batch_on_reference_fixture(spark, raw, tmp_path):
+    """The CLI batch entrypoint processes the reference's real input
+    file end-to-end and writes the three output datasets."""
+    from navigator_data_ingest_spark.main import run_batch
+
+    out = str(tmp_path / "batch_out")
+    counts = run_batch(spark, FIXTURE, out)
+    assert counts["parser_input"] == len(raw["new_documents"])
+    assert counts["report"] >= 1
+    assert counts["archive_plan"] > 0
+    pi = spark.read.json(f"{out}/parser_input")
+    assert pi.count() == counts["parser_input"]
+    assert "document_slug" in pi.columns
+    plan = spark.read.parquet(f"{out}/archive_plan")
+    assert {r.document_id for r in plan.select("document_id").distinct().collect()} \
+        <= set(raw["updated_documents"])
+    rep = spark.read.json(f"{out}/report")
+    assert rep.where("ingest_type = 'updated'").count() == 1
