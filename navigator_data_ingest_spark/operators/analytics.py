@@ -311,3 +311,75 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: order totals by (year, priority) with
+    subtotals and a grand total — the grouping-sets operator family.
+    Spark plans one shuffle with grouping-id expansion map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+        )
+        .rollup("order_year", "priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _r(F.sum("o_totalprice"), "total_price"),
+        )
+        .orderBy(
+            F.col("order_year").asc_nulls_first(),
+            F.col("priority").asc_nulls_first(),
+        )
+    )
+
+
+def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-year order counts spread across priority columns.
+
+    Values are enumerated explicitly (required for a deterministic
+    schema, and what keeps the pivot a single pass at scale — an
+    unenumerated pivot needs an extra distinct-values job)."""
+    PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .groupBy("order_year")
+        .pivot("priority", PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {p: f"p{p[0]}" for p in PRIORITIES}
+    for old, new in renames.items():
+        piv = piv.withColumnRenamed(old, new)
+    out_cols = ["order_year"] + sorted(renames.values())
+    return piv.select(
+        "order_year",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in out_cols[1:]],
+    ).orderBy("order_year")
+
+
+PCTS = [0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per event type.
+
+    ``percentile()`` (exact, same linear interpolation as DuckDB's
+    quantile_cont) — the approx_percentile sketch is the swap-in at
+    100 TB, traded off against the exactness the oracle needs here."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            *[
+                _r(F.expr(f"percentile(value, {p})"), f"p{int(p * 100)}")
+                for p in PCTS
+            ]
+        )
+        .orderBy("event_type")
+    )

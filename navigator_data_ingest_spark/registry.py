@@ -1362,3 +1362,44 @@ register(
     ORDER BY purchase_id, click_id
     """,
 )
+
+
+register(
+    "q_orders_rollup",
+    analytics.q_orders_rollup,
+    """
+    SELECT year(o_orderdate)::int AS order_year,
+           o_orderpriority AS priority,
+           count(*)::bigint AS n_orders,
+           round(sum(o_totalprice), 6) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (order_year, priority)
+    ORDER BY order_year NULLS FIRST, priority NULLS FIRST
+    """,
+)
+
+register(
+    "q_orders_pivot",
+    analytics.q_orders_pivot,
+    """
+    SELECT year(o_orderdate)::int AS order_year,
+           count(*) FILTER (o_orderpriority = '1-URGENT')::bigint        AS p1,
+           count(*) FILTER (o_orderpriority = '2-HIGH')::bigint          AS p2,
+           count(*) FILTER (o_orderpriority = '3-MEDIUM')::bigint        AS p3,
+           count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED')::bigint AS p4,
+           count(*) FILTER (o_orderpriority = '5-LOW')::bigint           AS p5
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+register(
+    "q_events_percentiles",
+    analytics.q_events_percentiles,
+    f"""
+    SELECT event_type,
+           {", ".join(f"round(quantile_cont(value, {p}), 6) AS p{int(p * 100)}" for p in analytics.PCTS)}
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
