@@ -383,3 +383,44 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no orders, counted per nation.
+
+    left_anti is the set-difference workhorse — one shuffle on the key,
+    no row-multiplication risk (vs. a left join + null filter)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _r(F.sum("c_acctbal"), "total_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders above their customer's average.
+
+    Written as SQL so Catalyst's decorrelation rewrites the correlated
+    aggregate into a join — the declarative form a reference user would
+    write, executing as one shuffle + broadcast-back."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice, 6) AS total_price
+        FROM v_orders o
+        WHERE o_totalprice > 1.8 * (
+            SELECT avg(o2.o_totalprice) FROM v_orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        ORDER BY o_orderkey
+        """
+    )

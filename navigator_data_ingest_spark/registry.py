@@ -1403,3 +1403,32 @@ register(
     GROUP BY event_type ORDER BY event_type
     """,
 )
+
+
+register(
+    "q_customers_no_orders",
+    analytics.q_customers_no_orders,
+    """
+    SELECT n_name,
+           count(*)::bigint AS n_customers,
+           round(sum(c_acctbal), 6) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+
+register(
+    "q_orders_above_avg",
+    analytics.q_orders_above_avg,
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS total_price
+    FROM orders o
+    WHERE o_totalprice > 1.8 * (
+        SELECT avg(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+    ORDER BY o_orderkey
+    """,
+)
