@@ -424,3 +424,28 @@ def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded window frame: 4-event trailing average per user.
+
+    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW — the frame is explicit
+    because the default RANGE frame over duplicate order keys would be
+    non-deterministic; rows + a total order (ts, event_id) is what makes
+    a moving aggregate reproducible at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            _r(F.avg("value").over(w), "avg_value_4"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_in_frame"),
+        )
+        .orderBy("event_id")
+    )

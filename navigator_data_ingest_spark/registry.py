@@ -1432,3 +1432,18 @@ register(
     ORDER BY o_orderkey
     """,
 )
+
+
+register(
+    "q_events_moving_avg",
+    analytics.q_events_moving_avg,
+    """
+    SELECT event_id, user_id, ts::TIMESTAMP AS ts,
+           round(avg(value) OVER w, 6) AS avg_value_4,
+           count(*) OVER w AS n_in_frame
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
