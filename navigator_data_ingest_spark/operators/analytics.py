@@ -449,3 +449,168 @@ def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global filter-aggregate (TPC-H Q6 shape): forecast-revenue delta.
+
+    The whole query is a single scan — every predicate (date range,
+    discount band, quantity cap) is pushed to the parquet reader and only
+    two columns survive pruning. No shuffle at all beyond the final
+    single-row reduce; at 100 TB this is I/O-bound by design.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style semi-join (TPC-H Q4 shape): priority counts for orders
+    with at least one returned line.
+
+    ``left_semi`` is the physical form of EXISTS — it never duplicates
+    the probe side (an inner join + distinct would), and Spark can
+    short-circuit each probe row on first match. The lineitem side is
+    pre-filtered and projected to the join key only.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.select("o_orderkey", "o_orderpriority")
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + conditional aggregation (TPC-H Q12 shape).
+
+    The CASE folds into the aggregate so the classifier runs map-side;
+    one shuffle on the low-cardinality group key. Counting two disjoint
+    classes in one pass beats two filtered sub-aggregations (one scan,
+    one shuffle instead of two of each).
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_returnflag")
+        .join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join ratio aggregate (TPC-H Q14 shape): promo revenue %.
+
+    ``part`` is a classic small dimension — broadcast, so the fact scan
+    never shuffles; the ratio is two conditional sums in a single
+    reduce. At 100 TB the only data movement is the final 1-row combine.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.select("l_partkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            _r(F.lit(100.0) * F.sum(promo) / F.sum(disc_price), "promo_revenue_pct"),
+            _r(F.sum(disc_price), "total_revenue"),
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-HAVING then join back (TPC-H Q18 shape): large-volume orders.
+
+    The HAVING filter runs on the aggregated (order-grain) side BEFORE
+    the join, so only qualifying orderkeys — a tiny fraction — flow into
+    the customer/orders joins. Filtering after a 3-way join would move
+    the full fact table through two shuffles for nothing.
+    """
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(_r(F.sum("l_quantity"), "sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders.select("o_orderkey", "o_custkey", "o_orderdate",
+                               "o_totalprice"),
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_name"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                _r(F.col("o_totalprice"), "total_price"), "sum_qty")
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive-predicate broadcast join (TPC-H Q19 shape).
+
+    Three OR'd (brand, size-band, quantity-band) brackets. The join is
+    still a plain equi-join on partkey (broadcast — part is tiny); the
+    disjunction is a post-join filter Catalyst can partially push: the
+    OR of the part-only conjuncts prunes the build side, the OR of the
+    lineitem-only conjuncts prunes the probe side.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    qty, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    bracket = (
+        ((brand == "Brand#12") & size.between(1, 15) & qty.between(1, 11))
+        | ((brand == "Brand#23") & size.between(1, 25) & qty.between(10, 20))
+        | ((brand == "Brand#4") & size.between(1, 35) & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(bracket)
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+               "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

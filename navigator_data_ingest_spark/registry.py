@@ -1447,3 +1447,100 @@ register(
     ORDER BY event_id
     """,
 )
+
+register(
+    "q6_revenue_delta",
+    analytics.q6_revenue_delta,
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
+           count(*)::bigint AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+
+register(
+    "q4_order_priority",
+    analytics.q4_order_priority,
+    """
+    SELECT o_orderpriority, count(*)::bigint AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+register(
+    "q12_priority_lines",
+    analytics.q12_priority_lines,
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::bigint AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END)::bigint AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+
+register(
+    "q14_promo_revenue",
+    analytics.q14_promo_revenue,
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6)
+               AS promo_revenue_pct,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+
+register(
+    "q18_large_orders",
+    analytics.q18_large_orders,
+    """
+    WITH big AS (
+        SELECT l_orderkey, round(sum(l_quantity), 6) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 150
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 6) AS total_price, sum_qty
+    FROM big
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+
+register(
+    "q19_bracket_revenue",
+    analytics.q19_bracket_revenue,
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+           count(*)::bigint AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
