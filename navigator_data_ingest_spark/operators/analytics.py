@@ -614,3 +614,344 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape): top customers by lost revenue.
+
+    Revenue is aggregated to customer-key grain BEFORE the customer and
+    nation dimensions join on — at 100 TB the fact-side shuffle carries
+    one row per customer, not one per lineitem, and nation is broadcast.
+    Deterministic top-20 via (revenue desc, custkey) tiebreak.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-10-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "revenue"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        rev.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", _r(F.col("c_acctbal"), "acctbal"),
+                F.col("n_name").alias("nation"), "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape).
+
+    Left OUTER join keeps zero-order customers (count(o_orderkey) = 0
+    for them); the second aggregation runs on customer-grain rows, so
+    the expensive shuffle happens exactly once on the fact table.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape).
+
+    The correlated ``avg(l_quantity) per part`` becomes a window
+    average partitioned by partkey AFTER the broadcast part filter has
+    pruned the fact scan to one brand — the window shuffle only moves
+    the qualifying ~1/25th of lineitem, never the full table.
+    """
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where((F.col("p_brand") == "Brand#23") & (F.col("p_size") < 10))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(_r(F.sum("l_extendedprice") / 7.0, "avg_yearly"))
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idle high-balance customers (TPC-H Q22 shape).
+
+    Scalar aggregate (global positive-balance average) broadcast back
+    as a 1-row cross join; NOT EXISTS(orders) as a left-anti join on
+    the orders key projection. Grouped by market segment.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _r(F.sum("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q21_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sole-blamed supplier (TPC-H Q21 shape) without self-EXISTS chains.
+
+    The EXISTS / NOT EXISTS pair over self-joined lineitem collapses
+    into one per-order aggregate (distinct suppliers, distinct suppliers
+    with a returned line) — a single shuffle on orderkey replaces two
+    correlated self-joins of the biggest table. Orders with >1 supplier
+    but exactly one returning supplier blame that supplier.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    finished = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    li_f = li.join(finished, F.col("l_orderkey") == F.col("o_orderkey")).drop(
+        "o_orderkey"
+    )
+    order_stats = li_f.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_r"),
+    )
+    blamed = (
+        li_f.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            order_stats.where(
+                (F.col("n_supp") > 1) & (F.col("n_supp_r") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier variety per part class (TPC-H Q16 shape).
+
+    ``partsupp`` doesn't exist in this schema, so the (part, supplier)
+    bridge is the DISTINCT projection of lineitem — derived once,
+    map-side-combined before its shuffle. The NOT IN (bad suppliers)
+    subquery is a broadcast left-anti join; the part filter is a
+    broadcast semi-side prune.
+    """
+    bridge = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        bridge.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier per part (TPC-H Q2 shape).
+
+    Supply cost is proxied by avg unit price per (part, supplier) from
+    lineitem (no partsupp table). The correlated MIN subquery becomes a
+    rank-1 window over (cost, suppkey) — the tuple tiebreak makes the
+    winner deterministic across engines, and the cost is rounded to 6dp
+    BEFORE ranking so float-ulp differences can't flip the rank.
+    """
+    cost = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey",
+                (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.avg("unit"), 6).alias("cost"))
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    w = Window.partitionBy("l_partkey").orderBy("cost", "l_suppkey")
+    return (
+        cost.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_name",
+                _r(F.col("s_acctbal"), "acctbal"),
+                F.col("cost").alias("min_cost"))
+        .orderBy(F.desc("acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional nation-pair shipping volume (TPC-H Q7 shape).
+
+    Supplier and customer nations resolve through two BROADCAST copies
+    of the nation dim with the pair filter applied before the fact
+    joins; revenue groups by (supp_nation, cust_nation, ship_year). The
+    only big shuffles are the lineitem⋈orders and ⋈customer equi-joins.
+    """
+    pair = (("NATION_3", "NATION_7"), ("NATION_7", "NATION_3"))
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nation.withColumnRenamed("n_name", "supp_nation").withColumnRenamed(
+        "n_nationkey", "n1_key"
+    )
+    n2 = nation.withColumnRenamed("n_name", "cust_nation").withColumnRenamed(
+        "n_nationkey", "n2_key"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                F.year("l_shipdate").alias("ship_year"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == pair[0][0]) & (F.col("cust_nation") == pair[0][1]))
+            | ((F.col("supp_nation") == pair[1][0]) & (F.col("cust_nation") == pair[1][1]))
+        )
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share within a region (TPC-H Q8 shape).
+
+    The share is a conditional-sum ratio per order year — the CASE
+    folds into the aggregate, so after the joins there is exactly one
+    grouped shuffle on ~7 year keys. All four dims broadcast.
+    """
+    target = "NATION_5"
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cust_nations = (
+        nation.join(F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    supp_nation = nation.select(F.col("n_nationkey").alias("sn_key"),
+                                F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            _r(
+                F.sum(F.when(F.col("supp_nation") == target, vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                "mkt_share",
+            ),
+            _r(F.sum(vol), "total_volume"),
+        )
+        .orderBy("o_year")
+    )

@@ -1544,3 +1544,202 @@ register(
            AND l_quantity BETWEEN 20 AND 30)
     """,
 )
+
+register(
+    "q10_returned_items",
+    analytics.q10_returned_items,
+    """
+    WITH rev AS (
+        SELECT o_custkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, round(c_acctbal, 6) AS acctbal,
+           n_name AS nation, revenue
+    FROM rev
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+
+register(
+    "q13_order_distribution",
+    analytics.q13_order_distribution,
+    """
+    WITH per_cust AS (
+        SELECT c_custkey, count(o_orderkey)::bigint AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, count(*)::bigint AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+register(
+    "q17_small_qty_revenue",
+    analytics.q17_small_qty_revenue,
+    """
+    WITH joined AS (
+        SELECT l_quantity, l_extendedprice,
+               avg(l_quantity) OVER (PARTITION BY p_partkey) AS avg_qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#23' AND p_size < 10
+    )
+    SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+    FROM joined
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+)
+
+register(
+    "q22_idle_customers",
+    analytics.q22_idle_customers,
+    """
+    SELECT c_mktsegment,
+           count(*)::bigint AS numcust,
+           round(sum(c_acctbal), 6) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+
+register(
+    "q21_blamed_supplier",
+    analytics.q21_blamed_supplier,
+    """
+    WITH li_f AS (
+        SELECT l_orderkey, l_suppkey, l_returnflag
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+    ),
+    order_stats AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                   THEN l_suppkey END) AS n_supp_r
+        FROM li_f GROUP BY l_orderkey
+    ),
+    blamed AS (
+        SELECT DISTINCT f.l_orderkey, f.l_suppkey
+        FROM li_f f
+        JOIN order_stats s ON f.l_orderkey = s.l_orderkey
+        WHERE f.l_returnflag = 'R' AND s.n_supp > 1 AND s.n_supp_r = 1
+    )
+    SELECT s_name, count(*)::bigint AS numwait
+    FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+
+register(
+    "q16_supplier_variety",
+    analytics.q16_supplier_variety,
+    """
+    WITH bridge AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey)::bigint AS supplier_cnt
+    FROM bridge
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+
+register(
+    "q2_min_cost_supplier",
+    analytics.q2_min_cost_supplier,
+    """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               round(avg(l_extendedprice / l_quantity), 6) AS cost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ),
+    ranked AS (
+        SELECT c.l_partkey, c.l_suppkey, c.cost, p.p_name,
+               row_number() OVER (PARTITION BY c.l_partkey
+                                  ORDER BY c.cost, c.l_suppkey) AS rk
+        FROM cost c
+        JOIN part p ON c.l_partkey = p.p_partkey
+        WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+    )
+    SELECT l_partkey AS p_partkey, p_name, s_name,
+           round(s_acctbal, 6) AS acctbal, cost AS min_cost
+    FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rk = 1
+    ORDER BY acctbal DESC, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+
+register(
+    "q7_nation_volume",
+    analytics.q7_nation_volume,
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate)::int AS ship_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    GROUP BY supp_nation, cust_nation, ship_year
+    ORDER BY supp_nation, cust_nation, ship_year
+    """,
+)
+
+register(
+    "q8_market_share",
+    analytics.q8_market_share,
+    """
+    SELECT year(o_orderdate)::int AS o_year,
+           round(sum(CASE WHEN n1.n_name = 'NATION_5'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_volume
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region ON n2.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
