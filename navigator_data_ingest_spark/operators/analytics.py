@@ -955,3 +955,129 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+def q_customer_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators: repeat vs churned customers.
+
+    ``intersect`` and ``subtract`` (EXCEPT DISTINCT) are first-class
+    Spark set ops — both compile to a distinct-aggregate + join, so the
+    two year-slices shuffle once each on custkey. The tiny result then
+    joins the customer dim for segment attribution.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    y96 = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_custkey").distinct()
+    y97 = orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_custkey").distinct()
+    repeat = y96.intersect(y97).withColumn("kind", F.lit("repeat"))
+    churned = y96.subtract(y97).withColumn("kind", F.lit("churned"))
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        repeat.unionByName(churned)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "kind")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+        .orderBy("c_mktsegment", "kind")
+    )
+
+
+def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets with grouping_id (all 4 subtotal combinations).
+
+    One shuffle produces all 2^2 grouping sets; ``grouping_id`` keys the
+    subtotal level so the consumer can slice without re-aggregating.
+    (ROLLUP is covered by q_orders_rollup; CUBE completes the family.)
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            _r(F.sum("l_quantity"), "sum_qty"),
+            _r(F.sum("l_extendedprice"), "sum_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+def q_ntile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles over per-customer spend + per-quartile profile.
+
+    The quartile assignment windows over customer-grain aggregates (not
+    raw orders); deterministic total order (spend desc, custkey) keeps
+    ntile's floor/ceil bucket split engine-portable.
+    """
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 6).alias("spend"))
+    )
+    w = Window.orderBy(F.desc("spend"), "o_custkey")
+    return (
+        spend.withColumn("quartile", F.ntile(4).over(w).cast("int"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            _r(F.min("spend"), "min_spend"),
+            _r(F.max("spend"), "max_spend"),
+            _r(F.avg("spend"), "avg_spend"),
+        )
+        .orderBy("quartile")
+    )
+
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long) via ``stack``: per-flag measure matrix to rows.
+
+    The stack runs AFTER aggregation, so the explosion is 3× a
+    handful of grouped rows, never 3× the fact table.
+    """
+    wide = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("m_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("m_price"),
+            F.round(F.sum("l_discount"), 6).alias("m_disc"),
+        )
+    )
+    return (
+        wide.selectExpr(
+            "l_returnflag",
+            "stack(3, 'qty', m_qty, 'price', m_price, 'disc', m_disc) AS (measure, val)",
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (TABLESAMPLE the portable way).
+
+    A 5%-rate Bernoulli sample keyed on md5(orderkey) — unlike
+    ``TABLESAMPLE`` or ``rand()``, the predicate is deterministic,
+    engine-portable, and stable under repartitioning, so a 100 TB
+    pipeline can re-run a stage and sample the SAME rows. The predicate
+    is scan-adjacent (no shuffle) and skew-free by construction.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    return (
+        orders.where(bucket < 5)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            _r(F.avg("o_totalprice"), "avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -281,3 +281,25 @@ def sim_search_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, WITHOUT row explosion.
+
+    The naive plan posexplodes 64× the corpus before aggregating; at
+    100 TB that's a 64× shuffle. Instead each dimension is its own
+    ``avg(embedding[i])`` aggregate — 64 JVM-side partial aggs over the
+    unexploded rows, one shuffle on ~|labels| groups — and only the
+    10-row result is posexploded for presentation.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    per_dim = [
+        F.avg(F.col("embedding").getItem(i)).alias(f"d{i}") for i in range(EMB_DIM)
+    ]
+    agg = emb.groupBy("label").agg(*per_dim)
+    centroid = F.array(*[F.col(f"d{i}") for i in range(EMB_DIM)])
+    return (
+        agg.select("label", F.posexplode(centroid).alias("pos", "c"))
+        .select("label", F.col("pos").cast("int").alias("pos"), F.round("c", 6).alias("c"))
+        .orderBy("label", "pos")
+    )

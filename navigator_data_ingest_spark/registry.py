@@ -1743,3 +1743,115 @@ register(
     ORDER BY o_year
     """,
 )
+
+register(
+    "q_customer_retention",
+    analytics.q_customer_retention,
+    """
+    WITH y96 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+    ),
+    y97 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+    ),
+    flagged AS (
+        SELECT o_custkey, 'repeat' AS kind FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+        UNION ALL
+        SELECT o_custkey, 'churned' AS kind FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+    )
+    SELECT c_mktsegment, kind, count(*)::bigint AS n_custs
+    FROM flagged JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, kind
+    ORDER BY c_mktsegment, kind
+    """,
+)
+
+register(
+    "q_cube_pricing",
+    analytics.q_cube_pricing,
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus)::int AS gid,
+           round(sum(l_quantity), 6) AS sum_qty,
+           round(sum(l_extendedprice), 6) AS sum_price,
+           count(*)::bigint AS n_lines
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag, l_linestatus
+    """,
+)
+
+register(
+    "q_ntile_spend",
+    analytics.q_ntile_spend,
+    """
+    WITH spend AS (
+        SELECT o_custkey, round(sum(o_totalprice), 6) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+        SELECT spend,
+               ntile(4) OVER (ORDER BY spend DESC, o_custkey)::int AS quartile
+        FROM spend
+    )
+    SELECT quartile, count(*)::bigint AS n_custs,
+           round(min(spend), 6) AS min_spend,
+           round(max(spend), 6) AS max_spend,
+           round(avg(spend), 6) AS avg_spend
+    FROM tiled GROUP BY quartile ORDER BY quartile
+    """,
+)
+
+register(
+    "q_unpivot_measures",
+    analytics.q_unpivot_measures,
+    """
+    WITH wide AS (
+        SELECT l_returnflag,
+               round(sum(l_quantity), 6) AS m_qty,
+               round(sum(l_extendedprice), 6) AS m_price,
+               round(sum(l_discount), 6) AS m_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty' AS measure, m_qty AS val FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'price', m_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'disc', m_disc FROM wide
+    ORDER BY l_returnflag, measure
+    """,
+)
+
+register(
+    "q_hash_sample",
+    analytics.q_hash_sample,
+    """
+    SELECT o_orderpriority, count(*)::bigint AS n_sampled,
+           round(avg(o_totalprice), 6) AS avg_price
+    FROM orders
+    WHERE cast(('0x' || substring(md5(o_orderkey::varchar), 1, 8)) AS BIGINT) % 100 < 5
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+register(
+    "emb_centroids",
+    similarity.emb_centroids,
+    """
+    WITH exploded AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS v
+        FROM embeddings
+    )
+    SELECT label, pos::int AS pos, round(avg(v), 6) AS c
+    FROM exploded
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+)
