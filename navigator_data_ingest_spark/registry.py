@@ -1855,3 +1855,50 @@ register(
     ORDER BY label, pos
     """,
 )
+
+register(
+    "stream_dedup_wm",
+    streaming_ops.stream_dedup_wm,
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+
+register(
+    "stream_session_append",
+    streaming_ops.stream_session_append,
+    # same gap-session replay as stream_sessionize, filtered to sessions
+    # the final watermark (max ts - 1 hour) has closed: append mode
+    # emits exactly those, once each
+    """
+    WITH ev AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, event_id, value FROM events
+    ), flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ), agg AS (
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*)::bigint AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM sessions
+        GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events, sum_value
+    FROM agg
+    WHERE session_end <= (SELECT max(ts)::TIMESTAMP - INTERVAL 1 HOUR
+                          FROM events)
+    ORDER BY user_id, session_start
+    """,
+)

@@ -1,7 +1,9 @@
 from navigator_data_ingest_spark.streaming.streams import (  # noqa: F401
     src_stream_events,
-    stream_ingest,
+    stream_dedup_wm,
     stream_enrich_join,
     stream_firstseen,
+    stream_ingest,
+    stream_session_append,
     stream_sessionize,
 )

@@ -295,3 +295,97 @@ def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(joined, _qname("stream_enrich", sf_dir), "append")
     return out.orderBy("purchase_id", "click_id")
+
+
+def stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with ``dropDuplicatesWithinWatermark``.
+
+    Unlike ``dropDuplicates`` (whose state never expires unless the
+    event-time column is part of the key), the within-watermark variant
+    expires dedup state once the watermark passes — the right tool when
+    the dedup key is business-level (user, event_type) rather than a
+    unique event id. Emission keeps the FIRST row seen per key, which
+    is processing-order-dependent, so the operator projects the KEY
+    COLUMNS ONLY. The registry drain is a single micro-batch (one input
+    file), where the projection equals batch ``SELECT DISTINCT``; across
+    micro-batches a key RE-EMITS once the watermark has expired its
+    state (at-most-once per key per watermark window, not global
+    distinct) — pinned in tests/test_streaming.py.
+    """
+    ev = read_stream_events(spark, sf_dir)
+    dedup = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    out = _run_to_memory(dedup, _qname("stream_dedupwm", sf_dir), "append")
+    return out.orderBy("user_id", "event_type")
+
+
+def _scatter_time_ordered_feed(spark: SparkSession, sf_dir: str, n_files: int) -> str:
+    """Write events as ``n_files`` time-ordered parquet files with strictly
+    increasing mtimes, so FileStreamSource (which orders by modification
+    time) delivers one micro-batch per file in event-time order.
+
+    Feed preparation is driver-side test scaffolding standing in for an
+    arriving-files directory — in deployment the files land over time
+    and no scatter step exists.
+    """
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    d = tempfile.mkdtemp(prefix="nav_sessfeed_")
+    n = len(pdf)
+    bounds = [n * i // n_files for i in range(n_files + 1)]
+    for i in range(n_files):
+        path = os.path.join(d, f"chunk{i}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[bounds[i]:bounds[i + 1]],
+                                 preserve_index=False),
+            path,
+        )
+        os.utime(path, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+    return d
+
+
+def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode session windows over a real multi-batch feed.
+
+    The deployment-true form of ``stream_sessionize``: three time-ordered
+    micro-batches (maxFilesPerTrigger=1) advance the watermark between
+    batches, and each session is emitted EXACTLY ONCE, when the
+    watermark passes its end. availableNow commits a final flush batch,
+    so the emitted set is precisely the sessions with
+    ``session_end <= max(ts) - watermark_delay`` — the batch-SQL oracle;
+    the still-open tail beyond the watermark is withheld by design.
+    """
+    d = _scatter_time_ordered_feed(spark, sf_dir, 3)
+    ev = read_stream_events(spark, d, glob="*.parquet", max_files_per_trigger=1)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", SESSION_GAP), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    out = _run_to_memory(agg, _qname("stream_sessapp", sf_dir), "append")
+    return out.orderBy("user_id", "session_start")

@@ -104,3 +104,97 @@ def test_firstseen_emits_once_across_batches(spark):
     assert len(rows) == 1
     # first SEEN = batch-1's (ts, event_id) min, not the global min
     assert rows[0].first_event_id == 11 and rows[0].first_value == 7.0
+
+
+def test_session_append_emits_each_closed_session_once(spark):
+    """APPEND-mode session windows across real micro-batches: sessions
+    whose end the final watermark passed emit exactly once; the open
+    tail is withheld."""
+    from pyspark.sql import functions as F
+    from navigator_data_ingest_spark.streaming.streams import SESSION_GAP
+
+    d = tempfile.mkdtemp(prefix="nav_sess_append_")
+    min10 = HOUR_NS // 6
+    # S1: two events t0, t0+10m (end t0+40m) | S2: t0+5h (end t0+5h30m)
+    # S3: t0+10h (end t0+10h30m) — final watermark t0+9h withholds it
+    files = [
+        ("a.parquet", [(1, BASE_NS, 1.0), (2, BASE_NS + min10, 2.0)]),
+        ("b.parquet", [(3, BASE_NS + 5 * HOUR_NS, 3.0)]),
+        ("c.parquet", [(4, BASE_NS + 10 * HOUR_NS, 4.0)]),
+    ]
+    for i, (name, rows) in enumerate(files):
+        p = os.path.join(d, name)
+        _write_events(p, rows)
+        os.utime(p, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    ev = read_stream_events(spark, d, glob="*.parquet", max_files_per_trigger=1)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", SESSION_GAP), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    out = _run_to_memory(agg, "t_sess_append", "append")
+    rows = sorted(
+        (r.session_end.timestamp(), r.n_events) for r in out.collect()
+    )
+    base_s = BASE_NS / 1e9
+    assert rows == [
+        (base_s + 40 * 60, 2),          # S1 closed, emitted once
+        (base_s + 5 * 3600 + 1800, 1),  # S2 closed, emitted once
+    ]
+
+
+def test_dedup_within_watermark_reemits_after_state_expiry(spark):
+    """dropDuplicatesWithinWatermark: a duplicate inside the watermark
+    window is suppressed (and EXTENDS the key's state expiry — chained
+    dedup); a key recurring after the watermark expired its state
+    re-emits — at-most-once per watermark window, not global distinct."""
+    d = tempfile.mkdtemp(prefix="nav_dedupwm_")
+
+    def write(path, rows):  # rows: (event_id, ts_ns, event_type)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.int64()),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array([r[2] for r in rows]),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            path,
+        )
+
+    files = [
+        # batch 1: key (1,'click') twice -> one emission, expiry t0+1h
+        ("a.parquet", [(1, BASE_NS, "click"), (2, BASE_NS + 1000, "click")]),
+        # batches 2+3: a DIFFERENT key advances the watermark past the
+        # click-state expiry without touching click state (two batches:
+        # the watermark commit lags one batch)
+        ("b.parquet", [(3, BASE_NS + 5 * HOUR_NS, "view")]),
+        ("c.parquet", [(5, BASE_NS + 6 * HOUR_NS, "view")]),
+        # batch 4: 'click' again; its state expired -> re-emits
+        ("d.parquet", [(4, BASE_NS + 10 * HOUR_NS, "click")]),
+    ]
+    for i, (name, rows) in enumerate(files):
+        p = os.path.join(d, name)
+        write(p, rows)
+        os.utime(p, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    ev = read_stream_events(spark, d, glob="*.parquet", max_files_per_trigger=1)
+    dedup = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("event_id", "user_id", "event_type")
+    )
+    out = _run_to_memory(dedup, "t_dedupwm", "append")
+    emitted = sorted(r.event_id for r in out.collect())
+    # event 2 suppressed (within-window duplicate); 5 suppressed
+    # (duplicate 'view' within window); 4 re-emitted after expiry
+    assert emitted == [1, 3, 4]
