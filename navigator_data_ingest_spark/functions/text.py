@@ -19,20 +19,69 @@ from pyspark.sql import functions as F
 _HTTP_URL_RE = r"^https?://[^\s/$.?#][^\s]*$"
 
 
+# Latin transliteration map (1:1, text-unidecode-compatible) applied by
+# BOTH engines via translate(); multi-char expansions follow separately.
+TRANSLIT_SRC = (
+    "ÀÁÂÃÄÅàáâãäåÈÉÊËèéêëÌÍÎÏìíîïÒÓÔÕÖØòóôõöøÙÚÛÜùúûüÝýÿÑñÇç"
+    "ĀāĂăĄąĆćĈĉČčĎďĐđĒēĔĕĖėĘęĚěĜĝĞğĢģĤĥĪīĬĭĮįİıĴĵĶķĹĺĻļĽľŁł"
+    "ŃńŅņŇňŌōŎŏŐőŔŕŖŗŘřŚśŜŝŞşŠšŢţŤťŪūŬŭŮůŰűŲųŴŵŶŷŸŹźŻżŽž"
+)
+TRANSLIT_DST = (
+    "AAAAAAaaaaaaEEEEeeeeIIIIiiiiOOOOOOooooooUUUUuuuuYyyNnCc"
+    "AaAaAaCcCcCcDdDdEeEeEeEeEeGgGgGgHhIiIiIiIiJjKkLlLlLlLl"
+    "NnNnNnOoOoOoRrRrRrSsSsSsSsTtTtUuUuUuUuUuWwYyYZzZzZz"
+)
+# multi-char expansions translate() can't express (unidecode outputs)
+TRANSLIT_MULTI = (("ß", "ss"), ("Æ", "AE"), ("æ", "ae"), ("Œ", "OE"),
+                  ("œ", "oe"), ("Þ", "Th"), ("þ", "th"))
+# smart single quotes: unidecode folds them to ASCII ' which
+# python-slugify's POST-process removes (pre-process only sees ASCII ')
+SMART_SINGLE_QUOTES = "’‘‚‛"
+
+
 def slugify_col(name: Column) -> Column:
-    """ASCII slug: lowercase, non-alphanumeric runs -> '-', trim dashes.
+    """python-slugify replica as pure JVM expressions (no Python hot path).
 
-    Matches python-slugify behaviour for ASCII input (the reference calls
-    ``slugify(document.name)``); non-ASCII letters are dropped rather than
-    transliterated (documented divergence — transliteration tables are not
-    expressible as a builtin; a Pandas-UDF variant can be swapped in where
-    exact parity on non-ASCII names matters).
+    Reproduces the reference's ``slugify(document.name)``
+    (new_document_actions.py:30) step order from python-slugify:
+      1. ASCII apostrophe runs -> '-'         (quote pre-process)
+      2. transliterate Latin accents          (unidecode subset)
+      3. lowercase
+      4. drop smart single quotes             (quote post-process)
+      5. drop commas inside numbers           (NUMBERS_PATTERN)
+      6. non-[a-z0-9] runs -> '-', trim '-'
 
-    DuckDB oracle equivalent:
-        trim(regexp_replace(lower(x), '[^a-z0-9]+', '-', 'g'), '-')
+    Step 2 covers the Latin-1/Latin-Extended-A tables; non-Latin scripts
+    (CJK, Cyrillic, …) are dropped rather than romanized — the one
+    documented divergence from unidecode's full tables. Step 5 uses two
+    passes of ``(\\d),(\\d)`` instead of lookarounds so the DuckDB (RE2)
+    oracle applies the IDENTICAL rule.
     """
-    slug = F.regexp_replace(F.lower(name), r"[^a-z0-9]+", "-")
+    s = F.regexp_replace(name, r"'+", "-")
+    s = F.translate(s, TRANSLIT_SRC, TRANSLIT_DST)
+    for src, dst in TRANSLIT_MULTI:
+        s = F.regexp_replace(s, src, dst)
+    s = F.lower(s)
+    s = F.translate(s, SMART_SINGLE_QUOTES, "")
+    s = F.regexp_replace(s, r"(\d),(\d)", r"$1$2")
+    s = F.regexp_replace(s, r"(\d),(\d)", r"$1$2")
+    slug = F.regexp_replace(s, r"[^a-z0-9]+", "-")
     return F.regexp_replace(slug, r"^-+|-+$", "")
+
+
+def slugify_sql(col: str) -> str:
+    """The DuckDB replica of ``slugify_col`` — same rules, same order,
+    built from the same transliteration constants."""
+    s = f"regexp_replace({col}, '''+', '-', 'g')"
+    s = f"translate({s}, '{TRANSLIT_SRC}', '{TRANSLIT_DST}')"
+    for src, dst in TRANSLIT_MULTI:
+        s = f"replace({s}, '{src}', '{dst}')"
+    s = f"lower({s})"
+    s = f"translate({s}, '{SMART_SINGLE_QUOTES}', '')"
+    for _ in range(2):
+        s = f"regexp_replace({s}, '(\\d),(\\d)', '\\1\\2', 'g')"
+    s = f"regexp_replace({s}, '[^a-z0-9]+', '-', 'g')"
+    return f"regexp_replace({s}, '^-+|-+$', '', 'g')"
 
 
 def valid_http_url(url: Column) -> Column:

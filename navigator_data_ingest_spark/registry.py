@@ -227,10 +227,9 @@ _URL_OK_SQL = r"""
          ELSE regexp_matches(source_url, '^https?://[^\s/$.?#][^\s]*$') END
 """
 
-_SLUG_SQL = (
-    "regexp_replace(regexp_replace(lower(name), '[^a-z0-9]+', '-', 'g'),"
-    " '^-+|-+$', '', 'g')"
-)
+from navigator_data_ingest_spark.functions.text import slugify_sql
+
+_SLUG_SQL = slugify_sql("name")
 
 register(
     "ingest_validate_url",

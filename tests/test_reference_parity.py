@@ -171,13 +171,33 @@ def test_upload_name_property_corpus(spark):
         assert got[i] == want, f"corpus[{i}]={s!r}"
 
 
-def test_slugify_properties(spark):
-    """slugify invariants: charset, no edge dashes, idempotence.
+def test_slugify_python_slugify_parity(spark):
+    """Pin python-slugify behaviour (the reference's slugifier) on its
+    own documented examples plus accent/quote/number cases: ASCII
+    apostrophes become separators, smart quotes vanish, Latin accents
+    transliterate, commas inside numbers drop. Remaining divergence:
+    non-Latin scripts are dropped, not romanized (unidecode tables)."""
+    cases = [
+        ("C'est déjà l'été.", "c-est-deja-l-ete"),        # python-slugify README
+        ("jaja---lol-méméméoo--a", "jaja-lol-mememeoo-a"),  # python-slugify README
+        ("Côte d'Ivoire", "cote-d-ivoire"),
+        ("don’t stop", "dont-stop"),
+        ("Über Straße", "uber-strasse"),
+        ("1,000 reasons", "1000-reasons"),
+        ("1,2,3,4,5", "12345"),
+        ("Æon Œuvre Þing", "aeon-oeuvre-thing"),
+        ("中国政策 plan", "plan"),  # divergence: unidecode would romanize
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "i int, s string"
+    )
+    got = {r.i: r.slug for r in df.select("i", slugify_col(F.col("s")).alias("slug")).collect()}
+    for i, (inp, want) in enumerate(cases):
+        assert got[i] == want, f"{inp!r}: {got[i]!r} != {want!r}"
 
-    NOTE reference uses python-slugify, which also transliterates
-    unicode and strips apostrophes; our column version documents that
-    divergence (pure-ASCII names — the synthetic corpus — agree).
-    """
+
+def test_slugify_properties(spark):
+    """slugify invariants: charset, no edge dashes, idempotence."""
     corpus = [s for s in _corpus() if s] + ["Hello,  World!", "A--B", "1 2 3"]
     df = spark.createDataFrame([(i, s) for i, s in enumerate(corpus)], "i int, s string")
     out = df.select(
