@@ -71,6 +71,8 @@ _DELIBERATE_NESTED_LOOP = {
     "sim_search_bruteforce",
     "sim_search_ivf",
     "q_events_range_join",
+    # 1-row scalar-aggregate broadcast against customer (TPC-H Q22 shape)
+    "q22_idle_customers",
 }
 
 
@@ -93,3 +95,86 @@ def test_codegen_covers_q1_after_execution(spark):
     df = _Q["q1_pricing_summary"](spark, SF_CORRECT)
     df.collect()
     assert codegen_stage_count(df) >= 2, "agg pipeline fell out of codegen"
+
+
+def test_q6_pure_scan_aggregate_no_join_one_scan(spark):
+    """TPC-H Q6 shape: every predicate pushed, two columns read, no join."""
+    df = _Q["q6_revenue_delta"](spark, SF_CORRECT)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to scan"
+    schemas = read_schemas(df)
+    assert len(schemas) == 1
+    audit = plan_audit(df)
+    assert audit.broadcast_joins == 0 and audit.sortmerge_joins == 0
+    # single-row global agg: one partial->final exchange only
+    assert audit.shuffle_exchanges <= 1
+
+
+def test_q4_uses_left_semi_join(spark):
+    """EXISTS compiles to a semi join — probe side never duplicated."""
+    from navigator_data_ingest_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(_Q["q4_order_priority"](spark, SF_CORRECT))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q14_q19_part_dimension_broadcast(spark):
+    """Broadcast-ratio and bracket joins keep the fact side shuffle-free."""
+    for name in ("q14_promo_revenue", "q19_bracket_revenue"):
+        audit = plan_audit(_Q[name](spark, SF_CORRECT))
+        assert audit.broadcast_joins >= 1, name
+        assert audit.sortmerge_joins == 0, f"{name}: fact side shuffled for a join"
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark):
+    """NOT EXISTS -> anti join; the scalar average arrives by broadcast."""
+    from navigator_data_ingest_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(_Q["q22_idle_customers"](spark, SF_CORRECT))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q17_window_after_broadcast_prune(spark):
+    """The correlated-avg window runs on the pruned fact subset: the part
+    filter is a broadcast join BELOW the window in the plan."""
+    from navigator_data_ingest_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(_Q["q17_small_qty_revenue"](spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan and "Window" in plan
+    # formatted-explain ids grow leaf->root: the broadcast join must sit
+    # DEEPER (smaller id) than the window it feeds
+    import re as _re
+
+    def first_id(op):
+        m = _re.search(r"\((\d+)\) " + op, plan)
+        return int(m.group(1))
+
+    assert first_id("BroadcastHashJoin") < first_id("Window")
+
+
+def test_hash_sample_filter_stays_at_scan_stage(spark):
+    """The md5 bucket predicate is partition-local: no exchange below
+    the aggregate, so sampling never moves data."""
+    df = _Q["q_hash_sample"](spark, SF_CORRECT)
+    audit = plan_audit(df)
+    assert audit.shuffle_exchanges <= 2  # agg + final sort only
+    assert audit.parquet_scans == 1
+
+
+def test_emb_centroids_no_explode_before_aggregate(spark):
+    """The centroid op must NOT posexplode the corpus: Generate may only
+    appear ABOVE the aggregates (formatted-explain ids grow leaf->root,
+    so the Generate id must exceed every HashAggregate id)."""
+    from navigator_data_ingest_spark.plans.audit import formatted_plan
+    import re as _re
+
+    plan = formatted_plan(_Q["emb_centroids"](spark, SF_CORRECT))
+    gen = _re.search(r"\((\d+)\) Generate", plan)
+    agg = list(_re.finditer(r"\((\d+)\) HashAggregate", plan))
+    assert gen is not None and agg, "expected Generate and HashAggregate"
+    assert int(gen.group(1)) > max(
+        int(m.group(1)) for m in agg
+    ), "explode ran below the aggregate"
