@@ -1081,3 +1081,65 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct (the 100 TB swap-in for exact countDistinct)
+    with an in-query accuracy gate.
+
+    ``approx_count_distinct`` is a fixed-size mergeable sketch — one
+    map-side pass, no distinct shuffle, constant memory per group —
+    which is how a 100 TB distinct-users query actually runs. Sketch
+    values are engine-specific, so the oracle pins the EXACT counts plus
+    a ``within_tol`` boolean the sketch must satisfy (HLL is
+    deterministic for fixed input, so the gate is stable): the
+    correctness contract of an approximate operator is its error bound.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.1 * F.col("exact_users")
+            ).alias("within_tol"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL/GK-style approximate quantiles with an in-query accuracy gate.
+
+    ``approx_percentile`` is the mergeable-sketch path a 100 TB
+    percentile query takes (exact per-group percentiles need a full
+    sort of every group). The oracle pins the exact interpolated
+    percentiles plus ``within_tol`` bounds the sketch answer must sit
+    in (±5% of the exact value — generous against the rank-error
+    guarantee accuracy=10000 gives).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    agg = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.expr("percentile(value, 0.95)").alias("p95_exact"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("p95_approx"),
+    )
+    tol = lambda a, e: F.abs(F.col(a) - F.col(e)) <= 0.05 * F.abs(F.col(e))  # noqa: E731
+    return (
+        agg.select(
+            "event_type",
+            _r(F.col("p50_exact"), "p50_exact"),
+            _r(F.col("p95_exact"), "p95_exact"),
+            (tol("p50_approx", "p50_exact") & tol("p95_approx", "p95_exact")).alias(
+                "within_tol"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -1901,3 +1901,32 @@ register(
     ORDER BY user_id, session_start
     """,
 )
+
+register(
+    "q_approx_distinct",
+    analytics.q_approx_distinct,
+    # the sketch value is engine-specific; the CONTRACT (exact counts +
+    # the sketch landing inside its error bound) is what the oracle pins
+    """
+    SELECT event_type,
+           count(DISTINCT user_id)::bigint AS exact_users,
+           true AS within_tol
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+
+register(
+    "q_approx_quantiles",
+    analytics.q_approx_quantiles,
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)  AS p50_exact,
+           round(quantile_cont(value, 0.95), 6) AS p95_exact,
+           true AS within_tol
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
