@@ -140,3 +140,57 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.mapInPandas(_decode_batch, schema=DECODE_RESULT_SCHEMA).orderBy(
         "doc_id"
     )
+
+
+N_FRAMES_MAX = 4
+FRAME_STEP_S = 15.0  # one extra sampled frame per 15s of duration
+
+
+def _frame_feature(payload: bytes, idx: int) -> float:
+    """One deterministic scalar per sampled frame: digest of
+    (payload, frame index), reproducible in the DuckDB oracle."""
+    d = hashlib.md5((payload if payload else b"") + f":{idx}".encode()).digest()
+    return round(int.from_bytes(d[:2], "big") / 65535.0, 6)
+
+
+def _frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow batch in -> one row PER SAMPLED FRAME out (1→N mapInPandas).
+
+    The explode happens inside the Python stage — the input batch is
+    scanned once and the output rows stream out Arrow-batched, the shape
+    a real ffmpeg frame sampler has (decoder state per task, frames
+    yielded incrementally).
+    """
+    for pdf in batches:
+        ids, idxs, tss, feats = [], [], [], []
+        for doc_id, payload, dur in zip(
+            pdf["doc_id"], pdf["media"], pdf["duration_s"]
+        ):
+            n = min(N_FRAMES_MAX, int(float(dur) / FRAME_STEP_S) + 1)
+            for i in range(n):
+                ids.append(doc_id)
+                idxs.append(i)
+                tss.append(round(float(dur) * i / n, 6))
+                feats.append(_frame_feature(payload, i))
+        yield pd.DataFrame(
+            {"doc_id": ids, "frame_idx": idxs, "frame_ts": tss, "f0": feats}
+        )
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform temporal frame sampling over the video rows.
+
+    min(4, duration//15 + 1) frames per clip at evenly spaced
+    timestamps; each frame carries a digest-deterministic feature. The
+    video filter is pushed BELOW the Python stage (only video rows cross
+    the Arrow boundary), and each input row fans out to N output rows
+    inside the batch — the multimodal explode pattern at scale.
+    """
+    mm = multimodal_table(spark, sf_dir)
+    videos = mm.where(F.col("meta.modality") == "video").select(
+        "doc_id", "media", F.col("meta.duration_s").alias("duration_s")
+    )
+    out_schema = "doc_id bigint, frame_idx int, frame_ts double, f0 double"
+    return videos.mapInPandas(_frame_sample_batch, schema=out_schema).orderBy(
+        "doc_id", "frame_idx"
+    )

@@ -1930,3 +1930,27 @@ register(
     ORDER BY event_type
     """,
 )
+
+register(
+    "mm_frame_sample",
+    multimodal.mm_frame_sample,
+    # replays multimodal_table's deterministic video selection
+    # (doc_id%3=2), duration ((doc_id%600)/10), the min(4, dur//15+1)
+    # frame count, and the md5(payload||':'||i) frame feature
+    """
+    WITH vids AS (
+        SELECT doc_id, text,
+               (doc_id % 600) / 10.0 AS dur,
+               least(4, floor(((doc_id % 600) / 10.0) / 15.0)::int + 1) AS n
+        FROM documents
+        WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id, i::int AS frame_idx,
+           round(dur * i / n, 6) AS frame_ts,
+           round(cast(('0x' || substring(md5(text || ':' || i::varchar), 1, 4))
+                      AS BIGINT) / 65535.0, 6) AS f0
+    FROM vids, range(0, 4) t(i)
+    WHERE i < n
+    ORDER BY doc_id, frame_idx
+    """,
+)
