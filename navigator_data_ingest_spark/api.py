@@ -119,3 +119,42 @@ def cosine_topk(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
     )
     return _sim.cosine_topk(c, q, k)
+
+
+def label_centroids(
+    df: DataFrame,
+    dim: int,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid of a vector column WITHOUT row explosion:
+    (label, centroid array<double>). ``dim`` is the vector length —
+    passed explicitly so no driver-side peek at the data is needed.
+
+    One shuffle on ~|labels| groups; each dimension is its own JVM-side
+    partial aggregate (the posexplode alternative shuffles dim× the
+    corpus — see operators/similarity.py:emb_centroids).
+    """
+    src = df.select(F.col(label_col).alias("label"), F.col(vec_col).alias("vec"))
+    per_dim = [F.avg(F.col("vec").getItem(i)).alias(f"d{i}") for i in range(dim)]
+    agg = src.groupBy("label").agg(*per_dim)
+    return agg.select(
+        F.col("label").alias(label_col),
+        F.array(*[F.col(f"d{i}") for i in range(dim)]).alias("centroid"),
+    )
+
+
+def hash_sample(df: DataFrame, key_col: str, rate_pct: int) -> DataFrame:
+    """Deterministic Bernoulli sample: keeps rows whose md5(key) bucket
+    falls under ``rate_pct`` (0-100). Unlike ``df.sample``/TABLESAMPLE
+    the predicate is stable across re-runs, engines, and repartitioning
+    — the property a resumable 100 TB pipeline needs — and it evaluates
+    scan-side with no shuffle. All original columns are preserved.
+    """
+    if not 0 <= rate_pct <= 100:
+        raise ValueError(f"rate_pct must be 0-100, got {rate_pct}")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    return df.where(bucket < rate_pct)

@@ -69,3 +69,25 @@ def test_cosine_topk_any_dimension(spark):
     out = api.cosine_topk(corpus, queries, "item", "v", "qid", "qv", k=2).collect()
     assert [r.vec_id for r in out] == [0, 7]  # nearest axes of the query
     assert out[0].rank == 1 and out[0].cos_sim > 0.99
+
+
+def test_label_centroids_no_explosion(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 3.0]), ("a", [3.0, 5.0]), ("b", [0.0, 2.0])],
+        "grp string, v array<double>",
+    )
+    out = {
+        r.grp: r.centroid
+        for r in api.label_centroids(df, dim=2, label_col="grp", vec_col="v").collect()
+    }
+    assert out["a"] == [2.0, 4.0] and out["b"] == [0.0, 2.0]
+
+
+def test_hash_sample_deterministic_and_scan_side(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s1 = sorted(r.k for r in api.hash_sample(df, "k", 10).collect())
+    s2 = sorted(r.k for r in api.hash_sample(df.repartition(7), "k", 10).collect())
+    assert s1 == s2, "sample must be stable under repartitioning"
+    assert 100 < len(s1) < 320  # ~10% of 2000, generous band
+    assert api.hash_sample(df, "k", 0).count() == 0
+    assert api.hash_sample(df, "k", 100).count() == 2000
