@@ -30,6 +30,12 @@ HEADLINE = [
     "ingest_download_fetch",
     "mm_decode_stub",
     "stream_ingest",
+    # round-1 widening: fact-fact agg+join, outer-join distribution,
+    # vector aggregation, multimodal fan-out
+    "q18_large_orders",
+    "q13_order_distribution",
+    "emb_centroids",
+    "mm_frame_sample",
 ]
 
 
