@@ -1143,3 +1143,91 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON props column -> typed aggregate.
+
+    ``get_json_object`` evaluates JVM-side inside codegen (no Python,
+    no full JSON parse into a struct — a single-path extract). At
+    100 TB prefer parsing ONCE into a typed struct column at ingest
+    (``from_json`` + schema) over repeated path extraction per query;
+    this operator is the query-time form.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r(F.avg("k"), "avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("null_ks"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: zero rows for (day, event_type) cells with no
+    events — the time-series densification every monitoring rollup needs.
+
+    The date spine is ``sequence()`` over the observed [min, max] day
+    range, exploded from a ONE-ROW aggregate and cross-joined with the
+    distinct type dimension — both sides tiny, broadcast by AQE — then
+    the daily counts LEFT-join onto the spine. The fact table is
+    touched twice but shuffles only on the (day, type) grain.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    daily = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n_raw")
+    )
+    span = ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine_days = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    spine = spine_days.crossJoin(types)
+    return (
+        spine.join(daily, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce("n_raw", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def q_events_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward) per user.
+
+    ``last(col, ignorenulls=True)`` over an UNBOUNDED-PRECEDING frame is
+    the distributed LOCF: one shuffle on user_id, a single ordered pass
+    per partition, no self-join. Purchases define the observations;
+    every event row carries the user's most recent purchase value.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    obs = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("last_purchase_value",
+                      F.last(obs, ignorenulls=True).over(w))
+        .select(
+            "event_id",
+            "user_id",
+            _r(F.col("last_purchase_value"), "last_purchase_value"),
+        )
+        .orderBy("event_id")
+    )

@@ -1954,3 +1954,60 @@ register(
     ORDER BY doc_id, frame_idx
     """,
 )
+
+register(
+    "q_events_json",
+    analytics.q_events_json,
+    """
+    SELECT event_type,
+           count(*)::bigint AS n_events,
+           round(avg((props->>'$.k')::int), 6) AS avg_k,
+           max((props->>'$.k')::int) AS max_k,
+           count(CASE WHEN (props->>'$.k') IS NULL THEN 1 END)::bigint AS null_ks
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+
+register(
+    "q_events_gapfill",
+    analytics.q_events_gapfill,
+    """
+    WITH ev AS (
+        SELECT ts::TIMESTAMP::DATE AS day, event_type FROM events
+    ),
+    daily AS (
+        SELECT day, event_type, count(*)::bigint AS n_raw
+        FROM ev GROUP BY day, event_type
+    ),
+    spine AS (
+        SELECT unnest(generate_series((SELECT min(day) FROM ev),
+                                      (SELECT max(day) FROM ev),
+                                      INTERVAL 1 DAY))::DATE AS day
+    ),
+    grid AS (
+        SELECT s.day, t.event_type
+        FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+    )
+    SELECT g.day, g.event_type,
+           coalesce(d.n_raw, 0)::bigint AS n_events
+    FROM grid g
+    LEFT JOIN daily d ON g.day = d.day AND g.event_type = d.event_type
+    ORDER BY g.day, g.event_type
+    """,
+)
+
+register(
+    "q_events_ffill",
+    analytics.q_events_ffill,
+    """
+    SELECT event_id, user_id,
+           round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                            IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING), 6) AS last_purchase_value
+    FROM events
+    ORDER BY event_id
+    """,
+)
