@@ -1231,3 +1231,36 @@ def q_events_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def q_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family: percent_rank / cume_dist / first_value
+    in one window pass over customer-grain aggregates.
+
+    All three functions share ONE window spec, so Spark evaluates them
+    in a single sort+scan per nation partition (one shuffle on the
+    partition key, customer-grain input). Emits each nation's top
+    decile by spend with their distribution coordinates.
+    """
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 6).alias("spend"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    w = Window.partitionBy("n_name").orderBy(F.desc("spend"), "o_custkey")
+    return (
+        spend.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "o_custkey",
+            "spend",
+            _r(F.percent_rank().over(w), "pct_rank"),
+            _r(F.cume_dist().over(w), "cume"),
+            F.first_value(F.col("o_custkey")).over(w).alias("top_custkey"),
+        )
+        .where(F.col("pct_rank") <= 0.1)
+        .orderBy("n_name", F.desc("spend"), "o_custkey")
+    )

@@ -2011,3 +2011,27 @@ register(
     ORDER BY event_id
     """,
 )
+
+register(
+    "q_spend_distribution",
+    analytics.q_spend_distribution,
+    """
+    WITH spend AS (
+        SELECT o_custkey, round(sum(o_totalprice), 6) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT n_name, o_custkey, spend,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               first_value(o_custkey) OVER w AS top_custkey
+        FROM spend
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WINDOW w AS (PARTITION BY n_name ORDER BY spend DESC, o_custkey)
+    )
+    SELECT * FROM ranked
+    WHERE pct_rank <= 0.1
+    ORDER BY n_name, spend DESC, o_custkey
+    """,
+)
