@@ -2035,3 +2035,19 @@ register(
     ORDER BY n_name, spend DESC, o_custkey
     """,
 )
+
+from navigator_data_ingest_spark.sources import flat as flat_src
+
+register(
+    "src_csv_roundtrip",
+    flat_src.src_csv_roundtrip,
+    # value-equality with the parquet-sourced original proves the CSV
+    # sink/source pair is lossless for the typed columns carried
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 6) AS total_price,
+           o_orderdate, o_orderpriority
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)

