@@ -391,3 +391,42 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+LEV_PREFIX = 200  # edit-distance verify runs on a bounded prefix
+
+
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of the LSH candidate pairs.
+
+    The third stage of a production dedup funnel (signature -> candidate
+    pairs -> EXPENSIVE exact verify on candidates only): Levenshtein is
+    O(len^2) per pair, so it runs on the LSH survivors — thousands of
+    pairs, not the n^2 corpus — and on a bounded ``LEV_PREFIX`` prefix
+    so a single pathological multi-MB document can't stall a task at
+    100 TB. JVM builtin (`F.levenshtein`), no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, LEV_PREFIX).alias("prefix")
+    )
+    pairs = minhash_pairs(load_table(spark, sf_dir, "documents")).select(
+        "doc_a", "doc_b"
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").alias("edit_distance"),
+            F.round(
+                1.0
+                - F.levenshtein("pa", "pb")
+                / F.greatest(F.length("pa"), F.length("pb")),
+                6,
+            ).alias("prefix_similarity"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

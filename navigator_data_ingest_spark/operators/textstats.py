@@ -335,3 +335,33 @@ def stats_length_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_fit_group, schema=REGRESSION_RESULT_SCHEMA)
         .orderBy("lang")
     )
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring, entirely in codegen-side regexes.
+
+    Word / sentence / syllable counts are ``regexp_count`` expressions
+    (syllables ≈ vowel groups — the standard cheap proxy); the score is
+    pure arithmetic. One scan, zero shuffles before the final order —
+    at 100 TB this runs at I/O speed like the other quality signals.
+    """
+    t = F.lower(F.col("text"))
+    words = F.greatest(F.regexp_count(t, F.lit(r"[a-z0-9]+")), F.lit(1))
+    sentences = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.greatest(F.regexp_count(t, F.lit(r"[aeiouy]+")), F.lit(1))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / words)
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            words.alias("n_words"),
+            sentences.alias("n_sentences"),
+            syllables.alias("n_syllables"),
+            F.round(flesch, 6).alias("flesch"),
+        )
+        .orderBy("doc_id")
+    )

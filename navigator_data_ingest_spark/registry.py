@@ -2051,3 +2051,53 @@ register(
     ORDER BY o_orderkey
     """,
 )
+
+register(
+    "dedup_levenshtein",
+    dedup.dedup_levenshtein,
+    f"""
+    WITH {_MINHASH_CTES},
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pfx AS (
+        SELECT doc_id, substring(text, 1, 200) AS prefix FROM documents
+    )
+    SELECT doc_a, doc_b,
+           levenshtein(pa.prefix, pb.prefix)::int AS edit_distance,
+           round(1.0 - levenshtein(pa.prefix, pb.prefix)
+                 / greatest(length(pa.prefix), length(pb.prefix)), 6)
+               AS prefix_similarity
+    FROM cand
+    JOIN pfx pa ON doc_a = pa.doc_id
+    JOIN pfx pb ON doc_b = pb.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+
+register(
+    "text_readability",
+    textstats.text_readability,
+    """
+    WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+    counts AS (
+        SELECT doc_id,
+               greatest(len(regexp_extract_all(t, '[a-z0-9]+')), 1)  AS n_words,
+               greatest(len(regexp_extract_all(t, '[.!?]+')), 1)     AS n_syl_sentences,
+               greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1)  AS n_syllables
+        FROM t
+    )
+    SELECT doc_id,
+           n_words::int AS n_words,
+           n_syl_sentences::int AS n_sentences,
+           n_syllables::int AS n_syllables,
+           round(206.835 - 1.015 * (n_words / n_syl_sentences)
+                 - 84.6 * (n_syllables / n_words), 6) AS flesch
+    FROM counts
+    ORDER BY doc_id
+    """,
+)
