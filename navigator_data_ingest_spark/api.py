@@ -158,3 +158,17 @@ def hash_sample(df: DataFrame, key_col: str, rate_pct: int) -> DataFrame:
         .cast("bigint") % 100
     )
     return df.where(bucket < rate_pct)
+
+
+def register_tables(spark, sf_dir: str) -> list[str]:
+    """Register every engine table as a temp view so callers can use the
+    raw ``spark.sql`` surface — the engine's second query API. Returns
+    the registered names. Views are lazy: no data is read here, and a
+    query on a view gets the same pushdown/pruning as the DataFrame API
+    (Catalyst sees an identical logical plan).
+    """
+    from navigator_data_ingest_spark.sources.tables import TABLE_NAMES, load_table
+
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return list(TABLE_NAMES)

@@ -1264,3 +1264,25 @@ def q_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pct_rank") <= 0.1)
         .orderBy("n_name", F.desc("spend"), "o_custkey")
     )
+
+
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw ``spark.sql`` surface: same Catalyst plan as the
+    DataFrame API, proven by running a join+agg THROUGH SQL text over
+    registered views (api.register_tables). The oracle is the identical
+    statement in DuckDB — SQL-dialect parity for the common core.
+    """
+    from navigator_data_ingest_spark.api import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name AS nation,
+               count(*) AS n_customers,
+               round(sum(c_acctbal), 6) AS total_balance
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )

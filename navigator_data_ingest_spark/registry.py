@@ -2101,3 +2101,18 @@ register(
     ORDER BY doc_id
     """,
 )
+
+register(
+    "q_sql_api",
+    analytics.q_sql_api,
+    # the SAME statement text runs on both engines (common SQL core)
+    """
+    SELECT n_name AS nation,
+           count(*)::bigint AS n_customers,
+           round(sum(c_acctbal), 6) AS total_balance
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)

@@ -73,6 +73,8 @@ _DELIBERATE_NESTED_LOOP = {
     "q_events_range_join",
     # 1-row scalar-aggregate broadcast against customer (TPC-H Q22 shape)
     "q22_idle_customers",
+    # date-spine × type-dimension grid: both sides tiny by construction
+    "q_events_gapfill",
 }
 
 
