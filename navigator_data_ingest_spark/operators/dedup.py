@@ -10,10 +10,11 @@ Five strategies, each shaped for 100 TB:
                    generated inside buckets — never O(n²).
   simhash        — 32-bit simhash computed map-side; byte-band blocking
                    join + hamming-distance verify (bit_count of xor).
-  ngram_jaccard  — exact Jaccard on 3-token shingle sets within
-                   (lang, size-bucket) blocks.
-  embedding      — cosine near-dup pairs within label blocks, computed
-                   as a deterministic left-fold (cross-engine stable).
+  ngram_jaccard  — exact Jaccard on 3-token shingle sets, verified on
+                   the MinHash-LSH candidate pairs only (funnel stage 2).
+  embedding      — cosine near-dup pairs from hyperplane-bucket
+                   candidates, verified as a deterministic left-fold
+                   (cross-engine stable).
 
 All hashing is md5-derived (functions/exprs.py) so the DuckDB oracles
 replay identical values.
@@ -288,52 +289,67 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard within (lang, length-bucket) blocks.
+    """Exact 3-gram Jaccard, verified on the LSH CANDIDATE pairs only.
 
-    Blocking bounds the pair count (never all-pairs); at scale the block
-    key becomes the shuffle key and skewed blocks can be salted.
+    Stage 2 of the dedup funnel (signature -> candidates -> verify):
+    the exact set intersection is O(|sh_a| + |sh_b|) per pair, so it
+    runs on the MinHash-LSH survivors — thousands of pairs at any
+    corpus size — never on block self-joins (a (lang, size) block scheme
+    is O(n²/blocks): with ~10 coarse blocks the dominant-language block
+    alone is quadratic in the corpus). The shingle sets join onto the
+    candidate list by doc_id — two hash joins at candidate cardinality.
     """
-    t = X.sp_tokens("text")
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_pairs(docs).select("doc_a", "doc_b")
     # let-bound: tokens evaluated once per row, not once per shingle ref
-    sh = X.sp_let("t", t, f"array_distinct({X.sp_shingles('t')})")
-    docs = (
-        scatter(spark, load_table(spark, sf_dir, "documents"))
-        .where(F.expr(f"size({t}) >= {SHINGLE_K}"))
-        .withColumn("block", F.expr("lang || '|' || cast(n_chars div 100 as string)"))
-        .select("doc_id", "block", F.expr(sh).alias("sh"))
+    sh_expr = X.sp_let(
+        "t", X.sp_tokens("text"), f"array_distinct({X.sp_shingles('t')})"
     )
-    a, b = docs.alias("a"), docs.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    sh = scatter(spark, docs.select("doc_id", "text")).select(
+        "doc_id", F.expr(sh_expr).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     jac = inter.cast("double") / union.cast("double")
     return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            "doc_a",
+            "doc_b",
             F.round(jac, 6).alias("jaccard"),
+            jac.alias("_raw"),
         )
-        .where(jac >= JACCARD_THRESHOLD)
+        .where(F.col("_raw") >= JACCARD_THRESHOLD)
+        .drop("_raw")
         .orderBy("doc_a", "doc_b")
     )
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= threshold within label blocks.
+    """Embedding near-dup pairs: hyperplane-bucket candidates + cosine
+    verify.
 
-    The dot product is an explicit left fold so Spark and the oracle sum
-    in the same order (cross-engine bit-stable floats).
+    The embedding twin of the text funnel: random-hyperplane sign
+    buckets (the ``sim_search_lsh`` bucketing) generate candidates via
+    a bucket-equality self-join — the shuffle key is the bucket, never
+    a label/category block (label blocks are O(n²/|labels|): at corpus
+    scale the dominant label is quadratic). Cosine is verified on
+    bucket-local pairs only, as a deterministic left fold so Spark and
+    the oracle sum in the same order (cross-engine bit-stable floats).
     """
-    e = scatter(spark, load_table(spark, sf_dir, "embeddings"))
+    from navigator_data_ingest_spark.operators.similarity import _bucket_expr
+
+    e = scatter(spark, load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding", F.expr(_bucket_expr("embedding")).alias("bucket")
+    )
     # rename one side up front: alias-qualified column refs inside
     # F.expr() don't survive a same-source self-join
     b = e.select(
         F.col("vec_id").alias("vec_id_b"),
-        F.col("label").alias("label_b"),
+        F.col("bucket").alias("bucket_b"),
         F.col("embedding").alias("embedding_b"),
     )
     dot = F.expr(X.sp_fold_dot("embedding", "embedding_b", EMB_DIM))
@@ -343,13 +359,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.join(
             b,
-            (F.col("label") == F.col("label_b"))
+            (F.col("bucket") == F.col("bucket_b"))
             & (F.col("vec_id") < F.col("vec_id_b")),
         )
         .select(
             F.col("vec_id").alias("vec_a"),
             F.col("vec_id_b").alias("vec_b"),
-            F.col("label"),
+            F.col("bucket"),
             F.round(cos, 6).alias("cos_sim"),
             cos.alias("_raw"),
         )

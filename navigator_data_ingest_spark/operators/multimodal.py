@@ -34,7 +34,7 @@ FEAT_DIM = 8
 
 DECODE_RESULT_SCHEMA = (
     "doc_id bigint, modality string, format string, n_bytes bigint, "
-    "out_width int, out_height int, feature array<float>"
+    "out_width int, out_height int, feature array<float>, feature_csv string"
 )
 
 
@@ -122,6 +122,12 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "out_width": widths,
                 "out_height": heights,
                 "feature": feats,
+                # flat twin of `feature` for consumers that hash rows
+                # (sorting/grouping over an array column is undefined in
+                # pandas-side canonicalizers); same values, 6-dp fixed
+                "feature_csv": [
+                    ",".join(f"{v:.6f}" for v in f) for f in feats
+                ],
             }
         )
 
@@ -140,6 +146,13 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.mapInPandas(_decode_batch, schema=DECODE_RESULT_SCHEMA).orderBy(
         "doc_id"
     )
+
+
+def mm_decode_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry/driver projection of ``mm_decode_stub``: every column
+    scalar (the array feature stays in the library API; its 6-dp csv
+    twin rides along for row-hash comparison)."""
+    return mm_decode_stub(spark, sf_dir).drop("feature")
 
 
 N_FRAMES_MAX = 4

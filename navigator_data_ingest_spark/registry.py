@@ -741,21 +741,25 @@ register(
 register(
     "dedup_ngram_jaccard",
     dedup.dedup_ngram_jaccard,
+    # exact Jaccard verified on the LSH candidate pairs (funnel stage 2),
+    # mirroring the Spark plan: candidates from the band join, shingle
+    # sets joined back by doc_id
     f"""
-    WITH toks AS (
-        SELECT doc_id, lang, n_chars, {_DK_TOKS} AS t FROM documents
-    ), base AS (
-        SELECT doc_id, lang, n_chars, list_distinct({_DK_SH3}) AS sh FROM toks
-    ), blocked AS (
-        SELECT doc_id, lang || '|' || (n_chars // 100)::varchar AS block, sh
-        FROM base WHERE len(sh) > 0
+    WITH {_MINHASH_CTES},
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     ), scored AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               len(list_filter(a.sh, x -> list_contains(b.sh, x)))::double /
-               (len(a.sh) + len(b.sh)
-                - len(list_filter(a.sh, x -> list_contains(b.sh, x))))::double AS jac
-        FROM blocked a
-        JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+        SELECT doc_a, doc_b,
+               len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::double /
+               (len(sa.sh) + len(sb.sh)
+                - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))))::double AS jac
+        FROM cand
+        JOIN base sa ON doc_a = sa.doc_id
+        JOIN base sb ON doc_b = sb.doc_id
     )
     SELECT doc_a, doc_b, round(jac, 6) AS jaccard
     FROM scored WHERE jac >= {dedup.JACCARD_THRESHOLD}
@@ -767,21 +771,8 @@ _DK_DOT_AB = X.dk_fold_dot("a.embedding", "b.embedding", dedup.EMB_DIM)
 _DK_DOT_AA = X.dk_fold_dot("a.embedding", "a.embedding", dedup.EMB_DIM)
 _DK_DOT_BB = X.dk_fold_dot("b.embedding", "b.embedding", dedup.EMB_DIM)
 
-register(
-    "dedup_embedding_cosine",
-    dedup.dedup_embedding_cosine,
-    f"""
-    WITH scored AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-               {_DK_DOT_AB} / (sqrt({_DK_DOT_AA}) * sqrt({_DK_DOT_BB})) AS cos
-        FROM embeddings a
-        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    )
-    SELECT vec_a, vec_b, label, round(cos, 6) AS cos_sim
-    FROM scored WHERE cos >= {dedup.COSINE_THRESHOLD}
-    ORDER BY vec_a, vec_b
-    """,
-)
+# dedup_embedding_cosine registers below, after the hyperplane-bucket
+# SQL (_DK_BUCKET) it now shares with sim_search_lsh is defined.
 
 _DK_DOT_QE = X.dk_fold_dot("q.qvec", "e.embedding", similarity.EMB_DIM)
 _DK_DOT_QQ = X.dk_fold_dot("q.qvec", "q.qvec", similarity.EMB_DIM)
@@ -843,6 +834,26 @@ register(
     SELECT query_id, vec_id, bucket, round(c, 6) AS cos_sim, rank::int AS rank
     FROM ranked WHERE rank <= {similarity.TOP_K}
     ORDER BY query_id, rank
+    """,
+)
+
+register(
+    "dedup_embedding_cosine",
+    dedup.dedup_embedding_cosine,
+    # candidates from hyperplane sign buckets (the sim_search_lsh
+    # bucketing), cosine verified on bucket-local pairs only
+    f"""
+    WITH eb AS (
+        SELECT vec_id, embedding, {_DK_BUCKET} AS bucket FROM embeddings
+    ), scored AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+               {_DK_DOT_AB} / (sqrt({_DK_DOT_AA}) * sqrt({_DK_DOT_BB})) AS cos
+        FROM eb a
+        JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, bucket, round(cos, 6) AS cos_sim
+    FROM scored WHERE cos >= {dedup.COSINE_THRESHOLD}
+    ORDER BY vec_a, vec_b
     """,
 )
 
@@ -955,7 +966,10 @@ from navigator_data_ingest_spark.operators import multimodal
 
 register(
     "mm_decode_stub",
-    multimodal.mm_decode_stub,
+    # the flat projection: the driver's canonicalizer hashes rows via a
+    # pandas sort over all columns, which cannot hash an array<float>
+    # cell — the feature vector rides as its fixed-6-dp csv twin
+    multimodal.mm_decode_flat,
     f"""
     WITH base AS (
         SELECT doc_id,
@@ -978,8 +992,8 @@ register(
     SELECT doc_id, modality, format, n_bytes::bigint AS n_bytes,
            greatest(1, (w * {2 * multimodal.TARGET_SIZE} + m) // (2 * m))::int AS out_width,
            greatest(1, (h * {2 * multimodal.TARGET_SIZE} + m) // (2 * m))::int AS out_height,
-           list_transform(generate_series(0, {multimodal.FEAT_DIM - 1}), i ->
-               round(('0x' || substr(d, 4 * i + 1, 4))::int / 65535.0, 6)) AS feature
+           array_to_string(list_transform(generate_series(0, {multimodal.FEAT_DIM - 1}), i ->
+               printf('%.6f', round(('0x' || substr(d, 4 * i + 1, 4))::int / 65535.0, 6))), ',') AS feature_csv
     FROM fmt ORDER BY doc_id
     """,
 )

@@ -23,6 +23,8 @@ exactly once and the result is value-equal to the batch oracle.
 from __future__ import annotations
 
 import hashlib
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -101,18 +103,47 @@ def windowed_dedup_agg(ev: DataFrame) -> DataFrame:
     )
 
 
+# State-store cost scales with the stream's shuffle-partition count (one
+# store per partition per stateful operator, each committing a delta file
+# per micro-batch). A driver session runs with the 200-partition default,
+# which turns a 10k-row drain into thousands of tiny state commits — so
+# drains clamp the partition count for the lifetime of the query (the
+# value is captured at query start and pinned by the checkpoint). On a
+# real cluster this knob is sized to the state volume instead.
+STREAM_SHUFFLE_PARTITIONS = 4
+
+
+def _checkpoint_dir(name: str) -> str:
+    """Deterministic checkpoint dir per query name, recycled per run.
+
+    A fresh mkdtemp per drain leaks a directory every registry/bench
+    invocation; a REUSED checkpoint is worse (committed source offsets
+    suppress re-emission into the new memory sink). Deterministic path +
+    rmtree gives clean re-runs with zero accumulation.
+    """
+    d = os.path.join(tempfile.gettempdir(), "nav_ckpt", name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def _run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drain a stream into a memory sink with availableNow; return table."""
     spark = stream_df.sparkSession
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"nav_ckpt_{name}_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -331,9 +362,21 @@ def _scatter_time_ordered_feed(spark: SparkSession, sf_dir: str, n_files: int) -
     arriving-files directory — in deployment the files land over time
     and no scatter step exists.
     """
-    import os
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    # deterministic feed path keyed by (source dir, file count): testdata
+    # is immutable per sf_dir, so a fully-built feed is reused across
+    # registry/bench runs instead of re-written (and never accumulates)
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "nav_sessfeed",
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{n_files}",
+    )
+    if os.path.isdir(d) and len(os.listdir(d)) == n_files:
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
 
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -345,7 +388,6 @@ def _scatter_time_ordered_feed(spark: SparkSession, sf_dir: str, n_files: int) -
         .sort_values(["ts", "event_id"])
         .reset_index(drop=True)
     )
-    d = tempfile.mkdtemp(prefix="nav_sessfeed_")
     n = len(pdf)
     bounds = [n * i // n_files for i in range(n_files + 1)]
     for i in range(n_files):
