@@ -63,8 +63,11 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = qs[name](spark, sf_dir)
-            # count() forces full execution without driver-collecting rows
-            df.count()
+            # noop sink: full execution of every expression without
+            # driver-collecting rows. count() is NOT honest here —
+            # Catalyst prunes columns a count doesn't need, so map-heavy
+            # queries (text_quality, dedup_exact) measured ~3x too fast.
+            df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
         except Exception as e:  # keep benching even if one query breaks
             print(f"bench: {name} failed: {e}", file=sys.stderr)

@@ -1009,20 +1009,43 @@ def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ntile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE quartiles over per-customer spend + per-quartile profile.
+    """Spend quartiles via broadcast percentile cut points (no global
+    window).
 
-    The quartile assignment windows over customer-grain aggregates (not
-    raw orders); deterministic total order (spend desc, custkey) keeps
-    ntile's floor/ceil bucket split engine-portable.
+    An ``ntile(4) OVER (ORDER BY ...)`` with no partition forces the
+    entire customer grain through ONE task — the single serial stage in
+    the analytics set, degrading linearly with customer count. The
+    scale shape is two passes instead: (1) one aggregate computes the
+    three quartile cut values, (2) the 1-row cut set broadcasts back and
+    quartile assignment is a map-side comparison (quartile 1 = top
+    spenders, matching the DESC ntile orientation). Buckets are
+    value-based, so ties share a quartile instead of splitting on
+    arbitrary rank like ntile — the better semantics for a profile.
+
+    Exact interpolated ``percentile`` keeps the DuckDB oracle
+    (``quantile_cont``) bit-comparable; the 100 TB swap is
+    ``approx_percentile`` (mergeable sketch, no single-task value list)
+    with everything else unchanged.
     """
     spend = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 6).alias("spend"))
     )
-    w = Window.orderBy(F.desc("spend"), "o_custkey")
+    cuts = spend.agg(
+        F.expr("percentile(spend, 0.25)").alias("c25"),
+        F.expr("percentile(spend, 0.5)").alias("c50"),
+        F.expr("percentile(spend, 0.75)").alias("c75"),
+    )
+    quartile = (
+        F.when(F.col("spend") >= F.col("c75"), 1)
+        .when(F.col("spend") >= F.col("c50"), 2)
+        .when(F.col("spend") >= F.col("c25"), 3)
+        .otherwise(4)
+    )
     return (
-        spend.withColumn("quartile", F.ntile(4).over(w).cast("int"))
+        spend.join(F.broadcast(cuts))
+        .withColumn("quartile", quartile.cast("int"))
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_custs"),

@@ -1806,10 +1806,19 @@ register(
         SELECT o_custkey, round(sum(o_totalprice), 6) AS spend
         FROM orders GROUP BY o_custkey
     ),
+    cuts AS (
+        SELECT quantile_cont(spend, 0.25) AS c25,
+               quantile_cont(spend, 0.5)  AS c50,
+               quantile_cont(spend, 0.75) AS c75
+        FROM spend
+    ),
     tiled AS (
         SELECT spend,
-               ntile(4) OVER (ORDER BY spend DESC, o_custkey)::int AS quartile
-        FROM spend
+               (CASE WHEN spend >= c75 THEN 1
+                     WHEN spend >= c50 THEN 2
+                     WHEN spend >= c25 THEN 3
+                     ELSE 4 END)::int AS quartile
+        FROM spend CROSS JOIN cuts
     )
     SELECT quartile, count(*)::bigint AS n_custs,
            round(min(spend), 6) AS min_spend,

@@ -73,6 +73,8 @@ _DELIBERATE_NESTED_LOOP = {
     "q_events_range_join",
     # 1-row scalar-aggregate broadcast against customer (TPC-H Q22 shape)
     "q22_idle_customers",
+    # 1-row percentile-cut broadcast back onto customer-grain spend
+    "q_ntile_spend",
     # date-spine × type-dimension grid: both sides tiny by construction
     "q_events_gapfill",
 }
@@ -91,6 +93,18 @@ def test_dedup_lsh_joins_are_bucketed_equijoins(spark):
     audit = plan_audit(_Q["dedup_minhash_lsh"](spark, SF_CORRECT))
     assert audit.cartesian_products == 0
     assert audit.broadcast_joins + audit.sortmerge_joins >= 1
+
+
+def test_ntile_spend_has_no_global_window(spark):
+    """Quartile assignment must be a broadcast cut-point comparison, not
+    an ntile window with no partition (a single-task global sort)."""
+    plan = (
+        _Q["q_ntile_spend"](spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, "q_ntile_spend regressed to a window plan"
 
 
 def test_codegen_covers_q1_after_execution(spark):
