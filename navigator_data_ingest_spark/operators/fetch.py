@@ -41,28 +41,74 @@ from navigator_data_ingest_spark.operators.ingest import synthetic_new_documents
 
 FETCH_RESULT_SCHEMA = (
     "import_id string, fetch_url string, domain string, status int, "
-    "elapsed_ms int, content binary, content_type string"
+    "attempts int, backoff_ms int, elapsed_ms int, content binary, "
+    "content_type string"
 )
 
 # watermark page marker appended by the conversion stub (stands in for
 # add_last_page_watermark's extra PDF page, pdf_conversion.py:109-160)
 WATERMARK_MARKER = b"\n%%WATERMARK-PAGE%%"
 
+# retry policy mirroring the reference's tenacity decorators
+# (api_client.py:148-167: stop_after_attempt(4) + exponential wait on
+# download and upload). Backoff here is deterministic exponential —
+# 250/500/1000 ms between attempts — so the retry accounting is
+# reproducible in the SQL oracle; production adds jitter.
+MAX_ATTEMPTS = 4
+BACKOFF_BASE_MS = 250
+RETRYABLE_STATUS = 503  # transient server-side; 404 fails fast
 
-def _fake_fetch(url: str, head_hex: str) -> tuple[int, bytes, int]:
+
+def _fetch_plan(url: str) -> tuple[str, int]:
+    """Deterministic failure model for the stub fetch.
+
+    Every 29th url hash fails permanently (404, non-retryable); of the
+    rest, every 13th is transient — it 503s for the first
+    ``1 + seed[9] % 5`` attempts (1..5, so some exhaust the 4-attempt
+    budget and dead-letter while others succeed on retry).
+    """
+    seed = hashlib.md5(url.encode()).digest()
+    if int.from_bytes(seed[:4], "big") % 29 == 0:
+        return "permanent", 0
+    if int.from_bytes(seed[4:8], "big") % 13 == 0:
+        return "transient", 1 + seed[9] % 5
+    return "ok", 0
+
+
+def _fake_fetch(url: str, head_hex: str, attempt: int = 1) -> tuple[int, bytes, int]:
     """Deterministic stand-in for requests.get (NO network in-container).
 
     Returns (status, content, elapsed_ms). Bytes start with the magic
     head the synthetic work list declared, padded with url-seeded
-    filler, so downstream sniffing sees realistic input. Every 29th url
-    hash 404s to exercise the error path.
+    filler, so downstream sniffing sees realistic input.
     """
     seed = hashlib.md5(url.encode()).digest()
-    if int.from_bytes(seed[:4], "big") % 29 == 0:
+    kind, n_fail = _fetch_plan(url)
+    if kind == "permanent":
         return 404, b"", 10 + seed[5] % 90
+    if kind == "transient" and attempt <= n_fail:
+        return RETRYABLE_STATUS, b"", 5 + seed[5] % 45
     head = bytes.fromhex(head_hex) if head_hex else b""
     filler = (seed * (64 + seed[4] % 192))[: 1024 + seed[6] % 4096]
     return 200, head + filler, 20 + seed[5] % 480
+
+
+def _fetch_with_retry(url: str, head_hex: str) -> tuple[int, bytes, int, int, int]:
+    """Bounded-attempt retry loop around the fetch.
+
+    Returns (status, content, last_elapsed_ms, attempts, backoff_ms).
+    Retries only on RETRYABLE_STATUS, up to MAX_ATTEMPTS, accumulating
+    the exponential backoff schedule (production sleeps it; the stub
+    only accounts it — determinism over wall-clock).
+    """
+    attempt, backoff_ms = 1, 0
+    while True:
+        status, content, ms = _fake_fetch(url, head_hex, attempt)
+        if status == RETRYABLE_STATUS and attempt < MAX_ATTEMPTS:
+            backoff_ms += BACKOFF_BASE_MS * (2 ** (attempt - 1))
+            attempt += 1
+            continue  # production: time.sleep(backoff / 1000)
+        return status, content, ms, attempt, backoff_ms
 
 
 def _sniff(content: bytes, url: str, header: str) -> str:
@@ -103,10 +149,13 @@ def _fetch_and_convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     """
     for pdf in batches:
         statuses, contents, elapsed, ctypes = [], [], [], []
+        attempts_l, backoffs = [], []
         for url, head_hex, header in zip(
             pdf["fetch_url"], pdf["head_hex"], pdf["header"]
         ):
-            status, content, ms = _fake_fetch(url, head_hex)
+            status, content, ms, attempts, backoff = _fetch_with_retry(
+                url, head_hex
+            )
             ct = _sniff(content, url, header) if status == 200 else None
             if status == 200:
                 if ct == CONTENT_TYPE_HTML:
@@ -121,12 +170,16 @@ def _fetch_and_convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             contents.append(content)
             elapsed.append(ms)
             ctypes.append(ct)
+            attempts_l.append(attempts)
+            backoffs.append(backoff)
         yield pd.DataFrame(
             {
                 "import_id": pdf["import_id"],
                 "fetch_url": pdf["fetch_url"],
                 "domain": pdf["domain"],
                 "status": statuses,
+                "attempts": attempts_l,
+                "backoff_ms": backoffs,
                 "elapsed_ms": elapsed,
                 "content": contents,
                 "content_type": ctypes,
@@ -193,8 +246,36 @@ def ingest_download_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select(
-            "import_id", "domain", "status", "elapsed_ms", "content_type",
+            "import_id", "domain", "status", "attempts", "backoff_ms",
+            "elapsed_ms", "content_type",
             "n_bytes", "md5_sum", "cdn_object", "error",
+        )
+        .orderBy("import_id")
+    )
+
+
+def ingest_fetch_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry/dead-letter accounting of the fetch stage, fully oracled.
+
+    The reference wraps download and upload in tenacity
+    (api_client.py:148-167, ``stop_after_attempt(4)`` + exponential
+    wait); at cluster scale that becomes per-row bounded retries inside
+    the fetch task plus DEAD-LETTER routing: rows whose final status is
+    still a failure carry ``dead_letter = true`` and flow to the errors
+    sink instead of poisoning the batch (every other row's ingest
+    proceeds). The stub's failure model is a pure function of
+    md5(fetch_url), so attempts / backoff / dead-letter verify against
+    a DuckDB oracle — the retry loop's accounting is provably correct,
+    not just plausible.
+    """
+    return (
+        ingest_download_fetch(spark, sf_dir)
+        .select(
+            "import_id",
+            "status",
+            "attempts",
+            "backoff_ms",
+            (F.col("status") != 200).alias("dead_letter"),
         )
         .orderBy("import_id")
     )

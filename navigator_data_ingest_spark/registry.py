@@ -579,6 +579,49 @@ from navigator_data_ingest_spark.operators import fetch as fetch_op
 
 register("ingest_download_fetch", fetch_op.ingest_download_fetch, None)
 
+register(
+    "ingest_fetch_retry",
+    fetch_op.ingest_fetch_retry,
+    # the retry loop's accounting IS oracle-able: the stub failure model
+    # is a pure function of md5(fetch_url), so DuckDB independently
+    # derives status / attempts / exponential-backoff total / dead-letter
+    # per row. backoff for a attempts = BASE * (2^(a-1) - 1).
+    _ND + f"""
+    , work AS (
+        SELECT import_id,
+               coalesce(nullif(download_url, ''), nullif(source_url, '')) AS fetch_url
+        FROM new_docs
+    ), seeds AS (
+        SELECT import_id,
+               ('0x' || substr(md5(fetch_url), 1, 8))::bigint  AS s04,
+               ('0x' || substr(md5(fetch_url), 9, 8))::bigint  AS s48,
+               ('0x' || substr(md5(fetch_url), 19, 2))::bigint AS s9
+        FROM work WHERE fetch_url IS NOT NULL
+    ), plan AS (
+        SELECT import_id,
+               CASE WHEN s04 % 29 = 0 THEN 'permanent'
+                    WHEN s48 % 13 = 0 THEN 'transient'
+                    ELSE 'ok' END AS kind,
+               CASE WHEN s04 % 29 <> 0 AND s48 % 13 = 0
+                    THEN 1 + s9 % 5 ELSE 0 END AS n_fail
+        FROM seeds
+    ), outcome AS (
+        SELECT import_id,
+               CASE WHEN kind = 'permanent' THEN 404
+                    WHEN kind = 'transient' AND n_fail >= {fetch_op.MAX_ATTEMPTS} THEN {fetch_op.RETRYABLE_STATUS}
+                    ELSE 200 END AS status,
+               CASE WHEN kind = 'transient'
+                    THEN least(n_fail + 1, {fetch_op.MAX_ATTEMPTS})
+                    ELSE 1 END AS attempts
+        FROM plan
+    )
+    SELECT import_id, status::int AS status, attempts::int AS attempts,
+           ({fetch_op.BACKOFF_BASE_MS} * ((1::bigint << (attempts - 1)) - 1))::int AS backoff_ms,
+           status <> 200 AS dead_letter
+    FROM outcome ORDER BY import_id
+    """,
+)
+
 
 # --------------------------------------------------------------------------
 # §2.2 sources / sinks (round-trip queries: write through the sink, read

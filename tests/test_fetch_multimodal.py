@@ -32,7 +32,7 @@ def test_fetch_results_routing(spark):
     rows = df.collect()
     assert len(rows) > 0
     by_status = {r.status for r in rows}
-    assert by_status <= {200, 404}
+    assert by_status <= {200, 404, 503}
     for r in rows:
         if r.status != 200:
             assert r.error == "DownloadError" and r.cdn_object is None
@@ -63,6 +63,66 @@ def test_fetch_converted_content_types(spark):
         "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
     }
     assert ok.count() > 0
+
+
+def test_fetch_retry_paths():
+    """Every branch of the bounded-retry loop, on crafted urls of each
+    failure kind: fail-fast 404, transient-then-recover, and retry
+    exhaustion (dead letter) with the exact exponential backoff total."""
+    from navigator_data_ingest_spark.operators.fetch import (
+        BACKOFF_BASE_MS,
+        MAX_ATTEMPTS,
+        RETRYABLE_STATUS,
+        _fetch_plan,
+        _fetch_with_retry,
+    )
+
+    found: dict[str, tuple[str, int]] = {}
+    for i in range(200_000):
+        url = f"https://example.com/doc{i}.pdf"
+        kind, n_fail = _fetch_plan(url)
+        if kind == "transient":
+            kind = "recover" if n_fail < MAX_ATTEMPTS else "exhaust"
+        found.setdefault(kind, (url, n_fail))
+        if len(found) == 4:
+            break
+    assert set(found) == {"ok", "permanent", "recover", "exhaust"}
+
+    status, _, _, attempts, backoff = _fetch_with_retry(found["ok"][0], "25504446")
+    assert (status, attempts, backoff) == (200, 1, 0)
+
+    status, content, _, attempts, backoff = _fetch_with_retry(
+        found["permanent"][0], "25504446"
+    )
+    assert (status, content, attempts, backoff) == (404, b"", 1, 0)
+
+    url, n_fail = found["recover"]
+    status, content, _, attempts, backoff = _fetch_with_retry(url, "25504446")
+    assert status == 200 and len(content) > 0
+    assert attempts == n_fail + 1
+    assert backoff == BACKOFF_BASE_MS * (2 ** n_fail - 1)
+
+    url, n_fail = found["exhaust"]
+    status, content, _, attempts, backoff = _fetch_with_retry(url, "25504446")
+    assert status == RETRYABLE_STATUS and content == b""
+    assert attempts == MAX_ATTEMPTS
+    assert backoff == BACKOFF_BASE_MS * (2 ** (MAX_ATTEMPTS - 1) - 1)
+
+
+def test_fetch_dead_letter_routing(spark):
+    """Dead-lettered rows (exhausted retries or fail-fast) carry no
+    cdn_object and every non-dead row proceeded to upload naming."""
+    from navigator_data_ingest_spark.operators.fetch import ingest_fetch_retry
+
+    retry = ingest_fetch_retry(spark, SF_SMOKE).collect()
+    assert {r.status for r in retry} <= {200, 404, 503}
+    assert any(r.status == 503 for r in retry), "no exhausted-retry rows in corpus"
+    for r in retry:
+        assert r.dead_letter == (r.status != 200)
+        if r.status == 503:
+            assert r.attempts == 4 and r.backoff_ms == 1750
+        if r.status == 404:
+            assert r.attempts == 1 and r.backoff_ms == 0
 
 
 def test_multimodal_schema_and_stub(spark):
