@@ -19,21 +19,43 @@ from pyspark.sql import functions as F
 _HTTP_URL_RE = r"^https?://[^\s/$.?#][^\s]*$"
 
 
-# Latin transliteration map (1:1, text-unidecode-compatible) applied by
-# BOTH engines via translate(); multi-char expansions follow separately.
+# Transliteration maps (text-unidecode-compatible public tables) applied
+# by BOTH engines via translate(); multi-char expansions follow
+# separately. Latin covers Latin-1 + Latin-Extended-A; Cyrillic covers
+# Russian + Ukrainian single-output letters (Ъ/ъ fold to a separator —
+# unidecode emits a quote there, which the slug pass dashes identically);
+# Greek covers the base alphabet + tonos/dialytika accents.
 TRANSLIT_SRC = (
     "ÀÁÂÃÄÅàáâãäåÈÉÊËèéêëÌÍÎÏìíîïÒÓÔÕÖØòóôõöøÙÚÛÜùúûüÝýÿÑñÇç"
     "ĀāĂăĄąĆćĈĉČčĎďĐđĒēĔĕĖėĘęĚěĜĝĞğĢģĤĥĪīĬĭĮįİıĴĵĶķĹĺĻļĽľŁł"
     "ŃńŅņŇňŌōŎŏŐőŔŕŖŗŘřŚśŜŝŞşŠšŢţŤťŪūŬŭŮůŰűŲųŴŵŶŷŸŹźŻżŽž"
+    "АаБбВвГгДдЕеЗзИиЙйКкЛлМмНнОоПпРрСсТтУуФфЫыЭэІіЇїҐґЪъ"
+    "ΑαΒβΓγΔδΕεΖζΗηΙιΚκΛλΜμΝνΞξΟοΠπΡρΣσςΤτΥυΩωΆάΈέΉήΊίΌόΎύΏώϊϋΐΰ"
 )
 TRANSLIT_DST = (
     "AAAAAAaaaaaaEEEEeeeeIIIIiiiiOOOOOOooooooUUUUuuuuYyyNnCc"
     "AaAaAaCcCcCcDdDdEeEeEeEeEeGgGgGgHhIiIiIiIiJjKkLlLlLlLl"
     "NnNnNnOoOoOoRrRrRrSsSsSsSsTtTtUuUuUuUuUuWwYyYZzZzZz"
+    "AaBbVvGgDdEeZzIiIiKkLlMmNnOoPpRrSsTtUuFfYyEeIiIiGg--"
+    "AaBbGgDdEeZzEeIiKkLlMmNnXxOoPpRrSssTtUuOoAaEeEeIiOoUuOoiuiu"
 )
-# multi-char expansions translate() can't express (unidecode outputs)
-TRANSLIT_MULTI = (("ß", "ss"), ("Æ", "AE"), ("æ", "ae"), ("Œ", "OE"),
-                  ("œ", "oe"), ("Þ", "Th"), ("þ", "th"))
+# multi-char expansions translate() can't express (unidecode outputs).
+# Ь/ь map to empty: unidecode emits an ASCII apostrophe, which
+# python-slugify's quote post-process removes — same net effect.
+TRANSLIT_MULTI = (
+    ("ß", "ss"), ("Æ", "AE"), ("æ", "ae"), ("Œ", "OE"),
+    ("œ", "oe"), ("Þ", "Th"), ("þ", "th"),
+    # Cyrillic digraphs (unidecode x004 table)
+    ("Ж", "Zh"), ("ж", "zh"), ("Х", "Kh"), ("х", "kh"),
+    ("Ц", "Ts"), ("ц", "ts"), ("Ч", "Ch"), ("ч", "ch"),
+    ("Щ", "Shch"), ("щ", "shch"), ("Ш", "Sh"), ("ш", "sh"),
+    ("Ю", "Iu"), ("ю", "iu"), ("Я", "Ia"), ("я", "ia"),
+    ("Ё", "Io"), ("ё", "io"), ("Є", "Ie"), ("є", "ie"),
+    ("Ь", ""), ("ь", ""),
+    # Greek digraphs (unidecode x003 table)
+    ("Θ", "Th"), ("θ", "th"), ("Φ", "Ph"), ("φ", "ph"),
+    ("Χ", "Kh"), ("χ", "kh"), ("Ψ", "Ps"), ("ψ", "ps"),
+)
 # smart single quotes: unidecode folds them to ASCII ' which
 # python-slugify's POST-process removes (pre-process only sees ASCII ')
 SMART_SINGLE_QUOTES = "’‘‚‛"
@@ -51,11 +73,12 @@ def slugify_col(name: Column) -> Column:
       5. drop commas inside numbers           (NUMBERS_PATTERN)
       6. non-[a-z0-9] runs -> '-', trim '-'
 
-    Step 2 covers the Latin-1/Latin-Extended-A tables; non-Latin scripts
-    (CJK, Cyrillic, …) are dropped rather than romanized — the one
-    documented divergence from unidecode's full tables. Step 5 uses two
-    passes of ``(\\d),(\\d)`` instead of lookarounds so the DuckDB (RE2)
-    oracle applies the IDENTICAL rule.
+    Step 2 covers the Latin-1/Latin-Extended-A, Cyrillic (Russian +
+    Ukrainian) and Greek unidecode tables; scripts beyond those (CJK,
+    Arabic, …) are dropped rather than romanized — the one documented
+    divergence from unidecode's full tables. Step 5 uses two passes of
+    ``(\\d),(\\d)`` instead of lookarounds so the DuckDB (RE2) oracle
+    applies the IDENTICAL rule.
     """
     s = F.regexp_replace(name, r"'+", "-")
     s = F.translate(s, TRANSLIT_SRC, TRANSLIT_DST)

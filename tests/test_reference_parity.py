@@ -186,6 +186,14 @@ def test_slugify_python_slugify_parity(spark):
         ("1,000 reasons", "1000-reasons"),
         ("1,2,3,4,5", "12345"),
         ("Æon Œuvre Þing", "aeon-oeuvre-thing"),
+        # Cyrillic (unidecode x004 table): digraphs, Ь removal, Ъ separator
+        ("Москва и Санкт-Петербург", "moskva-i-sankt-peterburg"),
+        ("Щедрість", "shchedrist"),
+        ("весь съезд", "ves-s-ezd"),
+        ("Ёлка хорошая", "iolka-khoroshaia"),
+        # Greek (unidecode x003 table): eta->e, digraphs, tonos accents
+        ("Ελληνική Δημοκρατία", "ellenike-demokratia"),
+        ("Ψυχή και φιλοσοφία", "psukhe-kai-philosophia"),
         ("中国政策 plan", "plan"),  # divergence: unidecode would romanize
     ]
     df = spark.createDataFrame(
