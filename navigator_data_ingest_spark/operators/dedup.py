@@ -156,50 +156,98 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The step a real dedup pipeline needs AFTER pair generation: every
     document gets the minimum doc_id of its duplicate component as
     ``canonical_id`` (isolated docs are their own canonical), plus the
-    component size. Iterative min-label propagation: each round joins
-    the current labels across the (undirected) edge set and keeps the
-    elementwise minimum, converging in O(component diameter) rounds —
-    the simple variant of the large-star/small-star map-reduce CC
-    algorithm, which is the drop-in upgrade if diameters get long at
-    100 TB. Convergence is data-checked per round (one count job), with
-    a hard cap as a safety rail; each round's result localCheckpoints so
-    the plan doesn't deepen with the iteration count.
+    component size. Components come from the alternating
+    large-star/small-star contraction (see ``star_contraction``), which
+    converges in O(log n) rounds regardless of component diameter.
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     nodes = scatter(spark, load_table(spark, sf_dir, "documents").select("doc_id"))
     return connected_components(nodes, pairs).orderBy("doc_id")
 
 
+def star_contraction(pairs: DataFrame) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star contraction over an edge set.
+
+    The two-phase map-reduce CC algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", 2014): simple min-label
+    propagation needs O(component diameter) rounds — a pathological
+    chain of duplicates (common in crawl data: near-identical pages
+    drifting gradually) makes that linear. The star operations instead
+    halve path lengths every round:
+
+      large-star: each node u links every LARGER neighbor v > u to
+                  m = min(neighborhood(u) ∪ {u});
+      small-star: on the resulting child→parent edges, each child u
+                  re-links its parents and itself to its minimum parent.
+
+    Both preserve connectivity; the fixpoint is one star per component
+    (every non-min node pointing at the component minimum). Rounds are
+    fingerprint-checked (count + endpoint sums) with a set-difference
+    confirmation, each round localCheckpointed so the plan stays flat.
+
+    Returns ((node, label) for every NON-ROOT pair-covered node, rounds).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    prev_fp, prev_edges, rounds = None, edges, 0
+    for rounds in range(1, MAX_CC_ITERATIONS + 1):
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        # (v, m) for every larger neighbor; v > u >= m, so every edge
+        # leaves this step oriented child(larger) -> parent(smaller)
+        large = (
+            sym.join(lmins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))  # parents -> m
+            .union(smins.select("u", F.col("m").alias("v")))       # child  -> m
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        fp = small.agg(
+            F.count(F.lit(1)), F.sum("u"), F.sum("v")
+        ).collect()[0]
+        edges = small
+        if prev_fp is not None and tuple(fp) == tuple(prev_fp):
+            # fingerprint match: confirm true set equality (counts match,
+            # both sides distinct -> one-direction diff suffices)
+            if edges.exceptAll(prev_edges).limit(1).count() == 0:
+                break
+        prev_fp, prev_edges = fp, edges
+    # at the fixpoint every edge is (member, component-min)
+    return edges.select(F.col("u").alias("doc_id"), F.col("v").alias("label")), rounds
+
+
 def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Min-label connected components over any (doc_a, doc_b) pair set.
+    """Connected components over any (doc_a, doc_b) pair set.
 
     Returns (doc_id, canonical_id, cluster_size, is_duplicate) for every
-    node (isolated nodes are their own canonical).
+    node (isolated nodes are their own canonical). Component discovery
+    is the O(log n)-round large-star/small-star contraction
+    (``star_contraction``); roots and isolated nodes label themselves.
     """
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=False)
-    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(
-        eager=False
+    member_labels, _ = star_contraction(pairs)
+    labels = (
+        nodes.join(member_labels, "doc_id", "left")
+        .select("doc_id", F.coalesce("label", "doc_id").alias("label"))
     )
-    for _ in range(MAX_CC_ITERATIONS):
-        neighbor_min = (
-            edges.join(labels, edges["doc_b"] == labels["doc_id"])
-            .groupBy(edges["doc_a"].alias("doc_id"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
-                (F.col("nmin") < F.col("label")).alias("changed"),
-            )
-        ).localCheckpoint(eager=False)
-        if new_labels.where(F.col("changed")).limit(1).count() == 0:
-            labels = new_labels.select("doc_id", "label")
-            break
-        labels = new_labels.select("doc_id", "label")
     sizes = labels.groupBy(F.col("label").alias("canonical_id")).agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

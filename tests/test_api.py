@@ -50,6 +50,28 @@ def test_dedup_clusters_custom_columns(spark):
     assert out[4].canonical_id == 4 and out[4].cluster_size == 1
 
 
+def test_connected_components_chain_converges_logarithmically(spark):
+    """A 256-node path graph (worst case for min-label propagation,
+    which needs diameter=255 rounds — past the 50-round safety cap) must
+    resolve correctly in O(log n) star-contraction rounds."""
+    from navigator_data_ingest_spark.operators.dedup import (
+        connected_components,
+        star_contraction,
+    )
+
+    n = 256
+    nodes = spark.range(0, n).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint"
+    )
+    _, rounds = star_contraction(pairs)
+    assert rounds <= 15, f"chain took {rounds} rounds (diameter-bound?)"
+    out = {r.doc_id: r for r in connected_components(nodes, pairs).collect()}
+    assert len(out) == n
+    assert all(r.canonical_id == 0 and r.cluster_size == n for r in out.values())
+    assert not out[0].is_duplicate and out[255].is_duplicate
+
+
 def test_quality_filter_keeps_original_columns(spark):
     kept = api.quality_filter(_df(spark), "page_id", "body")
     assert kept.columns == ["page_id", "body"]
