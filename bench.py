@@ -49,9 +49,23 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     qs = registry.queries()
-    # warm the JVM + parquet footers with a trivial action
+    # ENGINE warmup (not query warmup): the first codegen-heavy job pays
+    # JIT for the regexp/md5 expression paths, the first Python stage
+    # forks the Arrow worker pool, and the first scan reads parquet
+    # footers. Paying these once on tiny synthetic input keeps each
+    # query's timing a steady-state per-row cost instead of crediting
+    # whichever query happens to run first with several seconds of
+    # one-time JVM setup.
     try:
         spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+        spark.range(0, 20000).selectExpr(
+            "md5(cast(id as string)) AS h",
+            "regexp_extract_all(lower('ab 12 xy xyz 9 q w'), '[a-z0-9]+', 0) AS t",
+            "aggregate(sequence(1, 8), cast(0.0 as double), (a, i) -> a + i) AS f",
+        ).write.format("noop").mode("overwrite").save()
+        spark.range(0, 1000).mapInPandas(
+            lambda it: it, schema="id bigint"
+        ).write.format("noop").mode("overwrite").save()
     except Exception as e:
         print(f"bench: warmup failed ({e}); continuing", file=sys.stderr)
 
