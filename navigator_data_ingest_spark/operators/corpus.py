@@ -1,0 +1,469 @@
+"""Corpus-preparation operators for LLM training-data pipelines.
+
+The steps a 100 TB pretraining corpus goes through between "crawled
+documents" and "token stream": passage-level exact dedup (C4-style),
+benchmark-contamination detection, within-document repetition signals
+(Gopher-style), deterministic stratified sampling, source blocklist
+filtering, and sequence packing (concatenate-and-chunk) with a
+scale-safe two-level prefix sum.
+
+Every operator is expression-first (whole-stage codegen), shuffles only
+on the key that the semantics require, and carries a DuckDB oracle
+built from the same expression templates (`functions/exprs.py`) so the
+results are bit-identical cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from navigator_data_ingest_spark.functions import exprs as X
+from navigator_data_ingest_spark.sources.tables import load_table, scatter
+
+PASSAGE_TOKENS = 16       # non-overlapping passage window (tokens)
+CONTAM_K = 8              # contamination n-gram order
+CONTAM_MOD = 97           # doc_id % MOD == 0 -> benchmark member
+PACK_CHUNK = 256          # packed training-sequence length (tokens)
+PACK_BLOCK = 4096         # doc_id block for the two-level prefix sum
+
+# per-language keep rates in permille — integer thresholds so the
+# keep decision is an integer comparison, never a float one
+STRAT_RATES = {"en": 400, "es": 700, "fr": 700, "de": 800, "zh": 900}
+STRAT_DEFAULT = 100
+
+BLOCKED_SOURCES = ["src3", "src7", "src11", "src15"]
+
+
+def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + let-bound token array (computed once per row)."""
+    return scatter(spark, load_table(spark, sf_dir, "documents")).withColumn(
+        "t", F.expr(X.sp_tokens("text"))
+    )
+
+
+# --------------------------------------------------------------------------
+# passage-level exact dedup (C4-style)
+# --------------------------------------------------------------------------
+
+def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup: chunk every document into
+    non-overlapping ``PASSAGE_TOKENS``-token passages, hash each, keep
+    only the globally-FIRST occurrence of every distinct passage
+    (ordered by (doc_id, chunk_idx)), and report per-document survival.
+
+    Scale shape: the passage hash is map-side; the only shuffle is on
+    ``passage_hash`` (first-occurrence needs all copies of a passage on
+    one reducer — that IS the semantics), then an agg shuffle back to
+    doc grain. Both keys are high-cardinality and unskewed (hashes), so
+    this survives 100x: no single reducer sees more than one passage's
+    duplicate set. This is the C4/RefinedWeb "exact substring at
+    passage granularity" step that runs BEFORE fuzzy minhash dedup.
+    """
+    P = PASSAGE_TOKENS
+    passages = _tokens_df(spark, sf_dir).where("size(t) > 0").select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(t) - 1) div {P}),"
+                f" i -> md5(array_join(slice(t, i * {P} + 1, {P}), ' ')))"
+            )
+        ).alias("chunk_idx", "passage_hash"),
+    )
+    kept = passages.withColumn(
+        "kept",
+        F.row_number().over(
+            Window.partitionBy("passage_hash").orderBy("doc_id", "chunk_idx")
+        )
+        == 1,
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_kept",
+            F.round(
+                F.col("n_kept").cast("double") / F.col("n_passages"), 6
+            ).alias("kept_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_passage_sql() -> str:
+    P = PASSAGE_TOKENS
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {X.dk_tokens('text')} AS t FROM documents
+    ), ch AS (
+        SELECT doc_id, i::bigint AS chunk_idx,
+               md5(array_to_string(t[(i * {P} + 1):(i * {P} + {P})], ' ')) AS h
+        FROM toks, unnest(generate_series(0, (len(t) - 1) // {P})) AS u(i)
+        WHERE len(t) > 0
+    ), k AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) = 1 AS kept
+        FROM ch
+    )
+    SELECT doc_id, count(*)::bigint AS n_passages,
+           sum(kept::int)::bigint AS n_kept,
+           round(sum(kept::int) / count(*)::double, 6) AS kept_frac
+    FROM k GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# benchmark contamination
+# --------------------------------------------------------------------------
+
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: which candidate documents contain
+    ``CONTAM_K``-gram overlaps with the benchmark set (here the docs
+    with ``doc_id % CONTAM_MOD == 0`` stand in for a held-out eval set).
+
+    Scale shape: the benchmark side is SMALL by construction (eval sets
+    are thousands of documents against a 100 TB corpus), so its distinct
+    n-gram set is broadcast — the candidate side never shuffles; each
+    task streams its documents past the in-memory benchmark set. The
+    per-doc distinct-gram count is computed map-side
+    (``array_distinct``) so the join carries no duplicate grams.
+    """
+    docs = _tokens_df(spark, sf_dir).withColumn(
+        "g", F.expr(f"array_distinct(transform({X.sp_shingles('t', CONTAM_K)}, s -> md5(s)))")
+    )
+    bench = (
+        docs.where(F.col("doc_id") % CONTAM_MOD == 0)
+        .select(F.explode("g").alias("gram"))
+        .distinct()
+    )
+    cand = (
+        docs.where((F.col("doc_id") % CONTAM_MOD != 0) & (F.size("g") > 0))
+        .select(
+            "doc_id", F.size("g").alias("n_ngrams"), F.explode("g").alias("gram")
+        )
+    )
+    hits = cand.join(
+        F.broadcast(bench.withColumn("hit", F.lit(1))), on="gram", how="left"
+    )
+    return (
+        hits.groupBy("doc_id", "n_ngrams")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"))
+        .select(
+            "doc_id",
+            F.col("n_ngrams").cast("long").alias("n_ngrams"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.round(F.col("n_hit").cast("double") / F.col("n_ngrams"), 6).alias(
+                "contam_frac"
+            ),
+            # integer comparison: contaminated iff > 20% of distinct grams hit
+            (F.col("n_hit") * 5 > F.col("n_ngrams")).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_contamination_sql() -> str:
+    k, mod = CONTAM_K, CONTAM_MOD
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {X.dk_tokens('text')} AS t FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform({X.dk_shingles('t', k)}, s -> md5(s))) AS g
+        FROM toks
+    ), bench AS (
+        SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % {mod} = 0
+    ), cand AS (
+        SELECT doc_id, len(g) AS n_ngrams, unnest(g) AS gram
+        FROM grams WHERE doc_id % {mod} <> 0 AND len(g) > 0
+    ), hits AS (
+        SELECT c.doc_id, c.n_ngrams,
+               count(b.gram) AS n_hit
+        FROM cand c LEFT JOIN bench b ON c.gram = b.gram
+        GROUP BY c.doc_id, c.n_ngrams
+    )
+    SELECT doc_id, n_ngrams::bigint AS n_ngrams, n_hit::bigint AS n_hit,
+           round(n_hit / n_ngrams::double, 6) AS contam_frac,
+           n_hit * 5 > n_ngrams AS contaminated
+    FROM hits ORDER BY doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# within-document repetition (Gopher-style quality signal)
+# --------------------------------------------------------------------------
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals: the share of the most
+    frequent token and the fraction of duplicated 3-gram shingles —
+    the two Gopher-family repetition filters.
+
+    Scale shape: the trigram dup-fraction is a pure map-side array
+    expression (``array_distinct`` inside the row). The top-token share
+    needs a per-(doc, token) count — explode + two-level agg, shuffling
+    on (doc_id, tok) then doc_id; both keys are unskewed because doc_id
+    is part of the key. The repetitive flag uses integer cross products
+    (``max_cnt * 10 > n``), never float thresholds, so the oracle
+    matches bit-for-bit.
+    """
+    docs = _tokens_df(spark, sf_dir).where("size(t) > 0")
+    tri = docs.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.expr(
+            X.sp_let(
+                "s",
+                X.sp_shingles("t", 3),
+                "size(s) - size(array_distinct(s))",
+            )
+        ).alias("n_dup_tri"),
+        F.expr(f"size({X.sp_shingles('t', 3)})").alias("n_tri"),
+    )
+    top = (
+        docs.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("max_cnt"))
+    )
+    return (
+        tri.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("max_cnt").cast("long").alias("top_token_count"),
+            F.round(F.col("max_cnt").cast("double") / F.col("n_tokens"), 6).alias(
+                "top_token_share"
+            ),
+            F.when(
+                F.col("n_tri") > 0,
+                F.round(F.col("n_dup_tri").cast("double") / F.col("n_tri"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_trigram_frac"),
+            (
+                (F.col("max_cnt") * 10 > F.col("n_tokens"))
+                | (F.col("n_dup_tri") * 2 > F.col("n_tri"))
+            ).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_repetition_sql() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {X.dk_tokens('text')} AS t FROM documents
+    ), nz AS (
+        SELECT * FROM toks WHERE len(t) > 0
+    ), tri AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               len({X.dk_shingles('t', 3)})
+                 - len(list_distinct({X.dk_shingles('t', 3)})) AS n_dup_tri,
+               len({X.dk_shingles('t', 3)}) AS n_tri
+        FROM nz
+    ), top AS (
+        SELECT doc_id, max(cnt) AS max_cnt FROM (
+            SELECT doc_id, tok, count(*) AS cnt FROM (
+                SELECT doc_id, unnest(t) AS tok FROM nz
+            ) GROUP BY doc_id, tok
+        ) GROUP BY doc_id
+    )
+    SELECT tri.doc_id, n_tokens::bigint AS n_tokens,
+           max_cnt::bigint AS top_token_count,
+           round(max_cnt / n_tokens::double, 6) AS top_token_share,
+           CASE WHEN n_tri > 0
+                THEN round(n_dup_tri / n_tri::double, 6) ELSE 0.0 END
+             AS dup_trigram_frac,
+           (max_cnt * 10 > n_tokens) OR (n_dup_tri * 2 > n_tri) AS repetitive
+    FROM tri JOIN top ON tri.doc_id = top.doc_id
+    ORDER BY tri.doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# sequence packing (concatenate-and-chunk)
+# --------------------------------------------------------------------------
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: lay every document's
+    tokens end-to-end in doc_id order and cut the stream into
+    ``PACK_CHUNK``-token training sequences; emit each document's
+    global token offset and the chunk span it lands in.
+
+    Scale shape: a global prefix sum via an UNPARTITIONED window would
+    serialize the corpus onto one task (the q_ntile_spend lesson), so
+    this uses the classic two-level scan: (1) an intra-block cumsum
+    windowed by ``doc_id div PACK_BLOCK`` — parallel across blocks;
+    (2) block subtotals (|corpus|/4096 rows) cumsum'd in a tiny window
+    and broadcast back. Depth-2 covers ~10^11 docs; the pattern nests
+    to depth-3 if a corpus ever outgrows it. Everything else is
+    map-side integer arithmetic. The DuckDB oracle is the plain global
+    window — same numbers, serial plan.
+    """
+    docs = (
+        _tokens_df(spark, sf_dir)
+        .select("doc_id", F.size("t").alias("n_tokens"))
+        .where("n_tokens > 0")
+        .withColumn("block", F.expr(f"doc_id div {PACK_BLOCK}"))
+    )
+    intra = docs.withColumn(
+        "intra_cum",
+        F.sum("n_tokens").over(
+            Window.partitionBy("block")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    block_offsets = (
+        docs.groupBy("block")
+        .agg(F.sum("n_tokens").alias("block_total"))
+        .withColumn(
+            "block_offset",
+            F.coalesce(
+                F.sum("block_total").over(
+                    Window.orderBy("block").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("block", "block_offset")
+    )
+    C = PACK_CHUNK
+    return (
+        intra.join(F.broadcast(block_offsets), "block")
+        .withColumn(
+            "global_offset", F.col("block_offset") + F.col("intra_cum") - F.col("n_tokens")
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "global_offset",
+            F.expr(f"global_offset div {C}").alias("first_chunk"),
+            F.expr(f"(global_offset + n_tokens - 1) div {C}").alias("last_chunk"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def pack_sequences_sql() -> str:
+    C = PACK_CHUNK
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, len({X.dk_tokens('text')}) AS n_tokens FROM documents
+    ), nz AS (
+        SELECT * FROM toks WHERE n_tokens > 0
+    ), cum AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens AS global_offset
+        FROM nz
+    )
+    SELECT doc_id, n_tokens::bigint AS n_tokens,
+           global_offset::bigint AS global_offset,
+           (global_offset // {C})::bigint AS first_chunk,
+           ((global_offset + n_tokens - 1) // {C})::bigint AS last_chunk
+    FROM cum ORDER BY doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# deterministic stratified sampling
+# --------------------------------------------------------------------------
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified downsampling with per-stratum keep rates —
+    the corpus-balancing step (downsample the dominant language,
+    upweight the tail) every multilingual pretraining mix needs.
+
+    The keep decision is ``hash32('strat:' || doc_id) % 1000 <
+    rate_permille[lang]`` — a pure map-side integer comparison, so the
+    sample is deterministic, reproducible across engines and runs, and
+    requires NO shuffle; the only shuffle is the per-language audit agg
+    (|languages| rows).
+    """
+    rate = "CASE " + " ".join(
+        f"WHEN lang = '{lg}' THEN {r}" for lg, r in sorted(STRAT_RATES.items())
+    ) + f" ELSE {STRAT_DEFAULT} END"
+    h = X.sp_hash32("cast(doc_id as string)", "strat")
+    docs = scatter(spark, load_table(spark, sf_dir, "documents")).withColumn(
+        "kept", F.expr(f"({h}) % 1000 < {rate}")
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_kept",
+            F.round(F.col("n_kept").cast("double") / F.col("n_docs"), 6).alias(
+                "kept_frac"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def sample_stratified_sql() -> str:
+    rate = "CASE " + " ".join(
+        f"WHEN lang = '{lg}' THEN {r}" for lg, r in sorted(STRAT_RATES.items())
+    ) + f" ELSE {STRAT_DEFAULT} END"
+    h = X.dk_hash32("doc_id::varchar", "strat")
+    return f"""
+    WITH flags AS (
+        SELECT lang, ({h}) % 1000 < ({rate}) AS kept FROM documents
+    )
+    SELECT lang, count(*)::bigint AS n_docs,
+           sum(kept::int)::bigint AS n_kept,
+           round(sum(kept::int) / count(*)::double, 6) AS kept_frac
+    FROM flags GROUP BY lang ORDER BY lang
+    """
+
+
+# --------------------------------------------------------------------------
+# source blocklist filtering
+# --------------------------------------------------------------------------
+
+def filter_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/domain blocklist filtering as a broadcast ANTI join —
+    the shape that matters at scale: the blocklist is a small dim (here
+    inline; in production a table), the corpus side streams past the
+    broadcast hash set with ZERO shuffle of document rows. Survivor
+    counts per source are the audit output.
+    """
+    blocklist = spark.createDataFrame(
+        [(s,) for s in BLOCKED_SOURCES], "source string"
+    )
+    survivors = scatter(spark, load_table(spark, sf_dir, "documents")).join(
+        F.broadcast(blocklist), on="source", how="left_anti"
+    )
+    return (
+        survivors.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def filter_blocklist_sql() -> str:
+    blocked = ", ".join(f"'{s}'" for s in BLOCKED_SOURCES)
+    return f"""
+    SELECT source, count(*)::bigint AS n_docs,
+           sum(n_chars)::bigint AS total_chars
+    FROM documents
+    WHERE source NOT IN ({blocked})
+    GROUP BY source ORDER BY source
+    """

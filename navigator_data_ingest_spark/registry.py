@@ -2182,3 +2182,29 @@ register(
     ORDER BY n_name
     """,
 )
+
+# --------------------------------------------------------------------------
+# §2.4 corpus-preparation (round 2): passage dedup, contamination,
+# repetition, packing, stratified sampling, blocklist
+# --------------------------------------------------------------------------
+
+from navigator_data_ingest_spark.operators import corpus
+
+register("dedup_passage", corpus.dedup_passage, corpus.dedup_passage_sql())
+register(
+    "text_contamination",
+    corpus.text_contamination,
+    corpus.text_contamination_sql(),
+)
+register("text_repetition", corpus.text_repetition, corpus.text_repetition_sql())
+register("pack_sequences", corpus.pack_sequences, corpus.pack_sequences_sql())
+register(
+    "sample_stratified",
+    corpus.sample_stratified,
+    corpus.sample_stratified_sql(),
+)
+register(
+    "filter_blocklist",
+    corpus.filter_blocklist,
+    corpus.filter_blocklist_sql(),
+)

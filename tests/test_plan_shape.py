@@ -14,6 +14,7 @@ import pytest
 from navigator_data_ingest_spark import registry
 from navigator_data_ingest_spark.plans.audit import (
     codegen_stage_count,
+    formatted_plan,
     plan_audit,
     pushed_filters,
     read_schemas,
@@ -194,3 +195,37 @@ def test_emb_centroids_no_explode_before_aggregate(spark):
     assert int(gen.group(1)) > max(
         int(m.group(1)) for m in agg
     ), "explode ran below the aggregate"
+
+
+def test_dedup_passage_shuffles_on_passage_hash(spark):
+    """First-occurrence needs all copies of a passage on one reducer —
+    the shuffle key must be the passage hash (high-cardinality,
+    unskewed), never doc-grain blocks."""
+    df = _Q["dedup_passage"](spark, SF_CORRECT)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(passage_hash" in plan
+    assert plan_audit(df).cartesian_products == 0
+
+
+def test_contamination_benchmark_side_broadcast(spark):
+    """The benchmark gram set is the small side by construction; the
+    candidate corpus must stream past a broadcast, not sort-merge."""
+    audit = plan_audit(_Q["text_contamination"](spark, SF_CORRECT))
+    assert audit.broadcast_joins >= 1
+    assert audit.sortmerge_joins == 0
+
+
+def test_pack_sequences_two_level_prefix_sum(spark):
+    """The doc-grain cumsum must be windowed BY BLOCK (parallel), with
+    block offsets joined back via broadcast — an unpartitioned window
+    over doc rows would serialize the corpus onto one task."""
+    df = _Q["pack_sequences"](spark, SF_CORRECT)
+    plan = formatted_plan(df)
+    assert "windowspecdefinition(block" in plan, "doc cumsum lost its block partition"
+    assert plan_audit(df).broadcast_joins >= 1, "block offsets not broadcast"
+
+
+def test_filter_blocklist_broadcast_anti_join(spark):
+    df = _Q["filter_blocklist"](spark, SF_CORRECT)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
