@@ -2208,3 +2208,23 @@ register(
     corpus.filter_blocklist,
     corpus.filter_blocklist_sql(),
 )
+
+# --------------------------------------------------------------------------
+# §2.2 sources/sinks (round 2): JSONL round-trip, bucketed co-located join
+# --------------------------------------------------------------------------
+
+from navigator_data_ingest_spark.sources import bucketed, flat
+
+register(
+    "src_jsonl_roundtrip",
+    flat.src_jsonl_roundtrip,
+    """
+    SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+    FROM documents ORDER BY doc_id
+    """,
+)
+register(
+    "sink_bucketed_join",
+    bucketed.sink_bucketed_join,
+    bucketed.sink_bucketed_join_sql(),
+)

@@ -68,3 +68,47 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+DOCUMENTS_JSONL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> JSON-lines dataset -> explicit-schema read-back.
+
+    JSONL is the lingua franca of LLM training corpora (one document
+    object per line, splittable, append-friendly); the round trip
+    proves the connector pair is lossless INCLUDING the text payload —
+    ``text_md5`` in the output hash-compares every byte of every
+    document against the parquet-sourced oracle, so JSON string
+    escaping (quotes, unicode) is covered, not just the typed columns.
+    As with CSV, the read side always carries an explicit schema:
+    inference is a full extra pass over 100 TB.
+    """
+    out = sink_path("documents_jsonl", sf_dir)
+    (
+        load_table(spark, sf_dir, "documents")
+        .select(*[f.name for f in DOCUMENTS_JSONL_SCHEMA.fields])
+        .write.mode("overwrite")
+        .json(out)
+    )
+    return (
+        spark.read.schema(DOCUMENTS_JSONL_SCHEMA)
+        .json(out)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.md5("text").alias("text_md5"),
+        )
+        .orderBy("doc_id")
+    )

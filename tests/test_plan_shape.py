@@ -229,3 +229,24 @@ def test_filter_blocklist_broadcast_anti_join(spark):
     df = _Q["filter_blocklist"](spark, SF_CORRECT)
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Bucketing by the join key moves the shuffle into the one-time
+    write: the subsequent sort-merge join must read bucket-aligned
+    scans with ZERO Exchange (broadcast disabled to force the
+    shuffle-or-bucket decision)."""
+    from navigator_data_ingest_spark.sources import bucketed
+
+    bucketed.write_bucketed(spark, SF_CORRECT)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed.bucketed_join(spark, SF_CORRECT)
+        plan = formatted_plan(df)
+        audit = plan_audit(df)
+        assert audit.sortmerge_joins >= 1, "bucketed join fell off sort-merge"
+        assert "Exchange hashpartitioning(o_custkey" not in plan
+        assert "Exchange hashpartitioning(c_custkey" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
