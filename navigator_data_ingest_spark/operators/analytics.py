@@ -1309,3 +1309,51 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_name
         """
     )
+
+
+N_SALT = 8
+
+
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join over a pathologically low-cardinality key.
+
+    ``events`` carries only 5 distinct ``event_type`` values, so a
+    plain shuffle join on that key lands the whole fact table on 5
+    reducer partitions — at 100 TB, 5 busy executors and 995 idle ones.
+    The classic mitigation when the skewed side must shuffle (e.g. the
+    other side is too big to broadcast, simulated here by disabling
+    broadcast in the plan test): SALT the key. The fact side gets a
+    deterministic ``salt = pmod(hash(event_id), N_SALT)``; the dim side
+    is replicated N_SALT times (an explode of a literal range — N_SALT
+    rows per key, trivially small); the join key becomes
+    ``(event_type, salt)`` — 5*N_SALT shuffle keys instead of 5, so
+    parallelism scales with N_SALT, not key cardinality. AQE's
+    ``skewedJoin`` rewrite handles the *large-partition* flavor of this
+    at runtime; explicit salting is the planning-time answer when the
+    key histogram is known (and the only answer for stream-stream).
+
+    The query itself: per-type mean absolute deviation of event value —
+    the dim side is the per-type mean (computed first, 5 rows), joined
+    back salted. Oracled against the unsalted formulation; salt never
+    escapes (it is a join-locality artifact, projected away).
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    type_means = (
+        events.groupBy("event_type")
+        .agg(F.avg("value").alias("type_mean"))
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1))))
+    )
+    salted = events.withColumn(
+        "salt", F.pmod(F.hash("event_id"), F.lit(N_SALT)).cast("int")
+    )
+    return (
+        salted.join(type_means, ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _r(F.avg(F.abs(F.col("value") - F.col("type_mean"))), "mad"),
+        )
+        .orderBy("event_type")
+    )

@@ -2228,3 +2228,40 @@ register(
     bucketed.sink_bucketed_join,
     bucketed.sink_bucketed_join_sql(),
 )
+
+# --------------------------------------------------------------------------
+# round 2 continued: partition pruning, ORC, salted skew join
+# --------------------------------------------------------------------------
+
+from navigator_data_ingest_spark.sources import partitioned
+
+register(
+    "sink_partitioned_prune",
+    partitioned.sink_partitioned_prune,
+    partitioned.sink_partitioned_prune_sql(),
+)
+register(
+    "src_orc_roundtrip",
+    flat.src_orc_roundtrip,
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           l_returnflag, l_shipdate
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+register(
+    "q_skew_join_salted",
+    analytics.q_skew_join_salted,
+    """
+    WITH m AS (
+        SELECT event_type, avg(value) AS type_mean
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*)::bigint AS n_events,
+           round(avg(abs(e.value - m.type_mean)), 6) AS mad
+    FROM events e JOIN m USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)

@@ -14,10 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -111,4 +113,42 @@ def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("text").alias("text_md5"),
         )
         .orderBy("doc_id")
+    )
+
+
+LINEITEM_ORC_SCHEMA = StructType(
+    [
+        StructField("l_orderkey", LongType()),
+        StructField("l_linenumber", IntegerType()),
+        StructField("l_quantity", DoubleType()),
+        StructField("l_extendedprice", DoubleType()),
+        StructField("l_returnflag", StringType()),
+        # parquet writes these as isAdjustedToUTC=false -> Spark NTZ;
+        # the ORC read schema must match or the scan refuses the cast
+        StructField("l_shipdate", TimestampNTZType()),
+    ]
+)
+
+
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem -> ORC dataset -> explicit-schema read-back.
+
+    ORC is the third columnar interchange format a warehouse meets
+    (Hive/Trino ecosystems); Spark ships the reader/writer natively.
+    Types round-trip losslessly (int/long/double bit-exact, timestamps
+    at micro precision), verified by hash-compare against the
+    parquet-sourced oracle. Doubles pass through UNROUNDED — columnar
+    formats store the IEEE bits, unlike the CSV text path.
+    """
+    out = sink_path("lineitem_orc", sf_dir)
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select(*[f.name for f in LINEITEM_ORC_SCHEMA.fields])
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    return (
+        spark.read.schema(LINEITEM_ORC_SCHEMA)
+        .orc(out)
+        .orderBy("l_orderkey", "l_linenumber")
     )

@@ -250,3 +250,36 @@ def test_bucketed_join_has_no_exchange(spark):
         assert "Exchange hashpartitioning(c_custkey" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partitioned_read_prunes_directories(spark):
+    """The lang predicate must land in PartitionFilters (directory-level
+    pruning at planning time) and NOT in the data filters — the
+    partition column does not exist inside the files."""
+    from navigator_data_ingest_spark.sources import partitioned
+
+    path = partitioned.write_partitioned(spark, SF_CORRECT)
+    df = partitioned.pruned_read(spark, path, "en")
+    plan = formatted_plan(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), "lang filter not pruned at partition level"
+    assert all("lang" not in p for p in pushed_filters(df))
+
+
+def test_skew_join_salt_widens_shuffle_key(spark):
+    """With broadcast disabled, the fact-side exchange must partition on
+    (event_type, salt) — 5*N_SALT shuffle keys, not 5."""
+    import re
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _Q["q_skew_join_salted"](spark, SF_CORRECT)
+        plan = formatted_plan(df)
+        assert re.search(r"hashpartitioning\(event_type#\d+, salt#\d+", plan), (
+            "join shuffle does not include the salt key"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
