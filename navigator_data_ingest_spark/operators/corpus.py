@@ -467,3 +467,303 @@ def filter_blocklist_sql() -> str:
     WHERE source NOT IN ({blocked})
     GROUP BY source ORDER BY source
     """
+
+
+H_OVERLAP = 16            # minhash components for the overlap sketch
+
+
+def corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source corpus overlap: exact shingle Jaccard plus
+    a minhash-sketch estimate, side by side.
+
+    The question "how much of source A is already in source B" drives
+    mixture weighting and leakage checks. Exact answer: distinct
+    (source, 3-token-shingle) pairs, self-joined on shingle — the join
+    key is the shingle, so per-shingle multiplicity is bounded by the
+    SOURCE count (dozens), never the corpus size; the shuffle is the
+    distinct + one hash join, both linear. The sketch answer: each
+    source folds to an H_OVERLAP-slot minhash signature (H min-aggs,
+    partial map-side — a constant-size sketch per source, the thing
+    you'd persist and re-compare without touching the corpus), and the
+    estimate is the fraction of matching slots. Emitting BOTH lets the
+    oracle certify the sketch against the exact value in one query.
+
+    Pair assembly is |sources|^2 — broadcast-small metadata, not data.
+    """
+    sh = (
+        _tokens_df(spark, sf_dir)
+        .select(
+            "source",
+            F.explode(F.expr(X.sp_shingles("t"))).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    sigs = sh.groupBy("source").agg(
+        *[
+            F.min(F.expr(X.sp_hash32("shingle", k))).alias(f"h{k}")
+            for k in range(H_OVERLAP)
+        ]
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    pairs = (
+        sizes.alias("sa")
+        .crossJoin(sizes.alias("sb"))
+        .where(F.col("sa.source") < F.col("sb.source"))
+        .select(
+            F.col("sa.source").alias("source_a"),
+            F.col("sb.source").alias("source_b"),
+            F.col("sa.n").alias("n_a"),
+            F.col("sb.n").alias("n_b"),
+        )
+    )
+    matches = sum(
+        F.when(F.col(f"ga.h{k}") == F.col(f"gb.h{k}"), 1).otherwise(0)
+        for k in range(H_OVERLAP)
+    )
+    return (
+        pairs.join(F.broadcast(common), ["source_a", "source_b"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+        .join(F.broadcast(sigs.alias("ga")), F.col("source_a") == F.col("ga.source"))
+        .join(F.broadcast(sigs.alias("gb")), F.col("source_b") == F.col("gb.source"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+            F.round(matches / F.lit(float(H_OVERLAP)), 6).alias("jaccard_est"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def corpus_overlap_sql() -> str:
+    sig_cols = ", ".join(
+        f"min({X.dk_hash32('shingle', k)}) AS h{k}" for k in range(H_OVERLAP)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN ga.h{k} = gb.h{k} THEN 1 ELSE 0 END" for k in range(H_OVERLAP)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT source, {X.dk_tokens('text')} AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source, shingle
+        FROM (SELECT source, unnest({X.dk_shingles('t')}) AS shingle FROM tok) u
+    ),
+    sizes AS (SELECT source, count(*)::bigint AS n FROM sh GROUP BY source),
+    sigs AS (SELECT source, {sig_cols} FROM sh GROUP BY source),
+    common AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*)::bigint AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT sa.source AS source_a, sb.source AS source_b,
+           sa.n AS n_a, sb.n AS n_b,
+           coalesce(c.n_common, 0)::bigint AS n_common,
+           round(coalesce(c.n_common, 0) / (sa.n + sb.n - coalesce(c.n_common, 0)), 6) AS jaccard,
+           round(({match_sum}) / {float(H_OVERLAP)}, 6) AS jaccard_est
+    FROM sizes sa
+    JOIN sizes sb ON sa.source < sb.source
+    LEFT JOIN common c ON c.source_a = sa.source AND c.source_b = sb.source
+    JOIN sigs ga ON ga.source = sa.source
+    JOIN sigs gb ON gb.source = sb.source
+    ORDER BY source_a, source_b
+    """
+
+
+# --------------------------------------------------------------------------
+# end-to-end corpus funnel (the composed pipeline, one scan)
+# --------------------------------------------------------------------------
+
+FUNNEL_STAGES = [
+    "0_raw",
+    "1_blocklist",
+    "2_quality",
+    "3_dedup_exact",
+    "4_contamination",
+    "5_stratified",
+]
+
+
+def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning pipeline as ONE query: blocklist ->
+    quality -> exact dedup -> contamination -> stratified sample, with
+    per-stage survivor counts (the funnel report every corpus build
+    publishes).
+
+    Scale shape — the whole funnel is ONE corpus scan: every stage is a
+    cumulative boolean FLAG, not a materialized intermediate dataset.
+    The only non-map stages are (a) the dedup rank — one shuffle on
+    md5(text), where "first occurrence among prior-stage survivors" is
+    expressed as ``row_number() ORDER BY (qualifies DESC, doc_id)`` so
+    the window needs no pre-filtered input — and (b) the contamination
+    join against the broadcast benchmark gram set. The final rollup is
+    a single row, unpivoted to the 6-stage report with ``stack``.
+    """
+    docs = _tokenized_flags_base(spark, sf_dir)
+
+    flagged = (
+        docs.withColumn("q1", F.col("f_block"))
+        .withColumn("q2", F.col("f_block") & F.col("f_quality"))
+        .withColumn("q3", F.col("q2") & F.col("f_dedup"))
+        .withColumn("q4", F.col("q3") & F.col("f_contam"))
+        .withColumn("q5", F.col("q4") & F.col("f_strat"))
+    )
+    row = flagged.agg(
+        F.count("*").alias("n0"),
+        *[F.sum(F.col(f"q{i}").cast("long")).alias(f"n{i}") for i in range(1, 6)],
+    )
+    stack_args = ", ".join(f"'{s}', n{i}" for i, s in enumerate(FUNNEL_STAGES))
+    return (
+        row.selectExpr(f"stack(6, {stack_args}) as (stage, n_docs)")
+        .select("stage", F.col("n_docs").cast("long").alias("n_docs"))
+        .orderBy("stage")
+    )
+
+
+def _tokenized_flags_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + the five stage flags (see corpus_funnel)."""
+    docs = _tokens_df(spark, sf_dir)
+
+    blocked = ", ".join(f"'{s}'" for s in BLOCKED_SOURCES)
+    f_block = F.expr(f"source NOT IN ({blocked})")
+
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    f_quality = F.expr("size(t) >= 10") & (alpha * 10 >= F.length("text") * 6)
+
+    docs = (
+        docs.withColumn("f_block", f_block)
+        .withColumn("f_quality", f_quality)
+        .withColumn("h", F.md5("text"))
+    )
+    # dedup among stage-2 survivors WITHOUT filtering first: qualified
+    # rows sort before unqualified, so rank 1 == first survivor
+    qualify = F.col("f_block") & F.col("f_quality")
+    w = Window.partitionBy("h").orderBy(qualify.desc(), F.col("doc_id"))
+    docs = docs.withColumn("qualifies", qualify).withColumn(
+        "f_dedup", F.col("qualifies") & (F.row_number().over(w) == 1)
+    )
+
+    # contamination flag (benchmark members themselves are dropped)
+    grams = docs.withColumn(
+        "g",
+        F.expr(
+            f"array_distinct(transform({X.sp_shingles('t', CONTAM_K)}, s -> md5(s)))"
+        ),
+    )
+    bench = (
+        grams.where(F.col("doc_id") % CONTAM_MOD == 0)
+        .select(F.explode("g").alias("gram"))
+        .distinct()
+    )
+    contaminated = (
+        grams.where((F.col("doc_id") % CONTAM_MOD != 0) & (F.size("g") > 0))
+        .select("doc_id", F.size("g").alias("n_ngrams"), F.explode("g").alias("gram"))
+        .join(F.broadcast(bench.withColumn("hit", F.lit(1))), on="gram", how="left")
+        .groupBy("doc_id", "n_ngrams")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"))
+        .where(F.col("n_hit") * 5 > F.col("n_ngrams"))
+        .select("doc_id", F.lit(True).alias("is_contam"))
+    )
+    docs = docs.join(contaminated, "doc_id", "left").withColumn(
+        "f_contam",
+        (F.col("doc_id") % CONTAM_MOD != 0) & F.col("is_contam").isNull(),
+    )
+
+    rate = "CASE " + " ".join(
+        f"WHEN lang = '{lg}' THEN {r}" for lg, r in sorted(STRAT_RATES.items())
+    ) + f" ELSE {STRAT_DEFAULT} END"
+    h32 = X.sp_hash32("cast(doc_id as string)", "strat")
+    return docs.withColumn("f_strat", F.expr(f"({h32}) % 1000 < {rate}"))
+
+
+def corpus_funnel_sql() -> str:
+    k, mod = CONTAM_K, CONTAM_MOD
+    blocked = ", ".join(f"'{s}'" for s in BLOCKED_SOURCES)
+    rate = "CASE " + " ".join(
+        f"WHEN lang = '{lg}' THEN {r}" for lg, r in sorted(STRAT_RATES.items())
+    ) + f" ELSE {STRAT_DEFAULT} END"
+    h32 = X.dk_hash32("doc_id::varchar", "strat")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, text, lang, source, {X.dk_tokens('text')} AS t
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, text, lang, t,
+               source NOT IN ({blocked}) AS f_block,
+               len(t) >= 10 AND
+                 length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10
+                   >= length(text) * 6 AS f_quality,
+               md5(text) AS h
+        FROM toks
+    ),
+    ded AS (
+        SELECT *,
+               (f_block AND f_quality) AND
+               row_number() OVER (
+                   PARTITION BY h
+                   ORDER BY (f_block AND f_quality) DESC, doc_id
+               ) = 1 AS f_dedup
+        FROM base
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform({X.dk_shingles('t', k)}, s -> md5(s))) AS g
+        FROM toks
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % {mod} = 0
+    ),
+    contam AS (
+        SELECT c.doc_id AS contam_doc_id
+        FROM (
+            SELECT doc_id, len(g) AS n_ngrams, unnest(g) AS gram
+            FROM grams WHERE doc_id % {mod} <> 0 AND len(g) > 0
+        ) c
+        LEFT JOIN bench b ON c.gram = b.gram
+        GROUP BY c.doc_id, c.n_ngrams
+        HAVING count(b.gram) * 5 > c.n_ngrams
+    ),
+    flags AS (
+        SELECT d.*,
+               d.doc_id % {mod} <> 0 AND ct.contam_doc_id IS NULL AS f_contam,
+               ({h32}) % 1000 < ({rate}) AS f_strat
+        FROM ded d LEFT JOIN contam ct ON d.doc_id = ct.contam_doc_id
+    ),
+    agg AS (
+        SELECT count(*) AS n0,
+               sum(f_block::int) AS n1,
+               sum((f_block AND f_quality)::int) AS n2,
+               sum((f_block AND f_quality AND f_dedup)::int) AS n3,
+               sum((f_block AND f_quality AND f_dedup AND f_contam)::int) AS n4,
+               sum((f_block AND f_quality AND f_dedup AND f_contam AND f_strat)::int) AS n5
+        FROM flags
+    )
+    SELECT stage, n_docs::bigint AS n_docs FROM (
+        SELECT '0_raw' AS stage, n0 AS n_docs FROM agg
+        UNION ALL SELECT '1_blocklist', n1 FROM agg
+        UNION ALL SELECT '2_quality', n2 FROM agg
+        UNION ALL SELECT '3_dedup_exact', n3 FROM agg
+        UNION ALL SELECT '4_contamination', n4 FROM agg
+        UNION ALL SELECT '5_stratified', n5 FROM agg
+    ) u
+    ORDER BY stage
+    """

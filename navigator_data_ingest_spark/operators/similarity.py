@@ -303,3 +303,87 @@ def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.col("pos").cast("int").alias("pos"), F.round("c", 6).alias("c"))
         .orderBy("label", "pos")
     )
+
+
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd k-means over the embedding
+    column — the corpus-clustering primitive (domain discovery, dedup
+    blocking, mixture balancing) expressed in pure DataFrame ops.
+
+    Determinism (so a SQL oracle can replay it): seeds are the K
+    lowest ``vec_id`` vectors (cid = rank by vec_id), exactly
+    KMEANS_ITERS assignment/update rounds, argmin ties broken by cid.
+    All arithmetic is cast to double FIRST (float->double is exact, so
+    Spark and the oracle see identical inputs).
+
+    Scale shape per iteration: the K-row centroid table is a literal
+    crossJoin (broadcast — K rows), the argmin is a
+    ``min(struct(dist2, cid))`` groupBy on vec_id whose partial
+    aggregation collapses the K candidate rows MAP-SIDE (the shuffle
+    carries ~n rows, not K*n), and the centroid update reuses the
+    explosion-free per-dim ``avg(e[i])`` pattern from emb_centroids —
+    64 JVM partial aggs, one K-group shuffle. No iteration reads the
+    corpus more than once; nothing is collected to the driver.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    w = Window.orderBy("vec_id")
+    # K rows — the one intentionally-serial window (bounded input: LIMIT K)
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select((F.row_number().over(w) - 1).alias("cid"), F.col("e").alias("c"))
+    )
+
+    dist2 = F.aggregate(
+        F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ).alias("dist2")
+
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        scored = emb.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "e", "cid", dist2
+        )
+        assigned = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min(F.struct("dist2", "cid")).alias("m"),
+                F.first("e").alias("e"),
+            )
+            .select("vec_id", "e", F.col("m.cid").alias("cid"), F.col("m.dist2").alias("dist2"))
+            # each round's assignment feeds BOTH the centroid update and
+            # (on the last round) the final rollup — localCheckpoint so
+            # the shared subtree computes once and the plan stays flat
+            # across iterations (same pattern as dedup connected comps)
+            .localCheckpoint(eager=False)
+        )
+        centroids = (
+            assigned.groupBy("cid")
+            .agg(*[F.avg(F.col("e").getItem(i)).alias(f"d{i}") for i in range(EMB_DIM)])
+            .select("cid", F.array(*[F.col(f"d{i}") for i in range(EMB_DIM)]).alias("c"))
+        )
+
+    # centroids is now the post-final-update set (one update past the
+    # last assignment) — reported as the result centroids
+    centroid_sums = centroids.select(
+        "cid", F.aggregate("c", F.lit(0.0), lambda a, x: a + x).alias("centroid_sum")
+    )
+    return (
+        assigned.join(F.broadcast(centroid_sums), "cid")
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("dist2"), 6).alias("inertia"),
+            F.round(F.first("centroid_sum"), 6).alias("centroid_sum"),
+        )
+        .select(F.col("cid").cast("int").alias("cluster_id"), "n_members", "inertia", "centroid_sum")
+        .orderBy("cluster_id")
+    )

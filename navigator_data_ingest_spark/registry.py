@@ -2265,3 +2265,85 @@ register(
     ORDER BY e.event_type
     """,
 )
+register(
+    "emb_kmeans",
+    similarity.emb_kmeans,
+    """
+    WITH emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
+        FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 4)
+    ),
+    s1 AS (
+        SELECT emb.vec_id, emb.e, c0.cid,
+               list_sum(list_transform(list_zip(emb.e, c0.c),
+                        p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist2
+        FROM emb CROSS JOIN c0
+    ),
+    a1 AS (
+        SELECT vec_id, e, cid, dist2
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dist2, cid) AS rn FROM s1) t
+        WHERE rn = 1
+    ),
+    c1 AS (
+        SELECT cid, list(av ORDER BY pos) AS c
+        FROM (
+            SELECT cid, pos, avg(v) AS av
+            FROM (SELECT cid, generate_subscripts(e, 1) AS pos,
+                         unnest(e) AS v FROM a1) d
+            GROUP BY cid, pos
+        ) g
+        GROUP BY cid
+    ),
+    s2 AS (
+        SELECT emb.vec_id, emb.e, c1.cid,
+               list_sum(list_transform(list_zip(emb.e, c1.c),
+                        p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist2
+        FROM emb CROSS JOIN c1
+    ),
+    a2 AS (
+        SELECT vec_id, e, cid, dist2
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dist2, cid) AS rn FROM s2) t
+        WHERE rn = 1
+    ),
+    c2 AS (
+        SELECT cid, list(av ORDER BY pos) AS c
+        FROM (
+            SELECT cid, pos, avg(v) AS av
+            FROM (SELECT cid, generate_subscripts(e, 1) AS pos,
+                         unnest(e) AS v FROM a2) d
+            GROUP BY cid, pos
+        ) g
+        GROUP BY cid
+    )
+    SELECT a2.cid::int AS cluster_id,
+           count(*)::bigint AS n_members,
+           round(avg(a2.dist2), 6) AS inertia,
+           round(any_value(cs.s), 6) AS centroid_sum
+    FROM a2 JOIN (SELECT cid, list_sum(c) AS s FROM c2) cs USING (cid)
+    GROUP BY a2.cid
+    ORDER BY cluster_id
+    """,
+)
+register(
+    "corpus_overlap",
+    corpus.corpus_overlap,
+    corpus.corpus_overlap_sql(),
+)
+
+from navigator_data_ingest_spark.sources import compact as _compact
+
+register(
+    "sink_compact",
+    _compact.sink_compact,
+    _compact.sink_compact_sql(),
+)
+register(
+    "corpus_funnel",
+    corpus.corpus_funnel,
+    corpus.corpus_funnel_sql(),
+)
