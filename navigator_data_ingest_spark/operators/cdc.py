@@ -1,0 +1,117 @@
+"""Change-data-capture compaction: latest-wins merge of a snapshot
+plus a changelog — the MERGE INTO / upsert primitive, expressed on
+plain parquet (no table-format dependency).
+
+The reference's update pipeline (updated_document_actions.py) mutates
+documents one S3 object at a time; at 100 TB the same semantics are a
+periodic compaction: union the current snapshot with the accumulated
+changelog, keep the HIGHEST-version row per key, drop keys whose latest
+entry is a delete. One shuffle on the primary key (the semantics'
+minimum), window `row_number` per key for latest-wins — exactly the
+copy-on-write compaction Delta/Iceberg/Hudi run under MERGE, shown here
+as the raw Spark plan.
+
+The changelog is derived deterministically from the orders table (so
+the DuckDB oracle can replay it): every key % UPDATE_MOD gets a
+version-2 price revision, every key % DELETE_MOD a version-2 delete
+marker (delete beats update where both apply, mirroring a later
+tombstone).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from navigator_data_ingest_spark.sources.tables import load_table
+
+UPDATE_MOD = 7
+DELETE_MOD = 13
+PRICE_BUMP = 1.1
+
+
+def changelog(snapshot: DataFrame) -> DataFrame:
+    """Deterministic (op, version) changelog derived from a snapshot."""
+    updates = (
+        snapshot.where(
+            (F.col("o_orderkey") % UPDATE_MOD == 0)
+            & (F.col("o_orderkey") % DELETE_MOD != 0)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") * PRICE_BUMP)
+        .withColumn("op", F.lit("U"))
+        .withColumn("version", F.lit(2))
+    )
+    deletes = (
+        snapshot.where(F.col("o_orderkey") % DELETE_MOD == 0)
+        .withColumn("op", F.lit("D"))
+        .withColumn("version", F.lit(2))
+    )
+    return updates.unionByName(deletes)
+
+
+def merge_latest_wins(snapshot: DataFrame, log: DataFrame) -> DataFrame:
+    """snapshot ∪ changelog -> latest version per key, deletes dropped.
+
+    Same-version ties break toward the delete: 'D' < 'U' lexically, so
+    ``ORDER BY version DESC, op ASC`` ranks a tombstone first — a later
+    delete always wins over an equal-version update.
+    """
+    base = snapshot.withColumn("op", F.lit("U")).withColumn("version", F.lit(1))
+    merged = base.unionByName(log)
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.desc("version"), F.asc("op")
+    )
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .drop("rn", "op")
+    )
+
+
+def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snapshot = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    merged = merge_latest_wins(snapshot, changelog(snapshot))
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 6).alias("price"),
+        "o_orderpriority",
+        F.col("version").cast("int").alias("version"),
+    ).orderBy("o_orderkey")
+
+
+def cdc_upsert_sql() -> str:
+    return f"""
+    WITH snap AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderpriority, 'U' AS op, 1 AS version
+        FROM orders
+    ),
+    log AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * {PRICE_BUMP} AS o_totalprice,
+               o_orderpriority, 'U' AS op, 2 AS version
+        FROM orders
+        WHERE o_orderkey % {UPDATE_MOD} = 0 AND o_orderkey % {DELETE_MOD} <> 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderpriority, 'D' AS op, 2 AS version
+        FROM orders
+        WHERE o_orderkey % {DELETE_MOD} = 0
+    ),
+    merged AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY o_orderkey
+                   ORDER BY version DESC, op ASC) AS rn
+        FROM (SELECT * FROM snap UNION ALL SELECT * FROM log) u
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 6) AS price,
+           o_orderpriority, version::int AS version
+    FROM merged
+    WHERE rn = 1 AND op <> 'D'
+    ORDER BY o_orderkey
+    """

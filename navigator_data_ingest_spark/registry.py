@@ -2347,3 +2347,55 @@ register(
     corpus.corpus_funnel,
     corpus.corpus_funnel_sql(),
 )
+
+from navigator_data_ingest_spark.operators import cdc
+
+register(
+    "cdc_upsert",
+    cdc.cdc_upsert,
+    cdc.cdc_upsert_sql(),
+)
+register(
+    "src_schema_evolution",
+    flat.src_schema_evolution,
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS price,
+           NULL::int AS priority_rank, 1 AS v
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS price,
+           substring(o_orderpriority, 1, 1)::int AS priority_rank, 2 AS v
+    FROM orders WHERE o_orderkey % 2 = 1
+    ORDER BY o_orderkey
+    """,
+)
+
+from navigator_data_ingest_spark.operators import graph
+
+register(
+    "graph_pagerank",
+    graph.graph_pagerank,
+    graph.graph_pagerank_sql(),
+)
+register(
+    "stream_windowed_topk",
+    streaming_ops.stream_windowed_topk,
+    """
+    WITH agg AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+               event_type,
+               count(*)::bigint AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, sum_value, rank FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, event_type ASC)::int AS rank
+        FROM agg
+    ) r
+    WHERE rank <= 3
+    ORDER BY window_start, rank
+    """,
+)

@@ -5,5 +5,6 @@ from navigator_data_ingest_spark.streaming.streams import (  # noqa: F401
     stream_firstseen,
     stream_ingest,
     stream_session_append,
+    stream_windowed_topk,
     stream_sessionize,
 )

@@ -27,7 +27,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -431,3 +431,44 @@ def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(agg, _qname("stream_sessapp", sf_dir), "append")
     return out.orderBy("user_id", "session_start")
+
+
+TOPK_PER_WINDOW = 3
+
+
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-K event types: streaming pre-aggregation + batch
+    rank over the drained aggregate.
+
+    Streaming cannot run ranking window functions (state for a rank is
+    unbounded-ordered), and it doesn't need to: the HEAVY part — per
+    (window, event_type) counting over the raw stream — is incremental
+    state the streaming agg maintains; the top-K cut runs over the
+    drained aggregate, which is |windows| x |types| rows (metadata-
+    sized, independent of event volume). This split — incremental
+    pre-agg in the stream, final rank over the tiny result — is the
+    standard production layout (same two-phase shape a dashboard sink
+    uses), not a workaround.
+    """
+    agg = (
+        read_stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )
+    drained = _run_to_memory(agg, _qname("stream_topk", sf_dir), "update")
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        drained.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK_PER_WINDOW)
+        .select("window_start", "event_type", "n_events", "sum_value",
+                F.col("rank").cast("int").alias("rank"))
+        .orderBy("window_start", "rank")
+    )

@@ -78,6 +78,11 @@ _DELIBERATE_NESTED_LOOP = {
     "q_ntile_spend",
     # date-spine × type-dimension grid: both sides tiny by construction
     "q_events_gapfill",
+    # K-row centroid table / per-source signature-and-size pair grid /
+    # 1-row node-count broadcast: metadata-sized sides, deliberate
+    "emb_kmeans",
+    "corpus_overlap",
+    "graph_pagerank",
 }
 
 
