@@ -105,6 +105,23 @@ def detect_content_type(
     )
 
 
+def let_col(value: Column, body) -> Column:
+    """Column-API let-binding: evaluate ``value`` ONCE, pass the bound
+    lambda variable to ``body``.
+
+    ``element_at(transform(array(V), x -> B), 1)`` — the same trick as
+    ``exprs.sp_let`` for SQL strings. Without it, Catalyst inlines a
+    passed Column's defining tree into EVERY reference site, and a
+    reference inside a higher-order-function lambda re-evaluates per
+    element (lambda-bearing expressions are exempt from subexpression
+    elimination). The chop loop below referenced its (slugify-sized)
+    input from a 41-element filter lambda — 41 re-evaluations of the
+    whole transliteration chain per row, and a generated stage big
+    enough that its first-run compile dominated the fetch benchmarks.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def trimmed_name_col(name: Column, max_bytes: int = 200) -> Column:
     """``name[:200]`` then chop 5 chars while UTF-8 length > 200 bytes.
 
@@ -118,13 +135,17 @@ def trimmed_name_col(name: Column, max_bytes: int = 200) -> Column:
         list_filter(generate_series(least(length(x),200), 0, -5),
                     k -> octet_length(substr(x,1,k)) <= 200)[1]
     """
-    start = F.least(F.length(name), F.lit(max_bytes))
-    lengths = F.sequence(start, F.lit(0), F.lit(-5))
-    fit = F.filter(
-        lengths,
-        lambda k: F.octet_length(F.substring(name, 1, k)) <= F.lit(max_bytes),
-    )
-    return F.substring(name, 1, F.element_at(fit, 1))
+
+    def _inner(nm: Column) -> Column:
+        start = F.least(F.length(nm), F.lit(max_bytes))
+        lengths = F.sequence(start, F.lit(0), F.lit(-5))
+        fit = F.filter(
+            lengths,
+            lambda k: F.octet_length(F.substring(nm, 1, k)) <= F.lit(max_bytes),
+        )
+        return F.substring(nm, 1, F.element_at(fit, 1))
+
+    return let_col(name, _inner)
 
 
 def upload_file_name(

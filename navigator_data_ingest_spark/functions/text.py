@@ -83,7 +83,12 @@ def slugify_col(name: Column) -> Column:
     s = F.regexp_replace(name, r"'+", "-")
     s = F.translate(s, TRANSLIT_SRC, TRANSLIT_DST)
     for src, dst in TRANSLIT_MULTI:
-        s = F.regexp_replace(s, src, dst)
+        # literal substring replace, NOT regexp_replace: the multi-char
+        # sources are plain letters, and 37 chained regexes both
+        # evaluate slower per row and balloon the generated code (the
+        # first-run compile of this chain dominated the fetch/e2e
+        # bench numbers before the switch)
+        s = F.replace(s, F.lit(src), F.lit(dst))
     s = F.lower(s)
     s = F.translate(s, SMART_SINGLE_QUOTES, "")
     s = F.regexp_replace(s, r"(\d),(\d)", r"$1$2")

@@ -767,3 +767,216 @@ def corpus_funnel_sql() -> str:
     ) u
     ORDER BY stage
     """
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality rule set (integer-exact flags)
+# --------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_STOP_MIN = 2
+# the Gopher paper's "must contain >= 2 of these" stopword probe
+GOPHER_STOPS = ["the", "and", "of", "to", "a", "in", "is", "that"]
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules as integer-only flags.
+
+    The rule set (word count bounds, mean word length 3-10, symbol-to-
+    word ratio, bullet/ellipsis line fractions, alphabetic-word
+    fraction, stopword presence) is the public Gopher/MassiveText
+    filter family. Every ratio test is cross-multiplied into an integer
+    comparison (e.g. ``10*symbols <= words`` instead of ``ratio <=
+    0.1``), so there is not a single float in the operator — the
+    keep/flag bits are bit-identical across engines by construction.
+
+    Scale shape: pure map-side expressions over one scan; zero
+    shuffles. At 100 TB this runs at parquet-scan speed inside
+    whole-stage codegen.
+    """
+    stops = "array(" + ", ".join(f"'{w}'" for w in GOPHER_STOPS) + ")"
+    t = X.sp_tokens("text")
+    docs = scatter(spark, load_table(spark, sf_dir, "documents")).withColumn(
+        "t", F.expr(t)
+    ).withColumn("lines", F.split(F.col("text"), "\n"))
+    n_words = F.expr("size(t)")
+    word_chars = F.expr("aggregate(t, 0L, (a, tok) -> a + length(tok))")
+    n_alpha = F.expr("size(filter(t, tok -> tok rlike '[a-z]'))")
+    n_symbol = F.regexp_count(F.col("text"), F.lit(r"#|…|\.\.\."))
+    n_lines = F.expr("size(lines)")
+    n_bullet = F.expr(r"size(filter(lines, l -> ltrim(l) rlike '^[-*•]'))")
+    n_ellipsis = F.expr(r"size(filter(lines, l -> rtrim(l) rlike '(\\.\\.\\.|…)$'))")
+    n_stop = F.expr(f"size(filter({stops}, w -> array_contains(t, w)))")
+    out = docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        word_chars.cast("bigint").alias("word_chars"),
+        n_symbol.cast("bigint").alias("n_symbol"),
+        n_lines.cast("bigint").alias("n_lines"),
+        n_bullet.cast("bigint").alias("n_bullet"),
+        n_ellipsis.cast("bigint").alias("n_ellipsis"),
+        n_alpha.cast("bigint").alias("n_alpha"),
+        n_stop.cast("bigint").alias("n_stop"),
+    )
+    r_words = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    r_meanlen = (F.col("word_chars") >= 3 * F.col("n_words")) & (
+        F.col("word_chars") <= 10 * F.col("n_words")
+    )
+    r_symbol = 10 * F.col("n_symbol") <= F.col("n_words")
+    r_bullet = 10 * F.col("n_bullet") <= 9 * F.col("n_lines")
+    r_ellipsis = 10 * F.col("n_ellipsis") <= 3 * F.col("n_lines")
+    r_alpha = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
+    r_stop = F.col("n_stop") >= GOPHER_STOP_MIN
+    return out.select(
+        "*",
+        r_words.alias("r_words"),
+        r_meanlen.alias("r_meanlen"),
+        r_symbol.alias("r_symbol"),
+        r_bullet.alias("r_bullet"),
+        r_ellipsis.alias("r_ellipsis"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        (
+            r_words & r_meanlen & r_symbol & r_bullet & r_ellipsis & r_alpha & r_stop
+        ).alias("gopher_keep"),
+    ).orderBy("doc_id")
+
+
+def text_gopher_rules_sql() -> str:
+    stops = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPS) + "]"
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {X.dk_tokens('text')} AS t,
+               string_split(text, chr(10)) AS lines,
+               len(regexp_extract_all(text, '#|…|\\.\\.\\.'))::bigint AS n_symbol
+        FROM documents
+    ), counted AS (
+        SELECT doc_id,
+               len(t)::bigint AS n_words,
+               list_sum(list_transform(t, tok -> strlen(tok)))::bigint AS word_chars,
+               n_symbol,
+               len(lines)::bigint AS n_lines,
+               len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))::bigint AS n_bullet,
+               len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))::bigint AS n_ellipsis,
+               len(list_filter(t, tok -> regexp_matches(tok, '[a-z]')))::bigint AS n_alpha,
+               len(list_filter({stops}, w -> list_contains(t, w)))::bigint AS n_stop
+        FROM base
+    )
+    SELECT *,
+           (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}) AS r_words,
+           (word_chars >= 3 * n_words AND word_chars <= 10 * n_words) AS r_meanlen,
+           (10 * n_symbol <= n_words) AS r_symbol,
+           (10 * n_bullet <= 9 * n_lines) AS r_bullet,
+           (10 * n_ellipsis <= 3 * n_lines) AS r_ellipsis,
+           (5 * n_alpha >= 4 * n_words) AS r_alpha,
+           (n_stop >= {GOPHER_STOP_MIN}) AS r_stop,
+           ((n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+            AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+            AND (10 * n_symbol <= n_words)
+            AND (10 * n_bullet <= 9 * n_lines)
+            AND (10 * n_ellipsis <= 3 * n_lines)
+            AND (5 * n_alpha >= 4 * n_words)
+            AND (n_stop >= {GOPHER_STOP_MIN})) AS gopher_keep
+    FROM counted ORDER BY doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# temperature-based source re-weighting (multinomial mixture sampling)
+# --------------------------------------------------------------------------
+
+TEMP_ALPHA_NOTE = "alpha = 0.5 (sqrt), chosen because sqrt is IEEE-exact"
+TEMP_TARGET_FRAC = 0.25  # corpus-level target keep fraction
+
+
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source re-weighting: keep rates proportional to
+    ``n_s^alpha`` (alpha = 0.5) — the mT5/PaLM-style mixture flattening
+    that upweights tail sources and downsamples dominant ones while
+    hitting a corpus-level target size.
+
+    Determinism: the weight is ``sqrt(n_s)`` (sqrt is correctly rounded
+    in IEEE 754, so Spark and DuckDB agree bit-for-bit); the weight SUM
+    folds over the per-source array sorted by source name (an ordered
+    fold, never an unordered float SUM); the per-document keep decision
+    is the md5-permille integer comparison shared with
+    ``sample_stratified``.
+
+    Scale shape: two metadata-sized aggregates (|sources| rows) feed a
+    broadcast join back onto the corpus; the document side keeps its
+    partitioning and never shuffles — the audit agg is the only
+    document shuffle, and it is |sources|-grained.
+    """
+    docs = scatter(spark, load_table(spark, sf_dir, "documents"))
+    srcs = docs.groupBy("source").agg(F.count("*").alias("n")).withColumn(
+        "w", F.sqrt(F.col("n").cast("double"))
+    )
+    tot = srcs.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(source, w))), "
+            "cast(0.0 as double), (a, x) -> a + x.w)"
+        ).alias("wsum"),
+        F.sum("n").alias("total"),
+    )
+    rates = srcs.crossJoin(F.broadcast(tot)).withColumn(
+        "rate_pm",
+        F.expr(
+            f"least(1000L, cast(floor(((cast(total as double) * {TEMP_TARGET_FRAC})"
+            " * (w / wsum) / n) * 1000) as bigint))"
+        ),
+    )
+    h = X.sp_hash32("cast(doc_id as string)", "temp")
+    kept = docs.join(
+        F.broadcast(rates.select("source", "w", "rate_pm")), "source"
+    ).withColumn("kept", F.expr(f"({h}) % 1000 < rate_pm"))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.first("w").alias("w"),
+            F.first("rate_pm").alias("rate_pm"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round("w", 6).alias("weight"),
+            "rate_pm",
+            "n_kept",
+        )
+        .orderBy("source")
+    )
+
+
+def sample_temperature_sql() -> str:
+    h = X.dk_hash32("doc_id::varchar", "temp")
+    return f"""
+    WITH srcs AS (
+        SELECT source, count(*)::bigint AS n, sqrt(count(*)::double) AS w
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT list_reduce(
+                   list_transform(list_sort(list({{'source': source, 'w': w}})),
+                                  x -> x.w),
+                   (a, b) -> a + b) AS wsum,
+               sum(n)::bigint AS total
+        FROM srcs
+    ), rates AS (
+        SELECT source, n, w,
+               least(1000, floor(((total::double * {TEMP_TARGET_FRAC})
+                     * (w / wsum) / n) * 1000)::bigint) AS rate_pm
+        FROM srcs, tot
+    ), flags AS (
+        SELECT d.source, r.w, r.rate_pm,
+               ({h}) % 1000 < r.rate_pm AS kept
+        FROM documents d JOIN rates r ON d.source = r.source
+    )
+    SELECT source, count(*)::bigint AS n_docs,
+           round(any_value(w), 6) AS weight,
+           any_value(rate_pm) AS rate_pm,
+           sum(kept::int)::bigint AS n_kept
+    FROM flags GROUP BY source ORDER BY source
+    """

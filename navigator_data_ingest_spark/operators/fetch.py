@@ -57,6 +57,7 @@ WATERMARK_MARKER = b"\n%%WATERMARK-PAGE%%"
 MAX_ATTEMPTS = 4
 BACKOFF_BASE_MS = 250
 RETRYABLE_STATUS = 503  # transient server-side; 404 fails fast
+FETCH_SALT_N = 8  # hot-domain shards per domain (politeness ÷ salt)
 
 
 def _fetch_plan(url: str) -> tuple[str, int]:
@@ -209,9 +210,17 @@ def ingest_download_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    # politeness partitioning WITH hot-domain salting: a handful of big
+    # domains would otherwise serialize the whole Python stage into as
+    # many tasks as there are domains. Each (domain, salt) shard still
+    # sees a single domain, so a per-task rate limiter enforcing
+    # domain_budget / FETCH_SALT_N keeps aggregate politeness while the
+    # stage parallelizes.
     fetched = work.select(
         "import_id", "fetch_url", "domain", "head_hex", "header"
-    ).repartition(n_parts, "domain").mapInPandas(
+    ).withColumn(
+        "fetch_salt", F.pmod(F.xxhash64("fetch_url"), F.lit(FETCH_SALT_N))
+    ).repartition(n_parts, "domain", "fetch_salt").drop("fetch_salt").mapInPandas(
         _fetch_and_convert, schema=FETCH_RESULT_SCHEMA
     )
     # everything below is JVM-side column work on the fetched bytes

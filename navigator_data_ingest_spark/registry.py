@@ -2208,6 +2208,16 @@ register(
     corpus.filter_blocklist,
     corpus.filter_blocklist_sql(),
 )
+register(
+    "text_gopher_rules",
+    corpus.text_gopher_rules,
+    corpus.text_gopher_rules_sql(),
+)
+register(
+    "sample_temperature",
+    corpus.sample_temperature,
+    corpus.sample_temperature_sql(),
+)
 
 # --------------------------------------------------------------------------
 # §2.2 sources/sinks (round 2): JSONL round-trip, bucketed co-located join

@@ -5,8 +5,9 @@ pipeline ingests continuously. These operators express the same
 computation as Structured Streaming jobs:
 
 * ``src_stream_events`` — file-based ``readStream`` over the events
-  parquet with an EXPLICIT schema (streaming readers cannot infer), the
-  TIMESTAMP(NANOS) -> microsecond conversion applied in-stream.
+  parquet with an explicit schema resolved by a one-footer batch read
+  (streaming readers cannot infer), adapting to micros- or nanos-stored
+  event times.
 * ``stream_ingest`` — event-time pipeline: watermark, exact dedup on
   (event_id, ts) with bounded state (the watermark expires dedup state),
   1-hour tumbling-window aggregation in UPDATE output mode.
@@ -29,26 +30,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-# explicit source schema: ts is TIMESTAMP(NANOS) in the parquet footer,
-# readable only as a raw long (spark.sql.legacy.parquet.nanosAsLong)
-EVENTS_STREAM_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from pyspark.sql.types import LongType, TimestampNTZType
 
 
 def read_stream_events(
@@ -59,6 +41,15 @@ def read_stream_events(
 ) -> DataFrame:
     """events parquet as a streaming DataFrame with a real event-time col.
 
+    Streaming readers cannot infer schemas, so the schema is resolved
+    with a one-footer BATCH read of the same path — this also absorbs
+    the storage representation of ``ts``: TIMESTAMP(MICROS) footers
+    arrive as a real timestamp, while TIMESTAMP(NANOS) footers (which
+    Spark only reads as a raw long under
+    ``spark.sql.legacy.parquet.nanosAsLong``) arrive as a long that is
+    integer-divided to microseconds in-stream — the same adaptation
+    ``sources/tables.py`` applies on the batch side.
+
     ``max_files_per_trigger`` bounds each micro-batch (used by tests to
     force multi-batch runs that exercise watermark advancement; on a
     cluster it is the ingest back-pressure knob).
@@ -67,16 +58,24 @@ def read_stream_events(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
+    schema = (
+        spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+    )
     # FileStreamSource wants a directory; scope it to the events file
     # with a glob (on a cluster this is the arriving-files directory)
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option(
-        "pathGlobFilter", glob
-    )
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(sf_dir)
-    # integer division: double division corrupts microseconds at ~1e18 ns
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, LongType):
+        # integer division: double division corrupts micros at ~1e18 ns
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, TimestampNTZType):
+        # watermarks/windows require an instant-typed event time; the
+        # session-tz round trip (NTZ wall -> instant -> rendered wall)
+        # is the identity within one session
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_dedup_agg(ev: DataFrame) -> DataFrame:
@@ -365,13 +364,21 @@ def _scatter_time_ordered_feed(spark: SparkSession, sf_dir: str, n_files: int) -
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    # deterministic feed path keyed by (source dir, file count): testdata
-    # is immutable per sf_dir, so a fully-built feed is reused across
-    # registry/bench runs instead of re-written (and never accumulates)
+    # deterministic feed path keyed by (source identity, file count): a
+    # fully-built feed is reused across registry/bench runs instead of
+    # re-written (and never accumulates). The source file's (size,
+    # mtime) is part of the key so a REGENERATED testdata set — same
+    # path, different bytes — invalidates the cached feed.
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        src_key = f"{sf_dir}|{st.st_size}|{int(st.st_mtime)}"
+    except OSError:
+        src_key = sf_dir
     d = os.path.join(
         tempfile.gettempdir(),
         "nav_sessfeed",
-        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{n_files}",
+        f"{hashlib.md5(src_key.encode()).hexdigest()[:8]}_{n_files}",
     )
     if os.path.isdir(d) and len(os.listdir(d)) == n_files:
         return d

@@ -1,0 +1,74 @@
+"""Driver-style full-registry sweep: run every queries() entry at sf0.01,
+compare against oracle_sql() via DuckDB, and time each query.
+
+Usage: python scripts/sweep.py [sf_dir] [only_prefix...]
+Writes one JSON line per query and a summary to stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry  # noqa: E402
+from tests.oracle import compare, duckdb_con  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:]
+
+    if os.environ.get("SWEEP_PLAIN"):
+        # the driver's view: a virgin session, none of session.py's configs
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from navigator_data_ingest_spark.session import get_spark
+
+        spark = get_spark()
+    con = duckdb_con(sf_dir)
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+
+    results = {}
+    t_all = time.monotonic()
+    for name, fn in qs.items():
+        if only and not any(name.startswith(p) for p in only):
+            continue
+        t0 = time.monotonic()
+        try:
+            df = fn(spark, sf_dir)
+            if name in oracles:
+                ok, msg = compare(df, con, oracles[name])
+            else:
+                n = df.count()
+                ok, msg = n >= 0, f"rows-only: {n}"
+        except Exception as exc:  # noqa: BLE001
+            ok, msg = False, f"EXC: {type(exc).__name__}: {exc}"
+        dt = time.monotonic() - t0
+        results[name] = {"ok": ok, "sec": round(dt, 2), "msg": msg[:200]}
+        print(json.dumps({name: results[name]}), flush=True)
+
+    total = time.monotonic() - t_all
+    bad = {k: v for k, v in results.items() if not v["ok"]}
+    slow = sorted(results.items(), key=lambda kv: -kv[1]["sec"])[:15]
+    print(json.dumps({
+        "total_sec": round(total, 1),
+        "n": len(results),
+        "n_fail": len(bad),
+        "fails": {k: v["msg"] for k, v in bad.items()},
+        "slowest": [(k, v["sec"]) for k, v in slow],
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()
