@@ -1357,3 +1357,39 @@ def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+SLIDE_LEN_H = 3   # sliding window length (hours)
+SLIDE_STEP_H = 1  # slide step (hours)
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation: 3-hour windows every 1 hour.
+
+    Completes the window family (tumbling = q_events_windowed, session
+    = q_events_sessionize): ``F.window(ts, '3 hours', '1 hour')``
+    assigns each event to LEN/STEP = 3 windows. Spark implements the
+    assignment as an in-operator expansion BEFORE the shuffle — the
+    shuffle carries 3x rows but stays keyed on (window, type), so at
+    100 TB the cost is the explicit overlap factor, not a self-join;
+    the oracle replays the same semantics as an explicit
+    ``generate_series(0, 2)`` offset join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", f"{SLIDE_LEN_H} hours", f"{SLIDE_STEP_H} hour").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r(F.sum("value"), "sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

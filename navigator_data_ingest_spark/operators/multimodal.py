@@ -207,3 +207,132 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return videos.mapInPandas(_frame_sample_batch, schema=out_schema).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+# --------------------------------------------------------------------------
+# perceptual-hash near-duplicate detection over media payloads
+# --------------------------------------------------------------------------
+
+PHASH_PIXELS = 64     # pseudo-pixel samples per payload (aHash grid)
+PHASH_BANDS = 4       # 16-bit bands for candidate bucketing
+PHASH_BAND_BITS = PHASH_PIXELS // PHASH_BANDS
+PHASH_HAM_T = 10      # max hamming distance (of 64) to call a near-dup
+PHASH_SEED = "px"
+
+
+def _phash_bands_expr() -> str:
+    """Spark SQL for the 4x16-bit aHash bands of a text payload.
+
+    aHash recipe on the deterministic decode stub: sample 64 evenly-
+    spaced "pixels" (the hash of the character at each sampled
+    position — the stub decode is the identity on text payloads),
+    threshold each against the mean, pack the 64 bits into 4 16-bit
+    band values. Everything is integer arithmetic under let-bindings
+    (n, px, mean each evaluated once per row).
+    """
+    from navigator_data_ingest_spark.functions import exprs as X
+
+    ch = "substr(text, cast(1 + (((i - 1) * n) div 64) as int), 1)"
+    px = (
+        f"transform(sequence(1, {PHASH_PIXELS}), "
+        f"i -> ({X.sp_hash32(ch, PHASH_SEED)}) % 256)"
+    )
+    mean = f"aggregate(px, 0L, (a, v) -> a + v) div {PHASH_PIXELS}"
+    bands = (
+        f"transform(sequence(0, {PHASH_BANDS - 1}), b -> "
+        f"aggregate(sequence(1, {PHASH_BAND_BITS}), cast(0 as bigint), "
+        f"(acc, i) -> acc + CASE WHEN element_at(px, cast(b * {PHASH_BAND_BITS} + i as int)) > mean "
+        f"THEN shiftleft(cast(1 as bigint), i - 1) ELSE cast(0 as bigint) END))"
+    )
+    return X.sp_let(
+        "n", "length(text)", X.sp_let("px", px, X.sp_let("mean", mean, bands))
+    )
+
+
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate media detection via banded perceptual hashes —
+    the multimodal twin of simhash dedup. Identical payloads (the
+    multimodal table's media is the utf-8 encoding of the document
+    text) collide on all four bands; small payload edits flip few
+    pixel bits and still collide on at least one band.
+
+    Scale shape: the 64-bit hash is map-side; candidate pairs come
+    ONLY from equality on one of 4 16-bit band values (the shuffle key
+    is (band_idx, band_val) — high-cardinality, unskewed), the
+    banded-signature self-join is the standard LSH layout; the full
+    64-bit hamming distance is verified on candidates and deduped with
+    one (doc_a, doc_b) agg. Never an all-pairs join.
+    """
+    docs = scatter(spark, load_table(spark, sf_dir, "documents")).where(
+        F.length("text") > 0
+    )
+    banded = docs.select(
+        "doc_id", F.expr(_phash_bands_expr()).alias("bands")
+    ).select("doc_id", "bands", F.posexplode("bands").alias("band_idx", "band_val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.bands").alias("ba"),
+        F.col("b.bands").alias("bb"),
+    )
+    ham = F.expr(
+        "aggregate(zip_with(ba, bb, (x, y) -> cast(bit_count(x ^ y) as bigint)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    return (
+        joined.withColumn("hamming", ham)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"))
+        .where(F.col("hamming") <= PHASH_HAM_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def mm_phash_neardup_sql() -> str:
+    from navigator_data_ingest_spark.functions import exprs as X
+
+    ch = "substr(text, 1 + (((i - 1) * n) // 64), 1)"
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text, length(text) AS n FROM documents
+        WHERE length(text) > 0
+    ), pxt AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, {PHASH_PIXELS}),
+                              i -> ({X.dk_hash32(ch, PHASH_SEED)}) % 256) AS px
+        FROM base
+    ), mt AS (
+        SELECT doc_id, px,
+               list_reduce(px, (a, b) -> a + b) // {PHASH_PIXELS} AS mean
+        FROM pxt
+    ), bandst AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, {PHASH_BANDS - 1}), b ->
+                   list_reduce(list_transform(generate_series(1, {PHASH_BAND_BITS}),
+                       i -> CASE WHEN px[b * {PHASH_BAND_BITS} + i] > mean
+                            THEN (1::bigint << (i - 1)) ELSE 0::bigint END),
+                       (x, y) -> x + y)) AS bands
+        FROM mt
+    ), banded AS (
+        SELECT doc_id, bands, g.b AS band_idx, bands[g.b + 1] AS band_val
+        FROM bandst, generate_series(0, {PHASH_BANDS - 1}) g(b)
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               min(list_reduce(list_transform(generate_series(1, {PHASH_BANDS}),
+                   i -> bit_count(xor(a.bands[i], b.bands[i]))::bigint),
+                   (x, y) -> x + y)) AS hamming
+        FROM banded a
+        JOIN banded b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs
+    WHERE hamming <= {PHASH_HAM_T}
+    ORDER BY doc_a, doc_b
+    """

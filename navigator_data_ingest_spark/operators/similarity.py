@@ -387,3 +387,108 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("cid").cast("int").alias("cluster_id"), "n_members", "inertia", "centroid_sum")
         .orderBy("cluster_id")
     )
+
+
+PQ_M = 8                      # subspaces
+PQ_DSUB = EMB_DIM // PQ_M     # dims per subspace
+PQ_K = 16                     # codebook entries per subspace
+
+
+def _pq_dist(s: int) -> str:
+    """Left-fold squared L2 distance over subspace ``s`` of e vs c."""
+    off = s * PQ_DSUB
+    d = (
+        f"(cast(element_at(e, cast({off} + i as int)) as double) - "
+        f"cast(element_at(c, cast({off} + i as int)) as double))"
+    )
+    return (
+        f"aggregate(sequence(1, {PQ_DSUB}), cast(0.0 as double), "
+        f"(acc, i) -> acc + {d} * {d})"
+    )
+
+
+def emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: the billion-vector memory trick (a 64-dim
+    float vector compresses to 8 one-byte codes, 32x) behind IVF-PQ
+    indexes. Each vector's 8 subspaces are assigned to the nearest of
+    16 per-subspace codebook entries; the code tuple plus the summed
+    per-subspace residual (the ADC reconstruction error) is emitted.
+
+    Deterministic "training" (so a SQL oracle can replay it): the
+    codebook entry j of subspace s is the s-th slice of the vector with
+    the (j+1)-lowest vec_id — a real pipeline k-means each subspace;
+    the assignment/scale structure is identical. Scale shape: the
+    16-row codebook broadcasts; each vector meets 16 candidate rows
+    whose 8 per-subspace distances collapse MAP-SIDE via
+    ``min(struct(dist, code))`` partial aggregation — the shuffle
+    carries ~n rows (one per vector), never n x 16. Ties break on the
+    lower code id; all arithmetic is an explicit left fold, bit-equal
+    across engines.
+    """
+    emb = scatter(spark, load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    w = Window.orderBy("vec_id")
+    codebook = (
+        emb.orderBy("vec_id")
+        .limit(PQ_K)
+        .select((F.row_number().over(w) - 1).alias("j"), F.col("e").alias("c"))
+    )
+    # distances in a PROJECTION below the aggregate: the agg's partial-
+    # aggregation code then compiles over 8 simple double columns
+    # instead of 8 inlined fold expressions (an order-of-magnitude
+    # smaller generated stage; the fold lambdas are interpreted either
+    # way)
+    scored = emb.crossJoin(F.broadcast(codebook)).select(
+        "vec_id",
+        "j",
+        *[F.expr(_pq_dist(s)).alias(f"d{s}") for s in range(PQ_M)],
+    )
+    mins = scored.groupBy("vec_id").agg(
+        *[
+            F.min(F.struct(F.col(f"d{s}").alias("d"), F.col("j").alias("j")))
+            .alias(f"m{s}")
+            for s in range(PQ_M)
+        ]
+    )
+    codes = F.concat_ws(",", *[F.col(f"m{s}.j").cast("string") for s in range(PQ_M)])
+    err = F.col("m0.d")
+    for s in range(1, PQ_M):
+        err = err + F.col(f"m{s}.d")
+    return mins.select(
+        "vec_id",
+        codes.alias("codes"),
+        F.round(err, 6).alias("recon_err"),
+    ).orderBy("vec_id")
+
+
+def emb_pq_sql() -> str:
+    def dist(s: int) -> str:
+        off = s * PQ_DSUB
+        d = f"(e.embedding[{off} + i]::double - s.c[{off} + i]::double)"
+        return (
+            f"list_reduce(list_transform(generate_series(1, {PQ_DSUB}), "
+            f"i -> {d} * {d}), (x, y) -> x + y)"
+        )
+
+    dists = ", ".join(f"{dist(s)} AS d{s}" for s in range(PQ_M))
+    mins = ", ".join(
+        f"min({{'d': d{s}, 'j': j}}) AS m{s}" for s in range(PQ_M)
+    )
+    codes = " || ',' || ".join(f"m{s}.j::varchar" for s in range(PQ_M))
+    err = " + ".join(f"m{s}.d" for s in range(PQ_M))
+    return f"""
+    WITH seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS c
+        FROM embeddings
+        QUALIFY row_number() OVER (ORDER BY vec_id) <= {PQ_K}
+    ), scored AS (
+        SELECT e.vec_id, s.j, {dists}
+        FROM embeddings e, seeds s
+    ), mins AS (
+        SELECT vec_id, {mins}
+        FROM scored GROUP BY vec_id
+    )
+    SELECT vec_id, {codes} AS codes, round({err}, 6) AS recon_err
+    FROM mins ORDER BY vec_id
+    """

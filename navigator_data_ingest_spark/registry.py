@@ -2276,6 +2276,16 @@ register(
     """,
 )
 register(
+    "emb_pq",
+    similarity.emb_pq,
+    similarity.emb_pq_sql(),
+)
+register(
+    "mm_phash_neardup",
+    multimodal.mm_phash_neardup,
+    multimodal.mm_phash_neardup_sql(),
+)
+register(
     "emb_kmeans",
     similarity.emb_kmeans,
     """
@@ -2407,5 +2417,23 @@ register(
     ) r
     WHERE rank <= 3
     ORDER BY window_start, rank
+    """,
+)
+
+register(
+    "q_events_sliding",
+    analytics.q_events_sliding,
+    f"""
+    WITH slots AS (
+        SELECT date_trunc('hour', ts) - (g.k * INTERVAL 1 HOUR) AS window_start,
+               event_type, value
+        FROM events, generate_series(0, {analytics.SLIDE_LEN_H - 1}) g(k)
+    )
+    SELECT window_start, event_type,
+           count(*)::bigint AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM slots
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
     """,
 )
