@@ -1393,3 +1393,31 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+HIST_WIDTH = 5.0   # histogram bucket width over `value`
+HIST_BUCKETS = 20  # clamp range [0, HIST_BUCKETS-1]
+
+
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type — the profiling
+    primitive behind dashboards and data-quality monitors. Bucket
+    assignment is a map-side expression (no UDF, no sort); the only
+    shuffle is the (type, bucket) aggregation, whose cardinality is
+    bounded by TYPES x BUCKETS regardless of event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.lit(HIST_BUCKETS - 1),
+        F.greatest(F.lit(0), F.floor(F.col("value") / HIST_WIDTH)),
+    ).cast("int")
+    return (
+        ev.select("event_type", bucket.alias("bucket"), "value")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r(F.min("value"), "min_value"),
+            _r(F.max("value"), "max_value"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -492,3 +492,127 @@ def emb_pq_sql() -> str:
     SELECT vec_id, {codes} AS codes, round({err}, 6) AS recon_err
     FROM mins ORDER BY vec_id
     """
+
+
+def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over PQ-compressed vectors with asymmetric distance
+    computation (ADC): queries stay full-precision, candidates are
+    represented ONLY by their reconstructed codebook slices — the
+    scoring model of IVF-PQ indexes, where the corpus fits in memory at
+    32x compression and distances are approximate.
+
+    The reconstruction rides the SAME single aggregation that assigns
+    codes (``min(struct(dist, code, slice))`` — the winning slice is
+    carried, not re-joined), so the corpus meets the 16-row codebook
+    once and shuffles once. Queries broadcast; squared-L2 ADC scores
+    rank per query with deterministic (distance, vec_id) tie-break.
+    Every fold is left-ordered — the DuckDB oracle replays it exactly.
+    """
+    emb = scatter(spark, load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    w = Window.orderBy("vec_id")
+    codebook = (
+        emb.orderBy("vec_id")
+        .limit(PQ_K)
+        .select((F.row_number().over(w) - 1).alias("j"), F.col("e").alias("c"))
+    )
+    scored = emb.crossJoin(F.broadcast(codebook)).select(
+        "vec_id",
+        "j",
+        *[F.expr(_pq_dist(s)).alias(f"d{s}") for s in range(PQ_M)],
+        *[
+            F.slice("c", s * PQ_DSUB + 1, PQ_DSUB).alias(f"s{s}")
+            for s in range(PQ_M)
+        ],
+    )
+    mins = scored.groupBy("vec_id").agg(
+        *[
+            F.min(
+                F.struct(
+                    F.col(f"d{s}").alias("d"),
+                    F.col("j").alias("j"),
+                    F.col(f"s{s}").alias("s"),
+                )
+            ).alias(f"m{s}")
+            for s in range(PQ_M)
+        ]
+    )
+    recon = mins.select(
+        "vec_id",
+        F.concat(*[F.col(f"m{s}.s") for s in range(PQ_M)]).alias("recon"),
+    )
+    q = (
+        emb.where(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qvec"))
+    )
+    adc = (
+        f"aggregate(sequence(1, {EMB_DIM}), cast(0.0 as double), (acc, i) -> "
+        "acc + (element_at(qvec, cast(i as int)) - element_at(recon, cast(i as int)))"
+        " * (element_at(qvec, cast(i as int)) - element_at(recon, cast(i as int))))"
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("vec_id"))
+    return (
+        recon.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.expr(adc).alias("_adc"))
+        .withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "vec_id",
+            F.round("_adc", 6).alias("adc_dist2"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def sim_search_pq_adc_sql() -> str:
+    def dist(s: int) -> str:
+        off = s * PQ_DSUB
+        d = f"(e.embedding[{off} + i]::double - s.c[{off} + i]::double)"
+        return (
+            f"list_reduce(list_transform(generate_series(1, {PQ_DSUB}), "
+            f"i -> {d} * {d}), (x, y) -> x + y)"
+        )
+
+    dists = ", ".join(f"{dist(s)} AS d{s}" for s in range(PQ_M))
+    slices = ", ".join(
+        f"list_transform(generate_series({s * PQ_DSUB} + 1, {(s + 1) * PQ_DSUB}), "
+        f"i -> s.c[i]::double) AS s{s}"
+        for s in range(PQ_M)
+    )
+    mins = ", ".join(
+        f"min({{'d': d{s}, 'j': j, 's': s{s}}}) AS m{s}" for s in range(PQ_M)
+    )
+    recon = " || ".join(f"m{s}.s" for s in range(PQ_M))
+    return f"""
+    WITH seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS c
+        FROM embeddings
+        QUALIFY row_number() OVER (ORDER BY vec_id) <= {PQ_K}
+    ), scored AS (
+        SELECT e.vec_id, s.j, {dists}, {slices}
+        FROM embeddings e, seeds s
+    ), mins AS (
+        SELECT vec_id, {mins}
+        FROM scored GROUP BY vec_id
+    ), recon AS (
+        SELECT vec_id, {recon} AS r FROM mins
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+        WHERE vec_id % {QUERY_MOD} = 0
+    ), adc AS (
+        SELECT q.query_id, c.vec_id,
+               list_reduce(list_transform(generate_series(1, {EMB_DIM}),
+                   i -> (q.qvec[i]::double - c.r[i]) * (q.qvec[i]::double - c.r[i])),
+                   (x, y) -> x + y) AS a
+        FROM recon c, q WHERE c.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, a,
+               row_number() OVER (PARTITION BY query_id ORDER BY a, vec_id) AS rank
+        FROM adc
+    )
+    SELECT query_id, vec_id, round(a, 6) AS adc_dist2, rank::int AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """

@@ -1049,6 +1049,7 @@ register(
 # --------------------------------------------------------------------------
 
 from navigator_data_ingest_spark import streaming as streaming_ops
+from navigator_data_ingest_spark.streaming import streams as streaming_streams
 
 register(
     "src_stream_events",
@@ -2436,4 +2437,43 @@ register(
     GROUP BY window_start, event_type
     ORDER BY window_start, event_type
     """,
+)
+
+register(
+    "sim_search_pq_adc",
+    similarity.sim_search_pq_adc,
+    similarity.sim_search_pq_adc_sql(),
+)
+
+register(
+    "q_events_histogram",
+    analytics.q_events_histogram,
+    f"""
+    WITH b AS (
+        SELECT event_type,
+               least({analytics.HIST_BUCKETS - 1},
+                     greatest(0, floor(value / {analytics.HIST_WIDTH})))::int AS bucket,
+               value
+        FROM events
+    )
+    SELECT event_type, bucket, count(*)::bigint AS n_events,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM b GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+
+from navigator_data_ingest_spark.sources import flat as _flat
+
+register(
+    "src_binary_files",
+    _flat.src_binary_files,
+    _flat.src_binary_files_sql(),
+)
+
+register(
+    "stream_foreachbatch_upsert",
+    streaming_ops.stream_foreachbatch_upsert,
+    streaming_streams.stream_foreachbatch_upsert_sql(),
 )

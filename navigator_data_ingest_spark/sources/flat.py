@@ -201,3 +201,76 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-store media ingestion via the ``binaryFile`` source — the
+    entry point a real multimodal corpus has: one opaque object per
+    asset, read DISTRIBUTED with content + metadata columns.
+
+    Round trip: the multimodal table's payloads are exported one file
+    per document (a side-effecting ``mapInPandas`` export stage — the
+    shape of any media-object sink), then read back with
+    ``spark.read.format("binaryFile")``; doc identity is parsed from
+    the file name and the payload is certified by md5 + byte length
+    against the origin table (the oracle recomputes both from the
+    source text, since the stub media payload is its utf-8 encoding).
+
+    Scale notes: binaryFile parallelizes by file and enforces
+    ``maxPartitionBytes``; at 100 TB the same reader ingests an S3
+    prefix listing. The md5/length derivations happen JVM-side on the
+    binary column — Python never touches the payload on the read path.
+    """
+    import os
+
+    import pandas as pd
+
+    from navigator_data_ingest_spark.operators.multimodal import multimodal_table
+
+    out = sink_path("binfiles", sf_dir)
+    media = multimodal_table(spark, sf_dir).select("doc_id", "media")
+    expected = media.count()
+    have = (
+        len([f for f in os.listdir(out) if f.endswith(".bin")])
+        if os.path.isdir(out)
+        else -1
+    )
+    if have != expected:
+        os.makedirs(out, exist_ok=True)
+
+        def _export(batches):
+            n = 0
+            for pdf in batches:
+                for did, payload in zip(pdf["doc_id"], pdf["media"]):
+                    with open(os.path.join(out, f"doc{did}.bin"), "wb") as fh:
+                        fh.write(bytes(payload))
+                    n += 1
+            yield pd.DataFrame({"n": [n]})
+
+        media.mapInPandas(_export, schema="n long").agg(F.sum("n")).collect()
+
+    read = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+    )
+    return (
+        read.select(
+            F.regexp_extract(F.col("path"), r"doc(\d+)\.bin", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("payload_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def src_binary_files_sql() -> str:
+    return """
+    SELECT doc_id,
+           octet_length(encode(text))::bigint AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    ORDER BY doc_id
+    """

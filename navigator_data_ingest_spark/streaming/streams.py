@@ -479,3 +479,91 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("rank").cast("int").alias("rank"))
         .orderBy("window_start", "rank")
     )
+
+
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply via ``foreachBatch``: each micro-batch merges
+    latest-wins into a versioned parquet state table — the production
+    pattern for "stream into a keyed table" on plain files (the same
+    merge a Delta/Iceberg MERGE INTO runs; here the compaction is
+    explicit). Events act as the changelog: key = user_id, version =
+    (ts, event_id), and an ``error`` event is the key's tombstone.
+
+    Semantics that make it oracle-able: tombstones are RETAINED in the
+    state (filtered only at read), so the per-batch merge is
+    associative and the final state over 3 time-ordered micro-batches
+    equals one batch latest-wins over the whole changelog — the DuckDB
+    oracle. Each merge is fully distributed (union + one key shuffle);
+    the driver only sequences batch ids.
+    """
+    feed = _scatter_time_ordered_feed(spark, sf_dir, 3)
+    state_root = os.path.join(
+        tempfile.gettempdir(),
+        "nav_fbupsert",
+        hashlib.md5(feed.encode()).hexdigest()[:8],
+    )
+    shutil.rmtree(state_root, ignore_errors=True)
+    os.makedirs(state_root, exist_ok=True)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur_path = os.path.join(state_root, f"v{batch_id - 1}")
+        nxt_path = os.path.join(state_root, f"v{batch_id}")
+        rows = batch_df.select("user_id", "ts", "event_id", "event_type", "value")
+        if os.path.isdir(cur_path):
+            rows = sp.read.parquet(cur_path).unionByName(rows)
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        (
+            rows.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+            .write.mode("overwrite")
+            .parquet(nxt_path)
+        )
+
+    ev = read_stream_events(spark, feed, glob="*.parquet", max_files_per_trigger=1)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        query = (
+            ev.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", _checkpoint_dir("fbupsert"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(state_root) if d.startswith("v")
+    )
+    final = spark.read.parquet(os.path.join(state_root, f"v{versions[-1]}"))
+    return (
+        final.where(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 6).alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def stream_foreachbatch_upsert_sql() -> str:
+    return """
+    WITH latest AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           event_type AS last_event_type, round(value, 6) AS last_value
+    FROM latest WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """

@@ -83,6 +83,11 @@ _DELIBERATE_NESTED_LOOP = {
     "emb_kmeans",
     "corpus_overlap",
     "graph_pagerank",
+    # 16-row PQ codebook broadcast against the corpus: deliberate
+    "emb_pq",
+    "sim_search_pq_adc",
+    # 1-row weight-sum broadcast / broadcast query set: deliberate
+    "sample_temperature",
 }
 
 
