@@ -1421,3 +1421,145 @@ def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+RANGE_FRAME_SECONDS = 3600  # trailing event-time frame width
+
+
+def q_events_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based (RANGE) window frame: per user, each event carries the
+    count and sum of that user's events in the trailing hour — INCLUDING
+    itself. The RANGE frame is the window-family member ROWS frames
+    can't emulate (the frame is bounded by the ORDER-BY VALUE, not a row
+    count), and the standard way to express "activity in the last N
+    minutes" without a self-join.
+
+    Frame bounds order by epoch seconds, so ties (same-second events)
+    share one frame — deterministic regardless of row order; the only
+    shuffle is the user_id window partition.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "epoch_s", F.unix_timestamp("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-RANGE_FRAME_SECONDS, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "epoch_s",
+            F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+            F.round(F.sum("value").over(w), 6).alias("sum_trailing_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def stats_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dataset profiler over ``orders``: per column, null count,
+    approx-distinct sketch, min/max — the data-quality summary every
+    warehouse runs after a load.
+
+    Scale shape: ONE scan computes every per-column aggregate as a
+    sibling expression (Spark evaluates them in a single partial-agg
+    pass — no per-column rescans); the wide 1-row result is unpivoted
+    to (column, metric) rows AFTER aggregation via ``stack``, so the
+    explode multiplies a 1-row aggregate, never the fact table.
+    HLL distinct counts are deterministic for fixed input; the oracle
+    pins EXACT distincts and gates the sketch inside the query (same
+    contract as q_approx_distinct).
+    """
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    ords = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__exact_distinct"),
+            F.approx_count_distinct(c).alias(f"{c}__approx_distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = ords.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__exact_distinct, {c}__approx_distinct, "
+        f"{c}__min, {c}__max"
+        for c in cols
+    )
+    tall = wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, approx_distinct, min_s, max_s)"
+        )
+    )
+    # the sketch is certified IN-QUERY (within 10% of exact); the oracle
+    # replays the exact values and the boolean, not the sketch itself
+    return tall.select(
+        "column_name",
+        "n_nulls",
+        "n_distinct",
+        (
+            (F.col("approx_distinct") * 10 >= F.col("n_distinct") * 9)
+            & (F.col("approx_distinct") * 10 <= F.col("n_distinct") * 11)
+        ).alias("sketch_within_tol"),
+        "min_s",
+        "max_s",
+    ).orderBy("column_name")
+
+
+COGROUP_RESULT_SCHEMA = (
+    "month string, n_orders bigint, order_cents bigint, "
+    "n_lines bigint, line_cents bigint"
+)
+
+
+def _monthly_compare(key, orders_pdf, lines_pdf):
+    """Cogrouped reconciliation: one month's orders AND lineitems arrive
+    as two aligned pandas frames. Sums run on integer cents (int64 —
+    order-free, bit-exact cross-engine)."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "month": [key[0]],
+            "n_orders": [len(orders_pdf)],
+            "order_cents": [int(orders_pdf["cents"].sum()) if len(orders_pdf) else 0],
+            "n_lines": [len(lines_pdf)],
+            "line_cents": [int(lines_pdf["cents"].sum()) if len(lines_pdf) else 0],
+        }
+    )
+
+
+def stats_cogroup_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-book vs line-item monthly reconciliation via
+    ``cogroup(...).applyInPandas`` — the remaining pandas-API family
+    member (grouped-map and grouped-state are covered elsewhere): two
+    tables co-partitioned on one key, each key's two slices delivered
+    to Python TOGETHER. The co-shuffle is the point — at scale this is
+    one exchange per side, no join materialization, and the Python
+    stage sees bounded per-key batches.
+
+    Money is converted to integer cents map-side (floor(x*100 + 0.5) —
+    identical in both engines on identical doubles) so the pandas sums
+    are int64 and order-free; the oracle is a FULL OUTER month join
+    (cogroup emits keys present in EITHER input).
+    """
+    ords = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    lines = load_table(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        F.expr(
+            "cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) as bigint)"
+        ).alias("cents"),
+    )
+    return (
+        ords.groupBy("month")
+        .cogroup(lines.groupBy("month"))
+        .applyInPandas(_monthly_compare, schema=COGROUP_RESULT_SCHEMA)
+        .orderBy("month")
+    )

@@ -365,3 +365,54 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# document-frequency thresholds -> integer rarity class (class 0 =
+# ubiquitous .. 3 = rare); the perplexity-proxy without a float log
+RARITY_THRESHOLDS = [(50, 0), (10, 1), (3, 2)]
+RARITY_MAX_CLASS = 3
+
+
+def text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-rarity scoring: the integer-exact stand-in for LM
+    perplexity filtering (rare-token-heavy documents are the ones a
+    cheap LM flags). Document frequency is computed corpus-wide, mapped
+    to a small integer class by fixed thresholds (no float log — the
+    class table IS the calibrated curve), and each document scores the
+    class-sum over its tokens with multiplicity plus a permille mean.
+
+    Scale shape: one explode -> (token) shuffle for df; the class table
+    joins BACK onto the exploded tokens keyed by token (same
+    broadcast-df-back layout as text_tfidf — no driver-side
+    vocabulary); per-doc rollup is the second and last shuffle. All
+    integers end to end.
+    """
+    toks = (
+        scatter(spark, load_table(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode(F.expr(X.sp_tokens("text"))).alias("tok"))
+    )
+    df_table = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    # CASE precedence: highest threshold first
+    cls = None
+    for thr, c in sorted(RARITY_THRESHOLDS, reverse=True):
+        cond = F.col("df") >= thr
+        cls = F.when(cond, F.lit(c)) if cls is None else cls.when(cond, F.lit(c))
+    cls = cls.otherwise(F.lit(RARITY_MAX_CLASS))
+    classed = df_table.select("tok", cls.cast("bigint").alias("cls"))
+    return (
+        toks.join(classed, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cls").alias("rarity_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "rarity_sum",
+            F.expr("rarity_sum * 1000 div n_tokens").alias("rarity_permille"),
+        )
+        .orderBy("doc_id")
+    )

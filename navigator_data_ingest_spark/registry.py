@@ -2477,3 +2477,27 @@ register(
     streaming_ops.stream_foreachbatch_upsert,
     streaming_streams.stream_foreachbatch_upsert_sql(),
 )
+
+register(
+    "q_events_range_frame",
+    analytics.q_events_range_frame,
+    '\n    SELECT event_id, user_id, floor(epoch(ts))::bigint AS epoch_s,\n           count(*) OVER w AS n_trailing_1h,\n           round(sum(value) OVER w, 6) AS sum_trailing_1h\n    FROM events\n    WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::bigint\n                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)\n    ORDER BY event_id\n',
+)
+
+register(
+    "stats_profile_table",
+    analytics.stats_profile_table,
+    "WITH w AS (SELECT sum(((o_orderkey) IS NULL)::int)::bigint AS o_orderkey__nulls, count(DISTINCT o_orderkey)::bigint AS o_orderkey__nd, min(o_orderkey::varchar) AS o_orderkey__min, max(o_orderkey::varchar) AS o_orderkey__max, sum(((o_custkey) IS NULL)::int)::bigint AS o_custkey__nulls, count(DISTINCT o_custkey)::bigint AS o_custkey__nd, min(o_custkey::varchar) AS o_custkey__min, max(o_custkey::varchar) AS o_custkey__max, sum(((o_orderstatus) IS NULL)::int)::bigint AS o_orderstatus__nulls, count(DISTINCT o_orderstatus)::bigint AS o_orderstatus__nd, min(o_orderstatus::varchar) AS o_orderstatus__min, max(o_orderstatus::varchar) AS o_orderstatus__max, sum(((o_totalprice) IS NULL)::int)::bigint AS o_totalprice__nulls, count(DISTINCT o_totalprice)::bigint AS o_totalprice__nd, min(o_totalprice::varchar) AS o_totalprice__min, max(o_totalprice::varchar) AS o_totalprice__max FROM orders) SELECT 'o_orderkey' AS column_name, o_orderkey__nulls AS n_nulls, o_orderkey__nd AS n_distinct, true AS sketch_within_tol, o_orderkey__min AS min_s, o_orderkey__max AS max_s FROM w UNION ALL SELECT 'o_custkey' AS column_name, o_custkey__nulls AS n_nulls, o_custkey__nd AS n_distinct, true AS sketch_within_tol, o_custkey__min AS min_s, o_custkey__max AS max_s FROM w UNION ALL SELECT 'o_orderstatus' AS column_name, o_orderstatus__nulls AS n_nulls, o_orderstatus__nd AS n_distinct, true AS sketch_within_tol, o_orderstatus__min AS min_s, o_orderstatus__max AS max_s FROM w UNION ALL SELECT 'o_totalprice' AS column_name, o_totalprice__nulls AS n_nulls, o_totalprice__nd AS n_distinct, true AS sketch_within_tol, o_totalprice__min AS min_s, o_totalprice__max AS max_s FROM w ORDER BY column_name",
+)
+
+register(
+    "stats_cogroup_monthly",
+    analytics.stats_cogroup_monthly,
+    "\n    WITH o AS (\n        SELECT strftime(o_orderdate, '%Y-%m') AS month,\n               count(*)::bigint AS n_orders,\n               sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint AS order_cents\n        FROM orders GROUP BY 1\n    ), l AS (\n        SELECT strftime(l_shipdate, '%Y-%m') AS month,\n               count(*)::bigint AS n_lines,\n               sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::bigint)::bigint AS line_cents\n        FROM lineitem GROUP BY 1\n    )\n    SELECT coalesce(o.month, l.month) AS month,\n           coalesce(n_orders, 0) AS n_orders,\n           coalesce(order_cents, 0) AS order_cents,\n           coalesce(n_lines, 0) AS n_lines,\n           coalesce(line_cents, 0) AS line_cents\n    FROM o FULL OUTER JOIN l ON o.month = l.month\n    ORDER BY month\n",
+)
+
+register(
+    "text_rarity",
+    textstats.text_rarity,
+    "\n    WITH toks AS (\n        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents\n    ), dft AS (\n        SELECT tok, (CASE WHEN df >= 50 THEN 0 WHEN df >= 10 THEN 1 WHEN df >= 3 THEN 2 ELSE 3 END)::bigint AS cls\n        FROM (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok)\n    )\n    SELECT t.doc_id, count(*)::bigint AS n_tokens,\n           sum(d.cls)::bigint AS rarity_sum,\n           (sum(d.cls) * 1000 // count(*))::bigint AS rarity_permille\n    FROM toks t JOIN dft d ON t.tok = d.tok\n    GROUP BY t.doc_id ORDER BY t.doc_id\n",
+)
