@@ -1563,3 +1563,67 @@ def stats_cogroup_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_monthly_compare, schema=COGROUP_RESULT_SCHEMA)
         .orderBy("month")
     )
+
+
+def q9_profit_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-line profit by nation and year (TPC-H Q9 shape, adapted:
+    the schema has no partsupp, so supply cost is proxied from the part
+    dimension). The classic many-dim star join: part and supplier and
+    nation all BROADCAST, lineitem joins orders on the fact key, and
+    the only data-sized shuffle is the final (nation, year) aggregate —
+    ~25 x 7 groups regardless of fact volume.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").contains("1")
+    ).select("p_partkey", "p_retailprice")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.lit(0.5) * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_r(F.sum(profit), "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q15_QUARTER = ("1995-01-01", "1995-04-01")
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier(s) by quarterly revenue (TPC-H Q15 shape).
+
+    The revenue "view" is a supplier-grain aggregate (bounded by the
+    dimension size); the maximum is a 1-row aggregate broadcast back —
+    never a partition-less ranking window over the fact table. Ties
+    all surface, as in the spec.
+    """
+    lo, hi = Q15_QUARTER
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(lo)) & (F.col("l_shipdate") < F.lit(hi))
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
+        .alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"), "s_name", "total_revenue"
+        )
+        .orderBy("s_suppkey")
+    )

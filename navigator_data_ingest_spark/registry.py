@@ -2501,3 +2501,29 @@ register(
     textstats.text_rarity,
     "\n    WITH toks AS (\n        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents\n    ), dft AS (\n        SELECT tok, (CASE WHEN df >= 50 THEN 0 WHEN df >= 10 THEN 1 WHEN df >= 3 THEN 2 ELSE 3 END)::bigint AS cls\n        FROM (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok)\n    )\n    SELECT t.doc_id, count(*)::bigint AS n_tokens,\n           sum(d.cls)::bigint AS rarity_sum,\n           (sum(d.cls) * 1000 // count(*))::bigint AS rarity_permille\n    FROM toks t JOIN dft d ON t.tok = d.tok\n    GROUP BY t.doc_id ORDER BY t.doc_id\n",
 )
+
+from navigator_data_ingest_spark.operators import layout as layout_ops
+
+register(
+    "q9_profit_shape",
+    analytics.q9_profit_shape,
+    "\n    SELECT n_name AS nation, year(o_orderdate)::bigint AS o_year,\n           round(sum(l_extendedprice * (1 - l_discount)\n                     - p_retailprice * 0.5 * l_quantity), 6) AS sum_profit\n    FROM lineitem\n    JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%1%'\n    JOIN supplier ON l_suppkey = s_suppkey\n    JOIN nation   ON s_nationkey = n_nationkey\n    JOIN orders   ON l_orderkey = o_orderkey\n    GROUP BY n_name, year(o_orderdate)\n    ORDER BY nation, o_year DESC\n",
+)
+
+register(
+    "q15_top_supplier",
+    analytics.q15_top_supplier,
+    "\n    WITH revenue AS (\n        SELECT l_suppkey,\n               round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue\n        FROM lineitem\n        WHERE l_shipdate >= TIMESTAMP '1995-01-01'\n          AND l_shipdate < TIMESTAMP '1995-04-01'\n        GROUP BY l_suppkey\n    )\n    SELECT l_suppkey AS s_suppkey, s_name, total_revenue\n    FROM revenue JOIN supplier ON l_suppkey = s_suppkey\n    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)\n    ORDER BY s_suppkey\n",
+)
+
+register(
+    "layout_zorder",
+    layout_ops.layout_zorder,
+    layout_ops.layout_zorder_sql(),
+)
+
+register(
+    "stream_incremental_files",
+    streaming_streams.stream_incremental_files,
+    streaming_streams.stream_incremental_files_sql(),
+)

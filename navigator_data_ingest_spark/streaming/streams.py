@@ -567,3 +567,84 @@ def stream_foreachbatch_upsert_sql() -> str:
     FROM latest WHERE rn = 1 AND event_type <> 'error'
     ORDER BY user_id
     """
+
+
+def stream_incremental_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once incremental file processing: the checkpoint persists
+    across TWO drains of a growing directory, and the second drain
+    processes ONLY the file that arrived in between — the property that
+    makes Structured Streaming an incremental-ETL scheduler (no
+    reprocessing, no dedup bookkeeping; the source's commit log IS the
+    watermark over the file listing).
+
+    Phase 1: two time-ordered chunks land, availableNow drains them.
+    Phase 2: the third chunk lands, a NEW availableNow run on the SAME
+    checkpoint drains it. The operator returns phase 2's emission —
+    exactly the third chunk's rows, which the oracle pins as the last
+    third of the (ts, event_id)-ordered events table (the same boundary
+    arithmetic the feed builder uses).
+    """
+    feed = _scatter_time_ordered_feed(spark, sf_dir, 3)
+    chunks = sorted(os.listdir(feed))
+    work = os.path.join(
+        tempfile.gettempdir(),
+        "nav_increm",
+        hashlib.md5(feed.encode()).hexdigest()[:8],
+    )
+    ckpt = os.path.join(work, "_checkpoint")
+    data = os.path.join(work, "data")
+    sink = os.path.join(work, "sink")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(data, exist_ok=True)
+    for c in chunks[:2]:
+        shutil.copy2(os.path.join(feed, c), os.path.join(data, c))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+
+    def _drain() -> None:
+        # a DURABLE sink (parquet), not memory: resuming from a
+        # checkpoint is exactly the capability under test, and the
+        # memory sink refuses recovery
+        ev = read_stream_events(spark, data, glob="*.parquet").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        q = (
+            ev.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)  # persists across drains
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def _sink_files() -> set[str]:
+        return {
+            f for f in os.listdir(sink) if f.endswith(".parquet")
+        } if os.path.isdir(sink) else set()
+
+    try:
+        _drain()
+        before = _sink_files()
+        shutil.copy2(os.path.join(feed, chunks[2]), os.path.join(data, chunks[2]))
+        _drain()
+        fresh = sorted(_sink_files() - before)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.read.parquet(*[os.path.join(sink, f) for f in fresh])
+    return out.orderBy("event_id")
+
+
+def stream_incremental_files_sql() -> str:
+    return """
+    WITH t AS (
+        SELECT event_id, ts, user_id, event_type, value,
+               row_number() OVER (ORDER BY ts, event_id) AS rn,
+               count(*) OVER () AS n
+        FROM events
+    )
+    SELECT event_id, ts, user_id, event_type, value
+    FROM t WHERE rn > 2 * n // 3
+    ORDER BY event_id
+    """
