@@ -980,3 +980,59 @@ def sample_temperature_sql() -> str:
            sum(kept::int)::bigint AS n_kept
     FROM flags GROUP BY source ORDER BY source
     """
+
+
+# --------------------------------------------------------------------------
+# corpus mixture report
+# --------------------------------------------------------------------------
+
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus composition table every pretraining run starts from:
+    per (source, language) document and token counts with integer
+    permille shares of the whole corpus.
+
+    One explode-free scan (token counts are ``size(tokens)`` map-side),
+    one bounded (source x lang) aggregation; the corpus totals arrive
+    back by 1-row broadcast, and shares are integer permille — no float
+    division until nothing depends on it.
+    """
+    docs = _tokens_df(spark, sf_dir).select(
+        "source", "lang", F.expr("size(t)").cast("bigint").alias("n_toks")
+    )
+    grp = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )
+    tot = grp.agg(
+        F.sum("n_docs").alias("tot_docs"), F.sum("n_tokens").alias("tot_tokens")
+    )
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_docs * 1000 div tot_docs").alias("doc_permille"),
+            F.expr("n_tokens * 1000 div tot_tokens").alias("token_permille"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def corpus_mix_report_sql() -> str:
+    return f"""
+    WITH g AS (
+        SELECT source, lang, count(*)::bigint AS n_docs,
+               sum(len({X.dk_tokens('text')}))::bigint AS n_tokens
+        FROM documents GROUP BY source, lang
+    ), tot AS (
+        SELECT sum(n_docs)::bigint AS tot_docs,
+               sum(n_tokens)::bigint AS tot_tokens
+        FROM g
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           (n_docs * 1000 // tot_docs)::bigint AS doc_permille,
+           (n_tokens * 1000 // tot_tokens)::bigint AS token_permille
+    FROM g, tot ORDER BY source, lang
+    """

@@ -567,3 +567,33 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup funnel's FINAL step: turn candidate pairs + connected
+    components into a per-language keep/drop report — what a corpus
+    owner actually reads after a dedup run (how much of each language
+    survived, how many clusters collapsed).
+
+    Composition: LSH pairs -> O(log n) star-contraction components ->
+    canonical-keep rule (cluster minimum survives) -> one bounded
+    (|languages|-row) audit aggregation after a doc-grain join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cc = connected_components(
+        scatter(spark, docs.select("doc_id")),
+        minhash_pairs(docs).select("doc_a", "doc_b"),
+    )
+    joined = cc.join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canonical_id").alias("n_clusters"),
+            F.sum((~F.col("is_duplicate")).cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("is_duplicate"), F.col("n_chars")).otherwise(0)
+            ).alias("chars_dropped"),
+        )
+        .orderBy("lang")
+    )

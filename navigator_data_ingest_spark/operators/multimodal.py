@@ -336,3 +336,73 @@ def mm_phash_neardup_sql() -> str:
     WHERE hamming <= {PHASH_HAM_T}
     ORDER BY doc_a, doc_b
     """
+
+
+# --------------------------------------------------------------------------
+# audio temporal chunking (overlapped windows)
+# --------------------------------------------------------------------------
+
+AUDIO_WIN_MS = 5000   # chunk window
+AUDIO_HOP_MS = 2500   # hop (50% overlap)
+
+
+def mm_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapped temporal chunking of audio assets: each audio row
+    expands to its 5 s / 2.5 s-hop windows — the segmentation every
+    speech pipeline (ASR, diarization, audio embedding) runs before
+    decode. Chunk boundaries are pure METADATA arithmetic (duration is
+    in the typed meta struct), so the 1->N expansion is a JVM-side
+    ``posexplode(sequence(...))`` — the Python decode stage
+    (``mm_decode_stub``) would consume these (doc_id, start, end) spans
+    per batch; no payload bytes move to Python here.
+
+    All integer milliseconds: duration_ms = (doc_id % 600) * 100 by the
+    multimodal table's construction, so chunk counts/spans replay
+    exactly in the oracle.
+    """
+    media = multimodal_table(spark, sf_dir).where(
+        F.col("meta.modality") == "audio"
+    )
+    dur_ms = (F.col("doc_id") % 600).cast("bigint") * 100
+    # windows start at k*hop while start < duration (last may be short)
+    chunks = media.select(
+        "doc_id",
+        dur_ms.alias("dur_ms"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, "
+                f"greatest(0, cast(((doc_id % 600) * 100 - 1) as bigint) div {AUDIO_HOP_MS}), 1), "
+                f"k -> k * {AUDIO_HOP_MS})"
+            )
+        ).alias("chunk_idx", "start_ms"),
+    ).where(F.col("start_ms") < F.col("dur_ms"))
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            "start_ms",
+            F.least(
+                F.col("start_ms") + AUDIO_WIN_MS, F.col("dur_ms")
+            ).alias("end_ms"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def mm_audio_chunk_sql() -> str:
+    return f"""
+    WITH audio AS (
+        SELECT doc_id, (doc_id % 600) * 100 AS dur_ms
+        FROM documents WHERE doc_id % 3 = 1
+    ), c AS (
+        SELECT doc_id, dur_ms, k::int AS chunk_idx,
+               (k * {AUDIO_HOP_MS})::bigint AS start_ms
+        FROM audio,
+             unnest(generate_series(0,
+                 greatest(0, (dur_ms - 1) // {AUDIO_HOP_MS}))) AS u(k)
+        WHERE k * {AUDIO_HOP_MS} < dur_ms
+    )
+    SELECT doc_id, chunk_idx, start_ms,
+           least(start_ms + {AUDIO_WIN_MS}, dur_ms)::bigint AS end_ms
+    FROM c ORDER BY doc_id, chunk_idx
+    """

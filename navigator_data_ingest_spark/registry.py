@@ -2527,3 +2527,53 @@ register(
     streaming_streams.stream_incremental_files,
     streaming_streams.stream_incremental_files_sql(),
 )
+
+register(
+    "dedup_resolution",
+    dedup.dedup_resolution,
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES}, lsh_pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM lsh_pairs
+    ), reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ), lab AS (
+        SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id
+    )
+    SELECT d.lang, count(*)::bigint AS n_docs,
+           count(DISTINCT lab.canonical_id)::bigint AS n_clusters,
+           sum((lab.doc_id = lab.canonical_id)::int)::bigint AS n_kept,
+           sum(CASE WHEN lab.doc_id <> lab.canonical_id THEN d.n_chars ELSE 0 END)::bigint AS chars_dropped
+    FROM lab JOIN documents d ON lab.doc_id = d.doc_id
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+
+register(
+    "corpus_mix_report",
+    corpus.corpus_mix_report,
+    corpus.corpus_mix_report_sql(),
+)
+
+from navigator_data_ingest_spark.sources import partitioned as _part
+
+register(
+    "sink_partition_overwrite",
+    _part.sink_partition_overwrite,
+    _part.sink_partition_overwrite_sql(),
+)
+
+register(
+    "mm_audio_chunk",
+    multimodal.mm_audio_chunk,
+    multimodal.mm_audio_chunk_sql(),
+)

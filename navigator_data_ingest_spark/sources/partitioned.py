@@ -72,3 +72,52 @@ def sink_partitioned_prune_sql() -> str:
     GROUP BY source
     ORDER BY source
     """
+
+
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the warehouse backfill primitive:
+    rewriting ONE partition of a partitioned dataset replaces exactly
+    that directory and leaves every other partition's files untouched
+    (static overwrite mode would truncate the whole table first).
+
+    Round trip: documents land partitioned by ``lang`` (v1); a
+    corrected 'en' slice (a deterministic +1000 char-count marker) is
+    written with ``partitionOverwriteMode=dynamic``; the read-back must
+    show marked 'en' rows and UNTOUCHED originals everywhere else —
+    which is exactly what the oracle recomputes. At 100 TB this is the
+    daily-backfill path: the rewrite cost is one partition, not the
+    table.
+    """
+    import os
+
+    from navigator_data_ingest_spark.sources.sinks import sink_path
+
+    out = sink_path("dynpart", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    fixed_en = docs.where(F.col("lang") == "en").withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    (
+        fixed_en.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang")
+        .parquet(out)
+    )
+    assert os.path.isdir(out)
+    return (
+        spark.read.parquet(out)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def sink_partition_overwrite_sql() -> str:
+    return """
+    SELECT doc_id, lang, source,
+           CASE WHEN lang = 'en' THEN n_chars + 1000 ELSE n_chars END AS n_chars
+    FROM documents
+    ORDER BY doc_id
+    """
