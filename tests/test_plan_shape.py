@@ -88,6 +88,8 @@ _DELIBERATE_NESTED_LOOP = {
     "sim_search_pq_adc",
     # 1-row weight-sum broadcast / broadcast query set: deliberate
     "sample_temperature",
+    # 1-row corpus-totals broadcast: deliberate
+    "corpus_mix_report",
 }
 
 
