@@ -18,7 +18,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from navigator_data_ingest_spark.operators import corpus as _corpus
 from navigator_data_ingest_spark.operators import dedup as _dedup
+from navigator_data_ingest_spark.operators import multimodal as _mm
 from navigator_data_ingest_spark.operators import similarity as _sim
 from navigator_data_ingest_spark.operators import textstats as _text
 
@@ -141,6 +143,36 @@ def label_centroids(
     return agg.select(
         F.col("label").alias(label_col),
         F.array(*[F.col(f"d{i}") for i in range(dim)]).alias("centroid"),
+    )
+
+
+def gopher_rules(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/MassiveText quality-rule flags (integer-exact) per row."""
+    out = _corpus.gopher_rules(_as_docs(df, id_col, text_col))
+    return out.withColumnRenamed("doc_id", id_col)
+
+
+def gopher_filter(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Rows passing every Gopher rule, original columns preserved."""
+    keep = (
+        gopher_rules(df, id_col, text_col)
+        .where(F.col("gopher_keep"))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def phash_neardup_pairs(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """Banded perceptual-hash near-duplicate pairs over a payload column
+    (LSH on 16-bit aHash bands, hamming-verified candidates only)."""
+    return _mm.phash_neardup_pairs(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("text"))
     )
 
 

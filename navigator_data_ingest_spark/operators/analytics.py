@@ -1627,3 +1627,81 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) bars per event type — the
+    time-series rollup every metrics/market hypertable serves.
+
+    Open and close are NOT min/max of value: they are the values at the
+    earliest/latest (ts, event_id) in the bar — computed with
+    ``min(struct(ts, event_id, value))`` / ``max(...)`` so the whole
+    bar is ONE aggregation pass (no ranking window, no self-join);
+    struct comparison is lexicographic and (ts, event_id) is unique, so
+    ties cannot reach the value field. The shuffle key (hour, type) is
+    bounded x types regardless of event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", F.col("ts")).alias("bar_start")
+    o = F.min(F.struct("ts", "event_id", "value")).alias("o")
+    c = F.max(F.struct("ts", "event_id", "value")).alias("c")
+    return (
+        ev.groupBy(bar, F.col("event_type"))
+        .agg(
+            o,
+            c,
+            _r(F.min("value"), "low"),
+            _r(F.max("value"), "high"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "bar_start",
+            "event_type",
+            F.round(F.col("o.value"), 6).alias("open"),
+            "high",
+            "low",
+            F.round(F.col("c.value"), 6).alias("close"),
+            "n_events",
+        )
+        .orderBy("bar_start", "event_type")
+    )
+
+
+def q_orders_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative monthly revenue share within each year: a window
+    cumsum over the MONTH-grain aggregate (12 rows per year partition —
+    the window runs on a bounded pre-aggregate, never the fact table)
+    plus a same-partition total; one fact shuffle, one tiny window.
+    """
+    ords = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    monthly = ords.groupBy("yr", "mo").agg(F.sum("cents").alias("rev_cents"))
+    w_cum = (
+        Window.partitionBy("yr")
+        .orderBy("mo")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("yr")
+    return (
+        monthly.select(
+            "yr",
+            "mo",
+            "rev_cents",
+            F.sum("rev_cents").over(w_cum).alias("cum_cents"),
+            F.sum("rev_cents").over(w_tot).alias("_tot"),
+        )
+        # integer div, not float /: Spark truncates the double quotient
+        # while DuckDB's ::bigint cast rounds it — exact-boundary shares
+        # drift by 1. `div` / `//` keeps both engines in integers.
+        .select(
+            "yr",
+            "mo",
+            "rev_cents",
+            "cum_cents",
+            F.expr("(cum_cents * 1000) div _tot").alias("cum_permille"),
+        )
+        .orderBy("yr", "mo")
+    )

@@ -780,8 +780,9 @@ GOPHER_STOP_MIN = 2
 GOPHER_STOPS = ["the", "and", "of", "to", "a", "in", "is", "that"]
 
 
-def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style document quality rules as integer-only flags.
+def gopher_rules(raw_docs: DataFrame) -> DataFrame:
+    """Gopher-style quality rules over any (doc_id, text) DataFrame —
+    the library surface behind ``text_gopher_rules``.
 
     The rule set (word count bounds, mean word length 3-10, symbol-to-
     word ratio, bullet/ellipsis line fractions, alphabetic-word
@@ -797,7 +798,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     stops = "array(" + ", ".join(f"'{w}'" for w in GOPHER_STOPS) + ")"
     t = X.sp_tokens("text")
-    docs = scatter(spark, load_table(spark, sf_dir, "documents")).withColumn(
+    docs = scatter(raw_docs.sparkSession, raw_docs).withColumn(
         "t", F.expr(t)
     ).withColumn("lines", F.split(F.col("text"), "\n"))
     n_words = F.expr("size(t)")
@@ -843,6 +844,11 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             r_words & r_meanlen & r_symbol & r_bullet & r_ellipsis & r_alpha & r_stop
         ).alias("gopher_keep"),
     ).orderBy("doc_id")
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry wrapper: Gopher rules over the documents table."""
+    return gopher_rules(load_table(spark, sf_dir, "documents"))
 
 
 def text_gopher_rules_sql() -> str:

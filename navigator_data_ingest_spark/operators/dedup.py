@@ -597,3 +597,57 @@ def dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+FP_SHARED_MIN = 2    # fingerprints shared to call a candidate pair
+FP_MAX_DF = 20       # drop fingerprints present in more docs (stopword shingles)
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs (the MOSS/plagiarism-
+    detection family): each document's selected shingle hashes (the
+    ``h % MOD == 0`` winnowing subset shared with ``text_fingerprint``)
+    are exploded and joined ON THE HASH — two docs become a candidate
+    pair iff they share >= FP_SHARED_MIN selected fingerprints.
+
+    Scale guards: common-shingle fingerprints (boilerplate, stopword
+    runs) appear in MANY docs and would explode the hash buckets —
+    fingerprints with document frequency > FP_MAX_DF are dropped first
+    (the standard winnowing stoplist step), bounding every bucket's
+    pair fan-out. Shuffles: one on the fingerprint hash, one on the
+    (doc_a, doc_b) pair — both high-cardinality, no all-pairs join.
+    """
+    from navigator_data_ingest_spark.operators.textstats import (
+        FINGERPRINT_K,
+        FINGERPRINT_MOD,
+        FINGERPRINT_SEED,
+    )
+
+    t = X.sp_tokens("text")
+    hashes = (
+        f"array_distinct(filter(transform(array_distinct("
+        f"{X.sp_shingles('t', FINGERPRINT_K)}), s -> "
+        f"{X.sp_hash32('s', FINGERPRINT_SEED)}), h -> h % {FINGERPRINT_MOD} = 0))"
+    )
+    sel = X.sp_let("t", t, hashes)
+    docs = scatter(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode(F.expr(sel)).alias("fp")
+    )
+    rare = docs.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= FP_MAX_DF
+    )
+    pruned = docs.join(rare.select("fp"), "fp")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= FP_SHARED_MIN)
+        .orderBy("doc_a", "doc_b")
+    )

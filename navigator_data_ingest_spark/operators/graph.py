@@ -110,3 +110,26 @@ def graph_pagerank_sql() -> str:
     FROM r2
     ORDER BY node
     """
+
+
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part—supplier bipartite graph: how
+    many parts have k distinct suppliers. The two-level aggregation
+    (edge dedup -> per-node degree -> per-degree count) is the standard
+    graph-profiling query; both shuffles are on shrinking keys
+    (edges -> nodes -> degree values), so the result is metadata-sized
+    long before the driver sees it.
+    """
+    edges = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    deg = edges.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("degree")
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("degree")
+    )

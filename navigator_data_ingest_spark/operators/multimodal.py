@@ -249,12 +249,14 @@ def _phash_bands_expr() -> str:
     )
 
 
-def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate media detection via banded perceptual hashes —
-    the multimodal twin of simhash dedup. Identical payloads (the
-    multimodal table's media is the utf-8 encoding of the document
-    text) collide on all four bands; small payload edits flip few
-    pixel bits and still collide on at least one band.
+def phash_neardup_pairs(raw_docs: DataFrame) -> DataFrame:
+    """Near-duplicate media detection via banded perceptual hashes over
+    any (doc_id, text-payload) DataFrame — the multimodal twin of
+    simhash dedup, and the library surface behind ``mm_phash_neardup``.
+    Identical payloads (the multimodal table's media is the utf-8
+    encoding of the document text) collide on all four bands; small
+    payload edits flip few pixel bits and still collide on at least one
+    band.
 
     Scale shape: the 64-bit hash is map-side; candidate pairs come
     ONLY from equality on one of 4 16-bit band values (the shuffle key
@@ -263,7 +265,7 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit hamming distance is verified on candidates and deduped with
     one (doc_a, doc_b) agg. Never an all-pairs join.
     """
-    docs = scatter(spark, load_table(spark, sf_dir, "documents")).where(
+    docs = scatter(raw_docs.sparkSession, raw_docs).where(
         F.length("text") > 0
     )
     banded = docs.select(
@@ -292,6 +294,11 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= PHASH_HAM_T)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry wrapper: banded phash near-dup over the documents table."""
+    return phash_neardup_pairs(load_table(spark, sf_dir, "documents"))
 
 
 def mm_phash_neardup_sql() -> str:

@@ -416,3 +416,37 @@ def text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+COOC_WINDOW = 3   # co-occurrence window (tokens to the right)
+COOC_TOP_N = 100
+
+
+def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed token co-occurrence: the count table behind PMI scores,
+    word-vector training data and collocation mining. Every token pairs
+    with its next ``COOC_WINDOW`` neighbours; pairs are generated
+    INSIDE the token array (a nested transform over slices — map-side,
+    no positional self-join), normalized to sorted order so 'a b' and
+    'b a' accumulate together, then one (pair) shuffle counts them and
+    TakeOrdered keeps the global top-N (a per-partition top-N merge on
+    the driver-bound result — never a full sort).
+    """
+    t = X.sp_tokens("text")
+    pairs = (
+        f"CASE WHEN size(t) >= 2 THEN flatten(transform(sequence(1, size(t)), "
+        f"i -> transform(slice(t, i + 1, {COOC_WINDOW}), "
+        f"u -> concat_ws(' ', least(element_at(t, cast(i as int)), u), "
+        f"greatest(element_at(t, cast(i as int)), u))))) "
+        f"ELSE array() END"
+    )
+    docs = scatter(spark, load_table(spark, sf_dir, "documents")).withColumn(
+        "t", F.expr(t)
+    )
+    return (
+        docs.select(F.explode(F.expr(pairs)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+        .orderBy(F.desc("n_cooc"), F.asc("pair"))
+        .limit(COOC_TOP_N)
+    )

@@ -2577,3 +2577,39 @@ register(
     multimodal.mm_audio_chunk,
     multimodal.mm_audio_chunk_sql(),
 )
+
+register(
+    "text_cooccurrence",
+    textstats.text_cooccurrence,
+    "\n    WITH toks AS (\n        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents\n    ), pairs AS (\n        SELECT unnest(CASE WHEN len(t) >= 2 THEN flatten(list_transform(generate_series(1, len(t)),\n                   i -> list_transform(t[i+1 : i+3],\n                        u -> least(t[i], u) || ' ' || greatest(t[i], u))))\n               ELSE [] END) AS pair\n        FROM toks\n    )\n    SELECT pair, count(*)::bigint AS n_cooc\n    FROM pairs GROUP BY pair\n    ORDER BY n_cooc DESC, pair\n    LIMIT 100\n",
+)
+
+register(
+    "graph_degree_distribution",
+    graph.graph_degree_distribution,
+    '\n    WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),\n    d AS (SELECT l_partkey, count(DISTINCT l_suppkey)::bigint AS degree FROM e GROUP BY 1)\n    SELECT degree, count(*)::bigint AS n_parts FROM d GROUP BY degree ORDER BY degree\n',
+)
+
+register(
+    "q_events_ohlc",
+    analytics.q_events_ohlc,
+    "\n    WITH bars AS (\n        SELECT date_trunc('hour', ts) AS bar_start, event_type,\n               min({'t': ts, 'e': event_id, 'v': value}) AS o,\n               max({'t': ts, 'e': event_id, 'v': value}) AS c,\n               round(min(value), 6) AS low,\n               round(max(value), 6) AS high,\n               count(*)::bigint AS n_events\n        FROM events GROUP BY 1, 2\n    )\n    SELECT bar_start, event_type,\n           round(o.v, 6) AS open, high, low, round(c.v, 6) AS close, n_events\n    FROM bars ORDER BY bar_start, event_type\n",
+)
+
+register(
+    "q_orders_running_share",
+    analytics.q_orders_running_share,
+    '\n    WITH m AS (\n        SELECT year(o_orderdate)::int AS yr, month(o_orderdate)::int AS mo,\n               sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint AS rev_cents\n        FROM orders GROUP BY 1, 2\n    )\n    SELECT yr, mo, rev_cents,\n           sum(rev_cents) OVER (PARTITION BY yr ORDER BY mo\n               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum_cents,\n           ((sum(rev_cents) OVER (PARTITION BY yr ORDER BY mo\n               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000)\n            // sum(rev_cents) OVER (PARTITION BY yr))::bigint AS cum_permille\n    FROM m ORDER BY yr, mo\n',
+)
+
+register(
+    "dedup_fingerprint",
+    dedup.dedup_fingerprint,
+    "\n    WITH toks AS (\n        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents\n    ), sel AS (\n        SELECT doc_id, unnest(list_distinct(list_filter(list_transform(\n                   list_distinct(CASE WHEN len(t) >= 4 THEN list_transform(generate_series(1, len(t) - 3), i -> t[i + 0] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]) ELSE [] END), s -> ('0x' || substr(md5('5:' || s), 1, 8))::ubigint::bigint),\n                   h -> h % 4 = 0))) AS fp\n        FROM toks\n    ), rare AS (\n        SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 20\n    ), pruned AS (\n        SELECT s.doc_id, s.fp FROM sel s JOIN rare r ON s.fp = r.fp\n    )\n    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::bigint AS n_shared\n    FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id\n    GROUP BY 1, 2 HAVING count(*) >= 2\n    ORDER BY doc_a, doc_b\n",
+)
+
+register(
+    "cdc_snapshot_diff",
+    cdc.cdc_snapshot_diff,
+    "\n    WITH base AS (\n        SELECT doc_id, md5(text) AS payload_md5 FROM documents\n    ), v2 AS (\n        SELECT doc_id,\n               CASE WHEN doc_id % 37 = 0 THEN md5(payload_md5 || ':v2')\n                    ELSE payload_md5 END AS payload_md5\n        FROM base WHERE doc_id % 41 <> 0\n        UNION ALL\n        SELECT doc_id + 1000000, md5(payload_md5 || ':new')\n        FROM base WHERE doc_id % 43 = 0\n    ), j AS (\n        SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'\n                    WHEN v2.doc_id IS NULL THEN 'removed'\n                    WHEN v1.payload_md5 <> v2.payload_md5 THEN 'changed'\n                    ELSE 'unchanged' END AS status\n        FROM base v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id\n    )\n    SELECT status, count(*)::bigint AS n_rows FROM j\n    GROUP BY status ORDER BY status\n",
+)
