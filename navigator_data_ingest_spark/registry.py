@@ -2481,7 +2481,15 @@ register(
 register(
     "q_events_range_frame",
     analytics.q_events_range_frame,
-    '\n    SELECT event_id, user_id, floor(epoch(ts))::bigint AS epoch_s,\n           count(*) OVER w AS n_trailing_1h,\n           round(sum(value) OVER w, 6) AS sum_trailing_1h\n    FROM events\n    WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::bigint\n                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)\n    ORDER BY event_id\n',
+    """
+    SELECT event_id, user_id, floor(epoch(ts))::bigint AS epoch_s,
+           count(*) OVER w AS n_trailing_1h,
+           round(sum(value) OVER w, 6) AS sum_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::bigint
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
 )
 
 register(
@@ -2493,13 +2501,44 @@ register(
 register(
     "stats_cogroup_monthly",
     analytics.stats_cogroup_monthly,
-    "\n    WITH o AS (\n        SELECT strftime(o_orderdate, '%Y-%m') AS month,\n               count(*)::bigint AS n_orders,\n               sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint AS order_cents\n        FROM orders GROUP BY 1\n    ), l AS (\n        SELECT strftime(l_shipdate, '%Y-%m') AS month,\n               count(*)::bigint AS n_lines,\n               sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::bigint)::bigint AS line_cents\n        FROM lineitem GROUP BY 1\n    )\n    SELECT coalesce(o.month, l.month) AS month,\n           coalesce(n_orders, 0) AS n_orders,\n           coalesce(order_cents, 0) AS order_cents,\n           coalesce(n_lines, 0) AS n_lines,\n           coalesce(line_cents, 0) AS line_cents\n    FROM o FULL OUTER JOIN l ON o.month = l.month\n    ORDER BY month\n",
+    """
+    WITH o AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               count(*)::bigint AS n_orders,
+               sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint AS order_cents
+        FROM orders GROUP BY 1
+    ), l AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS month,
+               count(*)::bigint AS n_lines,
+               sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::bigint)::bigint AS line_cents
+        FROM lineitem GROUP BY 1
+    )
+    SELECT coalesce(o.month, l.month) AS month,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(order_cents, 0) AS order_cents,
+           coalesce(n_lines, 0) AS n_lines,
+           coalesce(line_cents, 0) AS line_cents
+    FROM o FULL OUTER JOIN l ON o.month = l.month
+    ORDER BY month
+    """,
 )
 
 register(
     "text_rarity",
     textstats.text_rarity,
-    "\n    WITH toks AS (\n        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents\n    ), dft AS (\n        SELECT tok, (CASE WHEN df >= 50 THEN 0 WHEN df >= 10 THEN 1 WHEN df >= 3 THEN 2 ELSE 3 END)::bigint AS cls\n        FROM (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok)\n    )\n    SELECT t.doc_id, count(*)::bigint AS n_tokens,\n           sum(d.cls)::bigint AS rarity_sum,\n           (sum(d.cls) * 1000 // count(*))::bigint AS rarity_permille\n    FROM toks t JOIN dft d ON t.tok = d.tok\n    GROUP BY t.doc_id ORDER BY t.doc_id\n",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents
+    ), dft AS (
+        SELECT tok, (CASE WHEN df >= 50 THEN 0 WHEN df >= 10 THEN 1 WHEN df >= 3 THEN 2 ELSE 3 END)::bigint AS cls
+        FROM (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok)
+    )
+    SELECT t.doc_id, count(*)::bigint AS n_tokens,
+           sum(d.cls)::bigint AS rarity_sum,
+           (sum(d.cls) * 1000 // count(*))::bigint AS rarity_permille
+    FROM toks t JOIN dft d ON t.tok = d.tok
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
 )
 
 from navigator_data_ingest_spark.operators import layout as layout_ops
@@ -2507,13 +2546,37 @@ from navigator_data_ingest_spark.operators import layout as layout_ops
 register(
     "q9_profit_shape",
     analytics.q9_profit_shape,
-    "\n    SELECT n_name AS nation, year(o_orderdate)::bigint AS o_year,\n           round(sum(l_extendedprice * (1 - l_discount)\n                     - p_retailprice * 0.5 * l_quantity), 6) AS sum_profit\n    FROM lineitem\n    JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%1%'\n    JOIN supplier ON l_suppkey = s_suppkey\n    JOIN nation   ON s_nationkey = n_nationkey\n    JOIN orders   ON l_orderkey = o_orderkey\n    GROUP BY n_name, year(o_orderdate)\n    ORDER BY nation, o_year DESC\n",
+    """
+    SELECT n_name AS nation, year(o_orderdate)::bigint AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - p_retailprice * 0.5 * l_quantity), 6) AS sum_profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%1%'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
 )
 
 register(
     "q15_top_supplier",
     analytics.q15_top_supplier,
-    "\n    WITH revenue AS (\n        SELECT l_suppkey,\n               round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue\n        FROM lineitem\n        WHERE l_shipdate >= TIMESTAMP '1995-01-01'\n          AND l_shipdate < TIMESTAMP '1995-04-01'\n        GROUP BY l_suppkey\n    )\n    SELECT l_suppkey AS s_suppkey, s_name, total_revenue\n    FROM revenue JOIN supplier ON l_suppkey = s_suppkey\n    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)\n    ORDER BY s_suppkey\n",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1995-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT l_suppkey AS s_suppkey, s_name, total_revenue
+    FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
 )
 
 register(
@@ -2581,35 +2644,116 @@ register(
 register(
     "text_cooccurrence",
     textstats.text_cooccurrence,
-    "\n    WITH toks AS (\n        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents\n    ), pairs AS (\n        SELECT unnest(CASE WHEN len(t) >= 2 THEN flatten(list_transform(generate_series(1, len(t)),\n                   i -> list_transform(t[i+1 : i+3],\n                        u -> least(t[i], u) || ' ' || greatest(t[i], u))))\n               ELSE [] END) AS pair\n        FROM toks\n    )\n    SELECT pair, count(*)::bigint AS n_cooc\n    FROM pairs GROUP BY pair\n    ORDER BY n_cooc DESC, pair\n    LIMIT 100\n",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), pairs AS (
+        SELECT unnest(CASE WHEN len(t) >= 2 THEN flatten(list_transform(generate_series(1, len(t)),
+                   i -> list_transform(t[i+1 : i+3],
+                        u -> least(t[i], u) || ' ' || greatest(t[i], u))))
+               ELSE [] END) AS pair
+        FROM toks
+    )
+    SELECT pair, count(*)::bigint AS n_cooc
+    FROM pairs GROUP BY pair
+    ORDER BY n_cooc DESC, pair
+    LIMIT 100
+    """,
 )
 
 register(
     "graph_degree_distribution",
     graph.graph_degree_distribution,
-    '\n    WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),\n    d AS (SELECT l_partkey, count(DISTINCT l_suppkey)::bigint AS degree FROM e GROUP BY 1)\n    SELECT degree, count(*)::bigint AS n_parts FROM d GROUP BY degree ORDER BY degree\n',
+    """
+    WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    d AS (SELECT l_partkey, count(DISTINCT l_suppkey)::bigint AS degree FROM e GROUP BY 1)
+    SELECT degree, count(*)::bigint AS n_parts FROM d GROUP BY degree ORDER BY degree
+    """,
 )
 
 register(
     "q_events_ohlc",
     analytics.q_events_ohlc,
-    "\n    WITH bars AS (\n        SELECT date_trunc('hour', ts) AS bar_start, event_type,\n               min({'t': ts, 'e': event_id, 'v': value}) AS o,\n               max({'t': ts, 'e': event_id, 'v': value}) AS c,\n               round(min(value), 6) AS low,\n               round(max(value), 6) AS high,\n               count(*)::bigint AS n_events\n        FROM events GROUP BY 1, 2\n    )\n    SELECT bar_start, event_type,\n           round(o.v, 6) AS open, high, low, round(c.v, 6) AS close, n_events\n    FROM bars ORDER BY bar_start, event_type\n",
+    """
+    WITH bars AS (
+        SELECT date_trunc('hour', ts) AS bar_start, event_type,
+               min({'t': ts, 'e': event_id, 'v': value}) AS o,
+               max({'t': ts, 'e': event_id, 'v': value}) AS c,
+               round(min(value), 6) AS low,
+               round(max(value), 6) AS high,
+               count(*)::bigint AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT bar_start, event_type,
+           round(o.v, 6) AS open, high, low, round(c.v, 6) AS close, n_events
+    FROM bars ORDER BY bar_start, event_type
+    """,
 )
 
 register(
     "q_orders_running_share",
     analytics.q_orders_running_share,
-    '\n    WITH m AS (\n        SELECT year(o_orderdate)::int AS yr, month(o_orderdate)::int AS mo,\n               sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint AS rev_cents\n        FROM orders GROUP BY 1, 2\n    )\n    SELECT yr, mo, rev_cents,\n           sum(rev_cents) OVER (PARTITION BY yr ORDER BY mo\n               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum_cents,\n           ((sum(rev_cents) OVER (PARTITION BY yr ORDER BY mo\n               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000)\n            // sum(rev_cents) OVER (PARTITION BY yr))::bigint AS cum_permille\n    FROM m ORDER BY yr, mo\n',
+    """
+    WITH m AS (
+        SELECT year(o_orderdate)::int AS yr, month(o_orderdate)::int AS mo,
+               sum(floor(o_totalprice * 100 + 0.5)::bigint)::bigint AS rev_cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mo, rev_cents,
+           sum(rev_cents) OVER (PARTITION BY yr ORDER BY mo
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum_cents,
+           ((sum(rev_cents) OVER (PARTITION BY yr ORDER BY mo
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000)
+            // sum(rev_cents) OVER (PARTITION BY yr))::bigint AS cum_permille
+    FROM m ORDER BY yr, mo
+    """,
 )
 
 register(
     "dedup_fingerprint",
     dedup.dedup_fingerprint,
-    "\n    WITH toks AS (\n        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents\n    ), sel AS (\n        SELECT doc_id, unnest(list_distinct(list_filter(list_transform(\n                   list_distinct(CASE WHEN len(t) >= 4 THEN list_transform(generate_series(1, len(t) - 3), i -> t[i + 0] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]) ELSE [] END), s -> ('0x' || substr(md5('5:' || s), 1, 8))::ubigint::bigint),\n                   h -> h % 4 = 0))) AS fp\n        FROM toks\n    ), rare AS (\n        SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 20\n    ), pruned AS (\n        SELECT s.doc_id, s.fp FROM sel s JOIN rare r ON s.fp = r.fp\n    )\n    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::bigint AS n_shared\n    FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id\n    GROUP BY 1, 2 HAVING count(*) >= 2\n    ORDER BY doc_a, doc_b\n",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), sel AS (
+        SELECT doc_id, unnest(list_distinct(list_filter(list_transform(
+                   list_distinct(CASE WHEN len(t) >= 4 THEN list_transform(generate_series(1, len(t) - 3), i -> t[i + 0] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]) ELSE [] END), s -> ('0x' || substr(md5('5:' || s), 1, 8))::ubigint::bigint),
+                   h -> h % 4 = 0))) AS fp
+        FROM toks
+    ), rare AS (
+        SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 20
+    ), pruned AS (
+        SELECT s.doc_id, s.fp FROM sel s JOIN rare r ON s.fp = r.fp
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::bigint AS n_shared
+    FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    ORDER BY doc_a, doc_b
+    """,
 )
 
 register(
     "cdc_snapshot_diff",
     cdc.cdc_snapshot_diff,
-    "\n    WITH base AS (\n        SELECT doc_id, md5(text) AS payload_md5 FROM documents\n    ), v2 AS (\n        SELECT doc_id,\n               CASE WHEN doc_id % 37 = 0 THEN md5(payload_md5 || ':v2')\n                    ELSE payload_md5 END AS payload_md5\n        FROM base WHERE doc_id % 41 <> 0\n        UNION ALL\n        SELECT doc_id + 1000000, md5(payload_md5 || ':new')\n        FROM base WHERE doc_id % 43 = 0\n    ), j AS (\n        SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'\n                    WHEN v2.doc_id IS NULL THEN 'removed'\n                    WHEN v1.payload_md5 <> v2.payload_md5 THEN 'changed'\n                    ELSE 'unchanged' END AS status\n        FROM base v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id\n    )\n    SELECT status, count(*)::bigint AS n_rows FROM j\n    GROUP BY status ORDER BY status\n",
+    """
+    WITH base AS (
+        SELECT doc_id, md5(text) AS payload_md5 FROM documents
+    ), v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 37 = 0 THEN md5(payload_md5 || ':v2')
+                    ELSE payload_md5 END AS payload_md5
+        FROM base WHERE doc_id % 41 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, md5(payload_md5 || ':new')
+        FROM base WHERE doc_id % 43 = 0
+    ), j AS (
+        SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN v1.payload_md5 <> v2.payload_md5 THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM base v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT status, count(*)::bigint AS n_rows FROM j
+    GROUP BY status ORDER BY status
+    """,
 )

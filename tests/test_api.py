@@ -133,3 +133,27 @@ def test_hash_sample_deterministic_and_scan_side(spark):
     assert 100 < len(s1) < 320  # ~10% of 2000, generous band
     assert api.hash_sample(df, "k", 0).count() == 0
     assert api.hash_sample(df, "k", 100).count() == 2000
+
+
+def test_gopher_rules_custom_columns_and_filter(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in a house that is big and warm today", "keepme"),
+            (2, "### ### ###", "dropme"),
+        ],
+        "pid bigint, body string, tag string",
+    )
+    flags = {r.pid: r.gopher_keep for r in api.gopher_rules(df, "pid", "body").collect()}
+    assert flags[1] is True and flags[2] is False
+    kept = api.gopher_filter(df, "pid", "body").collect()
+    assert [(r.pid, r.tag) for r in kept] == [(1, "keepme")]  # original cols survive
+
+
+def test_phash_neardup_pairs_finds_identical_payloads(spark):
+    text = "a perfectly ordinary payload with enough characters to sample sixty four pixels from"
+    df = spark.createDataFrame(
+        [(10, text), (20, text), (30, "a completely different body of text that shares nothing with the others at all ok")],
+        "mid bigint, payload string",
+    )
+    pairs = api.phash_neardup_pairs(df, "mid", "payload").collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in pairs] == [(10, 20, 0)]
