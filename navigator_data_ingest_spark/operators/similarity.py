@@ -616,3 +616,62 @@ def sim_search_pq_adc_sql() -> str:
     FROM ranked WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
     """
+
+
+def sim_search_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality certification: per query, how much of the EXACT
+    top-k does the LSH index recover, and how many candidates did it
+    have to score to get there? The recall/candidate-count pair is the
+    number every ANN deployment tunes against (more planes -> fewer
+    candidates, lower recall) — computed IN-QUERY so the oracle
+    certifies the measurement itself, not just the index.
+
+    Plan shape: the exact top-k is the broadcast-scored baseline, the
+    LSH side scores bucket-local candidates only, and both are
+    per-query bounded (k rows each) before the final join — the report
+    join is metadata-sized. recall_permille is integer arithmetic.
+    """
+    e = scatter(spark, load_table(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", F.expr(_bucket_expr("embedding"))
+    )
+    q = (
+        e.where(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    bf = cosine_topk(e.select("vec_id", "embedding"),
+                     q.select("query_id", "qvec"), TOP_K)
+    cand_counts = (
+        e.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+    )
+    lsh = sim_search_lsh(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("lsh_vec")
+    )
+    overlap = (
+        bf.join(
+            lsh,
+            (bf["query_id"] == lsh["query_id"]) & (bf["vec_id"] == lsh["lsh_vec"]),
+            "left",
+        )
+        .groupBy(bf["query_id"].alias("query_id"))
+        .agg(F.count("lsh_vec").alias("n_overlap"))
+    )
+    return (
+        overlap.join(cand_counts, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            "n_overlap",
+            F.expr(f"n_overlap * 1000 div {TOP_K}").alias("recall_permille"),
+        )
+        .orderBy("query_id")
+    )

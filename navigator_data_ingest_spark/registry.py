@@ -2757,3 +2757,46 @@ register(
     GROUP BY status ORDER BY status
     """,
 )
+
+register(
+    "sim_search_recall_report",
+    similarity.sim_search_recall_report,
+    f"""
+    WITH eb AS (
+        SELECT vec_id, embedding, {_DK_BUCKET} AS bucket FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket
+        FROM eb WHERE vec_id % {similarity.QUERY_MOD} = 0
+    ), bf AS (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   {_DK_DOT_QE} / (sqrt({_DK_DOT_QQ}) * sqrt({_DK_DOT_EE})) DESC,
+                   e.vec_id) AS rank
+        FROM eb e, q WHERE e.vec_id <> q.query_id
+    ), bf_top AS (
+        SELECT query_id, vec_id FROM bf WHERE rank <= {similarity.TOP_K}
+    ), cands AS (
+        SELECT q.query_id, count(*)::bigint AS n_candidates
+        FROM eb e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
+        GROUP BY q.query_id
+    ), lsh_scored AS (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   {_DK_DOT_QE} / (sqrt({_DK_DOT_QQ}) * sqrt({_DK_DOT_EE})) DESC,
+                   e.vec_id) AS rank
+        FROM eb e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
+    ), lsh_top AS (
+        SELECT query_id, vec_id FROM lsh_scored WHERE rank <= {similarity.TOP_K}
+    ), ov AS (
+        SELECT b.query_id, count(l.vec_id)::bigint AS n_overlap
+        FROM bf_top b LEFT JOIN lsh_top l
+          ON b.query_id = l.query_id AND b.vec_id = l.vec_id
+        GROUP BY b.query_id
+    )
+    SELECT o.query_id, coalesce(c.n_candidates, 0) AS n_candidates,
+           o.n_overlap,
+           (o.n_overlap * 1000 // {similarity.TOP_K})::bigint AS recall_permille
+    FROM ov o LEFT JOIN cands c ON o.query_id = c.query_id
+    ORDER BY o.query_id
+    """,
+)
