@@ -90,6 +90,10 @@ _DELIBERATE_NESTED_LOOP = {
     "sample_temperature",
     # 1-row corpus-totals broadcast: deliberate
     "corpus_mix_report",
+    # composes the declared exact brute-force baseline (cosine_topk
+    # broadcast-scores the bounded query set against every vector) to
+    # certify LSH recall — the nested loop IS the ground truth side
+    "sim_search_recall_report",
 }
 
 
