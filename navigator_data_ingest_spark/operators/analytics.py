@@ -1705,3 +1705,200 @@ def q_orders_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "mo")
     )
+
+
+Q11_NATION = "NATION_3"      # Q11's single-nation stock filter
+Q11_FRACTION = 0.002         # keep parts whose value share exceeds this
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock identification (TPC-H Q11 shape, adapted: no
+    partsupp table, so a part's stock value held by one nation's
+    suppliers is proxied from its lineitem flow at the Q9 supply-cost
+    proxy ``p_retailprice * 0.5``).
+
+    Scale shape: supplier+nation are BROADCAST filters applied before
+    the fact shuffle; the per-part aggregate is one shuffle on
+    l_partkey; the global total is a 1-row aggregate BROADCAST back as
+    the HAVING threshold (same pattern as q22/q15) — no second scan of
+    the fact table and no driver-side value.
+    """
+    sup_in_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").where(
+                    F.col("n_name") == Q11_NATION
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    stock = (
+        li.join(F.broadcast(sup_in_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("p_retailprice") * F.lit(0.5) * F.col("l_quantity")
+            ).alias("raw_value")
+        )
+    )
+    threshold = stock.agg(
+        (F.sum("raw_value") * F.lit(Q11_FRACTION)).alias("cutoff")
+    )
+    return (
+        stock.join(F.broadcast(threshold), F.col("raw_value") > F.col("cutoff"))
+        .select("l_partkey", _r(F.col("raw_value"), "value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+Q20_PART_TOKEN = "red"       # Q20's p_name filter token
+Q20_YEAR = 1996              # the promotion year
+Q20_CONCENTRATION = 0.3      # pair qualifies when year qty > this share
+
+
+def q20_promotion_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential-part-promotion suppliers (TPC-H Q20 shape, adapted: no
+    partsupp availability, so a (supplier, part) pair qualifies when its
+    shipped quantity in the promotion year exceeds ``Q20_CONCENTRATION``
+    of its all-time shipped quantity — the spec's
+    ``ps_availqty > 0.5 * year-shipped`` concentration test re-expressed
+    on the flow side).
+
+    Scale shape: the part-name filter is a BROADCAST semi-join applied
+    before the fact shuffle; year-vs-total is ONE conditional aggregate
+    over (l_suppkey, l_partkey) — a single fact shuffle, no self-join
+    between a year-scan and an all-time scan; the qualifying-pair →
+    supplier step is a count aggregate on the bounded pair set joined
+    to the BROADCAST supplier dim.
+    """
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").contains(Q20_PART_TOKEN))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    pairs = (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(F.year("l_shipdate") == Q20_YEAR, F.col("l_quantity"))
+                .otherwise(F.lit(0.0))
+            ).alias("year_qty"),
+            F.sum("l_quantity").alias("total_qty"),
+        )
+        .where(F.col("year_qty") > F.lit(Q20_CONCENTRATION) * F.col("total_qty"))
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        pairs.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_promo_parts"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_promo_parts")
+        .orderBy("s_suppkey")
+    )
+
+
+ZSCORE_SIGMAS = 3  # anomaly threshold (population sigmas)
+
+
+def q_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly detection over events — the metrics-
+    pipeline outlier flag — computed EXACTLY in integer arithmetic so
+    the flag is bit-identical cross-engine: with n, S = Σc, Q = Σc² per
+    type (c = value in cents), ``|z| > k`` is the integer comparison
+
+        (n·c − S)² > k²·(n·Q − S²)
+
+    (both sides are n² × the float form) — no float mean/stddev whose
+    last-ulp differences could flip a boundary row between engines.
+
+    Scale shape: the per-type moment table is a tiny aggregate (one
+    map-side-combined shuffle to |types| rows) BROADCAST back; the flag
+    itself is map-side. Witness products are carried in decimal(38,0)
+    (DuckDB: HUGEINT), exact far past the int64 overflow that n·Q hits
+    around a billion rows per type.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d("cents")).alias("s"),
+        F.sum(d("cents") * d("cents")).alias("q"),
+    )
+    dev = F.col("n") * d("cents") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(dev * dev > F.lit(ZSCORE_SIGMAS * ZSCORE_SIGMAS) * var_n2)
+        .select("event_id", "event_type", "cents")
+        .orderBy("event_id")
+    )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")  # ordered funnel stages
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (view → click → purchase) per user —
+    the product-analytics staple: a later stage only counts when it
+    happens strictly AFTER the user's earlier stage.
+
+    Scale shape: each stage is a user-grain ``min(ts)`` aggregate over
+    a type-filtered scan, and each later stage joins the previous
+    user-grain result on user_id — every shuffle in the chain is on the
+    SAME key (user_id), so AQE/co-partitioning reuses the layout; no
+    window over the raw fact, no self-join of events with events at
+    event grain. Output is user-grain with per-stage timestamps
+    (NULL = stage not reached) and the reached-stage depth.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.where(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            (
+                F.lit(1)
+                + F.col("click_ts").isNotNull().cast("int")
+                + F.col("purchase_ts").isNotNull().cast("int")
+            ).alias("stage"),
+        )
+        .orderBy("user_id")
+    )

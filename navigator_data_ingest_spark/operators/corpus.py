@@ -1042,3 +1042,114 @@ def corpus_mix_report_sql() -> str:
            (n_tokens * 1000 // tot_tokens)::bigint AS token_permille
     FROM g, tot ORDER BY source, lang
     """
+
+
+# --------------------------------------------------------------------------
+# deterministic train/validation/test split assignment
+# --------------------------------------------------------------------------
+
+# permille cut points on the split hash: [0, 980) train, [980, 990)
+# validation, [990, 1000) test
+SPLIT_CUTS = (980, 990)
+
+
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test split assignment — the step
+    every training-data pipeline runs last, and the one that must NEVER
+    depend on row order: an eval document that migrates into train on a
+    re-run is silent contamination.
+
+    The split is keyed on ``hash32('split:' || doc_id) % 1000`` against
+    fixed permille cut points — a pure map-side integer decision, stable
+    under repartitioning, corpus growth (existing docs keep their split
+    when new docs arrive), and engine choice. NO shuffle for the
+    assignment itself; the returned holdout rows (val + test, ~2%) are
+    the contamination-auditable artifact, ordered only at the bounded
+    output.
+    """
+    h = X.sp_hash32("cast(doc_id as string)", "split")
+    lo, hi = SPLIT_CUTS
+    docs = scatter(spark, load_table(spark, sf_dir, "documents")).withColumn(
+        "bucket", F.expr(f"({h}) % 1000")
+    )
+    return (
+        docs.where(F.col("bucket") >= lo)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.when(F.col("bucket") < hi, F.lit("validation"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def split_train_holdout_sql() -> str:
+    h = X.dk_hash32("doc_id::varchar", "split")
+    lo, hi = SPLIT_CUTS
+    return f"""
+    WITH b AS (
+        SELECT doc_id, lang, source, ({h}) % 1000 AS bucket FROM documents
+    )
+    SELECT doc_id, lang, source,
+           CASE WHEN bucket < {hi} THEN 'validation' ELSE 'test' END AS split
+    FROM b WHERE bucket >= {lo} ORDER BY doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# text normalization (pre-hash canonical form)
+# --------------------------------------------------------------------------
+
+# printable-control strip + whitespace collapse, shared verbatim with
+# the DuckDB oracle so the canonical form is engine-identical
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+_WS_RE = r"\s+"
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — the step that runs immediately
+    before any hash-keyed stage (exact dedup, passage dedup, split
+    assignment) so that byte-level noise (case, control chars, ragged
+    whitespace) doesn't defeat content addressing.
+
+    Pure map-side regexp/case folding (whole-stage codegen, no Python,
+    no shuffle except the bounded ORDER BY at the audited output); the
+    md5 over the canonical form is the content address later stages
+    key on, and ``changed`` makes the no-op rate auditable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), _CTRL_RE, " "),
+            _WS_RE,
+            " ",
+        )
+    )
+    return (
+        docs.select("doc_id", "text", norm.alias("norm_text"))
+        .select(
+            "doc_id",
+            F.length("norm_text").alias("n_chars_norm"),
+            F.md5("norm_text").alias("norm_md5"),
+            (F.col("norm_text") != F.col("text")).alias("changed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_normalize_sql() -> str:
+    return rf"""
+    WITH n AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '{_CTRL_RE}', ' ', 'g'), '{_WS_RE}', ' ', 'g')) AS norm_text
+        FROM documents
+    )
+    SELECT doc_id, length(norm_text)::bigint AS n_chars_norm,
+           md5(norm_text) AS norm_md5,
+           norm_text <> text AS changed
+    FROM n ORDER BY doc_id
+    """

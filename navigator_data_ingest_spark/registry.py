@@ -2580,6 +2580,115 @@ register(
 )
 
 register(
+    "split_train_holdout",
+    corpus.split_train_holdout,
+    corpus.split_train_holdout_sql(),
+)
+
+register(
+    "stream_outer_join_expiry",
+    streaming_streams.stream_outer_join_expiry,
+    streaming_streams.stream_outer_join_expiry_sql(),
+)
+
+register(
+    "text_normalize",
+    corpus.text_normalize,
+    corpus.text_normalize_sql(),
+)
+
+register(
+    "q_events_funnel",
+    analytics.q_events_funnel,
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS view_ts
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS click_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.view_ts
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS purchase_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, view_ts, click_ts, purchase_ts,
+           (1 + (click_ts IS NOT NULL)::int
+              + (purchase_ts IS NOT NULL)::int) AS stage
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    ORDER BY v.user_id
+    """,
+)
+
+register(
+    "q_events_zscore",
+    analytics.q_events_zscore,
+    f"""
+    WITH ev AS (
+        SELECT event_id, event_type,
+               floor(value * 100 + 0.5)::bigint AS cents
+        FROM events
+    ), st AS (
+        SELECT event_type, count(*)::hugeint AS n,
+               sum(cents)::hugeint AS s,
+               sum(cents::hugeint * cents::hugeint) AS q
+        FROM ev GROUP BY event_type
+    )
+    SELECT event_id, ev.event_type, cents
+    FROM ev JOIN st ON ev.event_type = st.event_type
+    WHERE (n * cents - s) * (n * cents - s)
+          > {analytics.ZSCORE_SIGMAS * analytics.ZSCORE_SIGMAS} * (n * q - s * s)
+    ORDER BY event_id
+    """,
+)
+
+register(
+    "q11_important_stock",
+    analytics.q11_important_stock,
+    f"""
+    WITH stock AS (
+        SELECT l_partkey, sum(p_retailprice * 0.5 * l_quantity) AS raw_value
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = '{analytics.Q11_NATION}'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(raw_value, 6) AS value
+    FROM stock
+    WHERE raw_value > {analytics.Q11_FRACTION} * (SELECT sum(raw_value) FROM stock)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+
+register(
+    "q20_promotion_supply",
+    analytics.q20_promotion_supply,
+    f"""
+    WITH pairs AS (
+        SELECT l_suppkey, l_partkey
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE '%{analytics.Q20_PART_TOKEN}%'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(CASE WHEN year(l_shipdate) = {analytics.Q20_YEAR}
+                        THEN l_quantity ELSE 0 END)
+               > {analytics.Q20_CONCENTRATION} * sum(l_quantity)
+    )
+    SELECT l_suppkey AS s_suppkey, s_name, count(*) AS n_promo_parts
+    FROM pairs JOIN supplier ON l_suppkey = supplier.s_suppkey
+    GROUP BY l_suppkey, s_name
+    ORDER BY s_suppkey
+    """,
+)
+
+register(
     "layout_zorder",
     layout_ops.layout_zorder,
     layout_ops.layout_zorder_sql(),

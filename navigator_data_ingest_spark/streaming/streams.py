@@ -648,3 +648,91 @@ def stream_incremental_files_sql() -> str:
     FROM t WHERE rn > 2 * n // 3
     ORDER BY event_id
     """
+
+
+OUTER_JOIN_INTERVAL = "1 hour"  # click must precede purchase within this
+
+
+def stream_outer_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join with watermark-expiry
+    null emission — the capability inner joins don't exercise: an
+    unmatched purchase can only be emitted (null-extended) once the
+    watermark proves no qualifying click can still arrive.
+
+    Over a 3-file time-ordered feed (maxFilesPerTrigger=1) the
+    watermark advances between micro-batches, so early unmatched
+    purchases emit mid-stream and availableNow's final flush evicts the
+    rest up to the terminal watermark. The emitted set is exactly:
+    every matched pair, plus unmatched purchases with
+    ``p_ts < min(max(p_ts), max(c_ts)) - interval`` (the terminal
+    global watermark) — the batch-SQL oracle; unmatched purchases
+    inside the final watermark window are withheld by design (they are
+    still joinable in a live stream).
+
+    Scale shape: join state is keyed on user_id and bounded by the
+    interval on BOTH sides (clicks older than wm - interval and
+    purchases older than wm are evicted), so state size tracks the
+    interval x arrival rate, not stream length.
+    """
+    d = _scatter_time_ordered_feed(spark, sf_dir, 3)
+    ev = read_stream_events(spark, d, glob="*.parquet", max_files_per_trigger=1)
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", OUTER_JOIN_INTERVAL)
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", OUTER_JOIN_INTERVAL)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {OUTER_JOIN_INTERVAL}"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").alias("purchase_ts"),
+        "click_id",
+        F.col("c_ts").alias("click_ts"),
+    )
+    out = _run_to_memory(joined, _qname("stream_outerjoin", sf_dir), "append")
+    return out.orderBy("purchase_id", "click_id")
+
+
+def stream_outer_join_expiry_sql() -> str:
+    return """
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), wm AS (
+        SELECT least((SELECT max(purchase_ts) FROM p),
+                     (SELECT max(click_ts) FROM c))
+               - INTERVAL 1 HOUR AS cut
+    ), j AS (
+        SELECT p.purchase_id, p.user_id, p.purchase_ts,
+               c.click_id, c.click_ts
+        FROM p LEFT JOIN c
+          ON p.user_id = c.user_id
+         AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+         AND c.click_ts <= p.purchase_ts
+    )
+    SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
+    FROM j, wm
+    WHERE click_id IS NOT NULL OR purchase_ts < wm.cut
+    ORDER BY purchase_id, click_id
+    """

@@ -90,6 +90,8 @@ _DELIBERATE_NESTED_LOOP = {
     "sample_temperature",
     # 1-row corpus-totals broadcast: deliberate
     "corpus_mix_report",
+    # 1-row value-share threshold broadcast (TPC-H Q11 HAVING): deliberate
+    "q11_important_stock",
     # composes the declared exact brute-force baseline (cosine_topk
     # broadcast-scores the bounded query set against every vector) to
     # certify LSH recall — the nested loop IS the ground truth side
