@@ -651,3 +651,79 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_shared") >= FP_SHARED_MIN)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# incremental dedup against a persisted corpus index
+# --------------------------------------------------------------------------
+
+# sources already ingested into the persisted index vs the newly-arrived
+# crawl shard (the incremental batch)
+INDEXED_SOURCES = tuple(f"src{i}" for i in range(10))
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup of a new crawl shard against a PERSISTED
+    corpus index — the production shape: a 100 TB corpus is never
+    re-deduped from scratch; each arriving shard (1) dedups within
+    itself, then (2) anti-joins the standing content-hash index, and
+    the index is the only thing the historical corpus contributes — the
+    old TEXT is never re-read.
+
+    The index is a (content_md5, canonical doc_id) parquet artifact
+    (built here from the already-ingested sources and rewritten
+    idempotently; in production it is append-maintained). Shuffles:
+    one md5-grain agg per side + the md5 anti-join — the index side is
+    hash-grain (far smaller than its corpus), and the anti-join key is
+    uniform by construction.
+    """
+    from navigator_data_ingest_spark.sources.sinks import sink_path
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "content_md5", F.md5("text")
+    )
+    idx_path = sink_path("dedup_index", sf_dir)
+    (
+        docs.where(F.col("source").isin(*INDEXED_SOURCES))
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("canonical_doc_id"))
+        .write.mode("overwrite")
+        .parquet(idx_path)
+    )
+    index = spark.read.parquet(idx_path)
+    incoming = docs.where(~F.col("source").isin(*INDEXED_SOURCES))
+    shard_first = (
+        incoming.groupBy("content_md5")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(
+            incoming.select("doc_id", "source"),
+            "doc_id",
+        )
+    )
+    return (
+        shard_first.join(index, "content_md5", "left_anti")
+        .select("doc_id", "source", "content_md5")
+        .orderBy("doc_id")
+    )
+
+
+def dedup_incremental_sql() -> str:
+    srcs = ", ".join(f"'{s}'" for s in INDEXED_SOURCES)
+    return f"""
+    WITH d AS (
+        SELECT doc_id, source, md5(text) AS content_md5 FROM documents
+    ), idx AS (
+        SELECT content_md5 FROM d WHERE source IN ({srcs})
+    ), shard_first AS (
+        SELECT content_md5, min(doc_id) AS doc_id
+        FROM d WHERE source NOT IN ({srcs})
+        GROUP BY content_md5
+    )
+    SELECT s.doc_id, d.source, s.content_md5
+    FROM shard_first s
+    JOIN d ON s.doc_id = d.doc_id
+    WHERE NOT EXISTS (
+        SELECT 1 FROM idx WHERE idx.content_md5 = s.content_md5
+    )
+    ORDER BY s.doc_id
+    """

@@ -2592,6 +2592,24 @@ register(
 )
 
 register(
+    "stream_static_enrich",
+    streaming_streams.stream_static_enrich,
+    streaming_streams.stream_static_enrich_sql(),
+)
+
+register(
+    "dedup_incremental",
+    dedup.dedup_incremental,
+    dedup.dedup_incremental_sql(),
+)
+
+register(
+    "src_corrupt_quarantine",
+    flat_src.src_corrupt_quarantine,
+    flat_src.src_corrupt_quarantine_sql(),
+)
+
+register(
     "text_normalize",
     corpus.text_normalize,
     corpus.text_normalize_sql(),

@@ -274,3 +274,95 @@ def src_binary_files_sql() -> str:
     FROM documents
     ORDER BY doc_id
     """
+
+
+QUARANTINE_MOD = 7     # doc_id % MOD == QUARANTINE_REM lines are corrupted
+QUARANTINE_REM = 3
+
+QUARANTINE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+        StructField("_corrupt", StringType()),
+    ]
+)
+
+
+def src_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine on JSONL ingest — the robustness
+    contract a crawled corpus needs: malformed lines must neither kill
+    the job (FAILFAST) nor vanish silently (DROPMALFORMED); PERMISSIVE
+    mode parses what it can and captures the raw line in the corrupt-
+    record column, and the pipeline routes rows by that flag.
+
+    The fixture corrupts a deterministic subset (doc_id % {mod} == {rem}
+    lines get an invalid leading byte) at write time; the audited output
+    is the routing report — row count and payload volume per outcome —
+    which the oracle recomputes from the clean table and the same
+    corruption rule. Reading is one pass; routing is a map-side flag.
+    """
+    out = sink_path("documents_quarantine", sf_dir)
+    line = F.to_json(
+        F.struct("doc_id", "text", "lang", "source", "n_chars")
+    )
+    corrupt = (
+        F.col("doc_id") % QUARANTINE_MOD == QUARANTINE_REM
+    )
+    (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.when(corrupt, F.concat(F.lit("X"), line)).otherwise(line).alias(
+                "value"
+            )
+        )
+        .write.mode("overwrite")
+        .text(out)
+    )
+    parsed = (
+        spark.read.schema(QUARANTINE_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out)
+    )
+    # the routing predicate references BOTH the corrupt column and a
+    # parsed data column: a corrupt-column-only projection is disallowed
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN) once column pruning strips the
+    # rest, and a routed record should carry a parsed id anyway
+    return (
+        parsed.select(
+            F.when(F.col("_corrupt").isNull() & F.col("doc_id").isNotNull(),
+                   F.lit("ok"))
+            .otherwise(F.lit("quarantined"))
+            .alias("outcome"),
+            F.length("text").alias("n"),
+        )
+        .groupBy("outcome")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n").alias("sum_chars"),
+        )
+        .orderBy("outcome")
+    )
+
+
+src_corrupt_quarantine.__doc__ = src_corrupt_quarantine.__doc__.format(
+    mod=QUARANTINE_MOD, rem=QUARANTINE_REM
+)
+
+
+def src_corrupt_quarantine_sql() -> str:
+    return f"""
+    WITH r AS (
+        SELECT CASE WHEN doc_id % {QUARANTINE_MOD} = {QUARANTINE_REM}
+                    THEN 'quarantined' ELSE 'ok' END AS outcome,
+               length(text) AS n
+        FROM documents
+    )
+    SELECT outcome, count(*)::bigint AS n_rows,
+           (CASE WHEN outcome = 'quarantined' THEN NULL
+                 ELSE sum(n) END)::bigint AS sum_chars
+    FROM r GROUP BY outcome ORDER BY outcome
+    """

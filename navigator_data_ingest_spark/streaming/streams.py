@@ -736,3 +736,55 @@ def stream_outer_join_expiry_sql() -> str:
     WHERE click_id IS NOT NULL OR purchase_ts < wm.cut
     ORDER BY purchase_id, click_id
     """
+
+
+ACCTBAL_SEGMENT_CUT = 5000.0  # customer-segment boundary on acctbal
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC broadcast enrichment — the most common production
+    streaming join: events stream in, the customer dimension sits in a
+    table, and every micro-batch joins against a BROADCAST snapshot of
+    it. Unlike a stream-stream join this holds ZERO join state (the dim
+    is re-resolvable per batch, which is also how dim updates become
+    visible mid-stream on a cluster), so it scales with the dim size,
+    not the stream length — and needs no watermark at all.
+
+    The output is the enriched record stream (append mode, map-side
+    only); the segment tag is the dim-derived column downstream
+    aggregations would key on.
+    """
+    from navigator_data_ingest_spark.sources.tables import load_table
+
+    ev = read_stream_events(spark, sf_dir)
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.when(F.col("c_acctbal") >= ACCTBAL_SEGMENT_CUT, F.lit("premium"))
+            .otherwise(F.lit("standard"))
+            .alias("segment"),
+        )
+    )
+    enriched = ev.join(
+        F.broadcast(cust), F.col("user_id") == F.col("c_custkey")
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "segment",
+        F.round("value", 6).alias("value"),
+    )
+    out = _run_to_memory(enriched, _qname("stream_statenrich", sf_dir), "append")
+    return out.orderBy("event_id")
+
+
+def stream_static_enrich_sql() -> str:
+    return f"""
+    SELECT event_id, user_id, event_type,
+           CASE WHEN c_acctbal >= {ACCTBAL_SEGMENT_CUT}
+                THEN 'premium' ELSE 'standard' END AS segment,
+           round(value, 6) AS value
+    FROM events JOIN customer ON user_id = c_custkey
+    ORDER BY event_id
+    """
