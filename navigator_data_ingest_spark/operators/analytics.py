@@ -1902,3 +1902,77 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection per event type (train/serve skew
+    monitoring): a Kolmogorov–Smirnov statistic proxy between the
+    earlier and later temporal halves of the stream, computed EXACTLY —
+    bucketed CDFs in integer permille, so the drift score is
+    bit-identical cross-engine (no float CDF whose rounding could flip
+    a max).
+
+    Scale shape: the time midpoint is a 1-row min/max aggregate
+    BROADCAST back (integer micros, no driver collect); bucket + side
+    assignment is map-side; the only data-sized shuffle is the
+    (type, bucket) count agg — TYPES x BUCKETS rows — and the CDF
+    window + max run on that bounded aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    mid = ev.agg(
+        ((F.min("us") + F.max("us")) / F.lit(2)).cast("bigint").alias("mid_us")
+    )
+    bucket = F.least(
+        F.lit(HIST_BUCKETS - 1),
+        F.greatest(F.lit(0), F.floor(F.col("value") / HIST_WIDTH)),
+    ).cast("int")
+    g = (
+        ev.join(F.broadcast(mid))
+        .select(
+            "event_type",
+            bucket.alias("bucket"),
+            (F.col("us") < F.col("mid_us")).cast("long").alias("is_ref"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("is_ref").alias("n_ref"),
+            F.sum(F.lit(1) - F.col("is_ref")).alias("n_cur"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cdf = g.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(w_cum).alias("cum_ref"),
+        F.sum("n_cur").over(w_cum).alias("cum_cur"),
+        F.sum("n_ref").over(w_tot).alias("tot_ref"),
+        F.sum("n_cur").over(w_tot).alias("tot_cur"),
+    )
+    return (
+        cdf.select(
+            "event_type",
+            "tot_ref",
+            "tot_cur",
+            F.abs(
+                F.expr("cum_ref * 1000 div tot_ref")
+                - F.expr("cum_cur * 1000 div tot_cur")
+            ).alias("delta"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("delta").alias("ks_permille"),
+            F.max("tot_ref").alias("n_ref"),
+            F.max("tot_cur").alias("n_cur"),
+        )
+        .orderBy("event_type")
+    )

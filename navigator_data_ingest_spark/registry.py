@@ -2666,6 +2666,42 @@ register(
 )
 
 register(
+    "stats_ks_drift",
+    analytics.stats_ks_drift,
+    f"""
+    WITH ev AS (
+        SELECT event_type, value, epoch_us(ts) AS us FROM events
+    ), mid AS (
+        SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev
+    ), g AS (
+        SELECT event_type,
+               least({analytics.HIST_BUCKETS - 1},
+                     greatest(0, floor(value / {analytics.HIST_WIDTH})))::int
+                   AS bucket,
+               sum((us < mid_us)::bigint) AS n_ref,
+               sum((us >= mid_us)::bigint) AS n_cur
+        FROM ev, mid
+        GROUP BY 1, 2
+    ), cdf AS (
+        SELECT event_type,
+               sum(n_ref) OVER (PARTITION BY event_type ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS cum_ref,
+               sum(n_cur) OVER (PARTITION BY event_type ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS cum_cur,
+               sum(n_ref) OVER (PARTITION BY event_type) AS tot_ref,
+               sum(n_cur) OVER (PARTITION BY event_type) AS tot_cur
+        FROM g
+    )
+    SELECT event_type,
+           max(abs(cum_ref * 1000 // tot_ref
+                   - cum_cur * 1000 // tot_cur))::bigint AS ks_permille,
+           max(tot_ref)::bigint AS n_ref,
+           max(tot_cur)::bigint AS n_cur
+    FROM cdf GROUP BY event_type ORDER BY event_type
+    """,
+)
+
+register(
     "q11_important_stock",
     analytics.q11_important_stock,
     f"""
