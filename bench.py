@@ -44,6 +44,12 @@ HEADLINE = [
     "sample_temperature",
     "q_events_sliding",
     "q9_profit_shape",
+    # round-2 second wave: same-key funnel chain, integer KS drift,
+    # incremental index dedup, deterministic split assignment
+    "q_events_funnel",
+    "stats_ks_drift",
+    "dedup_incremental",
+    "split_train_holdout",
 ]
 
 

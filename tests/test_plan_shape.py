@@ -92,6 +92,8 @@ _DELIBERATE_NESTED_LOOP = {
     "corpus_mix_report",
     # 1-row value-share threshold broadcast (TPC-H Q11 HAVING): deliberate
     "q11_important_stock",
+    # 1-row time-midpoint broadcast: deliberate
+    "stats_ks_drift",
     # composes the declared exact brute-force baseline (cosine_topk
     # broadcast-scores the bounded query set against every vector) to
     # certify LSH recall — the nested loop IS the ground truth side
