@@ -177,3 +177,94 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("status")
     )
+
+
+SCD2_MOD = 5  # keys getting a version-3 status change
+
+
+def scd2_changelog(snapshot: DataFrame) -> DataFrame:
+    """Deterministic multi-version changelog for SCD2 history building:
+    v2 price revisions (% UPDATE_MOD), v3 status changes (% SCD2_MOD),
+    v4 deletes (% DELETE_MOD) — versions are distinct by construction
+    so the history chain never ties."""
+    v2 = (
+        snapshot.where(F.col("o_orderkey") % UPDATE_MOD == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * PRICE_BUMP)
+        .withColumn("op", F.lit("U"))
+        .withColumn("version", F.lit(2))
+    )
+    v3 = (
+        snapshot.where(F.col("o_orderkey") % SCD2_MOD == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("op", F.lit("U"))
+        .withColumn("version", F.lit(3))
+    )
+    v4 = (
+        snapshot.where(F.col("o_orderkey") % DELETE_MOD == 0)
+        .withColumn("op", F.lit("D"))
+        .withColumn("version", F.lit(4))
+    )
+    return v2.unionByName(v3).unionByName(v4)
+
+
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 history build — the other half
+    of CDC: ``cdc_upsert`` keeps only the latest state; SCD2 keeps EVERY
+    state with a validity interval, which is what an auditable dimension
+    (and any time-travel join) needs.
+
+    One shuffle on the key; the validity chain is a ``lead(version)``
+    window per key (per-key history is short — window partitions are
+    bounded by version count, never data-sized). A delete row closes its
+    predecessor's interval without emitting a row of its own, so
+    deleted keys have history but no current row.
+    """
+    snapshot = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    base = snapshot.withColumn("op", F.lit("U")).withColumn("version", F.lit(1))
+    hist = base.unionByName(scd2_changelog(snapshot))
+    w = Window.partitionBy("o_orderkey").orderBy("version")
+    return (
+        hist.withColumn("effective_to", F.lead("version").over(w))
+        .where(F.col("op") != "D")
+        .select(
+            "o_orderkey",
+            F.col("version").alias("effective_from"),
+            "effective_to",
+            F.col("effective_to").isNull().alias("is_current"),
+            "o_orderstatus",
+            F.round("o_totalprice", 6).alias("price"),
+        )
+        .orderBy("o_orderkey", "effective_from")
+    )
+
+
+def cdc_scd2_sql() -> str:
+    return f"""
+    WITH snap AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+    ), hist AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               'U' AS op, 1 AS version FROM snap
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice * {PRICE_BUMP},
+               'U', 2 FROM snap WHERE o_orderkey % {UPDATE_MOD} = 0
+        UNION ALL
+        SELECT o_orderkey, 'X', o_totalprice,
+               'U', 3 FROM snap WHERE o_orderkey % {SCD2_MOD} = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               'D', 4 FROM snap WHERE o_orderkey % {DELETE_MOD} = 0
+    ), chained AS (
+        SELECT *, lead(version) OVER (PARTITION BY o_orderkey
+                                      ORDER BY version) AS effective_to
+        FROM hist
+    )
+    SELECT o_orderkey, version AS effective_from, effective_to,
+           effective_to IS NULL AS is_current,
+           o_orderstatus, round(o_totalprice, 6) AS price
+    FROM chained WHERE op <> 'D'
+    ORDER BY o_orderkey, effective_from
+    """

@@ -1153,3 +1153,62 @@ def text_normalize_sql() -> str:
            norm_text <> text AS changed
     FROM n ORDER BY doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# per-source contribution cap (two-level exact top-k)
+# --------------------------------------------------------------------------
+
+CAP_PER_SOURCE = 20  # max documents any single source may contribute
+
+
+def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution cap — the C4-style corpus policy that no
+    single domain dominates the mix: keep at most ``CAP_PER_SOURCE``
+    documents per source, selected by a deterministic hash priority
+    (stable under repartitioning and re-runs, unlike rand()).
+
+    Scale shape: a single ``Window.partitionBy(source)`` rank would
+    sort EVERY row of a dominant source in one task — the classic
+    skewed-window killer. Instead, exact TWO-LEVEL top-k: (1) rank
+    within (shuffle-partition, source) — window partitions bounded by
+    partition size — and keep k; (2) rank the surviving
+    ``n_partitions x k`` candidates per source and keep k. Local top-k
+    per partition is a superset of the global top-k, so the result is
+    EXACT; the only full shuffle is on the already-capped candidate
+    set. The oracle computes the same cap with a single global ranking.
+    """
+    h = X.sp_hash32("cast(doc_id as string)", "cap")
+    docs = (
+        scatter(spark, load_table(spark, sf_dir, "documents"))
+        .withColumn("priority", F.expr(h))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("pid", "source").orderBy("priority", "doc_id")
+    cand = (
+        docs.withColumn("lr", F.row_number().over(w_local))
+        .where(F.col("lr") <= CAP_PER_SOURCE)
+        .drop("lr", "pid")
+    )
+    w_global = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w_global))
+        .where(F.col("rank") <= CAP_PER_SOURCE)
+        .select("source", "rank", "doc_id")
+        .orderBy("source", "rank")
+    )
+
+
+def sample_cap_per_source_sql() -> str:
+    h = X.dk_hash32("doc_id::varchar", "cap")
+    return f"""
+    WITH ranked AS (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY ({h}), doc_id) AS rank
+        FROM documents
+    )
+    SELECT source, rank::int AS rank, doc_id
+    FROM ranked WHERE rank <= {CAP_PER_SOURCE}
+    ORDER BY source, rank
+    """

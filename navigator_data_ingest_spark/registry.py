@@ -2666,6 +2666,18 @@ register(
 )
 
 register(
+    "cdc_scd2",
+    cdc.cdc_scd2,
+    cdc.cdc_scd2_sql(),
+)
+
+register(
+    "sample_cap_per_source",
+    corpus.sample_cap_per_source,
+    corpus.sample_cap_per_source_sql(),
+)
+
+register(
     "stats_ks_drift",
     analytics.stats_ks_drift,
     f"""
