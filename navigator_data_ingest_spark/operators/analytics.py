@@ -1976,3 +1976,35 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def q_orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per order priority — the reporting
+    staple. The fact table collapses to a (priority, year) pre-aggregate
+    first (one map-side-combined shuffle to a PRIORITIES x YEARS grid);
+    the lag window and the growth arithmetic run on that bounded grid.
+    Revenue is exact integer cents and growth is integer permille
+    (prev = 0 yields NULL via div), so no float boundary rows.
+    """
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").alias("yr"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    yearly = ords.groupBy("o_orderpriority", "yr").agg(
+        F.sum("cents").alias("rev_cents")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("yr")
+    return (
+        yearly.withColumn("prev_cents", F.lag("rev_cents").over(w))
+        .select(
+            "o_orderpriority",
+            "yr",
+            "rev_cents",
+            "prev_cents",
+            F.expr(
+                "(rev_cents - prev_cents) * 1000 div nullif(prev_cents, 0)"
+            ).alias("yoy_permille"),
+        )
+        .orderBy("o_orderpriority", "yr")
+    )

@@ -2666,6 +2666,27 @@ register(
 )
 
 register(
+    "q_orders_yoy_growth",
+    analytics.q_orders_yoy_growth,
+    """
+    WITH yearly AS (
+        SELECT o_orderpriority, year(o_orderdate)::int AS yr,
+               sum(floor(o_totalprice * 100 + 0.5)::bigint) AS rev_cents
+        FROM orders GROUP BY 1, 2
+    ), lagged AS (
+        SELECT *, lag(rev_cents) OVER (PARTITION BY o_orderpriority
+                                       ORDER BY yr) AS prev_cents
+        FROM yearly
+    )
+    SELECT o_orderpriority, yr, rev_cents::bigint AS rev_cents,
+           prev_cents::bigint AS prev_cents,
+           ((rev_cents - prev_cents) * 1000 // nullif(prev_cents, 0))::bigint
+               AS yoy_permille
+    FROM lagged ORDER BY o_orderpriority, yr
+    """,
+)
+
+register(
     "cdc_scd2",
     cdc.cdc_scd2,
     cdc.cdc_scd2_sql(),
