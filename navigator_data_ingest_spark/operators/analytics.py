@@ -1437,9 +1437,19 @@ def q_events_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     Frame bounds order by epoch seconds, so ties (same-second events)
     share one frame — deterministic regardless of row order; the only
     shuffle is the user_id window partition.
+
+    ``epoch_s`` is derived from the NTZ wall-clock COMPONENTS
+    (datediff·86400 + h·3600 + m·60 + s) — ``unix_timestamp`` would
+    interpret the timezone-free stored value in the session timezone,
+    shifting results on any non-UTC session (the driver's plain session
+    does not pin UTC), while DuckDB's ``epoch(ts)`` stays UTC-wall.
     """
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "epoch_s", F.unix_timestamp("ts")
+        "epoch_s",
+        F.expr(
+            "datediff(cast(ts as date), date'1970-01-01') * 86400"
+            " + hour(ts) * 3600 + minute(ts) * 60 + floor(second(ts))"
+        ).cast("bigint"),
     )
     w = (
         Window.partitionBy("user_id")

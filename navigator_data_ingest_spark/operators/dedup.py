@@ -8,8 +8,13 @@ Five strategies, each shaped for 100 TB:
                    LSH band-bucket self-join. The only shuffle is on
                    (band_id, band_hash), and candidate pairs are
                    generated inside buckets — never O(n²).
-  simhash        — 32-bit simhash computed map-side; byte-band blocking
+  simhash        — 64-bit simhash (two 32-bit words from one md5 per
+                   token) computed map-side; 4×16-bit band blocking
                    join + hamming-distance verify (bit_count of xor).
+                   16-bit bands give 65,536 values PER BAND, so bucket
+                   cardinality grows with the corpus signature entropy
+                   instead of saturating (8-bit bands cap at 1,024
+                   total buckets → quadratic in-bucket pairs at scale).
   ngram_jaccard  — exact Jaccard on 3-token shingle sets, verified on
                    the MinHash-LSH candidate pairs only (funnel stage 2).
   embedding      — cosine near-dup pairs from hyperplane-bucket
@@ -32,9 +37,9 @@ N_MINHASH = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_MINHASH // N_BANDS
 SHINGLE_K = 3
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64  # two 32-bit words; bands are 4 x 16-bit slices
 SIMHASH_SEED = 99
-SIMHASH_MAX_HAMMING = 3
+SIMHASH_MAX_HAMMING = 3  # <= 3 differing bits over 4 bands => >= 1 exact band (pigeonhole)
 JACCARD_THRESHOLD = 0.15
 COSINE_THRESHOLD = 0.3
 EMB_DIM = 64
@@ -336,54 +341,92 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-def _with_simhash(docs: DataFrame) -> DataFrame:
-    """Add a 32-bit simhash column, computed map-side with integer math.
+def _simhash_vote(hs_var: str) -> str:
+    """32-bit majority-vote word over an array of 32-bit token hashes.
 
-    ``hs`` (one md5 per distinct token) is let-bound so the per-bit vote
-    loop (32 inner aggregates) reads a materialized array instead of
-    re-hashing every token per bit; the keyed repartition afterwards is
-    the projection-collapse barrier so the downstream band explode and
-    self-join see ``simhash`` as a stored value, not an expression to
-    re-inline (and it is the natural signature persist point).
+    Per-bit vote: +1 if the token hash has bit j set, else -1; bit j of
+    the word is 1 when the vote is positive. Integer sums -> order-free.
+    shiftright() as a function call: the '>>' operator fails to PARSE
+    when nested two lambda levels deep (transform -> aggregate), a
+    Spark SQL parser quirk.
+    """
+    return (
+        f"aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) -> acc + "
+        f"CASE WHEN aggregate({hs_var}, 0, (a, h) -> a + CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"
+    )
+
+
+def _with_simhash(docs: DataFrame) -> DataFrame:
+    """Add the 64-bit simhash as TWO non-negative 32-bit words
+    (sim_hi, sim_lo), computed map-side with integer math.
+
+    One md5 per distinct token yields BOTH 32-bit token-hash words (hex
+    chars 1-8 and 9-16), so widening 32 -> 64 bits costs zero extra
+    hashing. Keeping the signature as two 32-bit bigints (instead of one
+    packed 64-bit value) keeps every intermediate non-negative — no
+    signed-overflow / arithmetic-shift divergence between Spark and the
+    DuckDB oracle at bit 63.
+
+    ``hm`` (the md5 strings) and the two hash arrays are let-bound so
+    the per-bit vote loops (2 x 32 inner aggregates) read materialized
+    arrays instead of re-hashing every token per bit; the keyed
+    repartition afterwards is the projection-collapse barrier so the
+    downstream band explode and self-join see the words as stored
+    values, not expressions to re-inline (and it is the natural
+    signature persist point).
     """
     t = X.sp_tokens("text")
-    hs = f"transform(array_distinct({t}), tok -> {X.sp_hash32('tok', SIMHASH_SEED)})"
-    # per-bit vote: +1 if the token hash has bit j set, else -1; bit j of
-    # the simhash is 1 when the vote is positive. Integer sums -> order-free.
-    # shiftright() as a function call: the '>>' operator fails to PARSE
-    # when nested two lambda levels deep (transform -> aggregate), a
-    # Spark SQL parser quirk
-    simhash = (
-        f"aggregate(sequence(0, {SIMHASH_BITS - 1}), cast(0 as bigint), (acc, j) -> acc + "
-        f"CASE WHEN aggregate(hs, 0, (a, h) -> a + CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
-        f"THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"
+    hm = f"transform(array_distinct({t}), tok -> md5('{SIMHASH_SEED}:' || tok))"
+    hs_hi = "transform(hm, m -> cast(conv(substr(m, 1, 8), 16, 10) as bigint))"
+    hs_lo = "transform(hm, m -> cast(conv(substr(m, 9, 8), 16, 10) as bigint))"
+    words = X.sp_let(
+        "hh",
+        hs_hi,
+        X.sp_let(
+            "hl",
+            hs_lo,
+            f"named_struct('hi', {_simhash_vote('hh')}, 'lo', {_simhash_vote('hl')})",
+        ),
     )
     spark = docs.sparkSession
     return (
         docs.where(F.expr(f"size({t}) > 0"))
-        .select("doc_id", F.expr(X.sp_let("hs", hs, simhash)).alias("simhash"))
+        .select("doc_id", F.expr(X.sp_let("hm", hm, words)).alias("sw"))
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.col("sw.hi").alias("sim_hi"), F.col("sw.lo").alias("sim_lo"))
     )
 
 
 def simhash_pairs(docs: DataFrame) -> DataFrame:
     """SimHash near-dup pairs over any (doc_id, text) DataFrame:
-    byte-band blocking + hamming verify."""
+    4×16-bit band blocking + full 64-bit hamming verify.
+
+    Bands 0-1 slice sim_lo, bands 2-3 slice sim_hi — 65,536 possible
+    values per band, so bucket population stays O(n / distinct-band-
+    values) as the corpus grows (the 8-bit predecessor capped at 1,024
+    total buckets — quadratic in-bucket pair growth). Hamming <= 3 over
+    4 bands guarantees at least one exactly-matching band (pigeonhole),
+    so banding finds every qualifying pair.
+    """
     spark = docs.sparkSession
-    sig = _with_simhash(scatter(spark, docs)).select("doc_id", "simhash")
+    sig = _with_simhash(scatter(spark, docs)).select("doc_id", "sim_hi", "sim_lo")
     bands = sig.select(
         "doc_id",
-        "simhash",
+        "sim_hi",
+        "sim_lo",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(bb).alias("band_id"),
-                    F.expr(f"(simhash >> {8 * bb}) & 255").alias("band_val"),
+                    F.expr(
+                        f"({'sim_lo' if bb < 2 else 'sim_hi'} >> {16 * (bb % 2)}) & 65535"
+                    ).alias("band_val"),
                 )
                 for bb in range(4)
             ])
         ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    ).select("doc_id", "sim_hi", "sim_lo", "band.band_id", "band.band_val")
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -395,7 +438,9 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            F.expr(
+                "bit_count(a.sim_hi ^ b.sim_hi) + bit_count(a.sim_lo ^ b.sim_lo)"
+            ).alias("hamming"),
         )
         .distinct()
     )

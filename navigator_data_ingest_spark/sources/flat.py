@@ -222,12 +222,22 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary column — Python never touches the payload on the read path.
     """
     import os
+    import shutil
 
     import pandas as pd
 
     from navigator_data_ingest_spark.operators.multimodal import multimodal_table
 
-    out = sink_path("binfiles", sf_dir)
+    # cache key includes the source table's (size, mtime) — regenerated
+    # testdata at the same path gets a FRESH export dir instead of being
+    # served stale payloads that happen to match on file count
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        cache_key = f"{sf_dir}|{st.st_size}|{int(st.st_mtime)}"
+    except OSError:
+        cache_key = sf_dir
+    out = sink_path("binfiles", cache_key)
     media = multimodal_table(spark, sf_dir).select("doc_id", "media")
     expected = media.count()
     have = (
@@ -236,6 +246,10 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         else -1
     )
     if have != expected:
+        # clear any partial/shrunken export: orphan doc{id}.bin files
+        # from a larger previous table would otherwise survive the
+        # rewrite and permanently add extra rows to every read
+        shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
 
         def _export(batches):

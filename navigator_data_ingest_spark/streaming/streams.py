@@ -357,13 +357,17 @@ def _scatter_time_ordered_feed(spark: SparkSession, sf_dir: str, n_files: int) -
     increasing mtimes, so FileStreamSource (which orders by modification
     time) delivers one micro-batch per file in event-time order.
 
-    Feed preparation is driver-side test scaffolding standing in for an
+    Feed preparation is test scaffolding standing in for an
     arriving-files directory — in deployment the files land over time
-    and no scatter step exists.
+    and no scatter step exists. It runs EXECUTOR-SIDE: the exact global
+    rank by (ts, event_id) is a scale-safe two-level prefix sum
+    (range-partition → per-partition counts → broadcast offsets →
+    within-partition row_number), chunk i is rows (n·i//k, n·(i+1)//k]
+    of that order (the bound the stream_incremental_files oracle
+    replays), and the chunk files are written by a range-partitioned
+    Spark write — event payloads never pass through the driver; the
+    driver only renames k files and stamps mtimes (metadata ops).
     """
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     # deterministic feed path keyed by (source identity, file count): a
     # fully-built feed is reused across registry/bench runs instead of
     # re-written (and never accumulates). The source file's (size,
@@ -389,22 +393,56 @@ def _scatter_time_ordered_feed(spark: SparkSession, sf_dir: str, n_files: int) -
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    pdf = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .toPandas()
-        .sort_values(["ts", "event_id"])
-        .reset_index(drop=True)
+    ev = spark.read.parquet(src)
+    data_cols = ev.columns
+    n = ev.count()
+
+    # level 1: range-partition by the global order; each partition holds
+    # a contiguous (ts, event_id) span in partition-index order.
+    # localCheckpoint PINS the partition assignment: spark_partition_id
+    # is only meaningful if the counts job and the write job see the
+    # SAME exchange output (range boundaries are sample-based and may
+    # differ across independent executions of the plan).
+    p = max(n_files, spark.sparkContext.defaultParallelism)
+    ranged = (
+        ev.repartitionByRange(p, "ts", "event_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
-    n = len(pdf)
-    bounds = [n * i // n_files for i in range(n_files + 1)]
+    # per-partition counts are p metadata rows — the only driver collect
+    counts = {r._pid: r.c for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()}
+    offsets, acc = {}, 0
+    for pid in range(p):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    off_map = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    local_w = Window.partitionBy("_pid").orderBy("ts", "event_id")
+    bounds = [n * i // n_files for i in range(1, n_files)]
+    rn = off_map[F.col("_pid")] + F.row_number().over(local_w)
+    chunk = sum(
+        (rn > F.lit(b)).cast("int") for b in bounds
+    ) if bounds else F.lit(0)
+    tmp = d + "_stage"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        ranged.withColumn("_chunk", chunk)
+        # range-partition on _chunk co-locates each chunk in ONE task ⇒
+        # exactly one data file per chunk directory
+        .repartitionByRange(n_files, "_chunk")
+        .select(*data_cols, "_chunk")
+        .write.partitionBy("_chunk")
+        .parquet(tmp)
+    )
     for i in range(n_files):
+        cdir = os.path.join(tmp, f"_chunk={i}")
+        parts = [f for f in os.listdir(cdir) if f.endswith(".parquet")]
+        assert len(parts) == 1, f"chunk {i}: expected 1 file, got {parts}"
         path = os.path.join(d, f"chunk{i}.parquet")
-        pq.write_table(
-            pa.Table.from_pandas(pdf.iloc[bounds[i]:bounds[i + 1]],
-                                 preserve_index=False),
-            path,
-        )
+        shutil.move(os.path.join(cdir, parts[0]), path)
         os.utime(path, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+    shutil.rmtree(tmp, ignore_errors=True)
     return d
 
 
@@ -632,6 +670,16 @@ def stream_incremental_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         fresh = sorted(_sink_files() - before)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if not fresh:
+        # second drain emitted nothing new (e.g. a partial prior run's
+        # checkpoint already covered the late chunk): surface an empty
+        # result with the expected schema instead of an unreadable
+        # zero-path read error
+        return (
+            spark.read.parquet(sink)
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .limit(0)
+        )
     out = spark.read.parquet(*[os.path.join(sink, f) for f in fresh])
     return out.orderBy("event_id")
 

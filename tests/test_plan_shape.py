@@ -337,6 +337,6 @@ def test_cogroup_plan_has_two_sided_exchange(spark):
     df = _Q["stats_cogroup_monthly"](spark, SF_CORRECT)
     plan = formatted_plan(df)
     assert "FlatMapCoGroupsInPandas" in plan
-    assert "Join" not in plan.split("FlatMapCoGroupsInPandas")[0] or True
+    assert "Join" not in plan.split("FlatMapCoGroupsInPandas")[0]
     audit = plan_audit(df)
     assert audit.shuffle_exchanges >= 2
