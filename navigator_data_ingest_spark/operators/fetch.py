@@ -36,6 +36,7 @@ from navigator_data_ingest_spark.functions.content import (
     CONTENT_TYPE_PDF,
     upload_file_name,
 )
+from navigator_data_ingest_spark.functions import minipdf
 from navigator_data_ingest_spark.functions.text import slugify_col
 from navigator_data_ingest_spark.operators.ingest import synthetic_new_documents
 
@@ -45,9 +46,11 @@ FETCH_RESULT_SCHEMA = (
     "content_type string"
 )
 
-# watermark page marker appended by the conversion stub (stands in for
-# add_last_page_watermark's extra PDF page, pdf_conversion.py:109-160)
-WATERMARK_MARKER = b"\n%%WATERMARK-PAGE%%"
+# watermark date: the reference stamps datetime.now()
+# (pdf_conversion.py:117); determinism over wall-clock here, so the
+# document's publication_ts is the stamped date (same choice as the
+# ingest_watermark_text operator / its SQL oracle)
+WATERMARK_DATE_FMT = "%d %B %Y"
 
 # retry policy mirroring the reference's tenacity decorators
 # (api_client.py:148-167: stop_after_attempt(4) + exponential wait on
@@ -136,23 +139,58 @@ def _sniff(content: bytes, url: str, header: str) -> str:
     return (header or "").split(";", 1)[0].strip()
 
 
+def _watermark_text(url: str, pub_ts) -> str:
+    """Python twin of functions/text.py:watermark_text_col (reference
+    pdf_conversion.py:109 generate_watermark_text)."""
+    date_str = pd.Timestamp(pub_ts).strftime(WATERMARK_DATE_FMT)
+    return (
+        f"Original publicly accessible source: {url}.\n\n"
+        "This PDF was created by Climate Policy Radar "
+        f"(climatepolicyradar.org) on {date_str}.\n\n"
+        "For non-commercial use only. Reach out to us at "
+        "support@climatepolicyradar.org if you have any enquiries."
+    )
+
+
+def _convert_to_pdf(content: bytes, ct: str, url: str, pub_ts) -> bytes:
+    """Conversion stub with REAL byte semantics: render a deterministic
+    one-page PDF standing in for the soffice/playwright output (page
+    text = provenance facts derivable from the fetched bytes), then run
+    the reference's watermark step verbatim in structure — parse the
+    PDF, append a last page carrying the watermark text, re-serialize
+    (pdf_conversion.py:126 add_last_page_watermark; pure-Python minipdf
+    here, pypdf/fitz in deployment). Output is valid PDF 1.7: correct
+    xref, page tree, extractable text.
+    """
+    body = [
+        f"CONVERTED-FROM: {ct}",
+        f"SOURCE-BYTES-MD5: {hashlib.md5(content).hexdigest()}",
+        f"SOURCE-BYTES-LEN: {len(content)}",
+    ]
+    return minipdf.add_last_page_watermark(
+        minipdf.build_pdf([body]), _watermark_text(url, pub_ts)
+    )
+
+
 def _fetch_and_convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """One Arrow batch in -> fetched/converted batch out.
 
     In production this function holds the requests.Session, the
     per-domain rate limiter, and the soffice/playwright subprocess —
-    exactly the per-worker state mapInPandas is for. Conversion stub:
-    doc/docx/html content is "converted" by prefixing a PDF header and
-    appending the watermark marker (reference converts to PDF then
-    watermarks the last page). Like the reference (api_client.py:74-97),
-    html capture re-labels the content type to PDF while doc/docx
-    conversion KEEPS the original detected type in the result.
+    exactly the per-worker state mapInPandas is for. Conversion:
+    doc/docx/html content becomes a structurally valid PDF whose last
+    page is the watermark page (reference converts to PDF then
+    watermarks, pdf_conversion.py:109-160). Like the reference
+    (api_client.py:74-97), html capture re-labels the content type to
+    PDF while doc/docx conversion KEEPS the original detected type in
+    the result.
     """
     for pdf in batches:
         statuses, contents, elapsed, ctypes = [], [], [], []
         attempts_l, backoffs = [], []
-        for url, head_hex, header in zip(
-            pdf["fetch_url"], pdf["head_hex"], pdf["header"]
+        for url, head_hex, header, pub_ts in zip(
+            pdf["fetch_url"], pdf["head_hex"], pdf["header"],
+            pdf["publication_ts"],
         ):
             status, content, ms, attempts, backoff = _fetch_with_retry(
                 url, head_hex
@@ -161,11 +199,11 @@ def _fetch_and_convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             if status == 200:
                 if ct == CONTENT_TYPE_HTML:
                     # capture_pdf_and_get_content_type_from_url stub
-                    content = b"%PDF-1.7\n" + content + WATERMARK_MARKER
+                    content = _convert_to_pdf(content, ct, url, pub_ts)
                     ct = CONTENT_TYPE_PDF
                 elif ct in (CONTENT_TYPE_DOCX, CONTENT_TYPE_DOC):
                     # convert_doc_to_pdf stub; result type stays DOC(X)
-                    content = b"%PDF-1.7\n" + content + WATERMARK_MARKER
+                    content = _convert_to_pdf(content, ct, url, pub_ts)
                 # PDF passes through; unsupported stays raw (error later)
             statuses.append(status)
             contents.append(content)
@@ -217,7 +255,8 @@ def ingest_download_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # domain_budget / FETCH_SALT_N keeps aggregate politeness while the
     # stage parallelizes.
     fetched = work.select(
-        "import_id", "fetch_url", "domain", "head_hex", "header"
+        "import_id", "fetch_url", "domain", "head_hex", "header",
+        "publication_ts",
     ).withColumn(
         "fetch_salt", F.pmod(F.xxhash64("fetch_url"), F.lit(FETCH_SALT_N))
     ).repartition(n_parts, "domain", "fetch_salt").drop("fetch_salt").mapInPandas(

@@ -7,7 +7,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from navigator_data_ingest_spark.operators.fetch import (
-    WATERMARK_MARKER,
     _fake_fetch,
     ingest_download_fetch,
 )

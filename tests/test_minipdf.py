@@ -1,0 +1,68 @@
+"""Byte semantics of the conversion/watermark stub (reference
+pdf_conversion.py:109-160): the emitted bytes are structurally valid
+PDF and the watermark append is a real parse → append-page →
+re-serialize whose output round-trips."""
+
+from __future__ import annotations
+
+import re
+
+from navigator_data_ingest_spark.functions import minipdf
+from navigator_data_ingest_spark.operators.fetch import (
+    _convert_to_pdf,
+    _watermark_text,
+)
+
+URL = "https://example.org/policy.doc"
+TS = "2023-01-05 00:00:00"
+
+
+def test_build_pdf_structure():
+    pdf = minipdf.build_pdf([["hello world", "line two"]])
+    assert pdf.startswith(b"%PDF-1.7\n") and pdf.endswith(b"%%EOF\n")
+    # xref offsets actually point at the objects they index
+    xref_at = int(pdf.rsplit(b"startxref\n", 1)[1].split(b"\n")[0])
+    assert pdf[xref_at:xref_at + 4] == b"xref"
+    offsets = re.findall(rb"(\d{10}) 00000 n", pdf[xref_at:])
+    for i, off in enumerate(offsets, start=1):
+        assert pdf[int(off):].startswith(f"{i} 0 obj".encode())
+
+
+def test_watermark_appends_last_page_with_text():
+    base = minipdf.build_pdf([["page one"], ["page two"]],
+                             boxes=[(595, 842), (612, 792)])
+    wm = _watermark_text(URL, TS)
+    out = minipdf.add_last_page_watermark(base, wm)
+    assert minipdf.pdf_page_count(base) == 2
+    assert minipdf.pdf_page_count(out) == 3
+    pages, boxes = minipdf.pdf_pages(out)
+    # original pages byte-identical in text; watermark page last, sized
+    # like the previous last page (reference: doc[-1].rect dims)
+    assert pages[0] == ["page one"] and pages[1] == ["page two"]
+    assert boxes[2] == boxes[1] == (612, 792)
+    extracted = "\n".join(pages[2])
+    assert URL in extracted
+    assert "05 January 2023" in extracted
+    assert "climatepolicyradar.org" in extracted
+
+
+def test_convert_to_pdf_roundtrip():
+    raw = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"fake-doc-payload" * 40
+    out = _convert_to_pdf(raw, "application/msword", URL, TS)
+    assert out.startswith(b"%PDF-1.7\n")
+    assert minipdf.pdf_page_count(out) == 2
+    pages, _ = minipdf.pdf_pages(out)
+    import hashlib
+
+    assert f"SOURCE-BYTES-MD5: {hashlib.md5(raw).hexdigest()}" in pages[0]
+    assert f"SOURCE-BYTES-LEN: {len(raw)}" in pages[0]
+    assert any("Original publicly accessible source" in ln for ln in pages[1])
+
+
+def test_wrap_preserves_blank_lines_and_bounds():
+    text = "a b c\n\n" + ("word " * 40).strip()
+    lines = minipdf.wrap_text(text, cols=20)
+    assert "" in lines
+    assert all(len(ln) <= 20 for ln in lines)
+    # no content lost
+    assert " ".join(ln for ln in lines if ln) == "a b c " + ("word " * 40).strip()
