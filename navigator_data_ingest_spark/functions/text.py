@@ -14,6 +14,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from navigator_data_ingest_spark.functions.translit_cjk import (
+    fold_cjk_col,
+    fold_cjk_sql,
+)
+
 # Scheme://host with a non-empty host; mirrors what pydantic's AnyHttpUrl
 # accepts at the granularity the pipeline cares about (http/https only).
 _HTTP_URL_RE = r"^https?://[^\s/$.?#][^\s]*$"
@@ -74,13 +79,17 @@ def slugify_col(name: Column) -> Column:
       6. non-[a-z0-9] runs -> '-', trim '-'
 
     Step 2 covers the Latin-1/Latin-Extended-A, Cyrillic (Russian +
-    Ukrainian) and Greek unidecode tables; scripts beyond those (CJK,
-    Arabic, …) are dropped rather than romanized — the one documented
-    divergence from unidecode's full tables. Step 5 uses two passes of
-    ``(\\d),(\\d)`` instead of lookarounds so the DuckDB (RE2) oracle
-    applies the IDENTICAL rule.
+    Ukrainian) and Greek unidecode tables plus the CJK fold
+    (functions/translit_cjk.py: pinyin for curated Han, full kana
+    romaji, algorithmic Hangul jamo — gated behind a contains-CJK
+    regex so ASCII titles never pay for the per-char fold); scripts
+    beyond those (Arabic, Devanagari, …) are dropped rather than
+    romanized — the remaining documented divergence from unidecode's
+    full tables. Step 5 uses two passes of ``(\\d),(\\d)`` instead of
+    lookarounds so the DuckDB (RE2) oracle applies the IDENTICAL rule.
     """
     s = F.regexp_replace(name, r"'+", "-")
+    s = fold_cjk_col(s)
     s = F.translate(s, TRANSLIT_SRC, TRANSLIT_DST)
     for src, dst in TRANSLIT_MULTI:
         # literal substring replace, NOT regexp_replace: the multi-char
@@ -101,6 +110,7 @@ def slugify_sql(col: str) -> str:
     """The DuckDB replica of ``slugify_col`` — same rules, same order,
     built from the same transliteration constants."""
     s = f"regexp_replace({col}, '''+', '-', 'g')"
+    s = fold_cjk_sql(s)
     s = f"translate({s}, '{TRANSLIT_SRC}', '{TRANSLIT_DST}')"
     for src, dst in TRANSLIT_MULTI:
         s = f"replace({s}, '{src}', '{dst}')"

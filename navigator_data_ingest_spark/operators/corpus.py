@@ -298,13 +298,16 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: a global prefix sum via an UNPARTITIONED window would
     serialize the corpus onto one task (the q_ntile_spend lesson), so
-    this uses the classic two-level scan: (1) an intra-block cumsum
-    windowed by ``doc_id div PACK_BLOCK`` — parallel across blocks;
-    (2) block subtotals (|corpus|/4096 rows) cumsum'd in a tiny window
-    and broadcast back. Depth-2 covers ~10^11 docs; the pattern nests
-    to depth-3 if a corpus ever outgrows it. Everything else is
-    map-side integer arithmetic. The DuckDB oracle is the plain global
-    window — same numbers, serial plan.
+    this uses a THREE-level scan: (1) an intra-block cumsum windowed by
+    ``doc_id div PACK_BLOCK`` — parallel across blocks; (2) block
+    subtotals cumsum'd per SUPER-block (``block div PACK_BLOCK``) —
+    still parallel, max PACK_BLOCK rows per window task; (3) super-block
+    subtotals (|corpus|/PACK_BLOCK² rows — ~6k rows even at 10^11 docs)
+    through the one tiny unpartitioned window, broadcast back down.
+    No single window task ever sees more than PACK_BLOCK rows at any
+    corpus size. Everything else is map-side integer arithmetic. The
+    DuckDB oracle is the plain global window — same numbers, serial
+    plan.
     """
     docs = (
         _tokens_df(spark, sf_dir)
@@ -320,21 +323,45 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    block_offsets = (
+    blocks = (
         docs.groupBy("block")
         .agg(F.sum("n_tokens").alias("block_total"))
+        .withColumn("super", F.expr(f"block div {PACK_BLOCK}"))
+    )
+    intra_super = blocks.withColumn(
+        "intra_super_cum",
+        F.sum("block_total").over(
+            Window.partitionBy("super")
+            .orderBy("block")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    super_offsets = (
+        blocks.groupBy("super")
+        .agg(F.sum("block_total").alias("super_total"))
         .withColumn(
-            "block_offset",
+            "super_offset",
             F.coalesce(
-                F.sum("block_total").over(
-                    Window.orderBy("block").rowsBetween(
+                F.sum("super_total").over(
+                    Window.orderBy("super").rowsBetween(
                         Window.unboundedPreceding, -1
                     )
                 ),
                 F.lit(0),
             ),
         )
-        .select("block", "block_offset")
+        .select("super", "super_offset")
+    )
+    block_offsets = (
+        intra_super.join(F.broadcast(super_offsets), "super")
+        .select(
+            "block",
+            (
+                F.col("super_offset")
+                + F.col("intra_super_cum")
+                - F.col("block_total")
+            ).alias("block_offset"),
+        )
     )
     C = PACK_CHUNK
     return (

@@ -235,14 +235,31 @@ def test_contamination_benchmark_side_broadcast(spark):
     assert audit.sortmerge_joins == 0
 
 
-def test_pack_sequences_two_level_prefix_sum(spark):
-    """The doc-grain cumsum must be windowed BY BLOCK (parallel), with
-    block offsets joined back via broadcast — an unpartitioned window
-    over doc rows would serialize the corpus onto one task."""
+def test_pack_sequences_three_level_prefix_sum(spark):
+    """The doc-grain cumsum must be windowed BY BLOCK and the block
+    subtotals BY SUPER-BLOCK (both parallel), with offsets joined back
+    via broadcast — no window task ever sees more than PACK_BLOCK rows
+    at any corpus size; only the super-block grain (|corpus|/4096²
+    rows) goes through an unpartitioned window."""
     df = _Q["pack_sequences"](spark, SF_CORRECT)
     plan = formatted_plan(df)
     assert "windowspecdefinition(block" in plan, "doc cumsum lost its block partition"
-    assert plan_audit(df).broadcast_joins >= 1, "block offsets not broadcast"
+    assert "windowspecdefinition(super" in plan, "block cumsum lost its super partition"
+    assert plan_audit(df).broadcast_joins >= 1, "offsets not broadcast"
+
+
+def test_pack_sequences_depth3_matches_global_scan(spark, monkeypatch):
+    """With PACK_BLOCK shrunk to 4, sf0.01's 500 docs span ~125 blocks
+    and ~32 super-blocks — all three levels carry real work — and the
+    offsets must equal the default (single-super) configuration's."""
+    from navigator_data_ingest_spark.operators import corpus
+
+    base = {r.doc_id: r.global_offset
+            for r in _Q["pack_sequences"](spark, SF_CORRECT).collect()}
+    monkeypatch.setattr(corpus, "PACK_BLOCK", 4)
+    small = {r.doc_id: r.global_offset
+             for r in _Q["pack_sequences"](spark, SF_CORRECT).collect()}
+    assert base == small
 
 
 def test_filter_blocklist_broadcast_anti_join(spark):

@@ -194,7 +194,17 @@ def test_slugify_python_slugify_parity(spark):
         # Greek (unidecode x003 table): eta->e, digraphs, tonos accents
         ("Ελληνική Δημοκρατία", "ellenike-demokratia"),
         ("Ψυχή και φιλοσοφία", "psukhe-kai-philosophia"),
-        ("中国政策 plan", "plan"),  # divergence: unidecode would romanize
+        # CJK fold (functions/translit_cjk.py): pinyin for curated Han,
+        # full kana romaji, algorithmic Hangul jamo decomposition
+        ("中国政策 plan", "zhong-guo-zheng-ce-plan"),
+        ("中国气候变化政策", "zhong-guo-qi-hou-bian-hua-zheng-ce"),
+        ("気候変動対策", "qi-hou-bian-dong-dui-ce"),
+        ("こんにちは セカイ", "konnichiha-sekai"),
+        ("한국의 기후 정책", "hangugui-gihu-jeongchaeg"),
+        ("대한민국", "daehanmingug"),
+        # unmapped ideographs still fold to separators, mapped ones keep
+        # their trailing-space syllable split
+        ("中鰢国", "zhong-guo"),
     ]
     df = spark.createDataFrame(
         [(i, s) for i, (s, _) in enumerate(cases)], "i int, s string"
