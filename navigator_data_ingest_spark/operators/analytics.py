@@ -2018,3 +2018,177 @@ def q_orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "yr")
     )
+
+
+# --------------------------------------------------------------------------
+# round 3: cohort retention, basket pair mining, sliding distinct users,
+# one-pass correlation matrix
+# --------------------------------------------------------------------------
+
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix — the product-analytics staple.
+
+    Users are cohorted by the Monday week of their FIRST event (one
+    user_id window shuffle); each (cohort_week, week_offset) cell counts
+    distinct active users, and retention is permille of the offset-0
+    cell (every user is active in their first week by construction).
+
+    Scale shape: the only fact-scale shuffle is the user_id window; the
+    distinct-user aggregation runs partial/final on the (cohort, offset,
+    user) key, and the retention window runs on the COHORTS x OFFSETS
+    grid (weeks², metadata-sized at any corpus size). Integer permille —
+    no float boundary rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).withColumn("cohort_week", F.min("wk").over(uw))
+    agg = (
+        wk.select(
+            "cohort_week",
+            F.expr("cast(datediff(wk, cohort_week) div 7 as int)").alias(
+                "week_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    cw = Window.partitionBy("cohort_week")
+    return (
+        agg.withColumn(
+            "cohort_size",
+            F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(cw),
+        )
+        .withColumn(
+            "retention_permille", F.expr("n_active * 1000 div cohort_size")
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+BASKET_TOP_N = 15
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase pair mining (market-basket counts): for every order,
+    the set of distinct part brands it contains; count orders per
+    unordered brand pair; top-N pairs.
+
+    Scale shape: brand comes from a broadcast dim join (part is the
+    small side); ONE fact shuffle on l_orderkey builds the per-order
+    brand set (collect_set dedups in-agg — no separate distinct
+    shuffle); pairs are generated INSIDE the sorted array (the
+    text_cooccurrence idiom — fan-out bounded by order width², ~C(w,2)
+    per order, never a positional self-join); the pair aggregation key
+    is bounded by BRANDS² (~300) regardless of fact volume, and top-N is
+    a TakeOrdered, not a global sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(brands, (x, i) -> "
+                "transform(slice(brands, i + 2, size(brands)), "
+                "y -> struct(x AS brand_a, y AS brand_b))))"
+            )
+        ).alias("p")
+    ).select("p.brand_a", "p.brand_b")
+    return (
+        pairs.groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
+        .limit(BASKET_TOP_N)
+    )
+
+
+def q_events_distinct_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per sliding window (3 h / 1 h step) — the
+    "concurrent users" dashboard number, done honestly.
+
+    ``F.window`` expands each event to LEN/STEP windows BEFORE the
+    shuffle (explicit 3x overlap factor, q_events_sliding); the exact
+    count-distinct then runs as Spark's two-phase plan — partial
+    (window, user) dedup map-side, final count after the shuffle — so no
+    reducer materializes a user set. ``q_approx_distinct``'s HLL sketch
+    is the 100 TB swap-in when permille accuracy suffices; this operator
+    is the exact-twin certification of it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", f"{SLIDE_LEN_H} hours", f"{SLIDE_STEP_H} hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_users")
+        .orderBy("window_start")
+    )
+
+
+CORR_VARS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_int(v: str) -> str:
+    # hundredth-units as decimal(38,0): every moment is an EXACT integer
+    # sum, so the correlation matrix is deterministic under any partial-
+    # aggregation order (float sums would drift with partitioning)
+    return f"cast(round({v} * 100) as decimal(38,0))"
+
+
+def stats_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the lineitem measures in ONE
+    scan: every moment (n, Σx, Σxy) is a sibling integer aggregate —
+    14 exact decimal(38,0) sums, map-side combined into a single 1-row
+    partial-agg shuffle — and the 6 correlations are derived arithmetic
+    on that row, unpivoted with ``stack`` AFTER the aggregation (6 rows,
+    never 6 scans). Floats appear only in the final
+    exact-integer → sqrt → divide step, identical in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for v in CORR_VARS:
+        aggs.append(F.expr(f"sum({_corr_int(v)})").alias(f"s_{v}"))
+    pairs = [
+        (a, b)
+        for i, a in enumerate(CORR_VARS)
+        for b in CORR_VARS[i:]
+    ]
+    for a, b in pairs:
+        aggs.append(
+            F.expr(f"sum({_corr_int(a)} * {_corr_int(b)})").alias(f"s_{a}_{b}")
+        )
+    m = li.agg(*aggs)
+    corr_cols = []
+    for a, b in pairs:
+        if a == b:
+            continue
+        num = f"(n * s_{a}_{b} - s_{a} * s_{b})"
+        dx = f"(n * s_{a}_{a} - s_{a} * s_{a})"
+        dy = f"(n * s_{b}_{b} - s_{b} * s_{b})"
+        corr_cols.append(
+            F.expr(
+                f"round(cast({num} as double) / "
+                f"(sqrt(cast({dx} as double)) * sqrt(cast({dy} as double))), 6)"
+            ).alias(f"c_{a}_{b}")
+        )
+    stacked = ", ".join(
+        f"'{a}', '{b}', c_{a}_{b}" for a, b in pairs if a != b
+    )
+    n_pairs = sum(1 for a, b in pairs if a != b)
+    return (
+        m.select(F.col("n").cast("bigint").alias("n_rows"), *corr_cols)
+        .selectExpr(
+            "n_rows",
+            f"stack({n_pairs}, {stacked}) AS (var_x, var_y, corr)",
+        )
+        .select("var_x", "var_y", "n_rows", "corr")
+        .orderBy("var_x", "var_y")
+    )

@@ -3050,3 +3050,121 @@ register(
     ORDER BY o.query_id
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# §2.3 round 3: cohort retention, basket pairs, sliding distinct users,
+# one-pass correlation matrix
+# --------------------------------------------------------------------------
+
+register(
+    "q_events_cohort_retention",
+    analytics.q_events_cohort_retention,
+    """
+    WITH wk AS (
+        SELECT user_id, date_trunc('week', ts)::date AS wk FROM events
+    ), coh AS (
+        SELECT user_id, wk,
+               min(wk) OVER (PARTITION BY user_id) AS cohort_week
+        FROM wk
+    ), act AS (
+        SELECT DISTINCT cohort_week,
+               (date_diff('day', cohort_week, wk) // 7)::int AS week_offset,
+               user_id
+        FROM coh
+    ), agg AS (
+        SELECT cohort_week, week_offset, count(*)::bigint AS n_active
+        FROM act GROUP BY 1, 2
+    ), sized AS (
+        SELECT cohort_week, week_offset, n_active,
+               max(CASE WHEN week_offset = 0 THEN n_active END)
+                   OVER (PARTITION BY cohort_week) AS cohort_size
+        FROM agg
+    )
+    SELECT cohort_week, week_offset, n_active, cohort_size,
+           (n_active * 1000 // cohort_size)::bigint AS retention_permille
+    FROM sized
+    ORDER BY cohort_week, week_offset
+    """,
+    front=True,
+)
+
+register(
+    "q_basket_pairs",
+    analytics.q_basket_pairs,
+    f"""
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           count(*)::bigint AS n_orders
+    FROM ob a JOIN ob b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, brand_a, brand_b
+    LIMIT {analytics.BASKET_TOP_N}
+    """,
+    front=True,
+)
+
+register(
+    "q_events_distinct_sliding",
+    analytics.q_events_distinct_sliding,
+    f"""
+    WITH slots AS (
+        SELECT date_trunc('hour', ts) - (g.k * INTERVAL 1 HOUR) AS window_start,
+               user_id
+        FROM events, generate_series(0, {analytics.SLIDE_LEN_H - 1}) g(k)
+    )
+    SELECT window_start,
+           count(*)::bigint AS n_events,
+           count(DISTINCT user_id)::bigint AS n_users
+    FROM slots
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+    front=True,
+)
+
+
+def _corr_matrix_sql() -> str:
+    def ci(v: str) -> str:
+        return f"(round({v} * 100))::hugeint"
+
+    pairs = [
+        (a, b)
+        for i, a in enumerate(analytics.CORR_VARS)
+        for b in analytics.CORR_VARS[i:]
+    ]
+    sums = ", ".join(
+        f"sum({ci(v)}) AS s_{v}" for v in analytics.CORR_VARS
+    )
+    cross = ", ".join(
+        f"sum({ci(a)} * {ci(b)}) AS s_{a}_{b}" for a, b in pairs
+    )
+    branches = []
+    for a, b in pairs:
+        if a == b:
+            continue
+        num = f"(n * s_{a}_{b} - s_{a} * s_{b})"
+        dx = f"(n * s_{a}_{a} - s_{a} * s_{a})"
+        dy = f"(n * s_{b}_{b} - s_{b} * s_{b})"
+        branches.append(
+            f"SELECT '{a}' AS var_x, '{b}' AS var_y, n::bigint AS n_rows, "
+            f"round({num}::double / (sqrt({dx}::double) * sqrt({dy}::double)), 6)"
+            f" AS corr FROM m"
+        )
+    union = " UNION ALL ".join(branches)
+    return (
+        f"WITH m AS (SELECT count(*)::hugeint AS n, {sums}, {cross} FROM lineitem) "
+        f"SELECT var_x, var_y, n_rows, corr FROM ({union}) ORDER BY var_x, var_y"
+    )
+
+
+register(
+    "stats_correlation_matrix",
+    analytics.stats_correlation_matrix,
+    _corr_matrix_sql(),
+    front=True,
+)

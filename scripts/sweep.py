@@ -35,6 +35,24 @@ def main() -> None:
         from navigator_data_ingest_spark.session import get_spark
 
         spark = get_spark()
+    # ENGINE warmup (same jobs as bench.py): pay codegen JIT for the
+    # md5/regexp/aggregate expression paths, fork the Arrow worker pool,
+    # and read one parquet footer BEFORE the first timed query — without
+    # this the first registry query carries ~4.5 s of one-time JVM setup
+    # in the plain (virgin-session) mode.
+    try:
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+        spark.range(0, 20000).selectExpr(
+            "md5(cast(id as string)) AS h",
+            "regexp_extract_all(lower('ab 12 xy xyz 9 q w'), '[a-z0-9]+', 0) AS t",
+            "aggregate(sequence(1, 8), cast(0.0 as double), (a, i) -> a + i) AS f",
+        ).write.format("noop").mode("overwrite").save()
+        spark.range(0, 1000).mapInPandas(
+            lambda it: it, schema="id bigint"
+        ).write.format("noop").mode("overwrite").save()
+    except Exception as exc:  # noqa: BLE001
+        print(f"sweep: warmup failed ({exc}); continuing", file=sys.stderr)
+
     con = duckdb_con(sf_dir)
     qs = entry.queries()
     oracles = entry.oracle_sql()
