@@ -1239,3 +1239,197 @@ def sample_cap_per_source_sql() -> str:
     FROM ranked WHERE rank <= {CAP_PER_SOURCE}
     ORDER BY source, rank
     """
+
+
+# --------------------------------------------------------------------------
+# token-budget corpus selection (fill a fixed token budget by priority)
+# --------------------------------------------------------------------------
+
+TOKEN_BUDGET = 15_000   # absolute token budget the selection fills
+BUDGET_CLASS_DIV = 20   # n_tokens div -> quality class (capped below)
+BUDGET_CLASS_MAX = 4
+
+
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select documents to fill a FIXED token budget in priority order —
+    the "give me the best 50 B tokens" step of training-data curation.
+
+    Priority is (quality_class DESC, md5 priority hash, doc_id): a
+    deterministic total order, so the selected set is stable under
+    re-runs and partitioning. The cumulative token count along that
+    order is a global prefix sum, computed SCALE-SAFELY in three levels
+    (the pack_sequences discipline): (1) cumsum within (class, block)
+    where block = the hash's first hex byte — 256 ordered blocks per
+    class, parallel window tasks; (2) block subtotals cumsum'd per
+    class — ≤256 rows per window task by construction; (3) class
+    offsets over the ≤(BUDGET_CLASS_MAX+1)-row class totals. No window
+    task ever sees more than max(block population, 256) rows at any
+    corpus size. ``selected`` is then a map-side comparison against the
+    budget. The DuckDB oracle is the plain one-window cumsum — same
+    numbers, serial plan.
+    """
+    h = f"substr(md5('budget:' || cast(doc_id as string)), 1, 8)"
+    docs = (
+        _tokens_df(spark, sf_dir)
+        .select("doc_id", F.size("t").alias("n_tokens"))
+        .where("n_tokens > 0")
+        .withColumn(
+            "quality_class",
+            F.expr(
+                f"cast(least({BUDGET_CLASS_MAX}, n_tokens div {BUDGET_CLASS_DIV}) as int)"
+            ),
+        )
+        .withColumn("h", F.expr(h))
+        .withColumn("blk", F.expr("substr(h, 1, 2)"))
+    )
+    intra = docs.withColumn(
+        "intra_cum",
+        F.sum("n_tokens").over(
+            Window.partitionBy("quality_class", "blk")
+            .orderBy("h", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    blocks = docs.groupBy("quality_class", "blk").agg(
+        F.sum("n_tokens").alias("blk_total")
+    )
+    blk_offsets = blocks.withColumn(
+        "blk_offset",
+        F.coalesce(
+            F.sum("blk_total").over(
+                Window.partitionBy("quality_class")
+                .orderBy("blk")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("quality_class", "blk", "blk_offset")
+    class_offsets = (
+        blocks.groupBy("quality_class")
+        .agg(F.sum("blk_total").alias("class_total"))
+        .withColumn(
+            "class_offset",
+            F.coalesce(
+                F.sum("class_total").over(
+                    Window.orderBy(F.desc("quality_class")).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("quality_class", "class_offset")
+    )
+    return (
+        intra.join(F.broadcast(blk_offsets), ["quality_class", "blk"])
+        .join(F.broadcast(class_offsets), "quality_class")
+        .select(
+            "doc_id",
+            "quality_class",
+            "n_tokens",
+            (F.col("class_offset") + F.col("blk_offset") + F.col("intra_cum"))
+            .alias("global_cum"),
+        )
+        .withColumn("selected", F.col("global_cum") <= TOKEN_BUDGET)
+        .orderBy("doc_id")
+    )
+
+
+def corpus_token_budget_sql() -> str:
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               len({X.dk_tokens('text')})::bigint AS n_tokens,
+               substr(md5('budget:' || doc_id::varchar), 1, 8) AS h
+        FROM documents
+        WHERE len({X.dk_tokens('text')}) > 0
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               least({BUDGET_CLASS_MAX}, n_tokens // {BUDGET_CLASS_DIV})::int
+                   AS quality_class,
+               h
+        FROM d
+    ), cum AS (
+        SELECT doc_id, quality_class, n_tokens,
+               sum(n_tokens) OVER (ORDER BY quality_class DESC, h, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS global_cum
+        FROM c
+    )
+    SELECT doc_id, quality_class, n_tokens::int AS n_tokens,
+           global_cum::bigint AS global_cum,
+           global_cum <= {TOKEN_BUDGET} AS selected
+    FROM cum ORDER BY doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# hashed linear quality classifier (fastText/DCLM-style scoring stub)
+# --------------------------------------------------------------------------
+
+CLF_BUCKETS = 1024        # hashed feature space
+CLF_WEIGHT_MULT = 2654435761  # Knuth multiplicative constant
+CLF_WEIGHT_RANGE = 17     # weights in [-8, 8]
+
+
+def _clf_weight_sp(tok: str) -> str:
+    b = f"({X.sp_hash32(tok, 'clf')} % {CLF_BUCKETS})"
+    return (
+        f"(pmod({b} * {CLF_WEIGHT_MULT}, 2147483648) % {CLF_WEIGHT_RANGE}"
+        f" - {CLF_WEIGHT_RANGE // 2})"
+    )
+
+
+def _clf_weight_dk(tok: str) -> str:
+    b = f"(({X.dk_hash32(tok, 'clf')}) % {CLF_BUCKETS})"
+    return (
+        f"((({b} * {CLF_WEIGHT_MULT}) % 2147483648) % {CLF_WEIGHT_RANGE}"
+        f" - {CLF_WEIGHT_RANGE // 2})"
+    )
+
+
+def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear text classifier — the fastText/DCLM-style quality
+    scorer with a DETERMINISTIC stand-in weight vector (in production
+    the per-bucket weights come from a trained model file broadcast to
+    executors; the hashing-trick featurization, fold, and decision
+    plumbing are identical).
+
+    Each token hashes to one of ``CLF_BUCKETS`` feature buckets whose
+    weight is a fixed integer in [-8, 8] derived from the bucket id; the
+    document score is the integer weight sum folded INSIDE the token
+    array (whole-stage codegen, no explode, no shuffle — the score is
+    map-side like every production classifier filter). ``keep`` is the
+    sign test. All-integer, so no float drift and no floor-vs-truncate
+    division hazards cross-engine.
+    """
+    score = "aggregate(t, cast(0 as bigint), (a, x) -> a + " + _clf_weight_sp("x") + ")"
+    return (
+        _tokens_df(spark, sf_dir)
+        .where(F.size("t") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.size("t").alias("n_tokens"),
+            F.expr(score).alias("score_sum"),
+        )
+        .withColumn("keep", F.col("score_sum") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def text_hash_classifier_sql() -> str:
+    return f"""
+    WITH t AS (
+        SELECT doc_id, lang, {X.dk_tokens('text')} AS toks FROM documents
+    ), tok AS (
+        SELECT doc_id, lang, unnest(toks) AS x FROM t WHERE len(toks) > 0
+    ), s AS (
+        SELECT doc_id, lang,
+               count(*)::bigint AS n_tokens,
+               sum({_clf_weight_dk('x')})::bigint AS score_sum
+        FROM tok GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, n_tokens::int AS n_tokens, score_sum,
+           score_sum > 0 AS keep
+    FROM s ORDER BY doc_id
+    """

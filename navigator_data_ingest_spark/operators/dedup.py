@@ -772,3 +772,101 @@ def dedup_incremental_sql() -> str:
     )
     ORDER BY s.doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# bloom-filter membership prefilter (approximate anti-join vs an index)
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 4096   # filter width m (positions)
+BLOOM_K = 4         # probes per document
+BLOOM_HIST_MOD = 3  # doc_id % MOD == 0 -> historical (indexed) corpus
+
+
+def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter dedup prefilter: test incoming documents against a
+    BLOOM_BITS-wide filter built from the historical corpus's content
+    hashes, and run the exact md5 verify ONLY on the flagged subset.
+
+    The production shape for "is this crawl page already in the 100 TB
+    corpus": the filter is a CONSTANT-size artifact (m bits regardless
+    of corpus size — here the ≤m distinct set positions), built with one
+    aggregation over the index and BROADCAST to every task, so the
+    incoming corpus is screened map-side with ZERO shuffle; only the
+    flagged sliver (true dups + the false-positive rate the math
+    promises) pays the exact-verify shuffle on the md5 key. The
+    ``false_positive`` column makes the filter's advertised error rate
+    an auditable output. K probe positions come from disjoint 16-bit
+    slices of the content md5 — same values in the DuckDB oracle.
+    """
+    probes = [
+        f"cast(cast(conv(substr(h, {1 + 4 * j}, 4), 16, 10) as bigint)"
+        f" % {BLOOM_BITS} as int)"
+        for j in range(BLOOM_K)
+    ]
+    docs = scatter(spark, load_table(spark, sf_dir, "documents")).withColumn(
+        "h", F.md5("text")
+    )
+    hist = docs.where(F.col("doc_id") % BLOOM_HIST_MOD == 0)
+    # the filter: one agg row holding the sorted distinct set positions
+    bloom = (
+        hist.select(F.explode(F.array(*[F.expr(p) for p in probes])).alias("pos"))
+        .agg(F.sort_array(F.collect_set("pos")).alias("bloom"))
+    )
+    new = docs.where(F.col("doc_id") % BLOOM_HIST_MOD != 0).select(
+        "doc_id", "h", *[F.expr(probes[j]).alias(f"p{j}") for j in range(BLOOM_K)]
+    )
+    flagged_col = F.expr(
+        " AND ".join(f"array_contains(bloom, p{j})" for j in range(BLOOM_K))
+    )
+    screened = new.join(F.broadcast(bloom)).withColumn("flagged", flagged_col)
+    hist_md5 = hist.select("h").distinct().withColumn("is_dup", F.lit(True))
+    hit = (
+        screened.where("flagged")
+        .join(hist_md5, "h", "left")
+        .select("doc_id", "flagged", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    )
+    miss = screened.where(~F.col("flagged")).select(
+        "doc_id", "flagged", F.lit(False).alias("is_dup")
+    )
+    return (
+        hit.unionByName(miss)
+        .withColumn("false_positive", F.col("flagged") & ~F.col("is_dup"))
+        .orderBy("doc_id")
+    )
+
+
+def dedup_bloom_sql() -> str:
+    def dk_pos(j: int, h: str = "h") -> str:
+        return f"((('0x' || substr({h}, {1 + 4 * j}, 4))::uinteger) % {BLOOM_BITS})::int"
+
+    probe_rows = " UNION ALL ".join(
+        f"SELECT doc_id, h, {dk_pos(j)} AS pos FROM new" for j in range(BLOOM_K)
+    )
+    bloom_rows = " UNION ALL ".join(
+        f"SELECT {dk_pos(j)} AS pos FROM hist" for j in range(BLOOM_K)
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, md5(text) AS h FROM documents
+    ), hist AS (
+        SELECT * FROM d WHERE doc_id % {BLOOM_HIST_MOD} = 0
+    ), new AS (
+        SELECT * FROM d WHERE doc_id % {BLOOM_HIST_MOD} <> 0
+    ), bloom AS (
+        SELECT DISTINCT pos FROM ({bloom_rows})
+    ), newp AS (
+        {probe_rows}
+    ), hits AS (
+        SELECT n.doc_id, n.h,
+               sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS nhit
+        FROM newp n LEFT JOIN bloom b ON n.pos = b.pos
+        GROUP BY n.doc_id, n.h
+    )
+    SELECT doc_id,
+           nhit = {BLOOM_K} AS flagged,
+           (nhit = {BLOOM_K}) AND h IN (SELECT h FROM hist) AS is_dup,
+           (nhit = {BLOOM_K}) AND h NOT IN (SELECT h FROM hist)
+               AS false_positive
+    FROM hits ORDER BY doc_id
+    """

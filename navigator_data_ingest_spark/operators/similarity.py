@@ -675,3 +675,129 @@ def sim_search_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# semantic dedup (SemDeDup: cluster, then drop within-cluster near-dups)
+# --------------------------------------------------------------------------
+
+SEM_TAU = 0.3  # within-cell cosine threshold for "semantic duplicate"
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: coarse-cluster the
+    embedding space, then drop the later member of every within-cell
+    near-duplicate pair (cosine >= SEM_TAU, keep-lowest-vec_id).
+
+    Candidate generation is the composition of BOTH bounding levers:
+    the IVF centroid cell (bounded K — the same deterministic seeding
+    as sim_search_ivf, so one n x K broadcast scoring pass) refined by
+    the hyperplane sign bucket, so the pair join keys on
+    (cell, bucket) and in-cell candidate sets shrink by 2^N_PLANES.
+    At 100 TB the knob is N_PLANES: each added plane halves expected
+    cell population for one more fold component per vector — unlike a
+    fixed band table, the bucket space GROWS with the corpus (the
+    dedup_simhash round-2 lesson). Exact cosine verifies every
+    candidate; output is the per-vector keep/drop audit (``n_near`` =
+    earlier near-dups that caused the drop).
+    """
+    e = scatter(spark, load_table(spark, sf_dir, "embeddings"))
+    mod = max(1, e.count() // K_CENTROIDS)
+    cents = e.where(F.col("vec_id") % mod == 1).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    ccos = _cos("embedding", "cvec")
+    cw = Window.partitionBy("vec_id").orderBy(F.desc("_ccos"), F.asc("centroid_id"))
+    assign = (
+        e.join(F.broadcast(cents))
+        .select("vec_id", "embedding", "centroid_id", ccos.alias("_ccos"))
+        .withColumn("crn", F.row_number().over(cw))
+        .where("crn = 1")
+        .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+        .withColumn("bucket", F.expr(_bucket_expr("embedding")))
+    )
+    a = assign.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        "cell",
+        "bucket",
+    )
+    b = assign.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb_"),
+        F.col("cell").alias("cell_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    near = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_b", _cos("ea", "eb_").alias("_c"))
+        .where(F.col("_c") >= SEM_TAU)
+        .groupBy("vec_b")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return (
+        assign.join(near, assign["vec_id"] == near["vec_b"], "left")
+        .select(
+            "vec_id",
+            "cell",
+            "bucket",
+            F.col("n_near").isNotNull().alias("dropped"),
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("bigint").alias("n_near"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def dedup_semantic_sql() -> str:
+    def plane(p: str, i: str) -> str:
+        key = f"'p' || {p}::varchar || 'd' || ({i} - 1)::varchar"
+        return f"(({X.dk_hash32(key, PLANE_SEED)} % 2001) - 1000) / 1000.0"
+
+    bucket = (
+        f"list_sum(list_transform(generate_series(0, {N_PLANES - 1}), p -> "
+        f"CASE WHEN list_reduce(list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> embedding[i]::double * ({plane('p', 'i')})), (x, y) -> x + y) > 0 "
+        f"THEN (1::bigint << p) ELSE 0::bigint END))::bigint"
+    )
+    ccos = (
+        f"{X.dk_fold_dot('e.embedding', 'c.cvec', EMB_DIM)} / "
+        f"(sqrt({X.dk_fold_dot('e.embedding', 'e.embedding', EMB_DIM)}) * "
+        f"sqrt({X.dk_fold_dot('c.cvec', 'c.cvec', EMB_DIM)}))"
+    )
+    pcos = (
+        f"{X.dk_fold_dot('a.embedding', 'b.embedding', EMB_DIM)} / "
+        f"(sqrt({X.dk_fold_dot('a.embedding', 'a.embedding', EMB_DIM)}) * "
+        f"sqrt({X.dk_fold_dot('b.embedding', 'b.embedding', EMB_DIM)}))"
+    )
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec
+        FROM embeddings
+        WHERE vec_id % greatest(1, (SELECT count(*) FROM embeddings) // {K_CENTROIDS}) = 1
+    ), scored AS (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {ccos} DESC, c.centroid_id) AS crn
+        FROM embeddings e CROSS JOIN cents c
+    ), assign AS (
+        SELECT vec_id, embedding, centroid_id AS cell FROM scored WHERE crn = 1
+    ), ab AS (
+        SELECT vec_id, embedding, cell, {bucket} AS bucket FROM assign
+    ), near AS (
+        SELECT b.vec_id AS vec_b, count(*)::bigint AS n_near
+        FROM ab a JOIN ab b
+          ON a.cell = b.cell AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {pcos} >= {SEM_TAU}
+        GROUP BY b.vec_id
+    )
+    SELECT ab.vec_id, ab.cell, ab.bucket,
+           near.vec_b IS NOT NULL AS dropped,
+           coalesce(near.n_near, 0)::bigint AS n_near
+    FROM ab LEFT JOIN near ON ab.vec_id = near.vec_b
+    ORDER BY ab.vec_id
+    """

@@ -3168,3 +3168,41 @@ register(
     _corr_matrix_sql(),
     front=True,
 )
+
+
+# --------------------------------------------------------------------------
+# §2.4 round 3: token-budget selection, hashed linear classifier
+# --------------------------------------------------------------------------
+
+register(
+    "corpus_token_budget",
+    corpus.corpus_token_budget,
+    corpus.corpus_token_budget_sql(),
+    front=True,
+)
+
+register(
+    "text_hash_classifier",
+    corpus.text_hash_classifier,
+    corpus.text_hash_classifier_sql(),
+    front=True,
+)
+
+
+# --------------------------------------------------------------------------
+# §2.4 round 3: bloom prefilter, semantic dedup
+# --------------------------------------------------------------------------
+
+register(
+    "dedup_bloom",
+    dedup.dedup_bloom,
+    dedup.dedup_bloom_sql(),
+    front=True,
+)
+
+register(
+    "dedup_semantic",
+    similarity.dedup_semantic,
+    similarity.dedup_semantic_sql(),
+    front=True,
+)
