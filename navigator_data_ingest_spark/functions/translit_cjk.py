@@ -108,11 +108,61 @@ HANZI = {
     "応": "Ying", "環": "Huan", "県": "Xian", "価": "Jia", "済": "Ji",
 }
 
-# the one per-character lookup table both engines fold with
-CJK_MAP: dict[str, str] = {**KANA, **{k: v + " " for k, v in HANZI.items()}}
+# Arabic (+ Persian extensions): Buckwalter-flavoured consonant
+# romanization in the unidecode style — emphatics lose their dot
+# (s/d/t/z), ayn/hamza become apostrophes (slug separators), short
+# vowel/tashkil marks drop, Arabic-Indic digits map to ASCII.
+ARABIC = {
+    "ا": "a", "أ": "a", "إ": "i", "آ": "a", "ؤ": "u", "ئ": "y",
+    "ء": "'", "ب": "b", "ت": "t", "ث": "th", "ج": "j", "ح": "h",
+    "خ": "kh", "د": "d", "ذ": "dh", "ر": "r", "ز": "z", "س": "s",
+    "ش": "sh", "ص": "s", "ض": "d", "ط": "t", "ظ": "z", "ع": "'",
+    "غ": "gh", "ف": "f", "ق": "q", "ك": "k", "ل": "l", "م": "m",
+    "ن": "n", "ه": "h", "ة": "h", "و": "w", "ي": "y", "ى": "a",
+    # Persian/Urdu letters in the Arabic block
+    "پ": "p", "چ": "ch", "ژ": "zh", "گ": "g", "ک": "k", "ی": "y",
+    # tashkil (short vowels / shadda / sukun) drop in romanization
+    "ً": "", "ٌ": "", "ٍ": "", "َ": "",
+    "ُ": "", "ِ": "", "ّ": "", "ْ": "",
+    "ـ": "",  # tatweel
+    "٠": "0", "١": "1", "٢": "2", "٣": "3", "٤": "4",
+    "٥": "5", "٦": "6", "٧": "7", "٨": "8", "٩": "9",
+    "،": ",", "؛": ";", "؟": "?",
+}
 
-# gate: any Han / kana / Hangul-syllable character present?
-CJK_GATE_RE = "[぀-ヿ一-鿿가-힣]"
+# Devanagari: per-character ISO-flavoured romanization (consonants
+# carry the inherent 'a', matras append their vowel, virama drops) —
+# the same naive per-char concatenation a unidecode-style table
+# produces; conjunct-aware schemes need more than per-char state.
+DEVANAGARI = {
+    "अ": "a", "आ": "aa", "इ": "i", "ई": "ii", "उ": "u", "ऊ": "uu",
+    "ऋ": "r", "ए": "e", "ऐ": "ai", "ओ": "o", "औ": "au",
+    "ं": "n", "ः": "h", "ँ": "n",
+    "क": "ka", "ख": "kha", "ग": "ga", "घ": "gha", "ङ": "nga",
+    "च": "cha", "छ": "chha", "ज": "ja", "झ": "jha", "ञ": "nya",
+    "ट": "ta", "ठ": "tha", "ड": "da", "ढ": "dha", "ण": "na",
+    "त": "ta", "थ": "tha", "द": "da", "ध": "dha", "न": "na",
+    "प": "pa", "फ": "pha", "ब": "ba", "भ": "bha", "म": "ma",
+    "य": "ya", "र": "ra", "ल": "la", "व": "va",
+    "श": "sha", "ष": "sha", "स": "sa", "ह": "ha",
+    "ऽ": "'", "़": "",
+    "ा": "aa", "ि": "i", "ी": "ii", "ु": "u", "ू": "uu", "ृ": "r",
+    "े": "e", "ै": "ai", "ो": "o", "ौ": "au", "्": "",
+    "।": ".", "॥": ".",
+    "०": "0", "१": "1", "२": "2", "३": "3", "४": "4",
+    "५": "5", "६": "6", "७": "7", "८": "8", "९": "9",
+}
+
+# the one per-character lookup table both engines fold with
+CJK_MAP: dict[str, str] = {
+    **KANA,
+    **{k: v + " " for k, v in HANZI.items()},
+    **ARABIC,
+    **DEVANAGARI,
+}
+
+# gate: any Han / kana / Hangul-syllable / Arabic / Devanagari char?
+CJK_GATE_RE = "[぀-ヿ一-鿿가-힣؀-ۿऀ-ॿ]"
 
 _HANGUL_BASE, _HANGUL_LAST = 0xAC00, 0xD7A3
 
@@ -162,7 +212,8 @@ def fold_cjk_sql(col: str) -> str:
     selection-vector CASE only folds the rows that match)."""
     gate = (
         "regexp_matches({c}, "
-        "'[\\x{{3040}}-\\x{{30ff}}\\x{{4e00}}-\\x{{9fff}}\\x{{ac00}}-\\x{{d7a3}}]')"
+        "'[\\x{{3040}}-\\x{{30ff}}\\x{{4e00}}-\\x{{9fff}}\\x{{ac00}}-\\x{{d7a3}}"
+        "\\x{{0600}}-\\x{{06ff}}\\x{{0900}}-\\x{{097f}}]')"
     ).format(c=col)
     map_lit = (
         "MAP {"

@@ -205,6 +205,18 @@ def test_slugify_python_slugify_parity(spark):
         # unmapped ideographs still fold to separators, mapped ones keep
         # their trailing-space syllable split
         ("中鰢国", "zhong-guo"),
+        # Arabic (Buckwalter-flavoured): tashkil drops, ayn/hamza become
+        # separators, Arabic-Indic digits map to ASCII
+        ("سياسة المناخ", "syash-almnakh"),
+        ("محمد", "mhmd"),
+        ("العربية", "al-rbyh"),
+        ("قانون الطاقة ٢٠٢٣", "qanwn-altaqh-2023"),
+        # Devanagari: per-char ISO-ish fold (consonants carry inherent
+        # 'a', matras append, virama drops), Devanagari digits to ASCII
+        ("भारत", "bhaaarata"),
+        ("जलवायु नीति", "jalavaaayau-naiitai"),
+        ("पर्यावरण संरक्षण अधिनियम १९८६",
+         "parayaaavarana-sanrakashana-adhainaiyama-1986"),
     ]
     df = spark.createDataFrame(
         [(i, s) for i, (s, _) in enumerate(cases)], "i int, s string"
