@@ -167,10 +167,27 @@ CJK_GATE_RE = "[぀-ヿ一-鿿가-힣؀-ۿऀ-ॿ]"
 _HANGUL_BASE, _HANGUL_LAST = 0xAC00, 0xD7A3
 
 
+# one string literal holding the whole fold table: a create_map of
+# ~700 F.lit children costs ~700 py4j round trips PER slugify reference
+# site at plan-build time (measured ~4 s of driver CPU on the e2e
+# query); str_to_map(lit, ...) is 3 calls and constant-folds to the
+# same map literal before execution
+_MAP_PAIR_SEP = "\x01"
+_MAP_KV_SEP = "\x02"
+
+
+def _map_str() -> str:
+    return _MAP_PAIR_SEP.join(
+        f"{k}{_MAP_KV_SEP}{v}" for k, v in CJK_MAP.items()
+    )
+
+
 def fold_cjk_col(s: Column) -> Column:
     """Per-character CJK romanization fold (Spark side), gated so
     non-CJK strings (the overwhelming hot path) skip it entirely."""
-    m = F.create_map(*[F.lit(x) for kv in CJK_MAP.items() for x in kv])
+    m = F.str_to_map(
+        F.lit(_map_str()), F.lit(_MAP_PAIR_SEP), F.lit(_MAP_KV_SEP)
+    )
     lead = F.array(*[F.lit(x) for x in HANGUL_LEAD])
     vowel = F.array(*[F.lit(x) for x in HANGUL_VOWEL])
     tail = F.array(*[F.lit(x) for x in HANGUL_TAIL])
