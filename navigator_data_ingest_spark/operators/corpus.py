@@ -1433,3 +1433,110 @@ def text_hash_classifier_sql() -> str:
            score_sum > 0 AS keep
     FROM s ORDER BY doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# boilerplate passage removal (CCNet-style frequent-passage filter)
+# --------------------------------------------------------------------------
+
+BP_TOKENS = 8   # passage width for boilerplate detection
+BP_MIN_DF = 3   # passages in >= this many DISTINCT docs are boilerplate
+
+
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (the CCNet/CommonCrawl preprocessing step):
+    passages repeated across >= BP_MIN_DF DISTINCT documents (nav bars,
+    cookie banners, footers) are flagged, and each document reports its
+    boilerplate fraction plus the md5 of its CLEANED text (surviving
+    passages joined in order) — the content address later dedup stages
+    key on.
+
+    Scale shape: chunking and hashing are map-side; shuffle #1 is the
+    passage-hash document-frequency aggregate (high-cardinality unskewed
+    key), shuffle #2 joins the df verdict back onto passages by hash,
+    shuffle #3 re-assembles documents (doc_id key, per-doc bounded
+    rows). The frequent-passage set is NOT assumed broadcastable — at
+    100 TB the df table is corpus-sized even if the frequent sliver is
+    small, and the hash equijoin needs no such assumption.
+    """
+    P = BP_TOKENS
+    chunks = (
+        _tokens_df(spark, sf_dir)
+        .where("size(t) > 0")
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, (size(t) - 1) div {P}),"
+                    f" i -> array_join(slice(t, i * {P} + 1, {P}), ' '))"
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+        .withColumn("h", F.md5("chunk"))
+    )
+    df_tab = chunks.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    flagged = chunks.join(
+        df_tab.where(F.col("df") >= BP_MIN_DF)
+        .select("h", F.lit(True).alias("boiler")),
+        "h",
+        "left",
+    )
+    clean_md5 = F.md5(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "boiler", "chunk"))
+                    ),
+                    lambda s: s["boiler"].isNull(),
+                ),
+                lambda s: s["chunk"],
+            ),
+        )
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(F.coalesce(F.col("boiler"), F.lit(False)).cast("long")).alias(
+                "n_boiler"
+            ),
+            clean_md5.alias("clean_md5"),
+        )
+        .withColumn(
+            "boiler_permille", F.expr("n_boiler * 1000 div n_passages")
+        )
+        .select(
+            "doc_id", "n_passages", "n_boiler", "boiler_permille", "clean_md5"
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_boilerplate_sql() -> str:
+    P = BP_TOKENS
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {X.dk_tokens('text')} AS t FROM documents
+    ), ch AS (
+        SELECT doc_id, i::bigint AS chunk_idx,
+               array_to_string(t[(i * {P} + 1):(i * {P} + {P})], ' ') AS chunk
+        FROM toks, unnest(generate_series(0, (len(t) - 1) // {P})) AS u(i)
+        WHERE len(t) > 0
+    ), d AS (
+        SELECT md5(chunk) AS h, count(DISTINCT doc_id) AS df
+        FROM ch GROUP BY 1
+    ), fl AS (
+        SELECT c.doc_id, c.chunk_idx, c.chunk,
+               (d.df >= {BP_MIN_DF}) AS boiler
+        FROM ch c JOIN d ON md5(c.chunk) = d.h
+    )
+    SELECT doc_id, count(*)::bigint AS n_passages,
+           sum(CASE WHEN boiler THEN 1 ELSE 0 END)::bigint AS n_boiler,
+           (sum(CASE WHEN boiler THEN 1 ELSE 0 END) * 1000
+            // count(*))::bigint AS boiler_permille,
+           md5(coalesce(string_agg(CASE WHEN NOT boiler THEN chunk END,
+                                   ' ' ORDER BY chunk_idx), '')) AS clean_md5
+    FROM fl GROUP BY doc_id ORDER BY doc_id
+    """

@@ -3206,3 +3206,24 @@ register(
     similarity.dedup_semantic_sql(),
     front=True,
 )
+
+
+# --------------------------------------------------------------------------
+# §2.4 / §2.2 round 3: boilerplate filter, Python DataSource
+# --------------------------------------------------------------------------
+
+register(
+    "text_boilerplate",
+    corpus.text_boilerplate,
+    corpus.text_boilerplate_sql(),
+    front=True,
+)
+
+from navigator_data_ingest_spark.sources import pysource as _pysource
+
+register(
+    "src_python_datasource",
+    _pysource.src_python_datasource,
+    _pysource.src_python_datasource_sql(),
+    front=True,
+)

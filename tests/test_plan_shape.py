@@ -98,6 +98,11 @@ _DELIBERATE_NESTED_LOOP = {
     # broadcast-scores the bounded query set against every vector) to
     # certify LSH recall — the nested loop IS the ground truth side
     "sim_search_recall_report",
+    # n x K centroid scoring (the sim_search_ivf assignment pass) feeds
+    # the (cell, bucket) pair join: deliberate
+    "dedup_semantic",
+    # 1-row broadcast of the constant-size bloom bitset: deliberate
+    "dedup_bloom",
 }
 
 
@@ -357,3 +362,49 @@ def test_cogroup_plan_has_two_sided_exchange(spark):
     assert "Join" not in plan.split("FlatMapCoGroupsInPandas")[0]
     audit = plan_audit(df)
     assert audit.shuffle_exchanges >= 2
+
+
+def test_basket_pairs_brand_dim_broadcast(spark):
+    """q_basket_pairs: the part dim must broadcast; the fact side's only
+    sort-merge-eligible shuffle is the per-order set build."""
+    audit = plan_audit(_Q["q_basket_pairs"](spark, SF_CORRECT))
+    assert audit.broadcast_joins >= 1
+    assert audit.sortmerge_joins == 0, "part dim stopped broadcasting"
+    assert audit.cartesian_products == 0
+
+
+def test_corr_matrix_single_scan_no_join(spark):
+    """stats_correlation_matrix: all 14 moments in ONE scan, no joins,
+    and the only data shuffle is the 1-row partial->final aggregate."""
+    df = _Q["stats_correlation_matrix"](spark, SF_CORRECT)
+    assert len(read_schemas(df)) == 1, "moments split across scans"
+    audit = plan_audit(df)
+    assert audit.parquet_scans == 1
+    assert audit.broadcast_joins == 0 and audit.sortmerge_joins == 0
+    assert audit.shuffle_exchanges <= 2  # 1-row agg (+ 6-row sort)
+
+
+def test_token_budget_offsets_broadcast(spark):
+    """corpus_token_budget: both offset tables come back by broadcast —
+    the corpus-grain side never shuffles for the offset joins."""
+    audit = plan_audit(_Q["corpus_token_budget"](spark, SF_CORRECT))
+    assert audit.broadcast_joins >= 2, "offset joins stopped broadcasting"
+    assert audit.cartesian_products == 0
+
+
+def test_bloom_exact_verify_is_bounded(spark):
+    """dedup_bloom: the bloom screen is a 1-row broadcast (nested loop by
+    design); the exact verify is an equijoin on the md5 key, and there is
+    at most one such join in the plan."""
+    plan = formatted_plan(_Q["dedup_bloom"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    audit = plan_audit(_Q["dedup_bloom"](spark, SF_CORRECT))
+    assert audit.sortmerge_joins <= 1
+
+
+def test_boilerplate_df_join_is_equijoin(spark):
+    """text_boilerplate: the df verdict joins back on the passage hash —
+    never a broadcast ASSUMPTION on the frequent set, never a cartesian."""
+    audit = plan_audit(_Q["text_boilerplate"](spark, SF_CORRECT))
+    assert audit.cartesian_products == 0
+    assert audit.broadcast_joins + audit.sortmerge_joins >= 1
