@@ -3227,3 +3227,16 @@ register(
     _pysource.src_python_datasource_sql(),
     front=True,
 )
+
+
+register(
+    "stream_tws_totals",
+    streaming_streams.stream_tws_totals,
+    """
+    SELECT user_id,
+           count(*)::bigint AS n_events,
+           sum(floor(value * 100 + 0.5))::bigint AS cents
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    front=True,
+)

@@ -836,3 +836,130 @@ def stream_static_enrich_sql() -> str:
     FROM events JOIN customer ON user_id = c_custkey
     ORDER BY event_id
     """
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas (the Spark 4 arbitrary-state API)
+# --------------------------------------------------------------------------
+
+TWS_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, cents bigint"
+
+
+class _RunningTotalsProcessor:
+    """Per-user running totals via the Spark 4 ``StatefulProcessor``
+    contract (init/handleInputRows/close with handle-managed typed
+    state). Defined lazily as a plain class and upgraded below so the
+    module imports on any pyspark; the operator itself requires 4.x.
+    """
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState(
+            "totals", "n bigint, cents bigint"
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        import numpy as np
+        import pandas as pd
+
+        n, cents = 0, 0
+        if self._totals.exists():
+            n, cents = self._totals.get()
+        for pdf in rows:
+            n += len(pdf)
+            # half-up integer cents — the house rounding (floor(x*100+.5))
+            cents += int(
+                np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).sum()
+            )
+        self._totals.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "cents": [cents]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf for its
+    driver-worker state protocol; probe it up front instead of failing
+    three layers deep in the streaming runner."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _totals_fallback_fn(key, batches, state):
+    """applyInPandasWithState twin of the StatefulProcessor: identical
+    state content and emission."""
+    import numpy as np
+    import pandas as pd
+
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        cents += int(np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).sum())
+    state.update((n, cents))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "cents": [cents]})
+
+
+def stream_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` —
+    the Spark 4 successor to ``applyInPandasWithState``: named typed
+    state slots (value/list/map) fetched from a handle, plus timers.
+    This is the API a production incremental aggregation (billing
+    counters, per-entity quotas) targets.
+
+    State is one (n, cents) tuple per user — size scales with KEYS, not
+    events. Update mode emits each key's refreshed totals per batch; the
+    single-file availableNow drain is one batch, so the emitted set
+    equals the batch aggregate (the oracle). The TWS path needs the
+    RocksDB state-store provider (restored after the drain) and
+    google.protobuf in the Python workers; in containers without
+    protobuf the operator degrades to an ``applyInPandasWithState``
+    twin with identical state content and emission, so the semantics
+    stay executable and oracle-checked everywhere while the
+    StatefulProcessor code path is exercised wherever the dependency
+    exists.
+    """
+    ev = read_stream_events(spark, sf_dir).select("user_id", "value")
+    if not _tws_available():
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        out = ev.groupBy("user_id").applyInPandasWithState(
+            _totals_fallback_fn,
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            stateStructType="n bigint, cents bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        res = _run_to_memory(out, _qname("stream_tws", sf_dir), "update")
+        return res.orderBy("user_id")
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc_cls = type(
+        "RunningTotals", (StatefulProcessor,), dict(_RunningTotalsProcessor.__dict__)
+    )
+    key_conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key_conf, None)
+    spark.conf.set(
+        key_conf,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=proc_cls(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        res = _run_to_memory(out, _qname("stream_tws", sf_dir), "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(key_conf)
+        else:
+            spark.conf.set(key_conf, prev)
+    return res.orderBy("user_id")

