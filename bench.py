@@ -50,6 +50,17 @@ HEADLINE = [
     "stats_ks_drift",
     "dedup_incremental",
     "split_train_holdout",
+    # round-3 widening: cohort retention, in-array pair mining, one-pass
+    # moments, bloom prefilter, semantic dedup, budget-fill selection,
+    # hashed classifier, boilerplate removal
+    "q_events_cohort_retention",
+    "q_basket_pairs",
+    "stats_correlation_matrix",
+    "dedup_bloom",
+    "dedup_semantic",
+    "corpus_token_budget",
+    "text_hash_classifier",
+    "text_boilerplate",
 ]
 
 

@@ -79,10 +79,26 @@ def dk_hash32(s: str, seed: int | str) -> str:
 
 def sp_fold_dot(a: str, b: str, dim: int | None = None) -> str:
     """Left-fold dot product; ``dim=None`` folds over size(a) (same
-    order, any dimensionality — the library-API path)."""
-    n = str(dim) if dim is not None else f"size({a})"
+    order, any dimensionality — the library-API path).
+
+    With a FIXED dim the fold is UNROLLED into a plain 64-term sum:
+    lambda-bearing ``aggregate`` is exempt from whole-stage codegen
+    (interpreted Expression.eval per element — the round-1 "determinism
+    tax"), while the explicit left-associated chain compiles into the
+    codegen stage. The association is identical — SQL `+` parses
+    left-assoc, matching both the fold (0.0 + t1 == t1 exactly) and
+    DuckDB's first-element-seeded ``list_reduce`` — so values stay
+    bit-identical cross-engine.
+    """
+    if dim is not None:
+        terms = [
+            f"cast(element_at({a}, {i}) as double)"
+            f" * cast(element_at({b}, {i}) as double)"
+            for i in range(1, dim + 1)
+        ]
+        return "(" + " + ".join(terms) + ")"
     return (
-        f"aggregate(sequence(1, {n}), cast(0.0 as double), "
+        f"aggregate(sequence(1, size({a})), cast(0.0 as double), "
         f"(acc, i) -> acc + cast(element_at({a}, cast(i as int)) as double)"
         f" * cast(element_at({b}, cast(i as int)) as double))"
     )

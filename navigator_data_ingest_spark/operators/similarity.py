@@ -29,12 +29,14 @@ N_PLANES = 6
 PLANE_SEED = 7
 
 
-def _cos(a: str, b: str):
-    # dynamic-length fold: same left-fold order at any dimensionality,
-    # so the fixed-dim DuckDB oracle still matches on the test vectors
-    dot = F.expr(X.sp_fold_dot(a, b))
-    na = F.sqrt(F.expr(X.sp_fold_dot(a, a)))
-    nb = F.sqrt(F.expr(X.sp_fold_dot(b, b)))
+def _cos(a: str, b: str, dim: int | None = EMB_DIM):
+    # fixed-dim by default: sp_fold_dot unrolls into a codegen-able
+    # left-associated sum (bit-identical to the fold and to DuckDB's
+    # list_reduce); pass dim=None for the any-dimensionality library
+    # path (interpreted fold, same order)
+    dot = F.expr(X.sp_fold_dot(a, b, dim))
+    na = F.sqrt(F.expr(X.sp_fold_dot(a, a, dim)))
+    nb = F.sqrt(F.expr(X.sp_fold_dot(b, b, dim)))
     return dot / (na * nb)
 
 
@@ -78,17 +80,42 @@ def _plane_component(p: str, i: str) -> str:
     return f"(({X.sp_hash32(key, PLANE_SEED)} % 2001) - 1000) / 1000.0"
 
 
+def _plane_const(p: int, i: int) -> float:
+    """The SAME md5-derived plane component, evaluated in Python: the
+    hash input is fully determined by (p, i), so the double can be
+    embedded as a literal — Catalyst would constant-fold the md5
+    expression to this exact value anyway, but 384 folded md5 nodes
+    cost real analysis/codegen time on every query build."""
+    import hashlib as _hl
+
+    h = int(_hl.md5(f"{PLANE_SEED}:p{p}d{i - 1}".encode()).hexdigest()[:8], 16)
+    return ((h % 2001) - 1000) / 1000.0
+
+
 def _bucket_expr(vec: str) -> str:
-    """Sign-bit bucket: bit p set iff dot(vec, plane_p) > 0."""
-    dot_p = (
-        f"aggregate(sequence(1, {EMB_DIM}), cast(0.0 as double), "
-        f"(acc, i) -> acc + cast(element_at({vec}, cast(i as int)) as double)"
-        f" * ({_plane_component('p', 'i')}))"
-    )
-    return (
-        f"aggregate(sequence(0, {N_PLANES - 1}), cast(0 as bigint), (b, p) -> b + "
-        f"CASE WHEN {dot_p} > 0 THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END)"
-    )
+    """Sign-bit bucket: bit p set iff dot(vec, plane_p) > 0.
+
+    Unrolled over (plane, dim) with LITERAL indices: each plane
+    component's md5-derived pseudo-random value becomes a constant
+    expression Catalyst folds at plan time, and the remaining per-row
+    work is a codegen-able multiply-add chain — the lambda form
+    recomputed 6 x 64 md5 hashes PER ROW in interpreted eval. Same
+    left-to-right association, so values are unchanged.
+    """
+    plane_dots = []
+    for p in range(N_PLANES):
+        terms = [
+            f"cast(element_at({vec}, {i}) as double)"
+            f" * ({_plane_const(p, i)!r})"
+            for i in range(1, EMB_DIM + 1)
+        ]
+        plane_dots.append("(" + " + ".join(terms) + ")")
+    bits = [
+        f"CASE WHEN {plane_dots[p]} > 0 THEN cast({1 << p} as bigint)"
+        f" ELSE cast(0 as bigint) END"
+        for p in range(N_PLANES)
+    ]
+    return "(" + " + ".join(bits) + ")"
 
 
 def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,26 +734,60 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
     ccos = _cos("embedding", "cvec")
-    cw = Window.partitionBy("vec_id").orderBy(F.desc("_ccos"), F.asc("centroid_id"))
+    # argmax(cos) per vector as a map-side min(struct) partial aggregate
+    # (the emb_kmeans pattern): the shuffle carries ONE row per vector,
+    # not the n x K scored grid a ranking window would shuffle; the
+    # (-cos, centroid_id) struct order equals the (cos DESC, id ASC)
+    # window rank, and embedding rides as payload (ids are unique, so
+    # the comparison never reaches it)
     assign = (
         e.join(F.broadcast(cents))
         .select("vec_id", "embedding", "centroid_id", ccos.alias("_ccos"))
-        .withColumn("crn", F.row_number().over(cw))
-        .where("crn = 1")
-        .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_ccos")).alias("neg"),
+                    F.col("centroid_id").alias("cid"),
+                    F.col("embedding").alias("emb"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.emb").alias("embedding"),
+            F.col("m.cid").alias("cell"),
+        )
         .withColumn("bucket", F.expr(_bucket_expr("embedding")))
+        # vector norm materialized THROUGH the checkpoint: the pair
+        # stage's cosine then divides by stored norms instead of
+        # re-inlining two more 64-term chains per pair (keeps the pair
+        # stage's codegen unit small)
+        .withColumn(
+            "nrm",
+            F.sqrt(F.expr(X.sp_fold_dot("embedding", "embedding", EMB_DIM))),
+        )
+        # the pair join and the drop-audit join both re-read the
+        # assignment; pin the (1-row-per-vector) result so the n x K
+        # scoring pass runs once, not three times
+        .localCheckpoint()
     )
     a = assign.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
+        F.col("nrm").alias("nrm_a"),
         "cell",
         "bucket",
     )
     b = assign.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb_"),
+        F.col("nrm").alias("nrm_b"),
         F.col("cell").alias("cell_b"),
         F.col("bucket").alias("bucket_b"),
+    )
+    pcos = F.expr(X.sp_fold_dot("ea", "eb_", EMB_DIM)) / (
+        F.col("nrm_a") * F.col("nrm_b")
     )
     near = (
         a.join(
@@ -735,7 +796,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("bucket") == F.col("bucket_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
-        .select("vec_b", _cos("ea", "eb_").alias("_c"))
+        .select("vec_b", pcos.alias("_c"))
         .where(F.col("_c") >= SEM_TAU)
         .groupBy("vec_b")
         .agg(F.count(F.lit(1)).alias("n_near"))
