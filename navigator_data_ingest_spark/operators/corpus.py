@@ -1473,6 +1473,10 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_idx", "chunk"),
         )
         .withColumn("h", F.md5("chunk"))
+        # one explicit hash-shuffle feeds BOTH consumers (the df agg and
+        # the verdict join probe) as a ReusedExchange — without it the
+        # tokenize→chunk→md5 pipeline executes twice
+        .repartition("h")
     )
     df_tab = chunks.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
     flagged = chunks.join(
