@@ -2192,3 +2192,53 @@ def stats_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("var_x", "var_y", "n_rows", "corr")
         .orderBy("var_x", "var_y")
     )
+
+
+def stats_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (the experimentation-platform primitive):
+    users split A/B by ``user_id % 2``, conversion = the user has at
+    least one purchase event; z for the conversion-rate difference.
+
+    Shape: ONE user-grain aggregation (user_id key — the only
+    fact-scale shuffle), then a 1-row conditional-sum collapse. The
+    four counts are exact integers, so the float z appears only in the
+    final expression — spelled with the same literal structure in the
+    DuckDB oracle, so the IEEE result is bit-identical. Integer
+    permille rates ride along for dashboards that avoid floats.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # conversion = purchase share above 20% — an integer cross-multiply
+    # that splits the population at any scale factor (a "has any
+    # purchase" rule saturates at p=1, making the z denominator zero)
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias("np"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "user_id",
+            F.expr("CASE WHEN np * 5 > n THEN 1 ELSE 0 END").alias("converted"),
+        )
+        .withColumn("grp", F.expr("user_id % 2"))
+    )
+    agg = users.groupBy().agg(
+        F.sum(F.expr("CASE WHEN grp = 0 THEN 1 ELSE 0 END")).alias("n_a"),
+        F.sum(F.expr("CASE WHEN grp = 0 THEN converted ELSE 0 END")).alias("conv_a"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN 1 ELSE 0 END")).alias("n_b"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN converted ELSE 0 END")).alias("conv_b"),
+    )
+    pool = "((conv_a + conv_b) / cast(n_a + n_b as double))"
+    z = (
+        f"round((conv_a / cast(n_a as double) - conv_b / cast(n_b as double))"
+        f" / sqrt({pool} * (1.0 - {pool}) * (1.0 / n_a + 1.0 / n_b)), 6)"
+    )
+    return agg.selectExpr(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        "conv_a * 1000 div n_a AS conv_a_permille",
+        "conv_b * 1000 div n_b AS conv_b_permille",
+        f"{z} AS z_score",
+    )

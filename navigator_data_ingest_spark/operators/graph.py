@@ -133,3 +133,106 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_parts"))
         .orderBy("degree")
     )
+
+
+# --------------------------------------------------------------------------
+# triangle counting (edge-wedge-close join chain)
+# --------------------------------------------------------------------------
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the brand co-purchase graph: nodes are
+    part brands, an edge joins two brands that appear together in at
+    least one order, and a triangle is a brand triple pairwise
+    co-purchased. Per-node triangle counts (the clustering-coefficient
+    numerator) plus degree.
+
+    The canonical distributed shape: orient every edge low->high (each
+    triangle counted once), self-join edges on the middle node to form
+    wedges, close each wedge with one more edge join. With a<b<c
+    orientation the wedge fan-out is bounded by the out-degree in the
+    ORIENTED graph (max out-degree ~sqrt(edges) after orientation — the
+    standard trick that makes triangle counting feasible on power-law
+    graphs). All three joins are hash equijoins on node keys; the
+    brand-graph instance is bounded (|brands|^2 edges) but the plan is
+    the one that runs on a billion-edge graph.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    edges = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(brands, (x, i) -> "
+                    "transform(slice(brands, i + 2, size(brands)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    w1 = edges.select(F.col("a").alias("wa"), F.col("b").alias("wb"))
+    w2 = edges.select(F.col("a").alias("xa"), F.col("b").alias("xc"))
+    wedges = w1.join(w2, F.col("wb") == F.col("xa")).select(
+        F.col("wa").alias("ta"), F.col("wb").alias("tb"), F.col("xc").alias("tc")
+    )
+    closing = edges.select(F.col("a").alias("ca"), F.col("b").alias("cc"))
+    tris = wedges.join(
+        closing, (F.col("ta") == F.col("ca")) & (F.col("tc") == F.col("cc"))
+    ).select("ta", "tb", "tc")
+    per_node = (
+        tris.select(F.explode(F.array("ta", "tb", "tc")).alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    degree = (
+        edges.select(F.explode(F.array("a", "b")).alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        degree.join(per_node, "brand", "left")
+        .select(
+            "brand",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+        .orderBy("brand")
+    )
+
+
+def graph_triangle_count_sql() -> str:
+    return """
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), edges AS (
+        SELECT DISTINCT x.p_brand AS a, y.p_brand AS b
+        FROM ob x JOIN ob y
+          ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+    ), tris AS (
+        SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+        FROM edges e1
+        JOIN edges e2 ON e1.b = e2.a
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), pern AS (
+        SELECT brand, count(*)::bigint AS n_triangles FROM (
+            SELECT ta AS brand FROM tris
+            UNION ALL SELECT tb FROM tris
+            UNION ALL SELECT tc FROM tris
+        ) GROUP BY brand
+    ), deg AS (
+        SELECT brand, count(*)::bigint AS degree FROM (
+            SELECT a AS brand FROM edges
+            UNION ALL SELECT b FROM edges
+        ) GROUP BY brand
+    )
+    SELECT d.brand, d.degree, coalesce(p.n_triangles, 0)::bigint AS n_triangles
+    FROM deg d LEFT JOIN pern p ON d.brand = p.brand
+    ORDER BY d.brand
+    """

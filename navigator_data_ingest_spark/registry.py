@@ -3240,3 +3240,46 @@ register(
     """,
     front=True,
 )
+
+
+register(
+    "graph_triangle_count",
+    graph.graph_triangle_count,
+    graph.graph_triangle_count_sql(),
+    front=True,
+)
+
+_AB_POOL = "((conv_a + conv_b) / (n_a + n_b)::double)"
+
+register(
+    "stats_ab_test",
+    analytics.stats_ab_test,
+    f"""
+    WITH u0 AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+               count(*) AS n
+        FROM events GROUP BY user_id
+    ), u AS (
+        SELECT user_id,
+               CASE WHEN np * 5 > n THEN 1 ELSE 0 END AS converted
+        FROM u0
+    ), g AS (
+        SELECT user_id % 2 AS grp, converted FROM u
+    ), a AS (
+        SELECT sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::bigint AS n_a,
+               sum(CASE WHEN grp = 0 THEN converted ELSE 0 END)::bigint AS conv_a,
+               sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::bigint AS n_b,
+               sum(CASE WHEN grp = 1 THEN converted ELSE 0 END)::bigint AS conv_b
+        FROM g
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           (conv_a * 1000 // n_a)::bigint AS conv_a_permille,
+           (conv_b * 1000 // n_b)::bigint AS conv_b_permille,
+           round((conv_a / n_a::double - conv_b / n_b::double)
+                 / sqrt({_AB_POOL} * (1.0 - {_AB_POOL})
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+    FROM a
+    """,
+    front=True,
+)
