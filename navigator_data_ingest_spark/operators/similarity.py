@@ -40,13 +40,20 @@ def _cos(a: str, b: str, dim: int | None = EMB_DIM):
     return dot / (na * nb)
 
 
-def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    dim: int | None = None,
+) -> DataFrame:
     """Exact cosine top-k: any (vec_id, embedding) corpus vs any
     (query_id, qvec) query set (the ANN baseline). The query set
     broadcasts; the corpus side never shuffles; the rank windows on the
-    (small) result of the broadcast join."""
+    (small) result of the broadcast join. ``dim=None`` keeps the
+    any-dimensionality dynamic fold (library path); registry callers
+    pass EMB_DIM for the unrolled codegen form."""
     joined = corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-    cos = _cos("qvec", "embedding")
+    cos = _cos("qvec", "embedding", dim)
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
     return (
         joined.select("query_id", "vec_id", cos.alias("_cos"))
@@ -67,7 +74,7 @@ def sim_search_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("vec_id") % QUERY_MOD == 0)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
     )
-    return cosine_topk(e, q, TOP_K)
+    return cosine_topk(e, q, TOP_K, dim=EMB_DIM)
 
 
 def _plane_component(p: str, i: str) -> str:
@@ -670,7 +677,7 @@ def sim_search_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bf = cosine_topk(e.select("vec_id", "embedding"),
-                     q.select("query_id", "qvec"), TOP_K)
+                     q.select("query_id", "qvec"), TOP_K, dim=EMB_DIM)
     cand_counts = (
         e.join(
             F.broadcast(q),
