@@ -171,10 +171,14 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     20x scale probe caught exactly that regression. The scalar count
     job that resolves ``mod`` is the IVF build step's bookkeeping.
 
-    One n x K broadcast scoring pass serves both cell assignment
-    (argmax cosine, crn=1) and query probing (crn <= NPROBE); candidate
-    scoring then touches only probed cells — at scale the cell id is
-    the partition key and each query scans ~NPROBE/K of the corpus.
+    Cell assignment is a map-side ``min(struct)`` argmax collapse (the
+    emb_kmeans pattern): the shuffle carries ONE row per vector, never
+    the n x K scored grid — a ranking window over the grid would
+    shuffle K rows per vector just to discard K-1. Only the probe side
+    (queries are 1/QUERY_MOD of the corpus) pays a ranking window, on
+    its own |queries| x K grid; candidate scoring then touches only
+    probed cells — at scale the cell id is the partition key and each
+    query scans ~NPROBE/K of the corpus.
     """
     e = scatter(spark, load_table(spark, sf_dir, "embeddings"))
     mod = max(1, e.count() // K_CENTROIDS)
@@ -182,21 +186,37 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
     ccos = _cos("embedding", "cvec")
-    cw = Window.partitionBy("vec_id").orderBy(F.desc("_ccos"), F.asc("centroid_id"))
-    scored = (
+    assign = (
         e.join(F.broadcast(cents))
         .select("vec_id", "embedding", "centroid_id", ccos.alias("_ccos"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_ccos")).alias("neg"),
+                    F.col("centroid_id").alias("cid"),
+                    F.col("embedding").alias("emb"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.emb").alias("embedding"),
+            F.col("m.cid").alias("cell"),
+        )
+    )
+    cw = Window.partitionBy("vec_id").orderBy(F.desc("_ccos"), F.asc("centroid_id"))
+    probe = (
+        e.where(F.col("vec_id") % QUERY_MOD == 0)
+        .join(F.broadcast(cents))
+        .select("vec_id", "embedding", "centroid_id", ccos.alias("_ccos"))
         .withColumn("crn", F.row_number().over(cw))
-    )
-    assign = scored.where(F.col("crn") == 1).select(
-        "vec_id", "embedding", F.col("centroid_id").alias("cell")
-    )
-    probe = scored.where(
-        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("crn") <= NPROBE)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qvec"),
-        F.col("centroid_id").alias("cell"),
+        .where(F.col("crn") <= NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.col("centroid_id").alias("cell"),
+        )
     )
     cand = assign.join(
         F.broadcast(probe),
