@@ -1544,3 +1544,79 @@ def text_boilerplate_sql() -> str:
                                    ' ' ORDER BY chunk_idx), '')) AS clean_md5
     FROM fl GROUP BY doc_id ORDER BY doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# mixture upsampling plan (epochs / repeat factors per source)
+# --------------------------------------------------------------------------
+
+UPSAMPLE_MAX_REPEAT = 4  # cap epochs per source (diminishing returns)
+
+
+def corpus_upsample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture upsampling plan: given per-source token counts, compute
+    the integer REPEAT FACTOR (training epochs) that moves every source
+    toward the uniform target share, capped at ``UPSAMPLE_MAX_REPEAT``
+    — the "small high-quality sources get 3-4 epochs, the web crawl
+    gets 1" recipe every LLM data mix writes down.
+
+    Everything after the one (source)-grain aggregation is integer
+    arithmetic on a SOURCES-sized table with the corpus totals arriving
+    as a 1-row broadcast: target = ceil(total / n_sources), factor =
+    clamp(ceil(target / actual)), planned = actual x factor, and the
+    share drift permille before/after — the audit a mixing run reviews
+    before spending GPU-hours.
+    """
+    per_src = (
+        _tokens_df(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum(F.size("t")).alias("n_tokens"))
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n_sources")
+    )
+    return (
+        per_src.join(F.broadcast(totals))
+        .withColumn("target", F.expr("(tot + n_sources - 1) div n_sources"))
+        .withColumn(
+            "repeat_factor",
+            F.expr(
+                f"least(cast({UPSAMPLE_MAX_REPEAT} as bigint),"
+                f" greatest(cast(1 as bigint),"
+                f" (target + n_tokens - 1) div n_tokens))"
+            ),
+        )
+        .withColumn("planned_tokens", F.expr("n_tokens * repeat_factor"))
+        .select(
+            "source",
+            "n_tokens",
+            "repeat_factor",
+            "planned_tokens",
+            F.expr("n_tokens * 1000 div tot").alias("share_permille"),
+        )
+        .orderBy("source")
+    )
+
+
+def corpus_upsample_plan_sql() -> str:
+    return f"""
+    WITH s AS (
+        SELECT source, sum(len({X.dk_tokens('text')}))::bigint AS n_tokens
+        FROM documents GROUP BY source
+    ), t AS (
+        SELECT sum(n_tokens)::bigint AS tot, count(*)::bigint AS n_sources
+        FROM s
+    ), p AS (
+        SELECT source, n_tokens,
+               (tot + n_sources - 1) // n_sources AS target, tot
+        FROM s, t
+    )
+    SELECT source, n_tokens,
+           least({UPSAMPLE_MAX_REPEAT}, greatest(1,
+               (target + n_tokens - 1) // n_tokens))::bigint AS repeat_factor,
+           (n_tokens * least({UPSAMPLE_MAX_REPEAT}, greatest(1,
+               (target + n_tokens - 1) // n_tokens)))::bigint
+               AS planned_tokens,
+           (n_tokens * 1000 // tot)::bigint AS share_permille
+    FROM p ORDER BY source
+    """

@@ -889,3 +889,95 @@ def dedup_semantic_sql() -> str:
     FROM ab LEFT JOIN near ON ab.vec_id = near.vec_b
     ORDER BY ab.vec_id
     """
+
+
+# --------------------------------------------------------------------------
+# matryoshka (prefix-dimension) ANN with recall audit
+# --------------------------------------------------------------------------
+
+MRL_DIM = 16  # truncated prefix dimensionality
+
+
+def emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated-dimension retrieval audit: score every
+    query's top-k twice — full EMB_DIM cosine (ground truth) and cosine
+    on the FIRST MRL_DIM components only (the cheap prefix an
+    MRL-trained embedding makes usable) — and report recall@k of the
+    truncated ranking per query.
+
+    This is the shrink-the-vectors storage/speed lever (complementing
+    int8 quantization and PQ): a 4x dimension cut divides scan cost and
+    memory by 4, and the recall column is the number that decides
+    whether the cheap index serves first-stage retrieval. Both scoring
+    passes broadcast the bounded query set against the corpus (the
+    declared exact-baseline shape); prefix cosine uses the same
+    unrolled left-associated chain at MRL_DIM, so the DuckDB oracle
+    replays it exactly.
+    """
+    e = scatter(spark, load_table(spark, sf_dir, "embeddings"))
+    q = (
+        e.where(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    full = cosine_topk(e, q, TOP_K, dim=EMB_DIM).select(
+        "query_id", F.col("vec_id").alias("full_vec")
+    )
+    joined = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    tcos = _cos("qvec", "embedding", MRL_DIM)
+    tw = Window.partitionBy("query_id").orderBy(F.desc("_tcos"), F.asc("vec_id"))
+    trunc = (
+        joined.select("query_id", "vec_id", tcos.alias("_tcos"))
+        .withColumn("rank", F.row_number().over(tw))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("trunc_vec"))
+    )
+    return (
+        full.join(
+            trunc,
+            (full["query_id"] == trunc["query_id"])
+            & (full["full_vec"] == trunc["trunc_vec"]),
+            "left",
+        )
+        .groupBy(full["query_id"].alias("query_id"))
+        .agg(F.count("trunc_vec").alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_overlap",
+            F.expr(f"n_overlap * 1000 div {TOP_K}").alias("recall_permille"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def emb_matryoshka_sql() -> str:
+    def cosd(a: str, b: str, dim: int) -> str:
+        return (
+            f"{X.dk_fold_dot(a, b, dim)} / "
+            f"(sqrt({X.dk_fold_dot(a, a, dim)}) * sqrt({X.dk_fold_dot(b, b, dim)}))"
+        )
+
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+    ), fullr AS (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   {cosd('q.qvec', 'e.embedding', EMB_DIM)} DESC, e.vec_id) AS rank
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    ), full_top AS (
+        SELECT query_id, vec_id FROM fullr WHERE rank <= {TOP_K}
+    ), truncr AS (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   {cosd('q.qvec', 'e.embedding', MRL_DIM)} DESC, e.vec_id) AS rank
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    ), trunc_top AS (
+        SELECT query_id, vec_id FROM truncr WHERE rank <= {TOP_K}
+    )
+    SELECT f.query_id, count(t.vec_id)::bigint AS n_overlap,
+           (count(t.vec_id) * 1000 // {TOP_K})::bigint AS recall_permille
+    FROM full_top f LEFT JOIN trunc_top t
+      ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+    GROUP BY f.query_id ORDER BY f.query_id
+    """

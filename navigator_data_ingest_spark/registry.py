@@ -3283,3 +3283,31 @@ register(
     """,
     front=True,
 )
+
+
+# --------------------------------------------------------------------------
+# round 3, second wave: matryoshka audit, atomic publish, upsample plan
+# --------------------------------------------------------------------------
+
+register(
+    "emb_matryoshka",
+    similarity.emb_matryoshka,
+    similarity.emb_matryoshka_sql(),
+    front=True,
+)
+
+from navigator_data_ingest_spark.sources import publish as _publish
+
+register(
+    "sink_atomic_publish",
+    _publish.sink_atomic_publish,
+    _publish.sink_atomic_publish_sql(),
+    front=True,
+)
+
+register(
+    "corpus_upsample_plan",
+    corpus.corpus_upsample_plan,
+    corpus.corpus_upsample_plan_sql(),
+    front=True,
+)

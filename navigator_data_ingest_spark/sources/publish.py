@@ -1,0 +1,96 @@
+"""Atomic dataset publishing: versioned directories + pointer swap.
+
+The commit protocol every table format (Delta/Iceberg/Hudi) formalizes,
+reduced to its primitive: writers produce an immutable versioned
+directory (``v=N``), then atomically swap a tiny pointer file to it
+(write-temp + rename — atomic on POSIX and on object stores with
+atomic rename semantics). Readers resolve the pointer first, then read
+ONLY that version's directory — they never observe a half-written
+version, and concurrent republication never corrupts a read in flight
+(the old version's files are immutable until vacuumed).
+
+The reference's per-object S3 PUTs (updated_document_actions.py
+cache rewrites) get exactly this upgrade at scale: rewrite the cache
+table into ``v=N+1`` and swap the pointer, instead of mutating objects
+in place under readers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from navigator_data_ingest_spark.sources.tables import load_table
+
+_POINTER = "_LATEST"
+
+
+def _publish_root(sf_dir: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"nav_publish_{tag}")
+
+
+def _write_version(df: DataFrame, root: str, version: int) -> str:
+    vdir = os.path.join(root, f"v={version}")
+    df.write.mode("overwrite").parquet(vdir)
+    return vdir
+
+
+def _swap_pointer(root: str, version: int) -> None:
+    """Atomic pointer swap: full content written to a temp name in the
+    same directory, then rename over the pointer (one metadata op)."""
+    tmp = os.path.join(root, f".{_POINTER}.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"v={version}\n")
+    os.replace(tmp, os.path.join(root, _POINTER))
+
+
+def read_published(spark: SparkSession, root: str) -> DataFrame:
+    with open(os.path.join(root, _POINTER)) as f:
+        vdir = f.read().strip()
+    return spark.read.parquet(os.path.join(root, vdir))
+
+
+def sink_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry round-trip: publish v1 (partial aggregate), publish v2
+    (the corrected full aggregate), read back through the pointer —
+    the result must be EXACTLY v2's content (the oracle recomputes
+    v2's semantics), proving readers follow the swap and never see v1
+    remnants or a mixed directory."""
+    root = _publish_root(sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = (
+        orders.where(F.year("o_orderdate") < 1995)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    _write_version(v1, root, 1)
+    _swap_pointer(root, 1)
+    v2 = (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))").alias(
+                "cents"
+            ),
+        )
+    )
+    _write_version(v2, root, 2)
+    _swap_pointer(root, 2)
+    return read_published(spark, root).orderBy("o_orderpriority")
+
+
+def sink_atomic_publish_sql() -> str:
+    return """
+    SELECT o_orderpriority,
+           count(*)::bigint AS n_orders,
+           sum(floor(o_totalprice * 100 + 0.5))::bigint AS cents
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
