@@ -102,50 +102,48 @@ def _pick(options: list[str], idx: Column) -> Column:
     )
 
 
+def _spark_pick(options: list[str], idx: str) -> str:
+    lits = ", ".join("'" + o.replace("'", "\\'") + "'" for o in options)
+    return f"element_at(array({lits}), cast({idx} % {len(options)} as int) + 1)"
+
+
 def synthetic_new_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic BackendDocument-shaped rows from the documents table.
 
     Mirrors NEW_DOCS_CTE below field-for-field; the pair is what lets
-    DuckDB replay the same inputs for the oracle comparison.
+    DuckDB replay the same inputs for the oracle comparison. Built as
+    ONE selectExpr: the Column-API form was ~250 py4j round trips per
+    instantiation (~1.7 s of driver time, re-paid by every composed
+    query that starts from the synthetic input).
     """
     docs = scatter(spark, load_table(spark, sf_dir, "documents"))
-    did = F.col("doc_id")
-    ds = did.cast("string")
-    base_url = F.concat(F.lit("https://example.com/docs/doc"), ds)
-    source_url = (
-        F.when(did % 6 == 0, F.concat(base_url, F.lit(".pdf")))
-        .when(did % 6 == 1, F.concat(F.lit("https://example.com/pages/page"), ds, F.lit(".html")))
-        .when(did % 6 == 2, F.concat(base_url, F.lit(".docx")))
-        .when(did % 6 == 3, F.concat(base_url, F.lit(".doc")))
-        .when(did % 6 == 4, F.concat(F.lit("https://example.com/files/file"), ds))
-        .otherwise(F.lit(None).cast("string"))
-    )
-    # some invalid (non-http) URLs to exercise validation failures
-    source_url = F.when(
-        (did % 13 == 0) & source_url.isNotNull(),
-        F.concat(F.lit("ftp://example.com/doc"), ds),
-    ).otherwise(source_url)
-    return docs.select(
-        did.alias("doc_id"),
-        F.col("text"),
-        F.concat(F.lit("TEST.executive."), ds, F.lit("."), ds).alias("import_id"),
-        F.trim(F.substring("text", 1, 80)).alias("name"),
-        F.trim(F.substring("text", 81, 160)).alias("description"),
-        F.concat(F.lit("slug-"), ds).alias("slug"),
-        F.make_timestamp(
-            (F.lit(1990) + did % 35).cast("int"),
-            (did % 12).cast("int") + 1,
-            (did % 28).cast("int") + 1,
-            F.lit(0), F.lit(0), F.lit(0),
-        ).alias("publication_ts"),
-        _pick(GEOGRAPHIES, did).alias("geography"),
-        _pick(CATEGORIES, did).alias("category"),
-        source_url.alias("source_url"),
-        F.when(did % 4 == 0, F.lit(None).cast("string"))
-        .otherwise(F.concat(F.lit("https://cdn.example.com/dl/doc"), ds, F.lit(".pdf")))
-        .alias("download_url"),
-        _pick(HEADERS, did).alias("header"),
-        _pick(HEAD_HEXES, did).alias("head_hex"),
+    ds = "cast(doc_id as string)"
+    return docs.selectExpr(
+        "doc_id",
+        "text",
+        f"'TEST.executive.' || {ds} || '.' || {ds} AS import_id",
+        "trim(substring(text, 1, 80)) AS name",
+        "trim(substring(text, 81, 160)) AS description",
+        f"'slug-' || {ds} AS slug",
+        "make_timestamp(cast(1990 + doc_id % 35 as int),"
+        " cast(doc_id % 12 as int) + 1, cast(doc_id % 28 as int) + 1,"
+        " 0, 0, 0) AS publication_ts",
+        f"{_spark_pick(GEOGRAPHIES, 'doc_id')} AS geography",
+        f"{_spark_pick(CATEGORIES, 'doc_id')} AS category",
+        # invalid (non-http) URLs on the %13 stripe exercise validation
+        f"CASE WHEN doc_id % 13 = 0 AND doc_id % 6 <> 5"
+        f" THEN 'ftp://example.com/doc' || {ds}"
+        f" WHEN doc_id % 6 = 0 THEN 'https://example.com/docs/doc' || {ds} || '.pdf'"
+        f" WHEN doc_id % 6 = 1 THEN 'https://example.com/pages/page' || {ds} || '.html'"
+        f" WHEN doc_id % 6 = 2 THEN 'https://example.com/docs/doc' || {ds} || '.docx'"
+        f" WHEN doc_id % 6 = 3 THEN 'https://example.com/docs/doc' || {ds} || '.doc'"
+        f" WHEN doc_id % 6 = 4 THEN 'https://example.com/files/file' || {ds}"
+        f" ELSE cast(NULL as string) END AS source_url",
+        f"CASE WHEN doc_id % 4 = 0 THEN cast(NULL as string)"
+        f" ELSE 'https://cdn.example.com/dl/doc' || {ds} || '.pdf' END"
+        f" AS download_url",
+        f"{_spark_pick(HEADERS, 'doc_id')} AS header",
+        f"{_spark_pick(HEAD_HEXES, 'doc_id')} AS head_hex",
     )
 
 
@@ -187,17 +185,19 @@ new_docs AS (
 
 
 def synthetic_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic (document_id, seq, update_type) rows: 1-3 per doc."""
+    """Deterministic (document_id, seq, update_type) rows: 1-3 per doc.
+    One selectExpr pass (see synthetic_new_documents on py4j depth)."""
     docs = scatter(spark, load_table(spark, sf_dir, "documents").select("doc_id"))
-    did = F.col("doc_id")
-    ds = did.cast("string")
-    return (
-        docs.select(
-            did.alias("doc_id"),
-            F.concat(F.lit("TEST.executive."), ds, F.lit("."), ds).alias("document_id"),
-            F.explode(F.sequence(F.lit(1), (did % 3).cast("int") + 1)).alias("seq"),
-        )
-        .withColumn("update_type", _pick(UPDATE_TYPES, F.col("doc_id") + F.col("seq")))
+    ds = "cast(doc_id as string)"
+    return docs.selectExpr(
+        "doc_id",
+        f"'TEST.executive.' || {ds} || '.' || {ds} AS document_id",
+        "explode(sequence(1, cast(doc_id % 3 as int) + 1)) AS seq",
+    ).selectExpr(
+        "doc_id",
+        "document_id",
+        "seq",
+        f"{_spark_pick(UPDATE_TYPES, '(doc_id + seq)')} AS update_type",
     )
 
 
