@@ -1620,3 +1620,85 @@ def corpus_upsample_plan_sql() -> str:
            (n_tokens * 1000 // tot)::bigint AS share_permille
     FROM p ORDER BY source
     """
+
+
+# --------------------------------------------------------------------------
+# bigram language-model counts (n-gram LM training table)
+# --------------------------------------------------------------------------
+
+BIGRAM_TOP_PER_HEAD = 3
+BIGRAM_MIN_HEAD = 50  # heads below this corpus frequency are noise
+
+
+def corpus_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model training counts: for every sufficiently
+    frequent head token, its top continuation tokens with integer
+    permille conditional probability — the table a Kneser-Ney/KenLM
+    build materializes first, and the backbone of the classic n-gram
+    perplexity filters.
+
+    Bigrams are generated INSIDE the token array (adjacent-pair
+    transform, no positional self-join); shuffle #1 aggregates bigram
+    counts on the (w1, w2) hash key, head totals fold from the bigram
+    table itself (a strictly smaller second shuffle), and the top-K
+    rank windows per head over candidate sets bounded by that head's
+    distinct-continuation count. All counts and probabilities are
+    integers — no float drift.
+    """
+    pairs = (
+        _tokens_df(spark, sf_dir)
+        .where("size(t) >= 2")
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1),"
+                    " (x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    heads = big.groupBy("w1").agg(F.sum("c").alias("head_total"))
+    w = Window.partitionBy("w1").orderBy(F.desc("c"), F.asc("w2"))
+    return (
+        big.join(heads.where(F.col("head_total") >= BIGRAM_MIN_HEAD), "w1")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BIGRAM_TOP_PER_HEAD)
+        .select(
+            "w1",
+            "w2",
+            "c",
+            "head_total",
+            F.expr("c * 1000 div head_total").alias("p_permille"),
+            "rank",
+        )
+        .orderBy("w1", "rank")
+    )
+
+
+def corpus_bigram_lm_sql() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT {X.dk_tokens('text')} AS t FROM documents
+    ), pairs AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+    ), big AS (
+        SELECT w1, w2, count(*)::bigint AS c FROM pairs GROUP BY w1, w2
+    ), heads AS (
+        SELECT w1, sum(c)::bigint AS head_total FROM big GROUP BY w1
+    ), ranked AS (
+        SELECT b.w1, b.w2, b.c, h.head_total,
+               row_number() OVER (PARTITION BY b.w1
+                                  ORDER BY b.c DESC, b.w2) AS rank
+        FROM big b JOIN heads h ON b.w1 = h.w1
+        WHERE h.head_total >= {BIGRAM_MIN_HEAD}
+    )
+    SELECT w1, w2, c, head_total,
+           (c * 1000 // head_total)::bigint AS p_permille,
+           rank::int AS rank
+    FROM ranked WHERE rank <= {BIGRAM_TOP_PER_HEAD}
+    ORDER BY w1, rank
+    """

@@ -450,3 +450,59 @@ def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_cooc"), F.asc("pair"))
         .limit(COOC_TOP_N)
     )
+
+
+# --------------------------------------------------------------------------
+# per-source token entropy (corpus diversity monitor)
+# --------------------------------------------------------------------------
+
+def stats_entropy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon token entropy per source — the corpus-diversity number
+    that separates a template farm (low entropy) from organic text.
+
+    H = log2(N) - (Σ c·log2 c)/N needs only the per-token counts:
+    shuffle #1 is the (source, token) count (high-cardinality unskewed
+    key, map-side combined), shuffle #2 collapses to the SOURCES-grain
+    moment sums. The float log2 appears per DISTINCT (source, token)
+    — not per token instance — and the 6-dp round absorbs the
+    last-ulp libm-vs-JVM difference.
+    """
+    tok = (
+        scatter(spark, load_table(spark, sf_dir, "documents"))
+        .select("source", F.explode(F.expr(X.sp_tokens("text"))).alias("token"))
+    )
+    counts = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("c") * F.log2("c")).alias("_s"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.log2("n_tokens") - F.col("_s") / F.col("n_tokens"), 6
+            ).alias("entropy_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+def stats_entropy_per_source_sql() -> str:
+    return f"""
+    WITH tok AS (
+        SELECT source, unnest({X.dk_tokens('text')}) AS token FROM documents
+    ), c AS (
+        SELECT source, token, count(*)::bigint AS c
+        FROM tok GROUP BY source, token
+    )
+    SELECT source,
+           sum(c)::bigint AS n_tokens,
+           count(*)::bigint AS n_distinct,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6)
+               AS entropy_bits
+    FROM c GROUP BY source ORDER BY source
+    """

@@ -3311,3 +3311,25 @@ register(
     corpus.corpus_upsample_plan_sql(),
     front=True,
 )
+
+
+register(
+    "stats_entropy_per_source",
+    textstats.stats_entropy_per_source,
+    textstats.stats_entropy_per_source_sql(),
+    front=True,
+)
+
+register(
+    "corpus_bigram_lm",
+    corpus.corpus_bigram_lm,
+    corpus.corpus_bigram_lm_sql(),
+    front=True,
+)
+
+register(
+    "stream_multiplex_router",
+    streaming_streams.stream_multiplex_router,
+    streaming_streams.stream_multiplex_router_sql(),
+    front=True,
+)

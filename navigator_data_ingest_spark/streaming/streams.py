@@ -963,3 +963,106 @@ def stream_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(key_conf, prev)
     return res.orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# foreachBatch multi-sink router (stream demultiplexing)
+# --------------------------------------------------------------------------
+
+ROUTER_TYPES = ("click", "view", "purchase", "error")
+
+
+def stream_multiplex_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream demultiplexing via ``foreachBatch``: one input stream fans
+    out to per-route sinks (here one parquet dir per event type plus a
+    catch-all) — the production shape when routes differ in format,
+    layout, or downstream owner, which a single ``partitionBy`` write
+    cannot express.
+
+    Each batch is cached once and filtered per route (route writes are
+    independent jobs over the cached batch, appending to immutable
+    per-batch files). The read-back re-aggregates every sink and must
+    reproduce the per-route totals of the whole feed — proving the
+    router is PARTITION-COMPLETE (no event lost or double-routed),
+    which is the oracle.
+    """
+    feed = _scatter_time_ordered_feed(spark, sf_dir, 3)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "nav_router",
+        hashlib.md5(feed.encode()).hexdigest()[:8],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+
+    def _route(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select("event_id", "user_id", "event_type", "value").persist()
+        try:
+            for t in ROUTER_TYPES:
+                (
+                    b.where(F.col("event_type") == t)
+                    .write.mode("append")
+                    .parquet(os.path.join(root, f"route={t}"))
+                )
+            (
+                b.where(~F.col("event_type").isin(*ROUTER_TYPES))
+                .write.mode("append")
+                .parquet(os.path.join(root, "route=other"))
+            )
+        finally:
+            b.unpersist()
+
+    ev = read_stream_events(spark, feed, glob="*.parquet", max_files_per_trigger=1)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        query = (
+            ev.writeStream.foreachBatch(_route)
+            .option("checkpointLocation", _checkpoint_dir("router"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    parts = []
+    for d in sorted(os.listdir(root)):
+        if not d.startswith("route="):
+            continue
+        route = d.split("=", 1)[1]
+        pdir = os.path.join(root, d)
+        if any(f.endswith(".parquet") for f in os.listdir(pdir)):
+            parts.append(
+                spark.read.parquet(pdir).withColumn("route", F.lit(route))
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+            F.expr("sum(cast(floor(value * 100 + 0.5) as bigint))").alias("cents"),
+        )
+        .orderBy("route")
+    )
+
+
+def stream_multiplex_router_sql() -> str:
+    types = ", ".join(f"'{t}'" for t in ROUTER_TYPES)
+    return f"""
+    WITH routed AS (
+        SELECT CASE WHEN event_type IN ({types}) THEN event_type
+                    ELSE 'other' END AS route,
+               event_id, value
+        FROM events
+    )
+    SELECT route, count(*)::bigint AS n_events,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id,
+           sum(floor(value * 100 + 0.5))::bigint AS cents
+    FROM routed GROUP BY route ORDER BY route
+    """
