@@ -2242,3 +2242,122 @@ def stats_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_b * 1000 div n_b AS conv_b_permille",
         f"{z} AS z_score",
     )
+
+
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    marketing-analytics staple, in the engine's window-free quartile
+    idiom.
+
+    One user-grain aggregation produces the three raw measures
+    (recency = days since the user's last event relative to the corpus
+    max, frequency = event count, monetary = integer cents); the NINE
+    quartile cut points (3 measures x 3 cuts) come from ONE 1-row
+    exact-percentile aggregate broadcast back (the q_ntile_spend
+    pattern — never an unpartitioned ntile window), and scoring is a
+    map-side CASE. Output is the segment-grain profile: user counts and
+    measure means per (r_score, f_score, m_score) cell — bounded at 64
+    rows at any corpus size. Score 1 = best (most recent / most
+    frequent / highest spend), matching RFM convention.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.expr("sum(cast(floor(value * 100 + 0.5) as bigint))").alias("cents"),
+    )
+    anchored = per_user.join(
+        F.broadcast(per_user.agg(F.max("last_day").alias("anchor")))
+    ).select(
+        "user_id",
+        F.datediff("anchor", "last_day").alias("recency_days"),
+        "frequency",
+        "cents",
+    )
+    cuts = anchored.agg(
+        *[
+            F.expr(f"percentile({m}, {q})").alias(f"{m}_{int(q * 100)}")
+            for m in ("recency_days", "frequency", "cents")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def score(m: str, best_low: bool):
+        # quartile score 1..4 with 1 = best; recency is better LOW
+        c25, c50, c75 = (F.col(f"{m}_25"), F.col(f"{m}_50"), F.col(f"{m}_75"))
+        v = F.col(m)
+        if best_low:
+            return (
+                F.when(v <= c25, 1).when(v <= c50, 2).when(v <= c75, 3).otherwise(4)
+            )
+        return (
+            F.when(v >= c75, 1).when(v >= c50, 2).when(v >= c25, 3).otherwise(4)
+        )
+
+    scored = (
+        anchored.join(F.broadcast(cuts))
+        .select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "cents",
+            score("recency_days", True).cast("int").alias("r_score"),
+            score("frequency", False).cast("int").alias("f_score"),
+            score("cents", False).cast("int").alias("m_score"),
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.expr("sum(recency_days)").alias("sum_recency"),
+            F.expr("sum(frequency)").alias("sum_frequency"),
+            F.expr("sum(cents)").alias("sum_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``Observation`` API surface: named metrics accumulated ON the
+    rows of a running query — the data-quality counters a production
+    pipeline attaches to every job (row counts, value totals, bound
+    checks) WITHOUT a second scan of the input.
+
+    The observed query here is a routine priority profile over orders;
+    the observation rides its scan and yields exact integer metrics at
+    job completion. The operator executes the observed query to a noop
+    sink (observation results only materialize when the host query
+    runs), then returns the metrics as a 1-row DataFrame whose oracle
+    recomputes them relationally — proving observe() saw every row
+    exactly once.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_metrics")
+    orders = load_table(spark, sf_dir, "orders")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))").alias(
+            "cents"
+        ),
+        F.expr("min(cast(floor(o_totalprice * 100 + 0.5) as bigint))").alias(
+            "min_cents"
+        ),
+        F.expr("max(cast(floor(o_totalprice * 100 + 0.5) as bigint))").alias(
+            "max_cents"
+        ),
+    )
+    (
+        observed.groupBy("o_orderpriority")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["cents"], m["min_cents"], m["max_cents"])],
+        "n_rows bigint, cents bigint, min_cents bigint, max_cents bigint",
+    )

@@ -236,3 +236,105 @@ def graph_triangle_count_sql() -> str:
     FROM deg d LEFT JOIN pern p ON d.brand = p.brand
     ORDER BY d.brand
     """
+
+
+# --------------------------------------------------------------------------
+# shared-neighbor similarity (link prediction)
+# --------------------------------------------------------------------------
+
+JACCARD_NEIGHBOR_TOP_N = 20
+
+
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity between brand nodes — the
+    link-prediction / recommendation primitive ("brands bought with
+    similar baskets").
+
+    Shape: undirected edges are materialized once; common-neighbor
+    counts come from the SAME wedge join as triangle counting (edges
+    joined on the shared endpoint, pair oriented a<b), degrees fold
+    from the edge table, and Jaccard = common / (deg_a + deg_b -
+    common) in integer permille. Every join is a hash equijoin on node
+    keys; wedge fan-out is bounded by per-node degree, the quantity a
+    production run caps (degree-cutoff) on power-law graphs.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    und = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(brands, (x, i) -> "
+                    "transform(slice(brands, i + 2, size(brands)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # symmetric adjacency: (node, neighbor) both directions
+    adj = und.select(F.col("a").alias("n"), F.col("b").alias("nb")).unionByName(
+        und.select(F.col("b").alias("n"), F.col("a").alias("nb"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    l = adj.select(F.col("nb").alias("mid"), F.col("n").alias("a"))
+    r = adj.select(F.col("nb").alias("mid_r"), F.col("n").alias("b"))
+    common = (
+        l.join(r, (F.col("mid") == F.col("mid_r")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        common.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            "deg_a",
+            "deg_b",
+            F.expr("common * 1000 div (deg_a + deg_b - common)").alias(
+                "jaccard_permille"
+            ),
+        )
+        .orderBy(F.desc("jaccard_permille"), F.desc("common"), "a", "b")
+        .limit(JACCARD_NEIGHBOR_TOP_N)
+    )
+
+
+def graph_jaccard_neighbors_sql() -> str:
+    return f"""
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), und AS (
+        SELECT DISTINCT x.p_brand AS a, y.p_brand AS b
+        FROM ob x JOIN ob y
+          ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+    ), adj AS (
+        SELECT a AS n, b AS nb FROM und
+        UNION ALL SELECT b, a FROM und
+    ), deg AS (
+        SELECT n, count(*)::bigint AS deg FROM adj GROUP BY n
+    ), common AS (
+        SELECT l.n AS a, r.n AS b, count(*)::bigint AS common
+        FROM adj l JOIN adj r ON l.nb = r.nb AND l.n < r.n
+        GROUP BY l.n, r.n
+    )
+    SELECT c.a, c.b, c.common, da.deg AS deg_a, db.deg AS deg_b,
+           (c.common * 1000 // (da.deg + db.deg - c.common))::bigint
+               AS jaccard_permille
+    FROM common c
+    JOIN deg da ON c.a = da.n
+    JOIN deg db ON c.b = db.n
+    ORDER BY jaccard_permille DESC, common DESC, a, b
+    LIMIT {JACCARD_NEIGHBOR_TOP_N}
+    """

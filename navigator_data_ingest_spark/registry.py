@@ -3333,3 +3333,77 @@ register(
     streaming_streams.stream_multiplex_router_sql(),
     front=True,
 )
+
+
+register(
+    "graph_jaccard_neighbors",
+    graph.graph_jaccard_neighbors,
+    graph.graph_jaccard_neighbors_sql(),
+    front=True,
+)
+
+
+def _rfm_sql() -> str:
+    cuts = ", ".join(
+        f"quantile_cont({m}, {q}) AS {m}_{int(q * 100)}"
+        for m in ("recency_days", "frequency", "cents")
+        for q in (0.25, 0.5, 0.75)
+    )
+
+    def score(m: str, best_low: bool) -> str:
+        if best_low:
+            return (
+                f"CASE WHEN {m} <= {m}_25 THEN 1 WHEN {m} <= {m}_50 THEN 2 "
+                f"WHEN {m} <= {m}_75 THEN 3 ELSE 4 END"
+            )
+        return (
+            f"CASE WHEN {m} >= {m}_75 THEN 1 WHEN {m} >= {m}_50 THEN 2 "
+            f"WHEN {m} >= {m}_25 THEN 3 ELSE 4 END"
+        )
+
+    return f"""
+    WITH per_user AS (
+        SELECT user_id, max(ts::date) AS last_day,
+               count(*)::bigint AS frequency,
+               sum(floor(value * 100 + 0.5))::bigint AS cents
+        FROM events GROUP BY user_id
+    ), anchored AS (
+        SELECT user_id,
+               date_diff('day', last_day,
+                         (SELECT max(last_day) FROM per_user))::bigint
+                   AS recency_days,
+               frequency, cents
+        FROM per_user
+    ), cuts AS (
+        SELECT {cuts} FROM anchored
+    ), scored AS (
+        SELECT user_id, recency_days, frequency, cents,
+               ({score('recency_days', True)})::int AS r_score,
+               ({score('frequency', False)})::int AS f_score,
+               ({score('cents', False)})::int AS m_score
+        FROM anchored, cuts
+    )
+    SELECT r_score, f_score, m_score,
+           count(*)::bigint AS n_users,
+           sum(recency_days)::bigint AS sum_recency,
+           sum(frequency)::bigint AS sum_frequency,
+           sum(cents)::bigint AS sum_cents
+    FROM scored GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """
+
+
+register("q_events_rfm", analytics.q_events_rfm, _rfm_sql(), front=True)
+
+register(
+    "q_observe_metrics",
+    analytics.q_observe_metrics,
+    """
+    SELECT count(*)::bigint AS n_rows,
+           sum(floor(o_totalprice * 100 + 0.5))::bigint AS cents,
+           min(floor(o_totalprice * 100 + 0.5))::bigint AS min_cents,
+           max(floor(o_totalprice * 100 + 0.5))::bigint AS max_cents
+    FROM orders
+    """,
+    front=True,
+)
