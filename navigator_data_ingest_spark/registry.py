@@ -3407,3 +3407,11 @@ register(
     """,
     front=True,
 )
+
+
+register(
+    "sink_vacuum_orphans",
+    _publish.sink_vacuum_orphans,
+    _publish.sink_vacuum_orphans_sql(),
+    front=True,
+)

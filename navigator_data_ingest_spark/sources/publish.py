@@ -94,3 +94,57 @@ def sink_atomic_publish_sql() -> str:
            sum(floor(o_totalprice * 100 + 0.5))::bigint AS cents
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """
+
+
+def sink_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM for the pointer-swap layout: after a republication, old
+    version directories are unreferenced but still on disk (readers
+    mid-flight may hold them — production vacuums enforce a retention
+    window; here the republication is complete, so retention is zero).
+    Deleting everything the pointer does NOT reference is the other
+    half of the table-format lifecycle started by sink_atomic_publish.
+
+    The registry round-trip re-publishes v1→v2, vacuums, then proves
+    (a) only the referenced version remains on disk and (b) the
+    surviving data still answers the v2 oracle — vacuum removed only
+    garbage. Version counts ride along as audit columns.
+    """
+    # rebuild the two-version state, then vacuum
+    sink_atomic_publish(spark, sf_dir)
+    root = _publish_root(sf_dir)
+    with open(os.path.join(root, _POINTER)) as f:
+        live = f.read().strip()
+    before = sorted(d for d in os.listdir(root) if d.startswith("v="))
+    for d in before:
+        if d != live:
+            shutil.rmtree(os.path.join(root, d))
+    after = sorted(d for d in os.listdir(root) if d.startswith("v="))
+    assert after == [live], f"vacuum left {after}, pointer {live}"
+    return (
+        read_published(spark, root)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("cents_total"),
+        )
+        .select(
+            F.lit(len(before)).cast("int").alias("versions_before"),
+            F.lit(len(after)).cast("int").alias("versions_after"),
+            "n_rows",
+            "cents_total",
+        )
+    )
+
+
+def sink_vacuum_orphans_sql() -> str:
+    return """
+    WITH v2 AS (
+        SELECT o_orderpriority,
+               sum(floor(o_totalprice * 100 + 0.5))::bigint AS cents
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT 2::int AS versions_before, 1::int AS versions_after,
+           count(*)::bigint AS n_rows,
+           sum(cents)::bigint AS cents_total
+    FROM v2
+    """

@@ -103,6 +103,13 @@ _DELIBERATE_NESTED_LOOP = {
     "dedup_semantic",
     # 1-row broadcast of the constant-size bloom bitset: deliberate
     "dedup_bloom",
+    # broadcast query set scored against the corpus twice (full-dim
+    # ground truth + truncated prefix): the declared exact-baseline shape
+    "emb_matryoshka",
+    # 1-row corpus-totals broadcast: deliberate
+    "corpus_upsample_plan",
+    # 1-row anchor + 1-row percentile-cut broadcasts: deliberate
+    "q_events_rfm",
 }
 
 
