@@ -3415,3 +3415,13 @@ register(
     _publish.sink_vacuum_orphans_sql(),
     front=True,
 )
+
+
+from navigator_data_ingest_spark.sources import dpp as _dpp
+
+register(
+    "q_dpp_join",
+    _dpp.q_dpp_join,
+    _dpp.q_dpp_join_sql(),
+    front=True,
+)

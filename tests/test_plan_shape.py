@@ -415,3 +415,18 @@ def test_boilerplate_df_join_is_equijoin(spark):
     audit = plan_audit(_Q["text_boilerplate"](spark, SF_CORRECT))
     assert audit.cartesian_products == 0
     assert audit.broadcast_joins + audit.sortmerge_joins >= 1
+
+
+def test_dpp_join_prunes_partitions_dynamically(spark):
+    """q_dpp_join: the day-partitioned fact scan must carry a
+    dynamicpruningexpression fed by the busy-days dim — the runtime
+    partition elimination that matters most at 100 TB."""
+    from navigator_data_ingest_spark.sources.dpp import dpp_busy_days
+
+    plan = (
+        dpp_busy_days(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower(), "DPP fell out of the fact scan"
