@@ -2361,3 +2361,60 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["cents"], m["min_cents"], m["max_cents"])],
         "n_rows bigint, cents bigint, min_cents bigint, max_cents bigint",
     )
+
+
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 VARIANT type: ``parse_json`` turns the semi-structured
+    props column into the binary variant encoding ONCE, and every
+    ``variant_get`` after that is a typed path read — the
+    open-table-format answer to repeated ``get_json_object`` string
+    re-parsing (q_events_json is the classic-path twin). At 100 TB the
+    parse happens at ingest and the shredded variant is what lands in
+    the table.
+
+    Extraction and the aggregate are map-side; the only shuffle is the
+    TYPES-bounded group key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_collated_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations: a case-insensitive (UTF8_LCASE)
+    GROUP BY without materializing a lowercased copy of the key — the
+    engine compares under the collation. The input synthesizes mixed
+    case from the brand dim (odd parts upper-case their brand); the
+    deterministic representative is min(original) so the output is
+    engine-order-independent. The DuckDB oracle replays the semantics
+    with lower() grouping — value-identical for the ASCII key space.
+    """
+    part = load_table(spark, sf_dir, "part")
+    mixed = part.select(
+        F.when(F.col("p_partkey") % 2 == 1, F.upper("p_brand"))
+        .otherwise(F.lower("p_brand"))
+        .alias("brand_mixed")
+    )
+    return (
+        mixed.groupBy(
+            F.expr("collate(brand_mixed, 'UTF8_LCASE')").alias("_ci")
+        )
+        .agg(
+            F.min("brand_mixed").alias("brand_rep"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .select("brand_rep", "n_parts")
+        .orderBy("brand_rep")
+    )

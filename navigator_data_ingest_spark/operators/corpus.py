@@ -1702,3 +1702,59 @@ def corpus_bigram_lm_sql() -> str:
     FROM ranked WHERE rank <= {BIGRAM_TOP_PER_HEAD}
     ORDER BY w1, rank
     """
+
+
+# --------------------------------------------------------------------------
+# Python UDTF (table-function extension surface)
+# --------------------------------------------------------------------------
+
+def corpus_udtf_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python UDTF surface (Spark 4): a user-defined TABLE function
+    lateral-joined per input row — the extension point for 1→N row
+    logic too stateful for an expression (parsers, tokenizer bindings,
+    segmenters). This UDTF re-implements the passage chunking of
+    dedup_passage so its output is independently SQL-checkable.
+
+    UDTFs run row-at-a-time Python — the SLOW path by this repo's own
+    rules (expression chunking does the same work JVM-side) — so the
+    operator exists to certify the API's plumbing (registration,
+    LATERAL join, schema contract), not as the production chunker;
+    the docstring IS the warning.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int")
+    class PassageSplit:
+        def eval(self, text: str):
+            import re
+
+            toks = re.findall(r"[a-z0-9]+", (text or "").lower())
+            P = PASSAGE_TOKENS
+            if not toks:
+                return
+            for i in range(0, (len(toks) - 1) // P + 1):
+                yield i, len(toks[i * P : (i + 1) * P])
+
+    spark.udtf.register("passage_split", PassageSplit)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.chunk_idx, s.n_tokens
+        FROM _udtf_docs d, LATERAL passage_split(d.text) s
+        ORDER BY d.doc_id, s.chunk_idx
+        """
+    )
+
+
+def corpus_udtf_passages_sql() -> str:
+    P = PASSAGE_TOKENS
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {X.dk_tokens('text')} AS t FROM documents
+    )
+    SELECT doc_id, i::int AS chunk_idx,
+           len(t[(i * {P} + 1):(i * {P} + {P})])::int AS n_tokens
+    FROM toks, unnest(generate_series(0, (len(t) - 1) // {P})) AS u(i)
+    WHERE len(t) > 0
+    ORDER BY doc_id, chunk_idx
+    """

@@ -3425,3 +3425,47 @@ register(
     _dpp.q_dpp_join_sql(),
     front=True,
 )
+
+
+register(
+    "q_variant_json",
+    analytics.q_variant_json,
+    """
+    SELECT event_type, count(*)::bigint AS n_events,
+           sum((props->>'$.k')::int)::bigint AS sum_k,
+           min((props->>'$.k')::int) AS min_k,
+           max((props->>'$.k')::int) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    front=True,
+)
+
+register(
+    "q_collated_groupby",
+    analytics.q_collated_groupby,
+    """
+    WITH mixed AS (
+        SELECT CASE WHEN p_partkey % 2 = 1 THEN upper(p_brand)
+                    ELSE lower(p_brand) END AS brand_mixed
+        FROM part
+    )
+    SELECT min(brand_mixed) AS brand_rep, count(*)::bigint AS n_parts
+    FROM mixed GROUP BY lower(brand_mixed)
+    ORDER BY brand_rep
+    """,
+    front=True,
+)
+
+register(
+    "corpus_udtf_passages",
+    corpus.corpus_udtf_passages,
+    corpus.corpus_udtf_passages_sql(),
+    front=True,
+)
+
+register(
+    "src_codec_roundtrip",
+    _flat.src_codec_roundtrip,
+    _flat.src_codec_roundtrip_sql(),
+    front=True,
+)

@@ -10,6 +10,8 @@ infer in production), hash-compare against the parquet-sourced oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -380,3 +382,64 @@ def src_corrupt_quarantine_sql() -> str:
                  ELSE sum(n) END)::bigint AS sum_chars
     FROM r GROUP BY outcome ORDER BY outcome
     """
+
+
+# --------------------------------------------------------------------------
+# compression-codec round trip
+# --------------------------------------------------------------------------
+
+CODECS = ("snappy", "gzip", "zstd")
+
+
+def src_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression-codec round trip: the same projection written
+    under snappy / gzip / zstd, each read back and reduced to identical
+    integer invariants — codec choice is the cheapest storage/scan-cost
+    knob on a 100 TB table and must be provably value-neutral. (zstd is
+    the modern default: gzip-class ratios at snappy-class decode; the
+    invariant rows certify that switching is purely physical.)
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").alias(
+            "price_cents"
+        ),
+    )
+    key = sf_dir
+    try:
+        st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
+        key = f"{sf_dir}|{st.st_size}|{int(st.st_mtime)}"
+    except OSError:
+        pass
+    parts = []
+    for codec in CODECS:
+        out = sink_path(f"codec_{codec}", key)
+        li.write.mode("overwrite").option("compression", codec).parquet(out)
+        back = spark.read.parquet(out)
+        parts.append(
+            back.groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("price_cents").alias("cents_total"),
+                F.expr("sum(l_orderkey * l_linenumber)").alias("key_weave"),
+            )
+            .select(F.lit(codec).alias("codec"), "n_rows", "cents_total", "key_weave")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("codec")
+
+
+def src_codec_roundtrip_sql() -> str:
+    one = """
+        SELECT '{codec}' AS codec, count(*)::bigint AS n_rows,
+               sum(floor(l_extendedprice * 100 + 0.5))::bigint AS cents_total,
+               sum(l_orderkey * l_linenumber)::bigint AS key_weave
+        FROM lineitem
+    """
+    return (
+        " UNION ALL ".join(one.format(codec=c) for c in CODECS)
+        + " ORDER BY codec"
+    )
