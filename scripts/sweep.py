@@ -53,15 +53,10 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"sweep: warmup failed ({exc}); continuing", file=sys.stderr)
 
-    con = duckdb_con(sf_dir)
     qs = entry.queries()
     oracles = entry.oracle_sql()
 
-    results = {}
-    t_all = time.monotonic()
-    for name, fn in qs.items():
-        if only and not any(name.startswith(p) for p in only):
-            continue
+    def run_one(name, fn, con):
         t0 = time.monotonic()
         try:
             df = fn(spark, sf_dir)
@@ -73,8 +68,46 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             ok, msg = False, f"EXC: {type(exc).__name__}: {exc}"
         dt = time.monotonic() - t0
-        results[name] = {"ok": ok, "sec": round(dt, 2), "msg": msg[:200]}
-        print(json.dumps({name: results[name]}), flush=True)
+        return {"ok": ok, "sec": round(dt, 2), "msg": msg[:200]}
+
+    selected = [
+        (name, fn)
+        for name, fn in qs.items()
+        if not only or any(name.startswith(p) for p in only)
+    ]
+    results = {}
+    t_all = time.monotonic()
+    n_threads = int(os.environ.get("SWEEP_THREADS", "1"))
+    if n_threads > 1:
+        # Spark's scheduler interleaves jobs from concurrent driver
+        # threads; each worker gets its OWN DuckDB connection. Streaming
+        # queries stay SERIAL: their drains set/restore session confs
+        # (shuffle partitions, state-store provider), which races across
+        # threads.
+        from concurrent.futures import ThreadPoolExecutor
+
+        par = [(n, f) for n, f in selected
+               if not n.startswith(("stream_", "src_stream"))]
+        ser = [(n, f) for n, f in selected
+               if n.startswith(("stream_", "src_stream"))]
+
+        def worker(item):
+            name, fn = item
+            return name, run_one(name, fn, duckdb_con(sf_dir))
+
+        with ThreadPoolExecutor(max_workers=n_threads) as ex:
+            for name, res in ex.map(worker, par):
+                results[name] = res
+                print(json.dumps({name: res}), flush=True)
+        con = duckdb_con(sf_dir)
+        for name, fn in ser:
+            results[name] = run_one(name, fn, con)
+            print(json.dumps({name: results[name]}), flush=True)
+    else:
+        con = duckdb_con(sf_dir)
+        for name, fn in selected:
+            results[name] = run_one(name, fn, con)
+            print(json.dumps({name: results[name]}), flush=True)
 
     total = time.monotonic() - t_all
     bad = {k: v for k, v in results.items() if not v["ok"]}
