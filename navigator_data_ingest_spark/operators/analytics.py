@@ -2418,3 +2418,56 @@ def q_collated_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("brand_rep", "n_parts")
         .orderBy("brand_rep")
     )
+
+
+# Benford expected first-digit shares in permille, computed once in
+# Python (round(log10(1 + 1/d) * 1000)) and embedded as literals on
+# BOTH engines — no runtime float log in the comparison path
+BENFORD_PERMILLE = {
+    d: round(__import__("math").log10(1 + 1 / d) * 1000) for d in range(1, 10)
+}
+
+
+def stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the classic
+    fabricated-data screen in financial data quality.
+
+    The first significant digit comes from the INTEGER part's string
+    form (floor -> bigint -> first char): float log/pow tricks misfire
+    at power-of-ten boundaries (log10(1000.0) can evaluate just below
+    3), while string extraction is exact for values >= 1. Map-side
+    digit, 9-key bounded aggregate, expected shares as precomputed
+    integer literals, deviation in permille.
+    """
+    ords = load_table(spark, sf_dir, "orders").where("o_totalprice >= 1")
+    digit = F.expr(
+        "cast(substring(cast(cast(floor(o_totalprice) as bigint) as string), 1, 1) as int)"
+    )
+    expected = F.expr(
+        "CASE digit "
+        + " ".join(
+            f"WHEN {d} THEN {p}" for d, p in BENFORD_PERMILLE.items()
+        )
+        + " END"
+    )
+    agg = ords.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.partitionBy()
+    return (
+        agg.withColumn("total", F.sum("n_orders").over(w))
+        .withColumn("observed_permille", F.expr("n_orders * 1000 div total"))
+        .withColumn("expected_permille", expected.cast("bigint"))
+        .withColumn(
+            "dev_permille",
+            F.abs(F.col("observed_permille") - F.col("expected_permille")),
+        )
+        .select(
+            "digit",
+            "n_orders",
+            "observed_permille",
+            "expected_permille",
+            "dev_permille",
+        )
+        .orderBy("digit")
+    )

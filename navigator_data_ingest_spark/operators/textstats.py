@@ -506,3 +506,34 @@ def stats_entropy_per_source_sql() -> str:
                AS entropy_bits
     FROM c GROUP BY source ORDER BY source
     """
+
+
+# --------------------------------------------------------------------------
+# language-ID confusion matrix (classifier evaluation)
+# --------------------------------------------------------------------------
+
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword language-ID against the declared
+    language label — the evaluation artifact any classifier-driven
+    corpus filter ships with (per-cell counts + per-declared-row
+    permille, diagonal = agreement).
+
+    Composes text_langid's per-document verdicts; the aggregation key
+    is LANGS x (LANGS+1) bounded, and the row-share window runs on that
+    bounded grid only. Integer permille.
+    """
+    from pyspark.sql import Window
+
+    lid = text_langid(spark, sf_dir).select("declared_lang", "detected_lang")
+    agg = lid.groupBy("declared_lang", "detected_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("declared_lang")
+    return (
+        agg.withColumn("row_total", F.sum("n_docs").over(w))
+        .withColumn("row_permille", F.expr("n_docs * 1000 div row_total"))
+        .withColumn(
+            "is_match", F.col("declared_lang") == F.col("detected_lang")
+        )
+        .orderBy("declared_lang", "detected_lang")
+    )

@@ -3469,3 +3469,60 @@ register(
     _flat.src_codec_roundtrip_sql(),
     front=True,
 )
+
+
+register(
+    "text_lang_confusion",
+    textstats.text_lang_confusion,
+    f"""
+    WITH base AS (
+        SELECT doc_id, lang, {X.dk_tokens('text')} AS t FROM documents
+    ), counted AS (
+        SELECT doc_id, lang, len(t) AS n,
+               {_DK_STOP_COUNTS}
+        FROM base
+    ), verdicts AS (
+        SELECT lang AS declared_lang,
+               CASE WHEN {_GREATEST} > 0 AND {_GREATEST} * 50 >= n
+                    THEN CASE {_PICK_CASES} END
+                    ELSE 'und' END AS detected_lang
+        FROM counted
+    ), agg AS (
+        SELECT declared_lang, detected_lang, count(*)::bigint AS n_docs
+        FROM verdicts GROUP BY declared_lang, detected_lang
+    )
+    SELECT declared_lang, detected_lang, n_docs,
+           sum(n_docs) OVER (PARTITION BY declared_lang)::bigint AS row_total,
+           (n_docs * 1000 // sum(n_docs) OVER (PARTITION BY declared_lang))::bigint
+               AS row_permille,
+           declared_lang = detected_lang AS is_match
+    FROM agg ORDER BY declared_lang, detected_lang
+    """,
+    front=True,
+)
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in analytics.BENFORD_PERMILLE.items()
+) + " END"
+
+register(
+    "stats_benford",
+    analytics.stats_benford,
+    f"""
+    WITH d AS (
+        SELECT substring(floor(o_totalprice)::bigint::varchar, 1, 1)::int
+                   AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ), agg AS (
+        SELECT digit, count(*)::bigint AS n_orders FROM d GROUP BY digit
+    )
+    SELECT digit, n_orders,
+           (n_orders * 1000 // sum(n_orders) OVER ())::bigint
+               AS observed_permille,
+           ({_BENFORD_CASE})::bigint AS expected_permille,
+           abs((n_orders * 1000 // sum(n_orders) OVER ())
+               - ({_BENFORD_CASE}))::bigint AS dev_permille
+    FROM agg ORDER BY digit
+    """,
+    front=True,
+)
