@@ -2471,3 +2471,29 @@ def stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third member of the grouped-
+    subtotal family (q_orders_rollup = ROLLUP's suffix chain,
+    q_cube_pricing = CUBE's power set): hand-picked aggregation levels
+    ((priority, year), (priority), ()) computed in ONE pass with
+    `grouping_id` disambiguating levels — three queries' worth of
+    subtotals for one shuffle.
+    """
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").alias("yr"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    ords.createOrReplaceTempView("v_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, yr,
+               grouping(o_orderpriority) AS g_prio, grouping(yr) AS g_yr,
+               count(*) AS n_orders, sum(cents) AS cents
+        FROM v_gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, yr), (o_orderpriority), ())
+        ORDER BY g_prio, g_yr, o_orderpriority, yr
+        """
+    )

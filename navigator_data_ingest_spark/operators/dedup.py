@@ -870,3 +870,73 @@ def dedup_bloom_sql() -> str:
                AS false_positive
     FROM hits ORDER BY doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# dedup-funnel recall certification
+# --------------------------------------------------------------------------
+
+RECALL_SAMPLE_MOD = 3  # doc_id % MOD == 0 -> evaluation sample
+
+
+def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall certification for the MinHash-LSH candidate generator —
+    the number that justifies running dedup through candidates at all:
+    on a BOUNDED evaluation sample (doc_id % RECALL_SAMPLE_MOD == 0),
+    compute the exact all-pairs Jaccard ground truth (quadratic, but
+    only on the sample — the trick that makes ground truth affordable
+    at any corpus size) and report what fraction of true near-dup pairs
+    (jaccard >= threshold) the banded LSH candidates cover, plus the
+    candidate count (the funnel's cost side).
+
+    The companion to sim_search_recall_report on the text side: every
+    production dedup deployment tracks exactly this pair of numbers
+    when tuning bands/rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sample = docs.where(F.col("doc_id") % RECALL_SAMPLE_MOD == 0)
+    sh_expr = X.sp_let(
+        "t", X.sp_tokens("text"), f"array_distinct({X.sp_shingles('t')})"
+    )
+    sh = scatter(spark, sample.select("doc_id", "text")).select(
+        "doc_id", F.expr(sh_expr).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    truth = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("_j"),
+        )
+        .where(F.col("_j") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    cand = (
+        minhash_pairs(docs)
+        .where(
+            (F.col("doc_a") % RECALL_SAMPLE_MOD == 0)
+            & (F.col("doc_b") % RECALL_SAMPLE_MOD == 0)
+        )
+        .select("doc_a", "doc_b")
+    )
+    hit = truth.join(cand.withColumn("_c", F.lit(1)), ["doc_a", "doc_b"], "left")
+    return (
+        hit.agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum(F.coalesce(F.col("_c"), F.lit(0))).alias("n_found"),
+        )
+        .join(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .select(
+            "n_true_pairs",
+            "n_found",
+            "n_candidates",
+            F.expr(
+                "CASE WHEN n_true_pairs > 0"
+                " THEN n_found * 1000 div n_true_pairs END"
+            ).alias("recall_permille"),
+        )
+    )

@@ -413,3 +413,52 @@ def mm_audio_chunk_sql() -> str:
            least(start_ms + {AUDIO_WIN_MS}, dur_ms)::bigint AS end_ms
     FROM c ORDER BY doc_id, chunk_idx
     """
+
+
+# --------------------------------------------------------------------------
+# cross-modality coverage audit (documents x embeddings)
+# --------------------------------------------------------------------------
+
+def mm_text_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality coverage audit: which documents have an embedding
+    row and which embeddings are orphans — the join-health check every
+    multimodal corpus runs before training (a missing modality silently
+    starves the contrastive batch).
+
+    FULL OUTER join on the shared id, then a per-language rollup with
+    integer permille coverage. One key shuffle; the rollup key is
+    LANGS-bounded.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("eid")
+    )
+    joined = docs.join(emb, docs["doc_id"] == emb["eid"], "full_outer")
+    return (
+        joined.select(
+            F.coalesce("lang", F.lit("∅orphan")).alias("lang"),
+            F.col("doc_id").isNotNull().alias("has_doc"),
+            F.col("eid").isNotNull().alias("has_emb"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.expr("CASE WHEN has_doc AND has_emb THEN 1 ELSE 0 END")).alias(
+                "n_covered"
+            ),
+            F.sum(F.expr("CASE WHEN has_doc AND NOT has_emb THEN 1 ELSE 0 END")).alias(
+                "n_missing_emb"
+            ),
+            F.sum(F.expr("CASE WHEN NOT has_doc THEN 1 ELSE 0 END")).alias(
+                "n_orphan_emb"
+            ),
+        )
+        .withColumn(
+            "coverage_permille",
+            F.expr(
+                "CASE WHEN n_covered + n_missing_emb > 0 THEN"
+                " n_covered * 1000 div (n_covered + n_missing_emb) END"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -3526,3 +3526,90 @@ register(
     """,
     front=True,
 )
+
+
+register(
+    "q_grouping_sets",
+    analytics.q_grouping_sets,
+    """
+    SELECT o_orderpriority, yr,
+           grouping(o_orderpriority)::int AS g_prio,
+           grouping(yr)::int AS g_yr,
+           count(*)::bigint AS n_orders,
+           sum(floor(o_totalprice * 100 + 0.5))::bigint AS cents
+    FROM (SELECT o_orderpriority, year(o_orderdate) AS yr,
+                 o_totalprice FROM orders)
+    GROUP BY GROUPING SETS ((o_orderpriority, yr), (o_orderpriority), ())
+    ORDER BY g_prio, g_yr, o_orderpriority, yr
+    """,
+    front=True,
+)
+
+register(
+    "dedup_recall_report",
+    dedup.dedup_recall_report,
+    f"""
+    WITH {_MINHASH_CTES}, cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+        WHERE a.doc_id % {dedup.RECALL_SAMPLE_MOD} = 0
+          AND b.doc_id % {dedup.RECALL_SAMPLE_MOD} = 0
+    ), truth AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM base x JOIN base y ON x.doc_id < y.doc_id
+        WHERE x.doc_id % {dedup.RECALL_SAMPLE_MOD} = 0
+          AND y.doc_id % {dedup.RECALL_SAMPLE_MOD} = 0
+          AND len(list_intersect(x.sh, y.sh))::double
+              / (len(x.sh) + len(y.sh)
+                 - len(list_intersect(x.sh, y.sh)))::double
+              >= {dedup.JACCARD_THRESHOLD}
+    ), rep AS (
+        SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+               (SELECT count(*) FROM truth t
+                JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+                   AS n_found,
+               (SELECT count(*) FROM cand) AS n_candidates
+    )
+    SELECT n_true_pairs::bigint AS n_true_pairs,
+           n_found::bigint AS n_found,
+           n_candidates::bigint AS n_candidates,
+           CASE WHEN n_true_pairs > 0
+                THEN (n_found * 1000 // n_true_pairs)::bigint END
+               AS recall_permille
+    FROM rep
+    """,
+    front=True,
+)
+
+register(
+    "mm_text_embedding_coverage",
+    multimodal.mm_text_embedding_coverage,
+    """
+    WITH j AS (
+        SELECT d.doc_id, d.lang, e.vec_id AS eid
+        FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+    ), g AS (
+        SELECT coalesce(lang, '∅orphan') AS lang,
+               doc_id IS NOT NULL AS has_doc,
+               eid IS NOT NULL AS has_emb
+        FROM j
+    ), agg AS (
+        SELECT lang, count(*)::bigint AS n_rows,
+               sum(CASE WHEN has_doc AND has_emb THEN 1 ELSE 0 END)::bigint
+                   AS n_covered,
+               sum(CASE WHEN has_doc AND NOT has_emb THEN 1 ELSE 0 END)::bigint
+                   AS n_missing_emb,
+               sum(CASE WHEN NOT has_doc THEN 1 ELSE 0 END)::bigint
+                   AS n_orphan_emb
+        FROM g GROUP BY 1
+    )
+    SELECT lang, n_rows, n_covered, n_missing_emb, n_orphan_emb,
+           CASE WHEN n_covered + n_missing_emb > 0 THEN
+               (n_covered * 1000 // (n_covered + n_missing_emb))::bigint END
+               AS coverage_permille
+    FROM agg ORDER BY lang
+    """,
+    front=True,
+)

@@ -110,6 +110,9 @@ _DELIBERATE_NESTED_LOOP = {
     "corpus_upsample_plan",
     # 1-row anchor + 1-row percentile-cut broadcasts: deliberate
     "q_events_rfm",
+    # bounded-sample all-pairs ground truth (the affordable-exactness
+    # trick) + two 1-row report aggregates joined: deliberate
+    "dedup_recall_report",
 }
 
 
