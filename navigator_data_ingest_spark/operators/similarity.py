@@ -981,3 +981,87 @@ def emb_matryoshka_sql() -> str:
       ON f.query_id = t.query_id AND f.vec_id = t.vec_id
     GROUP BY f.query_id ORDER BY f.query_id
     """
+
+
+# --------------------------------------------------------------------------
+# binary (sign-bit) embedding codes + hamming retrieval
+# --------------------------------------------------------------------------
+
+def _sign_word_expr(vec: str, lo: int) -> str:
+    """32 sign bits (dims lo..lo+31, 1-based) as a non-negative bigint."""
+    bits = [
+        f"CASE WHEN cast(element_at({vec}, {lo + j}) as double) > 0"
+        f" THEN cast({1 << j} as bigint) ELSE cast(0 as bigint) END"
+        for j in range(32)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def emb_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary embedding retrieval — the 64x compression endpoint of the
+    vector-shrinking family (int8 = 4x, PQ = 32x, MRL prefix = 4x):
+    each vector becomes its 64 sign bits, packed into two 32-bit words,
+    and similarity is the integer hamming distance (two XOR+popcount
+    ops per pair — the reason binary codes serve first-stage retrieval
+    at billions of vectors).
+
+    Codes are map-side unrolled chains (codegen); the query set
+    broadcasts against the corpus codes (the declared exact-baseline
+    shape; the scale path buckets on code prefixes exactly like
+    mm_phash_neardup's banding). All-integer, so the DuckDB oracle is
+    arithmetic-identical with no float caveats.
+    """
+    e = scatter(spark, load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.expr(_sign_word_expr("embedding", 1)).alias("w_lo"),
+        F.expr(_sign_word_expr("embedding", 33)).alias("w_hi"),
+    )
+    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w_lo").alias("q_lo"),
+        F.col("w_hi").alias("q_hi"),
+    )
+    ham = F.expr("bit_count(w_lo ^ q_lo) + bit_count(w_hi ^ q_hi)")
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    return (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", ham.cast("int").alias("hamming"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def emb_binary_hamming_sql() -> str:
+    def word(vec: str, lo: int) -> str:
+        bits = " + ".join(
+            f"CASE WHEN {vec}[{lo + j}]::double > 0"
+            f" THEN {1 << j}::bigint ELSE 0::bigint END"
+            for j in range(32)
+        )
+        return "(" + bits + ")"
+
+    return f"""
+    WITH codes AS (
+        SELECT vec_id,
+               {word('embedding', 1)} AS w_lo,
+               {word('embedding', 33)} AS w_hi
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, w_lo AS q_lo, w_hi AS q_hi
+        FROM codes WHERE vec_id % {QUERY_MOD} = 0
+    ), scored AS (
+        SELECT q.query_id, c.vec_id,
+               (bit_count(xor(c.w_lo, q.q_lo))
+                + bit_count(xor(c.w_hi, q.q_hi)))::int AS hamming
+        FROM codes c, q WHERE c.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, hamming,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, hamming, rank::int AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """

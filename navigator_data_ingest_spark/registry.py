@@ -3613,3 +3613,11 @@ register(
     """,
     front=True,
 )
+
+
+register(
+    "emb_binary_hamming",
+    similarity.emb_binary_hamming,
+    similarity.emb_binary_hamming_sql(),
+    front=True,
+)

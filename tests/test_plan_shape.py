@@ -113,6 +113,9 @@ _DELIBERATE_NESTED_LOOP = {
     # bounded-sample all-pairs ground truth (the affordable-exactness
     # trick) + two 1-row report aggregates joined: deliberate
     "dedup_recall_report",
+    # broadcast query codes against the corpus: the exact-hamming
+    # baseline (scale path bands code prefixes)
+    "emb_binary_hamming",
 }
 
 
