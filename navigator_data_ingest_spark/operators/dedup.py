@@ -876,25 +876,38 @@ def dedup_bloom_sql() -> str:
 # dedup-funnel recall certification
 # --------------------------------------------------------------------------
 
-RECALL_SAMPLE_MOD = 3  # doc_id % MOD == 0 -> evaluation sample
+RECALL_SAMPLE_TARGET = 200  # absolute sample size the modulus targets
+RECALL_SAMPLE_MOD_MIN = 3
+
+
+def _recall_mod(n_docs: int) -> int:
+    """Sample stripe modulus: doc_id % mod == 0 targets ~RECALL_SAMPLE_
+    TARGET docs regardless of corpus size — the same bounded-by-
+    derivation discipline as IVF's centroid count. A FIXED modulus
+    would grow the sample (and its quadratic ground truth) linearly
+    with the corpus."""
+    return max(RECALL_SAMPLE_MOD_MIN, n_docs // RECALL_SAMPLE_TARGET)
 
 
 def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall certification for the MinHash-LSH candidate generator —
     the number that justifies running dedup through candidates at all:
-    on a BOUNDED evaluation sample (doc_id % RECALL_SAMPLE_MOD == 0),
-    compute the exact all-pairs Jaccard ground truth (quadratic, but
-    only on the sample — the trick that makes ground truth affordable
-    at any corpus size) and report what fraction of true near-dup pairs
-    (jaccard >= threshold) the banded LSH candidates cover, plus the
-    candidate count (the funnel's cost side).
+    on an ABSOLUTELY bounded evaluation sample (the id-stripe modulus
+    grows with the corpus so the sample stays ~RECALL_SAMPLE_TARGET
+    docs), compute the exact all-pairs Jaccard ground truth (quadratic,
+    but only on the fixed-size sample — the trick that makes ground
+    truth affordable at any corpus size) and report what fraction of
+    true near-dup pairs (jaccard >= threshold) the banded LSH
+    candidates cover, plus the candidate count (the funnel's cost
+    side).
 
     The companion to sim_search_recall_report on the text side: every
     production dedup deployment tracks exactly this pair of numbers
     when tuning bands/rows.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sample = docs.where(F.col("doc_id") % RECALL_SAMPLE_MOD == 0)
+    mod = _recall_mod(docs.count())
+    sample = docs.where(F.col("doc_id") % mod == 0)
     sh_expr = X.sp_let(
         "t", X.sp_tokens("text"), f"array_distinct({X.sp_shingles('t')})"
     )
@@ -917,10 +930,7 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         minhash_pairs(docs)
-        .where(
-            (F.col("doc_a") % RECALL_SAMPLE_MOD == 0)
-            & (F.col("doc_b") % RECALL_SAMPLE_MOD == 0)
-        )
+        .where((F.col("doc_a") % mod == 0) & (F.col("doc_b") % mod == 0))
         .select("doc_a", "doc_b")
     )
     hit = truth.join(cand.withColumn("_c", F.lit(1)), ["doc_a", "doc_b"], "left")

@@ -3554,13 +3554,13 @@ register(
         FROM bands a
         JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
                     AND a.doc_id < b.doc_id
-        WHERE a.doc_id % {dedup.RECALL_SAMPLE_MOD} = 0
-          AND b.doc_id % {dedup.RECALL_SAMPLE_MOD} = 0
+        WHERE a.doc_id % greatest({dedup.RECALL_SAMPLE_MOD_MIN}, (SELECT count(*) FROM documents) // {dedup.RECALL_SAMPLE_TARGET}) = 0
+          AND b.doc_id % greatest({dedup.RECALL_SAMPLE_MOD_MIN}, (SELECT count(*) FROM documents) // {dedup.RECALL_SAMPLE_TARGET}) = 0
     ), truth AS (
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM base x JOIN base y ON x.doc_id < y.doc_id
-        WHERE x.doc_id % {dedup.RECALL_SAMPLE_MOD} = 0
-          AND y.doc_id % {dedup.RECALL_SAMPLE_MOD} = 0
+        WHERE x.doc_id % greatest({dedup.RECALL_SAMPLE_MOD_MIN}, (SELECT count(*) FROM documents) // {dedup.RECALL_SAMPLE_TARGET}) = 0
+          AND y.doc_id % greatest({dedup.RECALL_SAMPLE_MOD_MIN}, (SELECT count(*) FROM documents) // {dedup.RECALL_SAMPLE_TARGET}) = 0
           AND len(list_intersect(x.sh, y.sh))::double
               / (len(x.sh) + len(y.sh)
                  - len(list_intersect(x.sh, y.sh)))::double
