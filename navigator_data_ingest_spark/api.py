@@ -204,3 +204,33 @@ def register_tables(spark, sf_dir: str) -> list[str]:
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     return list(TABLE_NAMES)
+
+
+def boilerplate_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document boilerplate report over YOUR corpus (CCNet-style
+    frequent-passage detection): (id, n_passages, n_boiler,
+    boiler_permille, clean_md5)."""
+    from navigator_data_ingest_spark.operators import corpus as _corpus
+
+    out = _corpus.boilerplate_stats(_as_docs(df, id_col, text_col))
+    return out.withColumnRenamed("doc_id", id_col)
+
+
+def hash_classifier_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """fastText-style hashed linear quality scores over YOUR corpus:
+    (id, n_tokens, score_sum, keep). Deterministic stand-in weights;
+    swap the weight expression for a trained vector in production."""
+    from navigator_data_ingest_spark.functions import exprs as _X
+    from navigator_data_ingest_spark.operators import corpus as _corpus
+    from navigator_data_ingest_spark.sources.tables import scatter as _scatter
+
+    docs = _as_docs(df, id_col, text_col)
+    with_t = _scatter(docs.sparkSession, docs).withColumn(
+        "t", F.expr(_X.sp_tokens("text"))
+    )
+    out = _corpus.classifier_scores(with_t)
+    return out.withColumnRenamed("doc_id", id_col)

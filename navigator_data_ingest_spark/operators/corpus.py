@@ -1402,18 +1402,24 @@ def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign test. All-integer, so no float drift and no floor-vs-truncate
     division hazards cross-engine.
     """
+    return classifier_scores(
+        _tokens_df(spark, sf_dir), extra_cols=["lang"]
+    ).orderBy("doc_id")
+
+
+def classifier_scores(docs_with_t: DataFrame, extra_cols=()) -> DataFrame:
+    """Library core: hashed-linear scores over any DataFrame carrying a
+    let-bound token array column ``t`` (see _tokens_df)."""
     score = "aggregate(t, cast(0 as bigint), (a, x) -> a + " + _clf_weight_sp("x") + ")"
     return (
-        _tokens_df(spark, sf_dir)
-        .where(F.size("t") > 0)
+        docs_with_t.where(F.size("t") > 0)
         .select(
             "doc_id",
-            "lang",
+            *extra_cols,
             F.size("t").alias("n_tokens"),
             F.expr(score).alias("score_sum"),
         )
         .withColumn("keep", F.col("score_sum") > 0)
-        .orderBy("doc_id")
     )
 
 
@@ -1443,6 +1449,15 @@ BP_TOKENS = 8   # passage width for boilerplate detection
 BP_MIN_DF = 3   # passages in >= this many DISTINCT docs are boilerplate
 
 
+def boilerplate_stats(raw_docs: DataFrame) -> DataFrame:
+    """Library core of text_boilerplate over any (doc_id, text)
+    DataFrame; see the registry wrapper below for the scale notes."""
+    docs = scatter(raw_docs.sparkSession, raw_docs).withColumn(
+        "t", F.expr(X.sp_tokens("text"))
+    )
+    return _boilerplate_from_tokens(docs)
+
+
 def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate removal (the CCNet/CommonCrawl preprocessing step):
     passages repeated across >= BP_MIN_DF DISTINCT documents (nav bars,
@@ -1459,9 +1474,13 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the df table is corpus-sized even if the frequent sliver is
     small, and the hash equijoin needs no such assumption.
     """
+    return _boilerplate_from_tokens(_tokens_df(spark, sf_dir))
+
+
+def _boilerplate_from_tokens(docs_with_t: DataFrame) -> DataFrame:
     P = BP_TOKENS
     chunks = (
-        _tokens_df(spark, sf_dir)
+        docs_with_t
         .where("size(t) > 0")
         .select(
             "doc_id",

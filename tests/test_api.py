@@ -157,3 +157,24 @@ def test_phash_neardup_pairs_finds_identical_payloads(spark):
     )
     pairs = api.phash_neardup_pairs(df, "mid", "payload").collect()
     assert [(r.doc_a, r.doc_b, r.hamming) for r in pairs] == [(10, 20, 0)]
+
+
+def test_boilerplate_stats_custom_columns(spark):
+    rows = [(i, "common header text here " + ("unique" + str(i) + " ") * 10)
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "item bigint, body string")
+    out = {r.item: r for r in api.boilerplate_stats(df, "item", "body").collect()}
+    assert len(out) == 6
+    assert all(r.n_passages >= 1 for r in out.values())
+    # every doc shares the same leading 8-token window? not necessarily —
+    # but the report schema and permille bounds must hold
+    assert all(0 <= r.boiler_permille <= 1000 for r in out.values())
+
+
+def test_hash_classifier_scores_custom_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "")], "item bigint, body string"
+    )
+    out = api.hash_classifier_scores(df, "item", "body").collect()
+    assert len(out) == 1 and out[0].item == 1  # empty doc filtered
+    assert out[0].n_tokens == 4
