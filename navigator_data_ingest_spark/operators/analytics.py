@@ -2497,3 +2497,114 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY g_prio, g_yr, o_orderpriority, yr
         """
     )
+
+
+def q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase matched to the user's EARLIEST
+    SUBSEQUENT click — the attribution direction ("did the purchase
+    lead to re-engagement?") that completes the as-of pair
+    (q_events_asof is the backward/latest-prior form).
+
+    Same single-pass shape: one user_id window over the unioned stream,
+    ``first(..., ignorenulls)`` over the CURRENT ROW → UNBOUNDED
+    FOLLOWING frame carries the next right-side row backward. One
+    shuffle, no range-join blowup; the DuckDB oracle replays the frame
+    with IGNORE NULLS first_value.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_click = F.col("event_type") == "click"
+    nxt_ts = F.first(F.when(is_click, F.col("ts")), ignorenulls=True).over(w)
+    nxt_val = F.first(F.when(is_click, F.col("value")), ignorenulls=True).over(w)
+    return (
+        ev.withColumn("next_click_ts", nxt_ts)
+        .withColumn("next_click_value", F.round(nxt_val, 6))
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "next_click_ts", "next_click_value")
+        .orderBy("event_id")
+    )
+
+
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type — the industry-standard
+    drift score alongside the KS proxy (stats_ks_drift): psi =
+    Σ_buckets (p_i − q_i)·ln(p_i/q_i) between the temporal halves, with
+    Laplace add-one smoothing so empty buckets stay finite.
+
+    Same scale shape as the KS monitor: 1-row midpoint broadcast,
+    map-side bucket/side assignment, TYPES×BUCKETS-bounded aggregation.
+    Each ln argument is a ratio of exact integer products, so the only
+    float steps are the shared-text ln and the bounded sum —
+    round(…, 6) absorbs last-ulp libm differences (the entropy-operator
+    precedent).
+    """
+    B = HIST_BUCKETS
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    mid = ev.agg(
+        ((F.min("us") + F.max("us")) / F.lit(2)).cast("bigint").alias("mid_us")
+    )
+    bucket = F.least(
+        F.lit(B - 1), F.greatest(F.lit(0), F.floor(F.col("value") / HIST_WIDTH))
+    ).cast("int")
+    g = (
+        ev.join(F.broadcast(mid))
+        .select(
+            "event_type",
+            bucket.alias("bucket"),
+            (F.col("us") < F.col("mid_us")).cast("long").alias("is_ref"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("is_ref").alias("n_ref"),
+            F.sum(F.lit(1) - F.col("is_ref")).alias("n_cur"),
+        )
+    )
+    w_tot = Window.partitionBy("event_type")
+    term = (
+        "(cast(n_ref + 1 as double) / (tot_ref + {B})"
+        " - cast(n_cur + 1 as double) / (tot_cur + {B}))"
+        " * ln(cast((n_ref + 1) * (tot_cur + {B}) as double)"
+        "      / cast((n_cur + 1) * (tot_ref + {B}) as double))"
+    ).format(B=B)
+    return (
+        g.withColumn("tot_ref", F.sum("n_ref").over(w_tot))
+        .withColumn("tot_cur", F.sum("n_cur").over(w_tot))
+        .withColumn("term", F.expr(term))
+        .groupBy("event_type")
+        .agg(
+            F.max("tot_ref").alias("n_ref"),
+            F.max("tot_cur").alias("n_cur"),
+            F.round(F.sum("term"), 6).alias("psi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap — the operational dashboard
+    grid. The weekday comes from epoch-day arithmetic ((days+4) mod 7,
+    0 = Sunday) rather than engine dayofweek() functions, whose
+    numbering conventions differ; all keys are exact integers and the
+    aggregation is bounded at 7×24 cells regardless of volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.expr(
+                "pmod(datediff(cast(ts as date), date'1970-01-01') + 4, 7)"
+            ).cast("int").alias("dow"),
+            F.hour("ts").alias("hour"),
+            F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("cents"))
+        .orderBy("dow", "hour")
+    )

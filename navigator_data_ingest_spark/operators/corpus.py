@@ -1777,3 +1777,83 @@ def corpus_udtf_passages_sql() -> str:
     WHERE len(t) > 0
     ORDER BY doc_id, chunk_idx
     """
+
+
+# --------------------------------------------------------------------------
+# holdout decontamination of the training split
+# --------------------------------------------------------------------------
+
+def corpus_decontaminate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminate the TRAIN split against the held-out eval split —
+    the step that makes split_train_holdout's guarantee real: a train
+    document sharing any CONTAM_K-gram with a holdout document is
+    dropped, so eval never scores memorized text.
+
+    The holdout side is ~2% of the corpus by construction (the split
+    cut points), so its distinct-gram set BROADCASTS and the train side
+    never shuffles for the check (the text_contamination shape, with
+    the contamination source derived from the split instead of an
+    external benchmark). Output is the per-train-doc audit.
+    """
+    h = X.sp_hash32("cast(doc_id as string)", "split")
+    lo = SPLIT_CUTS[0]
+    docs = _tokens_df(spark, sf_dir).withColumn(
+        "bucket", F.expr(f"({h}) % 1000")
+    ).withColumn(
+        "g",
+        F.expr(
+            f"array_distinct(transform({X.sp_shingles('t', CONTAM_K)}, s -> md5(s)))"
+        ),
+    )
+    holdout_grams = (
+        docs.where(F.col("bucket") >= lo)
+        .select(F.explode("g").alias("gram"))
+        .distinct()
+    )
+    train = docs.where(F.col("bucket") < lo).select(
+        "doc_id", "lang", F.explode_outer("g").alias("gram")
+    )
+    hits = (
+        train.join(F.broadcast(holdout_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return (
+        docs.where(F.col("bucket") < lo)
+        .select("doc_id", "lang")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            (F.coalesce("n_shared_grams", F.lit(0)) == 0).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def corpus_decontaminate_split_sql() -> str:
+    h = X.dk_hash32("doc_id::varchar", "split")
+    lo = SPLIT_CUTS[0]
+    return f"""
+    WITH d AS (
+        SELECT doc_id, lang, ({h}) % 1000 AS bucket,
+               list_distinct(list_transform(
+                   {X.dk_shingles(X.dk_tokens('text'), CONTAM_K)},
+                   s -> md5(s))) AS g
+        FROM documents
+    ), hold AS (
+        SELECT DISTINCT unnest(g) AS gram FROM d WHERE bucket >= {lo}
+    ), hits AS (
+        SELECT t.doc_id, count(*)::bigint AS n_shared_grams
+        FROM (SELECT doc_id, unnest(g) AS gram FROM d WHERE bucket < {lo}) t
+        JOIN hold ON t.gram = hold.gram
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           coalesce(h.n_shared_grams, 0)::bigint AS n_shared_grams,
+           coalesce(h.n_shared_grams, 0) = 0 AS kept
+    FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.bucket < {lo}
+    ORDER BY d.doc_id
+    """

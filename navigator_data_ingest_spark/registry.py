@@ -3621,3 +3621,86 @@ register(
     similarity.emb_binary_hamming_sql(),
     front=True,
 )
+
+
+register(
+    "q_events_asof_forward",
+    analytics.q_events_asof_forward,
+    """
+    SELECT event_id, user_id, ts, next_click_ts,
+           round(next_click_value, 6) AS next_click_value
+    FROM (
+        SELECT event_id, user_id, ts, event_type,
+               first_value(CASE WHEN event_type = 'click' THEN ts END
+                           IGNORE NULLS)
+                   OVER w AS next_click_ts,
+               first_value(CASE WHEN event_type = 'click' THEN value END
+                           IGNORE NULLS)
+                   OVER w AS next_click_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+    front=True,
+)
+
+
+def _psi_sql() -> str:
+    B = analytics.HIST_BUCKETS
+    term = (
+        f"((n_ref + 1)::double / (tot_ref + {B})"
+        f" - (n_cur + 1)::double / (tot_cur + {B}))"
+        f" * ln(((n_ref + 1) * (tot_cur + {B}))::double"
+        f"      / ((n_cur + 1) * (tot_ref + {B}))::double)"
+    )
+    return f"""
+    WITH ev AS (
+        SELECT event_type, value, epoch_us(ts::TIMESTAMP) AS us FROM events
+    ), mid AS (
+        SELECT ((min(us) + max(us)) / 2)::bigint AS mid_us FROM ev
+    ), g AS (
+        SELECT event_type,
+               least({B - 1}, greatest(0, floor(value / {analytics.HIST_WIDTH})))::int
+                   AS bucket,
+               sum(CASE WHEN us < mid_us THEN 1 ELSE 0 END)::bigint AS n_ref,
+               sum(CASE WHEN us < mid_us THEN 0 ELSE 1 END)::bigint AS n_cur
+        FROM ev, mid GROUP BY 1, 2
+    ), t AS (
+        SELECT event_type, n_ref, n_cur,
+               sum(n_ref) OVER (PARTITION BY event_type) AS tot_ref,
+               sum(n_cur) OVER (PARTITION BY event_type) AS tot_cur
+        FROM g
+    )
+    SELECT event_type,
+           max(tot_ref)::bigint AS n_ref,
+           max(tot_cur)::bigint AS n_cur,
+           round(sum({term}), 6) AS psi
+    FROM t GROUP BY event_type ORDER BY event_type
+    """
+
+
+register("stats_psi_drift", analytics.stats_psi_drift, _psi_sql(), front=True)
+
+register(
+    "q_events_heatmap",
+    analytics.q_events_heatmap,
+    """
+    SELECT ((date_diff('day', DATE '1970-01-01', ts::date) + 4) % 7)::int
+               AS dow,
+           hour(ts)::int AS hour,
+           count(*)::bigint AS n_events,
+           sum(floor(value * 100 + 0.5))::bigint AS cents
+    FROM events GROUP BY 1, 2 ORDER BY dow, hour
+    """,
+    front=True,
+)
+
+register(
+    "corpus_decontaminate_split",
+    corpus.corpus_decontaminate_split,
+    corpus.corpus_decontaminate_split_sql(),
+    front=True,
+)
