@@ -3704,3 +3704,34 @@ register(
     corpus.corpus_decontaminate_split_sql(),
     front=True,
 )
+
+
+register(
+    "stream_timeout_finalize",
+    streaming_streams.stream_timeout_finalize,
+    f"""
+    WITH u AS (
+        SELECT user_id, count(*)::bigint AS n_events,
+               sum(floor(value * 100 + 0.5))::bigint AS cents,
+               max(epoch_us(ts::TIMESTAMP))::bigint AS last_us
+        FROM events GROUP BY user_id
+    ), wm AS (
+        SELECT max(epoch_us(ts::TIMESTAMP)) - 3600::bigint * 1000000 AS wm_us
+        FROM events
+    )
+    SELECT user_id, n_events, cents, last_us
+    FROM u, wm
+    WHERE last_us + {streaming_streams.TIMEOUT_GAP_MIN}::bigint * 60 * 1000000
+          < wm_us
+    ORDER BY user_id
+    """,
+    front=True,
+)
+
+
+register(
+    "src_time_travel",
+    _publish.src_time_travel,
+    _publish.src_time_travel_sql(),
+    front=True,
+)

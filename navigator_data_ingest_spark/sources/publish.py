@@ -148,3 +148,38 @@ def sink_vacuum_orphans_sql() -> str:
            sum(cents)::bigint AS cents_total
     FROM v2
     """
+
+
+def src_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the pointer-swap layout: read a SUPERSEDED version
+    explicitly while the pointer references a newer one — the audit /
+    reproducibility read every table format exposes as
+    ``VERSION AS OF``. Works because published versions are immutable:
+    v1's files are untouched by the v2 publication (only the pointer
+    moved), so the historical read is exact, not a reconstruction.
+
+    The registry query republishes v1→v2, then reads ``v=1``
+    explicitly; the oracle recomputes v1's semantics (the pre-1995
+    subset), proving the superseded version is still byte-faithful.
+    """
+    sink_atomic_publish(spark, sf_dir)  # leaves v1 + v2, pointer at v2
+    root = _publish_root(sf_dir)
+    with open(os.path.join(root, _POINTER)) as f:
+        assert f.read().strip() == "v=2", "pointer should reference v2"
+    return (
+        spark.read.parquet(os.path.join(root, "v=1"))
+        .select(
+            F.lit(1).cast("int").alias("version"),
+            "o_orderpriority",
+            "n_orders",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def src_time_travel_sql() -> str:
+    return """
+    SELECT 1::int AS version, o_orderpriority, count(*)::bigint AS n_orders
+    FROM orders WHERE year(o_orderdate) < 1995
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """

@@ -1066,3 +1066,79 @@ def stream_multiplex_router_sql() -> str:
            sum(floor(value * 100 + 0.5))::bigint AS cents
     FROM routed GROUP BY route ORDER BY route
     """
+
+
+# --------------------------------------------------------------------------
+# event-time TIMEOUT finalization (the last stateful-API feature class)
+# --------------------------------------------------------------------------
+
+TIMEOUT_GAP_MIN = 30       # inactivity gap that finalizes a user
+TIMEOUT_WM_DELAY = "1 hour"
+
+
+def _timeout_totals_fn(key, batches, state):
+    """Per-user totals finalized ONLY by event-time timeout: rows update
+    (n, cents, last_us) and push the timeout forward; when the
+    watermark passes last_ts + GAP the state emits once and is removed.
+    The emit-on-timeout (not emit-on-update) pattern is how sessionized
+    exports and inactivity alerts are built on the state API."""
+    import numpy as np
+    import pandas as pd
+
+    gap_ms = TIMEOUT_GAP_MIN * 60 * 1000
+    if state.hasTimedOut:
+        n, cents, last_us = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "cents": [cents],
+                "last_us": [last_us],
+            }
+        )
+        return
+    n, cents, last_us = state.get if state.exists else (0, 0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        cents += int(np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).sum())
+        # pandas datetime64 -> epoch micros
+        us = (pdf["ts"].astype("int64") // 1000).max()
+        last_us = max(last_us, int(us))
+    state.update((n, cents, last_us))
+    state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+    return
+    yield  # pragma: no cover - generator contract
+
+
+def stream_timeout_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity finalization via EVENT-TIME TIMEOUTS — the stateful
+    feature class the other stateful ops don't touch: nothing is
+    emitted while a user stays active; the per-user record fires
+    exactly once, when the watermark passes last-activity + gap, and
+    the state is removed.
+
+    Over the deterministic 3-chunk time-ordered feed, the availableNow
+    drain's final flush advances the watermark to max(ts) − delay, so
+    the emitted set is EXACTLY the users with
+    ``last_ts + gap < max(ts) − delay`` — a pure batch predicate (the
+    oracle); still-active users are withheld by design, the same
+    contract as APPEND-mode session windows.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    feed = _scatter_time_ordered_feed(spark, sf_dir, 3)
+    ev = (
+        read_stream_events(spark, feed, glob="*.parquet", max_files_per_trigger=1)
+        .withWatermark("ts", TIMEOUT_WM_DELAY)
+        .select("user_id", "ts", "value")
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _timeout_totals_fn,
+        outputStructType="user_id bigint, n_events bigint, cents bigint, last_us bigint",
+        stateStructType="n bigint, cents bigint, last_us bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    res = _run_to_memory(out, _qname("stream_timeout", sf_dir), "append")
+    return res.orderBy("user_id")
