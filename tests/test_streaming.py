@@ -238,3 +238,55 @@ def test_tws_totals_accumulate_across_batches(spark):
     # totals strictly growing, final row = whole-feed aggregate
     assert len(rows) == 2
     assert sorted((r.n_events, r.cents) for r in rows) == [(2, 375), (3, 775)]
+
+
+def test_timeout_finalize_fires_only_past_watermark(spark):
+    """Event-time timeouts: a user inactive since long before the final
+    watermark emits exactly once; a user active near the stream's end
+    stays withheld (state alive at drain end)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from navigator_data_ingest_spark.streaming.streams import (
+        _run_to_memory,
+        _timeout_totals_fn,
+        read_stream_events,
+    )
+
+    d = tempfile.mkdtemp(prefix="nav_stream_timeout_")
+    a, b = os.path.join(d, "a.parquet"), os.path.join(d, "b.parquet")
+    # user 1: one event at t0 (inactive afterwards)
+    _write_events(a, [(1, BASE_NS, 2.00)])
+    # batch 2 advances event time by 4h: watermark (1h delay) passes
+    # user 1's timeout (t0 + 30min); user 1 here is the SAME user id, so
+    # use a different writer: craft user 2 rows manually
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([2], pa.int64()),
+                "ts": pa.array([BASE_NS + 4 * HOUR_NS], pa.int64()),
+                "user_id": pa.array([2], pa.int64()),
+                "event_type": pa.array(["click"]),
+                "value": pa.array([5.0], pa.float64()),
+                "props": pa.array(["{}"]),
+            }
+        ),
+        b,
+    )
+    os.utime(a, (1_700_000_000,) * 2)
+    os.utime(b, (1_700_000_100,) * 2)
+    ev = (
+        read_stream_events(spark, d, glob="*.parquet", max_files_per_trigger=1)
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "ts", "value")
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _timeout_totals_fn,
+        outputStructType="user_id bigint, n_events bigint, cents bigint, last_us bigint",
+        stateStructType="n bigint, cents bigint, last_us bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    rows = _run_to_memory(out, "t_timeout", "append").collect()
+    # user 1 (idle 4h > 30min gap behind the 3h watermark) fired once;
+    # user 2 (defines the watermark, still active) withheld
+    assert [(r.user_id, r.n_events, r.cents) for r in rows] == [(1, 1, 200)]
