@@ -94,6 +94,7 @@ _DELIBERATE_NESTED_LOOP = {
     "q11_important_stock",
     # 1-row time-midpoint broadcast: deliberate
     "stats_ks_drift",
+    "stats_psi_drift",
     # composes the declared exact brute-force baseline (cosine_topk
     # broadcast-scores the bounded query set against every vector) to
     # certify LSH recall — the nested loop IS the ground truth side
