@@ -2608,3 +2608,37 @@ def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("cents"))
         .orderBy("dow", "hour")
     )
+
+
+MULTISET_SPLIT_YEAR = 1995
+
+
+def q_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the BAG-semantics set operators
+    (q_customer_retention covers the DISTINCT forms): per-row
+    multiplicities survive, so the result measures HOW MUCH of each
+    side overlaps, not just whether it does. The two sides are the
+    order-priority multisets before/after the split year; the oracle
+    recomputes bag semantics arithmetically (min / clamped difference
+    of grouped counts), independently certifying Spark's operators.
+    """
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.year("o_orderdate").alias("yr")
+    )
+    ords.createOrReplaceTempView("v_ms_orders")
+    return spark.sql(
+        f"""
+        WITH a AS (SELECT o_orderpriority FROM v_ms_orders
+                   WHERE yr < {MULTISET_SPLIT_YEAR}),
+             b AS (SELECT o_orderpriority FROM v_ms_orders
+                   WHERE yr >= {MULTISET_SPLIT_YEAR})
+        SELECT 'intersect_all' AS op, o_orderpriority, count(*) AS n
+        FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'except_all' AS op, o_orderpriority, count(*) AS n
+        FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        GROUP BY o_orderpriority
+        ORDER BY op, o_orderpriority
+        """
+    )

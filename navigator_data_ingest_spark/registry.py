@@ -3735,3 +3735,26 @@ register(
     _publish.src_time_travel_sql(),
     front=True,
 )
+
+
+register(
+    "q_multiset_ops",
+    analytics.q_multiset_ops,
+    f"""
+    WITH c AS (
+        SELECT o_orderpriority,
+               sum(CASE WHEN year(o_orderdate) < {analytics.MULTISET_SPLIT_YEAR}
+                        THEN 1 ELSE 0 END)::bigint AS ca,
+               sum(CASE WHEN year(o_orderdate) >= {analytics.MULTISET_SPLIT_YEAR}
+                        THEN 1 ELSE 0 END)::bigint AS cb
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT 'intersect_all' AS op, o_orderpriority, least(ca, cb) AS n
+    FROM c WHERE least(ca, cb) > 0
+    UNION ALL
+    SELECT 'except_all', o_orderpriority, greatest(ca - cb, 0)
+    FROM c WHERE greatest(ca - cb, 0) > 0
+    ORDER BY op, o_orderpriority
+    """,
+    front=True,
+)
