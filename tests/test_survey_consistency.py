@@ -57,3 +57,20 @@ def test_every_registered_query_is_documented():
     text = open(SURVEY).read()
     undocumented = [k for k in registry.queries() if f"`{k}`" not in text]
     assert not undocumented, f"registered but absent from SURVEY.md: {undocumented}"
+
+
+def test_registry_rotation_puts_uncertified_queries_first():
+    """The external driver hash-certifies the FIRST ~50 names in
+    queries() order; emission must lead with round-new (front) names,
+    then never-driver-certified ones, with already-certified names
+    last — so the hard gate walks the whole surface across rounds."""
+    order = list(registry.queries())
+    ranks = [
+        0 if n in registry._FRONT
+        else (2 if n in registry._DRIVER_CERTIFIED else 1)
+        for n in order
+    ]
+    assert ranks == sorted(ranks), "emission order broke the rotation"
+    assert ranks[0] == 0 and ranks[-1] == 2
+    # every round-3 front query sits inside the driver's 50-name window
+    assert len(registry._FRONT) <= 50 or ranks[49] == 0
