@@ -2642,3 +2642,54 @@ def q_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY op, o_orderpriority
         """
     )
+
+
+def stats_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve decile shares of customer spend — the
+    concentration/inequality audit (Gini's bounded-bucket form): which
+    tenth of customers carries which share of revenue.
+
+    Window-free: the nine decile cut points come from ONE 1-row
+    exact-percentile aggregate broadcast back (the q_ntile_spend
+    idiom), decile assignment is a map-side comparison chain, and the
+    cumulative share runs on the 10-row bounded aggregate. Shares in
+    integer permille of exact cents.
+    """
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr("sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))").alias(
+                "cents"
+            )
+        )
+    )
+    cuts = spend.agg(
+        *[
+            F.expr(f"percentile(cents, {d / 10})").alias(f"c{d}")
+            for d in range(1, 10)
+        ]
+    )
+    decile = F.lit(1)
+    for d in range(1, 10):
+        decile = F.when(F.col("cents") > F.col(f"c{d}"), d + 1).otherwise(decile)
+    agg = (
+        spend.join(F.broadcast(cuts))
+        .withColumn("decile", decile.cast("int"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_custs"), F.sum("cents").alias("cents"))
+    )
+    w_tot = Window.partitionBy()
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        agg.withColumn("tot", F.sum("cents").over(w_tot))
+        .withColumn("cum", F.sum("cents").over(w_cum))
+        .select(
+            "decile",
+            "n_custs",
+            "cents",
+            F.expr("cents * 1000 div tot").alias("share_permille"),
+            F.expr("cum * 1000 div tot").alias("cum_share_permille"),
+        )
+        .orderBy("decile")
+    )

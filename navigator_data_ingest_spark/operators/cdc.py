@@ -268,3 +268,72 @@ def cdc_scd2_sql() -> str:
     FROM chained WHERE op <> 'D'
     ORDER BY o_orderkey, effective_from
     """
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time lookup (the temporal-join consumer of the history)
+# --------------------------------------------------------------------------
+
+LOOKUP_VERSION_MOD = 3  # probe version per key = 1 + key % MOD
+
+
+def cdc_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 history — the reason the
+    history exists: "what did this dimension row look like AS OF
+    version v?" (the temporal join every backfilled fact pipeline runs
+    against its dimensions).
+
+    The probe joins the history on the KEY (equijoin), then the
+    validity filter ``effective_from <= v < coalesce(effective_to, ∞)``
+    selects the covering interval — fan-out is bounded by
+    versions-per-key (short by construction), never a range-join
+    blowup. Probes landing after a delete (no covering interval)
+    surface as NULL attributes via the left join: deletions are
+    visible, not silently filled.
+    """
+    hist = cdc_scd2(spark, sf_dir)
+    probes = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .withColumn(
+            "probe_version",
+            F.expr(f"cast(1 + o_orderkey % {LOOKUP_VERSION_MOD} as int)"),
+        )
+    )
+    covering = hist.withColumnRenamed("o_orderkey", "h_key")
+    joined = probes.join(
+        covering,
+        (probes["o_orderkey"] == covering["h_key"])
+        & (F.col("effective_from") <= F.col("probe_version"))
+        & (
+            F.col("effective_to").isNull()
+            | (F.col("probe_version") < F.col("effective_to"))
+        ),
+        "left",
+    )
+    return joined.select(
+        "o_orderkey",
+        "probe_version",
+        F.col("o_orderstatus").alias("status_at"),
+        F.col("price").alias("price_at"),
+    ).orderBy("o_orderkey")
+
+
+def cdc_scd2_lookup_sql() -> str:
+    return f"""
+    WITH hist AS ({cdc_scd2_sql().replace('ORDER BY o_orderkey, effective_from', '')}
+    ), probes AS (
+        SELECT o_orderkey,
+               (1 + o_orderkey % {LOOKUP_VERSION_MOD})::int AS probe_version
+        FROM orders
+    )
+    SELECT p.o_orderkey, p.probe_version,
+           h.o_orderstatus AS status_at,
+           h.price AS price_at
+    FROM probes p
+    LEFT JOIN hist h
+      ON p.o_orderkey = h.o_orderkey
+     AND h.effective_from <= p.probe_version
+     AND (h.effective_to IS NULL OR p.probe_version < h.effective_to)
+    ORDER BY p.o_orderkey
+    """

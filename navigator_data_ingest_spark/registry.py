@@ -3758,3 +3758,51 @@ register(
     """,
     front=True,
 )
+
+
+from navigator_data_ingest_spark.operators import cdc as _cdc_mod
+
+register(
+    "cdc_scd2_lookup",
+    _cdc_mod.cdc_scd2_lookup,
+    _cdc_mod.cdc_scd2_lookup_sql(),
+    front=True,
+)
+
+
+def _lorenz_sql() -> str:
+    cuts = ", ".join(
+        f"quantile_cont(cents, {d / 10}) AS c{d}" for d in range(1, 10)
+    )
+    decile = "CASE"
+    for d in range(9, 0, -1):
+        decile += f" WHEN cents > c{d} THEN {d + 1}"
+    decile += " ELSE 1 END"
+    return f"""
+    WITH spend AS (
+        SELECT o_custkey,
+               sum(floor(o_totalprice * 100 + 0.5))::bigint AS cents
+        FROM orders GROUP BY o_custkey
+    ), cuts AS (
+        SELECT {cuts} FROM spend
+    ), d AS (
+        SELECT ({decile})::int AS decile, cents FROM spend, cuts
+    ), agg AS (
+        SELECT decile, count(*)::bigint AS n_custs,
+               sum(cents)::bigint AS cents
+        FROM d GROUP BY decile
+    )
+    SELECT decile, n_custs, cents,
+           (cents * 1000 // sum(cents) OVER ())::bigint AS share_permille,
+           (sum(cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+            * 1000 // sum(cents) OVER ())::bigint AS cum_share_permille
+    FROM agg ORDER BY decile
+    """
+
+
+register(
+    "stats_lorenz_deciles",
+    analytics.stats_lorenz_deciles,
+    _lorenz_sql(),
+    front=True,
+)

@@ -117,6 +117,8 @@ _DELIBERATE_NESTED_LOOP = {
     # broadcast query codes against the corpus: the exact-hamming
     # baseline (scale path bands code prefixes)
     "emb_binary_hamming",
+    # 1-row decile-cut broadcast: deliberate
+    "stats_lorenz_deciles",
 }
 
 
