@@ -2693,3 +2693,90 @@ def stats_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (`|>`): the linear FROM-first query form
+    that reads in execution order — certified here with the same
+    statement a warehouse migration would write, against a classic-SQL
+    oracle. Semantically identical to the GROUP BY form; the surface is
+    what's being certified.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_pipe_li")
+    return spark.sql(
+        """
+        FROM v_pipe_li
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> AGGREGATE count(*) AS n_items,
+                     sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint))
+                         AS cents
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+def q_lateral_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 ``DataFrame.lateralJoin`` API: a correlated subquery
+    per left row expressed directly on DataFrames (``col(...).outer()``
+    marks the outer reference) — here each probed order pulls its
+    top-priced lineitem via a correlated ORDER BY ... LIMIT 1.
+
+    The probe set is a bounded id stripe: per-row correlated limits are
+    the right tool for FEW outer rows (lookup enrichment); bulk
+    top-1-per-key at corpus scale is the map-side min(struct) idiom
+    used elsewhere (emb_pq, dedup_semantic). The API contract is what
+    this certifies.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where("o_orderkey % 100 = 0")
+        .select("o_orderkey", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    top1 = (
+        li.where(F.col("l_orderkey") == F.col("o_orderkey").outer())
+        .orderBy(F.desc("l_extendedprice"), F.asc("l_linenumber"))
+        .limit(1)
+    )
+    return (
+        orders.lateralJoin(top1)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "l_linenumber",
+            F.round("l_extendedprice", 6).alias("top_price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def stats_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral-model table (what follows a view? how
+    often does a click convert?).
+
+    One user_id window derives each event's successor type
+    (lead over (ts, event_id)); the transition aggregation key is
+    TYPES²-bounded, and row-share permille runs on that bounded grid.
+    Sequence ends (no successor) are dropped — transitions only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.partitionBy("from_type")
+    return (
+        trans.withColumn("row_total", F.sum("n").over(wr))
+        .withColumn("p_permille", F.expr("n * 1000 div row_total"))
+        .orderBy("from_type", "to_type")
+    )

@@ -3806,3 +3806,63 @@ register(
     _lorenz_sql(),
     front=True,
 )
+
+
+register(
+    "q_sql_pipe",
+    analytics.q_sql_pipe,
+    """
+    SELECT l_returnflag, l_linestatus, count(*)::bigint AS n_items,
+           sum(floor(l_extendedprice * 100 + 0.5))::bigint AS cents
+    FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    front=True,
+)
+
+register(
+    "q_lateral_join_api",
+    analytics.q_lateral_join_api,
+    """
+    WITH probe AS (
+        SELECT o_orderkey, o_orderpriority FROM orders
+        WHERE o_orderkey % 100 = 0
+    ), ranked AS (
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_extendedprice DESC,
+                                           l_linenumber) AS rn
+        FROM lineitem
+    )
+    SELECT p.o_orderkey, p.o_orderpriority,
+           r.l_linenumber, round(r.l_extendedprice, 6) AS top_price
+    FROM probe p JOIN ranked r
+      ON r.l_orderkey = p.o_orderkey AND r.rn = 1
+    ORDER BY p.o_orderkey
+    """,
+    front=True,
+)
+
+register(
+    "stats_markov_transitions",
+    analytics.stats_markov_transitions,
+    """
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ), trans AS (
+        SELECT from_type, to_type, count(*)::bigint AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           sum(n) OVER (PARTITION BY from_type)::bigint AS row_total,
+           (n * 1000 // sum(n) OVER (PARTITION BY from_type))::bigint
+               AS p_permille
+    FROM trans ORDER BY from_type, to_type
+    """,
+    front=True,
+)
