@@ -1065,3 +1065,114 @@ def emb_binary_hamming_sql() -> str:
     FROM ranked WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
     """
+
+
+# --------------------------------------------------------------------------
+# label purity of the embedding space (representation-quality metric)
+# --------------------------------------------------------------------------
+
+PURITY_K = 5
+
+
+def emb_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity@k of the embedding space — the representation-
+    quality sanity metric (do nearest neighbors share the query's
+    label?) run before trusting embeddings for clustering or dedup.
+
+    Neighbors come from the BINARY sign-bit codes (emb_binary_hamming's
+    two packed words): integer XOR+popcount distance makes the all-
+    pairs scoring a codegen-able integer pass, and ties break
+    deterministically on vec_id. Per-label purity aggregates the
+    per-vector neighbor votes in integer permille; the 1-row overall
+    summary rides along as label='∅all'.
+    """
+    e = scatter(spark, load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.expr(_sign_word_expr("embedding", 1)).alias("w_lo"),
+        F.expr(_sign_word_expr("embedding", 33)).alias("w_hi"),
+    )
+    # bounded probe set (the id-stripe discipline): every %QUERY_MOD vec
+    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("w_lo").alias("q_lo"),
+        F.col("w_hi").alias("q_hi"),
+    )
+    ham = F.expr("bit_count(w_lo ^ q_lo) + bit_count(w_hi ^ q_hi)")
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    votes = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_label",
+            "vec_id",
+            (F.col("label") == F.col("q_label")).cast("long").alias("same"),
+            ham.cast("int").alias("hamming"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= PURITY_K)
+        .groupBy("query_id", "q_label")
+        .agg(F.sum("same").alias("n_same"))
+    )
+    per_label = votes.groupBy(F.col("q_label").cast("string").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("n_same").alias("n_same"),
+    )
+    overall = votes.groupBy().agg(
+        F.count(F.lit(1)).alias("n_queries"), F.sum("n_same").alias("n_same")
+    ).select(F.lit("∅all").alias("label"), "n_queries", "n_same")
+    return (
+        per_label.unionByName(overall)
+        .withColumn(
+            "purity_permille",
+            F.expr(f"n_same * 1000 div (n_queries * {PURITY_K})"),
+        )
+        .orderBy("label")
+    )
+
+
+def emb_label_purity_sql() -> str:
+    def word(vec: str, lo: int) -> str:
+        bits = " + ".join(
+            f"CASE WHEN {vec}[{lo + j}]::double > 0"
+            f" THEN {1 << j}::bigint ELSE 0::bigint END"
+            for j in range(32)
+        )
+        return "(" + bits + ")"
+
+    return f"""
+    WITH codes AS (
+        SELECT vec_id, label,
+               {word('embedding', 1)} AS w_lo,
+               {word('embedding', 33)} AS w_hi
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, label AS q_label,
+               w_lo AS q_lo, w_hi AS q_hi
+        FROM codes WHERE vec_id % {QUERY_MOD} = 0
+    ), ranked AS (
+        SELECT q.query_id, q.q_label,
+               CASE WHEN c.label = q.q_label THEN 1 ELSE 0 END AS same,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY bit_count(xor(c.w_lo, q.q_lo))
+                            + bit_count(xor(c.w_hi, q.q_hi)), c.vec_id)
+                   AS rank
+        FROM codes c, q WHERE c.vec_id <> q.query_id
+    ), votes AS (
+        SELECT query_id, q_label, sum(same)::bigint AS n_same
+        FROM ranked WHERE rank <= {PURITY_K}
+        GROUP BY query_id, q_label
+    ), per_label AS (
+        SELECT q_label::varchar AS label, count(*)::bigint AS n_queries,
+               sum(n_same)::bigint AS n_same
+        FROM votes GROUP BY q_label
+        UNION ALL
+        SELECT '∅all', count(*)::bigint, sum(n_same)::bigint FROM votes
+    )
+    SELECT label, n_queries, n_same,
+           (n_same * 1000 // (n_queries * {PURITY_K}))::bigint
+               AS purity_permille
+    FROM per_label ORDER BY label
+    """

@@ -3866,3 +3866,10 @@ register(
     """,
     front=True,
 )
+
+
+register(
+    "emb_label_purity",
+    similarity.emb_label_purity,
+    similarity.emb_label_purity_sql(),
+)

@@ -119,6 +119,8 @@ _DELIBERATE_NESTED_LOOP = {
     "emb_binary_hamming",
     # 1-row decile-cut broadcast: deliberate
     "stats_lorenz_deciles",
+    # broadcast probe codes against the corpus (hamming baseline)
+    "emb_label_purity",
 }
 
 
