@@ -2780,3 +2780,45 @@ def stats_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("p_permille", F.expr("n * 1000 div row_total"))
         .orderBy("from_type", "to_type")
     )
+
+
+def q_events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution (user latency profile): per-user
+    consecutive-event gaps in seconds, bucketed into power-of-two bands
+    — the histogram that separates bot cadence from human browsing and
+    sizes session-gap thresholds empirically.
+
+    One user_id window derives the previous timestamp; the log2 band is
+    an integer expression on exact epoch-micro differences (floor of
+    bit length, no float log), and the aggregation key is bounded by
+    ~40 bands regardless of volume.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        ev.withColumn("prev_us", F.lag("us").over(w))
+        .where(F.col("prev_us").isNotNull())
+        .select(
+            F.expr("cast((us - prev_us) div 1000000 as bigint)").alias("gap_s")
+        )
+        .where("gap_s >= 0")
+    )
+    # integer log2 band: number of bits in gap_s (0 -> band 0)
+    band = F.expr(
+        "CASE WHEN gap_s <= 0 THEN 0 ELSE"
+        " cast(length(conv(cast(gap_s as string), 10, 2)) as int) END"
+    )
+    return (
+        gaps.select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+        .withColumn(
+            "lo_s",
+            F.expr("CASE WHEN band = 0 THEN 0 ELSE shiftleft(1L, band - 1) END"),
+        )
+        .orderBy("band")
+    )

@@ -537,3 +537,30 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("declared_lang", "detected_lang")
     )
+
+
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — tokens produced per 100
+    characters, the efficiency number multilingual teams track when a
+    tokenizer inflates some scripts' sequence lengths (and training
+    cost) relative to others.
+
+    Map-side token/char counts, one LANGS-bounded aggregation, integer
+    per-cent-chars ratio (no float division).
+    """
+    docs = scatter(spark, load_table(spark, sf_dir, "documents")).withColumn(
+        "t", F.expr(X.sp_tokens("text"))
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("t")).alias("n_tokens"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .withColumn(
+            "tokens_per_100_chars",
+            F.expr("n_tokens * 100 div nullif(n_chars, 0)"),
+        )
+        .orderBy("lang")
+    )

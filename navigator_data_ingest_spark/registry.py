@@ -3873,3 +3873,44 @@ register(
     similarity.emb_label_purity,
     similarity.emb_label_purity_sql(),
 )
+
+
+register(
+    "corpus_tokenizer_fertility",
+    textstats.corpus_tokenizer_fertility,
+    f"""
+    WITH d AS (
+        SELECT lang, len({X.dk_tokens('text')})::bigint AS n_tokens,
+               length(text)::bigint AS n_chars
+        FROM documents
+    )
+    SELECT lang, count(*)::bigint AS n_docs,
+           sum(n_tokens)::bigint AS n_tokens,
+           sum(n_chars)::bigint AS n_chars,
+           (sum(n_tokens) * 100 // nullif(sum(n_chars), 0))::bigint
+               AS tokens_per_100_chars
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+
+register(
+    "q_events_gap_histogram",
+    analytics.q_events_gap_histogram,
+    """
+    WITH g AS (
+        SELECT ((epoch_us(ts::TIMESTAMP)
+                 - lag(epoch_us(ts::TIMESTAMP))
+                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP), event_id))
+                // 1000000)::bigint AS gap_s
+        FROM events
+    ), b AS (
+        SELECT CASE WHEN gap_s <= 0 THEN 0
+                    ELSE length(bin(gap_s))::int END AS band
+        FROM g WHERE gap_s IS NOT NULL AND gap_s >= 0
+    )
+    SELECT band, count(*)::bigint AS n_gaps,
+           CASE WHEN band = 0 THEN 0
+                ELSE (1::bigint << (band - 1)) END AS lo_s
+    FROM b GROUP BY band ORDER BY band
+    """,
+)
