@@ -338,3 +338,54 @@ def graph_jaccard_neighbors_sql() -> str:
     ORDER BY jaccard_permille DESC, common DESC, a, b
     LIMIT {JACCARD_NEIGHBOR_TOP_N}
     """
+
+
+# --------------------------------------------------------------------------
+# recursive CTE (Spark 4 SQL surface): BFS hop distance
+# --------------------------------------------------------------------------
+
+_REACH_SQL = """
+WITH RECURSIVE ob AS (
+    SELECT DISTINCT l_orderkey, p_brand
+    FROM {li} JOIN {part} ON l_partkey = p_partkey
+), und AS (
+    SELECT DISTINCT x.p_brand AS a, y.p_brand AS b
+    FROM ob x JOIN ob y
+      ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+), edges AS (
+    SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+), seed AS (
+    SELECT min(p_brand) AS s FROM {part}
+), reach(brand, hop) AS (
+    SELECT s, 0 FROM seed
+    UNION ALL
+    SELECT e.b, r.hop + 1
+    FROM reach r JOIN edges e ON e.a = r.brand
+    WHERE r.hop < 3
+)
+SELECT brand, min(hop) AS hops
+FROM reach GROUP BY brand ORDER BY brand
+"""
+
+
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE — the Spark 4 SQL surface for iterative graph /
+    hierarchy queries inside ONE statement: BFS hop distance from the
+    lexicographically-first brand over the co-purchase graph, hop-
+    bounded (the recursion depth limit every production recursive query
+    carries), minimum distance per node after.
+
+    The engine's own iteration (dedup_clusters' star contraction,
+    graph_pagerank's unrolled rounds) remains the scale path for
+    unbounded depth; this certifies the declarative surface against
+    DuckDB's recursive CTE running the IDENTICAL statement text.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_rc_li")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("v_rc_part")
+    return spark.sql(_REACH_SQL.format(li="v_rc_li", part="v_rc_part"))
+
+
+def q_recursive_cte_sql() -> str:
+    return _REACH_SQL.format(li="lineitem", part="part").replace(
+        "min(hop) AS hops", "min(hop)::int AS hops"
+    )

@@ -3914,3 +3914,10 @@ register(
     FROM b GROUP BY band ORDER BY band
     """,
 )
+
+
+register(
+    "q_recursive_cte",
+    graph.q_recursive_cte,
+    graph.q_recursive_cte_sql(),
+)
