@@ -2822,3 +2822,28 @@ def q_events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+PARAM_MIN_PRICE = 150000.0
+
+
+def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL with ``IDENTIFIER()`` — the injection-safe
+    templating surface (Spark 3.4+/4): table names bind through
+    IDENTIFIER(:param) and values through named parameters, so the
+    statement text never concatenates user input. The query itself is a
+    routine threshold profile; the binding mechanism is what's
+    certified.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders,
+               sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) AS cents
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice >= :min_price
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"tbl": "v_param_orders", "min_price": PARAM_MIN_PRICE},
+    )

@@ -1857,3 +1857,60 @@ def corpus_decontaminate_split_sql() -> str:
     WHERE d.bucket < {lo}
     ORDER BY d.doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# exact-k deterministic uniform sample (two-level global top-k)
+# --------------------------------------------------------------------------
+
+SAMPLE_EXACT_K = 120
+
+
+def corpus_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-k deterministic uniform sample — the complement of the
+    permille samplers (sample_stratified/hash_sample give a rate, not a
+    count): "give me exactly K random-but-reproducible documents" for
+    eval sets and human review batches.
+
+    Priority is the md5 hash of the doc id (uniform, content-free,
+    stable under corpus growth of UNSAMPLED ids); selection is the
+    global top-k BY PRIORITY via the two-level exact rank
+    (sample_cap_per_source's discipline): a local per-partition top-k
+    first, then the global rank over at most PARTITIONS x K survivors —
+    never a full-corpus single-task ordering.
+    """
+    h = X.sp_hash32("cast(doc_id as string)", "exactk")
+    docs = scatter(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", F.expr(h).alias("pri")
+    )
+    local = docs.withColumn(
+        "lrank",
+        F.row_number().over(
+            Window.partitionBy(F.spark_partition_id()).orderBy("pri", "doc_id")
+        ),
+    ).where(F.col("lrank") <= SAMPLE_EXACT_K)
+    final = (
+        local.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy("pri", "doc_id")),
+        )
+        .where(F.col("rank") <= SAMPLE_EXACT_K)
+        .select("rank", "doc_id", "lang", "source")
+        .orderBy("rank")
+    )
+    return final
+
+
+def corpus_sample_exact_k_sql() -> str:
+    h = X.dk_hash32("doc_id::varchar", "exactk")
+    return f"""
+    WITH p AS (
+        SELECT doc_id, lang, source, ({h}) AS pri FROM documents
+    ), r AS (
+        SELECT doc_id, lang, source,
+               row_number() OVER (ORDER BY pri, doc_id) AS rank
+        FROM p
+    )
+    SELECT rank::int AS rank, doc_id, lang, source
+    FROM r WHERE rank <= {SAMPLE_EXACT_K} ORDER BY rank
+    """

@@ -3921,3 +3921,21 @@ register(
     graph.q_recursive_cte,
     graph.q_recursive_cte_sql(),
 )
+
+
+register(
+    "q_parameterized_sql",
+    analytics.q_parameterized_sql,
+    f"""
+    SELECT o_orderpriority, count(*)::bigint AS n_orders,
+           sum(floor(o_totalprice * 100 + 0.5))::bigint AS cents
+    FROM orders WHERE o_totalprice >= {analytics.PARAM_MIN_PRICE}
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
+register(
+    "corpus_sample_exact_k",
+    corpus.corpus_sample_exact_k,
+    corpus.corpus_sample_exact_k_sql(),
+)
