@@ -2847,3 +2847,30 @@ def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "v_param_orders", "min_price": PARAM_MIN_PRICE},
     )
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of silently dropping — the semantics
+    an entity-resolution or backfill join needs when "unknown" is a
+    legitimate key value. A %7 stripe of orders gets a NULLed priority;
+    the dim carries an explicit NULL row; the null-safe join routes the
+    stripe to it rather than losing it (an equi-join would).
+    """
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ).alias("prio"),
+    )
+    dim_rows = [
+        ("1-URGENT", 100), ("2-HIGH", 80), ("3-MEDIUM", 60),
+        ("4-NOT SPECIFIED", 40), ("5-LOW", 20), (None, 0),
+    ]
+    dim = spark.createDataFrame(dim_rows, "prio_d string, weight int")
+    return (
+        ords.join(F.broadcast(dim), F.expr("prio <=> prio_d"))
+        .groupBy(F.coalesce("prio", F.lit("∅null")).alias("prio"), "weight")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("prio")
+    )

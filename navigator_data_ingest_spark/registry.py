@@ -3939,3 +3939,24 @@ register(
     corpus.corpus_sample_exact_k,
     corpus.corpus_sample_exact_k_sql(),
 )
+
+
+register(
+    "q_null_safe_join",
+    analytics.q_null_safe_join,
+    """
+    WITH o AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderpriority END AS prio
+        FROM orders
+    ), dim(prio_d, weight) AS (
+        VALUES ('1-URGENT', 100), ('2-HIGH', 80), ('3-MEDIUM', 60),
+               ('4-NOT SPECIFIED', 40), ('5-LOW', 20), (NULL, 0)
+    )
+    SELECT coalesce(o.prio, '∅null') AS prio, d.weight::int AS weight,
+           count(*)::bigint AS n_orders
+    FROM o JOIN dim d ON o.prio IS NOT DISTINCT FROM d.prio_d
+    GROUP BY 1, 2 ORDER BY prio
+    """,
+)
