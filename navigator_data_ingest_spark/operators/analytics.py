@@ -2874,3 +2874,52 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("prio")
     )
+
+
+def stats_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly event-count series per type —
+    the time-series health check (is load bursty or independent hour to
+    hour?) behind capacity forecasting.
+
+    The raw stream collapses to the (type, hour) count series first —
+    the only fact-scale shuffle — and everything after runs on that
+    HOURS-bounded series: lag pairs via one window, Pearson on exact
+    integer counts with the correlation-matrix discipline (moments as
+    exact sums; float only in the final sqrt/divide with shared text).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    series = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    pairs = (
+        series.withColumn("c_next", F.lead("c").over(w))
+        .where(F.col("c_next").isNotNull())
+        .select(
+            "event_type",
+            F.col("c").cast("decimal(38,0)").alias("x"),
+            F.col("c_next").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    m = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.expr("sum(x * y)").alias("sxy"),
+        F.expr("sum(x * x)").alias("sxx"),
+        F.expr("sum(y * y)").alias("syy"),
+    )
+    num = "(n * sxy - sx * sy)"
+    dx = "(n * sxx - sx * sx)"
+    dy = "(n * syy - sy * sy)"
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.expr(
+            f"round(cast({num} as double) / "
+            f"(sqrt(cast({dx} as double)) * sqrt(cast({dy} as double))), 6)"
+        ).alias("autocorr_lag1"),
+    ).orderBy("event_type")

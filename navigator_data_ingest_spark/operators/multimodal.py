@@ -462,3 +462,55 @@ def mm_text_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def mm_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(modality, format) storage profile of the media corpus —
+    the capacity-planning/codec-migration report (which formats carry
+    the bytes, what would transcoding save). Payload SIZES come from
+    the binary column's length (no decode), so this is metadata-grade
+    work: map-side keys, a MODALITIES x FORMATS-bounded aggregation.
+    """
+    t = multimodal_table(spark, sf_dir)
+    return (
+        t.select(
+            F.col("meta.modality").alias("modality"),
+            F.col("meta.format").alias("format"),
+            F.length("media").cast("bigint").alias("n_bytes"),
+        )
+        .groupBy("modality", "format")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+        .withColumn("avg_bytes", F.expr("total_bytes div n_files"))
+        .orderBy("modality", "format")
+    )
+
+
+def mm_codec_stats_sql() -> str:
+    mods = ", ".join(f"'{m}'" for m in MODALITIES)
+    fmt_case = " ".join(
+        f"WHEN '{m}' THEN (["
+        + ", ".join(f"'{f}'" for f in FORMATS[m])
+        + f"])[1 + doc_id % {len(FORMATS[m])}]"
+        for m in MODALITIES
+    )
+    return f"""
+    WITH t AS (
+        SELECT ([{mods}])[1 + doc_id % 3] AS modality,
+               doc_id, octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ), f AS (
+        SELECT modality,
+               CASE modality {fmt_case} END AS format,
+               n_bytes
+        FROM t
+    )
+    SELECT modality, format, count(*)::bigint AS n_files,
+           sum(n_bytes)::bigint AS total_bytes,
+           max(n_bytes)::bigint AS max_bytes,
+           (sum(n_bytes) // count(*))::bigint AS avg_bytes
+    FROM f GROUP BY modality, format ORDER BY modality, format
+    """

@@ -564,3 +564,43 @@ def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Arrow scalar pandas_udf (the vectorized scalar-UDF surface)
+# --------------------------------------------------------------------------
+
+def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow scalar ``pandas_udf`` surface: a vectorized per-row
+    function receiving whole Arrow batches as pandas Series — the
+    middle rung between JVM expressions (preferred, used everywhere
+    else for this exact computation) and row-at-a-time Python (never).
+    The function — vowel-run counting — is deliberately one the oracle
+    can replay with regexps, so the certification is value-exact.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _vowel_runs(s):
+        return s.str.lower().str.count(r"[aeiou]+").astype("int32")
+
+    # this module uses `from __future__ import annotations`, which turns
+    # inline hints into strings pandas_udf can't inspect — attach real
+    # type objects instead
+    _vowel_runs.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    vowel_runs = pandas_udf(_vowel_runs, "int")
+
+    docs = scatter(spark, load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select("doc_id", vowel_runs("text").alias("n_vowel_runs"))
+        .orderBy("doc_id")
+    )
+
+
+def q_pandas_udf_scalar_sql() -> str:
+    return """
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[aeiou]+'))::int
+               AS n_vowel_runs
+    FROM documents ORDER BY doc_id
+    """

@@ -3960,3 +3960,43 @@ register(
     GROUP BY 1, 2 ORDER BY prio
     """,
 )
+
+
+register(
+    "mm_codec_stats",
+    multimodal.mm_codec_stats,
+    multimodal.mm_codec_stats_sql(),
+)
+
+register(
+    "stats_autocorrelation",
+    analytics.stats_autocorrelation,
+    """
+    WITH series AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               count(*)::bigint AS c
+        FROM events GROUP BY 1, 2
+    ), pairs AS (
+        SELECT event_type, c::hugeint AS x,
+               lead(c) OVER (PARTITION BY event_type ORDER BY h)::hugeint AS y
+        FROM series
+    ), m AS (
+        SELECT event_type, count(*)::hugeint AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+               sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM pairs WHERE y IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n::bigint AS n_pairs,
+           round((n * sxy - sx * sy)::double
+                 / (sqrt((n * sxx - sx * sx)::double)
+                    * sqrt((n * syy - sy * sy)::double)), 6)
+               AS autocorr_lag1
+    FROM m ORDER BY event_type
+    """,
+)
+
+register(
+    "q_pandas_udf_scalar",
+    textstats.q_pandas_udf_scalar,
+    textstats.q_pandas_udf_scalar_sql(),
+)
