@@ -2923,3 +2923,46 @@ def stats_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(sqrt(cast({dx} as double)) * sqrt(cast({dy} as double))), 6)"
         ).alias("autocorr_lag1"),
     ).orderBy("event_type")
+
+
+def q_events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection on the hourly series per type: hours whose count
+    exceeds mean + 2σ of that type's series — the alerting rule behind
+    traffic-anomaly monitors, computed with the integer-witness
+    discipline of q_events_zscore: the comparison
+    (n·c − S)² > 4·(n·Q − S²) with c the hour count, S/Q the series'
+    sum and sum-of-squares, evaluated in decimal(38,0) so no float
+    boundary rows flip cross-engine (only hours ABOVE the mean can
+    burst, pinned by an integer pre-check).
+
+    The fact stream collapses once to the (type, hour) series; the
+    moment aggregate and the flag are HOURS-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    series = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type")
+    witness = (
+        "cast(n as decimal(38,0)) * cast(c as decimal(38,0))"
+        " - cast(s as decimal(38,0))"
+    )
+    spread = (
+        "cast(n as decimal(38,0)) * cast(q as decimal(38,0))"
+        " - cast(s as decimal(38,0)) * cast(s as decimal(38,0))"
+    )
+    return (
+        series.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("s", F.sum("c").over(w))
+        .withColumn("q", F.sum(F.expr("c * c")).over(w))
+        .withColumn(
+            "is_burst",
+            F.expr(
+                f"c * n > s AND ({witness}) * ({witness}) > 4 * ({spread})"
+            ),
+        )
+        .where("is_burst")
+        .select("event_type", "h", "c")
+        .orderBy("event_type", "h")
+    )

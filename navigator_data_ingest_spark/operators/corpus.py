@@ -1914,3 +1914,65 @@ def corpus_sample_exact_k_sql() -> str:
     SELECT rank::int AS rank, doc_id, lang, source
     FROM r WHERE rank <= {SAMPLE_EXACT_K} ORDER BY rank
     """
+
+
+# --------------------------------------------------------------------------
+# n-gram novelty (memorization / freshness score per document)
+# --------------------------------------------------------------------------
+
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the permille of a document's
+    distinct CONTAM_K-grams never seen in any EARLIER document (by
+    doc_id order) — the freshness/memorization signal dedup pipelines
+    chart over ingestion time (a crawl that stops being novel has
+    saturated its sources).
+
+    First occurrence per gram is one min-aggregate on the gram hash
+    (high-cardinality unskewed key); the verdict joins back on the same
+    key; the per-doc rollup is the only other shuffle. No broadcast
+    assumptions.
+    """
+    docs = _tokens_df(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform({X.sp_shingles('t', CONTAM_K)},"
+                f" s -> md5(s)))"
+            )
+        ).alias("g"),
+    )
+    first = docs.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        docs.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("doc_id") == F.col("first_doc")).cast("long")
+            ).alias("n_novel"),
+        )
+        .withColumn("novelty_permille", F.expr("n_novel * 1000 div n_grams"))
+        .orderBy("doc_id")
+    )
+
+
+def corpus_ngram_novelty_sql() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {X.dk_tokens('text')} AS t FROM documents
+    ), grams AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   {X.dk_shingles('t', CONTAM_K)}, s -> md5(s)))) AS g
+        FROM toks
+    ), first AS (
+        SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT gr.doc_id,
+           count(*)::bigint AS n_grams,
+           sum(CASE WHEN gr.doc_id = f.first_doc THEN 1 ELSE 0 END)::bigint
+               AS n_novel,
+           (sum(CASE WHEN gr.doc_id = f.first_doc THEN 1 ELSE 0 END) * 1000
+            // count(*))::bigint AS novelty_permille
+    FROM grams gr JOIN first f ON gr.g = f.g
+    GROUP BY gr.doc_id ORDER BY gr.doc_id
+    """

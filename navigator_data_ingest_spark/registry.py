@@ -4000,3 +4000,33 @@ register(
     textstats.q_pandas_udf_scalar,
     textstats.q_pandas_udf_scalar_sql(),
 )
+
+
+register(
+    "q_events_burst_detection",
+    analytics.q_events_burst_detection,
+    """
+    WITH series AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               count(*)::bigint AS c
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT event_type, h, c,
+               count(*) OVER (PARTITION BY event_type)::hugeint AS n,
+               sum(c) OVER (PARTITION BY event_type)::hugeint AS s,
+               sum(c * c) OVER (PARTITION BY event_type)::hugeint AS q
+        FROM series
+    )
+    SELECT event_type, h, c
+    FROM m
+    WHERE c * n > s
+      AND (n * c - s) * (n * c - s) > 4 * (n * q - s * s)
+    ORDER BY event_type, h
+    """,
+)
+
+register(
+    "corpus_ngram_novelty",
+    corpus.corpus_ngram_novelty,
+    corpus.corpus_ngram_novelty_sql(),
+)
