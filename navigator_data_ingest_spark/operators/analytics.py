@@ -2966,3 +2966,51 @@ def q_events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "h", "c")
         .orderBy("event_type", "h")
     )
+
+
+def q_orders_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each customer's longest streak of CONSECUTIVE
+    order days — the canonical arithmetic-grouping idiom (island id =
+    day − row_number(), constant within a consecutive run) that solves
+    attendance/retention streaks without self-joins.
+
+    Distinct days first (one customer-grain shuffle), the island id is
+    a window subtraction, and both the island and per-customer rollups
+    shrink monotonically. Integer day arithmetic only.
+    """
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.expr(
+                "datediff(cast(o_orderdate as date), date'1970-01-01')"
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day")
+    islands = (
+        ords.withColumn("island", F.expr("day") - F.row_number().over(w))
+        .groupBy("o_custkey", "island")
+        .agg(F.count(F.lit(1)).alias("len"), F.min("day").alias("start_day"))
+    )
+    best = (
+        islands.groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("len").alias("l"), (-F.col("start_day")).alias("ns")
+                )
+            ).alias("m"),
+            F.count(F.lit(1)).alias("n_islands"),
+        )
+        .select(
+            "o_custkey",
+            F.col("m.l").alias("longest_streak"),
+            (-F.col("m.ns")).alias("streak_start_day"),
+            "n_islands",
+        )
+        .where("longest_streak >= 2")
+        .orderBy("o_custkey")
+    )
+    return best

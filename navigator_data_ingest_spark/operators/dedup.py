@@ -950,3 +950,36 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_permille"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# survivorship merge (entity-resolution field rules over dup clusters)
+# --------------------------------------------------------------------------
+
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge — the step AFTER dedup decides rows are the
+    same entity: one golden record per exact-content cluster with
+    field-level rules (earliest id as the stable key, the longest
+    variant's length, the lexicographically-first source, the cluster's
+    language set size) plus provenance counts. The MDM complement to
+    dedup_resolution's keep/drop audit.
+
+    One shuffle on the content hash; every rule is an aggregate on the
+    cluster key (min/max/count distinct), so the merge is a single
+    grouped pass — no per-cluster iteration.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "content_hash", F.md5("text")
+    )
+    return (
+        docs.groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("golden_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("n_chars").alias("best_n_chars"),
+            F.min("source").alias("first_source"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .where("n_members >= 2")
+        .orderBy("golden_id")
+    )

@@ -4030,3 +4030,53 @@ register(
     corpus.corpus_ngram_novelty,
     corpus.corpus_ngram_novelty_sql(),
 )
+
+
+register(
+    "q_orders_gap_islands",
+    analytics.q_orders_gap_islands,
+    """
+    WITH d AS (
+        SELECT DISTINCT o_custkey,
+               date_diff('day', DATE '1970-01-01', o_orderdate::date) AS day
+        FROM orders
+    ), isl AS (
+        SELECT o_custkey,
+               day - row_number() OVER (PARTITION BY o_custkey ORDER BY day)
+                   AS island,
+               day
+        FROM d
+    ), g AS (
+        SELECT o_custkey, island, count(*)::bigint AS len,
+               min(day)::bigint AS start_day
+        FROM isl GROUP BY o_custkey, island
+    ), best AS (
+        SELECT o_custkey,
+               max(struct_pack(l := len, ns := -start_day)) AS m,
+               count(*)::bigint AS n_islands
+        FROM g GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           m.l::bigint AS longest_streak,
+           (-m.ns)::bigint AS streak_start_day,
+           n_islands
+    FROM best WHERE m.l >= 2 ORDER BY o_custkey
+    """,
+)
+
+register(
+    "dedup_survivorship",
+    dedup.dedup_survivorship,
+    """
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS golden_id,
+           count(*)::bigint AS n_members,
+           max(n_chars) AS best_n_chars,
+           min(source) AS first_source,
+           count(DISTINCT lang)::bigint AS n_langs
+    FROM documents
+    GROUP BY md5(text)
+    HAVING count(*) >= 2
+    ORDER BY golden_id
+    """,
+)
