@@ -240,7 +240,11 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cdc_scd2_sql() -> str:
+def _scd2_body_sql() -> str:
+    """The SCD2 history statement WITHOUT a trailing ORDER BY, so both
+    cdc_scd2_sql (which appends the presentation sort) and
+    cdc_scd2_lookup_sql (which embeds it as a CTE) compose from one
+    definition instead of string-patching each other."""
     return f"""
     WITH snap AS (
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
@@ -266,8 +270,11 @@ def cdc_scd2_sql() -> str:
            effective_to IS NULL AS is_current,
            o_orderstatus, round(o_totalprice, 6) AS price
     FROM chained WHERE op <> 'D'
-    ORDER BY o_orderkey, effective_from
     """
+
+
+def cdc_scd2_sql() -> str:
+    return _scd2_body_sql() + "\n    ORDER BY o_orderkey, effective_from\n    "
 
 
 # --------------------------------------------------------------------------
@@ -321,7 +328,7 @@ def cdc_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cdc_scd2_lookup_sql() -> str:
     return f"""
-    WITH hist AS ({cdc_scd2_sql().replace('ORDER BY o_orderkey, effective_from', '')}
+    WITH hist AS ({_scd2_body_sql()}
     ), probes AS (
         SELECT o_orderkey,
                (1 + o_orderkey % {LOOKUP_VERSION_MOD})::int AS probe_version

@@ -24,9 +24,63 @@ from navigator_data_ingest_spark.sources.tables import load_table, scatter
 
 EMB_DIM = 64
 TOP_K = 5
-QUERY_MOD = 100  # vec_id % QUERY_MOD == 0 -> query vector
+# Bounded query stripe: vec_id % qmod == 0 selects query vectors, with
+# qmod = max(QUERY_MOD_MIN, n // QUERY_TARGET) derived from the corpus
+# count. A FIXED modulus makes the query set 1% OF THE CORPUS — the
+# broadcast side (and the np scorer's driver collect) then grows
+# linearly with data, a scale-killer at 100x. Deriving the modulus caps
+# the stripe at ~QUERY_TARGET vectors at any corpus size (the same
+# bounded-by-derivation discipline as IVF's K_CENTROIDS and
+# dedup_recall_report's sample stripe).
+QUERY_MOD_MIN = 100  # small-corpus floor (n <= 800 keeps the old stripe)
+QUERY_TARGET = 8     # asymptotic query-set size
 N_PLANES = 6
 PLANE_SEED = 7
+
+
+def query_stripe_sql() -> str:
+    """DuckDB predicate for the bounded query stripe (modulus derived
+    from the BASE embeddings count, even when striping a derived CTE —
+    the Spark side counts the same base table)."""
+    return (
+        f"vec_id % greatest({QUERY_MOD_MIN}, "
+        f"(SELECT count(*) FROM embeddings) // {QUERY_TARGET}) = 0"
+    )
+
+
+def _bounded_mod(base: DataFrame, divisor: int, floor_min: int, alias: str) -> DataFrame:
+    """1-row broadcast modulus = max(floor_min, count(base) // divisor).
+
+    Plan-side (a broadcast scalar aggregate feeding a cross join), NOT a
+    driver-side ``.count()``: the count job runs inside the consumer's
+    own plan, so building the operator's DataFrame triggers no Spark
+    job. Truncating cast == floor for the non-negative count, matching
+    DuckDB's ``//``.
+    """
+    return F.broadcast(
+        base.groupBy()
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.greatest(
+                F.lit(floor_min).cast("bigint"),
+                (F.col("_n") / F.lit(divisor)).cast("bigint"),
+            ).alias(alias)
+        )
+    )
+
+
+def query_stripe(df: DataFrame, base: DataFrame) -> DataFrame:
+    """Rows of ``df`` on the bounded query stripe (vec_id % qmod == 0)."""
+    m = _bounded_mod(base, QUERY_TARGET, QUERY_MOD_MIN, "_qmod")
+    return df.crossJoin(m).where(F.col("vec_id") % F.col("_qmod") == 0).drop("_qmod")
+
+
+def centroid_stripe(df: DataFrame, base: DataFrame) -> DataFrame:
+    """Rows of ``df`` on the bounded centroid-seed stripe
+    (vec_id % max(1, n // K_CENTROIDS) == 1) — IVF's deterministic
+    "training" seed set, kept BOUNDED as the corpus grows."""
+    m = _bounded_mod(base, K_CENTROIDS, 1, "_cmod")
+    return df.crossJoin(m).where(F.col("vec_id") % F.col("_cmod") == 1).drop("_cmod")
 
 
 def _cos(a: str, b: str, dim: int | None = EMB_DIM):
@@ -67,12 +121,12 @@ def cosine_topk(
 
 
 def sim_search_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry wrapper: every (vec_id % QUERY_MOD == 0) vector queries
-    the embeddings table."""
-    e = scatter(spark, load_table(spark, sf_dir, "embeddings"))
-    q = (
-        e.where(F.col("vec_id") % QUERY_MOD == 0)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    """Registry wrapper: every bounded-stripe vector queries the
+    embeddings table (query set ~QUERY_TARGET rows at any scale)."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = scatter(spark, raw)
+    q = query_stripe(e, raw).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return cosine_topk(e, q, TOP_K, dim=EMB_DIM)
 
@@ -127,11 +181,12 @@ def _bucket_expr(vec: str) -> str:
 
 def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed ANN: candidates share the query's hyperplane sign bucket."""
-    e = scatter(spark, load_table(spark, sf_dir, "embeddings")).withColumn(
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = scatter(spark, raw).withColumn(
         "bucket", F.expr(_bucket_expr("embedding"))
     )
     q = (
-        e.where(F.col("vec_id") % QUERY_MOD == 0)
+        query_stripe(e, raw)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qvec"),
@@ -168,21 +223,22 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     count stays BOUNDED as the corpus grows (a real pipeline would
     k-means; the index/search structure is identical). A corpus-scaling
     centroid count would make the n x K scoring pass O(n^2/mod) — the
-    20x scale probe caught exactly that regression. The scalar count
-    job that resolves ``mod`` is the IVF build step's bookkeeping.
+    20x scale probe caught exactly that regression. The count that
+    resolves the modulus is a plan-side 1-row broadcast aggregate
+    (``centroid_stripe``) — building the DataFrame runs no driver job.
 
     Cell assignment is a map-side ``min(struct)`` argmax collapse (the
     emb_kmeans pattern): the shuffle carries ONE row per vector, never
     the n x K scored grid — a ranking window over the grid would
     shuffle K rows per vector just to discard K-1. Only the probe side
-    (queries are 1/QUERY_MOD of the corpus) pays a ranking window, on
+    (the bounded query stripe) pays a ranking window, on
     its own |queries| x K grid; candidate scoring then touches only
     probed cells — at scale the cell id is the partition key and each
     query scans ~NPROBE/K of the corpus.
     """
-    e = scatter(spark, load_table(spark, sf_dir, "embeddings"))
-    mod = max(1, e.count() // K_CENTROIDS)
-    cents = e.where(F.col("vec_id") % mod == 1).select(
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = scatter(spark, raw)
+    cents = centroid_stripe(e, raw).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
     ccos = _cos("embedding", "cvec")
@@ -207,7 +263,7 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cw = Window.partitionBy("vec_id").orderBy(F.desc("_ccos"), F.asc("centroid_id"))
     probe = (
-        e.where(F.col("vec_id") % QUERY_MOD == 0)
+        query_stripe(e, raw)
         .join(F.broadcast(cents))
         .select("vec_id", "embedding", "centroid_id", ccos.alias("_ccos"))
         .withColumn("crn", F.row_number().over(cw))
@@ -288,9 +344,14 @@ def sim_search_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = scatter(spark, load_table(spark, sf_dir, "embeddings"))
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = scatter(spark, raw)
+    # ONE job: the stripe modulus resolves inside this collect's own
+    # plan, and the bounded stripe keeps the collected query matrix
+    # ~QUERY_TARGET rows at any corpus size (the broadcast below is the
+    # production pattern — queries to every task, corpus never moves)
     q_rows = (
-        e.where(F.col("vec_id") % QUERY_MOD == 0)
+        query_stripe(e, raw)
         .select("vec_id", "embedding")
         .collect()
     )
@@ -562,7 +623,8 @@ def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank per query with deterministic (distance, vec_id) tie-break.
     Every fold is left-ordered — the DuckDB oracle replays it exactly.
     """
-    emb = scatter(spark, load_table(spark, sf_dir, "embeddings")).select(
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = scatter(spark, raw).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     w = Window.orderBy("vec_id")
@@ -596,9 +658,8 @@ def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.concat(*[F.col(f"m{s}.s") for s in range(PQ_M)]).alias("recon"),
     )
-    q = (
-        emb.where(F.col("vec_id") % QUERY_MOD == 0)
-        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qvec"))
+    q = query_stripe(emb, raw).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qvec")
     )
     adc = (
         f"aggregate(sequence(1, {EMB_DIM}), cast(0.0 as double), (acc, i) -> "
@@ -654,7 +715,7 @@ def sim_search_pq_adc_sql() -> str:
         SELECT vec_id, {recon} AS r FROM mins
     ), q AS (
         SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
-        WHERE vec_id % {QUERY_MOD} = 0
+        WHERE {query_stripe_sql()}
     ), adc AS (
         SELECT q.query_id, c.vec_id,
                list_reduce(list_transform(generate_series(1, {EMB_DIM}),
@@ -685,11 +746,12 @@ def sim_search_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query bounded (k rows each) before the final join — the report
     join is metadata-sized. recall_permille is integer arithmetic.
     """
-    e = scatter(spark, load_table(spark, sf_dir, "embeddings")).withColumn(
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = scatter(spark, raw).withColumn(
         "bucket", F.expr(_bucket_expr("embedding"))
     )
     q = (
-        e.where(F.col("vec_id") % QUERY_MOD == 0)
+        query_stripe(e, raw)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qvec"),
@@ -755,9 +817,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate; output is the per-vector keep/drop audit (``n_near`` =
     earlier near-dups that caused the drop).
     """
-    e = scatter(spark, load_table(spark, sf_dir, "embeddings"))
-    mod = max(1, e.count() // K_CENTROIDS)
-    cents = e.where(F.col("vec_id") % mod == 1).select(
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = scatter(spark, raw)
+    cents = centroid_stripe(e, raw).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
     ccos = _cos("embedding", "cvec")
@@ -914,10 +976,10 @@ def emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled left-associated chain at MRL_DIM, so the DuckDB oracle
     replays it exactly.
     """
-    e = scatter(spark, load_table(spark, sf_dir, "embeddings"))
-    q = (
-        e.where(F.col("vec_id") % QUERY_MOD == 0)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = scatter(spark, raw)
+    q = query_stripe(e, raw).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     full = cosine_topk(e, q, TOP_K, dim=EMB_DIM).select(
         "query_id", F.col("vec_id").alias("full_vec")
@@ -959,7 +1021,7 @@ def emb_matryoshka_sql() -> str:
     return f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qvec
-        FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+        FROM embeddings WHERE {query_stripe_sql()}
     ), fullr AS (
         SELECT q.query_id, e.vec_id,
                row_number() OVER (PARTITION BY q.query_id ORDER BY
@@ -1011,12 +1073,13 @@ def emb_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm_phash_neardup's banding). All-integer, so the DuckDB oracle is
     arithmetic-identical with no float caveats.
     """
-    e = scatter(spark, load_table(spark, sf_dir, "embeddings")).select(
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = scatter(spark, raw).select(
         "vec_id",
         F.expr(_sign_word_expr("embedding", 1)).alias("w_lo"),
         F.expr(_sign_word_expr("embedding", 33)).alias("w_hi"),
     )
-    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = query_stripe(e, raw).select(
         F.col("vec_id").alias("query_id"),
         F.col("w_lo").alias("q_lo"),
         F.col("w_hi").alias("q_hi"),
@@ -1049,7 +1112,7 @@ def emb_binary_hamming_sql() -> str:
         FROM embeddings
     ), q AS (
         SELECT vec_id AS query_id, w_lo AS q_lo, w_hi AS q_hi
-        FROM codes WHERE vec_id % {QUERY_MOD} = 0
+        FROM codes WHERE {query_stripe_sql()}
     ), scored AS (
         SELECT q.query_id, c.vec_id,
                (bit_count(xor(c.w_lo, q.q_lo))
@@ -1086,14 +1149,15 @@ def emb_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-vector neighbor votes in integer permille; the 1-row overall
     summary rides along as label='∅all'.
     """
-    e = scatter(spark, load_table(spark, sf_dir, "embeddings")).select(
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = scatter(spark, raw).select(
         "vec_id",
         "label",
         F.expr(_sign_word_expr("embedding", 1)).alias("w_lo"),
         F.expr(_sign_word_expr("embedding", 33)).alias("w_hi"),
     )
-    # bounded probe set (the id-stripe discipline): every %QUERY_MOD vec
-    q = e.where(F.col("vec_id") % QUERY_MOD == 0).select(
+    # bounded probe set (the derived-modulus id-stripe discipline)
+    q = query_stripe(e, raw).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
         F.col("w_lo").alias("q_lo"),
@@ -1150,7 +1214,7 @@ def emb_label_purity_sql() -> str:
     ), q AS (
         SELECT vec_id AS query_id, label AS q_label,
                w_lo AS q_lo, w_hi AS q_hi
-        FROM codes WHERE vec_id % {QUERY_MOD} = 0
+        FROM codes WHERE {query_stripe_sql()}
     ), ranked AS (
         SELECT q.query_id, q.q_label,
                CASE WHEN c.label = q.q_label THEN 1 ELSE 0 END AS same,

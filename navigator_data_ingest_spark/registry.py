@@ -20,13 +20,34 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # name -> (query fn, oracle sql | None)
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
-# Names hard-certified by the external driver in rounds 1-2
-# (CORRECTNESS_r01/r02.json). The driver samples the FIRST 50 names in
-# queries() order, so emission order below rotates never-yet-sampled
+# Names hard-certified by the external driver in rounds 1-3
+# (CORRECTNESS_r01/r02/r03.json). The driver samples the FIRST 50 names
+# in queries() order, so emission order below rotates never-yet-sampled
 # queries to the front each round — over rounds the hard gate walks the
 # whole registry instead of re-certifying the same head. The full local
 # sweep (scripts/sweep.py) stays the all-query safety net.
 _DRIVER_CERTIFIED = frozenset({
+    # round 3 sample (CORRECTNESS_r03.json): 49 hash-green + the
+    # documented rows-only sim_search_bruteforce_np (pytest-pinned)
+    "cdc_scd2_lookup", "corpus_bigram_lm", "corpus_decontaminate_split",
+    "corpus_token_budget", "corpus_udtf_passages", "corpus_upsample_plan",
+    "dedup_bloom", "dedup_recall_report", "dedup_semantic",
+    "emb_binary_hamming", "emb_matryoshka", "emb_quantize",
+    "graph_jaccard_neighbors", "graph_triangle_count",
+    "ingest_cache_rewrite", "mm_text_embedding_coverage", "q_basket_pairs",
+    "q_collated_groupby", "q_dpp_join", "q_events_asof_forward",
+    "q_events_cohort_retention", "q_events_distinct_sliding",
+    "q_events_heatmap", "q_events_rfm", "q_grouping_sets",
+    "q_lateral_join_api", "q_multiset_ops", "q_observe_metrics",
+    "q_sql_pipe", "q_variant_json", "sim_search_bruteforce_np",
+    "sink_atomic_publish", "sink_vacuum_orphans", "src_codec_roundtrip",
+    "src_python_datasource", "src_time_travel", "stats_ab_test",
+    "stats_benford", "stats_correlation_matrix", "stats_entropy_per_source",
+    "stats_lorenz_deciles", "stats_markov_transitions", "stats_psi_drift",
+    "stream_multiplex_router", "stream_timeout_finalize",
+    "stream_tws_totals", "text_boilerplate", "text_hash_classifier",
+    "text_lang_confusion", "text_tfidf",
+    # rounds 1-2 sample (CORRECTNESS_r01/r02.json)
     "dedup_clusters", "dedup_embedding_cosine", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "ingest_archive_paths", "ingest_content_route", "ingest_content_type",
@@ -58,10 +79,14 @@ def register(name: str, fn: QueryFn, oracle: str | None, front: bool = False) ->
 
 
 def _emission_order() -> list[str]:
+    # Certification always wins over a stale front flag: once a name has
+    # been driver-certified it rotates to the back even if its register()
+    # call still says front=True (the flag only fast-tracks genuinely
+    # never-certified queries into the driver's head-50 sample).
     def rank(name: str) -> int:
-        if name in _FRONT:
-            return 0
-        return 2 if name in _DRIVER_CERTIFIED else 1
+        if name in _DRIVER_CERTIFIED:
+            return 2
+        return 0 if name in _FRONT else 1
 
     return sorted(_REGISTRY, key=rank)  # sorted() is stable
 
@@ -881,7 +906,7 @@ register(
     f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qvec
-        FROM embeddings WHERE vec_id % {similarity.QUERY_MOD} = 0
+        FROM embeddings WHERE {similarity.query_stripe_sql()}
     ), scored AS (
         SELECT q.query_id, e.vec_id,
                {_DK_DOT_QE} / (sqrt({_DK_DOT_QQ}) * sqrt({_DK_DOT_EE})) AS c
@@ -918,7 +943,7 @@ register(
         SELECT vec_id, embedding, {_DK_BUCKET} AS bucket FROM embeddings
     ), q AS (
         SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket
-        FROM eb WHERE vec_id % {similarity.QUERY_MOD} = 0
+        FROM eb WHERE {similarity.query_stripe_sql()}
     ), scored AS (
         SELECT q.query_id, e.vec_id, e.bucket,
                {_DK_DOT_QE} / (sqrt({_DK_DOT_QQ}) * sqrt({_DK_DOT_EE})) AS c
@@ -1168,7 +1193,7 @@ register(
     ), probe AS (
         SELECT vec_id AS query_id, embedding AS qvec, centroid_id AS cell
         FROM scored
-        WHERE vec_id % {similarity.QUERY_MOD} = 0 AND crn <= {similarity.NPROBE}
+        WHERE {similarity.query_stripe_sql()} AND crn <= {similarity.NPROBE}
     ), cand AS (
         SELECT p.query_id, a.vec_id, a.cell,
                {X.dk_fold_dot('p.qvec', 'a.embedding', similarity.EMB_DIM)} /
@@ -3016,7 +3041,7 @@ register(
         SELECT vec_id, embedding, {_DK_BUCKET} AS bucket FROM embeddings
     ), q AS (
         SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket
-        FROM eb WHERE vec_id % {similarity.QUERY_MOD} = 0
+        FROM eb WHERE {similarity.query_stripe_sql()}
     ), bf AS (
         SELECT q.query_id, e.vec_id,
                row_number() OVER (PARTITION BY q.query_id ORDER BY

@@ -30,9 +30,14 @@ from navigator_data_ingest_spark.sources.tables import load_table
 _POINTER = "_LATEST"
 
 
-def _publish_root(sf_dir: str) -> str:
+def _publish_root(sf_dir: str, op: str = "publish") -> str:
+    """Scratch root keyed on (sf_dir, OPERATOR): the three publish-family
+    registry queries each rmtree + republish their root, and threaded
+    sweeps (scripts/sweep.py SWEEP_THREADS>1) run them concurrently — a
+    shared root would let one operator delete v=1 or swap _LATEST while
+    a sibling is mid-read."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"nav_publish_{tag}")
+    return os.path.join(tempfile.gettempdir(), f"nav_publish_{tag}_{op}")
 
 
 def _write_version(df: DataFrame, root: str, version: int) -> str:
@@ -56,13 +61,10 @@ def read_published(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, vdir))
 
 
-def sink_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry round-trip: publish v1 (partial aggregate), publish v2
-    (the corrected full aggregate), read back through the pointer —
-    the result must be EXACTLY v2's content (the oracle recomputes
-    v2's semantics), proving readers follow the swap and never see v1
-    remnants or a mixed directory."""
-    root = _publish_root(sf_dir)
+def _republish(spark: SparkSession, sf_dir: str, op: str) -> str:
+    """Rebuild the v1 -> v2 publication state under ``op``'s own root
+    and return the root (pointer left at v2)."""
+    root = _publish_root(sf_dir, op)
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
     orders = load_table(spark, sf_dir, "orders")
@@ -84,6 +86,16 @@ def sink_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _write_version(v2, root, 2)
     _swap_pointer(root, 2)
+    return root
+
+
+def sink_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry round-trip: publish v1 (partial aggregate), publish v2
+    (the corrected full aggregate), read back through the pointer —
+    the result must be EXACTLY v2's content (the oracle recomputes
+    v2's semantics), proving readers follow the swap and never see v1
+    remnants or a mixed directory."""
+    root = _republish(spark, sf_dir, "publish")
     return read_published(spark, root).orderBy("o_orderpriority")
 
 
@@ -109,9 +121,8 @@ def sink_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving data still answers the v2 oracle — vacuum removed only
     garbage. Version counts ride along as audit columns.
     """
-    # rebuild the two-version state, then vacuum
-    sink_atomic_publish(spark, sf_dir)
-    root = _publish_root(sf_dir)
+    # rebuild the two-version state (own root), then vacuum
+    root = _republish(spark, sf_dir, "vacuum")
     with open(os.path.join(root, _POINTER)) as f:
         live = f.read().strip()
     before = sorted(d for d in os.listdir(root) if d.startswith("v="))
@@ -119,7 +130,9 @@ def sink_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         if d != live:
             shutil.rmtree(os.path.join(root, d))
     after = sorted(d for d in os.listdir(root) if d.startswith("v="))
-    assert after == [live], f"vacuum left {after}, pointer {live}"
+    if after != [live]:
+        # a hard error, not assert: the invariant must hold under -O too
+        raise RuntimeError(f"vacuum left {after}, pointer {live}")
     return (
         read_published(spark, root)
         .groupBy()
@@ -162,10 +175,11 @@ def src_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicitly; the oracle recomputes v1's semantics (the pre-1995
     subset), proving the superseded version is still byte-faithful.
     """
-    sink_atomic_publish(spark, sf_dir)  # leaves v1 + v2, pointer at v2
-    root = _publish_root(sf_dir)
+    root = _republish(spark, sf_dir, "timetravel")  # v1 + v2, pointer at v2
     with open(os.path.join(root, _POINTER)) as f:
-        assert f.read().strip() == "v=2", "pointer should reference v2"
+        live = f.read().strip()
+    if live != "v=2":
+        raise RuntimeError(f"pointer should reference v=2, found {live}")
     return (
         spark.read.parquet(os.path.join(root, "v=1"))
         .select(

@@ -21,9 +21,20 @@ import time
 
 sys.path.insert(0, ".")
 
-REPLICAS = 10
+# PROBE_REPLICAS=100 extends the probe to the 100x duplicate-explosion
+# run recorded in BASELINE.md (default 10x keeps iteration cheap)
+REPLICAS = int(os.environ.get("PROBE_REPLICAS", "10"))
 SRC = "/root/testdata/sf0.01"
-DST = "/tmp/probe_dup"
+DST = f"/tmp/probe_dup_{REPLICAS}x"
+
+# Alert line for probe/base wall ratio, matching the documented ~2x
+# budget (module docstring, SURVEY/BASELINE perf notes): on local[32]
+# the replicated corpus still fits the task slots, so a healthy
+# bounded-candidate plan amortizes the extra rows across idle cores and
+# stays near-flat; anything past 2x means candidate generation is
+# growing with the duplicate groups, which is exactly the regression
+# this probe exists to catch.
+RATIO_BUDGET = 2.0
 
 DEFAULT_QUERIES = [
     "dedup_minhash_lsh", "dedup_simhash", "dedup_fingerprint",
@@ -80,7 +91,7 @@ def main() -> None:
         qs[name](spark, DST).write.format("noop").mode("overwrite").save()
         probe = time.monotonic() - t0
         ratio = probe / base if base > 0 else float("inf")
-        flag = "" if ratio <= 3.0 else "  <-- SUPERLINEAR?"
+        flag = "" if ratio <= RATIO_BUDGET else "  <-- SUPERLINEAR?"
         print(f"{name:28s} 1x={base:5.2f}s {REPLICAS}x-dup={probe:6.2f}s "
               f"ratio={ratio:4.1f}{flag}", flush=True)
 

@@ -71,6 +71,11 @@ def test_q5_dimensions_broadcast(spark):
 _DELIBERATE_NESTED_LOOP = {
     "sim_search_bruteforce",
     "sim_search_ivf",
+    # 1-row derived query-stripe modulus broadcast (query_stripe):
+    # deliberate — it is what keeps the query set bounded at any scale
+    "sim_search_lsh",
+    "emb_binary_hamming",
+    "emb_label_purity",
     "q_events_range_join",
     # 1-row scalar-aggregate broadcast against customer (TPC-H Q22 shape)
     "q22_idle_customers",
