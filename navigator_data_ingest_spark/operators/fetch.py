@@ -42,8 +42,8 @@ from navigator_data_ingest_spark.operators.ingest import synthetic_new_documents
 
 FETCH_RESULT_SCHEMA = (
     "import_id string, fetch_url string, domain string, status int, "
-    "attempts int, backoff_ms int, elapsed_ms int, content binary, "
-    "content_type string"
+    "attempts int, backoff_ms int, elapsed_ms int, redirects int, "
+    "error_kind string, content binary, content_type string"
 )
 
 # watermark date: the reference stamps datetime.now()
@@ -60,16 +60,25 @@ WATERMARK_DATE_FMT = "%d %B %Y"
 MAX_ATTEMPTS = 4
 BACKOFF_BASE_MS = 250
 RETRYABLE_STATUS = 503  # transient server-side; 404 fails fast
+STATUS_NO_RESPONSE = 0  # requests raised before any HTTP status existed
 FETCH_SALT_N = 8  # hot-domain shards per domain (politeness ÷ salt)
+
+# transient-failure taxonomy (the retryable requests outcomes the
+# reference's tenacity wrapper absorbs: a 5xx response, a
+# requests.ConnectTimeout, a requests.ReadTimeout). Which one a
+# transient url exhibits is url-seeded, so the taxonomy is
+# oracle-replayable per row.
+TRANSIENT_KINDS = ("http_503", "connect_timeout", "read_timeout")
 
 
 def _fetch_plan(url: str) -> tuple[str, int]:
     """Deterministic failure model for the stub fetch.
 
     Every 29th url hash fails permanently (404, non-retryable); of the
-    rest, every 13th is transient — it 503s for the first
-    ``1 + seed[9] % 5`` attempts (1..5, so some exhaust the 4-attempt
-    budget and dead-letter while others succeed on retry).
+    rest, every 13th is transient — it fails (one url-seeded kind of
+    ``TRANSIENT_KINDS``) for the first ``1 + seed[9] % 5`` attempts
+    (1..5, so some exhaust the 4-attempt budget and dead-letter while
+    others succeed on retry).
     """
     seed = hashlib.md5(url.encode()).digest()
     if int.from_bytes(seed[:4], "big") % 29 == 0:
@@ -79,40 +88,70 @@ def _fetch_plan(url: str) -> tuple[str, int]:
     return "ok", 0
 
 
-def _fake_fetch(url: str, head_hex: str, attempt: int = 1) -> tuple[int, bytes, int]:
+def _transient_kind(seed: bytes) -> str:
+    return TRANSIENT_KINDS[seed[12] % 3]
+
+
+def _redirect_hops(seed: bytes) -> int:
+    """Url-seeded redirect chain length for SUCCESSFUL responses: every
+    11th url 301-chains 1..3 hops before the final 200 (requests
+    follows them transparently; real pipelines log the count — deep or
+    looping chains are an operational signal)."""
+    return 1 + seed[11] % 3 if seed[10] % 11 == 0 else 0
+
+
+def _fake_fetch(
+    url: str, head_hex: str, attempt: int = 1
+) -> tuple[int, bytes, int, int, str | None]:
     """Deterministic stand-in for requests.get (NO network in-container).
 
-    Returns (status, content, elapsed_ms). Bytes start with the magic
-    head the synthetic work list declared, padded with url-seeded
-    filler, so downstream sniffing sees realistic input.
+    Returns (status, content, elapsed_ms, redirects, error_kind).
+    Success bytes start with the magic head the synthetic work list
+    declared, padded with url-seeded ASCII-hex filler (hex chars rather
+    than raw digest bytes, so an independent engine can reconstruct the
+    payload as text and replay its md5 — raw-blob hashing is not
+    portable SQL), so downstream sniffing sees realistic input.
     """
     seed = hashlib.md5(url.encode()).digest()
     kind, n_fail = _fetch_plan(url)
     if kind == "permanent":
-        return 404, b"", 10 + seed[5] % 90
+        return 404, b"", 10 + seed[5] % 90, 0, "http_404"
     if kind == "transient" and attempt <= n_fail:
-        return RETRYABLE_STATUS, b"", 5 + seed[5] % 45
+        tkind = _transient_kind(seed)
+        if tkind == "http_503":
+            return RETRYABLE_STATUS, b"", 5 + seed[5] % 45, 0, tkind
+        if tkind == "connect_timeout":
+            return STATUS_NO_RESPONSE, b"", 3 + seed[5] % 20, 0, tkind
+        return STATUS_NO_RESPONSE, b"", 30 + seed[5] % 200, 0, tkind
     head = bytes.fromhex(head_hex) if head_hex else b""
-    filler = (seed * (64 + seed[4] % 192))[: 1024 + seed[6] % 4096]
-    return 200, head + filler, 20 + seed[5] % 480
+    filler = (seed.hex() * (64 + seed[4] % 192))[: 1024 + seed[6] % 4096]
+    hops = _redirect_hops(seed)
+    return 200, head + filler.encode("ascii"), 20 + seed[5] % 480 + 15 * hops, hops, None
 
 
-def _fetch_with_retry(url: str, head_hex: str) -> tuple[int, bytes, int, int, int]:
+def _fetch_with_retry(
+    url: str, head_hex: str
+) -> tuple[int, bytes, int, int, int, int, str | None]:
     """Bounded-attempt retry loop around the fetch.
 
-    Returns (status, content, last_elapsed_ms, attempts, backoff_ms).
-    Retries only on RETRYABLE_STATUS, up to MAX_ATTEMPTS, accumulating
-    the exponential backoff schedule (production sleeps it; the stub
-    only accounts it — determinism over wall-clock).
+    Returns (status, content, last_elapsed_ms, attempts, backoff_ms,
+    redirects, error_kind). Retries on every retryable outcome (503 /
+    connect-timeout / read-timeout — the tenacity retry set), up to
+    MAX_ATTEMPTS, accumulating the exponential backoff schedule
+    (production sleeps it; the stub only accounts it — determinism over
+    wall-clock).
     """
     attempt, backoff_ms = 1, 0
     while True:
-        status, content, ms = _fake_fetch(url, head_hex, attempt)
-        if status == RETRYABLE_STATUS and attempt < MAX_ATTEMPTS:
+        status, content, ms, hops, err = _fake_fetch(url, head_hex, attempt)
+        retryable = status == RETRYABLE_STATUS or (
+            status == STATUS_NO_RESPONSE and err in TRANSIENT_KINDS
+        )
+        if retryable and attempt < MAX_ATTEMPTS:
             backoff_ms += BACKOFF_BASE_MS * (2 ** (attempt - 1))
             attempt += 1
             continue  # production: time.sleep(backoff / 1000)
-        return status, content, ms, attempt, backoff_ms
+        return status, content, ms, attempt, backoff_ms, hops, err
 
 
 def _sniff(content: bytes, url: str, header: str) -> str:
@@ -164,7 +203,11 @@ def _convert_to_pdf(content: bytes, ct: str, url: str, pub_ts) -> bytes:
     """
     body = [
         f"CONVERTED-FROM: {ct}",
-        f"SOURCE-BYTES-MD5: {hashlib.md5(content).hexdigest()}",
+        # provenance fingerprint over the HEX of the source bytes (not
+        # the raw blob): same identity, but replayable by any engine
+        # that can only hash text — the DuckDB oracle reconstructs
+        # lower(head_hex) || filler and matches this md5 exactly
+        f"SOURCE-HEX-MD5: {hashlib.md5(content.hex().encode()).hexdigest()}",
         f"SOURCE-BYTES-LEN: {len(content)}",
     ]
     return minipdf.add_last_page_watermark(
@@ -187,12 +230,12 @@ def _fetch_and_convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     """
     for pdf in batches:
         statuses, contents, elapsed, ctypes = [], [], [], []
-        attempts_l, backoffs = [], []
+        attempts_l, backoffs, redirects_l, errkinds = [], [], [], []
         for url, head_hex, header, pub_ts in zip(
             pdf["fetch_url"], pdf["head_hex"], pdf["header"],
             pdf["publication_ts"],
         ):
-            status, content, ms, attempts, backoff = _fetch_with_retry(
+            status, content, ms, attempts, backoff, hops, err = _fetch_with_retry(
                 url, head_hex
             )
             ct = _sniff(content, url, header) if status == 200 else None
@@ -211,6 +254,8 @@ def _fetch_and_convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             ctypes.append(ct)
             attempts_l.append(attempts)
             backoffs.append(backoff)
+            redirects_l.append(hops)
+            errkinds.append(err)
         yield pd.DataFrame(
             {
                 "import_id": pdf["import_id"],
@@ -220,6 +265,8 @@ def _fetch_and_convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 "attempts": attempts_l,
                 "backoff_ms": backoffs,
                 "elapsed_ms": elapsed,
+                "redirects": redirects_l,
+                "error_kind": errkinds,
                 "content": contents,
                 "content_type": ctypes,
             }
@@ -295,7 +342,7 @@ def ingest_download_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "import_id", "domain", "status", "attempts", "backoff_ms",
-            "elapsed_ms", "content_type",
+            "elapsed_ms", "redirects", "error_kind", "content_type",
             "n_bytes", "md5_sum", "cdn_object", "error",
         )
         .orderBy("import_id")

@@ -604,3 +604,114 @@ def q_pandas_udf_scalar_sql() -> str:
                AS n_vowel_runs
     FROM documents ORDER BY doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# Arrow-NATIVE rungs (mapInArrow / applyInArrow) — the cheapest Python
+# serialization surface: RecordBatches pass through untouched by pandas
+# (no Series materialization, no object-dtype copies), which is the rung
+# a 100 TB pipeline's Python stages should sit on when the logic can be
+# expressed against pyarrow.compute.
+# --------------------------------------------------------------------------
+
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document byte/char/uppercase stats via ``mapInArrow`` — the
+    Arrow-native sibling of q_pandas_udf_scalar: the worker receives raw
+    ``pyarrow.RecordBatch``es and answers with pyarrow.compute kernels
+    (vectorized C++, zero pandas marshalling). The computed stats are
+    deliberately regexp/length functions DuckDB replays exactly, so the
+    certification is value-exact like every JVM-side operator.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _stats(batches):
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(
+                        pc.binary_length(pc.cast(text, pa.binary())), pa.int64()
+                    ),
+                    pc.cast(pc.count_substring_regex(text, "[A-Z]"), pa.int64()),
+                ],
+                names=["doc_id", "n_chars", "n_bytes", "n_upper"],
+            )
+
+    docs = scatter(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    return docs.mapInArrow(
+        _stats, schema="doc_id bigint, n_chars bigint, n_bytes bigint, n_upper bigint"
+    ).orderBy("doc_id")
+
+
+def q_map_in_arrow_sql() -> str:
+    return """
+    SELECT doc_id,
+           length(text)::bigint                            AS n_chars,
+           strlen(text)::bigint                            AS n_bytes,
+           len(regexp_extract_all(text, '[A-Z]'))::bigint  AS n_upper
+    FROM documents ORDER BY doc_id
+    """
+
+
+def q_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Arrow-native aggregation via ``applyInArrow``: each
+    (lang, source) group arrives as one ``pyarrow.Table`` and the
+    per-group reduction runs entirely in pyarrow.compute — the grouped
+    twin of q_map_in_arrow (as stats_cogroup_monthly is to the pandas
+    rung). The group key is carried from the table itself; sums/maxima
+    are integer-exact so the DuckDB oracle matches bit-for-bit.
+
+    Scale shape: one shuffle on the group key, then embarrassingly
+    parallel per-group kernels; group payloads stay Arrow end-to-end.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _agg(table):
+        text = table.column("text")
+        chars = pc.cast(pc.utf8_length(text), pa.int64())
+        return pa.table(
+            {
+                "lang": [table.column("lang")[0].as_py()],
+                "source": [table.column("source")[0].as_py()],
+                "n_docs": pa.array([table.num_rows], pa.int64()),
+                "total_chars": pa.array([pc.sum(chars).as_py() or 0], pa.int64()),
+                "max_chars": pa.array([pc.max(chars).as_py() or 0], pa.int64()),
+                "min_doc_id": pa.array(
+                    [pc.min(table.column("doc_id")).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    return (
+        docs.groupBy("lang", "source")
+        .applyInArrow(
+            _agg,
+            schema=(
+                "lang string, source string, n_docs bigint, "
+                "total_chars bigint, max_chars bigint, min_doc_id bigint"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def q_apply_in_arrow_sql() -> str:
+    return """
+    SELECT lang, source,
+           count(*)::bigint        AS n_docs,
+           sum(length(text))::bigint AS total_chars,
+           max(length(text))::bigint AS max_chars,
+           min(doc_id)::bigint     AS min_doc_id
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """

@@ -50,8 +50,12 @@ _DRIVER_CERTIFIED = frozenset({
     # rounds 1-2 sample (CORRECTNESS_r01/r02.json)
     "dedup_clusters", "dedup_embedding_cosine", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    # ingest_download_fetch was rows-certified in r1/r2 but its contract
+    # changed in round 4 (full-row [sql] oracle incl. converted-PDF md5,
+    # redirect/timeout taxonomy) — deliberately NOT listed, so it
+    # re-enters the driver window for hash certification.
     "ingest_archive_paths", "ingest_content_route", "ingest_content_type",
-    "ingest_download_fetch", "ingest_fetch_retry", "ingest_field_update",
+    "ingest_fetch_retry", "ingest_field_update",
     "ingest_file_name", "ingest_md5", "ingest_order_actions",
     "ingest_parser_input", "ingest_pipeline_e2e", "ingest_results_report",
     "ingest_s3_prefix", "ingest_slugify", "ingest_update_actions",
@@ -272,23 +276,30 @@ register(
 _ND = "WITH " + ingest.NEW_DOCS_CTE.strip()
 _UP = "WITH " + ingest.UPDATES_CTE.strip()
 
-# shared content-type detection SQL (mirrors functions/content.py)
-_CT_SQL = """
+# shared content-type detection SQL (mirrors functions/content.py);
+# parameterized on the url column — the validate/route operators detect
+# against source_url while the fetch stage sniffs against the resolved
+# fetch_url (same 3-stage order either way)
+def _ct_sql(url_col: str = "source_url") -> str:
+    return f"""
     coalesce(
         CASE WHEN starts_with(head_hex, '25504446') THEN 'application/pdf'
              WHEN starts_with(head_hex, 'D0CF11E0A1B11AE1') THEN 'application/msword'
              WHEN starts_with(head_hex, '504B0304')
                THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
         END,
-        CASE WHEN source_url LIKE '%.pdf'  THEN 'application/pdf'
-             WHEN source_url LIKE '%.html' THEN 'text/html'
-             WHEN source_url LIKE '%.docx'
+        CASE WHEN {url_col} LIKE '%.pdf'  THEN 'application/pdf'
+             WHEN {url_col} LIKE '%.html' THEN 'text/html'
+             WHEN {url_col} LIKE '%.docx'
                THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
-             WHEN source_url LIKE '%.doc'  THEN 'application/msword'
+             WHEN {url_col} LIKE '%.doc'  THEN 'application/msword'
         END,
         trim(split_part(coalesce(header, ''), ';', 1))
     )
 """
+
+
+_CT_SQL = _ct_sql()
 
 _URL_OK_SQL = r"""
     CASE WHEN source_url IS NULL THEN TRUE
@@ -645,7 +656,242 @@ register("ingest_pipeline_e2e", ingest.ingest_pipeline_e2e, _E2E_SQL)
 # routing are pytest-asserted instead.
 from navigator_data_ingest_spark.operators import fetch as fetch_op
 
-register("ingest_download_fetch", fetch_op.ingest_download_fetch, None)
+def _fetch_manifest_sql() -> str:
+    """Full-row DuckDB oracle for ingest_download_fetch.
+
+    Everything the stub fetch/convert emits is a pure function of
+    (fetch_url, head_hex, header, name, geography, publication_ts): the
+    failure model and payload filler derive from md5(fetch_url), the
+    filler is ASCII hex chars (so VARCHAR-only DuckDB md5 can hash the
+    reconstructed payload), and the converted-PDF bytes are the
+    deterministic minipdf serialization — reconstructed here as one
+    string-concat program (objects -> byte offsets -> xref -> trailer),
+    byte-identical to functions/minipdf.py's writer. The md5/length of
+    that string IS the md5/n_bytes of the operator's converted content.
+    """
+    from navigator_data_ingest_spark.functions import minipdf
+
+    lit = lambda s: "'" + s.replace("'", "''") + "'"  # noqa: E731
+    nl = "\n"
+    mx = fetch_op.MAX_ATTEMPTS
+
+    # -- fixed PDF segments (objects 1-4 and 6 don't depend on the row)
+    segs = {
+        1: "<< /Type /Catalog /Pages 2 0 R >>",
+        2: "<< /Type /Pages /Kids [4 0 R 6 0 R] /Count 2 >>",
+        3: "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        4: (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {minipdf.PAGE_W} "
+            f"{minipdf.PAGE_H}] /Resources << /Font << /F1 3 0 R >> >> "
+            "/Contents 5 0 R >>"
+        ),
+        6: (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {minipdf.PAGE_W} "
+            f"{minipdf.PAGE_H}] /Resources << /Font << /F1 3 0 R >> >> "
+            "/Contents 7 0 R >>"
+        ),
+    }
+    seg_sql = {
+        n: lit(f"{n} 0 obj{nl}{body}{nl}endobj{nl}") for n, body in segs.items()
+    }
+    pdf_header = lit("%PDF-1.7" + nl)
+    td_y = minipdf.PAGE_H - minipdf.MARGIN - minipdf.FONT_SIZE
+    stream_prefix = (
+        f"BT /F1 {minipdf.FONT_SIZE} Tf {minipdf.LEADING} TL "
+        f"{minipdf.MARGIN} {td_y} Td"
+    )
+
+    # -- watermark text constants (paragraph 2 line 1 and paragraph 3
+    # wrap to FIXED lines; paragraph 1 depends on the url length and
+    # paragraph 2's second line on the formatted date)
+    p2l1 = minipdf._esc(
+        "This PDF was created by Climate Policy Radar "
+        "(climatepolicyradar.org) on"
+    )
+    p3_lines = minipdf.wrap_text(
+        "For non-commercial use only. Reach out to us at "
+        "support@climatepolicyradar.org if you have any enquiries."
+    )
+    p3_tj = " T* ".join(f"({minipdf._esc(l)}) Tj" for l in p3_lines)
+    # greedy wrap puts para 1 on one line iff
+    # len('Original publicly accessible source: ') + len(url) + 1 <= 73
+    p1_budget = minipdf.WRAP_COLS - len("Original publicly accessible source: ") - 1
+
+    # -- decoded ascii heads (binary doc/docx heads are always converted,
+    # so their raw payload never needs reconstructing)
+    head_decode = " ".join(
+        f"WHEN {lit(h)} THEN {lit(bytes.fromhex(h).decode('ascii'))}"
+        for h in ingest.HEAD_HEXES
+        if all(0x20 <= b < 0x7F or b in (0x09, 0x0A, 0x0D) for b in bytes.fromhex(h))
+    )
+
+    supported = (
+        "('application/pdf', 'text/html', "
+        "'application/vnd.openxmlformats-officedocument.wordprocessingml.document', "
+        "'application/msword')"
+    )
+    converted = (
+        "('text/html', "
+        "'application/vnd.openxmlformats-officedocument.wordprocessingml.document', "
+        "'application/msword')"
+    )
+
+    return _ND + f""",
+    work AS (
+        SELECT import_id, name, geography, publication_ts, header, head_hex,
+               coalesce(nullif(download_url, ''), nullif(source_url, '')) AS fetch_url
+        FROM new_docs
+        WHERE coalesce(nullif(download_url, ''), nullif(source_url, '')) IS NOT NULL
+    ), seeds AS (
+        SELECT *, md5(fetch_url) AS hx,
+               regexp_extract(fetch_url, '^[a-z]+://([^/]+)', 1) AS domain,
+               ('0x' || substr(md5(fetch_url), 1, 8))::bigint  AS s04,
+               ('0x' || substr(md5(fetch_url), 9, 8))::bigint  AS s48,
+               ('0x' || substr(md5(fetch_url), 9, 2))::bigint  AS s4,
+               ('0x' || substr(md5(fetch_url), 11, 2))::bigint AS s5,
+               ('0x' || substr(md5(fetch_url), 13, 2))::bigint AS s6,
+               ('0x' || substr(md5(fetch_url), 19, 2))::bigint AS s9,
+               ('0x' || substr(md5(fetch_url), 21, 2))::bigint AS s10,
+               ('0x' || substr(md5(fetch_url), 23, 2))::bigint AS s11,
+               ('0x' || substr(md5(fetch_url), 25, 2))::bigint AS s12
+        FROM work
+    ), plan AS (
+        SELECT *,
+               CASE WHEN s04 % 29 = 0 THEN 'permanent'
+                    WHEN s48 % 13 = 0 THEN 'transient' ELSE 'ok' END AS kind,
+               CASE WHEN s04 % 29 <> 0 AND s48 % 13 = 0
+                    THEN 1 + s9 % 5 ELSE 0 END AS n_fail,
+               CASE s12 % 3 WHEN 0 THEN 'http_503'
+                            WHEN 1 THEN 'connect_timeout'
+                            ELSE 'read_timeout' END AS tkind,
+               CASE WHEN s10 % 11 = 0 THEN 1 + s11 % 3 ELSE 0 END AS hseed
+        FROM seeds
+    ), outcome AS (
+        SELECT *,
+               CASE WHEN kind = 'permanent' THEN 404
+                    WHEN kind = 'transient' AND n_fail >= {mx}
+                      THEN CASE WHEN tkind = 'http_503' THEN 503 ELSE 0 END
+                    ELSE 200 END AS status,
+               CASE WHEN kind = 'transient' THEN least(n_fail + 1, {mx})
+                    ELSE 1 END AS attempts,
+               CASE WHEN kind = 'permanent' THEN 'http_404'
+                    WHEN kind = 'transient' AND n_fail >= {mx} THEN tkind
+                    END AS error_kind,
+               CASE WHEN kind = 'permanent' OR
+                         (kind = 'transient' AND n_fail >= {mx})
+                    THEN 0 ELSE hseed END AS redirects,
+               CASE WHEN kind = 'permanent' THEN 10 + s5 % 90
+                    WHEN kind = 'transient' AND n_fail >= {mx} THEN
+                        CASE tkind WHEN 'http_503' THEN 5 + s5 % 45
+                                   WHEN 'connect_timeout' THEN 3 + s5 % 20
+                                   ELSE 30 + s5 % 200 END
+                    ELSE 20 + s5 % 480 + 15 * hseed END AS elapsed_ms
+        FROM plan
+    ), payload AS (
+        SELECT *,
+               substr(repeat(hx, (64 + s4 % 192)::int), 1,
+                      (1024 + s6 % 4096)::int) AS filler,
+               CASE head_hex {head_decode} END AS head_str,
+               {_ct_sql("fetch_url")} AS ct
+        FROM outcome
+    ), ident AS (
+        SELECT *,
+               md5(lower(head_hex) || lower(hex(filler))) AS src_hex_md5,
+               length(head_hex) // 2 + length(filler) AS src_len,
+               strftime(publication_ts, '%d %B %Y') AS wm_date
+        FROM payload
+    ), streams AS (
+        SELECT *,
+               {lit(stream_prefix + " (CONVERTED-FROM: ")} || ct ||
+               {lit(") Tj T* (SOURCE-HEX-MD5: ")} || src_hex_md5 ||
+               {lit(") Tj T* (SOURCE-BYTES-LEN: ")} || src_len::varchar ||
+               {lit(") Tj ET")} AS stream1,
+               {lit(stream_prefix + " ")} ||
+               CASE WHEN length(fetch_url) <= {p1_budget}
+                    THEN '(Original publicly accessible source: ' ||
+                         fetch_url || '.) Tj'
+                    ELSE '(Original publicly accessible source:) Tj T* (' ||
+                         fetch_url || '.) Tj' END ||
+               ' T* () Tj T* ({p2l1}) Tj T* (' || wm_date ||
+               '.) Tj T* () Tj T* ' || {lit(p3_tj)} || ' ET' AS stream2
+        FROM ident
+    ), pdfdoc AS (
+        SELECT *,
+               {pdf_header} || {seg_sql[1]} || {seg_sql[2]} || {seg_sql[3]} ||
+               {seg_sql[4]} ||
+               '5 0 obj{nl}<< /Length ' || length(stream1)::varchar ||
+               ' >>{nl}stream{nl}' || stream1 || '{nl}endstream{nl}endobj{nl}' ||
+               {seg_sql[6]} ||
+               '7 0 obj{nl}<< /Length ' || length(stream2)::varchar ||
+               ' >>{nl}stream{nl}' || stream2 || '{nl}endstream{nl}endobj{nl}'
+                   AS body_str
+        FROM streams
+    ), assembled AS (
+        SELECT *,
+               body_str || 'xref{nl}0 8{nl}0000000000 65535 f {nl}' ||
+               lpad(length({pdf_header})::varchar, 10, '0') || ' 00000 n {nl}' ||
+               lpad((length({pdf_header}) + length({seg_sql[1]}))::varchar, 10, '0') || ' 00000 n {nl}' ||
+               lpad((length({pdf_header}) + length({seg_sql[1]}) + length({seg_sql[2]}))::varchar, 10, '0') || ' 00000 n {nl}' ||
+               lpad((length({pdf_header}) + length({seg_sql[1]}) + length({seg_sql[2]}) + length({seg_sql[3]}))::varchar, 10, '0') || ' 00000 n {nl}' ||
+               lpad((length({pdf_header}) + length({seg_sql[1]}) + length({seg_sql[2]}) + length({seg_sql[3]}) + length({seg_sql[4]}))::varchar, 10, '0') || ' 00000 n {nl}' ||
+               lpad((length({pdf_header}) + length({seg_sql[1]}) + length({seg_sql[2]}) + length({seg_sql[3]}) + length({seg_sql[4]}) +
+                     length('5 0 obj{nl}<< /Length ' || length(stream1)::varchar || ' >>{nl}stream{nl}' || stream1 || '{nl}endstream{nl}endobj{nl}'))::varchar, 10, '0') || ' 00000 n {nl}' ||
+               lpad((length(body_str) - length('7 0 obj{nl}<< /Length ' || length(stream2)::varchar || ' >>{nl}stream{nl}' || stream2 || '{nl}endstream{nl}endobj{nl}'))::varchar, 10, '0') || ' 00000 n {nl}' ||
+               'trailer{nl}<< /Size 8 /Root 1 0 R >>{nl}startxref{nl}' ||
+               length(body_str)::varchar || '{nl}%%EOF{nl}' AS pdf_str
+        FROM pdfdoc
+    ), manifest AS (
+        SELECT *,
+               ct IN {supported} AS is_supported,
+               ct IN {converted} AS is_converted,
+               CASE WHEN status <> 200 THEN NULL
+                    WHEN ct = 'text/html' THEN 'application/pdf'
+                    ELSE ct END AS content_type_out,
+               CASE WHEN status <> 200 THEN 0::bigint
+                    WHEN ct IN {converted} THEN length(pdf_str)::bigint
+                    ELSE (length(head_hex) // 2 + length(filler))::bigint
+                    END AS n_bytes,
+               CASE WHEN status <> 200 THEN NULL
+                    WHEN ct IN {converted} THEN md5(pdf_str)
+                    ELSE md5(head_str || filler) END AS md5_sum,
+               CASE WHEN status <> 200 THEN 'DownloadError'
+                    WHEN ct NOT IN {supported}
+                      THEN 'UnsupportedContentTypeError' END AS error
+        FROM assembled
+    ), named AS (
+        SELECT *,
+               geography || '/' || year(publication_ts)::varchar AS prefix,
+               {_SLUG_SQL} AS slug
+        FROM manifest
+    ), trimmed AS (
+        SELECT *,
+               substr(slug, 1,
+                      list_filter(generate_series(least(length(slug), 200), 0, -5),
+                                  k -> strlen(substr(slug, 1, k)) <= 200)[1]
+               ) AS fs_trimmed
+        FROM named
+    )
+    SELECT import_id, domain, status::int AS status, attempts::int AS attempts,
+           ({fetch_op.BACKOFF_BASE_MS} * ((1::bigint << (attempts - 1)) - 1))::int
+               AS backoff_ms,
+           elapsed_ms::int AS elapsed_ms, redirects::int AS redirects,
+           error_kind, content_type_out AS content_type, n_bytes, md5_sum,
+           CASE WHEN error IS NULL THEN
+               prefix || '/' ||
+               substr(fs_trimmed, 1,
+                      1024 - length(prefix) - length('.pdf') - length(md5_sum) - 2)
+               || '_' || md5_sum || '.pdf' END AS cdn_object,
+           error
+    FROM trimmed ORDER BY import_id
+    """
+
+
+register(
+    "ingest_download_fetch",
+    fetch_op.ingest_download_fetch,
+    _fetch_manifest_sql(),
+    front=True,
+)
 
 register(
     "ingest_fetch_retry",
@@ -663,7 +909,8 @@ register(
         SELECT import_id,
                ('0x' || substr(md5(fetch_url), 1, 8))::bigint  AS s04,
                ('0x' || substr(md5(fetch_url), 9, 8))::bigint  AS s48,
-               ('0x' || substr(md5(fetch_url), 19, 2))::bigint AS s9
+               ('0x' || substr(md5(fetch_url), 19, 2))::bigint AS s9,
+               ('0x' || substr(md5(fetch_url), 25, 2))::bigint AS s12
         FROM work WHERE fetch_url IS NOT NULL
     ), plan AS (
         SELECT import_id,
@@ -671,12 +918,15 @@ register(
                     WHEN s48 % 13 = 0 THEN 'transient'
                     ELSE 'ok' END AS kind,
                CASE WHEN s04 % 29 <> 0 AND s48 % 13 = 0
-                    THEN 1 + s9 % 5 ELSE 0 END AS n_fail
+                    THEN 1 + s9 % 5 ELSE 0 END AS n_fail,
+               s12 % 3 AS tk
         FROM seeds
     ), outcome AS (
         SELECT import_id,
                CASE WHEN kind = 'permanent' THEN 404
-                    WHEN kind = 'transient' AND n_fail >= {fetch_op.MAX_ATTEMPTS} THEN {fetch_op.RETRYABLE_STATUS}
+                    WHEN kind = 'transient' AND n_fail >= {fetch_op.MAX_ATTEMPTS}
+                      THEN CASE WHEN tk = 0 THEN {fetch_op.RETRYABLE_STATUS}
+                                ELSE {fetch_op.STATUS_NO_RESPONSE} END
                     ELSE 200 END AS status,
                CASE WHEN kind = 'transient'
                     THEN least(n_fail + 1, {fetch_op.MAX_ATTEMPTS})
@@ -4024,6 +4274,21 @@ register(
     "q_pandas_udf_scalar",
     textstats.q_pandas_udf_scalar,
     textstats.q_pandas_udf_scalar_sql(),
+)
+
+# Arrow-native rungs (round 4): mapInArrow scalar + applyInArrow grouped
+register(
+    "q_map_in_arrow",
+    textstats.q_map_in_arrow,
+    textstats.q_map_in_arrow_sql(),
+    front=True,
+)
+
+register(
+    "q_apply_in_arrow",
+    textstats.q_apply_in_arrow,
+    textstats.q_apply_in_arrow_sql(),
+    front=True,
 )
 
 

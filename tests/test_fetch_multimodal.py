@@ -31,7 +31,7 @@ def test_fetch_results_routing(spark):
     rows = df.collect()
     assert len(rows) > 0
     by_status = {r.status for r in rows}
-    assert by_status <= {200, 404, 503}
+    assert by_status <= {0, 200, 404, 503}
     for r in rows:
         if r.status != 200:
             assert r.error == "DownloadError" and r.cdn_object is None
@@ -87,23 +87,37 @@ def test_fetch_retry_paths():
             break
     assert set(found) == {"ok", "permanent", "recover", "exhaust"}
 
-    status, _, _, attempts, backoff = _fetch_with_retry(found["ok"][0], "25504446")
-    assert (status, attempts, backoff) == (200, 1, 0)
+    status, _, _, attempts, backoff, hops, err = _fetch_with_retry(
+        found["ok"][0], "25504446"
+    )
+    assert (status, attempts, backoff, err) == (200, 1, 0, None)
 
-    status, content, _, attempts, backoff = _fetch_with_retry(
+    status, content, _, attempts, backoff, hops, err = _fetch_with_retry(
         found["permanent"][0], "25504446"
     )
     assert (status, content, attempts, backoff) == (404, b"", 1, 0)
+    assert err == "http_404" and hops == 0
 
     url, n_fail = found["recover"]
-    status, content, _, attempts, backoff = _fetch_with_retry(url, "25504446")
-    assert status == 200 and len(content) > 0
+    status, content, _, attempts, backoff, hops, err = _fetch_with_retry(
+        url, "25504446"
+    )
+    assert status == 200 and len(content) > 0 and err is None
     assert attempts == n_fail + 1
     assert backoff == BACKOFF_BASE_MS * (2 ** n_fail - 1)
 
     url, n_fail = found["exhaust"]
-    status, content, _, attempts, backoff = _fetch_with_retry(url, "25504446")
-    assert status == RETRYABLE_STATUS and content == b""
+    status, content, _, attempts, backoff, hops, err = _fetch_with_retry(
+        url, "25504446"
+    )
+    # the exhausted kind decides the terminal status: a 503 response or
+    # no response at all (connect/read timeout)
+    from navigator_data_ingest_spark.operators.fetch import (
+        STATUS_NO_RESPONSE,
+        TRANSIENT_KINDS,
+    )
+    assert err in TRANSIENT_KINDS and content == b""
+    assert status == (RETRYABLE_STATUS if err == "http_503" else STATUS_NO_RESPONSE)
     assert attempts == MAX_ATTEMPTS
     assert backoff == BACKOFF_BASE_MS * (2 ** (MAX_ATTEMPTS - 1) - 1)
 
@@ -114,11 +128,11 @@ def test_fetch_dead_letter_routing(spark):
     from navigator_data_ingest_spark.operators.fetch import ingest_fetch_retry
 
     retry = ingest_fetch_retry(spark, SF_SMOKE).collect()
-    assert {r.status for r in retry} <= {200, 404, 503}
-    assert any(r.status == 503 for r in retry), "no exhausted-retry rows in corpus"
+    assert {r.status for r in retry} <= {0, 200, 404, 503}
+    assert any(r.status in (0, 503) for r in retry), "no exhausted-retry rows in corpus"
     for r in retry:
         assert r.dead_letter == (r.status != 200)
-        if r.status == 503:
+        if r.status in (0, 503):
             assert r.attempts == 4 and r.backoff_ms == 1750
         if r.status == 404:
             assert r.attempts == 1 and r.backoff_ms == 0

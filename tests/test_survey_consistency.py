@@ -65,12 +65,16 @@ def test_registry_rotation_puts_uncertified_queries_first():
     then never-driver-certified ones, with already-certified names
     last — so the hard gate walks the whole surface across rounds."""
     order = list(registry.queries())
+    # certification wins over a stale front flag (a certified name must
+    # rotate to the back even if its register() call says front=True)
     ranks = [
-        0 if n in registry._FRONT
-        else (2 if n in registry._DRIVER_CERTIFIED else 1)
+        2 if n in registry._DRIVER_CERTIFIED
+        else (0 if n in registry._FRONT else 1)
         for n in order
     ]
     assert ranks == sorted(ranks), "emission order broke the rotation"
-    assert ranks[0] == 0 and ranks[-1] == 2
-    # every round-3 front query sits inside the driver's 50-name window
-    assert len(registry._FRONT) <= 50 or ranks[49] == 0
+    assert ranks[-1] == 2
+    # the driver's 50-name window must contain ONLY never-certified names
+    assert all(r < 2 for r in ranks[:50]), (
+        "already-certified names inside the driver sample window"
+    )
