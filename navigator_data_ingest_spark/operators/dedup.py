@@ -400,7 +400,8 @@ def _with_simhash(docs: DataFrame) -> DataFrame:
 
 def simhash_pairs(docs: DataFrame) -> DataFrame:
     """SimHash near-dup pairs over any (doc_id, text) DataFrame:
-    4×16-bit band blocking + full 64-bit hamming verify.
+    exact-signature collapse, then 4×16-bit band blocking + full 64-bit
+    hamming verify on DISTINCT signatures, then member expansion.
 
     Bands 0-1 slice sim_lo, bands 2-3 slice sim_hi — 65,536 possible
     values per band, so bucket population stays O(n / distinct-band-
@@ -408,11 +409,31 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
     total buckets — quadratic in-bucket pair growth). Hamming <= 3 over
     4 bands guarantees at least one exactly-matching band (pigeonhole),
     so banding finds every qualifying pair.
+
+    The collapse is the duplicate-explosion defense (hamming depends
+    only on the signatures, so it is EXACT): a group of d identical
+    payloads contributes ONE rep to the banded self-join instead of d —
+    the old per-doc plan shuffled d band rows per member and verified
+    C(d, 2) in-group candidates 4x over (then paid a distinct to drop
+    the repeats). Member pairs come back from a pure integer join whose
+    cardinality is the output itself: cross-group near pairs expand
+    both groups' member lists once (orientation normalized by
+    least/greatest), within-group pairs ride the group's self pair at
+    hamming 0.
     """
     spark = docs.sparkSession
     sig = _with_simhash(scatter(spark, docs)).select("doc_id", "sim_hi", "sim_lo")
-    bands = sig.select(
-        "doc_id",
+    gw = Window.partitionBy("sim_hi", "sim_lo")
+    members = (
+        sig.withColumn("gid", F.min("doc_id").over(gw))
+        # reused by the rep pipeline and both sides of the expansion
+        .localCheckpoint()
+    )
+    reps = members.where(F.col("doc_id") == F.col("gid")).select(
+        "gid", "sim_hi", "sim_lo"
+    )
+    bands = reps.select(
+        "gid",
         "sim_hi",
         "sim_lo",
         F.explode(
@@ -426,26 +447,46 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
                 for bb in range(4)
             ])
         ).alias("band"),
-    ).select("doc_id", "sim_hi", "sim_lo", "band.band_id", "band.band_val")
+    ).select("gid", "sim_hi", "sim_lo", "band.band_id", "band.band_val")
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.gid") < F.col("b.gid")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.gid").alias("gid_a"),
+            F.col("b.gid").alias("gid_b"),
             F.expr(
-                "bit_count(a.sim_hi ^ b.sim_hi) + bit_count(a.sim_lo ^ b.sim_lo)"
+                "cast(bit_count(a.sim_hi ^ b.sim_hi)"
+                " + bit_count(a.sim_lo ^ b.sim_lo) as int)"
             ).alias("hamming"),
         )
-        .distinct()
+        .distinct()  # rep-level: a pair found by several bands collapses here
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
-    return pairs.where(F.col("hamming") <= SIMHASH_MAX_HAMMING).orderBy(
-        "doc_a", "doc_b"
+    self_pairs = reps.select(
+        F.col("gid").alias("gid_a"),
+        F.col("gid").alias("gid_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    near = rep_pairs.unionByName(self_pairs)
+    ma = members.select(F.col("doc_id").alias("da"), F.col("gid").alias("gid_a"))
+    mb = members.select(F.col("doc_id").alias("db"), F.col("gid").alias("gid_b"))
+    return (
+        ma.join(near, "gid_a")
+        .join(mb, "gid_b")
+        # cross-group pairs appear exactly once (fixed group sides);
+        # self pairs need the a < b filter to drop diagonal/reversed
+        .where((F.col("gid_a") != F.col("gid_b")) | (F.col("da") < F.col("db")))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+        .orderBy("doc_a", "doc_b")
     )
 
 

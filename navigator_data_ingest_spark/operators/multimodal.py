@@ -22,7 +22,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from navigator_data_ingest_spark.sources.tables import load_table, scatter
@@ -258,28 +258,39 @@ def phash_neardup_pairs(raw_docs: DataFrame) -> DataFrame:
     payload edits flip few pixel bits and still collide on at least one
     band.
 
-    Scale shape: the 64-bit hash is map-side; candidate pairs come
+    Scale shape: the 64-bit hash is map-side; identical payloads
+    collapse to ONE rep signature first (hamming depends only on the
+    signature, so the collapse is exact — and the duplicate-explosion
+    defense: a d-member group used to shuffle d band rows per member
+    and verify C(d, 2) in-group candidates); candidate REP pairs come
     ONLY from equality on one of 4 16-bit band values (the shuffle key
     is (band_idx, band_val) — high-cardinality, unskewed), the
     banded-signature self-join is the standard LSH layout; the full
-    64-bit hamming distance is verified on candidates and deduped with
-    one (doc_a, doc_b) agg. Never an all-pairs join.
+    64-bit hamming distance is verified on rep candidates and deduped
+    with one (gid_a, gid_b) agg. Member pairs come back from a pure
+    integer expansion join whose cardinality is the output itself
+    (within-group pairs ride the group's self pair at hamming 0).
+    Never an all-pairs join.
     """
     docs = scatter(raw_docs.sparkSession, raw_docs).where(
         F.length("text") > 0
     )
-    banded = docs.select(
-        "doc_id", F.expr(_phash_bands_expr()).alias("bands")
-    ).select("doc_id", "bands", F.posexplode("bands").alias("band_idx", "band_val"))
+    sigs = docs.select("doc_id", F.expr(_phash_bands_expr()).alias("bands"))
+    gw = Window.partitionBy("bands")
+    members = sigs.withColumn("gid", F.min("doc_id").over(gw)).localCheckpoint()
+    reps = members.where(F.col("doc_id") == F.col("gid")).select("gid", "bands")
+    banded = reps.select(
+        "gid", "bands", F.posexplode("bands").alias("band_idx", "band_val")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     joined = a.join(
         b,
         (F.col("a.band_idx") == F.col("b.band_idx"))
         & (F.col("a.band_val") == F.col("b.band_val"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        & (F.col("a.gid") < F.col("b.gid")),
     ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.gid").alias("gid_a"),
+        F.col("b.gid").alias("gid_b"),
         F.col("a.bands").alias("ba"),
         F.col("b.bands").alias("bb"),
     )
@@ -287,11 +298,29 @@ def phash_neardup_pairs(raw_docs: DataFrame) -> DataFrame:
         "aggregate(zip_with(ba, bb, (x, y) -> cast(bit_count(x ^ y) as bigint)), "
         "0L, (acc, v) -> acc + v)"
     )
-    return (
+    rep_pairs = (
         joined.withColumn("hamming", ham)
-        .groupBy("doc_a", "doc_b")
+        .groupBy("gid_a", "gid_b")
         .agg(F.min("hamming").alias("hamming"))
         .where(F.col("hamming") <= PHASH_HAM_T)
+    )
+    self_pairs = reps.select(
+        F.col("gid").alias("gid_a"),
+        F.col("gid").alias("gid_b"),
+        F.lit(0).cast("bigint").alias("hamming"),
+    )
+    near = rep_pairs.unionByName(self_pairs)
+    ma = members.select(F.col("doc_id").alias("da"), F.col("gid").alias("gid_a"))
+    mb = members.select(F.col("doc_id").alias("db"), F.col("gid").alias("gid_b"))
+    return (
+        ma.join(near, "gid_a")
+        .join(mb, "gid_b")
+        .where((F.col("gid_a") != F.col("gid_b")) | (F.col("da") < F.col("db")))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
         .orderBy("doc_a", "doc_b")
     )
 

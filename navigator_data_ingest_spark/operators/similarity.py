@@ -805,34 +805,62 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding space, then drop the later member of every within-cell
     near-duplicate pair (cosine >= SEM_TAU, keep-lowest-vec_id).
 
-    Candidate generation is the composition of BOTH bounding levers:
-    the IVF centroid cell (bounded K — the same deterministic seeding
-    as sim_search_ivf, so one n x K broadcast scoring pass) refined by
-    the hyperplane sign bucket, so the pair join keys on
-    (cell, bucket) and in-cell candidate sets shrink by 2^N_PLANES.
-    At 100 TB the knob is N_PLANES: each added plane halves expected
-    cell population for one more fold component per vector — unlike a
-    fixed band table, the bucket space GROWS with the corpus (the
-    dedup_simhash round-2 lesson). Exact cosine verifies every
-    candidate; output is the per-vector keep/drop audit (``n_near`` =
-    earlier near-dups that caused the drop).
+    Candidate generation composes THREE bounding levers:
+
+    1. EXACT-PAYLOAD COLLAPSE first (the production funnel's opening
+       stage): vectors group by identical embedding, and everything
+       expensive — the n x K centroid scoring, the bucket fold, the
+       64-term cosine verify — runs once per DISTINCT payload. On a
+       duplicate-heavy corpus (the 100x explosion probe: every vector
+       replicated 100x) the old per-member plan verified C(100,2)
+       cosines per group; collapsed, one rep pair carries them all and
+       per-member results come back by integer arithmetic. Cosine is a
+       pure function of the embedding, so the collapse is EXACT — the
+       DuckDB oracle is unchanged.
+    2. The IVF centroid cell (bounded K — the same deterministic
+       seeding as sim_search_ivf), refined by
+    3. the hyperplane sign bucket, so the rep pair join keys on
+       (cell, bucket) and in-cell candidate sets shrink by 2^N_PLANES.
+       At 100 TB the knob is N_PLANES: each added plane halves expected
+       cell population for one more fold component per rep.
+
+    Output is the per-vector keep/drop audit (``n_near`` = earlier
+    near-dups that caused the drop): member b's count = over every
+    group g' whose rep is near b's rep (same (cell, bucket), cosine >=
+    SEM_TAU; b's own group counts via its self-pair, cosine 1), the
+    number of g' members with a smaller vec_id — a members x near-rel x
+    members integer join whose row count is the true near-pair count
+    (the output's own lower bound), with map-side partial counting.
     """
     raw = load_table(spark, sf_dir, "embeddings")
     e = scatter(spark, raw)
+    # exact-payload groups: one shuffle on the embedding, gid = lowest
+    # member id; reps are the gid rows (they carry the payload once)
+    gw = Window.partitionBy("embedding")
+    members = (
+        e.select("vec_id", "embedding")
+        .withColumn("gid", F.min("vec_id").over(gw))
+        # reused by the rep pipeline, both sides of the count join and
+        # the final audit join — pin the grouped pass
+        .localCheckpoint()
+    )
+    reps = members.where(F.col("vec_id") == F.col("gid")).select(
+        "gid", "embedding"
+    )
     cents = centroid_stripe(e, raw).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
     ccos = _cos("embedding", "cvec")
-    # argmax(cos) per vector as a map-side min(struct) partial aggregate
-    # (the emb_kmeans pattern): the shuffle carries ONE row per vector,
-    # not the n x K scored grid a ranking window would shuffle; the
+    # argmax(cos) per rep as a map-side min(struct) partial aggregate
+    # (the emb_kmeans pattern): the shuffle carries ONE row per rep,
+    # not the reps x K scored grid a ranking window would shuffle; the
     # (-cos, centroid_id) struct order equals the (cos DESC, id ASC)
-    # window rank, and embedding rides as payload (ids are unique, so
+    # window rank, and embedding rides as payload (gids are unique, so
     # the comparison never reaches it)
     assign = (
-        e.join(F.broadcast(cents))
-        .select("vec_id", "embedding", "centroid_id", ccos.alias("_ccos"))
-        .groupBy("vec_id")
+        reps.join(F.broadcast(cents))
+        .select("gid", "embedding", "centroid_id", ccos.alias("_ccos"))
+        .groupBy("gid")
         .agg(
             F.min(
                 F.struct(
@@ -843,33 +871,32 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("m")
         )
         .select(
-            "vec_id",
+            "gid",
             F.col("m.emb").alias("embedding"),
             F.col("m.cid").alias("cell"),
         )
         .withColumn("bucket", F.expr(_bucket_expr("embedding")))
-        # vector norm materialized THROUGH the checkpoint: the pair
-        # stage's cosine then divides by stored norms instead of
-        # re-inlining two more 64-term chains per pair (keeps the pair
-        # stage's codegen unit small)
+        # rep norm materialized THROUGH the checkpoint: the pair stage's
+        # cosine then divides by stored norms instead of re-inlining two
+        # more 64-term chains per pair (keeps its codegen unit small)
         .withColumn(
             "nrm",
             F.sqrt(F.expr(X.sp_fold_dot("embedding", "embedding", EMB_DIM))),
         )
-        # the pair join and the drop-audit join both re-read the
-        # assignment; pin the (1-row-per-vector) result so the n x K
-        # scoring pass runs once, not three times
+        # the near-rel self-join reads it twice and the audit join once;
+        # pin the (1-row-per-rep) result so the reps x K scoring pass
+        # runs once, not three times
         .localCheckpoint()
     )
-    a = assign.select(
-        F.col("vec_id").alias("vec_a"),
+    ga = assign.select(
+        F.col("gid").alias("gid_a"),
         F.col("embedding").alias("ea"),
         F.col("nrm").alias("nrm_a"),
         "cell",
         "bucket",
     )
-    b = assign.select(
-        F.col("vec_id").alias("vec_b"),
+    gb = assign.select(
+        F.col("gid").alias("gid_b"),
         F.col("embedding").alias("eb_"),
         F.col("nrm").alias("nrm_b"),
         F.col("cell").alias("cell_b"),
@@ -878,20 +905,34 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pcos = F.expr(X.sp_fold_dot("ea", "eb_", EMB_DIM)) / (
         F.col("nrm_a") * F.col("nrm_b")
     )
-    near = (
-        a.join(
-            b,
+    # ordered near relation over rep pairs, INCLUDING the self pair
+    # (cos(rep, rep) = 1 >= tau covers within-group duplicates): which
+    # groups contribute earlier-id members to b's count
+    near_rel = (
+        ga.join(
+            gb,
             (F.col("cell") == F.col("cell_b"))
-            & (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
+            & (F.col("bucket") == F.col("bucket_b")),
         )
-        .select("vec_b", pcos.alias("_c"))
-        .where(F.col("_c") >= SEM_TAU)
+        .where(pcos >= SEM_TAU)
+        .select("gid_a", "gid_b")
+    )
+    # per-member expansion: pure integer join (no vector payloads), its
+    # cardinality the true near-pair count, counted with partial aggs
+    mb = members.select(F.col("vec_id").alias("vec_b"), F.col("gid").alias("gid_b"))
+    ma = members.select(F.col("vec_id").alias("vec_a"), F.col("gid").alias("gid_a"))
+    counts = (
+        mb.join(near_rel, "gid_b")
+        .join(ma, "gid_a")
+        .where(F.col("vec_a") < F.col("vec_b"))
         .groupBy("vec_b")
         .agg(F.count(F.lit(1)).alias("n_near"))
     )
     return (
-        assign.join(near, assign["vec_id"] == near["vec_b"], "left")
+        members.join(
+            assign.select("gid", "cell", "bucket"), "gid"
+        )
+        .join(counts, members["vec_id"] == counts["vec_b"], "left")
         .select(
             "vec_id",
             "cell",

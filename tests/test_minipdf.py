@@ -54,7 +54,11 @@ def test_convert_to_pdf_roundtrip():
     pages, _ = minipdf.pdf_pages(out)
     import hashlib
 
-    assert f"SOURCE-BYTES-MD5: {hashlib.md5(raw).hexdigest()}" in pages[0]
+    # the provenance fingerprint hashes the HEX of the source bytes
+    # (replayable by text-only hash engines — see fetch._convert_to_pdf)
+    assert (
+        f"SOURCE-HEX-MD5: {hashlib.md5(raw.hex().encode()).hexdigest()}" in pages[0]
+    )
     assert f"SOURCE-BYTES-LEN: {len(raw)}" in pages[0]
     assert any("Original publicly accessible source" in ln for ln in pages[1])
 
