@@ -1976,3 +1976,101 @@ def corpus_ngram_novelty_sql() -> str:
     FROM grams gr JOIN first f ON gr.g = f.g
     GROUP BY gr.doc_id ORDER BY gr.doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# bigram-LM surprisal filter (the n-gram perplexity quality gate)
+# --------------------------------------------------------------------------
+
+PPLX_DROP_ODDS_PERMILLE = 60_000  # mean head_total/c odds above this drop
+
+
+def corpus_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram surprisal scoring against the corpus bigram
+    LM — the classic perplexity quality filter (CCNet/KenLM style):
+    documents whose bigrams are consistently IMPROBABLE under the
+    corpus model (boilerplate soup, shuffled tokens, wrong-language
+    fragments) score high and are dropped.
+
+    Integer-exact surprisal proxy (no float log, so the oracle is
+    arithmetic-identical): each bigram's "odds" = head_total div c —
+    the inverse conditional probability, 1 for the head's dominant
+    continuation, large for rare ones — and a document's score is the
+    integer-permille mean odds over its bigrams. ``dropped`` flags
+    scores above PPLX_DROP_ODDS_PERMILLE.
+
+    Scale shape: the LM (bigram counts + head totals, built once from
+    the same adjacent-pair transform as corpus_bigram_lm) joins the
+    per-doc bigram table on the (w1, w2) hash key — both sides shuffled
+    once, no broadcast of a vocab-squared table — then one doc_id
+    aggregation. Heads always exist (every doc's bigrams are in the
+    corpus LM), so the join is inner with no smoothing branch.
+    """
+    pairs = (
+        _tokens_df(spark, sf_dir)
+        .where("size(t) >= 2")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1),"
+                    " (x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        # doc bigrams feed BOTH the LM aggregation and the scoring join;
+        # pin one tokenize/explode pass
+        .localCheckpoint(eager=False)
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    heads = big.groupBy("w1").agg(F.sum("c").alias("head_total"))
+    lm = big.join(heads, "w1").select(
+        "w1", "w2", F.expr("head_total div c").alias("odds")
+    )
+    return (
+        pairs.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("odds").alias("odds_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "odds_sum",
+            F.expr("odds_sum * 1000 div n_bigrams").alias("odds_mean_permille"),
+            F.expr(
+                f"odds_sum * 1000 div n_bigrams > {PPLX_DROP_ODDS_PERMILLE}"
+            ).alias("dropped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def corpus_perplexity_filter_sql() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {X.dk_tokens('text')} AS t FROM documents
+    ), pairs AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+    ), big AS (
+        SELECT w1, w2, count(*)::bigint AS c FROM pairs GROUP BY w1, w2
+    ), heads AS (
+        SELECT w1, sum(c)::bigint AS head_total FROM big GROUP BY w1
+    ), lm AS (
+        SELECT b.w1, b.w2, h.head_total // b.c AS odds
+        FROM big b JOIN heads h ON b.w1 = h.w1
+    ), scored AS (
+        SELECT p.doc_id, count(*)::bigint AS n_bigrams,
+               sum(l.odds)::bigint AS odds_sum
+        FROM pairs p JOIN lm l ON p.w1 = l.w1 AND p.w2 = l.w2
+        GROUP BY p.doc_id
+    )
+    SELECT doc_id, n_bigrams, odds_sum,
+           (odds_sum * 1000 // n_bigrams)::bigint AS odds_mean_permille,
+           odds_sum * 1000 // n_bigrams > {PPLX_DROP_ODDS_PERMILLE} AS dropped
+    FROM scored ORDER BY doc_id
+    """

@@ -947,8 +947,21 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     when tuning bands/rows.
     """
     docs = load_table(spark, sf_dir, "documents")
-    mod = _recall_mod(docs.count())
-    sample = docs.where(F.col("doc_id") % mod == 0)
+    # plan-side 1-row broadcast modulus (same bounded-by-derivation
+    # discipline as similarity.query_stripe): building the DataFrame
+    # runs no driver job, and the sample stays ~RECALL_SAMPLE_TARGET
+    # docs at any corpus size
+    mdf = F.broadcast(
+        docs.groupBy()
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.greatest(
+                F.lit(RECALL_SAMPLE_MOD_MIN).cast("bigint"),
+                (F.col("_n") / F.lit(RECALL_SAMPLE_TARGET)).cast("bigint"),
+            ).alias("_rmod")
+        )
+    )
+    sample = docs.crossJoin(mdf).where(F.col("doc_id") % F.col("_rmod") == 0)
     sh_expr = X.sp_let(
         "t", X.sp_tokens("text"), f"array_distinct({X.sp_shingles('t')})"
     )
@@ -971,7 +984,9 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         minhash_pairs(docs)
-        .where((F.col("doc_a") % mod == 0) & (F.col("doc_b") % mod == 0))
+        .crossJoin(mdf)
+        .where((F.col("doc_a") % F.col("_rmod") == 0)
+               & (F.col("doc_b") % F.col("_rmod") == 0))
         .select("doc_a", "doc_b")
     )
     hit = truth.join(cand.withColumn("_c", F.lit(1)), ["doc_a", "doc_b"], "left")

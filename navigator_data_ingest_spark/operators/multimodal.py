@@ -445,6 +445,88 @@ def mm_audio_chunk_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# image tile grid (vision-preprocessing spatial chunking)
+# --------------------------------------------------------------------------
+
+IMG_TILE = 224  # ViT-style patch window
+
+
+def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-grid expansion of image assets: each image row expands to
+    its 224x224 tile grid (edge tiles clipped) — the spatial twin of
+    mm_audio_chunk's temporal windows, and the unit a vision
+    preprocessing stage (patch embedding, OCR sharding, SAM tiling)
+    feeds to the decoder. Like the audio op, boundaries are pure
+    METADATA arithmetic on the typed meta struct: the 1->N expansion is
+    a JVM-side ``posexplode(sequence(...))`` and NO payload bytes move
+    — the decode stage consumes (doc_id, x0, y0, x1, y1) spans
+    batch-wise. All integer pixels, so the oracle replays exactly.
+    """
+    media = multimodal_table(spark, sf_dir).where(
+        F.col("meta.modality") == "image"
+    )
+    tiles = media.select(
+        "doc_id",
+        F.col("meta.width").cast("bigint").alias("w"),
+        F.col("meta.height").cast("bigint").alias("h"),
+    ).select(
+        "doc_id",
+        "w",
+        "h",
+        ((F.col("w") + IMG_TILE - 1) / IMG_TILE).cast("bigint").alias("nx"),
+        ((F.col("h") + IMG_TILE - 1) / IMG_TILE).cast("bigint").alias("ny"),
+    ).select(
+        "doc_id",
+        "w",
+        "h",
+        "nx",
+        F.posexplode(F.expr("sequence(0, nx * ny - 1)")).alias("pos", "tile_id"),
+    )
+    x0 = (F.col("tile_id") % F.col("nx")) * IMG_TILE
+    y0 = (F.col("tile_id") / F.col("nx")).cast("bigint") * IMG_TILE
+    return (
+        tiles.select(
+            "doc_id",
+            F.col("tile_id").cast("int").alias("tile_id"),
+            x0.alias("x0"),
+            y0.alias("y0"),
+            F.least(x0 + IMG_TILE, F.col("w")).alias("x1"),
+            F.least(y0 + IMG_TILE, F.col("h")).alias("y1"),
+        )
+        .withColumn("tile_w", F.col("x1") - F.col("x0"))
+        .withColumn("tile_h", F.col("y1") - F.col("y0"))
+        .orderBy("doc_id", "tile_id")
+    )
+
+
+def mm_image_tiles_sql() -> str:
+    return f"""
+    WITH img AS (
+        SELECT doc_id,
+               (128 + doc_id % 1920)::bigint      AS w,
+               (128 + (doc_id * 7) % 1080)::bigint AS h
+        FROM documents WHERE doc_id % 3 = 0
+    ), grid AS (
+        SELECT doc_id, w, h,
+               (w + {IMG_TILE} - 1) // {IMG_TILE} AS nx,
+               (h + {IMG_TILE} - 1) // {IMG_TILE} AS ny
+        FROM img
+    ), tiles AS (
+        SELECT doc_id, w, h, nx, t::int AS tile_id,
+               (t % nx) * {IMG_TILE}  AS x0,
+               (t // nx) * {IMG_TILE} AS y0
+        FROM grid, unnest(generate_series(0, nx * ny - 1)) AS u(t)
+    )
+    SELECT doc_id, tile_id, x0::bigint AS x0, y0::bigint AS y0,
+           least(x0 + {IMG_TILE}, w)::bigint AS x1,
+           least(y0 + {IMG_TILE}, h)::bigint AS y1,
+           (least(x0 + {IMG_TILE}, w) - x0)::bigint AS tile_w,
+           (least(y0 + {IMG_TILE}, h) - y0)::bigint AS tile_h
+    FROM tiles ORDER BY doc_id, tile_id
+    """
+
+
+# --------------------------------------------------------------------------
 # cross-modality coverage audit (documents x embeddings)
 # --------------------------------------------------------------------------
 

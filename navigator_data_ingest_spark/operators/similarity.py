@@ -1281,3 +1281,108 @@ def emb_label_purity_sql() -> str:
                AS purity_permille
     FROM per_label ORDER BY label
     """
+
+
+# --------------------------------------------------------------------------
+# top principal direction via fixed-iteration power method
+# --------------------------------------------------------------------------
+
+PCA_POWER_ITERS = 2
+
+
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud by the power
+    method on the (uncentered) Gram matrix — the representation-
+    collapse diagnostic (one direction soaking up the variance says the
+    embeddings have degenerated) and the first step of any spectral
+    whitening/compression pass, expressed as pure DataFrame ops.
+
+    Determinism (so a SQL oracle can replay it): the start vector is
+    the constant unit vector (every component 1/8 at EMB_DIM=64),
+    exactly PCA_POWER_ITERS multiply-normalize rounds, no centering.
+    Per iteration: s_i = <x_i, v> is an unrolled left-associated fold
+    (codegen) against the 1-row broadcast v; u_j = sum_i s_i * x_ij is
+    EMB_DIM partial aggregates collapsing map-side into ONE row (the
+    emb_centroids explosion-free pattern — never a 64x posexplode of
+    the corpus); v' = u/||u|| stays a 1-row array. Nothing touches the
+    driver; each iteration reads the corpus once. The eigenvalue
+    estimate is ||u|| of the final round (v entering it is unit).
+    """
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = scatter(spark, raw).select(
+        F.col("embedding").cast("array<double>").alias("e")
+    )
+    v0 = "array(" + ", ".join([f"cast(1.0/8.0 as double)"] * EMB_DIM) + ")"
+    vdf = spark.range(1).select(F.expr(v0).alias("v"))
+    nrm = None
+    for _ in range(PCA_POWER_ITERS):
+        scored = e.crossJoin(F.broadcast(vdf.select("v"))).select(
+            "e", F.expr(X.sp_fold_dot("e", "v", EMB_DIM)).alias("s")
+        )
+        u = scored.groupBy().agg(
+            *[
+                F.sum(F.col("s") * F.col("e").getItem(j)).alias(f"u{j}")
+                for j in range(EMB_DIM)
+            ]
+        )
+        sq = F.col("u0") * F.col("u0")
+        for j in range(1, EMB_DIM):
+            sq = sq + F.col(f"u{j}") * F.col(f"u{j}")
+        vdf = (
+            u.withColumn("nrm", F.sqrt(sq))
+            .select(
+                F.array(
+                    *[F.col(f"u{j}") / F.col("nrm") for j in range(EMB_DIM)]
+                ).alias("v"),
+                "nrm",
+            )
+            # plan barrier between iterations (the emb_kmeans pattern):
+            # without it projection collapse inlines the 64-term norm
+            # into every array slot and the next round's fold multiplies
+            # the expression tree again — the optimizer OOMs before any
+            # job runs. Lazy, so building the DataFrame stays job-free.
+            .localCheckpoint(eager=False)
+        )
+    return (
+        vdf.select(F.posexplode("v").alias("pos", "loading"), "nrm")
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            F.round("loading", 6).alias("loading"),
+            F.round("nrm", 6).alias("eigenvalue"),
+        )
+        .orderBy("pos")
+    )
+
+
+def emb_pca_power_sql() -> str:
+    v0 = ", ".join(["(1.0/8.0)::double"] * EMB_DIM)
+    return f"""
+    WITH e AS (
+        SELECT list_transform(embedding, x -> x::double) AS e FROM embeddings
+    ), v0 AS (
+        SELECT j, ([{v0}])[j] AS vj
+        FROM unnest(generate_series(1, {EMB_DIM})) AS g(j)
+    ), s1 AS (
+        SELECT e, (SELECT sum(e[v.j] * v.vj) FROM v0 v) AS s FROM e
+    ), u1 AS (
+        SELECT j, sum(s * e[j]) AS uj
+        FROM s1, unnest(generate_series(1, {EMB_DIM})) AS g(j)
+        GROUP BY j
+    ), n1 AS (
+        SELECT sqrt(sum(uj * uj)) AS nrm FROM u1
+    ), v1 AS (
+        SELECT j, uj / (SELECT nrm FROM n1) AS vj FROM u1
+    ), s2 AS (
+        SELECT e.e, (SELECT sum(e.e[v.j] * v.vj) FROM v1 v) AS s FROM e
+    ), u2 AS (
+        SELECT j, sum(s * e[j]) AS uj
+        FROM s2, unnest(generate_series(1, {EMB_DIM})) AS g(j)
+        GROUP BY j
+    ), n2 AS (
+        SELECT sqrt(sum(uj * uj)) AS nrm FROM u2
+    )
+    SELECT (j - 1)::int AS pos,
+           round(uj / (SELECT nrm FROM n2), 6) AS loading,
+           round((SELECT nrm FROM n2), 6) AS eigenvalue
+    FROM u2 ORDER BY pos
+    """

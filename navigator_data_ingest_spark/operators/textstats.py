@@ -206,22 +206,31 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Corpus-scale layout: one explode-shuffle builds the document
     frequencies, the (small) df table broadcasts back onto the exploded
     terms, and the per-doc top-K is a window rank — no driver-side
-    vocabulary. idf = ln(N / df) with N a scalar literal resolved by a
-    separate tiny count job (at deployment it rides the same scan).
+    vocabulary. idf = ln(N / df) with N a 1-row broadcast aggregate
+    resolved INSIDE the plan (building the DataFrame runs no driver
+    job; at deployment the count rides the same scan).
     """
     from pyspark.sql import Window
 
     docs = scatter(spark, load_table(spark, sf_dir, "documents"))
-    n_docs = docs.count()
+    ndf = F.broadcast(
+        load_table(spark, sf_dir, "documents")
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    )
     tok = docs.select(
         "doc_id", F.explode(F.expr(X.sp_tokens("text"))).alias("token")
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df_tbl), "token").withColumn(
-        "tfidf",
-        F.col("tf").cast("double")
-        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+    scored = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .crossJoin(ndf)
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.log(F.col("_n_docs") / F.col("df").cast("double")),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     return (
@@ -714,4 +723,96 @@ def q_apply_in_arrow_sql() -> str:
     FROM documents
     GROUP BY lang, source
     ORDER BY lang, source
+    """
+
+
+# --------------------------------------------------------------------------
+# Zipf-law fit per language (corpus-health diagnostic)
+# --------------------------------------------------------------------------
+
+ZIPF_TOP_N = 100  # bounded fit window: the top-N head of the rank curve
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: slope/intercept of the least-squares
+    line ln(freq) ~ ln(rank) over each language's top-ZIPF_TOP_N tokens.
+    Natural text sits near slope -1; a corpus slice that drifts far off
+    (template spam repeats the head, shuffled/encrypted text flattens
+    the curve) fails the cheapest distribution-level health check a
+    training-data pipeline runs — this is that check as a query.
+
+    Scale shape: one explode-shuffle builds (lang, token) frequencies;
+    the rank window runs per language over candidate sets bounded by
+    that language's vocabulary; the closed-form fit aggregates exactly
+    ZIPF_TOP_N points per language (the same bounded-regression
+    discipline as stats_length_regression). No driver math.
+    """
+    from pyspark.sql import Window
+
+    docs = scatter(spark, load_table(spark, sf_dir, "documents"))
+    freq = (
+        docs.select("lang", F.explode(F.expr(X.sp_tokens("text"))).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("token"))
+    pts = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ZIPF_TOP_N)
+        .select(
+            "lang",
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("freq").cast("double")).alias("y"),
+        )
+    )
+    n = F.count(F.lit(1)).cast("double")
+    agg = pts.groupBy("lang").agg(
+        n.alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        agg.select(
+            "lang",
+            F.col("n").cast("bigint").alias("n_points"),
+            F.round(slope, 6).alias("zipf_slope"),
+            F.round(
+                (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+            ).alias("zipf_intercept"),
+        )
+        .orderBy("lang")
+    )
+
+
+def text_zipf_fit_sql() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT lang, unnest({X.dk_tokens('text')}) AS token FROM documents
+    ), freq AS (
+        SELECT lang, token, count(*)::bigint AS freq
+        FROM toks GROUP BY lang, token
+    ), ranked AS (
+        SELECT lang, freq,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY freq DESC, token) AS rank
+        FROM freq
+    ), pts AS (
+        SELECT lang, ln(rank::double) AS x, ln(freq::double) AS y
+        FROM ranked WHERE rank <= {ZIPF_TOP_N}
+    ), agg AS (
+        SELECT lang, count(*)::double AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM pts GROUP BY lang
+    )
+    SELECT lang, n::bigint AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS zipf_intercept
+    FROM agg ORDER BY lang
     """

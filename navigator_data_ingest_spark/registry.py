@@ -4370,3 +4370,37 @@ register(
     ORDER BY golden_id
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# round 4 additions: vision tiling, n-gram perplexity gate, Zipf health
+# check, spectral (power-method) embedding diagnostic
+# --------------------------------------------------------------------------
+
+register(
+    "mm_image_tiles",
+    multimodal.mm_image_tiles,
+    multimodal.mm_image_tiles_sql(),
+    front=True,
+)
+
+register(
+    "corpus_perplexity_filter",
+    corpus.corpus_perplexity_filter,
+    corpus.corpus_perplexity_filter_sql(),
+    front=True,
+)
+
+register(
+    "text_zipf_fit",
+    textstats.text_zipf_fit,
+    textstats.text_zipf_fit_sql(),
+    front=True,
+)
+
+register(
+    "emb_pca_power",
+    similarity.emb_pca_power,
+    similarity.emb_pca_power_sql(),
+    front=True,
+)

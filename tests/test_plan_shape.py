@@ -76,6 +76,10 @@ _DELIBERATE_NESTED_LOOP = {
     "sim_search_lsh",
     "emb_binary_hamming",
     "emb_label_purity",
+    # 1-row corpus-count broadcast (idf's N) resolved inside the plan
+    "text_tfidf",
+    # 1-row direction-vector broadcast per power iteration: deliberate
+    "emb_pca_power",
     "q_events_range_join",
     # 1-row scalar-aggregate broadcast against customer (TPC-H Q22 shape)
     "q22_idle_customers",
