@@ -61,6 +61,14 @@ HEADLINE = [
     "corpus_token_budget",
     "text_hash_classifier",
     "text_boilerplate",
+    # round-4 widening: Arrow-native rungs, vision tiling, n-gram
+    # perplexity gate, Zipf fit, power-method spectral diagnostic
+    "q_map_in_arrow",
+    "q_apply_in_arrow",
+    "mm_image_tiles",
+    "corpus_perplexity_filter",
+    "text_zipf_fit",
+    "emb_pca_power",
 ]
 
 

@@ -2074,3 +2074,119 @@ def corpus_perplexity_filter_sql() -> str:
            odds_sum * 1000 // n_bigrams > {PPLX_DROP_ODDS_PERMILLE} AS dropped
     FROM scored ORDER BY doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weights (hashed-n-gram target/source log-ratio)
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 64
+DSIR_SEED = 17
+DSIR_TARGET_LANG = "en"  # stand-in "high-quality target" slice
+
+
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-Selection-with-Importance-Resampling weights: per document,
+    the hashed-unigram naive-Bayes log importance ratio
+    ``sum_tokens ln(p_target(bucket) / p_source(bucket))`` between a
+    target slice (here the DSIR_TARGET_LANG documents — in production, the
+    high-quality reference corpus) and the full source corpus, with
+    add-one smoothing over DSIR_BUCKETS hashed features. Documents
+    whose token distribution resembles the target score high and get
+    up-sampled — the standard cheap alternative to classifier-based
+    selection at pretraining scale.
+
+    Scale shape: token bucketing is a map-side md5 hash; the two count
+    tables collapse to DSIR_BUCKETS rows each (one explode-shuffle,
+    partial aggs), the per-bucket log-ratio table is DSIR_BUCKETS rows
+    BROADCAST back onto the exploded tokens, and one doc_id aggregation
+    finishes — the corpus is tokenized once and never self-joined.
+    """
+    toks = (
+        _tokens_df(spark, sf_dir)
+        .select("doc_id", "lang", F.explode("t").alias("tok"))
+        .withColumn("f", F.expr(f"{X.sp_hash32('tok', DSIR_SEED)} % {DSIR_BUCKETS}"))
+        .select("doc_id", "lang", "f")
+        # consumed by the count pass AND the scoring join — pin so the
+        # corpus is tokenized once, not twice (the 100x probe's lesson)
+        .localCheckpoint(eager=False)
+    )
+    # ONE aggregation pass builds both the source and target counts
+    # (conditional count instead of a second corpus scan)
+    counts = toks.groupBy("f").agg(
+        F.count(F.lit(1)).alias("cs"),
+        F.sum(
+            (F.col("lang") == DSIR_TARGET_LANG).cast("bigint")
+        ).alias("ct"),
+    )
+    # 1-row totals ride the bucket table (sum over <= DSIR_BUCKETS rows)
+    ratio = (
+        counts.crossJoin(
+            F.broadcast(
+                counts.agg(
+                    F.sum("cs").alias("ts"), F.sum("ct").alias("tt")
+                )
+            )
+        )
+        .select(
+            "f",
+            (
+                F.log(
+                    (F.col("ct") + 1).cast("double")
+                    / (F.col("tt") + DSIR_BUCKETS).cast("double")
+                )
+                - F.log(
+                    (F.col("cs") + 1).cast("double")
+                    / (F.col("ts") + DSIR_BUCKETS).cast("double")
+                )
+            ).alias("logr"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(ratio), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("logr").alias("_lw"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("_lw", 6).alias("dsir_logweight"),
+            F.round(
+                F.col("_lw") / F.col("n_tokens").cast("double"), 6
+            ).alias("dsir_logweight_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def corpus_dsir_weights_sql() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               ({X.dk_hash32('tok', DSIR_SEED)}) % {DSIR_BUCKETS} AS f
+        FROM (SELECT doc_id, lang, unnest({X.dk_tokens('text')}) AS tok
+              FROM documents)
+    ), src AS (
+        SELECT f, count(*)::bigint AS cs FROM toks GROUP BY f
+    ), tgt AS (
+        SELECT f, count(*)::bigint AS ct FROM toks
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY f
+    ), totals AS (
+        SELECT (SELECT sum(cs) FROM src) AS ts,
+               (SELECT sum(ct) FROM tgt) AS tt
+    ), ratio AS (
+        SELECT s.f,
+               ln((coalesce(t.ct, 0) + 1)::double / (tot.tt + {DSIR_BUCKETS})::double)
+               - ln((s.cs + 1)::double / (tot.ts + {DSIR_BUCKETS})::double) AS logr
+        FROM src s LEFT JOIN tgt t ON s.f = t.f, totals tot
+    ), scored AS (
+        SELECT k.doc_id, count(*)::bigint AS n_tokens, sum(r.logr) AS lw
+        FROM toks k JOIN ratio r ON k.f = r.f
+        GROUP BY k.doc_id
+    )
+    SELECT doc_id, n_tokens, round(lw, 6) AS dsir_logweight,
+           round(lw / n_tokens::double, 6) AS dsir_logweight_per_token
+    FROM scored ORDER BY doc_id
+    """

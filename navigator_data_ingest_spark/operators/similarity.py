@@ -1386,3 +1386,93 @@ def emb_pca_power_sql() -> str:
            round((SELECT nrm FROM n2), 6) AS eigenvalue
     FROM u2 ORDER BY pos
     """
+
+
+# --------------------------------------------------------------------------
+# diagonal-Mahalanobis embedding outliers (corpus-hygiene diagnostic)
+# --------------------------------------------------------------------------
+
+OUTLIER_Z2 = 96.0  # sum of 64 squared z-scores; chi2(64) mean is 64
+
+
+def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector diagonal-Mahalanobis outlier score: standardize every
+    dimension by the corpus mean/std, report the squared-z sum and an
+    outlier verdict — the cheap embedding-hygiene pass (dead encoders,
+    corrupted rows, wrong-modality vectors land in the tail) run before
+    trusting a corpus for clustering/dedup/retrieval.
+
+    Moments use EXPLICIT sums (sx, sxx, n -> sd = sqrt((sxx - sx^2/n) /
+    (n-1))) rather than a builtin stddev, so both engines compose the
+    same arithmetic from the same per-dim sums. Scale shape: EMB_DIM x
+    2 map-side partial aggregates collapse to ONE stats row (the
+    emb_centroids explosion-free pattern), the mu/sd arrays broadcast
+    back, and the per-vector score is an unrolled left-associated
+    64-term chain inside codegen — one corpus read, one 1-row shuffle.
+    """
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = scatter(spark, raw).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    stats = e.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        *[F.sum(F.col("e").getItem(j)).alias(f"sx{j}") for j in range(EMB_DIM)],
+        *[
+            F.sum(F.col("e").getItem(j) * F.col("e").getItem(j)).alias(f"sxx{j}")
+            for j in range(EMB_DIM)
+        ],
+    )
+    mu = F.array(*[F.col(f"sx{j}") / F.col("n") for j in range(EMB_DIM)])
+    sd = F.array(
+        *[
+            F.sqrt(
+                (F.col(f"sxx{j}") - F.col(f"sx{j}") * F.col(f"sx{j}") / F.col("n"))
+                / (F.col("n") - 1)
+            )
+            for j in range(EMB_DIM)
+        ]
+    )
+    musd = F.broadcast(
+        stats.select(mu.alias("mu"), sd.alias("sd")).localCheckpoint(eager=False)
+    )
+    term = (
+        "((element_at(e, {i}) - element_at(mu, {i})) / element_at(sd, {i}))"
+        " * ((element_at(e, {i}) - element_at(mu, {i})) / element_at(sd, {i}))"
+    )
+    z2 = "(" + " + ".join(term.format(i=i) for i in range(1, EMB_DIM + 1)) + ")"
+    return (
+        e.crossJoin(musd)
+        .select(
+            "vec_id",
+            F.round(F.expr(z2), 6).alias("z2"),
+            (F.expr(z2) > OUTLIER_Z2).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def emb_outlier_zscore_sql() -> str:
+    return f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> x::double) AS e
+        FROM embeddings
+    ), dims AS (
+        SELECT j, sum(e[j]) AS sx, sum(e[j] * e[j]) AS sxx,
+               count(*)::double AS n
+        FROM e, unnest(generate_series(1, {EMB_DIM})) AS g(j)
+        GROUP BY j
+    ), lists AS (
+        SELECT list(sx / n ORDER BY j) AS mu,
+               list(sqrt((sxx - sx * sx / n) / (n - 1)) ORDER BY j) AS sd
+        FROM dims
+    ), scored AS (
+        SELECT vec_id,
+               list_reduce(list_transform(generate_series(1, {EMB_DIM}),
+                   j -> ((e.e[j] - l.mu[j]) / l.sd[j])
+                        * ((e.e[j] - l.mu[j]) / l.sd[j])),
+                   (x, y) -> x + y) AS z2
+        FROM e, lists l
+    )
+    SELECT vec_id, round(z2, 6) AS z2, z2 > {OUTLIER_Z2} AS is_outlier
+    FROM scored ORDER BY vec_id
+    """

@@ -4404,3 +4404,24 @@ register(
     similarity.emb_pca_power_sql(),
     front=True,
 )
+
+register(
+    "corpus_dsir_weights",
+    corpus.corpus_dsir_weights,
+    corpus.corpus_dsir_weights_sql(),
+    front=True,
+)
+
+register(
+    "emb_outlier_zscore",
+    similarity.emb_outlier_zscore,
+    similarity.emb_outlier_zscore_sql(),
+    front=True,
+)
+
+register(
+    "stream_bus_adapter",
+    streaming_streams.stream_bus_adapter,
+    streaming_streams.stream_bus_adapter_sql(),
+    front=True,
+)

@@ -1169,3 +1169,81 @@ def stream_timeout_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = _run_to_memory(out, _qname("stream_timeout", sf_dir), "append")
     return res.orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# message-bus (Kafka-shaped) source adapter
+# --------------------------------------------------------------------------
+
+BUS_PARTITIONS = 4
+
+
+def read_stream_bus(spark: SparkSession, sf_dir: str, feed: str) -> DataFrame:
+    """Streaming DataFrame in the Kafka WIRE SHAPE (key binary, value
+    binary, topic, partition, timestamp) over the arriving-files feed.
+
+    This is the message-bus adapter seam: in deployment the body of
+    this function is
+    ``spark.readStream.format("kafka").option("kafka.bootstrap.servers",
+    ...).option("subscribe", "events").load()`` and NOTHING downstream
+    changes — consumers already receive binary key/value columns and
+    decode with from_json, exactly as they would from a broker. The
+    sandbox has no broker, so the same schema is synthesized from the
+    time-ordered event feed (value = the event row as a JSON blob,
+    partition = hash of the producer key — the standard keyed-producer
+    layout).
+    """
+    ev = read_stream_events(spark, feed, glob="*.parquet", max_files_per_trigger=1)
+    return ev.select(
+        F.lit("events").alias("topic"),
+        F.pmod(F.col("user_id"), F.lit(BUS_PARTITIONS)).cast("int").alias("partition"),
+        F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
+        F.encode(
+            F.to_json(F.struct("event_id", "user_id", "event_type", "value")),
+            "utf-8",
+        ).alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+
+
+def stream_bus_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consume the Kafka-shaped stream end-to-end: binary value ->
+    from_json decode -> per-(topic, partition) ingestion accounting
+    (message count, integer-cents payload total, max key) — the
+    consumer-side bookkeeping every bus pipeline keeps per partition.
+    The oracle recomputes the same accounting from the batch events
+    table, proving the adapter loses nothing across the wire shape,
+    the JSON round trip, and the multi-micro-batch drain.
+    """
+    feed = _scatter_time_ordered_feed(spark, sf_dir, 3)
+    bus = read_stream_bus(spark, sf_dir, feed)
+    parsed = bus.select(
+        "topic",
+        "partition",
+        F.from_json(
+            F.decode("value", "utf-8"),
+            "event_id bigint, user_id bigint, event_type string, value double",
+        ).alias("v"),
+    )
+    agg = parsed.groupBy("topic", "partition").agg(
+        F.count(F.lit(1)).alias("n_msgs"),
+        F.expr(
+            "sum(cast(floor(v.value * 100 + 0.5) as bigint))"
+        ).alias("cents_sum"),
+        F.max("v.event_id").alias("max_event_id"),
+    )
+    out = _run_to_memory(agg, _qname("stream_bus", sf_dir), "complete")
+    return out.orderBy("topic", "partition")
+
+
+def stream_bus_adapter_sql() -> str:
+    return f"""
+    SELECT 'events' AS topic,
+           (user_id % {BUS_PARTITIONS})::int AS partition,
+           count(*)::bigint AS n_msgs,
+           sum(floor(value * 100 + 0.5))::bigint AS cents_sum,
+           max(event_id)::bigint AS max_event_id
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY topic, partition
+    """

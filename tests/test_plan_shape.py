@@ -80,6 +80,10 @@ _DELIBERATE_NESTED_LOOP = {
     "text_tfidf",
     # 1-row direction-vector broadcast per power iteration: deliberate
     "emb_pca_power",
+    # 1-row mu/sd stats broadcast: deliberate
+    "emb_outlier_zscore",
+    # 1-row corpus-totals broadcast feeding the 64-row ratio table
+    "corpus_dsir_weights",
     "q_events_range_join",
     # 1-row scalar-aggregate broadcast against customer (TPC-H Q22 shape)
     "q22_idle_customers",
