@@ -389,3 +389,89 @@ def q_recursive_cte_sql() -> str:
     return _REACH_SQL.format(li="lineitem", part="part").replace(
         "min(hop) AS hops", "min(hop)::int AS hops"
     )
+
+
+# --------------------------------------------------------------------------
+# synchronous min-label propagation (community seeds / components step)
+# --------------------------------------------------------------------------
+
+LP_ITERS = 2
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous min-label propagation over the part–supplier bipartite
+    graph: every node starts labeled with its own id; each round a node
+    adopts ``least(own, min(neighbor labels))``. After LP_ITERS rounds
+    the labels are the distance-LP_ITERS component seeds — the building
+    block of large-scale connected components / community detection
+    (dedup_clusters' star contraction is the converged cousin; this op
+    certifies the bounded-round synchronous variant an oracle can
+    replay exactly, since fixed-round label states are deterministic
+    where convergence loops are data-dependent).
+
+    Scale shape per round: one (dst -> label) hash join + a min
+    aggregation on src — both shuffles on the edge key, no global
+    structure on the driver, plan kept flat with a lazy checkpoint
+    between rounds (the emb_kmeans/dedup_clusters pattern).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("p"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = edges.select(F.col("p").alias("src"), F.col("s").alias("dst")).union(
+        edges.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    labels = und.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("lbl")
+    )
+    for _ in range(LP_ITERS):
+        nb = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("lbl").alias("nlbl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nlbl").alias("nb_min"))
+        )
+        labels = (
+            labels.join(nb, labels["node"] == nb["src"])
+            .select("node", F.least(F.col("lbl"), F.col("nb_min")).alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("lbl").alias("label")).orderBy("node")
+
+
+def graph_label_propagation_sql() -> str:
+    return """
+    WITH e AS (
+        SELECT DISTINCT 'p:' || l_partkey::varchar AS p,
+                        's:' || l_suppkey::varchar AS s
+        FROM lineitem
+    ), und AS (
+        SELECT p AS src, s AS dst FROM e
+        UNION ALL
+        SELECT s AS src, p AS dst FROM e
+    ), l0 AS (
+        SELECT DISTINCT src AS node, src AS lbl FROM und
+    ), m1 AS (
+        SELECT u.src AS node, min(l.lbl) AS nb
+        FROM und u JOIN l0 l ON u.dst = l.node GROUP BY u.src
+    ), l1 AS (
+        SELECT l.node, least(l.lbl, m.nb) AS lbl
+        FROM l0 l JOIN m1 m ON l.node = m.node
+    ), m2 AS (
+        SELECT u.src AS node, min(l.lbl) AS nb
+        FROM und u JOIN l1 l ON u.dst = l.node GROUP BY u.src
+    ), l2 AS (
+        SELECT l.node, least(l.lbl, m.nb) AS lbl
+        FROM l1 l JOIN m2 m ON l.node = m.node
+    )
+    SELECT node, lbl AS label FROM l2 ORDER BY node
+    """

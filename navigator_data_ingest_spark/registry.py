@@ -4425,3 +4425,17 @@ register(
     streaming_streams.stream_bus_adapter_sql(),
     front=True,
 )
+
+register(
+    "graph_label_propagation",
+    graph.graph_label_propagation,
+    graph.graph_label_propagation_sql(),
+    front=True,
+)
+
+register(
+    "src_agg_pushdown",
+    _flat.src_agg_pushdown,
+    _flat.src_agg_pushdown_sql(),
+    front=True,
+)

@@ -443,3 +443,81 @@ def src_codec_roundtrip_sql() -> str:
         " UNION ALL ".join(one.format(codec=c) for c in CODECS)
         + " ORDER BY codec"
     )
+
+
+# --------------------------------------------------------------------------
+# parquet aggregate pushdown (metadata-served count/min/max)
+# --------------------------------------------------------------------------
+
+def src_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/min/max served from parquet FOOTER STATISTICS instead of a
+    row scan — ``spark.sql.parquet.aggregatePushdown`` rewrites the
+    whole-table aggregate into a metadata read (the plan shows a
+    ``PushedAggregation`` scan and no per-row work). At 100 TB the
+    difference is reading a few thousand footers versus the table; the
+    lakehouse pattern for freshness checks, id ranges and row-count
+    reconciliation.
+
+    The pushdown needs TWO session configs live at scan PLANNING time
+    (``spark.sql.parquet.aggregatePushdown=true`` and parquet removed
+    from ``spark.sql.sources.useV1SourceList`` — only the DSv2 reader
+    implements it), and the v2 switch is session-global — flipping it
+    under a shared session would silently change every OTHER parquet
+    scan (and break bucketed reads, which are v1-only). So the registry
+    entry certifies the aggregate's VALUES on the default reader, and
+    ``tests/test_plan_shape.py::test_agg_pushdown_scan`` pins the
+    ``PushedAggregation`` plan under the scoped configs via
+    ``build_pushdown_plan`` — the deployment recipe is exactly those
+    two settings on the session that owns the reconciliation job.
+    """
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_orderkey"),
+        F.max("o_orderkey").alias("max_orderkey"),
+        F.min("o_orderdate").alias("first_orderdate"),
+        F.max("o_orderdate").alias("last_orderdate"),
+    )
+
+
+def build_pushdown_plan(spark: SparkSession, sf_dir: str) -> str:
+    """Build the same aggregate with the DSv2 reader + aggregate
+    pushdown enabled and return its formatted physical plan (configs
+    restored afterwards); the caller asserts on ``PushedAggregation``."""
+    prev_push = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    v1 = [s for s in (prev_v1 or "").split(",") if s and s != "parquet"]
+    spark.conf.set("spark.sql.sources.useV1SourceList", ",".join(v1))
+    try:
+        df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+        plan = df._jdf.queryExecution().explainString(
+            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        rows = df.collect()  # values must survive the metadata path
+        if rows[0]["n_rows"] <= 0:
+            raise RuntimeError("pushdown aggregate returned no rows")
+        return plan
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
+        if prev_v1 is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+
+
+def src_agg_pushdown_sql() -> str:
+    return """
+    SELECT count(*)::bigint AS n_rows,
+           min(o_orderkey)  AS min_orderkey,
+           max(o_orderkey)  AS max_orderkey,
+           min(o_orderdate) AS first_orderdate,
+           max(o_orderdate) AS last_orderdate
+    FROM orders
+    """

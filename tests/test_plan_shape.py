@@ -454,3 +454,14 @@ def test_dpp_join_prunes_partitions_dynamically(spark):
         .toString()
     )
     assert "dynamicpruning" in plan.lower(), "DPP fell out of the fact scan"
+
+
+def test_agg_pushdown_scan(spark):
+    """src_agg_pushdown's deployment configs (DSv2 parquet reader +
+    aggregatePushdown) must turn the whole-table count/min/max into a
+    metadata read — the scan carries PushedAggregation and the values
+    survive the footer-statistics path."""
+    from navigator_data_ingest_spark.sources.flat import build_pushdown_plan
+
+    plan = build_pushdown_plan(spark, SF_CORRECT)
+    assert "PushedAggregation" in plan, plan[:2000]
