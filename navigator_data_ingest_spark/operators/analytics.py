@@ -3014,3 +3014,388 @@ def q_orders_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_custkey")
     )
     return best
+
+
+# --------------------------------------------------------------------------
+# interval-overlap concurrency (boundary sweep)
+# --------------------------------------------------------------------------
+
+CONC_US_PER_VALUE = 60_000_000  # each unit of `value` = 60s of activity
+
+
+def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-concurrent-intervals via the boundary-sweep idiom: each event
+    opens an activity interval [ts, ts + value minutes]; per event type,
+    how many intervals overlap at the busiest instant, and the
+    time-weighted average load.
+
+    The classic room-scheduling / concurrent-sessions primitive no
+    join can express at scale: an interval self-join is O(n·overlap),
+    the sweep is one union (+1 at start, -1 at end), ONE shuffle on the
+    type-partitioned boundary sort, and a running sum. Ends sort before
+    starts at the same instant (delta -1 < +1) so touching intervals
+    never double-count. Peak + first peak time come from the map-side
+    ``min(struct(-run, t))`` argmax idiom — no second pass. Within a
+    tie group (same boundary, same delta) the prefix-sum VALUES are a
+    permutation-invariant set, so peak and first-peak-time are
+    deterministic even though intra-tie row order is not.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.expr(
+            f"cast(floor(value * {CONC_US_PER_VALUE}) as bigint)"
+        ).alias("dur_us"),
+    )
+    starts = ev.select(
+        "event_type", F.col("us").alias("bus"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("us") + F.col("dur_us")).alias("bus"),
+        F.lit(-1).alias("delta"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bus", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = starts.unionByName(ends).withColumn("run", F.sum("delta").over(w))
+    peaks = (
+        run.groupBy("event_type")
+        .agg(F.min(F.struct((-F.col("run")).alias("nr"), F.col("bus"))).alias("m"))
+        .select(
+            "event_type",
+            (-F.col("m.nr")).alias("peak_concurrency"),
+            F.col("m.bus").alias("first_peak_us"),
+        )
+    )
+    loads = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(
+            F.sum("dur_us").cast("double")
+            / (F.max(F.col("us") + F.col("dur_us")) - F.min("us")).cast("double"),
+            6,
+        ).alias("avg_concurrency"),
+    )
+    return (
+        peaks.join(loads, "event_type")
+        .select(
+            "event_type",
+            "n_intervals",
+            "peak_concurrency",
+            "first_peak_us",
+            "avg_concurrency",
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_events_concurrency_sql() -> str:
+    return f"""
+    WITH ev AS (
+        SELECT event_type, epoch_us(ts::TIMESTAMP) AS us,
+               cast(floor(value * {CONC_US_PER_VALUE}) AS BIGINT) AS dur_us
+        FROM events
+    ), bounds AS (
+        SELECT event_type, us AS bus, 1 AS delta FROM ev
+        UNION ALL
+        SELECT event_type, us + dur_us AS bus, -1 AS delta FROM ev
+    ), r AS (
+        SELECT event_type, bus,
+               sum(delta) OVER (PARTITION BY event_type ORDER BY bus, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS run
+        FROM bounds
+    ), p AS (
+        SELECT event_type,
+               max(run) AS peak_concurrency,
+               min(CASE WHEN run = mx THEN bus END) AS first_peak_us
+        FROM (SELECT event_type, bus, run,
+                     max(run) OVER (PARTITION BY event_type) AS mx
+              FROM r)
+        GROUP BY event_type
+    ), l AS (
+        SELECT event_type, count(*) AS n_intervals,
+               round(sum(dur_us)::DOUBLE
+                     / (max(us + dur_us) - min(us))::DOUBLE, 6)
+                   AS avg_concurrency
+        FROM ev GROUP BY event_type
+    )
+    SELECT p.event_type, n_intervals, peak_concurrency, first_peak_us,
+           avg_concurrency
+    FROM p JOIN l ON p.event_type = l.event_type
+    ORDER BY p.event_type
+    """
+
+
+def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: each purchase matched to the click closest in
+    time on EITHER side (ties break backward) — the third as-of
+    direction after backward (q_events_asof) and forward
+    (q_events_asof_forward), and the matching rule feature-store
+    point-in-time lookups use when staleness is symmetric.
+
+    Both candidate sides come from ONE user_id window over the unioned
+    stream (``last ignorenulls`` backward, ``first ignorenulls``
+    forward), so the whole operator is a single shuffle — no range
+    join, no candidate explosion. Distances compare in integer
+    microseconds; the winner is picked with a null-safe CASE.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    ord_cols = [F.col("us"), F.col("event_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*ord_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*ord_cols)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_us = F.when(F.col("event_type") == "click", F.col("us"))
+    prev_us = F.last(click_us, ignorenulls=True).over(wb)
+    nxt_us = F.first(click_us, ignorenulls=True).over(wf)
+    take_prev = F.col("prev_us").isNotNull() & (
+        F.col("nxt_us").isNull()
+        | ((F.col("us") - F.col("prev_us")) <= (F.col("nxt_us") - F.col("us")))
+    )
+    return (
+        ev.withColumn("prev_us", prev_us)
+        .withColumn("nxt_us", nxt_us)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "us",
+            F.when(take_prev, F.col("prev_us"))
+            .otherwise(F.col("nxt_us"))
+            .alias("nearest_click_us"),
+            F.when(take_prev, F.lit("backward"))
+            .when(F.col("nxt_us").isNotNull(), F.lit("forward"))
+            .alias("direction"),
+            F.when(take_prev, F.col("us") - F.col("prev_us"))
+            .otherwise(F.col("nxt_us") - F.col("us"))
+            .alias("dist_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_events_asof_nearest_sql() -> str:
+    return """
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(ts::TIMESTAMP) AS us
+        FROM events
+    ), marked AS (
+        SELECT event_id, user_id, event_type, us,
+               last_value(CASE WHEN event_type = 'click' THEN us END
+                          IGNORE NULLS) OVER wb AS prev_us,
+               first_value(CASE WHEN event_type = 'click' THEN us END
+                           IGNORE NULLS) OVER wf AS nxt_us
+        FROM ev
+        WINDOW wb AS (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, us,
+           CASE WHEN prev_us IS NOT NULL AND
+                     (nxt_us IS NULL OR us - prev_us <= nxt_us - us)
+                THEN prev_us ELSE nxt_us END AS nearest_click_us,
+           CASE WHEN prev_us IS NOT NULL AND
+                     (nxt_us IS NULL OR us - prev_us <= nxt_us - us)
+                THEN 'backward'
+                WHEN nxt_us IS NOT NULL THEN 'forward' END AS direction,
+           CASE WHEN prev_us IS NOT NULL AND
+                     (nxt_us IS NULL OR us - prev_us <= nxt_us - us)
+                THEN us - prev_us ELSE nxt_us - us END AS dist_us
+    FROM marked
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """
+
+
+# --------------------------------------------------------------------------
+# categorical independence + resampling error bars
+# --------------------------------------------------------------------------
+
+
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test on the documents lang x
+    source contingency table — "is the language mix uniform across
+    sources?", the categorical drift check next to the numeric ones
+    (stats_ks_drift / stats_psi_drift).
+
+    One corpus-wide shuffle builds the (lang, source) cell counts; the
+    margins and grand total are re-aggregations OF THE CELLS (bounded:
+    |langs| x |sources| rows), broadcast back onto the dense
+    cross-product so ZERO cells contribute their full (0-e)^2/e term —
+    dropping empty cells is the classic chi-square bug. Output is one
+    row per language with its chi2 contribution and degrees of freedom,
+    so the hash certifies every margin as well as the statistic.
+    """
+    cells = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rowt = cells.groupBy("lang").agg(F.sum("o").alias("row_tot"))
+    colt = cells.groupBy("source").agg(F.sum("o").alias("col_tot"))
+    tot = cells.agg(F.sum("o").alias("n_total"))
+    dense = (
+        rowt.crossJoin(F.broadcast(colt))
+        .join(F.broadcast(cells), ["lang", "source"], "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+        .withColumn(
+            "e",
+            F.col("row_tot").cast("double")
+            * F.col("col_tot").cast("double")
+            / F.col("n_total").cast("double"),
+        )
+    )
+    n_src = colt.agg(F.count(F.lit(1)).alias("n_sources"))
+    return (
+        dense.groupBy("lang")
+        .agg(
+            F.max("row_tot").alias("n_docs"),
+            F.round(
+                F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+                6,
+            ).alias("chi2_contrib"),
+        )
+        .crossJoin(F.broadcast(n_src))
+        .select(
+            "lang",
+            "n_docs",
+            "chi2_contrib",
+            (F.col("n_sources") - 1).cast("bigint").alias("dof_per_lang"),
+        )
+        .orderBy("lang")
+    )
+
+
+def stats_chi_square_sql() -> str:
+    return """
+    WITH cells AS (
+        SELECT lang, source, count(*)::BIGINT AS o
+        FROM documents GROUP BY 1, 2
+    ), rowt AS (
+        SELECT lang, sum(o)::BIGINT AS row_tot FROM cells GROUP BY 1
+    ), colt AS (
+        SELECT source, sum(o)::BIGINT AS col_tot FROM cells GROUP BY 1
+    ), tot AS (
+        SELECT sum(o)::BIGINT AS n_total FROM cells
+    ), dense AS (
+        SELECT r.lang, c.source, r.row_tot, c.col_tot, n_total,
+               coalesce(x.o, 0) AS o,
+               r.row_tot::DOUBLE * c.col_tot::DOUBLE / n_total::DOUBLE AS e
+        FROM rowt r CROSS JOIN colt c
+        LEFT JOIN cells x ON x.lang = r.lang AND x.source = c.source
+        CROSS JOIN tot
+    )
+    SELECT lang,
+           max(row_tot)::BIGINT AS n_docs,
+           round(sum((o - e) * (o - e) / e), 6) AS chi2_contrib,
+           ((SELECT count(*) FROM colt) - 1)::BIGINT AS dof_per_lang
+    FROM dense GROUP BY lang ORDER BY lang
+    """
+
+
+JACK_K = 20  # leave-one-out buckets (event_id % JACK_K)
+
+
+def stats_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife confidence interval for the mean
+    event value per type — distribution-free error bars computed in two
+    bounded aggregations, the way a 100 TB pipeline puts uncertainty on
+    its metrics without resampling the data K times.
+
+    Pass 1 (the only corpus-wide shuffle) reduces to (type, bucket)
+    partial sums with bucket = event_id % K — deterministic in both
+    engines, unlike engine hash functions. Pass 2 runs entirely on the
+    K-row-per-type table: leave-one-bucket-out means, jackknife
+    variance (K-1)/K * sum((loo - mean_loo)^2) via the sum/sum-of-
+    squares identity, and a 1.96-sigma interval.
+    """
+    b = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", (F.col("event_id") % JACK_K).alias("bucket"))
+        .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    t = b.groupBy("event_type").agg(
+        F.sum("s").alias("tot_s"), F.sum("n").alias("tot_n"), F.count(F.lit(1)).alias("k")
+    )
+    loo = (
+        b.join(F.broadcast(t), "event_type")
+        .withColumn(
+            "loo",
+            (F.col("tot_s") - F.col("s")) / (F.col("tot_n") - F.col("n")).cast("double"),
+        )
+    )
+    out = (
+        loo.groupBy("event_type")
+        .agg(
+            F.max("k").alias("k"),
+            F.max(F.col("tot_s") / F.col("tot_n").cast("double")).alias("mean_value"),
+            F.sum("loo").alias("sl"),
+            F.sum(F.col("loo") * F.col("loo")).alias("sl2"),
+        )
+        .withColumn(
+            "var_jack",
+            (F.col("k") - 1).cast("double")
+            / F.col("k").cast("double")
+            * (F.col("sl2") - F.col("sl") * F.col("sl") / F.col("k").cast("double")),
+        )
+        .select(
+            "event_type",
+            F.col("k").cast("bigint").alias("k"),
+            F.round("mean_value", 6).alias("mean_value"),
+            F.round(F.sqrt("var_jack"), 6).alias("se_jack"),
+            F.round(
+                F.col("mean_value") - 1.96 * F.sqrt("var_jack"), 6
+            ).alias("ci_lo"),
+            F.round(
+                F.col("mean_value") + 1.96 * F.sqrt("var_jack"), 6
+            ).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )
+    return out
+
+
+def stats_jackknife_ci_sql() -> str:
+    return f"""
+    WITH b AS (
+        SELECT event_type, event_id % {JACK_K} AS bucket,
+               sum(value) AS s, count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ), t AS (
+        SELECT event_type, sum(s) AS S, sum(n)::BIGINT AS N,
+               count(*)::BIGINT AS k
+        FROM b GROUP BY 1
+    ), loo AS (
+        SELECT b.event_type, t.k, t.S, t.N,
+               (t.S - b.s) / (t.N - b.n)::DOUBLE AS loo
+        FROM b JOIN t ON b.event_type = t.event_type
+    ), agg AS (
+        SELECT event_type, max(k)::BIGINT AS k,
+               max(S / N::DOUBLE) AS mean_value,
+               sum(loo) AS sl, sum(loo * loo) AS sl2
+        FROM loo GROUP BY 1
+    )
+    SELECT event_type, k,
+           round(mean_value, 6) AS mean_value,
+           round(sqrt((k - 1)::DOUBLE / k::DOUBLE
+                      * (sl2 - sl * sl / k::DOUBLE)), 6) AS se_jack,
+           round(mean_value - 1.96 * sqrt((k - 1)::DOUBLE / k::DOUBLE
+                      * (sl2 - sl * sl / k::DOUBLE)), 6) AS ci_lo,
+           round(mean_value + 1.96 * sqrt((k - 1)::DOUBLE / k::DOUBLE
+                      * (sl2 - sl * sl / k::DOUBLE)), 6) AS ci_hi
+    FROM agg ORDER BY event_type
+    """

@@ -2190,3 +2190,84 @@ def corpus_dsir_weights_sql() -> str:
            round(lw / n_tokens::double, 6) AS dsir_logweight_per_token
     FROM scored ORDER BY doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# padded-length bucketing (batching economics)
+# --------------------------------------------------------------------------
+
+BUCKET_EDGES = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+
+
+def _bucket_case(n: str, *, sql: bool) -> str:
+    """CASE expression assigning a token count to its power-of-2 padding
+    bucket — identical integer text in both engines (no float log2)."""
+    whens = " ".join(
+        f"WHEN {n} <= {e} THEN {e}" for e in BUCKET_EDGES[:-1]
+    )
+    return f"CASE {whens} ELSE {BUCKET_EDGES[-1]} END"
+
+
+def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padded-length bucket economics: assign every document to the
+    power-of-2 token-length bucket a batched trainer would pad it to,
+    and report the padding waste per bucket — the number that decides
+    whether a corpus needs length-grouped batching.
+
+    Pure map-side arithmetic (whitespace token count -> integer CASE
+    ladder) followed by ONE aggregation on ~9 keys with map-side
+    partials; over-long documents are truncated to the top bucket
+    before the waste calculation, mirroring trainer truncation. No
+    floats until the final ratio.
+    """
+    docs = scatter(spark, load_table(spark, sf_dir, "documents"))
+    n_tok = "size(regexp_extract_all(text, '\\\\S+', 0))"
+    bucketed = docs.select(
+        F.expr(_bucket_case(n_tok, sql=False)).cast("bigint").alias("bucket"),
+        F.expr(f"least({n_tok}, {BUCKET_EDGES[-1]})")
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "sum_tokens",
+            (F.col("bucket") * F.col("n_docs") - F.col("sum_tokens")).alias(
+                "padding_waste"
+            ),
+            F.round(
+                (F.col("bucket") * F.col("n_docs") - F.col("sum_tokens")).cast(
+                    "double"
+                )
+                / (F.col("bucket") * F.col("n_docs")).cast("double"),
+                6,
+            ).alias("waste_frac"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def corpus_length_buckets_sql() -> str:
+    n_tok = r"len(regexp_extract_all(text, '\S+'))"
+    return f"""
+    WITH b AS (
+        SELECT ({_bucket_case(n_tok, sql=True)})::BIGINT AS bucket,
+               least({n_tok}, {BUCKET_EDGES[-1]})::BIGINT AS kept_tokens
+        FROM documents
+    ), g AS (
+        SELECT bucket, count(*)::BIGINT AS n_docs,
+               sum(kept_tokens)::BIGINT AS sum_tokens
+        FROM b GROUP BY bucket
+    )
+    SELECT bucket, n_docs, sum_tokens,
+           (bucket * n_docs - sum_tokens)::BIGINT AS padding_waste,
+           round((bucket * n_docs - sum_tokens)::DOUBLE
+                 / (bucket * n_docs)::DOUBLE, 6) AS waste_frac
+    FROM g ORDER BY bucket
+    """

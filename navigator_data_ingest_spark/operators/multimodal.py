@@ -625,3 +625,128 @@ def mm_codec_stats_sql() -> str:
            (sum(n_bytes) // count(*))::bigint AS avg_bytes
     FROM f GROUP BY modality, format ORDER BY modality, format
     """
+
+
+# --------------------------------------------------------------------------
+# video scene segmentation (frame-hash deltas -> gaps-and-islands)
+# --------------------------------------------------------------------------
+
+SCENE_FRAME_STEP_S = 2.0   # one sampled frame per 2s of video
+SCENE_MAX_FRAMES = 32      # cap frames per clip
+SCENE_HAM_T = 33           # hamming(60-bit) > T => scene boundary
+
+
+def mm_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene segmentation over video rows: sample frames every 2s,
+    fingerprint each frame, and cut a new segment wherever consecutive
+    fingerprints differ by more than SCENE_HAM_T of 60 bits — the
+    shot-boundary-detection shape (pHash delta thresholding) with the
+    cut-points turned into segments by the gaps-and-islands idiom.
+
+    Frame fan-out is JVM-side ``explode(sequence(...))`` — the payload
+    column never crosses to Python and never shuffles; per-frame
+    60-bit fingerprints come from the deterministic digest stub (the
+    production swap-in is a real frame decoder + dHash). One doc_id
+    window (single shuffle) carries both the lag-hamming boundary flag
+    and the running-sum segment id; the per-segment rollup reuses the
+    same partitioning.
+    """
+    vids = (
+        multimodal_table(spark, sf_dir)
+        .where(F.col("meta.modality") == "video")
+        .select(
+            "doc_id",
+            F.decode("media", "utf-8").alias("txt"),
+            F.col("meta.duration_s").alias("dur"),
+        )
+        .withColumn(
+            "n_frames",
+            F.expr(
+                f"least({SCENE_MAX_FRAMES}, "
+                f"cast(floor(dur / {SCENE_FRAME_STEP_S}) as int) + 1)"
+            ),
+        )
+    )
+    frames = vids.select(
+        "doc_id",
+        "txt",
+        F.explode(F.expr("sequence(0, n_frames - 1)")).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        F.expr(
+            "cast(conv(substr(md5(concat(txt, ':', cast(frame_idx as string)))"
+            ", 1, 15), 16, 10) as bigint)"
+        ).alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    run = Window.partitionBy("doc_id").orderBy("frame_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    marked = frames.withColumn("prev", F.lag("h").over(w)).withColumn(
+        "boundary",
+        F.when(
+            F.col("prev").isNotNull()
+            & (F.expr(f"bit_count(h ^ prev)") > SCENE_HAM_T),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        marked.withColumn("seg_id", F.sum("boundary").over(run))
+        .groupBy("doc_id", "seg_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+        )
+        .select(
+            "doc_id",
+            F.col("seg_id").cast("bigint").alias("seg_id"),
+            "n_frames",
+            "start_frame",
+            "end_frame",
+        )
+        .orderBy("doc_id", "seg_id")
+    )
+
+
+def mm_scene_segments_sql() -> str:
+    return f"""
+    WITH vids AS (
+        SELECT doc_id, text AS txt,
+               least({SCENE_MAX_FRAMES},
+                     floor(((doc_id % 600) / 10.0)
+                           / {SCENE_FRAME_STEP_S})::INT + 1) AS n_frames
+        FROM documents WHERE doc_id % 3 = 2
+    ), frames AS (
+        SELECT doc_id,
+               unnest(range(0, n_frames)) AS frame_idx,
+               txt
+        FROM vids
+    ), hashed AS (
+        SELECT doc_id, frame_idx,
+               ('0x' || substr(md5(txt || ':' || frame_idx::VARCHAR), 1, 15))
+                   ::ubigint::bigint AS h
+        FROM frames
+    ), marked AS (
+        SELECT doc_id, frame_idx, h,
+               lag(h) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        FROM hashed
+    ), flagged AS (
+        SELECT doc_id, frame_idx,
+               CASE WHEN prev IS NOT NULL
+                         AND bit_count(xor(h, prev)) > {SCENE_HAM_T}
+                    THEN 1 ELSE 0 END AS boundary
+        FROM marked
+    ), seg AS (
+        SELECT doc_id, frame_idx,
+               sum(boundary) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS seg_id
+        FROM flagged
+    )
+    SELECT doc_id, seg_id::BIGINT AS seg_id, count(*)::BIGINT AS n_frames,
+           min(frame_idx)::BIGINT AS start_frame,
+           max(frame_idx)::BIGINT AS end_frame
+    FROM seg GROUP BY doc_id, seg_id ORDER BY doc_id, seg_id
+    """

@@ -4439,3 +4439,46 @@ register(
     _flat.src_agg_pushdown_sql(),
     front=True,
 )
+
+
+register(
+    "q_events_concurrency",
+    analytics.q_events_concurrency,
+    analytics.q_events_concurrency_sql(),
+    front=True,
+)
+
+register(
+    "q_events_asof_nearest",
+    analytics.q_events_asof_nearest,
+    analytics.q_events_asof_nearest_sql(),
+    front=True,
+)
+
+register(
+    "stats_chi_square",
+    analytics.stats_chi_square,
+    analytics.stats_chi_square_sql(),
+    front=True,
+)
+
+register(
+    "stats_jackknife_ci",
+    analytics.stats_jackknife_ci,
+    analytics.stats_jackknife_ci_sql(),
+    front=True,
+)
+
+register(
+    "corpus_length_buckets",
+    corpus.corpus_length_buckets,
+    corpus.corpus_length_buckets_sql(),
+    front=True,
+)
+
+register(
+    "mm_scene_segments",
+    multimodal.mm_scene_segments,
+    multimodal.mm_scene_segments_sql(),
+    front=True,
+)
