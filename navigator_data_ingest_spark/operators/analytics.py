@@ -3399,3 +3399,293 @@ def stats_jackknife_ci_sql() -> str:
                       * (sl2 - sl * sl / k::DOUBLE)), 6) AS ci_hi
     FROM agg ORDER BY event_type
     """
+
+
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) in nats, reported as
+    per-language contributions — the information-theoretic companion to
+    `stats_chi_square` on the same contingency table (MI is what a
+    feature-selection / leakage audit actually thresholds on).
+
+    Identical scale shape: ONE corpus shuffle to (lang, source) cells,
+    margins re-aggregated from the bounded cell table and broadcast
+    back. Zero cells contribute 0 to MI by the p·ln p convention, so
+    the observed cells alone are sufficient — no dense cross-product
+    needed, unlike chi-square.
+    """
+    cells = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rowt = cells.groupBy("lang").agg(F.sum("o").alias("row_tot"))
+    colt = cells.groupBy("source").agg(F.sum("o").alias("col_tot"))
+    tot = cells.agg(F.sum("o").alias("n_total"))
+    term = (
+        F.col("o").cast("double")
+        / F.col("n_total").cast("double")
+        * F.log(
+            F.col("o").cast("double") * F.col("n_total").cast("double")
+            / (F.col("row_tot").cast("double") * F.col("col_tot").cast("double"))
+        )
+    )
+    return (
+        cells.join(F.broadcast(rowt), "lang")
+        .join(F.broadcast(colt), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("lang")
+        .agg(
+            F.max("row_tot").alias("n_docs"),
+            F.round(F.sum(term), 6).alias("mi_contrib_nats"),
+        )
+        .orderBy("lang")
+    )
+
+
+def stats_mutual_information_sql() -> str:
+    return """
+    WITH cells AS (
+        SELECT lang, source, count(*)::BIGINT AS o
+        FROM documents GROUP BY 1, 2
+    ), rowt AS (
+        SELECT lang, sum(o)::BIGINT AS row_tot FROM cells GROUP BY 1
+    ), colt AS (
+        SELECT source, sum(o)::BIGINT AS col_tot FROM cells GROUP BY 1
+    ), tot AS (
+        SELECT sum(o)::BIGINT AS n_total FROM cells
+    )
+    SELECT c.lang,
+           max(row_tot)::BIGINT AS n_docs,
+           round(sum(o::DOUBLE / n_total::DOUBLE
+                     * ln(o::DOUBLE * n_total::DOUBLE
+                          / (row_tot::DOUBLE * col_tot::DOUBLE))), 6)
+               AS mi_contrib_nats
+    FROM cells c
+    JOIN rowt r ON c.lang = r.lang
+    JOIN colt s ON c.source = s.source
+    CROSS JOIN tot
+    GROUP BY c.lang ORDER BY c.lang
+    """
+
+
+DAY_US = 86_400_000_000
+
+
+def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily event-count series per
+    type: cumulative sum of deviations from the series mean, with the
+    peak |CUSUM| and its day — where the drift monitors (KS/PSI) say
+    "the halves differ", CUSUM says WHEN the level shifted.
+
+    One fact-scale collapse to (type, day) counts; the per-type mean
+    comes from a bounded re-aggregation broadcast back (never a
+    driver-side collect); the running sum and the argmax both ride ONE
+    type-partitioned window over the DAYS-bounded series. The running
+    sum is evaluated in deterministic day order, so the float
+    trajectory is bit-identical cross-engine.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(DAY_US))
+            .cast("bigint")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    means = daily.groupBy("event_type").agg(
+        (F.sum("cnt").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_cnt"
+        ),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = (
+        daily.join(F.broadcast(means), "event_type")
+        .withColumn(
+            "cusum", F.sum(F.col("cnt").cast("double") - F.col("mean_cnt")).over(w)
+        )
+    )
+    return (
+        cusum.groupBy("event_type")
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.round(F.max("mean_cnt"), 6).alias("mean_daily"),
+            F.min(
+                F.struct((-F.abs(F.col("cusum"))).alias("na"), F.col("day"))
+            ).alias("m"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "mean_daily",
+            F.round(-F.col("m.na"), 6).alias("peak_abs_cusum"),
+            F.col("m.day").alias("changepoint_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def stats_cusum_changepoint_sql() -> str:
+    return f"""
+    WITH daily AS (
+        SELECT event_type,
+               (epoch_us(ts::TIMESTAMP) // {DAY_US})::BIGINT AS day,
+               count(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2
+    ), means AS (
+        SELECT event_type,
+               sum(cnt)::DOUBLE / count(*)::DOUBLE AS mean_cnt,
+               count(*)::BIGINT AS n_days
+        FROM daily GROUP BY 1
+    ), c AS (
+        SELECT d.event_type, d.day, m.mean_cnt, m.n_days,
+               sum(d.cnt::DOUBLE - m.mean_cnt)
+                   OVER (PARTITION BY d.event_type ORDER BY d.day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cusum
+        FROM daily d JOIN means m ON d.event_type = m.event_type
+    ), p AS (
+        SELECT event_type, day, n_days, mean_cnt, cusum,
+               max(abs(cusum)) OVER (PARTITION BY event_type) AS mx
+        FROM c
+    )
+    SELECT event_type,
+           max(n_days)::BIGINT AS n_days,
+           round(max(mean_cnt), 6) AS mean_daily,
+           round(max(abs(cusum)), 6) AS peak_abs_cusum,
+           min(CASE WHEN abs(cusum) = mx THEN day END)::BIGINT
+               AS changepoint_day
+    FROM p GROUP BY event_type ORDER BY event_type
+    """
+
+
+KM_CENSOR_DAYS = 3  # last event within N days of corpus end => censored
+
+
+def stats_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes (days between a
+    user's first and last event), right-censoring users whose last
+    event falls in the final KM_CENSOR_DAYS of the corpus — the churn /
+    retention estimator done the estimator's way rather than the
+    retention-matrix way (q_events_cohort_retention).
+
+    One user-grain shuffle builds (lifetime, censored); the corpus end
+    comes from a 1-row broadcast aggregate. The lifetime table
+    collapses to at most ~31 distinct days, so the at-risk running
+    count and the KM product — exp of the running sum of
+    ln(1 - d/n) — ride bounded unpartitioned windows (the documented
+    bounded-window family), never a corpus-scale one.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    users = ev.groupBy("user_id").agg(
+        F.min("us").alias("first_us"), F.max("us").alias("last_us")
+    )
+    end = ev.agg(F.max("us").alias("end_us"))
+    lives = (
+        users.crossJoin(F.broadcast(end))
+        .select(
+            ((F.col("last_us") - F.col("first_us")) / F.lit(DAY_US))
+            .cast("bigint")
+            .alias("t_days"),
+            F.when(
+                F.col("last_us") >= F.col("end_us") - KM_CENSOR_DAYS * DAY_US, 1
+            )
+            .otherwise(0)
+            .alias("censored"),
+        )
+    )
+    per_t = lives.groupBy("t_days").agg(
+        F.sum(1 - F.col("censored")).alias("d_events"),
+        F.sum("censored").alias("c_censored"),
+    )
+    wo = Window.orderBy("t_days")
+    run = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # at risk just BEFORE t: total minus everyone who exited earlier
+    tot = per_t.agg(
+        F.sum(F.col("d_events") + F.col("c_censored")).alias("n_total")
+    )
+    km = (
+        per_t.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "exited_before",
+            F.coalesce(
+                F.sum(F.col("d_events") + F.col("c_censored")).over(
+                    Window.orderBy("t_days").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("n_risk", F.col("n_total") - F.col("exited_before"))
+        .withColumn(
+            "ln_term",
+            F.when(
+                F.col("d_events") > 0,
+                F.log(
+                    1.0
+                    - F.col("d_events").cast("double")
+                    / F.col("n_risk").cast("double")
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("km_survival", F.exp(F.sum("ln_term").over(run)))
+    )
+    return km.select(
+        "t_days",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d_events").cast("bigint").alias("d_events"),
+        F.col("c_censored").cast("bigint").alias("c_censored"),
+        F.round("km_survival", 6).alias("km_survival"),
+    ).orderBy("t_days")
+
+
+def stats_survival_km_sql() -> str:
+    return f"""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts::TIMESTAMP) AS us FROM events
+    ), users AS (
+        SELECT user_id, min(us) AS first_us, max(us) AS last_us
+        FROM ev GROUP BY 1
+    ), endt AS (
+        SELECT max(us) AS end_us FROM ev
+    ), lives AS (
+        SELECT ((last_us - first_us) // {DAY_US})::BIGINT AS t_days,
+               CASE WHEN last_us >= end_us - {KM_CENSOR_DAYS} * {DAY_US}
+                    THEN 1 ELSE 0 END AS censored
+        FROM users CROSS JOIN endt
+    ), per_t AS (
+        SELECT t_days,
+               sum(1 - censored)::BIGINT AS d_events,
+               sum(censored)::BIGINT AS c_censored
+        FROM lives GROUP BY 1
+    ), tot AS (
+        SELECT sum(d_events + c_censored)::BIGINT AS n_total FROM per_t
+    ), km AS (
+        SELECT t_days, d_events, c_censored,
+               n_total - coalesce(sum(d_events + c_censored)
+                   OVER (ORDER BY t_days
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS n_risk
+        FROM per_t CROSS JOIN tot
+    )
+    SELECT t_days, n_risk::BIGINT AS n_risk, d_events, c_censored,
+           round(exp(sum(CASE WHEN d_events > 0
+                              THEN ln(1.0 - d_events::DOUBLE / n_risk::DOUBLE)
+                              ELSE 0.0 END)
+                     OVER (ORDER BY t_days
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                 6) AS km_survival
+    FROM km ORDER BY t_days
+    """

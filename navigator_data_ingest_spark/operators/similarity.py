@@ -1476,3 +1476,100 @@ def emb_outlier_zscore_sql() -> str:
     SELECT vec_id, round(z2, 6) AS z2, z2 > {OUTLIER_Z2} AS is_outlier
     FROM scored ORDER BY vec_id
     """
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (sign matrix, norm distortion)
+# --------------------------------------------------------------------------
+
+JL_OUT_DIM = 8  # projected dimensionality (64 -> 8, 8x compression)
+
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic ±1 projection matrix [JL_OUT_DIM][EMB_DIM] from md5
+    parity — generated once in Python and baked as literals into BOTH
+    engines' expression text, so cross-engine agreement is by
+    construction (no engine hash in the hot path)."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"jl:{j}:{i}".encode()).digest()[-1] % 2 == 0 else -1
+            for i in range(EMB_DIM)
+        ]
+        for j in range(JL_OUT_DIM)
+    ]
+
+
+def _jl_chain(col: str, signs: list[int], *, dk: bool) -> str:
+    """±element_at chain for one output dim — pure add/subtract, fully
+    inside whole-stage codegen (no lambda fold)."""
+    terms = []
+    for i, s in enumerate(signs, start=1):
+        ref = f"{col}[{i}]::double" if dk else f"cast(element_at({col}, {i}) as double)"
+        terms.append(f"{'+' if s > 0 else '-'} {ref}")
+    return "(0.0 " + " ".join(terms) + ")"
+
+
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign-matrix projection (64 -> 8 dims) with
+    per-vector norm-distortion audit — the dimensionality-reduction
+    step in front of ANN indexing at 100 TB, where storing full-width
+    vectors for the coarse index is the cost driver, plus the check
+    that the projection preserved geometry (E[||y||^2 · d / k] =
+    ||x||^2 for a ±1 matrix).
+
+    Entirely map-side: the ±1 matrix is Python-literal constants
+    compiled into 8 add/subtract chains (no broadcast, no lambda
+    folds, no shuffle before the final sort); distortion is
+    (||y||^2 · d) / (k · ||x||^2). One corpus read per vector row.
+    """
+    signs = _jl_signs()
+    e = scatter(spark, load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").alias("e")
+    )
+    chains = [_jl_chain("e", row, dk=False) for row in signs]
+    norm_out = "(" + " + ".join(f"{c} * {c}" for c in chains) + ")"
+    norm_in = "(" + " + ".join(
+        f"cast(element_at(e, {i}) as double) * cast(element_at(e, {i}) as double)"
+        for i in range(1, EMB_DIM + 1)
+    ) + ")"
+    return (
+        e.select(
+            "vec_id",
+            F.round(F.expr(norm_in), 6).alias("norm_in"),
+            F.round(F.expr(norm_out), 6).alias("norm_out"),
+            F.round(
+                F.expr(
+                    f"case when {norm_in} = 0.0 then null else "
+                    f"{norm_out} * {EMB_DIM}.0 / ({JL_OUT_DIM}.0 * {norm_in}) end"
+                ),
+                6,
+            ).alias("distortion"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def emb_random_projection_sql() -> str:
+    signs = _jl_signs()
+    chains = [_jl_chain("e", row, dk=True) for row in signs]
+    y_cols = ", ".join(f"{c} AS y{j}" for j, c in enumerate(chains))
+    norm_out = "(" + " + ".join(f"y{j} * y{j}" for j in range(JL_OUT_DIM)) + ")"
+    norm_in = "(" + " + ".join(
+        f"e[{i}]::double * e[{i}]::double" for i in range(1, EMB_DIM + 1)
+    ) + ")"
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding AS e FROM embeddings
+    ), proj AS (
+        SELECT vec_id, {norm_in} AS ni, {y_cols} FROM base
+    )
+    SELECT vec_id,
+           round(ni, 6) AS norm_in,
+           round({norm_out}, 6) AS norm_out,
+           round(CASE WHEN ni = 0.0 THEN NULL
+                      ELSE {norm_out} * {EMB_DIM}.0
+                           / ({JL_OUT_DIM}.0 * ni) END, 6) AS distortion
+    FROM proj ORDER BY vec_id
+    """

@@ -4482,3 +4482,38 @@ register(
     multimodal.mm_scene_segments_sql(),
     front=True,
 )
+
+register(
+    "stats_mutual_information",
+    analytics.stats_mutual_information,
+    analytics.stats_mutual_information_sql(),
+    front=True,
+)
+
+register(
+    "stats_cusum_changepoint",
+    analytics.stats_cusum_changepoint,
+    analytics.stats_cusum_changepoint_sql(),
+    front=True,
+)
+
+register(
+    "stats_survival_km",
+    analytics.stats_survival_km,
+    analytics.stats_survival_km_sql(),
+    front=True,
+)
+
+register(
+    "emb_random_projection",
+    similarity.emb_random_projection,
+    similarity.emb_random_projection_sql(),
+    front=True,
+)
+
+register(
+    "layout_hilbert",
+    layout_ops.layout_hilbert,
+    layout_ops.layout_hilbert_sql(),
+    front=True,
+)

@@ -465,3 +465,54 @@ def test_agg_pushdown_scan(spark):
 
     plan = build_pushdown_plan(spark, SF_CORRECT)
     assert "PushedAggregation" in plan, plan[:2000]
+
+
+def test_layout_hilbert_map_side_and_tighter_than_zorder(spark):
+    """Hilbert audit: the 8-step recurrence stays map-side (same shuffle
+    budget as z-order), the curve is a bijection with unit steps (the
+    Hilbert property), and its buckets' bounding boxes are no looser
+    than z-order's in aggregate — the locality claim the operator
+    documents."""
+    from navigator_data_ingest_spark.operators import layout as L
+
+    audit = plan_audit(_Q["layout_hilbert"](spark, SF_CORRECT))
+    assert audit.cartesian_products == 0
+    assert audit.shuffle_exchanges <= 2
+
+    # recurrence correctness on a small grid, pure python replay
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    n = 16
+    seen = {}
+    for x in range(n):
+        for y in range(n):
+            d = xy2d(n, x, y)
+            assert d not in seen
+            seen[d] = (x, y)
+    assert all(
+        abs(seen[d][0] - seen[d + 1][0]) + abs(seen[d][1] - seen[d + 1][1]) == 1
+        for d in range(n * n - 1)
+    )
+
+    hil = {
+        r["bucket"]: (r["x_span"], r["y_span"])
+        for r in _Q["layout_hilbert"](spark, SF_CORRECT).collect()
+    }
+    zor = {
+        r["bucket"]: (r["x_span"], r["y_span"])
+        for r in _Q["layout_zorder"](spark, SF_CORRECT).collect()
+    }
+    h_area = sum((x + 1) * (y + 1) for x, y in hil.values()) / len(hil)
+    z_area = sum((x + 1) * (y + 1) for x, y in zor.values()) / len(zor)
+    assert h_area <= z_area * 1.05, (h_area, z_area)
