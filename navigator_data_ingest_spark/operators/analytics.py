@@ -3689,3 +3689,143 @@ def stats_survival_km_sql() -> str:
                  6) AS km_survival
     FROM km ORDER BY t_days
     """
+
+
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (the TWAP/metering
+    aggregate): each reading is weighted by how long it was current —
+    the duration until the type's next event — so sparse bursts don't
+    drown the steady state the way the row-weighted mean does. The
+    final (open-ended) reading per type carries no weight.
+
+    ONE type-partitioned window provides the lead() horizon; the
+    weighted and simple means come out of the same bounded aggregation.
+    Durations are integer microseconds.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    dt = (F.lead("us").over(w) - F.col("us")).alias("dt_us")
+    return (
+        ev.withColumn("dt_us", dt)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt_us").cast("double"))
+                / F.sum(F.col("dt_us")).cast("double"),
+                6,
+            ).alias("twap"),
+            F.round(F.avg("value"), 6).alias("simple_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_events_twap_sql() -> str:
+    return """
+    WITH ev AS (
+        SELECT event_type, event_id, value, epoch_us(ts::TIMESTAMP) AS us
+        FROM events
+    ), d AS (
+        SELECT event_type, value,
+               lead(us) OVER (PARTITION BY event_type
+                              ORDER BY us, event_id) - us AS dt_us
+        FROM ev
+    )
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           round(sum(value * dt_us::DOUBLE) / sum(dt_us)::DOUBLE, 6) AS twap,
+           round(avg(value), 6) AS simple_avg
+    FROM d GROUP BY event_type ORDER BY event_type
+    """
+
+
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type on the daily count series:
+    the median of all pairwise slopes — the estimator monitoring stacks
+    use when a two-day outage would wreck a least-squares slope
+    (companion to stats_length_regression's OLS and
+    stats_cusum_changepoint's level-shift view).
+
+    The corpus collapses to (type, day) counts first, so the pairwise
+    self-join runs on a DAYS-bounded table (~C(31,2) rows per type —
+    bounded by construction, the documented deliberate-pair family);
+    medians interpolate identically cross-engine (quantile_cont).
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(DAY_US))
+            .cast("bigint")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("d1"), F.col("cnt").alias("c1")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("d2"), F.col("cnt").alias("c2")
+    )
+    pairs = a.join(b, "event_type").where(F.col("d1") < F.col("d2"))
+    slopes = pairs.select(
+        "event_type",
+        (
+            (F.col("c2") - F.col("c1")).cast("double")
+            / (F.col("d2") - F.col("d1")).cast("double")
+        ).alias("slope"),
+    )
+    med_slope = slopes.groupBy("event_type").agg(
+        F.expr("percentile(slope, 0.5)").alias("slope_per_day"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    med_level = daily.groupBy("event_type").agg(
+        F.expr("percentile(cast(cnt as double), 0.5)").alias("median_daily"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return (
+        med_slope.join(med_level, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            F.round("slope_per_day", 6).alias("slope_per_day"),
+            F.round("median_daily", 6).alias("median_daily"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def stats_theil_sen_sql() -> str:
+    return f"""
+    WITH daily AS (
+        SELECT event_type,
+               (epoch_us(ts::TIMESTAMP) // {DAY_US})::BIGINT AS day,
+               count(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.event_type,
+               (b.cnt - a.cnt)::DOUBLE / (b.day - a.day)::DOUBLE AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+    ), ms AS (
+        SELECT event_type, quantile_cont(slope, 0.5) AS slope_per_day,
+               count(*)::BIGINT AS n_pairs
+        FROM pairs GROUP BY 1
+    ), ml AS (
+        SELECT event_type, quantile_cont(cnt::DOUBLE, 0.5) AS median_daily,
+               count(*)::BIGINT AS n_days
+        FROM daily GROUP BY 1
+    )
+    SELECT ms.event_type, n_days, n_pairs,
+           round(slope_per_day, 6) AS slope_per_day,
+           round(median_daily, 6) AS median_daily
+    FROM ms JOIN ml ON ms.event_type = ml.event_type
+    ORDER BY ms.event_type
+    """

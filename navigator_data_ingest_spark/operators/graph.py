@@ -475,3 +475,86 @@ def graph_label_propagation_sql() -> str:
     )
     SELECT node, lbl AS label FROM l2 ORDER BY node
     """
+
+
+KCORE_K = 3       # core threshold
+KCORE_ROUNDS = 2  # bounded peel rounds (fixed-round states replay in SQL)
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core decomposition of the part--supplier graph:
+    repeatedly peel nodes of degree < K, report the surviving nodes and
+    their in-core degree — the subgraph-density primitive behind spam /
+    collusion detection and graph sparsification, in the same
+    fixed-iteration discipline as graph_label_propagation (a
+    convergence loop is not oracle-replayable; KCORE_ROUNDS states
+    are).
+
+    Per round: one degree aggregation on the live edge set and one
+    semi-join of edges against surviving endpoints (both shuffles on
+    the node key), with a lazy checkpoint so round N+1 reads round N's
+    edges instead of re-deriving the chain. Output rows are nodes that
+    still meet the threshold after the final peel.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("p"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ed = edges.select(F.col("p").alias("src"), F.col("s").alias("dst")).union(
+        edges.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    for _ in range(KCORE_ROUNDS):
+        alive = (
+            ed.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= KCORE_K)
+            .select("src")
+        )
+        ed = (
+            ed.join(alive, "src")
+            .join(alive.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        ed.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .where(F.col("core_degree") >= KCORE_K)
+        .select(F.col("src").alias("node"), "core_degree")
+        .orderBy("node")
+    )
+
+
+def graph_kcore_sql() -> str:
+    rounds = []
+    prev = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        rounds.append(
+            f"a{r} AS (SELECT src FROM {prev} GROUP BY src "
+            f"HAVING count(*) >= {KCORE_K})"
+        )
+        rounds.append(
+            f"e{r} AS (SELECT e.src, e.dst FROM {prev} e "
+            f"JOIN a{r} x ON e.src = x.src "
+            f"JOIN a{r} y ON e.dst = y.src)"
+        )
+        prev = f"e{r}"
+    return f"""
+    WITH base AS (
+        SELECT DISTINCT 'p:' || l_partkey::VARCHAR AS p,
+                        's:' || l_suppkey::VARCHAR AS s
+        FROM lineitem
+    ), e0 AS (
+        SELECT p AS src, s AS dst FROM base
+        UNION ALL
+        SELECT s AS src, p AS dst FROM base
+    ), {", ".join(rounds)}
+    SELECT src AS node, count(*)::BIGINT AS core_degree
+    FROM {prev} GROUP BY src HAVING count(*) >= {KCORE_K}
+    ORDER BY node
+    """

@@ -4517,3 +4517,24 @@ register(
     layout_ops.layout_hilbert_sql(),
     front=True,
 )
+
+register(
+    "q_events_twap",
+    analytics.q_events_twap,
+    analytics.q_events_twap_sql(),
+    front=True,
+)
+
+register(
+    "stats_theil_sen",
+    analytics.stats_theil_sen,
+    analytics.stats_theil_sen_sql(),
+    front=True,
+)
+
+register(
+    "graph_kcore",
+    graph.graph_kcore,
+    graph.graph_kcore_sql(),
+    front=True,
+)

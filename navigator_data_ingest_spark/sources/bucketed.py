@@ -25,8 +25,17 @@ N_BUCKETS = 8
 
 
 def _table_name(base: str, sf_dir: str) -> str:
-    """Catalog-safe deterministic name per (table, sf_dir)."""
-    return f"nav_bucketed_{base}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    """Catalog-safe deterministic name per (table, sf_dir, process).
+
+    Pid-scoped like every other scratch artifact (publish roots,
+    streaming checkpoints): two JVMs running the query concurrently —
+    the driver's sweep beside a pytest session — must never drop /
+    rmtree / saveAsTable the same warehouse location, or one side hits
+    LOCATION_ALREADY_EXISTS mid-write. Stale dirs from dead pids are
+    re-used (same pid) or ignored; the query always rewrites its own.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"nav_bucketed_{base}_{tag}_{os.getpid()}"
 
 
 def write_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

@@ -134,6 +134,13 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_lorenz_deciles",
     # broadcast probe codes against the corpus (hamming baseline)
     "emb_label_purity",
+    # 1-row grand-total broadcast onto the bounded cell/margin grid
+    # (the contingency-table family): deliberate
+    "stats_chi_square",
+    "stats_mutual_information",
+    # 1-row corpus-end broadcast (censoring cutoff) + 1-row total onto
+    # the DAYS-bounded lifetime table: deliberate
+    "stats_survival_km",
 }
 
 
