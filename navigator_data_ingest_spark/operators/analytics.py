@@ -3829,3 +3829,45 @@ def stats_theil_sen_sql() -> str:
     FROM ms JOIN ml ON ms.event_type = ml.event_type
     ORDER BY ms.event_type
     """
+
+
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion rung (`from_xml`, Spark 4's built-in XML parser —
+    the third semi-structured decoder beside JSON (q_events_json) and
+    VARIANT (q_variant_json)): serialize each event to an XML fragment
+    in-plan, parse it back with a typed schema, and emit the extracted
+    fields — a value-exact round-trip proof that the XML path loses
+    nothing.
+
+    Everything is map-side JVM expressions (concat -> from_xml ->
+    struct field reads); the monetary field travels as integer cents so
+    the round-trip is float-format-free. The DuckDB oracle recomputes
+    the fields directly — matching hashes prove the XML leg is the
+    identity.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<e><id>"), F.col("event_id").cast("string"),
+        F.lit("</id><u>"), F.col("user_id").cast("string"),
+        F.lit("</u><t>"), F.col("event_type"),
+        F.lit("</t><v>"),
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").cast("string"),
+        F.lit("</v></e>"),
+    )
+    parsed = ev.select(
+        F.from_xml(xml, "id BIGINT, u BIGINT, t STRING, v BIGINT").alias("x")
+    )
+    return parsed.select(
+        F.col("x.id").alias("event_id"),
+        F.col("x.u").alias("user_id"),
+        F.col("x.t").alias("event_type"),
+        F.col("x.v").alias("value_cents"),
+    ).orderBy("event_id")
+
+
+def q_xml_roundtrip_sql() -> str:
+    return """
+    SELECT event_id, user_id, event_type,
+           cast(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+    FROM events ORDER BY event_id
+    """

@@ -4538,3 +4538,17 @@ register(
     graph.graph_kcore_sql(),
     front=True,
 )
+
+register(
+    "q_xml_roundtrip",
+    analytics.q_xml_roundtrip,
+    analytics.q_xml_roundtrip_sql(),
+    front=True,
+)
+
+register(
+    "src_python_datasource_stream",
+    _pysource.src_python_datasource_stream,
+    _pysource.src_python_datasource_stream_sql(),
+    front=True,
+)

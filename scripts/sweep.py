@@ -87,9 +87,9 @@ def main() -> None:
         from concurrent.futures import ThreadPoolExecutor
 
         par = [(n, f) for n, f in selected
-               if not n.startswith(("stream_", "src_stream"))]
+               if not n.startswith(("stream_", "src_stream", "src_python_datasource_stream"))]
         ser = [(n, f) for n, f in selected
-               if n.startswith(("stream_", "src_stream"))]
+               if n.startswith(("stream_", "src_stream", "src_python_datasource_stream"))]
 
         def worker(item):
             name, fn = item
