@@ -378,11 +378,46 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     The engine's own iteration (dedup_clusters' star contraction,
     graph_pagerank's unrolled rounds) remains the scale path for
     unbounded depth; this certifies the declarative surface against
-    DuckDB's recursive CTE running the IDENTICAL statement text.
+    DuckDB's recursive CTE over the same edge derivation.
+
+    Scale shape: the corpus-scale work (lineitem ⋈ part -> distinct
+    brand pairs) is materialized ONCE behind a localCheckpoint before
+    the recursion — without it Spark's recursive execution re-evaluates
+    the anchor's entire subtree every iteration (measured 7.8 s -> the
+    corpus chain three times); the recursive member also DISTINCTs its
+    frontier so each hop carries at most |brands| rows instead of
+    degree^hop duplicates (UNION-dedup recursion is DuckDB-only,
+    UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE in Spark 4.1).
     """
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_rc_li")
     load_table(spark, sf_dir, "part").createOrReplaceTempView("v_rc_part")
-    return spark.sql(_REACH_SQL.format(li="v_rc_li", part="v_rc_part"))
+    edges = spark.sql(
+        """
+        WITH ob AS (
+            SELECT DISTINCT l_orderkey, p_brand
+            FROM v_rc_li JOIN v_rc_part ON l_partkey = p_partkey
+        ), und AS (
+            SELECT DISTINCT x.p_brand AS a, y.p_brand AS b
+            FROM ob x JOIN ob y
+              ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+        )
+        SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+        """
+    ).localCheckpoint(eager=False)
+    edges.createOrReplaceTempView("v_rc_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(brand, hop) AS (
+            SELECT min(p_brand), 0 FROM v_rc_part
+            UNION ALL
+            SELECT DISTINCT e.b, r.hop + 1
+            FROM reach r JOIN v_rc_edges e ON e.a = r.brand
+            WHERE r.hop < 3
+        )
+        SELECT brand, min(hop) AS hops
+        FROM reach GROUP BY brand ORDER BY brand
+        """
+    )
 
 
 def q_recursive_cte_sql() -> str:
