@@ -3871,3 +3871,90 @@ def q_xml_roundtrip_sql() -> str:
            cast(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
     FROM events ORDER BY event_id
     """
+
+
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN...END procedural blocks): DECLARE a
+    session variable, bind it from a data-derived scalar (the p90 price
+    cut), and run the parameterized aggregate — the multi-statement
+    ETL-step surface migrations from stored-procedure warehouses need,
+    certified end-to-end (declaration, assignment-from-query, variable
+    reference in a WHERE).
+
+    The variable binding executes one scalar aggregate (equivalent to
+    the scalar subquery the oracle uses); the main statement is a
+    routine pushdown-friendly aggregation.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_scr_orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 0.0;
+          SET thr = (SELECT percentile(o_totalprice, 0.9) FROM v_scr_orders);
+          SELECT o_orderpriority,
+                 count(*) AS n_orders,
+                 sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) AS cents
+          FROM v_scr_orders
+          WHERE o_totalprice >= thr
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority;
+        END
+        """
+    )
+
+
+def q_sql_scripting_sql() -> str:
+    return """
+    SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+           sum(floor(o_totalprice * 100 + 0.5))::BIGINT AS cents
+    FROM orders
+    WHERE o_totalprice >= (SELECT quantile_cont(o_totalprice, 0.9)
+                           FROM orders)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDFs (CREATE FUNCTION ... RETURN expr, Spark 4):
+    the money-to-integer-cents rule and a discount-band classifier
+    defined ONCE as catalog functions and reused across statements —
+    unlike Python UDFs these inline into the plan (full codegen +
+    pushdown; zero serialization), which makes them the first resort
+    for shared business logic at 100 TB.
+
+    The oracle inlines the same expressions, proving the function
+    indirection is semantically free.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION nav_cents(p DOUBLE) "
+        "RETURNS BIGINT RETURN cast(floor(p * 100 + 0.5) as bigint)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION nav_disc_band(d DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN d < 0.03 THEN 'low' "
+        "WHEN d < 0.07 THEN 'mid' ELSE 'high' END"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_udf_li")
+    return spark.sql(
+        """
+        SELECT nav_disc_band(l_discount) AS band,
+               count(*) AS n_lines,
+               sum(nav_cents(l_extendedprice)) AS price_cents,
+               sum(nav_cents(l_extendedprice * (1 - l_discount)))
+                   AS discounted_cents
+        FROM v_udf_li
+        GROUP BY band ORDER BY band
+        """
+    )
+
+
+def q_sql_udf_sql() -> str:
+    return """
+    SELECT CASE WHEN l_discount < 0.03 THEN 'low'
+                WHEN l_discount < 0.07 THEN 'mid' ELSE 'high' END AS band,
+           count(*)::BIGINT AS n_lines,
+           sum(floor(l_extendedprice * 100 + 0.5))::BIGINT AS price_cents,
+           sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5))::BIGINT
+               AS discounted_cents
+    FROM lineitem GROUP BY band ORDER BY band
+    """

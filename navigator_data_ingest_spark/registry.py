@@ -4552,3 +4552,17 @@ register(
     _pysource.src_python_datasource_stream_sql(),
     front=True,
 )
+
+register(
+    "q_sql_scripting",
+    analytics.q_sql_scripting,
+    analytics.q_sql_scripting_sql(),
+    front=True,
+)
+
+register(
+    "q_sql_udf",
+    analytics.q_sql_udf,
+    analytics.q_sql_udf_sql(),
+    front=True,
+)

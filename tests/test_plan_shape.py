@@ -523,3 +523,15 @@ def test_layout_hilbert_map_side_and_tighter_than_zorder(spark):
     h_area = sum((x + 1) * (y + 1) for x, y in hil.values()) / len(hil)
     z_area = sum((x + 1) * (y + 1) for x, y in zor.values()) / len(zor)
     assert h_area <= z_area * 1.05, (h_area, z_area)
+
+
+def test_topk_rank_filters_use_window_group_limit(spark):
+    """rank() <= K filters must compile to WindowGroupLimit (Spark's
+    per-group top-k pushdown: each shuffle partition keeps only K rows
+    per group BEFORE the window sort) — the physical property that
+    makes the window-rank top-k idiom scale, pinned so a refactor that
+    breaks the pattern (e.g. a non-rank filter shape) is caught."""
+    for name in ("text_tfidf", "sim_search_pq_adc"):
+        df = _Q[name](spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, name
