@@ -3958,3 +3958,91 @@ def q_sql_udf_sql() -> str:
                AS discounted_cents
     FROM lineitem GROUP BY band ORDER BY band
     """
+
+
+EWMA_ALPHA = 0.3  # smoothing weight; q = 1 - alpha
+
+
+def stats_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the daily count series
+    per event type — the smoother behind every anomaly-detection
+    baseline (alert when count >> ewma). The recurrence
+    y_t = a*x_t + (1-a)*y_{t-1} is not a window function, but over a
+    dense day index it factors into one running sum:
+    y_t = a * q^t * sum_{i<=t}(x_i * q^-i), q = 1-a — so the whole
+    series costs ONE bounded type-partitioned window after the daily
+    collapse, no recursion, no UDF.
+
+    q^-i grows only to q^-31 over a month of days (no overflow); both
+    engines evaluate the same pow()/sum chain in day order, and the
+    final round(.,6) absorbs last-ulp libm differences.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(DAY_US))
+            .cast("bigint")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    q = 1.0 - EWMA_ALPHA
+    t = (F.row_number().over(w) - 1).alias("t")
+    daily = daily.withColumn("t", t)
+    term = F.col("cnt").cast("double") * F.pow(F.lit(q), -F.col("t"))
+    ewma = (
+        F.lit(EWMA_ALPHA)
+        * F.pow(F.lit(q), F.col("t"))
+        * F.sum(term).over(run)
+    )
+    # normalize by the missing-history mass so y_0 = x_0 (adjusted EWMA)
+    norm = 1.0 - F.pow(F.lit(q), F.col("t") + 1)
+    return (
+        daily.withColumn("ewma", ewma / norm)
+        .select(
+            "event_type",
+            "day",
+            "cnt",
+            F.round("ewma", 6).alias("ewma"),
+            (F.col("cnt").cast("double") > F.col("ewma") * 1.5).alias(
+                "is_spike"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def stats_ewma_sql() -> str:
+    a, q = EWMA_ALPHA, 1.0 - EWMA_ALPHA
+    return f"""
+    WITH daily AS (
+        SELECT event_type,
+               (epoch_us(ts::TIMESTAMP) // {DAY_US})::BIGINT AS day,
+               count(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2
+    ), idx AS (
+        SELECT event_type, day, cnt,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+                   AS t
+        FROM daily
+    ), s AS (
+        SELECT event_type, day, cnt, t,
+               {a} * pow({q}, t)
+                   * sum(cnt::DOUBLE * pow({q}, -t))
+                     OVER (PARTITION BY event_type ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   / (1.0 - pow({q}, t + 1)) AS ewma
+        FROM idx
+    )
+    SELECT event_type, day, cnt, round(ewma, 6) AS ewma,
+           (cnt::DOUBLE > ewma * 1.5) AS is_spike
+    FROM s ORDER BY event_type, day
+    """

@@ -4566,3 +4566,17 @@ register(
     analytics.q_sql_udf_sql(),
     front=True,
 )
+
+register(
+    "stats_ewma",
+    analytics.stats_ewma,
+    analytics.stats_ewma_sql(),
+    front=True,
+)
+
+register(
+    "sink_range_sorted_write",
+    _compact.sink_range_sorted_write,
+    _compact.sink_range_sorted_write_sql(),
+    front=True,
+)

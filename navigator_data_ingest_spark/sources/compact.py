@@ -105,3 +105,72 @@ def sink_compact_sql() -> str:
     GROUP BY event_type
     ORDER BY event_type
     """
+
+
+# --------------------------------------------------------------------------
+# range-sorted write with a file-disjointness audit
+# --------------------------------------------------------------------------
+
+RANGE_FILES = 8  # target file count for the sorted layout
+
+
+def sink_range_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered sorted write + the audit that PROVES pruning
+    will work: orders rewritten via ``repartitionByRange(o_totalprice)``
+    + ``sortWithinPartitions``, read back with ``input_file_name()``,
+    per-file [min, max] ranges computed, and overlapping file pairs
+    counted — zero overlaps is the property file-skipping relies on
+    (a min/max footer check can exclude a file iff ranges are
+    disjoint). layout_zorder/layout_hilbert audit the in-plan
+    clustering; this one audits the ACTUAL files on disk.
+
+    The overlap count is a self-join on the FILE-count-bounded range
+    table (RANGE_FILES rows) using interval logic — bounded by
+    construction. Range boundaries are sampled by Spark internally, so
+    the audit reports file COUNT and overlap count (deterministic: the
+    written partitioning always yields disjoint ranges and a fixed
+    file count) plus exact totals the oracle replays from the source.
+    """
+    out = sink_path("range_sorted", sf_dir)
+    (
+        load_table(spark, sf_dir, "orders")
+        .repartitionByRange(RANGE_FILES, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).withColumn("f", F.input_file_name())
+    ranges = back.groupBy("f").agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = ranges.select("f", "lo", "hi")
+    b = ranges.select(
+        F.col("f").alias("f2"), F.col("lo").alias("lo2"), F.col("hi").alias("hi2")
+    )
+    overlaps = (
+        a.join(F.broadcast(b), F.col("f") < F.col("f2"))
+        .where((F.col("lo") <= F.col("hi2")) & (F.col("lo2") <= F.col("hi")))
+        .agg(F.count(F.lit(1)).alias("n_overlapping_pairs"))
+    )
+    totals = ranges.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n").alias("n_rows"),
+        F.round(F.min("lo"), 2).alias("global_min"),
+        F.round(F.max("hi"), 2).alias("global_max"),
+    )
+    return totals.crossJoin(F.broadcast(overlaps)).select(
+        "n_files", "n_rows", "global_min", "global_max", "n_overlapping_pairs"
+    )
+
+
+def sink_range_sorted_write_sql() -> str:
+    return f"""
+    SELECT {RANGE_FILES}::BIGINT AS n_files,
+           count(*)::BIGINT AS n_rows,
+           round(min(o_totalprice), 2) AS global_min,
+           round(max(o_totalprice), 2) AS global_max,
+           0::BIGINT AS n_overlapping_pairs
+    FROM orders
+    """
