@@ -2271,3 +2271,166 @@ def corpus_length_buckets_sql() -> str:
                  / (bucket * n_docs)::DOUBLE, 6) AS waste_frac
     FROM g ORDER BY bucket
     """
+
+
+# --------------------------------------------------------------------------
+# classifier calibration (reliability bins over the hashed scorer)
+# --------------------------------------------------------------------------
+
+CAL_BINS = 10
+
+
+def stats_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the hashed quality classifier: sigmoid
+    the per-token-normalized score into a pseudo-probability, bin into
+    deciles, and compare mean predicted probability against the
+    observed positive rate (label: lang = 'en') per bin — the
+    calibration table every classifier-filtered corpus ships alongside
+    its keep/drop stats (a mis-calibrated filter silently shifts the
+    corpus mix).
+
+    Composes ``classifier_scores`` (map-side integer fold, no explode);
+    the only shuffle is the CAL_BINS-bounded aggregation. The sigmoid
+    and means are the sole float steps, rounded to 6 dp.
+    """
+    scored = classifier_scores(_tokens_df(spark, sf_dir), extra_cols=["lang"])
+    p = 1.0 / (
+        1.0
+        + F.exp(
+            -F.col("score_sum").cast("double") / F.col("n_tokens").cast("double")
+        )
+    )
+    binned = scored.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        p.alias("p"),
+        F.least(F.lit(CAL_BINS - 1), F.floor(p * CAL_BINS)).cast("bigint").alias(
+            "bin"
+        ),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("p"), 6).alias("mean_pred"),
+            F.round(F.avg(F.col("y").cast("double")), 6).alias("frac_pos"),
+        )
+        .withColumn(
+            "gap", F.round(F.col("mean_pred") - F.col("frac_pos"), 6)
+        )
+        .orderBy("bin")
+    )
+
+
+def stats_calibration_sql() -> str:
+    return f"""
+    WITH t AS (
+        SELECT doc_id, lang, {X.dk_tokens('text')} AS toks FROM documents
+    ), tok AS (
+        SELECT doc_id, lang, unnest(toks) AS x FROM t WHERE len(toks) > 0
+    ), s AS (
+        SELECT doc_id, lang, count(*)::bigint AS n_tokens,
+               sum({_clf_weight_dk('x')})::bigint AS score_sum
+        FROM tok GROUP BY doc_id, lang
+    ), pp AS (
+        SELECT (lang = 'en')::int AS y,
+               1.0 / (1.0 + exp(-(score_sum::DOUBLE / n_tokens::DOUBLE))) AS p
+        FROM s
+    ), b AS (
+        SELECT y, p,
+               least({CAL_BINS - 1}, floor(p * {CAL_BINS}))::BIGINT AS bin
+        FROM pp
+    )
+    SELECT bin, count(*)::BIGINT AS n_docs,
+           round(avg(p), 6) AS mean_pred,
+           round(avg(y::DOUBLE), 6) AS frac_pos,
+           round(round(avg(p), 6) - round(avg(y::DOUBLE), 6), 6) AS gap
+    FROM b GROUP BY bin ORDER BY bin
+    """
+
+
+# --------------------------------------------------------------------------
+# token-embedding mean pooling (doc embedding plumbing)
+# --------------------------------------------------------------------------
+
+POOL_DIM = 8  # per-token embedding width (deterministic hash stub)
+
+
+def corpus_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document embeddings by mean-pooling per-token vectors — the
+    embedding-GENERATION plumbing (tokenize -> per-token vector ->
+    masked mean pool -> L2 stats) with a deterministic hash stub where
+    the model forward pass goes; swapping in a real encoder changes
+    only the per-token vector expression (production: a Pandas-UDF
+    batch over a loaded model), not the pooling or the schema.
+
+    Pooling never explodes tokens x dims: all POOL_DIM folds live in
+    ONE let-bound struct so the token array is materialized once per
+    row (the projection-collapse hazard — without the let, each fold
+    re-runs the tokenizer regex), and the keyed repartition stops the
+    downstream field reads from re-inlining the struct. The certified
+    output is the pooled vector's first dims + L2 norm.
+    """
+    docs = scatter(spark, load_table(spark, sf_dir, "documents"))
+    fields = ["'n', size(t)"]
+    for j in range(POOL_DIM):
+        w = X.sp_hash32("x", f"emb{j}")
+        fields.append(
+            f"'d{j}', aggregate(t, cast(0 as bigint), "
+            f"(a, x) -> a + (({w}) % 1000))"
+        )
+    let = X.sp_let(
+        "t", X.sp_tokens("text"), f"named_struct({', '.join(fields)})"
+    )
+    pooled = (
+        # the non-empty filter runs on the raw text (equivalent to
+        # size(t) > 0 for \S+ tokenization) so the let-struct is
+        # evaluated exactly once per row — a filter on s.n would inline
+        # the whole expression a second time into the Filter operator
+        docs.where(F.col("text").rlike("\\S"))
+        .select("doc_id", F.expr(let).alias("s"))
+        .repartition("doc_id")
+        .select(
+            "doc_id",
+            F.col("s.n").alias("n_tokens"),
+            *[
+                F.round(
+                    F.col(f"s.d{j}").cast("double")
+                    / F.col("s.n").cast("double"),
+                    6,
+                ).alias(f"d{j}")
+                for j in range(POOL_DIM)
+            ],
+        )
+    )
+    l2 = F.sqrt(
+        sum(F.col(f"d{j}") * F.col(f"d{j}") for j in range(POOL_DIM))
+    )
+    return pooled.select(
+        "doc_id",
+        "n_tokens",
+        "d0",
+        "d1",
+        F.round(l2, 6).alias("l2_norm"),
+    ).orderBy("doc_id")
+
+
+def corpus_embed_pool_sql() -> str:
+    toks = X.dk_tokens("text")
+    terms = []
+    for j in range(POOL_DIM):
+        w = X.dk_hash32("x", f"emb{j}")
+        terms.append(
+            f"round(list_reduce(list_transform(toks, x -> ({w}) % 1000), "
+            f"(a, b) -> a + b)::DOUBLE / len(toks)::DOUBLE, 6) AS d{j}"
+        )
+    l2 = " + ".join(f"d{j} * d{j}" for j in range(POOL_DIM))
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {toks} AS toks FROM documents
+    ), p AS (
+        SELECT doc_id, len(toks)::int AS n_tokens, {", ".join(terms)}
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, n_tokens, d0, d1, round(sqrt({l2}), 6) AS l2_norm
+    FROM p ORDER BY doc_id
+    """

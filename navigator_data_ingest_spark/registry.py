@@ -4580,3 +4580,17 @@ register(
     _compact.sink_range_sorted_write_sql(),
     front=True,
 )
+
+register(
+    "stats_calibration",
+    corpus.stats_calibration,
+    corpus.stats_calibration_sql(),
+    front=True,
+)
+
+register(
+    "corpus_embed_pool",
+    corpus.corpus_embed_pool,
+    corpus.corpus_embed_pool_sql(),
+    front=True,
+)
