@@ -3607,7 +3607,6 @@ def stats_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("censored")).alias("d_events"),
         F.sum("censored").alias("c_censored"),
     )
-    wo = Window.orderBy("t_days")
     run = Window.orderBy("t_days").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -3632,7 +3631,8 @@ def stats_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "ln_term",
             F.when(
-                F.col("d_events") > 0,
+                (F.col("d_events") > 0)
+                & (F.col("d_events") < F.col("n_risk")),
                 F.log(
                     1.0
                     - F.col("d_events").cast("double")
@@ -3640,7 +3640,22 @@ def stats_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).otherwise(F.lit(0.0)),
         )
-        .withColumn("km_survival", F.exp(F.sum("ln_term").over(run)))
+        # d_events == n_risk sends the curve to EXACTLY 0 — ln(1-d/n)
+        # would be ln(0) (a DuckDB OutOfRange abort on reachable data:
+        # an uncensored unique max lifetime); carry a running hit-zero
+        # flag and pin the product to 0 from that row on instead
+        .withColumn(
+            "hit_zero",
+            F.max(
+                F.when(F.col("d_events") >= F.col("n_risk"), 1).otherwise(0)
+            ).over(run),
+        )
+        .withColumn(
+            "km_survival",
+            F.when(F.col("hit_zero") == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum("ln_term").over(run))
+            ),
+        )
     )
     return km.select(
         "t_days",
@@ -3681,13 +3696,19 @@ def stats_survival_km_sql() -> str:
         FROM per_t CROSS JOIN tot
     )
     SELECT t_days, n_risk::BIGINT AS n_risk, d_events, c_censored,
-           round(exp(sum(CASE WHEN d_events > 0
-                              THEN ln(1.0 - d_events::DOUBLE / n_risk::DOUBLE)
-                              ELSE 0.0 END)
-                     OVER (ORDER BY t_days
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           round(CASE WHEN max(CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END)
+                          OVER w = 1
+                      THEN 0.0
+                      ELSE exp(sum(CASE WHEN d_events > 0
+                                         AND d_events < n_risk
+                                        THEN ln(1.0 - d_events::DOUBLE
+                                                / n_risk::DOUBLE)
+                                        ELSE 0.0 END) OVER w) END,
                  6) AS km_survival
-    FROM km ORDER BY t_days
+    FROM km
+    WINDOW w AS (ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY t_days
     """
 
 
@@ -4012,9 +4033,11 @@ def stats_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             "cnt",
             F.round("ewma", 6).alias("ewma"),
-            (F.col("cnt").cast("double") > F.col("ewma") * 1.5).alias(
-                "is_spike"
-            ),
+            # flag on the ROUNDED baseline: pow()/sum ulps must not be
+            # able to flip the boolean across engines
+            (
+                F.col("cnt").cast("double") > F.round("ewma", 6) * 1.5
+            ).alias("is_spike"),
         )
         .orderBy("event_type", "day")
     )
@@ -4043,6 +4066,6 @@ def stats_ewma_sql() -> str:
         FROM idx
     )
     SELECT event_type, day, cnt, round(ewma, 6) AS ewma,
-           (cnt::DOUBLE > ewma * 1.5) AS is_spike
+           (cnt::DOUBLE > round(ewma, 6) * 1.5) AS is_spike
     FROM s ORDER BY event_type, day
     """

@@ -2199,9 +2199,10 @@ def corpus_dsir_weights_sql() -> str:
 BUCKET_EDGES = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
 
 
-def _bucket_case(n: str, *, sql: bool) -> str:
+def _bucket_case(n: str) -> str:
     """CASE expression assigning a token count to its power-of-2 padding
-    bucket — identical integer text in both engines (no float log2)."""
+    bucket — the SAME integer text runs in both engines (no float
+    log2)."""
     whens = " ".join(
         f"WHEN {n} <= {e} THEN {e}" for e in BUCKET_EDGES[:-1]
     )
@@ -2223,7 +2224,7 @@ def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scatter(spark, load_table(spark, sf_dir, "documents"))
     n_tok = "size(regexp_extract_all(text, '\\\\S+', 0))"
     bucketed = docs.select(
-        F.expr(_bucket_case(n_tok, sql=False)).cast("bigint").alias("bucket"),
+        F.expr(_bucket_case(n_tok)).cast("bigint").alias("bucket"),
         F.expr(f"least({n_tok}, {BUCKET_EDGES[-1]})")
         .cast("bigint")
         .alias("kept_tokens"),
@@ -2257,7 +2258,7 @@ def corpus_length_buckets_sql() -> str:
     n_tok = r"len(regexp_extract_all(text, '\S+'))"
     return f"""
     WITH b AS (
-        SELECT ({_bucket_case(n_tok, sql=True)})::BIGINT AS bucket,
+        SELECT ({_bucket_case(n_tok)})::BIGINT AS bucket,
                least({n_tok}, {BUCKET_EDGES[-1]})::BIGINT AS kept_tokens
         FROM documents
     ), g AS (
@@ -2382,11 +2383,12 @@ def corpus_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t", X.sp_tokens("text"), f"named_struct({', '.join(fields)})"
     )
     pooled = (
-        # the non-empty filter runs on the raw text (equivalent to
-        # size(t) > 0 for \S+ tokenization) so the let-struct is
-        # evaluated exactly once per row — a filter on s.n would inline
-        # the whole expression a second time into the Filter operator
-        docs.where(F.col("text").rlike("\\S"))
+        # the non-empty filter runs on the raw text — equivalent to
+        # size(t) > 0 for the [a-z0-9]+ tokenizer (a doc tokenizes to
+        # nothing iff it has no ascii alphanumeric), and cheap, so the
+        # let-struct is evaluated exactly once per row: a filter on s.n
+        # would inline the whole expression a second time into Filter
+        docs.where(F.lower(F.col("text")).rlike("[a-z0-9]"))
         .select("doc_id", F.expr(let).alias("s"))
         .repartition("doc_id")
         .select(

@@ -921,15 +921,6 @@ RECALL_SAMPLE_TARGET = 200  # absolute sample size the modulus targets
 RECALL_SAMPLE_MOD_MIN = 3
 
 
-def _recall_mod(n_docs: int) -> int:
-    """Sample stripe modulus: doc_id % mod == 0 targets ~RECALL_SAMPLE_
-    TARGET docs regardless of corpus size — the same bounded-by-
-    derivation discipline as IVF's centroid count. A FIXED modulus
-    would grow the sample (and its quadratic ground truth) linearly
-    with the corpus."""
-    return max(RECALL_SAMPLE_MOD_MIN, n_docs // RECALL_SAMPLE_TARGET)
-
-
 def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall certification for the MinHash-LSH candidate generator —
     the number that justifies running dedup through candidates at all:

@@ -484,7 +484,22 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def graph_label_propagation_sql() -> str:
-    return """
+    # one (min-over-neighbors, least-with-self) CTE pair per round,
+    # GENERATED from LP_ITERS so tuning the knob can never silently
+    # desynchronize the oracle from the Spark loop
+    rounds = []
+    prev = "l0"
+    for r in range(1, LP_ITERS + 1):
+        rounds.append(
+            f"m{r} AS (SELECT u.src AS node, min(l.lbl) AS nb "
+            f"FROM und u JOIN {prev} l ON u.dst = l.node GROUP BY u.src)"
+        )
+        rounds.append(
+            f"l{r} AS (SELECT l.node, least(l.lbl, m.nb) AS lbl "
+            f"FROM {prev} l JOIN m{r} m ON l.node = m.node)"
+        )
+        prev = f"l{r}"
+    return f"""
     WITH e AS (
         SELECT DISTINCT 'p:' || l_partkey::varchar AS p,
                         's:' || l_suppkey::varchar AS s
@@ -495,20 +510,8 @@ def graph_label_propagation_sql() -> str:
         SELECT s AS src, p AS dst FROM e
     ), l0 AS (
         SELECT DISTINCT src AS node, src AS lbl FROM und
-    ), m1 AS (
-        SELECT u.src AS node, min(l.lbl) AS nb
-        FROM und u JOIN l0 l ON u.dst = l.node GROUP BY u.src
-    ), l1 AS (
-        SELECT l.node, least(l.lbl, m.nb) AS lbl
-        FROM l0 l JOIN m1 m ON l.node = m.node
-    ), m2 AS (
-        SELECT u.src AS node, min(l.lbl) AS nb
-        FROM und u JOIN l1 l ON u.dst = l.node GROUP BY u.src
-    ), l2 AS (
-        SELECT l.node, least(l.lbl, m.nb) AS lbl
-        FROM l1 l JOIN m2 m ON l.node = m.node
-    )
-    SELECT node, lbl AS label FROM l2 ORDER BY node
+    ), {", ".join(rounds)}
+    SELECT node, lbl AS label FROM {prev} ORDER BY node
     """
 
 

@@ -480,7 +480,7 @@ def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         "h",
         "nx",
-        F.posexplode(F.expr("sequence(0, nx * ny - 1)")).alias("pos", "tile_id"),
+        F.explode(F.expr("sequence(0, nx * ny - 1)")).alias("tile_id"),
     )
     x0 = (F.col("tile_id") % F.col("nx")) * IMG_TILE
     y0 = (F.col("tile_id") / F.col("nx")).cast("bigint") * IMG_TILE

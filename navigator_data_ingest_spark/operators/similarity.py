@@ -1445,7 +1445,10 @@ def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.round(F.expr(z2), 6).alias("z2"),
-            (F.expr(z2) > OUTLIER_Z2).alias("is_outlier"),
+            # compare on the ROUNDED value: the raw sum's last ulps
+            # depend on partition merge order, and a vector straddling
+            # the threshold would flip the boolean across engines/runs
+            (F.round(F.expr(z2), 6) > OUTLIER_Z2).alias("is_outlier"),
         )
         .orderBy("vec_id")
     )
@@ -1473,7 +1476,7 @@ def emb_outlier_zscore_sql() -> str:
                    (x, y) -> x + y) AS z2
         FROM e, lists l
     )
-    SELECT vec_id, round(z2, 6) AS z2, z2 > {OUTLIER_Z2} AS is_outlier
+    SELECT vec_id, round(z2, 6) AS z2, round(z2, 6) > {OUTLIER_Z2} AS is_outlier
     FROM scored ORDER BY vec_id
     """
 

@@ -154,20 +154,31 @@ def sink_range_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("lo") <= F.col("hi2")) & (F.col("lo2") <= F.col("hi")))
         .agg(F.count(F.lit(1)).alias("n_overlapping_pairs"))
     )
+    # file COUNT is not certified as an exact constant: RangePartitioner
+    # can leave partitions empty (low-cardinality sort keys, tiny SFs)
+    # and empty partitions write no file — the stable contract is
+    # 1 <= files <= RANGE_FILES, certified as a boolean
     totals = ranges.agg(
-        F.count(F.lit(1)).alias("n_files"),
+        (
+            (F.count(F.lit(1)) >= 1)
+            & (F.count(F.lit(1)) <= RANGE_FILES)
+        ).alias("files_within_target"),
         F.sum("n").alias("n_rows"),
         F.round(F.min("lo"), 2).alias("global_min"),
         F.round(F.max("hi"), 2).alias("global_max"),
     )
     return totals.crossJoin(F.broadcast(overlaps)).select(
-        "n_files", "n_rows", "global_min", "global_max", "n_overlapping_pairs"
+        "files_within_target",
+        "n_rows",
+        "global_min",
+        "global_max",
+        "n_overlapping_pairs",
     )
 
 
 def sink_range_sorted_write_sql() -> str:
     return f"""
-    SELECT {RANGE_FILES}::BIGINT AS n_files,
+    SELECT true AS files_within_target,
            count(*)::BIGINT AS n_rows,
            round(min(o_totalprice), 2) AS global_min,
            round(max(o_totalprice), 2) AS global_max,
