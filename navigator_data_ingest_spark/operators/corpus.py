@@ -2372,9 +2372,18 @@ def corpus_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is the pooled vector's first dims + L2 norm.
     """
     docs = scatter(spark, load_table(spark, sf_dir, "documents"))
+    # one md5 digest per (token, fold), sliced into a 16-bit lane per
+    # dim: measured FASTER than both a per-dim seeded hash (longer
+    # string prep) and a single-fold 8-lane array accumulator (whose
+    # per-token nested-lambda let costs more than the saved digests of
+    # tiny strings) — 100x-dup probe 3.2x -> 2.2x, input-growth bound
+    # like corpus_perplexity_filter
     fields = ["'n', size(t)"]
     for j in range(POOL_DIM):
-        w = X.sp_hash32("x", f"emb{j}")
+        w = (
+            f"cast(conv(substr(md5('emb:' || x), {1 + 4 * j}, 4), 16, 10)"
+            " as bigint)"
+        )
         fields.append(
             f"'d{j}', aggregate(t, cast(0 as bigint), "
             f"(a, x) -> a + (({w}) % 1000))"
@@ -2420,7 +2429,7 @@ def corpus_embed_pool_sql() -> str:
     toks = X.dk_tokens("text")
     terms = []
     for j in range(POOL_DIM):
-        w = X.dk_hash32("x", f"emb{j}")
+        w = f"('0x' || substr(md5('emb:' || x), {1 + 4 * j}, 4))::uinteger"
         terms.append(
             f"round(list_reduce(list_transform(toks, x -> ({w}) % 1000), "
             f"(a, b) -> a + b)::DOUBLE / len(toks)::DOUBLE, 6) AS d{j}"

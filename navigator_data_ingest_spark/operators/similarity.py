@@ -1576,3 +1576,82 @@ def emb_random_projection_sql() -> str:
                            / ({JL_OUT_DIM}.0 * ni) END, 6) AS distortion
     FROM proj ORDER BY vec_id
     """
+
+
+# --------------------------------------------------------------------------
+# kNN pseudo-labeling (semi-supervised label propagation over buckets)
+# --------------------------------------------------------------------------
+
+KNN_LABEL_K = 3
+
+
+def corpus_knn_pseudo_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised pseudo-labeling with a built-in accuracy audit:
+    the even-id half of the corpus keeps its trusted label, every
+    odd-id vector takes the majority label of its K nearest SAME-BUCKET
+    labeled neighbors (hyperplane LSH buckets, exact cosine rank inside
+    the bucket), and the held-back true label scores the result — the
+    data-labeling loop (label a seed set, propagate, audit) that turns
+    an embedding corpus into training data.
+
+    Scale shape: the unlabeled side is HALF THE CORPUS, so unlike the
+    bounded-query ANN ops nothing broadcasts — candidates come from a
+    bucket-key shuffle equijoin (both sides partitioned by bucket), the
+    top-K rank windows on query_id (WindowGroupLimit prunes per
+    partition), and the vote is a (query, label) count argmax via
+    min(struct). Unlabeled vectors with no same-bucket labeled
+    neighbor are reported with a NULL pseudo-label via the final left
+    join (at production bucket widths that sliver feeds a second,
+    wider-probe pass).
+    """
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = scatter(spark, raw).withColumn("bucket", F.expr(_bucket_expr("embedding")))
+    labeled = e.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("nvec"),
+        F.col("label").alias("nbr_label"),
+        "bucket",
+    )
+    unlabeled = e.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("true_label"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = _cos("qvec", "nvec", EMB_DIM)
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("nbr_id"))
+    topk = (
+        unlabeled.join(labeled, F.col("qbucket") == F.col("bucket"))
+        .select("query_id", "nbr_id", "nbr_label", cos.alias("_cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_LABEL_K)
+    )
+    votes = (
+        topk.groupBy("query_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+        .groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_votes").alias("c"), (-F.col("nbr_label")).alias("nl")
+                )
+            ).alias("m")
+        )
+        .select(
+            "query_id",
+            (-F.col("m.nl")).alias("pseudo_label"),
+            F.col("m.c").alias("n_votes"),
+        )
+    )
+    return (
+        unlabeled.select("query_id", "true_label")
+        .join(votes, "query_id", "left")
+        .select(
+            "query_id",
+            "true_label",
+            "pseudo_label",
+            F.coalesce(F.col("n_votes"), F.lit(0)).alias("n_votes"),
+            (F.col("pseudo_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )

@@ -4594,3 +4594,53 @@ register(
     corpus.corpus_embed_pool_sql(),
     front=True,
 )
+
+
+_DK_DOT_QN = X.dk_fold_dot("q.qvec", "n.nvec", similarity.EMB_DIM)
+_DK_DOT_QQ2 = X.dk_fold_dot("q.qvec", "q.qvec", similarity.EMB_DIM)
+_DK_DOT_NN = X.dk_fold_dot("n.nvec", "n.nvec", similarity.EMB_DIM)
+
+register(
+    "corpus_knn_pseudo_label",
+    similarity.corpus_knn_pseudo_label,
+    f"""
+    WITH eb AS (
+        SELECT vec_id, embedding, label, {_DK_BUCKET} AS bucket
+        FROM embeddings
+    ), lab AS (
+        SELECT vec_id AS nbr_id, embedding AS nvec, label AS nbr_label,
+               bucket
+        FROM eb WHERE vec_id % 2 = 0
+    ), unl AS (
+        SELECT vec_id AS query_id, embedding AS qvec,
+               label AS true_label, bucket AS qbucket
+        FROM eb WHERE vec_id % 2 = 1
+    ), scored AS (
+        SELECT q.query_id, n.nbr_id, n.nbr_label,
+               {_DK_DOT_QN} / (sqrt({_DK_DOT_QQ2}) * sqrt({_DK_DOT_NN}))
+                   AS c
+        FROM unl q JOIN lab n ON q.qbucket = n.bucket
+    ), topk AS (
+        SELECT query_id, nbr_label
+        FROM (SELECT query_id, nbr_label, c,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY c DESC, nbr_id) AS rank
+              FROM scored)
+        WHERE rank <= {similarity.KNN_LABEL_K}
+    ), votes AS (
+        SELECT query_id, nbr_label, count(*)::BIGINT AS n_votes
+        FROM topk GROUP BY 1, 2
+    ), best AS (
+        SELECT query_id,
+               max(struct_pack(c := n_votes, nl := -nbr_label)) AS m
+        FROM votes GROUP BY 1
+    )
+    SELECT u.query_id, u.true_label,
+           (-(m.nl))::INT AS pseudo_label,
+           coalesce(m.c, 0)::BIGINT AS n_votes,
+           ((-(m.nl))::INT = u.true_label) AS correct
+    FROM unl u LEFT JOIN best b ON u.query_id = b.query_id
+    ORDER BY u.query_id
+    """,
+    front=True,
+)
