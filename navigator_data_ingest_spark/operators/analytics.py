@@ -4069,3 +4069,132 @@ def stats_ewma_sql() -> str:
            (cnt::DOUBLE > round(ewma, 6) * 1.5) AS is_spike
     FROM s ORDER BY event_type, day
     """
+
+
+PATH_TOP_N = 10
+PATH_MAX_LEN = 8  # truncate long sessions: paths beyond this are "..."
+
+
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths: the ordered event-type sequence of each
+    user session (30-minute gap sessionization), truncated to the first
+    PATH_MAX_LEN steps, counted corpus-wide — the product-analytics
+    "what do users actually do" table (Sankey input).
+
+    One user window carries the gap-sessionization running sum; the
+    path string is built by an ORDERED collect inside the (user,
+    session) aggregation — deterministic because (ts, event_id) is a
+    total order — and the final count + top-N is a two-level aggregate
+    on the bounded path-string key space with a full-ordered rank on
+    the COUNTED table (paths, not events).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.withColumn("sess_id", F.sum(new_sess).over(run))
+    paths = (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("us", "event_id", "event_type"))
+            ).alias("steps")
+        )
+        .select(
+            F.when(
+                F.size("steps") > PATH_MAX_LEN,
+                F.concat(
+                    F.array_join(
+                        F.expr(
+                            f"transform(slice(steps, 1, {PATH_MAX_LEN}),"
+                            " s -> s.event_type)"
+                        ),
+                        ">",
+                    ),
+                    F.lit(">..."),
+                ),
+            )
+            .otherwise(
+                F.array_join(
+                    F.expr("transform(steps, s -> s.event_type)"), ">"
+                )
+            )
+            .alias("path"),
+            F.size("steps").alias("n_steps"),
+        )
+    )
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg(F.col("n_steps").cast("double")), 6).alias(
+            "avg_steps"
+        ),
+    )
+    # top-N via sort+limit (TakeOrdered — distributed heap per
+    # partition, N rows to the driver), NOT a global rank window: the
+    # distinct-path key space is combinatorial at scale and a
+    # no-partition window would single-task it. rank is assigned on
+    # the N-row result (bounded window).
+    top = counted.orderBy(
+        F.desc("n_sessions"), F.asc("path")
+    ).limit(PATH_TOP_N)
+    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        top.withColumn("rank", F.row_number().over(wr))
+        .select("rank", "path", "n_sessions", "avg_steps")
+        .orderBy("rank")
+    )
+
+
+def q_events_top_paths_sql() -> str:
+    return f"""
+    WITH ev AS (
+        SELECT user_id, event_type, event_id,
+               epoch_us(ts::TIMESTAMP) AS us
+        FROM events
+    ), g AS (
+        SELECT user_id, event_type, event_id, us,
+               CASE WHEN us - lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), s AS (
+        SELECT user_id, event_type, us, event_id,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS sess_id
+        FROM g
+    ), p AS (
+        SELECT user_id, sess_id,
+               list_transform(
+                   list_sort(list(struct_pack(us := us, eid := event_id,
+                                              et := event_type))),
+                   x -> x.et) AS types
+        FROM s GROUP BY user_id, sess_id
+    ), ps AS (
+        SELECT CASE WHEN len(types) > {PATH_MAX_LEN}
+                    THEN array_to_string(types[1:{PATH_MAX_LEN}], '>')
+                         || '>...'
+                    ELSE array_to_string(types, '>') END AS path,
+               len(types) AS n_steps
+        FROM p
+    ), c AS (
+        SELECT path, count(*)::BIGINT AS n_sessions,
+               round(avg(n_steps::DOUBLE), 6) AS avg_steps
+        FROM ps GROUP BY path
+    ), r AS (
+        SELECT path, n_sessions, avg_steps,
+               row_number() OVER (ORDER BY n_sessions DESC, path) AS rank
+        FROM c
+    )
+    SELECT rank::INT AS rank, path, n_sessions, avg_steps
+    FROM r WHERE rank <= {PATH_TOP_N} ORDER BY rank
+    """

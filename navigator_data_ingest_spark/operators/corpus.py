@@ -2445,3 +2445,100 @@ def corpus_embed_pool_sql() -> str:
     SELECT doc_id, n_tokens, d0, d1, round(sqrt({l2}), 6) AS l2_norm
     FROM p ORDER BY doc_id
     """
+
+
+def corpus_upsample_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the mixture upsampling plan (`corpus_upsample_plan`
+    computes the per-source epoch factors; this materializes the
+    repeated rows): each document fans out to ``repeat_factor`` epoch
+    copies via a JVM-side explode(sequence), and the per-source audit
+    certifies the executed mix — row and token counts after repetition,
+    epochs used, and the post-mix share drift toward uniform.
+
+    Scale shape: the SOURCES-sized factor table broadcasts onto the
+    corpus (no shuffle before the fan-out), the explode is metadata
+    arithmetic (no payload duplication until the write), and the audit
+    re-aggregates on the same source key.
+    """
+    docs = _tokens_df(spark, sf_dir).select(
+        "doc_id", "source", F.size("t").alias("n_tok")
+    )
+    per_src = docs.groupBy("source").agg(F.sum("n_tok").alias("n_tokens"))
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n_sources")
+    )
+    factors = (
+        per_src.join(F.broadcast(totals))
+        .withColumn("target", F.expr("(tot + n_sources - 1) div n_sources"))
+        .select(
+            "source",
+            F.expr(
+                f"least(cast({UPSAMPLE_MAX_REPEAT} as bigint),"
+                f" greatest(cast(1 as bigint),"
+                f" (target + n_tokens - 1) div n_tokens))"
+            ).alias("repeat_factor"),
+        )
+    )
+    expanded = (
+        docs.join(F.broadcast(factors), "source")
+        .select(
+            "source",
+            "n_tok",
+            F.explode(F.expr("sequence(1, repeat_factor)")).alias("epoch"),
+        )
+    )
+    out = (
+        expanded.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_out"),
+            F.sum("n_tok").alias("n_tokens_out"),
+            F.max("epoch").alias("epochs"),
+        )
+    )
+    grand = out.agg(F.sum("n_tokens_out").alias("tot_out"))
+    return (
+        out.crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "n_rows_out",
+            "n_tokens_out",
+            F.col("epochs").cast("bigint").alias("epochs"),
+            F.expr("n_tokens_out * 1000 div tot_out").alias(
+                "share_out_permille"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def corpus_upsample_apply_sql() -> str:
+    return f"""
+    WITH d AS (
+        SELECT doc_id, source, len({X.dk_tokens('text')})::bigint AS n_tok
+        FROM documents
+    ), s AS (
+        SELECT source, sum(n_tok)::bigint AS n_tokens FROM d GROUP BY source
+    ), t AS (
+        SELECT sum(n_tokens)::bigint AS tot, count(*)::bigint AS n_sources
+        FROM s
+    ), f AS (
+        SELECT source,
+               least({UPSAMPLE_MAX_REPEAT}, greatest(1,
+                   (((tot + n_sources - 1) // n_sources) + n_tokens - 1)
+                   // n_tokens))::bigint AS repeat_factor
+        FROM s, t
+    ), x AS (
+        SELECT d.source, d.n_tok,
+               unnest(generate_series(1, f.repeat_factor)) AS epoch
+        FROM d JOIN f ON d.source = f.source
+    ), o AS (
+        SELECT source, count(*)::bigint AS n_rows_out,
+               sum(n_tok)::bigint AS n_tokens_out,
+               max(epoch)::bigint AS epochs
+        FROM x GROUP BY source
+    )
+    SELECT source, n_rows_out, n_tokens_out, epochs,
+           (n_tokens_out * 1000 // (SELECT sum(n_tokens_out) FROM o))::bigint
+               AS share_out_permille
+    FROM o ORDER BY source
+    """

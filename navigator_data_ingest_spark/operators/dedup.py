@@ -1030,3 +1030,57 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("n_members >= 2")
         .orderBy("golden_id")
     )
+
+
+CONTAINMENT_THRESHOLD = 0.8  # max-direction shingle containment
+
+
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment verify on the LSH candidate pairs:
+    containment(A->B) = |sh_A ∩ sh_B| / |sh_A| — the measure that
+    catches a short document embedded verbatim inside a long one
+    (quotes, boilerplate-wrapped reposts), which symmetric Jaccard
+    dilutes below threshold as the long side grows. Reports both
+    directions plus which side is contained.
+
+    Same funnel discipline as dedup_ngram_jaccard: exact set work runs
+    ONLY on the MinHash-LSH survivors (two doc_id hash joins at
+    candidate cardinality), never on block self-joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_pairs(docs).select("doc_a", "doc_b")
+    sh_expr = X.sp_let(
+        "t", X.sp_tokens("text"), f"array_distinct({X.sp_shingles('t')})"
+    )
+    sh = scatter(spark, docs.select("doc_id", "text")).select(
+        "doc_id", F.expr(sh_expr).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    c_ab = inter.cast("double") / F.size("sh_a").cast("double")
+    c_ba = inter.cast("double") / F.size("sh_b").cast("double")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(c_ab, 6).alias("contain_a_in_b"),
+            F.round(c_ba, 6).alias("contain_b_in_a"),
+            F.greatest(c_ab, c_ba).alias("_mx"),
+        )
+        .where(F.col("_mx") >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            "contain_a_in_b",
+            "contain_b_in_a",
+            F.when(
+                F.col("contain_a_in_b") >= F.col("contain_b_in_a"), F.lit("a")
+            )
+            .otherwise(F.lit("b"))
+            .alias("contained_side"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -4644,3 +4644,52 @@ register(
     """,
     front=True,
 )
+
+
+register(
+    "dedup_shingle_containment",
+    dedup.dedup_shingle_containment,
+    # asymmetric containment on the LSH candidates (subset-document
+    # detection); same candidate CTEs as dedup_ngram_jaccard
+    f"""
+    WITH {_MINHASH_CTES},
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT doc_a, doc_b,
+               len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::double
+                   / len(sa.sh)::double AS c_ab,
+               len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::double
+                   / len(sb.sh)::double AS c_ba
+        FROM cand
+        JOIN base sa ON doc_a = sa.doc_id
+        JOIN base sb ON doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(c_ab, 6) AS contain_a_in_b,
+           round(c_ba, 6) AS contain_b_in_a,
+           CASE WHEN round(c_ab, 6) >= round(c_ba, 6)
+                THEN 'a' ELSE 'b' END AS contained_side
+    FROM scored WHERE greatest(c_ab, c_ba) >= {dedup.CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+    front=True,
+)
+
+register(
+    "corpus_upsample_apply",
+    corpus.corpus_upsample_apply,
+    corpus.corpus_upsample_apply_sql(),
+    front=True,
+)
+
+register(
+    "q_events_top_paths",
+    analytics.q_events_top_paths,
+    analytics.q_events_top_paths_sql(),
+    front=True,
+)
