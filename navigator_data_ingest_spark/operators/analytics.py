@@ -4198,3 +4198,190 @@ def q_events_top_paths_sql() -> str:
     SELECT rank::INT AS rank, path, n_sessions, avg_steps
     FROM r WHERE rank <= {PATH_TOP_N} ORDER BY rank
     """
+
+
+LIFT_MIN_PAIR_ORDERS = 3  # prune noise pairs before rule metrics
+
+
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics over the co-purchase pairs: support,
+    confidence (both directions) and lift — the numbers that turn
+    q_basket_pairs' raw counts into "customers who bought X also
+    buy Y" decisions (lift > 1 = genuinely associated, not just both
+    popular).
+
+    Same scale shape as the pair miner (ONE orderkey shuffle, in-array
+    pair generation, BRANDS²-bounded rule table) plus a BRANDS-bounded
+    per-item support aggregate broadcast onto the rules; the total
+    order count arrives as a 1-row broadcast. Ratios are exact-integer
+    divisions rounded at the edge.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_total"))
+    item = (
+        baskets.select(F.explode("brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(brands, (x, i) -> "
+                    "transform(slice(brands, i + 2, size(brands)), "
+                    "y -> struct(x AS brand_a, y AS brand_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.brand_a", "p.brand_b")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= LIFT_MIN_PAIR_ORDERS)
+    )
+    ia = item.select(F.col("brand").alias("brand_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("brand").alias("brand_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ia), "brand_a")
+        .join(F.broadcast(ib), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_pair",
+            F.round(
+                F.col("n_pair").cast("double") / F.col("n_total").cast("double"),
+                6,
+            ).alias("support"),
+            F.round(
+                F.col("n_pair").cast("double") / F.col("n_a").cast("double"), 6
+            ).alias("conf_a_to_b"),
+            F.round(
+                F.col("n_pair").cast("double") / F.col("n_b").cast("double"), 6
+            ).alias("conf_b_to_a"),
+            F.round(
+                F.col("n_pair").cast("double")
+                * F.col("n_total").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )
+
+
+def q_basket_lift_sql() -> str:
+    return f"""
+    WITH baskets AS (
+        SELECT l_orderkey, list_sort(list(DISTINCT p_brand)) AS brands
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY l_orderkey
+    ), tot AS (
+        SELECT count(*)::BIGINT AS n_total FROM baskets
+    ), item2 AS (
+        SELECT brand, count(*)::BIGINT AS n_item
+        FROM (SELECT l_orderkey, unnest(brands) AS brand FROM baskets)
+        GROUP BY brand
+    ), pairs AS (
+        SELECT p.brand_a, p.brand_b, count(*)::BIGINT AS n_pair
+        FROM (
+            SELECT unnest(flatten(list_transform(brands, (x, i) ->
+                       list_transform(brands[i+1:], y ->
+                           struct_pack(brand_a := x, brand_b := y)))))
+                   AS p
+            FROM baskets
+        )
+        GROUP BY 1, 2 HAVING count(*) >= {LIFT_MIN_PAIR_ORDERS}
+    )
+    SELECT brand_a, brand_b, n_pair,
+           round(n_pair::DOUBLE / n_total::DOUBLE, 6) AS support,
+           round(n_pair::DOUBLE / a.n_item::DOUBLE, 6) AS conf_a_to_b,
+           round(n_pair::DOUBLE / b.n_item::DOUBLE, 6) AS conf_b_to_a,
+           round(n_pair::DOUBLE * n_total::DOUBLE
+                 / (a.n_item::DOUBLE * b.n_item::DOUBLE), 6) AS lift
+    FROM pairs
+    JOIN item2 a ON pairs.brand_a = a.brand
+    JOIN item2 b ON pairs.brand_b = b.brand
+    CROSS JOIN tot
+    ORDER BY brand_a, brand_b
+    """
+
+
+def stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across event types: does mean event value differ
+    between types more than within-type noise explains? F = (SSB/(k-1))
+    / (SSW/(N-k)) — the k-group generalization of the two-group z-test
+    (stats_ab_test), computed from ONE pass of per-group moment
+    aggregates (n, Σx, Σx²); everything after is arithmetic on the
+    k-row table with grand totals from a bounded re-aggregation.
+    """
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sx"),
+            F.sum(F.col("value") * F.col("value")).alias("sxx"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").alias("tot_n"),
+        F.sum("sx").alias("tot_sx"),
+        F.sum("sxx").alias("tot_sxx"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    ssb = F.sum(
+        F.col("sx") * F.col("sx") / F.col("n").cast("double")
+    ) - F.max(F.col("tot_sx") * F.col("tot_sx") / F.col("tot_n").cast("double"))
+    ssw = F.max("tot_sxx") - F.sum(
+        F.col("sx") * F.col("sx") / F.col("n").cast("double")
+    )
+    out = j.agg(
+        F.max("k").alias("k"),
+        F.max("tot_n").alias("n_rows"),
+        ssb.alias("_ssb"),
+        ssw.alias("_ssw"),
+    ).select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round("_ssb", 6).alias("ss_between"),
+        F.round("_ssw", 6).alias("ss_within"),
+        F.round(
+            (F.col("_ssb") / (F.col("k") - 1).cast("double"))
+            / (F.col("_ssw") / (F.col("n_rows") - F.col("k")).cast("double")),
+            6,
+        ).alias("f_stat"),
+    )
+    return out
+
+
+def stats_anova_sql() -> str:
+    return """
+    WITH g AS (
+        SELECT event_type, count(*)::BIGINT AS n, sum(value) AS sx,
+               sum(value * value) AS sxx
+        FROM events GROUP BY 1
+    ), t AS (
+        SELECT sum(n)::BIGINT AS tot_n, sum(sx) AS tot_sx,
+               sum(sxx) AS tot_sxx, count(*)::BIGINT AS k
+        FROM g
+    ), a AS (
+        SELECT max(k) AS k, max(tot_n) AS n_rows,
+               sum(sx * sx / n::DOUBLE)
+                   - max(tot_sx * tot_sx / tot_n::DOUBLE) AS ssb,
+               max(tot_sxx) - sum(sx * sx / n::DOUBLE) AS ssw
+        FROM g CROSS JOIN t
+    )
+    SELECT k::BIGINT AS k_groups, n_rows::BIGINT AS n_rows,
+           round(ssb, 6) AS ss_between,
+           round(ssw, 6) AS ss_within,
+           round((ssb / (k - 1)::DOUBLE) / (ssw / (n_rows - k)::DOUBLE), 6)
+               AS f_stat
+    FROM a
+    """

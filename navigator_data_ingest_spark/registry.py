@@ -4693,3 +4693,17 @@ register(
     analytics.q_events_top_paths_sql(),
     front=True,
 )
+
+register(
+    "q_basket_lift",
+    analytics.q_basket_lift,
+    analytics.q_basket_lift_sql(),
+    front=True,
+)
+
+register(
+    "stats_anova",
+    analytics.stats_anova,
+    analytics.stats_anova_sql(),
+    front=True,
+)
