@@ -816,3 +816,59 @@ def text_zipf_fit_sql() -> str:
                AS zipf_intercept
     FROM agg ORDER BY lang
     """
+
+
+# --------------------------------------------------------------------------
+# zlib compression-ratio quality signal (REAL Python compute, not a stub)
+# --------------------------------------------------------------------------
+
+ZLIB_LEVEL = 6          # fixed level => bit-deterministic output size
+LOW_ENTROPY_RATIO = 0.4  # compresses below this => repetitive/templated
+
+
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document — the Gopher/FineWeb-class
+    quality signal (highly compressible text is boilerplate, templated
+    spam, or degenerate repetition; barely-compressible is often
+    binary junk). This is the repo's REAL-Python-compute
+    representative: actual ``zlib.compress`` over Arrow batches via
+    ``mapInPandas`` — exactly where a production pipeline swaps in any
+    CPU-bound Python scorer — not a digest stub.
+
+    Scale shape: map-side only (the Python stage sees each batch once,
+    no shuffle anywhere); payload bytes cross the Arrow boundary once.
+    zlib at a FIXED level is bit-deterministic for a given input, so
+    the output is stable across runs/engines — but DuckDB has no zlib,
+    so certification is rows-only at the driver with the exact values
+    pinned by pytest against direct ``zlib`` on the same rows
+    (tests/test_api.py::test_compression_ratio_matches_zlib — the
+    sim_search_bruteforce_np precedent).
+    """
+    import pandas as pd
+
+    def _score(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].fillna("").map(lambda s: s.encode("utf-8"))
+            n_bytes = raw.map(len)
+            n_comp = raw.map(lambda b: len(zlib.compress(b, ZLIB_LEVEL)))
+            ratio = (n_comp / n_bytes.replace(0, 1)).round(6)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "n_compressed": n_comp.astype("int64"),
+                    "compression_ratio": ratio,
+                    "is_low_entropy": ratio < LOW_ENTROPY_RATIO,
+                }
+            )
+
+    docs = scatter(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    schema = (
+        "doc_id bigint, n_bytes bigint, n_compressed bigint, "
+        "compression_ratio double, is_low_entropy boolean"
+    )
+    return docs.mapInPandas(_score, schema=schema).orderBy("doc_id")

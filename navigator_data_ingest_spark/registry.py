@@ -4707,3 +4707,10 @@ register(
     analytics.stats_anova_sql(),
     front=True,
 )
+
+register(
+    "text_compression_ratio",
+    textstats.text_compression_ratio,
+    None,  # rows-only: no zlib in DuckDB; values pinned in tests/test_api.py
+    front=True,
+)

@@ -178,3 +178,33 @@ def test_hash_classifier_scores_custom_columns(spark):
     out = api.hash_classifier_scores(df, "item", "body").collect()
     assert len(out) == 1 and out[0].item == 1  # empty doc filtered
     assert out[0].n_tokens == 4
+
+
+def test_compression_ratio_matches_zlib(spark):
+    """text_compression_ratio is rows-only at the driver (DuckDB has no
+    zlib) — this is its value gate: every row must match direct
+    zlib.compress at the pinned level on the same bytes."""
+    import zlib
+
+    import duckdb
+
+    from navigator_data_ingest_spark.operators import textstats as T
+    from tests.conftest import SF_CORRECT
+
+    got = {
+        r["doc_id"]: r
+        for r in T.text_compression_ratio(spark, SF_CORRECT).collect()
+    }
+    want = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_CORRECT}/documents.parquet'"
+    ).fetchall()
+    assert len(got) == len(want)
+    for doc_id, text in want:
+        b = (text or "").encode("utf-8")
+        comp = len(zlib.compress(b, T.ZLIB_LEVEL))
+        r = got[doc_id]
+        assert r["n_bytes"] == len(b)
+        assert r["n_compressed"] == comp
+        ratio = round(comp / (len(b) or 1), 6)
+        assert abs(r["compression_ratio"] - ratio) < 1e-9
+        assert r["is_low_entropy"] == (ratio < T.LOW_ENTROPY_RATIO)
