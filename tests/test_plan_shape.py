@@ -141,6 +141,11 @@ _DELIBERATE_NESTED_LOOP = {
     # 1-row corpus-end broadcast (censoring cutoff) + 1-row total onto
     # the DAYS-bounded lifetime table: deliberate
     "stats_survival_km",
+    # 1-row totals broadcast onto SOURCES/BRANDS/k-row bounded tables:
+    # deliberate
+    "corpus_upsample_apply",
+    "q_basket_lift",
+    "stats_anova",
 }
 
 
