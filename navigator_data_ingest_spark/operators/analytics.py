@@ -4385,3 +4385,356 @@ def stats_anova_sql() -> str:
                AS f_stat
     FROM a
     """
+
+
+# --------------------------------------------------------------------------
+# round-4 batch: nonparametric / multiple-testing statistics
+# --------------------------------------------------------------------------
+
+# Abramowitz & Stegun 26.2.17 upper-tail normal probability, spelled once
+# and substituted verbatim into BOTH engines' expressions so the IEEE
+# arithmetic is structurally identical (the driver hash-compares values).
+# {z} must be a non-negative expression.
+def _normal_upper_tail(z: str) -> str:
+    t = f"(1.0 / (1.0 + 0.2316419 * {z}))"
+    poly = (
+        f"({t} * (0.319381530 + {t} * (-0.356563782 + {t} * (1.781477937 "
+        f"+ {t} * (-1.821255978 + {t} * 1.330274429)))))"
+    )
+    return f"(0.3989422804014327 * exp(-({z}) * ({z}) / 2.0) * {poly})"
+
+
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U (rank-sum) test: do click and purchase event
+    values come from the same distribution? No global sort: the corpus
+    collapses to DISTINCT-VALUE counts in one shuffle, and the
+    cumulative "how many B values lie below v" term is the repo's
+    two-level prefix-sum discipline — a range-bucketed block id (from a
+    1-row min/max broadcast resolved inside the plan), a within-block
+    running sum, and a <=1024-row block-offset window. 2*U stays an
+    exact integer (ties contribute cb/2 each, hence the doubling); the
+    tie-corrected normal z and rank-biserial effect size are the only
+    float steps. Scale: every window is either block-partitioned or
+    bounded by the 1024-block table; nothing driver-side.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select((F.col("event_type") == F.lit("click")).alias("is_a"), "value")
+    )
+    vc = ev.groupBy("value").agg(
+        F.sum(F.col("is_a").cast("bigint")).alias("ca"),
+        F.sum((~F.col("is_a")).cast("bigint")).alias("cb"),
+    )
+    rng = vc.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    b = vc.crossJoin(F.broadcast(rng)).withColumn(
+        "blk",
+        F.least(
+            F.lit(1023),
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                / (F.col("mx") - F.col("mn") + F.lit(1e-9))
+                * 1024
+            ),
+        ),
+    )
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = b.withColumn("cum_in", F.coalesce(F.sum("cb").over(w_in), F.lit(0)))
+    bt = b.groupBy("blk").agg(F.sum("cb").alias("blk_cb"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    bt = bt.withColumn("off", F.coalesce(F.sum("blk_cb").over(w_blk), F.lit(0)))
+    j = b.join(F.broadcast(bt.select("blk", "off")), "blk")
+    agg = j.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(
+            F.col("ca") * (2 * (F.col("off") + F.col("cum_in")) + F.col("cb"))
+        ).alias("u2_a"),
+        F.sum(
+            (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            - (F.col("ca") + F.col("cb"))
+        ).alias("tie_term"),
+    )
+    sigma = (
+        "sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1.0) "
+        "- tie_term / ((n_a + n_b) * (n_a + n_b - 1.0))))"
+    )
+    return agg.selectExpr(
+        "n_a",
+        "n_b",
+        "round(u2_a / 2.0, 6) AS u_a",
+        f"round((u2_a / 2.0 - n_a * n_b / 2.0) / {sigma}, 6) AS z",
+        "round(u2_a / cast(n_a * n_b as double) - 1.0, 6) AS r_rank_biserial",
+    )
+
+
+def stats_mann_whitney_sql() -> str:
+    return """
+    WITH vc AS (
+        SELECT value,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS ca,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS cb
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY value
+    ), cum AS (
+        SELECT ca, cb,
+               coalesce(sum(cb) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below_b
+        FROM vc
+    ), agg AS (
+        SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+               sum(ca * (2 * below_b + cb))::BIGINT AS u2_a,
+               sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))::BIGINT AS tie_term
+        FROM cum
+    )
+    SELECT n_a, n_b,
+           round(u2_a / 2.0, 6) AS u_a,
+           round((u2_a / 2.0 - n_a * n_b / 2.0)
+                 / sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1.0)
+                        - tie_term / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6) AS z,
+           round(u2_a / (n_a * n_b)::DOUBLE - 1.0, 6) AS r_rank_biserial
+    FROM agg
+    """
+
+
+def stats_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily order volume and daily
+    revenue. The fact table collapses to the DAYS-bounded calendar
+    grain first (one date shuffle); tie-averaged ranks are computed on
+    that bounded table with a deterministic row_number (tie-broken by
+    date) smoothed by an AVG over the tie partition, so the rank vector
+    is engine-order-independent. Revenue ranks on exact integer cents
+    (bigint), never on a float sum, so rank comparisons cannot flip on
+    low-bit sum-order differences. Ranks are k/2-exact doubles and all
+    moment sums stay below 2^53, so rho's inputs are bit-identical in
+    both engines.
+    """
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y"),
+        )
+    )
+    rnx = F.row_number().over(Window.orderBy("x", "o_orderdate"))
+    rny = F.row_number().over(Window.orderBy("y", "o_orderdate"))
+    r = d.select("x", "y", rnx.alias("rnx"), rny.alias("rny"))
+    r = r.select(
+        F.avg("rnx").over(Window.partitionBy("x")).alias("rx"),
+        F.avg("rny").over(Window.partitionBy("y")).alias("ry"),
+    )
+    agg = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    return agg.selectExpr(
+        "n AS n_days",
+        "round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) "
+        "* (n * syy - sy * sy)), 6) AS rho_spearman",
+    )
+
+
+def stats_spearman_daily_sql() -> str:
+    return """
+    WITH d AS (
+        SELECT o_orderdate, count(*)::BIGINT AS x,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+        FROM orders GROUP BY 1
+    ), rn AS (
+        SELECT x, y,
+               row_number() OVER (ORDER BY x, o_orderdate) AS rnx,
+               row_number() OVER (ORDER BY y, o_orderdate) AS rny
+        FROM d
+    ), r AS (
+        SELECT avg(rnx) OVER (PARTITION BY x) AS rx,
+               avg(rny) OVER (PARTITION BY y) AS ry
+        FROM rn
+    ), agg AS (
+        SELECT count(*)::BIGINT AS n, sum(rx) AS sx, sum(ry) AS sy,
+               sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+               sum(rx * ry) AS sxy
+        FROM r
+    )
+    SELECT n AS n_days,
+           round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx)
+                 * (n * syy - sy * sy)), 6) AS rho_spearman
+    FROM agg
+    """
+
+
+def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over one z-test per nation: is a
+    nation's mean order value off the global mean? One fact-scale
+    shuffle (orders |><| customer on custkey) collapses to NATION-grain
+    moments; the global mean arrives as a 1-row broadcast resolved
+    inside the plan. p-values use the Abramowitz-Stegun 26.2.17 tail
+    polynomial — the SAME literal expression in both engines — and
+    every boolean threshold compares ROUNDED values (repo rule: never
+    compare raw floats across engines). The BH step-up walk is two
+    windows over the 25-row hypothesis table (bounded by the nation
+    dimension).
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("sx"),
+            F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("sxx"),
+        )
+    )
+    tot = g.agg(F.sum("n").alias("tn"), F.sum("sx").alias("tsx"))
+    j = g.crossJoin(F.broadcast(tot)).join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    z = (
+        "((sx / cast(n as double) - tsx / cast(tn as double)) "
+        "/ sqrt(((sxx - sx * sx / cast(n as double)) / (n - 1.0)) / n))"
+    )
+    p = f"(2.0 * {_normal_upper_tail(f'abs({z})')})"
+    h = j.selectExpr(
+        "n_name", "n", f"round({z}, 6) AS z", f"round({p}, 6) AS p"
+    )
+    wk = Window.orderBy("p", "n_name")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = h.select(
+        "*",
+        F.row_number().over(wk).cast("bigint").alias("k"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    ).withColumn(
+        "bh_threshold", F.round(F.col("k") * 0.05 / F.col("m"), 6)
+    ).withColumn(
+        "hit_k",
+        F.when(F.col("p") <= F.col("bh_threshold"), F.col("k")).otherwise(0),
+    )
+    return (
+        ranked.withColumn("max_hit", F.max("hit_k").over(wall))
+        .select(
+            "n_name",
+            "n",
+            "z",
+            "p",
+            "k",
+            "bh_threshold",
+            (F.col("k") <= F.col("max_hit")).alias("discovered"),
+        )
+        .orderBy("k")
+    )
+
+
+def stats_fdr_bh_sql() -> str:
+    z = (
+        "((sx / n::DOUBLE - tsx / tn::DOUBLE) "
+        "/ sqrt(((sxx - sx * sx / n::DOUBLE) / (n - 1.0)) / n))"
+    )
+    p = f"(2.0 * {_normal_upper_tail(f'abs({z})')})"
+    return f"""
+    WITH g AS (
+        SELECT c_nationkey, count(*)::BIGINT AS n, sum(o_totalprice) AS sx,
+               sum(o_totalprice * o_totalprice) AS sxx
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    ), t AS (
+        SELECT sum(n)::BIGINT AS tn, sum(sx) AS tsx FROM g
+    ), h AS (
+        SELECT n_name, n, round({z}, 6) AS z, round({p}, 6) AS p
+        FROM g CROSS JOIN t JOIN nation ON c_nationkey = n_nationkey
+    ), ranked AS (
+        SELECT *, row_number() OVER (ORDER BY p, n_name) AS k,
+               count(*) OVER () AS m
+        FROM h
+    ), thr AS (
+        SELECT *, round(k * 0.05 / m, 6) AS bh_threshold,
+               CASE WHEN p <= round(k * 0.05 / m, 6) THEN k ELSE 0 END AS hit_k
+        FROM ranked
+    )
+    SELECT n_name, n, z, p, k, bh_threshold,
+           (k <= max(hit_k) OVER ()) AS discovered
+    FROM thr ORDER BY k
+    """
+
+
+def q_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median / MAD) anomaly profile per event type — the
+    outlier monitor that, unlike stats_ewma / q_events_zscore, a single
+    fat-tailed spike cannot poison. Two grouped EXACT percentile
+    aggregations (event-type grain, K-bounded groups) with the K-row
+    median tables broadcast back onto the stream; the outlier rule
+    compares ROUNDED deviations (repo float rule). percentile() in
+    Spark and quantile_cont() in DuckDB share linear interpolation, so
+    the medians replay exactly.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "is_outlier",
+        (
+            F.round("dev", 6)
+            > F.round(F.lit(3.0) * 1.4826 * F.col("mad"), 6)
+        ).cast("int"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum("is_outlier").cast("bigint").alias("n_outliers"),
+            F.round(
+                F.sum("is_outlier") / F.max("n").cast("double"), 6
+            ).alias("outlier_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_events_mad_sql() -> str:
+    return """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1
+    ), dev AS (
+        SELECT e.event_type, abs(e.value - m.med) AS dev, m.med, m.n
+        FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        FROM dev GROUP BY 1
+    ), flagged AS (
+        SELECT d.event_type, d.n, d.med, ma.mad,
+               CASE WHEN round(d.dev, 6)
+                         > round(3.0 * 1.4826 * ma.mad, 6)
+                    THEN 1 ELSE 0 END AS is_outlier
+        FROM dev d JOIN mad ma USING (event_type)
+    )
+    SELECT event_type, max(n)::BIGINT AS n,
+           round(max(med), 6) AS med, round(max(mad), 6) AS mad,
+           sum(is_outlier)::BIGINT AS n_outliers,
+           round(sum(is_outlier) / max(n)::DOUBLE, 6) AS outlier_rate
+    FROM flagged GROUP BY event_type ORDER BY event_type
+    """

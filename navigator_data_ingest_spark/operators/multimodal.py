@@ -750,3 +750,100 @@ def mm_scene_segments_sql() -> str:
            max(frame_idx)::BIGINT AS end_frame
     FROM seg GROUP BY doc_id, seg_id ORDER BY doc_id, seg_id
     """
+
+
+# --------------------------------------------------------------------------
+# aspect-ratio bucketing (vision-training batch packing)
+# --------------------------------------------------------------------------
+
+ASPECT_LOG_SCALE = 4     # bucket = round(log2(w/h) * 4) -> quarter-octaves
+ASPECT_BUCKET_CLAMP = 8  # clamp to [-8, 8]: 17 buckets total
+ASPECT_BATCH = 16        # images per training batch
+ASPECT_BLOCKS = 64       # doc_id range-blocks for the two-level enumeration
+
+
+def mm_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing + batch packing for image training (the
+    SDXL-style bucketing step): images group into quarter-octave
+    log2(w/h) buckets so each training batch holds same-shape tensors,
+    then each bucket's images pack into fixed-size batches.
+
+    The per-bucket enumeration NEVER uses a global per-bucket sort:
+    block = doc_id range-quantized into 64 blocks via a 1-row max-id
+    broadcast resolved in-plan, row_number within (bucket, block), and
+    a (bucket x block)-bounded offset table — the repo's two-level
+    prefix-sum discipline, order-aligned with doc_id so the DuckDB
+    oracle's plain per-bucket row_number replays it exactly. Bucket ids
+    compare ROUNDED values only (repo float rule).
+    """
+    img = multimodal_table(spark, sf_dir).where(
+        F.col("meta.modality") == "image"
+    ).select(
+        "doc_id",
+        F.col("meta.width").cast("double").alias("w"),
+        F.col("meta.height").cast("double").alias("h"),
+    )
+    b = img.selectExpr(
+        "doc_id",
+        f"cast(greatest(-{ASPECT_BUCKET_CLAMP}, least({ASPECT_BUCKET_CLAMP}, "
+        f"round(ln(w / h) / ln(2.0) * {ASPECT_LOG_SCALE}, 0))) as int) "
+        "AS bucket",
+    )
+    mx = F.broadcast(b.agg(F.max("doc_id").alias("max_id")))
+    blk = b.crossJoin(mx).select(
+        "doc_id",
+        "bucket",
+        (F.col("doc_id") * ASPECT_BLOCKS / (F.col("max_id") + 1))
+        .cast("bigint")
+        .alias("blk"),
+    )
+    w_in = Window.partitionBy("bucket", "blk").orderBy("doc_id")
+    inb = blk.withColumn("rn_in", F.row_number().over(w_in))
+    off_tbl = inb.groupBy("bucket", "blk").agg(F.max("rn_in").alias("n_blk"))
+    w_off = (
+        Window.partitionBy("bucket")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_tbl = off_tbl.withColumn(
+        "off", F.coalesce(F.sum("n_blk").over(w_off), F.lit(0))
+    )
+    rn = (
+        inb.join(F.broadcast(off_tbl.select("bucket", "blk", "off")), ["bucket", "blk"])
+        .select(
+            "doc_id",
+            "bucket",
+            (F.col("off") + F.col("rn_in")).alias("rn"),
+        )
+    )
+    return rn.select(
+        "doc_id",
+        "bucket",
+        ((F.col("rn") - 1) / ASPECT_BATCH).cast("bigint").alias("batch_id"),
+        ((F.col("rn") - 1) % ASPECT_BATCH).cast("int").alias("slot"),
+    ).orderBy("doc_id")
+
+
+def mm_aspect_buckets_sql() -> str:
+    return f"""
+    WITH img AS (
+        SELECT doc_id,
+               (128 + doc_id % 1920)::DOUBLE       AS w,
+               (128 + (doc_id * 7) % 1080)::DOUBLE AS h
+        FROM documents WHERE doc_id % 3 = 0
+    ), b AS (
+        SELECT doc_id,
+               greatest(-{ASPECT_BUCKET_CLAMP}, least({ASPECT_BUCKET_CLAMP},
+                   round(ln(w / h) / ln(2.0) * {ASPECT_LOG_SCALE}, 0)))::INT
+                   AS bucket
+        FROM img
+    ), rn AS (
+        SELECT doc_id, bucket,
+               row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+        FROM b
+    )
+    SELECT doc_id, bucket,
+           ((rn - 1) // {ASPECT_BATCH})::BIGINT AS batch_id,
+           ((rn - 1) % {ASPECT_BATCH})::INT     AS slot
+    FROM rn ORDER BY doc_id
+    """

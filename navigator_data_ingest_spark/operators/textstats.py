@@ -872,3 +872,189 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "compression_ratio double, is_low_entropy boolean"
     )
     return docs.mapInPandas(_score, schema=schema).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# retrieval scoring / sketch counting (round-4 batch)
+# --------------------------------------------------------------------------
+
+BM25_TERMS = ["spark", "query", "window", "vector"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+CMS_SEEDS = [11, 13, 17, 19]
+CMS_WIDTH = 1024
+CMS_TOP_K = 20
+
+
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of documents against a fixed query-term set — the
+    classic retrieval scorer the tfidf operator's ranking generalizes
+    to. score = Σ_t idf(t) · tf(k1+1)/(tf + k1(1-b+b·dl/avgdl)).
+
+    Scale layout mirrors text_tfidf: ONE explode-shuffle builds
+    (doc, term) tf for the query terms only (the filter happens before
+    the shuffle, so the exploded stream carries just query-term hits);
+    df and the corpus (N, avgdl) constants are 1-row/TERMS-bounded
+    broadcasts resolved inside the plan; the top-K is a sort+limit
+    TakeOrdered, never a global rank window. idf uses the standard
+    +0.5-smoothed log, identical literal in both engines.
+    """
+    terms = _arr_lit(BM25_TERMS)
+    docs = scatter(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.expr(X.sp_tokens("text")).alias("t")
+    ).select("doc_id", "t", F.size("t").alias("dl"))
+    stats = F.broadcast(
+        docs.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        )
+    )
+    hits = docs.select(
+        "doc_id",
+        "dl",
+        F.explode(F.expr(f"filter(t, tok -> array_contains({terms}, tok))")).alias(
+            "term"
+        ),
+    )
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(stats)
+        .withColumn(
+            "contrib",
+            F.expr(
+                f"ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) "
+                f"* tf * ({BM25_K1} + 1.0) "
+                f"/ (tf + {BM25_K1} * (1.0 - {BM25_B} "
+                f"+ {BM25_B} * dl / avgdl))"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("bm25"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+    )
+
+
+def text_bm25_sql() -> str:
+    terms = "[" + ", ".join(f"'{t}'" for t in BM25_TERMS) + "]"
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, {X.dk_tokens('text')} AS t FROM documents
+    ), sized AS (
+        SELECT doc_id, t, len(t) AS dl FROM docs
+    ), stats AS (
+        SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM sized
+    ), hits AS (
+        SELECT doc_id, dl,
+               unnest(list_filter(t, tok -> list_contains({terms}, tok))) AS term
+        FROM sized
+    ), tf AS (
+        SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl) AS dl
+        FROM hits GROUP BY doc_id, term
+    ), df_tbl AS (
+        SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+    ), scored AS (
+        SELECT tf.doc_id,
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * ({BM25_K1} + 1.0)
+               / (tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl / avgdl)) AS contrib
+        FROM tf JOIN df_tbl USING (term) CROSS JOIN stats
+    )
+    SELECT doc_id, round(sum(contrib), 6) AS bm25,
+           count(*)::BIGINT AS n_terms_hit
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP_K}
+    """
+
+
+def text_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter certification: build a d=4 × w=1024
+    CMS over the token stream, then audit its estimate against the
+    exact count for the exact top-K tokens (estimate >= exact always;
+    the overestimate column is the collision error a production
+    deployment monitors).
+
+    Scale: the corpus collapses to the distinct-token count table in
+    ONE shuffle (CMS built from (token,count) is identical to streaming
+    tokens one at a time); the sketch itself is a 4096-row bounded
+    aggregate that BROADCASTS back onto the TOP_K-bounded candidate
+    set. Exact top-K is sort+limit TakeOrdered over the vocabulary
+    table — no global rank window, no driver loop.
+    """
+    tok = scatter(spark, load_table(spark, sf_dir, "documents")).select(
+        F.explode(F.expr(X.sp_tokens("text"))).alias("token")
+    )
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    buckets = ", ".join(
+        f"{s}, cast({X.sp_hash32('token', s)} % {CMS_WIDTH} as int)"
+        for s in CMS_SEEDS
+    )
+    sketch = (
+        cnt.selectExpr(
+            "cnt", f"stack({len(CMS_SEEDS)}, {buckets}) as (seed, bucket)"
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").alias("cell"))
+    )
+    top = cnt.orderBy(F.desc("cnt"), F.asc("token")).limit(CMS_TOP_K)
+    probes = top.selectExpr(
+        "token",
+        "cnt",
+        f"stack({len(CMS_SEEDS)}, {buckets}) as (seed, bucket)",
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("token")
+        .agg(F.max("cnt").alias("exact"), F.min("cell").alias("cm_estimate"))
+    )
+    return est.select(
+        "token",
+        F.col("exact").cast("bigint").alias("exact"),
+        F.col("cm_estimate").cast("bigint").alias("cm_estimate"),
+        (F.col("cm_estimate") - F.col("exact")).cast("bigint").alias("overestimate"),
+    ).orderBy(F.desc("exact"), F.asc("token"))
+
+
+def text_count_min_sql() -> str:
+    def fan(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT token, cnt, {s} AS seed, "
+            f"({X.dk_hash32('token', s)}) % {CMS_WIDTH} AS bucket FROM {src}"
+            for s in CMS_SEEDS
+        )
+
+    return f"""
+    WITH tok AS (
+        SELECT unnest({X.dk_tokens('text')}) AS token FROM documents
+    ), cnt AS (
+        SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token
+    ), cells AS (
+        {fan('cnt')}
+    ), sketch AS (
+        SELECT seed, bucket, sum(cnt)::BIGINT AS cell
+        FROM cells GROUP BY seed, bucket
+    ), top AS (
+        SELECT token, cnt FROM cnt ORDER BY cnt DESC, token LIMIT {CMS_TOP_K}
+    ), probes AS (
+        {fan('top')}
+    ), est AS (
+        SELECT token, max(cnt) AS exact, min(cell) AS cm_estimate
+        FROM probes JOIN sketch USING (seed, bucket)
+        GROUP BY token
+    )
+    SELECT token, exact::BIGINT AS exact, cm_estimate::BIGINT AS cm_estimate,
+           (cm_estimate - exact)::BIGINT AS overestimate
+    FROM est ORDER BY exact DESC, token
+    """

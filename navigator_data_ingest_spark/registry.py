@@ -4714,3 +4714,66 @@ register(
     None,  # rows-only: no zlib in DuckDB; values pinned in tests/test_api.py
     front=True,
 )
+
+register(
+    "stats_mann_whitney",
+    analytics.stats_mann_whitney,
+    analytics.stats_mann_whitney_sql(),
+    front=True,
+)
+
+register(
+    "stats_spearman_daily",
+    analytics.stats_spearman_daily,
+    analytics.stats_spearman_daily_sql(),
+    front=True,
+)
+
+register(
+    "stats_fdr_bh",
+    analytics.stats_fdr_bh,
+    analytics.stats_fdr_bh_sql(),
+    front=True,
+)
+
+register(
+    "text_bm25",
+    textstats.text_bm25,
+    textstats.text_bm25_sql(),
+    front=True,
+)
+
+register(
+    "text_count_min",
+    textstats.text_count_min,
+    textstats.text_count_min_sql(),
+    front=True,
+)
+
+register(
+    "mm_aspect_buckets",
+    multimodal.mm_aspect_buckets,
+    multimodal.mm_aspect_buckets_sql(),
+    front=True,
+)
+
+register(
+    "q_events_mad",
+    analytics.q_events_mad,
+    analytics.q_events_mad_sql(),
+    front=True,
+)
+
+register(
+    "stream_chained_windows",
+    streaming_streams.stream_chained_windows,
+    streaming_streams.stream_chained_windows_sql(),
+    front=True,
+)
+
+register(
+    "stream_state_reader",
+    streaming_streams.stream_state_reader,
+    streaming_streams.stream_state_reader_sql(),
+    front=True,
+)

@@ -1247,3 +1247,138 @@ def stream_bus_adapter_sql() -> str:
     GROUP BY 1, 2
     ORDER BY topic, partition
     """
+
+
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful window aggregations in one streaming query
+    (Spark 4: multiple event-time aggs in append mode): hourly
+    (window, type) counts feed a second windowed agg that rolls them up
+    to days — the two-level pre-aggregation a metrics pipeline runs as
+    ONE query instead of a stream-to-stream hop through a bus topic.
+
+    Emission is the append-mode rule at BOTH levels with the same final
+    watermark wm = max(ts) - 1h: hourly windows with end <= wm flow to
+    the daily level, daily windows with end <= wm emit — verified
+    equal to the batch replay, which is the DuckDB oracle. State is
+    bounded: level 1 holds <= one open hour per type, level 2 <= one
+    open day per type.
+    """
+    ev = read_stream_events(spark, sf_dir)
+    hourly = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("value").alias("v"),
+        )
+    )
+    daily = (
+        hourly.groupBy(F.window(F.col("window"), "1 day"), F.col("event_type"))
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count(F.lit(1)).alias("n_hours"),
+            F.round(F.sum("v"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("day_start"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_hours").cast("bigint").alias("n_hours"),
+            "sum_value",
+        )
+    )
+    out = _run_to_memory(daily, _qname("stream_chainwin", sf_dir), "append")
+    return out.orderBy("day_start", "event_type")
+
+
+def stream_chained_windows_sql() -> str:
+    return """
+    WITH wm AS (
+        SELECT max(ts::TIMESTAMP) - INTERVAL 1 HOUR AS wm FROM events
+    ), hourly AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP) AS hs,
+               event_type, count(*)::BIGINT AS c, sum(value) AS v
+        FROM events GROUP BY 1, 2
+    ), closed AS (
+        SELECT * FROM hourly CROSS JOIN wm
+        WHERE hs + INTERVAL 1 HOUR <= wm
+    ), daily AS (
+        SELECT time_bucket(INTERVAL 1 DAY, hs) AS day_start, event_type,
+               sum(c)::BIGINT AS n_events, count(*)::BIGINT AS n_hours,
+               round(sum(v), 6) AS sum_value, max(wm) AS wm
+        FROM closed GROUP BY 1, 2
+    )
+    SELECT day_start, event_type, n_events, n_hours, sum_value
+    FROM daily WHERE day_start + INTERVAL 1 DAY <= wm
+    ORDER BY day_start, event_type
+    """
+
+
+def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store data source certification (Spark 4 ``statestore``
+    format): after draining an append-mode hourly windowed agg, BATCH-
+    read the query's checkpointed state and return the still-open
+    windows — the ops/debugging surface that lets a deployment inspect
+    (and a migration rewrite) live streaming state without replaying
+    the stream.
+
+    Append mode evicts a window's state when the watermark passes its
+    end, so the retained state is EXACTLY the windows with
+    end > wm = max(ts) - 1h — an independently recomputable batch
+    predicate, which is the DuckDB oracle. The state read is offline
+    metadata access (no stream runs for it).
+    """
+    ev = read_stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    name = _qname("stream_statereader", sf_dir)
+    ck = _checkpoint_dir(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    state = spark.read.format("statestore").load(ck)
+    # the state rows expose the RAW aggregation buffers (count / sum),
+    # not the query's output aliases — the round is applied at read time
+    return (
+        state.select(
+            F.col("key.window.start").alias("window_start"),
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("bigint").alias("pending_events"),
+            F.round(F.col("value.sum"), 6).alias("pending_sum"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def stream_state_reader_sql() -> str:
+    return """
+    WITH wm AS (
+        SELECT max(ts::TIMESTAMP) - INTERVAL 1 HOUR AS wm FROM events
+    ), hourly AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP) AS window_start,
+               event_type, count(*)::BIGINT AS pending_events,
+               round(sum(value), 6) AS pending_sum
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, pending_events, pending_sum
+    FROM hourly CROSS JOIN wm
+    WHERE window_start + INTERVAL 1 HOUR > wm
+    ORDER BY window_start, event_type
+    """

@@ -146,6 +146,12 @@ _DELIBERATE_NESTED_LOOP = {
     "corpus_upsample_apply",
     "q_basket_lift",
     "stats_anova",
+    # 1-row min/max range broadcast feeding the block bucketing /
+    # 1-row global-mean broadcast onto the NATION-grain table: deliberate
+    "stats_mann_whitney",
+    "stats_fdr_bh",
+    # 1-row max-id broadcast feeding the range-block quantization
+    "mm_aspect_buckets",
 }
 
 

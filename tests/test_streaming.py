@@ -290,3 +290,70 @@ def test_timeout_finalize_fires_only_past_watermark(spark):
     # user 1 (idle 4h > 30min gap behind the 3h watermark) fired once;
     # user 2 (defines the watermark, still active) withheld
     assert [(r.user_id, r.n_events, r.cents) for r in rows] == [(1, 1, 200)]
+
+
+def test_chained_windows_emit_closed_days_once(spark):
+    """Two chained event-time aggs in one query: a day closes only when
+    the watermark passes its end; the closed day emits exactly once
+    with the full-day totals, the open day is withheld."""
+    from pyspark.sql import functions as F
+    from navigator_data_ingest_spark.streaming.streams import _run_to_memory
+
+    d = tempfile.mkdtemp(prefix="nav_stream_chain_")
+    a, b = os.path.join(d, "a.parquet"), os.path.join(d, "b.parquet")
+    # day 1: two events in different hours
+    _write_events(a, [(1, BASE_NS, 1.0), (2, BASE_NS + 2 * HOUR_NS, 2.0)])
+    # day 2 noon: watermark -> day2 11:00, closing day 1 entirely
+    _write_events(b, [(3, BASE_NS + 36 * HOUR_NS, 4.0)])
+    os.utime(a, (1_700_000_000,) * 2)
+    os.utime(b, (1_700_000_100,) * 2)
+    ev = read_stream_events(spark, d, glob="*.parquet", max_files_per_trigger=1)
+    hourly = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("value").alias("v"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.col("window"), "1 day"), "event_type")
+        .agg(F.sum("c").alias("n_events"), F.round(F.sum("v"), 6).alias("sum_value"))
+        .select(F.col("window.start").alias("day_start"), "n_events", "sum_value")
+    )
+    rows = _run_to_memory(daily, "t_chain", "append").collect()
+    got = [(str(r.day_start), r.n_events, r.sum_value) for r in rows]
+    assert got == [("2026-01-01 00:00:00", 2, 3.0)], got
+
+
+def test_state_reader_exposes_only_unemitted_windows(spark):
+    """After an append-mode drain, the statestore read returns exactly
+    the windows the watermark has NOT yet closed."""
+    from pyspark.sql import functions as F
+    from navigator_data_ingest_spark.streaming.streams import _checkpoint_dir
+
+    d = tempfile.mkdtemp(prefix="nav_stream_statrd_")
+    a = os.path.join(d, "a.parquet")
+    # two closed hours + the watermark-defining last hour
+    _write_events(
+        a, [(1, BASE_NS, 1.0), (2, BASE_NS + 1 * HOUR_NS, 2.0), (3, BASE_NS + 5 * HOUR_NS, 4.0)]
+    )
+    ev = read_stream_events(spark, d, glob="*.parquet")
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ck = _checkpoint_dir("t_statereader")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_statereader")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = {str(r["window"]["start"]) for r in spark.table("t_statereader").collect()}
+    state = spark.read.format("statestore").load(ck)
+    pending = {str(r["key"]["window"]["start"]) for r in state.collect()}
+    # wm = 05:00 - 1h = 04:00: hours 00 and 01 emitted, hour 05 pending
+    assert emitted == {"2026-01-01 00:00:00", "2026-01-01 01:00:00"}
+    assert pending == {"2026-01-01 05:00:00"}
