@@ -4738,3 +4738,238 @@ def q_events_mad_sql() -> str:
            round(sum(is_outlier) / max(n)::DOUBLE, 6) AS outlier_rate
     FROM flagged GROUP BY event_type ORDER BY event_type
     """
+
+
+def q_events_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching per user: encode
+    each user's time-ordered event stream as a character string (one
+    char per event type) and count non-overlapping matches of
+    view→(no purchase)*→purchase — the funnel generalization that
+    handles arbitrary regex patterns over event sequences.
+
+    ONE user-grain shuffle builds the ordered sequence INSIDE an array
+    (array_sort over (ts, event_id, char) structs — never a positional
+    self-join); the regex runs per row, JVM-side. The pattern uses only
+    literal chars, [^x] classes and *, where Java regex and RE2
+    (DuckDB) agree on non-overlapping leftmost matching.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+    )
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "c"))
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.expr("array_join(transform(s, x -> x.c), '')").alias("seq"),
+        )
+    )
+    pat = "v[^p]*p"
+    return (
+        seq.select(
+            "user_id",
+            F.length("seq").cast("bigint").alias("seq_len"),
+            F.size(F.expr(f"regexp_extract_all(seq, '{pat}', 0)"))
+            .cast("bigint")
+            .alias("n_matches"),
+        )
+        .where(F.col("n_matches") > 0)
+        .orderBy("user_id")
+    )
+
+
+def q_events_regex_match_sql() -> str:
+    return """
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, length(seq)::BIGINT AS seq_len,
+           len(regexp_extract_all(seq, 'v[^p]*p'))::BIGINT AS n_matches
+    FROM seq
+    WHERE len(regexp_extract_all(seq, 'v[^p]*p')) > 0
+    ORDER BY user_id
+    """
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1/k!), spelled as the
+# SAME literals in both engines so the per-row weight is bit-identical
+_POIS_CUM = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986058286058,
+    0.9810118460238462, 0.9963401560726563, 0.9994058180824183,
+    0.999916761750712, 0.9999897537033254,
+]
+BOOT_REPS = 64
+
+
+def _pois_weight(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CUM)
+    )
+    return f"(CASE {branches} ELSE {len(_POIS_CUM)} END)"
+
+
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap CI for the mean order value — the
+    resampling-without-resampling trick that makes bootstrap work on a
+    cluster: each of B=64 replicates weights every row by a
+    DETERMINISTIC hash-derived Poisson(1) draw (md5(rep:key) → uniform
+    → inverse-CDF), so no replicate materializes a resample and the
+    oracle replays the exact draws. The 64× fan-out is map-side
+    compute: partial aggregation collapses it to 64 rows per partition
+    before the one tiny shuffle. Per-replicate means are ROUNDED before
+    the percentile/SE step (repo float rule); the CI is
+    percentile_cont over the 64-row replicate table.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    u = (
+        "cast(conv(substr(md5(concat(cast(rep as string), ':', "
+        "cast(o_orderkey as string))), 1, 8), 16, 10) as bigint) "
+        "/ 4294967296.0"
+    )
+    reps = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.expr(f"sequence(0, {BOOT_REPS - 1})")).alias("rep"),
+    ).selectExpr(
+        "rep", "o_totalprice", f"{_pois_weight(u)} AS w"
+    )
+    per_rep = (
+        reps.groupBy("rep")
+        .agg(
+            F.sum("w").alias("nw"),
+            F.sum(F.col("w") * F.col("o_totalprice")).alias("swx"),
+        )
+        .selectExpr("rep", "round(swx / nw, 6) AS m")
+    )
+    return per_rep.agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.round(F.avg("m"), 6).alias("boot_mean"),
+        F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+        F.round(
+            F.expr(
+                f"sqrt((sum(m * m) - sum(m) * sum(m) / {BOOT_REPS}) "
+                f"/ ({BOOT_REPS} - 1.0))"
+            ),
+            6,
+        ).alias("boot_se"),
+    )
+
+
+def stats_bootstrap_ci_sql() -> str:
+    u = (
+        "('0x' || substr(md5(rep::VARCHAR || ':' || o_orderkey::VARCHAR), "
+        "1, 8))::UBIGINT::BIGINT / 4294967296.0"
+    )
+    return f"""
+    WITH reps AS (
+        SELECT r.rep, o_totalprice, {_pois_weight(u)} AS w
+        FROM orders, (SELECT unnest(generate_series(0, {BOOT_REPS - 1})) AS rep) r
+    ), per_rep AS (
+        SELECT rep, round(sum(w * o_totalprice) / sum(w), 6) AS m
+        FROM reps GROUP BY rep
+    )
+    SELECT count(*)::BIGINT AS n_reps,
+           round(avg(m), 6) AS boot_mean,
+           round(quantile_cont(m, 0.025), 6) AS ci_lo,
+           round(quantile_cont(m, 0.975), 6) AS ci_hi,
+           round(sqrt((sum(m * m) - sum(m) * sum(m) / {BOOT_REPS})
+                 / ({BOOT_REPS} - 1.0)), 6) AS boot_se
+    FROM per_rep
+    """
+
+
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily-revenue series: are
+    above/below-median days randomly interleaved, or does the series
+    trend/cluster? The independence check a forecasting pipeline runs
+    before trusting residuals.
+
+    The fact table collapses to the DAYS-bounded calendar grain first;
+    the exact median comes from one percentile aggregate (1-row
+    broadcast resolved in-plan); signs compare ROUNDED revenue vs
+    rounded median (repo float rule); the run count is one lag window
+    over the bounded daily table. n1/n2/runs are exact integers — the
+    float z appears only in the final expression, spelled identically
+    in both engines.
+    """
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(F.round(F.sum("o_totalprice"), 6).alias("rev"))
+    )
+    med = F.broadcast(d.agg(F.expr("round(percentile(rev, 0.5), 6)").alias("med")))
+    s = (
+        d.crossJoin(med)
+        .where(F.col("rev") != F.col("med"))
+        .select(
+            "o_orderdate", (F.col("rev") > F.col("med")).cast("int").alias("sgn")
+        )
+    )
+    w = Window.orderBy("o_orderdate")
+    runs = s.select(
+        "sgn",
+        F.when(
+            F.lag("sgn").over(w).isNull() | (F.lag("sgn").over(w) != F.col("sgn")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("sgn").alias("n1"),
+        F.sum(F.lit(1) - F.col("sgn")).alias("n2"),
+        F.sum("new_run").alias("runs"),
+    )
+    mu = "(2.0 * n1 * n2 / (n1 + n2) + 1.0)"
+    var = (
+        "(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) "
+        "/ ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))"
+    )
+    return agg.selectExpr(
+        "n1",
+        "n2",
+        "runs",
+        f"round({mu}, 6) AS expected_runs",
+        f"round((runs - {mu}) / sqrt({var}), 6) AS z",
+    )
+
+
+def stats_runs_test_sql() -> str:
+    mu = "(2.0 * n1 * n2 / (n1 + n2) + 1.0)"
+    var = (
+        "(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) "
+        "/ ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))"
+    )
+    return f"""
+    WITH d AS (
+        SELECT o_orderdate, round(sum(o_totalprice), 6) AS rev
+        FROM orders GROUP BY 1
+    ), med AS (
+        SELECT round(quantile_cont(rev, 0.5), 6) AS med FROM d
+    ), s AS (
+        SELECT o_orderdate, (rev > med)::INT AS sgn
+        FROM d CROSS JOIN med WHERE rev != med
+    ), runs AS (
+        SELECT sgn,
+               CASE WHEN lag(sgn) OVER (ORDER BY o_orderdate) IS NULL
+                         OR lag(sgn) OVER (ORDER BY o_orderdate) != sgn
+                    THEN 1 ELSE 0 END AS new_run
+        FROM s
+    ), agg AS (
+        SELECT sum(sgn)::BIGINT AS n1, sum(1 - sgn)::BIGINT AS n2,
+               sum(new_run)::BIGINT AS runs
+        FROM runs
+    )
+    SELECT n1, n2, runs,
+           round({mu}, 6) AS expected_runs,
+           round((runs - {mu}) / sqrt({var}), 6) AS z
+    FROM agg
+    """

@@ -1655,3 +1655,75 @@ def corpus_knn_pseudo_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension whitening (mean-center + unit-variance scale) of
+    the embedding column — the preprocessing step that makes cosine /
+    dot-product retrieval comparable across dimensions with wildly
+    different scales (and the diagonal special case of ZCA whitening).
+
+    The 64 per-dimension (mean, sd) stats are ONE pass of 128 JVM-side
+    partial aggregates over the unexploded rows (the emb_centroids
+    idiom — no 64× posexplode shuffle), broadcast back as a 1-row
+    table resolved inside the plan. Output is the per-vector whitened
+    L2 norm² and max |w| (the audit columns a retrieval deployment
+    tracks), rounded once; the corpus never explodes.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stats = F.broadcast(
+        emb.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                a
+                for i in range(EMB_DIM)
+                for a in (
+                    F.sum(F.col("embedding").getItem(i).cast("double")).alias(f"sx{i}"),
+                    F.sum(
+                        F.col("embedding").getItem(i).cast("double")
+                        * F.col("embedding").getItem(i).cast("double")
+                    ).alias(f"sxx{i}"),
+                )
+            ],
+        )
+    )
+    def w(i: int) -> str:
+        mu = f"(sx{i} / n)"
+        sd = f"sqrt((sxx{i} - sx{i} * sx{i} / n) / (n - 1.0))"
+        return f"((cast(embedding[{i}] as double) - {mu}) / {sd})"
+
+    norm2 = " + ".join(f"{w(i)} * {w(i)}" for i in range(EMB_DIM))
+    wmax = "greatest(" + ", ".join(f"abs({w(i)})" for i in range(EMB_DIM)) + ")"
+    return (
+        emb.crossJoin(stats)
+        .selectExpr(
+            "vec_id",
+            f"round({norm2}, 6) AS w_norm2",
+            f"round({wmax}, 6) AS w_absmax",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def emb_whitening_sql() -> str:
+    stat_cols = ", ".join(
+        f"sum(embedding[{i + 1}]::DOUBLE) AS sx{i}, "
+        f"sum(embedding[{i + 1}]::DOUBLE * embedding[{i + 1}]::DOUBLE) AS sxx{i}"
+        for i in range(EMB_DIM)
+    )
+
+    def w(i: int) -> str:
+        mu = f"(sx{i} / n)"
+        sd = f"sqrt((sxx{i} - sx{i} * sx{i} / n) / (n - 1.0))"
+        return f"((embedding[{i + 1}]::DOUBLE - {mu}) / {sd})"
+
+    norm2 = " + ".join(f"{w(i)} * {w(i)}" for i in range(EMB_DIM))
+    wmax = "greatest(" + ", ".join(f"abs({w(i)})" for i in range(EMB_DIM)) + ")"
+    return f"""
+    WITH stats AS (
+        SELECT count(*)::BIGINT AS n, {stat_cols} FROM embeddings
+    )
+    SELECT vec_id, round({norm2}, 6) AS w_norm2, round({wmax}, 6) AS w_absmax
+    FROM embeddings CROSS JOIN stats
+    ORDER BY vec_id
+    """

@@ -4777,3 +4777,38 @@ register(
     streaming_streams.stream_state_reader_sql(),
     front=True,
 )
+
+register(
+    "q_events_regex_match",
+    analytics.q_events_regex_match,
+    analytics.q_events_regex_match_sql(),
+    front=True,
+)
+
+register(
+    "stats_bootstrap_ci",
+    analytics.stats_bootstrap_ci,
+    analytics.stats_bootstrap_ci_sql(),
+    front=True,
+)
+
+register(
+    "stats_runs_test",
+    analytics.stats_runs_test,
+    analytics.stats_runs_test_sql(),
+    front=True,
+)
+
+register(
+    "emb_whitening",
+    similarity.emb_whitening,
+    similarity.emb_whitening_sql(),
+    front=True,
+)
+
+register(
+    "src_file_metadata",
+    flat_src.src_file_metadata,
+    flat_src.src_file_metadata_sql(),
+    front=True,
+)

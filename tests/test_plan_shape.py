@@ -152,6 +152,11 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_fdr_bh",
     # 1-row max-id broadcast feeding the range-block quantization
     "mm_aspect_buckets",
+    # 1-row median / per-dim stats broadcasts: deliberate
+    "stats_runs_test",
+    "emb_whitening",
+    # 1-row (N, avgdl) corpus-stats broadcast: deliberate
+    "text_bm25",
 }
 
 
