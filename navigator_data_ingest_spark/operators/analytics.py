@@ -4973,3 +4973,93 @@ def stats_runs_test_sql() -> str:
            round((runs - {mu}) / sqrt({var}), 6) AS z
     FROM agg
     """
+
+
+def stats_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition of the daily-revenue series into trend +
+    day-of-week seasonality + residual — the pre-model sanity pass a
+    forecasting pipeline runs (is the weekly cycle real? how much
+    variance is left after trend+season?).
+
+    The fact table collapses to the DAYS-bounded calendar grain first;
+    trend is a CENTERED 7-day window mean (full windows only, fixed
+    7-term order so both engines fold identically), the seasonal index
+    is the per-dow mean of the detrended series, and the residual
+    re-joins the 7-row seasonal table (broadcast). Output is the 7-row
+    per-dow profile: seasonal index, residual spread, and the share of
+    detrended variance the seasonal term explains.
+    """
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(F.round(F.sum("o_totalprice"), 6).alias("rev"))
+    )
+    w7 = Window.orderBy("o_orderdate").rowsBetween(-3, 3)
+    t = d.select(
+        "o_orderdate",
+        "rev",
+        F.round(F.avg("rev").over(w7), 6).alias("trend"),
+        F.count(F.lit(1)).over(w7).alias("wn"),
+    ).where(F.col("wn") == 7)
+    det = t.select(
+        "o_orderdate",
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
+        F.round(F.col("rev") - F.col("trend"), 6).alias("det"),
+    )
+    seas = det.groupBy("dow").agg(
+        F.round(F.avg("det"), 6).alias("seasonal"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    resid = det.join(F.broadcast(seas), "dow").select(
+        "dow",
+        "n_days",
+        "seasonal",
+        "det",
+        F.round(F.col("det") - F.col("seasonal"), 6).alias("res"),
+    )
+    return (
+        resid.groupBy("dow")
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.max("seasonal").alias("seasonal"),
+            F.round(
+                F.expr("sqrt(sum(res * res) / (max(n_days) - 1.0))"), 6
+            ).alias("resid_sd"),
+            F.round(
+                F.lit(1.0) - F.sum(F.col("res") * F.col("res"))
+                / F.sum(F.col("det") * F.col("det")),
+                6,
+            ).alias("var_explained"),
+        )
+        .orderBy("dow")
+    )
+
+
+def stats_seasonal_decompose_sql() -> str:
+    return """
+    WITH d AS (
+        SELECT o_orderdate, round(sum(o_totalprice), 6) AS rev
+        FROM orders GROUP BY 1
+    ), t AS (
+        SELECT o_orderdate, rev,
+               round(avg(rev) OVER w, 6) AS trend,
+               count(*) OVER w AS wn
+        FROM d
+        WINDOW w AS (ORDER BY o_orderdate ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+        SELECT o_orderdate, dayofweek(o_orderdate)::INT AS dow,
+               round(rev - trend, 6) AS det
+        FROM t WHERE wn = 7
+    ), seas AS (
+        SELECT dow, round(avg(det), 6) AS seasonal, count(*)::BIGINT AS n_days
+        FROM det GROUP BY 1
+    ), resid AS (
+        SELECT d.dow, s.n_days, s.seasonal, d.det,
+               round(d.det - s.seasonal, 6) AS res
+        FROM det d JOIN seas s USING (dow)
+    )
+    SELECT dow, max(n_days)::BIGINT AS n_days, max(seasonal) AS seasonal,
+           round(sqrt(sum(res * res) / (max(n_days) - 1.0)), 6) AS resid_sd,
+           round(1.0 - sum(res * res) / sum(det * det), 6) AS var_explained
+    FROM resid GROUP BY dow ORDER BY dow
+    """

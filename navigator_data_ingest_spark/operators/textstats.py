@@ -9,7 +9,7 @@ output, keeping the DuckDB oracles bit-identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from navigator_data_ingest_spark.functions import exprs as X
@@ -1057,4 +1057,108 @@ def text_count_min_sql() -> str:
     SELECT token, exact::BIGINT AS exact, cm_estimate::BIGINT AS cm_estimate,
            (cm_estimate - exact)::BIGINT AS overestimate
     FROM est ORDER BY exact DESC, token
+    """
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction (round-4 batch)
+# --------------------------------------------------------------------------
+
+RAKE_TOP_K = 15
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction) over the corpus:
+    candidate phrases are maximal stopword-free token runs; each word
+    scores degree/frequency (degree = Σ length of phrases containing
+    it), a phrase scores the sum of its word scores, and the corpus
+    keywords are the top-K phrases by total score.
+
+    Scale shape: ONE explode-shuffle builds the (doc, pos, token)
+    stream; phrase grouping is the gaps-and-islands trick (pos −
+    within-doc non-stop row_number — windows are DOC-grain, bounded by
+    document length); the word-score table is vocabulary-sized and
+    broadcast back onto phrase words; the final top-K is sort+limit
+    TakeOrdered. Scores are exact integer ratios until the one rounded
+    output column.
+    """
+    stop = _arr_lit(STOPWORDS["en"])
+    tok = scatter(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.posexplode(F.expr(X.sp_tokens("text"))).alias("pos", "token")
+    )
+    flagged = tok.withColumn(
+        "is_stop", F.expr(f"array_contains({stop}, token)")
+    )
+    nw = Window.partitionBy("doc_id").orderBy("pos")
+    ph = (
+        flagged.where(~F.col("is_stop"))
+        .withColumn("rn", F.row_number().over(nw))
+        .withColumn("grp", F.col("pos") - F.col("rn"))
+    )
+    words = ph.select("doc_id", "grp", "token")
+    # phrase instances: ordered tokens per (doc, grp)
+    phrases = (
+        words.groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(F.collect_list("token"), " ").alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+    )
+    # word stats over phrase members: freq + degree (Σ phrase length)
+    wstat = (
+        words.join(phrases.select("doc_id", "grp", "plen"), ["doc_id", "grp"])
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+    )
+    scored = (
+        words.join(F.broadcast(wstat), "token")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.sum(F.col("deg") / F.col("freq").cast("double")).alias("pscore")
+        )
+        .join(phrases, ["doc_id", "grp"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.round(F.max("pscore"), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("phrase")).limit(RAKE_TOP_K)
+
+
+def text_rake_keywords_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, t[i] AS token, i
+        FROM (SELECT doc_id, {X.dk_tokens('text')} AS t FROM documents),
+             unnest(generate_series(1, len(t))) AS u(i)
+    ), flagged AS (
+        SELECT doc_id, i - 1 AS pos, token,
+               token IN ({stops}) AS is_stop
+        FROM tok
+    ), ph AS (
+        SELECT doc_id, pos, token,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM flagged WHERE NOT is_stop
+    ), phrases AS (
+        SELECT doc_id, grp,
+               string_agg(token, ' ' ORDER BY pos) AS phrase,
+               count(*)::BIGINT AS plen
+        FROM ph GROUP BY doc_id, grp
+    ), wstat AS (
+        SELECT token, count(*)::BIGINT AS freq, sum(plen)::BIGINT AS deg
+        FROM ph JOIN phrases USING (doc_id, grp)
+        GROUP BY token
+    ), scored AS (
+        SELECT w.doc_id, w.grp,
+               sum(s.deg / s.freq::DOUBLE) AS pscore
+        FROM ph w JOIN wstat s USING (token)
+        GROUP BY w.doc_id, w.grp
+    )
+    SELECT p.phrase, count(*)::BIGINT AS n_occurrences,
+           round(max(sc.pscore), 6) AS score
+    FROM scored sc JOIN phrases p USING (doc_id, grp)
+    GROUP BY p.phrase
+    ORDER BY score DESC, phrase LIMIT {RAKE_TOP_K}
     """

@@ -4812,3 +4812,24 @@ register(
     flat_src.src_file_metadata_sql(),
     front=True,
 )
+
+register(
+    "sink_python_datasource",
+    _pysource.sink_python_datasource,
+    _pysource.sink_python_datasource_sql(),
+    front=True,
+)
+
+register(
+    "stats_seasonal_decompose",
+    analytics.stats_seasonal_decompose,
+    analytics.stats_seasonal_decompose_sql(),
+    front=True,
+)
+
+register(
+    "text_rake_keywords",
+    textstats.text_rake_keywords,
+    textstats.text_rake_keywords_sql(),
+    front=True,
+)

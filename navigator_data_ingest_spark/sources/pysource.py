@@ -237,3 +237,153 @@ def src_python_datasource_stream_sql() -> str:
            sum(n_bytes)::bigint AS bytes_sum
     FROM rows_ GROUP BY step ORDER BY step
     """
+
+
+# --------------------------------------------------------------------------
+# Python DataSource WRITER (the Spark 4 custom-sink surface)
+# --------------------------------------------------------------------------
+
+try:  # pyspark >= 4
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    _HAS_PYSINK = True
+except ImportError:  # pragma: no cover - older pyspark
+    _HAS_PYSINK = False
+    DataSourceWriter = object  # type: ignore[assignment,misc]
+    WriterCommitMessage = object  # type: ignore[assignment,misc]
+
+import dataclasses
+import json
+import os
+import tempfile
+
+
+@dataclasses.dataclass
+class _SinkCommit(WriterCommitMessage):
+    path: str
+    n_rows: int
+    sum_chars: int
+
+
+class _AuditSinkWriter(DataSourceWriter):
+    """Writes each partition as one JSON-lines part file into a staging
+    dir, then the COMMIT step (driver-side, after every task succeeded)
+    publishes a manifest naming exactly the committed parts — the
+    two-phase protocol every exactly-once sink needs. An abort leaves
+    no manifest, so readers (which go through the manifest) never see
+    partial output.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        part = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        sum_chars = 0
+        with open(part, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps({"doc_id": row.doc_id, "n_chars": row.n_chars}) + "\n")
+                n += 1
+                sum_chars += row.n_chars
+        return _SinkCommit(path=part, n_rows=n, sum_chars=sum_chars)
+
+    def commit(self, messages):
+        manifest = {
+            "files": sorted(m.path for m in messages if m is not None),
+            "n_rows": sum(m.n_rows for m in messages if m is not None),
+            "sum_chars": sum(m.sum_chars for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages):  # pragma: no cover - failure path
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+
+class AuditSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "audit_sink"
+
+    def writer(self, schema, overwrite):
+        if not _HAS_PYSINK:  # pragma: no cover
+            raise NotImplementedError("DataSourceWriter requires Spark 4")
+        return _AuditSinkWriter(self.options)
+
+
+SINK_PARTITIONS = 4
+
+
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python DataSource WRITER certification (the Spark 4 custom-sink
+    twin of src_python_datasource): write the documents length table
+    through a two-phase (per-task part file -> driver commit manifest)
+    Python sink, then audit the COMMITTED output — file count equals
+    the task count, and the manifest totals equal what a reader finds
+    in the parts, which the DuckDB oracle recomputes from the source
+    table. Scratch is per-operator and per-pid (repo scratch rule).
+
+    The write runs executor-side (one Python worker per partition);
+    only the commit messages reach the driver — the same contract a
+    JVM FileFormat sink has, which is what makes the API viable for
+    real 100 TB sinks.
+    """
+    if not _HAS_PYSINK:  # pragma: no cover
+        raise NotImplementedError("pyspark.sql.datasource requires Spark 4")
+    try:
+        spark.dataSource.register(AuditSinkDataSource)
+    except Exception:
+        pass
+    import hashlib as _hl
+    import shutil as _sh
+
+    from navigator_data_ingest_spark.sources.tables import load_table
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), "nav_pysink", f"{tag}_{os.getpid()}"
+    )
+    _sh.rmtree(out, ignore_errors=True)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(SINK_PARTITIONS, "doc_id")
+    )
+    docs.write.format("audit_sink").mode("append").option("path", out).save()
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        man = json.load(fh)
+    parts = spark.read.json(man["files"])
+    readback = parts.agg(
+        F.count(F.lit(1)).alias("rb_rows"),
+        F.sum("n_chars").alias("rb_chars"),
+        F.countDistinct("doc_id").alias("rb_docs"),
+    )
+    return readback.select(
+        F.lit(len(man["files"])).cast("bigint").alias("n_files"),
+        F.lit(man["n_rows"]).cast("bigint").alias("manifest_rows"),
+        F.lit(man["sum_chars"]).cast("bigint").alias("manifest_chars"),
+        F.col("rb_rows").cast("bigint"),
+        F.col("rb_chars").cast("bigint"),
+        F.col("rb_docs").cast("bigint"),
+    )
+
+
+def sink_python_datasource_sql() -> str:
+    return f"""
+    SELECT {SINK_PARTITIONS}::BIGINT AS n_files,
+           count(*)::BIGINT AS manifest_rows,
+           sum(n_chars)::BIGINT AS manifest_chars,
+           count(*)::BIGINT AS rb_rows,
+           sum(n_chars)::BIGINT AS rb_chars,
+           count(DISTINCT doc_id)::BIGINT AS rb_docs
+    FROM documents
+    """
