@@ -5063,3 +5063,142 @@ def stats_seasonal_decompose_sql() -> str:
            round(1.0 - sum(res * res) / sum(det * det), 6) AS var_explained
     FROM resid GROUP BY dow ORDER BY dow
     """
+
+
+def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests): are mean order
+    values of the two order-key parity halves EQUIVALENT within a
+    ±1%-of-grand-mean margin? The complement of stats_ab_test — a
+    non-significant difference is not evidence of equivalence; TOST is.
+
+    ONE conditional-moment aggregation (no join: parity is derived from
+    the key), then pure arithmetic on the 1-row result. p-values use
+    the shared Abramowitz-Stegun tail polynomial; the equivalence
+    verdict compares ROUNDED values (repo float rule).
+    """
+    agg = load_table(spark, sf_dir, "orders").agg(
+        F.sum(F.expr("CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END")).alias("na"),
+        F.sum(F.expr("CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice ELSE 0 END")).alias("sa"),
+        F.sum(F.expr("CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * o_totalprice ELSE 0 END")).alias("qa"),
+        F.sum(F.expr("CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END")).alias("nb"),
+        F.sum(F.expr("CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice ELSE 0 END")).alias("sb"),
+        F.sum(F.expr("CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice * o_totalprice ELSE 0 END")).alias("qb"),
+    )
+    diff = "(sa / na - sb / nb)"
+    delta = "(0.01 * (sa + sb) / (na + nb))"
+    se = (
+        "sqrt(((qa - sa * sa / na) / (na - 1.0)) / na "
+        "+ ((qb - sb * sb / nb) / (nb - 1.0)) / nb)"
+    )
+    z1 = f"(({diff} + {delta}) / {se})"
+    z2 = f"(({delta} - {diff}) / {se})"
+    p1 = _normal_upper_tail(z1)
+    p2 = _normal_upper_tail(z2)
+    return agg.selectExpr(
+        "na AS n_a",
+        "nb AS n_b",
+        f"round({diff}, 6) AS mean_diff",
+        f"round({delta}, 6) AS margin",
+        f"round({z1}, 6) AS z_lower",
+        f"round({z2}, 6) AS z_upper",
+        f"round(greatest({p1}, {p2}), 6) AS p_tost",
+        f"round(greatest({p1}, {p2}), 6) < 0.05 AS equivalent",
+    )
+
+
+def stats_tost_equivalence_sql() -> str:
+    diff = "(sa / na - sb / nb)"
+    delta = "(0.01 * (sa + sb) / (na + nb))"
+    se = (
+        "sqrt(((qa - sa * sa / na) / (na - 1.0)) / na "
+        "+ ((qb - sb * sb / nb) / (nb - 1.0)) / nb)"
+    )
+    z1 = f"(({diff} + {delta}) / {se})"
+    z2 = f"(({delta} - {diff}) / {se})"
+    p1 = _normal_upper_tail(z1)
+    p2 = _normal_upper_tail(z2)
+    return f"""
+    WITH agg AS (
+        SELECT sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)::DOUBLE AS na,
+               sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice ELSE 0 END) AS sa,
+               sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * o_totalprice ELSE 0 END) AS qa,
+               sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)::DOUBLE AS nb,
+               sum(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice ELSE 0 END) AS sb,
+               sum(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice * o_totalprice ELSE 0 END) AS qb
+        FROM orders
+    )
+    SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+           round({diff}, 6) AS mean_diff,
+           round({delta}, 6) AS margin,
+           round({z1}, 6) AS z_lower,
+           round({z2}, 6) AS z_upper,
+           round(greatest({p1}, {p2}), 6) AS p_tost,
+           round(greatest({p1}, {p2}), 6) < 0.05 AS equivalent
+    FROM agg
+    """
+
+
+def stats_extreme_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit on monthly block maxima of daily
+    revenue — the tail-risk question capacity planning asks: how likely
+    is a future month to exceed the worst day ever seen?
+
+    Two bounded collapses (daily grain, then monthly maxima — both
+    calendar-bounded), a method-of-moments fit (β = s·√6/π,
+    μ = m − γ·β), and the exceedance probability of the historical
+    maximum under the fitted CDF. Arithmetic is identical literal
+    structure in both engines; one row out.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(F.round(F.sum("o_totalprice"), 6).alias("rev"))
+    )
+    monthly = daily.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.max("rev").alias("m"))
+    agg = monthly.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").alias("s"),
+        F.sum(F.col("m") * F.col("m")).alias("q"),
+        F.max("m").alias("hist_max"),
+    )
+    mean = "(s / n)"
+    sd = "sqrt((q - s * s / n) / (n - 1.0))"
+    beta = f"({sd} * sqrt(6.0) / pi())"
+    mu = f"({mean} - 0.5772156649015329 * {beta})"
+    p_exc = f"(1.0 - exp(-exp(-((hist_max - {mu}) / {beta}))))"
+    return agg.selectExpr(
+        "n AS n_blocks",
+        f"round({mu}, 6) AS gumbel_mu",
+        f"round({beta}, 6) AS gumbel_beta",
+        "round(hist_max, 6) AS hist_max",
+        f"round({p_exc}, 6) AS p_exceed_hist_max",
+    )
+
+
+def stats_extreme_gumbel_sql() -> str:
+    mean = "(s / n)"
+    sd = "sqrt((q - s * s / n) / (n - 1.0))"
+    beta = f"({sd} * sqrt(6.0) / pi())"
+    mu = f"({mean} - 0.5772156649015329 * {beta})"
+    p_exc = f"(1.0 - exp(-exp(-((hist_max - {mu}) / {beta}))))"
+    return f"""
+    WITH daily AS (
+        SELECT o_orderdate, round(sum(o_totalprice), 6) AS rev
+        FROM orders GROUP BY 1
+    ), monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month, max(rev) AS m
+        FROM daily GROUP BY 1
+    ), agg AS (
+        SELECT count(*)::DOUBLE AS n, sum(m) AS s, sum(m * m) AS q,
+               max(m) AS hist_max
+        FROM monthly
+    )
+    SELECT n::BIGINT AS n_blocks,
+           round({mu}, 6) AS gumbel_mu,
+           round({beta}, 6) AS gumbel_beta,
+           round(hist_max, 6) AS hist_max,
+           round({p_exc}, 6) AS p_exceed_hist_max
+    FROM agg
+    """

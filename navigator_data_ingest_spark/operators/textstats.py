@@ -1162,3 +1162,85 @@ def text_rake_keywords_sql() -> str:
     GROUP BY p.phrase
     ORDER BY score DESC, phrase LIMIT {RAKE_TOP_K}
     """
+
+
+def text_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of every source's token distribution
+    from the corpus distribution — the drift monitor a mixture pipeline
+    tracks per ingest source (PSI's distribution-free cousin for text).
+
+    Only (source, token) pairs PRESENT in the source are materialized:
+    the p=0 tail of the corpus side collapses to the closed form
+    (1 − Σ_present q)·ln2, so the join stays source-vocabulary-sized.
+    One token-grain shuffle builds both distributions; per-source
+    totals are a SOURCES-bounded broadcast. Output in nats, rounded
+    once.
+    """
+    tok = scatter(spark, load_table(spark, sf_dir, "documents")).select(
+        "source", F.explode(F.expr(X.sp_tokens("text"))).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    ct = st.groupBy("token").agg(F.sum("c").alias("cc"))
+    stot = st.groupBy("source").agg(F.sum("c").alias("sn"))
+    tot = ct.agg(F.sum("cc").alias("n"))
+    j = (
+        st.join(ct, "token")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "c / cast(sn as double) AS p",
+            "cc / cast(n as double) AS q",
+        )
+        .selectExpr(
+            "source",
+            "p * ln(p / ((p + q) / 2.0)) AS a",
+            "q * ln(q / ((p + q) / 2.0)) AS b",
+            "q",
+        )
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.round(
+                0.5
+                * (
+                    F.sum("a")
+                    + F.sum("b")
+                    + (F.lit(1.0) - F.sum("q")) * float(__import__("math").log(2))
+                ),
+                6,
+            ).alias("jsd_nats"),
+            F.count(F.lit(1)).cast("bigint").alias("n_source_vocab"),
+        )
+        .orderBy("source")
+    )
+
+
+def text_jsd_drift_sql() -> str:
+    import math
+
+    return f"""
+    WITH tok AS (
+        SELECT source, unnest({X.dk_tokens('text')}) AS token FROM documents
+    ), st AS (
+        SELECT source, token, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2
+    ), ct AS (
+        SELECT token, sum(c)::BIGINT AS cc FROM st GROUP BY 1
+    ), stot AS (
+        SELECT source, sum(c)::BIGINT AS sn FROM st GROUP BY 1
+    ), tot AS (
+        SELECT sum(cc)::BIGINT AS n FROM ct
+    ), j AS (
+        SELECT source,
+               c / sn::DOUBLE AS p,
+               cc / n::DOUBLE AS q
+        FROM st JOIN ct USING (token) JOIN stot USING (source) CROSS JOIN tot
+    )
+    SELECT source,
+           round(0.5 * (sum(p * ln(p / ((p + q) / 2.0)))
+                 + sum(q * ln(q / ((p + q) / 2.0)))
+                 + (1.0 - sum(q)) * {math.log(2)!r}), 6) AS jsd_nats,
+           count(*)::BIGINT AS n_source_vocab
+    FROM j GROUP BY source ORDER BY source
+    """

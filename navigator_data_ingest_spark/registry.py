@@ -4833,3 +4833,24 @@ register(
     textstats.text_rake_keywords_sql(),
     front=True,
 )
+
+register(
+    "text_jsd_drift",
+    textstats.text_jsd_drift,
+    textstats.text_jsd_drift_sql(),
+    front=True,
+)
+
+register(
+    "stats_tost_equivalence",
+    analytics.stats_tost_equivalence,
+    analytics.stats_tost_equivalence_sql(),
+    front=True,
+)
+
+register(
+    "stats_extreme_gumbel",
+    analytics.stats_extreme_gumbel,
+    analytics.stats_extreme_gumbel_sql(),
+    front=True,
+)

@@ -157,6 +157,8 @@ _DELIBERATE_NESTED_LOOP = {
     "emb_whitening",
     # 1-row (N, avgdl) corpus-stats broadcast: deliberate
     "text_bm25",
+    # 1-row corpus-total broadcast onto the vocab join: deliberate
+    "text_jsd_drift",
 }
 
 
