@@ -5202,3 +5202,123 @@ def stats_extreme_gumbel_sql() -> str:
            round({p_exc}, 6) AS p_exceed_hist_max
     FROM agg
     """
+
+
+def q_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q1 pricing summary re-run ENTIRELY in DECIMAL — the
+    exact-arithmetic certification: every sum is reproducible to the
+    last digit regardless of engine, partition count, or reduction
+    order (the property float money math can never give). Outputs are
+    decimal-to-string casts, so the oracle comparison is BYTE-exact
+    with zero rounding slack.
+
+    The type discipline that makes cross-engine byte-parity possible:
+    operands carry their TRUE scales (prices 2 dp, rates 2 dp) and
+    every product keeps its full derived scale — no scale-reducing
+    cast ever happens, because engines disagree there (Spark rounds
+    HALF_UP, DuckDB truncates). (12,2)×(4,2)×(4,2) tops out at scale 6
+    well inside 38 digits, so all arithmetic is exact integers
+    underneath. Same scan→partial-agg shape as q1.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    return (
+        li.selectExpr(
+            "l_returnflag",
+            "l_linestatus",
+            "cast(l_quantity as decimal(12,2)) AS qty",
+            "cast(l_extendedprice as decimal(12,2)) AS ep",
+            "cast(l_extendedprice as decimal(12,2)) * cast(1 - l_discount as decimal(4,2)) AS disc_price",
+            "cast(l_extendedprice as decimal(12,2)) * cast(1 - l_discount as decimal(4,2)) * cast(1 + l_tax as decimal(4,2)) AS charge",
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr("cast(sum(cast(qty as decimal(38,2))) as string)").alias("sum_qty"),
+            F.expr("cast(sum(cast(ep as decimal(38,2))) as string)").alias("sum_base_price"),
+            F.expr("cast(sum(cast(disc_price as decimal(38,4))) as string)").alias("sum_disc_price"),
+            F.expr("cast(sum(cast(charge as decimal(38,6))) as string)").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_decimal_exact_sql() -> str:
+    return """
+    WITH t AS (
+        SELECT l_returnflag, l_linestatus,
+               cast(l_quantity as DECIMAL(12,2)) AS qty,
+               cast(l_extendedprice as DECIMAL(12,2)) AS ep,
+               cast(l_extendedprice as DECIMAL(12,2)) * cast(1 - l_discount as DECIMAL(4,2)) AS disc_price,
+               cast(l_extendedprice as DECIMAL(12,2)) * cast(1 - l_discount as DECIMAL(4,2)) * cast(1 + l_tax as DECIMAL(4,2)) AS charge
+        FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+    )
+    SELECT l_returnflag, l_linestatus,
+           cast(sum(cast(qty as DECIMAL(38,2))) as varchar) AS sum_qty,
+           cast(sum(cast(ep as DECIMAL(38,2))) as varchar) AS sum_base_price,
+           cast(sum(cast(disc_price as DECIMAL(38,4))) as varchar) AS sum_disc_price,
+           cast(sum(cast(charge as DECIMAL(38,6))) as varchar) AS sum_charge,
+           count(*)::BIGINT AS count_order
+    FROM t GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """
+
+
+def stats_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and CVaR (expected shortfall) of the day-over-day
+    revenue CHANGE series — the risk-summary pair a capacity/finance
+    monitor keeps: the 5% worst daily swing, and the mean swing inside
+    that tail.
+
+    DAYS-bounded collapse, one lag window for the delta series, one
+    exact percentile (1-row broadcast back), and a conditional mean
+    over the tail — tail membership compares ROUNDED deltas (repo
+    float rule). percentile()/quantile_cont share interpolation.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(F.round(F.sum("o_totalprice"), 6).alias("rev"))
+    )
+    w = Window.orderBy("o_orderdate")
+    delta = daily.select(
+        F.round(F.col("rev") - F.lag("rev").over(w), 6).alias("d")
+    ).where(F.col("d").isNotNull())
+    cut = F.broadcast(
+        delta.agg(F.expr("round(percentile(d, 0.05), 6)").alias("var5"))
+    )
+    return (
+        delta.crossJoin(cut)
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.max("var5").alias("var_5pct"),
+            F.round(
+                F.avg(F.when(F.col("d") <= F.col("var5"), F.col("d"))), 6
+            ).alias("cvar_5pct"),
+            F.sum((F.col("d") <= F.col("var5")).cast("int"))
+            .cast("bigint")
+            .alias("n_tail"),
+        )
+    )
+
+
+def stats_var_cvar_sql() -> str:
+    return """
+    WITH daily AS (
+        SELECT o_orderdate, round(sum(o_totalprice), 6) AS rev
+        FROM orders GROUP BY 1
+    ), delta AS (
+        SELECT round(rev - lag(rev) OVER (ORDER BY o_orderdate), 6) AS d
+        FROM daily
+    ), nz AS (
+        SELECT d FROM delta WHERE d IS NOT NULL
+    ), cut AS (
+        SELECT round(quantile_cont(d, 0.05), 6) AS var5 FROM nz
+    )
+    SELECT count(*)::BIGINT AS n_days,
+           max(var5) AS var_5pct,
+           round(avg(CASE WHEN d <= var5 THEN d END), 6) AS cvar_5pct,
+           sum((d <= var5)::INT)::BIGINT AS n_tail
+    FROM nz CROSS JOIN cut
+    """

@@ -596,3 +596,95 @@ def graph_kcore_sql() -> str:
     FROM {prev} GROUP BY src HAVING count(*) >= {KCORE_K}
     ORDER BY node
     """
+
+
+HITS_ITERS = 2
+HITS_TOP_K = 20
+
+
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities on the part→supplier bipartite graph
+    (parts are hubs, suppliers are authorities): auth(s) = Σ hub(p)
+    over incident edges, hub(p) = Σ auth(s), L1-normalized each round —
+    the query-independent importance duo PageRank's single score can't
+    give a bipartite catalog.
+
+    Fixed HITS_ITERS synchronous rounds (bounded-round states replay in
+    SQL, like graph_label_propagation); each round is two edge-keyed
+    hash joins + aggregations with the 1-row normalizer broadcast
+    resolved in-plan. L1 (not L2) normalization keeps the normalizer a
+    plain sum. Top-K authorities via sort+limit TakeOrdered.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hub = edges.select("p").distinct().select("p", F.lit(1.0).alias("h"))
+    auth = None
+    for _ in range(HITS_ITERS):
+        a_raw = (
+            edges.join(hub, "p").groupBy("s").agg(F.sum("h").alias("a_raw"))
+        )
+        a_tot = a_raw.agg(F.sum("a_raw").alias("at"))
+        auth = (
+            a_raw.crossJoin(F.broadcast(a_tot))
+            .select("s", (F.col("a_raw") / F.col("at")).alias("a"))
+            .localCheckpoint(eager=False)
+        )
+        h_raw = (
+            edges.join(auth, "s").groupBy("p").agg(F.sum("a").alias("h_raw"))
+        )
+        h_tot = h_raw.agg(F.sum("h_raw").alias("ht"))
+        hub = (
+            h_raw.crossJoin(F.broadcast(h_tot))
+            .select("p", (F.col("h_raw") / F.col("ht")).alias("h"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        auth.select(
+            F.col("s").alias("supplier"), F.round(F.col("a") * 1e6, 6).alias("auth_ppm")
+        )
+        .orderBy(F.desc("auth_ppm"), F.asc("supplier"))
+        .limit(HITS_TOP_K)
+    )
+
+
+def graph_hits_sql() -> str:
+    # one (auth, hub) CTE pair per round, GENERATED from HITS_ITERS so
+    # tuning the knob cannot desynchronize the oracle from the loop
+    rounds = []
+    prev_hub = "h0"
+    auth_name = None
+    for r in range(1, HITS_ITERS + 1):
+        auth_name = f"a{r}"
+        rounds.append(
+            f"a{r}_raw AS (SELECT e.s, sum(h.h) AS a_raw "
+            f"FROM e JOIN {prev_hub} h USING (p) GROUP BY e.s)"
+        )
+        rounds.append(
+            f"a{r} AS (SELECT s, a_raw / (SELECT sum(a_raw) FROM a{r}_raw) AS a "
+            f"FROM a{r}_raw)"
+        )
+        rounds.append(
+            f"h{r}_raw AS (SELECT e.p, sum(a.a) AS h_raw "
+            f"FROM e JOIN a{r} a USING (s) GROUP BY e.p)"
+        )
+        rounds.append(
+            f"h{r} AS (SELECT p, h_raw / (SELECT sum(h_raw) FROM h{r}_raw) AS h "
+            f"FROM h{r}_raw)"
+        )
+        prev_hub = f"h{r}"
+    return f"""
+    WITH e AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), h0 AS (
+        SELECT DISTINCT p, 1.0 AS h FROM e
+    ), {", ".join(rounds)}
+    SELECT s AS supplier, round(a * 1e6, 6) AS auth_ppm
+    FROM {auth_name}
+    ORDER BY auth_ppm DESC, supplier LIMIT {HITS_TOP_K}
+    """

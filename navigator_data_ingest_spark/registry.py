@@ -4854,3 +4854,24 @@ register(
     analytics.stats_extreme_gumbel_sql(),
     front=True,
 )
+
+register(
+    "q_decimal_exact",
+    analytics.q_decimal_exact,
+    analytics.q_decimal_exact_sql(),
+    front=True,
+)
+
+register(
+    "stats_var_cvar",
+    analytics.stats_var_cvar,
+    analytics.stats_var_cvar_sql(),
+    front=True,
+)
+
+register(
+    "graph_hits",
+    graph.graph_hits,
+    graph.graph_hits_sql(),
+    front=True,
+)

@@ -159,6 +159,9 @@ _DELIBERATE_NESTED_LOOP = {
     "text_bm25",
     # 1-row corpus-total broadcast onto the vocab join: deliberate
     "text_jsd_drift",
+    # 1-row normalizer / percentile-cut broadcasts: deliberate
+    "graph_hits",
+    "stats_var_cvar",
 }
 
 
