@@ -5322,3 +5322,187 @@ def stats_var_cvar_sql() -> str:
            sum((d <= var5)::INT)::BIGINT AS n_tail
     FROM nz CROSS JOIN cut
     """
+
+
+def q_sql_exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE + session variables (the Spark 4 dynamic-SQL
+    surface): a dashboard parameter lands in a DECLAREd variable, the
+    query text is assembled as a STRING and executed with USING
+    placeholders — the templated-report path that otherwise requires
+    client-side string building. Certifies DECLARE / SET VAR /
+    EXECUTE IMMEDIATE ... USING / variable references inside the
+    executed text, returning the per-priority order profile above a
+    variable-driven price floor.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ei")
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR price_floor = 150000.0")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT o_orderpriority,
+                count(*) AS n_orders,
+                round(avg(o_totalprice), 6) AS avg_price,
+                round(max(o_totalprice), 6) AS max_price
+         FROM orders_ei
+         WHERE o_totalprice > price_floor AND o_orderstatus = ?
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority'
+        USING 'O'
+        """
+    )
+
+
+def q_sql_exec_immediate_sql() -> str:
+    return """
+    SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+           round(avg(o_totalprice), 6) AS avg_price,
+           round(max(o_totalprice), 6) AS max_price
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+
+
+def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the corpus size from two
+    independent deterministic hash samples — the classic trick for
+    estimating the size of a population you can only sample (dark
+    corpus, dedup-cluster count, crawl frontier): sample A tags 20%,
+    sample B 25%, and the overlap rate recovers N̂ without a full
+    count... which the audit columns then compare against the true
+    count the engine CAN compute. ONE conditional-aggregation pass,
+    map-side; membership is md5-derived so the oracle replays the
+    samples exactly.
+    """
+    h1 = "cast(conv(substr(md5(concat('cap1:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
+    h2 = "cast(conv(substr(md5(concat('cap2:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
+    agg = load_table(spark, sf_dir, "documents").selectExpr(
+        f"({h1}) % 5 = 0 AS in_a", f"({h2}) % 4 = 0 AS in_b"
+    ).agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.col("in_a").cast("int")).alias("n_a"),
+        F.sum(F.col("in_b").cast("int")).alias("n_b"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("int")).alias("n_ab"),
+    )
+    chap = "((n_a + 1.0) * (n_b + 1.0) / (n_ab + 1.0) - 1.0)"
+    return agg.selectExpr(
+        "n_true",
+        "n_a",
+        "n_b",
+        "n_ab",
+        f"round({chap}, 6) AS n_hat",
+        f"round(({chap} - n_true) / n_true, 6) AS rel_error",
+    )
+
+
+def stats_capture_recapture_sql() -> str:
+    h1 = "('0x' || substr(md5('cap1:' || doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT"
+    h2 = "('0x' || substr(md5('cap2:' || doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT"
+    chap = "((n_a + 1.0) * (n_b + 1.0) / (n_ab + 1.0) - 1.0)"
+    return f"""
+    WITH tag AS (
+        SELECT ({h1}) % 5 = 0 AS in_a, ({h2}) % 4 = 0 AS in_b FROM documents
+    ), agg AS (
+        SELECT count(*)::BIGINT AS n_true,
+               sum(in_a::INT)::BIGINT AS n_a,
+               sum(in_b::INT)::BIGINT AS n_b,
+               sum((in_a AND in_b)::INT)::BIGINT AS n_ab
+        FROM tag
+    )
+    SELECT n_true, n_a, n_b, n_ab,
+           round({chap}, 6) AS n_hat,
+           round(({chap} - n_true) / n_true, 6) AS rel_error
+    FROM agg
+    """
+
+
+SESSION_TTL_MIN = 30
+
+
+def q_events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user covered-time union: each event opens a 30-minute
+    activity interval; overlapping intervals merge, and the user's
+    total covered minutes (and interval count) is the union length —
+    the classic merge-overlapping-intervals computed as one
+    gaps-and-islands pass (a NEW island starts when an event's start
+    exceeds the running max end of everything before it). USER-grain
+    windows only; all arithmetic in integer epoch seconds.
+    """
+    ttl = SESSION_TTL_MIN * 60
+    # timezone-free epoch from wall-clock components (the repo epoch_s
+    # rule: unix_timestamp shifts under non-UTC driver sessions)
+    epoch = (
+        "datediff(cast(ts as date), date'1970-01-01') * 86400"
+        " + hour(ts) * 3600 + minute(ts) * 60 + floor(second(ts))"
+    )
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        f"cast({epoch} as bigint) AS s",
+        f"cast({epoch} as bigint) + {ttl} AS e",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    flagged = ev.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.when(
+            F.max("e").over(wprev).isNull()
+            | (F.col("s") > F.max("e").over(wprev)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    isl = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    merged = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("i_start"), F.max("e").alias("i_end")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.expr("sum(i_end - i_start) div 60")
+            .cast("bigint")
+            .alias("covered_minutes"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_events_interval_union_sql() -> str:
+    ttl = SESSION_TTL_MIN * 60
+    return f"""
+    WITH ev AS (
+        SELECT user_id, floor(epoch(ts::TIMESTAMP))::BIGINT AS s,
+               floor(epoch(ts::TIMESTAMP))::BIGINT + {ttl} AS e, event_id
+        FROM events
+    ), flagged AS (
+        SELECT user_id, s, e, event_id,
+               CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                    THEN 1 ELSE 0 END AS new_island
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), isl AS (
+        SELECT user_id, s, e,
+               sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    ), merged AS (
+        SELECT user_id, island, min(s) AS i_start, max(e) AS i_end
+        FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id, count(*)::BIGINT AS n_intervals,
+           (sum(i_end - i_start) // 60)::BIGINT AS covered_minutes
+    FROM merged GROUP BY user_id ORDER BY user_id
+    """

@@ -4875,3 +4875,24 @@ register(
     graph.graph_hits_sql(),
     front=True,
 )
+
+register(
+    "q_sql_exec_immediate",
+    analytics.q_sql_exec_immediate,
+    analytics.q_sql_exec_immediate_sql(),
+    front=True,
+)
+
+register(
+    "stats_capture_recapture",
+    analytics.stats_capture_recapture,
+    analytics.stats_capture_recapture_sql(),
+    front=True,
+)
+
+register(
+    "q_events_interval_union",
+    analytics.q_events_interval_union,
+    analytics.q_events_interval_union_sql(),
+    front=True,
+)
