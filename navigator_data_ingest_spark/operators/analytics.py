@@ -5506,3 +5506,67 @@ def q_events_interval_union_sql() -> str:
            (sum(i_end - i_start) // 60)::BIGINT AS covered_minutes
     FROM merged GROUP BY user_id ORDER BY user_id
     """
+
+
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per event type: JB = n/6·(S² + K²/4)
+    from skewness S and excess kurtosis K. TWO-pass centered moments —
+    the raw-moment expansion (Σx⁴ − 4μΣx³ + …) cancels catastrophically
+    at double precision, so pass 1 computes a per-group mean ROUNDED to
+    6 dp (making both engines center on the identical constant) and
+    pass 2 aggregates Σ(x−μ̂)^{2,3,4} of well-scaled values. The K-row
+    mean table broadcasts back; everything else is arithmetic on the
+    group table.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    mu = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"), F.count(F.lit(1)).alias("n")
+    )
+    c = ev.join(F.broadcast(mu), "event_type").selectExpr(
+        "event_type", "n", "(value - mu) AS d"
+    )
+    g = c.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("d * d")).alias("c2"),
+        F.sum(F.expr("d * d * d")).alias("c3"),
+        F.sum(F.expr("d * d * d * d")).alias("c4"),
+    )
+    skew = "((c3 / n) / pow(c2 / n, 1.5))"
+    kurt = "((c4 / n) / ((c2 / n) * (c2 / n)) - 3.0)"
+    # n/6 amplifies sub-1e-6 sum-order noise ~1000x, so the JB output
+    # rounds at 2 dp (it is read against chi-square criticals like
+    # 5.99; 6 dp precision on the amplified statistic is meaningless)
+    jb = f"(n / 6.0 * ({skew} * {skew} + {kurt} * {kurt} / 4.0))"
+    return g.selectExpr(
+        "event_type",
+        "n",
+        f"round({skew}, 6) AS skewness",
+        f"round({kurt}, 6) AS excess_kurtosis",
+        f"round({jb}, 2) AS jb_stat",
+    ).orderBy("event_type")
+
+
+def stats_jarque_bera_sql() -> str:
+    skew = "((c3 / n) / pow(c2 / n, 1.5))"
+    kurt = "((c4 / n) / ((c2 / n) * (c2 / n)) - 3.0)"
+    jb = f"(n / 6.0 * ({skew} * {skew} + {kurt} * {kurt} / 4.0))"
+    return f"""
+    WITH mu AS (
+        SELECT event_type, round(avg(value), 6) AS mu,
+               count(*)::DOUBLE AS n
+        FROM events GROUP BY 1
+    ), c AS (
+        SELECT e.event_type, m.n, (e.value - m.mu) AS d
+        FROM events e JOIN mu m USING (event_type)
+    ), g AS (
+        SELECT event_type, max(n) AS n,
+               sum(d * d) AS c2, sum(d * d * d) AS c3,
+               sum(d * d * d * d) AS c4
+        FROM c GROUP BY 1
+    )
+    SELECT event_type, n::BIGINT AS n,
+           round({skew}, 6) AS skewness,
+           round({kurt}, 6) AS excess_kurtosis,
+           round({jb}, 2) AS jb_stat
+    FROM g ORDER BY event_type
+    """

@@ -2542,3 +2542,97 @@ def corpus_upsample_apply_sql() -> str:
                AS share_out_permille
     FROM o ORDER BY source
     """
+
+
+KN_DISCOUNT = 0.75
+KN_TOP_K = 20
+
+
+def corpus_kn_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney smoothing over the corpus bigram table —
+    the n-gram-LM probability estimate that corpus_bigram_lm's raw
+    counts feed: P_KN(w2|w1) = max(c12−D,0)/c1 + (D/c1)·N1+(w1,·)·
+    N1+(·,w2)/T, with the famous CONTINUATION counts (how many distinct
+    contexts a word follows) replacing raw unigram frequency.
+
+    Bigrams are generated inside the token array (no positional
+    self-join); shuffle #1 is the (w1,w2) count; every other aggregate
+    (follower fan-out, continuation counts, bigram-type total T) folds
+    from that strictly smaller table, with T a 1-row broadcast
+    resolved in-plan. Output: the top-K bigrams by count with all KN
+    components. Only the final probability is float.
+    """
+    pairs = (
+        _tokens_df(spark, sf_dir)
+        .where("size(t) >= 2")
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1),"
+                    " (x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    heads = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n_follow")
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n_cont"))
+    tt = big.agg(F.count(F.lit(1)).alias("t_types"))
+    top = (
+        big.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+        .limit(KN_TOP_K)
+        .join(heads, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+    )
+    d = KN_DISCOUNT
+    return top.selectExpr(
+        "w1",
+        "w2",
+        "c12",
+        "c1",
+        "n_follow",
+        "n_cont",
+        "t_types",
+        f"round(greatest(c12 - {d}, 0.0) / c1"
+        f" + ({d} / c1) * n_follow * (n_cont / cast(t_types as double)), 6)"
+        " AS p_kn",
+    ).orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+
+
+def corpus_kn_smoothing_sql() -> str:
+    d = KN_DISCOUNT
+    return f"""
+    WITH toks AS (
+        SELECT {X.dk_tokens('text')} AS t FROM documents
+    ), pairs AS (
+        SELECT u.p.w1 AS w1, u.p.w2 AS w2
+        FROM (
+            SELECT list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> struct_pack(w1 := t[i], w2 := t[i + 1])
+                   ) AS ps
+            FROM toks WHERE len(t) >= 2
+        ), unnest(ps) AS u(p)
+    ), big AS (
+        SELECT w1, w2, count(*)::BIGINT AS c12 FROM pairs GROUP BY 1, 2
+    ), heads AS (
+        SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n_follow
+        FROM big GROUP BY 1
+    ), cont AS (
+        SELECT w2, count(*)::BIGINT AS n_cont FROM big GROUP BY 1
+    ), tt AS (
+        SELECT count(*)::BIGINT AS t_types FROM big
+    ), top AS (
+        SELECT * FROM big ORDER BY c12 DESC, w1, w2 LIMIT {KN_TOP_K}
+    )
+    SELECT w1, w2, c12, c1, n_follow, n_cont, t_types,
+           round(greatest(c12 - {d}, 0.0) / c1
+                 + ({d} / c1) * n_follow * (n_cont / t_types::DOUBLE), 6)
+               AS p_kn
+    FROM top JOIN heads USING (w1) JOIN cont USING (w2) CROSS JOIN tt
+    ORDER BY c12 DESC, w1, w2
+    """

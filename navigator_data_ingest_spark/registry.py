@@ -4896,3 +4896,24 @@ register(
     analytics.q_events_interval_union_sql(),
     front=True,
 )
+
+register(
+    "stats_jarque_bera",
+    analytics.stats_jarque_bera,
+    analytics.stats_jarque_bera_sql(),
+    front=True,
+)
+
+register(
+    "corpus_kn_smoothing",
+    corpus.corpus_kn_smoothing,
+    corpus.corpus_kn_smoothing_sql(),
+    front=True,
+)
+
+register(
+    "q_analyze_column_stats",
+    flat_src.q_analyze_column_stats,
+    flat_src.q_analyze_column_stats_sql(),
+    front=True,
+)

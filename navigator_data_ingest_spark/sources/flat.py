@@ -571,3 +571,69 @@ def src_file_metadata_sql() -> str:
            0::BIGINT AS n_order_mismatch
     FROM documents
     """
+
+
+def q_analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE / catalog-statistics certification: the CBO
+    surface a deployment feeds before big joins — compute table- and
+    column-level stats on a managed copy of orders, read them back
+    through DESCRIBE EXTENDED, and emit the EXACT stats (row count,
+    min/max/null counts) for the oracle to recompute from the data.
+    approx distinct_count is deliberately excluded (HLL estimates are
+    engine-specific). The catalog round-trip is metadata-sized; stats
+    strings are parsed driver-side and re-emitted as typed literals.
+    Table name is pid-scoped (repo scratch rule).
+    """
+    import re as _re
+
+    tbl = f"nav_colstats_{os.getpid()}"
+    (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .write.mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    try:
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+        spark.sql(
+            f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS "
+            "o_totalprice, o_orderdate"
+        )
+        price = {
+            r[0]: r[1]
+            for r in spark.sql(f"DESCRIBE EXTENDED {tbl} o_totalprice").collect()
+        }
+        date = {
+            r[0]: r[1]
+            for r in spark.sql(f"DESCRIBE EXTENDED {tbl} o_orderdate").collect()
+        }
+        stats_row = [
+            r[1]
+            for r in spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
+            if r[0] == "Statistics"
+        ][0]
+        n_rows = int(_re.search(r"(\d+) rows", stats_row).group(1))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    return spark.range(1).select(
+        F.lit(n_rows).cast("bigint").alias("n_rows"),
+        F.round(F.lit(float(price["min"])), 6).alias("price_min"),
+        F.round(F.lit(float(price["max"])), 6).alias("price_max"),
+        F.lit(int(price["num_nulls"])).cast("bigint").alias("price_nulls"),
+        F.lit(date["min"][:19]).alias("date_min"),
+        F.lit(date["max"][:19]).alias("date_max"),
+        F.lit(int(date["num_nulls"])).cast("bigint").alias("date_nulls"),
+    )
+
+
+def q_analyze_column_stats_sql() -> str:
+    return """
+    SELECT count(*)::BIGINT AS n_rows,
+           round(min(o_totalprice), 6) AS price_min,
+           round(max(o_totalprice), 6) AS price_max,
+           sum((o_totalprice IS NULL)::INT)::BIGINT AS price_nulls,
+           cast(min(o_orderdate) as varchar) AS date_min,
+           cast(max(o_orderdate) as varchar) AS date_max,
+           sum((o_orderdate IS NULL)::INT)::BIGINT AS date_nulls
+    FROM orders
+    """

@@ -162,6 +162,8 @@ _DELIBERATE_NESTED_LOOP = {
     # 1-row normalizer / percentile-cut broadcasts: deliberate
     "graph_hits",
     "stats_var_cvar",
+    # 1-row bigram-type total broadcast: deliberate
+    "corpus_kn_smoothing",
 }
 
 
