@@ -5570,3 +5570,69 @@ def stats_jarque_bera_sql() -> str:
            round({jb}, 2) AS jb_stat
     FROM g ORDER BY event_type
     """
+
+
+import statistics as _pystats
+
+QQ_PROBS = [round(0.05 * i, 2) for i in range(1, 20)]
+QQ_Z = {p: _pystats.NormalDist().inv_cdf(p) for p in QQ_PROBS}
+
+
+def stats_qq_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q table of order values against the normal distribution: the
+    19 ventile empirical quantiles standardized by (rounded) mean/sd
+    next to the theoretical normal quantiles — the plot behind every
+    "is this normal?" eyeball, as data. Theoretical z values are
+    PYTHON-precomputed literals (statistics.NormalDist.inv_cdf), so no
+    in-engine probit approximation exists to drift; the empirical side
+    is ONE exact multi-quantile aggregate + a 1-row moment broadcast.
+    """
+    probs = ", ".join(str(p) for p in QQ_PROBS)
+    agg = load_table(spark, sf_dir, "orders").agg(
+        F.expr(f"percentile(o_totalprice, array({probs}))").alias("qs"),
+        F.round(F.avg("o_totalprice"), 6).alias("mu"),
+        F.round(F.stddev_samp("o_totalprice"), 6).alias("sd"),
+    )
+    z_map = F.create_map(
+        *[x for p in QQ_PROBS for x in (F.lit(p), F.lit(QQ_Z[p]))]
+    )
+    rows = agg.select(
+        F.posexplode(F.array(*[F.lit(p) for p in QQ_PROBS])).alias("i", "p"),
+        "qs",
+        "mu",
+        "sd",
+    ).select(
+        "p",
+        F.round(z_map[F.col("p")], 6).alias("z_theory"),
+        F.round(
+            (F.expr("qs[i]") - F.col("mu")) / F.col("sd"), 6
+        ).alias("z_empirical"),
+    )
+    return rows.select(
+        "p",
+        "z_theory",
+        "z_empirical",
+        F.round(F.col("z_empirical") - F.col("z_theory"), 6).alias("gap"),
+    ).orderBy("p")
+
+
+def stats_qq_normal_sql() -> str:
+    probs = ", ".join(str(p) for p in QQ_PROBS)
+    zcase = " ".join(f"WHEN {p} THEN {QQ_Z[p]!r}" for p in QQ_PROBS)
+    return f"""
+    WITH agg AS (
+        SELECT quantile_cont(o_totalprice, [{probs}]) AS qs,
+               round(avg(o_totalprice), 6) AS mu,
+               round(stddev_samp(o_totalprice), 6) AS sd
+        FROM orders
+    ), rows_ AS (
+        SELECT u.i AS i, [{probs}][u.i]::DOUBLE AS p, qs, mu, sd
+        FROM agg, unnest(generate_series(1, {len(QQ_PROBS)})) AS u(i)
+    )
+    SELECT p,
+           round(CASE p {zcase} END, 6) AS z_theory,
+           round((qs[i] - mu) / sd, 6) AS z_empirical,
+           round(round((qs[i] - mu) / sd, 6)
+                 - round(CASE p {zcase} END, 6), 6) AS gap
+    FROM rows_ ORDER BY p
+    """

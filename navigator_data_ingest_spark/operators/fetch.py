@@ -26,7 +26,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from navigator_data_ingest_spark.functions.content import (
@@ -374,3 +374,94 @@ def ingest_fetch_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("import_id")
     )
+
+
+FRONTIER_PER_HOST = 2   # max concurrent fetches per host per wave
+FRONTIER_BLOCKS = 64    # import-id range blocks for the two-level rank
+
+
+def ingest_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness wave scheduling for the fetch frontier: every host may
+    serve at most FRONTIER_PER_HOST concurrent downloads, so the work
+    list is cut into WAVES — URL k of a host runs in wave (k−1) div 2 —
+    the schedule a distributed crawler executes one wave per round
+    (reference api_client.py:148's per-document politeness, planned
+    corpus-wide).
+
+    The per-host enumeration never runs a host-grain global sort: the
+    rank is the two-level (host × import-id range-block) prefix-sum
+    discipline with the block quantizer derived from a 1-row max-count
+    broadcast resolved in-plan, order-aligned with import_id so the
+    oracle's plain per-host row_number replays it. Output: per (host,
+    wave) URL counts + the wave span per host.
+    """
+    nd = synthetic_new_documents(spark, sf_dir)
+    fetch_url = F.coalesce(
+        F.nullif(F.col("download_url"), F.lit("")),
+        F.nullif(F.col("source_url"), F.lit("")),
+    )
+    work = (
+        nd.withColumn("fetch_url", fetch_url)
+        .where(F.col("fetch_url").isNotNull())
+        .select(
+            "import_id",
+            F.parse_url("fetch_url", F.lit("HOST")).alias("host"),
+        )
+        .withColumn(
+            "ord", F.expr("cast(regexp_extract(import_id, '([0-9]+)$', 1) as bigint)")
+        )
+    )
+    mx = F.broadcast(work.agg(F.max("ord").alias("mx")))
+    blk = work.crossJoin(mx).select(
+        "host",
+        "ord",
+        (F.col("ord") * FRONTIER_BLOCKS / (F.col("mx") + 1))
+        .cast("bigint")
+        .alias("blk"),
+    )
+    w_in = Window.partitionBy("host", "blk").orderBy("ord")
+    inb = blk.withColumn("rn_in", F.row_number().over(w_in))
+    offs = inb.groupBy("host", "blk").agg(F.max("rn_in").alias("nb"))
+    w_off = (
+        Window.partitionBy("host")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = offs.withColumn("off", F.coalesce(F.sum("nb").over(w_off), F.lit(0)))
+    ranked = inb.join(
+        F.broadcast(offs.select("host", "blk", "off")), ["host", "blk"]
+    ).select(
+        "host", ((F.col("off") + F.col("rn_in") - 1) / FRONTIER_PER_HOST)
+        .cast("bigint")
+        .alias("wave"),
+    )
+    return (
+        ranked.groupBy("host", "wave")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_urls"))
+        .orderBy("host", "wave")
+    )
+
+
+def ingest_frontier_schedule_sql() -> str:
+    # replicate synthetic_new_documents' fetchable rows from the shared
+    # new_docs CTE (the same generator the other ingest oracles use)
+    from navigator_data_ingest_spark.operators.ingest import NEW_DOCS_CTE
+
+    return f"""
+    WITH {NEW_DOCS_CTE.strip()},
+    work AS (
+        SELECT import_id,
+               split_part(split_part(coalesce(nullif(download_url, ''),
+                          nullif(source_url, '')), '//', 2), '/', 1) AS host,
+               cast(regexp_extract(import_id, '([0-9]+)$', 1) as BIGINT) AS ord
+        FROM new_docs
+        WHERE coalesce(nullif(download_url, ''), nullif(source_url, '')) IS NOT NULL
+    ), ranked AS (
+        SELECT host,
+               (row_number() OVER (PARTITION BY host ORDER BY ord) - 1)
+                   // {FRONTIER_PER_HOST} AS wave
+        FROM work
+    )
+    SELECT host, wave::BIGINT AS wave, count(*)::BIGINT AS n_urls
+    FROM ranked GROUP BY host, wave ORDER BY host, wave
+    """

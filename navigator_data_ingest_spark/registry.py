@@ -4917,3 +4917,17 @@ register(
     flat_src.q_analyze_column_stats_sql(),
     front=True,
 )
+
+register(
+    "ingest_frontier_schedule",
+    fetch_op.ingest_frontier_schedule,
+    fetch_op.ingest_frontier_schedule_sql(),
+    front=True,
+)
+
+register(
+    "stats_qq_normal",
+    analytics.stats_qq_normal,
+    analytics.stats_qq_normal_sql(),
+    front=True,
+)

@@ -164,6 +164,8 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_var_cvar",
     # 1-row bigram-type total broadcast: deliberate
     "corpus_kn_smoothing",
+    # 1-row max-ord broadcast feeding the range-block quantization
+    "ingest_frontier_schedule",
 }
 
 
