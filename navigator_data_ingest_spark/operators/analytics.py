@@ -5636,3 +5636,170 @@ def stats_qq_normal_sql() -> str:
                  - round(CASE p {zcase} END, 6), 6) AS gap
     FROM rows_ ORDER BY p
     """
+
+
+def q_reconcile_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-source reconciliation report — the system-A-vs-system-B
+    audit every migration/CDC deployment runs: FULL OUTER join on the
+    business key, then per-field agreement classified into
+    matched / value-mismatch / A-only / B-only. Source B is a
+    deterministic derivation of orders (keys %11 dropped, prices %7
+    bumped, %13 keys re-keyed into a disjoint range), so the oracle
+    replays the whole reconciliation. ONE key shuffle; field compares
+    on ROUNDED values (repo float rule); counts are exact integers.
+    """
+    a = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round("o_totalprice", 6).alias("price_a"),
+        F.col("o_orderstatus").alias("status_a"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    b = o.where("o_orderkey % 11 <> 0").selectExpr(
+        "CASE WHEN o_orderkey % 13 = 0 THEN o_orderkey + 100000000 "
+        "ELSE o_orderkey END AS k",
+        "round(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.05 "
+        "ELSE o_totalprice END, 6) AS price_b",
+        "o_orderstatus AS status_b",
+    )
+    j = a.join(b, "k", "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum((F.col("price_a").isNull()).cast("int")).cast("bigint").alias("b_only"),
+        F.sum((F.col("price_b").isNull()).cast("int")).cast("bigint").alias("a_only"),
+        F.sum(
+            (
+                F.col("price_a").isNotNull()
+                & F.col("price_b").isNotNull()
+                & (F.col("price_a") == F.col("price_b"))
+                & (F.col("status_a") == F.col("status_b"))
+            ).cast("int")
+        ).cast("bigint").alias("matched"),
+        F.sum(
+            (
+                F.col("price_a").isNotNull()
+                & F.col("price_b").isNotNull()
+                & (F.col("price_a") != F.col("price_b"))
+            ).cast("int")
+        ).cast("bigint").alias("price_mismatch"),
+        F.sum(
+            (
+                F.col("status_a").isNotNull()
+                & F.col("status_b").isNotNull()
+                & (F.col("status_a") != F.col("status_b"))
+            ).cast("int")
+        ).cast("bigint").alias("status_mismatch"),
+    )
+
+
+def q_reconcile_sources_sql() -> str:
+    return """
+    WITH a AS (
+        SELECT o_orderkey AS k, round(o_totalprice, 6) AS price_a,
+               o_orderstatus AS status_a
+        FROM orders
+    ), b AS (
+        SELECT CASE WHEN o_orderkey % 13 = 0 THEN o_orderkey + 100000000
+                    ELSE o_orderkey END AS k,
+               round(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.05
+                          ELSE o_totalprice END, 6) AS price_b,
+               o_orderstatus AS status_b
+        FROM orders WHERE o_orderkey % 11 <> 0
+    ), j AS (
+        SELECT * FROM a FULL OUTER JOIN b USING (k)
+    )
+    SELECT count(*)::BIGINT AS n_keys,
+           sum((price_a IS NULL)::INT)::BIGINT AS b_only,
+           sum((price_b IS NULL)::INT)::BIGINT AS a_only,
+           sum((price_a IS NOT NULL AND price_b IS NOT NULL
+                AND price_a = price_b AND status_a = status_b)::INT)::BIGINT
+               AS matched,
+           sum((price_a IS NOT NULL AND price_b IS NOT NULL
+                AND price_a != price_b)::INT)::BIGINT AS price_mismatch,
+           sum((status_a IS NOT NULL AND status_b IS NOT NULL
+                AND status_a != status_b)::INT)::BIGINT AS status_mismatch
+    FROM j
+    """
+
+
+ATTR_LOOKBACK_H = 24
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear marketing attribution: each purchase splits one unit of
+    credit (and its value) equally across the user's clicks in the
+    preceding 24 hours; the report rolls credited value up by the
+    CLICK's hour-of-day — when does engagement actually convert?
+
+    Scale shape: the purchase×click pairing is a (user, day-bucket)
+    EQUIJOIN (each purchase probes its day and the previous day — a
+    2-row metadata explode) with the Δt window as a post-join filter —
+    the q_events_range_join discipline, never an unbounded per-user
+    cross join. Per-purchase touch counts are one grouped agg; credit
+    arithmetic uses exact integer epoch seconds and rounds once.
+    """
+    ep = (
+        "datediff(cast(ts as date), date'1970-01-01') * 86400"
+        " + hour(ts) * 3600 + minute(ts) * 60 + floor(second(ts))"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where("event_type = 'click'").selectExpr(
+        "user_id",
+        f"cast({ep} as bigint) AS cs",
+        "event_id AS click_id",
+        "hour(ts) AS click_hour",
+    )
+    purch = ev.where("event_type = 'purchase'").selectExpr(
+        "user_id",
+        f"cast({ep} as bigint) AS ps",
+        "event_id AS purchase_id",
+        "value",
+    )
+    lb = ATTR_LOOKBACK_H * 3600
+    pp = purch.select(
+        "*", F.explode(F.expr(f"array(ps div {lb}, ps div {lb} - 1)")).alias("bkt")
+    )
+    cc = clicks.withColumn("bkt", F.expr(f"cs div {lb}"))
+    pairs = pp.join(cc, ["user_id", "bkt"]).where(
+        (F.col("cs") < F.col("ps")) & (F.col("cs") >= F.col("ps") - lb)
+    )
+    touches = pairs.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_touch")
+    )
+    credited = (
+        pairs.join(touches, "purchase_id")
+        .groupBy("click_hour")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+            F.round(F.sum(F.col("value") / F.col("n_touch")), 6).alias(
+                "credited_value"
+            ),
+        )
+    )
+    return credited.orderBy("click_hour")
+
+
+def q_events_attribution_sql() -> str:
+    lb = ATTR_LOOKBACK_H * 3600
+    return f"""
+    WITH clicks AS (
+        SELECT user_id, floor(epoch(ts::TIMESTAMP))::BIGINT AS cs,
+               event_id AS click_id, hour(ts::TIMESTAMP) AS click_hour
+        FROM events WHERE event_type = 'click'
+    ), purch AS (
+        SELECT user_id, floor(epoch(ts::TIMESTAMP))::BIGINT AS ps,
+               event_id AS purchase_id, value
+        FROM events WHERE event_type = 'purchase'
+    ), pairs AS (
+        SELECT p.purchase_id, p.value, c.click_hour
+        FROM purch p JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.cs < p.ps AND c.cs >= p.ps - {lb}
+    ), touches AS (
+        SELECT purchase_id, count(*)::BIGINT AS n_touch
+        FROM pairs GROUP BY 1
+    )
+    SELECT click_hour, count(*)::BIGINT AS n_credits,
+           round(sum(value / n_touch), 6) AS credited_value
+    FROM pairs JOIN touches USING (purchase_id)
+    GROUP BY click_hour ORDER BY click_hour
+    """

@@ -4931,3 +4931,17 @@ register(
     analytics.stats_qq_normal_sql(),
     front=True,
 )
+
+register(
+    "q_reconcile_sources",
+    analytics.q_reconcile_sources,
+    analytics.q_reconcile_sources_sql(),
+    front=True,
+)
+
+register(
+    "q_events_attribution",
+    analytics.q_events_attribution,
+    analytics.q_events_attribution_sql(),
+    front=True,
+)
