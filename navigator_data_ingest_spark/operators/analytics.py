@@ -5803,3 +5803,96 @@ def q_events_attribution_sql() -> str:
     FROM pairs JOIN touches USING (purchase_id)
     GROUP BY click_hour ORDER BY click_hour
     """
+
+
+def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test: do two classifiers of the SAME orders
+    differ in error pattern? Truth = order value above the (rounded)
+    global median; classifier A predicts from basket size (≥4 line
+    items), classifier B from order priority (urgent/high). The test
+    reads ONLY the discordant counts b (A right, B wrong) and c — the
+    right tool when both classifiers score the same rows (a two-sample
+    test would ignore the pairing).
+
+    One orders⋈lineitem count (fact shuffle), a 1-row median
+    broadcast, then a single conditional-count collapse. Integers
+    until the continuity-corrected chi²; the truth threshold compares
+    ROUNDED values (repo float rule).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    li_cnt = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    med = F.broadcast(
+        o.agg(F.expr("round(percentile(o_totalprice, 0.5), 6)").alias("med"))
+    )
+    j = (
+        o.join(li_cnt, o.o_orderkey == li_cnt.l_orderkey)
+        .crossJoin(med)
+        .selectExpr(
+            "round(o_totalprice, 6) > med AS truth",
+            "n_items >= 4 AS pred_a",
+            "o_orderpriority IN ('1-URGENT', '2-HIGH') AS pred_b",
+        )
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("pred_a") == F.col("truth")).cast("int")).alias("ok_a"),
+        F.sum((F.col("pred_b") == F.col("truth")).cast("int")).alias("ok_b"),
+        F.sum(
+            ((F.col("pred_a") == F.col("truth"))
+             & (F.col("pred_b") != F.col("truth"))).cast("int")
+        ).alias("b_disc"),
+        F.sum(
+            ((F.col("pred_a") != F.col("truth"))
+             & (F.col("pred_b") == F.col("truth"))).cast("int")
+        ).alias("c_disc"),
+    )
+    chi2 = (
+        "((abs(b_disc - c_disc) - 1.0) * (abs(b_disc - c_disc) - 1.0) "
+        "/ (b_disc + c_disc))"
+    )
+    return agg.selectExpr(
+        "n",
+        "b_disc",
+        "c_disc",
+        "round(ok_a / cast(n as double), 6) AS acc_a",
+        "round(ok_b / cast(n as double), 6) AS acc_b",
+        f"round({chi2}, 6) AS mcnemar_chi2",
+    )
+
+
+def stats_mcnemar_sql() -> str:
+    chi2 = (
+        "((abs(b_disc - c_disc) - 1.0) * (abs(b_disc - c_disc) - 1.0) "
+        "/ (b_disc + c_disc))"
+    )
+    return f"""
+    WITH li_cnt AS (
+        SELECT l_orderkey, count(*)::BIGINT AS n_items
+        FROM lineitem GROUP BY 1
+    ), med AS (
+        SELECT round(quantile_cont(o_totalprice, 0.5), 6) AS med FROM orders
+    ), j AS (
+        SELECT round(o_totalprice, 6) > med AS truth,
+               n_items >= 4 AS pred_a,
+               o_orderpriority IN ('1-URGENT', '2-HIGH') AS pred_b
+        FROM orders JOIN li_cnt ON o_orderkey = l_orderkey CROSS JOIN med
+    ), agg AS (
+        SELECT count(*)::BIGINT AS n,
+               sum((pred_a = truth)::INT)::BIGINT AS ok_a,
+               sum((pred_b = truth)::INT)::BIGINT AS ok_b,
+               sum((pred_a = truth AND pred_b != truth)::INT)::BIGINT AS b_disc,
+               sum((pred_a != truth AND pred_b = truth)::INT)::BIGINT AS c_disc
+        FROM j
+    )
+    SELECT n, b_disc, c_disc,
+           round(ok_a / n::DOUBLE, 6) AS acc_a,
+           round(ok_b / n::DOUBLE, 6) AS acc_b,
+           round({chi2}, 6) AS mcnemar_chi2
+    FROM agg
+    """

@@ -2636,3 +2636,53 @@ def corpus_kn_smoothing_sql() -> str:
     FROM top JOIN heads USING (w1) JOIN cont USING (w2) CROSS JOIN tt
     ORDER BY c12 DESC, w1, w2
     """
+
+
+WRS_K = 25
+
+
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement: each
+    doc draws key = ln(u)/w (u a deterministic md5 uniform, w = doc
+    length as the sampling weight) and the k LARGEST keys are the
+    sample — the one-pass distributed analogue of weighted reservoir
+    sampling, and the exact-k cousin of sample_temperature's
+    independent coin flips. Map-side key computation, one
+    sort+limit TakeOrdered; the oracle replays the identical draws, so
+    the selected set is deterministic.
+    """
+    u = (
+        "cast(conv(substr(md5(concat('wrs:', cast(doc_id as string))), 1, 8),"
+        " 16, 10) as bigint) / 4294967296.0"
+    )
+    docs = scatter(spark, load_table(spark, sf_dir, "documents")).selectExpr(
+        "doc_id",
+        "source",
+        "n_chars",
+        f"ln({u}) / n_chars AS es_key",
+    )
+    return (
+        docs.orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(WRS_K)
+        .select(
+            "doc_id", "source", "n_chars", F.round("es_key", 6).alias("es_key")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sample_weighted_reservoir_sql() -> str:
+    u = (
+        "('0x' || substr(md5('wrs:' || doc_id::VARCHAR), 1, 8))"
+        "::UBIGINT::BIGINT / 4294967296.0"
+    )
+    return f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars, ln({u}) / n_chars AS es_key
+        FROM documents
+    ), top AS (
+        SELECT * FROM keyed ORDER BY es_key DESC, doc_id LIMIT {WRS_K}
+    )
+    SELECT doc_id, source, n_chars, round(es_key, 6) AS es_key
+    FROM top ORDER BY doc_id
+    """

@@ -688,3 +688,81 @@ def graph_hits_sql() -> str:
     FROM {auth_name}
     ORDER BY auth_ppm DESC, supplier LIMIT {HITS_TOP_K}
     """
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part–supplier co-purchase graph: the
+    Pearson correlation of endpoint degrees over edges — do high-degree
+    nodes attach to high-degree nodes? The one-number mixing summary
+    (negative for hub-and-spoke catalogs, positive for social cores).
+
+    Shape: distinct edges → degree table (one shuffle) → two degree
+    joins back onto edges (both ends) → ONE moment aggregation over
+    the symmetrized edge list. Degrees are exact integers; the
+    correlation is the only float step, identical literal structure in
+    both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("a"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    j = (
+        und.join(deg.withColumnRenamed("a", "x").withColumnRenamed("d", "dx"),
+                 F.col("a") == F.col("x"))
+        .join(deg.withColumnRenamed("a", "y").withColumnRenamed("d", "dy"),
+              F.col("b") == F.col("y"))
+        .select("dx", "dy")
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.expr("dx * dy")).alias("sxy"),
+        F.sum(F.expr("dx * dx")).alias("sxx"),
+        F.sum(F.expr("dy * dy")).alias("syy"),
+    )
+    r = (
+        "(m * sxy - sx * sy) / (sqrt(m * sxx - sx * sx) "
+        "* sqrt(m * syy - sy * sy))"
+    )
+    return agg.selectExpr(
+        "m AS n_directed_edges",
+        f"round({r}, 6) AS assortativity",
+    )
+
+
+def graph_assortativity_sql() -> str:
+    r = (
+        "(m * sxy - sx * sy) / (sqrt(m * sxx - sx * sx) "
+        "* sqrt(m * syy - sy * sy))"
+    )
+    return f"""
+    WITH e AS (
+        SELECT DISTINCT 'p:' || l_partkey::varchar AS a,
+                        's:' || l_suppkey::varchar AS b
+        FROM lineitem
+    ), und AS (
+        SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+    ), deg AS (
+        SELECT a, count(*)::BIGINT AS d FROM und GROUP BY a
+    ), j AS (
+        SELECT da.d AS dx, db.d AS dy
+        FROM und JOIN deg da ON und.a = da.a JOIN deg db ON und.b = db.a
+    ), agg AS (
+        SELECT count(*)::BIGINT AS m, sum(dx)::BIGINT AS sx,
+               sum(dy)::BIGINT AS sy, sum(dx * dy)::BIGINT AS sxy,
+               sum(dx * dx)::BIGINT AS sxx, sum(dy * dy)::BIGINT AS syy
+        FROM j
+    )
+    SELECT m AS n_directed_edges, round({r}, 6) AS assortativity
+    FROM agg
+    """

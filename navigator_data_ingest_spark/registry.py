@@ -4945,3 +4945,24 @@ register(
     analytics.q_events_attribution_sql(),
     front=True,
 )
+
+register(
+    "sample_weighted_reservoir",
+    corpus.sample_weighted_reservoir,
+    corpus.sample_weighted_reservoir_sql(),
+    front=True,
+)
+
+register(
+    "graph_assortativity",
+    graph.graph_assortativity,
+    graph.graph_assortativity_sql(),
+    front=True,
+)
+
+register(
+    "stats_mcnemar",
+    analytics.stats_mcnemar,
+    analytics.stats_mcnemar_sql(),
+    front=True,
+)

@@ -166,6 +166,8 @@ _DELIBERATE_NESTED_LOOP = {
     "corpus_kn_smoothing",
     # 1-row max-ord broadcast feeding the range-block quantization
     "ingest_frontier_schedule",
+    # 1-row median broadcast: deliberate
+    "stats_mcnemar",
 }
 
 
