@@ -37,6 +37,25 @@ except ImportError:  # pragma: no cover - older pyspark
     DataSource = object  # type: ignore[assignment,misc]
     DataSourceReader = object  # type: ignore[assignment,misc]
 
+import threading
+
+_REG_LOCK = threading.Lock()
+
+
+def _register(spark: SparkSession, cls) -> None:
+    """Idempotent DataSource registration, safe under session-sharing
+    threads: concurrent py4j registration calls can collide, and a
+    swallowed collision error leaves the source UNregistered for the
+    loser (seen as DATA_SOURCE not found in the threaded sweep).
+    Serialize with a lock and only treat 'exists' as success."""
+    with _REG_LOCK:
+        try:
+            spark.dataSource.register(cls)
+        except Exception as e:
+            if "exists" not in str(e).lower():
+                raise
+
+
 N_PARTITIONS = 8
 ROWS_PER_PARTITION = 250
 _SCHEMA = "page_id bigint, url string, status int, n_bytes bigint"
@@ -77,10 +96,7 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     hand to the downloader."""
     if not _HAS_PYSOURCE:  # pragma: no cover
         raise NotImplementedError("pyspark.sql.datasource requires Spark 4")
-    try:
-        spark.dataSource.register(SyntheticCrawlDataSource)
-    except Exception:  # already registered in this session
-        pass
+    _register(spark, SyntheticCrawlDataSource)
     df = spark.read.format("synthetic_crawl").load()
     return df.where("status = 200").orderBy("page_id")
 
@@ -179,10 +195,7 @@ def src_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil as _shutil
     import tempfile as _tempfile
 
-    try:
-        spark.dataSource.register(SyntheticCrawlStreamSource)
-    except Exception:  # already registered in this session
-        pass
+    _register(spark, SyntheticCrawlStreamSource)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = _os.path.join(
         _tempfile.gettempdir(), f"nav_pystream_{tag}_{_os.getpid()}"
@@ -323,6 +336,8 @@ class AuditSinkDataSource(DataSource):
 SINK_PARTITIONS = 4
 
 
+
+
 def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python DataSource WRITER certification (the Spark 4 custom-sink
     twin of src_python_datasource): write the documents length table
@@ -339,10 +354,7 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     if not _HAS_PYSINK:  # pragma: no cover
         raise NotImplementedError("pyspark.sql.datasource requires Spark 4")
-    try:
-        spark.dataSource.register(AuditSinkDataSource)
-    except Exception:
-        pass
+    _register(spark, AuditSinkDataSource)
     import hashlib as _hl
     import shutil as _sh
 
