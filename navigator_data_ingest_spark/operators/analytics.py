@@ -5896,3 +5896,83 @@ def stats_mcnemar_sql() -> str:
            round({chi2}, 6) AS mcnemar_chi2
     FROM agg
     """
+
+
+SKYLINE_BLOCKS = 64
+
+
+def q_orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of orders on (cheaper price,
+    more recent date): an order is on the frontier iff no other order
+    is both cheaper-or-equal and strictly more recent — the
+    multi-objective "best trade-offs" query optimizers and shoppers
+    both run.
+
+    For a 2-D skyline the frontier is one prefix-max sweep in price
+    order, which this computes WITHOUT a global sort: the repo's
+    two-level discipline — price range-blocks from a 1-row min/max
+    broadcast, within-block running max of date, then a 64-row
+    block-prefix table joined back. All comparisons on integer cents
+    and days; ties on price keep the latest date only.
+    """
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "cast(round(o_totalprice * 100) as bigint) AS cents",
+        "datediff(o_orderdate, date'1970-01-01') AS days",
+    )
+    rng = o.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+    b = o.crossJoin(F.broadcast(rng)).select(
+        "o_orderkey",
+        "cents",
+        "days",
+        (
+            (F.col("cents") - F.col("mn"))
+            * SKYLINE_BLOCKS
+            / (F.col("mx") - F.col("mn") + 1)
+        )
+        .cast("bigint")
+        .alias("blk"),
+    )
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("cents", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    inb = b.withColumn("pmax_in", F.max("days").over(w_in))
+    bt = b.groupBy("blk").agg(F.max("days").alias("blk_max"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    bt = bt.withColumn("off_max", F.max("blk_max").over(w_blk))
+    j = inb.join(F.broadcast(bt.select("blk", "off_max")), "blk").select(
+        "o_orderkey",
+        "cents",
+        "days",
+        F.greatest(
+            F.coalesce(F.col("pmax_in"), F.lit(-1)),
+            F.coalesce(F.col("off_max"), F.lit(-1)),
+        ).alias("prefix_max_days"),
+    )
+    return (
+        j.where(F.col("days") > F.col("prefix_max_days"))
+        .select("o_orderkey", "cents", "days")
+        .orderBy("cents", "o_orderkey")
+    )
+
+
+def q_orders_skyline_sql() -> str:
+    return """
+    WITH o AS (
+        SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS cents,
+               datediff('day', DATE '1970-01-01', o_orderdate::DATE)::INT
+                   AS days
+        FROM orders
+    ), swept AS (
+        SELECT o_orderkey, cents, days,
+               coalesce(max(days) OVER (ORDER BY cents, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                   AS prefix_max_days
+        FROM o
+    )
+    SELECT o_orderkey, cents, days
+    FROM swept WHERE days > prefix_max_days
+    ORDER BY cents, o_orderkey
+    """

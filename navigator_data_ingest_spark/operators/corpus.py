@@ -2686,3 +2686,74 @@ def sample_weighted_reservoir_sql() -> str:
     SELECT doc_id, source, n_chars, round(es_key, 6) AS es_key
     FROM top ORDER BY doc_id
     """
+
+
+SPAN_LEN = 3       # fixed corruption-span length (T5 mean span)
+SPAN_MOD = 7       # a span starts where hash(doc,pos) % 7 == 0 (~15%·3)
+
+
+def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption masking plan: deterministic span starts
+    (md5(doc:pos) % 7 == 0) each cover SPAN_LEN tokens; overlapping
+    spans merge; the plan reports per document the masked-token count,
+    the merged-span (= sentinel) count, and the corruption rate — the
+    numbers a denoising-pretraining dataloader needs to budget sentinel
+    vocabulary and target lengths.
+
+    Everything happens INSIDE the token array (transform over
+    positions, no explode shuffle at all — map-side only): mask[i] =
+    any start in [i−SPAN_LEN+1 .. i]; a merged span begins where a
+    masked position has no masked predecessor. The md5 draws replay
+    exactly in the oracle.
+    """
+    h = lambda pos: (
+        f"cast(conv(substr(md5(concat(cast(doc_id as string), ':', "
+        f"cast({pos} as string))), 1, 8), 16, 10) as bigint)"
+    )
+    start = lambda pos: f"({h(pos)} % {SPAN_MOD} = 0)"
+    masked = (
+        f"transform(sequence(1, size(t)), i -> "
+        f"exists(sequence(greatest(1, i - {SPAN_LEN - 1}), i), "
+        f"j -> {start('j')}))"
+    )
+    docs = _tokens_df(spark, sf_dir).where("size(t) > 0")
+    m = docs.selectExpr("doc_id", "size(t) AS n_tokens", f"{masked} AS mk")
+    return m.selectExpr(
+        "doc_id",
+        "n_tokens",
+        "cast(size(filter(mk, x -> x)) as bigint) AS n_masked",
+        "cast(size(filter(sequence(1, n_tokens), "
+        "i -> element_at(mk, i) AND (i = 1 OR NOT element_at(mk, i - 1)))) "
+        "as bigint) AS n_spans",
+        "round(size(filter(mk, x -> x)) / cast(n_tokens as double), 6) "
+        "AS corruption_rate",
+    ).orderBy("doc_id")
+
+
+def corpus_span_corruption_sql() -> str:
+    h = (
+        f"('0x' || substr(md5(doc_id::VARCHAR || ':' || j::VARCHAR), 1, 8))"
+        f"::UBIGINT::BIGINT"
+    )
+    start = f"({h} % {SPAN_MOD} = 0)"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, len({X.dk_tokens('text')}) AS n_tokens
+        FROM documents
+    ), nz AS (
+        SELECT * FROM toks WHERE n_tokens > 0
+    ), mk AS (
+        SELECT doc_id, n_tokens,
+               list_transform(generate_series(1, n_tokens), i ->
+                   len(list_filter(generate_series(greatest(1, i - {SPAN_LEN - 1}), i),
+                       j -> {start})) > 0) AS mk
+        FROM nz
+    )
+    SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+           len(list_filter(mk, x -> x))::BIGINT AS n_masked,
+           len(list_filter(generate_series(1, n_tokens),
+               i -> mk[i] AND (i = 1 OR NOT mk[i - 1])))::BIGINT AS n_spans,
+           round(len(list_filter(mk, x -> x)) / n_tokens::DOUBLE, 6)
+               AS corruption_rate
+    FROM mk ORDER BY doc_id
+    """

@@ -1727,3 +1727,70 @@ def emb_whitening_sql() -> str:
     FROM embeddings CROSS JOIN stats
     ORDER BY vec_id
     """
+
+
+DIST_HIST_STRIDES = [1, 7, 49]
+DIST_HIST_BINS = 20
+
+
+def emb_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine distribution audit over deterministic stride
+    pairs (i, i+1), (i, i+7), (i, i+49) — the embedding-collapse /
+    anisotropy diagnostic: a healthy space shows a broad similarity
+    histogram, a collapsed one piles up near 1. Three shifted
+    integer-key EQUIJOINS give ~3n bounded pairs (never all-pairs);
+    the cosine is the unrolled fixed-dim fold (exact cross-engine) and
+    the histogram is a 20-bin floor bucketing of ROUNDED similarity.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = None
+    for k in DIST_HIST_STRIDES:
+        p = (
+            e.alias("a")
+            .join(
+                e.selectExpr(f"vec_id - {k} AS vec_id", "embedding AS eb"),
+                "vec_id",
+            )
+            .selectExpr(
+                f"{k} AS stride",
+                f"round({X.sp_fold_dot('embedding', 'eb', EMB_DIM)} "
+                f"/ (sqrt({X.sp_fold_dot('embedding', 'embedding', EMB_DIM)}) "
+                f"* sqrt({X.sp_fold_dot('eb', 'eb', EMB_DIM)})), 6) AS cos",
+            )
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    binned = pairs.selectExpr(
+        "stride",
+        f"least({DIST_HIST_BINS - 1}, greatest(0, "
+        f"cast(floor((cos + 1.0) / 2.0 * {DIST_HIST_BINS}) as int))) AS bin",
+    )
+    return (
+        binned.groupBy("stride", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("stride", "bin")
+    )
+
+
+def emb_distance_histogram_sql() -> str:
+    sel = []
+    for k in DIST_HIST_STRIDES:
+        sel.append(f"""
+        SELECT {k} AS stride,
+               round({X.dk_fold_dot('a.embedding', 'b.embedding', EMB_DIM)}
+                     / (sqrt({X.dk_fold_dot('a.embedding', 'a.embedding', EMB_DIM)})
+                        * sqrt({X.dk_fold_dot('b.embedding', 'b.embedding', EMB_DIM)})), 6)
+                   AS cos
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + {k}
+        """)
+    u = " UNION ALL ".join(sel)
+    return f"""
+    WITH pairs AS ({u}),
+    binned AS (
+        SELECT stride,
+               least({DIST_HIST_BINS - 1}, greatest(0,
+                   floor((cos + 1.0) / 2.0 * {DIST_HIST_BINS})::INT)) AS bin
+        FROM pairs
+    )
+    SELECT stride, bin, count(*)::BIGINT AS n_pairs
+    FROM binned GROUP BY 1, 2 ORDER BY stride, bin
+    """

@@ -4966,3 +4966,24 @@ register(
     analytics.stats_mcnemar_sql(),
     front=True,
 )
+
+register(
+    "q_orders_skyline",
+    analytics.q_orders_skyline,
+    analytics.q_orders_skyline_sql(),
+    front=True,
+)
+
+register(
+    "corpus_span_corruption",
+    corpus.corpus_span_corruption,
+    corpus.corpus_span_corruption_sql(),
+    front=True,
+)
+
+register(
+    "emb_distance_histogram",
+    similarity.emb_distance_histogram,
+    similarity.emb_distance_histogram_sql(),
+    front=True,
+)

@@ -168,6 +168,8 @@ _DELIBERATE_NESTED_LOOP = {
     "ingest_frontier_schedule",
     # 1-row median broadcast: deliberate
     "stats_mcnemar",
+    # 1-row min/max range broadcast feeding the block bucketing
+    "q_orders_skyline",
 }
 
 
