@@ -5976,3 +5976,165 @@ def q_orders_skyline_sql() -> str:
     FROM swept WHERE days > prefix_max_days
     ORDER BY cents, o_orderkey
     """
+
+
+SPECTRAL_PERIODS_H = [24, 12, 168]
+
+
+def stats_spectral_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goertzel-style single-frequency spectral power of the hourly
+    event-count series at candidate periods (24 h, 12 h, weekly) — the
+    cheap periodicity detector behind seasonality-aware anomaly
+    baselines: power(T) = C(T)² + S(T)² with C = Σ x_t·cos(2πt/T),
+    S = Σ x_t·sin(2πt/T).
+
+    The corpus collapses to the HOURS-bounded count series first; each
+    period is two trig-weighted sums over that bounded table (one
+    grouped pass via a 3-row period explode). The mean is removed
+    using a ROUNDED 1-row broadcast so both engines detrend on the
+    identical constant; trig of integer hour indexes is bit-identical.
+    """
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("h")
+    idx = hourly.select(
+        (F.row_number().over(w) - 1).alias("t"), F.col("c").cast("double").alias("x")
+    )
+    mu = F.broadcast(idx.agg(F.round(F.avg("x"), 6).alias("mu")))
+    periods = ", ".join(str(p) for p in SPECTRAL_PERIODS_H)
+    d = idx.crossJoin(mu).select(
+        F.expr("x - mu").alias("xd"),
+        "t",
+        F.explode(F.expr(f"array({periods})")).alias("period_h"),
+    )
+    g = d.groupBy("period_h").agg(
+        F.count(F.lit(1)).alias("n3"),
+        F.sum(F.expr("xd * cos(2 * pi() * t / period_h)")).alias("cs"),
+        F.sum(F.expr("xd * sin(2 * pi() * t / period_h)")).alias("sn"),
+    )
+    return g.selectExpr(
+        "period_h",
+        "cast(n3 as bigint) AS n_hours",
+        "round((cs * cs + sn * sn) / n3, 2) AS power",
+    ).orderBy("period_h")
+
+
+def stats_spectral_peak_sql() -> str:
+    periods = ", ".join(str(p) for p in SPECTRAL_PERIODS_H)
+    return f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts::TIMESTAMP) AS h, count(*)::DOUBLE AS x
+        FROM events GROUP BY 1
+    ), idx AS (
+        SELECT row_number() OVER (ORDER BY h) - 1 AS t, x FROM hourly
+    ), mu AS (
+        SELECT round(avg(x), 6) AS mu FROM idx
+    ), d AS (
+        SELECT x - mu AS xd, t, u.period_h
+        FROM idx CROSS JOIN mu,
+             unnest([{periods}]) AS u(period_h)
+    ), g AS (
+        SELECT period_h, count(*)::BIGINT AS n3,
+               sum(xd * cos(2 * pi() * t / period_h)) AS cs,
+               sum(xd * sin(2 * pi() * t / period_h)) AS sn
+        FROM d GROUP BY 1
+    )
+    SELECT period_h, n3 AS n_hours,
+           round((cs * cs + sn * sn) / n3, 2) AS power
+    FROM g ORDER BY period_h
+    """
+
+
+XBAR_A2 = 0.577   # Shewhart constant for subgroup size 5
+XBAR_D4 = 2.114
+XBAR_D3 = 0.0
+XBAR_N = 5
+
+
+def stats_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart X̄-R control chart over daily revenue in weekly
+    subgroups of 5 business days: per-subgroup mean and range, grand
+    center lines, A2/D3/D4 control limits, and the out-of-control
+    counts — the SPC monitor that predates (and still outperforms)
+    most anomaly detectors for drifting processes.
+
+    DAYS-bounded collapse → subgroup id by integer division of the day
+    index (two-level-free: the index is a calendar-bounded
+    row_number) → subgroup agg → 1-row grand-means broadcast back.
+    Limits compare ROUNDED values (repo float rule).
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(F.round(F.sum("o_totalprice"), 6).alias("rev"))
+    )
+    w = Window.orderBy("o_orderdate")
+    sub = daily.select(
+        "rev", ((F.row_number().over(w) - 1) / XBAR_N).cast("bigint").alias("g")
+    )
+    gstats = sub.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("rev"), 6).alias("xbar"),
+        F.round(F.max("rev") - F.min("rev"), 6).alias("r"),
+    ).where(F.col("n") == XBAR_N)
+    grand = F.broadcast(
+        gstats.agg(
+            F.round(F.avg("xbar"), 6).alias("xbb"),
+            F.round(F.avg("r"), 6).alias("rbar"),
+        )
+    )
+    j = gstats.crossJoin(grand)
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subgroups"),
+        F.max("xbb").alias("x_center"),
+        F.max("rbar").alias("r_center"),
+        F.round(F.max(F.expr(f"xbb + {XBAR_A2} * rbar")), 6).alias("x_ucl"),
+        F.round(F.max(F.expr(f"xbb - {XBAR_A2} * rbar")), 6).alias("x_lcl"),
+        F.round(F.max(F.expr(f"{XBAR_D4} * rbar")), 6).alias("r_ucl"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN xbar > round(xbb + {XBAR_A2} * rbar, 6) "
+                f"OR xbar < round(xbb - {XBAR_A2} * rbar, 6) "
+                "THEN 1 ELSE 0 END"
+            )
+        ).cast("bigint").alias("x_violations"),
+        F.sum(
+            F.expr(f"CASE WHEN r > round({XBAR_D4} * rbar, 6) THEN 1 ELSE 0 END")
+        ).cast("bigint").alias("r_violations"),
+    )
+
+
+def stats_control_chart_sql() -> str:
+    return f"""
+    WITH daily AS (
+        SELECT o_orderdate, round(sum(o_totalprice), 6) AS rev
+        FROM orders GROUP BY 1
+    ), sub AS (
+        SELECT rev,
+               (row_number() OVER (ORDER BY o_orderdate) - 1) // {XBAR_N} AS g
+        FROM daily
+    ), gstats AS (
+        SELECT g, count(*)::BIGINT AS n, round(avg(rev), 6) AS xbar,
+               round(max(rev) - min(rev), 6) AS r
+        FROM sub GROUP BY g
+        HAVING count(*) = {XBAR_N}
+    ), grand AS (
+        SELECT round(avg(xbar), 6) AS xbb, round(avg(r), 6) AS rbar
+        FROM gstats
+    )
+    SELECT count(*)::BIGINT AS n_subgroups,
+           max(xbb) AS x_center,
+           max(rbar) AS r_center,
+           round(max(xbb + {XBAR_A2} * rbar), 6) AS x_ucl,
+           round(max(xbb - {XBAR_A2} * rbar), 6) AS x_lcl,
+           round(max({XBAR_D4} * rbar), 6) AS r_ucl,
+           sum(CASE WHEN xbar > round(xbb + {XBAR_A2} * rbar, 6)
+                    OR xbar < round(xbb - {XBAR_A2} * rbar, 6)
+                    THEN 1 ELSE 0 END)::BIGINT AS x_violations,
+           sum(CASE WHEN r > round({XBAR_D4} * rbar, 6)
+                    THEN 1 ELSE 0 END)::BIGINT AS r_violations
+    FROM gstats CROSS JOIN grand
+    """

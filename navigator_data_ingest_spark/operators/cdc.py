@@ -344,3 +344,103 @@ def cdc_scd2_lookup_sql() -> str:
      AND (h.effective_to IS NULL OR p.probe_version < h.effective_to)
     ORDER BY p.o_orderkey
     """
+
+
+BT_VALID_AS_OF = "1996-06-15"   # valid-time point
+BT_TX_AS_OF = "1997-01-01"      # transaction-time point
+
+
+def cdc_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL point query — "what did we BELIEVE on tx-date T the
+    order's price was ON valid-date V?" — over a two-axis version
+    table derived deterministically from orders: every order has a
+    base version; %5 keys gain a transaction-time CORRECTION (price
+    ×1.1 recorded 30 days later, superseding the base belief), %3 keys
+    gain a valid-time SPLIT (price ×0.95 effective 60 days in). The
+    point query intersects both half-open axes; output is the
+    per-status count/sum of believed-effective prices.
+
+    This is the two-axis generalization of cdc_scd2_lookup: SCD2
+    tracks ONE time axis; auditing "what did the system know when"
+    needs both. One map-side union (no joins), pure interval
+    predicates that prune at scan time.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    far = "date'9999-12-31'"
+    base = o.selectExpr(
+        "o_orderkey", "o_orderstatus",
+        "round(o_totalprice, 6) AS price",
+        "o_orderdate AS valid_from",
+        f"CASE WHEN o_orderkey % 3 = 0 THEN date_add(o_orderdate, 60) ELSE {far} END AS valid_to",
+        "o_orderdate AS tx_from",
+        f"CASE WHEN o_orderkey % 5 = 0 THEN date_add(o_orderdate, 30) ELSE {far} END AS tx_to",
+    )
+    correction = o.where("o_orderkey % 5 = 0").selectExpr(
+        "o_orderkey", "o_orderstatus",
+        "round(o_totalprice * 1.1, 6) AS price",
+        "o_orderdate AS valid_from",
+        f"CASE WHEN o_orderkey % 3 = 0 THEN date_add(o_orderdate, 60) ELSE {far} END AS valid_to",
+        "date_add(o_orderdate, 30) AS tx_from",
+        f"{far} AS tx_to",
+    )
+    split = o.where("o_orderkey % 3 = 0").selectExpr(
+        "o_orderkey", "o_orderstatus",
+        "round(o_totalprice * 0.95, 6) AS price",
+        "date_add(o_orderdate, 60) AS valid_from",
+        f"{far} AS valid_to",
+        "o_orderdate AS tx_from",
+        f"{far} AS tx_to",
+    )
+    versions = base.unionAll(correction).unionAll(split)
+    v, t = f"date'{BT_VALID_AS_OF}'", f"date'{BT_TX_AS_OF}'"
+    hit = versions.where(
+        F.expr(
+            f"valid_from <= {v} AND {v} < valid_to "
+            f"AND tx_from <= {t} AND {t} < tx_to"
+        )
+    )
+    return (
+        hit.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("price"), 6).alias("sum_believed_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def cdc_bitemporal_asof_sql() -> str:
+    far = "DATE '9999-12-31'"
+    v, t = f"DATE '{BT_VALID_AS_OF}'", f"DATE '{BT_TX_AS_OF}'"
+    return f"""
+    WITH o AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               o_orderdate::DATE AS o_orderdate
+        FROM orders
+    ), versions AS (
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 6) AS price,
+               o_orderdate AS valid_from,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_orderdate + 60 ELSE {far} END AS valid_to,
+               o_orderdate AS tx_from,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_orderdate + 30 ELSE {far} END AS tx_to
+        FROM o
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice * 1.1, 6),
+               o_orderdate,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_orderdate + 60 ELSE {far} END,
+               o_orderdate + 30, {far}
+        FROM o WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice * 0.95, 6),
+               o_orderdate + 60, {far}, o_orderdate, {far}
+        FROM o WHERE o_orderkey % 3 = 0
+    )
+    SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+           round(sum(price), 6) AS sum_believed_price
+    FROM versions
+    WHERE valid_from <= {v} AND {v} < valid_to
+      AND tx_from <= {t} AND {t} < tx_to
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """

@@ -4987,3 +4987,24 @@ register(
     similarity.emb_distance_histogram_sql(),
     front=True,
 )
+
+register(
+    "stats_spectral_peak",
+    analytics.stats_spectral_peak,
+    analytics.stats_spectral_peak_sql(),
+    front=True,
+)
+
+register(
+    "stats_control_chart",
+    analytics.stats_control_chart,
+    analytics.stats_control_chart_sql(),
+    front=True,
+)
+
+register(
+    "cdc_bitemporal_asof",
+    cdc.cdc_bitemporal_asof,
+    cdc.cdc_bitemporal_asof_sql(),
+    front=True,
+)

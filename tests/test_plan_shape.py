@@ -170,6 +170,9 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_mcnemar",
     # 1-row min/max range broadcast feeding the block bucketing
     "q_orders_skyline",
+    # 1-row detrend-mean / grand-center broadcasts: deliberate
+    "stats_spectral_peak",
+    "stats_control_chart",
 }
 
 
