@@ -6138,3 +6138,127 @@ def stats_control_chart_sql() -> str:
                     THEN 1 ELSE 0 END)::BIGINT AS r_violations
     FROM gstats CROSS JOIN grand
     """
+
+
+MOVMED_WINDOW = 7
+
+
+def stats_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day MOVING MEDIAN of daily revenue — the robust smoother a
+    spiky series needs where the moving average (stats_seasonal's
+    trend) chases outliers; reported beside the mean so the gap column
+    flags spike days directly.
+
+    DAYS-bounded collapse, then percentile(…) as a WINDOW aggregate
+    over a 7-row frame (full frames only) — certifying the
+    exact-percentile-as-window-function rung; the frame has a fixed
+    7-term order so the interpolation is bit-identical cross-engine.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(F.round(F.sum("o_totalprice"), 6).alias("rev"))
+    )
+    w = Window.orderBy("o_orderdate").rowsBetween(-3, 3)
+    t = daily.select(
+        "o_orderdate",
+        "rev",
+        F.round(F.expr("percentile(rev, 0.5)").over(w), 6).alias("med7"),
+        F.round(F.avg("rev").over(w), 6).alias("avg7"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    ).where(F.col("wn") == MOVMED_WINDOW)
+    return (
+        t.select(
+            F.col("o_orderdate").cast("string").alias("d"),
+            "rev",
+            "med7",
+            "avg7",
+            F.round(F.col("avg7") - F.col("med7"), 6).alias("spike_gap"),
+        )
+        .orderBy("d")
+        .limit(200)
+    )
+
+
+def stats_moving_median_sql() -> str:
+    return f"""
+    WITH daily AS (
+        SELECT o_orderdate, round(sum(o_totalprice), 6) AS rev
+        FROM orders GROUP BY 1
+    ), t AS (
+        SELECT o_orderdate, rev,
+               round(quantile_cont(rev, 0.5) OVER w, 6) AS med7,
+               round(avg(rev) OVER w, 6) AS avg7,
+               count(*) OVER w AS wn
+        FROM daily
+        WINDOW w AS (ORDER BY o_orderdate
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT substr(cast(o_orderdate as varchar), 1, 10) AS d, rev, med7, avg7,
+           round(avg7 - med7, 6) AS spike_gap
+    FROM t WHERE wn = {MOVMED_WINDOW}
+    ORDER BY d LIMIT 200
+    """
+
+
+WINSOR_P = 0.05
+
+
+def stats_winsorized_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized and trimmed means of order value at the 5% tails —
+    the robust-location pair a reporting layer quotes next to the raw
+    mean when whales distort it: winsorizing CLAMPS the tails to the
+    cut points, trimming DROPS them.
+
+    One exact two-quantile aggregate (1-row broadcast back), then a
+    single conditional pass; tail membership compares ROUNDED values
+    (repo float rule).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round("o_totalprice", 6).alias("x")
+    )
+    cuts = F.broadcast(
+        o.agg(
+            F.expr(f"round(percentile(x, {WINSOR_P}), 6)").alias("lo"),
+            F.expr(f"round(percentile(x, {1 - WINSOR_P}), 6)").alias("hi"),
+        )
+    )
+    j = o.crossJoin(cuts)
+    return j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("lo").alias("cut_lo"),
+        F.max("hi").alias("cut_hi"),
+        F.round(F.avg("x"), 6).alias("raw_mean"),
+        F.round(
+            F.avg(F.expr("CASE WHEN x < lo THEN lo WHEN x > hi THEN hi ELSE x END")),
+            6,
+        ).alias("winsorized_mean"),
+        F.round(
+            F.avg(F.expr("CASE WHEN x >= lo AND x <= hi THEN x END")), 6
+        ).alias("trimmed_mean"),
+        F.sum(F.expr("CASE WHEN x < lo OR x > hi THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_tail"),
+    )
+
+
+def stats_winsorized_trimmed_sql() -> str:
+    return f"""
+    WITH o AS (
+        SELECT round(o_totalprice, 6) AS x FROM orders
+    ), cuts AS (
+        SELECT round(quantile_cont(x, {WINSOR_P}), 6) AS lo,
+               round(quantile_cont(x, {1 - WINSOR_P}), 6) AS hi
+        FROM o
+    )
+    SELECT count(*)::BIGINT AS n,
+           max(lo) AS cut_lo,
+           max(hi) AS cut_hi,
+           round(avg(x), 6) AS raw_mean,
+           round(avg(CASE WHEN x < lo THEN lo WHEN x > hi THEN hi ELSE x END), 6)
+               AS winsorized_mean,
+           round(avg(CASE WHEN x >= lo AND x <= hi THEN x END), 6)
+               AS trimmed_mean,
+           sum(CASE WHEN x < lo OR x > hi THEN 1 ELSE 0 END)::BIGINT AS n_tail
+    FROM o CROSS JOIN cuts
+    """

@@ -360,16 +360,44 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from navigator_data_ingest_spark.sources.tables import load_table
 
+    import uuid as _uuid
+
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    out = os.path.join(
-        tempfile.gettempdir(), "nav_pysink", f"{tag}_{os.getpid()}"
-    )
-    _sh.rmtree(out, ignore_errors=True)
+    # per-invocation dir (uuid): two concurrent runs of this op in one
+    # process must not share a commit root; stale same-pid dirs from
+    # earlier invocations are swept here
+    base = os.path.join(tempfile.gettempdir(), "nav_pysink")
+    prefix = f"{tag}_{os.getpid()}_"
+    if os.path.isdir(base):
+        import time as _time
+
+        for d in os.listdir(base):
+            p = os.path.join(base, d)
+            try:
+                stale = _time.time() - os.path.getmtime(p) > 600
+            except OSError:
+                continue
+            # only reap STALE dirs: a concurrent invocation in this
+            # process owns any fresh one
+            if d.startswith(prefix) and stale:
+                _sh.rmtree(p, ignore_errors=True)
+    out = os.path.join(base, prefix + _uuid.uuid4().hex[:8])
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "n_chars")
         .repartition(SINK_PARTITIONS, "doc_id")
     )
+    # the WRITE path resolves Python data sources through the JVM's
+    # THREAD-LOCAL active session (reads carry their session; writes
+    # don't): from a fresh driver thread the active session is unset
+    # and save() fails DATA_SOURCE_NOT_FOUND even though registration
+    # succeeded. Pin it for this thread before writing.
+    try:
+        spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+    except Exception:
+        pass
     docs.write.format("audit_sink").mode("append").option("path", out).save()
     with open(os.path.join(out, "_MANIFEST.json")) as fh:
         man = json.load(fh)
