@@ -6169,7 +6169,7 @@ def stats_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("wn") == MOVMED_WINDOW)
     return (
         t.select(
-            F.col("o_orderdate").cast("string").alias("d"),
+            F.substring(F.col("o_orderdate").cast("string"), 1, 10).alias("d"),
             "rev",
             "med7",
             "avg7",

@@ -5008,3 +5008,17 @@ register(
     cdc.cdc_bitemporal_asof_sql(),
     front=True,
 )
+
+register(
+    "stats_moving_median",
+    analytics.stats_moving_median,
+    analytics.stats_moving_median_sql(),
+    front=True,
+)
+
+register(
+    "stats_winsorized_trimmed",
+    analytics.stats_winsorized_trimmed,
+    analytics.stats_winsorized_trimmed_sql(),
+    front=True,
+)

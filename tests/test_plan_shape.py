@@ -173,6 +173,8 @@ _DELIBERATE_NESTED_LOOP = {
     # 1-row detrend-mean / grand-center broadcasts: deliberate
     "stats_spectral_peak",
     "stats_control_chart",
+    # 1-row quantile-cuts broadcast: deliberate
+    "stats_winsorized_trimmed",
 }
 
 
