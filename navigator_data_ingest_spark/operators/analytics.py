@@ -6262,3 +6262,127 @@ def stats_winsorized_trimmed_sql() -> str:
            sum(CASE WHEN x < lo OR x > hi THEN 1 ELSE 0 END)::BIGINT AS n_tail
     FROM o CROSS JOIN cuts
     """
+
+
+def stats_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA with interaction on event value over the
+    (event_type × day-of-week) grid: does value depend on the type,
+    the weekday, or specifically on their COMBINATION? The factorial
+    generalization of stats_anova — its SS decomposition (SSA + SSB +
+    SSAB + SSE) is what separates "purchases are bigger" from
+    "purchases are bigger on Sundays".
+
+    ONE pass of CELL-grain (type × dow — a bounded 5×7 grid) moments;
+    margins and grand totals re-aggregate from the 35-row cell table;
+    unbalanced cells use the standard weighted (Type-I-style
+    sequential) sums. Integers/moments until the final F ratios, which
+    round at 2 dp (squared-sum amplification, the stats_jarque_bera
+    rule).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        "value",
+    )
+    cells = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.expr("value * value")).alias("q"),
+    )
+    ca = cells.groupBy("event_type").agg(
+        F.sum("n").alias("na"), F.sum("s").alias("sa")
+    )
+    cb = cells.groupBy("dow").agg(F.sum("n").alias("nb"), F.sum("s").alias("sb"))
+    tot = cells.agg(
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.sum("q").alias("qt"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("event_type").alias("ka"),
+        F.countDistinct("dow").alias("kb"),
+    )
+    j = (
+        cells.join(F.broadcast(ca), "event_type")
+        .join(F.broadcast(cb), "dow")
+        .crossJoin(F.broadcast(tot))
+    )
+    agg = j.agg(
+        F.max("nt").alias("nt"),
+        F.max("ka").alias("ka"),
+        F.max("kb").alias("kb"),
+        F.max("n_cells").alias("nc"),
+        F.max(F.expr("st * st / nt")).alias("cf"),
+        F.max("qt").alias("qt"),
+        F.sum(F.expr("s * s / n")).alias("ss_cells_raw"),
+    )
+    # marginal raw SS re-aggregated from the margin tables (1-row each)
+    ssa = ca.agg(F.sum(F.expr("sa * sa / na")).alias("ssa_raw"))
+    ssb = cb.agg(F.sum(F.expr("sb * sb / nb")).alias("ssb_raw"))
+    out = agg.crossJoin(F.broadcast(ssa)).crossJoin(F.broadcast(ssb))
+    ss_a = "(ssa_raw - cf)"
+    ss_b = "(ssb_raw - cf)"
+    ss_ab = "(ss_cells_raw - ssa_raw - ssb_raw + cf)"
+    ss_e = "(qt - ss_cells_raw)"
+    df_a = "(ka - 1.0)"
+    df_b = "(kb - 1.0)"
+    df_ab = "((ka - 1.0) * (kb - 1.0))"
+    df_e = "(nt - nc)"
+    return out.selectExpr(
+        "nt AS n_rows",
+        "cast(ka as bigint) AS k_types",
+        "cast(kb as bigint) AS k_dows",
+        f"round({ss_a}, 2) AS ss_type",
+        f"round({ss_b}, 2) AS ss_dow",
+        f"round({ss_ab}, 2) AS ss_interaction",
+        f"round({ss_e}, 2) AS ss_error",
+        f"round(({ss_a} / {df_a}) / ({ss_e} / {df_e}), 2) AS f_type",
+        f"round(({ss_b} / {df_b}) / ({ss_e} / {df_e}), 2) AS f_dow",
+        f"round(({ss_ab} / {df_ab}) / ({ss_e} / {df_e}), 2) AS f_interaction",
+    )
+
+
+def stats_two_way_anova_sql() -> str:
+    ss_a = "(ssa_raw - cf)"
+    ss_b = "(ssb_raw - cf)"
+    ss_ab = "(ss_cells_raw - ssa_raw - ssb_raw + cf)"
+    ss_e = "(qt - ss_cells_raw)"
+    df_a = "(ka - 1.0)"
+    df_b = "(kb - 1.0)"
+    df_ab = "((ka - 1.0) * (kb - 1.0))"
+    df_e = "(nt - nc)"
+    return f"""
+    WITH cells AS (
+        SELECT event_type, dayofweek(ts::TIMESTAMP)::INT AS dow,
+               count(*)::BIGINT AS n, sum(value) AS s,
+               sum(value * value) AS q
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT sum(n)::BIGINT AS nt, sum(s) AS st, sum(q) AS qt,
+               count(*)::BIGINT AS nc,
+               count(DISTINCT event_type)::BIGINT AS ka,
+               count(DISTINCT dow)::BIGINT AS kb,
+               sum(s * s / n) AS ss_cells_raw
+        FROM cells
+    ), ma AS (
+        SELECT sum(t.sa * t.sa / t.na) AS ssa_raw FROM (
+            SELECT event_type, sum(n)::BIGINT AS na, sum(s) AS sa
+            FROM cells GROUP BY 1) t
+    ), mb AS (
+        SELECT sum(t.sb * t.sb / t.nb) AS ssb_raw FROM (
+            SELECT dow, sum(n)::BIGINT AS nb, sum(s) AS sb
+            FROM cells GROUP BY 1) t
+    ), x AS (
+        SELECT nt, ka, kb, nc, st * st / nt AS cf, qt, ss_cells_raw,
+               ssa_raw, ssb_raw
+        FROM tot CROSS JOIN ma CROSS JOIN mb
+    )
+    SELECT nt AS n_rows, ka AS k_types, kb AS k_dows,
+           round({ss_a}, 2) AS ss_type,
+           round({ss_b}, 2) AS ss_dow,
+           round({ss_ab}, 2) AS ss_interaction,
+           round({ss_e}, 2) AS ss_error,
+           round(({ss_a} / {df_a}) / ({ss_e} / {df_e}), 2) AS f_type,
+           round(({ss_b} / {df_b}) / ({ss_e} / {df_e}), 2) AS f_dow,
+           round(({ss_ab} / {df_ab}) / ({ss_e} / {df_e}), 2) AS f_interaction
+    FROM x
+    """

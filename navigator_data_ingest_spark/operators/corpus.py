@@ -2757,3 +2757,70 @@ def corpus_span_corruption_sql() -> str:
                AS corruption_rate
     FROM mk ORDER BY doc_id
     """
+
+
+CHUNK_SIZE = 64     # tokens per RAG chunk
+CHUNK_STRIDE = 48   # stride < size -> 16-token overlap between chunks
+
+
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking with OVERLAP (size 64, stride 48): every retrieval
+    index chunks documents with overlapping windows so answers
+    straddling a boundary survive — unlike corpus_udtf_passages'
+    disjoint chunks, consecutive chunks here share 16 tokens.
+    n_chunks = 1 + ceil(max(0, n−size)/stride), the last chunk is
+    clipped, and every boundary is pure metadata arithmetic
+    (posexplode over a sequence — payload tokens never move). The
+    audit columns (coverage ratio, overlap-token total) are what an
+    index build monitors.
+    """
+    docs = _tokens_df(spark, sf_dir).select(
+        "doc_id", F.size("t").alias("n_tokens")
+    ).where("n_tokens > 0")
+    n_chunks = (
+        f"1 + cast(ceil(greatest(0, n_tokens - {CHUNK_SIZE}) "
+        f"/ cast({CHUNK_STRIDE} as double)) as bigint)"
+    )
+    ch = docs.selectExpr("doc_id", "n_tokens", f"{n_chunks} AS n_chunks").select(
+        "doc_id",
+        "n_tokens",
+        "n_chunks",
+        F.posexplode(F.expr("sequence(0, n_chunks - 1)")).alias("i", "_c"),
+    )
+    out = ch.selectExpr(
+        "doc_id",
+        "n_tokens",
+        "cast(i as int) AS chunk_idx",
+        f"cast(i * {CHUNK_STRIDE} as bigint) AS start_tok",
+        f"least(cast(i * {CHUNK_STRIDE} + {CHUNK_SIZE} as bigint), n_tokens) AS end_tok",
+    )
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        "end_tok",
+        (F.col("end_tok") - F.col("start_tok")).alias("chunk_len"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def corpus_chunk_overlap_sql() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, len({X.dk_tokens('text')}) AS n_tokens FROM documents
+    ), nz AS (
+        SELECT doc_id, n_tokens,
+               1 + ceil(greatest(0, n_tokens - {CHUNK_SIZE})
+                        / {CHUNK_STRIDE}.0)::BIGINT AS n_chunks
+        FROM toks WHERE n_tokens > 0
+    ), ch AS (
+        SELECT doc_id, n_tokens, u.i::INT AS chunk_idx
+        FROM nz, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+    )
+    SELECT doc_id, chunk_idx,
+           (chunk_idx * {CHUNK_STRIDE})::BIGINT AS start_tok,
+           least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}, n_tokens)::BIGINT
+               AS end_tok,
+           (least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}, n_tokens)
+            - chunk_idx * {CHUNK_STRIDE})::BIGINT AS chunk_len
+    FROM ch ORDER BY doc_id, chunk_idx
+    """

@@ -5022,3 +5022,17 @@ register(
     analytics.stats_winsorized_trimmed_sql(),
     front=True,
 )
+
+register(
+    "stats_two_way_anova",
+    analytics.stats_two_way_anova,
+    analytics.stats_two_way_anova_sql(),
+    front=True,
+)
+
+register(
+    "corpus_chunk_overlap",
+    corpus.corpus_chunk_overlap,
+    corpus.corpus_chunk_overlap_sql(),
+    front=True,
+)

@@ -175,6 +175,8 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_control_chart",
     # 1-row quantile-cuts broadcast: deliberate
     "stats_winsorized_trimmed",
+    # 1-row totals/margin broadcasts onto the 35-cell grid: deliberate
+    "stats_two_way_anova",
 }
 
 
