@@ -6386,3 +6386,81 @@ def stats_two_way_anova_sql() -> str:
            round(({ss_ab} / {df_ab}) / ({ss_e} / {df_e}), 2) AS f_interaction
     FROM x
     """
+
+
+def stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe/Levene homogeneity-of-variances test across event
+    types — the gatekeeper assumption check BEFORE trusting stats_anova
+    (classic ANOVA assumes equal variances): one-way ANOVA's F applied
+    to the MEDIAN-centered absolute deviations z = |x − med_group|.
+
+    Two K-bounded grouped passes (exact medians broadcast, then
+    deviation moments) and arithmetic on the K-row table. The W
+    statistic rounds at 2 dp (ratio-of-sums amplification, the
+    stats_jarque_bera rule).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("round(percentile(value, 0.5), 6)").alias("med")
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z").alias("sz"),
+        F.sum(F.expr("z * z")).alias("qz"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        F.sum("sz").alias("st"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    agg = j.agg(
+        F.max("nt").alias("nt"),
+        F.max("k").alias("k"),
+        F.sum(F.expr("sz * sz / n")).alias("ssb_raw"),
+        F.max(F.expr("st * st / nt")).alias("cf"),
+        F.sum("qz").alias("qt"),
+    )
+    w = (
+        "(((ssb_raw - cf) / (k - 1.0)) "
+        "/ ((qt - ssb_raw) / (nt - k)))"
+    )
+    return agg.selectExpr(
+        "nt AS n_rows",
+        "cast(k as bigint) AS k_groups",
+        f"round({w}, 2) AS levene_w",
+    )
+
+
+def stats_levene_sql() -> str:
+    w = (
+        "(((ssb_raw - cf) / (k - 1.0)) "
+        "/ ((qt - ssb_raw) / (nt - k)))"
+    )
+    return f"""
+    WITH med AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        FROM events GROUP BY 1
+    ), z AS (
+        SELECT e.event_type, abs(e.value - m.med) AS z
+        FROM events e JOIN med m USING (event_type)
+    ), g AS (
+        SELECT event_type, count(*)::BIGINT AS n, sum(z) AS sz,
+               sum(z * z) AS qz
+        FROM z GROUP BY 1
+    ), tot AS (
+        SELECT sum(n)::BIGINT AS nt, sum(sz) AS st, count(*)::BIGINT AS k
+        FROM g
+    ), agg AS (
+        SELECT max(nt) AS nt, max(k) AS k,
+               sum(sz * sz / n) AS ssb_raw,
+               max(st * st / nt) AS cf,
+               sum(qz) AS qt
+        FROM g CROSS JOIN tot
+    )
+    SELECT nt AS n_rows, k AS k_groups, round({w}, 2) AS levene_w
+    FROM agg
+    """

@@ -696,3 +696,100 @@ def ingest_cache_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prefix", "document_id", "pipeline_field")
     )
+
+
+def ingest_sniff_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance audit of the 3-stage content-type detector
+    (utils.py:64): per document, WHICH stage decided (magic bytes >
+    URL extension > header), and whether the later stages would have
+    agreed — the disagreement matrix that tells an operator how much
+    the header can be trusted when bytes are unavailable (the exact
+    question a HEAD-request-only fast path asks).
+
+    Map-side only over the shared new-docs generator; the oracle
+    replays all three stage votes and the fallback order.
+    """
+    from navigator_data_ingest_spark.functions.content import (
+        _extension_content_type,
+        _header_content_type,
+        _magic_content_type,
+    )
+
+    nd = synthetic_new_documents(spark, sf_dir)
+    staged = nd.select(
+        "import_id",
+        _magic_content_type(F.col("head_hex")).alias("by_magic"),
+        _extension_content_type(F.col("source_url")).alias("by_ext"),
+        _header_content_type(F.col("header")).alias("by_header"),
+    ).select(
+        F.when(F.col("by_magic").isNotNull(), F.lit("magic"))
+        .when(F.col("by_ext").isNotNull(), F.lit("extension"))
+        .when(
+            F.col("by_header").isNotNull() & (F.col("by_header") != ""),
+            F.lit("header"),
+        )
+        .otherwise(F.lit("none"))
+        .alias("decided_by"),
+        F.coalesce(
+            "by_magic",
+            "by_ext",
+            F.nullif(F.col("by_header"), F.lit("")),
+        ).alias("decided_type"),
+        "by_ext",
+        "by_header",
+    )
+    return (
+        staged.groupBy("decided_by", "decided_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                (F.col("by_ext").isNotNull()
+                 & (F.col("by_ext") == F.col("decided_type"))).cast("int")
+            ).cast("bigint").alias("ext_agrees"),
+            F.sum(
+                (F.nullif(F.col("by_header"), F.lit("")).isNotNull()
+                 & (F.col("by_header") == F.col("decided_type"))).cast("int")
+            ).cast("bigint").alias("header_agrees"),
+        )
+        .orderBy("decided_by", "decided_type")
+    )
+
+
+def ingest_sniff_provenance_sql() -> str:
+    magic = """
+        CASE WHEN starts_with(head_hex, '25504446') THEN 'application/pdf'
+             WHEN starts_with(head_hex, 'D0CF11E0A1B11AE1') THEN 'application/msword'
+             WHEN starts_with(head_hex, '504B0304')
+               THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+        END"""
+    ext = """
+        CASE WHEN source_url LIKE '%.pdf'  THEN 'application/pdf'
+             WHEN source_url LIKE '%.html' THEN 'text/html'
+             WHEN source_url LIKE '%.docx'
+               THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+             WHEN source_url LIKE '%.doc'  THEN 'application/msword'
+        END"""
+    hdr = "trim(split_part(coalesce(header, ''), ';', 1))"
+    return f"""
+    WITH {NEW_DOCS_CTE.strip()},
+    staged AS (
+        SELECT import_id, ({magic}) AS by_magic, ({ext}) AS by_ext,
+               ({hdr}) AS by_header
+        FROM new_docs
+    ), cls AS (
+        SELECT CASE WHEN by_magic IS NOT NULL THEN 'magic'
+                    WHEN by_ext IS NOT NULL THEN 'extension'
+                    WHEN by_header IS NOT NULL AND by_header != '' THEN 'header'
+                    ELSE 'none' END AS decided_by,
+               coalesce(by_magic, by_ext, nullif(by_header, '')) AS decided_type,
+               by_ext, by_header
+        FROM staged
+    )
+    SELECT decided_by, decided_type, count(*)::BIGINT AS n_docs,
+           sum((by_ext IS NOT NULL AND by_ext = decided_type)::INT)::BIGINT
+               AS ext_agrees,
+           sum((nullif(by_header, '') IS NOT NULL
+                AND by_header = decided_type)::INT)::BIGINT AS header_agrees
+    FROM cls GROUP BY decided_by, decided_type
+    ORDER BY decided_by, decided_type
+    """

@@ -5036,3 +5036,24 @@ register(
     corpus.corpus_chunk_overlap_sql(),
     front=True,
 )
+
+register(
+    "stream_quota_enforcer",
+    streaming_streams.stream_quota_enforcer,
+    streaming_streams.stream_quota_enforcer_sql(),
+    front=True,
+)
+
+register(
+    "ingest_sniff_provenance",
+    ingest.ingest_sniff_provenance,
+    ingest.ingest_sniff_provenance_sql(),
+    front=True,
+)
+
+register(
+    "stats_levene",
+    analytics.stats_levene,
+    analytics.stats_levene_sql(),
+    front=True,
+)

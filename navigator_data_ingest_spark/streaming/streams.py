@@ -1382,3 +1382,93 @@ def stream_state_reader_sql() -> str:
     WHERE window_start + INTERVAL 1 HOUR > wm
     ORDER BY window_start, event_type
     """
+
+
+QUOTA_PER_HOUR = 3
+
+
+def _quota_fn(key, batches, state):
+    """Per-(user, clock-hour) quota: the first QUOTA_PER_HOUR events of
+    a user's hour pass, the rest are throttled. State is (hour_us,
+    used) — it RESETS whenever the hour advances, so state size is one
+    tuple per active user regardless of history. Rows are processed in
+    (ts, event_id) order inside each batch; the time-ordered feed
+    keeps cross-batch order, so the decision sequence is deterministic
+    and equals the batch row_number-per-(user,hour) rule (the oracle).
+    """
+    import pandas as pd
+
+    hour_us_cur, used = state.get if state.exists else (-1, 0)
+    out = []
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, eid in zip(pdf["ts"].astype("int64") // 1000, pdf["event_id"]):
+            hour_us = int(ts) - int(ts) % 3_600_000_000
+            if hour_us != hour_us_cur:
+                hour_us_cur, used = hour_us, 0
+            used += 1
+            out.append((int(eid), int(key[0]), used <= QUOTA_PER_HOUR))
+    state.update((hour_us_cur, used))
+    if out:
+        yield pd.DataFrame(
+            {
+                "event_id": [o[0] for o in out],
+                "user_id": [o[1] for o in out],
+                "allowed": [o[2] for o in out],
+            }
+        )
+
+
+def stream_quota_enforcer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key rate limiting (API/politeness quota): at most
+    QUOTA_PER_HOUR events per user per clock hour pass; the rest are
+    flagged throttled — enforced STATEFULLY across micro-batches with
+    one (hour, used) tuple per user (applyInPandasWithState), the
+    admission-control shape of a crawler or API gateway.
+
+    Every event is emitted exactly once with its verdict; over the
+    time-ordered 3-chunk feed the admission order is deterministic, so
+    the verdict equals the batch rule "row_number within (user, hour)
+    ordered by (ts, event_id) <= quota" — the DuckDB oracle. Output is
+    the per-user admission accounting.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    feed = _scatter_time_ordered_feed(spark, sf_dir, 3)
+    ev = (
+        read_stream_events(spark, feed, glob="*.parquet", max_files_per_trigger=1)
+        .select("user_id", "ts", "event_id")
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _quota_fn,
+        outputStructType="event_id bigint, user_id bigint, allowed boolean",
+        stateStructType="hour_us bigint, used bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = _run_to_memory(out, _qname("stream_quota", sf_dir), "append")
+    return (
+        res.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("allowed").cast("int")).cast("bigint").alias("n_allowed"),
+            F.sum((~F.col("allowed")).cast("int")).cast("bigint").alias("n_throttled"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def stream_quota_enforcer_sql() -> str:
+    return f"""
+    WITH ranked AS (
+        SELECT user_id,
+               row_number() OVER (
+                   PARTITION BY user_id, date_trunc('hour', ts::TIMESTAMP)
+                   ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           sum((rn <= {QUOTA_PER_HOUR})::INT)::BIGINT AS n_allowed,
+           sum((rn > {QUOTA_PER_HOUR})::INT)::BIGINT AS n_throttled
+    FROM ranked GROUP BY user_id ORDER BY user_id
+    """

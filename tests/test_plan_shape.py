@@ -177,6 +177,8 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_winsorized_trimmed",
     # 1-row totals/margin broadcasts onto the 35-cell grid: deliberate
     "stats_two_way_anova",
+    # 1-row totals broadcast onto the K-row deviation table: deliberate
+    "stats_levene",
 }
 
 
