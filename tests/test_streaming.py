@@ -357,3 +357,38 @@ def test_state_reader_exposes_only_unemitted_windows(spark):
     # wm = 05:00 - 1h = 04:00: hours 00 and 01 emitted, hour 05 pending
     assert emitted == {"2026-01-01 00:00:00", "2026-01-01 01:00:00"}
     assert pending == {"2026-01-01 05:00:00"}
+
+
+def test_quota_enforcer_state_carries_across_batches(spark):
+    """A user's in-hour admission count must persist across micro-batch
+    boundaries: 2 events in batch 1 + 2 more in the SAME hour in batch
+    2 -> only 1 of the later pair passes (quota 3)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from navigator_data_ingest_spark.streaming.streams import (
+        _quota_fn,
+        _run_to_memory,
+        read_stream_events,
+    )
+
+    d = tempfile.mkdtemp(prefix="nav_stream_quota_")
+    a, b = os.path.join(d, "a.parquet"), os.path.join(d, "b.parquet")
+    m = 60_000_000_000  # one minute in ns
+    _write_events(a, [(1, BASE_NS, 1.0), (2, BASE_NS + m, 1.0)])
+    _write_events(b, [(3, BASE_NS + 2 * m, 1.0), (4, BASE_NS + 3 * m, 1.0)])
+    os.utime(a, (1_700_000_000,) * 2)
+    os.utime(b, (1_700_000_100,) * 2)
+    ev = read_stream_events(spark, d, glob="*.parquet", max_files_per_trigger=1).select(
+        "user_id", "ts", "event_id"
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _quota_fn,
+        outputStructType="event_id bigint, user_id bigint, allowed boolean",
+        stateStructType="hour_us bigint, used bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    rows = _run_to_memory(out, "t_quota", "append").orderBy("event_id").collect()
+    assert [(r.event_id, r.allowed) for r in rows] == [
+        (1, True), (2, True), (3, True), (4, False)
+    ]
