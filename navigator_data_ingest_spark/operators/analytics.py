@@ -6464,3 +6464,103 @@ def stats_levene_sql() -> str:
     SELECT nt AS n_rows, k AS k_groups, round({w}, 2) AS levene_w
     FROM agg
     """
+
+
+def stats_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deming (errors-in-both-variables) regression of daily revenue on
+    daily order count — the fit OLS gets WRONG when the x-axis is noisy
+    too (both are sampled daily measurements): with error-variance
+    ratio δ=1 the slope is the closed form
+    (syy − sxx + √((syy−sxx)² + 4·sxy²)) / (2·sxy) over centered
+    moments. Reported beside the OLS slope so the attenuation bias is
+    visible. One DAYS-bounded collapse + one moment pass; means are
+    ROUNDED before centering (the stats_jarque_bera two-pass rule).
+    """
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("x"),
+            F.round(F.sum("o_totalprice"), 6).alias("y"),
+        )
+    )
+    mu = F.broadcast(
+        d.agg(
+            F.round(F.avg("x"), 6).alias("mx"),
+            F.round(F.avg("y"), 6).alias("my"),
+        )
+    )
+    c = d.crossJoin(mu).selectExpr("(x - mx) AS dx", "(y - my) AS dy")
+    agg = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("dx * dx")).alias("sxx"),
+        F.sum(F.expr("dy * dy")).alias("syy"),
+        F.sum(F.expr("dx * dy")).alias("sxy"),
+    )
+    deming = (
+        "((syy - sxx + sqrt((syy - sxx) * (syy - sxx) "
+        "+ 4 * sxy * sxy)) / (2 * sxy))"
+    )
+    return agg.selectExpr(
+        "n AS n_days",
+        f"round({deming}, 2) AS deming_slope",
+        "round(sxy / sxx, 2) AS ols_slope",
+        f"round({deming} - sxy / sxx, 2) AS attenuation_gap",
+    )
+
+
+def stats_deming_regression_sql() -> str:
+    deming = (
+        "((syy - sxx + sqrt((syy - sxx) * (syy - sxx) "
+        "+ 4 * sxy * sxy)) / (2 * sxy))"
+    )
+    return f"""
+    WITH d AS (
+        SELECT o_orderdate, count(*)::DOUBLE AS x,
+               round(sum(o_totalprice), 6) AS y
+        FROM orders GROUP BY 1
+    ), mu AS (
+        SELECT round(avg(x), 6) AS mx, round(avg(y), 6) AS my FROM d
+    ), c AS (
+        SELECT (x - mx) AS dx, (y - my) AS dy FROM d CROSS JOIN mu
+    ), agg AS (
+        SELECT count(*)::BIGINT AS n, sum(dx * dx) AS sxx,
+               sum(dy * dy) AS syy, sum(dx * dy) AS sxy
+        FROM c
+    )
+    SELECT n AS n_days,
+           round({deming}, 2) AS deming_slope,
+           round(sxy / sxx, 2) AS ols_slope,
+           round({deming} - sxy / sxx, 2) AS attenuation_gap
+    FROM agg
+    """
+
+
+def q_sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() dynamic-name binding (the injection-safe way to
+    parameterize TABLE/COLUMN names, which ?-placeholders cannot do):
+    the table name and the grouping column both arrive as string
+    parameters and are bound through IDENTIFIER(:param) — certifying
+    the rung beside q_parameterized_sql (value params) and
+    q_sql_exec_immediate (statement templating).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_idf")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp_col) AS grp,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 6) AS revenue
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:grp_col)
+        ORDER BY grp
+        """,
+        args={"tbl": "orders_idf", "grp_col": "o_orderstatus"},
+    )
+
+
+def q_sql_identifier_sql() -> str:
+    return """
+    SELECT o_orderstatus AS grp, count(*)::BIGINT AS n_orders,
+           round(sum(o_totalprice), 6) AS revenue
+    FROM orders GROUP BY 1 ORDER BY grp
+    """

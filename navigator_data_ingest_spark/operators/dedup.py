@@ -1084,3 +1084,68 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+PREFIX_LEN = 120
+
+
+def dedup_prefix_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-family near-duplicates: documents sharing the same first
+    PREFIX_LEN characters but differing afterwards — the scraped-web
+    signature of boilerplate headers, pagination series and template
+    farms that exact dedup misses (tails differ) and minhash may keep
+    (global similarity can drop below threshold).
+
+    One shuffle on the prefix hash; families materialize only where
+    the group has >=2 docs AND >=2 distinct full-text hashes (pure
+    prefix-duplicates of identical docs belong to dedup_exact).
+    Per-family output: size, distinct tails, kept doc (min id), and
+    the wasted-bytes estimate a cleanup would reclaim.
+    """
+    docs = scatter(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.expr(f"substring(text, 1, {PREFIX_LEN})")).alias("pfx_hash"),
+        F.md5("text").alias("full_hash"),
+    )
+    fam = (
+        docs.groupBy("pfx_hash")
+        .agg(
+            F.count(F.lit(1)).alias("family_size"),
+            F.countDistinct("full_hash").alias("distinct_tails"),
+            F.min("doc_id").alias("keep_doc"),
+            F.sum("n_chars").alias("family_bytes"),
+            F.min("n_chars").alias("min_bytes"),
+        )
+        .where((F.col("family_size") >= 2) & (F.col("distinct_tails") >= 2))
+    )
+    return fam.select(
+        "pfx_hash",
+        F.col("family_size").cast("bigint").alias("family_size"),
+        F.col("distinct_tails").cast("bigint").alias("distinct_tails"),
+        "keep_doc",
+        (F.col("family_bytes") - F.col("min_bytes"))
+        .cast("bigint")
+        .alias("reclaimable_bytes"),
+    ).orderBy("pfx_hash")
+
+
+def dedup_prefix_family_sql() -> str:
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, n_chars,
+               md5(substr(text, 1, {PREFIX_LEN})) AS pfx_hash,
+               md5(text) AS full_hash
+        FROM documents
+    ), fam AS (
+        SELECT pfx_hash, count(*)::BIGINT AS family_size,
+               count(DISTINCT full_hash)::BIGINT AS distinct_tails,
+               min(doc_id) AS keep_doc,
+               (sum(n_chars) - min(n_chars))::BIGINT AS reclaimable_bytes
+        FROM docs GROUP BY pfx_hash
+        HAVING count(*) >= 2 AND count(DISTINCT full_hash) >= 2
+    )
+    SELECT pfx_hash, family_size, distinct_tails, keep_doc,
+           reclaimable_bytes
+    FROM fam ORDER BY pfx_hash
+    """

@@ -5057,3 +5057,24 @@ register(
     analytics.stats_levene_sql(),
     front=True,
 )
+
+register(
+    "stats_deming_regression",
+    analytics.stats_deming_regression,
+    analytics.stats_deming_regression_sql(),
+    front=True,
+)
+
+register(
+    "q_sql_identifier",
+    analytics.q_sql_identifier,
+    analytics.q_sql_identifier_sql(),
+    front=True,
+)
+
+register(
+    "dedup_prefix_family",
+    dedup.dedup_prefix_family,
+    dedup.dedup_prefix_family_sql(),
+    front=True,
+)

@@ -179,6 +179,8 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_two_way_anova",
     # 1-row totals broadcast onto the K-row deviation table: deliberate
     "stats_levene",
+    # 1-row rounded-mean centering broadcast: deliberate
+    "stats_deming_regression",
 }
 
 
