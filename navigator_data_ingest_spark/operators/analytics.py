@@ -3039,13 +3039,22 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie group (same boundary, same delta) the prefix-sum VALUES are a
     permutation-invariant set, so peak and first-peak-time are
     deterministic even though intra-tie row order is not.
+
+    NULL rule (r4 driver fix): a NULL ``value`` defines no interval —
+    ``floor(NULL)`` would poison the end boundary and Spark's
+    NULLS-FIRST window order diverges from DuckDB's NULLS-LAST, so
+    NULL-value rows are dropped explicitly in BOTH engines.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        F.expr(
-            f"cast(floor(value * {CONC_US_PER_VALUE}) as bigint)"
-        ).alias("dur_us"),
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.expr(
+                f"cast(floor(value * {CONC_US_PER_VALUE}) as bigint)"
+            ).alias("dur_us"),
+        )
     )
     starts = ev.select(
         "event_type", F.col("us").alias("bus"), F.lit(1).alias("delta")
@@ -3096,7 +3105,7 @@ def q_events_concurrency_sql() -> str:
     WITH ev AS (
         SELECT event_type, epoch_us(ts::TIMESTAMP) AS us,
                cast(floor(value * {CONC_US_PER_VALUE}) AS BIGINT) AS dur_us
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ), bounds AS (
         SELECT event_type, us AS bus, 1 AS delta FROM ev
         UNION ALL
@@ -4416,10 +4425,19 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-corrected normal z and rank-biserial effect size are the only
     float steps. Scale: every window is either block-partitioned or
     bounded by the 1024-block table; nothing driver-side.
+
+    NULL rule (r4 driver fix): the rank-sum test is undefined for NULL
+    observations — a NULL value would get ``blk = NULL`` and be
+    silently dropped by the inner block join while the oracle still
+    counted it, so NULL-value rows are filtered explicitly in BOTH
+    engines.
     """
     ev = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("click", "purchase"))
+        .filter(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("value").isNotNull()
+        )
         .select((F.col("event_type") == F.lit("click")).alias("is_a"), "value")
     )
     vc = ev.groupBy("value").agg(
@@ -4480,7 +4498,8 @@ def stats_mann_whitney_sql() -> str:
         SELECT value,
                sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS ca,
                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS cb
-        FROM events WHERE event_type IN ('click', 'purchase')
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
         GROUP BY value
     ), cum AS (
         SELECT ca, cb,

@@ -486,12 +486,16 @@ def filter_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def filter_blocklist_sql() -> str:
+    # NULL rule: the Spark side is an ANTI join, which KEEPS rows whose
+    # key is NULL (a NULL source is unknown, not blocked) — plain
+    # NOT IN would evaluate to NULL and silently drop them, so the
+    # oracle spells the anti-join semantics out.
     blocked = ", ".join(f"'{s}'" for s in BLOCKED_SOURCES)
     return f"""
     SELECT source, count(*)::bigint AS n_docs,
            sum(n_chars)::bigint AS total_chars
     FROM documents
-    WHERE source NOT IN ({blocked})
+    WHERE source IS NULL OR source NOT IN ({blocked})
     GROUP BY source ORDER BY source
     """
 

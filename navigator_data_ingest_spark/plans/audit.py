@@ -63,6 +63,32 @@ def broadcast_join_count(df: DataFrame) -> int:
     return _node_counts(df).get("BroadcastHashJoin", 0)
 
 
+_WINDOW_ARGS = re.compile(
+    r"^\(\d+\) Window(?:GroupLimit)?\s*$(?:\n(?!\(\d+\)).*?)*?"
+    r"^Arguments: (.*)$",
+    re.MULTILINE,
+)
+
+
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Window operators whose partition spec is EMPTY (global windows).
+
+    A global window funnels every row through ONE task — fine on a
+    bounded intermediate (a <=1024-row block table, a 1-row moment row),
+    fatal on an unbounded corpus at 100 TB. The formatted-explain detail
+    of a Window node ends with ``..., [partitionCols], [orderCols]``;
+    an empty partition list shows up as ``, [], [`` in the argument
+    text. WindowGroupLimit nodes (rank-filter pushdown) carry the same
+    argument shape and count too.
+    """
+    n = 0
+    for m in _WINDOW_ARGS.finditer(formatted_plan(df)):
+        args = m.group(1)
+        if ", [], [" in args or args.startswith("[], ["):
+            n += 1
+    return n
+
+
 def exchange_count(df: DataFrame) -> int:
     """Shuffle exchanges in the plan (broadcast exchanges excluded)."""
     return _node_counts(df).get("Exchange", 0)

@@ -27,6 +27,30 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 # whole registry instead of re-certifying the same head. The full local
 # sweep (scripts/sweep.py) stays the all-query safety net.
 _DRIVER_CERTIFIED = frozenset({
+    # round 4 sample (CORRECTNESS_r04.json): 47 hash-green. The two r4
+    # hash FAILs (stats_mann_whitney, q_events_concurrency — NULL
+    # events.value divergence, fixed this round) are deliberately NOT
+    # listed so they re-enter the head-50 for re-certification;
+    # text_compression_ratio is the documented rows-only zlib op
+    # (pytest-pinned, in-query md5 self-witness) and stays certified-
+    # equivalent like sim_search_bruteforce_np.
+    "corpus_dsir_weights", "corpus_embed_pool", "corpus_knn_pseudo_label",
+    "corpus_length_buckets", "corpus_perplexity_filter",
+    "corpus_upsample_apply", "dedup_shingle_containment",
+    "emb_outlier_zscore", "emb_pca_power", "emb_random_projection",
+    "graph_kcore", "graph_label_propagation", "ingest_download_fetch",
+    "layout_hilbert", "mm_aspect_buckets", "mm_image_tiles",
+    "mm_scene_segments", "q_apply_in_arrow", "q_basket_lift",
+    "q_events_asof_nearest", "q_events_mad", "q_events_top_paths",
+    "q_events_twap", "q_map_in_arrow", "q_sql_scripting", "q_sql_udf",
+    "q_xml_roundtrip", "sink_range_sorted_write", "src_agg_pushdown",
+    "src_python_datasource_stream", "stats_anova", "stats_calibration",
+    "stats_chi_square", "stats_cusum_changepoint", "stats_ewma",
+    "stats_fdr_bh", "stats_jackknife_ci", "stats_mutual_information",
+    "stats_spearman_daily", "stats_survival_km", "stats_theil_sen",
+    "stream_bus_adapter", "stream_chained_windows", "stream_state_reader",
+    "text_bm25", "text_count_min", "text_compression_ratio",
+    "text_zipf_fit",
     # round 3 sample (CORRECTNESS_r03.json): 49 hash-green + the
     # documented rows-only sim_search_bruteforce_np (pytest-pinned)
     "cdc_scd2_lookup", "corpus_bigram_lm", "corpus_decontaminate_split",

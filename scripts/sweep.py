@@ -22,6 +22,16 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:]
 
+    if os.environ.get("SWEEP_NULL_INJECT"):
+        # robustness mode: run the whole registry on a copy of sf_dir
+        # with ~1% of every realistically-nullable column nulled (the
+        # r4 driver failures were NULL-surface divergence; see
+        # scripts/null_inject.py). Oracle views read the SAME copy, so
+        # any red row is a genuine cross-engine NULL-semantics bug.
+        from scripts.null_inject import build as _ni_build
+
+        sf_dir = _ni_build(sf_dir)
+
     if os.environ.get("SWEEP_PLAIN"):
         # the driver's view: a virgin session, none of session.py's configs
         from pyspark.sql import SparkSession
