@@ -266,11 +266,16 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     is_click = F.col("event_type") == "click"
-    click_ts = F.last(F.when(is_click, F.col("ts")), ignorenulls=True).over(w)
-    click_val = F.last(F.when(is_click, F.col("value")), ignorenulls=True).over(w)
+    # the matched click rides as ONE struct: carrying ts and value in
+    # separate last(ignorenulls) windows would TEAR the match when the
+    # latest click's value is NULL (the value window skips back to an
+    # older click while ts keeps the newest — r5 NULL-injection find)
+    click_row = F.last(
+        F.when(is_click, F.struct("ts", "value")), ignorenulls=True
+    ).over(w)
     return (
-        ev.withColumn("asof_click_ts", click_ts)
-        .withColumn("asof_click_value", F.round(click_val, 6))
+        ev.withColumn("asof_click_ts", click_row["ts"])
+        .withColumn("asof_click_value", F.round(click_row["value"], 6))
         .where(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts", "asof_click_ts", "asof_click_value")
         .orderBy("event_id")
@@ -3876,13 +3881,21 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity.
     """
     ev = load_table(spark, sf_dir, "events")
+    # nullable fields serialize as ABSENT elements (from_xml then yields
+    # NULL): plain concat is NULL-propagating and would erase the whole
+    # row — including its id — the moment one field is NULL
+    def _opt(tag: str, col):
+        return F.coalesce(
+            F.concat(F.lit(f"<{tag}>"), col, F.lit(f"</{tag}>")), F.lit("")
+        )
+
     xml = F.concat(
         F.lit("<e><id>"), F.col("event_id").cast("string"),
         F.lit("</id><u>"), F.col("user_id").cast("string"),
-        F.lit("</u><t>"), F.col("event_type"),
-        F.lit("</t><v>"),
-        F.expr("cast(floor(value * 100 + 0.5) as bigint)").cast("string"),
-        F.lit("</v></e>"),
+        F.lit("</u>"),
+        _opt("t", F.col("event_type")),
+        _opt("v", F.expr("cast(floor(value * 100 + 0.5) as bigint)").cast("string")),
+        F.lit("</e>"),
     )
     parsed = ev.select(
         F.from_xml(xml, "id BIGINT, u BIGINT, t STRING, v BIGINT").alias("x")
@@ -4118,13 +4131,16 @@ def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("steps")
         )
         .select(
+            # NULL steps render as an explicit '(null)' token: array_join
+            # SKIPS null elements (silently shortening the path) while
+            # SQL string-joins propagate NULL — both wrong for a Sankey
             F.when(
                 F.size("steps") > PATH_MAX_LEN,
                 F.concat(
                     F.array_join(
                         F.expr(
                             f"transform(slice(steps, 1, {PATH_MAX_LEN}),"
-                            " s -> s.event_type)"
+                            " s -> coalesce(s.event_type, '(null)'))"
                         ),
                         ">",
                     ),
@@ -4133,7 +4149,10 @@ def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(
                 F.array_join(
-                    F.expr("transform(steps, s -> s.event_type)"), ">"
+                    F.expr(
+                        "transform(steps, s -> coalesce(s.event_type, '(null)'))"
+                    ),
+                    ">",
                 )
             )
             .alias("path"),
@@ -4186,7 +4205,7 @@ def q_events_top_paths_sql() -> str:
                list_transform(
                    list_sort(list(struct_pack(us := us, eid := event_id,
                                               et := event_type))),
-                   x -> x.et) AS types
+                   x -> coalesce(x.et, '(null)')) AS types
         FROM s GROUP BY user_id, sess_id
     ), ps AS (
         SELECT CASE WHEN len(types) > {PATH_MAX_LEN}
@@ -6297,11 +6316,21 @@ def stats_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential) sums. Integers/moments until the final F ratios, which
     round at 2 dp (squared-sum amplification, the stats_jarque_bera
     rule).
+
+    NULL rule: an observation with a NULL factor level or NULL value is
+    not a valid ANOVA observation — without the filter, Spark's inner
+    margin join drops the NULL-type cells that the oracle's GROUP BY
+    keeps (r5 NULL-injection find), and count(*) vs sum-skips-NULL
+    makes the cell moments internally inconsistent.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
-        "value",
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            "value",
+        )
     )
     cells = ev.groupBy("event_type", "dow").agg(
         F.count(F.lit(1)).alias("n"),
@@ -6374,7 +6403,9 @@ def stats_two_way_anova_sql() -> str:
         SELECT event_type, dayofweek(ts::TIMESTAMP)::INT AS dow,
                count(*)::BIGINT AS n, sum(value) AS s,
                sum(value * value) AS q
-        FROM events GROUP BY 1, 2
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2
     ), tot AS (
         SELECT sum(n)::BIGINT AS nt, sum(s) AS st, sum(q) AS qt,
                count(*)::BIGINT AS nc,

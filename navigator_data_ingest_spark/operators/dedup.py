@@ -857,8 +857,15 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.where(F.col("doc_id") % BLOOM_HIST_MOD != 0).select(
         "doc_id", "h", *[F.expr(probes[j]).alias(f"p{j}") for j in range(BLOOM_K)]
     )
-    flagged_col = F.expr(
-        " AND ".join(f"array_contains(bloom, p{j})" for j in range(BLOOM_K))
+    # coalesce(false): a NULL text has a NULL content hash, hence NULL
+    # probe positions — it cannot be a duplicate of anything, and a NULL
+    # flag would drop the row from BOTH where() branches below (the
+    # r5 NULL-injection row-count find)
+    flagged_col = F.coalesce(
+        F.expr(
+            " AND ".join(f"array_contains(bloom, p{j})" for j in range(BLOOM_K))
+        ),
+        F.lit(False),
     )
     screened = new.join(F.broadcast(bloom)).withColumn("flagged", flagged_col)
     hist_md5 = hist.select("h").distinct().withColumn("is_dup", F.lit(True))
@@ -906,8 +913,12 @@ def dedup_bloom_sql() -> str:
     )
     SELECT doc_id,
            nhit = {BLOOM_K} AS flagged,
-           (nhit = {BLOOM_K}) AND h IN (SELECT h FROM hist) AS is_dup,
-           (nhit = {BLOOM_K}) AND h NOT IN (SELECT h FROM hist)
+           -- the IN-subquery excludes NULL hashes: one NULL-text hist
+           -- doc would otherwise turn every non-match into NULL
+           -- (x IN (..., NULL) = NULL), not false
+           (nhit = {BLOOM_K}) AND h IN (SELECT h FROM hist WHERE h IS NOT NULL)
+               AS is_dup,
+           (nhit = {BLOOM_K}) AND h NOT IN (SELECT h FROM hist WHERE h IS NOT NULL)
                AS false_positive
     FROM hits ORDER BY doc_id
     """
@@ -968,7 +979,13 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            (inter.cast("double") / union.cast("double")).alias("_j"),
+            # try_divide: two empty shingle sets give union=0 and ANSI
+            # double 0/0 RAISES; NULL jaccard (= DuckDB's x/0) is then
+            # dropped by the threshold filter — an empty/NULL doc pair
+            # is not a near-dup observation
+            F.try_divide(inter.cast("double"), union.cast("double")).alias(
+                "_j"
+            ),
         )
         .where(F.col("_j") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")

@@ -386,7 +386,7 @@ def sim_search_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame:
         _score, schema="query_id bigint, vec_id bigint, cos double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
+    ranked = (
         local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
         .select(
@@ -394,7 +394,15 @@ def sim_search_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cos_sim"),
             F.col("rank").cast("int").alias("rank"),
         )
-        .orderBy("query_id", "rank")
+    )
+    # in-query value witness over the INTEGER identity columns (the
+    # float score column is summarized by rank, which is order-exact):
+    # the driver's rows-only check carries this corpus checksum in the
+    # rows; pytest pins it against the fold-exact twin
+    from navigator_data_ingest_spark.functions.witness import corpus_witness
+
+    return corpus_witness(ranked, "query_id", "vec_id", "rank").orderBy(
+        "query_id", "rank"
     )
 
 

@@ -306,7 +306,21 @@ def _fit_group(pdf):
 
     x = pdf["x"].to_numpy(dtype=np.float64)
     y = pdf["y"].to_numpy(dtype=np.float64)
+    # regression-pair semantics (SQL regr_*): a pair with a NULL side is
+    # not an observation — one NaN would otherwise poison every moment
+    mask = ~(np.isnan(x) | np.isnan(y))
+    x, y = x[mask], y[mask]
     n = len(x)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n": [0],
+                "slope": [None],
+                "intercept": [None],
+                "r2": [None],
+            }
+        )
     mx, my = x.mean(), y.mean()
     sxx = ((x - mx) ** 2).sum()
     sxy = ((x - mx) * (y - my)).sum()
@@ -591,7 +605,10 @@ def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     def _vowel_runs(s):
-        return s.str.lower().str.count(r"[aeiou]+").astype("int32")
+        # nullable Int32 (capital I): NULL text stays NULL in the output
+        # (plain int32 raises IntCastingNaNError on NaN), matching the
+        # oracle's len(regexp_extract_all(NULL, ...)) -> NULL
+        return s.str.lower().str.count(r"[aeiou]+").astype("Int32")
 
     # this module uses `from __future__ import annotations`, which turns
     # inline hints into strings pandas_udf can't inspect — attach real
@@ -686,11 +703,17 @@ def q_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         chars = pc.cast(pc.utf8_length(text), pa.int64())
         return pa.table(
             {
-                "lang": [table.column("lang")[0].as_py()],
-                "source": [table.column("source")[0].as_py()],
+                # explicit string type: a NULL group key would otherwise
+                # infer pa.null() and fail the result-schema check
+                "lang": pa.array([table.column("lang")[0].as_py()], pa.string()),
+                "source": pa.array(
+                    [table.column("source")[0].as_py()], pa.string()
+                ),
                 "n_docs": pa.array([table.num_rows], pa.int64()),
-                "total_chars": pa.array([pc.sum(chars).as_py() or 0], pa.int64()),
-                "max_chars": pa.array([pc.max(chars).as_py() or 0], pa.int64()),
+                # no `or 0` fallback: SQL sum/max over an all-NULL group
+                # is NULL, and pc.sum/pc.max skip nulls identically
+                "total_chars": pa.array([pc.sum(chars).as_py()], pa.int64()),
+                "max_chars": pa.array([pc.max(chars).as_py()], pa.int64()),
                 "min_doc_id": pa.array(
                     [pc.min(table.column("doc_id")).as_py()], pa.int64()
                 ),
@@ -871,7 +894,15 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, n_bytes bigint, n_compressed bigint, "
         "compression_ratio double, is_low_entropy boolean"
     )
-    return docs.mapInPandas(_score, schema=schema).orderBy("doc_id")
+    scored = docs.mapInPandas(_score, schema=schema)
+    # in-query value witness: the driver's rows-only check carries a
+    # corpus-level checksum IN the rows (functions/witness.py); pytest
+    # pins it against direct zlib at the test SFs
+    from navigator_data_ingest_spark.functions.witness import corpus_witness
+
+    return corpus_witness(
+        scored, "doc_id", "n_bytes", "n_compressed", "is_low_entropy"
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------

@@ -1368,12 +1368,15 @@ register(
     multimodal.mm_decode_flat,
     f"""
     WITH base AS (
+        -- NULL rule: a NULL text is an EMPTY payload (the decode stub's
+        -- `payload if payload else b""`), so n_bytes=0 and the feature
+        -- digest is md5('') — never NULL
         SELECT doc_id,
                (['image', 'audio', 'video'])[1 + doc_id % 3] AS modality,
-               octet_length(encode(text)) AS n_bytes,
+               octet_length(encode(coalesce(text, ''))) AS n_bytes,
                (128 + doc_id % 1920)::int AS w,
                (128 + (doc_id * 7) % 1080)::int AS h,
-               md5(text) AS d
+               md5(coalesce(text, '')) AS d
         FROM documents
     ), fmt AS (
         SELECT *,
@@ -1743,7 +1746,7 @@ register(
                length(text)::double AS y
         FROM documents
     )
-    SELECT lang, count(*)::bigint AS n,
+    SELECT lang, regr_count(y, x)::bigint AS n,
            round(regr_slope(y, x), 6) AS slope,
            round(regr_intercept(y, x), 6) AS intercept,
            round(regr_r2(y, x), 6) AS r2
@@ -2367,7 +2370,8 @@ register(
     )
     SELECT doc_id, i::int AS frame_idx,
            round(dur * i / n, 6) AS frame_ts,
-           round(cast(('0x' || substring(md5(text || ':' || i::varchar), 1, 4))
+           -- NULL text == empty payload (decode-stub rule), never NULL
+           round(cast(('0x' || substring(md5(coalesce(text, '') || ':' || i::varchar), 1, 4))
                       AS BIGINT) / 65535.0, 6) AS f0
     FROM vids, range(0, 4) t(i)
     WHERE i < n
@@ -2766,7 +2770,7 @@ register(
     SELECT window_start, event_type, n_events, sum_value, rank FROM (
         SELECT *, row_number() OVER (
                    PARTITION BY window_start
-                   ORDER BY n_events DESC, event_type ASC)::int AS rank
+                   ORDER BY n_events DESC, event_type ASC NULLS LAST)::int AS rank
         FROM agg
     ) r
     WHERE rank <= 3
@@ -3534,7 +3538,9 @@ register(
     """
     SELECT user_id,
            count(*)::bigint AS n_events,
-           sum(floor(value * 100 + 0.5))::bigint AS cents
+           -- coalesce(0): the streaming counter starts at 0 and NULL
+           -- values add nothing, so an all-NULL key reads 0, not NULL
+           coalesce(sum(floor(value * 100 + 0.5)), 0)::bigint AS cents
     FROM events GROUP BY user_id ORDER BY user_id
     """,
     front=True,
@@ -4011,7 +4017,8 @@ register(
     f"""
     WITH u AS (
         SELECT user_id, count(*)::bigint AS n_events,
-               sum(floor(value * 100 + 0.5))::bigint AS cents,
+               -- coalesce(0): counter semantics, NULL values add nothing
+               coalesce(sum(floor(value * 100 + 0.5)), 0)::bigint AS cents,
                max(epoch_us(ts::TIMESTAMP))::bigint AS last_us
         FROM events GROUP BY user_id
     ), wm AS (

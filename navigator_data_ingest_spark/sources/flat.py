@@ -240,7 +240,15 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     except OSError:
         cache_key = sf_dir
     out = sink_path("binfiles", cache_key)
-    media = multimodal_table(spark, sf_dir).select("doc_id", "media")
+    # only non-empty payloads export: Spark's binaryFile reader SKIPS
+    # 0-byte files at split planning, so a NULL/empty media doc can
+    # never round-trip — the operator's contract is "one object per
+    # non-empty asset" (r5 NULL-injection find, pinned in the oracle)
+    media = (
+        multimodal_table(spark, sf_dir)
+        .select("doc_id", "media")
+        .where(F.length("media") > 0)
+    )
     expected = media.count()
     have = (
         len([f for f in os.listdir(out) if f.endswith(".bin")])
@@ -259,7 +267,9 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             for pdf in batches:
                 for did, payload in zip(pdf["doc_id"], pdf["media"]):
                     with open(os.path.join(out, f"doc{did}.bin"), "wb") as fh:
-                        fh.write(bytes(payload))
+                        # NULL media == empty object (decode-stub rule):
+                        # the asset exists, its payload is 0 bytes
+                        fh.write(bytes(payload) if payload is not None else b"")
                     n += 1
             yield pd.DataFrame({"n": [n]})
 
@@ -283,11 +293,13 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def src_binary_files_sql() -> str:
+    # only non-empty payloads round-trip (binaryFile skips 0-byte files)
     return """
     SELECT doc_id,
            octet_length(encode(text))::bigint AS n_bytes,
            md5(text) AS payload_md5
     FROM documents
+    WHERE text IS NOT NULL AND length(text) > 0
     ORDER BY doc_id
     """
 

@@ -528,8 +528,10 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events", "sum_value")
     )
     drained = _run_to_memory(agg, _qname("stream_topk", sf_dir), "update")
+    # asc_nulls_last pins the NULL event_type group's rank position:
+    # Spark ASC is NULLS FIRST, DuckDB ASC is NULLS LAST (r5 injection)
     w = Window.partitionBy("window_start").orderBy(
-        F.desc("n_events"), F.asc("event_type")
+        F.desc("n_events"), F.asc_nulls_last("event_type")
     )
     return (
         drained.withColumn("rank", F.row_number().over(w))
@@ -891,10 +893,11 @@ class _RunningTotalsProcessor:
             n, cents = self._totals.get()
         for pdf in rows:
             n += len(pdf)
-            # half-up integer cents — the house rounding (floor(x*100+.5))
-            cents += int(
-                np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).sum()
-            )
+            # half-up integer cents — the house rounding (floor(x*100+.5));
+            # dropna = SQL sum semantics (a NULL value adds nothing; NaN
+            # would poison the whole running total)
+            v = pdf["value"].dropna().to_numpy()
+            cents += int(np.floor(v * 100.0 + 0.5).sum())
         self._totals.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "cents": [cents]}
@@ -925,7 +928,9 @@ def _totals_fallback_fn(key, batches, state):
     n, cents = state.get if state.exists else (0, 0)
     for pdf in batches:
         n += len(pdf)
-        cents += int(np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).sum())
+        # dropna = SQL sum semantics (see _RunningTotalsProcessor)
+        v = pdf["value"].dropna().to_numpy()
+        cents += int(np.floor(v * 100.0 + 0.5).sum())
     state.update((n, cents))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "cents": [cents]})
 
@@ -1032,7 +1037,13 @@ def stream_multiplex_router(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .parquet(os.path.join(root, f"route={t}"))
                 )
             (
-                b.where(~F.col("event_type").isin(*ROUTER_TYPES))
+                # NULL event_type routes to the catch-all too: bare
+                # ~isin() is NULL for NULL keys and would LOSE the event
+                # (the router's contract is partition-completeness)
+                b.where(
+                    ~F.col("event_type").isin(*ROUTER_TYPES)
+                    | F.col("event_type").isNull()
+                )
                 .write.mode("append")
                 .parquet(os.path.join(root, "route=other"))
             )
@@ -1128,7 +1139,9 @@ def _timeout_totals_fn(key, batches, state):
     n, cents, last_us = state.get if state.exists else (0, 0, 0)
     for pdf in batches:
         n += len(pdf)
-        cents += int(np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).sum())
+        # dropna = SQL sum semantics (see _RunningTotalsProcessor)
+        v = pdf["value"].dropna().to_numpy()
+        cents += int(np.floor(v * 100.0 + 0.5).sum())
         # pandas datetime64 -> epoch micros
         us = (pdf["ts"].astype("int64") // 1000).max()
         last_us = max(last_us, int(us))

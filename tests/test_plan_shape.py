@@ -181,6 +181,10 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_levene",
     # 1-row rounded-mean centering broadcast: deliberate
     "stats_deming_regression",
+    # 1-row corpus-witness checksum broadcast (functions/witness.py):
+    # the rows-only ops carry their value fingerprint in-query
+    "text_compression_ratio",
+    "sim_search_bruteforce_np",
 }
 
 
