@@ -999,14 +999,25 @@ def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ROLLUP is covered by q_orders_rollup; CUBE completes the family.)
     """
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        # integer-cents BEFORE the grand-total sum: the all-rows cube
+        # cell sums ~3.2e9 of price, where the double ULP (~1e-6)
+        # swallows the 6th decimal — round(sum(double), 6) there is
+        # summation-order noise (caught by the shuffled-row probe r5).
+        # Exact bigint cents keep every cell deterministic in both
+        # engines; /100.0 of an exact integer is one deterministic fp op.
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
     )
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().cast("int").alias("gid"),
             _r(F.sum("l_quantity"), "sum_qty"),
-            _r(F.sum("l_extendedprice"), "sum_price"),
+            F.round(F.sum("price_cents") / 100.0, 6).alias("sum_price"),
             F.count(F.lit(1)).alias("n_lines"),
         )
         .orderBy("gid", "l_returnflag", "l_linestatus")

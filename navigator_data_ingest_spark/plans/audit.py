@@ -75,17 +75,21 @@ def unpartitioned_window_count(df: DataFrame) -> int:
 
     A global window funnels every row through ONE task — fine on a
     bounded intermediate (a <=1024-row block table, a 1-row moment row),
-    fatal on an unbounded corpus at 100 TB. The formatted-explain detail
-    of a Window node ends with ``..., [partitionCols], [orderCols]``;
-    an empty partition list shows up as ``, [], [`` in the argument
-    text. WindowGroupLimit nodes (rank-filter pushdown) carry the same
-    argument shape and count too.
+    fatal on an unbounded corpus at 100 TB. The formatted-explain
+    ``Arguments:`` line renders as top-level bracket groups and OMITS an
+    empty partition list: ``[defs], [partition], [order]`` when
+    partitioned+ordered, ``[defs], [partition]`` when partitioned only,
+    but ``[defs], [order …ASC/DESC…]`` when GLOBAL — so a window is
+    global iff there are exactly two groups and the last one is an
+    order spec (carries ASC/DESC), or only the defs group exists.
     """
     n = 0
     for m in _WINDOW_ARGS.finditer(formatted_plan(df)):
-        args = m.group(1)
-        if ", [], [" in args or args.startswith("[], ["):
-            n += 1
+        groups = re.split(r"\], \[", m.group(1).strip())
+        if len(groups) < 2:
+            n += 1  # no partition, no order
+        elif len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[1]):
+            n += 1  # second group is the ORDER spec: partition absent
     return n
 
 

@@ -2190,7 +2190,9 @@ register(
     SELECT l_returnflag, l_linestatus,
            GROUPING(l_returnflag, l_linestatus)::int AS gid,
            round(sum(l_quantity), 6) AS sum_qty,
-           round(sum(l_extendedprice), 6) AS sum_price,
+           -- exact integer cents (order-proof; see q_cube_pricing)
+           round(sum(round(l_extendedprice * 100)::BIGINT) / 100.0, 6)
+               AS sum_price,
            count(*)::bigint AS n_lines
     FROM lineitem
     GROUP BY CUBE(l_returnflag, l_linestatus)

@@ -542,12 +542,12 @@ def src_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB pipeline threads through quarantine, replay, and
     incremental-compaction decisions instead of parsing paths.
 
-    The audit aggregates prove the semantics exactly: row_index is
-    contiguous 0-based per file (min/max/sum match the closed forms),
-    the file name matches the scanned table, and physical row order
-    equals doc_id order (a DOCUMENTED property of the generated
-    testdata, independently confirmed via DuckDB's file_row_number;
-    the oracle replays the closed forms from the row count).
+    The audit aggregates prove the semantics exactly and are
+    PERMUTATION-INVARIANT (certified under the shuffled-row fixture
+    too): row_index covers exactly the set {0..n-1} per file
+    (min/max/sum/countDistinct match the closed forms — no assumption
+    that physical order tracks doc_id), and the file name/size columns
+    match the scanned table.
     """
     df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id",
@@ -565,9 +565,7 @@ def src_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ri").cast("bigint").alias("min_ri"),
         F.max("ri").cast("bigint").alias("max_ri"),
         F.sum("ri").cast("bigint").alias("sum_ri"),
-        F.sum((F.col("doc_id") != F.col("ri")).cast("int"))
-        .cast("bigint")
-        .alias("n_order_mismatch"),
+        F.countDistinct("ri").cast("bigint").alias("n_ri_distinct"),
     )
 
 
@@ -580,7 +578,7 @@ def src_file_metadata_sql() -> str:
            0::BIGINT AS min_ri,
            (count(*) - 1)::BIGINT AS max_ri,
            (count(*) * (count(*) - 1) / 2)::BIGINT AS sum_ri,
-           0::BIGINT AS n_order_mismatch
+           count(*)::BIGINT AS n_ri_distinct
     FROM documents
     """
 

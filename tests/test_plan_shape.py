@@ -196,6 +196,55 @@ def test_no_accidental_cartesian_products(spark, name):
     assert audit.cartesian_products == 0, f"{name} plans a cartesian product"
 
 
+# Every query allowed to plan an UNPARTITIONED (global) window. A global
+# window single-tasks its input, so each entry here must sit on a
+# BOUNDED intermediate — block tables (<=1024 rows by construction),
+# day/calendar grains, nation/label dimensions, top-N-limited results,
+# or the bounded query stripe — never the raw corpus. Audited via
+# scripts/window_audit.py (r5); a NEW query that plans a global window
+# fails test_global_windows_are_allowlisted until it is justified here.
+_BOUNDED_GLOBAL_WINDOW_OK = {
+    # 1024-block prefix-sum block tables
+    "stats_mann_whitney", "pack_sequences", "corpus_token_budget",
+    "sample_cap_per_source", "corpus_sample_exact_k", "mm_aspect_buckets",
+    "q_orders_skyline",
+    # day/period calendar grain (bounded by the time dimension)
+    "stats_runs_test", "stats_seasonal_decompose", "stats_var_cvar",
+    "stats_spectral_peak", "stats_control_chart", "stats_moving_median",
+    "stats_spearman_daily", "stats_benford", "stats_lorenz_deciles",
+    "stats_survival_km", "corpus_bigram_lm", "text_zipf_fit",
+    # nation/label/brand-bounded hypothesis or rank tables
+    "stats_fdr_bh", "q_top_customers", "q2_min_cost_supplier",
+    "emb_label_purity",
+    # bounded query stripe / K-centroid / codebook tables (similarity)
+    "sim_search_bruteforce", "sim_search_bruteforce_np", "sim_search_lsh",
+    "sim_search_ivf", "sim_search_pq_adc", "sim_search_recall_report",
+    "emb_pq", "emb_matryoshka", "emb_binary_hamming",
+    "corpus_knn_pseudo_label",
+    # top-N-limited results (window AFTER sort+limit)
+    "q_events_top_paths",
+    # bounded vocab/update-batch intermediates
+    "text_tfidf", "cdc_upsert", "q_lateral_join_api",
+}
+
+
+def test_global_windows_are_allowlisted(spark):
+    from navigator_data_ingest_spark.plans.audit import (
+        unpartitioned_window_count,
+    )
+
+    offenders = {}
+    for name in _PLAN_ONLY:
+        n = unpartitioned_window_count(_Q[name](spark, SF_CORRECT))
+        if n and name not in _BOUNDED_GLOBAL_WINDOW_OK:
+            offenders[name] = n
+    assert not offenders, (
+        f"unallowlisted GLOBAL windows (single-task at scale): {offenders}; "
+        "either partition the window or document the bounded intermediate "
+        "in _BOUNDED_GLOBAL_WINDOW_OK"
+    )
+
+
 def test_dedup_lsh_joins_are_bucketed_equijoins(spark):
     """The LSH pair-join must hash-join on (band_id, band_hash)."""
     audit = plan_audit(_Q["dedup_minhash_lsh"](spark, SF_CORRECT))
