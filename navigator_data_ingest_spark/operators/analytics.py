@@ -5783,19 +5783,29 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     EQUIJOIN (each purchase probes its day and the previous day — a
     2-row metadata explode) with the Δt window as a post-join filter —
     the q_events_range_join discipline, never an unbounded per-user
-    cross join. Per-purchase touch counts are one grouped agg; credit
-    arithmetic uses exact integer epoch seconds and rounds once.
+    cross join. The CLICK side first collapses to distinct
+    (user, second, hour) grain with a multiplicity count (the
+    Mann-Whitney distinct-value discipline): identical clicks pair
+    ONCE and re-expand by count in the aggregates, so the candidate
+    pair set stays flat under duplicate explosion (100x-dup probe:
+    2.5x -> ~1x). Per-purchase touch counts are one grouped agg;
+    credit arithmetic uses exact integer epoch seconds and rounds
+    once.
     """
     ep = (
         "datediff(cast(ts as date), date'1970-01-01') * 86400"
         " + hour(ts) * 3600 + minute(ts) * 60 + floor(second(ts))"
     )
     ev = load_table(spark, sf_dir, "events")
-    clicks = ev.where("event_type = 'click'").selectExpr(
-        "user_id",
-        f"cast({ep} as bigint) AS cs",
-        "event_id AS click_id",
-        "hour(ts) AS click_hour",
+    clicks = (
+        ev.where("event_type = 'click'")
+        .selectExpr(
+            "user_id",
+            f"cast({ep} as bigint) AS cs",
+            "hour(ts) AS click_hour",
+        )
+        .groupBy("user_id", "cs", "click_hour")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     purch = ev.where("event_type = 'purchase'").selectExpr(
         "user_id",
@@ -5812,16 +5822,16 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cs") < F.col("ps")) & (F.col("cs") >= F.col("ps") - lb)
     )
     touches = pairs.groupBy("purchase_id").agg(
-        F.count(F.lit(1)).alias("n_touch")
+        F.sum("cnt").alias("n_touch")
     )
     credited = (
         pairs.join(touches, "purchase_id")
         .groupBy("click_hour")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
-            F.round(F.sum(F.col("value") / F.col("n_touch")), 6).alias(
-                "credited_value"
-            ),
+            F.sum("cnt").cast("bigint").alias("n_credits"),
+            F.round(
+                F.sum(F.col("value") / F.col("n_touch") * F.col("cnt")), 6
+            ).alias("credited_value"),
         )
     )
     return credited.orderBy("click_hour")

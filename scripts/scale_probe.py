@@ -62,8 +62,22 @@ def build_fixture() -> None:
               FROM '{SRC}/embeddings.parquet',
                    generate_series(0, {REPLICAS - 1}) g(k))
         TO '{DST}/embeddings.parquet' (FORMAT parquet)""")
-    for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events"]:
+    plain = ["region", "nation", "customer", "supplier", "part",
+             "orders", "lineitem", "events"]
+    if os.environ.get("PROBE_EVENTS"):
+        # events duplicate explosion: same ts/user/type/value, renumbered
+        # ids — the adversarial case for time-window PAIRING operators
+        # (attribution, frontier scheduling, rank statistics): every
+        # duplicated click meets every duplicated purchase in the same
+        # bucket, so candidate pairs grow ~REPLICAS^2 per group
+        plain.remove("events")
+        con.execute(f"""
+            COPY (SELECT (event_id * {REPLICAS} + g.k) AS event_id,
+                         ts, user_id, event_type, value, props
+                  FROM '{SRC}/events.parquet',
+                       generate_series(0, {REPLICAS - 1}) g(k))
+            TO '{DST}/events.parquet' (FORMAT parquet)""")
+    for t in plain:
         shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
 
 
