@@ -69,6 +69,13 @@ HEADLINE = [
     "corpus_perplexity_filter",
     "text_zipf_fit",
     "emb_pca_power",
+    # round-5 widening: K-group rank test, term burstiness, neighbor-
+    # graph hubness, voice-activity segmentation, inter-arrival profile
+    "stats_kruskal_wallis",
+    "text_burstiness",
+    "emb_hubness",
+    "mm_audio_vad_segments",
+    "q_events_inter_arrival",
 ]
 
 

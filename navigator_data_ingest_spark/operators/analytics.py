@@ -6635,3 +6635,436 @@ def q_sql_identifier_sql() -> str:
            round(sum(o_totalprice), 6) AS revenue
     FROM orders GROUP BY 1 ORDER BY grp
     """
+
+
+# --------------------------------------------------------------------------
+# round-5 batch: K-group rank test / rank correlation / categorical effect
+# size / inter-arrival profile / error-safe arithmetic surface
+# --------------------------------------------------------------------------
+
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H: do event values differ across ALL event types?
+    The K-group generalization of stats_mann_whitney, sharing its scale
+    discipline exactly: the corpus collapses to DISTINCT-VALUE counts in
+    one shuffle (duplicate explosion invisible), the cumulative
+    below-count comes from the two-level range-bucketed prefix sum
+    (1024 blocks off a 1-row min/max broadcast), and the per-group rank
+    sums R_j are exact multiples of 0.5 (avg tie rank = below + (c+1)/2),
+    so H's inputs are bit-identical in both engines; tie correction from
+    exact integer Σ(c³−c).
+
+    NULL rule: rank tests are undefined for NULL observations — NULL
+    value or NULL type rows are dropped in BOTH engines.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "value")
+    )
+    tv = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("cg"))
+    vc = tv.groupBy("value").agg(F.sum("cg").alias("c"))
+    rng = vc.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    b = vc.crossJoin(F.broadcast(rng)).withColumn(
+        "blk",
+        F.least(
+            F.lit(1023),
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                / (F.col("mx") - F.col("mn") + F.lit(1e-9))
+                * 1024
+            ),
+        ),
+    )
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = b.withColumn("cum_in", F.coalesce(F.sum("c").over(w_in), F.lit(0)))
+    bt = b.groupBy("blk").agg(F.sum("c").alias("blk_c"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    bt = bt.withColumn("off", F.coalesce(F.sum("blk_c").over(w_blk), F.lit(0)))
+    ranked = b.join(F.broadcast(bt.select("blk", "off")), "blk").select(
+        "value",
+        "c",
+        # avg tie rank: exact multiple of 0.5
+        (
+            (F.col("off") + F.col("cum_in")).cast("double")
+            + (F.col("c").cast("double") + 1.0) / 2.0
+        ).alias("avg_rank"),
+    )
+    grp = (
+        tv.join(ranked.select("value", "avg_rank"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cg").alias("n_j"),
+            F.sum(F.col("cg").cast("double") * F.col("avg_rank")).alias("r_j"),
+        )
+    )
+    ties = vc.agg(
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("tie3")
+    )
+    agg = grp.agg(
+        F.sum("n_j").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.expr("r_j * r_j / cast(n_j as double)")).alias("s_rr"),
+    ).crossJoin(F.broadcast(ties))
+    h_raw = "(12.0 / (n * (n + 1.0)) * s_rr - 3.0 * (n + 1.0))"
+    corr = "(1.0 - tie3 / cast(n * n * n - n as double))"
+    return agg.selectExpr(
+        "cast(n as bigint) AS n_obs",
+        "cast(k as bigint) AS k_groups",
+        f"round({h_raw}, 6) AS h_uncorrected",
+        f"round({h_raw} / {corr}, 6) AS h_stat",
+    )
+
+
+def stats_kruskal_wallis_sql() -> str:
+    h_raw = "(12.0 / (n * (n + 1.0)) * s_rr - 3.0 * (n + 1.0))"
+    corr = "(1.0 - tie3 / cast(n * n * n - n AS DOUBLE))"
+    return f"""
+    WITH ev AS (
+        SELECT event_type, value FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), tv AS (
+        SELECT event_type, value, count(*)::BIGINT AS cg
+        FROM ev GROUP BY 1, 2
+    ), vc AS (
+        SELECT value, sum(cg)::BIGINT AS c FROM tv GROUP BY 1
+    ), ranked AS (
+        SELECT value, c,
+               coalesce(sum(c) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE
+               + (c::DOUBLE + 1.0) / 2.0 AS avg_rank
+        FROM vc
+    ), grp AS (
+        SELECT event_type, sum(cg)::BIGINT AS n_j,
+               sum(cg::DOUBLE * avg_rank) AS r_j
+        FROM tv JOIN ranked USING (value)
+        GROUP BY event_type
+    ), ties AS (
+        SELECT sum(c * c * c - c)::BIGINT AS tie3 FROM vc
+    ), agg AS (
+        SELECT sum(n_j)::BIGINT AS n, count(*)::BIGINT AS k,
+               sum(r_j * r_j / n_j::DOUBLE) AS s_rr
+        FROM grp
+    )
+    SELECT n AS n_obs, k AS k_groups,
+           round({h_raw}, 6) AS h_uncorrected,
+           round({h_raw} / {corr}, 6) AS h_stat
+    FROM agg CROSS JOIN ties
+    """
+
+
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between daily order volume and daily revenue —
+    the concordance-based sibling of stats_spearman_daily (robust to
+    monotone transforms, different tie treatment). The fact table
+    collapses to the DAYS-bounded calendar grain first (one shuffle);
+    the O(D²) day-pair comparison runs on that bounded dimension (a
+    deliberate non-equi self-join — ~2.4k days a decade, 3M pairs,
+    metadata-scale at any corpus size). Revenue compares on exact
+    integer cents; concordant/discordant/tie counts stay integers until
+    the final ratio, which both engines evaluate from identical inputs.
+    """
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y"),
+        )
+    )
+    a = d.select(
+        F.col("o_orderdate").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    bb = d.select(
+        F.col("o_orderdate").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = a.join(bb, F.col("da") < F.col("db"))
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(
+            (
+                ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+                | ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb")))
+            ).cast("bigint")
+        ).alias("nc"),
+        F.sum(
+            (
+                ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+                | ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb")))
+            ).cast("bigint")
+        ).alias("nd"),
+        F.sum(
+            ((F.col("xa") == F.col("xb")) & (F.col("ya") != F.col("yb"))).cast(
+                "bigint"
+            )
+        ).alias("tx"),
+        F.sum(
+            ((F.col("ya") == F.col("yb")) & (F.col("xa") != F.col("xb"))).cast(
+                "bigint"
+            )
+        ).alias("ty"),
+        F.sum(
+            ((F.col("xa") == F.col("xb")) & (F.col("ya") == F.col("yb"))).cast(
+                "bigint"
+            )
+        ).alias("txy"),
+    )
+    tau = (
+        "(nc - nd) / sqrt((n0 - (tx + txy)) * cast(n0 - (ty + txy) as double))"
+    )
+    return agg.selectExpr(
+        "n0 AS n_pairs",
+        "nc AS n_concordant",
+        "nd AS n_discordant",
+        f"round({tau}, 6) AS tau_b",
+    )
+
+
+def stats_kendall_tau_sql() -> str:
+    tau = "(nc - nd) / sqrt((n0 - (tx + txy)) * cast(n0 - (ty + txy) AS DOUBLE))"
+    return f"""
+    WITH d AS (
+        SELECT o_orderdate, count(*)::BIGINT AS x,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+        FROM orders GROUP BY 1
+    ), agg AS (
+        SELECT count(*)::BIGINT AS n0,
+               sum(((a.x < b.x AND a.y < b.y) OR (a.x > b.x AND a.y > b.y))::INT)::BIGINT AS nc,
+               sum(((a.x < b.x AND a.y > b.y) OR (a.x > b.x AND a.y < b.y))::INT)::BIGINT AS nd,
+               sum((a.x = b.x AND a.y <> b.y)::INT)::BIGINT AS tx,
+               sum((a.y = b.y AND a.x <> b.x)::INT)::BIGINT AS ty,
+               sum((a.x = b.x AND a.y = b.y)::INT)::BIGINT AS txy
+        FROM d a JOIN d b ON a.o_orderdate < b.o_orderdate
+    )
+    SELECT n0 AS n_pairs, nc AS n_concordant, nd AS n_discordant,
+           round({tau}, 6) AS tau_b
+    FROM agg
+    """
+
+
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V (+ the Bergsma bias-corrected variant) for the
+    o_orderpriority × o_orderstatus contingency — the EFFECT SIZE next
+    to stats_chi_square's significance: how strong is the association,
+    on a 0-1 scale comparable across table shapes.
+
+    Same bounded-grid discipline: one fact shuffle to cells, margins
+    and χ² by re-aggregating the |priorities|×|statuses| cell table
+    (dense grid so zero cells contribute), integers until the final
+    ratios, which both engines compute from identical inputs.
+
+    NULL rule: rows with a NULL level in either factor are excluded in
+    both engines (a NULL level is a missing observation, not a
+    category).
+    """
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderpriority").isNotNull() & F.col("o_orderstatus").isNotNull()
+        )
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rowt = cells.groupBy("o_orderpriority").agg(F.sum("o").alias("rt"))
+    colt = cells.groupBy("o_orderstatus").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("o_orderpriority").alias("r"),
+        F.countDistinct("o_orderstatus").alias("c"),
+    )
+    dense = (
+        rowt.crossJoin(F.broadcast(colt))
+        .join(F.broadcast(cells), ["o_orderpriority", "o_orderstatus"], "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    chi2 = dense.agg(
+        F.max("n").alias("n"),
+        F.max("r").alias("r"),
+        F.max("c").alias("c"),
+        F.sum(
+            F.expr(
+                "(o - rt * cast(ct as double) / n) * (o - rt * cast(ct as double) / n)"
+                " / (rt * cast(ct as double) / n)"
+            )
+        ).alias("chi2"),
+    )
+    # Bergsma correction: phi2~ = max(0, phi2 - (r-1)(c-1)/(n-1)),
+    # r~ = r - (r-1)^2/(n-1), c~ = c - (c-1)^2/(n-1)
+    phi2 = "(chi2 / n)"
+    phi2t = f"greatest(0.0, {phi2} - (r - 1.0) * (c - 1.0) / (n - 1.0))"
+    rt_ = "(r - (r - 1.0) * (r - 1.0) / (n - 1.0))"
+    ct_ = "(c - (c - 1.0) * (c - 1.0) / (n - 1.0))"
+    return chi2.selectExpr(
+        "cast(n as bigint) AS n_obs",
+        "cast(r as bigint) AS n_priorities",
+        "cast(c as bigint) AS n_statuses",
+        "round(chi2, 6) AS chi2",
+        f"round(sqrt({phi2} / least(r - 1.0, c - 1.0)), 6) AS cramers_v",
+        f"round(sqrt({phi2t} / least({rt_} - 1.0, {ct_} - 1.0)), 6)"
+        " AS cramers_v_corrected",
+    )
+
+
+def stats_cramers_v_sql() -> str:
+    phi2 = "(chi2 / n)"
+    phi2t = f"greatest(0.0, {phi2} - (r - 1.0) * (c - 1.0) / (n - 1.0))"
+    rt_ = "(r - (r - 1.0) * (r - 1.0) / (n - 1.0))"
+    ct_ = "(c - (c - 1.0) * (c - 1.0) / (n - 1.0))"
+    return f"""
+    WITH base AS (
+        SELECT o_orderpriority, o_orderstatus FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+    ), cells AS (
+        SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS o
+        FROM base GROUP BY 1, 2
+    ), rowt AS (
+        SELECT o_orderpriority, sum(o)::BIGINT AS rt FROM cells GROUP BY 1
+    ), colt AS (
+        SELECT o_orderstatus, sum(o)::BIGINT AS ct FROM cells GROUP BY 1
+    ), tot AS (
+        SELECT sum(o)::BIGINT AS n,
+               count(DISTINCT o_orderpriority)::BIGINT AS r,
+               count(DISTINCT o_orderstatus)::BIGINT AS c
+        FROM cells
+    ), dense AS (
+        SELECT rowt.rt, colt.ct, coalesce(cells.o, 0)::BIGINT AS o, tot.n,
+               tot.r, tot.c
+        FROM rowt CROSS JOIN colt
+        LEFT JOIN cells USING (o_orderpriority, o_orderstatus)
+        CROSS JOIN tot
+    ), x AS (
+        SELECT max(n)::BIGINT AS n, max(r)::BIGINT AS r, max(c)::BIGINT AS c,
+               sum((o - rt * ct::DOUBLE / n) * (o - rt * ct::DOUBLE / n)
+                   / (rt * ct::DOUBLE / n)) AS chi2
+        FROM dense
+    )
+    SELECT n AS n_obs, r AS n_priorities, c AS n_statuses,
+           round(chi2, 6) AS chi2,
+           round(sqrt({phi2} / least(r - 1.0, c - 1.0)), 6) AS cramers_v,
+           round(sqrt({phi2t} / least({rt_} - 1.0, {ct_} - 1.0)), 6)
+               AS cramers_v_corrected
+    FROM x
+    """
+
+
+def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival profile over each user's stream:
+    the gap distribution (count / mean / p50 / p95 in seconds) between
+    a user's consecutive events of the same type — the traffic-shape
+    diagnostic behind rate limits, session gap tuning, and burst
+    detection thresholds.
+
+    ONE (user, type) shuffle carries the lag window; gaps are exact
+    integer microseconds (no float until the final divisions); the
+    percentile runs per TYPE on the gap rows (bounded group count).
+    NULL event_type rows are excluded in both engines (no stream to
+    belong to).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    gaps = ev.withColumn("gap_us", F.col("us") - F.lag("us").over(w)).where(
+        F.col("gap_us").isNotNull()
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.sum("gap_us") / F.count(F.lit(1)) / 1e6, 6).alias(
+                "mean_gap_s"
+            ),
+            F.round(F.expr("percentile(gap_us, 0.5)") / 1e6, 6).alias(
+                "p50_gap_s"
+            ),
+            F.round(F.expr("percentile(gap_us, 0.95)") / 1e6, 6).alias(
+                "p95_gap_s"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_events_inter_arrival_sql() -> str:
+    return """
+    WITH ev AS (
+        SELECT user_id, event_type, event_id,
+               epoch_us(ts::TIMESTAMP) AS us
+        FROM events WHERE event_type IS NOT NULL
+    ), g AS (
+        SELECT event_type,
+               us - lag(us) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY us, event_id) AS gap_us
+        FROM ev
+    )
+    SELECT event_type, count(*)::BIGINT AS n_gaps,
+           round(sum(gap_us) / count(*) / 1e6, 6) AS mean_gap_s,
+           round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_gap_s,
+           round(quantile_cont(gap_us, 0.95) / 1e6, 6) AS p95_gap_s
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """
+
+
+def q_sql_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The error-safe expression surface (try_divide / try_cast /
+    try_element_at) under ANSI mode — the semantics a production
+    pipeline needs so one malformed row degrades to NULL instead of
+    killing a 100 TB job (ANSI divide/cast THROW; the try_ family is
+    the per-expression opt-out). Certified against DuckDB, whose
+    division and TRY_CAST return NULL on the same inputs.
+
+    Per order-priority: rows whose price/(quantity-25) hits the zero
+    divisor, rows whose priority prefix fails a numeric cast, and a
+    try_element_at past the array end — each counted and aggregated,
+    so the NULL-on-error semantics are value-certified, not assumed.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_linenumber"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.expr("try_divide(l_extendedprice, l_quantity - 25)").alias("unit25"),
+        F.expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)").alias("prio_num"),
+        F.expr(
+            "try_element_at(array(l_linenumber, l_linenumber * 2), 3)"
+        ).alias("past_end"),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("unit25").isNull().cast("bigint")).alias("n_div_zero"),
+            F.round(F.sum("unit25"), 2).alias("sum_unit25"),
+            F.max("prio_num").alias("prio_num"),
+            F.sum(F.col("past_end").isNull().cast("bigint")).alias("n_past_end"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_sql_try_arithmetic_sql() -> str:
+    return """
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_lines,
+           sum((l_extendedprice / nullif(l_quantity - 25, 0) IS NULL)::INT)::BIGINT
+               AS n_div_zero,
+           round(sum(l_extendedprice / nullif(l_quantity - 25, 0)), 2)
+               AS sum_unit25,
+           max(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)) AS prio_num,
+           count(*)::BIGINT AS n_past_end
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """

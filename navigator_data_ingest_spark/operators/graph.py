@@ -766,3 +766,83 @@ def graph_assortativity_sql() -> str:
     SELECT m AS n_directed_edges, round({r}, 6) AS assortativity
     FROM agg
     """
+
+
+# --------------------------------------------------------------------------
+# clustering coefficient (local + global, composed over triangle counts)
+# --------------------------------------------------------------------------
+
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per brand node — cc(v) = 2T(v) /
+    (deg(v)(deg(v)−1)) — plus the two GRAPH-level summaries every
+    network report carries: the average local coefficient
+    (Watts-Strogatz) and global transitivity (3·triangles / wedges).
+    Composes graph_triangle_count's oriented-wedge pipeline (its
+    (brand, degree, n_triangles) output IS the cc numerator/denominator
+    table), so the expensive triangle join is written once; the two
+    global scalars re-aggregate the |brands|-bounded node table and
+    ride back on a 1-row broadcast.
+
+    try_divide handles deg<2 nodes (cc undefined -> NULL, matching the
+    oracle's x/0 semantics).
+    """
+    nodes = graph_triangle_count(spark, sf_dir)
+    cc = nodes.withColumn(
+        "local_cc",
+        F.round(
+            F.try_divide(
+                2.0 * F.col("n_triangles"),
+                F.col("degree").cast("double") * (F.col("degree") - F.lit(1)),
+            ),
+            6,
+        ),
+    )
+    glob = cc.agg(
+        F.round(F.avg("local_cc"), 6).alias("avg_local_cc"),
+        F.round(
+            F.try_divide(
+                F.sum("n_triangles").cast("double"),
+                F.sum(
+                    F.col("degree").cast("double")
+                    * (F.col("degree") - F.lit(1))
+                    / F.lit(2.0)
+                ),
+            ),
+            6,
+        ).alias("transitivity"),
+    )
+    return (
+        cc.crossJoin(F.broadcast(glob))
+        .select(
+            "brand", "degree", "n_triangles", "local_cc",
+            "avg_local_cc", "transitivity",
+        )
+        .orderBy("brand")
+    )
+
+
+def graph_clustering_coefficient_sql() -> str:
+    # wraps the triangle-count oracle (same node table), then the cc
+    # arithmetic; per-triangle node incidence = T(v), wedges from degree
+    base = graph_triangle_count_sql().strip().rstrip()
+    # strip the trailing ORDER BY of the inner query (CTE-safe wrap)
+    inner = base[: base.rindex("ORDER BY")]
+    return f"""
+    WITH nodes AS (
+        {inner}
+    ), cc AS (
+        SELECT brand, degree, n_triangles,
+               round(2.0 * n_triangles
+                     / nullif(degree::DOUBLE * (degree - 1), 0), 6) AS local_cc
+        FROM nodes
+    ), gstats AS (
+        SELECT round(avg(local_cc), 6) AS avg_local_cc,
+               round(sum(n_triangles)::DOUBLE
+                     / nullif(sum(degree::DOUBLE * (degree - 1) / 2.0), 0), 6)
+                   AS transitivity
+        FROM cc
+    )
+    SELECT brand, degree, n_triangles, local_cc, avg_local_cc, transitivity
+    FROM cc CROSS JOIN gstats
+    ORDER BY brand
+    """

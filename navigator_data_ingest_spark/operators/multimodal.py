@@ -847,3 +847,155 @@ def mm_aspect_buckets_sql() -> str:
            ((rn - 1) % {ASPECT_BATCH})::INT     AS slot
     FROM rn ORDER BY doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# voice-activity segmentation over audio rows (energy-threshold VAD)
+# --------------------------------------------------------------------------
+
+VAD_FRAME_S = 1.0        # one energy frame per second of audio
+VAD_MAX_FRAMES = 30      # cap frames per clip
+VAD_ENERGY_T = 128       # frame energy (0-255) >= T counts as voiced
+
+
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over the audio rows: per-second frame
+    energies (deterministic digest stub standing in for an RMS frame
+    scorer), thresholded to voiced/unvoiced, with adjacent voiced
+    frames merged into segments — the speech-segmentation front end an
+    ASR-corpus pipeline runs before transcription, reported per clip as
+    frame/segment counts and the longest voiced run.
+
+    Same discipline as mm_scene_segments: JVM-side explode(sequence)
+    frame fan-out (payload bytes never move, never cross to Python),
+    ONE doc_id window carrying both the island boundary flag and the
+    running segment id, per-clip rollup on the same partitioning. NULL
+    media follows the decode-stub rule (empty payload — frames still
+    exist, energies digest from the empty string).
+    """
+    aud = (
+        multimodal_table(spark, sf_dir)
+        .where(F.col("meta.modality") == "audio")
+        .select(
+            "doc_id",
+            F.coalesce(F.decode("media", "utf-8"), F.lit("")).alias("txt"),
+            F.col("meta.duration_s").alias("dur"),
+        )
+        .withColumn(
+            "n_frames",
+            F.expr(
+                f"least({VAD_MAX_FRAMES}, "
+                f"cast(floor(dur / {VAD_FRAME_S}) as int) + 1)"
+            ),
+        )
+    )
+    frames = aud.select(
+        "doc_id",
+        "txt",
+        "n_frames",
+        F.explode(F.expr("sequence(0, n_frames - 1)")).alias("i"),
+    ).select(
+        "doc_id",
+        "n_frames",
+        "i",
+        (
+            F.expr(
+                "cast(conv(substr(md5(concat(txt, ':vad:', cast(i as string)))"
+                ", 1, 2), 16, 10) as int)"
+            )
+            >= VAD_ENERGY_T
+        ).alias("voiced"),
+    )
+    voiced = frames.where("voiced")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    run = Window.partitionBy("doc_id").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seg = (
+        voiced.withColumn(
+            "newseg",
+            F.when(
+                F.lag("i").over(w).isNull() | (F.col("i") - F.lag("i").over(w) > 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("seg_id", F.sum("newseg").over(run))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_voiced"),
+            F.max("seg_id").cast("bigint").alias("n_segments"),
+        )
+    )
+    runs = (
+        voiced.withColumn(
+            "newseg",
+            F.when(
+                F.lag("i").over(w).isNull() | (F.col("i") - F.lag("i").over(w) > 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("seg_id", F.sum("newseg").over(run))
+        .groupBy("doc_id", "seg_id")
+        .agg(F.count(F.lit(1)).alias("seg_len"))
+        .groupBy("doc_id")
+        .agg(F.max("seg_len").alias("longest_voiced_s"))
+    )
+    return (
+        aud.select("doc_id", "n_frames")
+        .join(seg, "doc_id", "left")
+        .join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_frames").cast("bigint").alias("n_frames"),
+            F.coalesce("n_voiced", F.lit(0)).cast("bigint").alias("n_voiced"),
+            F.coalesce("n_segments", F.lit(0)).cast("bigint").alias("n_segments"),
+            F.coalesce("longest_voiced_s", F.lit(0))
+            .cast("bigint")
+            .alias("longest_voiced_s"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def mm_audio_vad_segments_sql() -> str:
+    return f"""
+    WITH aud AS (
+        SELECT doc_id, coalesce(text, '') AS txt,
+               (doc_id % 600) / 10.0 AS dur,
+               least({VAD_MAX_FRAMES},
+                     floor(((doc_id % 600) / 10.0) / {VAD_FRAME_S})::INT + 1)
+                   AS n_frames
+        FROM documents WHERE doc_id % 3 = 1
+    ), frames AS (
+        SELECT doc_id, n_frames, i,
+               (('0x' || substr(md5(txt || ':vad:' || i::VARCHAR), 1, 2))::INT
+                >= {VAD_ENERGY_T}) AS voiced
+        FROM aud, range(0, {VAD_MAX_FRAMES}) t(i)
+        WHERE i < n_frames
+    ), v AS (
+        SELECT doc_id, n_frames, i,
+               CASE WHEN lag(i) OVER w IS NULL OR i - lag(i) OVER w > 1
+                    THEN 1 ELSE 0 END AS newseg
+        FROM frames WHERE voiced
+        WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ), s AS (
+        SELECT doc_id, i,
+               sum(newseg) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS UNBOUNDED PRECEDING) AS seg_id
+        FROM v
+    ), lens AS (
+        SELECT doc_id, seg_id, count(*)::BIGINT AS seg_len
+        FROM s GROUP BY 1, 2
+    ), per_doc AS (
+        SELECT doc_id, sum(seg_len)::BIGINT AS n_voiced,
+               max(seg_id)::BIGINT AS n_segments,
+               max(seg_len)::BIGINT AS longest_voiced_s
+        FROM lens GROUP BY 1
+    )
+    SELECT a.doc_id, a.n_frames::BIGINT AS n_frames,
+           coalesce(p.n_voiced, 0)::BIGINT AS n_voiced,
+           coalesce(p.n_segments, 0)::BIGINT AS n_segments,
+           coalesce(p.longest_voiced_s, 0)::BIGINT AS longest_voiced_s
+    FROM aud a LEFT JOIN per_doc p ON a.doc_id = p.doc_id
+    ORDER BY a.doc_id
+    """

@@ -1802,3 +1802,43 @@ def emb_distance_histogram_sql() -> str:
     SELECT stride, bin, count(*)::BIGINT AS n_pairs
     FROM binned GROUP BY 1, 2 ORDER BY stride, bin
     """
+
+
+# --------------------------------------------------------------------------
+# hubness diagnostic (k-occurrence skew of the neighbor graph)
+# --------------------------------------------------------------------------
+
+def emb_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness diagnostic over the exact top-k neighbor lists: the
+    k-occurrence histogram — for each count k, how many vectors appear
+    in exactly k of the query stripe's top-K lists. High-dimensional
+    embedding spaces concentrate retrievals onto a few "hub" vectors
+    (k-occurrence distribution skews right); this table is the standard
+    audit before trusting nearest-neighbor pseudo-labels or dedup
+    verdicts built on those lists.
+
+    Composes sim_search_bruteforce (bounded query stripe × corpus, the
+    declared exact baseline): one groupBy(vec_id) over its K×|stripe|
+    output rows, one bounded re-agg to the histogram, the stripe size
+    on a 1-row broadcast. Integers end-to-end.
+    """
+    bf = sim_search_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    nq = F.broadcast(
+        bf.agg(F.countDistinct("query_id").alias("n_queries"))
+    )
+    occ = bf.groupBy("vec_id").agg(F.count(F.lit(1)).alias("k_occ"))
+    return (
+        occ.groupBy("k_occ")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("example_vec"),
+        )
+        .crossJoin(nq)
+        .select(
+            F.col("k_occ").cast("bigint").alias("k_occurrence"),
+            "n_vectors",
+            "example_vec",
+            "n_queries",
+        )
+        .orderBy("k_occurrence")
+    )

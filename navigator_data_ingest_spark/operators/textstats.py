@@ -1275,3 +1275,172 @@ def text_jsd_drift_sql() -> str:
            count(*)::BIGINT AS n_source_vocab
     FROM j GROUP BY source ORDER BY source
     """
+
+
+# --------------------------------------------------------------------------
+# per-term burstiness (Fano factor) — template/spam topicality signal
+# --------------------------------------------------------------------------
+
+BURSTY_TOP_N = 50
+
+
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term burstiness (Fano factor, variance-to-mean of the per-doc
+    count, zeros included): a uniform function word sits near its
+    occurrence rate (Fano ≈ 1-ish), a topical or templated term
+    concentrates in few docs (Fano >> 1). The quality/topicality signal
+    complementing document-level repetition: it flags the TERMS that
+    make boilerplate detectable.
+
+    Shape: one explode-then-shuffle-on-token pass to (token, doc)
+    counts, one token-grain re-agg to (df, Σk, Σk²) — all integers, so
+    mean/variance over N docs (zeros implicit via the 1-row N
+    broadcast) are exact until the final division. Output bounded by
+    sort+limit top-N on total count (TakeOrdered, never a global rank
+    window over the vocabulary).
+    """
+    from navigator_data_ingest_spark.functions import exprs as X
+
+    docs = scatter(spark, load_table(spark, sf_dir, "documents"))
+    n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    tk = (
+        docs.select(
+            "doc_id", F.explode(F.expr(X.sp_tokens("text"))).alias("tok")
+        )
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    stats = tk.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("k").alias("s"),
+        F.sum(F.col("k") * F.col("k")).alias("ss"),
+    )
+    fano = (
+        "(ss / cast(n_docs as double) - (s / cast(n_docs as double))"
+        " * (s / cast(n_docs as double)))"
+        " / (s / cast(n_docs as double))"
+    )
+    return (
+        stats.crossJoin(n_docs)
+        .selectExpr(
+            "tok",
+            "df",
+            "s AS total_count",
+            f"round({fano}, 6) AS fano",
+        )
+        .orderBy(F.desc("total_count"), F.asc("tok"))
+        .limit(BURSTY_TOP_N)
+    )
+
+
+def text_burstiness_sql() -> str:
+    fano = (
+        "(ss / n_docs::DOUBLE - (s / n_docs::DOUBLE) * (s / n_docs::DOUBLE))"
+        " / (s / n_docs::DOUBLE)"
+    )
+    from navigator_data_ingest_spark.functions import exprs as X
+
+    return f"""
+    WITH nd AS (
+        SELECT count(*)::BIGINT AS n_docs FROM documents
+    ), tk AS (
+        SELECT doc_id, unnest({X.dk_tokens('text')}) AS tok FROM documents
+    ), per_doc AS (
+        SELECT tok, doc_id, count(*)::BIGINT AS k FROM tk GROUP BY 1, 2
+    ), stats AS (
+        SELECT tok, count(*)::BIGINT AS df, sum(k)::BIGINT AS s,
+               sum(k * k)::BIGINT AS ss
+        FROM per_doc GROUP BY tok
+    )
+    SELECT tok, df, s AS total_count, round({fano}, 6) AS fano
+    FROM stats CROSS JOIN nd
+    ORDER BY total_count DESC, tok ASC
+    LIMIT {BURSTY_TOP_N}
+    """
+
+
+# --------------------------------------------------------------------------
+# inter-classifier agreement (Cohen's kappa)
+# --------------------------------------------------------------------------
+
+KAPPA_CHARS_CUT = 500    # classifier A: long document by raw chars
+KAPPA_TOKENS_CUT = 80    # classifier B: long document by token count
+
+
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two cheap document classifiers (length in
+    chars >= 500 vs tokens >= 80): the agreement-beyond-chance audit a
+    labeling pipeline runs before trusting one heuristic as the other's
+    stand-in — raw accuracy flatters any pair of skewed classifiers,
+    kappa does not.
+
+    One map-side pass derives both verdicts per doc; the 2×2 grid is a
+    4-row aggregate; po/pe/kappa are exact-integer ratios evaluated
+    from identical inputs in both engines. NULL rule: a NULL text
+    yields no verdict — excluded from the grid in both engines.
+    """
+    from navigator_data_ingest_spark.functions import exprs as X
+
+    docs = (
+        scatter(spark, load_table(spark, sf_dir, "documents"))
+        .filter(F.col("text").isNotNull())
+        .select(
+            (F.col("n_chars") >= KAPPA_CHARS_CUT).alias("a"),
+            # regexp_count == size(sp_tokens(...)) without materializing
+            # the token array — this op only needs the COUNT, and the
+            # array version measured 2.5x at the 100x probe
+            (
+                F.expr("regexp_count(lower(text), '[a-z0-9]+')")
+                >= KAPPA_TOKENS_CUT
+            ).alias("b"),
+        )
+    )
+    g = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("a") & F.col("b")).cast("bigint")).alias("yy"),
+        F.sum((F.col("a") & ~F.col("b")).cast("bigint")).alias("yn"),
+        F.sum((~F.col("a") & F.col("b")).cast("bigint")).alias("ny"),
+        F.sum((~F.col("a") & ~F.col("b")).cast("bigint")).alias("nn"),
+    )
+    po = "((yy + nn) / cast(n as double))"
+    pe = (
+        "(((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn))"
+        " / (cast(n as double) * n))"
+    )
+    return g.selectExpr(
+        "n AS n_docs",
+        "yy AS n_both_long",
+        "yn AS n_chars_only",
+        "ny AS n_tokens_only",
+        "nn AS n_both_short",
+        f"round({po}, 6) AS p_observed",
+        f"round({pe}, 6) AS p_expected",
+        f"round(({po} - {pe}) / (1.0 - {pe}), 6) AS kappa",
+    )
+
+
+def stats_cohens_kappa_sql() -> str:
+    from navigator_data_ingest_spark.functions import exprs as X
+
+    po = "((yy + nn) / n::DOUBLE)"
+    pe = "(((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn)) / (n::DOUBLE * n))"
+    return f"""
+    WITH v AS (
+        SELECT (n_chars >= {KAPPA_CHARS_CUT}) AS a,
+               (len({X.dk_tokens('text')}) >= {KAPPA_TOKENS_CUT}) AS b
+        FROM documents WHERE text IS NOT NULL
+    ), g AS (
+        SELECT count(*)::BIGINT AS n,
+               sum((a AND b)::INT)::BIGINT AS yy,
+               sum((a AND NOT b)::INT)::BIGINT AS yn,
+               sum((NOT a AND b)::INT)::BIGINT AS ny,
+               sum((NOT a AND NOT b)::INT)::BIGINT AS nn
+        FROM v
+    )
+    SELECT n AS n_docs, yy AS n_both_long, yn AS n_chars_only,
+           ny AS n_tokens_only, nn AS n_both_short,
+           round({po}, 6) AS p_observed,
+           round({pe}, 6) AS p_expected,
+           round(({po} - {pe}) / (1.0 - {pe}), 6) AS kappa
+    FROM g
+    """

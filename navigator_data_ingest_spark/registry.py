@@ -5111,3 +5111,108 @@ register(
     dedup.dedup_prefix_family_sql(),
     front=True,
 )
+
+
+# --------------------------------------------------------------------------
+# round-5 batch: K-group/rank/categorical statistics, traffic profiling,
+# error-safe SQL surface, graph clustering, term burstiness, classifier
+# agreement, audio VAD, embedding hubness
+# --------------------------------------------------------------------------
+
+register(
+    "stats_kruskal_wallis",
+    analytics.stats_kruskal_wallis,
+    analytics.stats_kruskal_wallis_sql(),
+    front=True,
+)
+
+register(
+    "stats_kendall_tau",
+    analytics.stats_kendall_tau,
+    analytics.stats_kendall_tau_sql(),
+    front=True,
+)
+
+register(
+    "stats_cramers_v",
+    analytics.stats_cramers_v,
+    analytics.stats_cramers_v_sql(),
+    front=True,
+)
+
+register(
+    "q_events_inter_arrival",
+    analytics.q_events_inter_arrival,
+    analytics.q_events_inter_arrival_sql(),
+    front=True,
+)
+
+register(
+    "q_sql_try_arithmetic",
+    analytics.q_sql_try_arithmetic,
+    analytics.q_sql_try_arithmetic_sql(),
+    front=True,
+)
+
+from navigator_data_ingest_spark.operators import graph as _graph_mod
+
+register(
+    "graph_clustering_coefficient",
+    _graph_mod.graph_clustering_coefficient,
+    _graph_mod.graph_clustering_coefficient_sql(),
+    front=True,
+)
+
+register(
+    "text_burstiness",
+    textstats.text_burstiness,
+    textstats.text_burstiness_sql(),
+    front=True,
+)
+
+register(
+    "stats_cohens_kappa",
+    textstats.stats_cohens_kappa,
+    textstats.stats_cohens_kappa_sql(),
+    front=True,
+)
+
+register(
+    "mm_audio_vad_segments",
+    multimodal.mm_audio_vad_segments,
+    multimodal.mm_audio_vad_segments_sql(),
+    front=True,
+)
+
+# hubness: wraps the exact-baseline top-k oracle (same stripe and
+# scoring fragments as sim_search_bruteforce) with the k-occurrence
+# histogram re-aggregation
+register(
+    "emb_hubness",
+    similarity.emb_hubness,
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE {similarity.query_stripe_sql()}
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               {_DK_DOT_QE} / (sqrt({_DK_DOT_QQ}) * sqrt({_DK_DOT_EE})) AS c
+        FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+        FROM scored
+    ), topk AS (
+        SELECT query_id, vec_id FROM ranked WHERE rank <= {similarity.TOP_K}
+    ), nq AS (
+        SELECT count(DISTINCT query_id)::BIGINT AS n_queries FROM topk
+    ), occ AS (
+        SELECT vec_id, count(*)::BIGINT AS k_occ FROM topk GROUP BY vec_id
+    )
+    SELECT k_occ AS k_occurrence, count(*)::BIGINT AS n_vectors,
+           min(vec_id) AS example_vec, max(n_queries) AS n_queries
+    FROM occ CROSS JOIN nq
+    GROUP BY k_occ ORDER BY k_occurrence
+    """,
+    front=True,
+)

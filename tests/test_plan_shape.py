@@ -185,6 +185,20 @@ _DELIBERATE_NESTED_LOOP = {
     # the rows-only ops carry their value fingerprint in-query
     "text_compression_ratio",
     "sim_search_bruteforce_np",
+    # 1-row min/max range + tie-term broadcasts (Mann-Whitney family)
+    "stats_kruskal_wallis",
+    # O(D²) day-pair non-equi self-join on the DAYS-bounded calendar
+    # dimension (~3M pairs a decade — metadata-scale at any corpus size)
+    "stats_kendall_tau",
+    # dense bounded contingency grid + 1-row totals broadcast
+    "stats_cramers_v",
+    # 1-row graph-scalar (avg cc / transitivity) broadcast
+    "graph_clustering_coefficient",
+    # 1-row corpus-count broadcast (zeros-included Fano denominator)
+    "text_burstiness",
+    # composes the declared exact brute-force baseline + 1-row stripe
+    # size broadcast
+    "emb_hubness",
 }
 
 
@@ -225,6 +239,10 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "q_events_top_paths",
     # bounded vocab/update-batch intermediates
     "text_tfidf", "cdc_upsert", "q_lateral_join_api",
+    # 1024-block prefix-sum block table (Mann-Whitney discipline)
+    "stats_kruskal_wallis",
+    # composes sim_search_bruteforce's bounded query-stripe windows
+    "emb_hubness",
 }
 
 
