@@ -76,6 +76,9 @@ HEADLINE = [
     "emb_hubness",
     "mm_audio_vad_segments",
     "q_events_inter_arrival",
+    "q_orders_abc_class",
+    "stats_auc_classifier",
+    "emb_isotropy",
 ]
 
 

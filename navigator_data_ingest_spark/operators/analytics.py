@@ -7068,3 +7068,634 @@ def q_sql_try_arithmetic_sql() -> str:
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority ORDER BY o_orderpriority
     """
+
+
+# --------------------------------------------------------------------------
+# round-5 second batch: trend test / long-memory exponent / ABC analysis /
+# latest-per-key surface
+# --------------------------------------------------------------------------
+
+def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on daily revenue — "is revenue
+    drifting?" without assuming linearity or normality (the hypothesis
+    test beside stats_theil_sen's slope ESTIMATE). S = Σ sign(y_j − y_i)
+    over day pairs; tie-corrected variance; continuity-corrected z.
+
+    Scale shape: the fact table collapses to the DAYS-bounded calendar
+    grain first (one shuffle, revenue in exact integer cents), the
+    O(D²) pair comparison runs on that bounded dimension (same
+    deliberate non-equi self-join as stats_kendall_tau), and S / tie
+    terms stay integers until the final ratio.
+    """
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y")
+        )
+    )
+    a = d.select(F.col("o_orderdate").alias("da"), F.col("y").alias("ya"))
+    b = d.select(F.col("o_orderdate").alias("db"), F.col("y").alias("yb"))
+    s = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum(F.signum(F.col("yb") - F.col("ya")).cast("bigint")).alias(
+                "s_stat"
+            )
+        )
+    )
+    n_t = d.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        d.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    out = s.crossJoin(F.broadcast(n_t)).crossJoin(F.broadcast(ties))
+    var_s = "((n * (n - 1.0) * (2.0 * n + 5.0) - tie_term) / 18.0)"
+    z = (
+        f"CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt({var_s}) "
+        f"WHEN s_stat < 0 THEN (s_stat + 1) / sqrt({var_s}) ELSE 0.0 END"
+    )
+    return out.selectExpr(
+        "n AS n_days",
+        "s_stat",
+        f"round({var_s}, 6) AS var_s",
+        f"round({z}, 6) AS z",
+    )
+
+
+def stats_mann_kendall_sql() -> str:
+    var_s = "((n * (n - 1.0) * (2.0 * n + 5.0) - tie_term) / 18.0)"
+    z = (
+        f"CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt({var_s}) "
+        f"WHEN s_stat < 0 THEN (s_stat + 1) / sqrt({var_s}) ELSE 0.0 END"
+    )
+    return f"""
+    WITH d AS (
+        SELECT o_orderdate, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+        FROM orders GROUP BY 1
+    ), s AS (
+        SELECT sum(sign(b.y - a.y))::BIGINT AS s_stat
+        FROM d a JOIN d b ON a.o_orderdate < b.o_orderdate
+    ), nt AS (
+        SELECT count(*)::BIGINT AS n FROM d
+    ), ties AS (
+        SELECT sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term FROM (
+            SELECT count(*)::BIGINT AS t FROM d GROUP BY y)
+    )
+    SELECT n AS n_days, s_stat,
+           round({var_s}, 6) AS var_s,
+           round({z}, 6) AS z
+    FROM s CROSS JOIN nt CROSS JOIN ties
+    """
+
+
+HURST_BLOCKS = [8, 16, 32]  # R/S window sizes (complete blocks only)
+
+
+def stats_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily revenue via classic rescaled-range (R/S)
+    analysis: H > 0.5 means persistent long-memory demand, H < 0.5
+    anti-persistent mean reversion — the long-range-dependence
+    diagnostic behind capacity planning and anomaly baselines.
+
+    Per block size m ∈ {8,16,32}: consecutive COMPLETE m-day blocks,
+    cumulative deviation from the block mean, R = range of that walk,
+    S = population σ, avg(R/S) per m; H = OLS slope of ln(avg R/S) on
+    ln(m) over the three points. Every window is (m, block)-partitioned
+    on the DAYS-bounded grain; the day index is ONE bounded global
+    row_number (calendar dimension); integer cents in, identical double
+    expressions out (3-point closed-form OLS on a 1-row table).
+    """
+    mdf = spark.createDataFrame([(m,) for m in HURST_BLOCKS], "m int")
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y")
+        )
+        .withColumn("idx", F.row_number().over(Window.orderBy("o_orderdate")))
+    )
+    g = d.crossJoin(F.broadcast(mdf)).withColumn(
+        "blk", F.expr("cast((idx - 1) div m as int)")
+    )
+    wb = Window.partitionBy("m", "blk")
+    wcum = (
+        Window.partitionBy("m", "blk")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = (
+        g.withColumn("bn", F.count(F.lit(1)).over(wb))
+        .where(F.col("bn") == F.col("m"))
+        .withColumn("mean", F.avg(F.col("y").cast("double")).over(wb))
+        .withColumn("t", F.row_number().over(Window.partitionBy("m", "blk").orderBy("idx")))
+        .withColumn(
+            "z",
+            F.sum(F.col("y").cast("double")).over(wcum)
+            - F.col("t") * F.col("mean"),
+        )
+    )
+    blocks = g.groupBy("m", "blk").agg(
+        (F.max("z") - F.min("z")).alias("r"),
+        F.sqrt(
+            F.avg(
+                (F.col("y").cast("double") - F.col("mean"))
+                * (F.col("y").cast("double") - F.col("mean"))
+            )
+        ).alias("s"),
+    )
+    per_m = (
+        blocks.where(F.col("s") > 0)
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.avg(F.col("r") / F.col("s")).alias("rs"),
+        )
+        .select("m", "n_blocks", F.log("rs").alias("ly"), F.log("m").alias("lx"))
+    )
+    fit = per_m.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("n_blocks")).alias("n_blocks_total"),
+    )
+    return fit.selectExpr(
+        "n_blocks_total",
+        "cast(k as bigint) AS n_scales",
+        "round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS hurst",
+    )
+
+
+def stats_hurst_exponent_sql() -> str:
+    ms = ", ".join(f"({m})" for m in HURST_BLOCKS)
+    return f"""
+    WITH mdf(m) AS (VALUES {ms}),
+    d AS (
+        SELECT o_orderdate, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y,
+               row_number() OVER (ORDER BY o_orderdate) AS idx
+        FROM orders GROUP BY o_orderdate
+    ), g AS (
+        SELECT m, ((idx - 1) // m)::INT AS blk, idx, y FROM d CROSS JOIN mdf
+    ), full_blocks AS (
+        SELECT m, blk, idx, y,
+               count(*) OVER (PARTITION BY m, blk) AS bn,
+               avg(y::DOUBLE) OVER (PARTITION BY m, blk) AS mean,
+               row_number() OVER (PARTITION BY m, blk ORDER BY idx) AS t,
+               sum(y::DOUBLE) OVER (PARTITION BY m, blk ORDER BY idx
+                   ROWS UNBOUNDED PRECEDING) AS cy
+        FROM g
+    ), zz AS (
+        SELECT m, blk, y, mean, cy - t * mean AS z
+        FROM full_blocks WHERE bn = m
+    ), blocks AS (
+        SELECT m, blk, max(z) - min(z) AS r,
+               sqrt(avg((y::DOUBLE - mean) * (y::DOUBLE - mean))) AS s
+        FROM zz GROUP BY 1, 2
+    ), per_m AS (
+        SELECT m, count(*)::BIGINT AS n_blocks, ln(avg(r / s)) AS ly,
+               ln(m) AS lx
+        FROM blocks WHERE s > 0 GROUP BY m
+    ), fit AS (
+        SELECT count(*)::BIGINT AS k, sum(lx) AS sx, sum(ly) AS sy,
+               sum(lx * ly) AS sxy, sum(lx * lx) AS sxx,
+               sum(n_blocks)::BIGINT AS n_blocks_total
+        FROM per_m
+    )
+    SELECT n_blocks_total, k AS n_scales,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS hurst
+    FROM fit
+    """
+
+
+ABC_CUT_A_PERMILLE = 700   # class A: cumulative share <= 70.0%
+ABC_CUT_B_PERMILLE = 900   # class B: <= 90.0%
+
+
+def q_orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification of parts by revenue:
+    parts ranked by revenue, class A = parts inside the top 70% of
+    cumulative revenue, B to 90%, C the tail — the warehouse-ops
+    primitive behind stocking policies and slow-mover audits.
+
+    The cumulative-revenue rank NEVER runs as a global window over the
+    part dimension (it scales with the corpus): the repo's two-level
+    prefix-sum discipline ranges parts into 1024 revenue blocks off a
+    1-row min/max broadcast, cumulates within blocks (desc revenue,
+    partkey tiebreak), and joins the ≤1024-row block-offset table back.
+    Class boundaries compare EXACT integer products (cum*1000 vs
+    total*cut) — no float share crosses an inequality.
+    """
+    pr = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.expr("l_extendedprice * (1 - l_discount)") * 100
+                ).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    rng = pr.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+    b = pr.crossJoin(F.broadcast(rng)).withColumn(
+        "blk",
+        F.least(
+            F.lit(1023),
+            F.floor(
+                (F.col("mx") - F.col("cents")).cast("double")
+                / (F.col("mx") - F.col("mn") + F.lit(1)).cast("double")
+                * 1024
+            ),
+        ).cast("int"),
+    )
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy(F.desc("cents"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    b = b.withColumn("cum_in", F.sum("cents").over(w_in))
+    bt = b.groupBy("blk").agg(F.sum("cents").alias("blk_cents"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    bt = bt.withColumn("off", F.coalesce(F.sum("blk_cents").over(w_blk), F.lit(0)))
+    tot = pr.agg(F.sum("cents").alias("total"))
+    j = (
+        b.join(F.broadcast(bt.select("blk", "off")), "blk")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.col("off") + F.col("cum_in"))
+        .withColumn(
+            "abc",
+            F.when(
+                F.col("cum") * 1000 <= F.col("total") * ABC_CUT_A_PERMILLE, "A"
+            )
+            .when(
+                F.col("cum") * 1000 <= F.col("total") * ABC_CUT_B_PERMILLE, "B"
+            )
+            .otherwise("C"),
+        )
+    )
+    return (
+        j.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").alias("revenue_cents"),
+            F.expr("cast(sum(cents) * 1000 div max(total) as bigint)").alias(
+                "share_permille"
+            ),
+        )
+        .orderBy("abc")
+    )
+
+
+def q_orders_abc_class_sql() -> str:
+    return f"""
+    WITH pr AS (
+        SELECT l_partkey,
+               sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
+                   AS cents
+        FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT sum(cents)::BIGINT AS total FROM pr
+    ), c AS (
+        SELECT l_partkey, cents,
+               sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM pr
+    ), cls AS (
+        SELECT cents,
+               CASE WHEN cum * 1000 <= total * {ABC_CUT_A_PERMILLE} THEN 'A'
+                    WHEN cum * 1000 <= total * {ABC_CUT_B_PERMILLE} THEN 'B'
+                    ELSE 'C' END AS abc,
+               total
+        FROM c CROSS JOIN tot
+    )
+    SELECT abc, count(*)::BIGINT AS n_parts,
+           sum(cents)::BIGINT AS revenue_cents,
+           (sum(cents) * 1000 // max(total))::BIGINT AS share_permille
+    FROM cls GROUP BY abc ORDER BY abc
+    """
+
+
+def q_events_latest_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest/earliest row per key via the max_by/min_by aggregate
+    surface — the "current state per entity" primitive (SCD snapshots,
+    sessionless personalization) expressed WITHOUT a rank window:
+    max_by is a one-pass map-side-combinable aggregate, the right shape
+    when only the newest row per key is wanted from a 100 TB log.
+
+    Determinism under timestamp ties: events first collapse to UNIQUE
+    (user, microsecond) keys — same-instant rows fold by min(struct)
+    on the unique event_id — so the max_by/min_by ordering key is
+    tie-free and the oracle's arg_max/arg_min replay exactly.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.struct("event_id", "event_type", "value").alias("row"),
+    )
+    uniq = ev.groupBy("user_id", "us").agg(
+        F.min("row").alias("row"), F.count(F.lit(1)).alias("n")
+    )
+    # max_by/min_by take the WHOLE struct (never NULL even when its
+    # fields are), then project: per-field max_by calls would silently
+    # skip a NULL field at the latest timestamp and tear the matched
+    # row apart (Spark max_by ignores NULL values — r5 injection find)
+    return (
+        uniq.groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.expr("max_by(row, us)").alias("last"),
+            F.expr("min_by(row, us)").alias("first"),
+            ((F.max("us") - F.min("us")) / F.lit(1e6)).alias("span_raw"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.col("last.event_type").alias("last_type"),
+            F.round(F.col("last.value"), 6).alias("last_value"),
+            F.col("first.event_type").alias("first_type"),
+            F.round("span_raw", 6).alias("span_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_events_latest_by_sql() -> str:
+    return """
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts::TIMESTAMP) AS us,
+               {'event_id': event_id, 'event_type': event_type,
+                'value': value} AS row
+        FROM events
+    ), uniq AS (
+        SELECT user_id, us, min(row) AS row, count(*)::BIGINT AS n
+        FROM ev GROUP BY 1, 2
+    )
+    SELECT user_id, sum(n)::BIGINT AS n_events,
+           arg_max(row, us).event_type AS last_type,
+           round(arg_max(row, us).value, 6) AS last_value,
+           arg_min(row, us).event_type AS first_type,
+           round((max(us) - min(us)) / 1e6, 6) AS span_s
+    FROM uniq GROUP BY user_id ORDER BY user_id
+    """
+
+
+# --------------------------------------------------------------------------
+# round-5 third batch: CUPED variance reduction / bimodality / power
+# analysis
+# --------------------------------------------------------------------------
+
+CUPED_CUT = "2024-01-16"   # pre-period: events strictly before this date
+
+
+def stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (the experimentation-platform
+    pre-period adjustment): using each user's PRE-period spend as the
+    covariate for their POST-period spend, θ = cov(pre, post)/var(pre)
+    and the achieved variance reduction 1 − var(post − θ·pre) /
+    var(post) = ρ² — the number that says how much smaller an A/B test
+    gets after adjustment.
+
+    ONE user-grain conditional aggregation builds (pre, post) per user
+    (missing period ⇒ 0 by the counter rule, both engines); a 1-row
+    moment collapse yields all five sums; θ and ρ² are ratios of those
+    sums, evaluated from identical expressions. Variance-ratio outputs
+    round at 2 dp (the stats_jarque_bera amplification rule).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        (F.col("ts").cast("timestamp") < F.lit(CUPED_CUT).cast("timestamp")).alias(
+            "is_pre"
+        ),
+    )
+    users = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("is_pre"), F.col("value"))), F.lit(0.0)
+        ).alias("pre"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_pre"), F.col("value"))), F.lit(0.0)
+        ).alias("post"),
+    )
+    m = users.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre").alias("sx"),
+        F.sum("post").alias("sy"),
+        F.sum(F.expr("pre * pre")).alias("sxx"),
+        F.sum(F.expr("post * post")).alias("syy"),
+        F.sum(F.expr("pre * post")).alias("sxy"),
+    )
+    cov = "((sxy - sx * sy / n) / (n - 1.0))"
+    vx = "((sxx - sx * sx / n) / (n - 1.0))"
+    vy = "((syy - sy * sy / n) / (n - 1.0))"
+    theta = f"({cov} / {vx})"
+    rho2 = f"({cov} * {cov} / ({vx} * {vy}))"
+    return m.selectExpr(
+        "n AS n_users",
+        f"round({theta}, 6) AS theta",
+        f"round({vy}, 2) AS var_post",
+        f"round({vy} * (1.0 - {rho2}), 2) AS var_adjusted",
+        f"round(100.0 * {rho2}, 2) AS reduction_pct",
+    )
+
+
+def stats_cuped_sql() -> str:
+    cov = "((sxy - sx * sy / n) / (n - 1.0))"
+    vx = "((sxx - sx * sx / n) / (n - 1.0))"
+    vy = "((syy - sy * sy / n) / (n - 1.0))"
+    theta = f"({cov} / {vx})"
+    rho2 = f"({cov} * {cov} / ({vx} * {vy}))"
+    return f"""
+    WITH u AS (
+        SELECT user_id,
+               coalesce(sum(CASE WHEN ts::TIMESTAMP < TIMESTAMP '{CUPED_CUT}'
+                                 THEN value END), 0) AS pre,
+               coalesce(sum(CASE WHEN ts::TIMESTAMP >= TIMESTAMP '{CUPED_CUT}'
+                                 THEN value END), 0) AS post
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT count(*)::BIGINT AS n, sum(pre) AS sx, sum(post) AS sy,
+               sum(pre * pre) AS sxx, sum(post * post) AS syy,
+               sum(pre * post) AS sxy
+        FROM u
+    )
+    SELECT n AS n_users,
+           round({theta}, 6) AS theta,
+           round({vy}, 2) AS var_post,
+           round({vy} * (1.0 - {rho2}), 2) AS var_adjusted,
+           round(100.0 * {rho2}, 2) AS reduction_pct
+    FROM m
+    """
+
+
+def stats_bimodality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sarle's bimodality coefficient per event type — the cheap
+    screen for "is this metric secretly two populations" (b > 5/9 ≈
+    uniform suggests bimodal/multimodal) run before trusting means or
+    z-scores on a value column.
+
+    TWO-pass centered moments (per-type means broadcast back, then
+    Σd²/Σd³/Σd⁴) — the raw-moment expansion cancels catastrophically
+    for 3rd/4th powers (the stats_jarque_bera lesson) — and 2 dp
+    output rounding for the moment-ratio statistics. NULL values are
+    not observations (dropped both engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "value")
+    )
+    means = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("value").alias("mu")
+    )
+    d = ev.join(F.broadcast(means), "event_type").select(
+        "event_type",
+        "n",
+        (F.col("value") - F.col("mu")).alias("d"),
+    )
+    g = d.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("d * d")).alias("m2"),
+        F.sum(F.expr("d * d * d")).alias("m3"),
+        F.sum(F.expr("d * d * d * d")).alias("m4"),
+    )
+    g1 = "((m3 / n) / pow(m2 / n, 1.5))"
+    g2 = "((m4 / n) / pow(m2 / n, 2.0) - 3.0)"
+    bc = (
+        f"(({g1} * {g1} + 1.0) / "
+        f"({g2} + 3.0 * (n - 1.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0))))"
+    )
+    return g.selectExpr(
+        "event_type",
+        "n AS n_obs",
+        f"round({g1}, 2) AS skewness",
+        f"round({g2}, 2) AS excess_kurtosis",
+        f"round({bc}, 2) AS bimodality_coef",
+        f"round({bc}, 2) > 0.56 AS bimodal_flag",
+    ).orderBy("event_type")
+
+
+def stats_bimodality_sql() -> str:
+    g1 = "((m3 / n) / pow(m2 / n, 1.5))"
+    g2 = "((m4 / n) / pow(m2 / n, 2.0) - 3.0)"
+    bc = (
+        f"(({g1} * {g1} + 1.0) / "
+        f"({g2} + 3.0 * (n - 1.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0))))"
+    )
+    return f"""
+    WITH ev AS (
+        SELECT event_type, value FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), means AS (
+        SELECT event_type, count(*)::BIGINT AS n, avg(value) AS mu
+        FROM ev GROUP BY 1
+    ), d AS (
+        SELECT ev.event_type, n, (value - mu) AS d
+        FROM ev JOIN means ON ev.event_type = means.event_type
+    ), g AS (
+        SELECT event_type, max(n)::BIGINT AS n,
+               sum(d * d) AS m2, sum(d * d * d) AS m3,
+               sum(d * d * d * d) AS m4
+        FROM d GROUP BY event_type
+    )
+    SELECT event_type, n AS n_obs,
+           round({g1}, 2) AS skewness,
+           round({g2}, 2) AS excess_kurtosis,
+           round({bc}, 2) AS bimodality_coef,
+           round({bc}, 2) > 0.56 AS bimodal_flag
+    FROM g ORDER BY event_type
+    """
+
+
+POWER_Z_ALPHA = 1.959964   # two-sided alpha = 0.05
+POWER_Z_BETA = 0.841621    # power = 0.80
+
+
+def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size calculator fed by the OBSERVED experiment: given
+    the stats_ab_test arms' conversion rates, the per-arm n required to
+    detect the observed difference at α=0.05 / power 0.80 (classic
+    two-proportion formula), and whether the experiment as run was
+    adequately powered — the go/no-go readout every experimentation
+    platform prints next to the z-test.
+
+    Same ONE user-grain shuffle as stats_ab_test, then pure closed-form
+    arithmetic on the 4 exact integers with the normal quantiles as
+    shared literals; the required-n comparison uses ceil of a
+    6-dp-rounded value (house rule: no raw-float boundary crossings).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias("np"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "user_id",
+            F.expr("CASE WHEN np * 5 > n THEN 1 ELSE 0 END").alias("converted"),
+        )
+        .withColumn("grp", F.expr("user_id % 2"))
+    )
+    agg = users.groupBy().agg(
+        F.sum(F.expr("CASE WHEN grp = 0 THEN 1 ELSE 0 END")).alias("n_a"),
+        F.sum(F.expr("CASE WHEN grp = 0 THEN converted ELSE 0 END")).alias("conv_a"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN 1 ELSE 0 END")).alias("n_b"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN converted ELSE 0 END")).alias("conv_b"),
+    )
+    p1 = "(conv_a / cast(n_a as double))"
+    p2 = "(conv_b / cast(n_b as double))"
+    pbar = "((conv_a + conv_b) / cast(n_a + n_b as double))"
+    num = (
+        f"({POWER_Z_ALPHA} * sqrt(2.0 * {pbar} * (1.0 - {pbar}))"
+        f" + {POWER_Z_BETA} * sqrt({p1} * (1.0 - {p1}) + {p2} * (1.0 - {p2})))"
+    )
+    n_req = f"ceil(round({num} * {num} / (({p1} - {p2}) * ({p1} - {p2})), 6))"
+    return agg.selectExpr(
+        "n_a",
+        "n_b",
+        f"round({p1}, 6) AS rate_a",
+        f"round({p2}, 6) AS rate_b",
+        f"round({p1} - {p2}, 6) AS observed_delta",
+        f"cast({n_req} as bigint) AS n_required_per_arm",
+        f"least(n_a, n_b) >= {n_req} AS adequately_powered",
+    )
+
+
+def stats_power_analysis_sql() -> str:
+    p1 = "(conv_a / n_a::DOUBLE)"
+    p2 = "(conv_b / n_b::DOUBLE)"
+    pbar = "((conv_a + conv_b) / (n_a + n_b)::DOUBLE)"
+    num = (
+        f"({POWER_Z_ALPHA} * sqrt(2.0 * {pbar} * (1.0 - {pbar}))"
+        f" + {POWER_Z_BETA} * sqrt({p1} * (1.0 - {p1}) + {p2} * (1.0 - {p2})))"
+    )
+    n_req = f"ceil(round({num} * {num} / (({p1} - {p2}) * ({p1} - {p2})), 6))"
+    return f"""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+                         > count(*) THEN 1 ELSE 0 END AS converted,
+               user_id % 2 AS grp
+        FROM events GROUP BY user_id
+    ), agg AS (
+        SELECT sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+               sum(CASE WHEN grp = 0 THEN converted ELSE 0 END)::BIGINT AS conv_a,
+               sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+               sum(CASE WHEN grp = 1 THEN converted ELSE 0 END)::BIGINT AS conv_b
+        FROM u
+    )
+    SELECT n_a, n_b,
+           round({p1}, 6) AS rate_a,
+           round({p2}, 6) AS rate_b,
+           round({p1} - {p2}, 6) AS observed_delta,
+           {n_req}::BIGINT AS n_required_per_arm,
+           least(n_a, n_b) >= {n_req} AS adequately_powered
+    FROM agg
+    """

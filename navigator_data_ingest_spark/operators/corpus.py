@@ -2828,3 +2828,115 @@ def corpus_chunk_overlap_sql() -> str:
             - chunk_idx * {CHUNK_STRIDE})::BIGINT AS chunk_len
     FROM ch ORDER BY doc_id, chunk_idx
     """
+
+
+# --------------------------------------------------------------------------
+# classifier ranking quality (AUC without a global sort)
+# --------------------------------------------------------------------------
+
+def stats_auc_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC (and Gini) of the hashed quality classifier as an
+    'is-English' ranker — the ranking-quality audit beside
+    stats_calibration's probability audit: AUC is the probability a
+    random positive outscores a random negative, computed EXACTLY via
+    the Mann-Whitney rank-sum identity, never by sorting the corpus.
+
+    Scale shape: scores are exact integers, so the corpus collapses to
+    DISTINCT-SCORE (pos_count, neg_count) rows in one shuffle
+    (duplicate explosion invisible); tie-averaged rank sums come from a
+    single ordered pass over the bounded distinct-score table; the
+    AUC ratio is the only float step. NULL rule: NULL lang is a
+    negative in both engines (coalesce), empty-token docs carry no
+    score (both engines drop them).
+    """
+    scored = classifier_scores(_tokens_df(spark, sf_dir), extra_cols=("lang",))
+    sc = scored.select(
+        "score_sum",
+        (F.coalesce(F.col("lang"), F.lit("")) == "en").alias("is_pos"),
+    )
+    vc = sc.groupBy("score_sum").agg(
+        F.sum(F.col("is_pos").cast("bigint")).alias("p"),
+        F.sum((~F.col("is_pos")).cast("bigint")).alias("q"),
+    )
+    # two-level 1024-block prefix sum for the below-count (the
+    # Mann-Whitney discipline — the distinct-score table is NOT bounded,
+    # so no global window runs over it)
+    rng = vc.agg(F.min("score_sum").alias("mn"), F.max("score_sum").alias("mx"))
+    b = vc.crossJoin(F.broadcast(rng)).withColumn(
+        "blk",
+        F.least(
+            F.lit(1023),
+            F.floor(
+                (F.col("score_sum") - F.col("mn")).cast("double")
+                / (F.col("mx") - F.col("mn") + F.lit(1)).cast("double")
+                * 1024
+            ),
+        ).cast("int"),
+    )
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("score_sum")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = b.withColumn(
+        "cum_in",
+        F.coalesce(F.sum(F.col("p") + F.col("q")).over(w_in), F.lit(0)),
+    )
+    bt = b.groupBy("blk").agg(F.sum(F.col("p") + F.col("q")).alias("blk_n"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    bt = bt.withColumn("off", F.coalesce(F.sum("blk_n").over(w_blk), F.lit(0)))
+    r = b.join(F.broadcast(bt.select("blk", "off")), "blk").withColumn(
+        "below", F.col("off") + F.col("cum_in")
+    )
+    # tie-averaged rank sum over positives: Σ p * (below + (p+q+1)/2),
+    # doubled to stay integer
+    agg = r.agg(
+        F.sum("p").alias("n_pos"),
+        F.sum("q").alias("n_neg"),
+        F.sum(
+            F.col("p") * (2 * F.col("below") + F.col("p") + F.col("q") + 1)
+        ).alias("rr2"),
+    )
+    auc = "((rr2 / 2.0 - n_pos * (n_pos + 1.0) / 2.0) / (n_pos * cast(n_neg as double)))"
+    return agg.selectExpr(
+        "n_pos",
+        "n_neg",
+        f"round({auc}, 6) AS auc",
+        f"round(2.0 * {auc} - 1.0, 6) AS gini",
+    )
+
+
+def stats_auc_classifier_sql() -> str:
+    auc = (
+        "((rr2 / 2.0 - n_pos * (n_pos + 1.0) / 2.0)"
+        " / (n_pos * n_neg::DOUBLE))"
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, lang, {X.dk_tokens('text')} AS toks FROM documents
+    ), tok AS (
+        SELECT doc_id, lang, unnest(toks) AS x FROM t WHERE len(toks) > 0
+    ), s AS (
+        SELECT doc_id,
+               (coalesce(lang, '') = 'en') AS is_pos,
+               sum({_clf_weight_dk('x')})::BIGINT AS score_sum
+        FROM tok GROUP BY doc_id, lang
+    ), vc AS (
+        SELECT score_sum, sum(is_pos::INT)::BIGINT AS p,
+               sum((NOT is_pos)::INT)::BIGINT AS q
+        FROM s GROUP BY score_sum
+    ), r AS (
+        SELECT p, q,
+               coalesce(sum(p + q) OVER (ORDER BY score_sum
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        FROM vc
+    ), agg AS (
+        SELECT sum(p)::BIGINT AS n_pos, sum(q)::BIGINT AS n_neg,
+               sum(p * (2 * below + p + q + 1))::BIGINT AS rr2
+        FROM r
+    )
+    SELECT n_pos, n_neg,
+           round({auc}, 6) AS auc,
+           round(2.0 * {auc} - 1.0, 6) AS gini
+    FROM agg
+    """

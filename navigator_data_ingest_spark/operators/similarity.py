@@ -1842,3 +1842,74 @@ def emb_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_occurrence")
     )
+
+
+# --------------------------------------------------------------------------
+# embedding isotropy audit (one-pass, no pair enumeration)
+# --------------------------------------------------------------------------
+
+def emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy audit of the embedding space in ONE unexploded pass:
+    the exact mean pairwise cosine over all n(n−1)/2 pairs of
+    normalized vectors via the sum-vector identity
+    E[cos] = (‖Σu‖² − n) / (n(n−1)) — no pair join EXISTS in the plan —
+    plus the per-dimension variance spread (max/min ratio) of the
+    normalized components. Anisotropic ("cone-shaped") embedding spaces
+    break cosine thresholds and IVF cell balance; this is the audit
+    run before trusting dedup_embedding_cosine / sim_search_* settings.
+
+    64 JVM-side partial aggregates (the emb_centroids idiom) build the
+    sum vector and per-dim moments map-side; the row norm is the
+    unrolled fixed-dim fold shared with every similarity oracle.
+    """
+    dot = X.sp_fold_dot("embedding", "embedding", EMB_DIM)
+    e = scatter(spark, load_table(spark, sf_dir, "embeddings")).withColumn(
+        "nrm", F.expr(f"sqrt({dot})")
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(1, EMB_DIM + 1):
+        u = f"(embedding[{i - 1}] / nrm)"
+        aggs.append(F.expr(f"sum({u})").alias(f"s{i}"))
+        aggs.append(F.expr(f"sum({u} * {u})").alias(f"ss{i}"))
+    g = e.agg(*aggs)
+    ssq = " + ".join(f"s{i} * s{i}" for i in range(1, EMB_DIM + 1))
+    vars_ = [
+        f"(ss{i} / n - (s{i} / n) * (s{i} / n))" for i in range(1, EMB_DIM + 1)
+    ]
+    vmax = "greatest(" + ", ".join(vars_) + ")"
+    vmin = "least(" + ", ".join(vars_) + ")"
+    return g.selectExpr(
+        "n AS n_vectors",
+        f"round((({ssq}) - n) / (n * (n - 1.0)), 6) AS mean_pairwise_cos",
+        f"round({vmax}, 6) AS dim_var_max",
+        f"round({vmin}, 6) AS dim_var_min",
+        f"round({vmax} / {vmin}, 2) AS dim_var_ratio",
+    )
+
+
+def emb_isotropy_sql() -> str:
+    dot = X.dk_fold_dot("embedding", "embedding", EMB_DIM)
+    cols = []
+    for i in range(1, EMB_DIM + 1):
+        u = f"(embedding[{i}]::DOUBLE / nrm)"
+        cols.append(f"sum({u}) AS s{i}")
+        cols.append(f"sum({u} * {u}) AS ss{i}")
+    ssq = " + ".join(f"s{i} * s{i}" for i in range(1, EMB_DIM + 1))
+    vars_ = [
+        f"(ss{i} / n - (s{i} / n) * (s{i} / n))" for i in range(1, EMB_DIM + 1)
+    ]
+    vmax = "greatest(" + ", ".join(vars_) + ")"
+    vmin = "least(" + ", ".join(vars_) + ")"
+    return f"""
+    WITH e AS (
+        SELECT embedding, sqrt({dot}) AS nrm FROM embeddings
+    ), g AS (
+        SELECT count(*)::BIGINT AS n, {", ".join(cols)} FROM e
+    )
+    SELECT n AS n_vectors,
+           round((({ssq}) - n) / (n * (n - 1.0)), 6) AS mean_pairwise_cos,
+           round({vmax}, 6) AS dim_var_max,
+           round({vmin}, 6) AS dim_var_min,
+           round({vmax} / {vmin}, 2) AS dim_var_ratio
+    FROM g
+    """

@@ -1444,3 +1444,79 @@ def stats_cohens_kappa_sql() -> str:
            round(({po} - {pe}) / (1.0 - {pe}), 6) AS kappa
     FROM g
     """
+
+
+# --------------------------------------------------------------------------
+# windowed lexical diversity (MATTR-lite)
+# --------------------------------------------------------------------------
+
+MATTR_CHUNK = 50   # tokens per TTR chunk (complete chunks only)
+
+
+def text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed lexical diversity: mean type-token ratio over
+    consecutive complete 50-token chunks (MATTR-lite) next to the raw
+    TTR — the length-robust vocabulary-richness signal (raw TTR decays
+    with length, so corpus filters that threshold it silently favor
+    short docs; the chunked mean doesn't).
+
+    Entirely in-array per document — ONE let-bound token pass, chunk
+    TTRs via transform(sequence)/slice/array_distinct, integer
+    numerators until the final divisions — zero shuffles before the
+    output sort, scan-speed at 100 TB like the other map-side quality
+    signals. NULL text yields no row (no tokens to measure) in both
+    engines.
+    """
+    c = MATTR_CHUNK
+    body = (
+        f"named_struct("
+        f"'n_tokens', size(t), "
+        f"'n_distinct', size(array_distinct(t)), "
+        f"'n_chunks', size(t) div {c}, "
+        f"'dsum', aggregate(transform(sequence(1, size(t) div {c}), "
+        f"k -> size(array_distinct(slice(t, (k - 1) * {c} + 1, {c})))), "
+        f"cast(0 as bigint), (a, x) -> a + x))"
+    )
+    expr = X.sp_let("t", X.sp_tokens("text"), body)
+    docs = (
+        scatter(spark, load_table(spark, sf_dir, "documents"))
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.expr(expr).alias("s"))
+        .where(F.col("s.n_chunks") > 0)
+    )
+    return docs.select(
+        "doc_id",
+        F.col("s.n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("s.n_chunks").cast("bigint").alias("n_chunks"),
+        F.round(
+            F.col("s.n_distinct").cast("double") / F.col("s.n_tokens"), 6
+        ).alias("ttr"),
+        F.round(
+            F.col("s.dsum").cast("double") / (F.col("s.n_chunks") * F.lit(c)),
+            6,
+        ).alias("mattr"),
+    ).orderBy("doc_id")
+
+
+def text_mattr_sql() -> str:
+    c = MATTR_CHUNK
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {X.dk_tokens('text')} AS t
+        FROM documents WHERE text IS NOT NULL
+    ), m AS (
+        SELECT doc_id, len(t)::BIGINT AS n_tokens,
+               len(list_distinct(t))::BIGINT AS n_distinct,
+               (len(t) // {c})::BIGINT AS n_chunks,
+               coalesce(list_sum(list_transform(
+                   generate_series(1, len(t) // {c}),
+                   k -> len(list_distinct(t[(k - 1) * {c} + 1 : (k - 1) * {c} + {c}]))
+               )), 0)::BIGINT AS dsum
+        FROM t
+    )
+    SELECT doc_id, n_tokens, n_chunks,
+           round(n_distinct::DOUBLE / n_tokens, 6) AS ttr,
+           round(dsum::DOUBLE / (n_chunks * {c}), 6) AS mattr
+    FROM m WHERE n_chunks > 0
+    ORDER BY doc_id
+    """

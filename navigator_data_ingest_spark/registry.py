@@ -5216,3 +5216,101 @@ register(
     """,
     front=True,
 )
+
+
+# --------------------------------------------------------------------------
+# round-5 second batch: trend/long-memory tests, ABC analysis, latest-by
+# surface, classifier AUC, windowed lexical diversity, isotropy audit,
+# streaming progress accounting
+# --------------------------------------------------------------------------
+
+register(
+    "stats_mann_kendall",
+    analytics.stats_mann_kendall,
+    analytics.stats_mann_kendall_sql(),
+    front=True,
+)
+
+register(
+    "stats_hurst_exponent",
+    analytics.stats_hurst_exponent,
+    analytics.stats_hurst_exponent_sql(),
+    front=True,
+)
+
+register(
+    "q_orders_abc_class",
+    analytics.q_orders_abc_class,
+    analytics.q_orders_abc_class_sql(),
+    front=True,
+)
+
+register(
+    "q_events_latest_by",
+    analytics.q_events_latest_by,
+    analytics.q_events_latest_by_sql(),
+    front=True,
+)
+
+from navigator_data_ingest_spark.operators import corpus as _corpus_mod
+
+register(
+    "stats_auc_classifier",
+    _corpus_mod.stats_auc_classifier,
+    _corpus_mod.stats_auc_classifier_sql(),
+    front=True,
+)
+
+register(
+    "text_mattr",
+    textstats.text_mattr,
+    textstats.text_mattr_sql(),
+    front=True,
+)
+
+register(
+    "emb_isotropy",
+    similarity.emb_isotropy,
+    similarity.emb_isotropy_sql(),
+    front=True,
+)
+
+register(
+    "stream_progress_metrics",
+    streaming_streams.stream_progress_metrics,
+    streaming_streams.stream_progress_metrics_sql(),
+    front=True,
+)
+
+
+# --------------------------------------------------------------------------
+# round-5 third batch: experimentation statistics + streaming slide
+# --------------------------------------------------------------------------
+
+register(
+    "stats_cuped",
+    analytics.stats_cuped,
+    analytics.stats_cuped_sql(),
+    front=True,
+)
+
+register(
+    "stats_bimodality",
+    analytics.stats_bimodality,
+    analytics.stats_bimodality_sql(),
+    front=True,
+)
+
+register(
+    "stats_power_analysis",
+    analytics.stats_power_analysis,
+    analytics.stats_power_analysis_sql(),
+    front=True,
+)
+
+register(
+    "stream_sliding_agg",
+    streaming_streams.stream_sliding_agg,
+    streaming_streams.stream_sliding_agg_sql(),
+    front=True,
+)

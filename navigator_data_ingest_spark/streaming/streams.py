@@ -1485,3 +1485,134 @@ def stream_quota_enforcer_sql() -> str:
            sum((rn > {QUOTA_PER_HOUR})::INT)::BIGINT AS n_throttled
     FROM ranked GROUP BY user_id ORDER BY user_id
     """
+
+
+# --------------------------------------------------------------------------
+# per-micro-batch progress accounting (StreamingQueryProgress surface)
+# --------------------------------------------------------------------------
+
+def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch progress accounting from the StreamingQueryProgress
+    API — the observability surface an operator's dashboards and lag
+    alerts read (rows per batch, per-batch max event time). Certified
+    by VALUE against the batch oracle: over the deterministic 3-chunk
+    time-ordered feed with maxFilesPerTrigger=1, batch k must contain
+    exactly the k-th global (ts, event_id)-rank chunk — so the reported
+    row counts and event-time maxima are data facts the oracle replays
+    with a rank expression, not stream-engine trivia.
+
+    The progress objects are driver-side metadata (one per micro-batch);
+    event payloads stay executor-side. Event-time maxima compare at
+    SECOND precision (progress strings carry milliseconds; parquet
+    micros would false-diverge).
+    """
+    feed = _scatter_time_ordered_feed(spark, sf_dir, 3)
+    ev = read_stream_events(spark, feed, glob="*.parquet", max_files_per_trigger=1)
+    name = _qname("stream_progress", feed)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        query = (
+            ev.withWatermark("ts", "1 hour")
+            .select("event_id", "ts")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", _checkpoint_dir("progress"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        progress = [p for p in query.recentProgress if p["numInputRows"] > 0]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    rows = []
+    for k, p in enumerate(progress):
+        et = p.get("eventTime", {}) or {}
+        rows.append(
+            (
+                k,
+                int(p["numInputRows"]),
+                (et.get("max") or "")[:19].replace("T", " "),
+            )
+        )
+    out = spark.createDataFrame(
+        rows, "batch_id int, n_rows bigint, max_event_ts string"
+    )
+    return out.orderBy("batch_id")
+
+
+def stream_progress_metrics_sql() -> str:
+    # chunk k of the feed = rows (n*k/3, n*(k+1)/3] of the global
+    # (ts, event_id) rank — the same bound _scatter_time_ordered_feed
+    # materializes (and stream_incremental_files already certifies)
+    return """
+    WITH r AS (
+        SELECT ts::TIMESTAMP AS ts,
+               row_number() OVER (ORDER BY ts, event_id) AS rk,
+               count(*) OVER () AS n
+        FROM events
+    ), chunked AS (
+        SELECT ts,
+               CASE WHEN rk <= n // 3 THEN 0
+                    WHEN rk <= 2 * n // 3 THEN 1
+                    ELSE 2 END AS batch_id
+        FROM r
+    )
+    SELECT batch_id::INT AS batch_id, count(*)::BIGINT AS n_rows,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_event_ts
+    FROM chunked GROUP BY batch_id ORDER BY batch_id
+    """
+
+
+# --------------------------------------------------------------------------
+# sliding (overlapping) windowed aggregation in streaming
+# --------------------------------------------------------------------------
+
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window streaming aggregation — 2-hour windows advancing
+    hourly, so every event belongs to TWO open windows at once: the
+    overlap case the tumbling (stream_ingest) and session
+    (stream_sessionize) operators don't exercise, and the state shape
+    behind any streaming moving-average dashboard. Integer-cents sums
+    keep the drained aggregate value-comparable to the batch replay
+    (each event contributes to exactly slide_count windows — the
+    oracle's 2-row explode).
+    """
+    agg = (
+        read_stream_events(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+            ).alias("cents"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.coalesce("cents", F.lit(0)).alias("cents"),
+        )
+    )
+    out = _run_to_memory(agg, _qname("stream_sliding", sf_dir), "update")
+    return out.orderBy("window_start", "event_type")
+
+
+def stream_sliding_agg_sql() -> str:
+    # each event lands in the window starting at its truncated hour and
+    # the one an hour earlier (2h width / 1h slide)
+    return """
+    WITH slots AS (
+        SELECT date_trunc('hour', ts::TIMESTAMP) - (k * INTERVAL 1 HOUR)
+                   AS window_start,
+               event_type, value
+        FROM events, generate_series(0, 1) g(k)
+    )
+    SELECT window_start, event_type,
+           count(*)::BIGINT AS n_events,
+           coalesce(sum(floor(value * 100 + 0.5)), 0)::BIGINT AS cents
+    FROM slots
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """

@@ -44,6 +44,9 @@ PINNED = [
     "stream_tws_totals",
     "stream_multiplex_router",
     "stream_timeout_finalize",
+    # r5 batch-2 find: per-field max_by skips NULL values and tears the
+    # matched row — whole-struct max_by pinned
+    "q_events_latest_by",
 ]
 
 # rows-only under injection (no oracle): must at least run clean

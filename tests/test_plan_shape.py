@@ -199,6 +199,16 @@ _DELIBERATE_NESTED_LOOP = {
     # composes the declared exact brute-force baseline + 1-row stripe
     # size broadcast
     "emb_hubness",
+    # O(D²) day-pair non-equi self-join on the DAYS-bounded calendar
+    # dimension + 1-row n/tie-term broadcasts (kendall/theil-sen family)
+    "stats_mann_kendall",
+    # 3-row block-size dimension against the DAYS-bounded day table
+    "stats_hurst_exponent",
+    # 1-row min/max revenue-range + grand-total broadcasts feeding the
+    # 1024-block cumulative-share prefix sum
+    "q_orders_abc_class",
+    # 1-row min/max score-range broadcast (Mann-Whitney AUC identity)
+    "stats_auc_classifier",
 }
 
 
@@ -243,6 +253,12 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "stats_kruskal_wallis",
     # composes sim_search_bruteforce's bounded query-stripe windows
     "emb_hubness",
+    # DAYS-bounded calendar index (R/S block walks partition after it)
+    "stats_hurst_exponent",
+    # <=1024-row revenue-block offset table
+    "q_orders_abc_class",
+    # <=1024-row score-block offset table (AUC prefix sum)
+    "stats_auc_classifier",
 }
 
 
