@@ -79,6 +79,8 @@ HEADLINE = [
     "q_orders_abc_class",
     "stats_auc_classifier",
     "emb_isotropy",
+    "stats_wilcoxon_signed_rank",
+    "emb_triplet_mining",
 ]
 
 

@@ -7699,3 +7699,707 @@ def stats_power_analysis_sql() -> str:
            least(n_a, n_b) >= {n_req} AS adequately_powered
     FROM agg
     """
+
+
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED per-user spend (pre-period
+    vs post-period around CUPED_CUT) — the paired complement to
+    stats_mann_whitney's independent-samples test: did the same users
+    spend differently after the cut, without assuming normality.
+
+    Pairs collapse to user grain in ONE shuffle (period sums in exact
+    integer cents; a user must observe BOTH periods, zero differences
+    drop — the standard Wilcoxon discipline). |d| is an exact integer,
+    so ranking uses the stats_auc_classifier idiom: DISTINCT-|d|
+    (pos, neg) counts, two-level 1024-block prefix sum for below-counts
+    (never a global sort over users), tie-averaged rank sum kept
+    DOUBLED-integer; tie-corrected variance and continuity-corrected z
+    are the only float steps. NULL rule: NULL value is not an
+    observation and NULL user_id is not a user (dropped both engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "value",
+            (F.col("ts").cast("timestamp") < F.lit(CUPED_CUT).cast("timestamp")).alias(
+                "is_pre"
+            ),
+        )
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("is_pre"), F.col("value"))).alias("pre"),
+            F.sum(F.when(~F.col("is_pre"), F.col("value"))).alias("post"),
+        )
+        .where(F.col("pre").isNotNull() & F.col("post").isNotNull())
+        .select(
+            (
+                F.round(F.col("post") * 100).cast("bigint")
+                - F.round(F.col("pre") * 100).cast("bigint")
+            ).alias("d")
+        )
+        .where(F.col("d") != 0)
+    )
+    vc = u.groupBy(F.abs(F.col("d")).alias("ad")).agg(
+        F.sum((F.col("d") > 0).cast("bigint")).alias("p"),
+        F.sum((F.col("d") < 0).cast("bigint")).alias("q"),
+    )
+    rng = vc.agg(F.min("ad").alias("mn"), F.max("ad").alias("mx"))
+    b = vc.crossJoin(F.broadcast(rng)).withColumn(
+        "blk",
+        F.least(
+            F.lit(1023),
+            F.floor(
+                (F.col("ad") - F.col("mn")).cast("double")
+                / (F.col("mx") - F.col("mn") + F.lit(1)).cast("double")
+                * 1024
+            ),
+        ).cast("int"),
+    )
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("ad")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = b.withColumn(
+        "cum_in",
+        F.coalesce(F.sum(F.col("p") + F.col("q")).over(w_in), F.lit(0)),
+    )
+    bt = b.groupBy("blk").agg(F.sum(F.col("p") + F.col("q")).alias("blk_n"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    bt = bt.withColumn("off", F.coalesce(F.sum("blk_n").over(w_blk), F.lit(0)))
+    r = b.join(F.broadcast(bt.select("blk", "off")), "blk").withColumn(
+        "below", F.col("off") + F.col("cum_in")
+    )
+    agg = r.agg(
+        F.sum(F.col("p") + F.col("q")).alias("n"),
+        F.sum(
+            F.col("p") * (2 * F.col("below") + F.col("p") + F.col("q") + 1)
+        ).alias("w2"),
+        F.sum(
+            (F.col("p") + F.col("q"))
+            * (F.col("p") + F.col("q"))
+            * (F.col("p") + F.col("q"))
+            - (F.col("p") + F.col("q"))
+        ).alias("tie_term"),
+    )
+    mean = "(n * (n + 1.0) / 4.0)"
+    var = "(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - tie_term / 48.0)"
+    z = (
+        f"((w2 / 2.0 - {mean}"
+        f" - 0.5 * sign(w2 / 2.0 - {mean})) / sqrt({var}))"
+    )
+    return agg.selectExpr(
+        "n AS n_pairs",
+        "w2 AS w_plus_2x",
+        f"round({var}, 6) AS var_w",
+        f"round({z}, 6) AS z",
+    )
+
+
+def stats_wilcoxon_signed_rank_sql() -> str:
+    mean = "(n * (n + 1.0) / 4.0)"
+    var = "(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - tie_term / 48.0)"
+    z = (
+        f"((w2 / 2.0 - {mean}"
+        f" - 0.5 * sign(w2 / 2.0 - {mean})) / sqrt({var}))"
+    )
+    return f"""
+    WITH u AS (
+        SELECT user_id,
+               sum(CASE WHEN ts::TIMESTAMP < TIMESTAMP '{CUPED_CUT}'
+                        THEN value END) AS pre,
+               sum(CASE WHEN ts::TIMESTAMP >= TIMESTAMP '{CUPED_CUT}'
+                        THEN value END) AS post
+        FROM events
+        WHERE value IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY user_id
+    ), d AS (
+        SELECT round(post * 100)::BIGINT - round(pre * 100)::BIGINT AS d
+        FROM u WHERE pre IS NOT NULL AND post IS NOT NULL
+          AND round(post * 100)::BIGINT <> round(pre * 100)::BIGINT
+    ), vc AS (
+        SELECT abs(d) AS ad,
+               sum((d > 0)::INT)::BIGINT AS p,
+               sum((d < 0)::INT)::BIGINT AS q
+        FROM d GROUP BY 1
+    ), r AS (
+        SELECT p, q,
+               coalesce(sum(p + q) OVER (ORDER BY ad
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        FROM vc
+    ), agg AS (
+        SELECT sum(p + q)::BIGINT AS n,
+               sum(p * (2 * below + p + q + 1))::BIGINT AS w2,
+               sum((p + q) * (p + q) * (p + q) - (p + q))::BIGINT AS tie_term
+        FROM r
+    )
+    SELECT n AS n_pairs, w2 AS w_plus_2x,
+           round({var}, 6) AS var_w,
+           round({z}, 6) AS z
+    FROM agg
+    """
+
+
+def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test across the K event types as repeated measures
+    per user (blocks) — "does some event type systematically carry more
+    spend per user than the others", the k-sample paired complement to
+    stats_kruskal_wallis's independent groups.
+
+    ONE shuffle to (user, type) integer-cent sums; complete blocks only
+    (users observing ALL K types, K read from the data on a 1-row
+    broadcast); within-block average ranks come from user-partitioned
+    windows (K-bounded partitions, never global) and stay
+    DOUBLED-integer (2·rank_min + ties − 1); the χ² and its
+    tie-corrected variant are ratios of those exact sums. NULL rule:
+    NULL value / user / type are not observations (both engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select("user_id", "event_type", "value")
+    )
+    g = ev.groupBy("user_id", "event_type").agg(
+        F.round(F.sum("value") * 100).cast("bigint").alias("v")
+    )
+    kt = F.broadcast(
+        ev.agg(F.countDistinct("event_type").alias("k"))
+    )
+    complete = (
+        g.withColumn(
+            "nt", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+        )
+        .crossJoin(kt)
+        .where(F.col("nt") == F.col("k"))
+    )
+    wr = Window.partitionBy("user_id").orderBy("v")
+    wt = Window.partitionBy("user_id", "v")
+    ranked = complete.withColumn("r_min", F.rank().over(wr)).withColumn(
+        "ct", F.count(F.lit(1)).over(wt)
+    )
+    per_type = ranked.groupBy("event_type").agg(
+        F.sum(2 * F.col("r_min") + F.col("ct") - 1).alias("r2"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("k").alias("k"),
+        F.sum(F.col("ct") * F.col("ct") - 1).alias("tie_part"),
+    )
+    tot = per_type.agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.sum(F.expr("cast(r2 as double) * cast(r2 as double)")).alias("rr"),
+        F.sum("tie_part").alias("tie_term"),
+    )
+    chi2 = "((3.0 * rr / (n * k * (k + 1.0))) - 3.0 * n * (k + 1.0))"
+    corr = "(1.0 - tie_term / (n * k * (k * k - 1.0)))"
+    out = per_type.crossJoin(F.broadcast(tot.select("rr", "tie_term")))
+    return out.selectExpr(
+        "event_type",
+        "r2 AS rank_sum_2x",
+        "round(r2 / (2.0 * n), 6) AS mean_rank",
+        "n AS n_users",
+        "k",
+        f"round({chi2}, 6) AS chi2",
+        f"round({chi2} / {corr}, 6) AS chi2_tie_adj",
+    ).orderBy("event_type")
+
+
+def stats_friedman_sql() -> str:
+    chi2 = "((3.0 * rr / (n * k * (k + 1.0))) - 3.0 * n * (k + 1.0))"
+    corr = "(1.0 - tie_term / (n * k * (k * k - 1.0)))"
+    return f"""
+    WITH ev AS (
+        SELECT user_id, event_type, value FROM events
+        WHERE value IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL
+    ), g AS (
+        SELECT user_id, event_type, round(sum(value) * 100)::BIGINT AS v
+        FROM ev GROUP BY 1, 2
+    ), kt AS (
+        SELECT count(DISTINCT event_type)::BIGINT AS k FROM ev
+    ), complete AS (
+        SELECT g.*, k FROM g, kt
+        WHERE user_id IN (
+            SELECT user_id FROM g GROUP BY user_id
+            HAVING count(*) = (SELECT k FROM kt)
+        )
+    ), ranked AS (
+        SELECT event_type, k,
+               rank() OVER (PARTITION BY user_id ORDER BY v) AS r_min,
+               count(*) OVER (PARTITION BY user_id, v) AS ct
+        FROM complete
+    ), per_type AS (
+        SELECT event_type,
+               sum(2 * r_min + ct - 1)::BIGINT AS r2,
+               count(*)::BIGINT AS n,
+               max(k)::BIGINT AS k,
+               sum(ct * ct - 1)::BIGINT AS tie_part
+        FROM ranked GROUP BY event_type
+    ), tot AS (
+        SELECT sum(r2::DOUBLE * r2::DOUBLE) AS rr,
+               sum(tie_part)::BIGINT AS tie_term
+        FROM per_type
+    )
+    SELECT event_type, r2 AS rank_sum_2x,
+           round(r2 / (2.0 * n), 6) AS mean_rank,
+           n AS n_users, k,
+           round({chi2}, 6) AS chi2,
+           round({chi2} / {corr}, 6) AS chi2_tie_adj
+    FROM per_type CROSS JOIN tot
+    ORDER BY event_type
+    """
+
+
+def stats_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of customer revenue within
+    each market segment — "is this segment's revenue one whale or a
+    crowd": HHI = Σ share², normalized HHI, CR1 (top share, an
+    order-free max) and effective competitor count 1/HHI.
+
+    ONE shuffle to (segment, customer) integer-cent revenue, broadcast
+    customer dim join; per-segment Σ share² needs no rank/sort (CR1 is
+    max, not top-k). Shares divide EXACT integers so both engines see
+    identical operands; the share-square sum rounds at 6 dp. NULL rule:
+    orders without a matching customer drop (inner join, both engines);
+    a NULL segment is its own group.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    r = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev"))
+    )
+    seg = r.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").alias("total_cents"),
+        F.max("rev").alias("max_rev"),
+    )
+    out = (
+        r.join(
+            F.broadcast(seg.withColumnRenamed("c_mktsegment", "_seg")),
+            F.col("c_mktsegment").eqNullSafe(F.col("_seg")),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max("n_customers").alias("n_customers"),
+            F.max("total_cents").alias("total_cents"),
+            F.max("max_rev").alias("max_rev"),
+            F.sum(
+                (F.col("rev").cast("double") / F.col("total_cents").cast("double"))
+                * (F.col("rev").cast("double") / F.col("total_cents").cast("double"))
+            ).alias("hhi_raw"),
+        )
+    )
+    return out.selectExpr(
+        "c_mktsegment AS segment",
+        "n_customers",
+        "total_cents",
+        "round(hhi_raw, 6) AS hhi",
+        "round((hhi_raw - 1.0 / n_customers)"
+        " / nullif(1.0 - 1.0 / n_customers, 0.0), 6) AS hhi_norm",
+        "round(cast(max_rev as double) / total_cents, 6) AS cr1",
+        "round(1.0 / hhi_raw, 2) AS effective_n",
+    ).orderBy("segment")
+
+
+def stats_herfindahl_sql() -> str:
+    return """
+    WITH r AS (
+        SELECT c_mktsegment, c_custkey,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ), seg AS (
+        SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+               sum(rev)::BIGINT AS total_cents, max(rev)::BIGINT AS max_rev
+        FROM r GROUP BY 1
+    ), h AS (
+        SELECT r.c_mktsegment,
+               max(n_customers)::BIGINT AS n_customers,
+               max(total_cents)::BIGINT AS total_cents,
+               max(max_rev)::BIGINT AS max_rev,
+               sum((rev::DOUBLE / total_cents::DOUBLE)
+                   * (rev::DOUBLE / total_cents::DOUBLE)) AS hhi_raw
+        FROM r JOIN seg ON r.c_mktsegment IS NOT DISTINCT FROM seg.c_mktsegment
+        GROUP BY 1
+    )
+    SELECT c_mktsegment AS segment, n_customers, total_cents,
+           round(hhi_raw, 6) AS hhi,
+           round((hhi_raw - 1.0 / n_customers)
+                 / nullif(1.0 - 1.0 / n_customers, 0.0), 6) AS hhi_norm,
+           round(max_rev::DOUBLE / total_cents, 6) AS cr1,
+           round(1.0 / hhi_raw, 2) AS effective_n
+    FROM h ORDER BY segment
+    """
+
+
+def stats_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio + Woolf 95% CI for the 2×2 of high-priority orders ×
+    any-returned-lineitem — the EFFECT-SIZE report beside
+    stats_chi_square's significance and stats_mcnemar's paired counts
+    ("how much more likely is an urgent order to bounce").
+
+    ONE lineitem aggregation to an order-grain returned flag, inner
+    join to orders (an order with no lineitems has no outcome — both
+    engines), then a single 4-cell grid; OR/lnOR/SE/CI are closed-form
+    arithmetic on the 4 EXACT integers, so every float is derived from
+    identical operands. NULL rule: NULL o_orderpriority has no
+    exposure arm (dropped); a NULL l_returnflag is simply not 'R'.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max((F.col("l_returnflag") == "R").cast("int")).alias("ret")
+        )
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isNotNull())
+        .select(
+            "o_orderkey",
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("exposed"),
+        )
+    )
+    cells = o.join(li, o.o_orderkey == li.l_orderkey).agg(
+        F.sum((F.col("exposed") & (F.col("ret") == 1)).cast("bigint")).alias("a"),
+        F.sum((F.col("exposed") & (F.col("ret") == 0)).cast("bigint")).alias("b"),
+        F.sum((~F.col("exposed") & (F.col("ret") == 1)).cast("bigint")).alias("c"),
+        F.sum((~F.col("exposed") & (F.col("ret") == 0)).cast("bigint")).alias("d"),
+    )
+    orr = "((a * cast(d as double)) / (b * cast(c as double)))"
+    se = "sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)"
+    return cells.selectExpr(
+        "a AS exposed_returned",
+        "b AS exposed_kept",
+        "c AS control_returned",
+        "d AS control_kept",
+        f"round({orr}, 6) AS odds_ratio",
+        f"round(ln({orr}), 6) AS ln_or",
+        f"round({se}, 6) AS se_ln_or",
+        f"round(exp(ln({orr}) - 1.959964 * {se}), 6) AS ci_low",
+        f"round(exp(ln({orr}) + 1.959964 * {se}), 6) AS ci_high",
+    )
+
+
+def stats_odds_ratio_sql() -> str:
+    orr = "((a * d::DOUBLE) / (b * c::DOUBLE))"
+    se = "sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)"
+    return f"""
+    WITH li AS (
+        SELECT l_orderkey,
+               max((l_returnflag = 'R')::INT) AS ret
+        FROM lineitem GROUP BY 1
+    ), o AS (
+        SELECT o_orderkey,
+               o_orderpriority IN ('1-URGENT', '2-HIGH') AS exposed
+        FROM orders WHERE o_orderpriority IS NOT NULL
+    ), cells AS (
+        SELECT sum((exposed AND ret = 1)::INT)::BIGINT AS a,
+               sum((exposed AND ret = 0)::INT)::BIGINT AS b,
+               sum((NOT exposed AND ret = 1)::INT)::BIGINT AS c,
+               sum((NOT exposed AND ret = 0)::INT)::BIGINT AS d
+        FROM o JOIN li ON o_orderkey = l_orderkey
+    )
+    SELECT a AS exposed_returned, b AS exposed_kept,
+           c AS control_returned, d AS control_kept,
+           round({orr}, 6) AS odds_ratio,
+           round(ln({orr}), 6) AS ln_or,
+           round({se}, 6) AS se_ln_or,
+           round(exp(ln({orr}) - 1.959964 * {se}), 6) AS ci_low,
+           round(exp(ln({orr}) + 1.959964 * {se}), 6) AS ci_high
+    FROM cells
+    """
+
+
+def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation test on the residuals of the daily
+    revenue OLS trend — "after removing the linear trend, do adjacent
+    days still move together" (DW ≈ 2 none, < 2 positive, > 2 negative
+    serial correlation); the residual-level complement to
+    stats_autocorrelation's raw-series ACF.
+
+    The fact table collapses to the DAYS-bounded calendar grain (exact
+    integer cents); the day index, OLS sums, residuals and the lag
+    window all live on that bounded dimension (the stats_mann_kendall
+    discipline), with slope/intercept broadcast back as a 1-row
+    cross join so both engines evaluate residuals from identical
+    operands. NULL o_orderdate has no day (dropped both engines).
+    """
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy("o_orderdate")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y")
+        )
+        .withColumn("t", F.row_number().over(Window.orderBy("o_orderdate")))
+    )
+    s = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("cast(t as bigint) * cast(t as bigint)")).alias("stt"),
+        F.sum(F.expr("cast(t as bigint) * y")).alias("sty"),
+    )
+    slope = "((n * cast(sty as double) - cast(st as double) * sy)" \
+            " / (n * cast(stt as double) - cast(st as double) * st))"
+    icept = f"((sy - {slope} * st) / cast(n as double))"
+    e = (
+        d.crossJoin(F.broadcast(s))
+        .withColumn(
+            "resid",
+            F.expr(f"cast(y as double) - ({icept} + {slope} * t)"),
+        )
+        .withColumn(
+            "d_resid",
+            F.col("resid")
+            - F.lag("resid").over(Window.orderBy("t")),
+        )
+    )
+    out = e.agg(
+        F.max("n").alias("n_days"),
+        F.max(F.expr(f"round({slope}, 6)")).alias("slope_cents_per_day"),
+        F.sum(F.expr("resid * resid")).alias("sse"),
+        F.sum(F.expr("d_resid * d_resid")).alias("sdd"),
+    )
+    return out.selectExpr(
+        "n_days",
+        "slope_cents_per_day",
+        "round(sdd / sse, 6) AS dw",
+        "round(1.0 - (sdd / sse) / 2.0, 6) AS rho_approx",
+    )
+
+
+def stats_durbin_watson_sql() -> str:
+    slope = (
+        "((n * sty::DOUBLE - st::DOUBLE * sy)"
+        " / (n * stt::DOUBLE - st::DOUBLE * st))"
+    )
+    icept = f"((sy - {slope} * st) / n::DOUBLE)"
+    return f"""
+    WITH d AS (
+        SELECT o_orderdate, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y,
+               row_number() OVER (ORDER BY o_orderdate) AS t
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_orderdate
+    ), s AS (
+        SELECT count(*)::BIGINT AS n, sum(t)::BIGINT AS st,
+               sum(y)::BIGINT AS sy,
+               sum(t::BIGINT * t::BIGINT)::BIGINT AS stt,
+               sum(t::BIGINT * y)::BIGINT AS sty
+        FROM d
+    ), e AS (
+        SELECT n, st, sy, stt, sty,
+               y::DOUBLE - ({icept} + {slope} * t) AS resid,
+               y::DOUBLE - ({icept} + {slope} * t)
+                 - lag(y::DOUBLE - ({icept} + {slope} * t))
+                   OVER (ORDER BY t) AS d_resid
+        FROM d CROSS JOIN s
+    ), agg AS (
+        SELECT max(n)::BIGINT AS n_days,
+               max(round({slope}, 6)) AS slope_cents_per_day,
+               sum(resid * resid) AS sse,
+               sum(d_resid * d_resid) AS sdd
+        FROM e
+    )
+    SELECT n_days, slope_cents_per_day,
+           round(sdd / sse, 6) AS dw,
+           round(1.0 - (sdd / sse) / 2.0, 6) AS rho_approx
+    FROM agg
+    """
+
+
+def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog time series: an order is OPEN from its order
+    date through its last lineitem ship date (inclusive); per month,
+    the peak/trough open-order count, the open value at peak, and the
+    month-end backlog — the operations "how deep is the queue" view.
+
+    Interval counting by ±1 delta aggregation at the DAYS-bounded
+    calendar grain — never an events×days range join: starts and ends
+    collapse to per-day deltas in one shuffle, the running open
+    count/value is a prefix sum over the bounded day dimension, then a
+    month rollup. NULL rule: orders with NULL order date or no non-NULL
+    ship date have no interval (dropped, both engines).
+    """
+    fin = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("fin"))
+        .where(F.col("fin").isNotNull())
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("start"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    iv = o.join(fin, o.o_orderkey == fin.l_orderkey).select(
+        "start", F.date_add(F.col("fin"), 1).alias("stop"), "cents"
+    )
+    deltas = (
+        iv.select(F.col("start").alias("day"), F.lit(1).alias("dn"), F.col("cents").alias("dv"))
+        .unionAll(
+            iv.select(
+                F.col("stop").alias("day"),
+                F.lit(-1).alias("dn"),
+                (-F.col("cents")).alias("dv"),
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("dn").alias("dn"), F.sum("dv").alias("dv"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    run = deltas.withColumn("open_n", F.sum("dn").over(w)).withColumn(
+        "open_v", F.sum("dv").over(w)
+    )
+    return (
+        run.groupBy(F.date_trunc("month", F.col("day")).cast("date").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_delta_days"),
+            F.max("open_n").alias("peak_open"),
+            F.min("open_n").alias("trough_open"),
+            F.max("open_v").alias("peak_value_cents"),
+            F.max_by("open_n", "day").alias("eom_open"),
+        )
+        .orderBy("month")
+    )
+
+
+def q_orders_backlog_sql() -> str:
+    return """
+    WITH fin AS (
+        SELECT l_orderkey, max(l_shipdate::DATE) AS fin
+        FROM lineitem GROUP BY 1 HAVING max(l_shipdate::DATE) IS NOT NULL
+    ), o AS (
+        SELECT o_orderkey, o_orderdate::DATE AS start,
+               round(o_totalprice * 100)::BIGINT AS cents
+        FROM orders WHERE o_orderdate IS NOT NULL
+    ), iv AS (
+        SELECT start, fin + INTERVAL 1 DAY AS stop, cents
+        FROM o JOIN fin ON o_orderkey = l_orderkey
+    ), deltas AS (
+        SELECT day, sum(dn)::BIGINT AS dn, sum(dv)::BIGINT AS dv FROM (
+            SELECT start AS day, 1 AS dn, cents AS dv FROM iv
+            UNION ALL
+            SELECT stop::DATE AS day, -1 AS dn, -cents AS dv FROM iv
+        ) GROUP BY day
+    ), run AS (
+        SELECT day,
+               sum(dn) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_n,
+               sum(dv) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_v
+        FROM deltas
+    )
+    SELECT date_trunc('month', day)::DATE AS month,
+           count(*)::BIGINT AS n_delta_days,
+           max(open_n)::BIGINT AS peak_open,
+           min(open_n)::BIGINT AS trough_open,
+           max(open_v)::BIGINT AS peak_value_cents,
+           arg_max(open_n, day)::BIGINT AS eom_open
+    FROM run GROUP BY 1 ORDER BY month
+    """
+
+
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    quarter, cumulative spend per customer tracked by quarters-since-
+    acquisition — the (cohort × age) triangle behind every LTV and
+    payback-period model.
+
+    Two shuffles at entity grain: (customer, quarter) integer-cent
+    spend, then min-quarter per customer rides a window on that SAME
+    partitioning (no extra shuffle); the cumulative sum runs per cohort
+    over the AGE-bounded quarter axis (partitioned window, never
+    global). LTV divides exact integers. NULL o_orderdate rows have no
+    quarter (dropped both engines); customers arrive via orders only
+    (no customer-dim dependency).
+    """
+    q = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull() & F.col("o_custkey").isNotNull())
+        .select(
+            "o_custkey",
+            (
+                (F.year("o_orderdate") - F.lit(1995)) * 4
+                + F.quarter("o_orderdate")
+                - 1
+            ).alias("qidx"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("o_custkey", "qidx")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    wc = Window.partitionBy("o_custkey")
+    aged = q.withColumn("cohort", F.min("qidx").over(wc)).withColumn(
+        "age", F.col("qidx") - F.col("cohort")
+    )
+    sizes = aged.groupBy("cohort").agg(
+        F.countDistinct("o_custkey").alias("n_customers")
+    )
+    cell = aged.groupBy("cohort", "age").agg(F.sum("cents").alias("cents"))
+    wa = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cell.withColumn("cum_cents", F.sum("cents").over(wa))
+    return (
+        cum.join(F.broadcast(sizes), "cohort")
+        .selectExpr(
+            "cohort",
+            "age",
+            "n_customers",
+            "cum_cents",
+            "round(cum_cents / cast(n_customers as double), 2) AS ltv_cents",
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+def q_orders_cohort_ltv_sql() -> str:
+    return """
+    WITH q AS (
+        SELECT o_custkey,
+               (year(o_orderdate) - 1995) * 4 + quarter(o_orderdate) - 1 AS qidx,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL
+        GROUP BY 1, 2
+    ), aged AS (
+        SELECT o_custkey, cents,
+               min(qidx) OVER (PARTITION BY o_custkey) AS cohort,
+               qidx - min(qidx) OVER (PARTITION BY o_custkey) AS age
+        FROM q
+    ), sizes AS (
+        SELECT cohort, count(DISTINCT o_custkey)::BIGINT AS n_customers
+        FROM aged GROUP BY 1
+    ), cell AS (
+        SELECT cohort, age, sum(cents)::BIGINT AS cents
+        FROM aged GROUP BY 1, 2
+    ), cum AS (
+        SELECT cohort, age,
+               sum(cents) OVER (PARTITION BY cohort ORDER BY age
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS cum_cents
+        FROM cell
+    )
+    SELECT cum.cohort, age, n_customers, cum_cents,
+           round(cum_cents / n_customers::DOUBLE, 2) AS ltv_cents
+    FROM cum JOIN sizes ON cum.cohort = sizes.cohort
+    ORDER BY cum.cohort, age
+    """

@@ -846,3 +846,87 @@ def graph_clustering_coefficient_sql() -> str:
     FROM cc CROSS JOIN gstats
     ORDER BY brand
     """
+
+
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the user × event-type interaction graph
+    onto the event-type side: for each type pair, how many users touch
+    both, the co-occurrence weight (Σ per-user count products) and the
+    cosine of the two types' user-count vectors — the "which behaviors
+    travel together" view that seeds recommendation and taxonomy work.
+
+    ONE shuffle to (user, type) integer weights; the pair join is
+    co-partitioned on user_id with fan-out bounded by the TYPE
+    cardinality (each user holds ≤ T types, so the join emits ≤ T²/2
+    rows per user — duplicate-explosion invisible); per-type norms ride
+    a bounded broadcast. Integer numerators throughout, cosine is the
+    only float (exact-integer operands both engines). NULL rule: NULL
+    user/type rows are not interactions (dropped both engines).
+    """
+    w = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    norms = w.groupBy("event_type").agg(
+        F.sum(F.expr("w * w")).alias("n2"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    a = w.select(
+        "user_id", F.col("event_type").alias("ta"), F.col("w").alias("wa")
+    )
+    b = w.select(
+        "user_id", F.col("event_type").alias("tb"), F.col("w").alias("wb")
+    )
+    pairs = (
+        a.join(b, ["user_id"])
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).alias("common_users"),
+            F.sum(F.expr("wa * wb")).alias("dot"),
+        )
+    )
+    na = norms.select(F.col("event_type").alias("ta"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("event_type").alias("tb"), F.col("n2").alias("nb2"))
+    return (
+        pairs.join(F.broadcast(na), "ta")
+        .join(F.broadcast(nb), "tb")
+        .selectExpr(
+            "ta AS type_a",
+            "tb AS type_b",
+            "common_users",
+            "dot AS co_weight",
+            "round(dot / (sqrt(cast(na2 as double)) * sqrt(cast(nb2 as double))), 6)"
+            " AS cosine",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def graph_bipartite_projection_sql() -> str:
+    return """
+    WITH w AS (
+        SELECT user_id, event_type, count(*)::BIGINT AS w
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+    ), norms AS (
+        SELECT event_type, sum(w * w)::BIGINT AS n2
+        FROM w GROUP BY 1
+    ), pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               count(*)::BIGINT AS common_users,
+               sum(a.w * b.w)::BIGINT AS dot
+        FROM w a JOIN w b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT ta AS type_a, tb AS type_b, common_users, dot AS co_weight,
+           round(dot / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS cosine
+    FROM pairs
+    JOIN norms na ON pairs.ta = na.event_type
+    JOIN norms nb ON pairs.tb = nb.event_type
+    ORDER BY type_a, type_b
+    """

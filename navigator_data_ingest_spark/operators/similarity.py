@@ -1913,3 +1913,107 @@ def emb_isotropy_sql() -> str:
            round({vmax} / {vmin}, 2) AS dim_var_ratio
     FROM g
     """
+
+
+def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-example triplet mining over the labeled embedding corpus:
+    for each bounded-stripe anchor, the HARDEST POSITIVE (same-label
+    vector with the LOWEST cosine) and the HARDEST NEGATIVE (different-
+    label vector with the HIGHEST cosine), the triplet margin, and the
+    violation flag (negative at least as close as positive) — the
+    mining pass that feeds contrastive/metric-learning fine-tuning.
+
+    Scale shape: the anchor set broadcasts (sim_search_bruteforce's
+    bounded stripe), the corpus never shuffles; extremum cosines come
+    from ONE map-side conditional min/max per anchor, and the witness
+    ids from a join-back on ROUNDED-cosine equality (both engines round
+    the same unrolled left-fold dot product at 6 dp, so equality is
+    exact) with min(vec_id) as the deterministic tie-break. Two corpus
+    passes total, no window over the broadcast product. NULL rule: a
+    NULL label is neither a positive nor a negative (dropped from both
+    sides, both engines).
+    """
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = scatter(spark, raw).where(F.col("label").isNotNull())
+    q = query_stripe(e, raw).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("alabel"),
+    )
+    cand = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "alabel",
+            "vec_id",
+            (F.col("label") == F.col("alabel")).alias("is_pos"),
+            F.round(_cos("qvec", "embedding", EMB_DIM), 6).alias("c6"),
+        )
+    )
+    ext = cand.groupBy("query_id", "alabel").agg(
+        F.min(F.when(F.col("is_pos"), F.col("c6"))).alias("pos_cos"),
+        F.max(F.when(~F.col("is_pos"), F.col("c6"))).alias("neg_cos"),
+    )
+    ids = (
+        cand.join(F.broadcast(ext.select("query_id", "pos_cos", "neg_cos")), "query_id")
+        .where(
+            (F.col("is_pos") & (F.col("c6") == F.col("pos_cos")))
+            | (~F.col("is_pos") & (F.col("c6") == F.col("neg_cos")))
+        )
+        .groupBy("query_id")
+        .agg(
+            F.min(F.when(F.col("is_pos"), F.col("vec_id"))).alias("pos_id"),
+            F.min(F.when(~F.col("is_pos"), F.col("vec_id"))).alias("neg_id"),
+        )
+    )
+    return (
+        ext.join(F.broadcast(ids), "query_id")
+        .selectExpr(
+            "query_id",
+            "alabel AS anchor_label",
+            "pos_id",
+            "pos_cos",
+            "neg_id",
+            "neg_cos",
+            "round(neg_cos - pos_cos, 6) AS margin",
+            "neg_cos >= pos_cos AS violation",
+        )
+        .orderBy("query_id")
+    )
+
+
+def emb_triplet_mining_sql() -> str:
+    dot_qe = X.dk_fold_dot("q.qvec", "e.embedding", EMB_DIM)
+    dot_qq = X.dk_fold_dot("q.qvec", "q.qvec", EMB_DIM)
+    dot_ee = X.dk_fold_dot("e.embedding", "e.embedding", EMB_DIM)
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec, label AS alabel
+        FROM embeddings WHERE {query_stripe_sql()} AND label IS NOT NULL
+    ), cand AS (
+        SELECT q.query_id, q.alabel, e.vec_id,
+               (e.label = q.alabel) AS is_pos,
+               round({dot_qe} / (sqrt({dot_qq}) * sqrt({dot_ee})), 6) AS c6
+        FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+        WHERE e.label IS NOT NULL
+    ), ext AS (
+        SELECT query_id, alabel,
+               min(CASE WHEN is_pos THEN c6 END) AS pos_cos,
+               max(CASE WHEN NOT is_pos THEN c6 END) AS neg_cos
+        FROM cand GROUP BY 1, 2
+    ), ids AS (
+        SELECT cand.query_id,
+               min(CASE WHEN is_pos THEN vec_id END)::BIGINT AS pos_id,
+               min(CASE WHEN NOT is_pos THEN vec_id END)::BIGINT AS neg_id
+        FROM cand JOIN ext ON cand.query_id = ext.query_id
+        WHERE (is_pos AND c6 = pos_cos)
+           OR (NOT is_pos AND c6 = neg_cos)
+        GROUP BY 1
+    )
+    SELECT ext.query_id, alabel AS anchor_label, pos_id, pos_cos,
+           neg_id, neg_cos,
+           round(neg_cos - pos_cos, 6) AS margin,
+           neg_cos >= pos_cos AS violation
+    FROM ext JOIN ids ON ext.query_id = ids.query_id
+    ORDER BY ext.query_id
+    """

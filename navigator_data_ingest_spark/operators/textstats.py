@@ -1520,3 +1520,83 @@ def text_mattr_sql() -> str:
     FROM m WHERE n_chunks > 0
     ORDER BY doc_id
     """
+
+
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K lexical-richness characteristic per source — the
+    repeated-vocabulary audit (high K = few types doing most of the
+    work; low K = rich vocabulary) that flags template/boilerplate
+    sources before they dominate a training mix. K = 10⁴·(Σc² − N)/N²
+    over a doc's token counts c; reported per source as the
+    per-doc mean AND the pooled (corpus-level) K from summed integer
+    moments.
+
+    Scale shape: explode → ONE shuffle on (doc, token) → per-doc
+    integer moments (N, Σc²) → source rollup; the pooled K is a ratio
+    of exact integer sums (order-free), the mean-of-docs K rounds at
+    6 dp. NULL rule: NULL/empty text yields no tokens hence no doc row
+    (both engines); a NULL source is its own group.
+    """
+    docs = scatter(spark, load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.expr(X.sp_tokens("text"))).alias("token")
+    )
+    cnt = tok.groupBy("doc_id", "source", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = cnt.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n_tok"),
+        F.sum(F.expr("c * c")).alias("s2"),
+    )
+    k = per_doc.withColumn(
+        "k_doc",
+        F.expr(
+            "10000.0 * (cast(s2 as double) - n_tok)"
+            " / (cast(n_tok as double) * cast(n_tok as double))"
+        ),
+    )
+    return (
+        k.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("k_doc"), 6).alias("mean_yule_k"),
+            F.sum("s2").alias("_s2"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "mean_yule_k",
+            "round(10000.0 * (cast(_s2 as double) - total_tokens)"
+            " / (cast(total_tokens as double) * cast(total_tokens as double)), 6)"
+            " AS pooled_yule_k",
+        )
+        .orderBy("source")
+    )
+
+
+def text_yule_k_sql() -> str:
+    return f"""
+    WITH t AS (
+        SELECT doc_id, source, {X.dk_tokens('text')} AS toks FROM documents
+    ), tok AS (
+        SELECT doc_id, source, unnest(toks) AS token
+        FROM t WHERE len(toks) > 0
+    ), cnt AS (
+        SELECT doc_id, source, token, count(*)::BIGINT AS c
+        FROM tok GROUP BY 1, 2, 3
+    ), per_doc AS (
+        SELECT doc_id, source, sum(c)::BIGINT AS n_tok,
+               sum(c * c)::BIGINT AS s2
+        FROM cnt GROUP BY 1, 2
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS total_tokens,
+           round(avg(10000.0 * (s2::DOUBLE - n_tok)
+                     / (n_tok::DOUBLE * n_tok::DOUBLE)), 6) AS mean_yule_k,
+           round(10000.0 * (sum(s2)::DOUBLE - sum(n_tok))
+                 / (sum(n_tok)::DOUBLE * sum(n_tok)::DOUBLE), 6)
+               AS pooled_yule_k
+    FROM per_doc GROUP BY source ORDER BY source
+    """

@@ -5314,3 +5314,80 @@ register(
     streaming_streams.stream_sliding_agg_sql(),
     front=True,
 )
+
+
+# --------------------------------------------------------------------------
+# round-5 fourth batch: paired/blocked rank tests, concentration and
+# effect-size statistics, order-book style interval analytics, cohort
+# LTV, bipartite projection, lexical richness, triplet mining
+# --------------------------------------------------------------------------
+
+register(
+    "stats_wilcoxon_signed_rank",
+    analytics.stats_wilcoxon_signed_rank,
+    analytics.stats_wilcoxon_signed_rank_sql(),
+    front=True,
+)
+
+register(
+    "stats_friedman",
+    analytics.stats_friedman,
+    analytics.stats_friedman_sql(),
+    front=True,
+)
+
+register(
+    "stats_herfindahl",
+    analytics.stats_herfindahl,
+    analytics.stats_herfindahl_sql(),
+    front=True,
+)
+
+register(
+    "stats_odds_ratio",
+    analytics.stats_odds_ratio,
+    analytics.stats_odds_ratio_sql(),
+    front=True,
+)
+
+register(
+    "stats_durbin_watson",
+    analytics.stats_durbin_watson,
+    analytics.stats_durbin_watson_sql(),
+    front=True,
+)
+
+register(
+    "q_orders_backlog",
+    analytics.q_orders_backlog,
+    analytics.q_orders_backlog_sql(),
+    front=True,
+)
+
+register(
+    "q_orders_cohort_ltv",
+    analytics.q_orders_cohort_ltv,
+    analytics.q_orders_cohort_ltv_sql(),
+    front=True,
+)
+
+register(
+    "graph_bipartite_projection",
+    graph.graph_bipartite_projection,
+    graph.graph_bipartite_projection_sql(),
+    front=True,
+)
+
+register(
+    "text_yule_k",
+    textstats.text_yule_k,
+    textstats.text_yule_k_sql(),
+    front=True,
+)
+
+register(
+    "emb_triplet_mining",
+    similarity.emb_triplet_mining,
+    similarity.emb_triplet_mining_sql(),
+    front=True,
+)

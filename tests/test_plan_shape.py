@@ -209,6 +209,16 @@ _DELIBERATE_NESTED_LOOP = {
     "q_orders_abc_class",
     # 1-row min/max score-range broadcast (Mann-Whitney AUC identity)
     "stats_auc_classifier",
+    # 1-row min/max |d|-range broadcast feeding the 1024-block
+    # tie-averaged rank prefix sum (same idiom as stats_auc_classifier)
+    "stats_wilcoxon_signed_rank",
+    # 1-row K-count + 1-row rank-totals broadcasts: deliberate
+    "stats_friedman",
+    # 1-row OLS-sums broadcast back onto the DAYS-bounded day table
+    "stats_durbin_watson",
+    # broadcast bounded anchor stripe against the corpus (the declared
+    # sim_search_bruteforce shape) + 1-row-per-anchor extremum join-back
+    "emb_triplet_mining",
 }
 
 
@@ -231,12 +241,13 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     # 1024-block prefix-sum block tables
     "stats_mann_whitney", "pack_sequences", "corpus_token_budget",
     "sample_cap_per_source", "corpus_sample_exact_k", "mm_aspect_buckets",
-    "q_orders_skyline",
+    "q_orders_skyline", "stats_wilcoxon_signed_rank",
     # day/period calendar grain (bounded by the time dimension)
     "stats_runs_test", "stats_seasonal_decompose", "stats_var_cvar",
     "stats_spectral_peak", "stats_control_chart", "stats_moving_median",
     "stats_spearman_daily", "stats_benford", "stats_lorenz_deciles",
     "stats_survival_km", "corpus_bigram_lm", "text_zipf_fit",
+    "stats_durbin_watson", "q_orders_backlog",
     # nation/label/brand-bounded hypothesis or rank tables
     "stats_fdr_bh", "q_top_customers", "q2_min_cost_supplier",
     "emb_label_purity",
