@@ -81,6 +81,8 @@ HEADLINE = [
     "emb_isotropy",
     "stats_wilcoxon_signed_rank",
     "emb_triplet_mining",
+    "emb_silhouette",
+    "text_heaps_law",
 ]
 
 

@@ -8403,3 +8403,595 @@ def q_orders_cohort_ltv_sql() -> str:
     FROM cum JOIN sizes ON cum.cohort = sizes.cohort
     ORDER BY cum.cohort, age
     """
+
+
+def stats_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion (variance-to-mean ratio) test on DAILY event counts
+    per event type — the Poisson-overdispersion check ("is traffic
+    clumpier than random") behind burst alarms and rate-limit tuning;
+    the count-process complement to text_burstiness's token-level CV.
+
+    Counts collapse to the DAYS-bounded calendar grain in ONE shuffle
+    and are EXACT integers, so n·Σx² − (Σx)² is an order-free BIGINT:
+    the variance, VMR and the (n−1)·VMR ≈ χ² statistic are single
+    divisions of exact integers (no centered-moment float pass at all).
+    NULL rule: NULL event_type is its own group; NULL ts has no day
+    (dropped, both engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_type", F.col("ts").cast("date").alias("day"))
+    )
+    d = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("x"))
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    )
+    var = "((n * cast(sxx as double) - cast(sx as double) * sx) / (n * (n - 1.0)))"
+    mean = "(cast(sx as double) / n)"
+    return (
+        agg.selectExpr(
+            "event_type",
+            "n AS n_days",
+            "sx AS n_events",
+            f"round({mean}, 6) AS mean_daily",
+            f"round({var}, 6) AS var_daily",
+            f"round({var} / {mean}, 6) AS vmr",
+            f"round((n - 1) * {var} / {mean}, 6) AS chi2",
+        )
+        .orderBy("event_type")
+    )
+
+
+def stats_dispersion_index_sql() -> str:
+    var = "((n * sxx::DOUBLE - sx::DOUBLE * sx) / (n * (n - 1.0)))"
+    mean = "(sx::DOUBLE / n)"
+    return f"""
+    WITH d AS (
+        SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS x
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), agg AS (
+        SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+               sum(x * x)::BIGINT AS sxx
+        FROM d GROUP BY 1
+    )
+    SELECT event_type, n AS n_days, sx AS n_events,
+           round({mean}, 6) AS mean_daily,
+           round({var}, 6) AS var_daily,
+           round({var} / {mean}, 6) AS vmr,
+           round((n - 1) * {var} / {mean}, 6) AS chi2
+    FROM agg ORDER BY event_type
+    """
+
+
+def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does the RETURN rate rise or fall
+    monotonically across the ORDERED priority levels (1-URGENT … 5-LOW)
+    — the ordered-categories complement to stats_chi_square's
+    unordered independence test, with the priority rank as the dose.
+
+    One lineitem pass collapses to an order-grain returned flag
+    (map-side partial agg), the join keeps order grain, and the
+    contingency collapses to the 5-row score grid; every moment the z
+    statistic needs (N, R, Σw·n, Σw·r, Σw²·n) is an EXACT BIGINT, so
+    the only float step is the final closed-form ratio. NULL rule: an
+    order with no lineitems has no outcome (inner join, both engines);
+    NULL priority has no dose (dropped).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("ret"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isNotNull())
+        .select(
+            "o_orderkey",
+            F.substring("o_orderpriority", 1, 1).cast("bigint").alias("w"),
+        )
+    )
+    grid = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_k"),
+            F.sum("ret").alias("r_k"),
+        )
+    )
+    tot = grid.agg(
+        F.sum("n_k").alias("nn"),
+        F.sum("r_k").alias("rr"),
+        F.sum(F.expr("w * n_k")).alias("swn"),
+        F.sum(F.expr("w * r_k")).alias("swr"),
+        F.sum(F.expr("w * w * n_k")).alias("swwn"),
+    )
+    p = "(cast(rr as double) / nn)"
+    num = f"(cast(swr as double) - {p} * swn)"
+    den = f"sqrt({p} * (1.0 - {p}) * (cast(swwn as double) - cast(swn as double) * swn / nn))"
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "w AS priority_rank",
+            "n_k AS n_orders",
+            "r_k AS n_returned",
+            "round(cast(r_k as double) / n_k, 6) AS return_rate",
+            f"round({num} / {den}, 6) AS z_trend",
+        )
+        .orderBy("priority_rank")
+    )
+
+
+def stats_cochran_armitage_sql() -> str:
+    p = "(rr::DOUBLE / nn)"
+    num = f"(swr::DOUBLE - {p} * swn)"
+    den = f"sqrt({p} * (1.0 - {p}) * (swwn::DOUBLE - swn::DOUBLE * swn / nn))"
+    return f"""
+    WITH li AS (
+        SELECT l_orderkey, max((l_returnflag = 'R')::INT) AS ret
+        FROM lineitem GROUP BY 1
+    ), o AS (
+        SELECT o_orderkey, substring(o_orderpriority, 1, 1)::BIGINT AS w
+        FROM orders WHERE o_orderpriority IS NOT NULL
+    ), grid AS (
+        SELECT w, count(*)::BIGINT AS n_k, sum(ret)::BIGINT AS r_k
+        FROM o JOIN li ON o_orderkey = l_orderkey
+        GROUP BY 1
+    ), tot AS (
+        SELECT sum(n_k)::BIGINT AS nn, sum(r_k)::BIGINT AS rr,
+               sum(w * n_k)::BIGINT AS swn, sum(w * r_k)::BIGINT AS swr,
+               sum(w * w * n_k)::BIGINT AS swwn
+        FROM grid
+    )
+    SELECT w AS priority_rank, n_k AS n_orders, r_k AS n_returned,
+           round(r_k::DOUBLE / n_k, 6) AS return_rate,
+           round({num} / {den}, 6) AS z_trend
+    FROM grid CROSS JOIN tot
+    ORDER BY priority_rank
+    """
+
+
+def stats_granger_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger-causality F test on the daily event series: does
+    yesterday's event VOLUME (count) improve the prediction of today's
+    event VALUE beyond yesterday's value alone — the predictive
+    companion to stats_autocorrelation (within-series memory) and
+    stats_spearman_daily (contemporaneous association).
+
+    The fact table collapses ONCE to the DAYS-bounded calendar grain
+    (value in exact integer cents, volume an exact count); both OLS
+    fits run on that bounded dimension: every normal-equation moment is
+    an order-free BIGINT, the closed-form coefficients broadcast back
+    as a 1-row cross join (the stats_durbin_watson discipline), and the
+    two SSE passes evaluate residuals from identical operands in both
+    engines. F = (SSE_r − SSE_u)(n−3)/SSE_u. NULL rule: NULL ts has no
+    day; NULL value contributes 0 cents to its day (sum-skip), both
+    engines.
+    """
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("value") * 100).cast("bigint")), F.lit(0)
+            ).alias("y"),
+            F.count(F.lit(1)).alias("x"),
+        )
+    )
+    lw = Window.orderBy("day")
+    lagged = (
+        d.withColumn("y1", F.lag("y").over(lw))
+        .withColumn("x1", F.lag("x").over(lw))
+        .where(F.col("y1").isNotNull())
+    )
+    m = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("y1").alias("sy1"),
+        F.sum("x1").alias("sx1"),
+        F.sum(F.expr("y * y1")).alias("syy1"),
+        F.sum(F.expr("y * x1")).alias("syx1"),
+        F.sum(F.expr("y1 * y1")).alias("sy1y1"),
+        F.sum(F.expr("x1 * x1")).alias("sx1x1"),
+        F.sum(F.expr("y1 * x1")).alias("sy1x1"),
+    )
+    # centered second moments (exact integers cast to double ONCE)
+    s11 = "(cast(n as double) * sy1y1 - cast(sy1 as double) * sy1)"
+    s22 = "(cast(n as double) * sx1x1 - cast(sx1 as double) * sx1)"
+    s12 = "(cast(n as double) * sy1x1 - cast(sy1 as double) * sx1)"
+    s1y = "(cast(n as double) * syy1 - cast(sy1 as double) * sy)"
+    s2y = "(cast(n as double) * syx1 - cast(sx1 as double) * sy)"
+    det = f"({s11} * {s22} - {s12} * {s12})"
+    br = f"({s1y} / {s11})"
+    ar = f"((sy - {br} * sy1) / cast(n as double))"
+    b1 = f"(({s1y} * {s22} - {s2y} * {s12}) / {det})"
+    b2 = f"(({s2y} * {s11} - {s1y} * {s12}) / {det})"
+    au = f"((sy - {b1} * sy1 - {b2} * sx1) / cast(n as double))"
+    e = lagged.crossJoin(F.broadcast(m)).selectExpr(
+        "n",
+        f"(y - ({ar}) - ({br}) * y1) AS res_r",
+        f"(y - ({au}) - ({b1}) * y1 - ({b2}) * x1) AS res_u",
+        f"round({b1}, 6) AS beta_y1",
+        f"round({b2}, 6) AS beta_x1",
+    )
+    out = e.groupBy().agg(
+        F.max("n").alias("n_obs"),
+        F.max("beta_y1").alias("beta_y1"),
+        F.max("beta_x1").alias("beta_x1"),
+        F.sum(F.expr("res_r * res_r")).alias("sse_r"),
+        F.sum(F.expr("res_u * res_u")).alias("sse_u"),
+    )
+    return out.selectExpr(
+        "n_obs",
+        "beta_y1",
+        "beta_x1",
+        "round((sse_r - sse_u) * (n_obs - 3) / sse_u, 4) AS f_stat",
+    )
+
+
+def stats_granger_daily_sql() -> str:
+    s11 = "(n::DOUBLE * sy1y1 - sy1::DOUBLE * sy1)"
+    s22 = "(n::DOUBLE * sx1x1 - sx1::DOUBLE * sx1)"
+    s12 = "(n::DOUBLE * sy1x1 - sy1::DOUBLE * sx1)"
+    s1y = "(n::DOUBLE * syy1 - sy1::DOUBLE * sy)"
+    s2y = "(n::DOUBLE * syx1 - sx1::DOUBLE * sy)"
+    det = f"({s11} * {s22} - {s12} * {s12})"
+    br = f"({s1y} / {s11})"
+    ar = f"((sy - {br} * sy1) / n::DOUBLE)"
+    b1 = f"(({s1y} * {s22} - {s2y} * {s12}) / {det})"
+    b2 = f"(({s2y} * {s11} - {s1y} * {s12}) / {det})"
+    au = f"((sy - {b1} * sy1 - {b2} * sx1) / n::DOUBLE)"
+    return f"""
+    WITH d AS (
+        SELECT ts::DATE AS day,
+               coalesce(sum(round(value * 100)::BIGINT), 0)::BIGINT AS y,
+               count(*)::BIGINT AS x
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), lagged AS (
+        SELECT y, lag(y) OVER (ORDER BY day) AS y1,
+               lag(x) OVER (ORDER BY day) AS x1
+        FROM d QUALIFY y1 IS NOT NULL
+    ), m AS (
+        SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+               sum(y1)::BIGINT AS sy1, sum(x1)::BIGINT AS sx1,
+               sum(y * y1)::BIGINT AS syy1, sum(y * x1)::BIGINT AS syx1,
+               sum(y1 * y1)::BIGINT AS sy1y1, sum(x1 * x1)::BIGINT AS sx1x1,
+               sum(y1 * x1)::BIGINT AS sy1x1
+        FROM lagged
+    ), e AS (
+        SELECT n,
+               (y - ({ar}) - ({br}) * y1) AS res_r,
+               (y - ({au}) - ({b1}) * y1 - ({b2}) * x1) AS res_u,
+               round({b1}, 6) AS beta_y1,
+               round({b2}, 6) AS beta_x1
+        FROM lagged CROSS JOIN m
+    )
+    SELECT max(n)::BIGINT AS n_obs,
+           max(beta_y1) AS beta_y1,
+           max(beta_x1) AS beta_x1,
+           round((sum(res_r * res_r) - sum(res_u * res_u)) * (max(n) - 3)
+                 / sum(res_u * res_u), 4) AS f_stat
+    FROM e
+    """
+
+
+def stats_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-normal fit of order value per priority level (μ, σ of
+    ln price by the method of moments), the fitted median in exact
+    cents, and the OBSERVED share of orders below that fitted median —
+    a one-line goodness sanity (0.5 exactly iff the body fits) — the
+    heavy-tail model underpinning spend simulation and outlier fences;
+    complements stats_extreme_gumbel (tail) with a body fit.
+
+    TWO-pass centered moments (the JB lesson: raw Σln² − (Σln)²/n
+    cancels catastrophically): per-priority μ broadcasts back for the
+    σ pass; the fitted median re-enters as ROUNDED integer cents so
+    the below-median comparison is an exact integer predicate in both
+    engines. NULL rule: NULL price/priority rows drop (both engines).
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull() & F.col("o_orderpriority").isNotNull())
+        .select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .withColumn("lnp", F.expr("ln(cast(cents as double) / 100.0)"))
+    )
+    mu = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("lnp").alias("mu")
+    )
+    j = o.join(F.broadcast(mu), "o_orderpriority")
+    fit = j.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n"),
+        F.max("mu").alias("mu"),
+        F.sum(F.expr("(lnp - mu) * (lnp - mu)")).alias("css"),
+    ).selectExpr(
+        "o_orderpriority",
+        "n",
+        "mu",
+        "sqrt(css / (n - 1.0)) AS sigma",
+        "cast(round(exp(mu) * 100.0) as bigint) AS fit_median_cents",
+    )
+    back = o.join(
+        F.broadcast(fit.select("o_orderpriority", "fit_median_cents")),
+        "o_orderpriority",
+    )
+    share = back.groupBy("o_orderpriority").agg(
+        F.avg((F.col("cents") < F.col("fit_median_cents")).cast("double")).alias(
+            "share_below"
+        )
+    )
+    return (
+        fit.join(F.broadcast(share), "o_orderpriority")
+        .selectExpr(
+            "o_orderpriority AS priority",
+            "n AS n_orders",
+            "round(mu, 6) AS mu_ln",
+            "round(sigma, 6) AS sigma_ln",
+            "fit_median_cents",
+            "round(share_below, 6) AS share_below_fit_median",
+        )
+        .orderBy("priority")
+    )
+
+
+def stats_lognormal_fit_sql() -> str:
+    return """
+    WITH o AS (
+        SELECT o_orderpriority,
+               round(o_totalprice * 100)::BIGINT AS cents,
+               ln(round(o_totalprice * 100)::BIGINT::DOUBLE / 100.0) AS lnp
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+    ), mu AS (
+        SELECT o_orderpriority, count(*)::BIGINT AS n, avg(lnp) AS mu
+        FROM o GROUP BY 1
+    ), fit AS (
+        SELECT o.o_orderpriority, max(n)::BIGINT AS n, max(mu) AS mu,
+               sqrt(sum((lnp - mu) * (lnp - mu)) / (max(n) - 1.0)) AS sigma,
+               round(exp(max(mu)) * 100.0)::BIGINT AS fit_median_cents
+        FROM o JOIN mu ON o.o_orderpriority = mu.o_orderpriority
+        GROUP BY 1
+    ), share AS (
+        SELECT o.o_orderpriority,
+               avg((cents < fit_median_cents)::INT::DOUBLE) AS share_below
+        FROM o JOIN fit ON o.o_orderpriority = fit.o_orderpriority
+        GROUP BY 1
+    )
+    SELECT fit.o_orderpriority AS priority, n AS n_orders,
+           round(mu, 6) AS mu_ln, round(sigma, 6) AS sigma_ln,
+           fit_median_cents,
+           round(share_below, 6) AS share_below_fit_median
+    FROM fit JOIN share ON fit.o_orderpriority = share.o_orderpriority
+    ORDER BY priority
+    """
+
+
+def q_lineitem_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency profile per priority level: exact integer
+    day lags (order date → line ship date), mean, exact interpolated
+    p50/p90, and the share shipping more than 90 days out — the
+    fulfilment-SLA view of the orders/lineitem pair.
+
+    One co-partitioned equijoin at order grain (both sides shuffle on
+    the key once — no broadcast assumption: lineitem and orders are
+    both fact-sized), then ONE aggregation per priority; the lag is a
+    bounded integer day-difference, mean from an exact integer sum,
+    percentile() == DuckDB quantile_cont on integer lags, and the SLA
+    share is an exact integer predicate. NULL rule: NULL order date,
+    ship date or priority rows drop (both engines).
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull() & F.col("o_orderpriority").isNotNull())
+        .select("o_orderkey", "o_orderpriority", F.col("o_orderdate").cast("date").alias("od"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
+        .select("l_orderkey", F.col("l_shipdate").cast("date").alias("sd"))
+    )
+    lag = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority", F.datediff("sd", "od").alias("lag_days")
+    )
+    return (
+        lag.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _r(F.avg("lag_days"), "mean_lag_days"),
+            _r(F.expr("percentile(lag_days, 0.5)"), "p50_lag_days"),
+            _r(F.expr("percentile(lag_days, 0.9)"), "p90_lag_days"),
+            _r(F.avg((F.col("lag_days") > 90).cast("double")), "share_over_90d"),
+        )
+        .withColumnRenamed("o_orderpriority", "priority")
+        .orderBy("priority")
+    )
+
+
+def q_lineitem_ship_lag_sql() -> str:
+    return """
+    WITH lag AS (
+        SELECT o_orderpriority,
+               datediff('day', o_orderdate::DATE, l_shipdate::DATE) AS lag_days
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+          AND l_shipdate IS NOT NULL
+    )
+    SELECT o_orderpriority AS priority, count(*)::BIGINT AS n_lines,
+           round(avg(lag_days), 6) AS mean_lag_days,
+           round(quantile_cont(lag_days, 0.5), 6) AS p50_lag_days,
+           round(quantile_cont(lag_days, 0.9), 6) AS p90_lag_days,
+           round(avg((lag_days > 90)::INT::DOUBLE), 6) AS share_over_90d
+    FROM lag GROUP BY 1 ORDER BY priority
+    """
+
+
+def q_sql_lambda_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function pipeline (the lambda surface of the
+    SQL dialect): per order the lineitem prices collapse to a SORTED
+    integer-cent array, then transform / filter / aggregate lambdas
+    compute the discounted total, the above-mean item count and the
+    top item share WITHOUT re-shuffling per metric — one (order) array
+    build, all per-order metrics fold INSIDE the array, then a 5-row
+    priority rollup. The pattern that replaces N self-joins at 100 TB.
+
+    Exact integers inside every lambda (cents; mean compared as
+    x·m > Σ to avoid division); only the final rollup ratios are
+    floats. NULL rule: NULL price lines drop before the array build;
+    orders with no surviving lines drop (both engines).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint").alias("disc_cents"),
+        )
+    )
+    arr = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("cents")).alias("a"),
+        F.sum("disc_cents").alias("disc_total"),
+    )
+    per_order = arr.selectExpr(
+        "l_orderkey",
+        "size(a) AS m",
+        "aggregate(a, cast(0 as bigint), (acc, x) -> acc + x) AS tot",
+        "size(filter(a, x -> x * size(a) > aggregate(a, cast(0 as bigint), (acc, y) -> acc + y))) AS n_above_mean",
+        "element_at(a, -1) AS top_cents",
+        "disc_total",
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _r(F.avg("m"), "mean_items"),
+            _r(F.avg("n_above_mean"), "mean_above_mean"),
+            _r(F.avg(F.expr("cast(top_cents as double) / tot")), "mean_top_share"),
+            F.sum("disc_total").alias("disc_total_cents"),
+        )
+        .withColumnRenamed("o_orderpriority", "priority")
+        .orderBy("priority")
+    )
+
+
+def q_sql_lambda_arrays_sql() -> str:
+    return """
+    WITH li AS (
+        SELECT l_orderkey,
+               round(l_extendedprice * 100)::BIGINT AS cents,
+               round(l_extendedprice * (1 - l_discount) * 100)::BIGINT AS disc_cents
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), arr AS (
+        SELECT l_orderkey, list(cents ORDER BY cents) AS a,
+               sum(disc_cents)::BIGINT AS disc_total
+        FROM li GROUP BY 1
+    ), per_order AS (
+        SELECT l_orderkey, len(a)::BIGINT AS m,
+               list_reduce(a, (x, y) -> x + y)::BIGINT AS tot,
+               len(list_filter(a, x -> x * len(a) >
+                   list_reduce(a, (u, v) -> u + v)))::BIGINT AS n_above_mean,
+               a[-1]::BIGINT AS top_cents,
+               disc_total
+        FROM arr
+    )
+    SELECT o_orderpriority AS priority, count(*)::BIGINT AS n_orders,
+           round(avg(m), 6) AS mean_items,
+           round(avg(n_above_mean), 6) AS mean_above_mean,
+           round(avg(top_cents::DOUBLE / tot), 6) AS mean_top_share,
+           sum(disc_total)::BIGINT AS disc_total_cents
+    FROM per_order JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY priority
+    """
+
+
+def q_events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View-to-purchase conversion lag per first-view DAY cohort: of
+    the users whose first 'view' lands on the day, how many ever
+    purchase AFTER it, and the exact mean / interpolated median lag in
+    whole minutes — the time-to-convert distribution behind funnel SLA
+    and attribution-window choices (q_events_funnel counts WHO
+    converts; this measures HOW FAST).
+
+    ONE user-grain conditional aggregation (first view ts, first
+    purchase-after-view ts as exact integer MICROSECONDS — min skips
+    the non-matching types), then a DAYS-bounded cohort rollup; the
+    lag floors to integer minutes before any statistic so both engines
+    aggregate identical integers. NULL rule: NULL user/ts rows are not
+    observations (both engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "event_type", "ts")
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v_ts")
+        )
+        .where(F.col("v_ts").isNotNull())
+    )
+    p = ev.where(F.col("event_type") == "purchase").join(u, "user_id")
+    first_p = (
+        p.where(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    # timestampdiff(MICROSECOND, ...) is storage-type agnostic (works on
+    # TIMESTAMP and TIMESTAMP_NTZ alike, no session-tz conversion) and
+    # equals DuckDB's epoch_us difference exactly
+    cohort = (
+        u.join(first_p, "user_id", "left")
+        .select(
+            F.col("v_ts").cast("date").alias("cohort_day"),
+            F.expr(
+                "timestampdiff(MICROSECOND, v_ts, p_ts) div 60000000"
+            ).alias("lag_min"),
+        )
+    )
+    return (
+        cohort.groupBy("cohort_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("lag_min").alias("n_converted"),
+            _r(F.avg("lag_min"), "mean_lag_min"),
+            _r(F.expr("percentile(lag_min, 0.5)"), "p50_lag_min"),
+        )
+        .orderBy("cohort_day")
+    )
+
+
+def q_events_conversion_lag_sql() -> str:
+    return """
+    WITH ev AS (
+        SELECT user_id, event_type, ts
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), u AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS v_ts
+        FROM ev GROUP BY 1 HAVING v_ts IS NOT NULL
+    ), first_p AS (
+        SELECT ev.user_id, min(ts) AS p_ts
+        FROM ev JOIN u ON ev.user_id = u.user_id
+        WHERE event_type = 'purchase' AND ts >= v_ts
+        GROUP BY 1
+    ), cohort AS (
+        SELECT v_ts::DATE AS cohort_day,
+               ((epoch_us(p_ts) - epoch_us(v_ts)) // 60000000)::BIGINT AS lag_min
+        FROM u LEFT JOIN first_p ON u.user_id = first_p.user_id
+    )
+    SELECT cohort_day, count(*)::BIGINT AS n_users,
+           count(lag_min)::BIGINT AS n_converted,
+           round(avg(lag_min), 6) AS mean_lag_min,
+           round(quantile_cont(lag_min, 0.5), 6) AS p50_lag_min
+    FROM cohort GROUP BY 1 ORDER BY cohort_day
+    """

@@ -999,3 +999,89 @@ def mm_audio_vad_segments_sql() -> str:
     FROM aud a LEFT JOIN per_doc p ON a.doc_id = p.doc_id
     ORDER BY a.doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# audio/video alignment (frame -> nearest audio chunk)
+# --------------------------------------------------------------------------
+
+
+def mm_av_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video alignment metadata: each sampled video frame
+    (mm_frame_sample's uniform grid) is paired with the NEAREST audio
+    chunk of the same asset's soundtrack (mm_audio_chunk's 5 s / 2.5 s
+    hop windows), with the signed skew and an in-window flag — the
+    alignment pass a captioning / AV-contrastive pipeline runs before
+    joint decode.
+
+    Because the chunk grid is REGULAR, the nearest chunk is CLOSED-FORM
+    integer arithmetic (round-to-nearest hop, clamped to the last
+    chunk) — no as-of join touches the plan; at 100 TB the pairing
+    cost is zero beyond the frame expansion itself. (Irregular chunk
+    grids would use q_events_asof_nearest's bounded-bucket shape
+    instead.) All quantities are exact integer milliseconds, the
+    frame grid is (dur·i) div n — floor arithmetic identical in both
+    engines. Zero-duration clips have neither frames nor chunks
+    (dropped, both engines).
+    """
+    media = multimodal_table(spark, sf_dir).where(
+        (F.col("meta.modality") == "video") & (F.col("meta.duration_s") > 0)
+    )
+    hop, win, step_ms = AUDIO_HOP_MS, AUDIO_WIN_MS, int(FRAME_STEP_S * 1000)
+    base = media.select(
+        "doc_id", ((F.col("doc_id") % 600).cast("bigint") * 100).alias("dur_ms")
+    ).withColumn(
+        "n_frames",
+        F.least(F.lit(N_FRAMES_MAX).cast("bigint"), F.expr(f"dur_ms div {step_ms}") + 1),
+    )
+    frames = base.select(
+        "doc_id",
+        "dur_ms",
+        "n_frames",
+        F.posexplode(F.expr("sequence(0, n_frames - 1)")).alias("frame_idx", "i"),
+    ).select(
+        "doc_id",
+        "dur_ms",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.expr("(dur_ms * i) div n_frames").alias("frame_ms"),
+    )
+    out = frames.selectExpr(
+        "doc_id",
+        "frame_idx",
+        "frame_ms",
+        f"least((frame_ms + {hop // 2}) div {hop}, (dur_ms - 1) div {hop}) AS chunk_idx",
+    ).selectExpr(
+        "doc_id",
+        "frame_idx",
+        "frame_ms",
+        "cast(chunk_idx as int) AS chunk_idx",
+        f"frame_ms - chunk_idx * {hop} AS skew_ms",
+        f"(frame_ms >= chunk_idx * {hop}) AND (frame_ms < chunk_idx * {hop} + {win}) AS in_window",
+    )
+    return out.orderBy("doc_id", "frame_idx")
+
+
+def mm_av_sync_sql() -> str:
+    hop, win, step_ms = AUDIO_HOP_MS, AUDIO_WIN_MS, int(FRAME_STEP_S * 1000)
+    return f"""
+    WITH v AS (
+        SELECT doc_id, ((doc_id % 600) * 100)::BIGINT AS dur_ms,
+               least({N_FRAMES_MAX}, (doc_id % 600) * 100 // {step_ms} + 1)::BIGINT
+                   AS n_frames
+        FROM documents WHERE doc_id % 3 = 2 AND (doc_id % 600) > 0
+    ), frames AS (
+        SELECT doc_id, dur_ms, i::INT AS frame_idx,
+               ((dur_ms * i) // n_frames)::BIGINT AS frame_ms
+        FROM v, unnest(generate_series(0, n_frames - 1)) AS u(i)
+    ), paired AS (
+        SELECT doc_id, frame_idx, frame_ms,
+               least((frame_ms + {hop // 2}) // {hop},
+                     (dur_ms - 1) // {hop})::INT AS chunk_idx
+        FROM frames
+    )
+    SELECT doc_id, frame_idx, frame_ms, chunk_idx,
+           (frame_ms - chunk_idx * {hop})::BIGINT AS skew_ms,
+           (frame_ms >= chunk_idx * {hop})
+               AND (frame_ms < chunk_idx * {hop} + {win}) AS in_window
+    FROM paired ORDER BY doc_id, frame_idx
+    """

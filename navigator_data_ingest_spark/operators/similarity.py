@@ -2017,3 +2017,113 @@ def emb_triplet_mining_sql() -> str:
     FROM ext JOIN ids ON ext.query_id = ids.query_id
     ORDER BY ext.query_id
     """
+
+
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based (simplified) silhouette score per label over the
+    embedding corpus — the cluster-quality audit (a = distance to own
+    centroid, b = nearest OTHER centroid, s = (b−a)/max(a,b)) that
+    says whether the label structure is separable before anyone trains
+    on it; the quality companion to emb_label_purity's kNN vote.
+
+    Scale shape: per-label centroids use the explosion-free per-dim
+    ``avg(e[i])`` pattern (64 JVM partial aggs, emb_centroids idiom),
+    the L-row centroid table broadcasts against the corpus (never a
+    corpus shuffle), and per-vector a/b collapse MAP-SIDE as
+    conditional min/max — the full silhouette's O(n²) pair sum is
+    exactly what this formulation avoids at 100 TB. Cross-engine float
+    rule: centroid components round at 6 dp BEFORE distances, the
+    distance rounds at 6 dp before the min/ratio, so every comparison
+    sees identical operands in both engines. NULL rule: NULL label is
+    not a cluster (dropped both engines).
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("label").isNotNull())
+        .select("vec_id", "label", "embedding")
+    )
+    per_dim = [
+        F.round(F.avg(F.col("embedding").getItem(i)), 6).alias(f"d{i}")
+        for i in range(EMB_DIM)
+    ]
+    cent = (
+        emb.groupBy(F.col("label").alias("clabel"))
+        .agg(*per_dim)
+        .select("clabel", F.array(*[F.col(f"d{i}") for i in range(EMB_DIM)]).alias("c"))
+    )
+    diff2 = " + ".join(
+        f"(cast(element_at(embedding, {i}) as double) - element_at(c, {i}))"
+        f" * (cast(element_at(embedding, {i}) as double) - element_at(c, {i}))"
+        for i in range(1, EMB_DIM + 1)
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.expr(f"round(sqrt({diff2}), 6)").alias("d"),
+    )
+    ab = scored.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d"))).alias("b"),
+    )
+    # a/b are discrete 6-dp values, so their MEAN can land exactly on a
+    # round-half boundary (seen at sf0.01) — sum them as exact integer
+    # micro-units and divide once, so both engines round the same double
+    s = ab.selectExpr(
+        "label",
+        "cast(round(a * 1000000) as bigint) AS a6",
+        "cast(round(b * 1000000) as bigint) AS b6",
+        "(b - a) / greatest(a, b) AS s",
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.expr("round(sum(a6) / (count(1) * 1e6), 6)").alias("mean_intra"),
+            F.expr("round(sum(b6) / (count(1) * 1e6), 6)").alias(
+                "mean_nearest_other"
+            ),
+            F.round(F.avg("s"), 6).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+def emb_silhouette_sql() -> str:
+    diff2 = " + ".join(
+        f"(e.embedding[{i}]::DOUBLE - c.c[{i}])"
+        f" * (e.embedding[{i}]::DOUBLE - c.c[{i}])"
+        for i in range(1, EMB_DIM + 1)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE label IS NOT NULL
+    ), x AS (
+        SELECT label AS clabel,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding)::DOUBLE AS v
+        FROM e
+    ), cd AS (
+        SELECT clabel, pos, round(avg(v), 6) AS cv
+        FROM x GROUP BY 1, 2
+    ), c AS (
+        SELECT clabel, list(cv ORDER BY pos) AS c FROM cd GROUP BY 1
+    ), scored AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               round(sqrt({diff2}), 6) AS d
+        FROM e CROSS JOIN c
+    ), ab AS (
+        SELECT vec_id, label,
+               max(CASE WHEN clabel = label THEN d END) AS a,
+               min(CASE WHEN clabel <> label THEN d END) AS b
+        FROM scored GROUP BY 1, 2
+    )
+    SELECT label, count(*)::BIGINT AS n_vectors,
+           round(sum(round(a * 1000000)::BIGINT) / (count(*) * 1e6), 6)
+               AS mean_intra,
+           round(sum(round(b * 1000000)::BIGINT) / (count(*) * 1e6), 6)
+               AS mean_nearest_other,
+           round(avg((b - a) / greatest(a, b)), 6) AS mean_silhouette
+    FROM ab GROUP BY label ORDER BY label
+    """

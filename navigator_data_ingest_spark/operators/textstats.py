@@ -1600,3 +1600,163 @@ def text_yule_k_sql() -> str:
                AS pooled_yule_k
     FROM per_doc GROUP BY source ORDER BY source
     """
+
+
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit per source: V(N) ≈ k·N^β over
+    the doc sequence ordered by doc_id — β near the corpus norm means
+    healthy vocabulary growth, β collapsing toward 0 flags a
+    template/duplicate-heavy source long before dedup runs; the GROWTH
+    companion to text_yule_k's static richness.
+
+    Scale shape: checkpoints are POWER-OF-2 doc-rank buckets, so the
+    whole growth curve needs only (a) one (source, token) → min-rank
+    aggregation, (b) integer bucket labels via length(bin(rank−1)) —
+    exact in both engines, no float log2 — and (c) prefix sums over
+    the ≤~40-row bounded bucket axis per source; the OLS fit of
+    ln V on ln N runs on those bounded checkpoint rows (ln of EXACT
+    integers — identical operands cross-engine). The doc rank is a
+    per-source window over doc-grain rows (one shuffle on source).
+    NULL rule: NULL/empty text has no tokens hence no rank slot; a
+    NULL source is its own group (both engines).
+    """
+    docs = scatter(spark, load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.expr(X.sp_tokens("text"))).alias("token")
+    )
+    per_doc = tok.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("n_tok"))
+    r = per_doc.withColumn(
+        "r",
+        F.row_number().over(Window.partitionBy("source").orderBy("doc_id")),
+    ).withColumn(
+        "g",
+        F.expr("CASE WHEN r <= 1 THEN 0 ELSE length(bin(r - 1)) END").cast("int"),
+    )
+    doc_g = r.groupBy("source", "g").agg(
+        F.count(F.lit(1)).alias("docs_g"), F.sum("n_tok").alias("toks_g")
+    )
+    fr = (
+        tok.join(r.select("doc_id", "r"), "doc_id")
+        .groupBy("source", "token")
+        .agg(F.min("r").alias("fr"))
+        .withColumn(
+            "g",
+            F.expr("CASE WHEN fr <= 1 THEN 0 ELSE length(bin(fr - 1)) END").cast(
+                "int"
+            ),
+        )
+        .groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("vocab_g"))
+    )
+    fr2 = fr.withColumnRenamed("source", "_src").withColumnRenamed("g", "_g")
+    grid = doc_g.join(
+        fr2,
+        F.col("source").eqNullSafe(F.col("_src")) & (F.col("g") == F.col("_g")),
+        "left",
+    ).drop("_src", "_g").na.fill({"vocab_g": 0})
+    w = (
+        Window.partitionBy("source")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        grid.withColumn("docs_cum", F.sum("docs_g").over(w))
+        .withColumn("toks_cum", F.sum("toks_g").over(w))
+        .withColumn("vocab_cum", F.sum("vocab_g").over(w))
+        .where((F.col("toks_cum") > 0) & (F.col("vocab_cum") > 0))
+        .selectExpr(
+            "source",
+            "docs_cum",
+            "toks_cum",
+            "vocab_cum",
+            "ln(cast(toks_cum as double)) AS x",
+            "ln(cast(vocab_cum as double)) AS y",
+        )
+    )
+    m = cum.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.max("docs_cum").alias("total_docs"),
+        F.max("toks_cum").alias("total_tokens"),
+        F.max("vocab_cum").alias("total_vocab"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    beta = "((n_pts * sxy - sx * sy) / nullif(n_pts * sxx - sx * sx, 0.0))"
+    return (
+        m.selectExpr(
+            "source",
+            "n_pts AS n_checkpoints",
+            "total_docs",
+            "total_tokens",
+            "total_vocab",
+            f"round({beta}, 6) AS heaps_beta",
+            f"round(exp((sy - {beta} * sx) / n_pts), 6) AS heaps_k",
+        )
+        .orderBy("source")
+    )
+
+
+def text_heaps_law_sql() -> str:
+    beta = "((n_pts * sxy - sx * sy) / nullif(n_pts * sxx - sx * sx, 0.0))"
+    return f"""
+    WITH t AS (
+        SELECT doc_id, source, {X.dk_tokens('text')} AS toks FROM documents
+    ), tok AS (
+        SELECT doc_id, source, unnest(toks) AS token
+        FROM t WHERE len(toks) > 0
+    ), per_doc AS (
+        SELECT doc_id, source, count(*)::BIGINT AS n_tok
+        FROM tok GROUP BY 1, 2
+    ), r AS (
+        SELECT doc_id, source, n_tok,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+        FROM per_doc
+    ), rg AS (
+        SELECT *, (CASE WHEN r <= 1 THEN 0 ELSE length(bin(r - 1)) END)::INT AS g
+        FROM r
+    ), doc_g AS (
+        SELECT source, g, count(*)::BIGINT AS docs_g,
+               sum(n_tok)::BIGINT AS toks_g
+        FROM rg GROUP BY 1, 2
+    ), fr AS (
+        SELECT source, g, count(*)::BIGINT AS vocab_g FROM (
+            SELECT rg.source, token,
+                   (CASE WHEN min(r) <= 1 THEN 0
+                         ELSE length(bin(min(r) - 1)) END)::INT AS g
+            FROM tok JOIN rg ON tok.doc_id = rg.doc_id
+            GROUP BY rg.source, token
+        ) GROUP BY 1, 2
+    ), grid AS (
+        SELECT doc_g.source, doc_g.g, docs_g, toks_g,
+               coalesce(vocab_g, 0)::BIGINT AS vocab_g
+        FROM doc_g LEFT JOIN fr
+          ON doc_g.source IS NOT DISTINCT FROM fr.source AND doc_g.g = fr.g
+    ), cum AS (
+        SELECT source,
+               sum(docs_g) OVER win AS docs_cum,
+               sum(toks_g) OVER win AS toks_cum,
+               sum(vocab_g) OVER win AS vocab_cum
+        FROM grid
+        WINDOW win AS (PARTITION BY source ORDER BY g
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), pts AS (
+        SELECT source, docs_cum, toks_cum, vocab_cum,
+               ln(toks_cum::DOUBLE) AS x, ln(vocab_cum::DOUBLE) AS y
+        FROM cum WHERE toks_cum > 0 AND vocab_cum > 0
+    ), m AS (
+        SELECT source, count(*)::BIGINT AS n_pts,
+               max(docs_cum)::BIGINT AS total_docs,
+               max(toks_cum)::BIGINT AS total_tokens,
+               max(vocab_cum)::BIGINT AS total_vocab,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM pts GROUP BY 1
+    )
+    SELECT source, n_pts AS n_checkpoints, total_docs, total_tokens,
+           total_vocab,
+           round({beta}, 6) AS heaps_beta,
+           round(exp((sy - {beta} * sx) / n_pts), 6) AS heaps_k
+    FROM m ORDER BY source
+    """

@@ -5391,3 +5391,81 @@ register(
     similarity.emb_triplet_mining_sql(),
     front=True,
 )
+
+
+# --------------------------------------------------------------------------
+# round-5 fifth batch: count-process dispersion, ordered-trend and
+# causal-lag tests, distribution fitting, fulfilment latency, lambda
+# array pipeline, conversion lag, cluster silhouette, Heaps' law,
+# AV alignment
+# --------------------------------------------------------------------------
+
+register(
+    "stats_dispersion_index",
+    analytics.stats_dispersion_index,
+    analytics.stats_dispersion_index_sql(),
+    front=True,
+)
+
+register(
+    "stats_cochran_armitage",
+    analytics.stats_cochran_armitage,
+    analytics.stats_cochran_armitage_sql(),
+    front=True,
+)
+
+register(
+    "stats_granger_daily",
+    analytics.stats_granger_daily,
+    analytics.stats_granger_daily_sql(),
+    front=True,
+)
+
+register(
+    "stats_lognormal_fit",
+    analytics.stats_lognormal_fit,
+    analytics.stats_lognormal_fit_sql(),
+    front=True,
+)
+
+register(
+    "q_lineitem_ship_lag",
+    analytics.q_lineitem_ship_lag,
+    analytics.q_lineitem_ship_lag_sql(),
+    front=True,
+)
+
+register(
+    "q_sql_lambda_arrays",
+    analytics.q_sql_lambda_arrays,
+    analytics.q_sql_lambda_arrays_sql(),
+    front=True,
+)
+
+register(
+    "q_events_conversion_lag",
+    analytics.q_events_conversion_lag,
+    analytics.q_events_conversion_lag_sql(),
+    front=True,
+)
+
+register(
+    "emb_silhouette",
+    similarity.emb_silhouette,
+    similarity.emb_silhouette_sql(),
+    front=True,
+)
+
+register(
+    "text_heaps_law",
+    textstats.text_heaps_law,
+    textstats.text_heaps_law_sql(),
+    front=True,
+)
+
+register(
+    "mm_av_sync",
+    multimodal.mm_av_sync,
+    multimodal.mm_av_sync_sql(),
+    front=True,
+)

@@ -219,6 +219,14 @@ _DELIBERATE_NESTED_LOOP = {
     # broadcast bounded anchor stripe against the corpus (the declared
     # sim_search_bruteforce shape) + 1-row-per-anchor extremum join-back
     "emb_triplet_mining",
+    # 1-row contingency-totals broadcast onto the 5-row dose grid
+    "stats_cochran_armitage",
+    # 1-row normal-equation-moments broadcast back onto the DAYS-bounded
+    # day table (the stats_durbin_watson discipline)
+    "stats_granger_daily",
+    # L-row (≤ #labels) centroid-table broadcast against the corpus:
+    # the explosion-free silhouette shape, deliberate
+    "emb_silhouette",
 }
 
 
@@ -247,7 +255,7 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "stats_spectral_peak", "stats_control_chart", "stats_moving_median",
     "stats_spearman_daily", "stats_benford", "stats_lorenz_deciles",
     "stats_survival_km", "corpus_bigram_lm", "text_zipf_fit",
-    "stats_durbin_watson", "q_orders_backlog",
+    "stats_durbin_watson", "q_orders_backlog", "stats_granger_daily",
     # nation/label/brand-bounded hypothesis or rank tables
     "stats_fdr_bh", "q_top_customers", "q2_min_cost_supplier",
     "emb_label_purity",
