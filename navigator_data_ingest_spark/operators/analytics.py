@@ -8995,3 +8995,624 @@ def q_events_conversion_lag_sql() -> str:
            round(quantile_cont(lag_min, 0.5), 6) AS p50_lag_min
     FROM cohort GROUP BY 1 ORDER BY cohort_day
     """
+
+
+def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity test on the daily-revenue OLS
+    residuals — "does the VARIANCE of the detrended revenue grow with
+    time" (LM = n·R² of e² regressed on t), the variance-stability
+    complement to stats_durbin_watson's serial-correlation test on the
+    SAME residuals.
+
+    All regression inputs collapse to the DAYS-bounded grain with
+    order-free BIGINT moments; slope/intercept broadcast back (1-row
+    cross join) so residuals evaluate from identical operands. The aux
+    regression exploits t = 1..n: t̄ = (n+1)/2 and Sxx = n(n²−1)/12 are
+    EXACT closed forms, so Sxy = Σ(t − t̄)·e² needs no centering pass,
+    and Syy = Σy² − (Σy)²/n is safe because var(e²) ≈ mean(e²)² under
+    the alternative (no catastrophic cancellation). NULL order dates
+    have no day (dropped both engines).
+    """
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy("o_orderdate")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y")
+        )
+        .withColumn("t", F.row_number().over(Window.orderBy("o_orderdate")))
+    )
+    s = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("cast(t as bigint) * cast(t as bigint)")).alias("stt"),
+        F.sum(F.expr("cast(t as bigint) * y")).alias("sty"),
+    )
+    slope = "((n * cast(sty as double) - cast(st as double) * sy)" \
+            " / (n * cast(stt as double) - cast(st as double) * st))"
+    icept = f"((sy - {slope} * st) / cast(n as double))"
+    e = d.crossJoin(F.broadcast(s)).selectExpr(
+        "n",
+        "t",
+        f"cast(y as double) - ({icept} + {slope} * t) AS resid",
+    )
+    m = e.selectExpr(
+        "n",
+        "resid * resid AS y2",
+        "(t - (n + 1.0) / 2.0) AS tc",
+    ).groupBy().agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("tc * y2")).alias("sxy"),
+        F.sum("y2").alias("sy2"),
+        F.sum(F.expr("y2 * y2")).alias("sy2y2"),
+    )
+    sxx = "(n * (cast(n as double) * n - 1.0) / 12.0)"
+    syy = "(sy2y2 - sy2 * sy2 / n)"
+    r2 = f"(sxy * sxy / ({sxx} * {syy}))"
+    return m.selectExpr(
+        "n AS n_days",
+        f"round({r2}, 6) AS bp_r2",
+        f"round(n * {r2}, 2) AS bp_lm",
+    )
+
+
+def stats_breusch_pagan_sql() -> str:
+    slope = (
+        "((n * sty::DOUBLE - st::DOUBLE * sy)"
+        " / (n * stt::DOUBLE - st::DOUBLE * st))"
+    )
+    icept = f"((sy - {slope} * st) / n::DOUBLE)"
+    sxx = "(n * (n::DOUBLE * n - 1.0) / 12.0)"
+    syy = "(sy2y2 - sy2 * sy2 / n)"
+    r2 = f"(sxy * sxy / ({sxx} * {syy}))"
+    return f"""
+    WITH d AS (
+        SELECT o_orderdate, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y,
+               row_number() OVER (ORDER BY o_orderdate) AS t
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_orderdate
+    ), s AS (
+        SELECT count(*)::BIGINT AS n, sum(t)::BIGINT AS st,
+               sum(y)::BIGINT AS sy,
+               sum(t::BIGINT * t::BIGINT)::BIGINT AS stt,
+               sum(t::BIGINT * y)::BIGINT AS sty
+        FROM d
+    ), e AS (
+        SELECT n, t, y::DOUBLE - ({icept} + {slope} * t) AS resid
+        FROM d CROSS JOIN s
+    ), m AS (
+        SELECT max(n)::BIGINT AS n,
+               sum((t - (n + 1.0) / 2.0) * resid * resid) AS sxy,
+               sum(resid * resid) AS sy2,
+               sum(resid * resid * resid * resid) AS sy2y2
+        FROM e
+    )
+    SELECT n AS n_days,
+           round({r2}, 6) AS bp_r2,
+           round(n * {r2}, 2) AS bp_lm
+    FROM m
+    """
+
+
+def stats_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate test per event type around CUPED_CUT:
+    did the type's DAILY RATE change pre→post (rate ratio + the
+    log-rate z statistic) — the launch-impact companion to
+    stats_ab_test (user-level) and stats_cusum_changepoint (where it
+    changed); exposures are shared across types so per-type volume
+    differences don't confound the ratio.
+
+    ONE conditional aggregation per type (exact integer counts); the
+    shared pre/post exposure in DAYS comes from the global min/max day
+    as a 1-row broadcast (the calendar is data-derived, not assumed).
+    z = ln(r2/r1)/sqrt(1/a + 1/b) on exact-integer operands. NULL
+    rule: NULL ts is not an observation; NULL event_type is its own
+    arm (both engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_type", F.col("ts").cast("date").alias("day"))
+    )
+    cut = F.lit(CUPED_CUT).cast("date")
+    g = ev.groupBy("event_type").agg(
+        F.sum((F.col("day") < cut).cast("bigint")).alias("a"),
+        F.sum((F.col("day") >= cut).cast("bigint")).alias("b"),
+    )
+    exp_ = F.broadcast(
+        ev.agg(
+            F.datediff(cut, F.min("day")).cast("bigint").alias("t1"),
+            (F.datediff(F.max("day"), cut) + 1).cast("bigint").alias("t2"),
+        )
+    )
+    r1 = "(cast(a as double) / t1)"
+    r2 = "(cast(b as double) / t2)"
+    return (
+        g.crossJoin(exp_)
+        .selectExpr(
+            "event_type",
+            "a AS n_pre",
+            "b AS n_post",
+            "t1 AS days_pre",
+            "t2 AS days_post",
+            f"round({r2} / {r1}, 6) AS rate_ratio",
+            f"round(ln({r2} / {r1}) / sqrt(1.0 / a + 1.0 / b), 6) AS z",
+        )
+        .orderBy("event_type")
+    )
+
+
+def stats_poisson_rate_test_sql() -> str:
+    r1 = "(a::DOUBLE / t1)"
+    r2 = "(b::DOUBLE / t2)"
+    return f"""
+    WITH ev AS (
+        SELECT event_type, ts::DATE AS day FROM events WHERE ts IS NOT NULL
+    ), g AS (
+        SELECT event_type,
+               sum((day < DATE '{CUPED_CUT}')::INT)::BIGINT AS a,
+               sum((day >= DATE '{CUPED_CUT}')::INT)::BIGINT AS b
+        FROM ev GROUP BY 1
+    ), exposure AS (
+        SELECT datediff('day', min(day), DATE '{CUPED_CUT}')::BIGINT AS t1,
+               (datediff('day', DATE '{CUPED_CUT}', max(day)) + 1)::BIGINT AS t2
+        FROM ev
+    )
+    SELECT event_type, a AS n_pre, b AS n_post,
+           t1 AS days_pre, t2 AS days_post,
+           round({r2} / {r1}, 6) AS rate_ratio,
+           round(ln({r2} / {r1}) / sqrt(1.0 / a + 1.0 / b), 6) AS z
+    FROM g CROSS JOIN exposure
+    ORDER BY event_type
+    """
+
+
+def stats_gini_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Gini coefficient of customer revenue per market segment —
+    the single-number inequality summary behind stats_lorenz_deciles'
+    curve, computed tie-correctly from the rank-weighted identity
+    G = (2·Σᵢ rᵢxᵢ/(n·Σx)) − (n+1)/n with tied values averaged.
+
+    NO global sort of customers: spend collapses to DISTINCT integer
+    cent values with multiplicities, below-counts come from the
+    two-level (segment × 1024-block) prefix-sum idiom
+    (stats_mann_whitney's), and the rank-weighted sum folds each
+    distinct value's arithmetic rank series in closed form
+    (v·(c·B + c(c+1)/2)) — every term an order-free BIGINT. The final
+    Gini is one division of exact integers. NULL rule: orders without
+    a customer match drop (inner join); a NULL segment is its own
+    group (null-safe grouping both engines).
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    r = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("v"))
+    )
+    vc = r.groupBy("c_mktsegment", "v").agg(F.count(F.lit(1)).alias("c"))
+    rng = vc.groupBy("c_mktsegment").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    b = vc.join(
+        F.broadcast(rng.withColumnRenamed("c_mktsegment", "_seg")),
+        F.col("c_mktsegment").eqNullSafe(F.col("_seg")),
+    ).withColumn(
+        "blk",
+        F.least(
+            F.lit(1023),
+            F.floor(
+                (F.col("v") - F.col("mn")).cast("double")
+                / (F.col("mx") - F.col("mn") + F.lit(1)).cast("double")
+                * 1024
+            ),
+        ).cast("int"),
+    ).drop("_seg")
+    w_in = (
+        Window.partitionBy("c_mktsegment", "blk")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = b.withColumn("cum_in", F.coalesce(F.sum("c").over(w_in), F.lit(0)))
+    bt = b.groupBy("c_mktsegment", "blk").agg(F.sum("c").alias("blk_n"))
+    w_blk = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bt = bt.withColumn("off", F.coalesce(F.sum("blk_n").over(w_blk), F.lit(0)))
+    j = b.join(
+        F.broadcast(
+            bt.select(
+                F.col("c_mktsegment").alias("_seg"), F.col("blk").alias("_blk"), "off"
+            )
+        ),
+        F.col("c_mktsegment").eqNullSafe(F.col("_seg"))
+        & (F.col("blk") == F.col("_blk")),
+    ).withColumn("bb", F.col("off") + F.col("cum_in"))
+    agg = j.groupBy("c_mktsegment").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.expr("v * c")).alias("sx"),
+        # tie-averaged rank-weighted sum, DOUBLED to stay integer:
+        # members of value v have mean rank B + (c+1)/2, contributing
+        # v * c * (2B + c + 1) to 2*sum(r_i x_i)
+        F.sum(F.expr("v * c * (2 * bb + c + 1)")).alias("rw2"),
+    )
+    return agg.selectExpr(
+        "c_mktsegment AS segment",
+        "n AS n_customers",
+        "sx AS total_cents",
+        "round(cast(rw2 as double) / (cast(n as double) * sx)"
+        " - (n + 1.0) / n, 6) AS gini",
+    ).orderBy("segment")
+
+
+def stats_gini_exact_sql() -> str:
+    return """
+    WITH r AS (
+        SELECT c_mktsegment, c_custkey,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ), vc AS (
+        SELECT c_mktsegment, v, count(*)::BIGINT AS c
+        FROM r GROUP BY 1, 2
+    ), ranked AS (
+        SELECT c_mktsegment, v, c,
+               coalesce(sum(c) OVER (PARTITION BY c_mktsegment ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bb
+        FROM vc
+    ), agg AS (
+        SELECT c_mktsegment, sum(c)::BIGINT AS n, sum(v * c)::BIGINT AS sx,
+               sum(v * c * (2 * bb + c + 1))::BIGINT AS rw2
+        FROM ranked GROUP BY 1
+    )
+    SELECT c_mktsegment AS segment, n AS n_customers, sx AS total_cents,
+           round(rw2::DOUBLE / (n::DOUBLE * sx) - (n + 1.0) / n, 6) AS gini
+    FROM agg ORDER BY segment
+    """
+
+
+def stats_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of daily event VOLUME and daily event VALUE
+    controlling for daily ACTIVE USERS — "do busy days carry more value
+    because more is happening, or only because more people showed up" —
+    the confound-removal step stats_correlation_matrix (raw pairwise)
+    stops short of: ρxy·z = (ρxy − ρxz·ρyz)/√((1−ρxz²)(1−ρyz²)).
+
+    ONE shuffle to the DAYS-bounded grain (count, integer-cent sum,
+    exact distinct users per day), then a 1-row moment collapse — all
+    nine second moments are order-free BIGINTs, the three Pearson ρ and
+    the partial ρ are closed-form ratios of exact integers. NULL rule:
+    NULL ts has no day; NULL value adds 0 cents (sum-skip); NULL
+    user_id is not a user (count distinct skips), both engines.
+    """
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.coalesce(
+                F.sum(F.round(F.col("value") * 100).cast("bigint")), F.lit(0)
+            ).alias("y"),
+            F.countDistinct("user_id").alias("z"),
+        )
+    )
+    m = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"), F.sum("z").alias("sz"),
+        F.sum(F.expr("x * x")).alias("sxx"), F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("z * z")).alias("szz"), F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * z")).alias("sxz"), F.sum(F.expr("y * z")).alias("syz"),
+    )
+    def rho(sab, saa, sbb, sa, sb):
+        num = f"(n * cast({sab} as double) - cast({sa} as double) * {sb})"
+        den = (
+            f"sqrt(n * cast({saa} as double) - cast({sa} as double) * {sa})"
+            f" * sqrt(n * cast({sbb} as double) - cast({sb} as double) * {sb})"
+        )
+        return f"({num} / {den})"
+    rxy = rho("sxy", "sxx", "syy", "sx", "sy")
+    rxz = rho("sxz", "sxx", "szz", "sx", "sz")
+    ryz = rho("syz", "syy", "szz", "sy", "sz")
+    part = (
+        f"(({rxy}) - ({rxz}) * ({ryz}))"
+        f" / sqrt((1.0 - ({rxz}) * ({rxz})) * (1.0 - ({ryz}) * ({ryz})))"
+    )
+    return m.selectExpr(
+        "n AS n_days",
+        f"round({rxy}, 6) AS r_volume_value",
+        f"round({rxz}, 6) AS r_volume_users",
+        f"round({ryz}, 6) AS r_value_users",
+        f"round({part}, 6) AS partial_r_volume_value",
+    )
+
+
+def stats_partial_correlation_sql() -> str:
+    def rho(sab, saa, sbb, sa, sb):
+        num = f"(n * {sab}::DOUBLE - {sa}::DOUBLE * {sb})"
+        den = (
+            f"sqrt(n * {saa}::DOUBLE - {sa}::DOUBLE * {sa})"
+            f" * sqrt(n * {sbb}::DOUBLE - {sb}::DOUBLE * {sb})"
+        )
+        return f"({num} / {den})"
+    rxy = rho("sxy", "sxx", "syy", "sx", "sy")
+    rxz = rho("sxz", "sxx", "szz", "sx", "sz")
+    ryz = rho("syz", "syy", "szz", "sy", "sz")
+    part = (
+        f"(({rxy}) - ({rxz}) * ({ryz}))"
+        f" / sqrt((1.0 - ({rxz}) * ({rxz})) * (1.0 - ({ryz}) * ({ryz})))"
+    )
+    return f"""
+    WITH d AS (
+        SELECT ts::DATE AS day, count(*)::BIGINT AS x,
+               coalesce(sum(round(value * 100)::BIGINT), 0)::BIGINT AS y,
+               count(DISTINCT user_id)::BIGINT AS z
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), m AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, sum(z)::BIGINT AS sz,
+               sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+               sum(z * z)::BIGINT AS szz, sum(x * y)::BIGINT AS sxy,
+               sum(x * z)::BIGINT AS sxz, sum(y * z)::BIGINT AS syz
+        FROM d
+    )
+    SELECT n AS n_days,
+           round({rxy}, 6) AS r_volume_value,
+           round({rxz}, 6) AS r_volume_users,
+           round({ryz}, 6) AS r_value_users,
+           round({part}, 6) AS partial_r_volume_value
+    FROM m
+    """
+
+
+def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-count-weighted median of customer account balance per
+    nation — "the balance of the typical ORDER's customer", which can
+    sit far from the plain customer median when heavy orderers skew
+    rich or poor; the weighted companion to the engine's exact
+    percentile family.
+
+    Distinct-value collapse first ((nation, balance) with weight
+    sums — the cardinality the cumulative walk sees is DISTINCT
+    balances, not customers), then a nation-partitioned running weight
+    and the smallest balance with 2·cum ≥ total (lower weighted
+    median, an exact integer pick; the two-level block idiom is the
+    swap-in if per-nation distinct cardinality ever explodes). NULL
+    rule: customers with no orders carry weight 0 and drop; NULL
+    balance is not a balance (dropped both engines).
+    """
+    o = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal").isNotNull())
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+        )
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    vc = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), c.c_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name", "bal")
+        .agg(F.sum("w").alias("w"), F.count(F.lit(1)).alias("nc"))
+    )
+    wcum = (
+        Window.partitionBy("n_name")
+        .orderBy("bal")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("n_name")
+    ranked = vc.withColumn("cum", F.sum("w").over(wcum)).withColumn(
+        "tw", F.sum("w").over(tot)
+    ).withColumn("tc", F.sum("nc").over(tot))
+    return (
+        ranked.where(2 * F.col("cum") >= F.col("tw"))
+        .groupBy("n_name")
+        .agg(
+            F.max("tc").alias("n_customers"),
+            F.max("tw").alias("total_orders"),
+            F.min("bal").alias("weighted_median_bal_cents"),
+        )
+        .withColumnRenamed("n_name", "nation")
+        .orderBy("nation")
+    )
+
+
+def stats_weighted_median_sql() -> str:
+    return """
+    WITH o AS (
+        SELECT o_custkey, count(*)::BIGINT AS w FROM orders GROUP BY 1
+    ), vc AS (
+        SELECT n_name, round(c_acctbal * 100)::BIGINT AS bal,
+               sum(w)::BIGINT AS w, count(*)::BIGINT AS nc
+        FROM customer
+        JOIN o ON c_custkey = o_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal IS NOT NULL
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT n_name, bal, nc,
+               sum(w) OVER (PARTITION BY n_name ORDER BY bal
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(w) OVER (PARTITION BY n_name) AS tw,
+               sum(nc) OVER (PARTITION BY n_name) AS tc
+        FROM vc
+    )
+    SELECT n_name AS nation, max(tc)::BIGINT AS n_customers,
+           max(tw)::BIGINT AS total_orders,
+           min(bal)::BIGINT AS weighted_median_bal_cents
+    FROM ranked WHERE 2 * cum >= tw
+    GROUP BY 1 ORDER BY nation
+    """
+
+
+def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test on per-user pre/post spend around CUPED_CUT —
+    the assumption-free floor of the paired family (only the SIGN of
+    each user's change matters): k positives of n non-zero pairs,
+    continuity-corrected z. Reads identically to
+    stats_wilcoxon_signed_rank's pairing so the two tests are directly
+    comparable on the same nulls.
+
+    ONE user-grain shuffle to integer-cent pairs; the statistic needs
+    just TWO exact integers (n, k). NULL rule: NULL value is not an
+    observation, NULL user_id is not a user, users missing either
+    period drop, zero differences drop (both engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "value",
+            (F.col("ts").cast("timestamp") < F.lit(CUPED_CUT).cast("timestamp")).alias(
+                "is_pre"
+            ),
+        )
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("is_pre"), F.col("value"))).alias("pre"),
+            F.sum(F.when(~F.col("is_pre"), F.col("value"))).alias("post"),
+        )
+        .where(F.col("pre").isNotNull() & F.col("post").isNotNull())
+        .select(
+            (
+                F.round(F.col("post") * 100).cast("bigint")
+                - F.round(F.col("pre") * 100).cast("bigint")
+            ).alias("d")
+        )
+        .where(F.col("d") != 0)
+    )
+    agg = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("d") > 0).cast("bigint")).alias("k"),
+    )
+    z = "((2.0 * k - n - sign(2.0 * k - n)) / sqrt(cast(n as double)))"
+    return agg.selectExpr(
+        "n AS n_pairs",
+        "k AS n_positive",
+        "round(cast(k as double) / n, 6) AS share_positive",
+        f"round({z}, 6) AS z",
+    )
+
+
+def stats_sign_test_sql() -> str:
+    z = "((2.0 * k - n - sign(2.0 * k - n)) / sqrt(n::DOUBLE))"
+    return f"""
+    WITH u AS (
+        SELECT user_id,
+               sum(CASE WHEN ts::TIMESTAMP < TIMESTAMP '{CUPED_CUT}'
+                        THEN value END) AS pre,
+               sum(CASE WHEN ts::TIMESTAMP >= TIMESTAMP '{CUPED_CUT}'
+                        THEN value END) AS post
+        FROM events
+        WHERE value IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY user_id
+    ), d AS (
+        SELECT round(post * 100)::BIGINT - round(pre * 100)::BIGINT AS d
+        FROM u WHERE pre IS NOT NULL AND post IS NOT NULL
+          AND round(post * 100)::BIGINT <> round(pre * 100)::BIGINT
+    ), agg AS (
+        SELECT count(*)::BIGINT AS n,
+               sum((d > 0)::INT)::BIGINT AS k
+        FROM d
+    )
+    SELECT n AS n_pairs, k AS n_positive,
+           round(k::DOUBLE / n, 6) AS share_positive,
+           round({z}, 6) AS z
+    FROM agg
+    """
+
+
+def q_lineitem_discount_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-response curve: per PERMILLE-bounded discount level the
+    line count, mean quantity and revenue, plus the OLS slope of
+    quantity on discount ACROSS levels — "does discounting move
+    volume", the pricing-analytics staple over the fact table.
+
+    ONE map-side-combined shuffle to the ≤11-row discount grid (the
+    discount domain is bounded by construction); quantities and
+    discounts become exact integers (qty, permille) BEFORE any
+    aggregation, so the grid moments and the weighted OLS slope over
+    the grid are ratios of order-free BIGINTs. NULL rule: NULL
+    discount/quantity lines drop (both engines).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount").isNotNull() & F.col("l_quantity").isNotNull())
+        .select(
+            F.round(F.col("l_discount") * 100).cast("bigint").alias("pct"),
+            F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint").alias("rev"),
+        )
+    )
+    grid = li.groupBy("pct").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("q").alias("sq"),
+        F.sum("rev").alias("rev_cents"),
+    )
+    m = grid.agg(
+        F.sum("n_lines").alias("n"),
+        F.sum(F.expr("pct * n_lines")).alias("sx"),
+        F.sum("sq").alias("sy"),
+        F.sum(F.expr("pct * pct * n_lines")).alias("sxx"),
+        F.sum(F.expr("pct * sq")).alias("sxy"),
+    )
+    slope = (
+        "((n * cast(sxy as double) - cast(sx as double) * sy)"
+        " / (n * cast(sxx as double) - cast(sx as double) * sx))"
+    )
+    return (
+        grid.crossJoin(F.broadcast(m))
+        .selectExpr(
+            "pct AS discount_pct",
+            "n_lines",
+            "round(cast(sq as double) / n_lines, 6) AS mean_qty",
+            "rev_cents",
+            f"round({slope}, 6) AS qty_per_pct_slope",
+        )
+        .orderBy("discount_pct")
+    )
+
+
+def q_lineitem_discount_effect_sql() -> str:
+    slope = (
+        "((n * sxy::DOUBLE - sx::DOUBLE * sy)"
+        " / (n * sxx::DOUBLE - sx::DOUBLE * sx))"
+    )
+    return f"""
+    WITH li AS (
+        SELECT round(l_discount * 100)::BIGINT AS pct,
+               round(l_quantity)::BIGINT AS q,
+               round(l_extendedprice * (1 - l_discount) * 100)::BIGINT AS rev
+        FROM lineitem
+        WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+    ), grid AS (
+        SELECT pct, count(*)::BIGINT AS n_lines, sum(q)::BIGINT AS sq,
+               sum(rev)::BIGINT AS rev_cents
+        FROM li GROUP BY 1
+    ), m AS (
+        SELECT sum(n_lines)::BIGINT AS n,
+               sum(pct * n_lines)::BIGINT AS sx,
+               sum(sq)::BIGINT AS sy,
+               sum(pct * pct * n_lines)::BIGINT AS sxx,
+               sum(pct * sq)::BIGINT AS sxy
+        FROM grid
+    )
+    SELECT pct AS discount_pct, n_lines,
+           round(sq::DOUBLE / n_lines, 6) AS mean_qty,
+           rev_cents,
+           round({slope}, 6) AS qty_per_pct_slope
+    FROM grid CROSS JOIN m
+    ORDER BY discount_pct
+    """

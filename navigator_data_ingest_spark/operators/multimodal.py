@@ -1085,3 +1085,91 @@ def mm_av_sync_sql() -> str:
                AND (frame_ms < chunk_idx * {hop} + {win}) AS in_window
     FROM paired ORDER BY doc_id, frame_idx
     """
+
+
+# --------------------------------------------------------------------------
+# payload randomness audit (compressed-vs-raw detection heuristic)
+# --------------------------------------------------------------------------
+
+ENTROPY_SAMPLES = 64  # sampled positions per payload (the phash grid)
+
+
+def mm_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of SAMPLED payload bytes per (modality, format)
+    — near-maximal entropy says the payload is already compressed or
+    encrypted (recompressing is wasted compute), low entropy flags
+    fake/filler assets; the storage-planning companion to
+    mm_codec_stats. Uses mm_phash_neardup's bounded sampling grid: 64
+    evenly spaced positions per payload, so the per-asset cost is
+    CONSTANT regardless of payload size.
+
+    The sampled symbols aggregate to a bounded (modality, format,
+    symbol) grid in ONE shuffle; entropy is Σ c·ln c folded over exact
+    integer counts (ln of integers — identical operands both engines).
+    Zero-length payloads have no samples (dropped, both engines).
+    """
+    media = multimodal_table(spark, sf_dir).select(
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.format").alias("format"),
+        F.decode("media", "utf-8").alias("text"),
+    ).where(F.length("text") > 0)
+    ch = (
+        f"transform(sequence(1, {ENTROPY_SAMPLES}), i -> "
+        f"substr(text, cast(1 + (((i - 1) * length(text)) div {ENTROPY_SAMPLES})"
+        f" as int), 1))"
+    )
+    sym = media.select(
+        "modality", "format", F.explode(F.expr(ch)).alias("sym")
+    )
+    cnt = sym.groupBy("modality", "format", "sym").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = cnt.groupBy("modality", "format").agg(
+        F.sum("c").alias("n"),
+        F.countDistinct("sym").alias("n_symbols"),
+        F.sum(F.expr("c * ln(cast(c as double))")).alias("clnc"),
+    )
+    return (
+        agg.selectExpr(
+            "modality",
+            "format",
+            "n AS n_samples",
+            "n_symbols",
+            "round(ln(cast(n as double)) - clnc / n, 6) AS entropy_nats",
+        )
+        .orderBy("modality", "format")
+    )
+
+
+def mm_byte_entropy_sql() -> str:
+    mods = ", ".join(f"'{m}'" for m in MODALITIES)
+    fmt_case = " ".join(
+        f"WHEN '{m}' THEN (["
+        + ", ".join(f"'{f}'" for f in FORMATS[m])
+        + f"])[1 + doc_id % {len(FORMATS[m])}]"
+        for m in MODALITIES
+    )
+    return f"""
+    WITH t AS (
+        SELECT ([{mods}])[1 + doc_id % 3] AS modality, doc_id, text
+        FROM documents WHERE length(text) > 0
+    ), f AS (
+        SELECT modality, CASE modality {fmt_case} END AS format, text
+        FROM t
+    ), sym AS (
+        SELECT modality, format,
+               substr(text,
+                      (1 + (((i - 1) * length(text)) // {ENTROPY_SAMPLES}))::INT,
+                      1) AS sym
+        FROM f, unnest(generate_series(1, {ENTROPY_SAMPLES})) AS u(i)
+    ), cnt AS (
+        SELECT modality, format, sym, count(*)::BIGINT AS c
+        FROM sym GROUP BY 1, 2, 3
+    )
+    SELECT modality, format, sum(c)::BIGINT AS n_samples,
+           count(DISTINCT sym)::BIGINT AS n_symbols,
+           round(ln(sum(c)::DOUBLE) - sum(c * ln(c::DOUBLE)) / sum(c), 6)
+               AS entropy_nats
+    FROM cnt GROUP BY 1, 2
+    ORDER BY modality, format
+    """

@@ -2127,3 +2127,84 @@ def emb_silhouette_sql() -> str:
            round(avg((b - a) / greatest(a, b)), 6) AS mean_silhouette
     FROM ab GROUP BY label ORDER BY label
     """
+
+
+def emb_dim_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension label relevance (correlation ratio η² =
+    between-label / total variance) over the embedding corpus — the
+    feature-selection audit ("which dimensions actually separate the
+    labels") that guides truncation (emb_matryoshka) and PQ codebook
+    budgets (emb_pq); the per-dim ANOVA view beside emb_silhouette's
+    whole-vector geometry.
+
+    ONE corpus pass: per-label per-dim sums/counts via 64 JVM-side
+    partial aggs (the emb_centroids explosion-free idiom), THEN the
+    L-row result posexplodes to the bounded (label × dim) grid where
+    between/total variances assemble — the corpus is never exploded
+    and never shuffled wider than L rows. η² is a ratio of double
+    moments whose operands are identical cross-engine up to summation
+    order (round 6). NULL rule: NULL label is not a group (dropped
+    both engines).
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("label").isNotNull())
+        .select("label", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    sums = [F.sum(F.col("e").getItem(i)).alias(f"s{i}") for i in range(EMB_DIM)]
+    sqs = [
+        F.sum(F.col("e").getItem(i) * F.col("e").getItem(i)).alias(f"q{i}")
+        for i in range(EMB_DIM)
+    ]
+    per_label = emb.groupBy("label").agg(F.count(F.lit(1)).alias("nl"), *sums, *sqs)
+    grid = per_label.select(
+        "label",
+        "nl",
+        F.posexplode(
+            F.arrays_zip(
+                F.array(*[F.col(f"s{i}") for i in range(EMB_DIM)]).alias("s"),
+                F.array(*[F.col(f"q{i}") for i in range(EMB_DIM)]).alias("q"),
+            )
+        ).alias("dim", "sq"),
+    ).select(
+        "label", "nl", "dim", F.col("sq.s").alias("s"), F.col("sq.q").alias("q")
+    )
+    out = grid.groupBy("dim").agg(
+        F.sum("nl").alias("n"),
+        F.sum("s").alias("st"),
+        F.sum("q").alias("qt"),
+        F.sum(F.expr("s * s / nl")).alias("bss_raw"),
+    )
+    # total SS = qt - st^2/n ; between SS = bss_raw - st^2/n
+    return (
+        out.selectExpr(
+            "cast(dim as int) AS dim",
+            "round((bss_raw - st * st / n) / (qt - st * st / n), 6) AS eta2",
+            "round(st / n, 6) AS mean_val",
+        )
+        .orderBy("dim")
+    )
+
+
+def emb_dim_relevance_sql() -> str:
+    return """
+    WITH e AS (
+        SELECT label, embedding FROM embeddings WHERE label IS NOT NULL
+    ), x AS (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding)::DOUBLE AS v
+        FROM e
+    ), per_label AS (
+        SELECT label, dim, count(*)::BIGINT AS nl,
+               sum(v) AS s, sum(v * v) AS q
+        FROM x GROUP BY 1, 2
+    ), agg AS (
+        SELECT dim, sum(nl)::BIGINT AS n, sum(s) AS st, sum(q) AS qt,
+               sum(s * s / nl) AS bss_raw
+        FROM per_label GROUP BY 1
+    )
+    SELECT dim::INT AS dim,
+           round((bss_raw - st * st / n) / (qt - st * st / n), 6) AS eta2,
+           round(st / n, 6) AS mean_val
+    FROM agg ORDER BY dim
+    """

@@ -1760,3 +1760,118 @@ def text_heaps_law_sql() -> str:
            round(exp((sy - {beta} * sx) / n_pts), 6) AS heaps_k
     FROM m ORDER BY source
     """
+
+
+def text_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional entropy H(w₂|w₁) per source, with the unigram
+    entropy H(w) and the information gain H(w)−H(w₂|w₁) — low
+    conditional entropy with normal unigram entropy is the signature of
+    templated/boilerplate text that unigram filters miss; the
+    sequence-level complement to stats_entropy_per_source.
+
+    Bigrams come from the adjacent-pair transform INSIDE the token
+    array (corpus_bigram_lm's shape — no positional self-join); ONE
+    shuffle on (source, w1, w2), head and source totals fold from the
+    bigram table itself (strictly smaller rollups). H(w₂|w₁) =
+    Σ c₁₂/N · ln(c₁/c₁₂) over exact integer counts — ln of integer
+    RATIOS only, so both engines see identical operands. NULL rule:
+    NULL/short text yields no bigrams; a NULL source is its own group
+    (both engines).
+    """
+    docs = scatter(spark, load_table(spark, sf_dir, "documents"))
+    pairs = (
+        docs.select("source", F.expr(X.sp_tokens("text")).alias("t"))
+        .where("size(t) >= 2")
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1),"
+                    " (x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("source", "p.w1", "p.w2")
+    )
+    big = pairs.groupBy("source", "w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    heads = (
+        big.groupBy("source", "w1")
+        .agg(F.sum("c12").alias("c1"))
+        .withColumnRenamed("source", "_hsrc")
+        .withColumnRenamed("w1", "_hw1")
+    )
+    j = big.join(
+        heads,
+        F.col("source").eqNullSafe(F.col("_hsrc")) & (F.col("w1") == F.col("_hw1")),
+    )
+    per_source = j.groupBy("source").agg(
+        F.sum("c12").alias("n"),
+        F.sum(
+            F.expr("c12 * ln(cast(c1 as double) / c12)")
+        ).alias("h_cond_sum"),
+    )
+    # unigram entropy over the CONTINUATION distribution (w2 counts)
+    uni = (
+        big.groupBy("source", "w2")
+        .agg(F.sum("c12").alias("c2"))
+        .groupBy("source")
+        .agg(
+            F.sum("c2").alias("n2"),
+            F.sum(F.expr("c2 * ln(cast(c2 as double))")).alias("u_sum"),
+        )
+        .selectExpr(
+            "source AS _src",
+            "(ln(cast(n2 as double)) - u_sum / n2) AS h_uni",
+        )
+    )
+    return (
+        per_source.join(
+            F.broadcast(uni), F.col("source").eqNullSafe(F.col("_src"))
+        )
+        .selectExpr(
+            "source",
+            "n AS n_bigrams",
+            "round(h_cond_sum / n, 6) AS h_conditional",
+            "round(h_uni, 6) AS h_unigram",
+            "round(h_uni - h_cond_sum / n, 6) AS info_gain",
+        )
+        .orderBy("source")
+    )
+
+
+def text_conditional_entropy_sql() -> str:
+    return f"""
+    WITH t AS (
+        SELECT source, {X.dk_tokens('text')} AS t FROM documents
+    ), pairs AS (
+        SELECT source, t[i] AS w1, t[i + 1] AS w2
+        FROM t, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+    ), big AS (
+        SELECT source, w1, w2, count(*)::BIGINT AS c12
+        FROM pairs GROUP BY 1, 2, 3
+    ), heads AS (
+        SELECT source, w1, sum(c12)::BIGINT AS c1 FROM big GROUP BY 1, 2
+    ), per_source AS (
+        SELECT big.source, sum(c12)::BIGINT AS n,
+               sum(c12 * ln(c1::DOUBLE / c12)) AS h_cond_sum
+        FROM big JOIN heads
+          ON big.source IS NOT DISTINCT FROM heads.source
+         AND big.w1 = heads.w1
+        GROUP BY 1
+    ), uni AS (
+        SELECT source, (ln(sum(c2)::DOUBLE) - sum(c2 * ln(c2::DOUBLE)) / sum(c2))
+                   AS h_uni
+        FROM (
+            SELECT source, w2, sum(c12)::BIGINT AS c2
+            FROM big GROUP BY 1, 2
+        ) GROUP BY 1
+    )
+    SELECT per_source.source, n AS n_bigrams,
+           round(h_cond_sum / n, 6) AS h_conditional,
+           round(h_uni, 6) AS h_unigram,
+           round(h_uni - h_cond_sum / n, 6) AS info_gain
+    FROM per_source JOIN uni
+      ON per_source.source IS NOT DISTINCT FROM uni.source
+    ORDER BY per_source.source
+    """

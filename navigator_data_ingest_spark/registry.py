@@ -5469,3 +5469,80 @@ register(
     multimodal.mm_av_sync_sql(),
     front=True,
 )
+
+
+# --------------------------------------------------------------------------
+# round-5 sixth batch: variance-stability and rate tests, exact Gini,
+# partial correlation, weighted median, sign test, discount response,
+# sequence entropy, per-dim label relevance, payload entropy
+# --------------------------------------------------------------------------
+
+register(
+    "stats_breusch_pagan",
+    analytics.stats_breusch_pagan,
+    analytics.stats_breusch_pagan_sql(),
+    front=True,
+)
+
+register(
+    "stats_poisson_rate_test",
+    analytics.stats_poisson_rate_test,
+    analytics.stats_poisson_rate_test_sql(),
+    front=True,
+)
+
+register(
+    "stats_gini_exact",
+    analytics.stats_gini_exact,
+    analytics.stats_gini_exact_sql(),
+    front=True,
+)
+
+register(
+    "stats_partial_correlation",
+    analytics.stats_partial_correlation,
+    analytics.stats_partial_correlation_sql(),
+    front=True,
+)
+
+register(
+    "stats_weighted_median",
+    analytics.stats_weighted_median,
+    analytics.stats_weighted_median_sql(),
+    front=True,
+)
+
+register(
+    "stats_sign_test",
+    analytics.stats_sign_test,
+    analytics.stats_sign_test_sql(),
+    front=True,
+)
+
+register(
+    "q_lineitem_discount_effect",
+    analytics.q_lineitem_discount_effect,
+    analytics.q_lineitem_discount_effect_sql(),
+    front=True,
+)
+
+register(
+    "text_conditional_entropy",
+    textstats.text_conditional_entropy,
+    textstats.text_conditional_entropy_sql(),
+    front=True,
+)
+
+register(
+    "emb_dim_relevance",
+    similarity.emb_dim_relevance,
+    similarity.emb_dim_relevance_sql(),
+    front=True,
+)
+
+register(
+    "mm_byte_entropy",
+    multimodal.mm_byte_entropy,
+    multimodal.mm_byte_entropy_sql(),
+    front=True,
+)

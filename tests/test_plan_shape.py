@@ -227,6 +227,12 @@ _DELIBERATE_NESTED_LOOP = {
     # L-row (≤ #labels) centroid-table broadcast against the corpus:
     # the explosion-free silhouette shape, deliberate
     "emb_silhouette",
+    # 1-row OLS/regression-moments broadcast back onto the bounded
+    # day / discount grids (the stats_durbin_watson discipline)
+    "stats_breusch_pagan",
+    "q_lineitem_discount_effect",
+    # 1-row shared pre/post exposure broadcast onto the type grid
+    "stats_poisson_rate_test",
 }
 
 
@@ -256,6 +262,7 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "stats_spearman_daily", "stats_benford", "stats_lorenz_deciles",
     "stats_survival_km", "corpus_bigram_lm", "text_zipf_fit",
     "stats_durbin_watson", "q_orders_backlog", "stats_granger_daily",
+    "stats_breusch_pagan",
     # nation/label/brand-bounded hypothesis or rank tables
     "stats_fdr_bh", "q_top_customers", "q2_min_cost_supplier",
     "emb_label_purity",
