@@ -9616,3 +9616,475 @@ def q_lineitem_discount_effect_sql() -> str:
     FROM grid CROSS JOIN m
     ORDER BY discount_pct
     """
+
+
+def q_orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order inter-arrival profile rolled up by market
+    segment: how often the typical customer in each segment re-orders
+    (mean / exact median / max gap in whole days) — the repeat-purchase
+    cadence behind replenishment forecasting; the ENTITY-grain
+    counterpart of q_events_inter_arrival's stream-grain gaps.
+
+    Gaps come from a customer-partitioned lag window over (customer,
+    order date) rows — per-key partitions, never global — then ONE
+    segment rollup; day gaps are exact integers, so only the mean and
+    interpolated median are floats (percentile == quantile_cont).
+    NULL rule: NULL order dates have no position in the sequence;
+    customers with fewer than 2 dated orders contribute no gap; orders
+    without a customer match drop (inner join) — both engines.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select("o_custkey", F.col("o_orderdate").cast("date").alias("od"))
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("od")
+    gaps = (
+        o.withColumn("gap", F.datediff(F.col("od"), F.lag("od").over(w)))
+        .where(F.col("gap").isNotNull())
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        gaps.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.countDistinct("o_custkey").alias("n_repeat_customers"),
+            _r(F.avg("gap"), "mean_gap_days"),
+            _r(F.expr("percentile(gap, 0.5)"), "p50_gap_days"),
+            F.max("gap").alias("max_gap_days"),
+        )
+        .withColumnRenamed("c_mktsegment", "segment")
+        .orderBy("segment")
+    )
+
+
+def q_orders_interarrival_sql() -> str:
+    return """
+    WITH o AS (
+        SELECT o_custkey, o_orderdate::DATE AS od
+        FROM orders WHERE o_orderdate IS NOT NULL
+    ), gaps AS (
+        SELECT o_custkey,
+               datediff('day',
+                   lag(od) OVER (PARTITION BY o_custkey ORDER BY od), od) AS gap
+        FROM o QUALIFY gap IS NOT NULL
+    )
+    SELECT c_mktsegment AS segment, count(*)::BIGINT AS n_gaps,
+           count(DISTINCT o_custkey)::BIGINT AS n_repeat_customers,
+           round(avg(gap), 6) AS mean_gap_days,
+           round(quantile_cont(gap, 0.5), 6) AS p50_gap_days,
+           max(gap)::BIGINT AS max_gap_days
+    FROM gaps JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY segment
+    """
+
+
+def stats_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census per event type: Q1/Q3 and 1.5·IQR
+    fences over the integer-cent values, counts and share beyond each
+    fence — the box-plot screen every metric dashboard applies before
+    trusting a mean; the threshold complement to q_events_mad's robust
+    z-scores.
+
+    ONE aggregation per type: exact interpolated quartiles
+    (percentile == quantile_cont on integer cents, so both engines
+    derive bit-identical fence doubles from identical operands) and
+    conditional counts against those fences inside the SAME pass — no
+    second scan, no broadcast-back. NULL rule: NULL value is not an
+    observation; NULL event_type is its own group (both engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type", F.round(F.col("value") * 100).cast("bigint").alias("v")
+        )
+    )
+    # quartiles first (exact interpolated on integer cents), fences
+    # broadcast back — Spark disallows percentile nested in sum
+    qs = ev.groupBy(F.col("event_type").alias("_et")).agg(
+        F.expr("percentile(v, 0.25)").alias("q1_raw"),
+        F.expr("percentile(v, 0.75)").alias("q3_raw"),
+    )
+    j = ev.join(
+        F.broadcast(qs), F.col("event_type").eqNullSafe(F.col("_et"))
+    ).selectExpr(
+        "event_type",
+        "v",
+        "q1_raw",
+        "q3_raw",
+        "(q1_raw - 1.5 * (q3_raw - q1_raw)) AS lo",
+        "(q3_raw + 1.5 * (q3_raw - q1_raw)) AS hi",
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("round(max(q1_raw), 6)").alias("q1"),
+            F.expr("round(max(q3_raw), 6)").alias("q3"),
+            F.sum((F.col("v") < F.col("lo")).cast("bigint")).alias("n_low"),
+            F.sum((F.col("v") > F.col("hi")).cast("bigint")).alias("n_high"),
+        )
+        .selectExpr(
+            "event_type",
+            "n",
+            "q1",
+            "q3",
+            "n_low",
+            "n_high",
+            "round((n_low + n_high) / cast(n as double), 6) AS outlier_share",
+        )
+        .orderBy("event_type")
+    )
+
+
+def stats_iqr_outliers_sql() -> str:
+    return """
+    WITH ev AS (
+        SELECT event_type, round(value * 100)::BIGINT AS v
+        FROM events WHERE value IS NOT NULL
+    ), qs AS (
+        SELECT event_type AS _et,
+               quantile_cont(v, 0.25) AS q1_raw,
+               quantile_cont(v, 0.75) AS q3_raw
+        FROM ev GROUP BY 1
+    ), j AS (
+        SELECT event_type, v, q1_raw, q3_raw,
+               (q1_raw - 1.5 * (q3_raw - q1_raw)) AS lo,
+               (q3_raw + 1.5 * (q3_raw - q1_raw)) AS hi
+        FROM ev JOIN qs ON event_type IS NOT DISTINCT FROM _et
+    )
+    SELECT event_type, count(*)::BIGINT AS n,
+           round(max(q1_raw), 6) AS q1,
+           round(max(q3_raw), 6) AS q3,
+           sum((v < lo)::INT)::BIGINT AS n_low,
+           sum((v > hi)::INT)::BIGINT AS n_high,
+           round((sum((v < lo)::INT) + sum((v > hi)::INT))
+                 / count(*)::DOUBLE, 6) AS outlier_share
+    FROM j GROUP BY event_type ORDER BY event_type
+    """
+
+
+def q_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-nation → supplier-nation trade concentration: for each
+    customer nation, its TOP supplier nation by revenue and that
+    partner's share of the nation's spend — the full-matrix
+    generalization of TPC-H Q7's fixed nation pair, collapsed to the
+    decision-ready top-partner view.
+
+    Shape: lineitem⋈orders co-partitioned on the order key (both fact
+    tables — no broadcast assumption), customer keyed at order grain,
+    supplier + both nation dims BROADCAST; revenue lands on the
+    bounded ≤25×25 nation-pair grid in ONE aggregation, and top-partner
+    is a rank window on that bounded grid. Integer cents throughout;
+    share divides exact integers. NULL rule: lines missing any
+    dimension key drop (inner joins, both engines).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("bigint").alias("rev"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.withColumnRenamed("n_name", "cust_nation")),
+            c.c_nationkey == F.col("n_nationkey"),
+        )
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("_snk"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("_snk"),
+        )
+        .groupBy("cust_nation", "supp_nation")
+        .agg(F.sum("rev").alias("rev_cents"))
+    )
+    tot = Window.partitionBy("cust_nation")
+    rk = Window.partitionBy("cust_nation").orderBy(
+        F.desc("rev_cents"), F.asc("supp_nation")
+    )
+    return (
+        pair.withColumn("total_cents", F.sum("rev_cents").over(tot))
+        .withColumn("n_partners", F.count(F.lit(1)).over(tot))
+        .withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") == 1)
+        .selectExpr(
+            "cust_nation",
+            "supp_nation AS top_supplier_nation",
+            "rev_cents AS top_rev_cents",
+            "total_cents",
+            "n_partners",
+            "round(cast(rev_cents as double) / total_cents, 6) AS top_share",
+        )
+        .orderBy("cust_nation")
+    )
+
+
+def q_nation_trade_matrix_sql() -> str:
+    return """
+    WITH pair AS (
+        SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+               sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
+                   AS rev_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT *,
+               sum(rev_cents) OVER (PARTITION BY cust_nation) AS total_cents,
+               count(*) OVER (PARTITION BY cust_nation) AS n_partners,
+               row_number() OVER (PARTITION BY cust_nation
+                   ORDER BY rev_cents DESC, supp_nation) AS rank
+        FROM pair
+    )
+    SELECT cust_nation, supp_nation AS top_supplier_nation,
+           rev_cents AS top_rev_cents, total_cents::BIGINT AS total_cents,
+           n_partners::BIGINT AS n_partners,
+           round(rev_cents::DOUBLE / total_cents, 6) AS top_share
+    FROM ranked WHERE rank = 1
+    ORDER BY cust_nation
+    """
+
+
+def stats_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing order-fulfilment durations between
+    urgent (priority 1-2) and normal (3-5) orders — "do urgent orders
+    actually complete faster over their WHOLE distribution", the
+    two-group comparison stats_survival_km's single curve can't make.
+    Durations are fully observed here, but the statistic is computed
+    in its general at-risk form (O−E over the event-time grid), so
+    censoring plugs in unchanged.
+
+    Order grain collapses in ONE pass per table (last ship date per
+    order, priority rank per order); the event-time grid is the
+    bounded integer day-lag axis, at-risk counts are suffix sums =
+    total − running prefix over that bounded grid (one global window
+    on a bounded intermediate), and O, E, V fold from exact integers
+    — z is the only float. NULL rule: orders without a dated line or
+    order date have no duration (dropped both engines).
+    """
+    fin = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("fin"))
+        .where(F.col("fin").isNotNull())
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull() & F.col("o_orderpriority").isNotNull())
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("od"),
+            (F.substring("o_orderpriority", 1, 1).cast("int") <= 2).alias("g1"),
+        )
+    )
+    dur = o.join(fin, o.o_orderkey == fin.l_orderkey).select(
+        F.datediff("fin", "od").alias("t"), "g1"
+    )
+    grid = dur.groupBy("t").agg(
+        F.sum(F.col("g1").cast("bigint")).alias("d1"),
+        F.sum((~F.col("g1")).cast("bigint")).alias("d2"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    g = (
+        grid.withColumn("p1", F.coalesce(F.sum("d1").over(w), F.lit(0)))
+        .withColumn("p2", F.coalesce(F.sum("d2").over(w), F.lit(0)))
+        .crossJoin(
+            F.broadcast(
+                grid.agg(
+                    F.sum("d1").alias("t1"), F.sum("d2").alias("t2")
+                )
+            )
+        )
+        .selectExpr(
+            "d1",
+            "d2",
+            "(t1 - p1) AS n1",
+            "(t2 - p2) AS n2",
+        )
+    )
+    agg = g.selectExpr(
+        "d1",
+        "(d1 + d2) AS dt",
+        "(n1 + n2) AS nt",
+        "n1",
+    ).groupBy().agg(
+        F.sum("d1").alias("o1"),
+        F.sum(F.expr("dt * cast(n1 as double) / nt")).alias("e1"),
+        F.sum(
+            F.expr(
+                "CASE WHEN nt > 1 THEN dt * (cast(n1 as double) / nt)"
+                " * (1.0 - cast(n1 as double) / nt)"
+                " * (nt - dt) / (nt - 1.0) ELSE 0.0 END"
+            )
+        ).alias("v1"),
+    )
+    return agg.selectExpr(
+        "o1 AS observed_urgent",
+        "round(e1, 6) AS expected_urgent",
+        "round((o1 - e1) / sqrt(v1), 6) AS z",
+        "round((o1 - e1) * (o1 - e1) / v1, 4) AS chi2",
+    )
+
+
+def stats_log_rank_sql() -> str:
+    return """
+    WITH fin AS (
+        SELECT l_orderkey, max(l_shipdate::DATE) AS fin
+        FROM lineitem GROUP BY 1 HAVING max(l_shipdate::DATE) IS NOT NULL
+    ), o AS (
+        SELECT o_orderkey, o_orderdate::DATE AS od,
+               (substring(o_orderpriority, 1, 1)::INT <= 2) AS g1
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+    ), dur AS (
+        SELECT datediff('day', od, fin) AS t, g1
+        FROM o JOIN fin ON o_orderkey = l_orderkey
+    ), grid AS (
+        SELECT t, sum(g1::INT)::BIGINT AS d1,
+               sum((NOT g1)::INT)::BIGINT AS d2
+        FROM dur GROUP BY 1
+    ), g AS (
+        SELECT d1, d2,
+               (sum(d1) OVER () -
+                coalesce(sum(d1) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS n1,
+               (sum(d2) OVER () -
+                coalesce(sum(d2) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS n2
+        FROM grid
+    ), agg AS (
+        SELECT sum(d1)::BIGINT AS o1,
+               sum((d1 + d2) * n1::DOUBLE / (n1 + n2)) AS e1,
+               sum(CASE WHEN n1 + n2 > 1 THEN
+                   (d1 + d2) * (n1::DOUBLE / (n1 + n2))
+                   * (1.0 - n1::DOUBLE / (n1 + n2))
+                   * ((n1 + n2) - (d1 + d2)) / ((n1 + n2) - 1.0)
+                   ELSE 0.0 END) AS v1
+        FROM g
+    )
+    SELECT o1 AS observed_urgent,
+           round(e1, 6) AS expected_urgent,
+           round((o1 - e1) / sqrt(v1), 6) AS z,
+           round((o1 - e1) * (o1 - e1) / v1, 4) AS chi2
+    FROM agg
+    """
+
+
+def stats_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices of part prices per
+    order year against the FIRST year as base — "how much did the same
+    basket get more expensive" with base-period vs current-period
+    quantity weights, the econometrics staple over the fact table.
+
+    Unit prices are ratios of EXACT integers ((year, part) cent and
+    quantity sums — one shuffle), so both engines derive bit-identical
+    price doubles; the base year joins back part-keyed (the part
+    dimension is bounded — broadcast), matched-part index sums round
+    at 6 dp. The base year is data-derived via a 1-row broadcast, not
+    assumed. NULL rule: lines without a date, part, price or quantity
+    drop (both engines); parts absent from the base year drop from
+    that year's basket (inner join — the matched-sample discipline).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("sp"),
+    ).filter(
+        F.col("l_partkey").isNotNull() & F.col("q").isNotNull() & F.col("sp").isNotNull()
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select("o_orderkey", F.year("o_orderdate").alias("yr"))
+    )
+    yp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("yr", "l_partkey")
+        .agg(F.sum("q").alias("sq"), F.sum("sp").alias("sp"))
+        .where(F.col("sq") > 0)
+    )
+    base_yr = F.broadcast(yp.agg(F.min("yr").alias("byr")))
+    base = (
+        yp.crossJoin(base_yr)
+        .where(F.col("yr") == F.col("byr"))
+        .select(
+            F.col("l_partkey").alias("_pk"),
+            F.col("sq").alias("qb"),
+            (F.col("sp").cast("double") / F.col("sq")).alias("pb"),
+        )
+    )
+    j = yp.join(F.broadcast(base), yp.l_partkey == F.col("_pk")).selectExpr(
+        "yr",
+        "qb",
+        "pb",
+        "sq AS qt",
+        "(cast(sp as double) / sq) AS pt",
+    )
+    agg = j.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_parts_matched"),
+        F.sum(F.expr("qb * pt")).alias("l_num"),
+        F.sum(F.expr("qb * pb")).alias("l_den"),
+        F.sum(F.expr("qt * pt")).alias("p_num"),
+        F.sum(F.expr("qt * pb")).alias("p_den"),
+    )
+    return (
+        agg.selectExpr(
+            "yr AS year",
+            "n_parts_matched",
+            "round(l_num / l_den, 6) AS laspeyres",
+            "round(p_num / p_den, 6) AS paasche",
+            "round(sqrt((l_num / l_den) * (p_num / p_den)), 6) AS fisher",
+        )
+        .orderBy("year")
+    )
+
+
+def stats_price_index_sql() -> str:
+    return """
+    WITH li AS (
+        SELECT l_orderkey, l_partkey,
+               round(l_quantity)::BIGINT AS q,
+               round(l_extendedprice * 100)::BIGINT AS sp
+        FROM lineitem
+        WHERE l_partkey IS NOT NULL AND l_quantity IS NOT NULL
+          AND l_extendedprice IS NOT NULL
+    ), yp AS (
+        SELECT year(o_orderdate)::BIGINT AS yr, l_partkey,
+               sum(q)::BIGINT AS sq, sum(sp)::BIGINT AS sp
+        FROM li JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate IS NOT NULL
+        GROUP BY 1, 2 HAVING sum(q) > 0
+    ), base AS (
+        SELECT l_partkey AS _pk, sq AS qb, sp::DOUBLE / sq AS pb
+        FROM yp WHERE yr = (SELECT min(yr) FROM yp)
+    ), j AS (
+        SELECT yr, qb, pb, sq AS qt, sp::DOUBLE / sq AS pt
+        FROM yp JOIN base ON l_partkey = _pk
+    )
+    SELECT yr AS year, count(*)::BIGINT AS n_parts_matched,
+           round(sum(qb * pt) / sum(qb * pb), 6) AS laspeyres,
+           round(sum(qt * pt) / sum(qt * pb), 6) AS paasche,
+           round(sqrt((sum(qb * pt) / sum(qb * pb))
+                 * (sum(qt * pt) / sum(qt * pb))), 6) AS fisher
+    FROM j GROUP BY 1 ORDER BY year
+    """

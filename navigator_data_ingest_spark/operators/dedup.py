@@ -1166,3 +1166,87 @@ def dedup_prefix_family_sql() -> str:
            reclaimable_bytes
     FROM fam ORDER BY pfx_hash
     """
+
+
+# --------------------------------------------------------------------------
+# phonetic blocking (soundex keys over entity names)
+# --------------------------------------------------------------------------
+
+_SDX_FROM = "AEIOUYHWBFPVCGJKQSXZDTLMNR"
+_SDX_TO = "00000000111122222222334556"
+
+
+def _soundex_expr(col: str, collapse_bref: bool) -> str:
+    """Engine-portable soundex: first letter + collapsed consonant
+    codes, zeros dropped, padded to 4. DuckDB's RE2 regex has NO
+    backreferences, so adjacent-duplicate collapse is SIX chained
+    digit-specific regexp_replace calls — byte-identical semantics in
+    Spark (which is told to use the same non-backref chain via
+    collapse_bref=False on both engines; the flag is kept for
+    documentation symmetry)."""
+    up = f"upper({col})"
+    mapped = f"translate({up}, '{_SDX_FROM}', '{_SDX_TO}')"
+    collapsed = mapped
+    for d in "123456":
+        flags = ", 'g'" if collapse_bref else ""
+        collapsed = (
+            f"regexp_replace({collapsed}, '{d}{{2,}}', '{d}'{flags})"
+        )
+    tail = f"replace(substr({collapsed}, 2), '0', '')"
+    return f"substr(concat(substr({up}, 1, 1), {tail}, '000'), 1, 4)"
+
+
+def dedup_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic (soundex) blocking over part names: names that SOUND
+    alike land in the same block key, and blocks with >1 part are the
+    fuzzy-duplicate candidate families a Levenshtein verify would
+    score — the phonetic rung of the dedup ladder between dedup_url's
+    canonical keys and dedup_levenshtein's edit distance.
+
+    Soundex is computed per name WORD with pure string expressions
+    (translate + 6 digit-specific regexp_replace calls — DuckDB's RE2
+    has no backreferences, so the SAME non-backref chain runs in both
+    engines), then ONE shuffle on the block key; output is block-grain
+    (never the quadratic pair list). NULL rule: NULL names have no
+    key (dropped both engines).
+    """
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").isNotNull())
+        .select("p_partkey", "p_name")
+    )
+    w1 = "element_at(split(p_name, ' '), 1)"
+    w2 = "coalesce(element_at(split(p_name, ' '), 2), '')"
+    key = (
+        f"concat({_soundex_expr(w1, False)}, '-', {_soundex_expr(w2, False)})"
+    )
+    blocks = (
+        parts.withColumn("blk", F.expr(key))
+        .groupBy("blk")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct("p_name").alias("n_distinct_names"),
+            F.min("p_name").alias("sample_name"),
+        )
+        .where(F.col("n_parts") > 1)
+    )
+    return blocks.orderBy("blk")
+
+
+def dedup_phonetic_sql() -> str:
+    w1 = "string_split(p_name, ' ')[1]"
+    w2 = "coalesce(string_split(p_name, ' ')[2], '')"
+    key = f"({_soundex_expr(w1, True)}) || '-' || ({_soundex_expr(w2, True)})"
+    return f"""
+    WITH parts AS (
+        SELECT p_partkey, p_name FROM part WHERE p_name IS NOT NULL
+    ), blocks AS (
+        SELECT {key} AS blk, count(*)::BIGINT AS n_parts,
+               count(DISTINCT p_name)::BIGINT AS n_distinct_names,
+               min(p_name) AS sample_name
+        FROM parts GROUP BY 1
+    )
+    SELECT blk, n_parts, n_distinct_names, sample_name
+    FROM blocks WHERE n_parts > 1
+    ORDER BY blk
+    """

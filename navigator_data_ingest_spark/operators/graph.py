@@ -930,3 +930,118 @@ def graph_bipartite_projection_sql() -> str:
     JOIN norms nb ON pairs.tb = nb.event_type
     ORDER BY type_a, type_b
     """
+
+
+BFS_HOPS = 3
+
+
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances on the part–supplier bipartite
+    graph: nodes per shortest-path hop (0..3) from the supplier seed
+    stripe, plus the unreachable remainder — the reachability /
+    blast-radius primitive (recall expansion, supply-chain exposure)
+    beside graph_pagerank's centrality.
+
+    Frontier-expansion shape, 3 UNROLLED rounds (graph_pagerank's
+    determinism discipline): each round is one frontier⋈edges join on
+    the edge key plus an anti-join against the visited set — the
+    visited set stays partitioned on the node key, no collected
+    frontiers, localCheckpoint per round caps the plan. Counts
+    collapse to the ≤5-row hop grid. NULL rule: lines missing either
+    key form no edge (both engines).
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
+    edges = (
+        li.select(
+            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("p"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = edges.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionAll(
+        edges.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    seeds = (
+        li.select(F.col("l_suppkey").alias("k"))
+        .distinct()
+        .where(F.col("k") % 100 == 1)
+        .select(
+            F.concat(F.lit("s:"), F.col("k").cast("string")).alias("node"),
+            F.lit(0).alias("hop"),
+        )
+    )
+    dist = seeds.localCheckpoint(eager=False)
+    frontier = dist
+    for h in range(1, BFS_HOPS + 1):
+        nbr = (
+            frontier.join(und, frontier.node == und.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            nbr.join(dist.select("node").withColumnRenamed("node", "_v"),
+                     nbr.node == F.col("_v"), "left_anti")
+            .select("node", F.lit(h).alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionAll(new)
+        frontier = new
+    reached = dist.groupBy("hop").agg(F.count(F.lit(1)).alias("n_nodes"))
+    unreached = (
+        nodes.join(dist.select("node").withColumnRenamed("node", "_v"),
+                   nodes.node == F.col("_v"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.lit(-1).alias("hop"), "n_nodes")
+    )
+    return reached.unionAll(unreached).orderBy("hop")
+
+
+def graph_shortest_paths_sql() -> str:
+    return """
+    WITH e AS (
+        SELECT DISTINCT 'p:' || l_partkey::VARCHAR AS p,
+                        's:' || l_suppkey::VARCHAR AS s
+        FROM lineitem
+        WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    ), und AS (
+        SELECT p AS src, s AS dst FROM e
+        UNION ALL
+        SELECT s AS src, p AS dst FROM e
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM und
+    ), d0 AS (
+        SELECT DISTINCT 's:' || l_suppkey::VARCHAR AS node
+        FROM lineitem
+        WHERE l_suppkey IS NOT NULL AND l_suppkey % 100 = 1
+    ), d1 AS (
+        SELECT DISTINCT dst AS node FROM und JOIN d0 ON src = node
+        WHERE dst NOT IN (SELECT node FROM d0)
+    ), d2 AS (
+        SELECT DISTINCT dst AS node FROM und JOIN d1 ON src = node
+        WHERE dst NOT IN (SELECT node FROM d0)
+          AND dst NOT IN (SELECT node FROM d1)
+    ), d3 AS (
+        SELECT DISTINCT dst AS node FROM und JOIN d2 ON src = node
+        WHERE dst NOT IN (SELECT node FROM d0)
+          AND dst NOT IN (SELECT node FROM d1)
+          AND dst NOT IN (SELECT node FROM d2)
+    ), hops AS (
+        SELECT 0 AS hop, count(*)::BIGINT AS n_nodes FROM d0
+        UNION ALL SELECT 1, count(*)::BIGINT FROM d1
+        UNION ALL SELECT 2, count(*)::BIGINT FROM d2
+        UNION ALL SELECT 3, count(*)::BIGINT FROM d3
+        UNION ALL
+        SELECT -1, count(*)::BIGINT FROM nodes
+        WHERE node NOT IN (SELECT node FROM d0)
+          AND node NOT IN (SELECT node FROM d1)
+          AND node NOT IN (SELECT node FROM d2)
+          AND node NOT IN (SELECT node FROM d3)
+    )
+    SELECT hop, n_nodes FROM hops
+    WHERE hop = -1 OR n_nodes > 0
+    ORDER BY hop
+    """

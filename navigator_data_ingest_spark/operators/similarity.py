@@ -2208,3 +2208,79 @@ def emb_dim_relevance_sql() -> str:
            round(st / n, 6) AS mean_val
     FROM agg ORDER BY dim
     """
+
+
+def emb_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-centroid distance map: euclidean distance between every
+    label-centroid pair plus each label's nearest other label — the
+    cluster-separation chart that says WHICH classes will confuse a
+    classifier (emb_silhouette says whether; this says with whom).
+
+    The corpus collapses ONCE to L centroid rows (explosion-free
+    per-dim avgs); the L×L pair grid is a bounded broadcast self-join
+    — at any corpus size the pair stage costs L², never n². Centroid
+    components round at 6 dp before distances (identical operands
+    cross-engine); each pair appears once (label_a < label_b). NULL
+    rule: NULL label is not a cluster (both engines).
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("label").isNotNull())
+        .select("label", "embedding")
+    )
+    per_dim = [
+        F.round(F.avg(F.col("embedding").getItem(i)), 6).alias(f"d{i}")
+        for i in range(EMB_DIM)
+    ]
+    cent = (
+        emb.groupBy("label")
+        .agg(*per_dim)
+        .select("label", F.array(*[F.col(f"d{i}") for i in range(EMB_DIM)]).alias("c"))
+    )
+    a = cent.select(F.col("label").alias("label_a"), F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("c").alias("cb"))
+    diff2 = " + ".join(
+        f"(element_at(ca, {i}) - element_at(cb, {i}))"
+        f" * (element_at(ca, {i}) - element_at(cb, {i}))"
+        for i in range(1, EMB_DIM + 1)
+    )
+    pairs = a.join(F.broadcast(b), F.col("label_a") < F.col("label_b")).select(
+        "label_a",
+        "label_b",
+        F.expr(f"round(sqrt({diff2}), 6)").alias("dist"),
+    )
+    near = Window.partitionBy("label_a")
+    return (
+        pairs.withColumn("min_dist", F.min("dist").over(near))
+        .withColumn("is_nearest", F.col("dist") == F.col("min_dist"))
+        .drop("min_dist")
+        .orderBy("label_a", "label_b")
+    )
+
+
+def emb_centroid_distances_sql() -> str:
+    diff2 = " + ".join(
+        f"(a.c[{i}] - b.c[{i}]) * (a.c[{i}] - b.c[{i}])"
+        for i in range(1, EMB_DIM + 1)
+    )
+    return f"""
+    WITH e AS (
+        SELECT label, embedding FROM embeddings WHERE label IS NOT NULL
+    ), x AS (
+        SELECT label, generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding)::DOUBLE AS v
+        FROM e
+    ), cd AS (
+        SELECT label, pos, round(avg(v), 6) AS cv
+        FROM x GROUP BY 1, 2
+    ), c AS (
+        SELECT label, list(cv ORDER BY pos) AS c FROM cd GROUP BY 1
+    ), pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               round(sqrt({diff2}), 6) AS dist
+        FROM c a JOIN c b ON a.label < b.label
+    )
+    SELECT label_a, label_b, dist,
+           (dist = min(dist) OVER (PARTITION BY label_a)) AS is_nearest
+    FROM pairs ORDER BY label_a, label_b
+    """

@@ -1875,3 +1875,60 @@ def text_conditional_entropy_sql() -> str:
       ON per_source.source IS NOT DISTINCT FROM uni.source
     ORDER BY per_source.source
     """
+
+
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax/dis legomena profile per source: the share of vocabulary
+    seen exactly once (hapax) and exactly twice (dis) — the classic
+    corpus-health pair (healthy natural text keeps a fat hapax tail;
+    templated or deduplicated-to-death text loses it); the tail-mass
+    companion to text_yule_k (repeat mass) and text_heaps_law (growth).
+
+    ONE (source, token) count shuffle, then a frequency-of-frequency
+    rollup per source — all exact integers, the two shares divide
+    exact integers. NULL rule: NULL/empty text has no tokens; a NULL
+    source is its own group (both engines).
+    """
+    docs = scatter(spark, load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(F.expr(X.sp_tokens("text"))).alias("token")
+    )
+    cnt = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("c").alias("n_tokens"),
+        F.sum((F.col("c") == 1).cast("bigint")).alias("hapax"),
+        F.sum((F.col("c") == 2).cast("bigint")).alias("dis"),
+    )
+    return (
+        agg.selectExpr(
+            "source",
+            "vocab",
+            "n_tokens",
+            "hapax",
+            "dis",
+            "round(cast(hapax as double) / vocab, 6) AS hapax_share",
+            "round(cast(dis as double) / vocab, 6) AS dis_share",
+        )
+        .orderBy("source")
+    )
+
+
+def text_hapax_ratio_sql() -> str:
+    return f"""
+    WITH t AS (
+        SELECT source, {X.dk_tokens('text')} AS toks FROM documents
+    ), tok AS (
+        SELECT source, unnest(toks) AS token FROM t WHERE len(toks) > 0
+    ), cnt AS (
+        SELECT source, token, count(*)::BIGINT AS c
+        FROM tok GROUP BY 1, 2
+    )
+    SELECT source, count(*)::BIGINT AS vocab,
+           sum(c)::BIGINT AS n_tokens,
+           sum((c = 1)::INT)::BIGINT AS hapax,
+           sum((c = 2)::INT)::BIGINT AS dis,
+           round(sum((c = 1)::INT)::DOUBLE / count(*), 6) AS hapax_share,
+           round(sum((c = 2)::INT)::DOUBLE / count(*), 6) AS dis_share
+    FROM cnt GROUP BY source ORDER BY source
+    """

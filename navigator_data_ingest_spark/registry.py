@@ -5546,3 +5546,73 @@ register(
     multimodal.mm_byte_entropy_sql(),
     front=True,
 )
+
+
+# --------------------------------------------------------------------------
+# round-5 seventh batch: BFS reachability, phonetic blocking, repeat
+# cadence, Tukey fences, trade matrix, log-rank survival comparison,
+# price indices, hapax profile, centroid separation map
+# --------------------------------------------------------------------------
+
+register(
+    "graph_shortest_paths",
+    graph.graph_shortest_paths,
+    graph.graph_shortest_paths_sql(),
+    front=True,
+)
+
+register(
+    "dedup_phonetic",
+    dedup.dedup_phonetic,
+    dedup.dedup_phonetic_sql(),
+    front=True,
+)
+
+register(
+    "q_orders_interarrival",
+    analytics.q_orders_interarrival,
+    analytics.q_orders_interarrival_sql(),
+    front=True,
+)
+
+register(
+    "stats_iqr_outliers",
+    analytics.stats_iqr_outliers,
+    analytics.stats_iqr_outliers_sql(),
+    front=True,
+)
+
+register(
+    "q_nation_trade_matrix",
+    analytics.q_nation_trade_matrix,
+    analytics.q_nation_trade_matrix_sql(),
+    front=True,
+)
+
+register(
+    "stats_log_rank",
+    analytics.stats_log_rank,
+    analytics.stats_log_rank_sql(),
+    front=True,
+)
+
+register(
+    "stats_price_index",
+    analytics.stats_price_index,
+    analytics.stats_price_index_sql(),
+    front=True,
+)
+
+register(
+    "text_hapax_ratio",
+    textstats.text_hapax_ratio,
+    textstats.text_hapax_ratio_sql(),
+    front=True,
+)
+
+register(
+    "emb_centroid_distances",
+    similarity.emb_centroid_distances,
+    similarity.emb_centroid_distances_sql(),
+    front=True,
+)

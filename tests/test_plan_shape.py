@@ -233,6 +233,10 @@ _DELIBERATE_NESTED_LOOP = {
     "q_lineitem_discount_effect",
     # 1-row shared pre/post exposure broadcast onto the type grid
     "stats_poisson_rate_test",
+    # 1-row group-totals broadcast onto the bounded event-time grid
+    "stats_log_rank",
+    # L-row centroid-table broadcast self-join (bounded L² pair grid)
+    "emb_centroid_distances",
 }
 
 
@@ -263,6 +267,10 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "stats_survival_km", "corpus_bigram_lm", "text_zipf_fit",
     "stats_durbin_watson", "q_orders_backlog", "stats_granger_daily",
     "stats_breusch_pagan",
+    # bounded day-lag event-time grid (log-rank at-risk prefix)
+    "stats_log_rank",
+    # ≤25x25 bounded nation-pair grid (rank/total windows)
+    "q_nation_trade_matrix",
     # nation/label/brand-bounded hypothesis or rank tables
     "stats_fdr_bh", "q_top_customers", "q2_min_cost_supplier",
     "emb_label_purity",
