@@ -10088,3 +10088,385 @@ def stats_price_index_sql() -> str:
                  * (sum(qt * pt) / sum(qt * pb))), 6) AS fisher
     FROM j GROUP BY 1 ORDER BY year
     """
+
+
+def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval for the daily purchase share of
+    events — the small-sample-safe proportion CI (never leaves [0,1],
+    unlike the Wald interval) that belongs on every conversion
+    dashboard; the uncertainty companion to q_events_funnel's point
+    counts.
+
+    ONE conditional aggregation to the DAYS-bounded grain (exact
+    integer n, k per day); the Wilson bounds are closed-form arithmetic
+    on those integers with the shared z = 1.96 literal, so both
+    engines evaluate identical operands. NULL rule: NULL ts has no
+    day; NULL event_type is not a purchase (boolean false, both
+    engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("bigint")
+            ).alias("k"),
+        )
+    )
+    z2 = "3.8416"  # 1.96^2
+    center = f"((k + {z2} / 2.0) / (n + {z2}))"
+    half = (
+        f"(1.96 * sqrt(cast(k as double) * (n - k) / n + {z2} / 4.0)"
+        f" / (n + {z2}))"
+    )
+    return (
+        ev.selectExpr(
+            "day",
+            "n AS n_events",
+            "k AS n_purchases",
+            "round(cast(k as double) / n, 6) AS p_hat",
+            f"round({center} - {half}, 6) AS wilson_low",
+            f"round({center} + {half}, 6) AS wilson_high",
+        )
+        .orderBy("day")
+    )
+
+
+def stats_wilson_ci_sql() -> str:
+    z2 = "3.8416"
+    center = f"((k + {z2} / 2.0) / (n + {z2}))"
+    half = (
+        f"(1.96 * sqrt(k::DOUBLE * (n - k) / n + {z2} / 4.0)"
+        f" / (n + {z2}))"
+    )
+    return f"""
+    WITH ev AS (
+        SELECT ts::DATE AS day, count(*)::BIGINT AS n,
+               sum((event_type = 'purchase')::INT)::BIGINT AS k
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    )
+    SELECT day, n AS n_events, k AS n_purchases,
+           round(k::DOUBLE / n, 6) AS p_hat,
+           round({center} - {half}, 6) AS wilson_low,
+           round({center} + {half}, 6) AS wilson_high
+    FROM ev ORDER BY day
+    """
+
+
+def q_brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue-share trajectory: each brand's share of yearly
+    revenue, the prior year's share and the share delta — the
+    market-movement table (who is gaining) behind q8_market_share's
+    single-nation view.
+
+    ONE aggregation to the bounded (brand × year) grid (exact integer
+    cents), shares divide exact integers WITHIN the window functions'
+    bounded grid; the lag runs per brand over the ≤#years axis. NULL
+    rule: lines without a part match or order date drop (inner joins,
+    both engines).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("bigint").alias("rev"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select("o_orderkey", F.year("o_orderdate").alias("yr"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    grid = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "yr")
+        .agg(F.sum("rev").alias("rev_cents"))
+    )
+    wy = Window.partitionBy("yr")
+    wb = Window.partitionBy("p_brand").orderBy("yr")
+    out = (
+        grid.withColumn("yr_total", F.sum("rev_cents").over(wy))
+        .withColumn(
+            "share", F.round(F.col("rev_cents").cast("double") / F.col("yr_total"), 6)
+        )
+        .withColumn("prev_share", F.lag("share").over(wb))
+        .where(F.col("prev_share").isNotNull())
+        .selectExpr(
+            "p_brand AS brand",
+            "yr AS year",
+            "rev_cents",
+            "share",
+            "prev_share",
+            "round(share - prev_share, 6) AS share_delta",
+        )
+    )
+    return out.orderBy("brand", "year")
+
+
+def q_brand_share_shift_sql() -> str:
+    return """
+    WITH grid AS (
+        SELECT p_brand, year(o_orderdate)::BIGINT AS yr,
+               sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
+                   AS rev_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE o_orderdate IS NOT NULL
+        GROUP BY 1, 2
+    ), s AS (
+        SELECT p_brand, yr, rev_cents,
+               round(rev_cents::DOUBLE /
+                     sum(rev_cents) OVER (PARTITION BY yr), 6) AS share
+        FROM grid
+    ), lagged AS (
+        SELECT p_brand, yr, rev_cents, share,
+               lag(share) OVER (PARTITION BY p_brand ORDER BY yr) AS prev_share
+        FROM s
+    )
+    SELECT p_brand AS brand, yr AS year, rev_cents, share, prev_share,
+           round(share - prev_share, 6) AS share_delta
+    FROM lagged WHERE prev_share IS NOT NULL
+    ORDER BY brand, year
+    """
+
+
+def q_events_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type audience overlap: for every type pair the shared-user
+    count and Jaccard — "do clickers also purchase", the audience-
+    planning matrix; the set-algebra companion to q_events_funnel's
+    ordered path.
+
+    DISTINCT (user, type) first (ONE shuffle — the self-join then runs
+    at user-type cardinality, not event cardinality), pair generation
+    co-partitioned on user with the TYPES-bounded ≤T²/2 fan-out per
+    user, per-type totals broadcast back onto the ≤T² pair grid. All
+    counts exact integers; Jaccard divides them. NULL rule: NULL
+    user/type rows are not memberships (both engines).
+    """
+    ut = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    a = ut.select("user_id", F.col("event_type").alias("t1"))
+    b = ut.select(F.col("user_id").alias("_u"), F.col("event_type").alias("t2"))
+    pairs = (
+        a.join(b, (F.col("user_id") == F.col("_u")) & (F.col("t1") < F.col("t2")))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    tot = ut.groupBy(F.col("event_type").alias("_t")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    return (
+        pairs.join(
+            F.broadcast(tot.select(F.col("_t").alias("_ta"), F.col("n_users").alias("n1"))),
+            F.col("t1") == F.col("_ta"),
+        )
+        .join(
+            F.broadcast(tot.select(F.col("_t").alias("_tb"), F.col("n_users").alias("n2"))),
+            F.col("t2") == F.col("_tb"),
+        )
+        .selectExpr(
+            "t1",
+            "t2",
+            "n1 AS n_users_t1",
+            "n2 AS n_users_t2",
+            "n_both",
+            "round(cast(n_both as double) / (n1 + n2 - n_both), 6) AS jaccard",
+        )
+        .orderBy("t1", "t2")
+    )
+
+
+def q_events_type_overlap_sql() -> str:
+    return """
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ), pairs AS (
+        SELECT a.event_type AS t1, b.event_type AS t2,
+               count(*)::BIGINT AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type AS t, count(*)::BIGINT AS n_users
+        FROM ut GROUP BY 1
+    )
+    SELECT t1, t2, ta.n_users AS n_users_t1, tb.n_users AS n_users_t2,
+           n_both,
+           round(n_both::DOUBLE / (ta.n_users + tb.n_users - n_both), 6)
+               AS jaccard
+    FROM pairs
+    JOIN tot ta ON t1 = ta.t
+    JOIN tot tb ON t2 = tb.t
+    ORDER BY t1, t2
+    """
+
+
+def stats_entropy_rate_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain — how
+    PREDICTABLE the next action is given the current one (0 = fully
+    scripted sessions, ln K = memoryless noise); the single-number
+    health check over stats_markov_transitions' full matrix, with the
+    memoryless entropy and the information gain beside it.
+
+    Transitions come from the same per-user lead window (ordered
+    (ts, event_id) — the pinned deterministic tie-break); counts land
+    on the TYPES²-bounded grid, and every entropy term is
+    c·ln(ratio-of-exact-integers), so both engines fold identical
+    operands. NULL rule: NULL user/type/ts rows form no transition
+    (both engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("a"),
+            F.lead("event_type").over(w).alias("b"),
+        )
+        .where(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rows = trans.groupBy("a").agg(F.sum("c").alias("ca"))
+    j = trans.join(
+        F.broadcast(rows.withColumnRenamed("a", "_a")), F.col("a") == F.col("_a")
+    )
+    agg = j.agg(
+        F.sum("c").alias("n"),
+        F.countDistinct("a").alias("k"),
+        F.sum(F.expr("c * ln(cast(ca as double) / c)")).alias("h_sum"),
+    )
+    # memoryless entropy over the FROM-state marginal
+    uni = rows.agg(
+        F.sum("ca").alias("n2"),
+        F.sum(F.expr("ca * ln(cast(ca as double))")).alias("u_sum"),
+    ).selectExpr("(ln(cast(n2 as double)) - u_sum / n2) AS h0")
+    return (
+        agg.crossJoin(F.broadcast(uni))
+        .selectExpr(
+            "n AS n_transitions",
+            "k AS n_states",
+            "round(h_sum / n, 6) AS entropy_rate",
+            "round(h0, 6) AS entropy_memoryless",
+            "round(h0 - h_sum / n, 6) AS info_gain",
+        )
+    )
+
+
+def stats_entropy_rate_markov_sql() -> str:
+    return """
+    WITH ev AS (
+        SELECT user_id, event_type, ts, event_id FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+          AND ts IS NOT NULL
+    ), trans AS (
+        SELECT event_type AS a,
+               lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS b
+        FROM ev QUALIFY b IS NOT NULL
+    ), cnt AS (
+        SELECT a, b, count(*)::BIGINT AS c FROM trans GROUP BY 1, 2
+    ), rows_ AS (
+        SELECT a, sum(c)::BIGINT AS ca FROM cnt GROUP BY 1
+    ), agg AS (
+        SELECT sum(c)::BIGINT AS n,
+               count(DISTINCT cnt.a)::BIGINT AS k,
+               sum(c * ln(ca::DOUBLE / c)) AS h_sum
+        FROM cnt JOIN rows_ ON cnt.a = rows_.a
+    ), uni AS (
+        SELECT (ln(sum(ca)::DOUBLE) - sum(ca * ln(ca::DOUBLE)) / sum(ca)) AS h0
+        FROM rows_
+    )
+    SELECT n AS n_transitions, k AS n_states,
+           round(h_sum / n, 6) AS entropy_rate,
+           round(h0, 6) AS entropy_memoryless,
+           round(h0 - h_sum / n, 6) AS info_gain
+    FROM agg CROSS JOIN uni
+    """
+
+
+def q_orders_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week order profile with a χ² uniformity test: order
+    counts, revenue and mean value per weekday, and whether the weekly
+    shape is real or noise — the seasonality screen at the week scale
+    (stats_seasonal_decompose handles the longer cycles).
+
+    One aggregation to the 7-row dow grid (exact integers; the dow key
+    is Spark dayofweek−1 == DuckDB dayofweek, Sunday=0 — the pinned
+    cross-engine convention), the χ² against uniform expected counts
+    folds exact integers via a 1-row broadcast. NULL order dates have
+    no weekday (dropped both engines).
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(
+            (F.dayofweek("o_orderdate") - 1).alias("dow"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    grid = o.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    tot = grid.agg(F.sum("n_orders").alias("nn"), F.count(F.lit(1)).alias("kk"))
+    j = grid.crossJoin(F.broadcast(tot)).withColumn(
+        "dev",
+        F.expr(
+            "(n_orders - cast(nn as double) / kk)"
+            " * (n_orders - cast(nn as double) / kk)"
+            " / (cast(nn as double) / kk)"
+        ),
+    )
+    wall = Window.partitionBy()
+    return (
+        j.withColumn("chi2_uniform", F.round(F.sum("dev").over(wall), 4))
+        .selectExpr(
+            "dow",
+            "n_orders",
+            "rev_cents",
+            "round(cast(rev_cents as double) / n_orders, 2) AS mean_cents",
+            "chi2_uniform",
+        )
+        .orderBy("dow")
+    )
+
+
+def q_orders_dow_profile_sql() -> str:
+    return """
+    WITH o AS (
+        SELECT dayofweek(o_orderdate)::BIGINT AS dow,
+               round(o_totalprice * 100)::BIGINT AS cents
+        FROM orders WHERE o_orderdate IS NOT NULL
+    ), grid AS (
+        SELECT dow, count(*)::BIGINT AS n_orders, sum(cents)::BIGINT AS rev_cents
+        FROM o GROUP BY 1
+    ), tot AS (
+        SELECT sum(n_orders)::BIGINT AS nn, count(*)::BIGINT AS kk FROM grid
+    ), j AS (
+        SELECT dow, n_orders, rev_cents,
+               (n_orders - nn::DOUBLE / kk) * (n_orders - nn::DOUBLE / kk)
+                   / (nn::DOUBLE / kk) AS dev
+        FROM grid CROSS JOIN tot
+    )
+    SELECT dow, n_orders, rev_cents,
+           round(rev_cents::DOUBLE / n_orders, 2) AS mean_cents,
+           round(sum(dev) OVER (), 4) AS chi2_uniform
+    FROM j ORDER BY dow
+    """

@@ -2940,3 +2940,183 @@ def stats_auc_classifier_sql() -> str:
            round(2.0 * {auc} - 1.0, 6) AS gini
     FROM agg
     """
+
+
+def corpus_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language mix per source: dominant language and its share, the
+    language entropy, and the distinct-language count — the routing
+    table a multilingual pipeline builds before per-language tokenizer
+    and filter stages (text_lang_confusion audits the LABELS; this
+    audits the MIX).
+
+    ONE (source, lang) count shuffle, dominant pick via a rank window
+    on that bounded grid (count desc, lang ASC NULLS LAST — the pinned
+    cross-engine tie-break), entropy folds exact integer counts. NULL
+    rule: a NULL lang is its own bucket (reported as the literal
+    '<null>' so the hash compare sees a value, both engines); a NULL
+    source is its own group.
+    """
+    d = (
+        scatter(spark, load_table(spark, sf_dir, "documents"))
+        .select("source", F.coalesce(F.col("lang"), F.lit("<null>")).alias("lang"))
+    )
+    cnt = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc_nulls_last("lang"))
+    ranked = cnt.withColumn("rk", F.row_number().over(w))
+    agg = cnt.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum(F.expr("c * ln(cast(c as double))")).alias("clnc"),
+    )
+    dom = ranked.where(F.col("rk") == 1).select(
+        F.col("source").alias("_src"),
+        F.col("lang").alias("dominant_lang"),
+        F.col("c").alias("dominant_n"),
+    )
+    return (
+        agg.join(F.broadcast(dom), F.col("source").eqNullSafe(F.col("_src")))
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_langs",
+            "dominant_lang",
+            "round(cast(dominant_n as double) / n_docs, 6) AS purity",
+            "round(ln(cast(n_docs as double)) - clnc / n_docs, 6) AS lang_entropy",
+        )
+        .orderBy("source")
+    )
+
+
+def corpus_lang_purity_sql() -> str:
+    return """
+    WITH d AS (
+        SELECT source, coalesce(lang, '<null>') AS lang FROM documents
+    ), cnt AS (
+        SELECT source, lang, count(*)::BIGINT AS c
+        FROM d GROUP BY 1, 2
+    ), ranked AS (
+        SELECT source, lang, c,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY c DESC, lang NULLS LAST) AS rk
+        FROM cnt
+    ), agg AS (
+        SELECT source, sum(c)::BIGINT AS n_docs,
+               count(*)::BIGINT AS n_langs,
+               sum(c * ln(c::DOUBLE)) AS clnc
+        FROM cnt GROUP BY 1
+    )
+    SELECT agg.source, n_docs, n_langs,
+           ranked.lang AS dominant_lang,
+           round(ranked.c::DOUBLE / n_docs, 6) AS purity,
+           round(ln(n_docs::DOUBLE) - clnc / n_docs, 6) AS lang_entropy
+    FROM agg JOIN ranked
+      ON agg.source IS NOT DISTINCT FROM ranked.source AND rk = 1
+    ORDER BY agg.source
+    """
+
+
+FLEISS_CATS = 3
+FLEISS_RATERS = 3
+
+
+def stats_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa inter-annotator agreement over the document
+    corpus, with three DETERMINISTIC pseudo-annotators (seeded 32-bit
+    hash votes into 3 categories — the portable-hash discipline, so
+    the oracle replays every vote exactly). The agreement harness a
+    labeling pipeline runs the moment a second annotator exists;
+    stats_cohens_kappa handles the 2-rater case, this generalizes to
+    N raters via the category-count formulation.
+
+    Per-doc category counts need NO per-rater rows: the three votes
+    are three hash expressions folded into counts map-side; P̄ and Pₑ
+    are ratios of exact integer sums (Σn_ij², category totals). NULL
+    rule: NULL text has no votes (dropped both engines).
+    """
+    docs = (
+        scatter(spark, load_table(spark, sf_dir, "documents"))
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    votes = [
+        f"({X.sp_hash32('text', f'rater{r}')}) % {FLEISS_CATS}"
+        for r in range(FLEISS_RATERS)
+    ]
+    cats = docs.select(
+        "doc_id",
+        *[F.expr(v).cast("int").alias(f"v{r}") for r, v in enumerate(votes)],
+    )
+    counts = cats.select(
+        "doc_id",
+        *[
+            sum(
+                (F.col(f"v{r}") == j).cast("bigint") for r in range(FLEISS_RATERS)
+            ).alias(f"n{j}")
+            for j in range(FLEISS_CATS)
+        ],
+    )
+    sum_sq = " + ".join(f"n{j} * n{j}" for j in range(FLEISS_CATS))
+    per_doc = counts.selectExpr(
+        "doc_id",
+        f"({sum_sq}) AS ss",
+        *[f"n{j}" for j in range(FLEISS_CATS)],
+    )
+    agg = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ss").alias("sss"),
+        *[F.sum(f"n{j}").alias(f"t{j}") for j in range(FLEISS_CATS)],
+    )
+    m = FLEISS_RATERS
+    pbar = f"((cast(sss as double) - n_docs * {m}) / (n_docs * {m} * ({m} - 1.0)))"
+    pe = " + ".join(
+        f"(cast(t{j} as double) / (n_docs * {m}))"
+        f" * (cast(t{j} as double) / (n_docs * {m}))"
+        for j in range(FLEISS_CATS)
+    )
+    return agg.selectExpr(
+        "n_docs",
+        f"round({pbar}, 6) AS p_bar",
+        f"round({pe}, 6) AS p_expected",
+        f"round(({pbar} - ({pe})) / (1.0 - ({pe})), 6) AS fleiss_kappa",
+    )
+
+
+def stats_fleiss_kappa_sql() -> str:
+    votes = [
+        f"({X.dk_hash32('text', f'rater{r}')}) % {FLEISS_CATS}"
+        for r in range(FLEISS_RATERS)
+    ]
+    n_cols = ", ".join(
+        "("
+        + " + ".join(f"(v{r} = {j})::INT" for r in range(FLEISS_RATERS))
+        + f")::BIGINT AS n{j}"
+        for j in range(FLEISS_CATS)
+    )
+    sum_sq = " + ".join(f"n{j} * n{j}" for j in range(FLEISS_CATS))
+    m = FLEISS_RATERS
+    pbar = f"((sum(ss)::DOUBLE - count(*) * {m}) / (count(*) * {m} * ({m} - 1.0)))"
+    pe = " + ".join(
+        f"(sum(n{j})::DOUBLE / (count(*) * {m}))"
+        f" * (sum(n{j})::DOUBLE / (count(*) * {m}))"
+        for j in range(FLEISS_CATS)
+    )
+    v_cols = ", ".join(
+        f"({v})::INT AS v{r}" for r, v in enumerate(votes)
+    )
+    return f"""
+    WITH cats AS (
+        SELECT doc_id, {v_cols}
+        FROM documents WHERE text IS NOT NULL
+    ), counts AS (
+        SELECT doc_id, {n_cols} FROM cats
+    ), per_doc AS (
+        SELECT doc_id, ({sum_sq}) AS ss,
+               {', '.join(f'n{j}' for j in range(FLEISS_CATS))}
+        FROM counts
+    )
+    SELECT count(*)::BIGINT AS n_docs,
+           round({pbar}, 6) AS p_bar,
+           round({pe}, 6) AS p_expected,
+           round((({pbar}) - ({pe})) / (1.0 - ({pe})), 6) AS fleiss_kappa
+    FROM per_doc
+    """

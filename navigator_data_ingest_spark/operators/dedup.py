@@ -1250,3 +1250,124 @@ def dedup_phonetic_sql() -> str:
     FROM blocks WHERE n_parts > 1
     ORDER BY blk
     """
+
+
+# --------------------------------------------------------------------------
+# numeric tolerance blocking (entity resolution on near-equal numerics)
+# --------------------------------------------------------------------------
+
+NUM_TOL_CENTS = 100  # +/- 1.00 tolerance window
+
+
+def dedup_numeric_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-tolerance candidate blocking: supplier pairs in the
+    same nation whose account balances agree within ±1.00 — the
+    numeric rung of the entity-resolution ladder (a merge screen for
+    "same entity, two records"). The |a−b| ≤ ε predicate is NEVER a
+    cross join: each record maps to its ε-bucket, the LEFT side also
+    probes the two ADJACENT buckets (a bounded 3× explode), the join
+    is a pure (nation, bucket) equijoin, and the exact tolerance
+    check runs only at candidate cardinality.
+
+    Output is nation-grain audit counts (never the pair list):
+    suppliers, candidate pairs, verified pairs. All exact integers.
+    NULL rule: NULL balance/nation rows are unblockable (dropped both
+    engines); each unordered pair counts once (key_a < key_b, with
+    the adjacent-probe direction deduplicated by construction:
+    probes at offsets 0,+1 against the RIGHT side's home bucket see
+    each cross-bucket pair exactly once only when paired with the
+    a<b key filter across both orientations — hence offsets −1,0,+1
+    on the left and the strict key inequality).
+    """
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal").isNotNull() & F.col("s_nationkey").isNotNull())
+        .select(
+            "s_suppkey",
+            "s_nationkey",
+            F.round(F.col("s_acctbal") * 100).cast("bigint").alias("bal"),
+        )
+        # Spark `div` and DuckDB `//` BOTH truncate toward zero on
+        # integers (verified: -250//100 = -2 in DuckDB), so negative
+        # balances bucket identically; the double-wide bucket 0 only
+        # WIDENS coverage, never splits a within-tolerance pair more
+        # than one bucket apart
+        .withColumn("bkt", F.expr(f"bal div {NUM_TOL_CENTS}"))
+    )
+    probes = s.select(
+        F.col("s_suppkey").alias("ka"),
+        F.col("s_nationkey").alias("na"),
+        F.col("bal").alias("ba"),
+        F.explode(
+            F.expr("array(bkt - 1, bkt, bkt + 1)")
+        ).alias("pb"),
+    )
+    right = s.select(
+        F.col("s_suppkey").alias("kb"),
+        F.col("s_nationkey").alias("nb"),
+        F.col("bal").alias("bb"),
+        F.col("bkt").alias("hb"),
+    )
+    cand = probes.join(
+        right,
+        (F.col("na") == F.col("nb"))
+        & (F.col("pb") == F.col("hb"))
+        & (F.col("ka") < F.col("kb")),
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_nation = (
+        cand.groupBy("na")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(
+                (F.abs(F.col("ba") - F.col("bb")) <= NUM_TOL_CENTS).cast("bigint")
+            ).alias("n_verified"),
+        )
+        .join(F.broadcast(n), F.col("na") == F.col("n_nationkey"))
+    )
+    counts = s.groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_suppliers"))
+    return (
+        per_nation.join(
+            F.broadcast(counts), F.col("na") == F.col("s_nationkey")
+        )
+        .selectExpr(
+            "n_name AS nation",
+            "n_suppliers",
+            "n_candidates",
+            "n_verified",
+        )
+        .orderBy("nation")
+    )
+
+
+def dedup_numeric_blocking_sql() -> str:
+    return f"""
+    WITH s AS (
+        SELECT s_suppkey, s_nationkey,
+               round(s_acctbal * 100)::BIGINT AS bal,
+               round(s_acctbal * 100)::BIGINT // {NUM_TOL_CENTS} AS bkt
+        FROM supplier
+        WHERE s_acctbal IS NOT NULL AND s_nationkey IS NOT NULL
+    ), probes AS (
+        SELECT s_suppkey AS ka, s_nationkey AS na, bal AS ba,
+               bkt + o AS pb
+        FROM s, unnest([-1, 0, 1]) AS u(o)
+    ), cand AS (
+        SELECT na, ba, bb FROM probes
+        JOIN (SELECT s_suppkey AS kb, s_nationkey AS nb, bal AS bb,
+                     bkt AS hb FROM s) r
+          ON na = nb AND pb = hb AND ka < kb
+    ), per_nation AS (
+        SELECT na, count(*)::BIGINT AS n_candidates,
+               sum((abs(ba - bb) <= {NUM_TOL_CENTS})::INT)::BIGINT AS n_verified
+        FROM cand GROUP BY 1
+    ), counts AS (
+        SELECT s_nationkey, count(*)::BIGINT AS n_suppliers
+        FROM s GROUP BY 1
+    )
+    SELECT n_name AS nation, n_suppliers, n_candidates, n_verified
+    FROM per_nation
+    JOIN nation ON na = n_nationkey
+    JOIN counts ON na = counts.s_nationkey
+    ORDER BY nation
+    """

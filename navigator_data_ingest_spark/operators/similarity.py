@@ -2284,3 +2284,242 @@ def emb_centroid_distances_sql() -> str:
            (dist = min(dist) OVER (PARTITION BY label_a)) AS is_nearest
     FROM pairs ORDER BY label_a, label_b
     """
+
+
+def emb_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier evaluation over the labeled corpus:
+    per-class precision/recall/F1 from the confusion counts, plus
+    overall accuracy and the multiclass Matthews correlation — the
+    standard ML-eval table, produced ENTIRELY in-plan (the L×L
+    confusion grid is the only non-corpus intermediate).
+
+    The corpus is scored in ONE pass against the broadcast L-row
+    centroid table (emb_silhouette's shape); the predicted label is a
+    map-side min(struct(rounded-distance, centroid-label)) — exact
+    deterministic argmin on 6-dp operands. Every metric is a ratio of
+    exact integer confusion counts (MCC's five terms included). NULL
+    rule: NULL label is not a class (dropped both engines).
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("label").isNotNull())
+        .select("vec_id", "label", "embedding")
+    )
+    per_dim = [
+        F.round(F.avg(F.col("embedding").getItem(i)), 6).alias(f"d{i}")
+        for i in range(EMB_DIM)
+    ]
+    cent = (
+        emb.groupBy(F.col("label").alias("clabel"))
+        .agg(*per_dim)
+        .select("clabel", F.array(*[F.col(f"d{i}") for i in range(EMB_DIM)]).alias("c"))
+    )
+    diff2 = " + ".join(
+        f"(cast(element_at(embedding, {i}) as double) - element_at(c, {i}))"
+        f" * (cast(element_at(embedding, {i}) as double) - element_at(c, {i}))"
+        for i in range(1, EMB_DIM + 1)
+    )
+    pred = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            F.struct(
+                F.expr(f"round(sqrt({diff2}), 6)").alias("d"),
+                F.col("clabel").alias("cl"),
+            ).alias("cand"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.min("cand").alias("best"))
+        .select("label", F.col("best.cl").alias("pred"))
+    )
+    conf = pred.groupBy("label", "pred").agg(F.count(F.lit(1)).alias("n"))
+    t = conf.groupBy("label").agg(F.sum("n").alias("t_k"))
+    p = conf.groupBy(F.col("pred").alias("_p")).agg(F.sum("n").alias("p_k"))
+    glob = F.broadcast(
+        conf.agg(
+            F.sum("n").alias("s"),
+            F.sum(F.when(F.col("label") == F.col("pred"), F.col("n"))).alias("corr"),
+        ).crossJoin(
+            t.join(p, t.label == F.col("_p"), "full")
+            .agg(
+                F.sum(F.expr("coalesce(t_k, 0) * coalesce(p_k, 0)")).alias("sum_tp"),
+                F.sum(F.expr("coalesce(t_k, 0) * coalesce(t_k, 0)")).alias("sum_tt"),
+                F.sum(F.expr("coalesce(p_k, 0) * coalesce(p_k, 0)")).alias("sum_pp"),
+            )
+        )
+    )
+    tp = conf.where(F.col("label") == F.col("pred")).select(
+        "label", F.col("n").alias("tp")
+    )
+    per_class = (
+        t.join(p, t.label == F.col("_p"), "left")
+        .join(tp, "label", "left")
+        .na.fill({"p_k": 0, "tp": 0})
+    )
+    mcc = (
+        "((cast(corr as double) * s - sum_tp)"
+        " / (sqrt(cast(s as double) * s - sum_pp)"
+        " * sqrt(cast(s as double) * s - sum_tt)))"
+    )
+    return (
+        per_class.crossJoin(glob)
+        .selectExpr(
+            "label",
+            "t_k AS n_true",
+            "p_k AS n_pred",
+            "tp AS n_correct",
+            "round(CASE WHEN p_k > 0 THEN cast(tp as double) / p_k END, 6)"
+            " AS precision",
+            "round(cast(tp as double) / t_k, 6) AS recall",
+            "round(CASE WHEN tp > 0 THEN 2.0 * tp / (p_k + t_k) END, 6) AS f1",
+            "round(cast(corr as double) / s, 6) AS accuracy",
+            f"round({mcc}, 6) AS mcc",
+        )
+        .orderBy("label")
+    )
+
+
+def emb_confusion_metrics_sql() -> str:
+    diff2 = " + ".join(
+        f"(e.embedding[{i}]::DOUBLE - c.c[{i}])"
+        f" * (e.embedding[{i}]::DOUBLE - c.c[{i}])"
+        for i in range(1, EMB_DIM + 1)
+    )
+    mcc = (
+        "((corr::DOUBLE * s - sum_tp)"
+        " / (sqrt(s::DOUBLE * s - sum_pp) * sqrt(s::DOUBLE * s - sum_tt)))"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE label IS NOT NULL
+    ), x AS (
+        SELECT label AS clabel,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding)::DOUBLE AS v
+        FROM e
+    ), cd AS (
+        SELECT clabel, pos, round(avg(v), 6) AS cv FROM x GROUP BY 1, 2
+    ), c AS (
+        SELECT clabel, list(cv ORDER BY pos) AS c FROM cd GROUP BY 1
+    ), scored AS (
+        SELECT e.vec_id, e.label,
+               (min({{'d': round(sqrt({diff2}), 6), 'cl': c.clabel}})).cl AS pred
+        FROM e CROSS JOIN c
+        GROUP BY 1, 2
+    ), conf AS (
+        SELECT label, pred, count(*)::BIGINT AS n FROM scored GROUP BY 1, 2
+    ), t AS (
+        SELECT label, sum(n)::BIGINT AS t_k FROM conf GROUP BY 1
+    ), p AS (
+        SELECT pred AS _p, sum(n)::BIGINT AS p_k FROM conf GROUP BY 1
+    ), gtot AS (
+        SELECT (SELECT sum(n) FROM conf)::BIGINT AS s,
+               (SELECT sum(n) FROM conf WHERE label = pred)::BIGINT AS corr,
+               sum(coalesce(t_k, 0) * coalesce(p_k, 0))::BIGINT AS sum_tp,
+               sum(coalesce(t_k, 0) * coalesce(t_k, 0))::BIGINT AS sum_tt,
+               sum(coalesce(p_k, 0) * coalesce(p_k, 0))::BIGINT AS sum_pp
+        FROM t FULL JOIN p ON label = _p
+    ), tp AS (
+        SELECT label, n AS tp FROM conf WHERE label = pred
+    ), per_class AS (
+        SELECT t.label, t_k, coalesce(p_k, 0)::BIGINT AS p_k,
+               coalesce(tp, 0)::BIGINT AS tp
+        FROM t LEFT JOIN p ON t.label = _p
+        LEFT JOIN tp ON t.label = tp.label
+    )
+    SELECT label, t_k AS n_true, p_k AS n_pred, tp AS n_correct,
+           round(CASE WHEN p_k > 0 THEN tp::DOUBLE / p_k END, 6) AS precision,
+           round(tp::DOUBLE / t_k, 6) AS recall,
+           round(CASE WHEN tp > 0 THEN 2.0 * tp / (p_k + t_k) END, 6) AS f1,
+           round(corr::DOUBLE / s, 6) AS accuracy,
+           round({mcc}, 6) AS mcc
+    FROM per_class CROSS JOIN gtot
+    ORDER BY label
+    """
+
+
+def emb_variance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance spectrum with cumulative energy: dims
+    ranked by variance, each one's share of total variance, the
+    running cumulative share, and the is-90%-reached flag — the
+    PCA-lite budget chart that says how many raw dimensions carry the
+    signal (emb_pca_power finds the top DIRECTION; this prices the
+    axis-aligned truncation emb_matryoshka would apply).
+
+    ONE corpus pass of 64+64 JVM partial aggs (sums, sum-squares —
+    the explosion-free idiom), then everything lives on the bounded
+    64-row grid. Ranking sorts by ROUNDED variance with the dim index
+    as tie-break, so both engines order identically; cumulative sums
+    run over that pinned order. NULL-free by construction (embeddings
+    are dense).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("e")
+    )
+    sums = [F.sum(F.col("e").getItem(i)).alias(f"s{i}") for i in range(EMB_DIM)]
+    sqs = [
+        F.sum(F.col("e").getItem(i) * F.col("e").getItem(i)).alias(f"q{i}")
+        for i in range(EMB_DIM)
+    ]
+    m = emb.groupBy().agg(F.count(F.lit(1)).alias("n"), *sums, *sqs)
+    grid = m.select(
+        "n",
+        F.posexplode(
+            F.arrays_zip(
+                F.array(*[F.col(f"s{i}") for i in range(EMB_DIM)]).alias("s"),
+                F.array(*[F.col(f"q{i}") for i in range(EMB_DIM)]).alias("q"),
+            )
+        ).alias("dim", "sq"),
+    ).selectExpr(
+        "cast(dim as int) AS dim",
+        "round((sq.q - sq.s * sq.s / n) / (n - 1.0), 6) AS variance",
+    )
+    wtot = Window.partitionBy()
+    wrank = Window.orderBy(F.desc("variance"), F.asc("dim"))
+    wcum = Window.orderBy(F.desc("variance"), F.asc("dim")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        grid.withColumn("total_var", F.sum("variance").over(wtot))
+        .withColumn("rank", F.row_number().over(wrank))
+        .withColumn("cum_share", F.sum("variance").over(wcum) / F.col("total_var"))
+        .selectExpr(
+            "rank",
+            "dim",
+            "variance",
+            "round(variance / total_var, 6) AS var_share",
+            "round(cum_share, 6) AS cum_share",
+            "cum_share >= 0.9 AS reaches_90pct",
+        )
+        .orderBy("rank")
+    )
+
+
+def emb_variance_spectrum_sql() -> str:
+    return """
+    WITH x AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings
+    ), grid AS (
+        SELECT dim::INT AS dim,
+               round((sum(v * v) - sum(v) * sum(v) / count(*))
+                     / (count(*) - 1.0), 6) AS variance
+        FROM x GROUP BY 1
+    ), ranked AS (
+        SELECT dim, variance,
+               sum(variance) OVER () AS total_var,
+               row_number() OVER (ORDER BY variance DESC, dim) AS rank,
+               sum(variance) OVER (ORDER BY variance DESC, dim
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   / sum(variance) OVER () AS cum_share
+        FROM grid
+    )
+    SELECT rank, dim, variance,
+           round(variance / total_var, 6) AS var_share,
+           round(cum_share, 6) AS cum_share,
+           cum_share >= 0.9 AS reaches_90pct
+    FROM ranked ORDER BY rank
+    """

@@ -5616,3 +5616,80 @@ register(
     similarity.emb_centroid_distances_sql(),
     front=True,
 )
+
+
+# --------------------------------------------------------------------------
+# round-5 eighth batch: proportion CI, brand share shifts, audience
+# overlap, Markov entropy rate, weekday profile, classifier eval,
+# variance spectrum, language purity, rater agreement, numeric blocking
+# --------------------------------------------------------------------------
+
+register(
+    "stats_wilson_ci",
+    analytics.stats_wilson_ci,
+    analytics.stats_wilson_ci_sql(),
+    front=True,
+)
+
+register(
+    "q_brand_share_shift",
+    analytics.q_brand_share_shift,
+    analytics.q_brand_share_shift_sql(),
+    front=True,
+)
+
+register(
+    "q_events_type_overlap",
+    analytics.q_events_type_overlap,
+    analytics.q_events_type_overlap_sql(),
+    front=True,
+)
+
+register(
+    "stats_entropy_rate_markov",
+    analytics.stats_entropy_rate_markov,
+    analytics.stats_entropy_rate_markov_sql(),
+    front=True,
+)
+
+register(
+    "q_orders_dow_profile",
+    analytics.q_orders_dow_profile,
+    analytics.q_orders_dow_profile_sql(),
+    front=True,
+)
+
+register(
+    "emb_confusion_metrics",
+    similarity.emb_confusion_metrics,
+    similarity.emb_confusion_metrics_sql(),
+    front=True,
+)
+
+register(
+    "emb_variance_spectrum",
+    similarity.emb_variance_spectrum,
+    similarity.emb_variance_spectrum_sql(),
+    front=True,
+)
+
+register(
+    "corpus_lang_purity",
+    corpus.corpus_lang_purity,
+    corpus.corpus_lang_purity_sql(),
+    front=True,
+)
+
+register(
+    "stats_fleiss_kappa",
+    corpus.stats_fleiss_kappa,
+    corpus.stats_fleiss_kappa_sql(),
+    front=True,
+)
+
+register(
+    "dedup_numeric_blocking",
+    dedup.dedup_numeric_blocking,
+    dedup.dedup_numeric_blocking_sql(),
+    front=True,
+)

@@ -237,6 +237,12 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_log_rank",
     # L-row centroid-table broadcast self-join (bounded L² pair grid)
     "emb_centroid_distances",
+    # 1-row marginal-entropy broadcast onto the 1-row transition moments
+    "stats_entropy_rate_markov",
+    # 1-row uniform-expected broadcast onto the 7-row dow grid
+    "q_orders_dow_profile",
+    # L-row centroid broadcast against the corpus + 1-row MCC totals
+    "emb_confusion_metrics",
 }
 
 
@@ -271,6 +277,12 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "stats_log_rank",
     # ≤25x25 bounded nation-pair grid (rank/total windows)
     "q_nation_trade_matrix",
+    # 7-row dow grid (chi2 fold)
+    "q_orders_dow_profile",
+    # 64-row per-dim variance grid (rank + cumulative energy)
+    "emb_variance_spectrum",
+    # bounded (source x lang) count grid (dominant-pick rank window)
+    "corpus_lang_purity",
     # nation/label/brand-bounded hypothesis or rank tables
     "stats_fdr_bh", "q_top_customers", "q2_min_cost_supplier",
     "emb_label_purity",
