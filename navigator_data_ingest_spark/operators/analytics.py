@@ -10470,3 +10470,298 @@ def q_orders_dow_profile_sql() -> str:
            round(sum(dev) OVER (), 4) AS chi2_uniform
     FROM j ORDER BY dow
     """
+
+
+def stats_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman agreement between the order header total and the
+    lineitem-derived total (Σ extprice·(1−disc)·(1+tax)) — the
+    measurement-agreement statistics (mean bias, SD of differences,
+    95% limits of agreement, share outside) behind every
+    two-pipelines-one-truth reconciliation; q_reconcile_sources lists
+    the mismatching ROWS, this characterizes the disagreement
+    DISTRIBUTION.
+
+    ONE order-grain collapse per side (exact integer cents), exact
+    BIGINT difference moments (n·Σd² − (Σd)² — order-free), the LoA
+    doubles derive from identical operands so the outside-LoA compare
+    sees identical fences in both engines. NULL rule: orders with no
+    lineitems have no derived total (inner join, both engines); NULL
+    tax/discount lines contribute their NULL-skipped products
+    identically.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                    * 100
+                ).cast("bigint")
+            ).alias("derived")
+        )
+        .where(F.col("derived").isNotNull())
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("header"),
+        )
+    )
+    d = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("header") - F.col("derived")).alias("d")
+    )
+    m = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("sd_"),
+        F.sum(F.expr("d * d")).alias("sdd"),
+    )
+    mean = "(cast(sd_ as double) / n)"
+    sd = f"sqrt((n * cast(sdd as double) - cast(sd_ as double) * sd_) / (n * (n - 1.0)))"
+    j = d.crossJoin(F.broadcast(m)).selectExpr(
+        "n",
+        "sd_",
+        "sdd",
+        f"(cast(d as double) < {mean} - 1.96 * {sd}"
+        f" OR cast(d as double) > {mean} + 1.96 * {sd}) AS outside",
+    )
+    return (
+        j.groupBy()
+        .agg(
+            F.max("n").alias("n_orders"),
+            F.max(F.expr(f"round({mean}, 6)")).alias("mean_diff_cents"),
+            F.max(F.expr(f"round({sd}, 6)")).alias("sd_diff_cents"),
+            F.max(F.expr(f"round({mean} - 1.96 * {sd}, 6)")).alias("loa_low"),
+            F.max(F.expr(f"round({mean} + 1.96 * {sd}, 6)")).alias("loa_high"),
+            F.sum(F.col("outside").cast("bigint")).alias("n_outside"),
+        )
+        .selectExpr(
+            "n_orders",
+            "mean_diff_cents",
+            "sd_diff_cents",
+            "loa_low",
+            "loa_high",
+            "n_outside",
+            "round(cast(n_outside as double) / n_orders, 6) AS share_outside",
+        )
+    )
+
+
+def stats_bland_altman_sql() -> str:
+    mean = "(sd_::DOUBLE / n)"
+    sd = "sqrt((n * sdd::DOUBLE - sd_::DOUBLE * sd_) / (n * (n - 1.0)))"
+    return f"""
+    WITH li AS (
+        SELECT l_orderkey,
+               sum(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                   * 100)::BIGINT)::BIGINT AS derived
+        FROM lineitem GROUP BY 1
+        HAVING sum(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                   * 100)::BIGINT) IS NOT NULL
+    ), d AS (
+        SELECT (round(o_totalprice * 100)::BIGINT - derived)::BIGINT AS d
+        FROM orders JOIN li ON o_orderkey = l_orderkey
+        WHERE o_totalprice IS NOT NULL
+    ), m AS (
+        SELECT count(*)::BIGINT AS n, sum(d)::BIGINT AS sd_,
+               sum(d * d)::BIGINT AS sdd
+        FROM d
+    ), j AS (
+        SELECT n, sd_, sdd,
+               (d::DOUBLE < {mean} - 1.96 * {sd}
+                OR d::DOUBLE > {mean} + 1.96 * {sd}) AS outside
+        FROM d CROSS JOIN m
+    )
+    SELECT max(n)::BIGINT AS n_orders,
+           max(round({mean}, 6)) AS mean_diff_cents,
+           max(round({sd}, 6)) AS sd_diff_cents,
+           max(round({mean} - 1.96 * {sd}, 6)) AS loa_low,
+           max(round({mean} + 1.96 * {sd}, 6)) AS loa_high,
+           sum(outside::INT)::BIGINT AS n_outside,
+           round(sum(outside::INT)::DOUBLE / max(n), 6) AS share_outside
+    FROM j
+    """
+
+
+LJUNG_BOX_LAGS = 5
+
+
+def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the daily event-count series: are
+    the first 5 autocorrelations JOINTLY zero (Q ≈ χ²₅ under white
+    noise) — the whole-memory test behind stats_autocorrelation's
+    per-lag view, and the residual-whiteness gate a forecaster checks
+    before trusting a model.
+
+    ONE shuffle to the DAYS-bounded grain (exact integer counts); the
+    5 lag columns come from ONE ordered window pass over that bounded
+    axis, the centered products use a mean of exact integers (identical
+    cross-engine), and each r_k is a ratio of identically-derived
+    doubles. Q folds the 5 bounded terms. NULL ts has no day (dropped
+    both engines).
+    """
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.orderBy("day")
+    lagged = d.select(
+        "x",
+        *[F.lag("x", k).over(w).alias(f"x{k}") for k in range(1, LJUNG_BOX_LAGS + 1)],
+    )
+    m = F.broadcast(
+        d.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
+    )
+    c = lagged.crossJoin(m).selectExpr(
+        "n",
+        "(x - cast(sx as double) / n) AS xc",
+        *[
+            f"(x{k} - cast(sx as double) / n) AS xc{k}"
+            for k in range(1, LJUNG_BOX_LAGS + 1)
+        ],
+    )
+    agg = c.groupBy().agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("xc * xc")).alias("c0"),
+        *[
+            F.sum(F.expr(f"xc * xc{k}")).alias(f"c{k}")
+            for k in range(1, LJUNG_BOX_LAGS + 1)
+        ],
+    )
+    rks = [f"(c{k} / c0)" for k in range(1, LJUNG_BOX_LAGS + 1)]
+    q = " + ".join(
+        f"({rk} * {rk} / (n - {k}))" for k, rk in enumerate(rks, start=1)
+    )
+    return agg.selectExpr(
+        "n AS n_days",
+        *[
+            f"round({rk}, 6) AS r{k}"
+            for k, rk in enumerate(rks, start=1)
+        ],
+        f"round(n * (n + 2.0) * ({q}), 4) AS q_stat",
+    )
+
+
+def stats_ljung_box_sql() -> str:
+    lags = range(1, LJUNG_BOX_LAGS + 1)
+    rks = [f"(c{k} / c0)" for k in lags]
+    q = " + ".join(
+        f"({rk} * {rk} / (n - {k}))" for k, rk in zip(lags, rks)
+    )
+    lag_cols = ", ".join(
+        f"lag(x, {k}) OVER (ORDER BY day) AS x{k}" for k in lags
+    )
+    xc_cols = ", ".join(
+        f"(x{k} - sx::DOUBLE / n) AS xc{k}" for k in lags
+    )
+    c_cols = ", ".join(f"sum(xc * xc{k}) AS c{k}" for k in lags)
+    r_cols = ", ".join(
+        f"round({rk}, 6) AS r{k}" for k, rk in zip(lags, rks)
+    )
+    return f"""
+    WITH d AS (
+        SELECT ts::DATE AS day, count(*)::BIGINT AS x
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), lagged AS (
+        SELECT x, {lag_cols} FROM d
+    ), m AS (
+        SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx FROM d
+    ), c AS (
+        SELECT n, (x - sx::DOUBLE / n) AS xc, {xc_cols}
+        FROM lagged CROSS JOIN m
+    ), agg AS (
+        SELECT max(n)::BIGINT AS n, sum(xc * xc) AS c0, {c_cols}
+        FROM c
+    )
+    SELECT n AS n_days, {r_cols},
+           round(n * (n + 2.0) * ({q}), 4) AS q_stat
+    FROM agg
+    """
+
+
+def stats_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' maximum-outlier test on daily revenue: the single most
+    anomalous day, its deviation in standard deviations (G), and the
+    day itself — "was there ONE broken day" where stats_control_chart
+    watches the whole sequence.
+
+    TWO passes over the DAYS-bounded grain: exact integer moments give
+    mean/sd (identical doubles both engines), then the max |deviation|
+    is found as an exact integer-micro max and the winning day joins
+    back at grid cardinality with min-day as tie-break (the witness
+    idiom — no argmax-by-float). NULL order dates have no day (both
+    engines).
+    """
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y")
+        )
+    )
+    m = F.broadcast(
+        d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("sy"),
+            # y~1e8 cents: y*y*#days overflows BIGINT — sum double products
+            # (both engines; mean stays EXACT from the integer sy, and sd
+            # only feeds the 4-dp z output)
+            F.sum(F.expr("cast(y as double) * cast(y as double)")).alias("syy"),
+        )
+    )
+    mean = "(cast(sy as double) / n)"
+    sd = "sqrt((n * syy - cast(sy as double) * sy) / (n * (n - 1.0)))"
+    scored = d.crossJoin(m).selectExpr(
+        "day",
+        "n",
+        f"cast(round(abs(cast(y as double) - {mean}) * 1e6) as bigint) AS dev6",
+        f"((cast(y as double) - {mean}) / {sd}) AS z",
+    )
+    best = F.broadcast(scored.agg(F.max("dev6").alias("bdev")))
+    return (
+        scored.crossJoin(best)
+        .where(F.col("dev6") == F.col("bdev"))
+        .groupBy()
+        .agg(
+            F.max("n").alias("n_days"),
+            F.min("day").alias("worst_day"),
+            F.max(F.expr("round(abs(z), 4)")).alias("g_stat"),
+            F.max(F.expr("round(z, 4)")).alias("z_signed"),
+        )
+    )
+
+
+def stats_grubbs_sql() -> str:
+    mean = "(sy::DOUBLE / n)"
+    sd = "sqrt((n * syy - sy::DOUBLE * sy) / (n * (n - 1.0)))"
+    return f"""
+    WITH d AS (
+        SELECT o_orderdate::DATE AS day,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ), m AS (
+        SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+               sum(y::DOUBLE * y::DOUBLE) AS syy
+        FROM d
+    ), scored AS (
+        SELECT day, n,
+               round(abs(y::DOUBLE - {mean}) * 1e6)::BIGINT AS dev6,
+               ((y::DOUBLE - {mean}) / {sd}) AS z
+        FROM d CROSS JOIN m
+    ), best AS (
+        SELECT max(dev6) AS bdev FROM scored
+    )
+    SELECT max(n)::BIGINT AS n_days,
+           min(day) AS worst_day,
+           max(round(abs(z), 4)) AS g_stat,
+           max(round(z, 4)) AS z_signed
+    FROM scored CROSS JOIN best
+    WHERE dev6 = bdev
+    """

@@ -3120,3 +3120,137 @@ def stats_fleiss_kappa_sql() -> str:
            round((({pbar}) - ({pe})) / (1.0 - ({pe})), 6) AS fleiss_kappa
     FROM per_doc
     """
+
+
+def stats_youden_j(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal operating point of the hashed quality classifier as an
+    'is-English' screen: the score threshold maximizing Youden's J
+    (TPR − FPR), with the rates at that point — the threshold-PICKING
+    step after stats_auc_classifier says the ranking is good at all.
+
+    Same scale shape as the AUC op: DISTINCT-score collapse (duplicate
+    explosion invisible), two-level 1024-block prefix sums give the
+    ≥-threshold counts WITHOUT a global sort, J becomes an exact
+    integer in parts-per-million (q_above·P and p_above·Q are exact
+    BIGINTs over a common denominator — no float compare), and the
+    argmax is a min/max-struct fold with the SMALLEST score as
+    tie-break. The winning row is joined back at distinct-score
+    cardinality (the witness idiom). NULL rule: NULL lang is a
+    negative (coalesce, both engines); token-less docs carry no score.
+    """
+    scored = classifier_scores(_tokens_df(spark, sf_dir), extra_cols=("lang",))
+    sc = scored.select(
+        "score_sum",
+        (F.coalesce(F.col("lang"), F.lit("")) == "en").alias("is_pos"),
+    )
+    vc = sc.groupBy("score_sum").agg(
+        F.sum(F.col("is_pos").cast("bigint")).alias("p"),
+        F.sum((~F.col("is_pos")).cast("bigint")).alias("q"),
+    )
+    rng = vc.agg(F.min("score_sum").alias("mn"), F.max("score_sum").alias("mx"))
+    b = vc.crossJoin(F.broadcast(rng)).withColumn(
+        "blk",
+        F.least(
+            F.lit(1023),
+            F.floor(
+                (F.col("score_sum") - F.col("mn")).cast("double")
+                / (F.col("mx") - F.col("mn") + F.lit(1)).cast("double")
+                * 1024
+            ),
+        ).cast("int"),
+    )
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("score_sum")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = (
+        b.withColumn("cp_in", F.coalesce(F.sum("p").over(w_in), F.lit(0)))
+        .withColumn("cq_in", F.coalesce(F.sum("q").over(w_in), F.lit(0)))
+    )
+    bt = b.groupBy("blk").agg(
+        F.sum("p").alias("bp"), F.sum("q").alias("bq")
+    )
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    bt = (
+        bt.withColumn("op", F.coalesce(F.sum("bp").over(w_blk), F.lit(0)))
+        .withColumn("oq", F.coalesce(F.sum("bq").over(w_blk), F.lit(0)))
+    )
+    tot = F.broadcast(vc.agg(F.sum("p").alias("tp"), F.sum("q").alias("tq")))
+    r = (
+        b.join(F.broadcast(bt.select("blk", "op", "oq")), "blk")
+        .crossJoin(tot)
+        .selectExpr(
+            "score_sum",
+            "tp",
+            "tq",
+            # >= threshold counts: everything not strictly below
+            "(tp - (op + cp_in)) AS p_above",
+            "(tq - (oq + cq_in)) AS q_above",
+        )
+        # J over the common denominator tp*tq stays an exact BIGINT
+        .withColumn(
+            "j_num", F.expr("p_above * tq - q_above * tp")
+        )
+    )
+    best = F.broadcast(
+        r.agg(F.max(F.struct(F.col("j_num"), (-F.col("score_sum")).alias("ns"))).alias("b"))
+        .select(F.col("b.j_num").alias("bj"), (-F.col("b.ns")).alias("bscore"))
+    )
+    return (
+        r.crossJoin(best)
+        .where((F.col("j_num") == F.col("bj")) & (F.col("score_sum") == F.col("bscore")))
+        .selectExpr(
+            "score_sum AS threshold",
+            "tp AS n_pos",
+            "tq AS n_neg",
+            "round(cast(p_above as double) / tp, 6) AS tpr",
+            "round(cast(q_above as double) / tq, 6) AS fpr",
+            "round(cast(j_num as double) / (cast(tp as double) * tq), 6) AS youden_j",
+        )
+    )
+
+
+def stats_youden_j_sql() -> str:
+    return f"""
+    WITH t AS (
+        SELECT doc_id, lang, {X.dk_tokens('text')} AS toks FROM documents
+    ), tok AS (
+        SELECT doc_id, lang, unnest(toks) AS x FROM t WHERE len(toks) > 0
+    ), s AS (
+        SELECT doc_id,
+               (coalesce(lang, '') = 'en') AS is_pos,
+               sum({_clf_weight_dk('x')})::BIGINT AS score_sum
+        FROM tok GROUP BY doc_id, lang
+    ), vc AS (
+        SELECT score_sum, sum(is_pos::INT)::BIGINT AS p,
+               sum((NOT is_pos)::INT)::BIGINT AS q
+        FROM s GROUP BY score_sum
+    ), r AS (
+        SELECT score_sum,
+               sum(p) OVER () AS tp, sum(q) OVER () AS tq,
+               (sum(p) OVER () -
+                coalesce(sum(p) OVER (ORDER BY score_sum
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                   AS p_above,
+               (sum(q) OVER () -
+                coalesce(sum(q) OVER (ORDER BY score_sum
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                   AS q_above
+        FROM vc
+    ), j AS (
+        SELECT score_sum, tp, tq, p_above, q_above,
+               (p_above * tq - q_above * tp)::BIGINT AS j_num
+        FROM r
+    ), best AS (
+        SELECT (max({{'j': j_num, 'ns': -score_sum}})).j AS bj,
+               -(max({{'j': j_num, 'ns': -score_sum}})).ns AS bscore
+        FROM j
+    )
+    SELECT score_sum AS threshold, tp::BIGINT AS n_pos, tq::BIGINT AS n_neg,
+           round(p_above::DOUBLE / tp, 6) AS tpr,
+           round(q_above::DOUBLE / tq, 6) AS fpr,
+           round(j_num::DOUBLE / (tp::DOUBLE * tq), 6) AS youden_j
+    FROM j CROSS JOIN best
+    WHERE j_num = bj AND score_sum = bscore
+    """

@@ -1932,3 +1932,74 @@ def text_hapax_ratio_sql() -> str:
            round(sum((c = 2)::INT)::DOUBLE / count(*), 6) AS dis_share
     FROM cnt GROUP BY source ORDER BY source
     """
+
+
+CODE_SYMBOLS_RE = "[{}();=<>|&]"
+CODE_FLAG_PERMILLE = 20  # symbol density above 2% flags code-like text
+
+
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose screen per source: symbol density (braces,
+    semicolons, operators), digit density, and the share of docs
+    flagged code-like — the router that keeps code out of prose-only
+    training mixes (and vice versa); a C4/Gopher-style structural
+    filter beside text_quality's lexical one.
+
+    Counts come from regexp_count (JVM regex, one pass per doc — the
+    size(regexp_extract_all) idiom's cheaper sibling) and the flag is
+    an EXACT INTEGER permille compare (symbols·1000 > len·20), so no
+    float threshold can flip cross-engine. ONE source rollup. NULL
+    rule: NULL/empty text has no density (dropped both engines).
+    """
+    docs = (
+        scatter(spark, load_table(spark, sf_dir, "documents"))
+        .where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            "source",
+            F.length("text").alias("len"),
+            F.expr(f"regexp_count(text, '{CODE_SYMBOLS_RE}')").alias("sym"),
+            F.expr("regexp_count(text, '[0-9]')").alias("dig"),
+        )
+    )
+    flagged = docs.withColumn(
+        "is_code", F.col("sym") * 1000 > F.col("len") * CODE_FLAG_PERMILLE
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("len").alias("total_chars"),
+            F.sum("sym").alias("total_symbols"),
+            F.round(
+                F.sum("sym").cast("double") / F.sum("len"), 6
+            ).alias("symbol_density"),
+            F.round(
+                F.sum("dig").cast("double") / F.sum("len"), 6
+            ).alias("digit_density"),
+            F.round(
+                F.avg(F.col("is_code").cast("double")), 6
+            ).alias("share_code_like"),
+        )
+        .orderBy("source")
+    )
+
+
+def text_code_detection_sql() -> str:
+    return f"""
+    WITH docs AS (
+        SELECT source, length(text)::BIGINT AS len,
+               len(regexp_extract_all(text, '{CODE_SYMBOLS_RE}'))::BIGINT AS sym,
+               len(regexp_extract_all(text, '[0-9]'))::BIGINT AS dig
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), flagged AS (
+        SELECT *, (sym * 1000 > len * {CODE_FLAG_PERMILLE}) AS is_code
+        FROM docs
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(len)::BIGINT AS total_chars,
+           sum(sym)::BIGINT AS total_symbols,
+           round(sum(sym)::DOUBLE / sum(len), 6) AS symbol_density,
+           round(sum(dig)::DOUBLE / sum(len), 6) AS digit_density,
+           round(avg(is_code::INT::DOUBLE), 6) AS share_code_like
+    FROM flagged GROUP BY source ORDER BY source
+    """

@@ -5693,3 +5693,44 @@ register(
     dedup.dedup_numeric_blocking_sql(),
     front=True,
 )
+
+
+# --------------------------------------------------------------------------
+# round-5 ninth batch: threshold picking, reconciliation distribution,
+# portmanteau whiteness, max-outlier, code screen
+# --------------------------------------------------------------------------
+
+register(
+    "stats_youden_j",
+    corpus.stats_youden_j,
+    corpus.stats_youden_j_sql(),
+    front=True,
+)
+
+register(
+    "stats_bland_altman",
+    analytics.stats_bland_altman,
+    analytics.stats_bland_altman_sql(),
+    front=True,
+)
+
+register(
+    "stats_ljung_box",
+    analytics.stats_ljung_box,
+    analytics.stats_ljung_box_sql(),
+    front=True,
+)
+
+register(
+    "stats_grubbs",
+    analytics.stats_grubbs,
+    analytics.stats_grubbs_sql(),
+    front=True,
+)
+
+register(
+    "text_code_detection",
+    textstats.text_code_detection,
+    textstats.text_code_detection_sql(),
+    front=True,
+)

@@ -243,6 +243,13 @@ _DELIBERATE_NESTED_LOOP = {
     "q_orders_dow_profile",
     # L-row centroid broadcast against the corpus + 1-row MCC totals
     "emb_confusion_metrics",
+    # 1-row min/max score-range + totals + best-J broadcasts (AUC idiom
+    # plus the witness join-back)
+    "stats_youden_j",
+    # 1-row moment broadcasts back onto the bounded day grid / diff set
+    "stats_bland_altman",
+    "stats_ljung_box",
+    "stats_grubbs",
 }
 
 
@@ -279,6 +286,10 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "q_nation_trade_matrix",
     # 7-row dow grid (chi2 fold)
     "q_orders_dow_profile",
+    # 1024-block offset prefix over the bounded block table (AUC idiom)
+    "stats_youden_j",
+    # DAYS-bounded lag window (5 lags, one ordered pass)
+    "stats_ljung_box",
     # 64-row per-dim variance grid (rank + cumulative energy)
     "emb_variance_spectrum",
     # bounded (source x lang) count grid (dominant-pick rank window)
