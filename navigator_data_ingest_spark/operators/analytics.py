@@ -10765,3 +10765,325 @@ def stats_grubbs_sql() -> str:
     FROM scored CROSS JOIN best
     WHERE dev6 = bdev
     """
+
+
+COOKS_TOP_K = 5
+
+
+def stats_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance influence diagnostics on the daily-revenue OLS
+    trend: the top-5 most influential days with residual, leverage and
+    D — "which single days are bending the trend line", the
+    row-influence complement to stats_grubbs' value outliers and
+    stats_breusch_pagan's variance drift (same regression, third
+    diagnostic axis).
+
+    Everything lives on the DAYS-bounded grain: exact BIGINT moments →
+    broadcast coefficients → residuals from identical operands; the
+    leverage uses the EXACT t̄=(n+1)/2 and Sxx=n(n²−1)/12 closed forms,
+    s² broadcasts back as a second 1-row pass, and the top-5 ranks on
+    integer-micro D with the day as tie-break (no float argmax). NULL
+    order dates have no day (both engines).
+    """
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y")
+        )
+        .withColumn("t", F.row_number().over(Window.orderBy("day")))
+    )
+    s = F.broadcast(
+        d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("t").alias("st"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("cast(t as bigint) * cast(t as bigint)")).alias("stt"),
+            F.sum(F.expr("cast(t as bigint) * y")).alias("sty"),
+        )
+    )
+    slope = "((n * cast(sty as double) - cast(st as double) * sy)" \
+            " / (n * cast(stt as double) - cast(st as double) * st))"
+    icept = f"((sy - {slope} * st) / cast(n as double))"
+    sxx = "(n * (cast(n as double) * n - 1.0) / 12.0)"
+    h = f"(1.0 / n + (t - (n + 1.0) / 2.0) * (t - (n + 1.0) / 2.0) / {sxx})"
+    e = d.crossJoin(s).selectExpr(
+        "day",
+        "t",
+        "n",
+        f"(cast(y as double) - ({icept} + {slope} * t)) AS resid",
+        f"{h} AS lev",
+    )
+    sse = F.broadcast(e.agg(F.sum(F.expr("resid * resid")).alias("sse")))
+    scored = e.crossJoin(sse).selectExpr(
+        "day",
+        "resid",
+        "lev",
+        "n",
+        "(resid * resid * lev"
+        " / (2.0 * (sse / (n - 2.0)) * (1.0 - lev) * (1.0 - lev))) AS cd",
+    ).withColumn("cd6", F.expr("cast(round(cd * 1e6) as bigint)"))
+    w = Window.orderBy(F.desc("cd6"), F.asc("day"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= COOKS_TOP_K)
+        .selectExpr(
+            "rank",
+            "day",
+            "round(resid, 2) AS resid_cents",
+            "round(lev, 6) AS leverage",
+            "round(cd, 6) AS cooks_d",
+        )
+        .orderBy("rank")
+    )
+
+
+def stats_cooks_distance_sql() -> str:
+    slope = (
+        "((n * sty::DOUBLE - st::DOUBLE * sy)"
+        " / (n * stt::DOUBLE - st::DOUBLE * st))"
+    )
+    icept = f"((sy - {slope} * st) / n::DOUBLE)"
+    sxx = "(n * (n::DOUBLE * n - 1.0) / 12.0)"
+    h = f"(1.0 / n + (t - (n + 1.0) / 2.0) * (t - (n + 1.0) / 2.0) / {sxx})"
+    return f"""
+    WITH d AS (
+        SELECT o_orderdate::DATE AS day,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y,
+               row_number() OVER (ORDER BY o_orderdate::DATE) AS t
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ), s AS (
+        SELECT count(*)::BIGINT AS n, sum(t)::BIGINT AS st,
+               sum(y)::BIGINT AS sy,
+               sum(t::BIGINT * t::BIGINT)::BIGINT AS stt,
+               sum(t::BIGINT * y)::BIGINT AS sty
+        FROM d
+    ), e AS (
+        SELECT day, t, n,
+               (y::DOUBLE - ({icept} + {slope} * t)) AS resid,
+               {h} AS lev
+        FROM d CROSS JOIN s
+    ), sse AS (
+        SELECT sum(resid * resid) AS sse FROM e
+    ), scored AS (
+        SELECT day, resid, lev, n,
+               (resid * resid * lev
+                / (2.0 * (sse / (n - 2.0)) * (1.0 - lev) * (1.0 - lev))) AS cd
+        FROM e CROSS JOIN sse
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+                   ORDER BY round(cd * 1e6)::BIGINT DESC, day) AS rank
+        FROM scored
+    )
+    SELECT rank::INT AS rank, day,
+           round(resid, 2) AS resid_cents,
+           round(lev, 6) AS leverage,
+           round(cd, 6) AS cooks_d
+    FROM ranked WHERE rank <= {COOKS_TOP_K}
+    ORDER BY rank
+    """
+
+
+def stats_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (lags 1-3, Durbin-Levinson) of the
+    daily event-count series — the AR-order picker beside
+    stats_autocorrelation's raw ACF and stats_ljung_box's joint test:
+    a sharp PACF cutoff at lag k says fit AR(k).
+
+    Reuses the Ljung-Box machinery: ONE window pass over the
+    DAYS-bounded grain for the 3 lag columns, exact-integer mean, then
+    the Durbin-Levinson recursion is pure scalar arithmetic on the
+    1-row ACF aggregate — identical operands cross-engine, 6 dp out.
+    NULL ts has no day (both engines).
+    """
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.orderBy("day")
+    lagged = d.select(
+        "x", *[F.lag("x", k).over(w).alias(f"x{k}") for k in (1, 2, 3)]
+    )
+    m = F.broadcast(d.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")))
+    c = lagged.crossJoin(m).selectExpr(
+        "n",
+        "(x - cast(sx as double) / n) AS xc",
+        *[f"(x{k} - cast(sx as double) / n) AS xc{k}" for k in (1, 2, 3)],
+    )
+    agg = c.groupBy().agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("xc * xc")).alias("c0"),
+        *[F.sum(F.expr(f"xc * xc{k}")).alias(f"c{k}") for k in (1, 2, 3)],
+    )
+    r1, r2, r3 = "(c1 / c0)", "(c2 / c0)", "(c3 / c0)"
+    phi22 = f"(({r2} - {r1} * {r1}) / (1.0 - {r1} * {r1}))"
+    phi21 = f"({r1} * (1.0 - {phi22}))"
+    phi33 = (
+        f"(({r3} - {phi21} * {r2} - {phi22} * {r1})"
+        f" / (1.0 - {phi21} * {r1} - {phi22} * {r2}))"
+    )
+    return agg.selectExpr(
+        "n AS n_days",
+        f"round({r1}, 6) AS r1",
+        f"round({r2}, 6) AS r2",
+        f"round({r3}, 6) AS r3",
+        f"round({r1}, 6) AS pacf1",
+        f"round({phi22}, 6) AS pacf2",
+        f"round({phi33}, 6) AS pacf3",
+    )
+
+
+def stats_pacf_sql() -> str:
+    r1, r2, r3 = "(c1 / c0)", "(c2 / c0)", "(c3 / c0)"
+    phi22 = f"(({r2} - {r1} * {r1}) / (1.0 - {r1} * {r1}))"
+    phi21 = f"({r1} * (1.0 - {phi22}))"
+    phi33 = (
+        f"(({r3} - {phi21} * {r2} - {phi22} * {r1})"
+        f" / (1.0 - {phi21} * {r1} - {phi22} * {r2}))"
+    )
+    return f"""
+    WITH d AS (
+        SELECT ts::DATE AS day, count(*)::BIGINT AS x
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), lagged AS (
+        SELECT x,
+               lag(x, 1) OVER (ORDER BY day) AS x1,
+               lag(x, 2) OVER (ORDER BY day) AS x2,
+               lag(x, 3) OVER (ORDER BY day) AS x3
+        FROM d
+    ), m AS (
+        SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx FROM d
+    ), c AS (
+        SELECT n, (x - sx::DOUBLE / n) AS xc,
+               (x1 - sx::DOUBLE / n) AS xc1,
+               (x2 - sx::DOUBLE / n) AS xc2,
+               (x3 - sx::DOUBLE / n) AS xc3
+        FROM lagged CROSS JOIN m
+    ), agg AS (
+        SELECT max(n)::BIGINT AS n, sum(xc * xc) AS c0,
+               sum(xc * xc1) AS c1, sum(xc * xc2) AS c2,
+               sum(xc * xc3) AS c3
+        FROM c
+    )
+    SELECT n AS n_days,
+           round({r1}, 6) AS r1, round({r2}, 6) AS r2, round({r3}, 6) AS r3,
+           round({r1}, 6) AS pacf1,
+           round({phi22}, 6) AS pacf2,
+           round({phi33}, 6) AS pacf3
+    FROM agg
+    """
+
+
+MARKOV_POWER_ITERS = 8
+
+
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    via 8 unrolled power iterations on the TYPES²-bounded transition
+    grid — where the behavior settles if sessions ran forever, versus
+    the empirical type mix: a large gap flags non-stationary traffic.
+
+    The iteration is linear algebra ON A BOUNDED GRID: each step is a
+    T-row vector joined against the T×T row-stochastic matrix and
+    re-aggregated — the corpus is read ONCE to build the counts;
+    per-step values round to 9 dp so both engines walk the identical
+    trajectory (ULP drift cannot compound across iterations). NULL
+    user/type/ts rows form no transition (both engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("a"),
+            F.lead("event_type").over(w).alias("b"),
+        )
+        .where(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rows = trans.groupBy("a").agg(F.sum("c").alias("ca"))
+    p = (
+        trans.join(F.broadcast(rows.withColumnRenamed("a", "_a")), F.col("a") == F.col("_a"))
+        .selectExpr("a", "b", "(cast(c as double) / ca) AS pij")
+        .localCheckpoint(eager=False)
+    )
+    states = p.select(F.col("a").alias("s")).distinct()
+    n_states = F.broadcast(states.agg(F.count(F.lit(1)).alias("k")))
+    v = states.crossJoin(n_states).selectExpr("s", "round(1.0 / k, 9) AS pv")
+    for _ in range(MARKOV_POWER_ITERS):
+        v = (
+            v.join(p, v.s == p.a)
+            .groupBy("b")
+            .agg(F.round(F.sum(F.expr("pv * pij")), 9).alias("pv"))
+            .withColumnRenamed("b", "s")
+            .localCheckpoint(eager=False)
+        )
+    emp = F.broadcast(
+        rows.crossJoin(F.broadcast(rows.agg(F.sum("ca").alias("tot"))))
+        .selectExpr("a AS _s", "round(cast(ca as double) / tot, 6) AS empirical")
+    )
+    return (
+        v.join(emp, F.col("s") == F.col("_s"))
+        .selectExpr(
+            "s AS state",
+            "round(pv, 6) AS stationary_p",
+            "empirical",
+            "round(pv - empirical, 6) AS gap",
+        )
+        .orderBy("state")
+    )
+
+
+def q_events_markov_stationary_sql() -> str:
+    # unrolled power iteration as a chain of CTEs (v1..v8)
+    steps = "".join(
+        f""", v{i} AS (
+        SELECT b AS s, round(sum(pv * pij), 9) AS pv
+        FROM v{i - 1} JOIN p ON v{i - 1}.s = p.a
+        GROUP BY b
+    )"""
+        for i in range(1, MARKOV_POWER_ITERS + 1)
+    )
+    return f"""
+    WITH ev AS (
+        SELECT user_id, event_type, ts, event_id FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+          AND ts IS NOT NULL
+    ), trans AS (
+        SELECT event_type AS a,
+               lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS b
+        FROM ev QUALIFY b IS NOT NULL
+    ), cnt AS (
+        SELECT a, b, count(*)::BIGINT AS c FROM trans GROUP BY 1, 2
+    ), rows_ AS (
+        SELECT a, sum(c)::BIGINT AS ca FROM cnt GROUP BY 1
+    ), p AS (
+        SELECT cnt.a, b, (c::DOUBLE / ca) AS pij
+        FROM cnt JOIN rows_ ON cnt.a = rows_.a
+    ), v0 AS (
+        SELECT a AS s,
+               round(1.0 / (SELECT count(DISTINCT a) FROM p), 9) AS pv
+        FROM (SELECT DISTINCT a FROM p)
+    ){steps}, emp AS (
+        SELECT a AS s, round(ca::DOUBLE / (SELECT sum(ca) FROM rows_), 6)
+                   AS empirical
+        FROM rows_
+    )
+    SELECT v{MARKOV_POWER_ITERS}.s AS state,
+           round(pv, 6) AS stationary_p,
+           empirical,
+           round(pv - empirical, 6) AS gap
+    FROM v{MARKOV_POWER_ITERS} JOIN emp ON v{MARKOV_POWER_ITERS}.s = emp.s
+    ORDER BY state
+    """

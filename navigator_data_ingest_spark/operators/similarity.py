@@ -2523,3 +2523,68 @@ def emb_variance_spectrum_sql() -> str:
            cum_share >= 0.9 AS reaches_90pct
     FROM ranked ORDER BY rank
     """
+
+
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class rebalancing of the labeled embedding corpus:
+    every label downsampled to the MINORITY class size by seeded-hash
+    rank — the class-balanced training-set builder
+    (corpus_sample_exact_k balances by EXACT COUNT per source; this
+    balances by the data-derived minimum across classes).
+
+    The minority size is a 1-row broadcast; per-label selection ranks
+    on (seeded 32-bit hash, vec_id) inside label partitions (per-key
+    windows, deterministic and replayed exactly by the oracle), and
+    the output certifies the SELECTION by value: per label the kept
+    count and the exact sum of kept vec_ids (the witness column —
+    row-count equality can't hide a different pick). NULL label is not
+    a class (both engines).
+    """
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("label").isNotNull())
+        .select("vec_id", "label")
+        .withColumn("h", F.expr(X.sp_hash32("cast(vec_id as string)", "bal")))
+    )
+    m = F.broadcast(
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("nl"))
+        .agg(F.min("nl").alias("m"))
+    )
+    w = Window.partitionBy("label").orderBy("h", "vec_id")
+    kept = (
+        e.withColumn("rk", F.row_number().over(w))
+        .crossJoin(m)
+        .where(F.col("rk") <= F.col("m"))
+    )
+    return (
+        kept.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("vec_id").alias("kept_id_sum"),
+        )
+        .orderBy("label")
+    )
+
+
+def sample_class_balance_sql() -> str:
+    h = X.dk_hash32("vec_id::varchar", "bal")
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label, ({h}) AS h
+        FROM embeddings WHERE label IS NOT NULL
+    ), m AS (
+        SELECT min(nl)::BIGINT AS m FROM (
+            SELECT label, count(*)::BIGINT AS nl FROM e GROUP BY 1
+        )
+    ), kept AS (
+        SELECT label, vec_id,
+               row_number() OVER (PARTITION BY label ORDER BY h, vec_id) AS rk
+        FROM e
+    )
+    SELECT label, count(*)::BIGINT AS n_kept,
+           sum(vec_id)::BIGINT AS kept_id_sum
+    FROM kept CROSS JOIN m
+    WHERE rk <= m
+    GROUP BY label ORDER BY label
+    """

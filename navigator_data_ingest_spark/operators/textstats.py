@@ -2003,3 +2003,117 @@ def text_code_detection_sql() -> str:
            round(avg(is_code::INT::DOUBLE), 6) AS share_code_like
     FROM flagged GROUP BY source ORDER BY source
     """
+
+
+def text_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between SOURCES' token
+    distributions — the redundancy map ("are these two crawls the same
+    corpus in different wrappers") that drives source-level dedup and
+    mixing weights; text_jsd_drift compares time slices of one stream,
+    this compares the streams to each other.
+
+    The exclusive-mass identity keeps the join INNER: for tokens
+    absent from one side the JSD contribution collapses to
+    (ln 2)/2 · exclusive-mass, so only SHARED tokens join
+    (token-co-partitioned equijoin at vocab — not corpus —
+    cardinality) and the exclusive masses fall out of the shared-mass
+    sums and the broadcast totals. Every ln argument is a ratio of
+    exact integers (2·cᵢNⱼ/(cᵢNⱼ+cⱼNᵢ)), so both engines fold
+    identical operands. NULL rule: NULL source is its own corpus;
+    token-less docs contribute nothing (both engines).
+    """
+    docs = scatter(spark, load_table(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select(
+            F.coalesce(F.col("source"), F.lit("<null>")).alias("source"),
+            F.explode(F.expr(X.sp_tokens("text"))).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    a = cnt.select(
+        F.col("source").alias("sa"), "token", F.col("c").alias("ca")
+    )
+    b = cnt.select(
+        F.col("source").alias("sb"),
+        F.col("token").alias("_tok"),
+        F.col("c").alias("cb"),
+    )
+    shared = a.join(
+        b, (F.col("token") == F.col("_tok")) & (F.col("sa") < F.col("sb"))
+    )
+    ta = F.broadcast(tot.select(F.col("source").alias("_sa"), F.col("n").alias("na")))
+    tb = F.broadcast(tot.select(F.col("source").alias("_sb"), F.col("n").alias("nb")))
+    j = (
+        shared.join(ta, F.col("sa") == F.col("_sa"))
+        .join(tb, F.col("sb") == F.col("_sb"))
+        .selectExpr(
+            "sa",
+            "sb",
+            "(cast(ca as double) / na) AS p",
+            "(cast(cb as double) / nb) AS q",
+            "ln(2.0 * cast(ca as double) * nb"
+            " / (cast(ca as double) * nb + cast(cb as double) * na)) AS lp",
+            "ln(2.0 * cast(cb as double) * na"
+            " / (cast(ca as double) * nb + cast(cb as double) * na)) AS lq",
+        )
+    )
+    agg = j.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).alias("shared_vocab"),
+        F.sum(F.expr("p * lp")).alias("tp"),
+        F.sum(F.expr("q * lq")).alias("tq"),
+        F.sum("p").alias("mp"),
+        F.sum("q").alias("mq"),
+    )
+    return (
+        agg.selectExpr(
+            "sa AS source_a",
+            "sb AS source_b",
+            "shared_vocab",
+            "round(0.5 * (tp + tq)"
+            " + 0.5 * ln(2.0) * ((1.0 - mp) + (1.0 - mq)), 6) AS jsd",
+            "round(mp, 6) AS shared_mass_a",
+            "round(mq, 6) AS shared_mass_b",
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def text_source_similarity_sql() -> str:
+    return f"""
+    WITH t AS (
+        SELECT coalesce(source, '<null>') AS source,
+               {X.dk_tokens('text')} AS toks
+        FROM documents
+    ), cnt AS (
+        SELECT source, token, count(*)::BIGINT AS c FROM (
+            SELECT source, unnest(toks) AS token FROM t WHERE len(toks) > 0
+        ) GROUP BY 1, 2
+    ), tot AS (
+        SELECT source, sum(c)::BIGINT AS n FROM cnt GROUP BY 1
+    ), shared AS (
+        SELECT a.source AS sa, b.source AS sb, a.c AS ca, b.c AS cb
+        FROM cnt a JOIN cnt b
+          ON a.token = b.token AND a.source < b.source
+    ), j AS (
+        SELECT sa, sb,
+               (ca::DOUBLE / na) AS p, (cb::DOUBLE / nb) AS q,
+               ln(2.0 * ca::DOUBLE * nb
+                  / (ca::DOUBLE * nb + cb::DOUBLE * na)) AS lp,
+               ln(2.0 * cb::DOUBLE * na
+                  / (ca::DOUBLE * nb + cb::DOUBLE * na)) AS lq
+        FROM shared
+        JOIN (SELECT source AS _sa, n AS na FROM tot) ta ON sa = _sa
+        JOIN (SELECT source AS _sb, n AS nb FROM tot) tb ON sb = _sb
+    )
+    SELECT sa AS source_a, sb AS source_b,
+           count(*)::BIGINT AS shared_vocab,
+           round(0.5 * (sum(p * lp) + sum(q * lq))
+                 + 0.5 * ln(2.0) * ((1.0 - sum(p)) + (1.0 - sum(q))), 6)
+               AS jsd,
+           round(sum(p), 6) AS shared_mass_a,
+           round(sum(q), 6) AS shared_mass_b
+    FROM j GROUP BY 1, 2
+    ORDER BY source_a, source_b
+    """

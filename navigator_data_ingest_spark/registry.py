@@ -5734,3 +5734,44 @@ register(
     textstats.text_code_detection_sql(),
     front=True,
 )
+
+
+# --------------------------------------------------------------------------
+# round-5 tenth batch: regression influence, AR-order picking,
+# stationary behavior, class balancing, source redundancy map
+# --------------------------------------------------------------------------
+
+register(
+    "stats_cooks_distance",
+    analytics.stats_cooks_distance,
+    analytics.stats_cooks_distance_sql(),
+    front=True,
+)
+
+register(
+    "stats_pacf",
+    analytics.stats_pacf,
+    analytics.stats_pacf_sql(),
+    front=True,
+)
+
+register(
+    "q_events_markov_stationary",
+    analytics.q_events_markov_stationary,
+    analytics.q_events_markov_stationary_sql(),
+    front=True,
+)
+
+register(
+    "sample_class_balance",
+    similarity.sample_class_balance,
+    similarity.sample_class_balance_sql(),
+    front=True,
+)
+
+register(
+    "text_source_similarity",
+    textstats.text_source_similarity,
+    textstats.text_source_similarity_sql(),
+    front=True,
+)

@@ -250,6 +250,14 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_bland_altman",
     "stats_ljung_box",
     "stats_grubbs",
+    # 1-row coefficient/SSE broadcasts onto the bounded day grid
+    "stats_cooks_distance",
+    "stats_pacf",
+    # T-row uniform seed + 1-row state-count/total broadcasts on the
+    # TYPES²-bounded transition grid
+    "q_events_markov_stationary",
+    # 1-row minority-size broadcast onto the ranked label partitions
+    "sample_class_balance",
 }
 
 
@@ -290,6 +298,10 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "stats_youden_j",
     # DAYS-bounded lag window (5 lags, one ordered pass)
     "stats_ljung_box",
+    # DAYS-bounded day index + top-K influence rank
+    "stats_cooks_distance",
+    # DAYS-bounded lag window (3 lags, one ordered pass)
+    "stats_pacf",
     # 64-row per-dim variance grid (rank + cumulative energy)
     "emb_variance_spectrum",
     # bounded (source x lang) count grid (dominant-pick rank window)
