@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from navigator_data_ingest_spark.sources.tables import load_table
+from navigator_data_ingest_spark.functions import exprs as X
+from navigator_data_ingest_spark.sources.tables import load_table, scatter
 
 
 def _r(col, alias):  # round-and-alias helper for oracle-comparable doubles
@@ -11086,4 +11087,345 @@ def q_events_markov_stationary_sql() -> str:
            round(pv - empirical, 6) AS gap
     FROM v{MARKOV_POWER_ITERS} JOIN emp ON v{MARKOV_POWER_ITERS}.s = emp.s
     ORDER BY state
+    """
+
+
+def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha treating the K event types as test ITEMS and
+    per-user integer-cent spend as the item score — "do the activity
+    channels move together per user" (high alpha = one underlying
+    engagement factor; near zero = independent behaviors); the
+    reliability view beside stats_correlation_matrix's pairwise one.
+
+    ONE (user, type) shuffle with the counter rule (missing item = 0,
+    both engines: zeros contribute nothing to the non-zero-row sums,
+    so item moments over ALL users come map-side from the sparse grid
+    plus the broadcast user count). Item and total variances are
+    ratios of order-free BIGINT moments; alpha is closed-form. NULL
+    value/user/type rows are not observations (both engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .groupBy("user_id", "event_type")
+        .agg(F.round(F.sum("value") * 100).cast("bigint").alias("x"))
+    )
+    u = F.broadcast(
+        ev.agg(F.countDistinct("user_id").alias("uu"))
+    )
+    items = (
+        ev.groupBy("event_type")
+        .agg(F.sum("x").alias("sx"), F.sum(F.expr("x * x")).alias("sxx"))
+        .crossJoin(u)
+        .selectExpr(
+            "event_type",
+            "(uu * cast(sxx as double) - cast(sx as double) * sx)"
+            " / (uu * (uu - 1.0)) AS var_item",
+        )
+    )
+    totals = (
+        ev.groupBy("user_id")
+        .agg(F.sum("x").alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("nt"),
+            F.sum("t").alias("st"),
+            F.sum(F.expr("t * t")).alias("stt"),
+        )
+        .crossJoin(u)
+        .selectExpr(
+            # users absent from totals don't exist (every grid row has a
+            # user); nt == uu by construction
+            "uu",
+            "(uu * cast(stt as double) - cast(st as double) * st)"
+            " / (uu * (uu - 1.0)) AS var_total",
+        )
+    )
+    agg = items.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("var_item").alias("sum_var_items"),
+    ).crossJoin(F.broadcast(totals))
+    return agg.selectExpr(
+        "k AS n_items",
+        "uu AS n_users",
+        "round(sum_var_items, 2) AS sum_item_var",
+        "round(var_total, 2) AS total_var",
+        "round((k / (k - 1.0)) * (1.0 - sum_var_items / var_total), 6)"
+        " AS cronbach_alpha",
+    )
+
+
+def stats_cronbach_alpha_sql() -> str:
+    return """
+    WITH ev AS (
+        SELECT user_id, event_type,
+               round(sum(value) * 100)::BIGINT AS x
+        FROM events
+        WHERE value IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL
+        GROUP BY 1, 2
+    ), u AS (
+        SELECT count(DISTINCT user_id)::BIGINT AS uu FROM ev
+    ), items AS (
+        SELECT event_type,
+               (uu * sum(x * x)::DOUBLE - sum(x)::DOUBLE * sum(x))
+                   / (uu * (uu - 1.0)) AS var_item
+        FROM ev CROSS JOIN u GROUP BY event_type, uu
+    ), totals AS (
+        SELECT uu,
+               (uu * sum(t * t)::DOUBLE - sum(t)::DOUBLE * sum(t))
+                   / (uu * (uu - 1.0)) AS var_total
+        FROM (SELECT user_id, sum(x)::BIGINT AS t FROM ev GROUP BY 1)
+        CROSS JOIN u GROUP BY uu
+    )
+    SELECT (SELECT count(*) FROM items)::BIGINT AS n_items,
+           uu AS n_users,
+           round((SELECT sum(var_item) FROM items), 2) AS sum_item_var,
+           round(var_total, 2) AS total_var,
+           round(((SELECT count(*) FROM items) /
+                  ((SELECT count(*) FROM items) - 1.0))
+                 * (1.0 - (SELECT sum(var_item) FROM items) / var_total), 6)
+               AS cronbach_alpha
+    FROM totals
+    """
+
+
+ICC_RATERS = 3
+ICC_SCALE = 100
+
+
+def stats_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way intraclass correlation ICC(1,1) over the three
+    deterministic pseudo-annotators' NUMERIC ratings (seeded hash %
+    100 per doc) — the continuous-score agreement companion to
+    stats_fleiss_kappa's categorical votes, from the same
+    reproducible-rater harness.
+
+    Balanced one-way ANOVA with k=3 ratings per doc needs only three
+    exact BIGINT sums (ΣS_g, ΣS_g², Σx² over per-doc rating sums) —
+    no per-rater rows ever materialize; MSB/MSW/ICC are closed-form
+    ratios. NULL text has no ratings (dropped both engines).
+    """
+    docs = (
+        scatter(spark, load_table(spark, sf_dir, "documents"))
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    votes = [
+        f"(({X.sp_hash32('text', f'rater{r}')}) % {ICC_SCALE})"
+        for r in range(ICC_RATERS)
+    ]
+    per_doc = docs.selectExpr(
+        "doc_id",
+        f"({' + '.join(votes)}) AS sg",
+        f"({' + '.join(f'{v} * {v}' for v in votes)}) AS qg",
+    )
+    k = ICC_RATERS
+    agg = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sg").alias("ss"),
+        F.sum(F.expr("sg * sg")).alias("ssq"),
+        F.sum("qg").alias("qq"),
+    )
+    ssb = f"(cast(ssq as double) / {k} - cast(ss as double) * ss / (n * {k}.0))"
+    ssw = f"(cast(qq as double) - cast(ssq as double) / {k})"
+    msb = f"({ssb} / (n - 1.0))"
+    msw = f"({ssw} / (n * ({k} - 1.0)))"
+    return agg.selectExpr(
+        "n AS n_docs",
+        f"round({msb}, 6) AS ms_between",
+        f"round({msw}, 6) AS ms_within",
+        f"round(({msb} - {msw}) / ({msb} + ({k} - 1.0) * {msw}), 6) AS icc1",
+    )
+
+
+def stats_icc_sql() -> str:
+    votes = [
+        f"(({X.dk_hash32('text', f'rater{r}')}) % {ICC_SCALE})"
+        for r in range(ICC_RATERS)
+    ]
+    k = ICC_RATERS
+    ssb = f"(sum(sg * sg)::DOUBLE / {k} - sum(sg)::DOUBLE * sum(sg) / (count(*) * {k}.0))"
+    ssw = f"(sum(qg)::DOUBLE - sum(sg * sg)::DOUBLE / {k})"
+    msb = f"({ssb} / (count(*) - 1.0))"
+    msw = f"({ssw} / (count(*) * ({k} - 1.0)))"
+    return f"""
+    WITH per_doc AS (
+        SELECT doc_id,
+               ({' + '.join(votes)})::BIGINT AS sg,
+               ({' + '.join(f'{v} * {v}' for v in votes)})::BIGINT AS qg
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT count(*)::BIGINT AS n_docs,
+           round({msb}, 6) AS ms_between,
+           round({msw}, 6) AS ms_within,
+           round(({msb} - {msw}) / ({msb} + ({k} - 1.0) * {msw}), 6) AS icc1
+    FROM per_doc
+    """
+
+
+def q_part_supply_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain redundancy histogram: parts bucketed by how many
+    DISTINCT suppliers ship them, with each bucket's share and the
+    revenue exposed to single-sourced parts — the procurement-risk
+    table behind q16_supplier_variety's brand counts.
+
+    DISTINCT (part, supplier) collapses the fact table first (the
+    histogram then runs at relationship cardinality), revenue folds in
+    one more part-keyed aggregation, and the bucket grid is bounded by
+    the max supplier count per part. All exact integers. NULL rule:
+    lines missing either key carry no relationship (both engines).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
+    rel = li.select("l_partkey", "l_suppkey").distinct()
+    per_part = rel.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    rev = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).alias("rev_cents")
+    )
+    j = per_part.join(rev, per_part.l_partkey == F.col("_pk"))
+    grid = j.groupBy("n_suppliers").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev_cents").alias("rev_cents"),
+    )
+    tot = F.broadcast(
+        grid.agg(
+            F.sum("n_parts").alias("tp"), F.sum("rev_cents").alias("tr")
+        )
+    )
+    return (
+        grid.crossJoin(tot)
+        .selectExpr(
+            "n_suppliers",
+            "n_parts",
+            "rev_cents",
+            "round(cast(n_parts as double) / tp, 6) AS part_share",
+            "round(cast(rev_cents as double) / tr, 6) AS revenue_share",
+        )
+        .orderBy("n_suppliers")
+    )
+
+
+def q_part_supply_risk_sql() -> str:
+    return """
+    WITH rel AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    ), per_part AS (
+        SELECT l_partkey, count(*)::BIGINT AS n_suppliers
+        FROM rel GROUP BY 1
+    ), rev AS (
+        SELECT l_partkey AS _pk,
+               sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
+                   AS rev_cents
+        FROM lineitem
+        WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+        GROUP BY 1
+    ), grid AS (
+        SELECT n_suppliers, count(*)::BIGINT AS n_parts,
+               sum(rev_cents)::BIGINT AS rev_cents
+        FROM per_part JOIN rev ON l_partkey = _pk
+        GROUP BY 1
+    ), tot AS (
+        SELECT sum(n_parts)::BIGINT AS tp, sum(rev_cents)::BIGINT AS tr
+        FROM grid
+    )
+    SELECT n_suppliers, n_parts, rev_cents,
+           round(n_parts::DOUBLE / tp, 6) AS part_share,
+           round(rev_cents::DOUBLE / tr, 6) AS revenue_share
+    FROM grid CROSS JOIN tot
+    ORDER BY n_suppliers
+    """
+
+
+def stats_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life: the share of users active k days after
+    their FIRST day, fitted as exponential decay (ln-linear OLS over
+    the bounded age axis) — the single decay constant and half-life
+    behind q_events_cohort_retention's full triangle.
+
+    TWO user-grain passes (first day, then distinct active ages per
+    user — both one shuffle each); the age axis is DAYS-bounded, ln of
+    exact integer ratios feeds the OLS, whose moments fold over that
+    bounded axis. NULL user/ts rows are not activity (both engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    ages = (
+        ev.join(first, "user_id")
+        .select("user_id", F.datediff("day", "d0").alias("age"))
+        .where(F.col("age") > 0)
+        .distinct()
+    )
+    uu = F.broadcast(first.agg(F.count(F.lit(1)).alias("n_users")))
+    grid = (
+        ages.groupBy("age")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .crossJoin(uu)
+        .selectExpr(
+            "age",
+            "n_active",
+            "n_users",
+            "ln(cast(n_active as double) / n_users) AS lr",
+        )
+    )
+    m = grid.agg(
+        F.max("n_users").alias("n_users"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("age").alias("sa"),
+        F.sum("lr").alias("sl"),
+        F.sum(F.expr("cast(age as double) * age")).alias("saa"),
+        F.sum(F.expr("age * lr")).alias("sal"),
+    )
+    slope = "((k * sal - sa * sl) / (k * saa - cast(sa as double) * sa))"
+    return m.selectExpr(
+        "n_users",
+        "k AS n_ages",
+        f"round({slope}, 6) AS decay_slope",
+        f"round(-ln(2.0) / {slope}, 4) AS half_life_days",
+    )
+
+
+def stats_retention_halflife_sql() -> str:
+    slope = "((k * sal - sa * sl) / (k * saa - sa::DOUBLE * sa))"
+    return f"""
+    WITH ev AS (
+        SELECT user_id, ts::DATE AS day FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), first AS (
+        SELECT user_id, min(day) AS d0 FROM ev GROUP BY 1
+    ), ages AS (
+        SELECT DISTINCT ev.user_id, datediff('day', d0, day) AS age
+        FROM ev JOIN first ON ev.user_id = first.user_id
+        WHERE datediff('day', d0, day) > 0
+    ), uu AS (
+        SELECT count(*)::BIGINT AS n_users FROM first
+    ), grid AS (
+        SELECT age, count(DISTINCT user_id)::BIGINT AS n_active, n_users,
+               ln(count(DISTINCT user_id)::DOUBLE / n_users) AS lr
+        FROM ages CROSS JOIN uu GROUP BY age, n_users
+    ), m AS (
+        SELECT max(n_users)::BIGINT AS n_users, count(*)::BIGINT AS k,
+               sum(age)::BIGINT AS sa, sum(lr) AS sl,
+               sum(age::DOUBLE * age) AS saa, sum(age * lr) AS sal
+        FROM grid
+    )
+    SELECT n_users, k AS n_ages,
+           round({slope}, 6) AS decay_slope,
+           round(-ln(2.0) / {slope}, 4) AS half_life_days
+    FROM m
     """

@@ -3254,3 +3254,73 @@ def stats_youden_j_sql() -> str:
     FROM j CROSS JOIN best
     WHERE j_num = bj AND score_sum = bscore
     """
+
+
+def pack_boundary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing fragmentation audit over pack_sequences' layout: how
+    many documents SPAN a chunk boundary (their attention window gets
+    cut), the span distribution, and the padding waste in the final
+    partial chunk — the quality metrics that decide whether the chunk
+    size fits the corpus' length profile.
+
+    Reuses the pack layout's numbers WITHOUT re-deriving the
+    three-level prefix sum as a separate physical pass: the global
+    offsets come from the same bounded-window construction, then ONE
+    aggregation computes the audit. All exact integers. NULL/empty
+    docs pack nothing (both engines).
+    """
+    packed = pack_sequences(spark, sf_dir)
+    C = PACK_CHUNK
+    agg = packed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(
+            (F.col("last_chunk") > F.col("first_chunk")).cast("bigint")
+        ).alias("n_spanning"),
+        F.sum(F.col("last_chunk") - F.col("first_chunk")).alias("n_cuts"),
+        F.max("last_chunk").alias("max_chunk"),
+    )
+    return agg.selectExpr(
+        "n_docs",
+        "total_tokens",
+        f"(max_chunk + 1) AS n_chunks",
+        "n_spanning",
+        "round(cast(n_spanning as double) / n_docs, 6) AS share_spanning",
+        "n_cuts",
+        f"((max_chunk + 1) * {C} - total_tokens) AS pad_tokens",
+        f"round(cast(total_tokens as double) / ((max_chunk + 1) * {C}), 6)"
+        " AS fill_ratio",
+    )
+
+
+def pack_boundary_stats_sql() -> str:
+    C = PACK_CHUNK
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, len({X.dk_tokens('text')}) AS n_tokens FROM documents
+    ), nz AS (
+        SELECT * FROM toks WHERE n_tokens > 0
+    ), cum AS (
+        SELECT doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS global_offset
+        FROM nz
+    ), spans AS (
+        SELECT n_tokens,
+               global_offset // {C} AS first_chunk,
+               (global_offset + n_tokens - 1) // {C} AS last_chunk
+        FROM cum
+    )
+    SELECT count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           (max(last_chunk) + 1)::BIGINT AS n_chunks,
+           sum((last_chunk > first_chunk)::INT)::BIGINT AS n_spanning,
+           round(sum((last_chunk > first_chunk)::INT)::DOUBLE / count(*), 6)
+               AS share_spanning,
+           sum(last_chunk - first_chunk)::BIGINT AS n_cuts,
+           ((max(last_chunk) + 1) * {C} - sum(n_tokens))::BIGINT AS pad_tokens,
+           round(sum(n_tokens)::DOUBLE / ((max(last_chunk) + 1) * {C}), 6)
+               AS fill_ratio
+    FROM spans
+    """

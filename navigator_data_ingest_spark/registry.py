@@ -5775,3 +5775,44 @@ register(
     textstats.text_source_similarity_sql(),
     front=True,
 )
+
+
+# --------------------------------------------------------------------------
+# round-5 eleventh batch: reliability/agreement, supply risk,
+# retention decay, packing audit
+# --------------------------------------------------------------------------
+
+register(
+    "stats_cronbach_alpha",
+    analytics.stats_cronbach_alpha,
+    analytics.stats_cronbach_alpha_sql(),
+    front=True,
+)
+
+register(
+    "stats_icc",
+    analytics.stats_icc,
+    analytics.stats_icc_sql(),
+    front=True,
+)
+
+register(
+    "q_part_supply_risk",
+    analytics.q_part_supply_risk,
+    analytics.q_part_supply_risk_sql(),
+    front=True,
+)
+
+register(
+    "stats_retention_halflife",
+    analytics.stats_retention_halflife,
+    analytics.stats_retention_halflife_sql(),
+    front=True,
+)
+
+register(
+    "pack_boundary_stats",
+    corpus.pack_boundary_stats,
+    corpus.pack_boundary_stats_sql(),
+    front=True,
+)

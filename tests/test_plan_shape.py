@@ -258,6 +258,10 @@ _DELIBERATE_NESTED_LOOP = {
     "q_events_markov_stationary",
     # 1-row minority-size broadcast onto the ranked label partitions
     "sample_class_balance",
+    # 1-row user-count / totals broadcasts onto bounded grids
+    "stats_cronbach_alpha",
+    "q_part_supply_risk",
+    "stats_retention_halflife",
 }
 
 
@@ -302,6 +306,8 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "stats_cooks_distance",
     # DAYS-bounded lag window (3 lags, one ordered pass)
     "stats_pacf",
+    # pack_sequences' super-block offset window (|corpus|/BLOCK² rows)
+    "pack_boundary_stats",
     # 64-row per-dim variance grid (rank + cumulative energy)
     "emb_variance_spectrum",
     # bounded (source x lang) count grid (dominant-pick rank window)
