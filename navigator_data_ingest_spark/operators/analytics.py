@@ -11429,3 +11429,165 @@ def stats_retention_halflife_sql() -> str:
            round(-ln(2.0) / {slope}, 4) AS half_life_days
     FROM m
     """
+
+
+MAHAL_TOP_K = 5
+
+
+def stats_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Mahalanobis outliers on the daily (volume, value)
+    pairs: the top-5 days whose (count, cents) point sits farthest
+    from the cloud accounting for the volume-value CORRELATION — days
+    a univariate z-score (stats_grubbs) calls normal but the JOINT
+    distribution flags; the 2×2 covariance inverse is closed-form, so
+    no linear algebra library enters the plan.
+
+    ONE shuffle to the DAYS-bounded grain with exact BIGINT moments
+    (means and covariances derive identically in both engines), D²
+    evaluates per day from those identical operands, and the top-5
+    ranks on integer-micro D² with the day tie-break. NULL ts has no
+    day; NULL value adds 0 cents (sum-skip), both engines.
+    """
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.coalesce(
+                F.sum(F.round(F.col("value") * 100).cast("bigint")), F.lit(0)
+            ).alias("y"),
+        )
+    )
+    m = F.broadcast(
+        d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+            F.sum(F.expr("x * x")).alias("sxx"),
+            F.sum(F.expr("x * y")).alias("sxy"),
+            F.sum(F.expr("cast(y as double) * y")).alias("syy"),
+        )
+    )
+    vxx = "((n * cast(sxx as double) - cast(sx as double) * sx) / (n * (n - 1.0)))"
+    vyy = "((n * syy - cast(sy as double) * sy) / (n * (n - 1.0)))"
+    vxy = "((n * cast(sxy as double) - cast(sx as double) * sy) / (n * (n - 1.0)))"
+    det = f"({vxx} * {vyy} - {vxy} * {vxy})"
+    dx = "(x - cast(sx as double) / n)"
+    dy = "(y - cast(sy as double) / n)"
+    d2 = (
+        f"(({dx} * {dx} * {vyy} - 2.0 * {dx} * {dy} * {vxy}"
+        f" + {dy} * {dy} * {vxx}) / {det})"
+    )
+    scored = d.crossJoin(m).selectExpr(
+        "day", "x", "y", f"{d2} AS d2"
+    ).withColumn("d6", F.expr("cast(round(d2 * 1e6) as bigint)"))
+    w = Window.orderBy(F.desc("d6"), F.asc("day"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= MAHAL_TOP_K)
+        .selectExpr(
+            "rank",
+            "day",
+            "x AS n_events",
+            "y AS value_cents",
+            "round(d2, 6) AS mahalanobis_d2",
+        )
+        .orderBy("rank")
+    )
+
+
+def stats_mahalanobis_outliers_sql() -> str:
+    vxx = "((n * sxx::DOUBLE - sx::DOUBLE * sx) / (n * (n - 1.0)))"
+    vyy = "((n * syy - sy::DOUBLE * sy) / (n * (n - 1.0)))"
+    vxy = "((n * sxy::DOUBLE - sx::DOUBLE * sy) / (n * (n - 1.0)))"
+    det = f"({vxx} * {vyy} - {vxy} * {vxy})"
+    dx = "(x - sx::DOUBLE / n)"
+    dy = "(y - sy::DOUBLE / n)"
+    d2 = (
+        f"(({dx} * {dx} * {vyy} - 2.0 * {dx} * {dy} * {vxy}"
+        f" + {dy} * {dy} * {vxx}) / {det})"
+    )
+    return f"""
+    WITH d AS (
+        SELECT ts::DATE AS day, count(*)::BIGINT AS x,
+               coalesce(sum(round(value * 100)::BIGINT), 0)::BIGINT AS y
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), m AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+               sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy,
+               sum(y::DOUBLE * y) AS syy
+        FROM d
+    ), scored AS (
+        SELECT day, x, y, {d2} AS d2
+        FROM d CROSS JOIN m
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+                   ORDER BY round(d2 * 1e6)::BIGINT DESC, day) AS rank
+        FROM scored
+    )
+    SELECT rank::INT AS rank, day, x AS n_events, y AS value_cents,
+           round(d2, 6) AS mahalanobis_d2
+    FROM ranked WHERE rank <= {MAHAL_TOP_K}
+    ORDER BY rank
+    """
+
+
+def q_events_user_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User lifespan profile: the span between each user's first and
+    last event in whole days — single-visit share, mean / exact
+    median / p90 span — the churn-pressure view beside
+    stats_retention_halflife's decay constant (same pair of user-grain
+    extremes, distribution instead of fit).
+
+    ONE user-grain min/max shuffle; spans are exact integer days
+    (percentile == quantile_cont); the single-visit share is an
+    integer predicate. NULL user/ts rows are not activity (both
+    engines).
+    """
+    u = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("d0"),
+            F.max(F.col("ts").cast("date")).alias("d1"),
+        )
+        .select(F.datediff("d1", "d0").alias("span"))
+    )
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum((F.col("span") == 0).cast("bigint")).alias("n_single_day"),
+        _r(F.avg("span"), "mean_span_days"),
+        _r(F.expr("percentile(span, 0.5)"), "p50_span_days"),
+        _r(F.expr("percentile(span, 0.9)"), "p90_span_days"),
+        F.max("span").alias("max_span_days"),
+    ).selectExpr(
+        "n_users",
+        "n_single_day",
+        "round(cast(n_single_day as double) / n_users, 6) AS single_day_share",
+        "mean_span_days",
+        "p50_span_days",
+        "p90_span_days",
+        "max_span_days",
+    )
+
+
+def q_events_user_lifespan_sql() -> str:
+    return """
+    WITH u AS (
+        SELECT datediff('day', min(ts::DATE), max(ts::DATE)) AS span
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT count(*)::BIGINT AS n_users,
+           sum((span = 0)::INT)::BIGINT AS n_single_day,
+           round(sum((span = 0)::INT)::DOUBLE / count(*), 6)
+               AS single_day_share,
+           round(avg(span), 6) AS mean_span_days,
+           round(quantile_cont(span, 0.5), 6) AS p50_span_days,
+           round(quantile_cont(span, 0.9), 6) AS p90_span_days,
+           max(span)::BIGINT AS max_span_days
+    FROM u
+    """

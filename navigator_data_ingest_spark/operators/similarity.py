@@ -2588,3 +2588,84 @@ def sample_class_balance_sql() -> str:
     WHERE rk <= m
     GROUP BY label ORDER BY label
     """
+
+
+def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-NN intrinsic dimension estimate (Facco et al.): over the
+    bounded anchor stripe, d̂ = n / Σ ln(r₂/r₁) from each anchor's two
+    nearest-neighbor distances — "how many dimensions does the data
+    ACTUALLY occupy", the measurement behind emb_variance_spectrum's
+    axis-aligned budget and emb_matryoshka's truncation choice.
+
+    The stripe broadcasts against the corpus (sim_search_bruteforce's
+    shape — the corpus never shuffles), r₁/r₂ come from ONE conditional
+    min + struct-min pass per anchor on 6-dp-rounded distances
+    (identical operands both engines), and the estimator folds over
+    the ≤stripe rows. Anchors with r₁ = 0 (exact duplicates) drop —
+    the standard two-NN discipline. NULL-free by construction.
+    """
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = scatter(spark, raw).select("vec_id", "embedding")
+    q = query_stripe(e, raw).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    diff2 = " + ".join(
+        f"(cast(element_at(embedding, {i}) as double)"
+        f" - cast(element_at(qvec, {i}) as double))"
+        f" * (cast(element_at(embedding, {i}) as double)"
+        f" - cast(element_at(qvec, {i}) as double))"
+        for i in range(1, EMB_DIM + 1)
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.expr(f"round(sqrt({diff2}), 6)").alias("d")
+    )
+    nn = scored.groupBy("query_id").agg(F.min("d").alias("r1"))
+    # r2 = min distance strictly above r1 (ties at r1 mean r2 = r1,
+    # which the ratio turns into ln(1) = 0 — drop those too)
+    r2 = (
+        scored.join(
+            F.broadcast(nn.select("query_id", "r1")), "query_id"
+        )
+        .where(F.col("d") > F.col("r1"))
+        .groupBy("query_id")
+        .agg(F.min("d").alias("r2"), F.max("r1").alias("r1"))
+        .where(F.col("r1") > 0)
+    )
+    agg = r2.agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.sum(F.expr("ln(r2 / r1)")).alias("s"),
+    )
+    return agg.selectExpr(
+        "n_anchors",
+        "round(s, 6) AS sum_log_ratio",
+        "round(n_anchors / s, 4) AS intrinsic_dim",
+    )
+
+
+def emb_intrinsic_dim_sql() -> str:
+    dot = " + ".join(
+        f"(e.embedding[{i}]::DOUBLE - q.qvec[{i}]::DOUBLE)"
+        f" * (e.embedding[{i}]::DOUBLE - q.qvec[{i}]::DOUBLE)"
+        for i in range(1, EMB_DIM + 1)
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE {query_stripe_sql()}
+    ), scored AS (
+        SELECT q.query_id, round(sqrt({dot}), 6) AS d
+        FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+    ), nn AS (
+        SELECT query_id, min(d) AS r1 FROM scored GROUP BY 1
+    ), r2t AS (
+        SELECT scored.query_id, min(d) AS r2, max(r1) AS r1
+        FROM scored JOIN nn ON scored.query_id = nn.query_id
+        WHERE d > r1
+        GROUP BY 1
+        HAVING max(r1) > 0
+    )
+    SELECT count(*)::BIGINT AS n_anchors,
+           round(sum(ln(r2 / r1)), 6) AS sum_log_ratio,
+           round(count(*) / sum(ln(r2 / r1)), 4) AS intrinsic_dim
+    FROM r2t
+    """

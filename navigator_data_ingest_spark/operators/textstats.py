@@ -2117,3 +2117,79 @@ def text_source_similarity_sql() -> str:
     FROM j GROUP BY 1, 2
     ORDER BY source_a, source_b
     """
+
+
+TOPK_COVERAGE_K = 1000
+
+
+def text_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary concentration: the share of total token mass covered
+    by the top-K (1000) most frequent tokens, at checkpoints 10 / 100 /
+    1000 — the compression/tokenizer-budget planning number (high
+    coverage = a small vocab suffices; low = long-tail heavy) beside
+    text_zipf_fit's exponent.
+
+    ONE token-count shuffle; the top-K is a rank by (count DESC, token)
+    — a TakeOrdered top-K, never a full sort materialization — and the
+    checkpoint sums fold over those ≤K rows; the total mass is a 1-row
+    broadcast. All exact integers until the final shares. NULL/empty
+    text has no tokens (both engines).
+    """
+    docs = scatter(spark, load_table(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select(F.explode(F.expr(X.sp_tokens("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        cnt.orderBy(F.desc("c"), F.asc("token"))
+        .limit(TOPK_COVERAGE_K)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("c"), F.asc("token"))),
+        )
+    )
+    tot = F.broadcast(
+        cnt.agg(F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab"))
+    )
+    agg = top.crossJoin(tot).agg(
+        F.max("total").alias("total_tokens"),
+        F.max("vocab").alias("vocab"),
+        F.sum(F.when(F.col("rk") <= 10, F.col("c"))).alias("c10"),
+        F.sum(F.when(F.col("rk") <= 100, F.col("c"))).alias("c100"),
+        F.sum(F.when(F.col("rk") <= 1000, F.col("c"))).alias("c1000"),
+    )
+    return agg.selectExpr(
+        "total_tokens",
+        "vocab",
+        "round(cast(c10 as double) / total_tokens, 6) AS top10_coverage",
+        "round(cast(c100 as double) / total_tokens, 6) AS top100_coverage",
+        "round(cast(c1000 as double) / total_tokens, 6) AS top1000_coverage",
+    )
+
+
+def text_topk_coverage_sql() -> str:
+    return f"""
+    WITH t AS (
+        SELECT {X.dk_tokens('text')} AS toks FROM documents
+    ), cnt AS (
+        SELECT token, count(*)::BIGINT AS c FROM (
+            SELECT unnest(toks) AS token FROM t WHERE len(toks) > 0
+        ) GROUP BY 1
+    ), top AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rk
+        FROM cnt
+        ORDER BY c DESC, token LIMIT {TOPK_COVERAGE_K}
+    ), tot AS (
+        SELECT sum(c)::BIGINT AS total, count(*)::BIGINT AS vocab FROM cnt
+    )
+    SELECT max(total)::BIGINT AS total_tokens,
+           max(vocab)::BIGINT AS vocab,
+           round(sum(CASE WHEN rk <= 10 THEN c END)::DOUBLE
+                 / max(total), 6) AS top10_coverage,
+           round(sum(CASE WHEN rk <= 100 THEN c END)::DOUBLE
+                 / max(total), 6) AS top100_coverage,
+           round(sum(CASE WHEN rk <= 1000 THEN c END)::DOUBLE
+                 / max(total), 6) AS top1000_coverage
+    FROM top CROSS JOIN tot
+    """

@@ -5816,3 +5816,37 @@ register(
     corpus.pack_boundary_stats_sql(),
     front=True,
 )
+
+
+# --------------------------------------------------------------------------
+# round-5 twelfth batch: multivariate outliers, lifespan profile,
+# vocabulary concentration, intrinsic dimension
+# --------------------------------------------------------------------------
+
+register(
+    "stats_mahalanobis_outliers",
+    analytics.stats_mahalanobis_outliers,
+    analytics.stats_mahalanobis_outliers_sql(),
+    front=True,
+)
+
+register(
+    "q_events_user_lifespan",
+    analytics.q_events_user_lifespan,
+    analytics.q_events_user_lifespan_sql(),
+    front=True,
+)
+
+register(
+    "text_topk_coverage",
+    textstats.text_topk_coverage,
+    textstats.text_topk_coverage_sql(),
+    front=True,
+)
+
+register(
+    "emb_intrinsic_dim",
+    similarity.emb_intrinsic_dim,
+    similarity.emb_intrinsic_dim_sql(),
+    front=True,
+)

@@ -262,6 +262,12 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_cronbach_alpha",
     "q_part_supply_risk",
     "stats_retention_halflife",
+    # 1-row moment broadcast onto the bounded day grid
+    "stats_mahalanobis_outliers",
+    # 1-row total-mass broadcast onto the ≤K top rows
+    "text_topk_coverage",
+    # broadcast bounded anchor stripe against the corpus (two-NN)
+    "emb_intrinsic_dim",
 }
 
 
@@ -308,6 +314,10 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "stats_pacf",
     # pack_sequences' super-block offset window (|corpus|/BLOCK² rows)
     "pack_boundary_stats",
+    # DAYS-bounded top-K influence rank
+    "stats_mahalanobis_outliers",
+    # rank window AFTER the TakeOrdered top-K limit (≤K rows)
+    "text_topk_coverage",
     # 64-row per-dim variance grid (rank + cumulative energy)
     "emb_variance_spectrum",
     # bounded (source x lang) count grid (dominant-pick rank window)
