@@ -11591,3 +11591,160 @@ def q_events_user_lifespan_sql() -> str:
            max(span)::BIGINT AS max_span_days
     FROM u
     """
+
+
+def q_orders_month_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonal indices for order revenue: each calendar
+    month's mean daily revenue relative to the overall mean (index 1.0
+    = no seasonality) — the classical multiplicative seasonal table at
+    the month scale (q_orders_dow_profile covers the week scale,
+    stats_seasonal_decompose the trend split).
+
+    Daily revenue collapses ONCE (exact integer cents at the
+    DAYS-bounded grain), the 12-row month grid folds means from exact
+    integers, and the overall mean arrives as a 1-row broadcast so the
+    index divides identically-derived doubles. NULL order dates have
+    no month (both engines).
+    """
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y")
+        )
+    )
+    grid = d.groupBy(F.month("day").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("y").alias("rev_cents"),
+    )
+    tot = F.broadcast(
+        grid.agg(F.sum("n_days").alias("td"), F.sum("rev_cents").alias("tr"))
+    )
+    return (
+        grid.crossJoin(tot)
+        .selectExpr(
+            "month",
+            "n_days",
+            "rev_cents",
+            "round(cast(rev_cents as double) / n_days, 2) AS mean_daily_cents",
+            "round((cast(rev_cents as double) / n_days)"
+            " / (cast(tr as double) / td), 6) AS seasonal_index",
+        )
+        .orderBy("month")
+    )
+
+
+def q_orders_month_index_sql() -> str:
+    return """
+    WITH d AS (
+        SELECT o_orderdate::DATE AS day,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ), grid AS (
+        SELECT month(day)::BIGINT AS month, count(*)::BIGINT AS n_days,
+               sum(y)::BIGINT AS rev_cents
+        FROM d GROUP BY 1
+    ), tot AS (
+        SELECT sum(n_days)::BIGINT AS td, sum(rev_cents)::BIGINT AS tr
+        FROM grid
+    )
+    SELECT month, n_days, rev_cents,
+           round(rev_cents::DOUBLE / n_days, 2) AS mean_daily_cents,
+           round((rev_cents::DOUBLE / n_days) / (tr::DOUBLE / td), 6)
+               AS seasonal_index
+    FROM grid CROSS JOIN tot
+    ORDER BY month
+    """
+
+
+CPK_SPEC_LO = 0     # ship within [0, 120] days of ordering
+CPK_SPEC_HI = 120
+
+
+def stats_cpk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process capability (Cp / Cpk / yield) of the order→ship latency
+    against a [0, 120]-day spec window per priority class — the SPC
+    summary ("is the fulfilment process CAPABLE of its SLA, and is it
+    centered") downstream of q_lineitem_ship_lag's raw percentiles.
+
+    ONE co-partitioned fact⋈fact join, per-priority exact BIGINT lag
+    moments (mean/sd derive identically in both engines), Cp/Cpk
+    closed-form, and the in-spec yield an exact integer predicate on
+    integer day lags. NULL date/priority rows drop (both engines).
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull() & F.col("o_orderpriority").isNotNull())
+        .select("o_orderkey", "o_orderpriority", F.col("o_orderdate").cast("date").alias("od"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
+        .select("l_orderkey", F.col("l_shipdate").cast("date").alias("sd"))
+    )
+    lag = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority", F.datediff("sd", "od").alias("t")
+    )
+    m = lag.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.expr("cast(t as bigint) * t")).alias("stt"),
+        F.sum(
+            ((F.col("t") >= CPK_SPEC_LO) & (F.col("t") <= CPK_SPEC_HI)).cast(
+                "bigint"
+            )
+        ).alias("n_in_spec"),
+    )
+    mean = "(cast(st as double) / n)"
+    sd = "sqrt((n * cast(stt as double) - cast(st as double) * st) / (n * (n - 1.0)))"
+    cp = f"(({CPK_SPEC_HI} - {CPK_SPEC_LO}.0) / (6.0 * {sd}))"
+    cpk = (
+        f"least(({CPK_SPEC_HI} - {mean}) / (3.0 * {sd}),"
+        f" ({mean} - {CPK_SPEC_LO}.0) / (3.0 * {sd}))"
+    )
+    return (
+        m.selectExpr(
+            "o_orderpriority AS priority",
+            "n AS n_lines",
+            f"round({mean}, 6) AS mean_lag",
+            f"round({sd}, 6) AS sd_lag",
+            f"round({cp}, 6) AS cp",
+            f"round({cpk}, 6) AS cpk",
+            "round(cast(n_in_spec as double) / n, 6) AS yield_in_spec",
+        )
+        .orderBy("priority")
+    )
+
+
+def stats_cpk_sql() -> str:
+    mean = "(st::DOUBLE / n)"
+    sd = "sqrt((n * stt::DOUBLE - st::DOUBLE * st) / (n * (n - 1.0)))"
+    cp = f"(({CPK_SPEC_HI} - {CPK_SPEC_LO}.0) / (6.0 * {sd}))"
+    cpk = (
+        f"least(({CPK_SPEC_HI} - {mean}) / (3.0 * {sd}),"
+        f" ({mean} - {CPK_SPEC_LO}.0) / (3.0 * {sd}))"
+    )
+    return f"""
+    WITH lag AS (
+        SELECT o_orderpriority,
+               datediff('day', o_orderdate::DATE, l_shipdate::DATE) AS t
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+          AND l_shipdate IS NOT NULL
+    ), m AS (
+        SELECT o_orderpriority, count(*)::BIGINT AS n,
+               sum(t)::BIGINT AS st,
+               sum(t::BIGINT * t)::BIGINT AS stt,
+               sum((t >= {CPK_SPEC_LO} AND t <= {CPK_SPEC_HI})::INT)::BIGINT
+                   AS n_in_spec
+        FROM lag GROUP BY 1
+    )
+    SELECT o_orderpriority AS priority, n AS n_lines,
+           round({mean}, 6) AS mean_lag,
+           round({sd}, 6) AS sd_lag,
+           round({cp}, 6) AS cp,
+           round({cpk}, 6) AS cpk,
+           round(n_in_spec::DOUBLE / n, 6) AS yield_in_spec
+    FROM m ORDER BY priority
+    """

@@ -1371,3 +1371,67 @@ def dedup_numeric_blocking_sql() -> str:
     JOIN counts ON na = counts.s_nationkey
     ORDER BY nation
     """
+
+
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate pressure per source: docs, distinct payload
+    hashes, the duplicate rate and the reclaimable bytes — dedup_exact
+    finds THE duplicates globally; this scores each source's hygiene
+    (the table that decides which feed gets renegotiated).
+
+    ONE (source, md5) aggregation with map-side combine, then a
+    source-grain rollup; reclaimable bytes = total minus one surviving
+    copy per hash group, all exact integers. NULL rule: NULL text has
+    no payload (dropped both engines); NULL source is its own feed.
+    """
+    d = (
+        scatter(spark, load_table(spark, sf_dir, "documents"))
+        .where(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.md5(F.col("text")).alias("h"),
+            F.length("text").alias("len"),
+        )
+    )
+    grp = d.groupBy("source", "h").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("len").alias("bytes_"),
+        F.min("len").alias("keep_len"),
+    )
+    return (
+        grp.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("bytes_") - F.col("keep_len")).alias("reclaimable_bytes"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_distinct",
+            "(n_docs - n_distinct) AS n_duplicates",
+            "round((n_docs - n_distinct) / cast(n_docs as double), 6)"
+            " AS dup_rate",
+            "reclaimable_bytes",
+        )
+        .orderBy("source")
+    )
+
+
+def dedup_rate_by_source_sql() -> str:
+    return """
+    WITH d AS (
+        SELECT source, md5(text) AS h, length(text)::BIGINT AS len
+        FROM documents WHERE text IS NOT NULL
+    ), grp AS (
+        SELECT source, h, count(*)::BIGINT AS c,
+               sum(len)::BIGINT AS bytes_, min(len)::BIGINT AS keep_len
+        FROM d GROUP BY 1, 2
+    )
+    SELECT source, sum(c)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_distinct,
+           (sum(c) - count(*))::BIGINT AS n_duplicates,
+           round((sum(c) - count(*)) / sum(c)::DOUBLE, 6) AS dup_rate,
+           sum(bytes_ - keep_len)::BIGINT AS reclaimable_bytes
+    FROM grp GROUP BY source ORDER BY source
+    """

@@ -2669,3 +2669,77 @@ def emb_intrinsic_dim_sql() -> str:
            round(count(*) / sum(ln(r2 / r1)), 4) AS intrinsic_dim
     FROM r2t
     """
+
+
+def emb_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm bias audit per label: mean / sd of vector L2
+    norms and the label-vs-global norm ratio — norm leakage (one class
+    systematically longer) breaks cosine-vs-dot equivalence and skews
+    margin-based training; the norm view beside emb_whitening's
+    covariance treatment.
+
+    Norms fold INSIDE each row (unrolled fixed-dim sum — no explode),
+    per-label moments are one shuffle on ≤L groups, and the global
+    mean is a 1-row broadcast. Norm values round at 6 dp before the
+    moment pass so both engines aggregate identical operands. NULL
+    label is not a class (both engines).
+    """
+    dot = X.sp_fold_dot("embedding", "embedding", EMB_DIM)
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("label").isNotNull())
+        .select("label", F.expr(f"round(sqrt({dot}), 6)").alias("nrm"))
+    )
+    g = F.broadcast(
+        e.agg(
+            F.count(F.lit(1)).alias("gn"),
+            F.sum(F.expr("cast(round(nrm * 1e6) as bigint)")).alias("gs6"),
+        )
+    )
+    per = e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("cast(round(nrm * 1e6) as bigint)")).alias("s6"),
+        F.sum(F.expr("nrm * nrm")).alias("q"),
+    )
+    mean = "(cast(s6 as double) / (n * 1e6))"
+    var = f"((q - n * {mean} * {mean}) / (n - 1.0))"
+    return (
+        per.crossJoin(g)
+        .selectExpr(
+            "label",
+            "n AS n_vectors",
+            f"round({mean}, 6) AS mean_norm",
+            f"round(sqrt(greatest({var}, 0.0)), 6) AS sd_norm",
+            f"round({mean} / (cast(gs6 as double) / (gn * 1e6)), 6)"
+            " AS norm_ratio_vs_global",
+        )
+        .orderBy("label")
+    )
+
+
+def emb_norm_by_label_sql() -> str:
+    dot = X.dk_fold_dot("embedding", "embedding", EMB_DIM)
+    mean = "(s6::DOUBLE / (n * 1e6))"
+    var = f"((q - n * {mean} * {mean}) / (n - 1.0))"
+    return f"""
+    WITH e AS (
+        SELECT label, round(sqrt({dot}), 6) AS nrm
+        FROM embeddings WHERE label IS NOT NULL
+    ), g AS (
+        SELECT count(*)::BIGINT AS gn,
+               sum(round(nrm * 1e6)::BIGINT)::BIGINT AS gs6
+        FROM e
+    ), per AS (
+        SELECT label, count(*)::BIGINT AS n,
+               sum(round(nrm * 1e6)::BIGINT)::BIGINT AS s6,
+               sum(nrm * nrm) AS q
+        FROM e GROUP BY 1
+    )
+    SELECT label, n AS n_vectors,
+           round({mean}, 6) AS mean_norm,
+           round(sqrt(greatest({var}, 0.0)), 6) AS sd_norm,
+           round({mean} / (gs6::DOUBLE / (gn * 1e6)), 6)
+               AS norm_ratio_vs_global
+    FROM per CROSS JOIN g
+    ORDER BY label
+    """

@@ -5850,3 +5850,37 @@ register(
     similarity.emb_intrinsic_dim_sql(),
     front=True,
 )
+
+
+# --------------------------------------------------------------------------
+# round-5 thirteenth batch: monthly seasonality, process capability,
+# norm bias, per-source dup pressure
+# --------------------------------------------------------------------------
+
+register(
+    "q_orders_month_index",
+    analytics.q_orders_month_index,
+    analytics.q_orders_month_index_sql(),
+    front=True,
+)
+
+register(
+    "stats_cpk",
+    analytics.stats_cpk,
+    analytics.stats_cpk_sql(),
+    front=True,
+)
+
+register(
+    "emb_norm_by_label",
+    similarity.emb_norm_by_label,
+    similarity.emb_norm_by_label_sql(),
+    front=True,
+)
+
+register(
+    "dedup_rate_by_source",
+    dedup.dedup_rate_by_source,
+    dedup.dedup_rate_by_source_sql(),
+    front=True,
+)

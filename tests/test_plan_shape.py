@@ -268,6 +268,9 @@ _DELIBERATE_NESTED_LOOP = {
     "text_topk_coverage",
     # broadcast bounded anchor stripe against the corpus (two-NN)
     "emb_intrinsic_dim",
+    # 1-row overall-mean / global-norm broadcasts onto bounded grids
+    "q_orders_month_index",
+    "emb_norm_by_label",
 }
 
 
