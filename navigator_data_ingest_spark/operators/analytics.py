@@ -11748,3 +11748,180 @@ def stats_cpk_sql() -> str:
            round(n_in_spec::DOUBLE / n, 6) AS yield_in_spec
     FROM m ORDER BY priority
     """
+
+
+def stats_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity per brand: OLS of ln(quantity) on
+    ln(unit price) across the brand's parts — the constant-elasticity
+    demand read (slope ≈ −ε) that q_lineitem_discount_effect's
+    level-space slope can't give; the pricing-economics companion to
+    stats_price_index.
+
+    (brand, part) collapses in ONE shuffle to exact integer (qty,
+    cent) sums; unit price and both logs derive from integer RATIOS
+    (identical operands cross-engine); per-brand OLS moments fold over
+    the PART-bounded grid. NULL rule: lines without part/price/qty
+    drop; parts with zero quantity drop (no log), both engines.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_partkey").isNotNull()
+            & F.col("l_quantity").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("sp"),
+        )
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum("q").alias("sq"), F.sum("sp").alias("ssp"))
+        .where(F.col("sq") > 0)
+        .selectExpr(
+            "p_brand",
+            "ln(cast(sq as double)) AS y",
+            "ln(cast(ssp as double) / sq / 100.0) AS x",
+        )
+    )
+    m = pp.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    slope = "((k * sxy - sx * sy) / nullif(k * sxx - sx * sx, 0.0))"
+    return (
+        m.selectExpr(
+            "p_brand AS brand",
+            "k AS n_parts",
+            f"round({slope}, 6) AS elasticity_slope",
+            f"round((sy - {slope} * sx) / k, 6) AS intercept_ln_q",
+        )
+        .orderBy("brand")
+    )
+
+
+def stats_elasticity_loglog_sql() -> str:
+    slope = "((k * sxy - sx * sy) / nullif(k * sxx - sx * sx, 0.0))"
+    return f"""
+    WITH pp AS (
+        SELECT p_brand,
+               ln(sum(round(l_quantity)::BIGINT)::DOUBLE) AS y,
+               ln(sum(round(l_extendedprice * 100)::BIGINT)::DOUBLE
+                  / sum(round(l_quantity)::BIGINT) / 100.0) AS x
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_partkey IS NOT NULL AND l_quantity IS NOT NULL
+          AND l_extendedprice IS NOT NULL
+        GROUP BY p_brand, l_partkey
+        HAVING sum(round(l_quantity)::BIGINT) > 0
+    ), m AS (
+        SELECT p_brand, count(*)::BIGINT AS k,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM pp GROUP BY 1
+    )
+    SELECT p_brand AS brand, k AS n_parts,
+           round({slope}, 6) AS elasticity_slope,
+           round((sy - {slope} * sx) / k, 6) AS intercept_ln_q
+    FROM m ORDER BY brand
+    """
+
+
+def stats_fisher_z_corr_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher z test for a CHANGE in correlation: did the daily
+    volume↔value correlation differ before vs after CUPED_CUT —
+    stats_partial_correlation asks what drives the correlation, this
+    asks whether the relationship itself moved (the launch-impact test
+    at the relationship level).
+
+    ONE shuffle to the DAYS-bounded grain with a period flag; each
+    period's Pearson r comes from exact BIGINT moments, the Fisher
+    z-transforms and the difference z statistic are closed-form on
+    identically-derived doubles. NULL ts has no day; NULL value adds 0
+    cents (sum-skip), both engines.
+    """
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.coalesce(
+                F.sum(F.round(F.col("value") * 100).cast("bigint")), F.lit(0)
+            ).alias("y"),
+        )
+        .withColumn("pre", F.col("day") < F.lit(CUPED_CUT).cast("date"))
+    )
+    m = d.groupBy("pre").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("cast(y as double) * y")).alias("syy"),
+    )
+    r = (
+        "((n * cast(sxy as double) - cast(sx as double) * sy)"
+        " / (sqrt(n * cast(sxx as double) - cast(sx as double) * sx)"
+        " * sqrt(n * syy - cast(sy as double) * sy)))"
+    )
+    per = m.selectExpr(
+        "pre",
+        "n",
+        f"{r} AS r",
+        f"(0.5 * ln((1.0 + {r}) / (1.0 - {r}))) AS fz",
+    )
+    a = per.where(F.col("pre")).selectExpr(
+        "n AS n_pre", "r AS r_pre", "fz AS fz_pre"
+    )
+    b = per.where(~F.col("pre")).selectExpr(
+        "n AS n_post", "r AS r_post", "fz AS fz_post"
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .selectExpr(
+            "n_pre",
+            "n_post",
+            "round(r_pre, 6) AS r_pre",
+            "round(r_post, 6) AS r_post",
+            "round((fz_pre - fz_post)"
+            " / sqrt(1.0 / (n_pre - 3.0) + 1.0 / (n_post - 3.0)), 6) AS z_diff",
+        )
+    )
+
+
+def stats_fisher_z_corr_diff_sql() -> str:
+    r = (
+        "((n * sxy::DOUBLE - sx::DOUBLE * sy)"
+        " / (sqrt(n * sxx::DOUBLE - sx::DOUBLE * sx)"
+        " * sqrt(n * syy - sy::DOUBLE * sy)))"
+    )
+    return f"""
+    WITH d AS (
+        SELECT ts::DATE AS day, count(*)::BIGINT AS x,
+               coalesce(sum(round(value * 100)::BIGINT), 0)::BIGINT AS y,
+               (ts::DATE < DATE '{CUPED_CUT}') AS pre
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 4
+    ), m AS (
+        SELECT pre, count(*)::BIGINT AS n,
+               sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+               sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy,
+               sum(y::DOUBLE * y) AS syy
+        FROM d GROUP BY 1
+    ), per AS (
+        SELECT pre, n, {r} AS r,
+               (0.5 * ln((1.0 + {r}) / (1.0 - {r}))) AS fz
+        FROM m
+    )
+    SELECT a.n AS n_pre, b.n AS n_post,
+           round(a.r, 6) AS r_pre, round(b.r, 6) AS r_post,
+           round((a.fz - b.fz)
+                 / sqrt(1.0 / (a.n - 3.0) + 1.0 / (b.n - 3.0)), 6) AS z_diff
+    FROM per a CROSS JOIN per b
+    WHERE a.pre AND NOT b.pre
+    """

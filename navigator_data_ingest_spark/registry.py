@@ -5884,3 +5884,32 @@ register(
     dedup.dedup_rate_by_source_sql(),
     front=True,
 )
+
+
+# --------------------------------------------------------------------------
+# round-5 fourteenth batch: integrity manifest sink, demand elasticity,
+# correlation-change test
+# --------------------------------------------------------------------------
+
+from navigator_data_ingest_spark.sources import compact as _compact2
+
+register(
+    "sink_checksum_manifest",
+    _compact2.sink_checksum_manifest,
+    _compact2.sink_checksum_manifest_sql(),
+    front=True,
+)
+
+register(
+    "stats_elasticity_loglog",
+    analytics.stats_elasticity_loglog,
+    analytics.stats_elasticity_loglog_sql(),
+    front=True,
+)
+
+register(
+    "stats_fisher_z_corr_diff",
+    analytics.stats_fisher_z_corr_diff,
+    analytics.stats_fisher_z_corr_diff_sql(),
+    front=True,
+)

@@ -185,3 +185,71 @@ def sink_range_sorted_write_sql() -> str:
            0::BIGINT AS n_overlapping_pairs
     FROM orders
     """
+
+
+# --------------------------------------------------------------------------
+# publish-with-integrity: per-partition checksum manifest
+# --------------------------------------------------------------------------
+
+
+def sink_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned publish with an integrity MANIFEST: orders written
+    partitioned by priority, read back, and summarized as the
+    (partition, row-count, content-checksum) table a downstream
+    consumer verifies before trusting the hand-off — the sink-side
+    twin of functions/witness.py's in-query witnesses.
+
+    The checksum is a COMMUTATIVE sum of portable per-row 32-bit
+    hashes over the key business columns (md5-derived — the oracle
+    replays it from the SOURCE rows, proving the round trip moved
+    every row exactly once); commutativity makes it partition- and
+    order-invariant, the property a distributed writer needs. All
+    exact integers. NULL rule: NULL key fields hash their literal
+    '<null>' marker (both engines).
+    """
+    from navigator_data_ingest_spark.functions import exprs as X
+
+    out = sink_path("orders_manifest", sf_dir)
+    (
+        load_table(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    row = (
+        "coalesce(cast(o_orderkey as string), '<null>') || ':' ||"
+        " coalesce(cast(cast(round(o_totalprice * 100) as bigint) as string),"
+        " '<null>')"
+    )
+    h = X.sp_hash32(f"({row})", "manifest")
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.expr(h)).alias("content_checksum"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .withColumnRenamed("o_orderpriority", "partition_value")
+        .orderBy("partition_value")
+    )
+
+
+def sink_checksum_manifest_sql() -> str:
+    from navigator_data_ingest_spark.functions import exprs as X
+
+    row = (
+        "coalesce(o_orderkey::VARCHAR, '<null>') || ':' ||"
+        " coalesce(round(o_totalprice * 100)::BIGINT::VARCHAR, '<null>')"
+    )
+    h = X.dk_hash32(f"({row})", "manifest")
+    return f"""
+    SELECT o_orderpriority AS partition_value,
+           count(*)::BIGINT AS n_rows,
+           sum({h})::BIGINT AS content_checksum,
+           min(o_orderkey)::BIGINT AS min_key,
+           max(o_orderkey)::BIGINT AS max_key
+    FROM orders
+    GROUP BY 1 ORDER BY partition_value
+    """

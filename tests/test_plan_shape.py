@@ -271,6 +271,8 @@ _DELIBERATE_NESTED_LOOP = {
     # 1-row overall-mean / global-norm broadcasts onto bounded grids
     "q_orders_month_index",
     "emb_norm_by_label",
+    # 1-row pre × 1-row post period-moment cross join
+    "stats_fisher_z_corr_diff",
 }
 
 
