@@ -11925,3 +11925,63 @@ def stats_fisher_z_corr_diff_sql() -> str:
     FROM per a CROSS JOIN per b
     WHERE a.pre AND NOT b.pre
     """
+
+
+HILL_K = 200
+
+
+def stats_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index over order values: from
+    the k=200 largest orders, α̂ = k / Σ ln(xᵢ/x₍ₖ₎) — how heavy the
+    spend tail really is (α ≤ 2 means infinite variance: means stop
+    converging and top-N coverage dominates); the tail-index
+    measurement between stats_lognormal_fit's body and
+    stats_extreme_gumbel's block maxima.
+
+    The top-k is a TakeOrdered limit (never a global sort
+    materialization) on exact integer cents with the order key as
+    tie-break; x₍ₖ₎ broadcasts back over the ≤k rows, and every ln
+    argument is a ratio of exact integers. NULL prices drop (both
+    engines).
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    top = o.orderBy(F.desc("cents"), F.asc("o_orderkey")).limit(HILL_K)
+    kth = F.broadcast(top.agg(F.min("cents").alias("xk")))
+    agg = top.crossJoin(kth).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("cents").alias("max_cents"),
+        F.max("xk").alias("xk"),
+        F.sum(F.expr("ln(cast(cents as double) / xk)")).alias("s"),
+    )
+    return agg.selectExpr(
+        "k",
+        "max_cents",
+        "xk AS kth_cents",
+        "round(s, 6) AS sum_log_excess",
+        "round(k / s, 4) AS hill_alpha",
+    )
+
+
+def stats_hill_tail_sql() -> str:
+    return f"""
+    WITH top AS (
+        SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS cents
+        FROM orders WHERE o_totalprice IS NOT NULL
+        ORDER BY cents DESC, o_orderkey LIMIT {HILL_K}
+    ), kth AS (
+        SELECT min(cents)::BIGINT AS xk FROM top
+    )
+    SELECT count(*)::BIGINT AS k,
+           max(cents)::BIGINT AS max_cents,
+           max(xk)::BIGINT AS kth_cents,
+           round(sum(ln(cents::DOUBLE / xk)), 6) AS sum_log_excess,
+           round(count(*) / sum(ln(cents::DOUBLE / xk)), 4) AS hill_alpha
+    FROM top CROSS JOIN kth
+    """

@@ -5913,3 +5913,11 @@ register(
     analytics.stats_fisher_z_corr_diff_sql(),
     front=True,
 )
+
+
+register(
+    "stats_hill_tail",
+    analytics.stats_hill_tail,
+    analytics.stats_hill_tail_sql(),
+    front=True,
+)

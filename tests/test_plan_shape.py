@@ -273,6 +273,8 @@ _DELIBERATE_NESTED_LOOP = {
     "emb_norm_by_label",
     # 1-row pre × 1-row post period-moment cross join
     "stats_fisher_z_corr_diff",
+    # 1-row kth-value broadcast onto the ≤k TakeOrdered rows
+    "stats_hill_tail",
 }
 
 
