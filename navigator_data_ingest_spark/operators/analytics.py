@@ -11985,3 +11985,62 @@ def stats_hill_tail_sql() -> str:
            round(count(*) / sum(ln(cents::DOUBLE / xk)), 4) AS hill_alpha
     FROM top CROSS JOIN kth
     """
+
+
+def stats_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the A/B assignment
+    stats_ab_test consumes: the observed A/B user split vs the
+    designed 50/50, the 1-df χ² and a pass/fail flag at the χ²(0.001)
+    ≈ 10.83 threshold — the FIRST check an experimentation platform
+    runs, because a skewed split invalidates every downstream p-value.
+
+    ONE user-grain distinct pass (the assignment is per-user, so SRM
+    is tested on users, not events), a 2-cell collapse, and closed-form
+    arithmetic on two exact integers; the flag compares an exact
+    integer cross-multiple (4·(a−b)²·... spelled as the rounded-χ²
+    comparison both engines share). NULL user_id is unassigned
+    (dropped, both engines).
+    """
+    u = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .withColumn("grp", F.expr("user_id % 2"))
+    )
+    agg = u.agg(
+        F.sum((F.col("grp") == 0).cast("bigint")).alias("n_a"),
+        F.sum((F.col("grp") == 1).cast("bigint")).alias("n_b"),
+    )
+    chi2 = (
+        "((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)"
+        " / ((n_a + n_b) / 2.0) * 2.0)"
+    )
+    return agg.selectExpr(
+        "n_a",
+        "n_b",
+        "round(cast(n_a as double) / (n_a + n_b), 6) AS share_a",
+        f"round({chi2}, 6) AS chi2_srm",
+        f"round({chi2}, 6) > 10.83 AS srm_detected",
+    )
+
+
+def stats_ab_srm_sql() -> str:
+    chi2 = (
+        "((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)"
+        " / ((n_a + n_b) / 2.0) * 2.0)"
+    )
+    return f"""
+    WITH u AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+    ), agg AS (
+        SELECT sum((user_id % 2 = 0)::INT)::BIGINT AS n_a,
+               sum((user_id % 2 = 1)::INT)::BIGINT AS n_b
+        FROM u
+    )
+    SELECT n_a, n_b,
+           round(n_a::DOUBLE / (n_a + n_b), 6) AS share_a,
+           round({chi2}, 6) AS chi2_srm,
+           round({chi2}, 6) > 10.83 AS srm_detected
+    FROM agg
+    """

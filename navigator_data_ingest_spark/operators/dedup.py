@@ -1435,3 +1435,50 @@ def dedup_rate_by_source_sql() -> str:
            sum(bytes_ - keep_len)::BIGINT AS reclaimable_bytes
     FROM grp GROUP BY source ORDER BY source
     """
+
+
+def dedup_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-size census over the MinHash banding scheme: per
+    band the bucket-size histogram and each size's candidate-pair
+    load (n·s·(s−1)/2) — the saturation audit that says whether the
+    (bands, rows) choice still bounds candidate generation, BEFORE a
+    skewed bucket turns dedup_minhash_lsh quadratic; the planning op
+    next to dedup_recall_report's recall certification.
+
+    Reuses the production signature path (Arrow-batched, bit-identical
+    to the oracle's SQL chain), ONE (band, hash) aggregation for
+    bucket sizes, then a bounded (band × size) histogram. All exact
+    integers. Token-less docs carry no signature (both engines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _with_band_hashes(docs)
+    buckets = (
+        sig.select(F.posexplode("band_hashes").alias("band_id", "band_hash"))
+        .groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    return (
+        buckets.groupBy("band_id", "s")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .selectExpr(
+            "cast(band_id as int) AS band_id",
+            "s AS bucket_size",
+            "n_buckets",
+            "(n_buckets * s * (s - 1)) div 2 AS candidate_pairs",
+        )
+        .orderBy("band_id", "bucket_size")
+    )
+
+
+def dedup_bucket_stats_sql(minhash_ctes: str) -> str:
+    return f"""
+    WITH {minhash_ctes}, buckets AS (
+        SELECT band_id, band_hash, count(*)::BIGINT AS s
+        FROM bands GROUP BY 1, 2
+    )
+    SELECT band_id::INT AS band_id, s AS bucket_size,
+           count(*)::BIGINT AS n_buckets,
+           (count(*) * s * (s - 1)) // 2 AS candidate_pairs
+    FROM buckets GROUP BY 1, 2
+    ORDER BY band_id, bucket_size
+    """

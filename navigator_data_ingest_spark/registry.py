@@ -5921,3 +5921,22 @@ register(
     analytics.stats_hill_tail_sql(),
     front=True,
 )
+
+
+# --------------------------------------------------------------------------
+# round-5 fifteenth batch: experiment guardrail, LSH saturation audit
+# --------------------------------------------------------------------------
+
+register(
+    "stats_ab_srm",
+    analytics.stats_ab_srm,
+    analytics.stats_ab_srm_sql(),
+    front=True,
+)
+
+register(
+    "dedup_bucket_stats",
+    dedup.dedup_bucket_stats,
+    dedup.dedup_bucket_stats_sql(_MINHASH_CTES),
+    front=True,
+)
