@@ -12044,3 +12044,71 @@ def stats_ab_srm_sql() -> str:
            round({chi2}, 6) > 10.83 AS srm_detected
     FROM agg
     """
+
+
+HEAVY_TOP_K = 10
+
+
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter users: the top-10 by event count with each one's
+    traffic share and the running cumulative share — the
+    single-tenant-abuse / whale view that pairs stats_herfindahl's
+    concentration index with the actual offenders; at 100 TB this is
+    the table a quota system (stream_quota_enforcer) is seeded from.
+
+    ONE user-grain count shuffle, then a TakeOrdered top-k (never a
+    global sort materialization) with user_id as the deterministic
+    tie-break; the total is a 1-row broadcast and the cumulative share
+    runs over the ≤k rows in pinned order. Exact integers everywhere.
+    NULL user_id is not a user (both engines).
+    """
+    u = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = u.orderBy(F.desc("n"), F.asc("user_id")).limit(HEAVY_TOP_K)
+    tot = F.broadcast(
+        u.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_users"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
+    cum = Window.orderBy(F.desc("n"), F.asc("user_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        top.crossJoin(tot)
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_n", F.sum("n").over(cum))
+        .selectExpr(
+            "rank",
+            "user_id",
+            "n AS n_events",
+            "round(cast(n as double) / total, 6) AS share",
+            "round(cast(cum_n as double) / total, 6) AS cum_share",
+            "n_users",
+        )
+        .orderBy("rank")
+    )
+
+
+def q_events_heavy_hitters_sql() -> str:
+    return f"""
+    WITH u AS (
+        SELECT user_id, count(*)::BIGINT AS n
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ), top AS (
+        SELECT user_id, n FROM u ORDER BY n DESC, user_id LIMIT {HEAVY_TOP_K}
+    ), tot AS (
+        SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS n_users FROM u
+    )
+    SELECT row_number() OVER (ORDER BY n DESC, user_id) AS rank,
+           user_id, n AS n_events,
+           round(n::DOUBLE / total, 6) AS share,
+           round(sum(n) OVER (ORDER BY n DESC, user_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+                 / total, 6) AS cum_share,
+           n_users
+    FROM top CROSS JOIN tot
+    ORDER BY rank
+    """

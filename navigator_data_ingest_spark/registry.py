@@ -5940,3 +5940,11 @@ register(
     dedup.dedup_bucket_stats_sql(_MINHASH_CTES),
     front=True,
 )
+
+
+register(
+    "q_events_heavy_hitters",
+    analytics.q_events_heavy_hitters,
+    analytics.q_events_heavy_hitters_sql(),
+    front=True,
+)

@@ -275,6 +275,8 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_fisher_z_corr_diff",
     # 1-row kth-value broadcast onto the ≤k TakeOrdered rows
     "stats_hill_tail",
+    # 1-row total broadcast onto the ≤k TakeOrdered rows
+    "q_events_heavy_hitters",
 }
 
 
@@ -325,6 +327,7 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "stats_mahalanobis_outliers",
     # rank window AFTER the TakeOrdered top-K limit (≤K rows)
     "text_topk_coverage",
+    "q_events_heavy_hitters",
     # 64-row per-dim variance grid (rank + cumulative energy)
     "emb_variance_spectrum",
     # bounded (source x lang) count grid (dominant-pick rank window)
