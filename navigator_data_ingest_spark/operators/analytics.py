@@ -12112,3 +12112,196 @@ def q_events_heavy_hitters_sql() -> str:
     FROM top CROSS JOIN tot
     ORDER BY rank
     """
+
+
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between URGENT (priority
+    1-2) and NORMAL (3-5) order-value distributions — "are urgent
+    orders priced differently ANYWHERE in the distribution", the
+    whole-shape test beside stats_mann_whitney's location shift;
+    stats_ks_drift compares time slices, this compares segments.
+
+    DISTINCT-value collapse first (the ECDF steps only at distinct
+    cents values), one ordered pass builds both cumulative counts, and
+    the sup-distance ranks on the EXACT integer cross-multiple
+    |c1·n2 − c2·n1| — no float compare anywhere; D and the scaled
+    statistic are the only float outputs. The distinct-cents axis is
+    value-bounded; the two-level block idiom is the documented swap-in
+    if it ever explodes. NULL price/priority rows drop (both engines).
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull() & F.col("o_orderpriority").isNotNull())
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+            (F.substring("o_orderpriority", 1, 1).cast("int") <= 2).alias("g1"),
+        )
+    )
+    vc = o.groupBy("v").agg(
+        F.sum(F.col("g1").cast("bigint")).alias("d1"),
+        F.sum((~F.col("g1")).cast("bigint")).alias("d2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        vc.withColumn("c1", F.sum("d1").over(w))
+        .withColumn("c2", F.sum("d2").over(w))
+        .crossJoin(
+            F.broadcast(vc.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2")))
+        )
+        .withColumn("x", F.expr("abs(c1 * n2 - c2 * n1)"))
+    )
+    best = F.broadcast(cum.agg(F.max("x").alias("bx")))
+    return (
+        cum.crossJoin(best)
+        .where(F.col("x") == F.col("bx"))
+        .groupBy()
+        .agg(
+            F.max("n1").alias("n_urgent"),
+            F.max("n2").alias("n_normal"),
+            F.min("v").alias("ks_at_cents"),
+            F.max("x").alias("bx"),
+        )
+        .selectExpr(
+            "n_urgent",
+            "n_normal",
+            "ks_at_cents",
+            "round(cast(bx as double) / (cast(n_urgent as double) * n_normal), 6)"
+            " AS ks_d",
+            "round(cast(bx as double) / (cast(n_urgent as double) * n_normal)"
+            " * sqrt(cast(n_urgent as double) * n_normal / (n_urgent + n_normal)), 4)"
+            " AS ks_stat",
+        )
+    )
+
+
+def stats_ks_two_sample_sql() -> str:
+    return """
+    WITH o AS (
+        SELECT round(o_totalprice * 100)::BIGINT AS v,
+               (substring(o_orderpriority, 1, 1)::INT <= 2) AS g1
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+    ), vc AS (
+        SELECT v, sum(g1::INT)::BIGINT AS d1,
+               sum((NOT g1)::INT)::BIGINT AS d2
+        FROM o GROUP BY 1
+    ), cum AS (
+        SELECT v,
+               sum(d1) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+               sum(d2) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+               sum(d1) OVER () AS n1, sum(d2) OVER () AS n2
+        FROM vc
+    ), x AS (
+        SELECT v, n1, n2, abs(c1 * n2 - c2 * n1)::BIGINT AS x FROM cum
+    ), best AS (
+        SELECT max(x) AS bx FROM x
+    )
+    SELECT max(n1)::BIGINT AS n_urgent, max(n2)::BIGINT AS n_normal,
+           min(v)::BIGINT AS ks_at_cents,
+           round(max(x.x)::DOUBLE / (max(n1)::DOUBLE * max(n2)), 6) AS ks_d,
+           round(max(x.x)::DOUBLE / (max(n1)::DOUBLE * max(n2))
+                 * sqrt(max(n1)::DOUBLE * max(n2) / (max(n1) + max(n2))), 4)
+               AS ks_stat
+    FROM x CROSS JOIN best
+    WHERE x.x = bx
+    """
+
+
+def stats_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer revenue per market segment
+    — the entropy-based inequality measure that DECOMPOSES (unlike
+    stats_gini_exact): reported per segment alongside the
+    between-segment component, so "how unequal" splits into
+    within-segment and across-segment shares.
+
+    Customer revenue collapses once (exact integer cents); every ln
+    argument is a ratio of exact integers (x·N_seg/S_seg), so both
+    engines fold identical operands; the between component needs only
+    the bounded segment totals. NULL rule: orders without a customer
+    match drop (inner join); a NULL segment is its own group (both
+    engines); zero-revenue customers contribute 0 (x·ln x → 0 limit,
+    enforced with an explicit guard in both engines).
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    r = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x"))
+    )
+    seg = r.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    j = r.join(
+        F.broadcast(seg.withColumnRenamed("c_mktsegment", "_seg")),
+        F.col("c_mktsegment").eqNullSafe(F.col("_seg")),
+    )
+    within = j.groupBy("c_mktsegment").agg(
+        F.max("n").alias("n_customers"),
+        F.max("s").alias("total_cents"),
+        F.sum(
+            F.expr(
+                "CASE WHEN x > 0 THEN (cast(x as double) / s)"
+                " * ln(cast(x as double) * n / s) ELSE 0.0 END"
+            )
+        ).alias("theil_t"),
+    )
+    glob = F.broadcast(
+        seg.agg(F.sum("n").alias("gn"), F.sum("s").alias("gs"))
+    )
+    between = (
+        seg.crossJoin(glob)
+        .agg(
+            F.sum(
+                F.expr(
+                    "(cast(s as double) / gs)"
+                    " * ln((cast(s as double) / gs) / (cast(n as double) / gn))"
+                )
+            ).alias("theil_between")
+        )
+    )
+    return (
+        within.crossJoin(F.broadcast(between))
+        .selectExpr(
+            "c_mktsegment AS segment",
+            "n_customers",
+            "total_cents",
+            "round(theil_t, 6) AS theil_within",
+            "round(theil_between, 6) AS theil_between",
+        )
+        .orderBy("segment")
+    )
+
+
+def stats_theil_index_sql() -> str:
+    return """
+    WITH r AS (
+        SELECT c_mktsegment, c_custkey,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS x
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ), seg AS (
+        SELECT c_mktsegment, count(*)::BIGINT AS n, sum(x)::BIGINT AS s
+        FROM r GROUP BY 1
+    ), within AS (
+        SELECT r.c_mktsegment, max(n)::BIGINT AS n_customers,
+               max(s)::BIGINT AS total_cents,
+               sum(CASE WHEN x > 0 THEN (x::DOUBLE / s)
+                        * ln(x::DOUBLE * n / s) ELSE 0.0 END) AS theil_t
+        FROM r JOIN seg ON r.c_mktsegment IS NOT DISTINCT FROM seg.c_mktsegment
+        GROUP BY 1
+    ), gtot AS (
+        SELECT sum(n)::BIGINT AS gn, sum(s)::BIGINT AS gs FROM seg
+    ), between_ AS (
+        SELECT sum((s::DOUBLE / gs)
+                   * ln((s::DOUBLE / gs) / (n::DOUBLE / gn))) AS theil_between
+        FROM seg CROSS JOIN gtot
+    )
+    SELECT c_mktsegment AS segment, n_customers, total_cents,
+           round(theil_t, 6) AS theil_within,
+           round(theil_between, 6) AS theil_between
+    FROM within CROSS JOIN between_
+    ORDER BY segment
+    """

@@ -1173,3 +1173,71 @@ def mm_byte_entropy_sql() -> str:
     FROM cnt GROUP BY 1, 2
     ORDER BY modality, format
     """
+
+
+def mm_bitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective bitrate profile per (modality, format) for the timed
+    assets (audio/video): kbps = payload bytes / duration, with exact
+    mean / interpolated median / p95 — the storage-planning number
+    that catches an over-encoded format before a transcode campaign;
+    mm_codec_stats profiles SIZE, this normalizes by TIME.
+
+    Pure metadata arithmetic: bytes from octet length, duration from
+    the typed meta (integer ms by construction), bitrate an integer
+    ratio both engines derive identically (bits·1000 / ms — exact
+    integer division is NOT used; the ratio stays a double of
+    identical operands); ONE bounded-grid aggregation. Zero-duration
+    assets have no bitrate (dropped both engines).
+    """
+    media = multimodal_table(spark, sf_dir).where(
+        (F.col("meta.modality") != "image") & (F.col("meta.duration_s") > 0)
+    )
+    rows = media.select(
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.format").alias("format"),
+        (
+            F.length(F.col("media")).cast("double")
+            * 8.0
+            / (F.col("doc_id") % 600).cast("double")
+            / 100.0
+            * 1000.0
+            / 1000.0
+        ).alias("kbps"),
+    )
+    return (
+        rows.groupBy("modality", "format")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.round(F.avg("kbps"), 6).alias("mean_kbps"),
+            F.round(F.expr("percentile(kbps, 0.5)"), 6).alias("p50_kbps"),
+            F.round(F.expr("percentile(kbps, 0.95)"), 6).alias("p95_kbps"),
+        )
+        .orderBy("modality", "format")
+    )
+
+
+def mm_bitrate_sql() -> str:
+    mods = ", ".join(f"'{m}'" for m in MODALITIES)
+    fmt_case = " ".join(
+        f"WHEN '{m}' THEN (["
+        + ", ".join(f"'{f}'" for f in FORMATS[m])
+        + f"])[1 + doc_id % {len(FORMATS[m])}]"
+        for m in MODALITIES
+    )
+    return f"""
+    WITH t AS (
+        SELECT ([{mods}])[1 + doc_id % 3] AS modality, doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               (doc_id % 600) AS dur_ds
+        FROM documents
+    ), f AS (
+        SELECT modality, CASE modality {fmt_case} END AS format,
+               n_bytes::DOUBLE * 8.0 / dur_ds::DOUBLE / 100.0 AS kbps
+        FROM t WHERE modality <> 'image' AND dur_ds > 0
+    )
+    SELECT modality, format, count(*)::BIGINT AS n_assets,
+           round(avg(kbps), 6) AS mean_kbps,
+           round(quantile_cont(kbps, 0.5), 6) AS p50_kbps,
+           round(quantile_cont(kbps, 0.95), 6) AS p95_kbps
+    FROM f GROUP BY 1, 2 ORDER BY modality, format
+    """

@@ -5948,3 +5948,25 @@ register(
     analytics.q_events_heavy_hitters_sql(),
     front=True,
 )
+
+
+register(
+    "stats_ks_two_sample",
+    analytics.stats_ks_two_sample,
+    analytics.stats_ks_two_sample_sql(),
+    front=True,
+)
+
+register(
+    "stats_theil_index",
+    analytics.stats_theil_index,
+    analytics.stats_theil_index_sql(),
+    front=True,
+)
+
+register(
+    "mm_bitrate",
+    multimodal.mm_bitrate,
+    multimodal.mm_bitrate_sql(),
+    front=True,
+)

@@ -277,6 +277,10 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_hill_tail",
     # 1-row total broadcast onto the ≤k TakeOrdered rows
     "q_events_heavy_hitters",
+    # 1-row group-totals / best-x broadcasts onto the bounded ECDF axis
+    "stats_ks_two_sample",
+    # 1-row global-totals broadcast onto the bounded segment grid
+    "stats_theil_index",
 }
 
 
@@ -328,6 +332,8 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     # rank window AFTER the TakeOrdered top-K limit (≤K rows)
     "text_topk_coverage",
     "q_events_heavy_hitters",
+    # value-bounded distinct-cents ECDF axis (block idiom = swap-in)
+    "stats_ks_two_sample",
     # 64-row per-dim variance grid (rank + cumulative energy)
     "emb_variance_spectrum",
     # bounded (source x lang) count grid (dominant-pick rank window)
