@@ -12305,3 +12305,150 @@ def stats_theil_index_sql() -> str:
     FROM within CROSS JOIN between_
     ORDER BY segment
     """
+
+
+def stats_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean, geometric SD factor and the arithmetic/geometric
+    gap for order values per segment — the right central tendency for
+    right-skewed money data (the AM/GM ratio ≥ 1 IS a skewness
+    measure); the summary stats_lognormal_fit's μ implies, made
+    directly comparable to the arithmetic mean dashboards report.
+
+    ONE customer-free aggregation per segment over exact integer
+    cents: ln arguments are integer ratios (identical operands both
+    engines), two-pass-free since Σln and Σln² work on ln of EXACT
+    integers and the GSD exponentiates a variance of those identical
+    doubles. NULL price rows drop; a NULL segment is its own group
+    (both engines).
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .withColumn("lnv", F.expr("ln(cast(cents as double) / 100.0)"))
+    )
+    agg = j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum("lnv").alias("sl"),
+        F.sum(F.expr("lnv * lnv")).alias("sll"),
+    )
+    gm = "(exp(sl / n))"
+    gsd = "(exp(sqrt((sll - sl * sl / n) / (n - 1.0))))"
+    am = "(cast(s as double) / n / 100.0)"
+    return (
+        agg.selectExpr(
+            "c_mktsegment AS segment",
+            "n AS n_orders",
+            f"round({am}, 2) AS arith_mean",
+            f"round({gm}, 2) AS geo_mean",
+            f"round({gsd}, 6) AS geo_sd_factor",
+            f"round({am} / {gm}, 6) AS am_gm_ratio",
+        )
+        .orderBy("segment")
+    )
+
+
+def stats_geometric_mean_sql() -> str:
+    gm = "(exp(sl / n))"
+    gsd = "(exp(sqrt((sll - sl * sl / n) / (n - 1.0))))"
+    am = "(s::DOUBLE / n / 100.0)"
+    return f"""
+    WITH j AS (
+        SELECT c_mktsegment,
+               round(o_totalprice * 100)::BIGINT AS cents,
+               ln(round(o_totalprice * 100)::BIGINT::DOUBLE / 100.0) AS lnv
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice IS NOT NULL
+    ), agg AS (
+        SELECT c_mktsegment, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s,
+               sum(lnv) AS sl, sum(lnv * lnv) AS sll
+        FROM j GROUP BY 1
+    )
+    SELECT c_mktsegment AS segment, n AS n_orders,
+           round({am}, 2) AS arith_mean,
+           round({gm}, 2) AS geo_mean,
+           round({gsd}, 6) AS geo_sd_factor,
+           round({am} / {gm}, 6) AS am_gm_ratio
+    FROM agg ORDER BY segment
+    """
+
+
+def stats_benford_second(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford SECOND-digit audit over order totals — the screen that
+    catches rounding manipulation and invented cents the first-digit
+    test misses (fraud typically preserves leading digits and breaks
+    the second); expected shares are Σ₁₉ log₁₀(1 + 1/(10k+d)).
+
+    Same exact-string-extraction discipline as stats_benford (float
+    log tricks misfire at power-of-ten boundaries): second significant
+    digit from the integer part's string form, values needing ≥2
+    integer digits; a 10-key bounded aggregate with the expected
+    shares as precomputed Python literals shared by both engines.
+    NULL/sub-10 values drop (both engines).
+    """
+    import math
+
+    expected = {
+        d: sum(math.log10(1 + 1 / (10 * k + d)) for k in range(1, 10))
+        for d in range(10)
+    }
+    exp_case = " ".join(
+        f"WHEN {d} THEN {expected[d]!r}" for d in range(10)
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(F.expr("cast(floor(o_totalprice) as bigint)").alias("i"))
+        .where(F.col("i") >= 10)
+        .select(
+            F.expr("cast(substr(cast(i as string), 2, 1) as int)").alias("d2")
+        )
+    )
+    grid = o.groupBy("d2").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.broadcast(grid.agg(F.sum("n").alias("t")))
+    return (
+        grid.crossJoin(tot)
+        .selectExpr(
+            "d2 AS digit",
+            "n",
+            "round(cast(n as double) / t, 6) AS observed",
+            f"round(CASE d2 {exp_case} END, 6) AS expected",
+            f"round(cast(n as double) / t - (CASE d2 {exp_case} END), 6)"
+            " AS deviation",
+        )
+        .orderBy("digit")
+    )
+
+
+def stats_benford_second_sql() -> str:
+    import math
+
+    expected = {
+        d: sum(math.log10(1 + 1 / (10 * k + d)) for k in range(1, 10))
+        for d in range(10)
+    }
+    exp_case = " ".join(
+        f"WHEN {d} THEN {expected[d]!r}" for d in range(10)
+    )
+    return f"""
+    WITH o AS (
+        SELECT substr(floor(o_totalprice)::BIGINT::VARCHAR, 2, 1)::INT AS d2
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND floor(o_totalprice)::BIGINT >= 10
+    ), grid AS (
+        SELECT d2, count(*)::BIGINT AS n FROM o GROUP BY 1
+    ), tot AS (
+        SELECT sum(n)::BIGINT AS t FROM grid
+    )
+    SELECT d2 AS digit, n,
+           round(n::DOUBLE / t, 6) AS observed,
+           round(CASE d2 {exp_case} END, 6) AS expected,
+           round(n::DOUBLE / t - (CASE d2 {exp_case} END), 6) AS deviation
+    FROM grid CROSS JOIN tot
+    ORDER BY digit
+    """

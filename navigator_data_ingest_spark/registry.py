@@ -5970,3 +5970,18 @@ register(
     multimodal.mm_bitrate_sql(),
     front=True,
 )
+
+
+register(
+    "stats_geometric_mean",
+    analytics.stats_geometric_mean,
+    analytics.stats_geometric_mean_sql(),
+    front=True,
+)
+
+register(
+    "stats_benford_second",
+    analytics.stats_benford_second,
+    analytics.stats_benford_second_sql(),
+    front=True,
+)

@@ -281,6 +281,8 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_ks_two_sample",
     # 1-row global-totals broadcast onto the bounded segment grid
     "stats_theil_index",
+    # 1-row total broadcast onto the 10-row digit grid
+    "stats_benford_second",
 }
 
 
