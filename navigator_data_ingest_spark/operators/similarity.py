@@ -2743,3 +2743,161 @@ def emb_norm_by_label_sql() -> str:
     FROM per CROSS JOIN g
     ORDER BY label
     """
+
+
+LSH_TUNE_PLANES = (4, 6, 8)
+LSH_TUNE_MAX = 8
+
+
+def _bucket_expr_n(vec: str, n_planes: int) -> str:
+    """The sim_search_lsh sign-bit bucket generalized to n_planes —
+    same deterministic md5 plane family, unrolled literal components."""
+    plane_dots = []
+    for p in range(n_planes):
+        terms = [
+            f"cast(element_at({vec}, {i}) as double)"
+            f" * ({_plane_const(p, i)!r})"
+            for i in range(1, EMB_DIM + 1)
+        ]
+        plane_dots.append("(" + " + ".join(terms) + ")")
+    bits = [
+        f"CASE WHEN {plane_dots[p]} > 0 THEN cast({1 << p} as bigint)"
+        f" ELSE cast(0 as bigint) END"
+        for p in range(n_planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def emb_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-count tuning curve for the LSH index: candidate cost
+    and recall@5 at 4 / 6 / 8 planes, swept in ONE job — the
+    parameter-sweep-as-one-DAG pattern (no train/eval loop, no driver
+    iteration): the 8-plane sign code is computed ONCE per vector,
+    every narrower index is its BIT PREFIX (code mod 2^p), and the
+    stripe×corpus pairs are SCORED ONCE (the exact-baseline pass) with
+    each plane count a pure filter over that one scored table — the
+    sweep adds zero extra scoring passes at any corpus size.
+
+    Approx and exact both rank on 6-dp-rounded cosine with vec_id
+    tie-break, so the top-5 SETS are identical cross-engine and recall
+    is an exact integer ratio. Output: one row per plane count with
+    candidate volume, mean bucket load and recall@5. NULL-free by
+    construction.
+    """
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = scatter(spark, raw).select(
+        "vec_id",
+        "embedding",
+        F.expr(_bucket_expr_n("embedding", LSH_TUNE_MAX)).alias("code"),
+    )
+    q = query_stripe(e, raw).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("code").alias("qcode"),
+    )
+    cos6 = F.round(_cos("qvec", "embedding", EMB_DIM), 6)
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "code", "qcode", cos6.alias("c6"))
+        .localCheckpoint(eager=False)
+    )
+    exact = (
+        scored.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("c6"), F.asc("vec_id")
+                )
+            ),
+        )
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    nq = F.broadcast(q.groupBy().agg(F.count(F.lit(1)).alias("n_queries")))
+    outs = []
+    for p in LSH_TUNE_PLANES:
+        mod = 1 << p
+        cand = scored.where(F.col("code") % mod == F.col("qcode") % mod)
+        approx = (
+            cand.withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.desc("c6"), F.asc("vec_id")
+                    )
+                ),
+            )
+            .where(F.col("rank") <= TOP_K)
+            .select("query_id", "vec_id")
+        )
+        hits = approx.join(exact, ["query_id", "vec_id"]).agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        stats = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        outs.append(
+            stats.crossJoin(F.broadcast(hits))
+            .crossJoin(nq)
+            .selectExpr(
+                f"{p} AS n_planes",
+                "n_queries",
+                "n_candidates",
+                "round(cast(n_candidates as double) / n_queries, 6)"
+                " AS mean_candidates",
+                f"round(cast(n_hits as double) / (n_queries * {TOP_K}), 6)"
+                " AS recall_at_5",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("n_planes")
+
+
+def emb_lsh_tuning_sql(dk_bucket8: str, dk_dot_qe: str, dk_dot_qq: str, dk_dot_ee: str) -> str:
+    per_p = []
+    for p in LSH_TUNE_PLANES:
+        mod = 1 << p
+        per_p.append(f"""
+    , cand{p} AS (
+        SELECT query_id, vec_id, c6 FROM scored
+        WHERE (code % {mod}) = (qcode % {mod})
+    ), approx{p} AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY c6 DESC, vec_id) AS rank
+            FROM cand{p}
+        ) WHERE rank <= {TOP_K}
+    ), out{p} AS (
+        SELECT {p} AS n_planes,
+               (SELECT count(*) FROM q)::BIGINT AS n_queries,
+               (SELECT count(*) FROM cand{p})::BIGINT AS n_candidates,
+               round((SELECT count(*) FROM cand{p})::DOUBLE
+                     / (SELECT count(*) FROM q), 6) AS mean_candidates,
+               round((SELECT count(*) FROM approx{p} a
+                      JOIN exact x ON a.query_id = x.query_id
+                                  AND a.vec_id = x.vec_id)::DOUBLE
+                     / ((SELECT count(*) FROM q) * {TOP_K}), 6) AS recall_at_5
+    )""")
+    unions = " UNION ALL ".join(f"SELECT * FROM out{p}" for p in LSH_TUNE_PLANES)
+    return f"""
+    WITH eb AS (
+        SELECT vec_id, embedding, {dk_bucket8} AS code FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qvec, code AS qcode
+        FROM eb WHERE {query_stripe_sql()}
+    ), scored AS (
+        SELECT q.query_id, e.vec_id, e.code, q.qcode,
+               round({dk_dot_qe} / (sqrt({dk_dot_qq}) * sqrt({dk_dot_ee})), 6)
+                   AS c6
+        FROM eb e JOIN q ON e.vec_id <> q.query_id
+    ), exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY c6 DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    ){''.join(per_p)}
+    {unions} ORDER BY n_planes
+    """

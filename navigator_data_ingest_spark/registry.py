@@ -5985,3 +5985,22 @@ register(
     analytics.stats_benford_second_sql(),
     front=True,
 )
+
+
+# 8-plane sign code for the LSH tuning sweep (same md5 plane family;
+# narrower indices are bit prefixes: code % 2^p)
+_DK_BUCKET8 = (
+    f"list_sum(list_transform(generate_series(0, {similarity.LSH_TUNE_MAX - 1}), p -> "
+    f"CASE WHEN list_reduce(list_transform(generate_series(1, {similarity.EMB_DIM}), "
+    f"i -> embedding[i]::double * ({_dk_plane_component('p', 'i')})), (x, y) -> x + y) > 0 "
+    f"THEN (1::bigint << p) ELSE 0::bigint END))::bigint"
+)
+
+register(
+    "emb_lsh_tuning",
+    similarity.emb_lsh_tuning,
+    similarity.emb_lsh_tuning_sql(
+        _DK_BUCKET8, _DK_DOT_QE, _DK_DOT_QQ, _DK_DOT_EE
+    ),
+    front=True,
+)

@@ -283,6 +283,8 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_theil_index",
     # 1-row total broadcast onto the 10-row digit grid
     "stats_benford_second",
+    # broadcast bounded query stripe scored once + 1-row sweep stats
+    "emb_lsh_tuning",
 }
 
 
@@ -336,6 +338,8 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "q_events_heavy_hitters",
     # value-bounded distinct-cents ECDF axis (block idiom = swap-in)
     "stats_ks_two_sample",
+    # rank windows over the bounded stripe×corpus scored table
+    "emb_lsh_tuning",
     # 64-row per-dim variance grid (rank + cumulative energy)
     "emb_variance_spectrum",
     # bounded (source x lang) count grid (dominant-pick rank window)
