@@ -12452,3 +12452,91 @@ def stats_benford_second_sql() -> str:
     FROM grid CROSS JOIN tot
     ORDER BY digit
     """
+
+
+AGING_BUCKETS = (30, 60, 90, 180)
+
+
+def q_orders_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report at the data's own snapshot (the max
+    order date): orders still unshipped at the snapshot bucketed into
+    0-30 / 31-60 / 61-90 / 91-180 / 180+ days outstanding, with count
+    and value — the accounts-receivable-style aging table behind
+    q_orders_backlog's time series (that one tracks the LEVEL over
+    time; this decomposes the snapshot by age).
+
+    Order grain collapses once per side (last ship date, header);
+    OPEN at snapshot = last ship date strictly after it; the age
+    bucket is exact integer day arithmetic against the 1-row broadcast
+    snapshot; output is the ≤5-row bucket grid. NULL rule: orders with
+    no dated lines never close and age from their order date; NULL
+    order dates have no age (dropped), both engines.
+    """
+    fin = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("fin"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("od"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    snap = F.broadcast(o.agg(F.max("od").alias("snap")))
+    j = (
+        o.join(fin, o.o_orderkey == fin.l_orderkey, "left")
+        .crossJoin(snap)
+        .where(F.col("fin").isNull() | (F.col("fin") > F.col("snap")))
+        .select(F.datediff("snap", "od").alias("age"), "cents")
+    )
+    b1, b2, b3, b4 = AGING_BUCKETS
+    bucket = (
+        f"CASE WHEN age <= {b1} THEN '0-030'"
+        f" WHEN age <= {b2} THEN '031-060'"
+        f" WHEN age <= {b3} THEN '061-090'"
+        f" WHEN age <= {b4} THEN '091-180'"
+        f" ELSE '180+' END"
+    )
+    return (
+        j.groupBy(F.expr(bucket).alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("value_cents"),
+            F.max("age").alias("max_age_days"),
+        )
+        .orderBy("age_bucket")
+    )
+
+
+def q_orders_aging_sql() -> str:
+    b1, b2, b3, b4 = AGING_BUCKETS
+    return f"""
+    WITH fin AS (
+        SELECT l_orderkey, max(l_shipdate::DATE) AS fin
+        FROM lineitem GROUP BY 1
+    ), o AS (
+        SELECT o_orderkey, o_orderdate::DATE AS od,
+               round(o_totalprice * 100)::BIGINT AS cents
+        FROM orders WHERE o_orderdate IS NOT NULL
+    ), snap AS (
+        SELECT max(od) AS snap FROM o
+    ), j AS (
+        SELECT datediff('day', od, snap) AS age, cents
+        FROM o LEFT JOIN fin ON o_orderkey = l_orderkey
+        CROSS JOIN snap
+        WHERE fin IS NULL OR fin > snap
+    )
+    SELECT CASE WHEN age <= {b1} THEN '0-030'
+                WHEN age <= {b2} THEN '031-060'
+                WHEN age <= {b3} THEN '061-090'
+                WHEN age <= {b4} THEN '091-180'
+                ELSE '180+' END AS age_bucket,
+           count(*)::BIGINT AS n_orders,
+           sum(cents)::BIGINT AS value_cents,
+           max(age)::BIGINT AS max_age_days
+    FROM j GROUP BY 1 ORDER BY age_bucket
+    """

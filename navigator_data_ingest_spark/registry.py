@@ -6004,3 +6004,11 @@ register(
     ),
     front=True,
 )
+
+
+register(
+    "q_orders_aging",
+    analytics.q_orders_aging,
+    analytics.q_orders_aging_sql(),
+    front=True,
+)
