@@ -22,6 +22,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from navigator_data_ingest_spark.functions import exprs as X
+from navigator_data_ingest_spark.functions.exact import (
+    dk_rat6,
+    sp_epoch_us,
+    sp_rat6,
+)
 from navigator_data_ingest_spark.sources.tables import load_table, scatter
 
 
@@ -3062,12 +3067,16 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULLS-FIRST window order diverges from DuckDB's NULLS-LAST, so
     NULL-value rows are dropped explicitly in BOTH engines.
     """
+    # first_peak_us is an ABSOLUTE epoch output: use the NTZ-domain
+    # timestampdiff epoch (session-TZ-free == DuckDB epoch_us) — the
+    # unix_micros(cast(ts as timestamp)) idiom shifts under a non-UTC
+    # driver session (r5 secondary failure mode).
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select(
             "event_type",
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.expr(sp_epoch_us("ts")).alias("us"),
             F.expr(
                 f"cast(floor(value * {CONC_US_PER_VALUE}) as bigint)"
             ).alias("dur_us"),
@@ -3096,13 +3105,21 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.bus").alias("first_peak_us"),
         )
     )
-    loads = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_intervals"),
-        F.round(
-            F.sum("dur_us").cast("double")
-            / (F.max(F.col("us") + F.col("dur_us")) - F.min("us")).cast("double"),
-            6,
-        ).alias("avg_concurrency"),
+    # avg_concurrency = Σdur_us/span is a PURE integer rational —
+    # integer-exact HALF_UP (repo round-boundary rule; the r5 driver
+    # flipped this column).
+    loads = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur_us").alias("sum_dur_us"),
+            (F.max(F.col("us") + F.col("dur_us")) - F.min("us")).alias("span_us"),
+        )
+        .select(
+            "event_type",
+            "n_intervals",
+            F.expr(sp_rat6("sum_dur_us", "span_us")).alias("avg_concurrency"),
+        )
     )
     return (
         peaks.join(loads, "event_type")
@@ -3141,12 +3158,15 @@ def q_events_concurrency_sql() -> str:
                      max(run) OVER (PARTITION BY event_type) AS mx
               FROM r)
         GROUP BY event_type
-    ), l AS (
+    ), l0 AS (
         SELECT event_type, count(*) AS n_intervals,
-               round(sum(dur_us)::DOUBLE
-                     / (max(us + dur_us) - min(us))::DOUBLE, 6)
-                   AS avg_concurrency
+               sum(dur_us)::BIGINT AS sum_dur_us,
+               (max(us + dur_us) - min(us))::BIGINT AS span_us
         FROM ev GROUP BY event_type
+    ), l AS (
+        SELECT event_type, n_intervals,
+               {dk_rat6('sum_dur_us', 'span_us')} AS avg_concurrency
+        FROM l0
     )
     SELECT p.event_type, n_intervals, peak_concurrency, first_peak_us,
            avg_concurrency
@@ -4514,17 +4534,23 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1.0) "
         "- tie_term / ((n_a + n_b) * (n_a + n_b - 1.0))))"
     )
+    # r_rank_biserial = u2_a/(n_a·n_b) − 1 = (u2_a − n_a·n_b)/(n_a·n_b)
+    # is a PURE integer rational — integer-exact HALF_UP (repo
+    # round-boundary rule; the r5 driver flipped this column). u_a ends
+    # at .0/.5 (exact) and z passes through sqrt (irrational): safe.
+    rp = "(cast(u2_a as decimal(38,0)) - cast(n_a as decimal(38,0)) * n_b)"
+    rq = "(cast(n_a as decimal(38,0)) * n_b)"
     return agg.selectExpr(
         "n_a",
         "n_b",
         "round(u2_a / 2.0, 6) AS u_a",
         f"round((u2_a / 2.0 - n_a * n_b / 2.0) / {sigma}, 6) AS z",
-        "round(u2_a / cast(n_a * n_b as double) - 1.0, 6) AS r_rank_biserial",
+        f"{sp_rat6(rp, rq)} AS r_rank_biserial",
     )
 
 
 def stats_mann_whitney_sql() -> str:
-    return """
+    return f"""
     WITH vc AS (
         SELECT value,
                sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS ca,
@@ -4548,7 +4574,7 @@ def stats_mann_whitney_sql() -> str:
            round((u2_a / 2.0 - n_a * n_b / 2.0)
                  / sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1.0)
                         - tie_term / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6) AS z,
-           round(u2_a / (n_a * n_b)::DOUBLE - 1.0, 6) AS r_rank_biserial
+           {dk_rat6('(u2_a::HUGEINT - n_a::HUGEINT * n_b)', '(n_a::HUGEINT * n_b)')} AS r_rank_biserial
     FROM agg
     """
 
@@ -4983,11 +5009,15 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) "
         "/ ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))"
     )
+    # expected_runs = (2*n1*n2 + n1 + n2)/(n1+n2) is a PURE integer
+    # rational — emit it through the integer-exact HALF_UP helper (repo
+    # round-boundary rule; the r5 driver flipped this column). z passes
+    # through sqrt (irrational) so plain round is safe.
     return agg.selectExpr(
         "n1",
         "n2",
         "runs",
-        f"round({mu}, 6) AS expected_runs",
+        f"{sp_rat6('2 * n1 * n2 + n1 + n2', 'n1 + n2')} AS expected_runs",
         f"round((runs - {mu}) / sqrt({var}), 6) AS z",
     )
 
@@ -5019,7 +5049,7 @@ def stats_runs_test_sql() -> str:
         FROM runs
     )
     SELECT n1, n2, runs,
-           round({mu}, 6) AS expected_runs,
+           {dk_rat6('2 * n1 * n2 + n1 + n2', 'n1 + n2')} AS expected_runs,
            round((runs - {mu}) / sqrt({var}), 6) AS z
     FROM agg
     """
@@ -5436,21 +5466,30 @@ def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("in_b").cast("int")).alias("n_b"),
         F.sum((F.col("in_a") & F.col("in_b")).cast("int")).alias("n_ab"),
     )
-    chap = "((n_a + 1.0) * (n_b + 1.0) / (n_ab + 1.0) - 1.0)"
+    # Chapman N̂ = (n_a+1)(n_b+1)/(n_ab+1) − 1 and its relative error are
+    # PURE integer rationals — integer-exact HALF_UP (repo round-boundary
+    # rule; the r5 driver flipped both columns):
+    #   n_hat     = p1/q1, p1 = (n_a+1)(n_b+1) − (n_ab+1),  q1 = n_ab+1
+    #   rel_error = (p1 − q1·n_true)/(q1·n_true)
+    # products widen BEFORE multiplying (BIGINT n_a*n_b overflows at
+    # ~3e9 rows per sample — decimal(38,0) is the 100TB-safe width)
+    p1 = "((cast(n_a as decimal(38,0)) + 1) * (n_b + 1) - (n_ab + 1))"
+    q1 = "(n_ab + 1)"
     return agg.selectExpr(
         "n_true",
         "n_a",
         "n_b",
         "n_ab",
-        f"round({chap}, 6) AS n_hat",
-        f"round(({chap} - n_true) / n_true, 6) AS rel_error",
+        f"{sp_rat6(p1, q1)} AS n_hat",
+        f"{sp_rat6(f'{p1} - cast({q1} as decimal(38,0)) * n_true', f'cast({q1} as decimal(38,0)) * n_true')} AS rel_error",
     )
 
 
 def stats_capture_recapture_sql() -> str:
     h1 = "('0x' || substr(md5('cap1:' || doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT"
     h2 = "('0x' || substr(md5('cap2:' || doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT"
-    chap = "((n_a + 1.0) * (n_b + 1.0) / (n_ab + 1.0) - 1.0)"
+    p1 = "((n_a::HUGEINT + 1) * (n_b + 1) - (n_ab + 1))"
+    q1 = "(n_ab + 1)"
     return f"""
     WITH tag AS (
         SELECT ({h1}) % 5 = 0 AS in_a, ({h2}) % 4 = 0 AS in_b FROM documents
@@ -5462,8 +5501,8 @@ def stats_capture_recapture_sql() -> str:
         FROM tag
     )
     SELECT n_true, n_a, n_b, n_ab,
-           round({chap}, 6) AS n_hat,
-           round(({chap} - n_true) / n_true, 6) AS rel_error
+           {dk_rat6(p1, q1)} AS n_hat,
+           {dk_rat6(f'{p1} - {q1}::HUGEINT * n_true', f'{q1}::HUGEINT * n_true')} AS rel_error
     FROM agg
     """
 

@@ -27,6 +27,29 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 # whole registry instead of re-certifying the same head. The full local
 # sweep (scripts/sweep.py) stays the all-query safety net.
 _DRIVER_CERTIFIED = frozenset({
+    # round 5 sample (CORRECTNESS_r05.json): 46 hash-green. The four r5
+    # hash FAILs (q_events_concurrency, stats_mann_whitney,
+    # stats_runs_test, stats_capture_recapture — the round(rational,6)
+    # half-boundary class, fixed round 6 via functions/exact.py
+    # integer-exact HALF_UP micro-units) are deliberately NOT listed so
+    # they re-enter the head-50 for re-certification.
+    "cdc_bitemporal_asof", "corpus_chunk_overlap", "corpus_kn_smoothing",
+    "corpus_span_corruption", "dedup_prefix_family",
+    "emb_distance_histogram", "emb_whitening", "graph_assortativity",
+    "graph_hits", "ingest_frontier_schedule", "ingest_sniff_provenance",
+    "q_analyze_column_stats", "q_decimal_exact", "q_events_attribution",
+    "q_events_inter_arrival", "q_events_interval_union",
+    "q_events_regex_match", "q_orders_skyline", "q_reconcile_sources",
+    "q_sql_exec_immediate", "q_sql_identifier", "q_sql_try_arithmetic",
+    "sample_weighted_reservoir", "sink_python_datasource",
+    "src_file_metadata", "stats_bootstrap_ci", "stats_control_chart",
+    "stats_cramers_v", "stats_deming_regression", "stats_extreme_gumbel",
+    "stats_jarque_bera", "stats_kendall_tau", "stats_kruskal_wallis",
+    "stats_levene", "stats_mcnemar", "stats_moving_median",
+    "stats_qq_normal", "stats_seasonal_decompose", "stats_spectral_peak",
+    "stats_tost_equivalence", "stats_two_way_anova", "stats_var_cvar",
+    "stats_winsorized_trimmed", "stream_quota_enforcer", "text_jsd_drift",
+    "text_rake_keywords",
     # round 4 sample (CORRECTNESS_r04.json): 47 hash-green. The two r4
     # hash FAILs (stats_mann_whitney, q_events_concurrency — NULL
     # events.value divergence, fixed this round) are deliberately NOT

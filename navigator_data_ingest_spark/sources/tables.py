@@ -46,8 +46,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # integer division — a double divide loses precision at ~1e18 ns
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # integer division — a double divide loses precision at ~1e18 ns.
+        # Build the timestamp in the NTZ domain (timestampadd on an NTZ
+        # literal) so the wall clock equals the stored value regardless
+        # of spark.sql.session.timeZone — timestamp_micros() would give
+        # an LTZ instant whose extracted components shift per session TZ.
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " timestamp_ntz'1970-01-01 00:00:00')"
+            ),
+        )
     return df
 
 

@@ -105,6 +105,9 @@ _DELIBERATE_NESTED_LOOP = {
     "corpus_mix_report",
     # 1-row value-share threshold broadcast (TPC-H Q11 HAVING): deliberate
     "q11_important_stock",
+    # 1-row max-order-date snapshot broadcast against the ≤5-row
+    # bucket grid source: deliberate (the standard 1-row crossJoin)
+    "q_orders_aging",
     # 1-row time-midpoint broadcast: deliberate
     "stats_ks_drift",
     "stats_psi_drift",
