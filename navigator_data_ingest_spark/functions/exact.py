@@ -52,29 +52,38 @@ from pyspark.sql.types import LongType, TimestampNTZType
 _M6 = 1_000_000
 
 
-def sp_rat6(p: str, q: str) -> str:
-    """Spark SQL: HALF_UP ``round(p/q, 6)`` in exact integer arithmetic.
-
-    p, q integer-exact SQL expressions; q > 0.
+def sp_rat(p: str, q: str, scale: int = 6) -> str:
+    """Spark SQL: HALF_UP ``round(p/q, scale)`` in exact integer
+    arithmetic. p, q integer-exact SQL expressions; q > 0.
     """
-    micros = (
+    m = 10**scale
+    units = (
         f"((CASE WHEN ({p}) < 0 THEN -1 ELSE 1 END) * "
-        f"((2 * abs(cast(({p}) as decimal(38,0))) * {_M6}"
+        f"((2 * abs(cast(({p}) as decimal(38,0))) * {m}"
         f" + cast(({q}) as decimal(38,0)))"
         f" div (2 * cast(({q}) as decimal(38,0)))))"
     )
-    return f"(cast({micros} as double) / 1000000.0)"
+    return f"(cast({units} as double) / {float(m)})"
 
 
-def dk_rat6(p: str, q: str) -> str:
-    """DuckDB SQL: the same HALF_UP micro-unit value as :func:`sp_rat6`."""
-    micros = (
+def dk_rat(p: str, q: str, scale: int = 6) -> str:
+    """DuckDB SQL: the same HALF_UP scaled-unit value as :func:`sp_rat`."""
+    m = 10**scale
+    units = (
         f"((CASE WHEN ({p}) < 0 THEN -1 ELSE 1 END) * "
-        f"((2 * abs(CAST(({p}) AS HUGEINT)) * {_M6}"
+        f"((2 * abs(CAST(({p}) AS HUGEINT)) * {m}"
         f" + CAST(({q}) AS HUGEINT))"
         f" // (2 * CAST(({q}) AS HUGEINT))))"
     )
-    return f"(({micros})::DOUBLE / 1000000.0)"
+    return f"(({units})::DOUBLE / {float(m)})"
+
+
+def sp_rat6(p: str, q: str) -> str:
+    return sp_rat(p, q, 6)
+
+
+def dk_rat6(p: str, q: str) -> str:
+    return dk_rat(p, q, 6)
 
 
 def rat6_col(p: str, q: str) -> Column:

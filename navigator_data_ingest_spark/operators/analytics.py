@@ -23,8 +23,10 @@ from pyspark.sql import functions as F
 
 from navigator_data_ingest_spark.functions import exprs as X
 from navigator_data_ingest_spark.functions.exact import (
+    dk_rat,
     dk_rat6,
     sp_epoch_us,
+    sp_rat,
     sp_rat6,
 )
 from navigator_data_ingest_spark.sources.tables import load_table, scatter
@@ -4694,7 +4696,8 @@ def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wk).cast("bigint").alias("k"),
         F.count(F.lit(1)).over(wall).alias("m"),
     ).withColumn(
-        "bh_threshold", F.round(F.col("k") * 0.05 / F.col("m"), 6)
+        # k·0.05/m = k/(20m): integer-exact HALF_UP (round-boundary rule)
+        "bh_threshold", F.expr(sp_rat6("k", "20 * m"))
     ).withColumn(
         "hit_k",
         F.when(F.col("p") <= F.col("bh_threshold"), F.col("k")).otherwise(0),
@@ -4736,8 +4739,8 @@ def stats_fdr_bh_sql() -> str:
                count(*) OVER () AS m
         FROM h
     ), thr AS (
-        SELECT *, round(k * 0.05 / m, 6) AS bh_threshold,
-               CASE WHEN p <= round(k * 0.05 / m, 6) THEN k ELSE 0 END AS hit_k
+        SELECT *, {dk_rat6('k', '20 * m')} AS bh_threshold,
+               CASE WHEN p <= {dk_rat6('k', '20 * m')} THEN k ELSE 0 END AS hit_k
         FROM ranked
     )
     SELECT n_name, n, z, p, k, bh_threshold,
@@ -4781,16 +4784,15 @@ def q_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("med"), 6).alias("med"),
             F.round(F.max("mad"), 6).alias("mad"),
             F.sum("is_outlier").cast("bigint").alias("n_outliers"),
-            F.round(
-                F.sum("is_outlier") / F.max("n").cast("double"), 6
-            ).alias("outlier_rate"),
         )
+        # integer-exact HALF_UP rate (repo round-boundary rule)
+        .withColumn("outlier_rate", F.expr(sp_rat6("n_outliers", "n")))
         .orderBy("event_type")
     )
 
 
 def q_events_mad_sql() -> str:
-    return """
+    return f"""
     WITH med AS (
         SELECT event_type, quantile_cont(value, 0.5) AS med,
                count(*)::BIGINT AS n
@@ -4808,11 +4810,14 @@ def q_events_mad_sql() -> str:
                     THEN 1 ELSE 0 END AS is_outlier
         FROM dev d JOIN mad ma USING (event_type)
     )
-    SELECT event_type, max(n)::BIGINT AS n,
-           round(max(med), 6) AS med, round(max(mad), 6) AS mad,
-           sum(is_outlier)::BIGINT AS n_outliers,
-           round(sum(is_outlier) / max(n)::DOUBLE, 6) AS outlier_rate
-    FROM flagged GROUP BY event_type ORDER BY event_type
+    SELECT event_type, n, med, mad, n_outliers,
+           {dk_rat6('n_outliers', 'n')} AS outlier_rate
+    FROM (
+        SELECT event_type, max(n)::BIGINT AS n,
+               round(max(med), 6) AS med, round(max(mad), 6) AS mad,
+               sum(is_outlier)::BIGINT AS n_outliers
+        FROM flagged GROUP BY event_type
+    ) ORDER BY event_type
     """
 
 
@@ -4909,26 +4914,35 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(o_orderkey as string))), 1, 8), 16, 10) as bigint) "
         "/ 4294967296.0"
     )
+    # integer-cents weighted sums (order-free BIGINT, no float-sum
+    # drift) and integer-exact HALF_UP outputs (round-boundary rule):
+    # each replicate mean is Σw·cents/(100·Σw); the percentile at
+    # p = k/40 on the 63-gap grid interpolates with denominator 40, so
+    # 40e6·ci is an exact integer; the mean has denominator 64e6.
     reps = o.select(
         "o_orderkey",
-        "o_totalprice",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
         F.explode(F.expr(f"sequence(0, {BOOT_REPS - 1})")).alias("rep"),
     ).selectExpr(
-        "rep", "o_totalprice", f"{_pois_weight(u)} AS w"
+        "rep", "cents", f"{_pois_weight(u)} AS w"
     )
     per_rep = (
         reps.groupBy("rep")
         .agg(
             F.sum("w").alias("nw"),
-            F.sum(F.col("w") * F.col("o_totalprice")).alias("swx"),
+            F.sum(F.col("w") * F.col("cents")).alias("swc"),
         )
-        .selectExpr("rep", "round(swx / nw, 6) AS m")
+        .selectExpr("rep", f"{sp_rat6('swc', '100 * nw')} AS m")
     )
     return per_rep.agg(
         F.count(F.lit(1)).alias("n_reps"),
-        F.round(F.avg("m"), 6).alias("boot_mean"),
-        F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
-        F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+        F.sum(F.expr("cast(round(m * 1e6) as bigint)")).alias("sm6"),
+        F.expr(
+            "cast(round(percentile(m, 0.025) * 40000000) as bigint)"
+        ).alias("lo40"),
+        F.expr(
+            "cast(round(percentile(m, 0.975) * 40000000) as bigint)"
+        ).alias("hi40"),
         F.round(
             F.expr(
                 f"sqrt((sum(m * m) - sum(m) * sum(m) / {BOOT_REPS}) "
@@ -4936,6 +4950,12 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("boot_se"),
+    ).selectExpr(
+        "n_reps",
+        f"{sp_rat6('sm6', str(BOOT_REPS * 1_000_000))} AS boot_mean",
+        f"{sp_rat6('lo40', '40000000')} AS ci_lo",
+        f"{sp_rat6('hi40', '40000000')} AS ci_hi",
+        "boot_se",
     )
 
 
@@ -4946,19 +4966,27 @@ def stats_bootstrap_ci_sql() -> str:
     )
     return f"""
     WITH reps AS (
-        SELECT r.rep, o_totalprice, {_pois_weight(u)} AS w
+        SELECT r.rep, round(o_totalprice * 100)::BIGINT AS cents,
+               {_pois_weight(u)} AS w
         FROM orders, (SELECT unnest(generate_series(0, {BOOT_REPS - 1})) AS rep) r
     ), per_rep AS (
-        SELECT rep, round(sum(w * o_totalprice) / sum(w), 6) AS m
+        SELECT rep, {dk_rat6('sum(w * cents)::BIGINT', '100 * sum(w)::BIGINT')} AS m
         FROM reps GROUP BY rep
+    ), agg AS (
+        SELECT count(*)::BIGINT AS n_reps,
+               sum(round(m * 1e6)::BIGINT)::BIGINT AS sm6,
+               round(quantile_cont(m, 0.025) * 40000000)::BIGINT AS lo40,
+               round(quantile_cont(m, 0.975) * 40000000)::BIGINT AS hi40,
+               round(sqrt((sum(m * m) - sum(m) * sum(m) / {BOOT_REPS})
+                     / ({BOOT_REPS} - 1.0)), 6) AS boot_se
+        FROM per_rep
     )
-    SELECT count(*)::BIGINT AS n_reps,
-           round(avg(m), 6) AS boot_mean,
-           round(quantile_cont(m, 0.025), 6) AS ci_lo,
-           round(quantile_cont(m, 0.975), 6) AS ci_hi,
-           round(sqrt((sum(m * m) - sum(m) * sum(m) / {BOOT_REPS})
-                 / ({BOOT_REPS} - 1.0)), 6) AS boot_se
-    FROM per_rep
+    SELECT n_reps,
+           {dk_rat6('sm6', str(BOOT_REPS * 1_000_000))} AS boot_mean,
+           {dk_rat6('lo40', '40000000')} AS ci_lo,
+           {dk_rat6('hi40', '40000000')} AS ci_hi,
+           boot_se
+    FROM agg
     """
 
 
@@ -7018,26 +7046,36 @@ def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = ev.withColumn("gap_us", F.col("us") - F.lag("us").over(w)).where(
         F.col("gap_us").isNotNull()
     )
+    # mean/percentile outputs are integer rationals: the mean is
+    # Σgap_us/(n·1e6); percentile(p=k/20) linearly interpolates on the
+    # integer micro grid so 2·p50 and 20·p95 are exact integers — all
+    # three go through the integer-exact HALF_UP helper (repo
+    # round-boundary rule; a .5-micro median is EXACTLY the class).
     return (
         gaps.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_gaps"),
-            F.round(F.sum("gap_us") / F.count(F.lit(1)) / 1e6, 6).alias(
-                "mean_gap_s"
-            ),
-            F.round(F.expr("percentile(gap_us, 0.5)") / 1e6, 6).alias(
-                "p50_gap_s"
-            ),
-            F.round(F.expr("percentile(gap_us, 0.95)") / 1e6, 6).alias(
-                "p95_gap_s"
-            ),
+            F.sum("gap_us").alias("sum_gap_us"),
+            F.expr(
+                "cast(round(percentile(gap_us, 0.5) * 2) as bigint)"
+            ).alias("p50_2us"),
+            F.expr(
+                "cast(round(percentile(gap_us, 0.95) * 20) as bigint)"
+            ).alias("p95_20us"),
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            F.expr(sp_rat6("sum_gap_us", "n_gaps * 1000000")).alias("mean_gap_s"),
+            F.expr(sp_rat6("p50_2us", "2000000")).alias("p50_gap_s"),
+            F.expr(sp_rat6("p95_20us", "20000000")).alias("p95_gap_s"),
         )
         .orderBy("event_type")
     )
 
 
 def q_events_inter_arrival_sql() -> str:
-    return """
+    return f"""
     WITH ev AS (
         SELECT user_id, event_type, event_id,
                epoch_us(ts::TIMESTAMP) AS us
@@ -7047,13 +7085,19 @@ def q_events_inter_arrival_sql() -> str:
                us - lag(us) OVER (PARTITION BY user_id, event_type
                                   ORDER BY us, event_id) AS gap_us
         FROM ev
+    ), agg AS (
+        SELECT event_type, count(*)::BIGINT AS n_gaps,
+               sum(gap_us)::BIGINT AS sum_gap_us,
+               round(quantile_cont(gap_us, 0.5) * 2)::BIGINT AS p50_2us,
+               round(quantile_cont(gap_us, 0.95) * 20)::BIGINT AS p95_20us
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY event_type
     )
-    SELECT event_type, count(*)::BIGINT AS n_gaps,
-           round(sum(gap_us) / count(*) / 1e6, 6) AS mean_gap_s,
-           round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_gap_s,
-           round(quantile_cont(gap_us, 0.95) / 1e6, 6) AS p95_gap_s
-    FROM g WHERE gap_us IS NOT NULL
-    GROUP BY event_type ORDER BY event_type
+    SELECT event_type, n_gaps,
+           {dk_rat6('sum_gap_us', 'n_gaps * 1000000')} AS mean_gap_s,
+           {dk_rat6('p50_2us', '2000000')} AS p50_gap_s,
+           {dk_rat6('p95_20us', '20000000')} AS p95_gap_s
+    FROM agg ORDER BY event_type
     """
 
 
@@ -9608,28 +9652,27 @@ def q_lineitem_discount_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("pct * pct * n_lines")).alias("sxx"),
         F.sum(F.expr("pct * sq")).alias("sxy"),
     )
-    slope = (
-        "((n * cast(sxy as double) - cast(sx as double) * sy)"
-        " / (n * cast(sxx as double) - cast(sx as double) * sx))"
-    )
+    # mean_qty and the OLS slope over integer moments are PURE integer
+    # rationals — integer-exact HALF_UP (repo round-boundary rule);
+    # products widen to decimal(38,0) BEFORE multiplying (100TB-safe).
+    sp_p = "(cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy)"
+    sp_q = "(cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx)"
     return (
         grid.crossJoin(F.broadcast(m))
         .selectExpr(
             "pct AS discount_pct",
             "n_lines",
-            "round(cast(sq as double) / n_lines, 6) AS mean_qty",
+            f"{sp_rat6('sq', 'n_lines')} AS mean_qty",
             "rev_cents",
-            f"round({slope}, 6) AS qty_per_pct_slope",
+            f"{sp_rat6(sp_p, sp_q)} AS qty_per_pct_slope",
         )
         .orderBy("discount_pct")
     )
 
 
 def q_lineitem_discount_effect_sql() -> str:
-    slope = (
-        "((n * sxy::DOUBLE - sx::DOUBLE * sy)"
-        " / (n * sxx::DOUBLE - sx::DOUBLE * sx))"
-    )
+    dk_p = "(n::HUGEINT * sxy - sx::HUGEINT * sy)"
+    dk_q = "(n::HUGEINT * sxx - sx::HUGEINT * sx)"
     return f"""
     WITH li AS (
         SELECT round(l_discount * 100)::BIGINT AS pct,
@@ -9650,9 +9693,9 @@ def q_lineitem_discount_effect_sql() -> str:
         FROM grid
     )
     SELECT pct AS discount_pct, n_lines,
-           round(sq::DOUBLE / n_lines, 6) AS mean_qty,
+           {dk_rat6('sq', 'n_lines')} AS mean_qty,
            rev_cents,
-           round({slope}, 6) AS qty_per_pct_slope
+           {dk_rat6(dk_p, dk_q)} AS qty_per_pct_slope
     FROM grid CROSS JOIN m
     ORDER BY discount_pct
     """
@@ -9868,14 +9911,14 @@ def q_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_cents AS top_rev_cents",
             "total_cents",
             "n_partners",
-            "round(cast(rev_cents as double) / total_cents, 6) AS top_share",
+            f"{sp_rat6('rev_cents', 'total_cents')} AS top_share",
         )
         .orderBy("cust_nation")
     )
 
 
 def q_nation_trade_matrix_sql() -> str:
-    return """
+    return f"""
     WITH pair AS (
         SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
                sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
@@ -9898,7 +9941,7 @@ def q_nation_trade_matrix_sql() -> str:
     SELECT cust_nation, supp_nation AS top_supplier_nation,
            rev_cents AS top_rev_cents, total_cents::BIGINT AS total_cents,
            n_partners::BIGINT AS n_partners,
-           round(rev_cents::DOUBLE / total_cents, 6) AS top_share
+           {dk_rat6('rev_cents', 'total_cents::BIGINT')} AS top_share
     FROM ranked WHERE rank = 1
     ORDER BY cust_nation
     """
@@ -10230,9 +10273,8 @@ def q_brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = Window.partitionBy("p_brand").orderBy("yr")
     out = (
         grid.withColumn("yr_total", F.sum("rev_cents").over(wy))
-        .withColumn(
-            "share", F.round(F.col("rev_cents").cast("double") / F.col("yr_total"), 6)
-        )
+        # integer-exact HALF_UP share (repo round-boundary rule)
+        .withColumn("share", F.expr(sp_rat6("rev_cents", "yr_total")))
         .withColumn("prev_share", F.lag("share").over(wb))
         .where(F.col("prev_share").isNotNull())
         .selectExpr(
@@ -10248,7 +10290,7 @@ def q_brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_brand_share_shift_sql() -> str:
-    return """
+    return f"""
     WITH grid AS (
         SELECT p_brand, year(o_orderdate)::BIGINT AS yr,
                sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
@@ -10258,11 +10300,14 @@ def q_brand_share_shift_sql() -> str:
         JOIN part ON l_partkey = p_partkey
         WHERE o_orderdate IS NOT NULL
         GROUP BY 1, 2
+    ), s0 AS (
+        SELECT p_brand, yr, rev_cents,
+               sum(rev_cents) OVER (PARTITION BY yr) AS yr_total
+        FROM grid
     ), s AS (
         SELECT p_brand, yr, rev_cents,
-               round(rev_cents::DOUBLE /
-                     sum(rev_cents) OVER (PARTITION BY yr), 6) AS share
-        FROM grid
+               {dk_rat6('rev_cents', 'yr_total')} AS share
+        FROM s0
     ), lagged AS (
         SELECT p_brand, yr, rev_cents, share,
                lag(share) OVER (PARTITION BY p_brand ORDER BY yr) AS prev_share
@@ -10319,14 +10364,14 @@ def q_events_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n1 AS n_users_t1",
             "n2 AS n_users_t2",
             "n_both",
-            "round(cast(n_both as double) / (n1 + n2 - n_both), 6) AS jaccard",
+            f"{sp_rat6('n_both', 'n1 + n2 - n_both')} AS jaccard",
         )
         .orderBy("t1", "t2")
     )
 
 
 def q_events_type_overlap_sql() -> str:
-    return """
+    return f"""
     WITH ut AS (
         SELECT DISTINCT user_id, event_type FROM events
         WHERE user_id IS NOT NULL AND event_type IS NOT NULL
@@ -10342,7 +10387,7 @@ def q_events_type_overlap_sql() -> str:
     )
     SELECT t1, t2, ta.n_users AS n_users_t1, tb.n_users AS n_users_t2,
            n_both,
-           round(n_both::DOUBLE / (ta.n_users + tb.n_users - n_both), 6)
+           {dk_rat6('n_both', 'ta.n_users + tb.n_users - n_both')}
                AS jaccard
     FROM pairs
     JOIN tot ta ON t1 = ta.t
@@ -11070,15 +11115,24 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     emp = F.broadcast(
         rows.crossJoin(F.broadcast(rows.agg(F.sum("ca").alias("tot"))))
-        .selectExpr("a AS _s", "round(cast(ca as double) / tot, 6) AS empirical")
+        .selectExpr("a AS _s", "ca", "tot")
     )
+    # pv is a 9-dp decimal (each iteration rounds to 9), so
+    # stationary_p / empirical / gap are all integer rationals — emit
+    # them through the integer-exact HALF_UP helper (round-boundary
+    # rule: a 9-dp value whose 7th digit is 5 is EXACTLY the class).
     return (
         v.join(emp, F.col("s") == F.col("_s"))
+        .withColumn("pv9", F.expr("cast(round(pv * 1e9) as bigint)"))
         .selectExpr(
             "s AS state",
-            "round(pv, 6) AS stationary_p",
-            "empirical",
-            "round(pv - empirical, 6) AS gap",
+            f"{sp_rat6('pv9', '1000000000')} AS stationary_p",
+            f"{sp_rat6('ca', 'tot')} AS empirical",
+            f"""{sp_rat6(
+                'cast(pv9 as decimal(38,0)) * tot'
+                ' - cast(ca as decimal(38,0)) * 1000000000',
+                'cast(tot as decimal(38,0)) * 1000000000',
+            )} AS gap""",
         )
         .orderBy("state")
     )
@@ -11116,16 +11170,18 @@ def q_events_markov_stationary_sql() -> str:
                round(1.0 / (SELECT count(DISTINCT a) FROM p), 9) AS pv
         FROM (SELECT DISTINCT a FROM p)
     ){steps}, emp AS (
-        SELECT a AS s, round(ca::DOUBLE / (SELECT sum(ca) FROM rows_), 6)
-                   AS empirical
+        SELECT a AS s, ca, (SELECT sum(ca) FROM rows_)::BIGINT AS tot
         FROM rows_
+    ), fin AS (
+        SELECT v{MARKOV_POWER_ITERS}.s AS state,
+               round(pv * 1e9)::BIGINT AS pv9, ca, tot
+        FROM v{MARKOV_POWER_ITERS} JOIN emp ON v{MARKOV_POWER_ITERS}.s = emp.s
     )
-    SELECT v{MARKOV_POWER_ITERS}.s AS state,
-           round(pv, 6) AS stationary_p,
-           empirical,
-           round(pv - empirical, 6) AS gap
-    FROM v{MARKOV_POWER_ITERS} JOIN emp ON v{MARKOV_POWER_ITERS}.s = emp.s
-    ORDER BY state
+    SELECT state,
+           {dk_rat6('pv9', '1000000000')} AS stationary_p,
+           {dk_rat6('ca', 'tot')} AS empirical,
+           {dk_rat6('pv9::HUGEINT * tot - ca::HUGEINT * 1000000000', 'tot::HUGEINT * 1000000000')} AS gap
+    FROM fin ORDER BY state
     """
 
 
@@ -11348,15 +11404,15 @@ def q_part_supply_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_suppliers",
             "n_parts",
             "rev_cents",
-            "round(cast(n_parts as double) / tp, 6) AS part_share",
-            "round(cast(rev_cents as double) / tr, 6) AS revenue_share",
+            f"{sp_rat6('n_parts', 'tp')} AS part_share",
+            f"{sp_rat6('rev_cents', 'tr')} AS revenue_share",
         )
         .orderBy("n_suppliers")
     )
 
 
 def q_part_supply_risk_sql() -> str:
-    return """
+    return f"""
     WITH rel AS (
         SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
         WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
@@ -11380,8 +11436,8 @@ def q_part_supply_risk_sql() -> str:
         FROM grid
     )
     SELECT n_suppliers, n_parts, rev_cents,
-           round(n_parts::DOUBLE / tp, 6) AS part_share,
-           round(rev_cents::DOUBLE / tr, 6) AS revenue_share
+           {dk_rat6('n_parts', 'tp')} AS part_share,
+           {dk_rat6('rev_cents', 'tr')} AS revenue_share
     FROM grid CROSS JOIN tot
     ORDER BY n_suppliers
     """
@@ -11594,18 +11650,22 @@ def q_events_user_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.datediff("d1", "d0").alias("span"))
     )
+    # single_day_share and the mean span are integer rationals —
+    # integer-exact HALF_UP (repo round-boundary rule). p50/p90 have at
+    # most one decimal digit (interpolation denominators 2 and 10), so
+    # round(...,6) is an identity there and stays plain.
     return u.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum((F.col("span") == 0).cast("bigint")).alias("n_single_day"),
-        _r(F.avg("span"), "mean_span_days"),
+        F.sum("span").alias("sum_span"),
         _r(F.expr("percentile(span, 0.5)"), "p50_span_days"),
         _r(F.expr("percentile(span, 0.9)"), "p90_span_days"),
         F.max("span").alias("max_span_days"),
     ).selectExpr(
         "n_users",
         "n_single_day",
-        "round(cast(n_single_day as double) / n_users, 6) AS single_day_share",
-        "mean_span_days",
+        f"{sp_rat6('n_single_day', 'n_users')} AS single_day_share",
+        f"{sp_rat6('sum_span', 'n_users')} AS mean_span_days",
         "p50_span_days",
         "p90_span_days",
         "max_span_days",
@@ -11613,22 +11673,26 @@ def q_events_user_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_user_lifespan_sql() -> str:
-    return """
+    return f"""
     WITH u AS (
         SELECT datediff('day', min(ts::DATE), max(ts::DATE)) AS span
         FROM events
         WHERE user_id IS NOT NULL AND ts IS NOT NULL
         GROUP BY user_id
     )
-    SELECT count(*)::BIGINT AS n_users,
-           sum((span = 0)::INT)::BIGINT AS n_single_day,
-           round(sum((span = 0)::INT)::DOUBLE / count(*), 6)
-               AS single_day_share,
-           round(avg(span), 6) AS mean_span_days,
-           round(quantile_cont(span, 0.5), 6) AS p50_span_days,
-           round(quantile_cont(span, 0.9), 6) AS p90_span_days,
-           max(span)::BIGINT AS max_span_days
-    FROM u
+    SELECT n_users, n_single_day,
+           {dk_rat6('n_single_day', 'n_users')} AS single_day_share,
+           {dk_rat6('sum_span', 'n_users')} AS mean_span_days,
+           p50_span_days, p90_span_days, max_span_days
+    FROM (
+        SELECT count(*)::BIGINT AS n_users,
+               sum((span = 0)::INT)::BIGINT AS n_single_day,
+               sum(span)::BIGINT AS sum_span,
+               round(quantile_cont(span, 0.5), 6) AS p50_span_days,
+               round(quantile_cont(span, 0.9), 6) AS p90_span_days,
+               max(span)::BIGINT AS max_span_days
+        FROM u
+    )
     """
 
 
@@ -11662,20 +11726,25 @@ def q_orders_month_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         grid.crossJoin(tot)
+        # mean (2dp) and index are integer rationals — integer-exact
+        # HALF_UP at their scales (repo round-boundary rule); the index
+        # cross-multiplies to (rev_cents·td)/(n_days·tr), widened first.
         .selectExpr(
             "month",
             "n_days",
             "rev_cents",
-            "round(cast(rev_cents as double) / n_days, 2) AS mean_daily_cents",
-            "round((cast(rev_cents as double) / n_days)"
-            " / (cast(tr as double) / td), 6) AS seasonal_index",
+            f"{sp_rat('rev_cents', 'n_days', 2)} AS mean_daily_cents",
+            f"""{sp_rat6(
+                'cast(rev_cents as decimal(38,0)) * td',
+                'cast(n_days as decimal(38,0)) * tr',
+            )} AS seasonal_index""",
         )
         .orderBy("month")
     )
 
 
 def q_orders_month_index_sql() -> str:
-    return """
+    return f"""
     WITH d AS (
         SELECT o_orderdate::DATE AS day,
                sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
@@ -11689,8 +11758,8 @@ def q_orders_month_index_sql() -> str:
         FROM grid
     )
     SELECT month, n_days, rev_cents,
-           round(rev_cents::DOUBLE / n_days, 2) AS mean_daily_cents,
-           round((rev_cents::DOUBLE / n_days) / (tr::DOUBLE / td), 6)
+           {dk_rat('rev_cents', 'n_days', 2)} AS mean_daily_cents,
+           {dk_rat6('rev_cents::HUGEINT * td', 'n_days::HUGEINT * tr')}
                AS seasonal_index
     FROM grid CROSS JOIN tot
     ORDER BY month
@@ -12051,23 +12120,27 @@ def stats_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("grp") == 0).cast("bigint")).alias("n_a"),
         F.sum((F.col("grp") == 1).cast("bigint")).alias("n_b"),
     )
-    chi2 = (
-        "((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)"
-        " / ((n_a + n_b) / 2.0) * 2.0)"
+    # chi2 simplifies to (n_a−n_b)²/(n_a+n_b) — a PURE integer
+    # rational, like share_a: integer-exact HALF_UP (round-boundary
+    # rule); the flag compares the identical emitted double.
+    chi2 = sp_rat6(
+        "cast(n_a as decimal(38,0)) * n_a - 2 * cast(n_a as decimal(38,0)) * n_b"
+        " + cast(n_b as decimal(38,0)) * n_b",
+        "n_a + n_b",
     )
     return agg.selectExpr(
         "n_a",
         "n_b",
-        "round(cast(n_a as double) / (n_a + n_b), 6) AS share_a",
-        f"round({chi2}, 6) AS chi2_srm",
-        f"round({chi2}, 6) > 10.83 AS srm_detected",
+        f"{sp_rat6('n_a', 'n_a + n_b')} AS share_a",
+        f"{chi2} AS chi2_srm",
+        f"{chi2} > 10.83 AS srm_detected",
     )
 
 
 def stats_ab_srm_sql() -> str:
-    chi2 = (
-        "((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)"
-        " / ((n_a + n_b) / 2.0) * 2.0)"
+    chi2 = dk_rat6(
+        "n_a::HUGEINT * n_a - 2 * n_a::HUGEINT * n_b + n_b::HUGEINT * n_b",
+        "n_a + n_b",
     )
     return f"""
     WITH u AS (
@@ -12078,9 +12151,9 @@ def stats_ab_srm_sql() -> str:
         FROM u
     )
     SELECT n_a, n_b,
-           round(n_a::DOUBLE / (n_a + n_b), 6) AS share_a,
-           round({chi2}, 6) AS chi2_srm,
-           round({chi2}, 6) > 10.83 AS srm_detected
+           {dk_rat6('n_a', 'n_a + n_b')} AS share_a,
+           {chi2} AS chi2_srm,
+           {chi2} > 10.83 AS srm_detected
     FROM agg
     """
 
@@ -12123,8 +12196,9 @@ def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             "user_id",
             "n AS n_events",
-            "round(cast(n as double) / total, 6) AS share",
-            "round(cast(cum_n as double) / total, 6) AS cum_share",
+            # integer-exact HALF_UP shares (repo round-boundary rule)
+            f"{sp_rat6('n', 'total')} AS share",
+            f"{sp_rat6('cum_n', 'total')} AS cum_share",
             "n_users",
         )
         .orderBy("rank")
@@ -12141,14 +12215,18 @@ def q_events_heavy_hitters_sql() -> str:
     ), tot AS (
         SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS n_users FROM u
     )
-    SELECT row_number() OVER (ORDER BY n DESC, user_id) AS rank,
-           user_id, n AS n_events,
-           round(n::DOUBLE / total, 6) AS share,
-           round(sum(n) OVER (ORDER BY n DESC, user_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
-                 / total, 6) AS cum_share,
+    SELECT rank, user_id, n_events,
+           {dk_rat6('n_events', 'total')} AS share,
+           {dk_rat6('cum_n', 'total')} AS cum_share,
            n_users
-    FROM top CROSS JOIN tot
+    FROM (
+        SELECT row_number() OVER (ORDER BY n DESC, user_id) AS rank,
+               user_id, n AS n_events,
+               sum(n) OVER (ORDER BY n DESC, user_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+               n_users, total
+        FROM top CROSS JOIN tot
+    )
     ORDER BY rank
     """
 
@@ -12455,7 +12533,7 @@ def stats_benford_second(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "d2 AS digit",
             "n",
-            "round(cast(n as double) / t, 6) AS observed",
+            f"{sp_rat6('n', 't')} AS observed",
             f"round(CASE d2 {exp_case} END, 6) AS expected",
             f"round(cast(n as double) / t - (CASE d2 {exp_case} END), 6)"
             " AS deviation",
@@ -12485,7 +12563,7 @@ def stats_benford_second_sql() -> str:
         SELECT sum(n)::BIGINT AS t FROM grid
     )
     SELECT d2 AS digit, n,
-           round(n::DOUBLE / t, 6) AS observed,
+           {dk_rat6('n', 't')} AS observed,
            round(CASE d2 {exp_case} END, 6) AS expected,
            round(n::DOUBLE / t - (CASE d2 {exp_case} END), 6) AS deviation
     FROM grid CROSS JOIN tot
