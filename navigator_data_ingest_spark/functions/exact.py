@@ -52,30 +52,39 @@ from pyspark.sql.types import LongType, TimestampNTZType
 _M6 = 1_000_000
 
 
-def sp_rat(p: str, q: str, scale: int = 6) -> str:
-    """Spark SQL: HALF_UP ``round(p/q, scale)`` in exact integer
-    arithmetic. p, q integer-exact SQL expressions; q > 0.
-    """
+def sp_units(p: str, q: str, scale: int = 6) -> str:
+    """Spark SQL: signed integer 10^-scale units of HALF_UP(p/q) as a
+    BIGINT-valued expression (exact integer arithmetic, q > 0)."""
     m = 10**scale
-    units = (
+    return (
         f"((CASE WHEN ({p}) < 0 THEN -1 ELSE 1 END) * "
         f"((2 * abs(cast(({p}) as decimal(38,0))) * {m}"
         f" + cast(({q}) as decimal(38,0)))"
         f" div (2 * cast(({q}) as decimal(38,0)))))"
     )
-    return f"(cast({units} as double) / {float(m)})"
 
 
-def dk_rat(p: str, q: str, scale: int = 6) -> str:
-    """DuckDB SQL: the same HALF_UP scaled-unit value as :func:`sp_rat`."""
+def dk_units(p: str, q: str, scale: int = 6) -> str:
+    """DuckDB SQL: the same integer units as :func:`sp_units` (HUGEINT)."""
     m = 10**scale
-    units = (
+    return (
         f"((CASE WHEN ({p}) < 0 THEN -1 ELSE 1 END) * "
         f"((2 * abs(CAST(({p}) AS HUGEINT)) * {m}"
         f" + CAST(({q}) AS HUGEINT))"
         f" // (2 * CAST(({q}) AS HUGEINT))))"
     )
-    return f"(({units})::DOUBLE / {float(m)})"
+
+
+def sp_rat(p: str, q: str, scale: int = 6) -> str:
+    """Spark SQL: HALF_UP ``round(p/q, scale)`` in exact integer
+    arithmetic. p, q integer-exact SQL expressions; q > 0.
+    """
+    return f"(cast({sp_units(p, q, scale)} as double) / {float(10 ** scale)})"
+
+
+def dk_rat(p: str, q: str, scale: int = 6) -> str:
+    """DuckDB SQL: the same HALF_UP scaled-unit value as :func:`sp_rat`."""
+    return f"(({dk_units(p, q, scale)})::DOUBLE / {float(10 ** scale)})"
 
 
 def sp_rat6(p: str, q: str) -> str:

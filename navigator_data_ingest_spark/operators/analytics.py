@@ -25,9 +25,11 @@ from navigator_data_ingest_spark.functions import exprs as X
 from navigator_data_ingest_spark.functions.exact import (
     dk_rat,
     dk_rat6,
+    dk_units,
     sp_epoch_us,
     sp_rat,
     sp_rat6,
+    sp_units,
 )
 from navigator_data_ingest_spark.sources.tables import load_table, scatter
 
@@ -5979,24 +5981,27 @@ def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
              & (F.col("pred_b") == F.col("truth"))).cast("int")
         ).alias("c_disc"),
     )
-    chi2 = (
-        "((abs(b_disc - c_disc) - 1.0) * (abs(b_disc - c_disc) - 1.0) "
-        "/ (b_disc + c_disc))"
+    # acc_a/acc_b and the continuity-corrected chi2 =
+    # (|b−c|−1)²/(b+c) are PURE integer rationals — integer-exact
+    # HALF_UP (repo round-boundary rule).
+    chi2p = (
+        "(cast(abs(b_disc - c_disc) - 1 as decimal(38,0))"
+        " * (abs(b_disc - c_disc) - 1))"
     )
     return agg.selectExpr(
         "n",
         "b_disc",
         "c_disc",
-        "round(ok_a / cast(n as double), 6) AS acc_a",
-        "round(ok_b / cast(n as double), 6) AS acc_b",
-        f"round({chi2}, 6) AS mcnemar_chi2",
+        f"{sp_rat6('ok_a', 'n')} AS acc_a",
+        f"{sp_rat6('ok_b', 'n')} AS acc_b",
+        f"{sp_rat6(chi2p, 'b_disc + c_disc')} AS mcnemar_chi2",
     )
 
 
 def stats_mcnemar_sql() -> str:
-    chi2 = (
-        "((abs(b_disc - c_disc) - 1.0) * (abs(b_disc - c_disc) - 1.0) "
-        "/ (b_disc + c_disc))"
+    chi2p = (
+        "((abs(b_disc - c_disc) - 1)::HUGEINT"
+        " * (abs(b_disc - c_disc) - 1))"
     )
     return f"""
     WITH li_cnt AS (
@@ -6018,9 +6023,9 @@ def stats_mcnemar_sql() -> str:
         FROM j
     )
     SELECT n, b_disc, c_disc,
-           round(ok_a / n::DOUBLE, 6) AS acc_a,
-           round(ok_b / n::DOUBLE, 6) AS acc_b,
-           round({chi2}, 6) AS mcnemar_chi2
+           {dk_rat6('ok_a', 'n')} AS acc_a,
+           {dk_rat6('ok_b', 'n')} AS acc_b,
+           {dk_rat6(chi2p, 'b_disc + c_disc')} AS mcnemar_chi2
     FROM agg
     """
 
@@ -7975,29 +7980,38 @@ def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("k"),
         F.sum(F.col("ct") * F.col("ct") - 1).alias("tie_part"),
     )
+    # mean_rank, χ² and the tie-adjusted χ² are PURE integer rationals
+    # of the BIGINT rank moments (rr = Σr2² summed as DECIMAL(38,0)):
+    #   χ² = 3·(rr − n²k(k+1)²) / (n·k·(k+1))
+    #   χ²_adj = χ² · nk(k²−1) / (nk(k²−1) − tie_term)
+    # — integer-exact HALF_UP (round-boundary rule). Decimal headroom
+    # holds to ~1e9 complete blocks (A·T·3·2e6 < 1e38).
     tot = per_type.agg(
-        F.max("n").alias("n"),
-        F.max("k").alias("k"),
-        F.sum(F.expr("cast(r2 as double) * cast(r2 as double)")).alias("rr"),
+        F.sum(F.expr("cast(r2 as decimal(38,0)) * r2")).alias("rr"),
         F.sum("tie_part").alias("tie_term"),
     )
-    chi2 = "((3.0 * rr / (n * k * (k + 1.0))) - 3.0 * n * (k + 1.0))"
-    corr = "(1.0 - tie_term / (n * k * (k * k - 1.0)))"
+    a = (
+        "(cast(rr as decimal(38,0))"
+        " - cast(n as decimal(38,0)) * n * k * (k + 1) * (k + 1))"
+    )
+    qc = "(cast(n as decimal(38,0)) * k * (k + 1))"
+    t = "(cast(n as decimal(38,0)) * k * (k * k - 1))"
     out = per_type.crossJoin(F.broadcast(tot.select("rr", "tie_term")))
     return out.selectExpr(
         "event_type",
         "r2 AS rank_sum_2x",
-        "round(r2 / (2.0 * n), 6) AS mean_rank",
+        f"{sp_rat6('r2', '2 * n')} AS mean_rank",
         "n AS n_users",
         "k",
-        f"round({chi2}, 6) AS chi2",
-        f"round({chi2} / {corr}, 6) AS chi2_tie_adj",
+        f"{sp_rat6(f'3 * {a}', qc)} AS chi2",
+        f"{sp_rat6(f'3 * {a} * {t}', f'{qc} * ({t} - tie_term)')} AS chi2_tie_adj",
     ).orderBy("event_type")
 
 
 def stats_friedman_sql() -> str:
-    chi2 = "((3.0 * rr / (n * k * (k + 1.0))) - 3.0 * n * (k + 1.0))"
-    corr = "(1.0 - tie_term / (n * k * (k * k - 1.0)))"
+    a = "(rr - n::HUGEINT * n * k * (k + 1) * (k + 1))"
+    qc = "(n::HUGEINT * k * (k + 1))"
+    t = "(n::HUGEINT * k * (k * k - 1))"
     return f"""
     WITH ev AS (
         SELECT user_id, event_type, value FROM events
@@ -8027,15 +8041,15 @@ def stats_friedman_sql() -> str:
                sum(ct * ct - 1)::BIGINT AS tie_part
         FROM ranked GROUP BY event_type
     ), tot AS (
-        SELECT sum(r2::DOUBLE * r2::DOUBLE) AS rr,
+        SELECT sum(r2::HUGEINT * r2) AS rr,
                sum(tie_part)::BIGINT AS tie_term
         FROM per_type
     )
     SELECT event_type, r2 AS rank_sum_2x,
-           round(r2 / (2.0 * n), 6) AS mean_rank,
+           {dk_rat6('r2', '2 * n')} AS mean_rank,
            n AS n_users, k,
-           round({chi2}, 6) AS chi2,
-           round({chi2} / {corr}, 6) AS chi2_tie_adj
+           {dk_rat6(f'3 * {a}', qc)} AS chi2,
+           {dk_rat6(f'3 * {a} * {t}', f'{qc} * ({t} - tie_term)')} AS chi2_tie_adj
     FROM per_type CROSS JOIN tot
     ORDER BY event_type
     """
@@ -8078,26 +8092,29 @@ def stats_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_customers").alias("n_customers"),
             F.max("total_cents").alias("total_cents"),
             F.max("max_rev").alias("max_rev"),
-            F.sum(
-                (F.col("rev").cast("double") / F.col("total_cents").cast("double"))
-                * (F.col("rev").cast("double") / F.col("total_cents").cast("double"))
-            ).alias("hhi_raw"),
+            # Σrev² as DECIMAL(38,0): ORDER-FREE integer sum (the float
+            # Σshare² was order-dependent), so HHI = Σrev²/total² and
+            # every derived column is a PURE integer rational.
+            F.sum(F.expr("cast(rev as decimal(38,0)) * rev")).alias("srr"),
         )
     )
+    tt = "(cast(total_cents as decimal(38,0)) * total_cents)"
     return out.selectExpr(
         "c_mktsegment AS segment",
         "n_customers",
         "total_cents",
-        "round(hhi_raw, 6) AS hhi",
-        "round((hhi_raw - 1.0 / n_customers)"
-        " / nullif(1.0 - 1.0 / n_customers, 0.0), 6) AS hhi_norm",
-        "round(cast(max_rev as double) / total_cents, 6) AS cr1",
-        "round(1.0 / hhi_raw, 2) AS effective_n",
+        f"{sp_rat6('srr', tt)} AS hhi",
+        f"""{sp_rat6(
+            f'cast(n_customers as decimal(38,0)) * srr - {tt}',
+            f'{tt} * (n_customers - 1)',
+        )} AS hhi_norm""",
+        f"{sp_rat6('max_rev', 'total_cents')} AS cr1",
+        f"{sp_rat(tt, 'srr', 2)} AS effective_n",
     ).orderBy("segment")
 
 
 def stats_herfindahl_sql() -> str:
-    return """
+    return f"""
     WITH r AS (
         SELECT c_mktsegment, c_custkey,
                sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev
@@ -8112,17 +8129,16 @@ def stats_herfindahl_sql() -> str:
                max(n_customers)::BIGINT AS n_customers,
                max(total_cents)::BIGINT AS total_cents,
                max(max_rev)::BIGINT AS max_rev,
-               sum((rev::DOUBLE / total_cents::DOUBLE)
-                   * (rev::DOUBLE / total_cents::DOUBLE)) AS hhi_raw
+               sum(rev::HUGEINT * rev) AS srr
         FROM r JOIN seg ON r.c_mktsegment IS NOT DISTINCT FROM seg.c_mktsegment
         GROUP BY 1
     )
     SELECT c_mktsegment AS segment, n_customers, total_cents,
-           round(hhi_raw, 6) AS hhi,
-           round((hhi_raw - 1.0 / n_customers)
-                 / nullif(1.0 - 1.0 / n_customers, 0.0), 6) AS hhi_norm,
-           round(max_rev::DOUBLE / total_cents, 6) AS cr1,
-           round(1.0 / hhi_raw, 2) AS effective_n
+           {dk_rat6('srr', 'total_cents::HUGEINT * total_cents')} AS hhi,
+           {dk_rat6('n_customers::HUGEINT * srr - total_cents::HUGEINT * total_cents',
+                    '(total_cents::HUGEINT * total_cents) * (n_customers - 1)')} AS hhi_norm,
+           {dk_rat6('max_rev', 'total_cents')} AS cr1,
+           {dk_rat('total_cents::HUGEINT * total_cents', 'srr', 2)} AS effective_n
     FROM h ORDER BY segment
     """
 
@@ -8513,25 +8529,26 @@ def stats_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").alias("sx"),
         F.sum(F.expr("x * x")).alias("sxx"),
     )
-    var = "((n * cast(sxx as double) - cast(sx as double) * sx) / (n * (n - 1.0)))"
-    mean = "(cast(sx as double) / n)"
+    # all four outputs are PURE integer rationals of the BIGINT moments
+    # (mean = sx/n; var = (n·sxx − sx²)/(n(n−1)); vmr = p/((n−1)·sx);
+    # chi2 = p/sx) — integer-exact HALF_UP, widened products.
+    vp = "(cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx)"
     return (
         agg.selectExpr(
             "event_type",
             "n AS n_days",
             "sx AS n_events",
-            f"round({mean}, 6) AS mean_daily",
-            f"round({var}, 6) AS var_daily",
-            f"round({var} / {mean}, 6) AS vmr",
-            f"round((n - 1) * {var} / {mean}, 6) AS chi2",
+            f"{sp_rat6('sx', 'n')} AS mean_daily",
+            f"{sp_rat6(vp, 'cast(n as decimal(38,0)) * (n - 1)')} AS var_daily",
+            f"{sp_rat6(vp, 'cast(n - 1 as decimal(38,0)) * sx')} AS vmr",
+            f"{sp_rat6(vp, 'sx')} AS chi2",
         )
         .orderBy("event_type")
     )
 
 
 def stats_dispersion_index_sql() -> str:
-    var = "((n * sxx::DOUBLE - sx::DOUBLE * sx) / (n * (n - 1.0)))"
-    mean = "(sx::DOUBLE / n)"
+    vp = "(n::HUGEINT * sxx - sx::HUGEINT * sx)"
     return f"""
     WITH d AS (
         SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS x
@@ -8542,10 +8559,10 @@ def stats_dispersion_index_sql() -> str:
         FROM d GROUP BY 1
     )
     SELECT event_type, n AS n_days, sx AS n_events,
-           round({mean}, 6) AS mean_daily,
-           round({var}, 6) AS var_daily,
-           round({var} / {mean}, 6) AS vmr,
-           round((n - 1) * {var} / {mean}, 6) AS chi2
+           {dk_rat6('sx', 'n')} AS mean_daily,
+           {dk_rat6(vp, 'n::HUGEINT * (n - 1)')} AS var_daily,
+           {dk_rat6(vp, '(n - 1)::HUGEINT * sx')} AS vmr,
+           {dk_rat6(vp, 'sx')} AS chi2
     FROM agg ORDER BY event_type
     """
 
@@ -8601,7 +8618,7 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w AS priority_rank",
             "n_k AS n_orders",
             "r_k AS n_returned",
-            "round(cast(r_k as double) / n_k, 6) AS return_rate",
+            f"{sp_rat6('r_k', 'n_k')} AS return_rate",
             f"round({num} / {den}, 6) AS z_trend",
         )
         .orderBy("priority_rank")
@@ -8630,7 +8647,7 @@ def stats_cochran_armitage_sql() -> str:
         FROM grid
     )
     SELECT w AS priority_rank, n_k AS n_orders, r_k AS n_returned,
-           round(r_k::DOUBLE / n_k, 6) AS return_rate,
+           {dk_rat6('r_k', 'n_k')} AS return_rate,
            round({num} / {den}, 6) AS z_trend
     FROM grid CROSS JOIN tot
     ORDER BY priority_rank
@@ -9219,7 +9236,7 @@ def stats_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b AS n_post",
             "t1 AS days_pre",
             "t2 AS days_post",
-            f"round({r2} / {r1}, 6) AS rate_ratio",
+            f"{sp_rat6('cast(b as decimal(38,0)) * t1', 'cast(a as decimal(38,0)) * t2')} AS rate_ratio",
             f"round(ln({r2} / {r1}) / sqrt(1.0 / a + 1.0 / b), 6) AS z",
         )
         .orderBy("event_type")
@@ -9244,7 +9261,7 @@ def stats_poisson_rate_test_sql() -> str:
     )
     SELECT event_type, a AS n_pre, b AS n_post,
            t1 AS days_pre, t2 AS days_post,
-           round({r2} / {r1}, 6) AS rate_ratio,
+           {dk_rat6('b::HUGEINT * t1', 'a::HUGEINT * t2')} AS rate_ratio,
            round(ln({r2} / {r1}) / sqrt(1.0 / a + 1.0 / b), 6) AS z
     FROM g CROSS JOIN exposure
     ORDER BY event_type
@@ -9322,17 +9339,21 @@ def stats_gini_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         # v * c * (2B + c + 1) to 2*sum(r_i x_i)
         F.sum(F.expr("v * c * (2 * bb + c + 1)")).alias("rw2"),
     )
+    # gini = (rw2 − (n+1)·sx)/(n·sx): PURE integer rational —
+    # integer-exact HALF_UP (round-boundary rule), widened products.
     return agg.selectExpr(
         "c_mktsegment AS segment",
         "n AS n_customers",
         "sx AS total_cents",
-        "round(cast(rw2 as double) / (cast(n as double) * sx)"
-        " - (n + 1.0) / n, 6) AS gini",
+        f"""{sp_rat6(
+            'cast(rw2 as decimal(38,0)) - cast(n + 1 as decimal(38,0)) * sx',
+            'cast(n as decimal(38,0)) * sx',
+        )} AS gini""",
     ).orderBy("segment")
 
 
 def stats_gini_exact_sql() -> str:
-    return """
+    return f"""
     WITH r AS (
         SELECT c_mktsegment, c_custkey,
                sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS v
@@ -9352,7 +9373,7 @@ def stats_gini_exact_sql() -> str:
         FROM ranked GROUP BY 1
     )
     SELECT c_mktsegment AS segment, n AS n_customers, sx AS total_cents,
-           round(rw2::DOUBLE / (n::DOUBLE * sx) - (n + 1.0) / n, 6) AS gini
+           {dk_rat6('rw2::HUGEINT - (n + 1)::HUGEINT * sx', 'n::HUGEINT * sx')} AS gini
     FROM agg ORDER BY segment
     """
 
@@ -9583,7 +9604,7 @@ def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(
         "n AS n_pairs",
         "k AS n_positive",
-        "round(cast(k as double) / n, 6) AS share_positive",
+        f"{sp_rat6('k', 'n')} AS share_positive",
         f"round({z}, 6) AS z",
     )
 
@@ -9610,7 +9631,7 @@ def stats_sign_test_sql() -> str:
         FROM d
     )
     SELECT n AS n_pairs, k AS n_positive,
-           round(k::DOUBLE / n, 6) AS share_positive,
+           {dk_rat6('k', 'n')} AS share_positive,
            round({z}, 6) AS z
     FROM agg
     """
@@ -9816,14 +9837,14 @@ def stats_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q3",
             "n_low",
             "n_high",
-            "round((n_low + n_high) / cast(n as double), 6) AS outlier_share",
+            f"{sp_rat6('n_low + n_high', 'n')} AS outlier_share",
         )
         .orderBy("event_type")
     )
 
 
 def stats_iqr_outliers_sql() -> str:
-    return """
+    return f"""
     WITH ev AS (
         SELECT event_type, round(value * 100)::BIGINT AS v
         FROM events WHERE value IS NOT NULL
@@ -9843,8 +9864,8 @@ def stats_iqr_outliers_sql() -> str:
            round(max(q3_raw), 6) AS q3,
            sum((v < lo)::INT)::BIGINT AS n_low,
            sum((v > hi)::INT)::BIGINT AS n_high,
-           round((sum((v < lo)::INT) + sum((v > hi)::INT))
-                 / count(*)::DOUBLE, 6) AS outlier_share
+           {dk_rat6("sum((v < lo)::INT)::BIGINT + sum((v > hi)::INT)::BIGINT",
+                    "count(*)")} AS outlier_share
     FROM j GROUP BY event_type ORDER BY event_type
     """
 
@@ -10113,37 +10134,43 @@ def stats_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l_partkey").alias("_pk"),
             F.col("sq").alias("qb"),
-            (F.col("sp").cast("double") / F.col("sq")).alias("pb"),
+            F.col("sp").alias("spb"),
+            F.col("sq").alias("sqb"),
         )
     )
+    # per-part basket terms as exact HALF_UP MICRO-CENT integers
+    # (q·p = q·sp/sq): the old float Σ(q·p) was summation-order
+    # dependent; integer micro-unit sums are order-free and the index
+    # ratios become PURE integer rationals (round-boundary rule).
     j = yp.join(F.broadcast(base), yp.l_partkey == F.col("_pk")).selectExpr(
         "yr",
-        "qb",
-        "pb",
-        "sq AS qt",
-        "(cast(sp as double) / sq) AS pt",
+        f"{sp_units('cast(qb as decimal(38,0)) * sp', 'sq')} AS l_num_u",
+        f"{sp_units('cast(qb as decimal(38,0)) * spb', 'sqb')} AS l_den_u",
+        "sp * 1000000 AS p_num_u",
+        f"{sp_units('cast(sq as decimal(38,0)) * spb', 'sqb')} AS p_den_u",
     )
     agg = j.groupBy("yr").agg(
         F.count(F.lit(1)).alias("n_parts_matched"),
-        F.sum(F.expr("qb * pt")).alias("l_num"),
-        F.sum(F.expr("qb * pb")).alias("l_den"),
-        F.sum(F.expr("qt * pt")).alias("p_num"),
-        F.sum(F.expr("qt * pb")).alias("p_den"),
+        F.sum(F.expr("cast(l_num_u as decimal(38,0))")).alias("l_num"),
+        F.sum(F.expr("cast(l_den_u as decimal(38,0))")).alias("l_den"),
+        F.sum(F.expr("cast(p_num_u as decimal(38,0))")).alias("p_num"),
+        F.sum(F.expr("cast(p_den_u as decimal(38,0))")).alias("p_den"),
     )
     return (
         agg.selectExpr(
             "yr AS year",
             "n_parts_matched",
-            "round(l_num / l_den, 6) AS laspeyres",
-            "round(p_num / p_den, 6) AS paasche",
-            "round(sqrt((l_num / l_den) * (p_num / p_den)), 6) AS fisher",
+            f"{sp_rat6('l_num', 'l_den')} AS laspeyres",
+            f"{sp_rat6('p_num', 'p_den')} AS paasche",
+            "round(sqrt((cast(l_num as double) / l_den)"
+            " * (cast(p_num as double) / p_den)), 6) AS fisher",
         )
         .orderBy("year")
     )
 
 
 def stats_price_index_sql() -> str:
-    return """
+    return f"""
     WITH li AS (
         SELECT l_orderkey, l_partkey,
                round(l_quantity)::BIGINT AS q,
@@ -10158,18 +10185,27 @@ def stats_price_index_sql() -> str:
         WHERE o_orderdate IS NOT NULL
         GROUP BY 1, 2 HAVING sum(q) > 0
     ), base AS (
-        SELECT l_partkey AS _pk, sq AS qb, sp::DOUBLE / sq AS pb
+        SELECT l_partkey AS _pk, sq AS qb, sp AS spb, sq AS sqb
         FROM yp WHERE yr = (SELECT min(yr) FROM yp)
     ), j AS (
-        SELECT yr, qb, pb, sq AS qt, sp::DOUBLE / sq AS pt
+        SELECT yr,
+               {dk_units('qb::HUGEINT * sp', 'sq')} AS l_num_u,
+               {dk_units('qb::HUGEINT * spb', 'sqb')} AS l_den_u,
+               sp::HUGEINT * 1000000 AS p_num_u,
+               {dk_units('sq::HUGEINT * spb', 'sqb')} AS p_den_u
         FROM yp JOIN base ON l_partkey = _pk
+    ), agg AS (
+        SELECT yr AS year, count(*)::BIGINT AS n_parts_matched,
+               sum(l_num_u) AS l_num, sum(l_den_u) AS l_den,
+               sum(p_num_u) AS p_num, sum(p_den_u) AS p_den
+        FROM j GROUP BY 1
     )
-    SELECT yr AS year, count(*)::BIGINT AS n_parts_matched,
-           round(sum(qb * pt) / sum(qb * pb), 6) AS laspeyres,
-           round(sum(qt * pt) / sum(qt * pb), 6) AS paasche,
-           round(sqrt((sum(qb * pt) / sum(qb * pb))
-                 * (sum(qt * pt) / sum(qt * pb))), 6) AS fisher
-    FROM j GROUP BY 1 ORDER BY year
+    SELECT year, n_parts_matched,
+           {dk_rat6('l_num', 'l_den')} AS laspeyres,
+           {dk_rat6('p_num', 'p_den')} AS paasche,
+           round(sqrt((l_num::DOUBLE / l_den) * (p_num::DOUBLE / p_den)), 6)
+               AS fisher
+    FROM agg ORDER BY year
     """
 
 
@@ -10209,7 +10245,7 @@ def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             "n AS n_events",
             "k AS n_purchases",
-            "round(cast(k as double) / n, 6) AS p_hat",
+            f"{sp_rat6('k', 'n')} AS p_hat",
             f"round({center} - {half}, 6) AS wilson_low",
             f"round({center} + {half}, 6) AS wilson_high",
         )
@@ -10231,7 +10267,7 @@ def stats_wilson_ci_sql() -> str:
         FROM events WHERE ts IS NOT NULL GROUP BY 1
     )
     SELECT day, n AS n_events, k AS n_purchases,
-           round(k::DOUBLE / n, 6) AS p_hat,
+           {dk_rat6('k', 'n')} AS p_hat,
            round({center} - {half}, 6) AS wilson_low,
            round({center} + {half}, 6) AS wilson_high
     FROM ev ORDER BY day
@@ -10511,30 +10547,31 @@ def q_orders_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("rev_cents"),
     )
     tot = grid.agg(F.sum("n_orders").alias("nn"), F.count(F.lit(1)).alias("kk"))
+    # χ² = Σ(k·n_i − n)²/(n·k) and the 2dp mean are integer rationals —
+    # integer-exact HALF_UP (round-boundary rule), widened products.
     j = grid.crossJoin(F.broadcast(tot)).withColumn(
-        "dev",
+        "devnum",
         F.expr(
-            "(n_orders - cast(nn as double) / kk)"
-            " * (n_orders - cast(nn as double) / kk)"
-            " / (cast(nn as double) / kk)"
+            "(cast(kk as decimal(38,0)) * n_orders - nn)"
+            " * (cast(kk as decimal(38,0)) * n_orders - nn)"
         ),
     )
     wall = Window.partitionBy()
     return (
-        j.withColumn("chi2_uniform", F.round(F.sum("dev").over(wall), 4))
+        j.withColumn("sdev", F.sum("devnum").over(wall))
         .selectExpr(
             "dow",
             "n_orders",
             "rev_cents",
-            "round(cast(rev_cents as double) / n_orders, 2) AS mean_cents",
-            "chi2_uniform",
+            f"{sp_rat('rev_cents', 'n_orders', 2)} AS mean_cents",
+            f"{sp_rat('sdev', 'cast(nn as decimal(38,0)) * kk', 4)} AS chi2_uniform",
         )
         .orderBy("dow")
     )
 
 
 def q_orders_dow_profile_sql() -> str:
-    return """
+    return f"""
     WITH o AS (
         SELECT dayofweek(o_orderdate)::BIGINT AS dow,
                round(o_totalprice * 100)::BIGINT AS cents
@@ -10545,14 +10582,14 @@ def q_orders_dow_profile_sql() -> str:
     ), tot AS (
         SELECT sum(n_orders)::BIGINT AS nn, count(*)::BIGINT AS kk FROM grid
     ), j AS (
-        SELECT dow, n_orders, rev_cents,
-               (n_orders - nn::DOUBLE / kk) * (n_orders - nn::DOUBLE / kk)
-                   / (nn::DOUBLE / kk) AS dev
+        SELECT dow, n_orders, rev_cents, nn, kk,
+               (kk::HUGEINT * n_orders - nn) * (kk::HUGEINT * n_orders - nn)
+                   AS devnum
         FROM grid CROSS JOIN tot
     )
     SELECT dow, n_orders, rev_cents,
-           round(rev_cents::DOUBLE / n_orders, 2) AS mean_cents,
-           round(sum(dev) OVER (), 4) AS chi2_uniform
+           {dk_rat('rev_cents', 'n_orders', 2)} AS mean_cents,
+           {dk_rat('sum(devnum) OVER ()', 'nn::HUGEINT * kk', 4)} AS chi2_uniform
     FROM j ORDER BY dow
     """
 
@@ -10618,7 +10655,7 @@ def stats_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy()
         .agg(
             F.max("n").alias("n_orders"),
-            F.max(F.expr(f"round({mean}, 6)")).alias("mean_diff_cents"),
+            F.max(F.expr(sp_rat6("sd_", "n"))).alias("mean_diff_cents"),
             F.max(F.expr(f"round({sd}, 6)")).alias("sd_diff_cents"),
             F.max(F.expr(f"round({mean} - 1.96 * {sd}, 6)")).alias("loa_low"),
             F.max(F.expr(f"round({mean} + 1.96 * {sd}, 6)")).alias("loa_high"),
@@ -10631,7 +10668,7 @@ def stats_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
             "loa_low",
             "loa_high",
             "n_outside",
-            "round(cast(n_outside as double) / n_orders, 6) AS share_outside",
+            f"{sp_rat6('n_outside', 'n_orders')} AS share_outside",
         )
     )
 
@@ -10661,14 +10698,19 @@ def stats_bland_altman_sql() -> str:
                 OR d::DOUBLE > {mean} + 1.96 * {sd}) AS outside
         FROM d CROSS JOIN m
     )
-    SELECT max(n)::BIGINT AS n_orders,
-           max(round({mean}, 6)) AS mean_diff_cents,
-           max(round({sd}, 6)) AS sd_diff_cents,
-           max(round({mean} - 1.96 * {sd}, 6)) AS loa_low,
-           max(round({mean} + 1.96 * {sd}, 6)) AS loa_high,
-           sum(outside::INT)::BIGINT AS n_outside,
-           round(sum(outside::INT)::DOUBLE / max(n), 6) AS share_outside
-    FROM j
+    SELECT n_orders,
+           {dk_rat6('sd2', 'n_orders')} AS mean_diff_cents,
+           sd_diff_cents, loa_low, loa_high, n_outside,
+           {dk_rat6('n_outside', 'n_orders')} AS share_outside
+    FROM (
+        SELECT max(n)::BIGINT AS n_orders,
+               max(sd_)::BIGINT AS sd2,
+               max(round({sd}, 6)) AS sd_diff_cents,
+               max(round({mean} - 1.96 * {sd}, 6)) AS loa_low,
+               max(round({mean} + 1.96 * {sd}, 6)) AS loa_high,
+               sum(outside::INT)::BIGINT AS n_outside
+        FROM j
+    )
     """
 
 
@@ -11815,11 +11857,11 @@ def stats_cpk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.selectExpr(
             "o_orderpriority AS priority",
             "n AS n_lines",
-            f"round({mean}, 6) AS mean_lag",
+            f"{sp_rat6('st', 'n')} AS mean_lag",
             f"round({sd}, 6) AS sd_lag",
             f"round({cp}, 6) AS cp",
             f"round({cpk}, 6) AS cpk",
-            "round(cast(n_in_spec as double) / n, 6) AS yield_in_spec",
+            f"{sp_rat6('n_in_spec', 'n')} AS yield_in_spec",
         )
         .orderBy("priority")
     )
@@ -11849,11 +11891,11 @@ def stats_cpk_sql() -> str:
         FROM lag GROUP BY 1
     )
     SELECT o_orderpriority AS priority, n AS n_lines,
-           round({mean}, 6) AS mean_lag,
+           {dk_rat6('st', 'n')} AS mean_lag,
            round({sd}, 6) AS sd_lag,
            round({cp}, 6) AS cp,
            round({cpk}, 6) AS cpk,
-           round(n_in_spec::DOUBLE / n, 6) AS yield_in_spec
+           {dk_rat6('n_in_spec', 'n')} AS yield_in_spec
     FROM m ORDER BY priority
     """
 
@@ -12282,8 +12324,7 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_urgent",
             "n_normal",
             "ks_at_cents",
-            "round(cast(bx as double) / (cast(n_urgent as double) * n_normal), 6)"
-            " AS ks_d",
+            f"{sp_rat6('bx', 'cast(n_urgent as decimal(38,0)) * n_normal')} AS ks_d",
             "round(cast(bx as double) / (cast(n_urgent as double) * n_normal)"
             " * sqrt(cast(n_urgent as double) * n_normal / (n_urgent + n_normal)), 4)"
             " AS ks_stat",
@@ -12292,7 +12333,7 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stats_ks_two_sample_sql() -> str:
-    return """
+    return f"""
     WITH o AS (
         SELECT round(o_totalprice * 100)::BIGINT AS v,
                (substring(o_orderpriority, 1, 1)::INT <= 2) AS g1
@@ -12317,7 +12358,7 @@ def stats_ks_two_sample_sql() -> str:
     )
     SELECT max(n1)::BIGINT AS n_urgent, max(n2)::BIGINT AS n_normal,
            min(v)::BIGINT AS ks_at_cents,
-           round(max(x.x)::DOUBLE / (max(n1)::DOUBLE * max(n2)), 6) AS ks_d,
+           {dk_rat6('max(x.x)', 'max(n1)::HUGEINT * max(n2)')} AS ks_d,
            round(max(x.x)::DOUBLE / (max(n1)::DOUBLE * max(n2))
                  * sqrt(max(n1)::DOUBLE * max(n2) / (max(n1) + max(n2))), 4)
                AS ks_stat
