@@ -19,6 +19,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from navigator_data_ingest_spark.functions import exprs as X
+from navigator_data_ingest_spark.functions.exact import (
+    dk_rat6,
+    sp_rat6,
+)
 from navigator_data_ingest_spark.sources.tables import load_table, scatter
 
 PASSAGE_TOKENS = 16       # non-overlapping passage window (tokens)
@@ -87,9 +91,7 @@ def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_passages",
             "n_kept",
-            F.round(
-                F.col("n_kept").cast("double") / F.col("n_passages"), 6
-            ).alias("kept_frac"),
+            F.expr(sp_rat6("n_kept", "n_passages")).alias("kept_frac"),
         )
         .orderBy("doc_id")
     )
@@ -112,7 +114,7 @@ def dedup_passage_sql() -> str:
     )
     SELECT doc_id, count(*)::bigint AS n_passages,
            sum(kept::int)::bigint AS n_kept,
-           round(sum(kept::int) / count(*)::double, 6) AS kept_frac
+           {dk_rat6("sum(kept::int)::BIGINT", "count(*)")} AS kept_frac
     FROM k GROUP BY doc_id ORDER BY doc_id
     """
 
@@ -157,9 +159,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("n_ngrams").cast("long").alias("n_ngrams"),
             F.col("n_hit").cast("long").alias("n_hit"),
-            F.round(F.col("n_hit").cast("double") / F.col("n_ngrams"), 6).alias(
-                "contam_frac"
-            ),
+            F.expr(sp_rat6("n_hit", "n_ngrams")).alias("contam_frac"),
             # integer comparison: contaminated iff > 20% of distinct grams hit
             (F.col("n_hit") * 5 > F.col("n_ngrams")).alias("contaminated"),
         )
@@ -188,7 +188,7 @@ def text_contamination_sql() -> str:
         GROUP BY c.doc_id, c.n_ngrams
     )
     SELECT doc_id, n_ngrams::bigint AS n_ngrams, n_hit::bigint AS n_hit,
-           round(n_hit / n_ngrams::double, 6) AS contam_frac,
+           {dk_rat6("n_hit", "n_ngrams")} AS contam_frac,
            n_hit * 5 > n_ngrams AS contaminated
     FROM hits ORDER BY doc_id
     """
@@ -237,12 +237,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             F.col("max_cnt").cast("long").alias("top_token_count"),
-            F.round(F.col("max_cnt").cast("double") / F.col("n_tokens"), 6).alias(
-                "top_token_share"
-            ),
+            F.expr(sp_rat6("max_cnt", "n_tokens")).alias("top_token_share"),
             F.when(
                 F.col("n_tri") > 0,
-                F.round(F.col("n_dup_tri").cast("double") / F.col("n_tri"), 6),
+                F.expr(sp_rat6("n_dup_tri", "n_tri")),
             )
             .otherwise(F.lit(0.0))
             .alias("dup_trigram_frac"),
@@ -276,9 +274,9 @@ def text_repetition_sql() -> str:
     )
     SELECT tri.doc_id, n_tokens::bigint AS n_tokens,
            max_cnt::bigint AS top_token_count,
-           round(max_cnt / n_tokens::double, 6) AS top_token_share,
+           {dk_rat6("max_cnt", "n_tokens")} AS top_token_share,
            CASE WHEN n_tri > 0
-                THEN round(n_dup_tri / n_tri::double, 6) ELSE 0.0 END
+                THEN {dk_rat6("n_dup_tri", "n_tri")} ELSE 0.0 END
              AS dup_trigram_frac,
            (max_cnt * 10 > n_tokens) OR (n_dup_tri * 2 > n_tri) AS repetitive
     FROM tri JOIN top ON tri.doc_id = top.doc_id
@@ -434,9 +432,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_docs",
             "n_kept",
-            F.round(F.col("n_kept").cast("double") / F.col("n_docs"), 6).alias(
-                "kept_frac"
-            ),
+            F.expr(sp_rat6("n_kept", "n_docs")).alias("kept_frac"),
         )
         .orderBy("lang")
     )
@@ -453,7 +449,7 @@ def sample_stratified_sql() -> str:
     )
     SELECT lang, count(*)::bigint AS n_docs,
            sum(kept::int)::bigint AS n_kept,
-           round(sum(kept::int) / count(*)::double, 6) AS kept_frac
+           {dk_rat6("sum(kept::int)::BIGINT", "count(*)")} AS kept_frac
     FROM flags GROUP BY lang ORDER BY lang
     """
 
@@ -566,17 +562,17 @@ def corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
         .join(F.broadcast(sigs.alias("ga")), F.col("source_a") == F.col("ga.source"))
         .join(F.broadcast(sigs.alias("gb")), F.col("source_b") == F.col("gb.source"))
+        .withColumn("n_match", matches)
+        # both Jaccards are PURE integer rationals — integer-exact
+        # HALF_UP (repo round-boundary rule)
         .select(
             "source_a",
             "source_b",
             "n_a",
             "n_b",
             "n_common",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
-            F.round(matches / F.lit(float(H_OVERLAP)), 6).alias("jaccard_est"),
+            F.expr(sp_rat6("n_common", "n_a + n_b - n_common")).alias("jaccard"),
+            F.expr(sp_rat6("n_match", str(H_OVERLAP))).alias("jaccard_est"),
         )
         .orderBy("source_a", "source_b")
     )
@@ -608,8 +604,8 @@ def corpus_overlap_sql() -> str:
     SELECT sa.source AS source_a, sb.source AS source_b,
            sa.n AS n_a, sb.n AS n_b,
            coalesce(c.n_common, 0)::bigint AS n_common,
-           round(coalesce(c.n_common, 0) / (sa.n + sb.n - coalesce(c.n_common, 0)), 6) AS jaccard,
-           round(({match_sum}) / {float(H_OVERLAP)}, 6) AS jaccard_est
+           {dk_rat6('coalesce(c.n_common, 0)', 'sa.n + sb.n - coalesce(c.n_common, 0)')} AS jaccard,
+           {dk_rat6(f'({match_sum})', str(H_OVERLAP))} AS jaccard_est
     FROM sizes sa
     JOIN sizes sb ON sa.source < sb.source
     LEFT JOIN common c ON c.source_a = sa.source AND c.source_b = sb.source
@@ -2980,7 +2976,7 @@ def corpus_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_langs",
             "dominant_lang",
-            "round(cast(dominant_n as double) / n_docs, 6) AS purity",
+            f"{sp_rat6('dominant_n', 'n_docs')} AS purity",
             "round(ln(cast(n_docs as double)) - clnc / n_docs, 6) AS lang_entropy",
         )
         .orderBy("source")
@@ -2988,7 +2984,7 @@ def corpus_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def corpus_lang_purity_sql() -> str:
-    return """
+    return f"""
     WITH d AS (
         SELECT source, coalesce(lang, '<null>') AS lang FROM documents
     ), cnt AS (
@@ -3007,7 +3003,7 @@ def corpus_lang_purity_sql() -> str:
     )
     SELECT agg.source, n_docs, n_langs,
            ranked.lang AS dominant_lang,
-           round(ranked.c::DOUBLE / n_docs, 6) AS purity,
+           {dk_rat6('ranked.c', 'n_docs')} AS purity,
            round(ln(n_docs::DOUBLE) - clnc / n_docs, 6) AS lang_entropy
     FROM agg JOIN ranked
       ON agg.source IS NOT DISTINCT FROM ranked.source AND rk = 1
@@ -3067,17 +3063,23 @@ def stats_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.sum(f"n{j}").alias(f"t{j}") for j in range(FLEISS_CATS)],
     )
     m = FLEISS_RATERS
-    pbar = f"((cast(sss as double) - n_docs * {m}) / (n_docs * {m} * ({m} - 1.0)))"
-    pe = " + ".join(
-        f"(cast(t{j} as double) / (n_docs * {m}))"
-        f" * (cast(t{j} as double) / (n_docs * {m}))"
-        for j in range(FLEISS_CATS)
-    )
+    # p̄ = (Σss − Nm)/(Nm(m−1)), pe = ΣSj²/(Nm)², and
+    # κ = (9N²·A − 6N·C)/(6N·(9N² − C)) with A = Σss − Nm, C = ΣSj²
+    # (m = 3) are PURE integer rationals — integer-exact HALF_UP
+    # (round-boundary rule). Decimal headroom holds to ~N = 5e9 docs.
+    nd = "cast(n_docs as decimal(38,0))"
+    a = f"(cast(sss as decimal(38,0)) - {m} * n_docs)"
+    c = "(" + " + ".join(
+        f"cast(t{j} as decimal(38,0)) * t{j}" for j in range(FLEISS_CATS)
+    ) + ")"
     return agg.selectExpr(
         "n_docs",
-        f"round({pbar}, 6) AS p_bar",
-        f"round({pe}, 6) AS p_expected",
-        f"round(({pbar} - ({pe})) / (1.0 - ({pe})), 6) AS fleiss_kappa",
+        f"{sp_rat6(a, f'{m} * ({m} - 1) * {nd}')} AS p_bar",
+        f"{sp_rat6(c, f'{m * m} * {nd} * n_docs')} AS p_expected",
+        f"""{sp_rat6(
+            f'{m * m} * {nd} * n_docs * {a} - {m} * ({m} - 1) * {nd} * {c}',
+            f'{m} * ({m} - 1) * {nd} * ({m * m} * {nd} * n_docs - {c})',
+        )} AS fleiss_kappa""",
     )
 
 
@@ -3094,12 +3096,11 @@ def stats_fleiss_kappa_sql() -> str:
     )
     sum_sq = " + ".join(f"n{j} * n{j}" for j in range(FLEISS_CATS))
     m = FLEISS_RATERS
-    pbar = f"((sum(ss)::DOUBLE - count(*) * {m}) / (count(*) * {m} * ({m} - 1.0)))"
-    pe = " + ".join(
-        f"(sum(n{j})::DOUBLE / (count(*) * {m}))"
-        f" * (sum(n{j})::DOUBLE / (count(*) * {m}))"
-        for j in range(FLEISS_CATS)
-    )
+    nd = "n_docs::HUGEINT"
+    a = f"(sss::HUGEINT - {m} * n_docs)"
+    c = "(" + " + ".join(
+        f"t{j}::HUGEINT * t{j}" for j in range(FLEISS_CATS)
+    ) + ")"
     v_cols = ", ".join(
         f"({v})::INT AS v{r}" for r, v in enumerate(votes)
     )
@@ -3114,11 +3115,18 @@ def stats_fleiss_kappa_sql() -> str:
                {', '.join(f'n{j}' for j in range(FLEISS_CATS))}
         FROM counts
     )
-    SELECT count(*)::BIGINT AS n_docs,
-           round({pbar}, 6) AS p_bar,
-           round({pe}, 6) AS p_expected,
-           round((({pbar}) - ({pe})) / (1.0 - ({pe})), 6) AS fleiss_kappa
-    FROM per_doc
+    SELECT n_docs,
+           {dk_rat6(a, f'{m} * ({m} - 1) * {nd}')} AS p_bar,
+           {dk_rat6(c, f'{m * m} * {nd} * n_docs')} AS p_expected,
+           {dk_rat6(
+               f'{m * m} * {nd} * n_docs * {a} - {m} * ({m} - 1) * {nd} * {c}',
+               f'{m} * ({m} - 1) * {nd} * ({m * m} * {nd} * n_docs - {c})',
+           )} AS fleiss_kappa
+    FROM (
+        SELECT count(*)::BIGINT AS n_docs, sum(ss)::BIGINT AS sss,
+               {', '.join(f'sum(n{j})::BIGINT AS t{j}' for j in range(FLEISS_CATS))}
+        FROM per_doc
+    )
     """
 
 
@@ -3204,9 +3212,9 @@ def stats_youden_j(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score_sum AS threshold",
             "tp AS n_pos",
             "tq AS n_neg",
-            "round(cast(p_above as double) / tp, 6) AS tpr",
-            "round(cast(q_above as double) / tq, 6) AS fpr",
-            "round(cast(j_num as double) / (cast(tp as double) * tq), 6) AS youden_j",
+            f"{sp_rat6('p_above', 'tp')} AS tpr",
+            f"{sp_rat6('q_above', 'tq')} AS fpr",
+            f"{sp_rat6('j_num', 'cast(tp as decimal(38,0)) * tq')} AS youden_j",
         )
     )
 
@@ -3248,9 +3256,9 @@ def stats_youden_j_sql() -> str:
         FROM j
     )
     SELECT score_sum AS threshold, tp::BIGINT AS n_pos, tq::BIGINT AS n_neg,
-           round(p_above::DOUBLE / tp, 6) AS tpr,
-           round(q_above::DOUBLE / tq, 6) AS fpr,
-           round(j_num::DOUBLE / (tp::DOUBLE * tq), 6) AS youden_j
+           {dk_rat6('p_above', 'tp')} AS tpr,
+           {dk_rat6('q_above', 'tq')} AS fpr,
+           {dk_rat6('j_num', 'tp::HUGEINT * tq')} AS youden_j
     FROM j CROSS JOIN best
     WHERE j_num = bj AND score_sum = bscore
     """
@@ -3285,11 +3293,10 @@ def pack_boundary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         f"(max_chunk + 1) AS n_chunks",
         "n_spanning",
-        "round(cast(n_spanning as double) / n_docs, 6) AS share_spanning",
+        f"{sp_rat6('n_spanning', 'n_docs')} AS share_spanning",
         "n_cuts",
         f"((max_chunk + 1) * {C} - total_tokens) AS pad_tokens",
-        f"round(cast(total_tokens as double) / ((max_chunk + 1) * {C}), 6)"
-        " AS fill_ratio",
+        f"{sp_rat6('total_tokens', f'(max_chunk + 1) * {C}')} AS fill_ratio",
     )
 
 
@@ -3316,11 +3323,11 @@ def pack_boundary_stats_sql() -> str:
            sum(n_tokens)::BIGINT AS total_tokens,
            (max(last_chunk) + 1)::BIGINT AS n_chunks,
            sum((last_chunk > first_chunk)::INT)::BIGINT AS n_spanning,
-           round(sum((last_chunk > first_chunk)::INT)::DOUBLE / count(*), 6)
+           {dk_rat6("sum((last_chunk > first_chunk)::INT)::BIGINT", "count(*)")}
                AS share_spanning,
            sum(last_chunk - first_chunk)::BIGINT AS n_cuts,
            ((max(last_chunk) + 1) * {C} - sum(n_tokens))::BIGINT AS pad_tokens,
-           round(sum(n_tokens)::DOUBLE / ((max(last_chunk) + 1) * {C}), 6)
+           {dk_rat6("sum(n_tokens)::BIGINT", f"(max(last_chunk) + 1) * {C}")}
                AS fill_ratio
     FROM spans
     """

@@ -13,6 +13,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from navigator_data_ingest_spark.functions import exprs as X
+from navigator_data_ingest_spark.functions.exact import (
+    dk_rat6,
+    sp_rat6,
+)
 from navigator_data_ingest_spark.sources.tables import load_table, scatter
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -1402,28 +1406,33 @@ def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~F.col("a") & F.col("b")).cast("bigint")).alias("ny"),
         F.sum((~F.col("a") & ~F.col("b")).cast("bigint")).alias("nn"),
     )
-    po = "((yy + nn) / cast(n as double))"
-    pe = (
-        "(((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn))"
-        " / (cast(n as double) * n))"
+    # po = (yy+nn)/n, pe = E/n² with E = (yy+yn)(yy+ny)+(ny+nn)(yn+nn),
+    # κ = (n(yy+nn) − E)/(n² − E): PURE integer rationals —
+    # integer-exact HALF_UP (round-boundary rule), widened products.
+    e = (
+        "(cast(yy + yn as decimal(38,0)) * (yy + ny)"
+        " + cast(ny + nn as decimal(38,0)) * (yn + nn))"
     )
+    nd = "cast(n as decimal(38,0))"
     return g.selectExpr(
         "n AS n_docs",
         "yy AS n_both_long",
         "yn AS n_chars_only",
         "ny AS n_tokens_only",
         "nn AS n_both_short",
-        f"round({po}, 6) AS p_observed",
-        f"round({pe}, 6) AS p_expected",
-        f"round(({po} - {pe}) / (1.0 - {pe}), 6) AS kappa",
+        f"{sp_rat6('yy + nn', 'n')} AS p_observed",
+        f"{sp_rat6(e, f'{nd} * n')} AS p_expected",
+        f"{sp_rat6(f'{nd} * (yy + nn) - {e}', f'{nd} * n - {e}')} AS kappa",
     )
 
 
 def stats_cohens_kappa_sql() -> str:
     from navigator_data_ingest_spark.functions import exprs as X
 
-    po = "((yy + nn) / n::DOUBLE)"
-    pe = "(((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn)) / (n::DOUBLE * n))"
+    e = (
+        "((yy + yn)::HUGEINT * (yy + ny)"
+        " + (ny + nn)::HUGEINT * (yn + nn))"
+    )
     return f"""
     WITH v AS (
         SELECT (n_chars >= {KAPPA_CHARS_CUT}) AS a,
@@ -1439,9 +1448,9 @@ def stats_cohens_kappa_sql() -> str:
     )
     SELECT n AS n_docs, yy AS n_both_long, yn AS n_chars_only,
            ny AS n_tokens_only, nn AS n_both_short,
-           round({po}, 6) AS p_observed,
-           round({pe}, 6) AS p_expected,
-           round(({po} - {pe}) / (1.0 - {pe}), 6) AS kappa
+           {dk_rat6('yy + nn', 'n')} AS p_observed,
+           {dk_rat6(e, 'n::HUGEINT * n')} AS p_expected,
+           {dk_rat6(f'n::HUGEINT * (yy + nn) - {e}', f'n::HUGEINT * n - {e}')} AS kappa
     FROM g
     """
 
@@ -1488,13 +1497,8 @@ def text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("s.n_tokens").cast("bigint").alias("n_tokens"),
         F.col("s.n_chunks").cast("bigint").alias("n_chunks"),
-        F.round(
-            F.col("s.n_distinct").cast("double") / F.col("s.n_tokens"), 6
-        ).alias("ttr"),
-        F.round(
-            F.col("s.dsum").cast("double") / (F.col("s.n_chunks") * F.lit(c)),
-            6,
-        ).alias("mattr"),
+        F.expr(sp_rat6("s.n_distinct", "s.n_tokens")).alias("ttr"),
+        F.expr(sp_rat6("s.dsum", f"s.n_chunks * {c}")).alias("mattr"),
     ).orderBy("doc_id")
 
 
@@ -1515,8 +1519,8 @@ def text_mattr_sql() -> str:
         FROM t
     )
     SELECT doc_id, n_tokens, n_chunks,
-           round(n_distinct::DOUBLE / n_tokens, 6) AS ttr,
-           round(dsum::DOUBLE / (n_chunks * {c}), 6) AS mattr
+           {dk_rat6('n_distinct', 'n_tokens')} AS ttr,
+           {dk_rat6('dsum', f'n_chunks * {c}')} AS mattr
     FROM m WHERE n_chunks > 0
     ORDER BY doc_id
     """
@@ -1907,8 +1911,8 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             "hapax",
             "dis",
-            "round(cast(hapax as double) / vocab, 6) AS hapax_share",
-            "round(cast(dis as double) / vocab, 6) AS dis_share",
+            f"{sp_rat6('hapax', 'vocab')} AS hapax_share",
+            f"{sp_rat6('dis', 'vocab')} AS dis_share",
         )
         .orderBy("source")
     )
@@ -1928,8 +1932,8 @@ def text_hapax_ratio_sql() -> str:
            sum(c)::BIGINT AS n_tokens,
            sum((c = 1)::INT)::BIGINT AS hapax,
            sum((c = 2)::INT)::BIGINT AS dis,
-           round(sum((c = 1)::INT)::DOUBLE / count(*), 6) AS hapax_share,
-           round(sum((c = 2)::INT)::DOUBLE / count(*), 6) AS dis_share
+           {dk_rat6("sum((c = 1)::INT)::BIGINT", "count(*)")} AS hapax_share,
+           {dk_rat6("sum((c = 2)::INT)::BIGINT", "count(*)")} AS dis_share
     FROM cnt GROUP BY source ORDER BY source
     """
 
@@ -1970,15 +1974,19 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("len").alias("total_chars"),
             F.sum("sym").alias("total_symbols"),
-            F.round(
-                F.sum("sym").cast("double") / F.sum("len"), 6
-            ).alias("symbol_density"),
-            F.round(
-                F.sum("dig").cast("double") / F.sum("len"), 6
-            ).alias("digit_density"),
-            F.round(
-                F.avg(F.col("is_code").cast("double")), 6
-            ).alias("share_code_like"),
+            F.sum("dig").alias("total_digits"),
+            F.sum(F.col("is_code").cast("bigint")).alias("n_code"),
+        )
+        # densities and the flag share are PURE integer rationals —
+        # integer-exact HALF_UP (repo round-boundary rule)
+        .selectExpr(
+            "source",
+            "n_docs",
+            "total_chars",
+            "total_symbols",
+            f"{sp_rat6('total_symbols', 'total_chars')} AS symbol_density",
+            f"{sp_rat6('total_digits', 'total_chars')} AS digit_density",
+            f"{sp_rat6('n_code', 'n_docs')} AS share_code_like",
         )
         .orderBy("source")
     )
@@ -1995,13 +2003,18 @@ def text_code_detection_sql() -> str:
         SELECT *, (sym * 1000 > len * {CODE_FLAG_PERMILLE}) AS is_code
         FROM docs
     )
-    SELECT source, count(*)::BIGINT AS n_docs,
-           sum(len)::BIGINT AS total_chars,
-           sum(sym)::BIGINT AS total_symbols,
-           round(sum(sym)::DOUBLE / sum(len), 6) AS symbol_density,
-           round(sum(dig)::DOUBLE / sum(len), 6) AS digit_density,
-           round(avg(is_code::INT::DOUBLE), 6) AS share_code_like
-    FROM flagged GROUP BY source ORDER BY source
+    SELECT source, n_docs, total_chars, total_symbols,
+           {dk_rat6('total_symbols', 'total_chars')} AS symbol_density,
+           {dk_rat6('total_digits', 'total_chars')} AS digit_density,
+           {dk_rat6('n_code', 'n_docs')} AS share_code_like
+    FROM (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(len)::BIGINT AS total_chars,
+               sum(sym)::BIGINT AS total_symbols,
+               sum(dig)::BIGINT AS total_digits,
+               sum(is_code::INT)::BIGINT AS n_code
+        FROM flagged GROUP BY source
+    ) ORDER BY source
     """
 
 
@@ -2162,9 +2175,9 @@ def text_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(
         "total_tokens",
         "vocab",
-        "round(cast(c10 as double) / total_tokens, 6) AS top10_coverage",
-        "round(cast(c100 as double) / total_tokens, 6) AS top100_coverage",
-        "round(cast(c1000 as double) / total_tokens, 6) AS top1000_coverage",
+        f"{sp_rat6('c10', 'total_tokens')} AS top10_coverage",
+        f"{sp_rat6('c100', 'total_tokens')} AS top100_coverage",
+        f"{sp_rat6('c1000', 'total_tokens')} AS top1000_coverage",
     )
 
 
@@ -2185,11 +2198,11 @@ def text_topk_coverage_sql() -> str:
     )
     SELECT max(total)::BIGINT AS total_tokens,
            max(vocab)::BIGINT AS vocab,
-           round(sum(CASE WHEN rk <= 10 THEN c END)::DOUBLE
-                 / max(total), 6) AS top10_coverage,
-           round(sum(CASE WHEN rk <= 100 THEN c END)::DOUBLE
-                 / max(total), 6) AS top100_coverage,
-           round(sum(CASE WHEN rk <= 1000 THEN c END)::DOUBLE
-                 / max(total), 6) AS top1000_coverage
+           {dk_rat6("sum(CASE WHEN rk <= 10 THEN c END)::BIGINT",
+                    "max(total)")} AS top10_coverage,
+           {dk_rat6("sum(CASE WHEN rk <= 100 THEN c END)::BIGINT",
+                    "max(total)")} AS top100_coverage,
+           {dk_rat6("sum(CASE WHEN rk <= 1000 THEN c END)::BIGINT",
+                    "max(total)")} AS top1000_coverage
     FROM top CROSS JOIN tot
     """
