@@ -4318,21 +4318,16 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_a",
             "brand_b",
             "n_pair",
-            F.round(
-                F.col("n_pair").cast("double") / F.col("n_total").cast("double"),
-                6,
-            ).alias("support"),
-            F.round(
-                F.col("n_pair").cast("double") / F.col("n_a").cast("double"), 6
-            ).alias("conf_a_to_b"),
-            F.round(
-                F.col("n_pair").cast("double") / F.col("n_b").cast("double"), 6
-            ).alias("conf_b_to_a"),
-            F.round(
-                F.col("n_pair").cast("double")
-                * F.col("n_total").cast("double")
-                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
-                6,
+            # all four are PURE integer rationals — integer-exact
+            # HALF_UP (repo round-boundary rule), widened products
+            F.expr(sp_rat6("n_pair", "n_total")).alias("support"),
+            F.expr(sp_rat6("n_pair", "n_a")).alias("conf_a_to_b"),
+            F.expr(sp_rat6("n_pair", "n_b")).alias("conf_b_to_a"),
+            F.expr(
+                sp_rat6(
+                    "cast(n_pair as decimal(38,0)) * n_total",
+                    "cast(n_a as decimal(38,0)) * n_b",
+                )
             ).alias("lift"),
         )
         .orderBy("brand_a", "brand_b")
@@ -4363,11 +4358,11 @@ def q_basket_lift_sql() -> str:
         GROUP BY 1, 2 HAVING count(*) >= {LIFT_MIN_PAIR_ORDERS}
     )
     SELECT brand_a, brand_b, n_pair,
-           round(n_pair::DOUBLE / n_total::DOUBLE, 6) AS support,
-           round(n_pair::DOUBLE / a.n_item::DOUBLE, 6) AS conf_a_to_b,
-           round(n_pair::DOUBLE / b.n_item::DOUBLE, 6) AS conf_b_to_a,
-           round(n_pair::DOUBLE * n_total::DOUBLE
-                 / (a.n_item::DOUBLE * b.n_item::DOUBLE), 6) AS lift
+           {dk_rat6('n_pair', 'n_total')} AS support,
+           {dk_rat6('n_pair', 'a.n_item')} AS conf_a_to_b,
+           {dk_rat6('n_pair', 'b.n_item')} AS conf_b_to_a,
+           {dk_rat6('n_pair::HUGEINT * n_total',
+                    'a.n_item::HUGEINT * b.n_item')} AS lift
     FROM pairs
     JOIN item2 a ON pairs.brand_a = a.brand
     JOIN item2 b ON pairs.brand_b = b.brand

@@ -31,6 +31,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from navigator_data_ingest_spark.functions import exprs as X
+from navigator_data_ingest_spark.functions.exact import (
+    dk_rat6,
+    sp_rat6,
+)
 from navigator_data_ingest_spark.sources.tables import load_table, scatter
 
 N_MINHASH = 16
@@ -1410,8 +1414,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_distinct",
             "(n_docs - n_distinct) AS n_duplicates",
-            "round((n_docs - n_distinct) / cast(n_docs as double), 6)"
-            " AS dup_rate",
+            f"{sp_rat6('n_docs - n_distinct', 'n_docs')} AS dup_rate",
             "reclaimable_bytes",
         )
         .orderBy("source")
@@ -1419,7 +1422,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_rate_by_source_sql() -> str:
-    return """
+    return f"""
     WITH d AS (
         SELECT source, md5(text) AS h, length(text)::BIGINT AS len
         FROM documents WHERE text IS NOT NULL
@@ -1431,7 +1434,7 @@ def dedup_rate_by_source_sql() -> str:
     SELECT source, sum(c)::BIGINT AS n_docs,
            count(*)::BIGINT AS n_distinct,
            (sum(c) - count(*))::BIGINT AS n_duplicates,
-           round((sum(c) - count(*)) / sum(c)::DOUBLE, 6) AS dup_rate,
+           {dk_rat6("sum(c)::BIGINT - count(*)", "sum(c)")} AS dup_rate,
            sum(bytes_ - keep_len)::BIGINT AS reclaimable_bytes
     FROM grp GROUP BY source ORDER BY source
     """

@@ -20,6 +20,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from navigator_data_ingest_spark.functions import exprs as X
+from navigator_data_ingest_spark.functions.exact import (
+    dk_rat6,
+    sp_rat6,
+)
 from navigator_data_ingest_spark.sources.tables import load_table, scatter
 
 EMB_DIM = 64
@@ -1926,9 +1930,10 @@ def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the anchor set broadcasts (sim_search_bruteforce's
     bounded stripe), the corpus never shuffles; extremum cosines come
     from ONE map-side conditional min/max per anchor, and the witness
-    ids from a join-back on ROUNDED-cosine equality (both engines round
-    the same unrolled left-fold dot product at 6 dp, so equality is
-    exact) with min(vec_id) as the deterministic tie-break. Two corpus
+    ids from a join-back on FLOOR-micro-unit cosine equality (floor of
+    the same unrolled left-fold dot product is exact and
+    engine-identical — round(...,6) was exposed to the Spark/DuckDB
+    round-half-boundary class) with min(vec_id) as the tie-break. Two corpus
     passes total, no window over the broadcast product. NULL rule: a
     NULL label is neither a positive nor a negative (dropped from both
     sides, both engines).
@@ -1947,18 +1952,24 @@ def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alabel",
             "vec_id",
             (F.col("label") == F.col("alabel")).alias("is_pos"),
-            F.round(_cos("qvec", "embedding", EMB_DIM), 6).alias("c6"),
+            # FLOOR micro-units, not round(...,6): floor on a double is
+            # exact and engine-identical, so the witness identity and
+            # the emitted extremum cosines can never hit the
+            # round-half-boundary class (repo round-boundary rule)
+            F.floor(_cos("qvec", "embedding", EMB_DIM) * 1_000_000)
+            .cast("bigint")
+            .alias("c6u"),
         )
     )
     ext = cand.groupBy("query_id", "alabel").agg(
-        F.min(F.when(F.col("is_pos"), F.col("c6"))).alias("pos_cos"),
-        F.max(F.when(~F.col("is_pos"), F.col("c6"))).alias("neg_cos"),
+        F.min(F.when(F.col("is_pos"), F.col("c6u"))).alias("pos_u"),
+        F.max(F.when(~F.col("is_pos"), F.col("c6u"))).alias("neg_u"),
     )
     ids = (
-        cand.join(F.broadcast(ext.select("query_id", "pos_cos", "neg_cos")), "query_id")
+        cand.join(F.broadcast(ext.select("query_id", "pos_u", "neg_u")), "query_id")
         .where(
-            (F.col("is_pos") & (F.col("c6") == F.col("pos_cos")))
-            | (~F.col("is_pos") & (F.col("c6") == F.col("neg_cos")))
+            (F.col("is_pos") & (F.col("c6u") == F.col("pos_u")))
+            | (~F.col("is_pos") & (F.col("c6u") == F.col("neg_u")))
         )
         .groupBy("query_id")
         .agg(
@@ -1972,11 +1983,11 @@ def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "alabel AS anchor_label",
             "pos_id",
-            "pos_cos",
+            "(cast(pos_u as double) / 1000000.0) AS pos_cos",
             "neg_id",
-            "neg_cos",
-            "round(neg_cos - pos_cos, 6) AS margin",
-            "neg_cos >= pos_cos AS violation",
+            "(cast(neg_u as double) / 1000000.0) AS neg_cos",
+            "(cast(neg_u - pos_u as double) / 1000000.0) AS margin",
+            "neg_u >= pos_u AS violation",
         )
         .orderBy("query_id")
     )
@@ -1993,27 +2004,30 @@ def emb_triplet_mining_sql() -> str:
     ), cand AS (
         SELECT q.query_id, q.alabel, e.vec_id,
                (e.label = q.alabel) AS is_pos,
-               round({dot_qe} / (sqrt({dot_qq}) * sqrt({dot_ee})), 6) AS c6
+               floor(({dot_qe} / (sqrt({dot_qq}) * sqrt({dot_ee})))
+                     * 1000000)::BIGINT AS c6u
         FROM embeddings e JOIN q ON e.vec_id <> q.query_id
         WHERE e.label IS NOT NULL
     ), ext AS (
         SELECT query_id, alabel,
-               min(CASE WHEN is_pos THEN c6 END) AS pos_cos,
-               max(CASE WHEN NOT is_pos THEN c6 END) AS neg_cos
+               min(CASE WHEN is_pos THEN c6u END) AS pos_u,
+               max(CASE WHEN NOT is_pos THEN c6u END) AS neg_u
         FROM cand GROUP BY 1, 2
     ), ids AS (
         SELECT cand.query_id,
                min(CASE WHEN is_pos THEN vec_id END)::BIGINT AS pos_id,
                min(CASE WHEN NOT is_pos THEN vec_id END)::BIGINT AS neg_id
         FROM cand JOIN ext ON cand.query_id = ext.query_id
-        WHERE (is_pos AND c6 = pos_cos)
-           OR (NOT is_pos AND c6 = neg_cos)
+        WHERE (is_pos AND c6u = pos_u)
+           OR (NOT is_pos AND c6u = neg_u)
         GROUP BY 1
     )
-    SELECT ext.query_id, alabel AS anchor_label, pos_id, pos_cos,
-           neg_id, neg_cos,
-           round(neg_cos - pos_cos, 6) AS margin,
-           neg_cos >= pos_cos AS violation
+    SELECT ext.query_id, alabel AS anchor_label, pos_id,
+           (pos_u::DOUBLE / 1000000.0) AS pos_cos,
+           neg_id,
+           (neg_u::DOUBLE / 1000000.0) AS neg_cos,
+           ((neg_u - pos_u)::DOUBLE / 1000000.0) AS margin,
+           neg_u >= pos_u AS violation
     FROM ext JOIN ids ON ext.query_id = ids.query_id
     ORDER BY ext.query_id
     """
@@ -2079,8 +2093,8 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.expr("round(sum(a6) / (count(1) * 1e6), 6)").alias("mean_intra"),
-            F.expr("round(sum(b6) / (count(1) * 1e6), 6)").alias(
+            F.expr(sp_rat6("sum(a6)", "count(1) * 1000000")).alias("mean_intra"),
+            F.expr(sp_rat6("sum(b6)", "count(1) * 1000000")).alias(
                 "mean_nearest_other"
             ),
             F.round(F.avg("s"), 6).alias("mean_silhouette"),
@@ -2120,10 +2134,10 @@ def emb_silhouette_sql() -> str:
         FROM scored GROUP BY 1, 2
     )
     SELECT label, count(*)::BIGINT AS n_vectors,
-           round(sum(round(a * 1000000)::BIGINT) / (count(*) * 1e6), 6)
-               AS mean_intra,
-           round(sum(round(b * 1000000)::BIGINT) / (count(*) * 1e6), 6)
-               AS mean_nearest_other,
+           {dk_rat6("sum(round(a * 1000000)::BIGINT)::BIGINT",
+                    "count(*) * 1000000")} AS mean_intra,
+           {dk_rat6("sum(round(b * 1000000)::BIGINT)::BIGINT",
+                    "count(*) * 1000000")} AS mean_nearest_other,
            round(avg((b - a) / greatest(a, b)), 6) AS mean_silhouette
     FROM ab GROUP BY label ORDER BY label
     """
@@ -2369,11 +2383,10 @@ def emb_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_k AS n_true",
             "p_k AS n_pred",
             "tp AS n_correct",
-            "round(CASE WHEN p_k > 0 THEN cast(tp as double) / p_k END, 6)"
-            " AS precision",
-            "round(cast(tp as double) / t_k, 6) AS recall",
-            "round(CASE WHEN tp > 0 THEN 2.0 * tp / (p_k + t_k) END, 6) AS f1",
-            "round(cast(corr as double) / s, 6) AS accuracy",
+            f"CASE WHEN p_k > 0 THEN {sp_rat6('tp', 'p_k')} END AS precision",
+            f"{sp_rat6('tp', 't_k')} AS recall",
+            f"CASE WHEN tp > 0 THEN {sp_rat6('2 * tp', 'p_k + t_k')} END AS f1",
+            f"{sp_rat6('corr', 's')} AS accuracy",
             f"round({mcc}, 6) AS mcc",
         )
         .orderBy("label")
@@ -2430,10 +2443,10 @@ def emb_confusion_metrics_sql() -> str:
         LEFT JOIN tp ON t.label = tp.label
     )
     SELECT label, t_k AS n_true, p_k AS n_pred, tp AS n_correct,
-           round(CASE WHEN p_k > 0 THEN tp::DOUBLE / p_k END, 6) AS precision,
-           round(tp::DOUBLE / t_k, 6) AS recall,
-           round(CASE WHEN tp > 0 THEN 2.0 * tp / (p_k + t_k) END, 6) AS f1,
-           round(corr::DOUBLE / s, 6) AS accuracy,
+           CASE WHEN p_k > 0 THEN {dk_rat6('tp', 'p_k')} END AS precision,
+           {dk_rat6('tp', 't_k')} AS recall,
+           CASE WHEN tp > 0 THEN {dk_rat6('2 * tp', 'p_k + t_k')} END AS f1,
+           {dk_rat6('corr', 's')} AS accuracy,
            round({mcc}, 6) AS mcc
     FROM per_class CROSS JOIN gtot
     ORDER BY label
@@ -2703,15 +2716,19 @@ def emb_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = "(cast(s6 as double) / (n * 1e6))"
     var = f"((q - n * {mean} * {mean}) / (n - 1.0))"
+    # mean_norm = s6/(n·1e6) and the ratio (s6·gn)/(n·gs6) are PURE
+    # integer rationals — integer-exact HALF_UP (round-boundary rule)
     return (
         per.crossJoin(g)
         .selectExpr(
             "label",
             "n AS n_vectors",
-            f"round({mean}, 6) AS mean_norm",
+            f"{sp_rat6('s6', 'n * 1000000')} AS mean_norm",
             f"round(sqrt(greatest({var}, 0.0)), 6) AS sd_norm",
-            f"round({mean} / (cast(gs6 as double) / (gn * 1e6)), 6)"
-            " AS norm_ratio_vs_global",
+            f"""{sp_rat6(
+                'cast(s6 as decimal(38,0)) * gn',
+                'cast(n as decimal(38,0)) * gs6',
+            )} AS norm_ratio_vs_global""",
         )
         .orderBy("label")
     )
@@ -2736,9 +2753,9 @@ def emb_norm_by_label_sql() -> str:
         FROM e GROUP BY 1
     )
     SELECT label, n AS n_vectors,
-           round({mean}, 6) AS mean_norm,
+           {dk_rat6('s6', 'n * 1000000')} AS mean_norm,
            round(sqrt(greatest({var}, 0.0)), 6) AS sd_norm,
-           round({mean} / (gs6::DOUBLE / (gn * 1e6)), 6)
+           {dk_rat6('s6::HUGEINT * gn', 'n::HUGEINT * gs6')}
                AS norm_ratio_vs_global
     FROM per CROSS JOIN g
     ORDER BY label
@@ -2841,10 +2858,8 @@ def emb_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{p} AS n_planes",
                 "n_queries",
                 "n_candidates",
-                "round(cast(n_candidates as double) / n_queries, 6)"
-                " AS mean_candidates",
-                f"round(cast(n_hits as double) / (n_queries * {TOP_K}), 6)"
-                " AS recall_at_5",
+                f"{sp_rat6('n_candidates', 'n_queries')} AS mean_candidates",
+                f"{sp_rat6('n_hits', f'n_queries * {TOP_K}')} AS recall_at_5",
             )
         )
     res = outs[0]
@@ -2872,12 +2887,12 @@ def emb_lsh_tuning_sql(dk_bucket8: str, dk_dot_qe: str, dk_dot_qq: str, dk_dot_e
         SELECT {p} AS n_planes,
                (SELECT count(*) FROM q)::BIGINT AS n_queries,
                (SELECT count(*) FROM cand{p})::BIGINT AS n_candidates,
-               round((SELECT count(*) FROM cand{p})::DOUBLE
-                     / (SELECT count(*) FROM q), 6) AS mean_candidates,
-               round((SELECT count(*) FROM approx{p} a
-                      JOIN exact x ON a.query_id = x.query_id
-                                  AND a.vec_id = x.vec_id)::DOUBLE
-                     / ((SELECT count(*) FROM q) * {TOP_K}), 6) AS recall_at_5
+               {dk_rat6(f'(SELECT count(*) FROM cand{p})',
+                        '(SELECT count(*) FROM q)')} AS mean_candidates,
+               {dk_rat6('(SELECT count(*) FROM approx' + str(p)
+                        + ' a JOIN exact x ON a.query_id = x.query_id'
+                          ' AND a.vec_id = x.vec_id)',
+                        f'(SELECT count(*) FROM q) * {TOP_K}')} AS recall_at_5
     )""")
     unions = " UNION ALL ".join(f"SELECT * FROM out{p}" for p in LSH_TUNE_PLANES)
     return f"""
