@@ -8460,14 +8460,14 @@ def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "age",
             "n_customers",
             "cum_cents",
-            "round(cum_cents / cast(n_customers as double), 2) AS ltv_cents",
+            f"{sp_rat('cum_cents', 'n_customers', 2)} AS ltv_cents",
         )
         .orderBy("cohort", "age")
     )
 
 
 def q_orders_cohort_ltv_sql() -> str:
-    return """
+    return f"""
     WITH q AS (
         SELECT o_custkey,
                (year(o_orderdate) - 1995) * 4 + quarter(o_orderdate) - 1 AS qidx,
@@ -8494,7 +8494,7 @@ def q_orders_cohort_ltv_sql() -> str:
         FROM cell
     )
     SELECT cum.cohort, age, n_customers, cum_cents,
-           round(cum_cents / n_customers::DOUBLE, 2) AS ltv_cents
+           {dk_rat('cum_cents', 'n_customers', 2)} AS ltv_cents
     FROM cum JOIN sizes ON cum.cohort = sizes.cohort
     ORDER BY cum.cohort, age
     """
@@ -11141,7 +11141,7 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     states = p.select(F.col("a").alias("s")).distinct()
     n_states = F.broadcast(states.agg(F.count(F.lit(1)).alias("k")))
-    v = states.crossJoin(n_states).selectExpr("s", "round(1.0 / k, 9) AS pv")
+    v = states.crossJoin(n_states).selectExpr("s", "cast(((2 * 1000000000 + k) div (2 * k)) as double) / 1e9 AS pv")
     for _ in range(MARKOV_POWER_ITERS):
         v = (
             v.join(p, v.s == p.a)
@@ -11204,7 +11204,7 @@ def q_events_markov_stationary_sql() -> str:
         FROM cnt JOIN rows_ ON cnt.a = rows_.a
     ), v0 AS (
         SELECT a AS s,
-               round(1.0 / (SELECT count(DISTINCT a) FROM p), 9) AS pv
+               (((2 * 1000000000 + (SELECT count(DISTINCT a) FROM p)) // (2 * (SELECT count(DISTINCT a) FROM p)))::DOUBLE / 1e9) AS pv
         FROM (SELECT DISTINCT a FROM p)
     ){steps}, emp AS (
         SELECT a AS s, ca, (SELECT sum(ca) FROM rows_)::BIGINT AS tot
@@ -11249,14 +11249,17 @@ def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = F.broadcast(
         ev.agg(F.countDistinct("user_id").alias("uu"))
     )
+    # per-item A_i = uu·Σx² − (Σx)² (exact integer; the per-item
+    # variances share the common denominator uu(uu−1), so Σvariances
+    # and alpha are PURE integer rationals — round-boundary rule)
     items = (
         ev.groupBy("event_type")
         .agg(F.sum("x").alias("sx"), F.sum(F.expr("x * x")).alias("sxx"))
         .crossJoin(u)
         .selectExpr(
             "event_type",
-            "(uu * cast(sxx as double) - cast(sx as double) * sx)"
-            " / (uu * (uu - 1.0)) AS var_item",
+            "(cast(uu as decimal(38,0)) * sxx"
+            " - cast(sx as decimal(38,0)) * sx) AS a_item",
         )
     )
     totals = (
@@ -11272,26 +11275,29 @@ def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             # users absent from totals don't exist (every grid row has a
             # user); nt == uu by construction
             "uu",
-            "(uu * cast(stt as double) - cast(st as double) * st)"
-            " / (uu * (uu - 1.0)) AS var_total",
+            "(cast(uu as decimal(38,0)) * stt"
+            " - cast(st as decimal(38,0)) * st) AS t_total",
         )
     )
     agg = items.agg(
         F.count(F.lit(1)).alias("k"),
-        F.sum("var_item").alias("sum_var_items"),
+        F.sum("a_item").alias("sa"),
     ).crossJoin(F.broadcast(totals))
+    # alpha = k(T − ΣA)/((k−1)T); variances = A/(uu(uu−1)) at 2dp
     return agg.selectExpr(
         "k AS n_items",
         "uu AS n_users",
-        "round(sum_var_items, 2) AS sum_item_var",
-        "round(var_total, 2) AS total_var",
-        "round((k / (k - 1.0)) * (1.0 - sum_var_items / var_total), 6)"
-        " AS cronbach_alpha",
+        f"{sp_rat('sa', 'cast(uu as decimal(38,0)) * (uu - 1)', 2)} AS sum_item_var",
+        f"{sp_rat('t_total', 'cast(uu as decimal(38,0)) * (uu - 1)', 2)} AS total_var",
+        f"""{sp_rat6(
+            'cast(k as decimal(38,0)) * (t_total - sa)',
+            '(k - 1) * t_total',
+        )} AS cronbach_alpha""",
     )
 
 
 def stats_cronbach_alpha_sql() -> str:
-    return """
+    return f"""
     WITH ev AS (
         SELECT user_id, event_type,
                round(sum(value) * 100)::BIGINT AS x
@@ -11303,25 +11309,27 @@ def stats_cronbach_alpha_sql() -> str:
         SELECT count(DISTINCT user_id)::BIGINT AS uu FROM ev
     ), items AS (
         SELECT event_type,
-               (uu * sum(x * x)::DOUBLE - sum(x)::DOUBLE * sum(x))
-                   / (uu * (uu - 1.0)) AS var_item
+               (uu::HUGEINT * sum(x::HUGEINT * x)
+                - sum(x)::HUGEINT * sum(x)) AS a_item
         FROM ev CROSS JOIN u GROUP BY event_type, uu
     ), totals AS (
         SELECT uu,
-               (uu * sum(t * t)::DOUBLE - sum(t)::DOUBLE * sum(t))
-                   / (uu * (uu - 1.0)) AS var_total
+               (uu::HUGEINT * sum(t::HUGEINT * t)
+                - sum(t)::HUGEINT * sum(t)) AS t_total
         FROM (SELECT user_id, sum(x)::BIGINT AS t FROM ev GROUP BY 1)
         CROSS JOIN u GROUP BY uu
+    ), agg AS (
+        SELECT (SELECT count(*) FROM items)::BIGINT AS k,
+               uu, t_total,
+               (SELECT sum(a_item) FROM items) AS sa
+        FROM totals
     )
-    SELECT (SELECT count(*) FROM items)::BIGINT AS n_items,
-           uu AS n_users,
-           round((SELECT sum(var_item) FROM items), 2) AS sum_item_var,
-           round(var_total, 2) AS total_var,
-           round(((SELECT count(*) FROM items) /
-                  ((SELECT count(*) FROM items) - 1.0))
-                 * (1.0 - (SELECT sum(var_item) FROM items) / var_total), 6)
+    SELECT k AS n_items, uu AS n_users,
+           {dk_rat('sa', 'uu::HUGEINT * (uu - 1)', 2)} AS sum_item_var,
+           {dk_rat('t_total', 'uu::HUGEINT * (uu - 1)', 2)} AS total_var,
+           {dk_rat6('k::HUGEINT * (t_total - sa)', '(k - 1) * t_total')}
                AS cronbach_alpha
-    FROM totals
+    FROM agg
     """
 
 
@@ -11362,15 +11370,20 @@ def stats_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("sg * sg")).alias("ssq"),
         F.sum("qg").alias("qq"),
     )
-    ssb = f"(cast(ssq as double) / {k} - cast(ss as double) * ss / (n * {k}.0))"
-    ssw = f"(cast(qq as double) - cast(ssq as double) / {k})"
-    msb = f"({ssb} / (n - 1.0))"
-    msw = f"({ssw} / (n * ({k} - 1.0)))"
+    # With A = n·ssq − ss² and B = k·qq − ssq (exact integers):
+    # MSB = A/(kn(n−1)), MSW = B/(k(k−1)n),
+    # ICC1 = ((k−1)A − (n−1)B)/((k−1)A + (k−1)(n−1)B) — PURE integer
+    # rationals, integer-exact HALF_UP (round-boundary rule).
+    a = f"(cast(n as decimal(38,0)) * ssq - cast(ss as decimal(38,0)) * ss)"
+    b = f"({k} * cast(qq as decimal(38,0)) - ssq)"
     return agg.selectExpr(
         "n AS n_docs",
-        f"round({msb}, 6) AS ms_between",
-        f"round({msw}, 6) AS ms_within",
-        f"round(({msb} - {msw}) / ({msb} + ({k} - 1.0) * {msw}), 6) AS icc1",
+        f"{sp_rat6(a, f'{k} * cast(n as decimal(38,0)) * (n - 1)')} AS ms_between",
+        f"{sp_rat6(b, f'{k} * ({k} - 1) * cast(n as decimal(38,0))')} AS ms_within",
+        f"""{sp_rat6(
+            f'({k} - 1) * {a} - (n - 1) * {b}',
+            f'({k} - 1) * {a} + ({k} - 1) * (n - 1) * {b}',
+        )} AS icc1""",
     )
 
 
@@ -11380,22 +11393,27 @@ def stats_icc_sql() -> str:
         for r in range(ICC_RATERS)
     ]
     k = ICC_RATERS
-    ssb = f"(sum(sg * sg)::DOUBLE / {k} - sum(sg)::DOUBLE * sum(sg) / (count(*) * {k}.0))"
-    ssw = f"(sum(qg)::DOUBLE - sum(sg * sg)::DOUBLE / {k})"
-    msb = f"({ssb} / (count(*) - 1.0))"
-    msw = f"({ssw} / (count(*) * ({k} - 1.0)))"
+    a = "(n::HUGEINT * ssq - ss::HUGEINT * ss)"
+    b = f"({k} * qq::HUGEINT - ssq)"
     return f"""
     WITH per_doc AS (
         SELECT doc_id,
                ({' + '.join(votes)})::BIGINT AS sg,
                ({' + '.join(f'{v} * {v}' for v in votes)})::BIGINT AS qg
         FROM documents WHERE text IS NOT NULL
+    ), agg AS (
+        SELECT count(*)::BIGINT AS n, sum(sg)::BIGINT AS ss,
+               sum(sg::HUGEINT * sg) AS ssq, sum(qg)::BIGINT AS qq
+        FROM per_doc
     )
-    SELECT count(*)::BIGINT AS n_docs,
-           round({msb}, 6) AS ms_between,
-           round({msw}, 6) AS ms_within,
-           round(({msb} - {msw}) / ({msb} + ({k} - 1.0) * {msw}), 6) AS icc1
-    FROM per_doc
+    SELECT n AS n_docs,
+           {dk_rat6(a, f'{k} * n::HUGEINT * (n - 1)')} AS ms_between,
+           {dk_rat6(b, f'{k} * ({k} - 1) * n::HUGEINT')} AS ms_within,
+           {dk_rat6(
+               f'({k} - 1) * {a} - (n - 1) * {b}',
+               f'({k} - 1) * {a} + ({k} - 1) * (n - 1) * {b}',
+           )} AS icc1
+    FROM agg
     """
 
 

@@ -32,6 +32,14 @@ def main() -> None:
 
         sf_dir = _ni_build(sf_dir)
 
+    if os.environ.get("SWEEP_BOUNDARY_PROBE"):
+        # robustness mode 3: boundary-friendly cardinalities/values so
+        # rational outputs land on decimal rounding boundaries (the r5
+        # cross-engine round-half class; see scripts/boundary_probe.py)
+        from scripts.boundary_probe import build as _bp_build
+
+        sf_dir = _bp_build(sf_dir)
+
     if os.environ.get("SWEEP_PLAIN"):
         # the driver's view: a virgin session, none of session.py's configs
         from pyspark.sql import SparkSession
