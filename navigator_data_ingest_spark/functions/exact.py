@@ -54,13 +54,15 @@ _M6 = 1_000_000
 
 def sp_units(p: str, q: str, scale: int = 6) -> str:
     """Spark SQL: signed integer 10^-scale units of HALF_UP(p/q) as a
-    BIGINT-valued expression (exact integer arithmetic, q > 0)."""
+    BIGINT-valued expression (exact integer arithmetic, q > 0; q = 0
+    yields NULL in BOTH engines via the nullif guard — ANSI decimal
+    div would otherwise raise where DuckDB returns NULL)."""
     m = 10**scale
     return (
         f"((CASE WHEN ({p}) < 0 THEN -1 ELSE 1 END) * "
         f"((2 * abs(cast(({p}) as decimal(38,0))) * {m}"
         f" + cast(({q}) as decimal(38,0)))"
-        f" div (2 * cast(({q}) as decimal(38,0)))))"
+        f" div nullif(2 * cast(({q}) as decimal(38,0)), 0)))"
     )
 
 
@@ -71,7 +73,7 @@ def dk_units(p: str, q: str, scale: int = 6) -> str:
         f"((CASE WHEN ({p}) < 0 THEN -1 ELSE 1 END) * "
         f"((2 * abs(CAST(({p}) AS HUGEINT)) * {m}"
         f" + CAST(({q}) AS HUGEINT))"
-        f" // (2 * CAST(({q}) AS HUGEINT))))"
+        f" // nullif(2 * CAST(({q}) AS HUGEINT), 0)))"
     )
 
 

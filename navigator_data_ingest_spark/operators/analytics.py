@@ -270,23 +270,40 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-check of the as-of semantics.
     """
     ev = load_table(spark, sf_dir, "events")
+    # clicks collapse to ONE canonical row per (user, ts) — max event_id
+    # wins — BEFORE the as-of: equal-timestamp clicks otherwise make the
+    # match nondeterministic (Spark's (ts, event_id) window cut vs
+    # DuckDB ASOF's ts <= ts picks different rows; boundary-probe find,
+    # where minute-floored timestamps tie constantly)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "value"))["value"].alias("cvalue"))
+        .select("user_id", "ts", F.lit(0).alias("kind"), "cvalue")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("kind"), "event_id"
+    )
+    # single union stream: clicks (kind 0) sort before same-ts
+    # purchases (kind 1), so an equal-ts click IS matched — the ASOF
+    # r.ts <= l.ts inclusive semantics
+    stream = clicks.unionByName(purchases, allowMissingColumns=True)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "kind")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    is_click = F.col("event_type") == "click"
     # the matched click rides as ONE struct: carrying ts and value in
     # separate last(ignorenulls) windows would TEAR the match when the
     # latest click's value is NULL (the value window skips back to an
     # older click while ts keeps the newest — r5 NULL-injection find)
     click_row = F.last(
-        F.when(is_click, F.struct("ts", "value")), ignorenulls=True
+        F.when(F.col("kind") == 0, F.struct("ts", "cvalue")), ignorenulls=True
     ).over(w)
     return (
-        ev.withColumn("asof_click_ts", click_row["ts"])
-        .withColumn("asof_click_value", F.round(click_row["value"], 6))
-        .where(F.col("event_type") == "purchase")
+        stream.withColumn("asof_click_ts", click_row["ts"])
+        .withColumn("asof_click_value", F.round(click_row["cvalue"], 6))
+        .where(F.col("kind") == 1)
         .select("event_id", "user_id", "ts", "asof_click_ts", "asof_click_value")
         .orderBy("event_id")
     )
@@ -2200,9 +2217,12 @@ def stats_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         dx = f"(n * s_{a}_{a} - s_{a} * s_{a})"
         dy = f"(n * s_{b}_{b} - s_{b} * s_{b})"
         corr_cols.append(
+            # nullif: a zero-variance column has no correlation — NULL
+            # in BOTH engines (ANSI raises on /0; DuckDB returns NULL)
             F.expr(
                 f"round(cast({num} as double) / "
-                f"(sqrt(cast({dx} as double)) * sqrt(cast({dy} as double))), 6)"
+                f"nullif(sqrt(cast({dx} as double))"
+                f" * sqrt(cast({dy} as double)), 0.0), 6)"
             ).alias(f"c_{a}_{b}")
         )
     stacked = ", ".join(

@@ -1517,16 +1517,17 @@ register(
     "stream_sessionize",
     streaming_ops.stream_sessionize,
     # batch replay of the gap-session semantics; session_window's end is
-    # last-event + gap, and a session BREAKS only when the gap is
-    # strictly exceeded in the operator's merge logic (ts < prev + gap
-    # merges), so the batch rule uses > gap to break / >= boundary merge.
+    # last-event + gap, and Spark MERGES an event landing EXACTLY at the
+    # session end (verified: two events gap-apart form ONE session), so
+    # the batch rule breaks only on diff > gap (boundary-probe find:
+    # minute-floored timestamps tie the boundary constantly).
     """
     WITH ev AS (
         SELECT user_id, ts::TIMESTAMP AS ts, event_id, value FROM events
     ), flagged AS (
         SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                     THEN 1 ELSE 0 END AS new_session
         FROM ev
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1574,8 +1575,12 @@ register(
         SELECT event_id, user_id, ts::TIMESTAMP AS ts
         FROM events WHERE event_type = 'purchase'
     ), r AS (
-        SELECT user_id, ts::TIMESTAMP AS ts, value
+        -- one canonical click per (user, ts): max event_id wins, so
+        -- equal-timestamp clicks can't make the ASOF nondeterministic
+        SELECT user_id, ts::TIMESTAMP AS ts,
+               (max({'i': event_id, 'v': value})).v AS value
         FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
     )
     SELECT l.event_id, l.user_id, l.ts,
            r.ts AS asof_click_ts,
@@ -2324,7 +2329,7 @@ register(
     ), flagged AS (
         SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                     THEN 1 ELSE 0 END AS new_session
         FROM ev
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -3480,7 +3485,8 @@ def _corr_matrix_sql() -> str:
         dy = f"(n * s_{b}_{b} - s_{b} * s_{b})"
         branches.append(
             f"SELECT '{a}' AS var_x, '{b}' AS var_y, n::bigint AS n_rows, "
-            f"round({num}::double / (sqrt({dx}::double) * sqrt({dy}::double)), 6)"
+            f"round({num}::double / nullif(sqrt({dx}::double)"
+            f" * sqrt({dy}::double), 0.0), 6)"
             f" AS corr FROM m"
         )
     union = " UNION ALL ".join(branches)

@@ -227,7 +227,12 @@ def sink_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.expr(h)).alias("content_checksum"),
+            # DECIMAL(38,0) accumulator: a BIGINT sum of 32-bit row
+            # hashes overflows (ANSI raises) at ~2^31 rows/partition —
+            # the witness.py overflow discipline applied to the sink
+            F.sum(F.expr(f"cast({h} as decimal(38,0))")).alias(
+                "content_checksum"
+            ),
             F.min("o_orderkey").alias("min_key"),
             F.max("o_orderkey").alias("max_key"),
         )
@@ -247,7 +252,7 @@ def sink_checksum_manifest_sql() -> str:
     return f"""
     SELECT o_orderpriority AS partition_value,
            count(*)::BIGINT AS n_rows,
-           sum({h})::BIGINT AS content_checksum,
+           sum({h}::HUGEINT)::DECIMAL(38,0) AS content_checksum,
            min(o_orderkey)::BIGINT AS min_key,
            max(o_orderkey)::BIGINT AS max_key
     FROM orders
