@@ -12731,3 +12731,395 @@ def q_orders_aging_sql() -> str:
            max(age)::BIGINT AS max_age_days
     FROM j GROUP BY 1 ORDER BY age_bucket
     """
+
+
+def stats_negative_binomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments negative-binomial fit of DAILY event counts per
+    type — the parametric step after stats_dispersion_index flags
+    overdispersion: r = m²/(v−m) (clumping; small r = bursty) and
+    p = m/v, the two numbers a capacity planner feeds into tail
+    quantile estimates a Poisson would understate.
+
+    Counts collapse to the DAYS-bounded calendar grain in ONE shuffle;
+    with A = n·Σx² − (Σx)² − (n−1)·Σx and B = n·Σx² − (Σx)²,
+    r = (n−1)·(Σx)²/(n·A) and p = (n−1)·Σx/B are PURE integer
+    rationals — integer-exact HALF_UP (repo round-boundary rule),
+    widened products; an underdispersed type (v ≤ m, A ≤ 0) has no NB
+    fit and emits NULL r/p in both engines. NULL ts has no day; NULL
+    event_type is its own group.
+    """
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    )
+    b = "(cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx)"
+    a = f"({b} - cast(n - 1 as decimal(38,0)) * sx)"
+    return (
+        agg.selectExpr(
+            "event_type",
+            "n AS n_days",
+            f"{sp_rat6('sx', 'n')} AS mean_daily",
+            f"{sp_rat6(b, 'cast(n as decimal(38,0)) * (n - 1)')} AS var_daily",
+            f"({a} > 0) AS overdispersed",
+            f"""CASE WHEN {a} > 0 THEN {sp_rat6(
+                f'cast(n - 1 as decimal(38,0)) * sx * sx',
+                f'cast(n as decimal(38,0)) * {a}',
+            )} END AS nb_r""",
+            f"""CASE WHEN {a} > 0 THEN {sp_rat6(
+                f'cast(n - 1 as decimal(38,0)) * sx', b
+            )} END AS nb_p""",
+        )
+        .orderBy("event_type")
+    )
+
+
+def stats_negative_binomial_fit_sql() -> str:
+    b = "(n::HUGEINT * sxx - sx::HUGEINT * sx)"
+    a = f"({b} - (n - 1)::HUGEINT * sx)"
+    return f"""
+    WITH d AS (
+        SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS x
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), agg AS (
+        SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+               sum(x * x)::BIGINT AS sxx
+        FROM d GROUP BY 1
+    )
+    SELECT event_type, n AS n_days,
+           {dk_rat6('sx', 'n')} AS mean_daily,
+           {dk_rat6(b, 'n::HUGEINT * (n - 1)')} AS var_daily,
+           ({a} > 0) AS overdispersed,
+           CASE WHEN {a} > 0 THEN {dk_rat6(
+               f'(n - 1)::HUGEINT * sx * sx', f'n::HUGEINT * {a}'
+           )} END AS nb_r,
+           CASE WHEN {a} > 0 THEN {dk_rat6(f'(n - 1)::HUGEINT * sx', b)}
+           END AS nb_p
+    FROM agg ORDER BY event_type
+    """
+
+
+# Page-Hinkley: tolerance delta = mean/100 per step, alarm lambda = 50
+# mean-days of accumulated positive drift (both spelled as EXACT integer
+# cross-multiples below — no float constant enters a comparison)
+def stats_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift detector on the daily-revenue series —
+    the sequential test that fires when revenue runs persistently ABOVE
+    its long-run mean (PH_t = S_t − min S_τ with a per-step tolerance),
+    the one-sided sustained-shift complement to stats_cusum_changepoint
+    (which locates the single best split).
+
+    One DAYS-grain collapse (exact integer cents), a 1-row total
+    broadcast, then prefix-sum + running-min windows over the bounded
+    calendar axis. Multiply-through keeps EVERYTHING integer:
+    T_t = 100n·cumsum_t − 101·t·total is an exact DECIMAL(38,0), the
+    PH statistic is max(T_t − runmin T)/(10⁴n) dollars via the
+    integer-exact HALF_UP helper, and the alarm compares the integer
+    cross-multiple maxdiff > 5000·total. NULL order dates drop (both
+    engines).
+    """
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint)")
+            ).alias("y")
+        )
+    )
+    tot = F.broadcast(
+        d.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("total"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    s = (
+        d.crossJoin(tot)
+        .withColumn("t_idx", F.count(F.lit(1)).over(w))
+        .withColumn("cum", F.sum("y").over(w))
+        .withColumn(
+            "big_t",
+            F.expr(
+                "100 * cast(n as decimal(38,0)) * cum"
+                " - 101 * cast(t_idx as decimal(38,0)) * total"
+            ),
+        )
+    )
+    s = s.withColumn("runmin", F.min("big_t").over(w)).withColumn(
+        "ph", F.col("big_t") - F.col("runmin")
+    )
+    alarm_day = F.min(
+        F.when(
+            F.col("ph") > F.expr("5000 * cast(total as decimal(38,0))"),
+            F.col("day"),
+        )
+    )
+    return (
+        s.groupBy()
+        .agg(
+            F.max("n").alias("n_days"),
+            F.max("ph").alias("maxdiff"),
+            F.max("total").alias("total"),
+            alarm_day.alias("alarm_day"),
+        )
+        .selectExpr(
+            "n_days",
+            f"{sp_rat('maxdiff', '10000 * cast(n_days as decimal(38,0))', 2)}"
+            " AS ph_stat_dollars",
+            "maxdiff > 5000 * cast(total as decimal(38,0)) AS alarm",
+            "alarm_day",
+        )
+    )
+
+
+def stats_page_hinkley_sql() -> str:
+    return f"""
+    WITH d AS (
+        SELECT o_orderdate::DATE AS day,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ), tot AS (
+        SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS total FROM d
+    ), s AS (
+        SELECT day, n, total,
+               row_number() OVER (ORDER BY day) AS t_idx,
+               sum(y) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM d CROSS JOIN tot
+    ), t AS (
+        SELECT day, n, total,
+               (100 * n::HUGEINT * cum - 101 * t_idx::HUGEINT * total)
+                   AS big_t
+        FROM s
+    ), ph AS (
+        SELECT day, n, total,
+               big_t - min(big_t) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+        FROM t
+    )
+    SELECT max(n)::BIGINT AS n_days,
+           {dk_rat('max(ph)', '10000 * max(n)::HUGEINT', 2)}
+               AS ph_stat_dollars,
+           max(ph) > 5000 * max(total)::HUGEINT AS alarm,
+           min(CASE WHEN ph > 5000 * total::HUGEINT THEN day END)
+               AS alarm_day
+    FROM ph
+    """
+
+
+def stats_bowley_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowley (quartile) skewness of event values per type —
+    (Q3 + Q1 − 2·Q2)/(Q3 − Q1), the outlier-immune skew measure that
+    still reads correctly on the fat-tailed distributions where the
+    moment-based skewness in stats_jarque_bera saturates.
+
+    ONE grouped percentile aggregation (K-bounded groups, integer
+    cents). Quartiles interpolate on the quarter lattice, so 4·Q is an
+    exact integer and the skew is a PURE integer rational —
+    integer-exact HALF_UP (repo round-boundary rule); a degenerate type
+    (Q1 = Q3) has no quartile spread and emits NULL via the zero-
+    divisor guard. The quartiles themselves have ≤2 exact decimals
+    (round is an identity — safe). NULL values are not observations
+    (both engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("cast(round(value * 100) as bigint)").alias("v"),
+        )
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("cast(round(percentile(v, 0.25) * 4) as bigint)").alias("q1_4"),
+        F.expr("cast(round(percentile(v, 0.5) * 4) as bigint)").alias("q2_4"),
+        F.expr("cast(round(percentile(v, 0.75) * 4) as bigint)").alias("q3_4"),
+    )
+    return (
+        agg.selectExpr(
+            "event_type",
+            "n AS n_events",
+            "(cast(q1_4 as double) / 4.0) AS q1_cents",
+            "(cast(q2_4 as double) / 4.0) AS q2_cents",
+            "(cast(q3_4 as double) / 4.0) AS q3_cents",
+            f"{sp_rat6('q3_4 + q1_4 - 2 * q2_4', 'q3_4 - q1_4')}"
+            " AS bowley_skew",
+        )
+        .orderBy("event_type")
+    )
+
+
+def stats_bowley_skew_sql() -> str:
+    return f"""
+    WITH ev AS (
+        SELECT event_type, round(value * 100)::BIGINT AS v
+        FROM events WHERE value IS NOT NULL
+    ), agg AS (
+        SELECT event_type, count(*)::BIGINT AS n,
+               round(quantile_cont(v, 0.25) * 4)::BIGINT AS q1_4,
+               round(quantile_cont(v, 0.5) * 4)::BIGINT AS q2_4,
+               round(quantile_cont(v, 0.75) * 4)::BIGINT AS q3_4
+        FROM ev GROUP BY 1
+    )
+    SELECT event_type, n AS n_events,
+           (q1_4::DOUBLE / 4.0) AS q1_cents,
+           (q2_4::DOUBLE / 4.0) AS q2_cents,
+           (q3_4::DOUBLE / 4.0) AS q3_cents,
+           {dk_rat6('q3_4 + q1_4 - 2 * q2_4', 'q3_4 - q1_4')} AS bowley_skew
+    FROM agg ORDER BY event_type
+    """
+
+
+def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net trade balance per nation: revenue its suppliers EXPORT vs
+    revenue its customers IMPORT, the balance, and the balance share of
+    the nation's total flow — the one-row-per-nation ledger behind
+    q_nation_trade_matrix's top-partner view (that one answers WHO,
+    this answers NET).
+
+    Two independent fact-side aggregations (each ONE shuffle at nation
+    grain after broadcast dimension joins) joined on the 25-row nation
+    axis; cents stay exact BIGINTs and the share is a PURE integer
+    rational (integer-exact HALF_UP; the sign rides the numerator).
+    NULL rule: lines without the dimension match drop (inner joins,
+    both engines); a nation with flow in one direction only still
+    reports (full outer on the bounded axis, zero-filled).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr(
+            "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+        ).alias("rev"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    exports = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(F.sum("rev").alias("export_cents"))
+    )
+    imports = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.sum("rev").alias("import_cents"))
+    )
+    return (
+        n.join(
+            F.broadcast(exports), n.n_nationkey == exports.s_nationkey, "left"
+        )
+        .join(
+            F.broadcast(imports), n.n_nationkey == imports.c_nationkey, "left"
+        )
+        .selectExpr(
+            "n_name AS nation",
+            "coalesce(export_cents, 0) AS export_cents",
+            "coalesce(import_cents, 0) AS import_cents",
+            "coalesce(export_cents, 0) - coalesce(import_cents, 0)"
+            " AS balance_cents",
+            f"""{sp_rat6(
+                'coalesce(export_cents, 0) - coalesce(import_cents, 0)',
+                'coalesce(export_cents, 0) + coalesce(import_cents, 0)',
+            )} AS balance_share""",
+        )
+        .orderBy("nation")
+    )
+
+
+def q_nation_trade_balance_sql() -> str:
+    return f"""
+    WITH li AS (
+        SELECT l_orderkey, l_suppkey,
+               round(l_extendedprice * (1 - l_discount) * 100)::BIGINT AS rev
+        FROM lineitem
+    ), exports AS (
+        SELECT s_nationkey, sum(rev)::BIGINT AS export_cents
+        FROM li JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1
+    ), imports AS (
+        SELECT c_nationkey, sum(rev)::BIGINT AS import_cents
+        FROM li
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    )
+    SELECT n_name AS nation,
+           coalesce(export_cents, 0)::BIGINT AS export_cents,
+           coalesce(import_cents, 0)::BIGINT AS import_cents,
+           (coalesce(export_cents, 0) - coalesce(import_cents, 0))::BIGINT
+               AS balance_cents,
+           {dk_rat6(
+               'coalesce(export_cents, 0) - coalesce(import_cents, 0)',
+               'coalesce(export_cents, 0) + coalesce(import_cents, 0)',
+           )} AS balance_share
+    FROM nation
+    LEFT JOIN exports ON n_nationkey = s_nationkey
+    LEFT JOIN imports ON n_nationkey = c_nationkey
+    ORDER BY nation
+    """
+
+
+def q_events_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day load profile per event type: total events, the peak
+    hour (smallest hour wins ties), its count and traffic share — the
+    capacity-planning table (when to schedule compaction, what the
+    autoscaler must absorb) at the hour grain below
+    stats_dispersion_index's daily view.
+
+    ONE aggregation to the ≤24·K (type, hour) grid; the peak is a
+    max-struct fold with the NEGATED hour as deterministic tie-break,
+    and the share is a PURE integer rational (integer-exact HALF_UP).
+    Hour extraction is wall-clock on the NTZ column — session-TZ-free,
+    matching DuckDB's naive hour(). NULL ts has no hour (dropped);
+    NULL event_type is its own group (both engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_type", F.hour("ts").cast("int").alias("hr"))
+    )
+    grid = ev.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("c"))
+    agg = grid.groupBy("event_type").agg(
+        F.sum("c").alias("n_events"),
+        F.max(F.struct(F.col("c"), (-F.col("hr")).alias("nh"))).alias("m"),
+    )
+    return (
+        agg.selectExpr(
+            "event_type",
+            "n_events",
+            "(-m.nh) AS peak_hour",
+            "m.c AS peak_n",
+            f"{sp_rat6('m.c', 'n_events')} AS peak_share",
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_events_peak_hour_sql() -> str:
+    return f"""
+    WITH ev AS (
+        SELECT event_type, hour(ts::TIMESTAMP)::INT AS hr
+        FROM events WHERE ts IS NOT NULL
+    ), grid AS (
+        SELECT event_type, hr, count(*)::BIGINT AS c
+        FROM ev GROUP BY 1, 2
+    ), agg AS (
+        SELECT event_type, sum(c)::BIGINT AS n_events,
+               (max({{'c': c, 'nh': -hr}})).c AS peak_n,
+               -((max({{'c': c, 'nh': -hr}})).nh) AS peak_hour
+        FROM grid GROUP BY 1
+    )
+    SELECT event_type, n_events, peak_hour::BIGINT AS peak_hour,
+           peak_n::BIGINT AS peak_n,
+           {dk_rat6('peak_n', 'n_events')} AS peak_share
+    FROM agg ORDER BY event_type
+    """

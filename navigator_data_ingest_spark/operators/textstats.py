@@ -14,7 +14,9 @@ from pyspark.sql import functions as F
 
 from navigator_data_ingest_spark.functions import exprs as X
 from navigator_data_ingest_spark.functions.exact import (
+    dk_rat,
     dk_rat6,
+    sp_rat,
     sp_rat6,
 )
 from navigator_data_ingest_spark.sources.tables import load_table, scatter
@@ -2205,4 +2207,142 @@ def text_topk_coverage_sql() -> str:
            {dk_rat6("sum(CASE WHEN rk <= 1000 THEN c END)::BIGINT",
                     "max(total)")} AS top1000_coverage
     FROM top CROSS JOIN tot
+    """
+
+
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity of the token distribution per source — the
+    collision probability D = Σc(c−1)/(N(N−1)) ("how likely are two
+    random tokens identical") and its inverse, the EFFECTIVE vocabulary
+    size — the concentration view beside text_hapax_ratio's tail view
+    and text_zipf_fit's slope: a boilerplate-heavy source shows a tiny
+    effective vocabulary long before its raw vocab shrinks.
+
+    ONE (source, token) shuffle then a bounded source rollup; D and
+    1/D are PURE integer rationals of BIGINT count moments (Σc(c−1)
+    summed wide — decimal(38,0)/HUGEINT) emitted via the integer-exact
+    HALF_UP helpers (repo round-boundary rule). NULL source is its own
+    corpus; token-less docs contribute nothing (both engines).
+    """
+    docs = scatter(spark, load_table(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select(
+            F.coalesce(F.col("source"), F.lit("<null>")).alias("source"),
+            F.explode(F.expr(X.sp_tokens("text"))).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = cnt.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * (c - 1)")).alias("scc"),
+    )
+    q = "cast(n_tokens as decimal(38,0)) * (n_tokens - 1)"
+    return (
+        agg.selectExpr(
+            "source",
+            "n_tokens",
+            "vocab",
+            f"{sp_rat6('scc', q)} AS simpson_d",
+            f"CASE WHEN scc > 0 THEN {sp_rat(q, 'scc', 2)} END"
+            " AS inv_simpson_effective",
+        )
+        .orderBy("source")
+    )
+
+
+def text_simpson_diversity_sql() -> str:
+    q = "n_tokens::HUGEINT * (n_tokens - 1)"
+    return f"""
+    WITH t AS (
+        SELECT coalesce(source, '<null>') AS source,
+               {X.dk_tokens('text')} AS toks
+        FROM documents
+    ), tok AS (
+        SELECT source, unnest(toks) AS token FROM t WHERE len(toks) > 0
+    ), cnt AS (
+        SELECT source, token, count(*)::BIGINT AS c
+        FROM tok GROUP BY 1, 2
+    ), agg AS (
+        SELECT source, count(*)::BIGINT AS vocab,
+               sum(c)::BIGINT AS n_tokens,
+               sum(c::HUGEINT * (c - 1)) AS scc
+        FROM cnt GROUP BY source
+    )
+    SELECT source, n_tokens, vocab,
+           {dk_rat6('scc', q)} AS simpson_d,
+           CASE WHEN scc > 0 THEN {dk_rat(q, 'scc', 2)} END
+               AS inv_simpson_effective
+    FROM agg ORDER BY source
+    """
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY against everything ingested before
+    it: the share of a doc's distinct 3-token shingles whose FIRST
+    corpus occurrence (min doc_id) is this doc — the freshness score a
+    curriculum/dedup pipeline uses to spot near-re-crawls (novelty→0)
+    and genuinely new material (novelty→1); the per-document
+    time-ordered complement to corpus_overlap's pairwise source view.
+
+    Scale shape: DISTINCT (doc, shingle) explode, ONE shingle-grain
+    shuffle for the global min(doc_id) witness, one shingle-keyed
+    equijoin back (hash keys, unskewed), then a doc rollup. The
+    novelty share is a PURE integer rational — integer-exact HALF_UP
+    (repo round-boundary rule). NULL/token-poor docs (<3 tokens) have
+    no shingles and drop (both engines).
+    """
+    docs = (
+        scatter(spark, load_table(spark, sf_dir, "documents"))
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(X.sp_let("t", X.sp_tokens("text"), X.sp_shingles("t")))
+        ).alias("shingle"),
+    ).distinct()
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("doc_id") == F.col("first_doc")).cast("bigint")
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.selectExpr(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            f"{sp_rat6('n_novel', 'n_shingles')} AS novelty_share",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_ngram_novelty_sql() -> str:
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {X.dk_tokens('text')} AS t
+        FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (SELECT doc_id, unnest({X.dk_shingles('t')}) AS shingle FROM t)
+    ), first AS (
+        SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1
+    ), per_doc AS (
+        SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+               sum((sh.doc_id = first_doc)::INT)::BIGINT AS n_novel
+        FROM sh JOIN first ON sh.shingle = first.shingle
+        GROUP BY sh.doc_id
+    )
+    SELECT doc_id, n_shingles, n_novel,
+           {dk_rat6('n_novel', 'n_shingles')} AS novelty_share
+    FROM per_doc ORDER BY doc_id
     """

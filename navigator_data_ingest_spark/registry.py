@@ -6041,3 +6041,57 @@ register(
     analytics.q_orders_aging_sql(),
     front=True,
 )
+
+
+# --------------------------------------------------------------------------
+# round 6: exact-rational statistics wave (post round-boundary campaign)
+# --------------------------------------------------------------------------
+
+register(
+    "text_simpson_diversity",
+    textstats.text_simpson_diversity,
+    textstats.text_simpson_diversity_sql(),
+    front=True,
+)
+
+register(
+    "text_ngram_novelty",
+    textstats.text_ngram_novelty,
+    textstats.text_ngram_novelty_sql(),
+    front=True,
+)
+
+register(
+    "stats_negative_binomial_fit",
+    analytics.stats_negative_binomial_fit,
+    analytics.stats_negative_binomial_fit_sql(),
+    front=True,
+)
+
+register(
+    "stats_page_hinkley",
+    analytics.stats_page_hinkley,
+    analytics.stats_page_hinkley_sql(),
+    front=True,
+)
+
+register(
+    "stats_bowley_skew",
+    analytics.stats_bowley_skew,
+    analytics.stats_bowley_skew_sql(),
+    front=True,
+)
+
+register(
+    "q_nation_trade_balance",
+    analytics.q_nation_trade_balance,
+    analytics.q_nation_trade_balance_sql(),
+    front=True,
+)
+
+register(
+    "q_events_peak_hour",
+    analytics.q_events_peak_hour,
+    analytics.q_events_peak_hour_sql(),
+    front=True,
+)

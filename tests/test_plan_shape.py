@@ -108,6 +108,8 @@ _DELIBERATE_NESTED_LOOP = {
     # 1-row max-order-date snapshot broadcast against the ≤5-row
     # bucket grid source: deliberate (the standard 1-row crossJoin)
     "q_orders_aging",
+    # 1-row (n, total) broadcast against the DAYS-bounded daily table
+    "stats_page_hinkley",
     # 1-row time-midpoint broadcast: deliberate
     "stats_ks_drift",
     "stats_psi_drift",
@@ -312,6 +314,7 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "sample_cap_per_source", "corpus_sample_exact_k", "mm_aspect_buckets",
     "q_orders_skyline", "stats_wilcoxon_signed_rank",
     # day/period calendar grain (bounded by the time dimension)
+    "stats_page_hinkley",
     "stats_runs_test", "stats_seasonal_decompose", "stats_var_cvar",
     "stats_spectral_peak", "stats_control_chart", "stats_moving_median",
     "stats_spearman_daily", "stats_benford", "stats_lorenz_deciles",
