@@ -13123,3 +13123,250 @@ def q_events_peak_hour_sql() -> str:
            {dk_rat6('peak_n', 'n_events')} AS peak_share
     FROM agg ORDER BY event_type
     """
+
+
+def q_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year spend-decile migration matrix: customers ranked
+    into revenue deciles per year (ntile over exact integer cents with
+    a custkey tie-break — both engines place the remainder identically),
+    then consecutive-year transitions counted into the ≤100-row
+    (from, to) grid with each origin decile's retention share — the
+    customer-movement table (who is upgrading, who is churning in
+    value) behind q_orders_cohort_ltv's cumulative view.
+
+    TWO shuffles at (customer, year) grain (sum + self-equijoin on
+    custkey with yr+1), year-partitioned ntile windows (bounded
+    partitions), and a bounded-grid rollup; the share is a PURE integer
+    rational — integer-exact HALF_UP (repo round-boundary rule). NULL
+    order dates/custkeys drop (both engines).
+    """
+    cy = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull() & F.col("o_custkey").isNotNull())
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint)")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("yr").orderBy("cents", "cust")
+    d = cy.withColumn("decile", F.ntile(10).over(w))
+    a = d.select(
+        F.col("cust"), (F.col("yr") + 1).alias("next_yr"),
+        F.col("decile").alias("from_decile"),
+    )
+    b = d.select(
+        F.col("cust").alias("_c"), F.col("yr").alias("_y"),
+        F.col("decile").alias("to_decile"),
+    )
+    grid = (
+        a.join(b, (a.cust == F.col("_c")) & (a.next_yr == F.col("_y")))
+        .groupBy("from_decile", "to_decile")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    wtot = Window.partitionBy("from_decile")
+    return (
+        grid.withColumn("row_total", F.sum("n_customers").over(wtot))
+        .selectExpr(
+            "from_decile",
+            "to_decile",
+            "n_customers",
+            f"{sp_rat6('n_customers', 'row_total')} AS share_of_origin",
+        )
+        .orderBy("from_decile", "to_decile")
+    )
+
+
+def q_customer_migration_sql() -> str:
+    return f"""
+    WITH cy AS (
+        SELECT o_custkey AS cust, year(o_orderdate)::BIGINT AS yr,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL
+        GROUP BY 1, 2
+    ), d AS (
+        SELECT cust, yr,
+               ntile(10) OVER (PARTITION BY yr ORDER BY cents, cust)
+                   AS decile
+        FROM cy
+    ), grid AS (
+        SELECT a.decile AS from_decile, b.decile AS to_decile,
+               count(*)::BIGINT AS n_customers
+        FROM d a JOIN d b ON a.cust = b.cust AND b.yr = a.yr + 1
+        GROUP BY 1, 2
+    )
+    SELECT from_decile, to_decile, n_customers,
+           {dk_rat6('n_customers',
+                    'sum(n_customers) OVER (PARTITION BY from_decile)')}
+               AS share_of_origin
+    FROM grid
+    ORDER BY from_decile, to_decile
+    """
+
+
+def stats_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of the order→ship latency per priority class via the
+    log-moment (Gumbel) method — shape k = π/(√6·sd(ln t)), scale
+    λ = exp(mean ln t + γ/k) — the hazard-shape read (k < 1 infant
+    mortality, k > 1 wear-out) that completes the distribution-fitting
+    shelf beside stats_lognormal_fit (body) and stats_extreme_gumbel
+    (maxima); fitted median λ·ln2^(1/k) reported against the exact p50
+    for a one-look goodness check.
+
+    ONE co-partitioned fact⋈fact join, per-priority ln-moments fold
+    order-free doubles; every output passes through ln/sqrt/exp
+    (irrational — plain round is safe per the round-boundary rule).
+    Zero/negative-day lags carry no ln (dropped both engines, like the
+    lognormal op). NULL dates/priorities drop.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("od"),
+        )
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
+        .select("l_orderkey", F.col("l_shipdate").cast("date").alias("sd"))
+    )
+    lag = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_orderpriority", F.datediff("sd", "od").alias("t"))
+        .where(F.col("t") > 0)
+    )
+    m = lag.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("ln(cast(t as double))")).alias("sl"),
+        F.sum(F.expr("ln(cast(t as double)) * ln(cast(t as double))")).alias(
+            "sll"
+        ),
+        F.expr("percentile(t, 0.5)").alias("p50_exact"),
+    )
+    sd = "sqrt((n * sll - sl * sl) / (n * (n - 1.0)))"
+    k = f"(1.2825498301618641 / {sd})"
+    lam = f"exp(sl / n + 0.5772156649015329 / {k})"
+    return (
+        m.selectExpr(
+            "o_orderpriority AS priority",
+            "n AS n_lines",
+            f"round({k}, 6) AS shape_k",
+            f"round({lam}, 6) AS scale_days",
+            f"round({lam} * pow(0.6931471805599453, 1.0 / {k}), 6)"
+            " AS fitted_median_days",
+            "round(p50_exact, 6) AS p50_exact_days",
+        )
+        .orderBy("priority")
+    )
+
+
+def stats_weibull_fit_sql() -> str:
+    sd = "sqrt((n * sll - sl * sl) / (n * (n - 1.0)))"
+    k = f"(1.2825498301618641 / {sd})"
+    lam = f"exp(sl / n + 0.5772156649015329 / {k})"
+    return f"""
+    WITH lag AS (
+        SELECT o_orderpriority,
+               datediff('day', o_orderdate::DATE, l_shipdate::DATE) AS t
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+          AND l_shipdate IS NOT NULL
+    ), m AS (
+        SELECT o_orderpriority, count(*)::BIGINT AS n,
+               sum(ln(t::DOUBLE)) AS sl,
+               sum(ln(t::DOUBLE) * ln(t::DOUBLE)) AS sll,
+               quantile_cont(t, 0.5) AS p50_exact
+        FROM lag WHERE t > 0
+        GROUP BY 1
+    )
+    SELECT o_orderpriority AS priority, n AS n_lines,
+           round({k}, 6) AS shape_k,
+           round({lam}, 6) AS scale_days,
+           round({lam} * pow(0.6931471805599453, 1.0 / {k}), 6)
+               AS fitted_median_days,
+           round(p50_exact, 6) AS p50_exact_days
+    FROM m ORDER BY priority
+    """
+
+
+def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per calendar month — mean daily active users
+    over monthly active users, THE product-engagement ratio — plus the
+    raw actives; the engagement summary over
+    q_events_cohort_retention's full triangle.
+
+    TWO user-distinct collapses (day grain, month grain — each one
+    shuffle on the user key) rolled up to the ≤MONTHS-bounded axis;
+    stickiness = Σday_DAU/(days·MAU) and the mean DAU are PURE integer
+    rationals — integer-exact HALF_UP (repo round-boundary rule). NULL
+    ts/user rows are not activity (both engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.col("ts").cast("date").alias("day"),
+            F.trunc(F.col("ts").cast("date"), "month").alias("month"),
+            "user_id",
+        )
+    )
+    dau = ev.groupBy("month", "day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    mau = ev.groupBy(F.col("month").alias("_m")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    per_month = dau.groupBy("month").agg(
+        F.count(F.lit(1)).alias("active_days"),
+        F.sum("dau").alias("sdau"),
+        F.max("dau").alias("peak_dau"),
+    )
+    return (
+        per_month.join(F.broadcast(mau), F.col("month") == F.col("_m"))
+        .selectExpr(
+            "month",
+            "active_days",
+            "mau",
+            "peak_dau",
+            f"{sp_rat6('sdau', 'active_days')} AS mean_dau",
+            f"{sp_rat6('sdau', 'cast(active_days as decimal(38,0)) * mau')}"
+            " AS stickiness",
+        )
+        .orderBy("month")
+    )
+
+
+def q_events_dau_mau_sql() -> str:
+    return f"""
+    WITH ev AS (
+        SELECT ts::DATE AS day, date_trunc('month', ts::DATE)::DATE AS month,
+               user_id
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), dau AS (
+        SELECT month, day, count(DISTINCT user_id)::BIGINT AS dau
+        FROM ev GROUP BY 1, 2
+    ), mau AS (
+        SELECT month, count(DISTINCT user_id)::BIGINT AS mau
+        FROM ev GROUP BY 1
+    ), per_month AS (
+        SELECT month, count(*)::BIGINT AS active_days,
+               sum(dau)::BIGINT AS sdau, max(dau)::BIGINT AS peak_dau
+        FROM dau GROUP BY 1
+    )
+    SELECT per_month.month, active_days, mau, peak_dau,
+           {dk_rat6('sdau', 'active_days')} AS mean_dau,
+           {dk_rat6('sdau', 'active_days::HUGEINT * mau')} AS stickiness
+    FROM per_month JOIN mau ON per_month.month = mau.month
+    ORDER BY per_month.month
+    """

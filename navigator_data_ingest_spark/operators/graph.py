@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from navigator_data_ingest_spark.functions.exact import dk_rat6, sp_rat6
 from navigator_data_ingest_spark.sources.tables import load_table
 
 DAMPING = 0.85
@@ -1044,4 +1045,136 @@ def graph_shortest_paths_sql() -> str:
     SELECT hop, n_nodes FROM hops
     WHERE hop = -1 OR n_nodes > 0
     ORDER BY hop
+    """
+
+
+HARMONIC_HOPS = 3
+
+
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-seed harmonic centrality within 3 hops on the part–supplier
+    bipartite graph: Σ 1/d(seed, v) over nodes reached at hop 1..3 —
+    the distance-weighted reach score (robust to disconnection, unlike
+    closeness) beside graph_pagerank's flow centrality and
+    graph_shortest_paths' aggregate hop census.
+
+    Per-seed frontier expansion keyed by (seed, node) — 3 UNROLLED
+    rounds of frontier⋈edges equijoin + anti-join against the visited
+    set, localCheckpoint per round (the graph_pagerank determinism
+    discipline); the seed stripe is derivation-bounded (suppkey % 100
+    == 1) so state stays |stripe|·|reach|. The harmonic sum over the
+    1..3 hop grid is (6·n₁ + 3·n₂ + 2·n₃)/6 — a PURE integer rational,
+    integer-exact HALF_UP (repo round-boundary rule). NULL rule: lines
+    missing either key form no edge (both engines).
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
+    edges = (
+        li.select(
+            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("p"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = edges.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionAll(
+        edges.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    seeds = (
+        li.select(F.col("l_suppkey").alias("k"))
+        .distinct()
+        .where(F.col("k") % 100 == 1)
+        .select(F.concat(F.lit("s:"), F.col("k").cast("string")).alias("seed"))
+    )
+    dist = seeds.select(
+        "seed", F.col("seed").alias("node"), F.lit(0).alias("hop")
+    ).localCheckpoint(eager=False)
+    frontier = dist
+    for h in range(1, HARMONIC_HOPS + 1):
+        nbr = (
+            frontier.join(und, frontier.node == und.src)
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            nbr.join(
+                dist.select(
+                    F.col("seed").alias("_s"), F.col("node").alias("_v")
+                ),
+                (nbr.seed == F.col("_s")) & (nbr.node == F.col("_v")),
+                "left_anti",
+            )
+            .select("seed", "node", F.lit(h).alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionAll(new)
+        frontier = new
+    grid = (
+        dist.where(F.col("hop") > 0)
+        .groupBy("seed")
+        .agg(
+            F.sum((F.col("hop") == 1).cast("bigint")).alias("n1"),
+            F.sum((F.col("hop") == 2).cast("bigint")).alias("n2"),
+            F.sum((F.col("hop") == 3).cast("bigint")).alias("n3"),
+        )
+    )
+    return (
+        grid.selectExpr(
+            "seed",
+            "n1 AS n_hop1",
+            "n2 AS n_hop2",
+            "n3 AS n_hop3",
+            f"{sp_rat6('6 * n1 + 3 * n2 + 2 * n3', '6')} AS harmonic_3hop",
+        )
+        .orderBy("seed")
+    )
+
+
+def graph_harmonic_centrality_sql() -> str:
+    return f"""
+    WITH li AS (
+        SELECT DISTINCT 'p:' || l_partkey::VARCHAR AS p,
+               's:' || l_suppkey::VARCHAR AS s
+        FROM lineitem
+        WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    ), und AS (
+        SELECT p AS src, s AS dst FROM li
+        UNION ALL
+        SELECT s AS src, p AS dst FROM li
+    ), seeds AS (
+        SELECT DISTINCT 's:' || l_suppkey::VARCHAR AS seed
+        FROM lineitem
+        WHERE l_suppkey IS NOT NULL AND l_suppkey % 100 = 1
+    ), d0 AS (
+        SELECT seed, seed AS node FROM seeds
+    ), f1 AS (
+        SELECT DISTINCT d0.seed, und.dst AS node
+        FROM d0 JOIN und ON d0.node = und.src
+    ), d1 AS (
+        SELECT seed, node FROM f1 EXCEPT SELECT seed, node FROM d0
+    ), f2 AS (
+        SELECT DISTINCT d1.seed, und.dst AS node
+        FROM d1 JOIN und ON d1.node = und.src
+    ), d2 AS (
+        SELECT seed, node FROM f2
+        EXCEPT (SELECT seed, node FROM d0 UNION ALL SELECT seed, node FROM d1)
+    ), f3 AS (
+        SELECT DISTINCT d2.seed, und.dst AS node
+        FROM d2 JOIN und ON d2.node = und.src
+    ), d3 AS (
+        SELECT seed, node FROM f3
+        EXCEPT (SELECT seed, node FROM d0
+                UNION ALL SELECT seed, node FROM d1
+                UNION ALL SELECT seed, node FROM d2)
+    ), grid AS (
+        SELECT seed,
+               (SELECT count(*) FROM d1 WHERE d1.seed = seeds.seed)::BIGINT AS n1,
+               (SELECT count(*) FROM d2 WHERE d2.seed = seeds.seed)::BIGINT AS n2,
+               (SELECT count(*) FROM d3 WHERE d3.seed = seeds.seed)::BIGINT AS n3
+        FROM seeds
+    )
+    SELECT seed, n1 AS n_hop1, n2 AS n_hop2, n3 AS n_hop3,
+           {dk_rat6('6 * n1 + 3 * n2 + 2 * n3', '6')} AS harmonic_3hop
+    FROM grid ORDER BY seed
     """

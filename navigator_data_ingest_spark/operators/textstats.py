@@ -2346,3 +2346,85 @@ def text_ngram_novelty_sql() -> str:
            {dk_rat6('n_novel', 'n_shingles')} AS novelty_share
     FROM per_doc ORDER BY doc_id
     """
+
+
+def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid-style grade level per source from three integer
+    counts — words (tokens), sentences ([.!?]+ runs, floored at 1 per
+    doc), syllable proxies ([aeiouy]+ vowel groups) — the readability
+    screen (too-simple boilerplate vs too-dense legalese) beside
+    text_quality's lexical ratios.
+
+    Counts come from regexp_count (one JVM pass per doc, no array
+    materialization) and roll up per source; the grade
+    0.39·W/S + 11.8·Y/W − 15.59 cross-multiplies to the PURE integer
+    rational (39·W² + 1180·Y·S − 1559·S·W)/(100·S·W) — integer-exact
+    HALF_UP (repo round-boundary rule), widened products. NULL/empty
+    text has no counts (dropped both engines).
+    """
+    docs = (
+        scatter(spark, load_table(spark, sf_dir, "documents"))
+        .where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            F.coalesce(F.col("source"), F.lit("<null>")).alias("source"),
+            F.expr("regexp_count(lower(text), '[a-z0-9]+')").alias("w"),
+            F.expr(
+                "greatest(regexp_count(text, '[.!?]+'), 1)"
+            ).alias("s"),
+            F.expr("regexp_count(lower(text), '[aeiouy]+')").alias("y"),
+        )
+    )
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("ww"),
+        F.sum("s").alias("ss"),
+        F.sum("y").alias("yy"),
+    )
+    p = (
+        "(39 * cast(ww as decimal(38,0)) * ww"
+        " + 1180 * cast(yy as decimal(38,0)) * ss"
+        " - 1559 * cast(ss as decimal(38,0)) * ww)"
+    )
+    q = "(100 * cast(ss as decimal(38,0)) * ww)"
+    return (
+        agg.selectExpr(
+            "source",
+            "n_docs",
+            "ww AS n_words",
+            "ss AS n_sentences",
+            "yy AS n_syllable_groups",
+            f"{sp_rat6('ww', 'ss')} AS words_per_sentence",
+            f"{sp_rat6('yy', 'ww')} AS syllables_per_word",
+            f"{sp_rat(p, q, 2)} AS fk_grade",
+        )
+        .orderBy("source")
+    )
+
+
+def text_readability_fk_sql() -> str:
+    p = (
+        "(39 * ww::HUGEINT * ww + 1180 * yy::HUGEINT * ss"
+        " - 1559 * ss::HUGEINT * ww)"
+    )
+    q = "(100 * ss::HUGEINT * ww)"
+    return f"""
+    WITH docs AS (
+        SELECT coalesce(source, '<null>') AS source,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS w,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+                   AS s,
+               len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS y
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), agg AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(w)::BIGINT AS ww, sum(s)::BIGINT AS ss,
+               sum(y)::BIGINT AS yy
+        FROM docs GROUP BY source
+    )
+    SELECT source, n_docs, ww AS n_words, ss AS n_sentences,
+           yy AS n_syllable_groups,
+           {dk_rat6('ww', 'ss')} AS words_per_sentence,
+           {dk_rat6('yy', 'ww')} AS syllables_per_word,
+           {dk_rat(p, q, 2)} AS fk_grade
+    FROM agg ORDER BY source
+    """

@@ -6095,3 +6095,38 @@ register(
     analytics.q_events_peak_hour_sql(),
     front=True,
 )
+
+register(
+    "graph_harmonic_centrality",
+    graph.graph_harmonic_centrality,
+    graph.graph_harmonic_centrality_sql(),
+    front=True,
+)
+
+register(
+    "text_readability_fk",
+    textstats.text_readability_fk,
+    textstats.text_readability_fk_sql(),
+    front=True,
+)
+
+register(
+    "q_customer_migration",
+    analytics.q_customer_migration,
+    analytics.q_customer_migration_sql(),
+    front=True,
+)
+
+register(
+    "stats_weibull_fit",
+    analytics.stats_weibull_fit,
+    analytics.stats_weibull_fit_sql(),
+    front=True,
+)
+
+register(
+    "q_events_dau_mau",
+    analytics.q_events_dau_mau,
+    analytics.q_events_dau_mau_sql(),
+    front=True,
+)
