@@ -83,6 +83,12 @@ HEADLINE = [
     "emb_triplet_mining",
     "emb_silhouette",
     "text_heaps_law",
+    # round-6 widening: shingle-novelty freshness score, per-seed BFS
+    # harmonic centrality, decile-migration matrix, Simpson diversity
+    "text_ngram_novelty",
+    "graph_harmonic_centrality",
+    "q_customer_migration",
+    "text_simpson_diversity",
 ]
 
 
