@@ -220,12 +220,18 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single shuffle on user_id; both windows share the same partitioning
     so the second window reuses the first's exchange.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # session-TZ-free gap (NTZ-domain epoch micros; unix_timestamp on
+    # an NTZ column shifts under a non-UTC driver session and a DST
+    # boundary between two events would shift even the DIFF)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.expr(sp_epoch_us("ts"))
+    )
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user))
+    gap = F.col("us") - F.lag("us").over(w_user)
     with_session = (
         ev.withColumn("new_session",
-                      F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+                      F.when(gap.isNull() | (gap > 1_800_000_000), 1)
+                      .otherwise(0))
         .withColumn("session_id",
                     F.sum("new_session").over(
                         w_user.rowsBetween(Window.unboundedPreceding, 0)))
@@ -1974,7 +1980,7 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         "value",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.expr(sp_epoch_us("ts")).alias("us"),
     )
     mid = ev.agg(
         ((F.min("us") + F.max("us")) / F.lit(2)).cast("bigint").alias("mid_us")
@@ -2592,7 +2598,7 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         "value",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.expr(sp_epoch_us("ts")).alias("us"),
     )
     mid = ev.agg(
         ((F.min("us") + F.max("us")) / F.lit(2)).cast("bigint").alias("mid_us")
@@ -2842,7 +2848,7 @@ def q_events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.expr(sp_epoch_us("ts")).alias("us"),
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     gaps = (
@@ -3213,7 +3219,7 @@ def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     microseconds; the winner is picked with a null-safe CASE.
     """
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+        "us", F.expr(sp_epoch_us("ts"))
     )
     ord_cols = [F.col("us"), F.col("event_id")]
     wb = (
@@ -3558,7 +3564,7 @@ def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select(
             "event_type",
-            (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(DAY_US))
+            (F.expr(sp_epoch_us("ts")) / F.lit(DAY_US))
             .cast("bigint")
             .alias("day"),
         )
@@ -3654,7 +3660,7 @@ def stats_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-window family), never a corpus-scale one.
     """
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+        "user_id", F.expr(sp_epoch_us("ts")).alias("us")
     )
     users = ev.groupBy("user_id").agg(
         F.min("us").alias("first_us"), F.max("us").alias("last_us")
@@ -3797,7 +3803,7 @@ def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "event_id",
         "value",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.expr(sp_epoch_us("ts")).alias("us"),
     )
     w = Window.partitionBy("event_type").orderBy("us", "event_id")
     dt = (F.lead("us").over(w) - F.col("us")).alias("dt_us")
@@ -3851,7 +3857,7 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select(
             "event_type",
-            (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(DAY_US))
+            (F.expr(sp_epoch_us("ts")) / F.lit(DAY_US))
             .cast("bigint")
             .alias("day"),
         )
@@ -4080,7 +4086,7 @@ def stats_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select(
             "event_type",
-            (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(DAY_US))
+            (F.expr(sp_epoch_us("ts")) / F.lit(DAY_US))
             .cast("bigint")
             .alias("day"),
         )
@@ -4169,7 +4175,7 @@ def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.expr(sp_epoch_us("ts")).alias("us"),
         "event_id",
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
@@ -7058,7 +7064,7 @@ def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "event_type",
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.expr(sp_epoch_us("ts")).alias("us"),
             "event_id",
         )
     )
@@ -7500,7 +7506,7 @@ def q_events_latest_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.expr(sp_epoch_us("ts")).alias("us"),
         F.struct("event_id", "event_type", "value").alias("row"),
     )
     uniq = ev.groupBy("user_id", "us").agg(

@@ -23,6 +23,13 @@ from tests.oracle import compare, duckdb_con
 # transitions; absolute outputs shift by the whole offset)
 EPOCH_OUTPUT_OPS = [
     "q_events_concurrency",  # first_peak_us
+    # epoch-DERIVED ops (diffs/splits) — a DST boundary inside the data
+    # window would shift even diffs under the old NTZ->LTZ cast idiom;
+    # all now ride the NTZ-domain epoch (functions/exact.sp_epoch_us)
+    "q_events_latest_by",
+    "stats_ks_drift",
+    "q_events_sessionize",
+    "q_events_inter_arrival",
 ]
 
 
