@@ -13376,3 +13376,280 @@ def q_events_dau_mau_sql() -> str:
     FROM per_month JOIN mau ON per_month.month = mau.month
     ORDER BY per_month.month
     """
+
+
+def stats_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises test between URGENT (priority 1-2)
+    and NORMAL order-value distributions — the INTEGRATED whole-shape
+    distance (Σ of squared ECDF gaps) beside stats_ks_two_sample's
+    single worst gap; CvM keeps power when the difference is spread
+    thin across the distribution instead of spiking once.
+
+    Distinct-value collapse first (duplicate explosion invisible), the
+    Mann-Whitney two-level block prefix sums give each group's
+    cumulative-before counts with NO global sort, and Anderson's
+    rank form folds to exact integers: for group-1 members at value v,
+    pooled−within midrank = cum_b_before + c_b/2, so
+    4U = N·Σc_a(2·cbb + c_b)² + M·Σc_b(2·cab + c_a)² is an exact
+    integer and T = (6·4U − 4NM(4NM−1))/(24·NM(N+M)) a PURE integer
+    rational — integer-exact HALF_UP (round-boundary rule; decimal
+    headroom to ~1e9 rows/side). NULL values/priorities drop (both
+    engines).
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_totalprice").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
+        .select(
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias("v"),
+            (
+                F.expr("cast(substring(o_orderpriority, 1, 1) as int)") <= 2
+            ).alias("g1"),
+        )
+    )
+    vc = o.groupBy("v").agg(
+        F.sum(F.col("g1").cast("bigint")).alias("ca"),
+        F.sum((~F.col("g1")).cast("bigint")).alias("cb"),
+    )
+    rng = vc.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    b = vc.crossJoin(F.broadcast(rng)).withColumn(
+        "blk",
+        F.least(
+            F.lit(1023),
+            F.floor(
+                (F.col("v") - F.col("mn"))
+                / (F.col("mx") - F.col("mn") + F.lit(1e-9))
+                * 1024
+            ),
+        ),
+    )
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = (
+        b.withColumn("cab_in", F.coalesce(F.sum("ca").over(w_in), F.lit(0)))
+        .withColumn("cbb_in", F.coalesce(F.sum("cb").over(w_in), F.lit(0)))
+    )
+    bt = b.groupBy("blk").agg(
+        F.sum("ca").alias("blk_a"), F.sum("cb").alias("blk_b")
+    )
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    bt = bt.withColumn(
+        "offa", F.coalesce(F.sum("blk_a").over(w_blk), F.lit(0))
+    ).withColumn("offb", F.coalesce(F.sum("blk_b").over(w_blk), F.lit(0)))
+    j = b.join(F.broadcast(bt.select("blk", "offa", "offb")), "blk")
+    agg = j.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(
+            F.expr(
+                "cast(ca as decimal(38,0))"
+                " * (2 * (offb + cbb_in) + cb) * (2 * (offb + cbb_in) + cb)"
+            )
+        ).alias("sa"),
+        F.sum(
+            F.expr(
+                "cast(cb as decimal(38,0))"
+                " * (2 * (offa + cab_in) + ca) * (2 * (offa + cab_in) + ca)"
+            )
+        ).alias("sb"),
+    )
+    u4 = (
+        "(cast(n_a as decimal(38,0)) * sa + cast(n_b as decimal(38,0)) * sb)"
+    )
+    nm = "(cast(n_a as decimal(38,0)) * n_b)"
+    return agg.selectExpr(
+        "n_a AS n_urgent",
+        "n_b AS n_normal",
+        f"{sp_rat6(f'6 * {u4} - 4 * {nm} * (4 * {nm} - 1)', f'24 * {nm} * (n_a + n_b)')}"
+        " AS cvm_t",
+    )
+
+
+def stats_cramer_von_mises_sql() -> str:
+    u4 = "(n_a::HUGEINT * sa + n_b::HUGEINT * sb)"
+    nm = "(n_a::HUGEINT * n_b)"
+    return f"""
+    WITH o AS (
+        SELECT round(o_totalprice * 100)::BIGINT AS v,
+               (substring(o_orderpriority, 1, 1)::INT <= 2) AS g1
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+    ), vc AS (
+        SELECT v, sum(g1::INT)::BIGINT AS ca,
+               sum((NOT g1)::INT)::BIGINT AS cb
+        FROM o GROUP BY v
+    ), cum AS (
+        SELECT ca, cb,
+               coalesce(sum(ca) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cab,
+               coalesce(sum(cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cbb
+        FROM vc
+    ), agg AS (
+        SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+               sum(ca::HUGEINT * (2 * cbb + cb) * (2 * cbb + cb)) AS sa,
+               sum(cb::HUGEINT * (2 * cab + ca) * (2 * cab + ca)) AS sb
+        FROM cum
+    )
+    SELECT n_a AS n_urgent, n_b AS n_normal,
+           {dk_rat6(f'6 * {u4} - 4 * {nm} * (4 * {nm} - 1)',
+                    f'24 * {nm} * (n_a + n_b)')} AS cvm_t
+    FROM agg
+    """
+
+
+def q_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT round trip — the wide per-year priority-count pivot
+    melted back to long form with Spark's native ``DataFrame.unpivot``
+    (ids/values/variable/value signature) — the engine-surface inverse
+    of q_orders_pivot, certified against an oracle that computes the
+    long form DIRECTLY (so the pivot→unpivot pair must be lossless,
+    not merely self-consistent).
+
+    The wide intermediate is a ≤YEARS-row table, so the unpivot is
+    driver-free metadata work over a bounded frame; zero-count cells
+    materialize as 0 (pivot fills) and survive the melt — the oracle
+    replays that with a year×priority grid LEFT JOIN. NULL order
+    dates/priorities drop (both engines).
+    """
+    PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull() & F.col("o_orderpriority").isNotNull())
+        .select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    wide = (
+        o.groupBy("order_year")
+        .pivot("priority", PRIORITIES)
+        .count()
+        .na.fill(0)
+    )
+    long = wide.unpivot(
+        ids=["order_year"],
+        values=PRIORITIES,
+        variableColumnName="priority",
+        valueColumnName="n_orders",
+    )
+    return long.select(
+        "order_year", "priority", F.col("n_orders").cast("bigint").alias("n_orders")
+    ).orderBy("order_year", "priority")
+
+
+def q_sql_unpivot_sql() -> str:
+    return """
+    WITH years AS (
+        SELECT DISTINCT year(o_orderdate)::INT AS order_year
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+    ), prios(priority) AS (
+        VALUES ('1-URGENT'), ('2-HIGH'), ('3-MEDIUM'),
+               ('4-NOT SPECIFIED'), ('5-LOW')
+    ), counts AS (
+        SELECT year(o_orderdate)::INT AS order_year,
+               o_orderpriority AS priority, count(*)::BIGINT AS n
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT y.order_year, p.priority,
+           coalesce(c.n, 0)::BIGINT AS n_orders
+    FROM years y CROSS JOIN prios p
+    LEFT JOIN counts c
+      ON c.order_year = y.order_year AND c.priority = p.priority
+    ORDER BY y.order_year, p.priority
+    """
+
+
+BOT_HEAVY_EVENTS = 200
+BOT_HOURS_SPREAD = 20
+
+
+def q_events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-traffic screen: users bucketed by two integer behavioral
+    flags — HEAVY (>200 events) and ROUND-THE-CLOCK (active in ≥20 of
+    24 hours) — into the 4-cell (heavy, around_clock) grid with counts,
+    event mass, and shares; the both-flags cell is the bot-farm
+    candidate set a data pipeline quarantines before training on user
+    behavior.
+
+    ONE user-grain aggregation (distinct hour set via the 24-bit mask —
+    bit_or of 1<<hour, then popcount, no second distinct pass), a
+    4-row grid rollup, and integer-exact HALF_UP shares. Hour is the
+    wall-clock NTZ extraction (session-TZ-free). NULL user/ts rows are
+    not activity (both engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.expr("cast(1 as bigint) << cast(hour(ts) as int)").alias("hbit"),
+        )
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_count(bit_or(hbit))").alias("n_hours"),
+    )
+    grid = (
+        per_user.select(
+            (F.col("n") > BOT_HEAVY_EVENTS).alias("heavy"),
+            (F.col("n_hours") >= BOT_HOURS_SPREAD).alias("around_clock"),
+            "n",
+        )
+        .groupBy("heavy", "around_clock")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n").alias("n_events"),
+        )
+    )
+    tot = F.broadcast(
+        grid.agg(
+            F.sum("n_users").alias("tu"), F.sum("n_events").alias("te")
+        )
+    )
+    return (
+        grid.crossJoin(tot)
+        .selectExpr(
+            "heavy",
+            "around_clock",
+            "n_users",
+            "n_events",
+            f"{sp_rat6('n_users', 'tu')} AS user_share",
+            f"{sp_rat6('n_events', 'te')} AS event_share",
+        )
+        .orderBy("heavy", "around_clock")
+    )
+
+
+def q_events_bot_screen_sql() -> str:
+    return f"""
+    WITH ev AS (
+        SELECT user_id, (1::BIGINT << hour(ts::TIMESTAMP)::INT) AS hbit
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), per_user AS (
+        SELECT user_id, count(*)::BIGINT AS n,
+               bit_count(bit_or(hbit))::BIGINT AS n_hours
+        FROM ev GROUP BY 1
+    ), grid AS (
+        SELECT (n > {BOT_HEAVY_EVENTS}) AS heavy,
+               (n_hours >= {BOT_HOURS_SPREAD}) AS around_clock,
+               count(*)::BIGINT AS n_users, sum(n)::BIGINT AS n_events
+        FROM per_user GROUP BY 1, 2
+    ), tot AS (
+        SELECT sum(n_users)::BIGINT AS tu, sum(n_events)::BIGINT AS te
+        FROM grid
+    )
+    SELECT heavy, around_clock, n_users, n_events,
+           {dk_rat6('n_users', 'tu')} AS user_share,
+           {dk_rat6('n_events', 'te')} AS event_share
+    FROM grid CROSS JOIN tot
+    ORDER BY heavy, around_clock
+    """

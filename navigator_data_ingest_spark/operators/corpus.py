@@ -3331,3 +3331,88 @@ def pack_boundary_stats_sql() -> str:
                AS fill_ratio
     FROM spans
     """
+
+
+BRIER_CLAMP = 20  # score clamps into [-20, 20] -> p on the 1/40 lattice
+
+
+def stats_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the hashed linear classifier as an is-English
+    probability forecast — mean squared error of p against the 0/1
+    label, with the climatological reference p̄(1−p̄) and the skill
+    score 1 − Brier/ref — the CALIBRATION-sensitive quality number
+    beside stats_auc_classifier's pure ranking AUC (a classifier can
+    rank perfectly and still forecast badly).
+
+    Probability = (clamp(score, ±20) + 20)/40 — a 1/40-lattice rational
+    — so Σ(40p − 40y)² is an exact BIGINT and Brier, base rate, ref and
+    skill are PURE integer rationals (integer-exact HALF_UP, repo
+    round-boundary rule; skill cross-multiplies to stay exact). NULL
+    lang is a negative (coalesce); token-less docs carry no score (both
+    engines).
+    """
+    scored = classifier_scores(_tokens_df(spark, sf_dir), extra_cols=("lang",))
+    c = BRIER_CLAMP
+    s = scored.selectExpr(
+        f"least(greatest(score_sum, {-c}), {c}) + {c} AS p40",
+        "(coalesce(lang, '') = 'en') AS is_pos",
+    )
+    agg = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_pos").cast("bigint")).alias("k"),
+        F.sum(
+            F.expr(
+                f"cast(p40 - (CASE WHEN is_pos THEN {2 * c} ELSE 0 END)"
+                f" as decimal(38,0))"
+                f" * (p40 - (CASE WHEN is_pos THEN {2 * c} ELSE 0 END))"
+            )
+        ).alias("se40"),
+    )
+    m2 = (2 * c) * (2 * c)
+    brier_p, brier_q = "se40", f"{m2} * cast(n as decimal(38,0))"
+    # ref = k(n−k)/n²; skill = 1 − brier/ref = (ref − brier)/ref
+    # cross-multiplied: (m2·k(n−k)·n − se40·n²)/(m2·k(n−k)·n)
+    kq = "cast(k as decimal(38,0)) * (n - k)"
+    skill_p = f"({m2} * {kq} * n - cast(se40 as decimal(38,0)) * n * n)"
+    skill_q = f"({m2} * {kq} * n)"
+    return agg.selectExpr(
+        "n AS n_docs",
+        "k AS n_positive",
+        f"{sp_rat6('k', 'n')} AS base_rate",
+        f"{sp_rat6(brier_p, brier_q)} AS brier",
+        f"{sp_rat6(kq, 'cast(n as decimal(38,0)) * n')} AS brier_ref",
+        f"{sp_rat6(skill_p, skill_q)} AS brier_skill",
+    )
+
+
+def stats_brier_score_sql() -> str:
+    c = BRIER_CLAMP
+    m2 = (2 * c) * (2 * c)
+    kq = "k::HUGEINT * (n - k)"
+    skill_p = f"({m2} * {kq} * n - se40::HUGEINT * n * n)"
+    skill_q = f"({m2} * {kq} * n)"
+    return f"""
+    WITH t AS (
+        SELECT doc_id, lang, {X.dk_tokens('text')} AS toks FROM documents
+    ), tok AS (
+        SELECT doc_id, lang, unnest(toks) AS x FROM t WHERE len(toks) > 0
+    ), s AS (
+        SELECT doc_id,
+               least(greatest(sum({_clf_weight_dk('x')})::BIGINT, {-c}), {c})
+                   + {c} AS p40,
+               (coalesce(lang, '') = 'en') AS is_pos
+        FROM tok GROUP BY doc_id, lang
+    ), agg AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(is_pos::INT)::BIGINT AS k,
+               sum((p40 - CASE WHEN is_pos THEN {2 * c} ELSE 0 END)::HUGEINT
+                   * (p40 - CASE WHEN is_pos THEN {2 * c} ELSE 0 END)) AS se40
+        FROM s
+    )
+    SELECT n AS n_docs, k AS n_positive,
+           {dk_rat6('k', 'n')} AS base_rate,
+           {dk_rat6('se40', f'{m2} * n::HUGEINT')} AS brier,
+           {dk_rat6(kq, 'n::HUGEINT * n')} AS brier_ref,
+           {dk_rat6(skill_p, skill_q)} AS brier_skill
+    FROM agg
+    """

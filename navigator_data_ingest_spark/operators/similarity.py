@@ -2916,3 +2916,92 @@ def emb_lsh_tuning_sql(dk_bucket8: str, dk_dot_qe: str, dk_dot_qq: str, dk_dot_e
     ){''.join(per_p)}
     {unions} ORDER BY n_planes
     """
+
+
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift between the two deterministic corpus
+    halves (vec_id parity — the A/B a re-embedding run would produce):
+    centroid L2 shift and centroid cosine — the distribution-shift
+    tripwire that catches a silently retrained or re-normalized encoder
+    before an ANN index built on half the corpus goes stale against the
+    other half.
+
+    TWO explosion-free per-dim avg passes (the emb_centroids idiom: 64
+    JVM-side partial aggs per half, never an unnest), joined on the
+    ≤L-row label axis; centroid components round at 6 dp BEFORE the
+    distance folds so both engines difference identical operands, and
+    the L2/cosine outputs pass through sqrt (irrational — plain round
+    safe). NULL labels are not clusters (dropped both engines).
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("label").isNotNull())
+        .select("vec_id", "label", "embedding", (F.col("vec_id") % 2).alias("h"))
+    )
+
+    def centroid(half: int, pfx: str):
+        return (
+            emb.where(F.col("h") == half)
+            .groupBy("label")
+            .agg(
+                F.count(F.lit(1)).alias(f"{pfx}n"),
+                *[
+                    F.round(F.avg(F.col("embedding").getItem(i)), 6).alias(
+                        f"{pfx}{i}"
+                    )
+                    for i in range(EMB_DIM)
+                ],
+            )
+        )
+    a = centroid(0, "a")
+    b = centroid(1, "b").withColumnRenamed("label", "_l")
+    j = a.join(F.broadcast(b), F.col("label") == F.col("_l"))
+    l2 = " + ".join(f"(a{i} - b{i}) * (a{i} - b{i})" for i in range(EMB_DIM))
+    dot = " + ".join(f"a{i} * b{i}" for i in range(EMB_DIM))
+    na = " + ".join(f"a{i} * a{i}" for i in range(EMB_DIM))
+    nb = " + ".join(f"b{i} * b{i}" for i in range(EMB_DIM))
+    return (
+        j.selectExpr(
+            "label",
+            "an AS n_half_a",
+            "bn AS n_half_b",
+            f"round(sqrt({l2}), 6) AS centroid_l2",
+            f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6) AS centroid_cos",
+        )
+        .orderBy("label")
+    )
+
+
+def emb_centroid_drift_sql() -> str:
+    l2 = " + ".join(f"(a.c[{i}] - b.c[{i}]) * (a.c[{i}] - b.c[{i}])"
+                    for i in range(1, EMB_DIM + 1))
+    dot = " + ".join(f"a.c[{i}] * b.c[{i}]" for i in range(1, EMB_DIM + 1))
+    na = " + ".join(f"a.c[{i}] * a.c[{i}]" for i in range(1, EMB_DIM + 1))
+    nb = " + ".join(f"b.c[{i}] * b.c[{i}]" for i in range(1, EMB_DIM + 1))
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding, vec_id % 2 AS h
+        FROM embeddings WHERE label IS NOT NULL
+    ), x AS (
+        SELECT label, h, generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding)::DOUBLE AS v
+        FROM e
+    ), cd AS (
+        SELECT label, h, pos, round(avg(v), 6) AS cv FROM x GROUP BY 1, 2, 3
+    ), c AS (
+        SELECT label, h, list(cv ORDER BY pos) AS c FROM cd GROUP BY 1, 2
+    ), n AS (
+        SELECT label, h, count(*)::BIGINT AS n FROM e GROUP BY 1, 2
+    ), a AS (
+        SELECT c.label, c.c, n.n FROM c JOIN n
+          ON c.label = n.label AND c.h = n.h WHERE c.h = 0
+    ), b AS (
+        SELECT c.label, c.c, n.n FROM c JOIN n
+          ON c.label = n.label AND c.h = n.h WHERE c.h = 1
+    )
+    SELECT a.label, a.n AS n_half_a, b.n AS n_half_b,
+           round(sqrt({l2}), 6) AS centroid_l2,
+           round(({dot}) / (sqrt({na}) * sqrt({nb})), 6) AS centroid_cos
+    FROM a JOIN b ON a.label = b.label
+    ORDER BY a.label
+    """

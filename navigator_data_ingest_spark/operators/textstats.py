@@ -2428,3 +2428,78 @@ def text_readability_fk_sql() -> str:
            {dk_rat(p, q, 2)} AS fk_grade
     FROM agg ORDER BY source
     """
+
+
+# RE2-and-Java-compatible PII patterns: no backslashes (dots live inside
+# character classes), no backreferences — the same literal text runs in
+# both engines
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+PII_PHONE = "[0-9][0-9][0-9][-. ][0-9][0-9][0-9][-. ][0-9][0-9][0-9][0-9]"
+PII_IDNUM = "[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+
+def text_pii_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-pattern census per source — email-, phone- and SSN-shaped
+    hits plus the share of documents carrying ANY — the redaction
+    screen a training-data pipeline runs before anything ships; the
+    structural sibling of text_gopher_rules' quality screen.
+
+    One regexp_count pass per pattern per doc (JVM-side, no array
+    materialization), a source rollup, and an integer-exact HALF_UP
+    share. The patterns avoid backslashes and backreferences so the
+    SAME literal text compiles identically under Java regex and RE2
+    (DuckDB). NULL/empty text carries no PII (dropped both engines).
+    """
+    docs = (
+        scatter(spark, load_table(spark, sf_dir, "documents"))
+        .where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            F.coalesce(F.col("source"), F.lit("<null>")).alias("source"),
+            F.expr(f"regexp_count(lower(text), '{PII_EMAIL}')").alias("em"),
+            F.expr(f"regexp_count(text, '{PII_PHONE}')").alias("ph"),
+            F.expr(f"regexp_count(text, '{PII_IDNUM}')").alias("id"),
+        )
+    )
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("em").alias("n_emails"),
+        F.sum("ph").alias("n_phones"),
+        F.sum("id").alias("n_idnums"),
+        F.sum(
+            ((F.col("em") + F.col("ph") + F.col("id")) > 0).cast("bigint")
+        ).alias("n_flagged"),
+    )
+    return (
+        agg.selectExpr(
+            "source",
+            "n_docs",
+            "n_emails",
+            "n_phones",
+            "n_idnums",
+            "n_flagged",
+            f"{sp_rat6('n_flagged', 'n_docs')} AS flagged_share",
+        )
+        .orderBy("source")
+    )
+
+
+def text_pii_patterns_sql() -> str:
+    return f"""
+    WITH docs AS (
+        SELECT coalesce(source, '<null>') AS source,
+               len(regexp_extract_all(lower(text), '{PII_EMAIL}'))::BIGINT AS em,
+               len(regexp_extract_all(text, '{PII_PHONE}'))::BIGINT AS ph,
+               len(regexp_extract_all(text, '{PII_IDNUM}'))::BIGINT AS id
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), agg AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(em)::BIGINT AS n_emails,
+               sum(ph)::BIGINT AS n_phones,
+               sum(id)::BIGINT AS n_idnums,
+               sum((em + ph + id > 0)::INT)::BIGINT AS n_flagged
+        FROM docs GROUP BY source
+    )
+    SELECT source, n_docs, n_emails, n_phones, n_idnums, n_flagged,
+           {dk_rat6('n_flagged', 'n_docs')} AS flagged_share
+    FROM agg ORDER BY source
+    """

@@ -6130,3 +6130,45 @@ register(
     analytics.q_events_dau_mau_sql(),
     front=True,
 )
+
+register(
+    "text_pii_patterns",
+    textstats.text_pii_patterns,
+    textstats.text_pii_patterns_sql(),
+    front=True,
+)
+
+register(
+    "stats_cramer_von_mises",
+    analytics.stats_cramer_von_mises,
+    analytics.stats_cramer_von_mises_sql(),
+    front=True,
+)
+
+register(
+    "stats_brier_score",
+    corpus.stats_brier_score,
+    corpus.stats_brier_score_sql(),
+    front=True,
+)
+
+register(
+    "q_sql_unpivot",
+    analytics.q_sql_unpivot,
+    analytics.q_sql_unpivot_sql(),
+    front=True,
+)
+
+register(
+    "q_events_bot_screen",
+    analytics.q_events_bot_screen,
+    analytics.q_events_bot_screen_sql(),
+    front=True,
+)
+
+register(
+    "emb_centroid_drift",
+    similarity.emb_centroid_drift,
+    similarity.emb_centroid_drift_sql(),
+    front=True,
+)

@@ -154,7 +154,10 @@ _DELIBERATE_NESTED_LOOP = {
     # 1-row min/max range broadcast feeding the block bucketing /
     # 1-row global-mean broadcast onto the NATION-grain table: deliberate
     "stats_mann_whitney",
+    "stats_cramer_von_mises",
     "stats_fdr_bh",
+    # 1-row totals broadcast onto the 4-row flag grid: deliberate
+    "q_events_bot_screen",
     # 1-row max-id broadcast feeding the range-block quantization
     "mm_aspect_buckets",
     # 1-row median / per-dim stats broadcasts: deliberate
@@ -310,7 +313,8 @@ def test_no_accidental_cartesian_products(spark, name):
 # fails test_global_windows_are_allowlisted until it is justified here.
 _BOUNDED_GLOBAL_WINDOW_OK = {
     # 1024-block prefix-sum block tables
-    "stats_mann_whitney", "pack_sequences", "corpus_token_budget",
+    "stats_mann_whitney", "stats_cramer_von_mises",
+    "pack_sequences", "corpus_token_budget",
     "sample_cap_per_source", "corpus_sample_exact_k", "mm_aspect_buckets",
     "q_orders_skyline", "stats_wilcoxon_signed_rank",
     # day/period calendar grain (bounded by the time dimension)

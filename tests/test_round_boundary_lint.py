@@ -119,6 +119,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/multimodal.py", "mm_aspect_buckets_sql"): IRRATIONAL,
     ("operators/multimodal.py", "mm_byte_entropy"): IRRATIONAL,
     ("operators/multimodal.py", "mm_byte_entropy_sql"): IRRATIONAL,
+    ("operators/similarity.py", "emb_centroid_drift"): IRRATIONAL,  # cos over sqrt
+    ("operators/similarity.py", "emb_centroid_drift_sql"): IRRATIONAL,
     ("operators/similarity.py", "emb_dim_relevance"): FLOAT_DATA,
     ("operators/similarity.py", "emb_dim_relevance_sql"): FLOAT_DATA,
     ("operators/similarity.py", "emb_intrinsic_dim"): IRRATIONAL,  # ln-ratio sums
