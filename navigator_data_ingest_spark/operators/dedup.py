@@ -1485,3 +1485,78 @@ def dedup_bucket_stats_sql(minhash_ctes: str) -> str:
     FROM buckets GROUP BY 1, 2
     ORDER BY band_id, bucket_size
     """
+
+
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE exact-duplicate map: for every source pair, how many
+    distinct texts appear in BOTH (by md5) and each side's share of its
+    corpus — the contamination matrix that says which crawls are
+    re-wrapping each other (dedup_rate_by_source counts copies WITHIN a
+    source; this localizes the leakage BETWEEN them).
+
+    DISTINCT (source, hash) collapse first, a hash-keyed self-equijoin
+    at distinct-text cardinality (hash keys unskewed — survives 100x),
+    the bounded source-pair grid, and integer-exact HALF_UP shares.
+    NULL text hashes nothing; NULL source is its own corpus (both
+    engines).
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            F.coalesce(F.col("source"), F.lit("<null>")).alias("source"),
+            F.md5("text").alias("h"),
+        )
+        .distinct()
+    )
+    sizes = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = d.select(F.col("source").alias("sa"), "h")
+    b = d.select(F.col("source").alias("sb"), F.col("h").alias("_h"))
+    pairs = (
+        a.join(b, (F.col("h") == F.col("_h")) & (F.col("sa") < F.col("sb")))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("source").alias("_a"), F.col("n").alias("na"))),
+            F.col("sa") == F.col("_a"),
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("_b"), F.col("n").alias("nb"))),
+            F.col("sb") == F.col("_b"),
+        )
+        .selectExpr(
+            "sa AS source_a",
+            "sb AS source_b",
+            "n_shared",
+            "na AS n_distinct_a",
+            "nb AS n_distinct_b",
+            f"{sp_rat6('n_shared', 'na')} AS share_of_a",
+            f"{sp_rat6('n_shared', 'nb')} AS share_of_b",
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def dedup_cross_source_sql() -> str:
+    return f"""
+    WITH d AS (
+        SELECT DISTINCT coalesce(source, '<null>') AS source, md5(text) AS h
+        FROM documents WHERE text IS NOT NULL
+    ), sizes AS (
+        SELECT source, count(*)::BIGINT AS n FROM d GROUP BY 1
+    ), pairs AS (
+        SELECT a.source AS sa, b.source AS sb, count(*)::BIGINT AS n_shared
+        FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT sa AS source_a, sb AS source_b, n_shared,
+           za.n AS n_distinct_a, zb.n AS n_distinct_b,
+           {dk_rat6('n_shared', 'za.n')} AS share_of_a,
+           {dk_rat6('n_shared', 'zb.n')} AS share_of_b
+    FROM pairs
+    JOIN sizes za ON sa = za.source
+    JOIN sizes zb ON sb = zb.source
+    ORDER BY source_a, source_b
+    """

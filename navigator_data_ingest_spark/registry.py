@@ -6172,3 +6172,38 @@ register(
     similarity.emb_centroid_drift_sql(),
     front=True,
 )
+
+from navigator_data_ingest_spark.sources import flat as flat_src2
+
+# rows-only BY DESIGN: the driver's oracle connection exposes table
+# VIEWS, and parquet row-group structure is not derivable from a view —
+# tests/test_sources.py::test_parquet_footer_stats_pinned certifies the
+# values against BOTH pyarrow ground truth and DuckDB parquet_metadata()
+# on the same files (the [rows] pattern of text_compression_ratio).
+register(
+    "src_parquet_footer_stats",
+    flat_src2.src_parquet_footer_stats,
+    None,
+    front=True,
+)
+
+register(
+    "q_orders_fill_rate",
+    analytics.q_orders_fill_rate,
+    analytics.q_orders_fill_rate_sql(),
+    front=True,
+)
+
+register(
+    "q_supplier_reliability",
+    analytics.q_supplier_reliability,
+    analytics.q_supplier_reliability_sql(),
+    front=True,
+)
+
+register(
+    "dedup_cross_source",
+    dedup.dedup_cross_source,
+    dedup.dedup_cross_source_sql(),
+    front=True,
+)

@@ -647,3 +647,87 @@ def q_analyze_column_stats_sql() -> str:
            sum((o_orderdate IS NULL)::INT)::BIGINT AS date_nulls
     FROM orders
     """
+
+
+FOOTER_TABLES = ("orders", "lineitem", "documents")
+
+
+def src_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet FOOTER census without scanning data: per row group the
+    row count, column-chunk count and compressed byte size — the
+    physical-layout audit behind every pruning/compaction decision (are
+    row groups sized for min/max skipping? is a table fragmented into
+    tiny groups?). At 100 TB this is the O(files) metadata pass a
+    maintenance job runs nightly; certified against DuckDB's
+    parquet_metadata() reading the SAME footers.
+
+    The file list parallelizes across the cluster and each task opens
+    ONLY footers (pyarrow metadata reads — no column data I/O);
+    mapInPandas keeps it Arrow-batched. Output is the (file, row_group)
+    grid — bounded by physical layout, not row count.
+    """
+    import pandas as pd
+
+    paths = [os.path.join(sf_dir, f"{t}.parquet") for t in FOOTER_TABLES]
+
+    def footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                base = os.path.basename(p)
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    rows.append(
+                        (
+                            base,
+                            i,
+                            rg.num_columns,
+                            rg.num_rows,
+                            sum(
+                                rg.column(c).total_compressed_size
+                                for c in range(rg.num_columns)
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_name",
+                    "row_group_id",
+                    "n_cols",
+                    "rg_rows",
+                    "compressed_bytes",
+                ],
+            )
+
+    files = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        len(paths)
+    )
+    out = files.mapInPandas(
+        footers,
+        "file_name string, row_group_id int, n_cols int, rg_rows bigint,"
+        " compressed_bytes bigint",
+    )
+    return out.select(
+        "file_name",
+        F.col("row_group_id").cast("bigint").alias("row_group_id"),
+        F.col("n_cols").cast("bigint").alias("n_cols"),
+        "rg_rows",
+        "compressed_bytes",
+    ).orderBy("file_name", "row_group_id")
+
+
+def src_parquet_footer_stats_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    selects = " UNION ALL ".join(
+        f"""SELECT '{t}.parquet' AS file_name, row_group_id::BIGINT AS row_group_id,
+               count(*)::BIGINT AS n_cols,
+               max(row_group_num_rows)::BIGINT AS rg_rows,
+               sum(total_compressed_size)::BIGINT AS compressed_bytes
+        FROM parquet_metadata('{sf_dir}/{t}.parquet')
+        GROUP BY row_group_id"""
+        for t in FOOTER_TABLES
+    )
+    return f"SELECT * FROM ({selects}) ORDER BY file_name, row_group_id"

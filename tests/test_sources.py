@@ -57,3 +57,46 @@ def test_json_cache_translated_flag(spark):
         for r in read_json_cache(spark, d).collect()
     }
     assert rows == {("n", False), ("n-en", True)}
+
+
+def test_parquet_footer_stats_pinned(spark):
+    """src_parquet_footer_stats is rows-only at the driver (footers are
+    not view-derivable); pin its values against pyarrow ground truth
+    AND DuckDB's parquet_metadata() on the same files."""
+    import os
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from navigator_data_ingest_spark.sources.flat import (
+        FOOTER_TABLES,
+        src_parquet_footer_stats,
+        src_parquet_footer_stats_sql,
+    )
+    from tests.conftest import SF_CORRECT
+
+    got = {
+        (r.file_name, r.row_group_id): (r.n_cols, r.rg_rows, r.compressed_bytes)
+        for r in src_parquet_footer_stats(spark, SF_CORRECT).collect()
+    }
+    # pyarrow ground truth
+    expected = {}
+    for t in FOOTER_TABLES:
+        md = pq.ParquetFile(os.path.join(SF_CORRECT, f"{t}.parquet")).metadata
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            expected[(f"{t}.parquet", i)] = (
+                rg.num_columns,
+                rg.num_rows,
+                sum(
+                    rg.column(c).total_compressed_size
+                    for c in range(rg.num_columns)
+                ),
+            )
+    assert got == expected
+    # DuckDB parquet_metadata agrees on the same files
+    dk = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in duckdb.sql(src_parquet_footer_stats_sql(SF_CORRECT)).fetchall()
+    }
+    assert dk == expected
