@@ -13805,3 +13805,214 @@ def q_supplier_reliability_sql() -> str:
     ORDER BY wilson_lower DESC, suppkey
     LIMIT 25
     """
+
+
+def q_orders_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue by RANGE frame — the window family ROWS
+    frames get WRONG on gappy calendars: RANGE BETWEEN 6 PRECEDING AND
+    CURRENT ROW over the day ordinal includes exactly the trailing week
+    even when days are missing, where a ROWS frame would silently
+    stretch across gaps. Emits the trailing sum, day count actually
+    present, and the gap-aware daily mean.
+
+    One DAYS-bounded collapse (exact integer cents), the range window
+    runs on the epoch-day ordinal over that bounded grain; the mean is
+    a PURE integer rational (integer-exact HALF_UP). NULL order dates
+    drop (both engines).
+    """
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint)")
+            ).alias("cents")
+        )
+        .withColumn(
+            "dn", F.datediff("day", F.lit("1970-01-01").cast("date"))
+        )
+    )
+    w = Window.orderBy("dn").rangeBetween(-6, 0)
+    out = d.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("trail_cents"),
+        F.count(F.lit(1)).over(w).alias("trail_days"),
+    )
+    return out.selectExpr(
+        "day",
+        "cents AS day_cents",
+        "trail_cents",
+        "trail_days",
+        f"{sp_rat('trail_cents', 'trail_days', 2)} AS trail_daily_mean_cents",
+    ).orderBy("day")
+
+
+def q_orders_trailing_range_sql() -> str:
+    return f"""
+    WITH d AS (
+        SELECT o_orderdate::DATE AS day,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents,
+               datediff('day', DATE '1970-01-01', o_orderdate::DATE) AS dn
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 3
+    ), w AS (
+        SELECT day, cents,
+               sum(cents) OVER (ORDER BY dn
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS trail_cents,
+               count(*) OVER (ORDER BY dn
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS trail_days
+        FROM d
+    )
+    SELECT day, cents AS day_cents,
+           trail_cents::BIGINT AS trail_cents,
+           trail_days::BIGINT AS trail_days,
+           {dk_rat('trail_cents', 'trail_days', 2)} AS trail_daily_mean_cents
+    FROM w ORDER BY day
+    """
+
+
+FUNNEL_STEP_WINDOW_MIN = 60
+
+
+def q_events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-BOUNDED funnel: view → click within 60 min → purchase
+    within 60 min of that click, per user — the attribution-grade
+    funnel q_events_funnel (any order-respecting occurrence) overstates:
+    a click hours later no longer converts the view. Emits the stage
+    population counts and the step/overall conversion shares.
+
+    Three bounded passes at user grain: min view ts, then the earliest
+    qualifying click via one conditional aggregation against the
+    broadcast-joined view anchor, then the same for purchases against
+    the click anchor — never an event×event pairing. Shares are PURE
+    integer rationals (integer-exact HALF_UP). NULL users/ts are not
+    activity (both engines).
+    """
+    win_us = FUNNEL_STEP_WINDOW_MIN * 60_000_000
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "event_type", F.expr(sp_epoch_us("ts")).alias("us"))
+    )
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("v_us")
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .where(
+            (F.col("us") >= F.col("v_us"))
+            & (F.col("us") <= F.col("v_us") + F.lit(win_us))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where(
+            (F.col("us") >= F.col("c_us"))
+            & (F.col("us") <= F.col("c_us") + F.lit(win_us))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    agg = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_click"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchase"))))
+    )
+    return agg.selectExpr(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        f"{sp_rat6('n_click', 'n_view')} AS view_to_click",
+        f"{sp_rat6('n_purchase', 'n_click')} AS click_to_purchase",
+        f"{sp_rat6('n_purchase', 'n_view')} AS overall",
+    )
+
+
+def q_events_funnel_steps_sql() -> str:
+    win_us = FUNNEL_STEP_WINDOW_MIN * 60_000_000
+    return f"""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), v AS (
+        SELECT user_id, min(us) AS v_us FROM ev
+        WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT ev.user_id, min(us) AS c_us
+        FROM ev JOIN v ON ev.user_id = v.user_id
+        WHERE event_type = 'click'
+          AND us >= v_us AND us <= v_us + {win_us}
+        GROUP BY 1
+    ), p AS (
+        SELECT ev.user_id, min(us) AS p_us
+        FROM ev JOIN c ON ev.user_id = c.user_id
+        WHERE event_type = 'purchase'
+          AND us >= c_us AND us <= c_us + {win_us}
+        GROUP BY 1
+    ), agg AS (
+        SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+               (SELECT count(*) FROM c)::BIGINT AS n_click,
+               (SELECT count(*) FROM p)::BIGINT AS n_purchase
+    )
+    SELECT n_view, n_click, n_purchase,
+           {dk_rat6('n_click', 'n_view')} AS view_to_click,
+           {dk_rat6('n_purchase', 'n_click')} AS click_to_purchase,
+           {dk_rat6('n_purchase', 'n_view')} AS overall
+    FROM agg
+    """
+
+
+def q_sql_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — the LISTAGG/STRING_AGG surface: per
+    region the alphabetized nation roster as one delimited string plus
+    a truncated top-3 preview — the report-formatting primitive whose
+    CROSS-ENGINE trap is ordering (an unordered collect is
+    nondeterministic by partitioning; both sides here pin ORDER BY
+    inside the aggregation).
+
+    Spark: sort_array(collect_list(...)) + array_join (deterministic
+    regardless of arrival order); DuckDB: string_agg(... ORDER BY).
+    Bounded dimension tables only. NULL nation names are skipped by
+    collect_list and string_agg alike (both engines).
+    """
+    n = load_table(spark, sf_dir, "nation").select("n_regionkey", "n_name")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    agg = (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.expr("array_join(sort_array(collect_list(n_name)), '|')").alias(
+                "roster"
+            ),
+            F.expr(
+                "array_join(slice(sort_array(collect_list(n_name)), 1, 3), '|')"
+            ).alias("top3"),
+        )
+    )
+    return (
+        agg.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("r_name").alias("region"),
+            "n_nations",
+            "roster",
+            "top3",
+        )
+        .orderBy("region")
+    )
+
+
+def q_sql_listagg_sql() -> str:
+    return """
+    SELECT r_name AS region,
+           count(*)::BIGINT AS n_nations,
+           string_agg(n_name, '|' ORDER BY n_name) AS roster,
+           array_to_string((list(n_name ORDER BY n_name))[1:3], '|') AS top3
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY region
+    """

@@ -6207,3 +6207,24 @@ register(
     dedup.dedup_cross_source_sql(),
     front=True,
 )
+
+register(
+    "q_orders_trailing_range",
+    analytics.q_orders_trailing_range,
+    analytics.q_orders_trailing_range_sql(),
+    front=True,
+)
+
+register(
+    "q_events_funnel_steps",
+    analytics.q_events_funnel_steps,
+    analytics.q_events_funnel_steps_sql(),
+    front=True,
+)
+
+register(
+    "q_sql_listagg",
+    analytics.q_sql_listagg,
+    analytics.q_sql_listagg_sql(),
+    front=True,
+)

@@ -158,6 +158,8 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_fdr_bh",
     # 1-row totals broadcast onto the 4-row flag grid: deliberate
     "q_events_bot_screen",
+    # three 1-row stage-count broadcasts crossed into the funnel report
+    "q_events_funnel_steps",
     # 1-row max-id broadcast feeding the range-block quantization
     "mm_aspect_buckets",
     # 1-row median / per-dim stats broadcasts: deliberate
@@ -318,7 +320,7 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "sample_cap_per_source", "corpus_sample_exact_k", "mm_aspect_buckets",
     "q_orders_skyline", "stats_wilcoxon_signed_rank",
     # day/period calendar grain (bounded by the time dimension)
-    "stats_page_hinkley",
+    "stats_page_hinkley", "q_orders_trailing_range",
     "stats_runs_test", "stats_seasonal_decompose", "stats_var_cvar",
     "stats_spectral_peak", "stats_control_chart", "stats_moving_median",
     "stats_spearman_daily", "stats_benford", "stats_lorenz_deciles",
