@@ -14016,3 +14016,181 @@ def q_sql_listagg_sql() -> str:
     GROUP BY r_name
     ORDER BY region
     """
+
+
+def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size between URGENT (priority 1-2) and NORMAL
+    order values — the magnitude number every significance test here
+    (Mann-Whitney, KS, CvM) deliberately does NOT give: a p-value says
+    "real", d says "big enough to matter" (0.2 small / 0.5 medium /
+    0.8 large), with Hedges' g small-sample correction beside it.
+
+    ONE conditional-aggregation pass over integer cents; means come
+    out integer-exact HALF_UP, d and g pass through the pooled-sd sqrt
+    (irrational — plain round safe; the correction factor 1−3/(4df−1)
+    multiplies an irrational). NULL values/priorities drop (both
+    engines).
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_totalprice").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
+        .select(
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias("v"),
+            (
+                F.expr("cast(substring(o_orderpriority, 1, 1) as int)") <= 2
+            ).alias("g1"),
+        )
+    )
+    agg = o.agg(
+        F.sum(F.col("g1").cast("bigint")).alias("na"),
+        F.sum((~F.col("g1")).cast("bigint")).alias("nb"),
+        F.sum(F.when(F.col("g1"), F.col("v"))).alias("sa"),
+        F.sum(F.when(~F.col("g1"), F.col("v"))).alias("sb"),
+        F.sum(F.when(F.col("g1"), F.expr("cast(v as decimal(38,0)) * v"))).alias("qa"),
+        F.sum(F.when(~F.col("g1"), F.expr("cast(v as decimal(38,0)) * v"))).alias("qb"),
+    )
+    ssa = "(cast(qa as double) - cast(sa as double) * sa / na)"
+    ssb = "(cast(qb as double) - cast(sb as double) * sb / nb)"
+    sp_ = f"sqrt(({ssa} + {ssb}) / (na + nb - 2.0))"
+    d = f"((cast(sa as double) / na - cast(sb as double) / nb) / {sp_})"
+    corr = "(1.0 - 3.0 / (4.0 * (na + nb) - 9.0))"
+    return agg.selectExpr(
+        "na AS n_urgent",
+        "nb AS n_normal",
+        f"{sp_rat('sa', '100 * na', 2)} AS mean_urgent",
+        f"{sp_rat('sb', '100 * nb', 2)} AS mean_normal",
+        f"round({d}, 6) AS cohens_d",
+        f"round({d} * {corr}, 6) AS hedges_g",
+    )
+
+
+def stats_cohens_d_sql() -> str:
+    ssa = "(qa::DOUBLE - sa::DOUBLE * sa / na)"
+    ssb = "(qb::DOUBLE - sb::DOUBLE * sb / nb)"
+    sp_ = f"sqrt(({ssa} + {ssb}) / (na + nb - 2.0))"
+    d = f"((sa::DOUBLE / na - sb::DOUBLE / nb) / {sp_})"
+    corr = "(1.0 - 3.0 / (4.0 * (na + nb) - 9.0))"
+    return f"""
+    WITH o AS (
+        SELECT round(o_totalprice * 100)::BIGINT AS v,
+               (substring(o_orderpriority, 1, 1)::INT <= 2) AS g1
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+    ), agg AS (
+        SELECT sum(g1::INT)::BIGINT AS na,
+               sum((NOT g1)::INT)::BIGINT AS nb,
+               sum(CASE WHEN g1 THEN v END)::BIGINT AS sa,
+               sum(CASE WHEN NOT g1 THEN v END)::BIGINT AS sb,
+               sum(CASE WHEN g1 THEN v::HUGEINT * v END) AS qa,
+               sum(CASE WHEN NOT g1 THEN v::HUGEINT * v END) AS qb
+        FROM o
+    )
+    SELECT na AS n_urgent, nb AS n_normal,
+           {dk_rat('sa', '100 * na', 2)} AS mean_urgent,
+           {dk_rat('sb', '100 * nb', 2)} AS mean_normal,
+           round({d}, 6) AS cohens_d,
+           round({d} * {corr}, 6) AS hedges_g
+    FROM agg
+    """
+
+
+def q_events_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth distribution: gap-sessions (the q_events_sessionize
+    semantics) bucketed by events-per-session into power-of-2 depth
+    bins with session/event shares — "are sessions one-tap bounces or
+    long journeys", the engagement histogram OVER the sessionizer
+    (sessionize lists sessions; this characterizes them).
+
+    Reuses the one-shuffle lag/cumsum sessionizer at user grain, one
+    session rollup, one ≤12-row bucket rollup; shares integer-exact
+    HALF_UP; the depth bucket is exact integer bit-length arithmetic
+    (no float log2). NULL users/ts are not activity (both engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withColumn("us", F.expr(sp_epoch_us("ts")))
+    )
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("us") - F.lag("us").over(w_user)
+    sess = (
+        ev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_session").over(
+                w_user.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.count(F.lit(1)).alias("depth"))
+    )
+    # power-of-2 bucket by integer bit length: 1, 2, 3-4, 5-8, ...
+    bucket = "cast(pow(2, ceil(log2(depth))) as bigint)"
+    buckets = sess.selectExpr(
+        f"CASE WHEN depth <= 1 THEN 1 ELSE {bucket} END AS depth_bucket",
+        "depth",
+    ).groupBy("depth_bucket").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("depth").alias("n_events"),
+    )
+    tot = F.broadcast(
+        buckets.agg(
+            F.sum("n_sessions").alias("ts_"), F.sum("n_events").alias("te")
+        )
+    )
+    return (
+        buckets.crossJoin(tot)
+        .selectExpr(
+            "depth_bucket",
+            "n_sessions",
+            "n_events",
+            f"{sp_rat6('n_sessions', 'ts_')} AS session_share",
+            f"{sp_rat6('n_events', 'te')} AS event_share",
+        )
+        .orderBy("depth_bucket")
+    )
+
+
+def q_events_session_depth_sql() -> str:
+    return f"""
+    WITH ev AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+               epoch_us(ts::TIMESTAMP) AS us
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), flagged AS (
+        SELECT user_id,
+               CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id,
+               sum(new_session) OVER (PARTITION BY user_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ), depths AS (
+        SELECT count(*)::BIGINT AS depth
+        FROM sess GROUP BY user_id, sid
+    ), buckets AS (
+        SELECT CASE WHEN depth <= 1 THEN 1
+                    ELSE pow(2, ceil(log2(depth)))::BIGINT END AS depth_bucket,
+               count(*)::BIGINT AS n_sessions,
+               sum(depth)::BIGINT AS n_events
+        FROM depths GROUP BY 1
+    ), tot AS (
+        SELECT sum(n_sessions)::BIGINT AS ts_, sum(n_events)::BIGINT AS te
+        FROM buckets
+    )
+    SELECT depth_bucket, n_sessions, n_events,
+           {dk_rat6('n_sessions', 'ts_')} AS session_share,
+           {dk_rat6('n_events', 'te')} AS event_share
+    FROM buckets CROSS JOIN tot
+    ORDER BY depth_bucket
+    """

@@ -3416,3 +3416,143 @@ def stats_brier_score_sql() -> str:
            {dk_rat6(skill_p, skill_q)} AS brier_skill
     FROM agg
     """
+
+
+GAINS_BUCKETS = 10
+
+
+def stats_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-decile gains/lift table for the hashed is-English
+    classifier — positives captured per decile, cumulative capture and
+    cumulative lift vs random — THE model-evaluation table a ranking
+    deployment reads (top-decile lift 3 = the top 10% by score hold 3x
+    their share of English); the threshold-free view beside
+    stats_auc_classifier's single number.
+
+    SCALE SHAPE (no global per-row sort): the corpus collapses to
+    DISTINCT-SCORE counts, the cumulative-below term uses the
+    Mann-Whitney 1024-block two-level prefix, and each score group maps
+    to decile ceil(10·(N−below)/N) — cutoff semantics (ties stay
+    together; a per-row ntile would single-task the corpus, measured
+    3.5x at the 100x probe before this rewrite). Every output is a
+    PURE integer rational — integer-exact HALF_UP (round-boundary
+    rule). NULL lang is a negative; token-less docs carry no score
+    (both engines).
+    """
+    scored = classifier_scores(_tokens_df(spark, sf_dir), extra_cols=("lang",))
+    s = scored.select(
+        "score_sum",
+        (F.coalesce(F.col("lang"), F.lit("")) == "en").cast("bigint").alias(
+            "y"
+        ),
+    )
+    # the distinct-score table is tiny but its LINEAGE (token fold over
+    # the corpus) is expensive and has four consumers — materialize once
+    vc = (
+        s.groupBy("score_sum")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    rng = vc.agg(F.min("score_sum").alias("mn"), F.max("score_sum").alias("mx"))
+    b = vc.crossJoin(F.broadcast(rng)).withColumn(
+        "blk",
+        F.least(
+            F.lit(1023),
+            F.floor(
+                (F.col("score_sum") - F.col("mn"))
+                / (F.col("mx") - F.col("mn") + F.lit(1e-9))
+                * 1024
+            ),
+        ),
+    )
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("score_sum")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = b.withColumn("below_in", F.coalesce(F.sum("n").over(w_in), F.lit(0)))
+    bt = b.groupBy("blk").agg(F.sum("n").alias("blk_n"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    bt = bt.withColumn("off", F.coalesce(F.sum("blk_n").over(w_blk), F.lit(0)))
+    tot = F.broadcast(
+        vc.agg(F.sum("n").alias("tot_n"), F.sum("k").alias("tot_k"))
+    )
+    j = (
+        b.join(F.broadcast(bt.select("blk", "off")), "blk")
+        .crossJoin(tot)
+        .withColumn("below", F.col("off") + F.col("below_in"))
+        .withColumn(
+            "decile",
+            F.expr(
+                f"(({GAINS_BUCKETS} * (tot_n - below) + tot_n - 1) div tot_n)"
+            ),
+        )
+    )
+    g = j.groupBy("decile").agg(
+        F.sum("n").alias("n"),
+        F.sum("k").alias("k"),
+        F.max("tot_n").alias("tot_n"),
+        F.max("tot_k").alias("tot_k"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    out = g.withColumn("cum_n", F.sum("n").over(wc)).withColumn(
+        "cum_k", F.sum("k").over(wc)
+    )
+    return out.selectExpr(
+        "decile",
+        "n AS n_docs",
+        "k AS n_positive",
+        f"{sp_rat6('k', 'n')} AS positive_rate",
+        f"{sp_rat6('cum_k', 'tot_k')} AS cum_capture",
+        f"""{sp_rat6(
+            'cast(cum_k as decimal(38,0)) * tot_n',
+            'cast(tot_k as decimal(38,0)) * cum_n',
+        )} AS cum_lift""",
+    ).orderBy("decile")
+
+
+def stats_gains_table_sql() -> str:
+    return f"""
+    WITH t AS (
+        SELECT doc_id, lang, {X.dk_tokens('text')} AS toks FROM documents
+    ), tok AS (
+        SELECT doc_id, lang, unnest(toks) AS x FROM t WHERE len(toks) > 0
+    ), s AS (
+        SELECT doc_id, sum({_clf_weight_dk('x')})::BIGINT AS score_sum,
+               (coalesce(lang, '') = 'en')::INT AS y
+        FROM tok GROUP BY doc_id, lang
+    ), vc AS (
+        SELECT score_sum, count(*)::BIGINT AS n, sum(y)::BIGINT AS k
+        FROM s GROUP BY 1
+    ), cum AS (
+        SELECT n, k,
+               coalesce(sum(n) OVER (ORDER BY score_sum
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below,
+               sum(n) OVER ()::BIGINT AS tot_n,
+               sum(k) OVER ()::BIGINT AS tot_k
+        FROM vc
+    ), d AS (
+        SELECT ({GAINS_BUCKETS} * (tot_n - below) + tot_n - 1) // tot_n
+                   AS decile,
+               n, k, tot_n, tot_k
+        FROM cum
+    ), g AS (
+        SELECT decile, sum(n)::BIGINT AS n, sum(k)::BIGINT AS k,
+               max(tot_n)::BIGINT AS tot_n, max(tot_k)::BIGINT AS tot_k
+        FROM d GROUP BY 1
+    ), c AS (
+        SELECT decile, n, k, tot_n, tot_k,
+               sum(n) OVER (ORDER BY decile
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_n,
+               sum(k) OVER (ORDER BY decile
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_k
+        FROM g
+    )
+    SELECT decile, n AS n_docs, k AS n_positive,
+           {dk_rat6('k', 'n')} AS positive_rate,
+           {dk_rat6('cum_k', 'tot_k')} AS cum_capture,
+           {dk_rat6("cum_k::HUGEINT * tot_n", "tot_k::HUGEINT * cum_n")}
+               AS cum_lift
+    FROM c ORDER BY decile
+    """

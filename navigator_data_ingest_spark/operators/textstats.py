@@ -2503,3 +2503,67 @@ def text_pii_patterns_sql() -> str:
            {dk_rat6('n_flagged', 'n_docs')} AS flagged_share
     FROM agg ORDER BY source
     """
+
+
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — BPE-ish tokens per whitespace
+    word (the cost multiplier: fertility 2.5 means a language pays 2.5x
+    the context budget of fertility-1 English) plus chars-per-token —
+    the budgeting table a multilingual mix planner reads before setting
+    per-language sampling weights; the corpus-level rollup of
+    text_tokens' per-doc counts.
+
+    One map-side regexp_count pass per doc, a LANGS-bounded rollup;
+    fertility and chars-per-token are PURE integer rationals —
+    integer-exact HALF_UP (repo round-boundary rule). NULL lang is its
+    own bucket; NULL/empty text drops (both engines).
+    """
+    docs = (
+        scatter(spark, load_table(spark, sf_dir, "documents"))
+        .where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<null>")).alias("lang"),
+            F.expr("size(regexp_extract_all(text, '\\\\S+', 0))").alias("w"),
+            F.expr(
+                f"size(regexp_extract_all(text, '{BPE_PATTERN_SPARK}', 0))"
+            ).alias("b"),
+            F.length("text").alias("ch"),
+        )
+    )
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("ws"),
+        F.sum("b").alias("bp"),
+        F.sum("ch").alias("chars"),
+    )
+    return (
+        agg.selectExpr(
+            "lang",
+            "n_docs",
+            "ws AS n_words",
+            "bp AS n_bpe_tokens",
+            f"{sp_rat6('bp', 'ws')} AS fertility",
+            f"{sp_rat6('chars', 'bp')} AS chars_per_token",
+        )
+        .orderBy("lang")
+    )
+
+
+def text_tokenizer_fertility_sql() -> str:
+    return f"""
+    WITH docs AS (
+        SELECT coalesce(lang, '<null>') AS lang,
+               len(regexp_extract_all(text, '\\S+'))::BIGINT AS w,
+               len(regexp_extract_all(text, '{BPE_PATTERN_DUCK}'))::BIGINT AS b,
+               length(text)::BIGINT AS ch
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), agg AS (
+        SELECT lang, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS ws,
+               sum(b)::BIGINT AS bp, sum(ch)::BIGINT AS chars
+        FROM docs GROUP BY lang
+    )
+    SELECT lang, n_docs, ws AS n_words, bp AS n_bpe_tokens,
+           {dk_rat6('bp', 'ws')} AS fertility,
+           {dk_rat6('chars', 'bp')} AS chars_per_token
+    FROM agg ORDER BY lang
+    """

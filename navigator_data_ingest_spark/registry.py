@@ -6228,3 +6228,31 @@ register(
     analytics.q_sql_listagg_sql(),
     front=True,
 )
+
+register(
+    "text_tokenizer_fertility",
+    textstats.text_tokenizer_fertility,
+    textstats.text_tokenizer_fertility_sql(),
+    front=True,
+)
+
+register(
+    "stats_gains_table",
+    corpus.stats_gains_table,
+    corpus.stats_gains_table_sql(),
+    front=True,
+)
+
+register(
+    "stats_cohens_d",
+    analytics.stats_cohens_d,
+    analytics.stats_cohens_d_sql(),
+    front=True,
+)
+
+register(
+    "q_events_session_depth",
+    analytics.q_events_session_depth,
+    analytics.q_events_session_depth_sql(),
+    front=True,
+)

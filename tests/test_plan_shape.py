@@ -155,6 +155,7 @@ _DELIBERATE_NESTED_LOOP = {
     # 1-row global-mean broadcast onto the NATION-grain table: deliberate
     "stats_mann_whitney",
     "stats_cramer_von_mises",
+    "stats_gains_table",
     "stats_fdr_bh",
     # 1-row totals broadcast onto the 4-row flag grid: deliberate
     "q_events_bot_screen",
@@ -315,7 +316,7 @@ def test_no_accidental_cartesian_products(spark, name):
 # fails test_global_windows_are_allowlisted until it is justified here.
 _BOUNDED_GLOBAL_WINDOW_OK = {
     # 1024-block prefix-sum block tables
-    "stats_mann_whitney", "stats_cramer_von_mises",
+    "stats_mann_whitney", "stats_cramer_von_mises", "stats_gains_table",
     "pack_sequences", "corpus_token_budget",
     "sample_cap_per_source", "corpus_sample_exact_k", "mm_aspect_buckets",
     "q_orders_skyline", "stats_wilcoxon_signed_rank",
