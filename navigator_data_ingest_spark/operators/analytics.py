@@ -14164,7 +14164,7 @@ def q_events_session_depth_sql() -> str:
                epoch_us(ts::TIMESTAMP) AS us
         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ), flagged AS (
-        SELECT user_id,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(us) OVER w IS NULL
                          OR us - lag(us) OVER w > 1800000000
                     THEN 1 ELSE 0 END AS new_session
@@ -14173,6 +14173,7 @@ def q_events_session_depth_sql() -> str:
     ), sess AS (
         SELECT user_id,
                sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS sid
         FROM flagged
     ), depths AS (
@@ -14193,4 +14194,224 @@ def q_events_session_depth_sql() -> str:
            {dk_rat6('n_events', 'te')} AS event_share
     FROM buckets CROSS JOIN tot
     ORDER BY depth_bucket
+    """
+
+
+def q_events_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring in
+    the same gap-session — "does add-to-cart actually associate with
+    purchase beyond both being common" — the association-mining view at
+    behavior grain (q_basket_lift does brands in baskets;
+    q_events_type_overlap does users; this does SESSIONS, the grain
+    where intent lives).
+
+    The sessionizer's one user shuffle, DISTINCT (session, type)
+    collapse, a type<type self-equijoin co-partitioned on session with
+    the ≤T²/2 bounded fan-out, and the ≤T² grid with broadcast type
+    totals. The joint/marginal shares are integer-exact HALF_UP; PMI
+    passes through ln (irrational — plain round safe); p(a,b) = 0
+    pairs never materialize (inner join — documented). NULL users/ts
+    are not activity (both engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .withColumn("us", F.expr(sp_epoch_us("ts")))
+    )
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("us") - F.lag("us").over(w_user)
+    st = (
+        ev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_session").over(
+                w_user.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("user_id", "sid", "event_type")
+        .distinct()
+    )
+    n_sess = F.broadcast(
+        st.select("user_id", "sid").distinct().agg(
+            F.count(F.lit(1)).alias("ns")
+        )
+    )
+    tt = st.groupBy(F.col("event_type").alias("_t")).agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    a = st.select("user_id", "sid", F.col("event_type").alias("ta"))
+    b = st.select(
+        F.col("user_id").alias("_u"), F.col("sid").alias("_s"),
+        F.col("event_type").alias("tb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("_u"))
+            & (F.col("sid") == F.col("_s"))
+            & (F.col("ta") < F.col("tb")),
+        )
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    j = (
+        pairs.join(
+            F.broadcast(tt.select(F.col("_t").alias("_a"), F.col("nt").alias("na"))),
+            F.col("ta") == F.col("_a"),
+        )
+        .join(
+            F.broadcast(tt.select(F.col("_t").alias("_b"), F.col("nt").alias("nb"))),
+            F.col("tb") == F.col("_b"),
+        )
+        .crossJoin(n_sess)
+    )
+    pmi = (
+        "ln(cast(n_both as double) * ns"
+        " / (cast(na as double) * nb))"
+    )
+    return j.selectExpr(
+        "ta AS type_a",
+        "tb AS type_b",
+        "n_both AS n_sessions_both",
+        "na AS n_sessions_a",
+        "nb AS n_sessions_b",
+        f"{sp_rat6('n_both', 'ns')} AS p_joint",
+        f"round({pmi}, 6) AS pmi",
+    ).orderBy("type_a", "type_b")
+
+
+def q_events_type_pmi_sql() -> str:
+    pmi = "ln(n_both::DOUBLE * ns / (na::DOUBLE * nb))"
+    return f"""
+    WITH ev AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,
+               epoch_us(ts::TIMESTAMP) AS us
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL
+    ), flagged AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), st AS (
+        SELECT DISTINCT user_id, event_type,
+               sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ), ns AS (
+        SELECT count(*)::BIGINT AS ns
+        FROM (SELECT DISTINCT user_id, sid FROM st)
+    ), tt AS (
+        SELECT event_type AS t, count(*)::BIGINT AS nt FROM st GROUP BY 1
+    ), pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               count(*)::BIGINT AS n_both
+        FROM st a JOIN st b
+          ON a.user_id = b.user_id AND a.sid = b.sid
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT ta AS type_a, tb AS type_b,
+           n_both AS n_sessions_both,
+           za.nt AS n_sessions_a, zb.nt AS n_sessions_b,
+           {dk_rat6('n_both', 'ns')} AS p_joint,
+           round({pmi.replace('na::', 'za.nt::').replace('nb))', 'zb.nt))')}, 6) AS pmi
+    FROM pairs
+    JOIN tt za ON ta = za.t
+    JOIN tt zb ON tb = zb.t
+    CROSS JOIN ns
+    ORDER BY type_a, type_b
+    """
+
+
+SAMPLE_BUDGET = 1000
+
+
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: for a 1000-row
+    budget across market segments, the per-stratum sample size
+    n_h ∝ N_h·σ_h that MINIMIZES the variance of the estimated mean —
+    the survey-sampling planner that beats proportional allocation
+    whenever strata differ in spread; sample_stratified executes a
+    plan, this DERIVES one.
+
+    ONE segment-grain moment pass (exact BIGINT N, Σx, Σx² on cents);
+    weights w_h = N_h·σ_h are sqrt-irrational so the allocation
+    fraction/rounded n_h are plain-round safe (round-boundary rule:
+    irrational class); the proportional baseline n_prop = budget·N_h/N
+    IS an integer rational and emits integer-exact. NULL values drop;
+    NULL segment is its own stratum (both engines).
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    r = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("<null>")).alias("seg"),
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias("v"),
+        )
+    )
+    m = r.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sx"),
+        F.sum(F.expr("cast(v as decimal(38,0)) * v")).alias("sxx"),
+    )
+    sd = (
+        "sqrt((cast(n as double) * cast(sxx as double)"
+        " - cast(sx as double) * sx) / (cast(n as double) * (n - 1.0)))"
+    )
+    w = m.withColumn("wh", F.expr(f"cast(n as double) * {sd}"))
+    tot = F.broadcast(
+        w.agg(F.sum("wh").alias("tw"), F.sum("n").alias("tn"))
+    )
+    return (
+        w.crossJoin(tot)
+        .selectExpr(
+            "seg AS segment",
+            "n AS stratum_size",
+            f"round({sd}, 2) AS stratum_sd_cents",
+            f"round(wh / tw, 6) AS alloc_fraction",
+            f"cast(round({SAMPLE_BUDGET} * wh / tw) as bigint) AS n_neyman",
+            f"{sp_rat6(f'{SAMPLE_BUDGET} * n', 'tn')} AS n_proportional",
+        )
+        .orderBy("segment")
+    )
+
+
+def sample_neyman_allocation_sql() -> str:
+    sd = "sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx) / (n::DOUBLE * (n - 1.0)))"
+    return f"""
+    WITH r AS (
+        SELECT coalesce(c_mktsegment, '<null>') AS seg,
+               round(o_totalprice * 100)::BIGINT AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice IS NOT NULL
+    ), m AS (
+        SELECT seg, count(*)::BIGINT AS n, sum(v)::BIGINT AS sx,
+               sum(v::HUGEINT * v) AS sxx
+        FROM r GROUP BY 1
+    ), w AS (
+        SELECT seg, n, {sd} AS sd_, n::DOUBLE * {sd} AS wh FROM m
+    ), tot AS (
+        SELECT sum(wh) AS tw, sum(n)::BIGINT AS tn FROM w
+    )
+    SELECT seg AS segment, n AS stratum_size,
+           round(sd_, 2) AS stratum_sd_cents,
+           round(wh / tw, 6) AS alloc_fraction,
+           round({SAMPLE_BUDGET} * wh / tw)::BIGINT AS n_neyman,
+           {dk_rat6(f'{SAMPLE_BUDGET} * n', 'tn')} AS n_proportional
+    FROM w CROSS JOIN tot
+    ORDER BY segment
     """

@@ -3005,3 +3005,85 @@ def emb_centroid_drift_sql() -> str:
     FROM a JOIN b ON a.label = b.label
     ORDER BY a.label
     """
+
+
+def emb_ivf_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-size census over sim_search_ivf's coarse quantizer: per
+    centroid cell the vector count, corpus share, and the cell's
+    imbalance factor vs the uniform K-way split — the index-planning
+    audit (a hot cell makes every probe of it scan that fraction of the
+    corpus) that is to IVF what dedup_bucket_stats is to LSH banding.
+
+    Reuses the production assignment EXACTLY (bounded centroid stripe,
+    map-side min-struct argmax — one row per vector into the shuffle),
+    then a K-bounded rollup; share and imbalance (= n·K/total) are PURE
+    integer rationals — integer-exact HALF_UP (round-boundary rule).
+    """
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = scatter(spark, raw)
+    cents = centroid_stripe(e, raw).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    ccos = _cos("embedding", "cvec")
+    assign = (
+        e.join(F.broadcast(cents))
+        .select("vec_id", "centroid_id", ccos.alias("_ccos"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_ccos")).alias("neg"),
+                    F.col("centroid_id").alias("cid"),
+                )
+            ).alias("m")
+        )
+        .select("vec_id", F.col("m.cid").alias("cell"))
+    )
+    cells = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    tot = F.broadcast(
+        cells.agg(
+            F.sum("n_vectors").alias("total"),
+            F.count(F.lit(1)).alias("k_cells"),
+        )
+    )
+    return (
+        cells.crossJoin(tot)
+        .selectExpr(
+            "cell",
+            "n_vectors",
+            f"{sp_rat6('n_vectors', 'total')} AS share",
+            f"""{sp_rat6(
+                'cast(n_vectors as decimal(38,0)) * k_cells', 'total'
+            )} AS imbalance""",
+        )
+        .orderBy("cell")
+    )
+
+
+def emb_ivf_cell_census_sql(dk_ccos: str) -> str:
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec
+        FROM embeddings
+        WHERE vec_id % greatest(1,
+            (SELECT count(*) FROM embeddings) // {K_CENTROIDS}) = 1
+    ), scored AS (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {dk_ccos} DESC, c.centroid_id) AS crn
+        FROM embeddings e CROSS JOIN cents c
+    ), assign AS (
+        SELECT vec_id, centroid_id AS cell FROM scored WHERE crn = 1
+    ), cells AS (
+        SELECT cell, count(*)::BIGINT AS n_vectors FROM assign GROUP BY 1
+    ), tot AS (
+        SELECT sum(n_vectors)::BIGINT AS total,
+               count(*)::BIGINT AS k_cells
+        FROM cells
+    )
+    SELECT cell, n_vectors,
+           {dk_rat6('n_vectors', 'total')} AS share,
+           {dk_rat6('n_vectors::HUGEINT * k_cells', 'total')} AS imbalance
+    FROM cells CROSS JOIN tot
+    ORDER BY cell
+    """

@@ -6256,3 +6256,24 @@ register(
     analytics.q_events_session_depth_sql(),
     front=True,
 )
+
+register(
+    "emb_ivf_cell_census",
+    similarity.emb_ivf_cell_census,
+    similarity.emb_ivf_cell_census_sql(_DK_CCOS),
+    front=True,
+)
+
+register(
+    "q_events_type_pmi",
+    analytics.q_events_type_pmi,
+    analytics.q_events_type_pmi_sql(),
+    front=True,
+)
+
+register(
+    "sample_neyman_allocation",
+    analytics.sample_neyman_allocation,
+    analytics.sample_neyman_allocation_sql(),
+    front=True,
+)

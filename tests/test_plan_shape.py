@@ -120,6 +120,12 @@ _DELIBERATE_NESTED_LOOP = {
     # n x K centroid scoring (the sim_search_ivf assignment pass) feeds
     # the (cell, bucket) pair join: deliberate
     "dedup_semantic",
+    # the same bounded centroid-stripe scoring + 1-row totals: deliberate
+    "emb_ivf_cell_census",
+    # 1-row session-count / totals / budget broadcasts: deliberate
+    "q_events_type_pmi",
+    "sample_neyman_allocation",
+    "q_events_session_depth",
     # 1-row broadcast of the constant-size bloom bitset: deliberate
     "dedup_bloom",
     # broadcast query set scored against the corpus twice (full-dim
