@@ -67,6 +67,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/analytics.py", "q_events_twap_sql"): FLOAT_DATA,
     ("operators/analytics.py", "q_sql_lambda_arrays_sql"): FLOAT_DATA,
     ("operators/analytics.py", "q_sql_try_arithmetic_sql"): FLOAT_DATA,
+    ("operators/analytics.py", "sample_neyman_allocation"): IRRATIONAL,  # wh = N·σ
+    ("operators/analytics.py", "sample_neyman_allocation_sql"): IRRATIONAL,
     ("operators/analytics.py", "stats_anova_sql"): FLOAT_DATA,  # SS of double values
     ("operators/analytics.py", "stats_benford_second"): IRRATIONAL,  # minus log10 literal
     ("operators/analytics.py", "stats_benford_second_sql"): IRRATIONAL,
