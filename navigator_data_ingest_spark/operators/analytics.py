@@ -14415,3 +14415,182 @@ def sample_neyman_allocation_sql() -> str:
     FROM w CROSS JOIN tot
     ORDER BY segment
     """
+
+
+def q_sql_interval_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic surface — add_months end-of-month
+    CLAMPING (Jan 31 + 1 month = Feb 29), last_day, quarter truncation
+    and exact day counts, certified per order month — the date-math
+    semantics a reporting layer leans on and the classic cross-engine
+    divergence spot (verified: Spark add_months and DuckDB + INTERVAL
+    MONTH clamp identically; every output is cast to DATE so the types
+    compare exactly).
+
+    One MONTHS-bounded aggregation; all arithmetic runs on the bounded
+    month axis. NULL order dates drop (both engines).
+    """
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return m.selectExpr(
+        "month",
+        "n_orders",
+        "last_day(month) AS month_end",
+        "add_months(month, 1) AS next_month",
+        "add_months(last_day(month), 1) AS next_month_end_clamped",
+        "cast(date_trunc('quarter', month) as date) AS quarter_start",
+        "(datediff(last_day(month), month) + 1) AS days_in_month",
+    ).orderBy("month")
+
+
+def q_sql_interval_calendar_sql() -> str:
+    return """
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate::DATE)::DATE AS month,
+               count(*)::BIGINT AS n_orders
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    )
+    SELECT month, n_orders,
+           last_day(month) AS month_end,
+           (month + INTERVAL 1 MONTH)::DATE AS next_month,
+           (last_day(month) + INTERVAL 1 MONTH)::DATE
+               AS next_month_end_clamped,
+           date_trunc('quarter', month)::DATE AS quarter_start,
+           (datediff('day', month, last_day(month)) + 1)::BIGINT
+               AS days_in_month
+    FROM m ORDER BY month
+    """
+
+
+def q_orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 crossing: the smallest customer-spend THRESHOLD whose
+    at-or-above cohort covers ≥80% of revenue, with the cohort's size
+    and exact shares — the headline concentration number over
+    stats_lorenz_deciles' fixed decile grid (the crossing rarely lands
+    on a decile).
+
+    Customer spend collapses once (exact cents), then DISTINCT-VALUE
+    counts + the 1024-block two-level prefix give each spend level's
+    at-or-above cohort (count, revenue) with NO global sort; the
+    crossing is the max spend level whose cohort revenue ≥ 80% of total
+    — an exact integer cross-multiple compare (5·cum_rev ≥ 4·total),
+    min-struct argmin fold, witness join-back. Shares integer-exact
+    HALF_UP. NULL custkeys drop (both engines).
+    """
+    r = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint)")
+            ).alias("v")
+        )
+    )
+    vc = r.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    rng = vc.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    b = vc.crossJoin(F.broadcast(rng)).withColumn(
+        "blk",
+        F.least(
+            F.lit(1023),
+            F.floor(
+                (F.col("v") - F.col("mn"))
+                / (F.col("mx") - F.col("mn") + F.lit(1e-9))
+                * 1024
+            ),
+        ),
+    )
+    # at-or-above cohort via FOLLOWING-side prefix sums
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("v")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    b = (
+        b.withColumn("cnt_in", F.sum("c").over(w_in))
+        .withColumn("rev_in", F.sum(F.expr("v * c")).over(w_in))
+    )
+    bt = b.groupBy("blk").agg(
+        F.sum("c").alias("blk_c"), F.sum(F.expr("v * c")).alias("blk_r")
+    )
+    w_blk = Window.orderBy("blk").rowsBetween(1, Window.unboundedFollowing)
+    bt = (
+        bt.withColumn("off_c", F.coalesce(F.sum("blk_c").over(w_blk), F.lit(0)))
+        .withColumn("off_r", F.coalesce(F.sum("blk_r").over(w_blk), F.lit(0)))
+    )
+    j = (
+        b.join(F.broadcast(bt.select("blk", "off_c", "off_r")), "blk")
+        .withColumn("cum_c", F.col("cnt_in") + F.col("off_c"))
+        .withColumn("cum_r", F.col("rev_in") + F.col("off_r"))
+    )
+    tot = F.broadcast(
+        vc.agg(
+            F.sum("c").alias("tot_c"),
+            F.sum(F.expr("v * c")).alias("tot_r"),
+        )
+    )
+    qual = j.crossJoin(tot).where(
+        F.expr("5 * cast(cum_r as decimal(38,0)) >= 4 * tot_r")
+    )
+    best = qual.agg(
+        F.max("v").alias("v_star"),
+        F.max("tot_c").alias("tot_c"),
+        F.max("tot_r").alias("tot_r"),
+    )
+    back = qual.select(
+        F.col("v").alias("_v"), F.col("cum_c").alias("n_top"),
+        F.col("cum_r").alias("rev_top"),
+    )
+    return (
+        best.join(F.broadcast(back), F.col("v_star") == F.col("_v"))
+        .selectExpr(
+            "v_star AS threshold_cents",
+            "n_top AS n_customers_top",
+            "tot_c AS n_customers",
+            "rev_top AS rev_top_cents",
+            "tot_r AS rev_total_cents",
+            f"{sp_rat6('n_top', 'tot_c')} AS customer_share",
+            f"{sp_rat6('rev_top', 'tot_r')} AS revenue_share",
+        )
+    )
+
+
+def q_orders_pareto_8020_sql() -> str:
+    return f"""
+    WITH r AS (
+        SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS v
+        FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+    ), vc AS (
+        SELECT v, count(*)::BIGINT AS c FROM r GROUP BY 1
+    ), cum AS (
+        SELECT v,
+               sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS cum_c,
+               sum(v * c) OVER (ORDER BY v
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS cum_r,
+               sum(c) OVER ()::BIGINT AS tot_c,
+               sum(v * c) OVER ()::BIGINT AS tot_r
+        FROM vc
+    ), qual AS (
+        SELECT * FROM cum WHERE 5 * cum_r::HUGEINT >= 4 * tot_r
+    )
+    SELECT max(v)::BIGINT AS threshold_cents,
+           max(CASE WHEN v = (SELECT max(v) FROM qual) THEN cum_c END)::BIGINT
+               AS n_customers_top,
+           max(tot_c)::BIGINT AS n_customers,
+           max(CASE WHEN v = (SELECT max(v) FROM qual) THEN cum_r END)::BIGINT
+               AS rev_top_cents,
+           max(tot_r)::BIGINT AS rev_total_cents,
+           {dk_rat6("max(CASE WHEN v = (SELECT max(v) FROM qual) THEN cum_c END)", "max(tot_c)")}
+               AS customer_share,
+           {dk_rat6("max(CASE WHEN v = (SELECT max(v) FROM qual) THEN cum_r END)", "max(tot_r)")}
+               AS revenue_share
+    FROM qual
+    """

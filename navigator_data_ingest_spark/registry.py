@@ -6277,3 +6277,17 @@ register(
     analytics.sample_neyman_allocation_sql(),
     front=True,
 )
+
+register(
+    "q_sql_interval_calendar",
+    analytics.q_sql_interval_calendar,
+    analytics.q_sql_interval_calendar_sql(),
+    front=True,
+)
+
+register(
+    "q_orders_pareto_8020",
+    analytics.q_orders_pareto_8020,
+    analytics.q_orders_pareto_8020_sql(),
+    front=True,
+)

@@ -162,6 +162,9 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_mann_whitney",
     "stats_cramer_von_mises",
     "stats_gains_table",
+    # min/max-range + totals + 1-row witness broadcasts over the
+    # distinct-spend block table: deliberate
+    "q_orders_pareto_8020",
     "stats_fdr_bh",
     # 1-row totals broadcast onto the 4-row flag grid: deliberate
     "q_events_bot_screen",
@@ -323,6 +326,7 @@ def test_no_accidental_cartesian_products(spark, name):
 _BOUNDED_GLOBAL_WINDOW_OK = {
     # 1024-block prefix-sum block tables
     "stats_mann_whitney", "stats_cramer_von_mises", "stats_gains_table",
+    "q_orders_pareto_8020",
     "pack_sequences", "corpus_token_budget",
     "sample_cap_per_source", "corpus_sample_exact_k", "mm_aspect_buckets",
     "q_orders_skyline", "stats_wilcoxon_signed_rank",
