@@ -14594,3 +14594,88 @@ def q_orders_pareto_8020_sql() -> str:
                AS revenue_share
     FROM qual
     """
+
+
+def stats_crosstab_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized Pearson residuals for every (lang, source) cell —
+    (o − e)/√(e(1−r/n)(1−c/n)) with |z| > 2 flagged — the WHICH-cell
+    diagnosis behind stats_chi_square's single statistic (the test says
+    "the mix differs"; the residuals say "German is over-represented in
+    crawl B").
+
+    Same bounded dense-grid construction as the chi-square (zero cells
+    kept — the classic bug), one corpus shuffle; the expected count and
+    the residual pass through a sqrt of float margins products
+    (irrational — plain round safe per the round-boundary rule); the
+    flag compares the ROUNDED residual (repo float rule). NULL
+    lang/source are their own categories (both engines).
+    """
+    cells = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(
+            F.coalesce(F.col("lang"), F.lit("<null>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<null>")).alias("source"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rowt = cells.groupBy("lang").agg(F.sum("o").alias("row_tot"))
+    colt = cells.groupBy("source").agg(F.sum("o").alias("col_tot"))
+    tot = cells.agg(F.sum("o").alias("n_total"))
+    e = (
+        "(cast(row_tot as double) * col_tot / cast(n_total as double))"
+    )
+    z = (
+        f"((o - {e}) / sqrt({e}"
+        " * (1.0 - cast(row_tot as double) / n_total)"
+        " * (1.0 - cast(col_tot as double) / n_total)))"
+    )
+    return (
+        rowt.crossJoin(F.broadcast(colt))
+        .join(F.broadcast(cells), ["lang", "source"], "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+        .selectExpr(
+            "lang",
+            "source",
+            "o AS observed",
+            f"round({e}, 6) AS expected",
+            f"round({z}, 6) AS std_residual",
+            f"abs(round({z}, 6)) > 2.0 AS notable",
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def stats_crosstab_residuals_sql() -> str:
+    e = "(row_tot::DOUBLE * col_tot / n_total::DOUBLE)"
+    z = (
+        f"((o - {e}) / sqrt({e}"
+        " * (1.0 - row_tot::DOUBLE / n_total)"
+        " * (1.0 - col_tot::DOUBLE / n_total)))"
+    )
+    return f"""
+    WITH cells AS (
+        SELECT coalesce(lang, '<null>') AS lang,
+               coalesce(source, '<null>') AS source,
+               count(*)::BIGINT AS o
+        FROM documents GROUP BY 1, 2
+    ), rowt AS (
+        SELECT lang, sum(o)::BIGINT AS row_tot FROM cells GROUP BY 1
+    ), colt AS (
+        SELECT source, sum(o)::BIGINT AS col_tot FROM cells GROUP BY 1
+    ), tot AS (
+        SELECT sum(o)::BIGINT AS n_total FROM cells
+    ), dense AS (
+        SELECT rowt.lang, colt.source, row_tot, col_tot, n_total,
+               coalesce(o, 0)::BIGINT AS o
+        FROM rowt CROSS JOIN colt
+        LEFT JOIN cells ON cells.lang = rowt.lang
+                       AND cells.source = colt.source
+        CROSS JOIN tot
+    )
+    SELECT lang, source, o AS observed,
+           round({e}, 6) AS expected,
+           round({z}, 6) AS std_residual,
+           abs(round({z}, 6)) > 2.0 AS notable
+    FROM dense ORDER BY lang, source
+    """

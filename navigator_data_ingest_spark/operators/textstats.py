@@ -16,8 +16,10 @@ from navigator_data_ingest_spark.functions import exprs as X
 from navigator_data_ingest_spark.functions.exact import (
     dk_rat,
     dk_rat6,
+    dk_units,
     sp_rat,
     sp_rat6,
+    sp_units,
 )
 from navigator_data_ingest_spark.sources.tables import load_table, scatter
 
@@ -2566,4 +2568,124 @@ def text_tokenizer_fertility_sql() -> str:
            {dk_rat6('bp', 'ws')} AS fertility,
            {dk_rat6('chars', 'bp')} AS chars_per_token
     FROM agg ORDER BY lang
+    """
+
+
+COLLOC_MIN_COUNT = 20
+COLLOC_TOP_K = 20
+
+
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI collocations — adjacent token bigrams whose observed
+    count most exceeds independence (min count 20 so rare-pair PMI
+    noise can't win) — the phrase-mining primitive (multi-word entities,
+    tokenizer-merge candidates) beside corpus_bigram_lm's full model.
+
+    Bigrams explode once (ONE (a,b) shuffle), unigram totals broadcast;
+    the RANKING KEY is the exact HALF_UP integer micro-unit of the PMI
+    argument c_ab·N/(c_a·c_b) (functions/exact.sp_units — ranking on a
+    raw float PMI would be repr-boundary fragile and cross-engine
+    unstable on ties), tie-broken on the bigram text; the reported PMI
+    passes through ln (plain round safe). TakeOrdered top-k — no global
+    sort. NULL/short docs contribute no bigrams (both engines).
+    """
+    t = X.sp_tokens("text")
+    big = (
+        scatter(spark, load_table(spark, sf_dir, "documents"))
+        .where(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.expr(
+                    X.sp_let(
+                        "t",
+                        t,
+                        "CASE WHEN size(t) >= 2 THEN transform("
+                        "sequence(1, size(t) - 1),"
+                        " i -> struct(element_at(t, cast(i as int)) AS a,"
+                        " element_at(t, cast(i + 1 as int)) AS b))"
+                        " ELSE array() END",
+                    )
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    )
+    pair = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = big.select(F.col("a").alias("tok")).unionAll(
+        big.select(F.col("b").alias("tok"))
+    )
+    # unigram counts as bigram-slot occurrences keep N consistent:
+    # N = 2*#bigrams slots; both engines share the same convention
+    cnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = F.broadcast(pair.agg(F.sum("c_ab").alias("nn")))
+    scored = (
+        pair.where(F.col("c_ab") >= COLLOC_MIN_COUNT)
+        .join(
+            F.broadcast(cnt.select(F.col("tok").alias("_a"), F.col("c").alias("ca"))),
+            F.col("a") == F.col("_a"),
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("tok").alias("_b"), F.col("c").alias("cb"))),
+            F.col("b") == F.col("_b"),
+        )
+        .crossJoin(tot)
+        .withColumn(
+            "ratio_u",
+            F.expr(
+                sp_units(
+                    "cast(c_ab as decimal(38,0)) * nn",
+                    "cast(ca as decimal(38,0)) * cb",
+                )
+            ),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("ratio_u"), F.asc("a"), F.asc("b")
+    ).limit(COLLOC_TOP_K)
+    return top.selectExpr(
+        "a AS token_a",
+        "b AS token_b",
+        "c_ab AS n_pair",
+        "ca AS n_a",
+        "cb AS n_b",
+        "(cast(ratio_u as double) / 1000000.0) AS independence_ratio",
+        "round(ln(cast(ratio_u as double) / 1000000.0), 6) AS pmi",
+    ).orderBy(F.desc("independence_ratio"), "token_a", "token_b")
+
+
+def text_collocations_sql() -> str:
+    ratio_u = dk_units("c_ab::HUGEINT * nn", "ca::HUGEINT * cb")
+    return f"""
+    WITH t AS (
+        SELECT {X.dk_tokens('text')} AS t
+        FROM documents WHERE text IS NOT NULL
+    ), big AS (
+        SELECT t[i] AS a, t[i + 1] AS b
+        FROM t, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+    ), pair AS (
+        SELECT a, b, count(*)::BIGINT AS c_ab FROM big GROUP BY 1, 2
+    ), cnt AS (
+        SELECT tok, count(*)::BIGINT AS c FROM (
+            SELECT a AS tok FROM big UNION ALL SELECT b AS tok FROM big
+        ) GROUP BY 1
+    ), tot AS (
+        SELECT sum(c_ab)::BIGINT AS nn FROM pair
+    ), scored AS (
+        SELECT a, b, c_ab, za.c AS ca, zb.c AS cb,
+               {ratio_u} AS ratio_u
+        FROM pair
+        JOIN cnt za ON a = za.tok
+        JOIN cnt zb ON b = zb.tok
+        CROSS JOIN tot
+        WHERE c_ab >= {COLLOC_MIN_COUNT}
+    ), top AS (
+        SELECT * FROM scored
+        ORDER BY ratio_u DESC, a, b LIMIT {COLLOC_TOP_K}
+    )
+    SELECT a AS token_a, b AS token_b, c_ab AS n_pair,
+           ca AS n_a, cb AS n_b,
+           (ratio_u::DOUBLE / 1000000.0) AS independence_ratio,
+           round(ln(ratio_u::DOUBLE / 1000000.0), 6) AS pmi
+    FROM top ORDER BY independence_ratio DESC, token_a, token_b
     """

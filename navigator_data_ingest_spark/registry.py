@@ -6291,3 +6291,17 @@ register(
     analytics.q_orders_pareto_8020_sql(),
     front=True,
 )
+
+register(
+    "stats_crosstab_residuals",
+    analytics.stats_crosstab_residuals,
+    analytics.stats_crosstab_residuals_sql(),
+    front=True,
+)
+
+register(
+    "text_collocations",
+    textstats.text_collocations,
+    textstats.text_collocations_sql(),
+    front=True,
+)

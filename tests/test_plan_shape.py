@@ -148,7 +148,10 @@ _DELIBERATE_NESTED_LOOP = {
     # 1-row grand-total broadcast onto the bounded cell/margin grid
     # (the contingency-table family): deliberate
     "stats_chi_square",
+    "stats_crosstab_residuals",
     "stats_mutual_information",
+    # 1-row bigram-slot total broadcast onto the min-count pair table
+    "text_collocations",
     # 1-row corpus-end broadcast (censoring cutoff) + 1-row total onto
     # the DAYS-bounded lifetime table: deliberate
     "stats_survival_km",
