@@ -134,6 +134,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/similarity.py", "emb_variance_spectrum"): FLOAT_DATA,
     ("operators/similarity.py", "emb_variance_spectrum_sql"): FLOAT_DATA,
     ("operators/textstats.py", "stats_entropy_per_source_sql"): IRRATIONAL,
+    ("operators/textstats.py", "text_collocations"): IRRATIONAL,  # ln of ratio
+    ("operators/textstats.py", "text_collocations_sql"): IRRATIONAL,
     ("operators/textstats.py", "text_conditional_entropy"): IRRATIONAL,
     ("operators/textstats.py", "text_conditional_entropy_sql"): IRRATIONAL,
     ("operators/textstats.py", "text_heaps_law"): IRRATIONAL,  # exp of OLS
