@@ -14679,3 +14679,85 @@ def stats_crosstab_residuals_sql() -> str:
            abs(round({z}, 6)) > 2.0 AS notable
     FROM dense ORDER BY lang, source
     """
+
+
+def q_customer_order_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer replenishment-cycle histogram: each repeat customer's
+    MEDIAN days between consecutive orders, bucketed into power-of-2
+    cycle bins with customer shares — "is the base weekly or quarterly",
+    the per-customer cadence distribution over q_orders_interarrival's
+    global gap view.
+
+    ONE customer shuffle (lag gaps inside customer partitions), a
+    customer-grain exact median (gap medians interpolate on the
+    half-day lattice — 2·median is an exact integer), a ≤12-row bucket
+    rollup; shares integer-exact HALF_UP. Customers with <3 orders
+    have no cycle (dropped, both engines); NULL dates drop.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
+        .select("o_custkey", F.col("o_orderdate").cast("date").alias("od"), "o_orderkey")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    gaps = o.withColumn(
+        "gap", F.datediff("od", F.lag("od").over(w))
+    ).where(F.col("gap").isNotNull())
+    med = (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.expr("cast(round(percentile(gap, 0.5) * 2) as bigint)").alias(
+                "med2"
+            ),
+        )
+        .where(F.col("n_gaps") >= 2)
+    )
+    bucket = (
+        "CASE WHEN med2 <= 2 THEN 1"
+        " ELSE cast(pow(2, ceil(log2((med2 + 1) div 2))) as bigint) END"
+    )
+    buckets = med.selectExpr(f"{bucket} AS cycle_bucket_days").groupBy(
+        "cycle_bucket_days"
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+    tot = F.broadcast(buckets.agg(F.sum("n_customers").alias("tc")))
+    return (
+        buckets.crossJoin(tot)
+        .selectExpr(
+            "cycle_bucket_days",
+            "n_customers",
+            f"{sp_rat6('n_customers', 'tc')} AS customer_share",
+        )
+        .orderBy("cycle_bucket_days")
+    )
+
+
+def q_customer_order_cycle_sql() -> str:
+    return f"""
+    WITH o AS (
+        SELECT o_custkey, o_orderdate::DATE AS od, o_orderkey
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    ), gaps AS (
+        SELECT o_custkey,
+               datediff('day', lag(od) OVER w, od) AS gap
+        FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey)
+    ), med AS (
+        SELECT o_custkey, count(*)::BIGINT AS n_gaps,
+               round(quantile_cont(gap, 0.5) * 2)::BIGINT AS med2
+        FROM gaps WHERE gap IS NOT NULL
+        GROUP BY 1 HAVING count(*) >= 2
+    ), buckets AS (
+        SELECT CASE WHEN med2 <= 2 THEN 1
+                    ELSE pow(2, ceil(log2((med2 + 1) // 2)))::BIGINT END
+                   AS cycle_bucket_days,
+               count(*)::BIGINT AS n_customers
+        FROM med GROUP BY 1
+    ), tot AS (
+        SELECT sum(n_customers)::BIGINT AS tc FROM buckets
+    )
+    SELECT cycle_bucket_days, n_customers,
+           {dk_rat6('n_customers', 'tc')} AS customer_share
+    FROM buckets CROSS JOIN tot
+    ORDER BY cycle_bucket_days
+    """

@@ -3556,3 +3556,77 @@ def stats_gains_table_sql() -> str:
                AS cum_lift
     FROM c ORDER BY decile
     """
+
+
+def corpus_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF-style preference-pair construction: per source, the
+    highest- vs lowest-scoring document under the hashed quality
+    classifier (chosen/rejected with the score margin) — the
+    pair-mining step that turns a scalar quality signal into
+    preference-training data; deterministic ties (doc_id) so the SAME
+    pairs regenerate on every run and engine.
+
+    ONE score pass (the classifier_scores library path), a SOURCES-
+    bounded min/max-struct argmax collapse — no per-source sort, no
+    window over the corpus; the margin is an exact integer. Sources
+    with fewer than 2 scored docs cannot form a pair (dropped, both
+    engines). NULL text carries no score.
+    """
+    scored = classifier_scores(
+        _tokens_df(spark, sf_dir), extra_cols=("source",)
+    ).select(
+        F.coalesce(F.col("source"), F.lit("<null>")).alias("source"),
+        "doc_id",
+        "score_sum",
+    )
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(F.struct("score_sum", (-F.col("doc_id")).alias("nd"))).alias(
+            "best"
+        ),
+        F.min(F.struct("score_sum", F.col("doc_id").alias("d"))).alias(
+            "worst"
+        ),
+    )
+    return (
+        agg.where(F.col("n_docs") >= 2)
+        .selectExpr(
+            "source",
+            "n_docs",
+            "(-best.nd) AS chosen_doc_id",
+            "best.score_sum AS chosen_score",
+            "worst.d AS rejected_doc_id",
+            "worst.score_sum AS rejected_score",
+            "best.score_sum - worst.score_sum AS margin",
+        )
+        .orderBy("source")
+    )
+
+
+def corpus_preference_pairs_sql() -> str:
+    return f"""
+    WITH t AS (
+        SELECT doc_id, coalesce(source, '<null>') AS source,
+               {X.dk_tokens('text')} AS toks
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, source, unnest(toks) AS x FROM t WHERE len(toks) > 0
+    ), s AS (
+        SELECT doc_id, source,
+               sum({_clf_weight_dk('x')})::BIGINT AS score_sum
+        FROM tok GROUP BY doc_id, source
+    ), agg AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               max({{'s': score_sum, 'nd': -doc_id}}) AS best,
+               min({{'s': score_sum, 'd': doc_id}}) AS worst
+        FROM s GROUP BY source
+    )
+    SELECT source, n_docs,
+           (-(best.nd))::BIGINT AS chosen_doc_id,
+           best.s AS chosen_score,
+           worst.d::BIGINT AS rejected_doc_id,
+           worst.s AS rejected_score,
+           (best.s - worst.s)::BIGINT AS margin
+    FROM agg WHERE n_docs >= 2
+    ORDER BY source
+    """

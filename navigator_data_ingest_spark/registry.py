@@ -6305,3 +6305,17 @@ register(
     textstats.text_collocations_sql(),
     front=True,
 )
+
+register(
+    "corpus_preference_pairs",
+    corpus.corpus_preference_pairs,
+    corpus.corpus_preference_pairs_sql(),
+    front=True,
+)
+
+register(
+    "q_customer_order_cycle",
+    analytics.q_customer_order_cycle,
+    analytics.q_customer_order_cycle_sql(),
+    front=True,
+)

@@ -126,6 +126,7 @@ _DELIBERATE_NESTED_LOOP = {
     "q_events_type_pmi",
     "sample_neyman_allocation",
     "q_events_session_depth",
+    "q_customer_order_cycle",
     # 1-row broadcast of the constant-size bloom bitset: deliberate
     "dedup_bloom",
     # broadcast query set scored against the corpus twice (full-dim
