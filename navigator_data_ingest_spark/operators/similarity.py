@@ -3087,3 +3087,73 @@ def emb_ivf_cell_census_sql(dk_ccos: str) -> str:
     FROM cells CROSS JOIN tot
     ORDER BY cell
     """
+
+
+def emb_duplicate_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicate-embedding census — vectors identical after 6 dp
+    component rounding, grouped by a portable md5 fingerprint — the
+    "same vector stored twice" audit (re-ingested batches, identical
+    zero/padding vectors) that runs BEFORE the expensive near-dup
+    cosine pass (dedup_embedding_cosine) ever needs to: exact dupes are
+    free to find and usually dominate.
+
+    ONE fingerprint shuffle (md5 of the 6dp-rounded component string —
+    the portable-hash discipline, oracle replays it exactly), group
+    sizes roll to a bounded size histogram with duplicate-rate shares
+    (integer-exact HALF_UP). NULL embeddings carry no fingerprint
+    (dropped both engines).
+    """
+    fp = (
+        "md5(array_join(transform(embedding,"
+        " x -> cast(round(cast(x as double) * 1000000) as string)), ','))"
+    )
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .selectExpr(f"{fp} AS fp")
+    )
+    grp = e.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    hist = grp.groupBy("c").agg(F.count(F.lit(1)).alias("n_groups"))
+    tot = F.broadcast(
+        grp.agg(
+            F.sum("c").alias("n_vectors"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+    return (
+        hist.crossJoin(tot)
+        .selectExpr(
+            "c AS group_size",
+            "n_groups",
+            "(c * n_groups) AS n_vectors_in_size",
+            f"{sp_rat6('c * n_groups', 'n_vectors')} AS vector_share",
+            f"{sp_rat6('n_vectors - n_distinct', 'n_vectors')}"
+            " AS corpus_dup_rate",
+        )
+        .orderBy("group_size")
+    )
+
+
+def emb_duplicate_vectors_sql() -> str:
+    fp = (
+        "md5(array_to_string(list_transform(embedding,"
+        " x -> round(x::DOUBLE * 1000000)::BIGINT::VARCHAR), ','))"
+    )
+    return f"""
+    WITH e AS (
+        SELECT {fp} AS fp FROM embeddings WHERE embedding IS NOT NULL
+    ), grp AS (
+        SELECT fp, count(*)::BIGINT AS c FROM e GROUP BY 1
+    ), hist AS (
+        SELECT c, count(*)::BIGINT AS n_groups FROM grp GROUP BY 1
+    ), tot AS (
+        SELECT sum(c)::BIGINT AS n_vectors, count(*)::BIGINT AS n_distinct
+        FROM grp
+    )
+    SELECT c AS group_size, n_groups,
+           (c * n_groups)::BIGINT AS n_vectors_in_size,
+           {dk_rat6('c * n_groups', 'n_vectors')} AS vector_share,
+           {dk_rat6('n_vectors - n_distinct', 'n_vectors')} AS corpus_dup_rate
+    FROM hist CROSS JOIN tot
+    ORDER BY group_size
+    """

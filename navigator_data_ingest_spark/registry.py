@@ -6319,3 +6319,17 @@ register(
     analytics.q_customer_order_cycle_sql(),
     front=True,
 )
+
+register(
+    "src_schema_evolution",
+    flat_src2.src_schema_evolution,
+    flat_src2.src_schema_evolution_sql(),
+    front=True,
+)
+
+register(
+    "emb_duplicate_vectors",
+    similarity.emb_duplicate_vectors,
+    similarity.emb_duplicate_vectors_sql(),
+    front=True,
+)

@@ -731,3 +731,87 @@ def src_parquet_footer_stats_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
         for t in FOOTER_TABLES
     )
     return f"SELECT * FROM ({selects}) ORDER BY file_name, row_group_id"
+
+
+SCHEMA_EVO_CUT_YEAR = 1996
+
+
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read surface: two parquet generations of the
+    orders feed — v1 without and v2 WITH a later-added column
+    (priority_rank) — read back in ONE ``mergeSchema`` scan, certified
+    by per-generation row counts and the exact NULL census of the
+    late-added column (v1 rows surface it as NULL — the contract every
+    long-lived 100 TB dataset depends on when columns are added
+    mid-stream).
+
+    The generations derive DETERMINISTICALLY from orders (order year
+    before/after the cut), so the oracle recomputes the audit from the
+    table without seeing the scratch files. Writes are pid-scoped
+    scratch (repo rule).
+    """
+    from navigator_data_ingest_spark.sources.sinks import sink_path
+
+    out = sink_path("schemaevo", sf_dir)
+    o = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .where(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderpriority",
+            F.year("o_orderdate").alias("yr"),
+        )
+    )
+    v1 = o.where(F.col("yr") < SCHEMA_EVO_CUT_YEAR).select(
+        "o_orderkey", "o_totalprice"
+    )
+    # priority_rank is NULL-free in v2 (coalesce 0): the merged-read
+    # audit identifies v1 rows by the column being NULL, so a NULL
+    # INSIDE v2 (null-injected priority) must not masquerade as v1
+    v2 = o.where(F.col("yr") >= SCHEMA_EVO_CUT_YEAR).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.expr(
+            "coalesce(cast(substring(o_orderpriority, 1, 1) as int), 0)"
+        ).alias("priority_rank"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(out, "v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(out, "v2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "v1"), os.path.join(out, "v2")
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("priority_rank").isNull().cast("bigint")).alias(
+            "n_v1_rows_null_col"
+        ),
+        F.sum(F.col("priority_rank").isNotNull().cast("bigint")).alias(
+            "n_v2_rows"
+        ),
+        F.sum(F.coalesce(F.col("priority_rank"), F.lit(0))).alias(
+            "priority_rank_sum"
+        ),
+        F.sum(
+            F.expr("cast(round(o_totalprice * 100) as bigint)")
+        ).alias("total_cents"),
+    )
+
+
+def src_schema_evolution_sql() -> str:
+    return f"""
+    WITH o AS (
+        SELECT o_orderkey, o_totalprice,
+               coalesce(substring(o_orderpriority, 1, 1)::INT, 0) AS pr,
+               year(o_orderdate) AS yr
+        FROM orders WHERE o_orderdate IS NOT NULL
+    )
+    SELECT count(*)::BIGINT AS n_rows,
+           sum((yr < {SCHEMA_EVO_CUT_YEAR})::INT)::BIGINT
+               AS n_v1_rows_null_col,
+           sum((yr >= {SCHEMA_EVO_CUT_YEAR})::INT)::BIGINT AS n_v2_rows,
+           sum(CASE WHEN yr >= {SCHEMA_EVO_CUT_YEAR} THEN pr ELSE 0 END)::BIGINT
+               AS priority_rank_sum,
+           sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
+    FROM o
+    """
