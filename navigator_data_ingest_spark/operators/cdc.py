@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from navigator_data_ingest_spark.functions.exact import dk_rat6, sp_rat6
 from navigator_data_ingest_spark.sources.tables import load_table
 
 UPDATE_MOD = 7
@@ -443,4 +444,96 @@ def cdc_bitemporal_asof_sql() -> str:
     WHERE valid_from <= {v} AND {v} < valid_to
       AND tx_from <= {t} AND {t} < tx_to
     GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """
+
+
+SNAPSHOT_CUT_A = "1995-01-01"
+SNAPSHOT_CUT_B = "1997-01-01"
+
+
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: the orders feed AS OF two cutoff dates
+    diffed by key into added / persisted rows, with persisted rows
+    further split by whether the payload CHANGED — the
+    two-snapshots-no-log fallback every CDC pipeline needs when the
+    upstream can only dump full states (cdc_scd2_lookup consumes a
+    proper change log; this MANUFACTURES one).
+
+    Snapshots derive deterministically (order date < cut; the payload
+    fingerprint is the portable md5 over the business columns), ONE
+    key-co-partitioned full-outer join, a 3-row status grid with
+    integer-exact shares. NULL dates never enter a snapshot (both
+    engines).
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("od"),
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.coalesce(F.col("o_orderstatus"), F.lit("<null>")),
+                    F.expr(
+                        "cast(cast(round(o_totalprice * 100) as bigint) as string)"
+                    ),
+                )
+            ).alias("fp"),
+        )
+    )
+    a = o.where(F.col("od") < F.lit(SNAPSHOT_CUT_A).cast("date")).select(
+        F.col("o_orderkey").alias("k"), F.col("fp").alias("fp_a")
+    )
+    b = o.where(F.col("od") < F.lit(SNAPSHOT_CUT_B).cast("date")).select(
+        F.col("o_orderkey").alias("k"), F.col("fp").alias("fp_b")
+    )
+    j = a.join(b, "k", "full_outer").select(
+        F.when(F.col("fp_a").isNull(), F.lit("added"))
+        .when(F.col("fp_b").isNull(), F.lit("removed"))
+        .when(F.col("fp_a") == F.col("fp_b"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status")
+    )
+    grid = j.groupBy("status").agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = F.broadcast(grid.agg(F.sum("n_rows").alias("t")))
+    return (
+        grid.crossJoin(tot)
+        .selectExpr(
+            "status",
+            "n_rows",
+            f"{sp_rat6('n_rows', 't')} AS share",
+        )
+        .orderBy("status")
+    )
+
+
+def cdc_snapshot_diff_sql() -> str:
+    return f"""
+    WITH o AS (
+        SELECT o_orderkey, o_orderdate::DATE AS od,
+               md5(coalesce(o_orderstatus, '<null>') || ':'
+                   || round(o_totalprice * 100)::BIGINT::VARCHAR) AS fp
+        FROM orders WHERE o_orderdate IS NOT NULL
+    ), a AS (
+        SELECT o_orderkey AS k, fp AS fp_a FROM o
+        WHERE od < DATE '{SNAPSHOT_CUT_A}'
+    ), b AS (
+        SELECT o_orderkey AS k, fp AS fp_b FROM o
+        WHERE od < DATE '{SNAPSHOT_CUT_B}'
+    ), j AS (
+        SELECT CASE WHEN fp_a IS NULL THEN 'added'
+                    WHEN fp_b IS NULL THEN 'removed'
+                    WHEN fp_a = fp_b THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM a FULL OUTER JOIN b USING (k)
+    ), grid AS (
+        SELECT status, count(*)::BIGINT AS n_rows FROM j GROUP BY 1
+    ), tot AS (
+        SELECT sum(n_rows)::BIGINT AS t FROM grid
+    )
+    SELECT status, n_rows,
+           {dk_rat6('n_rows', 't')} AS share
+    FROM grid CROSS JOIN tot
+    ORDER BY status
     """

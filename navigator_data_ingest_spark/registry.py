@@ -6333,3 +6333,26 @@ register(
     similarity.emb_duplicate_vectors_sql(),
     front=True,
 )
+
+from navigator_data_ingest_spark.operators import cdc as cdc_mod
+
+register(
+    "cdc_snapshot_diff",
+    cdc_mod.cdc_snapshot_diff,
+    cdc_mod.cdc_snapshot_diff_sql(),
+    front=True,
+)
+
+register(
+    "stream_unique_users_windowed",
+    streaming_ops.stream_unique_users_windowed,
+    # batch replay: exact distinct users per hour == the two-level
+    # stream (dedup-then-count) drained at the terminal watermark
+    """
+    SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start,
+           count(DISTINCT user_id)::BIGINT AS unique_users
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+    front=True,
+)

@@ -8,4 +8,5 @@ from navigator_data_ingest_spark.streaming.streams import (  # noqa: F401
     stream_session_append,
     stream_windowed_topk,
     stream_sessionize,
+    stream_unique_users_windowed,
 )

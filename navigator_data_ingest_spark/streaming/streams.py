@@ -1616,3 +1616,37 @@ def stream_sliding_agg_sql() -> str:
     FROM slots
     GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def stream_unique_users_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per hourly window on a stream — via the
+    canonical two-level pattern, because streaming aggregation does NOT
+    support count(DISTINCT): dropDuplicates on (window-hour, user)
+    bounds the dedup state with the watermark, then a windowed COUNT of
+    the survivors is exact. THE pattern every streaming-DAU dashboard
+    ships; approx_count_distinct would be the engine-specific shortcut
+    the oracle could never certify.
+
+    Complete-mode drain here (the registry contract drains final
+    state); the deployment runs append with the same plan. Oracle:
+    batch distinct per hour — the two-level stream is exactly batch
+    DISTINCT at the terminal watermark.
+    """
+    ev = read_stream_events(spark, sf_dir)
+    dedup = (
+        ev.where(F.col("user_id").isNotNull())
+        .withColumn("hour_start", F.date_trunc("hour", F.col("ts")))
+        .withWatermark("hour_start", "2 hours")
+        .dropDuplicates(["hour_start", "user_id"])
+    )
+    agg = dedup.groupBy(
+        F.window("hour_start", "1 hour").alias("w")
+    ).agg(F.count(F.lit(1)).alias("unique_users"))
+    out = _run_to_memory(
+        agg.select(
+            F.col("w.start").alias("window_start"), "unique_users"
+        ),
+        _qname("stream_uniqusers", sf_dir),
+        "complete",
+    )
+    return out.orderBy("window_start")
