@@ -14761,3 +14761,148 @@ def q_customer_order_cycle_sql() -> str:
     FROM buckets CROSS JOIN tot
     ORDER BY cycle_bucket_days
     """
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect), monthly: the share of revenue from
+    PROMO-type parts per ship month — the marketing-mix trend the
+    original asks for one month, widened to the full MONTHS-bounded
+    axis so the whole curve certifies in one run.
+
+    ONE fact⋈broadcast-dim join, exact integer cents, bounded month
+    rollup; the promo share (traditionally ×100) is a PURE integer
+    rational — integer-exact HALF_UP at 4 dp of the percentage (repo
+    round-boundary rule). NULL ship dates drop; lines without a part
+    match drop (inner join, both engines).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
+        .select(
+            "l_partkey",
+            F.trunc(F.col("l_shipdate").cast("date"), "month").alias("month"),
+            F.expr(
+                "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+            ).alias("rev"),
+        )
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("is_promo")
+    )
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("month")
+        .agg(
+            F.sum("rev").alias("total_cents"),
+            F.sum(F.when(F.col("is_promo"), F.col("rev")).otherwise(0)).alias(
+                "promo_cents"
+            ),
+        )
+    )
+    return (
+        agg.selectExpr(
+            "month",
+            "promo_cents",
+            "total_cents",
+            f"{sp_rat('100 * cast(promo_cents as decimal(38,0))', 'total_cents', 4)}"
+            " AS promo_revenue_pct",
+        )
+        .orderBy("month")
+    )
+
+
+def q14_promo_effect_sql() -> str:
+    return f"""
+    WITH j AS (
+        SELECT date_trunc('month', l_shipdate::DATE)::DATE AS month,
+               round(l_extendedprice * (1 - l_discount) * 100)::BIGINT AS rev,
+               starts_with(p_type, 'PROMO') AS is_promo
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate IS NOT NULL
+    ), agg AS (
+        SELECT month, sum(rev)::BIGINT AS total_cents,
+               sum(CASE WHEN is_promo THEN rev ELSE 0 END)::BIGINT
+                   AS promo_cents
+        FROM j GROUP BY 1
+    )
+    SELECT month, promo_cents, total_cents,
+           {dk_rat('100 * promo_cents::HUGEINT', 'total_cents', 4)}
+               AS promo_revenue_pct
+    FROM agg ORDER BY month
+    """
+
+
+Q10_QUARTER_START = "1995-10-01"
+Q10_QUARTER_END = "1996-01-01"
+
+
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): the top-20 customers by
+    revenue LOST to returns in one quarter, with nation — the
+    claims-team worklist; completes the repo's TPC-H shelf between
+    Q3's shipping backlog and Q13's distribution.
+
+    Fact⋈fact on the order key co-partition, returned lines only
+    (flag pushed to the scan), broadcast customer/nation dims, exact
+    integer cents, TakeOrdered top-20 on (cents DESC, custkey) — never
+    a global sort. NULL keys/dates drop (inner joins, both engines).
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(Q10_QUARTER_START).cast("date"))
+            & (F.col("o_orderdate") < F.lit(Q10_QUARTER_END).cast("date"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            F.expr(
+                "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+            ).alias("rev"),
+        )
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_returned_lines"), F.sum("rev").alias("lost_cents"))
+    )
+    return (
+        agg.join(F.broadcast(c), agg.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("customer"),
+            F.col("n_name").alias("nation"),
+            "n_returned_lines",
+            "lost_cents",
+        )
+        .orderBy(F.desc("lost_cents"), F.asc("custkey"))
+        .limit(20)
+    )
+
+
+def q10_returned_customers_sql() -> str:
+    return f"""
+    SELECT c_custkey AS custkey, c_name AS customer, n_name AS nation,
+           count(*)::BIGINT AS n_returned_lines,
+           sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
+               AS lost_cents
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= DATE '{Q10_QUARTER_START}'
+      AND o_orderdate < DATE '{Q10_QUARTER_END}'
+    GROUP BY 1, 2, 3
+    ORDER BY lost_cents DESC, custkey
+    LIMIT 20
+    """

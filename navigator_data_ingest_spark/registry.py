@@ -6356,3 +6356,17 @@ register(
     """,
     front=True,
 )
+
+register(
+    "q14_promo_effect",
+    analytics.q14_promo_effect,
+    analytics.q14_promo_effect_sql(),
+    front=True,
+)
+
+register(
+    "q10_returned_customers",
+    analytics.q10_returned_customers,
+    analytics.q10_returned_customers_sql(),
+    front=True,
+)
