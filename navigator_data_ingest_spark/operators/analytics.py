@@ -14906,3 +14906,132 @@ def q10_returned_customers_sql() -> str:
     ORDER BY lost_cents DESC, custkey
     LIMIT 20
     """
+
+
+def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator over user lifetimes —
+    H(t) = Σ_{t_i ≤ t} d_i/n_i with the same censoring convention as
+    stats_survival_km (the KM twin that estimates HAZARD instead of
+    survival; NA is the robust choice when event counts per time are
+    small). Emits the per-time exact hazard increment and the running
+    H(t) with its Poisson-style variance.
+
+    Same DAYS-bounded construction as the KM op (one user collapse,
+    exited-before prefix for the at-risk count); the per-time increment
+    d/n is integer-exact HALF_UP; the cumulative sums of increments
+    and d/n² cross per-time denominators (compound class — documented)
+    and pass through the float sum both engines fold over the SAME
+    bounded ordered axis. NULL users/ts are not activity (both
+    engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.expr(sp_epoch_us("ts")).alias("us"))
+    )
+    users = ev.groupBy("user_id").agg(
+        F.min("us").alias("first_us"), F.max("us").alias("last_us")
+    )
+    end = ev.agg(F.max("us").alias("end_us"))
+    lives = users.crossJoin(F.broadcast(end)).select(
+        ((F.col("last_us") - F.col("first_us")) / F.lit(DAY_US))
+        .cast("bigint")
+        .alias("t_days"),
+        F.when(
+            F.col("last_us") >= F.col("end_us") - KM_CENSOR_DAYS * DAY_US, 1
+        )
+        .otherwise(0)
+        .alias("censored"),
+    )
+    per_t = lives.groupBy("t_days").agg(
+        F.sum(1 - F.col("censored")).alias("d"),
+        F.sum("censored").alias("c"),
+    )
+    tot = per_t.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
+    w_prev = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    na = (
+        per_t.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "exited_before",
+            F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+        )
+        .withColumn("n_risk", F.col("n_total") - F.col("exited_before"))
+        .where(F.col("d") > 0)
+    )
+    return (
+        na.withColumn(
+            "h_cum",
+            F.round(
+                F.sum(
+                    F.col("d").cast("double") / F.col("n_risk").cast("double")
+                ).over(w_run),
+                6,
+            ),
+        )
+        .withColumn(
+            "var_cum",
+            F.round(
+                F.sum(
+                    F.col("d").cast("double")
+                    / (
+                        F.col("n_risk").cast("double")
+                        * F.col("n_risk").cast("double")
+                    )
+                ).over(w_run),
+                9,
+            ),
+        )
+        .selectExpr(
+            "t_days",
+            "d AS n_events",
+            "n_risk",
+            f"{sp_rat6('d', 'n_risk')} AS hazard_inc",
+            "h_cum AS cum_hazard",
+            "var_cum AS cum_hazard_var",
+        )
+        .orderBy("t_days")
+    )
+
+
+def stats_nelson_aalen_sql() -> str:
+    return f"""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts::TIMESTAMP) AS us
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), users AS (
+        SELECT user_id, min(us) AS first_us, max(us) AS last_us
+        FROM ev GROUP BY 1
+    ), lives AS (
+        SELECT ((last_us - first_us) // {DAY_US})::BIGINT AS t_days,
+               CASE WHEN last_us >= (SELECT max(us) FROM ev)
+                                     - {KM_CENSOR_DAYS} * {DAY_US}
+                    THEN 1 ELSE 0 END AS censored
+        FROM users
+    ), per_t AS (
+        SELECT t_days, sum(1 - censored)::BIGINT AS d,
+               sum(censored)::BIGINT AS c
+        FROM lives GROUP BY 1
+    ), na AS (
+        SELECT t_days, d,
+               (SELECT sum(d + c) FROM per_t)::BIGINT
+                   - coalesce(sum(d + c) OVER (ORDER BY t_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+        FROM per_t
+    ), pos AS (
+        SELECT * FROM na WHERE d > 0
+    )
+    SELECT t_days, d AS n_events, n_risk,
+           {dk_rat6('d', 'n_risk')} AS hazard_inc,
+           round(sum(d::DOUBLE / n_risk) OVER (ORDER BY t_days
+               ROWS UNBOUNDED PRECEDING), 6) AS cum_hazard,
+           round(sum(d::DOUBLE / (n_risk::DOUBLE * n_risk))
+               OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING), 9)
+               AS cum_hazard_var
+    FROM pos ORDER BY t_days
+    """

@@ -1182,3 +1182,129 @@ def graph_harmonic_centrality_sql() -> str:
            {dk_rat6('6 * n1 + 3 * n2 + 2 * n3', '6')} AS harmonic_3hop
     FROM grid ORDER BY seed
     """
+
+
+RICH_CLUB_DEGREE_QUANTILE = 0.9
+
+
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the part–supplier co-purchase brand
+    graph's TOP-degree decile: do the best-connected brands also
+    connect to EACH OTHER (φ = 2E_club/(N_club(N_club−1)))? — the
+    hub-interconnection read beside graph_assortativity's global
+    correlation (assortativity says "like links like"; the rich club
+    says whether an elite core exists at all).
+
+    Brand co-purchase edges build once (distinct (order, brand) then a
+    brand<brand pair collapse — the q_basket_pairs shape); degrees roll
+    to the BRANDS-bounded axis, the degree cutoff is an exact
+    percentile on that bounded table, club edges are one semi-join each
+    side, and φ is a PURE integer rational — integer-exact HALF_UP
+    (round-boundary rule). NULL keys form no edge (both engines).
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select("l_orderkey", F.col("p_brand").alias("ba"))
+    b = ob.select(
+        F.col("l_orderkey").alias("_o"), F.col("p_brand").alias("bb")
+    )
+    edges = (
+        a.join(b, (F.col("l_orderkey") == F.col("_o")) & (F.col("ba") < F.col("bb")))
+        .select("ba", "bb")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("ba").alias("node"))
+        .unionAll(edges.select(F.col("bb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    cut = F.broadcast(
+        deg.agg(
+            F.expr(
+                f"percentile(deg, {RICH_CLUB_DEGREE_QUANTILE})"
+            ).alias("dcut")
+        )
+    )
+    club = (
+        deg.crossJoin(cut)
+        .where(F.col("deg").cast("double") >= F.col("dcut"))
+        .select("node")
+    )
+    n_club = club.agg(F.count(F.lit(1)).alias("nc"))
+    e_club = (
+        edges.join(club.withColumnRenamed("node", "_a"), F.col("ba") == F.col("_a"), "left_semi")
+        .join(club.withColumnRenamed("node", "_b"), F.col("bb") == F.col("_b"), "left_semi")
+        .agg(F.count(F.lit(1)).alias("ec"))
+    )
+    totals = F.broadcast(
+        edges.agg(F.count(F.lit(1)).alias("e_total")).crossJoin(
+            deg.agg(F.count(F.lit(1)).alias("n_total"))
+        )
+    )
+    return (
+        n_club.crossJoin(F.broadcast(e_club))
+        .crossJoin(totals)
+        .selectExpr(
+            "n_total AS n_brands",
+            "e_total AS n_edges",
+            "nc AS n_club",
+            "ec AS e_club",
+            f"""{sp_rat6(
+                '2 * cast(ec as decimal(38,0))',
+                'cast(nc as decimal(38,0)) * (nc - 1)',
+            )} AS rich_club_phi""",
+            f"""{sp_rat6(
+                '2 * cast(e_total as decimal(38,0))',
+                'cast(n_total as decimal(38,0)) * (n_total - 1)',
+            )} AS graph_density""",
+        )
+    )
+
+
+def graph_rich_club_sql() -> str:
+    return f"""
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ), edges AS (
+        SELECT DISTINCT a.p_brand AS ba, b.p_brand AS bb
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    ), deg AS (
+        SELECT node, count(*)::BIGINT AS deg FROM (
+            SELECT ba AS node FROM edges
+            UNION ALL SELECT bb AS node FROM edges
+        ) GROUP BY 1
+    ), cut AS (
+        SELECT quantile_cont(deg, {RICH_CLUB_DEGREE_QUANTILE}) AS dcut
+        FROM deg
+    ), club AS (
+        SELECT node FROM deg CROSS JOIN cut WHERE deg::DOUBLE >= dcut
+    ), ec AS (
+        SELECT count(*)::BIGINT AS ec FROM edges
+        WHERE ba IN (SELECT node FROM club)
+          AND bb IN (SELECT node FROM club)
+    ), nc AS (
+        SELECT count(*)::BIGINT AS nc FROM club
+    ), tot AS (
+        SELECT (SELECT count(*) FROM edges)::BIGINT AS e_total,
+               (SELECT count(*) FROM deg)::BIGINT AS n_total
+    )
+    SELECT n_total AS n_brands, e_total AS n_edges, nc AS n_club,
+           ec AS e_club,
+           {dk_rat6('2 * ec::HUGEINT', 'nc::HUGEINT * (nc - 1)')}
+               AS rich_club_phi,
+           {dk_rat6('2 * e_total::HUGEINT', 'n_total::HUGEINT * (n_total - 1)')}
+               AS graph_density
+    FROM nc CROSS JOIN ec CROSS JOIN tot
+    """

@@ -6370,3 +6370,17 @@ register(
     analytics.q10_returned_customers_sql(),
     front=True,
 )
+
+register(
+    "stats_nelson_aalen",
+    analytics.stats_nelson_aalen,
+    analytics.stats_nelson_aalen_sql(),
+    front=True,
+)
+
+register(
+    "graph_rich_club",
+    graph.graph_rich_club,
+    graph.graph_rich_club_sql(),
+    front=True,
+)

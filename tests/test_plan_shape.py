@@ -156,6 +156,13 @@ _DELIBERATE_NESTED_LOOP = {
     # 1-row corpus-end broadcast (censoring cutoff) + 1-row total onto
     # the DAYS-bounded lifetime table: deliberate
     "stats_survival_km",
+    "stats_nelson_aalen",
+    # 1-row degree-cut / club-count / totals broadcasts on the
+    # BRANDS-bounded graph: deliberate
+    "graph_rich_club",
+    # 1-row totals broadcasts onto bounded grids: deliberate
+    "cdc_snapshot_diff",
+    "emb_duplicate_vectors",
     # 1-row totals broadcast onto SOURCES/BRANDS/k-row bounded tables:
     # deliberate
     "corpus_upsample_apply",
