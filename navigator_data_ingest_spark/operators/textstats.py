@@ -2689,3 +2689,84 @@ def text_collocations_sql() -> str:
            round(ln(ratio_u::DOUBLE / 1000000.0), 6) AS pmi
     FROM top ORDER BY independence_ratio DESC, token_a, token_b
     """
+
+
+def text_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class profile per source — printable-ASCII, digit,
+    whitespace and other (non-ASCII/control) shares plus the share of
+    docs that are pure printable ASCII — the encoding-health screen
+    (mojibake, binary spill, unexpected scripts) that runs before any
+    tokenizer sees a byte.
+
+    Character classes avoid backslashes entirely (the printable-ASCII
+    class is the literal space-to-tilde range, digits are [0-9],
+    whitespace is an explicit space/tab/newline class), so the SAME
+    pattern text compiles under Java regex and RE2. One regexp_count
+    pass per class, a source rollup, shares integer-exact HALF_UP.
+    NULL/empty text drops (both engines).
+    """
+    ascii_cls = "[ -~]"
+    ws_cls = "[ \t\n]"
+    docs = (
+        scatter(spark, load_table(spark, sf_dir, "documents"))
+        .where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            F.coalesce(F.col("source"), F.lit("<null>")).alias("source"),
+            F.length("text").alias("n"),
+            F.expr(f"regexp_count(text, '{ascii_cls}')").alias("asc_"),
+            F.expr("regexp_count(text, '[0-9]')").alias("dig"),
+            F.expr(f"regexp_count(text, '{ws_cls}')").alias("ws"),
+        )
+    )
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("chars"),
+        F.sum("asc_").alias("ascii_chars"),
+        F.sum("dig").alias("digit_chars"),
+        F.sum("ws").alias("ws_chars"),
+        F.sum((F.col("asc_") == F.col("n")).cast("bigint")).alias(
+            "n_pure_ascii"
+        ),
+    )
+    return (
+        agg.selectExpr(
+            "source",
+            "n_docs",
+            "chars",
+            f"{sp_rat6('ascii_chars', 'chars')} AS ascii_share",
+            f"{sp_rat6('digit_chars', 'chars')} AS digit_share",
+            f"{sp_rat6('ws_chars', 'chars')} AS whitespace_share",
+            f"{sp_rat6('chars - ascii_chars', 'chars')} AS non_ascii_share",
+            f"{sp_rat6('n_pure_ascii', 'n_docs')} AS pure_ascii_doc_share",
+        )
+        .orderBy("source")
+    )
+
+
+def text_charset_profile_sql() -> str:
+    ascii_cls = "[ -~]"
+    ws_cls = "[ \t\n]"
+    return f"""
+    WITH docs AS (
+        SELECT coalesce(source, '<null>') AS source,
+               length(text)::BIGINT AS n,
+               len(regexp_extract_all(text, '{ascii_cls}'))::BIGINT AS asc_,
+               len(regexp_extract_all(text, '[0-9]'))::BIGINT AS dig,
+               len(regexp_extract_all(text, '{ws_cls}'))::BIGINT AS ws
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), agg AS (
+        SELECT source, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS chars,
+               sum(asc_)::BIGINT AS ascii_chars,
+               sum(dig)::BIGINT AS digit_chars,
+               sum(ws)::BIGINT AS ws_chars,
+               sum((asc_ = n)::INT)::BIGINT AS n_pure_ascii
+        FROM docs GROUP BY source
+    )
+    SELECT source, n_docs, chars,
+           {dk_rat6('ascii_chars', 'chars')} AS ascii_share,
+           {dk_rat6('digit_chars', 'chars')} AS digit_share,
+           {dk_rat6('ws_chars', 'chars')} AS whitespace_share,
+           {dk_rat6('chars - ascii_chars', 'chars')} AS non_ascii_share,
+           {dk_rat6('n_pure_ascii', 'n_docs')} AS pure_ascii_doc_share
+    FROM agg ORDER BY source
+    """

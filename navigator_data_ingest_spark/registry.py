@@ -6384,3 +6384,17 @@ register(
     graph.graph_rich_club_sql(),
     front=True,
 )
+
+register(
+    "text_charset_profile",
+    textstats.text_charset_profile,
+    textstats.text_charset_profile_sql(),
+    front=True,
+)
+
+register(
+    "q_catalog_census",
+    flat_src2.q_catalog_census,
+    flat_src2.q_catalog_census_sql(),
+    front=True,
+)

@@ -815,3 +815,58 @@ def src_schema_evolution_sql() -> str:
            sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
     FROM o
     """
+
+
+CENSUS_TABLES = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def q_catalog_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot catalog census across every keyed table: row count,
+    distinct primary-key count and the key-uniqueness flag — the
+    freshness/integrity dashboard a warehouse job publishes after each
+    load (a duplicate key in any table is the first thing to page on).
+
+    Each table contributes one bounded aggregate; the union is
+    metadata-sized. A real deployment fans the per-table jobs out —
+    here they compose into one plan so the whole census certifies in
+    one compare. Scans prune to the key column only.
+    """
+    parts = []
+    for t, k in sorted(CENSUS_TABLES.items()):
+        df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        parts.append(
+            df.agg(
+                F.lit(t).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(k).alias("n_keys"),
+            ).select(
+                "table_name",
+                "n_rows",
+                "n_keys",
+                (F.col("n_rows") == F.col("n_keys")).alias("key_unique"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")
+
+
+def q_catalog_census_sql() -> str:
+    selects = " UNION ALL ".join(
+        f"""SELECT '{t}' AS table_name, count(*)::BIGINT AS n_rows,
+               count(DISTINCT {k})::BIGINT AS n_keys,
+               count(*) = count(DISTINCT {k}) AS key_unique
+        FROM {t}"""
+        for t, k in sorted(CENSUS_TABLES.items())
+    )
+    return f"SELECT * FROM ({selects}) ORDER BY table_name"
