@@ -343,6 +343,8 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "q_orders_skyline", "stats_wilcoxon_signed_rank",
     # day/period calendar grain (bounded by the time dimension)
     "stats_page_hinkley", "q_orders_trailing_range",
+    # DAYS-bounded lifetime table (at-risk prefix + running hazard)
+    "stats_nelson_aalen",
     "stats_runs_test", "stats_seasonal_decompose", "stats_var_cvar",
     "stats_spectral_peak", "stats_control_chart", "stats_moving_median",
     "stats_spearman_daily", "stats_benford", "stats_lorenz_deciles",
