@@ -15035,3 +15035,67 @@ def stats_nelson_aalen_sql() -> str:
                AS cum_hazard_var
     FROM pos ORDER BY t_days
     """
+
+
+def stats_wape_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast quality on daily revenue — ŷ_t = y_{t−7}
+    — scored with WAPE (Σ|e|/Σy) and bias (Σe/Σy), the industry
+    forecast scoreboard (WAPE is the MAPE variant that stays a SINGLE
+    exact rational instead of a mean of per-day ratios, and doesn't
+    explode on near-zero days). The baseline every real model must
+    beat; stats_seasonal_decompose says the weekly cycle exists, this
+    prices forecasting with it.
+
+    One DAYS-bounded collapse (exact cents), a lag-7 window on the
+    bounded axis, order-free integer error sums; WAPE and bias are
+    PURE integer rationals — integer-exact HALF_UP (round-boundary
+    rule). The first 7 days have no forecast (dropped, both engines);
+    NULL order dates drop.
+    """
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint)")
+            ).alias("y")
+        )
+    )
+    w = Window.orderBy("day")
+    f7 = d.withColumn("yhat", F.lag("y", 7).over(w)).where(
+        F.col("yhat").isNotNull()
+    )
+    agg = f7.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.expr("abs(y - yhat)")).alias("sae"),
+        F.sum(F.expr("y - yhat")).alias("se"),
+        F.sum("y").alias("sy"),
+    )
+    return agg.selectExpr(
+        "n_days",
+        f"{sp_rat6('sae', 'sy')} AS wape",
+        f"{sp_rat6('se', 'sy')} AS bias",
+    )
+
+
+def stats_wape_forecast_sql() -> str:
+    return f"""
+    WITH d AS (
+        SELECT o_orderdate::DATE AS day,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ), f7 AS (
+        SELECT y, lag(y, 7) OVER (ORDER BY day) AS yhat FROM d
+    ), agg AS (
+        SELECT count(*)::BIGINT AS n_days,
+               sum(abs(y - yhat))::BIGINT AS sae,
+               sum(y - yhat)::BIGINT AS se,
+               sum(y)::BIGINT AS sy
+        FROM f7 WHERE yhat IS NOT NULL
+    )
+    SELECT n_days,
+           {dk_rat6('sae', 'sy')} AS wape,
+           {dk_rat6('se', 'sy')} AS bias
+    FROM agg
+    """

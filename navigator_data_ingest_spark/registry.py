@@ -6398,3 +6398,10 @@ register(
     flat_src2.q_catalog_census_sql(),
     front=True,
 )
+
+register(
+    "stats_wape_forecast",
+    analytics.stats_wape_forecast,
+    analytics.stats_wape_forecast_sql(),
+    front=True,
+)

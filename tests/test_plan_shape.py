@@ -345,6 +345,8 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "stats_page_hinkley", "q_orders_trailing_range",
     # DAYS-bounded lifetime table (at-risk prefix + running hazard)
     "stats_nelson_aalen",
+    # DAYS-bounded lag-7 forecast window
+    "stats_wape_forecast",
     "stats_runs_test", "stats_seasonal_decompose", "stats_var_cvar",
     "stats_spectral_peak", "stats_control_chart", "stats_moving_median",
     "stats_spearman_daily", "stats_benford", "stats_lorenz_deciles",
