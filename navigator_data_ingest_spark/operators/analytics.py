@@ -15099,3 +15099,162 @@ def stats_wape_forecast_sql() -> str:
            {dk_rat6('se', 'sy')} AS bias
     FROM agg
     """
+
+
+def q_customer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year customer churn/retention: per year, how many of
+    its active customers order again the NEXT year (retained), how many
+    do not (churned), and how many next-year customers are NEW — the
+    three numbers every revenue plan starts from; the binary-outcome
+    summary over q_customer_migration's full decile matrix.
+
+    DISTINCT (customer, year) collapse (one shuffle), a custkey
+    self-equijoin on yr+1 folded into conditional counts via a LEFT
+    join, a YEARS-bounded grid; rates integer-exact HALF_UP. The last
+    year has no next-year window (dropped, both engines). NULL
+    keys/dates drop.
+    """
+    cy = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
+        .select("o_custkey", F.year("o_orderdate").alias("yr"))
+        .distinct()
+    )
+    nxt = cy.select(
+        F.col("o_custkey").alias("_c"), (F.col("yr") - 1).alias("_y")
+    )
+    j = cy.join(
+        nxt, (cy.o_custkey == F.col("_c")) & (cy.yr == F.col("_y")), "left"
+    ).select("yr", F.col("_c").isNotNull().cast("bigint").alias("retained"))
+    grid = j.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("retained").alias("n_retained"),
+    )
+    years = F.broadcast(cy.agg(F.max("yr").alias("max_yr")))
+    new_next = (
+        cy.join(
+            cy.select(
+                F.col("o_custkey").alias("_c2"), (F.col("yr") + 1).alias("_y2")
+            ),
+            (cy.o_custkey == F.col("_c2")) & (cy.yr == F.col("_y2")),
+            "left_anti",
+        )
+        .groupBy(F.col("yr").alias("_yn"))
+        .agg(F.count(F.lit(1)).alias("n_new_next"))
+        .select((F.col("_yn") - 1).alias("_yj"), "n_new_next")
+    )
+    return (
+        grid.crossJoin(years)
+        .where(F.col("yr") < F.col("max_yr"))
+        .join(F.broadcast(new_next), F.col("yr") == F.col("_yj"), "left")
+        .selectExpr(
+            "yr AS year",
+            "n_customers",
+            "n_retained",
+            "(n_customers - n_retained) AS n_churned",
+            "coalesce(n_new_next, 0) AS n_new_next_year",
+            f"{sp_rat6('n_retained', 'n_customers')} AS retention_rate",
+            f"{sp_rat6('n_customers - n_retained', 'n_customers')} AS churn_rate",
+        )
+        .orderBy("year")
+    )
+
+
+def q_customer_churn_sql() -> str:
+    return f"""
+    WITH cy AS (
+        SELECT DISTINCT o_custkey, year(o_orderdate)::BIGINT AS yr
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    ), grid AS (
+        SELECT a.yr, count(*)::BIGINT AS n_customers,
+               sum((b.o_custkey IS NOT NULL)::INT)::BIGINT AS n_retained
+        FROM cy a LEFT JOIN cy b
+          ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+        GROUP BY 1
+    ), new_next AS (
+        SELECT (a.yr - 1)::BIGINT AS yj, count(*)::BIGINT AS n_new_next
+        FROM cy a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cy b
+            WHERE b.o_custkey = a.o_custkey AND b.yr = a.yr - 1
+        )
+        GROUP BY 1
+    )
+    SELECT yr AS year, n_customers, n_retained,
+           (n_customers - n_retained)::BIGINT AS n_churned,
+           coalesce(n_new_next, 0)::BIGINT AS n_new_next_year,
+           {dk_rat6('n_retained', 'n_customers')} AS retention_rate,
+           {dk_rat6('n_customers - n_retained', 'n_customers')} AS churn_rate
+    FROM grid LEFT JOIN new_next ON yr = yj
+    WHERE yr < (SELECT max(yr) FROM cy)
+    ORDER BY year
+    """
+
+
+def q_orders_basket_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: orders histogrammed by line count with
+    order/revenue shares and the cumulative order share — the staple
+    "how big is a typical order" table that sizes batch-processing
+    units and co-purchase analyses (q_basket_pairs' fan-out cost is
+    exactly this histogram's tail).
+
+    ONE order-grain collapse, a ≤MAX-LINES-bounded histogram, shares
+    integer-exact HALF_UP with the cumulative running over the bounded
+    grid. Orders with no lineitems don't appear (inner grain, both
+    engines).
+    """
+    li = load_table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+        ).alias("rev"),
+    )
+    hist = li.groupBy("n_lines").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("rev").alias("rev_cents"),
+    )
+    tot = F.broadcast(
+        hist.agg(
+            F.sum("n_orders").alias("to_"), F.sum("rev_cents").alias("tr")
+        )
+    )
+    w = Window.orderBy("n_lines").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hist.crossJoin(tot)
+        .withColumn("cum_orders", F.sum("n_orders").over(w))
+        .selectExpr(
+            "n_lines",
+            "n_orders",
+            "rev_cents",
+            f"{sp_rat6('n_orders', 'to_')} AS order_share",
+            f"{sp_rat6('rev_cents', 'tr')} AS revenue_share",
+            f"{sp_rat6('cum_orders', 'to_')} AS cum_order_share",
+        )
+        .orderBy("n_lines")
+    )
+
+
+def q_orders_basket_size_sql() -> str:
+    return f"""
+    WITH li AS (
+        SELECT l_orderkey, count(*)::BIGINT AS n_lines,
+               sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
+                   AS rev
+        FROM lineitem GROUP BY 1
+    ), hist AS (
+        SELECT n_lines, count(*)::BIGINT AS n_orders,
+               sum(rev)::BIGINT AS rev_cents
+        FROM li GROUP BY 1
+    ), tot AS (
+        SELECT sum(n_orders)::BIGINT AS to_, sum(rev_cents)::BIGINT AS tr
+        FROM hist
+    )
+    SELECT n_lines, n_orders, rev_cents,
+           {dk_rat6('n_orders', 'to_')} AS order_share,
+           {dk_rat6('rev_cents', 'tr')} AS revenue_share,
+           {dk_rat6("sum(n_orders) OVER (ORDER BY n_lines ROWS UNBOUNDED PRECEDING)", 'to_')}
+               AS cum_order_share
+    FROM hist CROSS JOIN tot
+    ORDER BY n_lines
+    """

@@ -6405,3 +6405,17 @@ register(
     analytics.stats_wape_forecast_sql(),
     front=True,
 )
+
+register(
+    "q_customer_churn",
+    analytics.q_customer_churn,
+    analytics.q_customer_churn_sql(),
+    front=True,
+)
+
+register(
+    "q_orders_basket_size",
+    analytics.q_orders_basket_size,
+    analytics.q_orders_basket_size_sql(),
+    front=True,
+)

@@ -127,6 +127,8 @@ _DELIBERATE_NESTED_LOOP = {
     "sample_neyman_allocation",
     "q_events_session_depth",
     "q_customer_order_cycle",
+    "q_customer_churn",
+    "q_orders_basket_size",
     # 1-row broadcast of the constant-size bloom bitset: deliberate
     "dedup_bloom",
     # broadcast query set scored against the corpus twice (full-dim
