@@ -15258,3 +15258,62 @@ def q_orders_basket_size_sql() -> str:
     FROM hist CROSS JOIN tot
     ORDER BY n_lines
     """
+
+
+def q_sql_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics certification — the engine contracts every repo
+    NULL rule leans on, emitted as counted FACTS on real data so a
+    regression in either engine (or a config flip) fails the hash:
+    aggregate NULL-skipping (count vs count(col)), COUNT(DISTINCT)
+    ignoring NULL, null-safe equality (<=> / IS NOT DISTINCT FROM)
+    vs `=`'s three-valued logic, concat propagation vs concat_ws
+    skipping, and NULL's exclusion by both WHERE x = x and
+    WHERE NOT(x = x).
+
+    One conditional-aggregation pass over orders' nullable status
+    column (the NULL-injected fixture exercises the non-zero branch;
+    plain data certifies the zero case). All exact integers.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderstatus")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderstatus").alias("n_nonnull"),
+        F.countDistinct("o_orderstatus").alias("n_distinct_nonnull"),
+        F.sum(F.col("o_orderstatus").isNull().cast("bigint")).alias("n_null"),
+        F.sum(
+            F.col("o_orderstatus").eqNullSafe(F.lit(None).cast("string"))
+            .cast("bigint")
+        ).alias("n_nullsafe_eq_null"),
+        F.sum(
+            (F.col("o_orderstatus") == F.col("o_orderstatus")).cast("bigint")
+        ).alias("n_eq_self_true"),
+        F.sum(
+            F.concat(F.col("o_orderstatus"), F.lit("x")).isNull().cast(
+                "bigint"
+            )
+        ).alias("n_concat_propagated"),
+        F.sum(
+            (
+                F.concat_ws("-", F.col("o_orderstatus"), F.lit("x"))
+                == F.lit("x")
+            ).cast("bigint")
+        ).alias("n_concat_ws_skipped"),
+    )
+
+
+def q_sql_null_semantics_sql() -> str:
+    return """
+    SELECT count(*)::BIGINT AS n_rows,
+           count(o_orderstatus)::BIGINT AS n_nonnull,
+           count(DISTINCT o_orderstatus)::BIGINT AS n_distinct_nonnull,
+           sum((o_orderstatus IS NULL)::INT)::BIGINT AS n_null,
+           sum((o_orderstatus IS NOT DISTINCT FROM NULL)::INT)::BIGINT
+               AS n_nullsafe_eq_null,
+           sum(coalesce((o_orderstatus = o_orderstatus)::INT, 0))::BIGINT
+               AS n_eq_self_true,
+           sum(((o_orderstatus || 'x') IS NULL)::INT)::BIGINT
+               AS n_concat_propagated,
+           sum((concat_ws('-', o_orderstatus, 'x') = 'x')::INT)::BIGINT
+               AS n_concat_ws_skipped
+    FROM orders
+    """

@@ -6419,3 +6419,10 @@ register(
     analytics.q_orders_basket_size_sql(),
     front=True,
 )
+
+register(
+    "q_sql_null_semantics",
+    analytics.q_sql_null_semantics,
+    analytics.q_sql_null_semantics_sql(),
+    front=True,
+)
