@@ -349,6 +349,8 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "stats_nelson_aalen",
     # DAYS-bounded lag-7 forecast window
     "stats_wape_forecast",
+    # cumulative share over the ≤MAX-LINES-bounded histogram grid
+    "q_orders_basket_size",
     "stats_runs_test", "stats_seasonal_decompose", "stats_var_cvar",
     "stats_spectral_peak", "stats_control_chart", "stats_moving_median",
     "stats_spearman_daily", "stats_benford", "stats_lorenz_deciles",
