@@ -2770,3 +2770,74 @@ def text_charset_profile_sql() -> str:
            {dk_rat6('n_pure_ascii', 'n_docs')} AS pure_ascii_doc_share
     FROM agg ORDER BY source
     """
+
+
+def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length percentiles per language (chars: p50/p90/p99 and
+    the max) — the context-window planning table (what fraction of each
+    language's docs survive a 4k/8k cut falls straight out of these
+    quantiles); the per-language sizing view beside
+    corpus_length_buckets' global histogram.
+
+    ONE grouped percentile aggregation on exact integer lengths; the
+    interpolated quantiles live on integer lattices (2·p50, 10·p90,
+    100·p99 are exact integers) and emit through the integer-exact
+    HALF_UP helpers (round-boundary rule). NULL text has no length;
+    NULL lang is its own bucket (both engines).
+    """
+    docs = (
+        scatter(spark, load_table(spark, sf_dir, "documents"))
+        .where(F.col("text").isNotNull())
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<null>")).alias("lang"),
+            F.length("text").alias("n"),
+        )
+    )
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_chars"),
+        F.expr("cast(round(percentile(n, 0.5) * 2) as bigint)").alias("p50_2"),
+        F.expr("cast(round(percentile(n, 0.9) * 10) as bigint)").alias(
+            "p90_10"
+        ),
+        F.expr("cast(round(percentile(n, 0.99) * 100) as bigint)").alias(
+            "p99_100"
+        ),
+        F.max("n").alias("max_chars"),
+    )
+    return (
+        agg.selectExpr(
+            "lang",
+            "n_docs",
+            f"{sp_rat6('total_chars', 'n_docs')} AS mean_chars",
+            f"{sp_rat('p50_2', '2', 1)} AS p50_chars",
+            f"{sp_rat('p90_10', '10', 1)} AS p90_chars",
+            f"{sp_rat('p99_100', '100', 2)} AS p99_chars",
+            "max_chars",
+        )
+        .orderBy("lang")
+    )
+
+
+def text_length_percentiles_sql() -> str:
+    return f"""
+    WITH docs AS (
+        SELECT coalesce(lang, '<null>') AS lang, length(text)::BIGINT AS n
+        FROM documents WHERE text IS NOT NULL
+    ), agg AS (
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               sum(n)::BIGINT AS total_chars,
+               round(quantile_cont(n, 0.5) * 2)::BIGINT AS p50_2,
+               round(quantile_cont(n, 0.9) * 10)::BIGINT AS p90_10,
+               round(quantile_cont(n, 0.99) * 100)::BIGINT AS p99_100,
+               max(n)::BIGINT AS max_chars
+        FROM docs GROUP BY lang
+    )
+    SELECT lang, n_docs,
+           {dk_rat6('total_chars', 'n_docs')} AS mean_chars,
+           {dk_rat('p50_2', '2', 1)} AS p50_chars,
+           {dk_rat('p90_10', '10', 1)} AS p90_chars,
+           {dk_rat('p99_100', '100', 2)} AS p99_chars,
+           max_chars
+    FROM agg ORDER BY lang
+    """

@@ -6426,3 +6426,10 @@ register(
     analytics.q_sql_null_semantics_sql(),
     front=True,
 )
+
+register(
+    "text_length_percentiles",
+    textstats.text_length_percentiles,
+    textstats.text_length_percentiles_sql(),
+    front=True,
+)
