@@ -3205,6 +3205,87 @@ def q_events_concurrency_sql() -> str:
     """
 
 
+def q_events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-bisect diagnostic (driver r4/r5/r6 hash-flip triage,
+    VERDICT r6 #3): ONLY the integer boundary-sweep peak column of
+    q_events_concurrency, so a driver hash mismatch localizes to the
+    sweep/argmax path rather than the epoch or load columns. Same plan,
+    projected."""
+    return q_events_concurrency(spark, sf_dir).select(
+        "event_type", "peak_concurrency"
+    )
+
+
+def q_events_concurrency_peak_sql() -> str:
+    return (
+        "SELECT event_type, peak_concurrency FROM ("
+        + q_events_concurrency_sql()
+        + ") ORDER BY event_type"
+    )
+
+
+def q_events_concurrency_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-bisect diagnostic: ONLY the absolute-epoch first-peak
+    column of q_events_concurrency — isolates the NTZ timestampdiff
+    epoch derivation (functions/exact.py sp_epoch_us) and the
+    read-path/TZ sensitivity hypothesis from VERDICT r6 #3."""
+    return q_events_concurrency(spark, sf_dir).select(
+        "event_type", "first_peak_us"
+    )
+
+
+def q_events_concurrency_epoch_sql() -> str:
+    return (
+        "SELECT event_type, first_peak_us FROM ("
+        + q_events_concurrency_sql()
+        + ") ORDER BY event_type"
+    )
+
+
+def q_events_concurrency_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-bisect diagnostic: ONLY the interval-count and
+    exact-rational time-weighted load columns of q_events_concurrency
+    (sp_rat6 integer-exact HALF_UP) — isolates the duration/rational
+    path from the sweep and epoch columns."""
+    return q_events_concurrency(spark, sf_dir).select(
+        "event_type", "n_intervals", "avg_concurrency"
+    )
+
+
+def q_events_concurrency_load_sql() -> str:
+    return (
+        "SELECT event_type, n_intervals, avg_concurrency FROM ("
+        + q_events_concurrency_sql()
+        + ") ORDER BY event_type"
+    )
+
+
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-bisect diagnostic (VERDICT r6 #3): ONLY the integer counts
+    and exact half-integer U statistic of stats_mann_whitney — if this
+    is green while the full op flips, the divergence localizes to the
+    z/effect-size float columns."""
+    return stats_mann_whitney(spark, sf_dir).select("n_a", "n_b", "u_a")
+
+
+def stats_mann_whitney_u_sql() -> str:
+    return (
+        "SELECT n_a, n_b, u_a FROM (" + stats_mann_whitney_sql() + ")"
+    )
+
+
+def stats_mann_whitney_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-bisect diagnostic: ONLY the raw (unrounded,
+    IEEE-deterministic) normal-approximation z of stats_mann_whitney —
+    the column VERDICT r6 blamed for the r6 flip when it was still
+    wrapped in round(z, 6)."""
+    return stats_mann_whitney(spark, sf_dir).select("z")
+
+
+def stats_mann_whitney_z_sql() -> str:
+    return "SELECT z FROM (" + stats_mann_whitney_sql() + ")"
+
+
 def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST as-of join: each purchase matched to the click closest in
     time on EITHER side (ties break backward) — the third as-of
@@ -4561,15 +4642,20 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r_rank_biserial = u2_a/(n_a·n_b) − 1 = (u2_a − n_a·n_b)/(n_a·n_b)
     # is a PURE integer rational — integer-exact HALF_UP (repo
-    # round-boundary rule; the r5 driver flipped this column). u_a ends
-    # at .0/.5 (exact) and z passes through sqrt (irrational): safe.
+    # round-boundary rule; the r5 driver flipped this column). u_a is an
+    # exact .0/.5 half-integer and z is +,−,×,÷,sqrt over bit-identical
+    # integer operands — both are IEEE-deterministic doubles, so they
+    # are emitted RAW: round() is the only step where the two engines'
+    # algorithms differ, and the r6 driver flipped round(z, 6) even
+    # though z is sqrt-protected (functions/exact.py raw-emission
+    # policy).
     rp = "(cast(u2_a as decimal(38,0)) - cast(n_a as decimal(38,0)) * n_b)"
     rq = "(cast(n_a as decimal(38,0)) * n_b)"
     return agg.selectExpr(
         "n_a",
         "n_b",
-        "round(u2_a / 2.0, 6) AS u_a",
-        f"round((u2_a / 2.0 - n_a * n_b / 2.0) / {sigma}, 6) AS z",
+        "u2_a / 2.0 AS u_a",
+        f"(u2_a / 2.0 - n_a * n_b / 2.0) / {sigma} AS z",
         f"{sp_rat6(rp, rq)} AS r_rank_biserial",
     )
 
@@ -4595,10 +4681,10 @@ def stats_mann_whitney_sql() -> str:
         FROM cum
     )
     SELECT n_a, n_b,
-           round(u2_a / 2.0, 6) AS u_a,
-           round((u2_a / 2.0 - n_a * n_b / 2.0)
+           u2_a / 2.0 AS u_a,
+           (u2_a / 2.0 - n_a * n_b / 2.0)
                  / sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1.0)
-                        - tie_term / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6) AS z,
+                        - tie_term / ((n_a + n_b) * (n_a + n_b - 1.0)))) AS z,
            {dk_rat6('(u2_a::HUGEINT - n_a::HUGEINT * n_b)', '(n_a::HUGEINT * n_b)')} AS r_rank_biserial
     FROM agg
     """
@@ -7896,26 +7982,38 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("p") + F.col("q"))
         ).alias("tie_term"),
     )
+    # var_w = n(n+1)(2n+1)/24 − tie/48 = (2n(n+1)(2n+1) − tie)/48 is a
+    # PURE integer rational at ~1e9 magnitude (the 7th decimal sits at
+    # double-ulp scale) — the r6 driver flipped it through the f-string
+    # lint blind spot. Integer-exact HALF_UP via sp_rat (repo
+    # round-boundary rule); the raw double fed into z is ONE IEEE divide
+    # of identical integer operands, so z (÷, −, ×, sqrt over
+    # bit-identical operands) is emitted RAW — rounding is the only step
+    # where the engines' algorithms differ (functions/exact.py policy).
+    var_p = (
+        "(2 * cast(n as decimal(38,0)) * (n + 1) * (2 * n + 1) - tie_term)"
+    )
     mean = "(n * (n + 1.0) / 4.0)"
-    var = "(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - tie_term / 48.0)"
+    var_d = f"(cast({var_p} as double) / 48.0)"
     z = (
         f"((w2 / 2.0 - {mean}"
-        f" - 0.5 * sign(w2 / 2.0 - {mean})) / sqrt({var}))"
+        f" - 0.5 * sign(w2 / 2.0 - {mean})) / sqrt({var_d}))"
     )
     return agg.selectExpr(
         "n AS n_pairs",
         "w2 AS w_plus_2x",
-        f"round({var}, 6) AS var_w",
-        f"round({z}, 6) AS z",
+        f"{sp_rat6(var_p, '48')} AS var_w",
+        f"{z} AS z",
     )
 
 
 def stats_wilcoxon_signed_rank_sql() -> str:
+    var_p = "(2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - tie_term)"
     mean = "(n * (n + 1.0) / 4.0)"
-    var = "(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - tie_term / 48.0)"
+    var_d = f"(({var_p})::DOUBLE / 48.0)"
     z = (
         f"((w2 / 2.0 - {mean}"
-        f" - 0.5 * sign(w2 / 2.0 - {mean})) / sqrt({var}))"
+        f" - 0.5 * sign(w2 / 2.0 - {mean})) / sqrt({var_d}))"
     )
     return f"""
     WITH u AS (
@@ -7948,8 +8046,8 @@ def stats_wilcoxon_signed_rank_sql() -> str:
         FROM r
     )
     SELECT n AS n_pairs, w2 AS w_plus_2x,
-           round({var}, 6) AS var_w,
-           round({z}, 6) AS z
+           {dk_rat6(var_p, '48')} AS var_w,
+           {z} AS z
     FROM agg
     """
 
