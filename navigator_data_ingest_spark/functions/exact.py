@@ -35,6 +35,32 @@ Expressions that pass through sqrt/ln/exp are NOT in this class — a
 17-significant-digit irrational never has a 7-digit shortest repr — and
 may keep plain ``round(..., 6)``.
 
+Raw-float emission policy (round 7, after the r6 driver flipped a
+ROUNDED sqrt-protected z in stats_mann_whitney): when to round a FINAL
+double column at all —
+
+  1. EMIT RAW (no round) whenever the value is +,−,×,÷,sqrt/ln/exp over
+     BIT-IDENTICAL operands in both engines (exact integer aggregates —
+     counts, integer-cent sums — combined by scalar arithmetic). Every
+     IEEE-754 scalar operation is correctly rounded and deterministic,
+     so the two engines produce the identical double and any downstream
+     normalization (the driver formats raw doubles itself) sees equal
+     values. round() is the ONLY step where the engines run different
+     algorithms (Spark: shortest-decimal-repr HALF_UP; DuckDB:
+     multiply-by-10^k-in-floating-point then round-half-away), so
+     wrapping a deterministic double in round() strictly ADDS divergence
+     surface. Applied to: stats_mann_whitney (u_a, z),
+     stats_wilcoxon_signed_rank (z), stats_mann_kendall (z).
+  2. EXACT UNITS (sp_rat/dk_rat) whenever the value is a pure integer
+     rational p/q — never round(p/q-through-doubles, k).
+  3. ROUND (both engines, identical text) only where the value is a
+     float AGGREGATE over double data or accumulated float rationals
+     (FLOAT_DATA / COMPOUND_RATIONAL in the lint's taxonomy): there the
+     engines' doubles may differ in final ulps (summation order), and
+     6-dp rounding is what re-aligns them; the residual boundary risk
+     is measure-~zero and documented per site in
+     tests/test_round_boundary_lint.py.
+
 Timezone-free epoch helpers live here too (the second q_events_concurrency
 failure mode): ``unix_micros(cast(ts as timestamp))`` on a TIMESTAMP_NTZ
 column shifts under a non-UTC driver session because the NTZ->LTZ cast

@@ -7311,24 +7311,30 @@ def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = s.crossJoin(F.broadcast(n_t)).crossJoin(F.broadcast(ties))
-    var_s = "((n * (n - 1.0) * (2.0 * n + 5.0) - tie_term) / 18.0)"
+    # var_s = (n(n−1)(2n+5) − tie)/18 is a PURE integer rational —
+    # integer-exact HALF_UP (rendered-SQL lint, round 7); z is
+    # +,−,÷,sqrt over bit-identical integer operands, emitted RAW
+    # (functions/exact.py raw-emission policy).
+    var_p = "(cast(n as decimal(38,0)) * (n - 1) * (2 * n + 5) - tie_term)"
+    var_d = f"(cast({var_p} as double) / 18.0)"
     z = (
-        f"CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt({var_s}) "
-        f"WHEN s_stat < 0 THEN (s_stat + 1) / sqrt({var_s}) ELSE 0.0 END"
+        f"CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt({var_d}) "
+        f"WHEN s_stat < 0 THEN (s_stat + 1) / sqrt({var_d}) ELSE 0.0 END"
     )
     return out.selectExpr(
         "n AS n_days",
         "s_stat",
-        f"round({var_s}, 6) AS var_s",
-        f"round({z}, 6) AS z",
+        f"{sp_rat6(var_p, '18')} AS var_s",
+        f"{z} AS z",
     )
 
 
 def stats_mann_kendall_sql() -> str:
-    var_s = "((n * (n - 1.0) * (2.0 * n + 5.0) - tie_term) / 18.0)"
+    var_p = "(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tie_term)"
+    var_d = f"(({var_p})::DOUBLE / 18.0)"
     z = (
-        f"CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt({var_s}) "
-        f"WHEN s_stat < 0 THEN (s_stat + 1) / sqrt({var_s}) ELSE 0.0 END"
+        f"CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt({var_d}) "
+        f"WHEN s_stat < 0 THEN (s_stat + 1) / sqrt({var_d}) ELSE 0.0 END"
     )
     return f"""
     WITH d AS (
@@ -7344,8 +7350,8 @@ def stats_mann_kendall_sql() -> str:
             SELECT count(*)::BIGINT AS t FROM d GROUP BY y)
     )
     SELECT n AS n_days, s_stat,
-           round({var_s}, 6) AS var_s,
-           round({z}, 6) AS z
+           {dk_rat6(var_p, '18')} AS var_s,
+           {z} AS z
     FROM s CROSS JOIN nt CROSS JOIN ties
     """
 
@@ -7853,12 +7859,15 @@ def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" + {POWER_Z_BETA} * sqrt({p1} * (1.0 - {p1}) + {p2} * (1.0 - {p2})))"
     )
     n_req = f"ceil(round({num} * {num} / (({p1} - {p2}) * ({p1} - {p2})), 6))"
+    # rate_a/rate_b/observed_delta are PURE integer rationals —
+    # integer-exact HALF_UP (rendered-SQL lint, round 7); n_req passes
+    # through sqrt (IRRATIONAL-protected).
     return agg.selectExpr(
         "n_a",
         "n_b",
-        f"round({p1}, 6) AS rate_a",
-        f"round({p2}, 6) AS rate_b",
-        f"round({p1} - {p2}, 6) AS observed_delta",
+        f"{sp_rat6('conv_a', 'n_a')} AS rate_a",
+        f"{sp_rat6('conv_b', 'n_b')} AS rate_b",
+        f"{sp_rat6('cast(conv_a as decimal(38,0)) * n_b - cast(conv_b as decimal(38,0)) * n_a', 'cast(n_a as decimal(38,0)) * n_b')} AS observed_delta",
         f"cast({n_req} as bigint) AS n_required_per_arm",
         f"least(n_a, n_b) >= {n_req} AS adequately_powered",
     )
@@ -7888,9 +7897,9 @@ def stats_power_analysis_sql() -> str:
         FROM u
     )
     SELECT n_a, n_b,
-           round({p1}, 6) AS rate_a,
-           round({p2}, 6) AS rate_b,
-           round({p1} - {p2}, 6) AS observed_delta,
+           {dk_rat6('conv_a', 'n_a')} AS rate_a,
+           {dk_rat6('conv_b', 'n_b')} AS rate_b,
+           {dk_rat6('conv_a::HUGEINT * n_b - conv_b::HUGEINT * n_a', 'n_a::HUGEINT * n_b')} AS observed_delta,
            {n_req}::BIGINT AS n_required_per_arm,
            least(n_a, n_b) >= {n_req} AS adequately_powered
     FROM agg
@@ -8296,14 +8305,19 @@ def stats_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~F.col("exposed") & (F.col("ret") == 1)).cast("bigint")).alias("c"),
         F.sum((~F.col("exposed") & (F.col("ret") == 0)).cast("bigint")).alias("d"),
     )
+    # odds_ratio = ad/bc is a PURE integer rational — integer-exact
+    # HALF_UP (rendered-SQL lint, round 7); the ln/exp/sqrt columns are
+    # IRRATIONAL-protected and keep plain round.
     orr = "((a * cast(d as double)) / (b * cast(c as double)))"
     se = "sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)"
+    orp = "(cast(a as decimal(38,0)) * d)"
+    orq = "(cast(b as decimal(38,0)) * c)"
     return cells.selectExpr(
         "a AS exposed_returned",
         "b AS exposed_kept",
         "c AS control_returned",
         "d AS control_kept",
-        f"round({orr}, 6) AS odds_ratio",
+        f"{sp_rat6(orp, orq)} AS odds_ratio",
         f"round(ln({orr}), 6) AS ln_or",
         f"round({se}, 6) AS se_ln_or",
         f"round(exp(ln({orr}) - 1.959964 * {se}), 6) AS ci_low",
@@ -8314,6 +8328,8 @@ def stats_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_odds_ratio_sql() -> str:
     orr = "((a * d::DOUBLE) / (b * c::DOUBLE))"
     se = "sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)"
+    orp = "(a::HUGEINT * d)"
+    orq = "(b::HUGEINT * c)"
     return f"""
     WITH li AS (
         SELECT l_orderkey,
@@ -8332,7 +8348,7 @@ def stats_odds_ratio_sql() -> str:
     )
     SELECT a AS exposed_returned, b AS exposed_kept,
            c AS control_returned, d AS control_kept,
-           round({orr}, 6) AS odds_ratio,
+           {dk_rat6(orp, orq)} AS odds_ratio,
            round(ln({orr}), 6) AS ln_or,
            round({se}, 6) AS se_ln_or,
            round(exp(ln({orr}) - 1.959964 * {se}), 6) AS ci_low,
@@ -12635,11 +12651,14 @@ def stats_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     gm = "(exp(sl / n))"
     gsd = "(exp(sqrt((sll - sl * sl / n) / (n - 1.0))))"
     am = "(cast(s as double) / n / 100.0)"
+    # arith_mean = Σcents/(100n) at 2 dp is a PURE integer rational —
+    # integer-exact HALF_UP (rendered-SQL lint, round 7); the geo
+    # columns stay exp/sqrt-protected.
     return (
         agg.selectExpr(
             "c_mktsegment AS segment",
             "n AS n_orders",
-            f"round({am}, 2) AS arith_mean",
+            f"{sp_rat('s', '100 * cast(n as decimal(38,0))', 2)} AS arith_mean",
             f"round({gm}, 2) AS geo_mean",
             f"round({gsd}, 6) AS geo_sd_factor",
             f"round({am} / {gm}, 6) AS am_gm_ratio",
@@ -12665,7 +12684,7 @@ def stats_geometric_mean_sql() -> str:
         FROM j GROUP BY 1
     )
     SELECT c_mktsegment AS segment, n AS n_orders,
-           round({am}, 2) AS arith_mean,
+           {dk_rat('s', '100 * n::HUGEINT', 2)} AS arith_mean,
            round({gm}, 2) AS geo_mean,
            round({gsd}, 6) AS geo_sd_factor,
            round({am} / {gm}, 6) AS am_gm_ratio
@@ -14702,8 +14721,9 @@ def stats_crosstab_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl B").
 
     Same bounded dense-grid construction as the chi-square (zero cells
-    kept — the classic bug), one corpus shuffle; the expected count and
-    the residual pass through a sqrt of float margins products
+    kept — the classic bug), one corpus shuffle; the expected count
+    r·c/n is a pure integer rational emitted integer-exact HALF_UP,
+    the residual passes through a sqrt of float margins products
     (irrational — plain round safe per the round-boundary rule); the
     flag compares the ROUNDED residual (repo float rule). NULL
     lang/source are their own categories (both engines).
@@ -14736,7 +14756,11 @@ def stats_crosstab_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "source",
             "o AS observed",
-            f"round({e}, 6) AS expected",
+            # expected = r·c/n is a PURE integer rational —
+            # integer-exact HALF_UP (rendered-SQL lint, round 7); the
+            # residual stays sqrt-protected plain round.
+            f"{sp_rat6('cast(row_tot as decimal(38,0)) * col_tot', 'n_total')}"
+            " AS expected",
             f"round({z}, 6) AS std_residual",
             f"abs(round({z}, 6)) > 2.0 AS notable",
         )
@@ -14772,7 +14796,7 @@ def stats_crosstab_residuals_sql() -> str:
         CROSS JOIN tot
     )
     SELECT lang, source, o AS observed,
-           round({e}, 6) AS expected,
+           {dk_rat6('row_tot::HUGEINT * col_tot', 'n_total')} AS expected,
            round({z}, 6) AS std_residual,
            abs(round({z}, 6)) > 2.0 AS notable
     FROM dense ORDER BY lang, source

@@ -2242,12 +2242,13 @@ def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket") * F.col("n_docs") - F.col("sum_tokens")).alias(
                 "padding_waste"
             ),
-            F.round(
-                (F.col("bucket") * F.col("n_docs") - F.col("sum_tokens")).cast(
-                    "double"
+            # waste_frac is a PURE integer rational — integer-exact
+            # HALF_UP (rendered-SQL lint, round 7).
+            F.expr(
+                sp_rat6(
+                    "cast(bucket as bigint) * n_docs - sum_tokens",
+                    "cast(bucket as bigint) * n_docs",
                 )
-                / (F.col("bucket") * F.col("n_docs")).cast("double"),
-                6,
             ).alias("waste_frac"),
         )
         .orderBy("bucket")
@@ -2268,8 +2269,8 @@ def corpus_length_buckets_sql() -> str:
     )
     SELECT bucket, n_docs, sum_tokens,
            (bucket * n_docs - sum_tokens)::BIGINT AS padding_waste,
-           round((bucket * n_docs - sum_tokens)::DOUBLE
-                 / (bucket * n_docs)::DOUBLE, 6) AS waste_frac
+           {dk_rat6('bucket::BIGINT * n_docs - sum_tokens',
+                    'bucket::BIGINT * n_docs')} AS waste_frac
     FROM g ORDER BY bucket
     """
 
@@ -2893,20 +2894,33 @@ def stats_auc_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p") * (2 * F.col("below") + F.col("p") + F.col("q") + 1)
         ).alias("rr2"),
     )
-    auc = "((rr2 / 2.0 - n_pos * (n_pos + 1.0) / 2.0) / (n_pos * cast(n_neg as double)))"
+    # auc = (rr2 − n_pos(n_pos+1)) / (2·n_pos·n_neg) and
+    # gini = 2·auc − 1 = (rr2 − n_pos(n_pos+1) − n_pos·n_neg)/(n_pos·n_neg)
+    # are PURE integer rationals — integer-exact HALF_UP (rendered-SQL
+    # lint, round 7).
+    auc_p = "(rr2 - cast(n_pos as decimal(38,0)) * (n_pos + 1))"
+    auc_q = "(2 * cast(n_pos as decimal(38,0)) * n_neg)"
+    gini_p = (
+        "(rr2 - cast(n_pos as decimal(38,0)) * (n_pos + 1)"
+        " - cast(n_pos as decimal(38,0)) * n_neg)"
+    )
+    gini_q = "(cast(n_pos as decimal(38,0)) * n_neg)"
     return agg.selectExpr(
         "n_pos",
         "n_neg",
-        f"round({auc}, 6) AS auc",
-        f"round(2.0 * {auc} - 1.0, 6) AS gini",
+        f"{sp_rat6(auc_p, auc_q)} AS auc",
+        f"{sp_rat6(gini_p, gini_q)} AS gini",
     )
 
 
 def stats_auc_classifier_sql() -> str:
-    auc = (
-        "((rr2 / 2.0 - n_pos * (n_pos + 1.0) / 2.0)"
-        " / (n_pos * n_neg::DOUBLE))"
+    auc_p = "(rr2 - CAST(n_pos AS HUGEINT) * (n_pos + 1))"
+    auc_q = "(2 * CAST(n_pos AS HUGEINT) * n_neg)"
+    gini_p = (
+        "(rr2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)"
+        " - CAST(n_pos AS HUGEINT) * n_neg)"
     )
+    gini_q = "(CAST(n_pos AS HUGEINT) * n_neg)"
     return f"""
     WITH t AS (
         SELECT doc_id, lang, {X.dk_tokens('text')} AS toks FROM documents
@@ -2932,8 +2946,8 @@ def stats_auc_classifier_sql() -> str:
         FROM r
     )
     SELECT n_pos, n_neg,
-           round({auc}, 6) AS auc,
-           round(2.0 * {auc} - 1.0, 6) AS gini
+           {dk_rat6(auc_p, auc_q)} AS auc,
+           {dk_rat6(gini_p, gini_q)} AS gini
     FROM agg
     """
 

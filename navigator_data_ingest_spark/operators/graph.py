@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from navigator_data_ingest_spark.functions.exact import dk_rat6, sp_rat6
+from navigator_data_ingest_spark.functions.exact import (
+    dk_rat6,
+    dk_units,
+    sp_rat6,
+    sp_units,
+)
 from navigator_data_ingest_spark.sources.tables import load_table
 
 DAMPING = 0.85
@@ -787,30 +792,29 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     try_divide handles deg<2 nodes (cc undefined -> NULL, matching the
     oracle's x/0 semantics).
     """
+    # cc = 2T/(d(d−1)), avg cc and transitivity = 2ΣT/Σd(d−1) are PURE
+    # integer rationals — integer-exact HALF_UP micro-units
+    # (rendered-SQL lint, round 7); deg<2 ⇒ q=0 ⇒ NULL in both engines
+    # via the nullif inside sp_units.
     nodes = graph_triangle_count(spark, sf_dir)
     cc = nodes.withColumn(
-        "local_cc",
-        F.round(
-            F.try_divide(
-                2.0 * F.col("n_triangles"),
-                F.col("degree").cast("double") * (F.col("degree") - F.lit(1)),
-            ),
-            6,
+        "cc_units",
+        F.expr(
+            sp_units(
+                "2 * cast(n_triangles as bigint)",
+                "cast(degree as bigint) * (degree - 1)",
+            )
         ),
-    )
+    ).withColumn("local_cc", F.expr("cast(cc_units as double) / 1000000.0"))
     glob = cc.agg(
-        F.round(F.avg("local_cc"), 6).alias("avg_local_cc"),
-        F.round(
-            F.try_divide(
-                F.sum("n_triangles").cast("double"),
-                F.sum(
-                    F.col("degree").cast("double")
-                    * (F.col("degree") - F.lit(1))
-                    / F.lit(2.0)
-                ),
-            ),
-            6,
-        ).alias("transitivity"),
+        F.sum("cc_units").alias("s_units"),
+        F.count("cc_units").alias("n_cc"),
+        F.sum("n_triangles").alias("s_tri"),
+        F.sum(F.col("degree") * (F.col("degree") - F.lit(1))).alias("s_dd1"),
+    ).selectExpr(
+        f"{sp_rat6('s_units', 'cast(n_cc as decimal(38,0)) * 1000000')}"
+        " AS avg_local_cc",
+        f"{sp_rat6('2 * cast(s_tri as bigint)', 's_dd1')} AS transitivity",
     )
     return (
         cc.crossJoin(F.broadcast(glob))
@@ -833,17 +837,19 @@ def graph_clustering_coefficient_sql() -> str:
         {inner}
     ), cc AS (
         SELECT brand, degree, n_triangles,
-               round(2.0 * n_triangles
-                     / nullif(degree::DOUBLE * (degree - 1), 0), 6) AS local_cc
+               {dk_units('2 * n_triangles::BIGINT',
+                         'degree::BIGINT * (degree - 1)')} AS cc_units
         FROM nodes
     ), gstats AS (
-        SELECT round(avg(local_cc), 6) AS avg_local_cc,
-               round(sum(n_triangles)::DOUBLE
-                     / nullif(sum(degree::DOUBLE * (degree - 1) / 2.0), 0), 6)
-                   AS transitivity
+        SELECT {dk_rat6('sum(cc_units)',
+                        'count(cc_units)::HUGEINT * 1000000')} AS avg_local_cc,
+               {dk_rat6('2 * sum(n_triangles)::BIGINT',
+                        'sum(degree::BIGINT * (degree - 1))')} AS transitivity
         FROM cc
     )
-    SELECT brand, degree, n_triangles, local_cc, avg_local_cc, transitivity
+    SELECT brand, degree, n_triangles,
+           cc_units::DOUBLE / 1000000.0 AS local_cc,
+           avg_local_cc, transitivity
     FROM cc CROSS JOIN gstats
     ORDER BY brand
     """
@@ -1049,6 +1055,16 @@ def graph_shortest_paths_sql() -> str:
 
 
 HARMONIC_HOPS = 3
+# Bounded seed stripe: suppkey % smod == 1 with smod = max(100,
+# n_suppliers // HARMONIC_SEED_TARGET) derived from the supplier count
+# IN-PLAN (1-row broadcast scalar). The r6 fixed `% 100` made the seed
+# count grow linearly with the supplier dimension, so (seed ×
+# 3-hop-reach) state grew superlinearly at 100× — the exact scale bug
+# the ANN query stripe killed with its derived qmod
+# (similarity.py:QUERY_MOD_MIN). The floor keeps small-SF seed sets
+# identical to the old stripe.
+HARMONIC_SEED_TARGET = 8
+HARMONIC_SEED_MOD_MIN = 100
 
 
 def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1061,11 +1077,14 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-seed frontier expansion keyed by (seed, node) — 3 UNROLLED
     rounds of frontier⋈edges equijoin + anti-join against the visited
     set, fully pipelined (no per-round checkpoint — the unrolled plan
-    stays shallow); the seed stripe is derivation-bounded (suppkey % 100
-    == 1) so state stays |stripe|·|reach|. The harmonic sum over the
-    1..3 hop grid is (6·n₁ + 3·n₂ + 2·n₃)/6 — a PURE integer rational,
-    integer-exact HALF_UP (repo round-boundary rule). NULL rule: lines
-    missing either key form no edge (both engines).
+    stays shallow); the seed stripe modulus is DERIVED from the
+    supplier count in-plan (max(100, n_supp // 8)), so the seed set —
+    and with it (seed × reach) state — stays bounded at any corpus
+    size instead of growing with the supplier dimension. The harmonic
+    sum over the 1..3 hop grid is (6·n₁ + 3·n₂ + 2·n₃)/6 — a PURE
+    integer rational, integer-exact HALF_UP (repo round-boundary
+    rule). NULL rule: lines missing either key form no edge (both
+    engines).
     """
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
@@ -1081,11 +1100,25 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionAll(
         edges.select(F.col("s").alias("src"), F.col("p").alias("dst"))
     )
+    supp = li.select(F.col("l_suppkey").alias("k")).distinct()
+    smod = F.broadcast(
+        supp.groupBy()
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.greatest(
+                F.lit(HARMONIC_SEED_MOD_MIN).cast("bigint"),
+                (F.col("_n") / F.lit(HARMONIC_SEED_TARGET)).cast("bigint"),
+            ).alias("_smod")
+        )
+    )
+    # the seed subtree (distinct-supplier scan + 1-row modulus agg) is
+    # referenced by every unrolled BFS round — checkpoint the ≤TARGET-row
+    # result so re-evaluations don't rescan lineitem
     seeds = (
-        li.select(F.col("l_suppkey").alias("k"))
-        .distinct()
-        .where(F.col("k") % 100 == 1)
+        supp.crossJoin(smod)
+        .where(F.col("k") % F.col("_smod") == 1)
         .select(F.concat(F.lit("s:"), F.col("k").cast("string")).alias("seed"))
+        .localCheckpoint(eager=False)
     )
     dist = seeds.select(
         "seed", F.col("seed").alias("node"), F.lit(0).alias("hop")
@@ -1146,10 +1179,14 @@ def graph_harmonic_centrality_sql() -> str:
         SELECT p AS src, s AS dst FROM li
         UNION ALL
         SELECT s AS src, p AS dst FROM li
+    ), supp AS (
+        SELECT DISTINCT l_suppkey AS k FROM lineitem
+        WHERE l_suppkey IS NOT NULL
     ), seeds AS (
-        SELECT DISTINCT 's:' || l_suppkey::VARCHAR AS seed
-        FROM lineitem
-        WHERE l_suppkey IS NOT NULL AND l_suppkey % 100 = 1
+        SELECT 's:' || k::VARCHAR AS seed FROM supp
+        WHERE k % greatest({HARMONIC_SEED_MOD_MIN},
+                           (SELECT count(*) FROM supp)
+                           // {HARMONIC_SEED_TARGET}) = 1
     ), d0 AS (
         SELECT seed, seed AS node FROM seeds
     ), f1 AS (

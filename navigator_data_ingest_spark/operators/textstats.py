@@ -94,19 +94,29 @@ def quality_signals(raw_docs: DataFrame) -> DataFrame:
     punct = F.length(F.regexp_replace("text", "[^.,;:!?]", ""))
     n_tokens = F.expr("size(t)")
     stop_en = F.expr(_stop_count("en"))
-    alpha_ratio = alpha.cast("double") / n_chars.cast("double")
-    stop_ratio = stop_en.cast("double") / F.nullif(n_tokens, F.lit(0)).cast("double")
-    avg_tok = n_chars.cast("double") / F.nullif(n_tokens, F.lit(0)).cast("double")
+    # all three ratios are PURE integer rationals — integer-exact
+    # HALF_UP via sp_rat6 (rendered-SQL lint, round 7); zero
+    # denominators yield NULL in both engines via the nullif inside
+    # sp_units.
     keep = (n_tokens >= 10) & (alpha * 10 >= n_chars * 6)  # alpha_ratio >= 0.6
-    return docs.select(
+    docs = docs.select(
         "doc_id",
         n_chars.cast("bigint").alias("n_chars_actual"),
         n_tokens.cast("bigint").alias("n_tokens"),
         punct.cast("bigint").alias("n_punct"),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(avg_tok, 6).alias("avg_token_len"),
+        alpha.cast("bigint").alias("_alpha"),
+        stop_en.cast("bigint").alias("_stop_en"),
         keep.alias("keep"),
+    )
+    return docs.select(
+        "doc_id",
+        "n_chars_actual",
+        "n_tokens",
+        "n_punct",
+        F.expr(sp_rat6("_alpha", "n_chars_actual")).alias("alpha_ratio"),
+        F.expr(sp_rat6("_stop_en", "n_tokens")).alias("stopword_ratio"),
+        F.expr(sp_rat6("n_chars_actual", "n_tokens")).alias("avg_token_len"),
+        "keep",
     ).orderBy("doc_id")
 
 
@@ -122,16 +132,21 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe = F.expr(f"size(regexp_extract_all(text, '{BPE_PATTERN_SPARK}', 0))")
     t = X.sp_tokens("text")
     distinct = F.expr(f"size(array_distinct({t}))")
+    # chars_per_token is a PURE integer rational — integer-exact
+    # HALF_UP (rendered-SQL lint, round 7; the nullif-comma form had
+    # escaped the regex census).
     return docs.select(
         "doc_id",
         ws.cast("bigint").alias("n_ws_tokens"),
         bpe.cast("bigint").alias("n_bpe_tokens"),
         distinct.cast("bigint").alias("n_distinct_tokens"),
-        F.round(
-            F.length("text").cast("double")
-            / F.nullif(bpe, F.lit(0)).cast("double"),
-            6,
-        ).alias("chars_per_token"),
+        F.length("text").cast("bigint").alias("_n_chars"),
+    ).select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        "n_distinct_tokens",
+        F.expr(sp_rat6("_n_chars", "n_bpe_tokens")).alias("chars_per_token"),
     ).orderBy("doc_id")
 
 

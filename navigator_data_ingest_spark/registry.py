@@ -1062,6 +1062,7 @@ register("sink_report", sinks.sink_report, _REPORT_SQL)
 # --------------------------------------------------------------------------
 
 from navigator_data_ingest_spark.functions import exprs as X
+from navigator_data_ingest_spark.functions.exact import dk_rat6 as _dk_rat6
 from navigator_data_ingest_spark.operators import dedup, similarity, textstats
 
 register(
@@ -1369,9 +1370,9 @@ register(
            length(text)::bigint AS n_chars_actual,
            len(t)::bigint AS n_tokens,
            length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::bigint AS n_punct,
-           round({_DK_ALPHA}::double / length(text)::double, 6) AS alpha_ratio,
-           round({_DK_C_EN}::double / nullif(len(t), 0)::double, 6) AS stopword_ratio,
-           round(length(text)::double / nullif(len(t), 0)::double, 6) AS avg_token_len,
+           {_dk_rat6(f'({_DK_ALPHA})::BIGINT', 'length(text)::BIGINT')} AS alpha_ratio,
+           {_dk_rat6(f'({_DK_C_EN})::BIGINT', 'len(t)::BIGINT')} AS stopword_ratio,
+           {_dk_rat6('length(text)::BIGINT', 'len(t)::BIGINT')} AS avg_token_len,
            (len(t) >= 10 AND {_DK_ALPHA} * 10 >= length(text) * 6) AS keep
     FROM base ORDER BY doc_id
     """,
@@ -1385,9 +1386,8 @@ register(
            len(regexp_extract_all(text, '\\S+'))::bigint AS n_ws_tokens,
            len(regexp_extract_all(text, '{textstats.BPE_PATTERN_DUCK}'))::bigint AS n_bpe_tokens,
            len(list_distinct({_DK_TOKS}))::bigint AS n_distinct_tokens,
-           round(length(text)::double /
-                 nullif(len(regexp_extract_all(text, '{textstats.BPE_PATTERN_DUCK}')), 0)::double,
-                 6) AS chars_per_token
+           {_dk_rat6('length(text)::BIGINT',
+                     f"len(regexp_extract_all(text, '{textstats.BPE_PATTERN_DUCK}'))::BIGINT")} AS chars_per_token
     FROM documents ORDER BY doc_id
     """,
 )

@@ -74,6 +74,9 @@ _DELIBERATE_NESTED_LOOP = {
     # 1-row derived query-stripe modulus broadcast (query_stripe):
     # deliberate — it is what keeps the query set bounded at any scale
     "sim_search_lsh",
+    # 1-row derived seed-stripe modulus broadcast (round 7): same
+    # discipline as query_stripe, keeps the BFS seed set bounded
+    "graph_harmonic_centrality",
     "emb_binary_hamming",
     "emb_label_purity",
     # 1-row corpus-count broadcast (idf's N) resolved inside the plan
@@ -173,6 +176,10 @@ _DELIBERATE_NESTED_LOOP = {
     # 1-row min/max range broadcast feeding the block bucketing /
     # 1-row global-mean broadcast onto the NATION-grain table: deliberate
     "stats_mann_whitney",
+    # column-bisect diagnostic projections of the two ops above — same
+    # plan, projected (round-7 driver hash-flip triage)
+    "stats_mann_whitney_u",
+    "stats_mann_whitney_z",
     "stats_cramer_von_mises",
     "stats_gains_table",
     # min/max-range + totals + 1-row witness broadcasts over the
@@ -339,6 +346,8 @@ def test_no_accidental_cartesian_products(spark, name):
 _BOUNDED_GLOBAL_WINDOW_OK = {
     # 1024-block prefix-sum block tables
     "stats_mann_whitney", "stats_cramer_von_mises", "stats_gains_table",
+    # column-bisect diagnostic projections (same plan, projected)
+    "stats_mann_whitney_u", "stats_mann_whitney_z",
     "q_orders_pareto_8020",
     "pack_sequences", "corpus_token_budget",
     "sample_cap_per_source", "corpus_sample_exact_k", "mm_aspect_buckets",
