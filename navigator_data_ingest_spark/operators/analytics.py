@@ -14247,8 +14247,11 @@ def q_events_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "sid")
         .agg(F.count(F.lit(1)).alias("depth"))
     )
-    # power-of-2 bucket by integer bit length: 1, 2, 3-4, 5-8, ...
-    bucket = "cast(pow(2, ceil(log2(depth))) as bigint)"
+    # power-of-2 bucket by integer bit length: 1, 2, 3-4, 5-8, ... —
+    # smallest 2^k >= depth is shiftleft(1, bit-length(depth-1)); pure
+    # integer arithmetic, no float log2/pow (r6 ADVICE: the docstring's
+    # exactness claim is now true by construction)
+    bucket = "shiftleft(cast(1 as bigint), length(bin(depth - 1)))"
     buckets = sess.selectExpr(
         f"CASE WHEN depth <= 1 THEN 1 ELSE {bucket} END AS depth_bucket",
         "depth",
@@ -14298,7 +14301,7 @@ def q_events_session_depth_sql() -> str:
         FROM sess GROUP BY user_id, sid
     ), buckets AS (
         SELECT CASE WHEN depth <= 1 THEN 1
-                    ELSE pow(2, ceil(log2(depth)))::BIGINT END AS depth_bucket,
+                    ELSE (1::BIGINT << length(bin(depth - 1))) END AS depth_bucket,
                count(*)::BIGINT AS n_sessions,
                sum(depth)::BIGINT AS n_events
         FROM depths GROUP BY 1
@@ -14835,9 +14838,12 @@ def q_customer_order_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_gaps") >= 2)
     )
+    # smallest 2^k >= ceil(med2/2) via integer bit length (no float
+    # log2/pow — r6 ADVICE)
     bucket = (
         "CASE WHEN med2 <= 2 THEN 1"
-        " ELSE cast(pow(2, ceil(log2((med2 + 1) div 2))) as bigint) END"
+        " ELSE shiftleft(cast(1 as bigint),"
+        " length(bin((med2 + 1) div 2 - 1))) END"
     )
     buckets = med.selectExpr(f"{bucket} AS cycle_bucket_days").groupBy(
         "cycle_bucket_days"
@@ -14871,7 +14877,7 @@ def q_customer_order_cycle_sql() -> str:
         GROUP BY 1 HAVING count(*) >= 2
     ), buckets AS (
         SELECT CASE WHEN med2 <= 2 THEN 1
-                    ELSE pow(2, ceil(log2((med2 + 1) // 2)))::BIGINT END
+                    ELSE (1::BIGINT << length(bin((med2 + 1) // 2 - 1))) END
                    AS cycle_bucket_days,
                count(*)::BIGINT AS n_customers
         FROM med GROUP BY 1

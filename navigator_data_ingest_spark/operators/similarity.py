@@ -3091,21 +3091,27 @@ def emb_ivf_cell_census_sql(dk_ccos: str) -> str:
 
 def emb_duplicate_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT duplicate-embedding census — vectors identical after 6 dp
-    component rounding, grouped by a portable md5 fingerprint — the
+    component flooring, grouped by a portable md5 fingerprint — the
     "same vector stored twice" audit (re-ingested batches, identical
     zero/padding vectors) that runs BEFORE the expensive near-dup
     cosine pass (dedup_embedding_cosine) ever needs to: exact dupes are
     free to find and usually dominate.
 
-    ONE fingerprint shuffle (md5 of the 6dp-rounded component string —
+    ONE fingerprint shuffle (md5 of the 6dp-floored component string —
     the portable-hash discipline, oracle replays it exactly), group
     sizes roll to a bounded size histogram with duplicate-rate shares
     (integer-exact HALF_UP). NULL embeddings carry no fingerprint
     (dropped both engines).
     """
+    # floor() micro-units, not round(): Spark's shortest-repr HALF_UP
+    # and DuckDB's binary round can disagree when a product's shortest
+    # repr reads ".5" (r6 ADVICE) — floor of the identical IEEE product
+    # is boundary-immune, and a fingerprint flip corrupts the WHOLE
+    # group key, not one digit (the emb_triplet_mining idiom).
     fp = (
         "md5(array_join(transform(embedding,"
-        " x -> cast(round(cast(x as double) * 1000000) as string)), ','))"
+        " x -> cast(cast(floor(cast(x as double) * 1000000) as bigint)"
+        " as string)), ','))"
     )
     e = (
         load_table(spark, sf_dir, "embeddings")
@@ -3137,7 +3143,7 @@ def emb_duplicate_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_duplicate_vectors_sql() -> str:
     fp = (
         "md5(array_to_string(list_transform(embedding,"
-        " x -> round(x::DOUBLE * 1000000)::BIGINT::VARCHAR), ','))"
+        " x -> floor(x::DOUBLE * 1000000)::BIGINT::VARCHAR), ','))"
     )
     return f"""
     WITH e AS (

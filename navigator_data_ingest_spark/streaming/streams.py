@@ -1630,7 +1630,15 @@ def stream_unique_users_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complete-mode drain here (the registry contract drains final
     state); the deployment runs append with the same plan. Oracle:
     batch distinct per hour — the two-level stream is exactly batch
-    DISTINCT at the terminal watermark.
+    DISTINCT at the terminal watermark UNDER THE FIXTURE'S DELIVERY
+    SHAPE: the file source drains the parquet input in one micro-batch
+    (no maxFilesPerTrigger), so no (hour_start, user) row can arrive
+    after the 2-hour watermark has passed its hour. With multi-batch
+    out-of-order delivery, dropDuplicates would DROP late rows the
+    batch oracle still counts — if a future change splits the drain
+    into triggers or shuffles the source, widen the watermark to cover
+    the fixture's full time span (or feed batches in event-time order)
+    to keep the equality (r6 ADVICE).
     """
     ev = read_stream_events(spark, sf_dir)
     dedup = (
