@@ -15445,3 +15445,361 @@ def q_sql_null_semantics_sql() -> str:
                AS n_concat_ws_skipped
     FROM orders
     """
+
+
+def q_groupingsets_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 DataFrame ``groupingSets`` API — the PROGRAMMATIC twin of
+    q_grouping_sets' SQL GROUPING SETS surface: the same three
+    hand-picked aggregation levels ((priority, year), (priority), ())
+    declared with ``df.groupingSets([[...],[...],[]], ...)`` and
+    disambiguated by ``F.grouping``; one shuffle computes all three
+    levels' subtotals (the multi-level report a dashboard layer builds
+    without string SQL). Oracle replays via classic GROUPING SETS.
+    """
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").alias("yr"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    return (
+        ords.groupingSets(
+            [["o_orderpriority", "yr"], ["o_orderpriority"], []],
+            "o_orderpriority",
+            "yr",
+        )
+        .agg(
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.grouping("yr").cast("int").alias("g_yr"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+        .select(
+            "o_orderpriority", "yr", "g_prio", "g_yr", "n_orders", "cents"
+        )
+        .orderBy("g_prio", "g_yr", "o_orderpriority", "yr")
+    )
+
+
+def q_groupingsets_api_sql() -> str:
+    return """
+    WITH o AS (
+        SELECT o_orderpriority, year(o_orderdate::DATE) AS yr,
+               floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+        FROM orders
+    )
+    SELECT o_orderpriority, yr,
+           grouping(o_orderpriority)::INT AS g_prio,
+           grouping(yr)::INT AS g_yr,
+           count(*)::BIGINT AS n_orders, sum(cents)::BIGINT AS cents
+    FROM o
+    GROUP BY GROUPING SETS ((o_orderpriority, yr), (o_orderpriority), ())
+    ORDER BY g_prio, g_yr, o_orderpriority, yr
+    """
+
+
+TABLESAMPLE_ROWS = 500
+
+
+def q_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``TABLESAMPLE (n ROWS)`` surface beside q_hash_sample's
+    deterministic hash sampler. A row sample's CONTENT is
+    engine/partition-order specific, so what the oracle certifies are
+    the sampler's INVARIANTS — exact cardinality least(n, |T|), key
+    uniqueness, and containment within the table's global key bounds —
+    properties any correct sampler satisfies on the unique-keyed orders
+    table. The plan stays distributed: the sample short-circuits the
+    scan (LocalLimit pushes to every partition), the bounds come from
+    one 1-row aggregate.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_ts7_orders")
+    return spark.sql(
+        f"""
+        WITH s AS (
+            SELECT o_orderkey FROM v_ts7_orders TABLESAMPLE ({TABLESAMPLE_ROWS} ROWS)
+        ), a AS (
+            SELECT count(*) AS n_sampled,
+                   count(DISTINCT o_orderkey) AS n_keys,
+                   min(o_orderkey) AS s_mn, max(o_orderkey) AS s_mx
+            FROM s
+        ), b AS (
+            SELECT least({TABLESAMPLE_ROWS}, count(*)) AS expect_n,
+                   min(o_orderkey) AS mn, max(o_orderkey) AS mx
+            FROM v_ts7_orders
+        )
+        SELECT n_sampled,
+               n_sampled = expect_n AS exact_row_count,
+               n_keys = n_sampled AS keys_distinct,
+               s_mn >= mn AND s_mx <= mx AS keys_in_bounds
+        FROM a CROSS JOIN b
+        """
+    )
+
+
+def q_tablesample_sql() -> str:
+    return f"""
+    SELECT least({TABLESAMPLE_ROWS}, count(*))::BIGINT AS n_sampled,
+           true AS exact_row_count,
+           true AS keys_distinct,
+           true AS keys_in_bounds
+    FROM orders
+    """
+
+
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``GROUP BY ALL`` / ``ORDER BY ALL`` surface: every
+    non-aggregate select item becomes a grouping key — the
+    keystroke-saving form analysts write first (and the one silent
+    column additions break, which is why it deserves certification).
+    Semantically identical to explicit GROUP BY 1, 2; the oracle replays
+    the classic form.
+    """
+    load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority",
+        "year(o_orderdate) AS yr",
+        "cast(floor(o_totalprice * 100 + 0.5) as bigint) AS cents",
+    ).createOrReplaceTempView("v_gba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, yr,
+               count(*) AS n_orders, sum(cents) AS cents
+        FROM v_gba_orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+def q_sql_group_by_all_sql() -> str:
+    return """
+    SELECT o_orderpriority, year(o_orderdate::DATE) AS yr,
+           count(*)::BIGINT AS n_orders,
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+
+
+def q_sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT * EXCEPT (cols)`` surface — the wide-table projection
+    idiom (drop the status/priority payload, keep everything else) that
+    replaces brittle 40-column lists in ETL SELECTs. The certified
+    property: the column set is exactly schema-minus-excluded, values
+    pass through untouched. Column pruning still reaches the scan —
+    EXCEPT resolves at analysis time, not runtime.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_sxe_orders")
+    return spark.sql(
+        """
+        SELECT * EXCEPT (o_orderstatus, o_orderpriority)
+        FROM v_sxe_orders
+        ORDER BY o_orderkey
+        """
+    )
+
+
+def q_sql_star_except_sql() -> str:
+    return """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_orderkey
+    """
+
+
+def q_orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonality index of daily order revenue: for each
+    calendar month (1-12, pooled across years), the month's
+    revenue-per-active-day relative to the overall revenue-per-active-
+    day — the multiplicative seasonal profile demand planning divides
+    out before trend fitting (stats_seasonal_decompose fits one year's
+    additive curve; this is the pooled multiplicative index).
+
+    ONE shuffle to the DAYS-bounded day grain (exact integer cents),
+    a 12-key month rollup, totals broadcast back; index =
+    (month_cents·total_days)/(month_days·total_cents) is a PURE
+    integer rational — integer-exact HALF_UP. NULL dates have no day
+    (both engines).
+    """
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.expr(
+                "sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))"
+            ).alias("cents")
+        )
+    )
+    m = d.groupBy(F.month("day").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cents").alias("cents"),
+    )
+    tot = F.broadcast(
+        m.agg(
+            F.sum("n_days").alias("t_days"), F.sum("cents").alias("t_cents")
+        )
+    )
+    return (
+        m.crossJoin(tot)
+        .selectExpr(
+            "month",
+            "n_days",
+            "cents",
+            f"{sp_rat6('cast(cents as decimal(38,0)) * t_days', 'cast(n_days as decimal(38,0)) * t_cents')} AS seasonality_index",
+        )
+        .orderBy("month")
+    )
+
+
+def q_orders_seasonality_index_sql() -> str:
+    return f"""
+    WITH d AS (
+        SELECT o_orderdate::DATE AS day,
+               sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ), m AS (
+        SELECT month(day) AS month, count(*)::BIGINT AS n_days,
+               sum(cents)::BIGINT AS cents
+        FROM d GROUP BY 1
+    ), tot AS (
+        SELECT sum(n_days)::BIGINT AS t_days, sum(cents)::BIGINT AS t_cents
+        FROM m
+    )
+    SELECT month, n_days, cents,
+           {dk_rat6('cents::HUGEINT * t_days', 'n_days::HUGEINT * t_cents')}
+               AS seasonality_index
+    FROM m CROSS JOIN tot
+    ORDER BY month
+    """
+
+
+def stats_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: do click and purchase event values straddle
+    the POOLED median identically? The robust location test that only
+    needs counts above/below the grand median — cruder but far more
+    outlier-proof than stats_mann_whitney's rank machinery (the classic
+    triage pair: median test first, rank-sum if it matters).
+
+    ONE pass to integer cents, a 1-row exact doubled-median broadcast
+    (2·median of ints is an exact integer — no float interpolation),
+    map-side straddle classification, a 4-cell aggregate; the 2×2
+    chi-square n(ad−bc)²/(r₁r₂c₁c₂) is a PURE integer rational —
+    integer-exact HALF_UP through decimal-widened products. NULL
+    values are not observations (both engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("value").isNotNull()
+        )
+        .select(
+            (F.col("event_type") == "click").alias("is_a"),
+            F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+        )
+    )
+    med = F.broadcast(
+        ev.agg(
+            F.expr("cast(round(percentile(cents, 0.5) * 2) as bigint)").alias(
+                "med2"
+            )
+        )
+    )
+    cells = ev.crossJoin(med).agg(
+        F.sum((F.col("is_a") & (2 * F.col("cents") > F.col("med2"))).cast("bigint")).alias("a"),
+        F.sum((F.col("is_a") & (2 * F.col("cents") <= F.col("med2"))).cast("bigint")).alias("b"),
+        F.sum((~F.col("is_a") & (2 * F.col("cents") > F.col("med2"))).cast("bigint")).alias("c"),
+        F.sum((~F.col("is_a") & (2 * F.col("cents") <= F.col("med2"))).cast("bigint")).alias("d"),
+        F.max("med2").alias("med2"),
+    )
+    chi_p = (
+        "((a + b + c + d) * (cast(a as decimal(38,0)) * d - cast(b as decimal(38,0)) * c)"
+        " * (cast(a as decimal(38,0)) * d - cast(b as decimal(38,0)) * c))"
+    )
+    chi_q = (
+        "(cast(a + b as decimal(38,0)) * (c + d) * (a + c) * (b + d))"
+    )
+    return cells.selectExpr(
+        "med2 AS median_2x_cents",
+        "a AS click_above",
+        "b AS click_at_below",
+        "c AS purchase_above",
+        "d AS purchase_at_below",
+        f"{sp_rat6(chi_p, chi_q)} AS chi2",
+    )
+
+
+def stats_median_test_sql() -> str:
+    chi_p = (
+        "((a + b + c + d) * (a::HUGEINT * d - b::HUGEINT * c)"
+        " * (a::HUGEINT * d - b::HUGEINT * c))"
+    )
+    chi_q = "((a + b)::HUGEINT * (c + d) * (a + c) * (b + d))"
+    return f"""
+    WITH ev AS (
+        SELECT (event_type = 'click') AS is_a,
+               floor(value * 100 + 0.5)::BIGINT AS cents
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ), med AS (
+        SELECT round(quantile_cont(cents, 0.5) * 2)::BIGINT AS med2 FROM ev
+    ), cells AS (
+        SELECT sum((is_a AND 2 * cents > med2)::INT)::BIGINT AS a,
+               sum((is_a AND 2 * cents <= med2)::INT)::BIGINT AS b,
+               sum((NOT is_a AND 2 * cents > med2)::INT)::BIGINT AS c,
+               sum((NOT is_a AND 2 * cents <= med2)::INT)::BIGINT AS d,
+               max(med2) AS med2
+        FROM ev CROSS JOIN med
+    )
+    SELECT med2 AS median_2x_cents,
+           a AS click_above, b AS click_at_below,
+           c AS purchase_above, d AS purchase_at_below,
+           {dk_rat6(chi_p, chi_q)} AS chi2
+    FROM cells
+    """
+
+
+def stats_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gwet's AC1 inter-rater agreement between the DECLARED language
+    label and the stopword-vote detector, both binarized to en/non-en —
+    the prevalence-robust alternative to Cohen's kappa (kappa collapses
+    under skewed marginals; AC1 is the label-audit metric that stays
+    interpretable when 90% of a corpus is one class).
+
+    Composes the langid pipeline map-side (no extra shuffle beyond its
+    doc-grain pass), one 4-cell aggregate; po, chance agreement
+    pe = (2a+b+c)(2d+b+c)/(2n)², and AC1 = (2n(a+d)−2n²·pe)/(2n²(1−pe))
+    = (2n(a+d)−P)/(2n²−P) with P = (2a+b+c)(2d+b+c)/2 are PURE integer
+    rationals — integer-exact HALF_UP. NULL declared lang is non-en
+    (a label audit scores what the catalog actually says).
+    """
+    from navigator_data_ingest_spark.operators.textstats import text_langid
+
+    lab = text_langid(spark, sf_dir).select(
+        (F.coalesce(F.col("declared_lang"), F.lit("")) == "en").alias("r1"),
+        (F.col("detected_lang") == "en").alias("r2"),
+    )
+    cells = lab.agg(
+        F.sum((F.col("r1") & F.col("r2")).cast("bigint")).alias("a"),
+        F.sum((F.col("r1") & ~F.col("r2")).cast("bigint")).alias("b"),
+        F.sum((~F.col("r1") & F.col("r2")).cast("bigint")).alias("c"),
+        F.sum((~F.col("r1") & ~F.col("r2")).cast("bigint")).alias("d"),
+    )
+    n = "(a + b + c + d)"
+    big_p = (
+        f"((2 * cast(a as decimal(38,0)) + b + c)"
+        f" * (2 * cast(d as decimal(38,0)) + b + c))"
+    )
+    po_p, po_q = "(a + d)", n
+    pe_p, pe_q = big_p, f"(2 * cast({n} as decimal(38,0)) * {n})"
+    ac1_p = f"(2 * cast({n} as decimal(38,0)) * (a + d) - {big_p})"
+    ac1_q = f"(2 * cast({n} as decimal(38,0)) * {n} - {big_p})"
+    return cells.selectExpr(
+        "a AS both_en",
+        "b AS declared_only",
+        "c AS detected_only",
+        "d AS both_non_en",
+        f"{sp_rat6(po_p, po_q)} AS po",
+        f"{sp_rat6(pe_p, pe_q)} AS pe",
+        f"{sp_rat6(ac1_p, ac1_q)} AS ac1",
+    )

@@ -537,3 +537,140 @@ def cdc_snapshot_diff_sql() -> str:
     FROM grid CROSS JOIN tot
     ORDER BY status
     """
+
+
+# deterministic MERGE source rules (distinct moduli from the upsert op)
+MERGE_UPDATE_MOD = 3     # matched keys % 3 == 0 -> price restated
+MERGE_DELETE_MOD = 11    # matched keys % 11 == 0 -> delete wins
+MERGE_INSERT_SHIFT = 10_000_000  # not-matched source keys: key + shift
+MERGE_PRICE_SCALE = 0.9
+
+
+def cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE INTO statement's three-arm semantics (WHEN MATCHED AND
+    <cond> THEN DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED
+    THEN INSERT) applied in ONE key-shuffled pass — the DataFrame
+    ``mergeInto`` surface beside cdc_upsert's version-compaction view.
+    Spark 4 ships the builder API (``df.mergeInto(t, cond)
+    .whenMatched(c).delete() .whenMatched().update(...)
+    .whenNotMatched().insertAll() .merge()``), but executing it needs a
+    DSv2 catalog with row-level-operation support; the stock
+    ``spark_catalog`` parquet tables raise
+    UNSUPPORTED_FEATURE.TABLE_OPERATION (the builder chain and that
+    documented limit are pinned in tests/test_merge_into_api.py). This
+    operator is the engine-portable PLAN Spark itself expands MERGE
+    into: a full-outer key join + per-arm CASE routing — one shuffle,
+    no table-format dependency.
+
+    The source batch derives deterministically from orders so the
+    oracle replays it: matched %3==0 keys restate the price ×0.9,
+    matched %11==0 keys delete (delete arm checked FIRST, as in MERGE),
+    and a disjoint (key + 10^7) slice arrives as inserts.
+    """
+    target = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    src_matched = target.where(
+        (F.col("o_orderkey") % MERGE_UPDATE_MOD == 0)
+        | (F.col("o_orderkey") % MERGE_DELETE_MOD == 0)
+    ).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * MERGE_PRICE_SCALE).alias("new_price"),
+    )
+    src_insert = target.where(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + MERGE_INSERT_SHIFT).alias("o_orderkey"),
+        F.col("o_custkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("o_totalprice").alias("new_price"),
+        F.lit("5-LOW").alias("o_orderpriority"),
+    )
+    source = src_matched.select(
+        "o_orderkey", "new_price",
+        F.lit(None).cast("bigint").alias("src_custkey"),
+        F.lit(None).cast("string").alias("src_status"),
+        F.lit(None).cast("string").alias("src_priority"),
+    ).unionByName(
+        src_insert.select(
+            "o_orderkey", "new_price",
+            F.col("o_custkey").alias("src_custkey"),
+            F.col("o_orderstatus").alias("src_status"),
+            F.col("o_orderpriority").alias("src_priority"),
+        )
+    )
+    j = target.alias("t").join(
+        source.alias("s"), F.expr("t.o_orderkey = s.o_orderkey"), "full_outer"
+    )
+    merged = j.selectExpr(
+        "coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey",
+        "t.o_orderkey IS NOT NULL AS matched",
+        "s.o_orderkey IS NOT NULL AS in_source",
+        "coalesce(t.o_custkey, s.src_custkey) AS o_custkey",
+        "coalesce(t.o_orderstatus, s.src_status) AS o_orderstatus",
+        "coalesce(t.o_orderpriority, s.src_priority) AS o_orderpriority",
+        "t.o_totalprice AS old_price",
+        "s.new_price AS new_price",
+    )
+    # MERGE arm routing, delete arm first (statement order semantics)
+    return (
+        merged.where(
+            ~(
+                F.col("matched")
+                & F.col("in_source")
+                & (F.col("o_orderkey") % MERGE_DELETE_MOD == 0)
+            )
+        )
+        .selectExpr(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            "round(CASE WHEN matched AND in_source THEN new_price"
+            "            WHEN matched THEN old_price"
+            "            ELSE new_price END, 6) AS price",
+            "CASE WHEN matched AND in_source THEN 'U'"
+            "     WHEN matched THEN 'K' ELSE 'I' END AS merge_action",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def cdc_merge_into_sql() -> str:
+    return f"""
+    WITH target AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderpriority
+        FROM orders
+    ), source AS (
+        SELECT o_orderkey, o_totalprice * {MERGE_PRICE_SCALE} AS new_price,
+               NULL::BIGINT AS src_custkey, NULL::VARCHAR AS src_status,
+               NULL::VARCHAR AS src_priority
+        FROM target
+        WHERE o_orderkey % {MERGE_UPDATE_MOD} = 0
+           OR o_orderkey % {MERGE_DELETE_MOD} = 0
+        UNION ALL
+        SELECT o_orderkey + {MERGE_INSERT_SHIFT}, o_totalprice,
+               o_custkey, 'N', '5-LOW'
+        FROM target WHERE o_orderkey % 17 = 0
+    ), j AS (
+        SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+               t.o_orderkey IS NOT NULL AS matched,
+               s.o_orderkey IS NOT NULL AS in_source,
+               coalesce(t.o_custkey, s.src_custkey) AS o_custkey,
+               coalesce(t.o_orderstatus, s.src_status) AS o_orderstatus,
+               coalesce(t.o_orderpriority, s.src_priority) AS o_orderpriority,
+               t.o_totalprice AS old_price,
+               s.new_price AS new_price
+        FROM target t FULL OUTER JOIN source s
+          ON t.o_orderkey = s.o_orderkey
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+           round(CASE WHEN matched AND in_source THEN new_price
+                      WHEN matched THEN old_price
+                      ELSE new_price END, 6) AS price,
+           CASE WHEN matched AND in_source THEN 'U'
+                WHEN matched THEN 'K' ELSE 'I' END AS merge_action
+    FROM j
+    WHERE NOT (matched AND in_source AND o_orderkey % {MERGE_DELETE_MOD} = 0)
+    ORDER BY o_orderkey
+    """

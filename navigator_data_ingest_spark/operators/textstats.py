@@ -2856,3 +2856,204 @@ def text_length_percentiles_sql() -> str:
            max_chars
     FROM agg ORDER BY lang
     """
+
+
+def _source_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, token) occurrence counts — one explode + one shuffle,
+    shared by the vocabulary-richness estimators (chao1 / Good-Turing).
+    NULL source is its own corpus slice (both engines)."""
+    docs = scatter(spark, load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            F.coalesce(F.col("source"), F.lit("<null>")).alias("source"),
+            F.explode(F.expr(X.sp_tokens("text"))).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def stats_chao1_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness estimate per source: observed distinct
+    tokens plus the singleton/doubleton correction f₁(f₁−1)/(2(f₂+1))
+    (bias-corrected form — defined even when no doubletons exist) — the
+    "how much vocabulary haven't we crawled yet" number that decides
+    whether a source is worth more collection budget.
+
+    One explode + ONE (source, token) shuffle, then a per-source rollup
+    of the bounded frequency-of-frequency counts; chao1 is a PURE
+    integer rational — integer-exact HALF_UP (repo round-boundary
+    rule).
+    """
+    vc = _source_token_counts(spark, sf_dir)
+    g = vc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("d_observed"),
+        F.sum("c").alias("n_tokens"),
+        F.sum((F.col("c") == 1).cast("bigint")).alias("f1"),
+        F.sum((F.col("c") == 2).cast("bigint")).alias("f2"),
+    )
+    # chao1 = D + f1(f1−1)/(2(f2+1)) = (2D(f2+1) + f1(f1−1)) / (2(f2+1))
+    p = (
+        "(2 * cast(d_observed as decimal(38,0)) * (f2 + 1)"
+        " + cast(f1 as decimal(38,0)) * (f1 - 1))"
+    )
+    q = "(2 * (cast(f2 as decimal(38,0)) + 1))"
+    return g.selectExpr(
+        "source",
+        "n_tokens",
+        "d_observed",
+        "f1",
+        "f2",
+        f"{sp_rat6(p, q)} AS chao1",
+    ).orderBy("source")
+
+
+def stats_chao1_vocab_sql() -> str:
+    p = "(2 * CAST(d_observed AS HUGEINT) * (f2 + 1) + CAST(f1 AS HUGEINT) * (f1 - 1))"
+    q = "(2 * (CAST(f2 AS HUGEINT) + 1))"
+    return f"""
+    WITH vc AS (
+        SELECT coalesce(source, '<null>') AS source, tok AS token,
+               count(*)::BIGINT AS c
+        FROM (SELECT source, unnest({X.dk_tokens('text')}) AS tok
+              FROM documents)
+        GROUP BY 1, 2
+    ), g AS (
+        SELECT source, count(*)::BIGINT AS d_observed,
+               sum(c)::BIGINT AS n_tokens,
+               sum((c = 1)::INT)::BIGINT AS f1,
+               sum((c = 2)::INT)::BIGINT AS f2
+        FROM vc GROUP BY 1
+    )
+    SELECT source, n_tokens, d_observed, f1, f2,
+           {dk_rat6(p, q)} AS chao1
+    FROM g ORDER BY source
+    """
+
+
+def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing mass estimates per source: the unseen-token
+    probability mass P₀ = f₁/N and the smoothed count for singletons
+    r₁* = 2·f₂/f₁ — the coverage numbers a language model's smoothing
+    layer (and corpus_kn_smoothing's discounts) are built on, reported
+    here as a per-source crawl-coverage audit beside stats_chao1_vocab's
+    richness estimate.
+
+    Same one-shuffle (source, token) collapse; both outputs are PURE
+    integer rationals — integer-exact HALF_UP; f₁ = 0 makes r₁*
+    NULL in both engines (nullif inside the exact builder).
+    """
+    vc = _source_token_counts(spark, sf_dir)
+    g = vc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum((F.col("c") == 1).cast("bigint")).alias("f1"),
+        F.sum((F.col("c") == 2).cast("bigint")).alias("f2"),
+    )
+    return g.selectExpr(
+        "source",
+        "n_tokens",
+        "f1",
+        "f2",
+        f"{sp_rat6('f1', 'n_tokens')} AS p_unseen",
+        f"{sp_rat6('2 * f2', 'f1')} AS r1_star",
+    ).orderBy("source")
+
+
+def text_good_turing_sql() -> str:
+    return f"""
+    WITH vc AS (
+        SELECT coalesce(source, '<null>') AS source, tok AS token,
+               count(*)::BIGINT AS c
+        FROM (SELECT source, unnest({X.dk_tokens('text')}) AS tok
+              FROM documents)
+        GROUP BY 1, 2
+    ), g AS (
+        SELECT source, sum(c)::BIGINT AS n_tokens,
+               sum((c = 1)::INT)::BIGINT AS f1,
+               sum((c = 2)::INT)::BIGINT AS f2
+        FROM vc GROUP BY 1
+    )
+    SELECT source, n_tokens, f1, f2,
+           {dk_rat6('f1', 'n_tokens')} AS p_unseen,
+           {dk_rat6('2 * f2', 'f1')} AS r1_star
+    FROM g ORDER BY source
+    """
+
+
+def text_f1_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision/recall/F1 of the stopword-vote language
+    detector against the declared catalog label — the classifier
+    report card OVER text_lang_confusion's raw confusion matrix (the
+    matrix says where labels land; this scores each language the way a
+    model card would).
+
+    Composes the langid pass (doc-grain, map-side), ONE bounded
+    aggregate of per-language tp/fp/fn conditional sums, stack-unpivoted
+    AFTER the aggregation (the stats_correlation_matrix discipline).
+    All three metrics are PURE integer rationals — integer-exact
+    HALF_UP; a language never detected (or never declared) yields NULL
+    precision (or recall) in both engines. NULL declared lang matches
+    no language (scored against what the catalog says).
+    """
+    langs = LANG_ORDER + ["und"]
+    lab = text_langid(spark, sf_dir).select(
+        F.coalesce(F.col("declared_lang"), F.lit("<none>")).alias("dec"),
+        F.col("detected_lang").alias("det"),
+    )
+    aggs = []
+    for lg in langs:
+        aggs += [
+            F.sum(((F.col("dec") == lg) & (F.col("det") == lg)).cast("bigint")).alias(f"tp_{lg}"),
+            F.sum(((F.col("dec") != lg) & (F.col("det") == lg)).cast("bigint")).alias(f"fp_{lg}"),
+            F.sum(((F.col("dec") == lg) & (F.col("det") != lg)).cast("bigint")).alias(f"fn_{lg}"),
+        ]
+    one = lab.agg(*aggs)
+    stack = ", ".join(
+        f"'{lg}', tp_{lg}, fp_{lg}, fn_{lg}" for lg in langs
+    )
+    tall = one.selectExpr(
+        f"stack({len(langs)}, {stack}) AS (lang, tp, fp, fn)"
+    )
+    return tall.selectExpr(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        f"{sp_rat6('tp', 'tp + fp')} AS precision",
+        f"{sp_rat6('tp', 'tp + fn')} AS recall",
+        f"{sp_rat6('2 * tp', '2 * tp + fp + fn')} AS f1",
+    ).orderBy("lang")
+
+
+def text_f1_langid_sql(langid_oracle: str) -> str:
+    langs = LANG_ORDER + ["und"]
+    cells = ",\n               ".join(
+        f"sum((dec = '{lg}' AND det = '{lg}')::INT)::BIGINT AS tp_{lg},\n"
+        f"               sum((dec <> '{lg}' AND det = '{lg}')::INT)::BIGINT AS fp_{lg},\n"
+        f"               sum((dec = '{lg}' AND det <> '{lg}')::INT)::BIGINT AS fn_{lg}"
+        for lg in langs
+    )
+    arms = "\n        UNION ALL\n".join(
+        f"        SELECT '{lg}' AS lang, tp_{lg} AS tp, fp_{lg} AS fp,"
+        f" fn_{lg} AS fn FROM one"
+        for lg in langs
+    )
+    return f"""
+    WITH lid AS (
+        {langid_oracle}
+    ), lab AS (
+        SELECT coalesce(declared_lang, '<none>') AS dec,
+               detected_lang AS det
+        FROM lid
+    ), one AS (
+        SELECT {cells}
+        FROM lab
+    ), tall AS (
+{arms}
+    )
+    SELECT lang, tp, fp, fn,
+           {dk_rat6('tp', 'tp + fp')} AS precision,
+           {dk_rat6('tp', 'tp + fn')} AS recall,
+           {dk_rat6('2 * tp', '2 * tp + fp + fn')} AS f1
+    FROM tall ORDER BY lang
+    """

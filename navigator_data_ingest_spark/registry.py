@@ -165,6 +165,16 @@ _HEAD_FIRST: tuple[str, ...] = (
 )
 _HEAD_POS = {n: i for i, n in enumerate(_HEAD_FIRST)}
 
+# This round's NEW operators: highest-risk uncertified names after the
+# triage block, so they precede older never-sampled front names in the
+# driver's head-50 window.
+_FRONT_NEW: frozenset[str] = frozenset({
+    "q_groupingsets_api", "q_tablesample", "q_sql_group_by_all",
+    "q_sql_star_except", "q_orders_seasonality_index", "stats_median_test",
+    "stats_gwet_ac1", "stats_chao1_vocab", "text_good_turing",
+    "text_f1_langid", "cdc_merge_into", "stream_foreachbatch_retry",
+})
+
 
 def register(name: str, fn: QueryFn, oracle: str | None, front: bool = False) -> None:
     _REGISTRY[name] = (fn, oracle)
@@ -182,6 +192,8 @@ def _emission_order() -> list[str]:
             return (-1, _HEAD_POS[name])
         if name in _DRIVER_CERTIFIED:
             return (2, 0)
+        if name in _FRONT_NEW:
+            return (0, -1)
         return (0 if name in _FRONT else 1, 0)
 
     return sorted(_REGISTRY, key=rank)  # sorted() is stable
@@ -1336,10 +1348,9 @@ _PICK_CASES = " ".join(
     f"WHEN c_{l} = {_GREATEST} THEN '{l}'" for l in textstats.LANG_ORDER
 )
 
-register(
-    "text_langid",
-    textstats.text_langid,
-    f"""
+# reusable langid oracle body: text_langid registers it directly, and the
+# round-7 classifier-report ops (text_f1_langid, stats_gwet_ac1) wrap it
+_LANGID_ORACLE = f"""
     WITH base AS (
         SELECT doc_id, lang, {_DK_TOKS} AS t FROM documents
     ), counted AS (
@@ -1353,8 +1364,9 @@ register(
                 THEN CASE {_PICK_CASES} END
                 ELSE 'und' END AS detected_lang
     FROM counted ORDER BY doc_id
-    """,
-)
+    """
+
+register("text_langid", textstats.text_langid, _LANGID_ORACLE)
 
 _DK_ALPHA = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
 _DK_C_EN = f"len(list_filter(t, tok -> list_contains({_dk_stop_list('en')}, tok)))"
@@ -6513,5 +6525,120 @@ register(
     "text_length_percentiles",
     textstats.text_length_percentiles,
     textstats.text_length_percentiles_sql(),
+    front=True,
+)
+
+# --------------------------------------------------------------------------
+# round-7 additions: Spark-4 engine surfaces (DataFrame groupingSets,
+# MERGE semantics, TABLESAMPLE, GROUP BY ALL, * EXCEPT, foreachBatch
+# retry) + vocabulary-richness / classifier-report / robust-stats ops
+# --------------------------------------------------------------------------
+
+from navigator_data_ingest_spark.operators import cdc as _cdc7  # noqa: E402
+from navigator_data_ingest_spark.streaming import streams as _streams7  # noqa: E402
+
+register(
+    "q_groupingsets_api",
+    analytics.q_groupingsets_api,
+    analytics.q_groupingsets_api_sql(),
+    front=True,
+)
+
+register(
+    "q_tablesample",
+    analytics.q_tablesample,
+    analytics.q_tablesample_sql(),
+    front=True,
+)
+
+register(
+    "q_sql_group_by_all",
+    analytics.q_sql_group_by_all,
+    analytics.q_sql_group_by_all_sql(),
+    front=True,
+)
+
+register(
+    "q_sql_star_except",
+    analytics.q_sql_star_except,
+    analytics.q_sql_star_except_sql(),
+    front=True,
+)
+
+register(
+    "q_orders_seasonality_index",
+    analytics.q_orders_seasonality_index,
+    analytics.q_orders_seasonality_index_sql(),
+    front=True,
+)
+
+register(
+    "stats_median_test",
+    analytics.stats_median_test,
+    analytics.stats_median_test_sql(),
+    front=True,
+)
+
+register(
+    "stats_gwet_ac1",
+    analytics.stats_gwet_ac1,
+    f"""
+    WITH lid AS (
+        {_LANGID_ORACLE}
+    ), lab AS (
+        SELECT (coalesce(declared_lang, '') = 'en') AS r1,
+               (detected_lang = 'en') AS r2
+        FROM lid
+    ), cells AS (
+        SELECT sum((r1 AND r2)::INT)::BIGINT AS a,
+               sum((r1 AND NOT r2)::INT)::BIGINT AS b,
+               sum((NOT r1 AND r2)::INT)::BIGINT AS c,
+               sum((NOT r1 AND NOT r2)::INT)::BIGINT AS d
+        FROM lab
+    )
+    SELECT a AS both_en, b AS declared_only, c AS detected_only,
+           d AS both_non_en,
+           {_dk_rat6('(a + d)', '(a + b + c + d)')} AS po,
+           {_dk_rat6('((2 * CAST(a AS HUGEINT) + b + c) * (2 * CAST(d AS HUGEINT) + b + c))',
+                     '(2 * CAST(a + b + c + d AS HUGEINT) * (a + b + c + d))')} AS pe,
+           {_dk_rat6('(2 * CAST(a + b + c + d AS HUGEINT) * (a + d) - (2 * CAST(a AS HUGEINT) + b + c) * (2 * CAST(d AS HUGEINT) + b + c))',
+                     '(2 * CAST(a + b + c + d AS HUGEINT) * (a + b + c + d) - (2 * CAST(a AS HUGEINT) + b + c) * (2 * CAST(d AS HUGEINT) + b + c))')} AS ac1
+    FROM cells
+    """,
+    front=True,
+)
+
+register(
+    "stats_chao1_vocab",
+    textstats.stats_chao1_vocab,
+    textstats.stats_chao1_vocab_sql(),
+    front=True,
+)
+
+register(
+    "text_good_turing",
+    textstats.text_good_turing,
+    textstats.text_good_turing_sql(),
+    front=True,
+)
+
+register(
+    "text_f1_langid",
+    textstats.text_f1_langid,
+    textstats.text_f1_langid_sql(_LANGID_ORACLE),
+    front=True,
+)
+
+register(
+    "cdc_merge_into",
+    _cdc7.cdc_merge_into,
+    _cdc7.cdc_merge_into_sql(),
+    front=True,
+)
+
+register(
+    "stream_foreachbatch_retry",
+    _streams7.stream_foreachbatch_retry,
+    _streams7.stream_foreachbatch_retry_sql(),
     front=True,
 )

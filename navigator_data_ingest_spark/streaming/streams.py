@@ -1658,3 +1658,104 @@ def stream_unique_users_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "complete",
     )
     return out.orderBy("window_start")
+
+
+def stream_foreachbatch_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` idempotent-retry certification — the batch-id
+    replay contract: foreachBatch delivers each micro-batch AT LEAST
+    once (a sink failure after a partial write re-runs the SAME batch
+    id), so a correct sink must key its writes by batch id and
+    overwrite, never append. This op drains 3 time-ordered micro-
+    batches into per-batch aggregate files (out/b<id>, mode=overwrite —
+    the idempotent discipline), captures each batch's input alongside,
+    then REPLAYS the middle batch through the same apply function with
+    the same batch id (the post-failure re-delivery), and returns the
+    re-aggregated totals. Because the write is batch-id-keyed
+    overwrite, the replay is a no-op and the result equals the one-shot
+    batch aggregate — the DuckDB oracle. An append-mode sink would
+    double-count the replayed batch and fail the oracle, which is
+    exactly what this certifies against.
+
+    Each per-batch aggregate is fully distributed (map-side partials to
+    a bounded type grid); the driver only sequences batch ids.
+    """
+    feed = _scatter_time_ordered_feed(spark, sf_dir, 3)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "nav_fbretry",
+        f"{hashlib.md5(feed.encode()).hexdigest()[:8]}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    seen_batches: list[int] = []
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        # capture the delivered input (so the test harness can replay
+        # the exact batch), then write the batch aggregate keyed by
+        # batch id with OVERWRITE — the idempotence that makes
+        # at-least-once delivery exactly-once at the sink
+        inp = os.path.join(root, f"in_b{batch_id}")
+        out = os.path.join(root, f"out_b{batch_id}")
+        batch_df.write.mode("overwrite").parquet(inp)
+        sp = batch_df.sparkSession
+        (
+            sp.read.parquet(inp)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+                ).alias("cents"),
+            )
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        seen_batches.append(batch_id)
+
+    ev = read_stream_events(spark, feed, glob="*.parquet", max_files_per_trigger=1)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        query = (
+            ev.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", _checkpoint_dir("fbretry"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        # simulate the at-least-once re-delivery: re-run the MIDDLE
+        # batch through the same apply with the same batch id
+        replay_id = sorted(seen_batches)[len(seen_batches) // 2]
+        # eager checkpoint: the replayed frame must not lazily read the
+        # very capture directory _apply is about to overwrite
+        replay_df = spark.read.parquet(
+            os.path.join(root, f"in_b{replay_id}")
+        ).localCheckpoint(eager=True)
+        _apply(replay_df, replay_id)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    outs = [
+        os.path.join(root, d)
+        for d in sorted(os.listdir(root))
+        if d.startswith("out_b")
+    ]
+    per_batch = spark.read.parquet(*outs)
+    return (
+        per_batch.groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def stream_foreachbatch_retry_sql() -> str:
+    return """
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """

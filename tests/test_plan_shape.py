@@ -168,6 +168,10 @@ _DELIBERATE_NESTED_LOOP = {
     # 1-row totals broadcasts onto bounded grids: deliberate
     "cdc_snapshot_diff",
     "emb_duplicate_vectors",
+    # round-7: 1-row sample-invariant / totals / exact-median broadcasts
+    "q_tablesample",
+    "q_orders_seasonality_index",
+    "stats_median_test",
     # 1-row totals broadcast onto SOURCES/BRANDS/k-row bounded tables:
     # deliberate
     "corpus_upsample_apply",
