@@ -15803,3 +15803,278 @@ def stats_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{sp_rat6(pe_p, pe_q)} AS pe",
         f"{sp_rat6(ac1_p, ac1_q)} AS ac1",
     )
+
+
+def q_sql_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``agg(...) FILTER (WHERE ...)`` clause surface — per-arm
+    conditional aggregation without CASE-wrapping every argument (the
+    form that keeps COUNT semantics honest: FILTER'd count counts rows,
+    CASE'd count counts non-NULL CASE results). One pass over orders:
+    per-priority totals with filtered sub-aggregates (high-value count,
+    1995 revenue, open-status average) — each arm a FILTER clause.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_qaf_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               count(*) FILTER (WHERE o_totalprice > 200000) AS n_high_value,
+               sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))
+                   FILTER (WHERE year(o_orderdate) = 1995) AS cents_1995,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open
+        FROM v_qaf_orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+def q_sql_agg_filter_sql() -> str:
+    return """
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_orders,
+           (count(*) FILTER (WHERE o_totalprice > 200000))::BIGINT
+               AS n_high_value,
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT)
+               FILTER (WHERE year(o_orderdate::DATE) = 1995) AS cents_1995,
+           (count(*) FILTER (WHERE o_orderstatus = 'O'))::BIGINT AS n_open
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+
+
+def q_sql_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TRY_CAST`` surface — the messy-ingest primitive that turns
+    unparseable strings into NULLs instead of job-killing exceptions
+    (q_sql_try_arithmetic certifies TRY arithmetic; this certifies the
+    cast path). The dirty column derives deterministically from order
+    keys so both engines see identical garbage: every 3rd value gets a
+    'N/A' suffix, every 7th a thousands comma — then TRY_CAST back to
+    numeric, with parse-failure census per priority.
+    """
+    load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority",
+        "CASE WHEN o_orderkey % 3 = 0"
+        "     THEN concat(cast(o_totalprice as string), ' N/A')"
+        "     WHEN o_orderkey % 7 = 0"
+        "     THEN concat('1,', cast(o_totalprice as string))"
+        "     ELSE cast(o_totalprice as string) END AS raw_price",
+    ).createOrReplaceTempView("v_qtc_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_rows,
+               count(try_cast(raw_price AS double)) AS n_parsed,
+               sum(cast(try_cast(raw_price AS double) IS NULL AS bigint))
+                   AS n_failed,
+               sum(cast(floor(try_cast(raw_price AS double) * 100 + 0.5)
+                        as bigint)) AS parsed_cents
+        FROM v_qtc_orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+def q_sql_try_cast_sql() -> str:
+    return """
+    WITH dirty AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN o_totalprice::VARCHAR || ' N/A'
+                    WHEN o_orderkey % 7 = 0
+                    THEN '1,' || o_totalprice::VARCHAR
+                    ELSE o_totalprice::VARCHAR END AS raw_price
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_rows,
+           count(try_cast(raw_price AS DOUBLE))::BIGINT AS n_parsed,
+           sum((try_cast(raw_price AS DOUBLE) IS NULL)::INT)::BIGINT
+               AS n_failed,
+           sum(floor(try_cast(raw_price AS DOUBLE) * 100 + 0.5)::BIGINT)::BIGINT
+               AS parsed_cents
+    FROM dirty
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+
+
+def q_events_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-window value-picker surfaces in one per-user pass:
+    ``nth_value(2)`` (second-touch attribution's key primitive),
+    ``first_value``/``last_value`` over the full frame, and
+    ``lead(..., default)`` — the four pickers every journey query
+    combines, certified together against the oracle's identical frame.
+    Deterministic total order inside a user via (ts, event_id); one
+    user-partitioned window, collapsed to user grain (bounded output).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w_full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_fwd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    enriched = ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w_full).alias("first_type"),
+        F.last("event_type").over(w_full).alias("last_type"),
+        F.nth_value("event_type", 2).over(w_full).alias("second_type"),
+        F.lead("event_type", 1, "END").over(w_fwd).alias("next_type"),
+        F.row_number().over(w_fwd).alias("rn"),
+    )
+    return (
+        enriched.where(F.col("rn") == 1)
+        .select(
+            "user_id", "first_type", "second_type", "last_type",
+            F.col("next_type").alias("second_or_end"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_events_nth_value_sql() -> str:
+    return """
+    WITH enr AS (
+        SELECT user_id, event_id,
+               first_value(event_type) OVER w_full AS first_type,
+               last_value(event_type) OVER w_full AS last_type,
+               nth_value(event_type, 2) OVER w_full AS second_type,
+               lead(event_type, 1, 'END') OVER w_fwd AS next_type,
+               row_number() OVER w_fwd AS rn
+        FROM events
+        WHERE user_id IS NOT NULL
+        WINDOW w_full AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING),
+               w_fwd AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, first_type, second_type, last_type,
+           next_type AS second_or_end
+    FROM enr WHERE rn = 1
+    ORDER BY user_id
+    """
+
+
+def stats_mcc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient for the en/non-en language
+    detector — the single-number classifier score that stays honest
+    under class imbalance (accuracy and F1 both inflate when 90% of the
+    corpus is one class; MCC doesn't). Shares stats_gwet_ac1's 4-cell
+    confusion aggregate; MCC² = (ad−bc)²/((a+b)(a+c)(d+b)(d+c)) is a
+    PURE integer rational emitted integer-exact HALF_UP alongside the
+    RAW signed MCC (sqrt over bit-identical integer operands —
+    functions/exact.py raw-emission policy). Accuracy is integer-exact.
+    """
+    from navigator_data_ingest_spark.operators.textstats import text_langid
+
+    lab = text_langid(spark, sf_dir).select(
+        (F.coalesce(F.col("declared_lang"), F.lit("")) == "en").alias("r1"),
+        (F.col("detected_lang") == "en").alias("r2"),
+    )
+    cells = lab.agg(
+        F.sum((F.col("r1") & F.col("r2")).cast("bigint")).alias("a"),
+        F.sum((F.col("r1") & ~F.col("r2")).cast("bigint")).alias("b"),
+        F.sum((~F.col("r1") & F.col("r2")).cast("bigint")).alias("c"),
+        F.sum((~F.col("r1") & ~F.col("r2")).cast("bigint")).alias("d"),
+    )
+    num = "(cast(a as decimal(38,0)) * d - cast(b as decimal(38,0)) * c)"
+    den = (
+        "(cast(a + b as decimal(38,0)) * (a + c) * (d + b) * (d + c))"
+    )
+    mcc_raw = (
+        f"(cast({num} as double) / sqrt(cast({den} as double)))"
+    )
+    return cells.selectExpr(
+        "a AS tp",
+        "b AS fn",
+        "c AS fp",
+        "d AS tn",
+        f"{sp_rat6('(a + d)', '(a + b + c + d)')} AS accuracy",
+        f"{sp_rat6(f'{num} * {num}', den)} AS mcc_squared",
+        f"{mcc_raw} AS mcc",
+    )
+
+
+def stats_mcc_langid_sql(langid_oracle: str) -> str:
+    num = "(CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)"
+    den = "(CAST(a + b AS HUGEINT) * (a + c) * (d + b) * (d + c))"
+    mcc_raw = f"(({num})::DOUBLE / sqrt(({den})::DOUBLE))"
+    return f"""
+    WITH lid AS (
+        {langid_oracle}
+    ), lab AS (
+        SELECT (coalesce(declared_lang, '') = 'en') AS r1,
+               (detected_lang = 'en') AS r2
+        FROM lid
+    ), cells AS (
+        SELECT sum((r1 AND r2)::INT)::BIGINT AS a,
+               sum((r1 AND NOT r2)::INT)::BIGINT AS b,
+               sum((NOT r1 AND r2)::INT)::BIGINT AS c,
+               sum((NOT r1 AND NOT r2)::INT)::BIGINT AS d
+        FROM lab
+    )
+    SELECT a AS tp, b AS fn, c AS fp, d AS tn,
+           {dk_rat6('(a + d)', '(a + b + c + d)')} AS accuracy,
+           {dk_rat6(f'{num} * {num}', den)} AS mcc_squared,
+           {mcc_raw} AS mcc
+    FROM cells
+    """
+
+
+def stats_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact MODE per market segment (most frequent order
+    priority; ties break to the lexically smallest) — the categorical
+    central tendency engines disagree on by default (both Spark's and
+    DuckDB's mode() return an ARBITRARY tie member), certified here via
+    the count-desc/value-asc rank window both engines replay
+    identically. One fact shuffle to the bounded (segment, priority)
+    grid; the rank runs on that grid. NULL priority is a votable
+    category; NULL segment is its own group.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    grid = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("n"), F.asc_nulls_last("o_orderpriority")
+    )
+    return (
+        grid.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("segment")
+    )
+
+
+def stats_mode_exact_sql() -> str:
+    return """
+    WITH grid AS (
+        SELECT c_mktsegment, o_orderpriority, count(*)::BIGINT AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY n DESC, o_orderpriority ASC NULLS LAST) AS rk
+        FROM grid
+    )
+    SELECT c_mktsegment AS segment, o_orderpriority AS mode_priority,
+           n AS mode_count
+    FROM ranked WHERE rk = 1
+    ORDER BY segment
+    """

@@ -173,6 +173,8 @@ _FRONT_NEW: frozenset[str] = frozenset({
     "q_sql_star_except", "q_orders_seasonality_index", "stats_median_test",
     "stats_gwet_ac1", "stats_chao1_vocab", "text_good_turing",
     "text_f1_langid", "cdc_merge_into", "stream_foreachbatch_retry",
+    "q_sql_agg_filter", "q_sql_try_cast", "q_events_nth_value",
+    "stats_mcc_langid", "stats_mode_exact",
 })
 
 
@@ -6640,5 +6642,40 @@ register(
     "stream_foreachbatch_retry",
     _streams7.stream_foreachbatch_retry,
     _streams7.stream_foreachbatch_retry_sql(),
+    front=True,
+)
+
+register(
+    "q_sql_agg_filter",
+    analytics.q_sql_agg_filter,
+    analytics.q_sql_agg_filter_sql(),
+    front=True,
+)
+
+register(
+    "q_sql_try_cast",
+    analytics.q_sql_try_cast,
+    analytics.q_sql_try_cast_sql(),
+    front=True,
+)
+
+register(
+    "q_events_nth_value",
+    analytics.q_events_nth_value,
+    analytics.q_events_nth_value_sql(),
+    front=True,
+)
+
+register(
+    "stats_mcc_langid",
+    analytics.stats_mcc_langid,
+    analytics.stats_mcc_langid_sql(_LANGID_ORACLE),
+    front=True,
+)
+
+register(
+    "stats_mode_exact",
+    analytics.stats_mode_exact,
+    analytics.stats_mode_exact_sql(),
     front=True,
 )
