@@ -16078,3 +16078,178 @@ def stats_mode_exact_sql() -> str:
     FROM ranked WHERE rk = 1
     ORDER BY segment
     """
+
+
+# SPRT design constants: H0/H1 conversion rates and alpha/beta error
+# targets. The log-likelihood increments and decision thresholds are
+# PRECOMPUTED PYTHON LITERALS shared verbatim by both engines (the
+# stats_benford_second discipline) — computing ln() in-engine would
+# re-expose JVM-vs-libm last-ulp differences in the crossing decision.
+import math as _math
+
+SPRT_P0 = 0.15
+SPRT_P1 = 0.20
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.20
+# CAST AS DOUBLE: a bare decimal literal would parse as DECIMAL in both
+# engines and their decimal arithmetics differ; the cast pins the shared
+# IEEE double both sides.
+SPRT_L1 = f"cast({_math.log(SPRT_P1 / SPRT_P0)!r} as double)"
+SPRT_L2 = f"cast({_math.log((1 - SPRT_P1) / (1 - SPRT_P0))!r} as double)"
+SPRT_UPPER = f"cast({_math.log((1 - SPRT_BETA) / SPRT_ALPHA)!r} as double)"
+SPRT_LOWER = f"cast({_math.log(SPRT_BETA / (1 - SPRT_ALPHA))!r} as double)"
+
+
+def stats_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test on the purchase-conversion
+    stream: the Wald SPRT an always-on experimentation platform runs
+    INSTEAD of a fixed-horizon z-test — after each day, cumulative
+    LLR = x·ln(p₁/p₀) + (n−x)·ln((1−p₁)/(1−p₀)); cross the upper bound
+    → accept H₁ (rate ≥ 20%), lower → accept H₀ (rate ≈ 15%), else
+    keep sampling. Reports the final state and the FIRST crossing day.
+
+    One shuffle to the DAYS-bounded (day, n, x) grid, running sums on
+    the day window, crossing day via min-day filters. The ln increments
+    and Wald thresholds are shared Python literals, so every LLR is
+    exact-integer × identical-literal arithmetic — bit-identical
+    doubles both engines, emitted RAW (functions/exact.py policy).
+    NULL ts rows have no day (both engines).
+    """
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("x"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    llr = f"(xc * {SPRT_L1} + (nc - xc) * {SPRT_L2})"
+    run = d.withColumn("nc", F.sum("n").over(w)).withColumn(
+        "xc", F.sum("x").over(w)
+    )
+    agg = run.selectExpr(
+        "day",
+        "nc",
+        "xc",
+        f"{llr} AS llr",
+    ).agg(
+        F.max("nc").alias("n_total"),
+        F.max("xc").alias("x_total"),
+        F.expr("max_by(llr, day)").alias("final_llr"),
+        F.min(
+            F.when(F.expr(f"llr >= {SPRT_UPPER}"), F.col("day"))
+        ).alias("first_upper_day"),
+        F.min(
+            F.when(F.expr(f"llr <= {SPRT_LOWER}"), F.col("day"))
+        ).alias("first_lower_day"),
+    )
+    return agg.selectExpr(
+        "n_total",
+        "x_total",
+        "final_llr",
+        "first_upper_day",
+        "first_lower_day",
+        f"CASE WHEN first_upper_day IS NOT NULL"
+        f"      AND (first_lower_day IS NULL"
+        f"           OR first_upper_day <= first_lower_day) THEN 'accept_h1'"
+        f"     WHEN first_lower_day IS NOT NULL THEN 'accept_h0'"
+        f"     ELSE 'continue' END AS decision",
+    )
+
+
+def stats_sprt_ab_sql() -> str:
+    llr = f"(xc * {SPRT_L1} + (nc - xc) * {SPRT_L2})"
+    return f"""
+    WITH d AS (
+        SELECT ts::DATE AS day, count(*)::BIGINT AS n,
+               sum((event_type = 'purchase')::INT)::BIGINT AS x
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ), run AS (
+        SELECT day,
+               sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS nc,
+               sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS xc
+        FROM d
+    ), scored AS (
+        SELECT day, nc, xc, {llr} AS llr FROM run
+    ), agg AS (
+        SELECT max(nc)::BIGINT AS n_total, max(xc)::BIGINT AS x_total,
+               max_by(llr, day) AS final_llr,
+               min(CASE WHEN llr >= {SPRT_UPPER} THEN day END)
+                   AS first_upper_day,
+               min(CASE WHEN llr <= {SPRT_LOWER} THEN day END)
+                   AS first_lower_day
+        FROM scored
+    )
+    SELECT n_total, x_total, final_llr, first_upper_day, first_lower_day,
+           CASE WHEN first_upper_day IS NOT NULL
+                 AND (first_lower_day IS NULL
+                      OR first_upper_day <= first_lower_day) THEN 'accept_h1'
+                WHEN first_lower_day IS NOT NULL THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM agg
+    """
+
+
+def q_sql_exists_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery surfaces in one certification: EXISTS,
+    NOT EXISTS, IN, NOT IN — including the classic NOT-IN-with-NULL
+    trap (one NULL in the subquery list makes NOT IN three-valued-NULL
+    for every probe, so the arm returns ZERO rows; both engines
+    implement the standard, and pipelines that "migrate" NOT IN to
+    anti-join silently change it). Catalyst plans the first four as
+    semi/anti joins — the certification is that the SQL surface
+    reaches those plans with standard semantics intact.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_qei_cust")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_qei_orders")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT count(*) FROM v_qei_cust c
+            WHERE EXISTS (SELECT 1 FROM v_qei_orders o
+                           WHERE o.o_custkey = c.c_custkey)) AS n_exists,
+          (SELECT count(*) FROM v_qei_cust c
+            WHERE NOT EXISTS (SELECT 1 FROM v_qei_orders o
+                               WHERE o.o_custkey = c.c_custkey)) AS n_not_exists,
+          (SELECT count(*) FROM v_qei_cust
+            WHERE c_custkey IN (SELECT o_custkey FROM v_qei_orders)) AS n_in,
+          (SELECT count(*) FROM v_qei_cust
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM v_qei_orders
+                WHERE o_custkey IS NOT NULL)) AS n_not_in,
+          (SELECT count(*) FROM v_qei_cust
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM v_qei_orders
+               UNION ALL SELECT NULL)) AS n_not_in_null_trap
+        """
+    )
+
+
+def q_sql_exists_in_sql() -> str:
+    return """
+    SELECT
+      (SELECT count(*) FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey))::BIGINT AS n_exists,
+      (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey))::BIGINT
+          AS n_not_exists,
+      (SELECT count(*) FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders))::BIGINT AS n_in,
+      (SELECT count(*) FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders
+            WHERE o_custkey IS NOT NULL))::BIGINT AS n_not_in,
+      (SELECT count(*) FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders
+           UNION ALL SELECT NULL))::BIGINT AS n_not_in_null_trap
+    """

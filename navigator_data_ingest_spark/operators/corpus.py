@@ -3644,3 +3644,103 @@ def corpus_preference_pairs_sql() -> str:
     FROM agg WHERE n_docs >= 2
     ORDER BY source
     """
+
+
+CURRICULUM_PHASES = 4
+
+
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-phase assignment census: documents ordered by a
+    difficulty proxy (whitespace token count) and cut into
+    CURRICULUM_PHASES quartile phases — the "easy-first" schedule a
+    curriculum-training run feeds the dataloader, reported as phase
+    sizes, token budgets and difficulty boundaries (phase 1 = shortest
+    quartile). The assignment must be deterministic and re-derivable at
+    any scale, so the cuts are EXACT percentiles from one 1-row
+    broadcast (the q_ntile_spend idiom — never a global ntile over the
+    corpus) and ties go to the earlier phase in both engines.
+
+    One map-side difficulty pass + 1-row cut broadcast + a
+    PHASES-bounded rollup; token shares integer-exact HALF_UP.
+    """
+    docs = scatter(spark, load_table(spark, sf_dir, "documents")).select(
+        F.expr("size(regexp_extract_all(text, '\\\\S+', 0))")
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    cuts = F.broadcast(
+        docs.agg(
+            *[
+                F.expr(
+                    f"cast(round(percentile(n_tokens, {q / CURRICULUM_PHASES})"
+                    f" * 4) as bigint)"
+                ).alias(f"c{q}4")
+                for q in range(1, CURRICULUM_PHASES)
+            ]
+        )
+    )
+    phase = F.lit(1)
+    for q in range(1, CURRICULUM_PHASES):
+        # quartiles interpolate on the 1/4 lattice: 4*cut is an exact
+        # integer, so the phase compare is pure integer arithmetic
+        phase = F.when(4 * F.col("n_tokens") > F.col(f"c{q}4"), q + 1).otherwise(
+            phase
+        )
+    g = (
+        docs.crossJoin(cuts)
+        .withColumn("phase", phase.cast("int"))
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+    tot = F.broadcast(g.agg(F.sum("n_tokens").alias("t_tok")))
+    return (
+        g.crossJoin(tot)
+        .selectExpr(
+            "phase",
+            "n_docs",
+            "n_tokens",
+            "min_tokens",
+            "max_tokens",
+            f"{sp_rat6('n_tokens', 't_tok')} AS token_share",
+        )
+        .orderBy("phase")
+    )
+
+
+def corpus_curriculum_order_sql() -> str:
+    qs = ", ".join(
+        f"round(quantile_cont(n_tokens, {q / CURRICULUM_PHASES}) * 4)::BIGINT"
+        f" AS c{q}4"
+        for q in range(1, CURRICULUM_PHASES)
+    )
+    case = "CASE "
+    for q in range(CURRICULUM_PHASES - 1, 0, -1):
+        case += f"WHEN 4 * n_tokens > c{q}4 THEN {q + 1} "
+    case += "ELSE 1 END"
+    return f"""
+    WITH d AS (
+        SELECT len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens
+        FROM documents
+    ), cuts AS (
+        SELECT {qs} FROM d
+    ), g AS (
+        SELECT {case} AS phase,
+               count(*)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS n_tokens,
+               min(n_tokens)::BIGINT AS min_tokens,
+               max(n_tokens)::BIGINT AS max_tokens
+        FROM d CROSS JOIN cuts
+        GROUP BY 1
+    ), tot AS (
+        SELECT sum(n_tokens)::BIGINT AS t_tok FROM g
+    )
+    SELECT phase, n_docs, n_tokens, min_tokens, max_tokens,
+           {dk_rat6('n_tokens', 't_tok')} AS token_share
+    FROM g CROSS JOIN tot
+    ORDER BY phase
+    """

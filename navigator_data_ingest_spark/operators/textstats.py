@@ -3057,3 +3057,95 @@ def text_f1_langid_sql(langid_oracle: str) -> str:
            {dk_rat6('2 * tp', '2 * tp + fp + fn')} AS f1
     FROM tall ORDER BY lang
     """
+
+
+# OCR-artifact heuristics: hyphen-broken words ("exam- ple"), isolated
+# single letters, and long non-alphanumeric runs — the three cheapest
+# high-precision signals of scanned-PDF garbage.
+OCR_HYPHEN_RE = r"[a-z]- [a-z]"
+OCR_LONGRUN_RE = r"[^A-Za-z0-9\\s]{4,}"
+OCR_MAX_ARTIFACTS_PER_100 = 3  # keep threshold: < 3 artifacts / 100 tokens
+
+
+def text_ocr_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR-artifact screen: per-source rates of the three cheap
+    high-precision scan-garbage signals — mid-word hyphen breaks
+    ("exam- ple"), isolated single-letter tokens, and ≥4-char
+    non-alphanumeric runs — plus the keep verdict at an
+    artifacts-per-100-tokens threshold. The pre-filter every
+    scanned-PDF ingest (the reference's converted-document path) runs
+    before spending tokenizer budget on mojibake.
+
+    Pure map-side regexp counts inside whole-stage codegen, ONE bounded
+    per-source aggregation; the artifact rate is a PURE integer
+    rational — integer-exact HALF_UP. NULL text scores zero artifacts
+    over zero tokens (NULL rate, kept out of the flagged count in both
+    engines).
+    """
+    docs = scatter(spark, load_table(spark, sf_dir, "documents"))
+    d = docs.select(
+        F.coalesce(F.col("source"), F.lit("<null>")).alias("source"),
+        F.expr(f"size(regexp_extract_all(text, '{OCR_HYPHEN_RE}', 0))").alias(
+            "n_hyphen"
+        ),
+        F.expr(
+            "size(regexp_extract_all(text, '(^| )[b-hj-z]( |$)', 0))"
+        ).alias("n_single"),
+        F.expr(
+            f"size(regexp_extract_all(text, '{OCR_LONGRUN_RE}', 0))"
+        ).alias("n_runs"),
+        F.expr("size(regexp_extract_all(text, '\\\\S+', 0))").alias("n_tokens"),
+    )
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_hyphen").alias("n_hyphen_breaks"),
+        F.sum("n_single").alias("n_single_letters"),
+        F.sum("n_runs").alias("n_symbol_runs"),
+        F.sum(
+            (
+                (F.col("n_hyphen") + F.col("n_single") + F.col("n_runs"))
+                * 100
+                > F.col("n_tokens") * OCR_MAX_ARTIFACTS_PER_100
+            ).cast("bigint")
+        ).alias("n_flagged"),
+    )
+    art = "(n_hyphen_breaks + n_single_letters + n_symbol_runs)"
+    return g.selectExpr(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_hyphen_breaks",
+        "n_single_letters",
+        "n_symbol_runs",
+        "n_flagged",
+        f"{sp_rat6(f'100 * {art}', 'n_tokens')} AS artifacts_per_100_tokens",
+    ).orderBy("source")
+
+
+def text_ocr_artifacts_sql() -> str:
+    art = "(n_hyphen_breaks + n_single_letters + n_symbol_runs)"
+    return f"""
+    WITH d AS (
+        SELECT coalesce(source, '<null>') AS source,
+               len(regexp_extract_all(text, '{OCR_HYPHEN_RE}')) AS n_hyphen,
+               len(regexp_extract_all(text, '(^| )[b-hj-z]( |$)')) AS n_single,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]{{4,}}')) AS n_runs,
+               len(regexp_extract_all(text, '\\S+')) AS n_tokens
+        FROM documents
+    ), g AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS n_tokens,
+               sum(n_hyphen)::BIGINT AS n_hyphen_breaks,
+               sum(n_single)::BIGINT AS n_single_letters,
+               sum(n_runs)::BIGINT AS n_symbol_runs,
+               sum(((n_hyphen + n_single + n_runs) * 100
+                    > n_tokens * {OCR_MAX_ARTIFACTS_PER_100})::INT)::BIGINT
+                   AS n_flagged
+        FROM d GROUP BY 1
+    )
+    SELECT source, n_docs, n_tokens, n_hyphen_breaks, n_single_letters,
+           n_symbol_runs, n_flagged,
+           {dk_rat6(f'100 * {art}', 'n_tokens')} AS artifacts_per_100_tokens
+    FROM g ORDER BY source
+    """

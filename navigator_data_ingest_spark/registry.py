@@ -174,7 +174,8 @@ _FRONT_NEW: frozenset[str] = frozenset({
     "stats_gwet_ac1", "stats_chao1_vocab", "text_good_turing",
     "text_f1_langid", "cdc_merge_into", "stream_foreachbatch_retry",
     "q_sql_agg_filter", "q_sql_try_cast", "q_events_nth_value",
-    "stats_mcc_langid", "stats_mode_exact",
+    "stats_mcc_langid", "stats_mode_exact", "text_ocr_artifacts",
+    "stats_sprt_ab", "q_sql_exists_in", "corpus_curriculum_order",
 })
 
 
@@ -6677,5 +6678,35 @@ register(
     "stats_mode_exact",
     analytics.stats_mode_exact,
     analytics.stats_mode_exact_sql(),
+    front=True,
+)
+
+register(
+    "text_ocr_artifacts",
+    textstats.text_ocr_artifacts,
+    textstats.text_ocr_artifacts_sql(),
+    front=True,
+)
+
+register(
+    "stats_sprt_ab",
+    analytics.stats_sprt_ab,
+    analytics.stats_sprt_ab_sql(),
+    front=True,
+)
+
+register(
+    "q_sql_exists_in",
+    analytics.q_sql_exists_in,
+    analytics.q_sql_exists_in_sql(),
+    front=True,
+)
+
+from navigator_data_ingest_spark.operators import corpus as _corpus7  # noqa: E402
+
+register(
+    "corpus_curriculum_order",
+    _corpus7.corpus_curriculum_order,
+    _corpus7.corpus_curriculum_order_sql(),
     front=True,
 )

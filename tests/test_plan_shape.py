@@ -172,6 +172,9 @@ _DELIBERATE_NESTED_LOOP = {
     "q_tablesample",
     "q_orders_seasonality_index",
     "stats_median_test",
+    # round-7: 1-row quartile-cut + token-total broadcasts (the
+    # q_ntile_spend idiom)
+    "corpus_curriculum_order",
     # 1-row totals broadcast onto SOURCES/BRANDS/k-row bounded tables:
     # deliberate
     "corpus_upsample_apply",
@@ -357,7 +360,7 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "sample_cap_per_source", "corpus_sample_exact_k", "mm_aspect_buckets",
     "q_orders_skyline", "stats_wilcoxon_signed_rank",
     # day/period calendar grain (bounded by the time dimension)
-    "stats_page_hinkley", "q_orders_trailing_range",
+    "stats_page_hinkley", "q_orders_trailing_range", "stats_sprt_ab",
     # DAYS-bounded lifetime table (at-risk prefix + running hazard)
     "stats_nelson_aalen",
     # DAYS-bounded lag-7 forecast window
