@@ -3656,9 +3656,10 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     curriculum-training run feeds the dataloader, reported as phase
     sizes, token budgets and difficulty boundaries (phase 1 = shortest
     quartile). The assignment must be deterministic and re-derivable at
-    any scale, so the cuts are EXACT percentiles from one 1-row
-    broadcast (the q_ntile_spend idiom — never a global ntile over the
-    corpus) and ties go to the earlier phase in both engines.
+    any scale, so the cuts are EXACT quartiles from the BOUNDED
+    distinct-length histogram (cumulative-count rank lookup + the ×4
+    lattice interpolation — never percentile() over raw corpus rows,
+    never a global ntile) and ties go to the earlier phase in both engines.
 
     One map-side difficulty pass + 1-row cut broadcast + a
     PHASES-bounded rollup; token shares integer-exact HALF_UP.
@@ -3667,14 +3668,46 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("size(regexp_extract_all(text, '\\\\S+', 0))")
         .cast("bigint")
         .alias("n_tokens")
+    ).where(
+        # NULL text has no difficulty — excluded from the curriculum in
+        # BOTH engines (a NULL group would shift histogram ranks vs the
+        # NULL-skipping quantile identity)
+        F.col("n_tokens").isNotNull()
     )
+    # exact quartile cuts WITHOUT percentile() over the raw corpus (its
+    # aggregation buffer grows with row count — a 100 TB hazard): the
+    # distinct-length histogram is bounded by max document length, and
+    # quantile_cont's linear interpolation at quartiles lives on the ×4
+    # integer lattice — cut4 = 4·v_lo + rem·(v_hi − v_lo) with
+    # pos4 = (n−1)·q, idx = pos4 div 4, rem = pos4 mod 4, v_rank from
+    # cumulative counts on the bounded table. Identical to
+    # round(quantile_cont·4) by construction.
+    vc = docs.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("n_tokens").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    vc = vc.withColumn("below", F.coalesce(F.sum("c").over(w_cum), F.lit(0)))
+    nrow = vc.agg(F.sum("c").alias("n"))
+    j = vc.crossJoin(F.broadcast(nrow))
+    rank_aggs = []
+    for q in range(1, CURRICULUM_PHASES):
+        rank_aggs += [
+            F.expr(
+                f"min(CASE WHEN (n - 1) * {q} div 4 >= below"
+                f" AND (n - 1) * {q} div 4 < below + c"
+                f" THEN n_tokens END)"
+            ).alias(f"vlo{q}"),
+            F.expr(
+                f"min(CASE WHEN (n - 1) * {q} div 4 + 1 >= below"
+                f" AND (n - 1) * {q} div 4 + 1 < below + c"
+                f" THEN n_tokens END)"
+            ).alias(f"vhi{q}"),
+        ]
     cuts = F.broadcast(
-        docs.agg(
+        j.agg(F.max("n").alias("n"), *rank_aggs).selectExpr(
             *[
-                F.expr(
-                    f"cast(round(percentile(n_tokens, {q / CURRICULUM_PHASES})"
-                    f" * 4) as bigint)"
-                ).alias(f"c{q}4")
+                f"(4 * vlo{q} + ((n - 1) * {q} % 4)"
+                f" * (coalesce(vhi{q}, vlo{q}) - vlo{q})) AS c{q}4"
                 for q in range(1, CURRICULUM_PHASES)
             ]
         )
@@ -3726,6 +3759,7 @@ def corpus_curriculum_order_sql() -> str:
     WITH d AS (
         SELECT len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens
         FROM documents
+        WHERE text IS NOT NULL
     ), cuts AS (
         SELECT {qs} FROM d
     ), g AS (
