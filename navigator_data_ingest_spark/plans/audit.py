@@ -64,7 +64,7 @@ def broadcast_join_count(df: DataFrame) -> int:
 
 
 _WINDOW_ARGS = re.compile(
-    r"^\(\d+\) Window(?:GroupLimit)?\s*$(?:\n(?!\(\d+\)).*?)*?"
+    r"^\(\d+\) Window(GroupLimit)?\s*$(?:\n(?!\(\d+\)).*?)*?"
     r"^Arguments: (.*)$",
     re.MULTILINE,
 )
@@ -85,7 +85,15 @@ def unpartitioned_window_count(df: DataFrame) -> int:
     """
     n = 0
     for m in _WINDOW_ARGS.finditer(formatted_plan(df)):
-        groups = re.split(r"\], \[", m.group(1).strip())
+        groups = re.split(r"\], \[", m.group(2).strip())
+        if m.group(1):
+            # WindowGroupLimit (the rank<=k pushdown Spark inserts above
+            # a partitioned rank filter): Arguments are
+            # ``[partition], [order], func, k, mode`` — it is global iff
+            # the FIRST group is the order spec (carries ASC/DESC).
+            if groups and re.search(r"\b(ASC|DESC)\b", groups[0]):
+                n += 1
+            continue
         if len(groups) < 2:
             n += 1  # no partition, no order
         elif len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[1]):

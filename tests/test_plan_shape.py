@@ -361,6 +361,10 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "q_orders_skyline", "stats_wilcoxon_signed_rank",
     # day/period calendar grain (bounded by the time dimension)
     "stats_page_hinkley", "q_orders_trailing_range", "stats_sprt_ab",
+    # cumulative counts over the distinct-DOC-LENGTH histogram (bounded
+    # by max document length; appears twice — the subtree feeds both
+    # the rank lookup and the 1-row total)
+    "corpus_curriculum_order",
     # DAYS-bounded lifetime table (at-risk prefix + running hazard)
     "stats_nelson_aalen",
     # DAYS-bounded lag-7 forecast window
