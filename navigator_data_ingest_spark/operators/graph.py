@@ -1129,32 +1129,26 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 9.5-11.5 s -> 7.9 s at sf0.1 vs checkpointed rounds (the
     # checkpoint discipline pays off only for the iterative/pagerank
     # shapes whose plans would otherwise grow per iteration)
-    # min-hop BFS (round-7 rewrite): expand candidates with PURE
-    # equijoins — distinct per round to cap the frontier at
-    # (seed × nodes) — and resolve true distances with ONE
-    # (seed, node) → min(hop) aggregate at the end, instead of a
-    # distinct + anti-join + union per round. A node's first
-    # appearance hop IS its distance, so min over candidate path
-    # lengths equals the visited-set BFS; the anti-join version's
-    # 3 extra shuffles measured 8.4 s → the min-hop plan wins (see
-    # SURVEY round-7 perf notes).
-    layers = [dist]
     for h in range(1, HARMONIC_HOPS + 1):
-        frontier = (
+        nbr = (
             frontier.join(und, frontier.node == und.src)
             .select("seed", F.col("dst").alias("node"))
             .distinct()
-            .withColumn("hop", F.lit(h))
         )
-        layers.append(frontier)
-        frontier = frontier.select("seed", "node")
-    allc = layers[0]
-    for lay in layers[1:]:
-        allc = allc.unionAll(lay)
+        new = (
+            nbr.join(
+                dist.select(
+                    F.col("seed").alias("_s"), F.col("node").alias("_v")
+                ),
+                (nbr.seed == F.col("_s")) & (nbr.node == F.col("_v")),
+                "left_anti",
+            )
+            .select("seed", "node", F.lit(h).alias("hop"))
+        )
+        dist = dist.unionAll(new)
+        frontier = new
     grid = (
-        allc.groupBy("seed", "node")
-        .agg(F.min("hop").alias("hop"))
-        .where(F.col("hop") > 0)
+        dist.where(F.col("hop") > 0)
         .groupBy("seed")
         .agg(
             F.sum((F.col("hop") == 1).cast("bigint")).alias("n1"),
