@@ -16253,3 +16253,94 @@ def q_sql_exists_in_sql() -> str:
           (SELECT o_custkey FROM orders
            UNION ALL SELECT NULL))::BIGINT AS n_not_in_null_trap
     """
+
+
+def q_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``PIVOT`` clause surface — the statement form of
+    q_orders_pivot's DataFrame pivot (a warehouse migration carries the
+    SQL text, not the API call): yearly revenue cents spread across
+    explicitly-enumerated status columns. Enumerated IN-list keeps the
+    pivot ONE pass (an unenumerated pivot needs a distinct-values job
+    first); the oracle replays with CASE aggregation, the portable
+    expansion PIVOT compiles to.
+    """
+    load_table(spark, sf_dir, "orders").selectExpr(
+        "year(o_orderdate) AS order_year",
+        "o_orderstatus",
+        "cast(floor(o_totalprice * 100 + 0.5) as bigint) AS cents",
+    ).createOrReplaceTempView("v_qpv_orders")
+    return spark.sql(
+        """
+        SELECT * FROM v_qpv_orders
+        PIVOT (sum(cents) AS c
+               FOR o_orderstatus IN ('O' AS status_o, 'F' AS status_f,
+                                     'P' AS status_p))
+        ORDER BY order_year
+        """
+    )
+
+
+def q_sql_pivot_sql() -> str:
+    return """
+    SELECT year(o_orderdate::DATE) AS order_year,
+           sum(CASE WHEN o_orderstatus = 'O'
+                    THEN floor(o_totalprice * 100 + 0.5)::BIGINT END)
+               AS status_o,
+           sum(CASE WHEN o_orderstatus = 'F'
+                    THEN floor(o_totalprice * 100 + 0.5)::BIGINT END)
+               AS status_f,
+           sum(CASE WHEN o_orderstatus = 'P'
+                    THEN floor(o_totalprice * 100 + 0.5)::BIGINT END)
+               AS status_p
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """
+
+
+def q_sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy HINT surface: the same customer⋈nation aggregate
+    computed under ``/*+ BROADCAST */`` and ``/*+ SHUFFLE_MERGE */``
+    hints, unioned with a hint-free control — results must be
+    IDENTICAL (hints steer the physical strategy, never the answer; a
+    hint that changed values would be an engine bug). The plan-side
+    assertion — BROADCAST ⇒ BroadcastHashJoin, SHUFFLE_MERGE ⇒
+    SortMergeJoin — is pinned in tests/test_plan_shape.py; this query
+    certifies the value contract. The oracle replays one arm three
+    ways (DuckDB has no hint surface — which is the point).
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_qjh_cust")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_qjh_nation")
+    arm = """
+        SELECT {hint} '{label}' AS arm, n_name,
+               count(*) AS n_customers,
+               sum(cast(floor(c_acctbal * 100 + 0.5) as bigint)) AS acct_cents
+        FROM v_qjh_cust JOIN v_qjh_nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """
+    return spark.sql(
+        " UNION ALL ".join(
+            [
+                arm.format(hint="/*+ BROADCAST(v_qjh_nation) */", label="broadcast"),
+                arm.format(hint="/*+ SHUFFLE_MERGE(v_qjh_nation) */", label="shuffle_merge"),
+                arm.format(hint="", label="none"),
+            ]
+        )
+        + " ORDER BY arm, n_name"
+    )
+
+
+def q_sql_join_hints_sql() -> str:
+    arm = """
+        SELECT '{label}' AS arm, n_name,
+               count(*)::BIGINT AS n_customers,
+               sum(floor(c_acctbal * 100 + 0.5)::BIGINT)::BIGINT AS acct_cents
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """
+    return (
+        " UNION ALL ".join(
+            arm.format(label=lbl) for lbl in ("broadcast", "shuffle_merge", "none")
+        )
+        + " ORDER BY arm, n_name"
+    )

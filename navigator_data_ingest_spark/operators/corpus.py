@@ -3778,3 +3778,72 @@ def corpus_curriculum_order_sql() -> str:
     FROM g CROSS JOIN tot
     ORDER BY phase
     """
+
+
+KFOLD_K = 5
+
+
+def corpus_kfold_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation split census: every document assigned to
+    one of KFOLD_K folds by the content-stable portable hash
+    (hash32('fold:' || doc_id) % K — the split_train_holdout
+    discipline: stable under repartitioning, row order, corpus growth),
+    with the balance audit a CV run signs off on — per-fold doc/token
+    counts, doc share, and the English-share drift that flags a
+    lopsided fold before it burns a training run.
+
+    Pure map-side assignment, ONE K-row bounded aggregation; shares
+    integer-exact HALF_UP. NULL lang counts as non-en; NULL text
+    contributes zero tokens (coalesce, both engines).
+    """
+    h = X.sp_hash32("cast(doc_id as string)", "fold")
+    docs = scatter(spark, load_table(spark, sf_dir, "documents")).select(
+        F.expr(f"({h}) % {KFOLD_K}").alias("fold"),
+        F.expr(
+            "coalesce(size(regexp_extract_all(text, '\\\\S+', 0)), 0)"
+        ).cast("bigint").alias("n_tokens"),
+        (F.coalesce(F.col("lang"), F.lit("")) == "en").cast("bigint").alias("is_en"),
+    )
+    g = docs.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("is_en").alias("n_en"),
+    )
+    tot = F.broadcast(g.agg(F.sum("n_docs").alias("t_docs")))
+    return (
+        g.crossJoin(tot)
+        .selectExpr(
+            "fold",
+            "n_docs",
+            "n_tokens",
+            "n_en",
+            f"{sp_rat6('n_docs', 't_docs')} AS doc_share",
+            f"{sp_rat6('n_en', 'n_docs')} AS en_share",
+        )
+        .orderBy("fold")
+    )
+
+
+def corpus_kfold_splits_sql() -> str:
+    h = X.dk_hash32("doc_id::varchar", "fold")
+    return f"""
+    WITH d AS (
+        SELECT ({h}) % {KFOLD_K} AS fold,
+               coalesce(len(regexp_extract_all(text, '\\S+')), 0)::BIGINT
+                   AS n_tokens,
+               (coalesce(lang, '') = 'en')::INT AS is_en
+        FROM documents
+    ), g AS (
+        SELECT fold, count(*)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS n_tokens,
+               sum(is_en)::BIGINT AS n_en
+        FROM d GROUP BY 1
+    ), tot AS (
+        SELECT sum(n_docs)::BIGINT AS t_docs FROM g
+    )
+    SELECT fold, n_docs, n_tokens, n_en,
+           {dk_rat6('n_docs', 't_docs')} AS doc_share,
+           {dk_rat6('n_en', 'n_docs')} AS en_share
+    FROM g CROSS JOIN tot
+    ORDER BY fold
+    """

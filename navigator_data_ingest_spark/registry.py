@@ -176,6 +176,8 @@ _FRONT_NEW: frozenset[str] = frozenset({
     "q_sql_agg_filter", "q_sql_try_cast", "q_events_nth_value",
     "stats_mcc_langid", "stats_mode_exact", "text_ocr_artifacts",
     "stats_sprt_ab", "q_sql_exists_in", "corpus_curriculum_order",
+    "q_sql_pivot", "q_sql_join_hints", "corpus_kfold_splits",
+    "src_text_lines",
 })
 
 
@@ -6708,5 +6710,35 @@ register(
     "corpus_curriculum_order",
     _corpus7.corpus_curriculum_order,
     _corpus7.corpus_curriculum_order_sql(),
+    front=True,
+)
+
+register(
+    "q_sql_pivot",
+    analytics.q_sql_pivot,
+    analytics.q_sql_pivot_sql(),
+    front=True,
+)
+
+register(
+    "q_sql_join_hints",
+    analytics.q_sql_join_hints,
+    analytics.q_sql_join_hints_sql(),
+    front=True,
+)
+
+register(
+    "corpus_kfold_splits",
+    _corpus7.corpus_kfold_splits,
+    _corpus7.corpus_kfold_splits_sql(),
+    front=True,
+)
+
+from navigator_data_ingest_spark.sources import flat as _flat7  # noqa: E402
+
+register(
+    "src_text_lines",
+    _flat7.src_text_lines,
+    _flat7.src_text_lines_sql(),
     front=True,
 )

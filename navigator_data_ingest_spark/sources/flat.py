@@ -870,3 +870,61 @@ def q_catalog_census_sql() -> str:
         for t, k in sorted(CENSUS_TABLES.items())
     )
     return f"SELECT * FROM ({selects}) ORDER BY table_name"
+
+
+def src_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.write.text`` / ``spark.read.text`` round-trip — the
+    line-oriented plain-text source every raw-corpus drop ships as
+    (one document per line). Documents serialize as
+    ``doc_id<TAB>text`` with newlines/tabs escaped to keep the record
+    a single line (the format's contract), read back as raw ``value``
+    lines, then certified content-wise: line count, distinct-key
+    count, and a commutative portable-hash checksum over the exact
+    line strings — the oracle recomputes all three from the source
+    table, so truncation, mangled escaping or a dropped partition file
+    all surface as a checksum mismatch.
+    """
+    from navigator_data_ingest_spark.functions import exprs as X
+
+    out = sink_path("documents_txt", sf_dir)
+    esc = (
+        "concat(cast(doc_id as string), '\\t',"
+        " replace(replace(replace(coalesce(text, ''),"
+        " '\\\\', '\\\\\\\\'), '\\t', '\\\\t'), '\\n', '\\\\n'))"
+    )
+    (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr(f"{esc} AS value")
+        .write.mode("overwrite")
+        .text(out)
+    )
+    lines = spark.read.text(out)
+    h = X.sp_hash32("value", "txtline")
+    # DECIMAL(38,0) accumulator: a BIGINT sum of 2^32-range hashes
+    # overflows past ~2^31 rows (the checksum-manifest discipline)
+    return lines.selectExpr(
+        "count(*) AS n_lines",
+        "count(DISTINCT split(value, '\\t', 2)[0]) AS n_doc_ids",
+        f"cast(sum(cast({h} as decimal(38,0))) as decimal(38,0))"
+        " AS line_checksum",
+    )
+
+
+def src_text_lines_sql() -> str:
+    from navigator_data_ingest_spark.functions import exprs as X
+
+    esc = (
+        "doc_id::VARCHAR || chr(9) ||"
+        " replace(replace(replace(coalesce(text, ''),"
+        " '\\', '\\\\'), chr(9), '\\t'), chr(10), '\\n')"
+    )
+    h = X.dk_hash32("line", "txtline")
+    return f"""
+    WITH l AS (
+        SELECT {esc} AS line, doc_id FROM documents
+    )
+    SELECT count(*)::BIGINT AS n_lines,
+           count(DISTINCT doc_id)::BIGINT AS n_doc_ids,
+           sum(({h})::HUGEINT)::HUGEINT AS line_checksum
+    FROM l
+    """

@@ -175,6 +175,8 @@ _DELIBERATE_NESTED_LOOP = {
     # round-7: 1-row quartile-cut + token-total broadcasts (the
     # q_ntile_spend idiom)
     "corpus_curriculum_order",
+    # round-7: 1-row fold-totals broadcast onto the K-row fold grid
+    "corpus_kfold_splits",
     # 1-row totals broadcast onto SOURCES/BRANDS/k-row bounded tables:
     # deliberate
     "corpus_upsample_apply",
@@ -831,3 +833,30 @@ def test_topk_rank_filters_use_window_group_limit(spark):
         df = _Q[name](spark, SF_CORRECT)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan, name
+
+
+def test_join_hints_steer_physical_strategy(spark):
+    """q_sql_join_hints' value contract is oracle-certified; this pins
+    the PLAN contract: the BROADCAST hint plans a BroadcastHashJoin and
+    SHUFFLE_MERGE plans a SortMergeJoin for the same logical join."""
+    from navigator_data_ingest_spark.sources.tables import load_table
+
+    load_table(spark, SF_CORRECT, "customer").createOrReplaceTempView(
+        "v_jh_cust"
+    )
+    load_table(spark, SF_CORRECT, "nation").createOrReplaceTempView(
+        "v_jh_nation"
+    )
+    q = (
+        "SELECT {hint} n_name, count(*) AS n FROM v_jh_cust "
+        "JOIN v_jh_nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    )
+    bc = formatted_plan(
+        spark.sql(q.format(hint="/*+ BROADCAST(v_jh_nation) */"))
+    )
+    sm = formatted_plan(
+        spark.sql(q.format(hint="/*+ SHUFFLE_MERGE(v_jh_nation) */"))
+    )
+    assert "BroadcastHashJoin" in bc
+    assert "SortMergeJoin" in sm
+    assert "SortMergeJoin" not in bc
