@@ -16344,3 +16344,182 @@ def q_sql_join_hints_sql() -> str:
         )
         + " ORDER BY arm, n_name"
     )
+
+
+def stats_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test on click vs purchase event values —
+    the unequal-variance location test that belongs beside the rank
+    family (mann_whitney), the proportions z (stats_ab_test) and the
+    effect size (stats_cohens_d): means, the t statistic, and the
+    Welch–Satterthwaite degrees of freedom.
+
+    ONE conditional-moment aggregation over float value data (sums are
+    float aggregates → rounded at 6 dp per the functions/exact.py
+    policy — rounding is what re-aligns summation-order ulps); every
+    expression is identical text in both engines. NULL values are not
+    observations (both engines).
+    """
+    agg = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("value").isNotNull()
+        )
+        .agg(
+            F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")).alias("na"),
+            F.sum(F.expr("CASE WHEN event_type = 'click' THEN value ELSE 0 END")).alias("sa"),
+            F.sum(F.expr("CASE WHEN event_type = 'click' THEN value * value ELSE 0 END")).alias("qa"),
+            F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")).alias("nb"),
+            F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")).alias("sb"),
+            F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN value * value ELSE 0 END")).alias("qb"),
+        )
+    )
+    va = "(((qa - sa * sa / na) / (na - 1.0)) / na)"
+    vb = "(((qb - sb * sb / nb) / (nb - 1.0)) / nb)"
+    t = f"((sa / na - sb / nb) / sqrt({va} + {vb}))"
+    df_w = (
+        f"(({va} + {vb}) * ({va} + {vb})"
+        f" / ({va} * {va} / (na - 1.0) + {vb} * {vb} / (nb - 1.0)))"
+    )
+    return agg.selectExpr(
+        "na AS n_a",
+        "nb AS n_b",
+        "round(sa / na - sb / nb, 6) AS mean_diff",
+        f"round({t}, 6) AS t_stat",
+        f"round({df_w}, 6) AS df_welch",
+        f"abs({t}) > 1.959964 AS reject_95",
+    )
+
+
+def stats_welch_t_sql() -> str:
+    va = "(((qa - sa * sa / na) / (na - 1.0)) / na)"
+    vb = "(((qb - sb * sb / nb) / (nb - 1.0)) / nb)"
+    t = f"((sa / na - sb / nb) / sqrt({va} + {vb}))"
+    df_w = (
+        f"(({va} + {vb}) * ({va} + {vb})"
+        f" / ({va} * {va} / (na - 1.0) + {vb} * {vb} / (nb - 1.0)))"
+    )
+    return f"""
+    WITH agg AS (
+        SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::DOUBLE AS na,
+               sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS sa,
+               sum(CASE WHEN event_type = 'click' THEN value * value ELSE 0 END) AS qa,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE AS nb,
+               sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS sb,
+               sum(CASE WHEN event_type = 'purchase' THEN value * value ELSE 0 END) AS qb
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    )
+    SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+           round(sa / na - sb / nb, 6) AS mean_diff,
+           round({t}, 6) AS t_stat,
+           round({df_w}, 6) AS df_welch,
+           abs({t}) > 1.959964 AS reject_95
+    FROM agg
+    """
+
+
+def q_sql_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four SQL ranking functions in one certified frame — rank
+    (gapped), dense_rank, percent_rank and cume_dist over national
+    revenue — on the NATION-bounded grid (the window is global but its
+    input is the ≤25-row dimension rollup, never the fact table).
+    percent_rank = (rank−1)/(N−1) and cume_dist = rows≤current/N are
+    engine-internal IEEE divisions of identical integers, emitted RAW
+    (functions/exact.py policy).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.expr("sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))").alias(
+                "cents"
+            )
+        )
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("n_name"))
+    return rev.select(
+        "n_name",
+        "cents",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("dense_rnk"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    ).orderBy("rnk", "n_name")
+
+
+def q_sql_rank_functions_sql() -> str:
+    return """
+    WITH rev AS (
+        SELECT n_name,
+               sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name, cents,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS dense_rnk,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM rev
+    WINDOW w AS (ORDER BY cents DESC, n_name ASC)
+    ORDER BY rnk, n_name
+    """
+
+
+def q_sql_lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``LATERAL`` correlated-subquery surface (the statement form
+    of q_lateral_join_api's DataFrame lateralJoin): for each REGION,
+    the top-revenue nation pulled by a correlated ORDER BY ... LIMIT 1
+    subquery. The outer side is the 5-row region dimension — per-row
+    correlated limits are the lookup-enrichment tool, never a
+    fact-table scan pattern (the bulk form is the min(struct) argmax
+    idiom). Ties break on nation name inside the subquery's ORDER BY.
+    """
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("v_qls_region")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_qls_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_qls_cust")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_qls_orders")
+    return spark.sql(
+        """
+        WITH nrev AS (
+            SELECT n_regionkey, n_name,
+                   sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) AS cents
+            FROM v_qls_orders
+            JOIN v_qls_cust ON o_custkey = c_custkey
+            JOIN v_qls_nation ON c_nationkey = n_nationkey
+            GROUP BY n_regionkey, n_name
+        )
+        SELECT r_name, top.n_name AS top_nation, top.cents AS top_cents
+        FROM v_qls_region,
+             LATERAL (SELECT n_name, cents FROM nrev
+                       WHERE nrev.n_regionkey = v_qls_region.r_regionkey
+                       ORDER BY cents DESC, n_name ASC LIMIT 1) AS top
+        ORDER BY r_name
+        """
+    )
+
+
+def q_sql_lateral_subquery_sql() -> str:
+    return """
+    WITH nrev AS (
+        SELECT n_regionkey, n_name,
+               sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_regionkey, n_name
+    )
+    SELECT r_name, top.n_name AS top_nation, top.cents AS top_cents
+    FROM region,
+         LATERAL (SELECT n_name, cents FROM nrev
+                   WHERE nrev.n_regionkey = region.r_regionkey
+                   ORDER BY cents DESC, n_name ASC LIMIT 1) AS top
+    ORDER BY r_name
+    """

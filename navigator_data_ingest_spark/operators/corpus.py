@@ -3847,3 +3847,115 @@ def corpus_kfold_splits_sql() -> str:
     FROM g CROSS JOIN tot
     ORDER BY fold
     """
+
+
+LM_SMOOTH_V_SEED = "fold"  # reuse of the stable-hash namespace pattern
+
+
+def corpus_lm_holdout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM holdout perplexity per source — the eval-side
+    complement to corpus_bigram_lm's training counts and
+    corpus_perplexity_filter's scoring filter: train add-one-smoothed
+    bigram probabilities on the TRAIN split (the split_train_holdout
+    content-hash, so train/holdout never depend on row order), score
+    every HOLDOUT bigram as ln((c+1)/(head_total+V)), and report
+    per-source cross-entropy, perplexity and the unseen-bigram (OOV)
+    rate — the go/no-go number an n-gram quality filter ships with.
+
+    Scale shape: bigram counts are ONE (w1, w2) shuffle on the train
+    slice; holdout bigrams LEFT-join that table on the same key (miss ⇒
+    c = 0); V (distinct train heads) rides a 1-row broadcast. OOV rate
+    is integer-exact HALF_UP; cross-entropy/perplexity pass through ln
+    (irrational — plain round). NULL text tokenizes empty (no bigrams,
+    both engines).
+    """
+    h = X.sp_hash32("cast(doc_id as string)", "split")
+    lo = SPLIT_CUTS[0]
+    docs = scatter(spark, load_table(spark, sf_dir, "documents")).select(
+        F.coalesce(F.col("source"), F.lit("<null>")).alias("source"),
+        F.expr(X.sp_tokens("text")).alias("t"),
+        (F.expr(f"({h}) % 1000") < lo).alias("is_train"),
+    )
+    pair_expr = (
+        "transform(slice(t, 1, size(t) - 1),"
+        " (x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))"
+    )
+    pairs = docs.where("size(t) >= 2").select(
+        "source", "is_train", F.explode(F.expr(pair_expr)).alias("p")
+    ).select("source", "is_train", "p.w1", "p.w2")
+    train = pairs.where("is_train")
+    big = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    heads = big.groupBy("w1").agg(F.sum("c").alias("head_total"))
+    v = F.broadcast(heads.agg(F.count(F.lit(1)).alias("v")))
+    hold = (
+        pairs.where("NOT is_train")
+        .join(big, ["w1", "w2"], "left")
+        .join(heads, ["w1"], "left")
+        .crossJoin(v)
+        .select(
+            "source",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            F.coalesce(F.col("head_total"), F.lit(0)).alias("ht"),
+            "v",
+        )
+    )
+    g = hold.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum((F.col("c") == 0).cast("bigint")).alias("n_unseen"),
+        F.sum(
+            F.expr("ln(cast(ht + v as double) / cast(c + 1 as double))")
+        ).alias("nll"),
+    )
+    return g.selectExpr(
+        "source",
+        "n_bigrams",
+        "n_unseen",
+        f"{sp_rat6('n_unseen', 'n_bigrams')} AS oov_rate",
+        "round(nll / n_bigrams, 6) AS cross_entropy_nats",
+        "round(exp(nll / n_bigrams), 4) AS perplexity",
+    ).orderBy("source")
+
+
+def corpus_lm_holdout_ppl_sql() -> str:
+    h = X.dk_hash32("doc_id::varchar", "split")
+    lo = SPLIT_CUTS[0]
+    return f"""
+    WITH docs AS (
+        SELECT coalesce(source, '<null>') AS source,
+               {X.dk_tokens('text')} AS t,
+               (({h}) % 1000 < {lo}) AS is_train
+        FROM documents
+    ), pairs AS (
+        SELECT source, is_train,
+               t[i] AS w1, t[i + 1] AS w2
+        FROM docs, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+    ), big AS (
+        SELECT w1, w2, count(*)::BIGINT AS c FROM pairs WHERE is_train
+        GROUP BY 1, 2
+    ), heads AS (
+        SELECT w1, sum(c)::BIGINT AS head_total FROM big GROUP BY 1
+    ), v AS (
+        SELECT count(*)::BIGINT AS v FROM heads
+    ), hold AS (
+        SELECT p.source,
+               coalesce(b.c, 0)::BIGINT AS c,
+               coalesce(h2.head_total, 0)::BIGINT AS ht,
+               v.v
+        FROM pairs p
+        LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+        LEFT JOIN heads h2 ON p.w1 = h2.w1
+        CROSS JOIN v
+        WHERE NOT p.is_train
+    ), g AS (
+        SELECT source, count(*)::BIGINT AS n_bigrams,
+               sum((c = 0)::INT)::BIGINT AS n_unseen,
+               sum(ln((ht + v)::DOUBLE / (c + 1)::DOUBLE)) AS nll
+        FROM hold GROUP BY 1
+    )
+    SELECT source, n_bigrams, n_unseen,
+           {dk_rat6('n_unseen', 'n_bigrams')} AS oov_rate,
+           round(nll / n_bigrams, 6) AS cross_entropy_nats,
+           round(exp(nll / n_bigrams), 4) AS perplexity
+    FROM g ORDER BY source
+    """

@@ -177,7 +177,8 @@ _FRONT_NEW: frozenset[str] = frozenset({
     "stats_mcc_langid", "stats_mode_exact", "text_ocr_artifacts",
     "stats_sprt_ab", "q_sql_exists_in", "corpus_curriculum_order",
     "q_sql_pivot", "q_sql_join_hints", "corpus_kfold_splits",
-    "src_text_lines",
+    "src_text_lines", "stats_welch_t", "q_sql_rank_functions",
+    "q_sql_lateral_subquery", "corpus_lm_holdout_ppl",
 })
 
 
@@ -6740,5 +6741,33 @@ register(
     "src_text_lines",
     _flat7.src_text_lines,
     _flat7.src_text_lines_sql(),
+    front=True,
+)
+
+register(
+    "stats_welch_t",
+    analytics.stats_welch_t,
+    analytics.stats_welch_t_sql(),
+    front=True,
+)
+
+register(
+    "q_sql_rank_functions",
+    analytics.q_sql_rank_functions,
+    analytics.q_sql_rank_functions_sql(),
+    front=True,
+)
+
+register(
+    "q_sql_lateral_subquery",
+    analytics.q_sql_lateral_subquery,
+    analytics.q_sql_lateral_subquery_sql(),
+    front=True,
+)
+
+register(
+    "corpus_lm_holdout_ppl",
+    _corpus7.corpus_lm_holdout_ppl,
+    _corpus7.corpus_lm_holdout_ppl_sql(),
     front=True,
 )

@@ -177,6 +177,9 @@ _DELIBERATE_NESTED_LOOP = {
     "corpus_curriculum_order",
     # round-7: 1-row fold-totals broadcast onto the K-row fold grid
     "corpus_kfold_splits",
+    # round-7: 1-row vocabulary-size (V) broadcast feeding add-one
+    # smoothing on holdout bigrams
+    "corpus_lm_holdout_ppl",
     # 1-row totals broadcast onto SOURCES/BRANDS/k-row bounded tables:
     # deliberate
     "corpus_upsample_apply",
@@ -383,6 +386,8 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "stats_log_rank",
     # ≤25x25 bounded nation-pair grid (rank/total windows)
     "q_nation_trade_matrix",
+    # ≤25-row NATION revenue rollup (rank-function certification frame)
+    "q_sql_rank_functions",
     # 7-row dow grid (chi2 fold)
     "q_orders_dow_profile",
     # 1024-block offset prefix over the bounded block table (AUC idiom)

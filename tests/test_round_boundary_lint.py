@@ -141,6 +141,10 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/analytics.py", "stats_spearman_daily"): IRRATIONAL,  # /sqrt·sqrt
     ("operators/analytics.py", "stats_spearman_daily_sql"): IRRATIONAL,
     ("operators/analytics.py", "stats_spectral_peak"): IRRATIONAL,  # cos/sin sums
+    ("operators/analytics.py", "stats_welch_t"): FLOAT_DATA,  # value moments
+    ("operators/analytics.py", "stats_welch_t_sql"): FLOAT_DATA,
+    ("operators/corpus.py", "corpus_lm_holdout_ppl"): IRRATIONAL,  # ln sums
+    ("operators/corpus.py", "corpus_lm_holdout_ppl_sql"): IRRATIONAL,
     ("operators/analytics.py", "stats_spectral_peak_sql"): IRRATIONAL,
     ("operators/analytics.py", "stats_survival_km_sql"): IRRATIONAL,  # exp(Σln)
     ("operators/analytics.py", "stats_two_way_anova"): COMPOUND_RATIONAL,
@@ -268,6 +272,8 @@ RENDERED_ALLOWED: dict[str, str] = {
     "stats_tost_equivalence": FLOAT_DATA,  # double price moment sums
     "stats_two_way_anova": COMPOUND_RATIONAL,
     "stats_weibull_fit": IRRATIONAL,
+    "stats_welch_t": FLOAT_DATA,
+    "corpus_lm_holdout_ppl": IRRATIONAL,
     "stats_wilson_ci": IRRATIONAL,
     "text_burstiness": COMPOUND_RATIONAL,  # nested rational of count moments
     "text_collocations": IRRATIONAL,
