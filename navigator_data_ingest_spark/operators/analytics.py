@@ -16523,3 +16523,283 @@ def q_sql_lateral_subquery_sql() -> str:
                    ORDER BY cents DESC, n_name ASC LIMIT 1) AS top
     ORDER BY r_name
     """
+
+
+def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons AFTER Kruskal-Wallis — the
+    test that answers WHICH event types differ once KW says SOME do:
+    z_ij = (R̄_i − R̄_j) / √(S²(1/n_i + 1/n_j)) on the shared
+    tie-corrected rank variance S² = N(N+1)/12 − Σ(c³−c)/(12(N−1)),
+    with a Bonferroni verdict at the K(K−1)/2 family size.
+
+    Shares stats_kruskal_wallis's scale discipline verbatim: ONE
+    distinct-value collapse, two-level 1024-block prefix-sum ranks
+    (exact 0.5-lattice), per-group sums on the K-row grid, and a
+    K²-bounded pair self-join. Every operand is exact, so z is
+    IEEE-deterministic and emitted RAW (functions/exact.py policy).
+    NULL value/type rows are not observations (both engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "value")
+    )
+    tv = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("cg"))
+    vc = tv.groupBy("value").agg(F.sum("cg").alias("c"))
+    rng = vc.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    b = vc.crossJoin(F.broadcast(rng)).withColumn(
+        "blk",
+        F.least(
+            F.lit(1023),
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                / (F.col("mx") - F.col("mn") + F.lit(1e-9))
+                * 1024
+            ),
+        ),
+    )
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = b.withColumn("cum_in", F.coalesce(F.sum("c").over(w_in), F.lit(0)))
+    bt = b.groupBy("blk").agg(F.sum("c").alias("blk_c"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    bt = bt.withColumn("off", F.coalesce(F.sum("blk_c").over(w_blk), F.lit(0)))
+    ranked = b.join(F.broadcast(bt.select("blk", "off")), "blk").select(
+        "value",
+        (
+            (F.col("off") + F.col("cum_in")).cast("double")
+            + (F.col("c").cast("double") + 1.0) / 2.0
+        ).alias("avg_rank"),
+    )
+    grp = (
+        tv.join(ranked, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cg").alias("n_j"),
+            F.sum(F.col("cg").cast("double") * F.col("avg_rank")).alias("r_j"),
+        )
+    )
+    glob = F.broadcast(
+        grp.agg(
+            F.sum("n_j").alias("n"), F.count(F.lit(1)).alias("k")
+        ).crossJoin(
+            F.broadcast(
+                vc.agg(
+                    F.sum(
+                        F.col("c") * F.col("c") * F.col("c") - F.col("c")
+                    ).alias("tie3")
+                )
+            )
+        )
+    )
+    a = grp.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n_j").alias("na"),
+        F.col("r_j").alias("ra"),
+    )
+    bb = grp.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n_j").alias("nb"),
+        F.col("r_j").alias("rb"),
+    )
+    pairs = a.join(bb, F.col("type_a") < F.col("type_b")).crossJoin(glob)
+    s2 = "(n * (n + 1.0) / 12.0 - tie3 / (12.0 * (n - 1.0)))"
+    z = (
+        f"((ra / na - rb / nb)"
+        f" / sqrt({s2} * (1.0 / na + 1.0 / nb)))"
+    )
+    return pairs.selectExpr(
+        "type_a",
+        "type_b",
+        "na AS n_a",
+        "nb AS n_b",
+        "ra / na AS mean_rank_a",
+        "rb / nb AS mean_rank_b",
+        f"{z} AS z",
+        # Bonferroni at the K(K-1)/2 family: |z| > Phi^-1(1 - 0.025/m);
+        # the quantile is data-dependent via k, so compare against the
+        # shared closed-form threshold both engines compute identically
+        f"abs({z}) > 2.0 + ln(cast(k * (k - 1) as double) / 2.0) / 2.0"
+        " AS notable",
+    ).orderBy("type_a", "type_b")
+
+
+def stats_dunn_posthoc_sql() -> str:
+    s2 = "(n * (n + 1.0) / 12.0 - tie3 / (12.0 * (n - 1.0)))"
+    z = f"((ra / na - rb / nb) / sqrt({s2} * (1.0 / na + 1.0 / nb)))"
+    return f"""
+    WITH ev AS (
+        SELECT event_type, value FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), tv AS (
+        SELECT event_type, value, count(*)::BIGINT AS cg
+        FROM ev GROUP BY 1, 2
+    ), vc AS (
+        SELECT value, sum(cg)::BIGINT AS c FROM tv GROUP BY 1
+    ), ranked AS (
+        SELECT value,
+               coalesce(sum(c) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE
+               + (c::DOUBLE + 1.0) / 2.0 AS avg_rank
+        FROM vc
+    ), grp AS (
+        SELECT event_type, sum(cg)::BIGINT AS n_j,
+               sum(cg::DOUBLE * avg_rank) AS r_j
+        FROM tv JOIN ranked USING (value)
+        GROUP BY 1
+    ), tots AS (
+        SELECT (SELECT sum(n_j)::BIGINT FROM grp) AS n,
+               (SELECT count(*)::BIGINT FROM grp) AS k,
+               (SELECT sum(c * c * c - c)::BIGINT FROM vc) AS tie3
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.n_j AS n_a, b.n_j AS n_b,
+           a.r_j / a.n_j AS mean_rank_a,
+           b.r_j / b.n_j AS mean_rank_b,
+           {z.replace('ra', 'a.r_j').replace('rb', 'b.r_j')
+             .replace('na', 'a.n_j').replace('nb', 'b.n_j')} AS z,
+           abs({z.replace('ra', 'a.r_j').replace('rb', 'b.r_j')
+                 .replace('na', 'a.n_j').replace('nb', 'b.n_j')})
+               > 2.0 + ln((k * (k - 1))::DOUBLE / 2.0) / 2.0 AS notable
+    FROM grp a JOIN grp b ON a.event_type < b.event_type
+    CROSS JOIN tots
+    ORDER BY type_a, type_b
+    """
+
+
+def stats_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood ratio) of independence on the
+    lang × source contingency table — the chi-square's
+    information-theoretic twin (G = 2·Σ o·ln(o/e); additive across
+    partitions of the table, which Pearson's X² is not, and the reason
+    hierarchical corpus audits prefer it).
+
+    Same bounded dense-grid construction as stats_chi_square — one
+    corpus shuffle to cells, margins re-aggregated from the bounded
+    cell table, expected counts from exact integer products — zero
+    cells contribute 0 by the o·ln(o/·) convention (explicit CASE in
+    both engines). G passes through ln (irrational — plain round).
+    """
+    cells = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(
+            F.coalesce(F.col("lang"), F.lit("<null>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<null>")).alias("source"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rowt = cells.groupBy("lang").agg(F.sum("o").alias("row_tot"))
+    colt = cells.groupBy("source").agg(F.sum("o").alias("col_tot"))
+    tot = cells.agg(F.sum("o").alias("n_total"))
+    dense = (
+        rowt.crossJoin(F.broadcast(colt))
+        .join(F.broadcast(cells), ["lang", "source"], "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    term = (
+        "CASE WHEN o = 0 THEN 0.0 ELSE"
+        " o * ln(cast(o as double) * n_total"
+        " / (cast(row_tot as double) * col_tot)) END"
+    )
+    agg = dense.agg(
+        F.max("n_total").alias("n_total"),
+        F.expr("count(DISTINCT lang)").alias("n_rows"),
+        F.expr("count(DISTINCT source)").alias("n_cols"),
+        F.expr(f"sum({term})").alias("g_half"),
+    )
+    return agg.selectExpr(
+        "n_total",
+        "cast((n_rows - 1) * (n_cols - 1) as bigint) AS dof",
+        "round(2.0 * g_half, 6) AS g_stat",
+    )
+
+
+def stats_g_test_sql() -> str:
+    term = (
+        "CASE WHEN o = 0 THEN 0.0 ELSE"
+        " o * ln(o::DOUBLE * n_total / (row_tot::DOUBLE * col_tot)) END"
+    )
+    return f"""
+    WITH cells AS (
+        SELECT coalesce(lang, '<null>') AS lang,
+               coalesce(source, '<null>') AS source,
+               count(*)::BIGINT AS o
+        FROM documents GROUP BY 1, 2
+    ), rowt AS (
+        SELECT lang, sum(o)::BIGINT AS row_tot FROM cells GROUP BY 1
+    ), colt AS (
+        SELECT source, sum(o)::BIGINT AS col_tot FROM cells GROUP BY 1
+    ), tot AS (
+        SELECT sum(o)::BIGINT AS n_total FROM cells
+    ), dense AS (
+        SELECT rowt.lang, colt.source, row_tot, col_tot, n_total,
+               coalesce(o, 0)::BIGINT AS o
+        FROM rowt CROSS JOIN colt
+        LEFT JOIN cells ON cells.lang = rowt.lang
+                       AND cells.source = colt.source
+        CROSS JOIN tot
+    )
+    SELECT max(n_total)::BIGINT AS n_total,
+           ((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1))::BIGINT
+               AS dof,
+           round(2.0 * sum({term}), 6) AS g_stat
+    FROM dense
+    """
+
+
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.unionByName(allowMissingColumns=True)`` surface —
+    the schema-evolution-tolerant union every multi-vintage ingest
+    needs (positional UNION silently pairs mismatched columns; by-name
+    fills absent ones with NULL). Two deliberately different
+    projections of orders (one carries status, the other carries
+    priority) unite by name; the census counts NULL-filled cells per
+    arm so a silent positional pairing could never pass the oracle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    arm_a = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    arm_b = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    u = arm_a.unionByName(arm_b, allowMissingColumns=True)
+    return u.selectExpr(
+        "count(*) AS n_rows",
+        "count(o_orderstatus) AS n_status",
+        "count(o_orderpriority) AS n_priority",
+        "sum(cast(o_orderstatus IS NULL AS bigint)) AS n_status_null",
+        "sum(cast(o_orderpriority IS NULL AS bigint)) AS n_priority_null",
+        "sum(cents) AS cents",
+    )
+
+
+def q_union_by_name_sql() -> str:
+    return """
+    WITH u AS (
+        SELECT o_orderkey, o_orderstatus,
+               floor(o_totalprice * 100 + 0.5)::BIGINT AS cents,
+               NULL::VARCHAR AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, NULL::VARCHAR AS o_orderstatus,
+               floor(o_totalprice * 100 + 0.5)::BIGINT AS cents,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT count(*)::BIGINT AS n_rows,
+           count(o_orderstatus)::BIGINT AS n_status,
+           count(o_orderpriority)::BIGINT AS n_priority,
+           sum((o_orderstatus IS NULL)::INT)::BIGINT AS n_status_null,
+           sum((o_orderpriority IS NULL)::INT)::BIGINT AS n_priority_null,
+           sum(cents)::BIGINT AS cents
+    FROM u
+    """

@@ -179,6 +179,7 @@ _FRONT_NEW: frozenset[str] = frozenset({
     "q_sql_pivot", "q_sql_join_hints", "corpus_kfold_splits",
     "src_text_lines", "stats_welch_t", "q_sql_rank_functions",
     "q_sql_lateral_subquery", "corpus_lm_holdout_ppl",
+    "stats_dunn_posthoc", "stats_g_test", "q_union_by_name",
 })
 
 
@@ -6769,5 +6770,26 @@ register(
     "corpus_lm_holdout_ppl",
     _corpus7.corpus_lm_holdout_ppl,
     _corpus7.corpus_lm_holdout_ppl_sql(),
+    front=True,
+)
+
+register(
+    "stats_dunn_posthoc",
+    analytics.stats_dunn_posthoc,
+    analytics.stats_dunn_posthoc_sql(),
+    front=True,
+)
+
+register(
+    "stats_g_test",
+    analytics.stats_g_test,
+    analytics.stats_g_test_sql(),
+    front=True,
+)
+
+register(
+    "q_union_by_name",
+    analytics.q_union_by_name,
+    analytics.q_union_by_name_sql(),
     front=True,
 )

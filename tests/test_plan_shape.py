@@ -156,6 +156,10 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_chi_square",
     "stats_crosstab_residuals",
     "stats_mutual_information",
+    "stats_g_test",
+    # 1-row min/max + (n, k, ties) broadcasts onto the K-row group grid
+    # and its K²-bounded pair self-join (round-7 Dunn post-hoc)
+    "stats_dunn_posthoc",
     # 1-row bigram-slot total broadcast onto the min-count pair table
     "text_collocations",
     # 1-row corpus-end broadcast (censoring cutoff) + 1-row total onto
@@ -358,6 +362,7 @@ def test_no_accidental_cartesian_products(spark, name):
 _BOUNDED_GLOBAL_WINDOW_OK = {
     # 1024-block prefix-sum block tables
     "stats_mann_whitney", "stats_cramer_von_mises", "stats_gains_table",
+    "stats_dunn_posthoc",
     # column-bisect diagnostic projections (same plan, projected)
     "stats_mann_whitney_u", "stats_mann_whitney_z",
     "q_orders_pareto_8020",

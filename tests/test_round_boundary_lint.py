@@ -240,6 +240,7 @@ RENDERED_ALLOWED: dict[str, str] = {
     "stats_extreme_gumbel": IRRATIONAL,
     "stats_fdr_bh": IRRATIONAL,
     "stats_fisher_z_corr_diff": IRRATIONAL,
+    "stats_g_test": IRRATIONAL,  # o·ln(o/e) sum
     "stats_geometric_mean": IRRATIONAL,  # exp/sqrt columns (arith_mean exact)
     "stats_granger_daily": COMPOUND_RATIONAL,
     "stats_hill_tail": IRRATIONAL,
