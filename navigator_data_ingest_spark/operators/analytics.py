@@ -16803,3 +16803,221 @@ def q_union_by_name_sql() -> str:
            sum(cents)::BIGINT AS cents
     FROM u
     """
+
+
+def stats_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test on daily revenue: the S
+    statistic computed WITHIN each calendar month (pairs only compare
+    January to January, never January to July) and summed — the
+    de-seasonalized monotonic-trend test demand series need where plain
+    MK (stats_mann_kendall) confounds seasonality with trend.
+
+    Fact collapse to the DAYS-bounded day grain first (exact integer
+    cents), then ONE month-equality self-join bounded by
+    (days-per-month)² per season; per-season tie terms from the
+    (month, value) grid. S and the summed variance stay integers —
+    var_s is integer-exact HALF_UP and z is +,−,÷,sqrt over
+    bit-identical integers, emitted RAW (functions/exact.py policy).
+    """
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.expr(
+                "sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))"
+            ).alias("y")
+        )
+        .select(F.month("day").alias("m"), "day", "y")
+    )
+    a = d.select(F.col("m").alias("ma"), F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = d.select(F.col("m").alias("mb"), F.col("day").alias("db"), F.col("y").alias("yb"))
+    s = a.join(
+        b, (F.col("ma") == F.col("mb")) & (F.col("da") < F.col("db"))
+    ).agg(F.sum(F.signum(F.col("yb") - F.col("ya")).cast("bigint")).alias("s_stat"))
+    per_m = d.groupBy("m").agg(F.count(F.lit(1)).alias("n_m"))
+    ties = (
+        d.groupBy("m", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("m")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_m")
+        )
+    )
+    var_terms = per_m.join(ties, "m").agg(
+        F.sum(
+            F.expr(
+                "cast(n_m as decimal(38,0)) * (n_m - 1) * (2 * n_m + 5) - tie_m"
+            )
+        ).alias("var18"),
+        F.sum("n_m").alias("n_days"),
+        F.count(F.lit(1)).alias("n_seasons"),
+    )
+    out = s.crossJoin(F.broadcast(var_terms))
+    var_d = "(cast(var18 as double) / 18.0)"
+    z = (
+        f"CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt({var_d}) "
+        f"WHEN s_stat < 0 THEN (s_stat + 1) / sqrt({var_d}) ELSE 0.0 END"
+    )
+    return out.selectExpr(
+        "n_days",
+        "cast(n_seasons as bigint) AS n_seasons",
+        "s_stat",
+        f"{sp_rat6('var18', '18')} AS var_s",
+        f"{z} AS z",
+    )
+
+
+def stats_seasonal_mann_kendall_sql() -> str:
+    var_d = "(var18::DOUBLE / 18.0)"
+    z = (
+        f"CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt({var_d}) "
+        f"WHEN s_stat < 0 THEN (s_stat + 1) / sqrt({var_d}) ELSE 0.0 END"
+    )
+    return f"""
+    WITH d AS (
+        SELECT month(o_orderdate::DATE) AS m, o_orderdate::DATE AS day,
+               sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS y
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY 1, 2
+    ), s AS (
+        SELECT sum(sign(b.y - a.y))::BIGINT AS s_stat
+        FROM d a JOIN d b ON a.m = b.m AND a.day < b.day
+    ), per_m AS (
+        SELECT m, count(*)::BIGINT AS n_m FROM d GROUP BY 1
+    ), ties AS (
+        SELECT m, sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_m
+        FROM (SELECT m, y, count(*)::BIGINT AS t FROM d GROUP BY 1, 2)
+        GROUP BY 1
+    ), vt AS (
+        SELECT sum(CAST(n_m AS HUGEINT) * (n_m - 1) * (2 * n_m + 5)
+                   - tie_m)::HUGEINT AS var18,
+               sum(n_m)::BIGINT AS n_days,
+               count(*)::BIGINT AS n_seasons
+        FROM per_m JOIN ties USING (m)
+    )
+    SELECT n_days, n_seasons, s_stat,
+           {dk_rat6('var18', '18')} AS var_s,
+           {z} AS z
+    FROM s CROSS JOIN vt
+    """
+
+
+def stats_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Mantel–Haenszel stratified 2×2 analysis: the
+    urgent-priority × returned-lineitem association CONTROLLED FOR
+    market segment — the confounder-adjusted version of
+    stats_odds_ratio (Simpson's-paradox insurance: a marginal OR can
+    invert once a stratifier is held fixed). Reports the
+    Mantel-Haenszel pooled odds ratio and the CMH chi-square with
+    continuity correction.
+
+    One lineitem collapse to an order-grain returned flag, broadcast
+    segment dimension, one SEGMENTS-bounded 4-cell-per-stratum
+    aggregate; the MH ratio and CMH statistic are float combinations
+    of per-stratum rationals with differing denominators
+    (COMPOUND_RATIONAL — rounded at 6 dp, both engines identical
+    text). NULL segment is its own stratum; orders with no lineitems
+    have no outcome (inner join, both engines).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            # a NULL returnflag is simply not 'R' (coalesce 0 keeps the
+            # outcome two-valued so every joined order lands in exactly
+            # one 2x2 cell — count(*) == a+b+c+d per stratum)
+            F.max(
+                F.coalesce((F.col("l_returnflag") == "R").cast("int"), F.lit(0))
+            ).alias("ret")
+        )
+    )
+    # NULL priority has no exposure arm — dropped in BOTH engines (the
+    # stats_odds_ratio rule; the NULL-inject axis caught the count(*)
+    # stratum total silently including rows the cells exclude)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isNotNull())
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("exposed"),
+        )
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    strata = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("<null>")).alias("seg"))
+        .agg(
+            F.sum((F.col("exposed") & (F.col("ret") == 1)).cast("bigint")).alias("a"),
+            F.sum((F.col("exposed") & (F.col("ret") == 0)).cast("bigint")).alias("b"),
+            F.sum((~F.col("exposed") & (F.col("ret") == 1)).cast("bigint")).alias("c"),
+            F.sum((~F.col("exposed") & (F.col("ret") == 0)).cast("bigint")).alias("d"),
+        )
+        .withColumn("n", F.expr("a + b + c + d"))
+    )
+    agg = strata.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.expr("sum(a * cast(d as double) / n)").alias("mh_num"),
+        F.expr("sum(b * cast(c as double) / n)").alias("mh_den"),
+        F.expr("sum(a)").alias("sum_a"),
+        F.expr("sum((a + b) * cast(a + c as double) / n)").alias("sum_e"),
+        F.expr(
+            "sum((a + b) * cast(c + d as double) * (a + c) * (b + d)"
+            " / (cast(n as double) * n * (n - 1)))"
+        ).alias("sum_v"),
+    )
+    cmh = (
+        "((abs(sum_a - sum_e) - 0.5) * (abs(sum_a - sum_e) - 0.5) / sum_v)"
+    )
+    return agg.selectExpr(
+        "cast(n_strata as bigint) AS n_strata",
+        "cast(sum_a as bigint) AS exposed_returned",
+        "round(mh_num / mh_den, 6) AS or_mh",
+        "round(sum_e, 6) AS expected",
+        f"round({cmh}, 6) AS cmh_chi2",
+    )
+
+
+def stats_cmh_sql() -> str:
+    cmh = "((abs(sum_a - sum_e) - 0.5) * (abs(sum_a - sum_e) - 0.5) / sum_v)"
+    return f"""
+    WITH li AS (
+        SELECT l_orderkey,
+               max(coalesce((l_returnflag = 'R')::INT, 0)) AS ret
+        FROM lineitem GROUP BY 1
+    ), j AS (
+        SELECT coalesce(c_mktsegment, '<null>') AS seg,
+               o_orderpriority IN ('1-URGENT', '2-HIGH') AS exposed,
+               ret
+        FROM orders
+        JOIN li ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderpriority IS NOT NULL
+    ), strata AS (
+        SELECT seg,
+               sum((exposed AND ret = 1)::INT)::BIGINT AS a,
+               sum((exposed AND ret = 0)::INT)::BIGINT AS b,
+               sum((NOT exposed AND ret = 1)::INT)::BIGINT AS c,
+               sum((NOT exposed AND ret = 0)::INT)::BIGINT AS d,
+               count(*)::BIGINT AS n
+        FROM j GROUP BY 1
+    ), agg AS (
+        SELECT count(*)::BIGINT AS n_strata,
+               sum(a * d::DOUBLE / n) AS mh_num,
+               sum(b * c::DOUBLE / n) AS mh_den,
+               sum(a)::BIGINT AS sum_a,
+               sum((a + b) * (a + c)::DOUBLE / n) AS sum_e,
+               sum((a + b) * (c + d)::DOUBLE * (a + c) * (b + d)
+                   / (n::DOUBLE * n * (n - 1))) AS sum_v
+        FROM strata
+    )
+    SELECT n_strata, sum_a AS exposed_returned,
+           round(mh_num / mh_den, 6) AS or_mh,
+           round(sum_e, 6) AS expected,
+           round({cmh}, 6) AS cmh_chi2
+    FROM agg
+    """

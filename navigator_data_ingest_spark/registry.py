@@ -180,6 +180,7 @@ _FRONT_NEW: frozenset[str] = frozenset({
     "src_text_lines", "stats_welch_t", "q_sql_rank_functions",
     "q_sql_lateral_subquery", "corpus_lm_holdout_ppl",
     "stats_dunn_posthoc", "stats_g_test", "q_union_by_name",
+    "stats_seasonal_mann_kendall", "stats_cmh",
 })
 
 
@@ -6791,5 +6792,19 @@ register(
     "q_union_by_name",
     analytics.q_union_by_name,
     analytics.q_union_by_name_sql(),
+    front=True,
+)
+
+register(
+    "stats_seasonal_mann_kendall",
+    analytics.stats_seasonal_mann_kendall,
+    analytics.stats_seasonal_mann_kendall_sql(),
+    front=True,
+)
+
+register(
+    "stats_cmh",
+    analytics.stats_cmh,
+    analytics.stats_cmh_sql(),
     front=True,
 )

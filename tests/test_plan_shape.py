@@ -160,6 +160,9 @@ _DELIBERATE_NESTED_LOOP = {
     # 1-row min/max + (n, k, ties) broadcasts onto the K-row group grid
     # and its K²-bounded pair self-join (round-7 Dunn post-hoc)
     "stats_dunn_posthoc",
+    # 1-row summed-variance broadcast onto the 1-row S aggregate
+    # (round-7 seasonal Mann-Kendall)
+    "stats_seasonal_mann_kendall",
     # 1-row bigram-slot total broadcast onto the min-count pair table
     "text_collocations",
     # 1-row corpus-end broadcast (censoring cutoff) + 1-row total onto

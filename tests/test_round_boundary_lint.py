@@ -97,6 +97,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/analytics.py", "stats_benford_second_sql"): IRRATIONAL,
     ("operators/analytics.py", "stats_bootstrap_ci_sql"): IRRATIONAL,  # sqrt
     ("operators/analytics.py", "stats_chi_square_sql"): COMPOUND_RATIONAL,
+    ("operators/analytics.py", "stats_cmh"): COMPOUND_RATIONAL,
+    ("operators/analytics.py", "stats_cmh_sql"): COMPOUND_RATIONAL,
     ("operators/analytics.py", "stats_cochran_armitage"): IRRATIONAL,  # z over sqrt
     ("operators/analytics.py", "stats_cochran_armitage_sql"): IRRATIONAL,
     ("operators/analytics.py", "stats_deming_regression"): COMPOUND_RATIONAL,
@@ -232,6 +234,7 @@ RENDERED_ALLOWED: dict[str, str] = {
     "stats_cohens_d": IRRATIONAL,  # /sqrt pooled sd
     "stats_cpk": IRRATIONAL,
     "stats_crosstab_residuals": IRRATIONAL,  # residual z over sqrt (e is exact)
+    "stats_cmh": COMPOUND_RATIONAL,  # per-stratum rational sums
     "stats_cuped": FLOAT_DATA,  # covariances of double spend values
     "stats_deming_regression": COMPOUND_RATIONAL,
     "stats_durbin_watson": COMPOUND_RATIONAL,
