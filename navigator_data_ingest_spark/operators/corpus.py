@@ -3547,7 +3547,7 @@ def stats_gains_table_sql() -> str:
                sum(k) OVER ()::BIGINT AS tot_k
         FROM vc
     ), d AS (
-        SELECT ({GAINS_BUCKETS} * (tot_n - below) + tot_n - 1) // tot_n
+        SELECT (({GAINS_BUCKETS} * (tot_n - below) + tot_n - 1) // tot_n)::BIGINT
                    AS decile,
                n, k, tot_n, tot_k
         FROM cum

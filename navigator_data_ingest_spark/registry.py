@@ -27,6 +27,31 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 # whole registry instead of re-certifying the same head. The full local
 # sweep (scripts/sweep.py) stays the all-query safety net.
 _DRIVER_CERTIFIED = frozenset({
+    # round 7 sample (CORRECTNESS_r07.json): 43 hash-green, including
+    # both r6 value-level fails re-certified (stats_wilcoxon_signed_rank
+    # exact var_w units, stats_mann_whitney_z raw emission) and the
+    # long-green column-bisect diagnostics (_epoch/_load/_z), which
+    # retire from the head window per VERDICT r7 #7 but stay registered
+    # as regression canaries. The 7 r7 hash FAILs (all one mechanical
+    # class: cross-engine final RESULT-TYPE divergence — DuckDB HUGEINT
+    # vs Spark bigint, ANSI decimal division vs DOUBLE) are deliberately
+    # NOT listed: round 8 re-fronts them plus the census-named latent
+    # members so CORRECTNESS_r08 certifies the whole class at once.
+    "cdc_merge_into", "corpus_curriculum_order", "corpus_kfold_splits",
+    "corpus_lm_holdout_ppl", "dedup_phonetic", "emb_dim_relevance",
+    "graph_shortest_paths", "mm_byte_entropy", "q_events_concurrency_epoch",
+    "q_events_concurrency_load", "q_events_nth_value", "q_groupingsets_api",
+    "q_nation_trade_matrix", "q_orders_interarrival",
+    "q_orders_seasonality_index", "q_sql_exists_in", "q_sql_group_by_all",
+    "q_sql_join_hints", "q_sql_lateral_subquery", "q_sql_rank_functions",
+    "q_sql_star_except", "q_sql_try_cast", "q_tablesample", "q_union_by_name",
+    "stats_chao1_vocab", "stats_cmh", "stats_dunn_posthoc", "stats_g_test",
+    "stats_gwet_ac1", "stats_iqr_outliers", "stats_mann_whitney_z",
+    "stats_mcc_langid", "stats_median_test", "stats_mode_exact",
+    "stats_seasonal_mann_kendall", "stats_sprt_ab", "stats_welch_t",
+    "stats_wilcoxon_signed_rank", "stream_foreachbatch_retry",
+    "text_conditional_entropy", "text_f1_langid", "text_good_turing",
+    "text_ocr_artifacts",
     # round 6 sample (CORRECTNESS_r06.json): 47 hash-green, including two
     # of the four r5 round-half fails (stats_runs_test,
     # stats_capture_recapture — the functions/exact.py fix held). The
@@ -148,39 +173,54 @@ _DRIVER_CERTIFIED = frozenset({
 # certified
 _FRONT: set[str] = set()
 
-# Round-7 column-bisect triage (VERDICT r6 "What's wrong" #3): the three
-# r6 driver hash-fails plus their single-column diagnostic splits MUST
-# land at the very head of the driver's head-50 sample so
-# CORRECTNESS_r07 names the flipping cell. Listed in bisect order:
-# diagnostics first (each isolates one column family), then the full ops.
+# Round-8 head block (VERDICT r7 "Next round" #3): the r7 type-surface
+# class, fixed this round, pinned at positions 1-12 so CORRECTNESS_r08
+# certifies the whole class in one round — the 5 distinct failing ops +
+# the 2 still-flipping diagnostics + the 4 latent members the judge's
+# type census named + sink_checksum_manifest (checksum re-emitted as
+# string, same class). The long-green diagnostics (_epoch/_load/_z) are
+# retired to _DRIVER_CERTIFIED per VERDICT r7 #7.
 _HEAD_FIRST: tuple[str, ...] = (
     "q_events_concurrency_peak",
-    "q_events_concurrency_epoch",
-    "q_events_concurrency_load",
     "stats_mann_whitney_u",
-    "stats_mann_whitney_z",
     "q_events_concurrency",
     "stats_mann_whitney",
-    "stats_wilcoxon_signed_rank",
+    "q_sql_agg_filter",
+    "q_sql_pivot",
+    "src_text_lines",
+    "stats_gains_table",
+    "stats_nelson_aalen",
+    "stats_qq_normal",
+    "stats_benford_second",
+    "sink_checksum_manifest",
 )
 _HEAD_POS = {n: i for i, n in enumerate(_HEAD_FIRST)}
 
-# This round's NEW operators: highest-risk uncertified names after the
-# triage block, so they precede older never-sampled front names in the
-# driver's head-50 window.
+# Round-8 sample fill (VERDICT r7 "Next round" #5): after the head-12
+# triage block, the remaining ~38 driver-sample slots go to the oldest
+# never-driver-sampled keys — the zero-certification families first
+# (sample_*, pack_*, split_*, filter_blocklist, the remaining
+# stream_*), then the never-sampled §2.2 source/sink round-trips, then
+# the oldest never-sampled TPC-H suite members. New round-8 operators
+# also go here.
 _FRONT_NEW: frozenset[str] = frozenset({
-    "q_groupingsets_api", "q_tablesample", "q_sql_group_by_all",
-    "q_sql_star_except", "q_orders_seasonality_index", "stats_median_test",
-    "stats_gwet_ac1", "stats_chao1_vocab", "text_good_turing",
-    "text_f1_langid", "cdc_merge_into", "stream_foreachbatch_retry",
-    "q_sql_agg_filter", "q_sql_try_cast", "q_events_nth_value",
-    "stats_mcc_langid", "stats_mode_exact", "text_ocr_artifacts",
-    "stats_sprt_ab", "q_sql_exists_in", "corpus_curriculum_order",
-    "q_sql_pivot", "q_sql_join_hints", "corpus_kfold_splits",
-    "src_text_lines", "stats_welch_t", "q_sql_rank_functions",
-    "q_sql_lateral_subquery", "corpus_lm_holdout_ppl",
-    "stats_dunn_posthoc", "stats_g_test", "q_union_by_name",
-    "stats_seasonal_mann_kendall", "stats_cmh",
+    # zero-certification families (18)
+    "sample_class_balance", "sample_neyman_allocation", "sample_stratified",
+    "sample_temperature", "sample_cap_per_source", "pack_boundary_stats",
+    "pack_sequences", "split_train_holdout", "filter_blocklist",
+    "stream_unique_users_windowed", "stream_enrich_join", "stream_dedup_wm",
+    "stream_session_append", "stream_windowed_topk",
+    "stream_foreachbatch_upsert", "stream_outer_join_expiry",
+    "stream_static_enrich", "stream_incremental_files",
+    # never-sampled §2.2 source/sink round-trips (9)
+    "src_csv_roundtrip", "src_jsonl_roundtrip", "src_orc_roundtrip",
+    "src_binary_files", "src_corrupt_quarantine", "sink_bucketed_join",
+    "sink_partitioned_prune", "sink_compact", "sink_partition_overwrite",
+    # oldest never-sampled TPC-H suite + classic analytics (11)
+    "q_orders_rollup", "q_orders_pivot", "q_events_percentiles",
+    "q6_revenue_delta", "q4_order_priority", "q12_priority_lines",
+    "q14_promo_revenue", "q18_large_orders", "q19_bracket_revenue",
+    "q13_order_distribution", "q22_idle_customers",
 })
 
 

@@ -229,8 +229,12 @@ def sink_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             # DECIMAL(38,0) accumulator: a BIGINT sum of 32-bit row
             # hashes overflows (ANSI raises) at ~2^31 rows/partition —
-            # the witness.py overflow discipline applied to the sink
-            F.sum(F.expr(f"cast({h} as decimal(38,0))")).alias(
+            # the witness.py overflow discipline applied to the sink.
+            # Emitted as STRING: Spark decimal(38,0) and DuckDB
+            # HUGEINT/DECIMAL(38,0) are different hash surfaces for the
+            # driver (the src_text_lines r7 flip class), so both
+            # engines emit identical decimal-string bytes.
+            F.expr(f"cast(sum(cast({h} as decimal(38,0))) as string)").alias(
                 "content_checksum"
             ),
             F.min("o_orderkey").alias("min_key"),
@@ -252,7 +256,7 @@ def sink_checksum_manifest_sql() -> str:
     return f"""
     SELECT o_orderpriority AS partition_value,
            count(*)::BIGINT AS n_rows,
-           sum({h}::HUGEINT)::DECIMAL(38,0) AS content_checksum,
+           sum({h}::HUGEINT)::VARCHAR AS content_checksum,
            min(o_orderkey)::BIGINT AS min_key,
            max(o_orderkey)::BIGINT AS max_key
     FROM orders

@@ -887,10 +887,14 @@ def src_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from navigator_data_ingest_spark.functions import exprs as X
 
     out = sink_path("documents_txt", sf_dir)
+    # \r is escaped too: spark.read.text's default lineSep splits on
+    # \r and \r\n as well as \n, so an unescaped carriage return would
+    # split one record into two on read-back (r7 ADVICE).
     esc = (
         "concat(cast(doc_id as string), '\\t',"
-        " replace(replace(replace(coalesce(text, ''),"
-        " '\\\\', '\\\\\\\\'), '\\t', '\\\\t'), '\\n', '\\\\n'))"
+        " replace(replace(replace(replace(coalesce(text, ''),"
+        " '\\\\', '\\\\\\\\'), '\\t', '\\\\t'), '\\r', '\\\\r'),"
+        " '\\n', '\\\\n'))"
     )
     (
         load_table(spark, sf_dir, "documents")
@@ -900,12 +904,15 @@ def src_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lines = spark.read.text(out)
     h = X.sp_hash32("value", "txtline")
-    # DECIMAL(38,0) accumulator: a BIGINT sum of 2^32-range hashes
-    # overflows past ~2^31 rows (the checksum-manifest discipline)
+    # DECIMAL(38,0) accumulator (a BIGINT sum of 2^32-range hashes
+    # overflows past ~2^31 rows — the checksum-manifest discipline),
+    # emitted as STRING: neither engine's wide-integer surface maps to
+    # the other's (Spark decimal(38,0) vs DuckDB HUGEINT — r7 driver
+    # hash flip), so both emit identical decimal-string bytes.
     return lines.selectExpr(
         "count(*) AS n_lines",
         "count(DISTINCT split(value, '\\t', 2)[0]) AS n_doc_ids",
-        f"cast(sum(cast({h} as decimal(38,0))) as decimal(38,0))"
+        f"cast(sum(cast({h} as decimal(38,0))) as string)"
         " AS line_checksum",
     )
 
@@ -915,8 +922,8 @@ def src_text_lines_sql() -> str:
 
     esc = (
         "doc_id::VARCHAR || chr(9) ||"
-        " replace(replace(replace(coalesce(text, ''),"
-        " '\\', '\\\\'), chr(9), '\\t'), chr(10), '\\n')"
+        " replace(replace(replace(replace(coalesce(text, ''),"
+        " '\\', '\\\\'), chr(9), '\\t'), chr(13), '\\r'), chr(10), '\\n')"
     )
     h = X.dk_hash32("line", "txtline")
     return f"""
@@ -925,6 +932,6 @@ def src_text_lines_sql() -> str:
     )
     SELECT count(*)::BIGINT AS n_lines,
            count(DISTINCT doc_id)::BIGINT AS n_doc_ids,
-           sum(({h})::HUGEINT)::HUGEINT AS line_checksum
+           sum(({h})::HUGEINT)::VARCHAR AS line_checksum
     FROM l
     """

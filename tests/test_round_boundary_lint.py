@@ -372,6 +372,39 @@ def test_no_stale_rendered_entries():
     )
 
 
+def test_oracle_final_types_stay_on_surface():
+    """Round-8 upgrade (VERDICT r7 "Next round" #6): the r7 driver
+    hash-flips were uncast DuckDB ``sum(BIGINT)``/window-sum finals
+    (HUGEINT) and decimal finals diverging from Spark's double/bigint
+    surface. Instead of regexing for uncast sums (fragile), bind every
+    RENDERED oracle in DuckDB — no execution, no Spark — and assert no
+    final column surfaces as HUGEINT or DECIMAL. The full cross-engine
+    census (test_type_surface.py) proves Spark agrees; this fast lint
+    catches the dominant class the moment a new oracle is registered.
+
+    A deliberate wide-integer output must be emitted as VARCHAR on both
+    engines (the src_text_lines / sink_checksum_manifest discipline).
+    """
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import duckdb_con
+
+    import __spark_entry__ as entry
+
+    con = duckdb_con(SF_SMOKE)
+    offenders: list[str] = []
+    for name, sql in entry.oracle_sql().items():
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, [str(t) for t in rel.types]):
+            up = typ.upper()
+            if "HUGEINT" in up or "DECIMAL" in up:
+                offenders.append(f"{name}.{col}: {typ}")
+    assert not offenders, (
+        "oracle finals off the blessed type surface (cast ::BIGINT / "
+        "::DOUBLE, or ::VARCHAR for deliberate wide integers): "
+        + ", ".join(sorted(offenders))
+    )
+
+
 def test_fstring_interpolation_is_visible_to_rendered_scan():
     """Guard: the exact construction that hid the r6 escapee — a
     division living in an interpolated variable — MUST match once

@@ -100,3 +100,53 @@ def test_parquet_footer_stats_pinned(spark):
         for r in duckdb.sql(src_parquet_footer_stats_sql(SF_CORRECT)).fetchall()
     }
     assert dk == expected
+
+
+def test_text_lines_cr_escaping_roundtrip(spark):
+    """src_text_lines must survive carriage returns: spark.read.text's
+    default lineSep splits on \\r and \\r\\n as well as \\n, so an
+    unescaped CR in any document would split one record into two on
+    read-back, diverging n_lines and line_checksum from the oracle
+    (r7 ADVICE — latent until a CR-bearing corpus arrives)."""
+    import duckdb
+    import pandas as pd
+
+    from navigator_data_ingest_spark.sources.flat import (
+        src_text_lines,
+        src_text_lines_sql,
+    )
+
+    texts = [
+        "plain line",
+        "carriage\rreturn",
+        "windows\r\nnewline",
+        "unix\nnewline",
+        "tab\tand backslash \\ mix",
+        "trailing cr\r",
+        "\rleading cr",
+        "esc soup \\r \\n \\t \r\n\t\\",
+        "",
+        None,
+    ]
+    tmp = tempfile.mkdtemp(prefix="nav_spark_crfix_")
+    pd.DataFrame(
+        {
+            "doc_id": range(1, len(texts) + 1),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["fixture"] * len(texts),
+            "n_chars": [len(t) if t else 0 for t in texts],
+        }
+    ).to_parquet(os.path.join(tmp, "documents.parquet"))
+
+    row = src_text_lines(spark, tmp).collect()[0]
+    assert row.n_lines == len(texts)
+    assert row.n_doc_ids == len(texts)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp}/documents.parquet'"
+    )
+    dk = con.sql(src_text_lines_sql()).fetchone()
+    assert (row.n_lines, row.n_doc_ids, row.line_checksum) == dk
+    assert isinstance(row.line_checksum, str)
