@@ -15720,6 +15720,16 @@ def stats_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi-square n(ad−bc)²/(r₁r₂c₁c₂) is a PURE integer rational —
     integer-exact HALF_UP through decimal-widened products. NULL
     values are not observations (both engines).
+
+    MAGNITUDE BOUND (r7 ADVICE; the sibling-op discipline): the sp_units
+    numerator N·(ad−bc)²·2·10⁶ grows as N⁵/8 worst-case, exceeding
+    decimal(38,0)/HUGEINT once the click+purchase observation count
+    passes ≈3.8M rows WITH near-perfect association ((ad−bc) ≈ N²/4).
+    Realistic tables stay far below (independent-ish cells keep
+    |ad−bc| ≪ N²), but past the bound Spark's non-ANSI overflow yields
+    NULL while DuckDB raises — divergence in failure MODE, not value. A
+    100 TB deployment feeding >4M test observations should pre-sample
+    (the test's power saturates orders of magnitude earlier anyway).
     """
     ev = (
         load_table(spark, sf_dir, "events")
@@ -16654,12 +16664,32 @@ def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ra / na AS mean_rank_a",
         "rb / nb AS mean_rank_b",
         f"{z} AS z",
-        # Bonferroni at the K(K-1)/2 family: |z| > Phi^-1(1 - 0.025/m);
-        # the quantile is data-dependent via k, so compare against the
-        # shared closed-form threshold both engines compute identically
-        f"abs({z}) > 2.0 + ln(cast(k * (k - 1) as double) / 2.0) / 2.0"
-        " AS notable",
+        # Bonferroni at the K(K-1)/2 family: |z| > Phi^-1(1 - 0.025/m).
+        # k is data-dependent, so the threshold is a CASE over Python-
+        # precomputed literals (in-engine ln() re-exposes JVM-vs-libm
+        # last-ulp differences in crossing decisions — the SPRT-constant
+        # rationale; r7 ADVICE); in-engine ln only past k=16, documented.
+        f"abs({z}) > {_dunn_threshold_case()} AS notable",
     ).orderBy("type_a", "type_b")
+
+
+def _dunn_threshold_case() -> str:
+    """Shared-Python-literal Bonferroni thresholds for Dunn's test
+    (2 + ln(k(k-1)/2)/2 for each plausible group count k), emitted as
+    the same SQL text for Spark and DuckDB so the crossing decision is
+    bit-identical; beyond k=16 both engines fall back to in-engine ln
+    (residual last-ulp risk only at absurd family sizes)."""
+    import math
+
+    whens = " ".join(
+        f"WHEN {k} THEN cast({2.0 + math.log(k * (k - 1) / 2.0) / 2.0!r}"
+        " as double)"
+        for k in range(2, 17)
+    )
+    return (
+        f"(CASE k {whens} ELSE 2.0 + ln(cast(k * (k - 1) as double)"
+        " / 2.0) / 2.0 END)"
+    )
 
 
 def stats_dunn_posthoc_sql() -> str:
@@ -16698,7 +16728,7 @@ def stats_dunn_posthoc_sql() -> str:
              .replace('na', 'a.n_j').replace('nb', 'b.n_j')} AS z,
            abs({z.replace('ra', 'a.r_j').replace('rb', 'b.r_j')
                  .replace('na', 'a.n_j').replace('nb', 'b.n_j')})
-               > 2.0 + ln((k * (k - 1))::DOUBLE / 2.0) / 2.0 AS notable
+               > {_dunn_threshold_case()} AS notable
     FROM grp a JOIN grp b ON a.event_type < b.event_type
     CROSS JOIN tots
     ORDER BY type_a, type_b

@@ -542,7 +542,11 @@ def cdc_snapshot_diff_sql() -> str:
 # deterministic MERGE source rules (distinct moduli from the upsert op)
 MERGE_UPDATE_MOD = 3     # matched keys % 3 == 0 -> price restated
 MERGE_DELETE_MOD = 11    # matched keys % 11 == 0 -> delete wins
-MERGE_INSERT_SHIFT = 10_000_000  # not-matched source keys: key + shift
+# not-matched source keys: key + max(o_orderkey), derived IN-PLAN (1-row
+# broadcast, the seed-stripe discipline) — a fixed shift constant would
+# collide with existing target keys once orderkeys outgrow it (TPC-H
+# orderkey max ≈ 6M·SF), silently routing 'inserts' through the matched
+# arm (r7 ADVICE).
 MERGE_PRICE_SCALE = 0.9
 
 
@@ -565,7 +569,9 @@ def cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     The source batch derives deterministically from orders so the
     oracle replays it: matched %3==0 keys restate the price ×0.9,
     matched %11==0 keys delete (delete arm checked FIRST, as in MERGE),
-    and a disjoint (key + 10^7) slice arrives as inserts.
+    and a disjoint (key + max(o_orderkey)) slice arrives as inserts —
+    the shift is plan-derived so inserted keys stay collision-free at
+    ANY scale factor.
     """
     target = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -578,12 +584,17 @@ def cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         (F.col("o_totalprice") * MERGE_PRICE_SCALE).alias("new_price"),
     )
-    src_insert = target.where(F.col("o_orderkey") % 17 == 0).select(
-        (F.col("o_orderkey") + MERGE_INSERT_SHIFT).alias("o_orderkey"),
-        F.col("o_custkey"),
-        F.lit("N").alias("o_orderstatus"),
-        F.col("o_totalprice").alias("new_price"),
-        F.lit("5-LOW").alias("o_orderpriority"),
+    mx = target.agg(F.max("o_orderkey").alias("merge_shift"))
+    src_insert = (
+        target.where(F.col("o_orderkey") % 17 == 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("o_orderkey") + F.col("merge_shift")).alias("o_orderkey"),
+            F.col("o_custkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.col("o_totalprice").alias("new_price"),
+            F.lit("5-LOW").alias("o_orderpriority"),
+        )
     )
     source = src_matched.select(
         "o_orderkey", "new_price",
@@ -649,8 +660,8 @@ def cdc_merge_into_sql() -> str:
         WHERE o_orderkey % {MERGE_UPDATE_MOD} = 0
            OR o_orderkey % {MERGE_DELETE_MOD} = 0
         UNION ALL
-        SELECT o_orderkey + {MERGE_INSERT_SHIFT}, o_totalprice,
-               o_custkey, 'N', '5-LOW'
+        SELECT o_orderkey + (SELECT max(o_orderkey) FROM target),
+               o_totalprice, o_custkey, 'N', '5-LOW'
         FROM target WHERE o_orderkey % 17 = 0
     ), j AS (
         SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,

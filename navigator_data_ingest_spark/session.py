@@ -41,6 +41,12 @@ def get_spark(
         # Keep scan partitions reasonably sized for wide parquet.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # NOTE: ANSI mode is deliberately NOT configured here — the
+        # external driver runs a virgin Spark 4 session where ANSI is ON
+        # by default, and under ANSI `bigint / 2.0` types as DECIMAL
+        # division (vs DOUBLE on DuckDB). Final projections must never
+        # contain a bare decimal-literal division (SURVEY §4 type-surface
+        # rule; gated by tests/test_type_surface.py).
         # testdata events.parquet stores TIMESTAMP(NANOS); read as long and
         # convert to micros-timestamp in the source (lossless for our data).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

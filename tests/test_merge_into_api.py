@@ -80,9 +80,21 @@ def test_merge_semantics_plan_matches_builder_arms(spark):
     out = cdc.cdc_merge_into(spark, "/root/testdata/sf0.001")
     rows = {r["merge_action"] for r in out.select("merge_action").distinct().collect()}
     assert rows == {"U", "K", "I"}
-    # no deleted key survives
+    # no deleted key survives: the delete arm applies to MATCHED rows
+    # only, so exclude the (plan-shifted, collision-free) insert arm by
+    # action rather than by a fixed key bound (the shift is now derived
+    # from max(o_orderkey) in-plan — r7 ADVICE)
     deleted = out.where(
         (F.col("o_orderkey") % cdc.MERGE_DELETE_MOD == 0)
-        & (F.col("o_orderkey") < cdc.MERGE_INSERT_SHIFT)
+        & (F.col("merge_action") != "I")
     ).count()
     assert deleted == 0
+    # the insert arm is genuinely exercised and disjoint from target keys
+    mx = (
+        cdc.load_table(spark, "/root/testdata/sf0.001", "orders")
+        .agg(F.max("o_orderkey"))
+        .collect()[0][0]
+    )
+    inserted = out.where(F.col("merge_action") == "I")
+    assert inserted.count() > 0
+    assert inserted.where(F.col("o_orderkey") <= mx).count() == 0
