@@ -17086,3 +17086,743 @@ def stats_cmh_sql() -> str:
            round({cmh}, 6) AS cmh_chi2
     FROM agg
     """
+
+
+# --------------------------------------------------------------------------
+# round 8: ordered/ordinal rank tests, change detection, SAX profiling
+# --------------------------------------------------------------------------
+
+
+def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative test: does order value
+    rise (or fall) MONOTONICALLY across the ordinal priority ladder
+    1-URGENT -> 5-LOW? Kruskal-Wallis asks "any difference?"; JT asks
+    the sharper dose-response question an ordered factor deserves, with
+    far more power against monotone trends.
+
+    2·JT = Σ_v Σ_{i<j} (2·c_j(v)·below_i(v) + c_i(v)·c_j(v)) stays an
+    EXACT integer (ties contribute c_i·c_j/2 each — hence the doubling,
+    the stats_mann_whitney discipline applied to all K(K-1)/2 group
+    pairs at once). One distinct-value collapse carrying K=5 per-group
+    counts, two-level 1024-block prefix sums per group (block windows
+    partitioned, the offset window bounded at 1024 rows), a single
+    aggregate. The normal z uses the tie-uncorrected moments (exact
+    integer operands, sqrt the only float step — emitted RAW per the
+    functions/exact.py policy). NULL priority/price rows are not
+    observations (both engines).
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderpriority").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .selectExpr(
+            "cast(substr(o_orderpriority, 1, 1) as int) AS g",
+            "cast(round(o_totalprice * 100) as bigint) AS cents",
+        )
+    )
+    vc = o.groupBy("cents").agg(
+        *[
+            F.sum((F.col("g") == k).cast("bigint")).alias(f"c{k}")
+            for k in range(1, 6)
+        ]
+    )
+    rng = vc.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+    b = vc.crossJoin(F.broadcast(rng)).withColumn(
+        "blk",
+        F.least(
+            F.lit(1023),
+            F.floor(
+                (F.col("cents") - F.col("mn"))
+                / (F.col("mx") - F.col("mn") + F.lit(1e-9))
+                * 1024
+            ),
+        ),
+    )
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    for k in range(1, 6):
+        b = b.withColumn(
+            f"cum_in{k}", F.coalesce(F.sum(f"c{k}").over(w_in), F.lit(0))
+        )
+    bt = b.groupBy("blk").agg(
+        *[F.sum(f"c{k}").alias(f"blk_c{k}") for k in range(1, 6)]
+    )
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    for k in range(1, 6):
+        bt = bt.withColumn(
+            f"off{k}", F.coalesce(F.sum(f"blk_c{k}").over(w_blk), F.lit(0))
+        )
+    j = b.join(
+        F.broadcast(bt.select("blk", *[f"off{k}" for k in range(1, 6)])),
+        "blk",
+    )
+    for k in range(1, 6):
+        j = j.withColumn(f"below{k}", F.col(f"off{k}") + F.col(f"cum_in{k}"))
+    pair_terms = " + ".join(
+        f"(2 * c{jj} * below{ii} + c{ii} * c{jj})"
+        for ii in range(1, 6)
+        for jj in range(ii + 1, 6)
+    )
+    agg = j.agg(
+        *[F.sum(f"c{k}").alias(f"n{k}") for k in range(1, 6)],
+        F.expr(f"sum({pair_terms})").alias("jt2"),
+    )
+    n = "(n1 + n2 + n3 + n4 + n5)"
+    sum_n2 = "(n1*n1 + n2*n2 + n3*n3 + n4*n4 + n5*n5)"
+    # moments in DOUBLE from exact bigint inputs (n³ overflows bigint at
+    # large SF; both engines evaluate the identical IEEE expression)
+    mu2 = f"(cast({n} as double) * {n} - {sum_n2})"
+    var72 = (
+        f"(cast({n} as double) * {n} * (2.0 * {n} + 3.0)"
+        + "".join(
+            f" - cast(n{k} as double) * n{k} * (2.0 * n{k} + 3.0)"
+            for k in range(1, 6)
+        )
+        + ")"
+    )
+    # jt2 = 2·JT and mu2 = 4·μ (μ = (N²−Σn²)/4): JT−μ = (jt2 − mu2/2)/2
+    return agg.selectExpr(
+        f"{n} AS n_total",
+        "jt2",
+        f"(cast(jt2 as double) - {mu2} / 2.0) / 2.0"
+        f" / sqrt({var72} / 72.0) AS z",
+    )
+
+
+def stats_jonckheere_terpstra_sql() -> str:
+    pair_terms = " + ".join(
+        f"(2 * c{jj} * below{ii} + c{ii} * c{jj})"
+        for ii in range(1, 6)
+        for jj in range(ii + 1, 6)
+    )
+    cum_cols = ", ".join(
+        f"coalesce(sum(c{k}) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED"
+        f" PRECEDING AND 1 PRECEDING), 0) AS below{k}"
+        for k in range(1, 6)
+    )
+    n = "(n1 + n2 + n3 + n4 + n5)"
+    sum_n2 = "(n1*n1 + n2*n2 + n3*n3 + n4*n4 + n5*n5)"
+    mu2 = f"({n}::DOUBLE * {n} - {sum_n2})"
+    var72 = (
+        f"({n}::DOUBLE * {n} * (2.0 * {n} + 3.0)"
+        + "".join(
+            f" - n{k}::DOUBLE * n{k} * (2.0 * n{k} + 3.0)"
+            for k in range(1, 6)
+        )
+        + ")"
+    )
+    ccols = ", ".join(
+        f"sum((substr(o_orderpriority, 1, 1)::INT = {k})::INT)::BIGINT"
+        f" AS c{k}"
+        for k in range(1, 6)
+    )
+    ncols = ", ".join(f"sum(c{k})::BIGINT AS n{k}" for k in range(1, 6))
+    return f"""
+    WITH vc AS (
+        SELECT round(o_totalprice * 100)::BIGINT AS cents, {ccols}
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY 1
+    ), cum AS (
+        SELECT *, {cum_cols} FROM vc
+    ), agg AS (
+        SELECT {ncols}, sum({pair_terms})::BIGINT AS jt2 FROM cum
+    )
+    SELECT {n}::BIGINT AS n_total, jt2,
+           (jt2::DOUBLE - {mu2} / 2.0) / 2.0 / sqrt({var72} / 72.0) AS z
+    FROM agg
+    """
+
+
+def stats_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt non-parametric changepoint test on the daily-revenue
+    series: the day that maximizes |U_t| where U_t counts sign
+    agreements between the before/after halves — the rank-based
+    "did the level shift, and WHEN?" complement to
+    stats_cusum_changepoint's parametric mean-shift locator.
+
+    The O(T²) pair sum collapses to one linear pass via
+    U_t = Σ_{s<=t} W_s with W_s = #(days above x_s) − #(days below
+    x_s): a distinct-cents collapse with prefix counts gives every W_s
+    exactly (ties contribute zero), and U_t is a day-ordered prefix
+    sum. Every window sits on the DAYS-bounded calendar table. All
+    integers until the documented approximate p-value
+    2·exp(−6K²/(T³+T²)) — float exp over exact integer operands,
+    emitted RAW. NULL order dates drop (both engines).
+    """
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint)")
+            ).alias("cents")
+        )
+    )
+    vc = d.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    w_v = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    tot = F.broadcast(vc.agg(F.sum("c").alias("t_days")))
+    ranked = (
+        vc.withColumn("below", F.coalesce(F.sum("c").over(w_v), F.lit(0)))
+        .crossJoin(tot)
+        .select(
+            "cents",
+            (
+                F.col("t_days") - F.col("below") - F.col("c") - F.col("below")
+            ).alias("w_s"),
+        )
+    )
+    w_day = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    u = (
+        d.join(ranked, "cents")
+        .withColumn("u_t", F.sum("w_s").over(w_day))
+        .crossJoin(tot)
+    )
+    mx = F.broadcast(u.agg(F.max(F.abs(F.col("u_t"))).alias("k_max")))
+    agg = u.crossJoin(mx).agg(
+        F.max("t_days").alias("n_days"),
+        F.max("k_max").alias("k_stat"),
+        F.min(
+            F.when(F.abs(F.col("u_t")) == F.col("k_max"), F.col("day"))
+        ).alias("change_day"),
+    )
+    p = (
+        "2.0 * exp(-6.0 * cast(k_stat as double) * k_stat"
+        " / (cast(n_days as double) * n_days * n_days"
+        " + cast(n_days as double) * n_days))"
+    )
+    return agg.selectExpr(
+        "n_days", "k_stat", "change_day", f"least({p}, 1.0) AS p_approx"
+    )
+
+
+def stats_pettitt_changepoint_sql() -> str:
+    p = (
+        "2.0 * exp(-6.0 * k_stat::DOUBLE * k_stat"
+        " / (n_days::DOUBLE * n_days * n_days"
+        " + n_days::DOUBLE * n_days))"
+    )
+    return f"""
+    WITH d AS (
+        SELECT o_orderdate::DATE AS day,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ), vc AS (
+        SELECT cents, count(*)::BIGINT AS c FROM d GROUP BY 1
+    ), tot AS (
+        SELECT sum(c)::BIGINT AS t_days FROM vc
+    ), ranked AS (
+        SELECT cents,
+               (SELECT t_days FROM tot)
+                   - 2 * coalesce(sum(c) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   - c AS w_s
+        FROM vc
+    ), u AS (
+        SELECT day,
+               sum(w_s) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u_t
+        FROM d JOIN ranked USING (cents)
+    ), agg AS (
+        SELECT (SELECT t_days FROM tot) AS n_days,
+               max(abs(u_t))::BIGINT AS k_stat,
+               min(CASE WHEN abs(u_t) = (SELECT max(abs(u_t)) FROM u)
+                        THEN day END) AS change_day
+        FROM u
+    )
+    SELECT n_days, k_stat, change_day, least({p}, 1.0) AS p_approx
+    FROM agg
+    """
+
+
+def stats_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-points randomness test on the daily-revenue series: count
+    strict local maxima/minima and compare against the i.i.d.
+    expectation E[T] = 2(n−2)/3, var = (16n−29)/90 — the cheapest
+    "is this series random or structured?" screen (too few turns =
+    trend, too many = alternation), beside stats_runs_test's
+    above/below-median runs.
+
+    One DAYS-grain collapse, lag/lead on the bounded calendar axis,
+    exact integer count; the expectation is an exact rational
+    (integer-exact HALF_UP) and z is float only at the final sqrt
+    (raw emission). Ties with a neighbor break strictness and do not
+    count as turns — the convention both engines apply identically.
+    NULL order dates drop (both engines).
+    """
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint)")
+            ).alias("cents")
+        )
+    )
+    w = Window.orderBy("day")
+    t = d.select(
+        "cents",
+        F.lag("cents").over(w).alias("prv"),
+        F.lead("cents").over(w).alias("nxt"),
+    )
+    agg = t.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(
+            (
+                F.col("prv").isNotNull()
+                & F.col("nxt").isNotNull()
+                & (
+                    ((F.col("cents") > F.col("prv")) & (F.col("cents") > F.col("nxt")))
+                    | ((F.col("cents") < F.col("prv")) & (F.col("cents") < F.col("nxt")))
+                )
+            ).cast("bigint")
+        ).alias("n_turns"),
+    )
+    z = (
+        "(cast(n_turns as double) - 2.0 * (n_days - 2) / 3.0)"
+        " / sqrt((16.0 * n_days - 29.0) / 90.0)"
+    )
+    return agg.selectExpr(
+        "n_days",
+        "n_turns",
+        f"{sp_rat6('2 * (n_days - 2)', '3')} AS expected_turns",
+        f"{z} AS z",
+    )
+
+
+def stats_turning_points_sql() -> str:
+    z = (
+        "(n_turns::DOUBLE - 2.0 * (n_days - 2) / 3.0)"
+        " / sqrt((16.0 * n_days - 29.0) / 90.0)"
+    )
+    return f"""
+    WITH d AS (
+        SELECT o_orderdate::DATE AS day,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ), t AS (
+        SELECT cents,
+               lag(cents) OVER (ORDER BY day) AS prv,
+               lead(cents) OVER (ORDER BY day) AS nxt
+        FROM d
+    ), agg AS (
+        SELECT count(*)::BIGINT AS n_days,
+               sum((prv IS NOT NULL AND nxt IS NOT NULL
+                    AND ((cents > prv AND cents > nxt)
+                         OR (cents < prv AND cents < nxt)))::INT)::BIGINT
+                   AS n_turns
+        FROM t
+    )
+    SELECT n_days, n_turns,
+           {dk_rat6('2 * (n_days - 2)', '3')} AS expected_turns,
+           {z} AS z
+    FROM agg
+    """
+
+
+def stats_bartels_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartels' rank version of von Neumann's ratio on the daily-revenue
+    series: RVN = Σ(r_t − r_{t+1})² / Σ(r_t − r̄)² over day ranks — the
+    rank-robust serial-randomness test (≈2 under independence, <2 for
+    positive autocorrelation) beside stats_durbin_watson's parametric
+    residual version.
+
+    Ranks are tie-averaged on the exact 0.5 lattice, so DOUBLED ranks
+    are integers: both the successive-difference numerator and the
+    centered denominator (doubled mean = T+1 exactly) stay EXACT
+    integers after one ×4 scale that cancels in the ratio — RVN is a
+    pure integer rational (integer-exact HALF_UP), and the normal
+    z = (RVN − 2)·√T/2 is float only at the final sqrt (raw emission).
+    All windows sit on the DAYS-bounded calendar table. NULL order
+    dates drop (both engines).
+    """
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint)")
+            ).alias("cents")
+        )
+    )
+    rn = F.row_number().over(Window.orderBy("cents", "day"))
+    r = d.select("day", "cents", rn.alias("rn"))
+    # doubled tie-averaged rank: 2·avg(row_number) over the tie group
+    r = r.withColumn(
+        "r2",
+        F.expr("cast(2 * avg(rn) over (partition by cents) as bigint)"),
+    )
+    w = Window.orderBy("day")
+    t = r.select(
+        "r2", (F.lead("r2").over(w) - F.col("r2")).alias("d2")
+    )
+    # denominator needs T (doubled mean = T+1): 1-row broadcast
+    tot = F.broadcast(r.agg(F.count(F.lit(1)).alias("t_days")))
+    den = (
+        r.crossJoin(tot)
+        .agg(
+            F.max("t_days").alias("n_days"),
+            F.sum(
+                F.expr("(r2 - t_days - 1) * (r2 - t_days - 1)")
+            ).alias("den4"),
+        )
+    )
+    num = t.agg(F.sum(F.expr("d2 * d2")).alias("num4"))
+    out = den.crossJoin(F.broadcast(num))
+    z = (
+        "(cast(num4 as double) / den4 - 2.0)"
+        " * sqrt(cast(n_days as double)) / 2.0"
+    )
+    return out.selectExpr(
+        "n_days",
+        f"{sp_rat6('num4', 'den4')} AS rvn",
+        f"{z} AS z",
+    )
+
+
+def stats_bartels_rank_sql() -> str:
+    z = "(num4::DOUBLE / den4 - 2.0) * sqrt(n_days::DOUBLE) / 2.0"
+    return f"""
+    WITH d AS (
+        SELECT o_orderdate::DATE AS day,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ), rbase AS (
+        SELECT day, cents,
+               row_number() OVER (ORDER BY cents, day) AS rn
+        FROM d
+    ), r AS (
+        SELECT day,
+               (2 * avg(rn) OVER (PARTITION BY cents))::BIGINT AS r2
+        FROM rbase
+    ), t AS (
+        SELECT r2, lead(r2) OVER (ORDER BY day) - r2 AS d2 FROM r
+    ), num AS (
+        SELECT sum(d2 * d2)::BIGINT AS num4 FROM t
+    ), den AS (
+        SELECT count(*)::BIGINT AS n_days,
+               sum((r2 - (SELECT count(*) FROM r) - 1)
+                   * (r2 - (SELECT count(*) FROM r) - 1))::BIGINT AS den4
+        FROM r
+    )
+    SELECT n_days, {dk_rat6('num4', 'den4')} AS rvn, {z} AS z
+    FROM den CROSS JOIN num
+    """
+
+
+def stats_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-weighted Cohen's kappa on an ORDINAL scale — the
+    agreement audit where being one rung apart is half as wrong as two
+    (plain kappa, stats_cohens_kappa, scores both as total
+    disagreement). Rater A is the order's priority rung 1..5; rater B
+    is a deterministic restatement (every 7th key bumped up a rung,
+    every 11th down, clamped) so the oracle replays both raters
+    exactly.
+
+    With linear weights the whole statistic collapses to disagreement
+    DISTANCES: κ_w = 1 − N·D_o/D_e with D_o = Σ n_ij·|i−j| (one
+    map-side pass) and D_e = Σ row_i·col_j·|i−j| over the 5×5 margin
+    grid (two 5-row aggregates cross-joined — bounded). Pure integer
+    rationals end-to-end (integer-exact HALF_UP, decimal-widened
+    products). NULL priority rows are not rated (both engines).
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isNotNull())
+        .selectExpr(
+            "cast(substr(o_orderpriority, 1, 1) as int) AS p",
+            "least(5, greatest(1,"
+            " cast(substr(o_orderpriority, 1, 1) as int)"
+            " + CASE WHEN o_orderkey % 7 = 0 THEN 1"
+            "        WHEN o_orderkey % 11 = 0 THEN -1 ELSE 0 END)) AS q",
+        )
+    )
+    base = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("abs(p - q)")).alias("d_o"),
+        F.sum((F.col("p") == F.col("q")).cast("bigint")).alias("n_agree"),
+    )
+    rows = o.groupBy("p").agg(F.count(F.lit(1)).alias("row_n"))
+    cols = o.groupBy("q").agg(F.count(F.lit(1)).alias("col_n"))
+    de = (
+        rows.crossJoin(F.broadcast(cols))
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(row_n as decimal(38,0)) * col_n * abs(p - q)"
+                )
+            ).alias("d_e")
+        )
+    )
+    out = base.crossJoin(F.broadcast(de))
+    return out.selectExpr(
+        "n AS n_orders",
+        "d_o AS disagreement_steps",
+        f"{sp_rat6('n_agree', 'n')} AS p_agree",
+        f"{sp_rat6('d_e - cast(n as decimal(38,0)) * d_o', 'd_e')}"
+        " AS kappa_w",
+    )
+
+
+def stats_weighted_kappa_sql() -> str:
+    return f"""
+    WITH o AS (
+        SELECT substr(o_orderpriority, 1, 1)::INT AS p,
+               least(5, greatest(1,
+                   substr(o_orderpriority, 1, 1)::INT
+                   + CASE WHEN o_orderkey % 7 = 0 THEN 1
+                          WHEN o_orderkey % 11 = 0 THEN -1 ELSE 0 END)) AS q
+        FROM orders WHERE o_orderpriority IS NOT NULL
+    ), base AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(abs(p - q))::BIGINT AS d_o,
+               sum((p = q)::INT)::BIGINT AS n_agree
+        FROM o
+    ), rows_ AS (
+        SELECT p, count(*)::BIGINT AS row_n FROM o GROUP BY 1
+    ), cols_ AS (
+        SELECT q, count(*)::BIGINT AS col_n FROM o GROUP BY 1
+    ), de AS (
+        SELECT sum(row_n::HUGEINT * col_n * abs(p - q)) AS d_e
+        FROM rows_ CROSS JOIN cols_
+    )
+    SELECT n AS n_orders, d_o AS disagreement_steps,
+           {dk_rat6('n_agree', 'n')} AS p_agree,
+           {dk_rat6('d_e - n::HUGEINT * d_o', 'd_e')} AS kappa_w
+    FROM base CROSS JOIN de
+    """
+
+
+def stats_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W: do the months AGREE on
+    how the five priority classes rank by revenue? The m-judges ×
+    k-items agreement statistic (W=1 every month ranks priorities
+    identically, W=0 no consensus) — the multi-rater generalization of
+    stats_spearman_daily's two-series rank correlation, with
+    stats_friedman's within-block ranking machinery turned into an
+    effect size.
+
+    Blocks are complete months only (all 5 priorities present — the
+    classic complete-block requirement, enforced identically in both
+    engines). Within-month ranks tie-average on the 0.5 lattice over
+    EXACT integer cell revenues, so doubled ranks and the doubled
+    rank-sum deviations are integers: S and the tie term Σ(t³−t) stay
+    exact, and W = 12S/(m²(k³−k) − m·ΣT) is a pure integer rational
+    (integer-exact HALF_UP). Bounded everywhere: cells ≤ months×5,
+    every window partitioned by month. NULL dates/priorities drop.
+    """
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
+        .groupBy(
+            F.expr("date_trunc('MONTH', cast(o_orderdate as date))").alias(
+                "mth"
+            ),
+            F.expr("cast(substr(o_orderpriority, 1, 1) as int)").alias("g"),
+        )
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint)")
+            ).alias("cents")
+        )
+    )
+    full = (
+        cells.groupBy("mth")
+        .agg(F.countDistinct("g").alias("kk"))
+        .where(F.col("kk") == 5)
+        .select("mth")
+    )
+    c = cells.join(full, "mth")
+    rn = F.row_number().over(
+        Window.partitionBy("mth").orderBy("cents", "g")
+    )
+    r = c.select("mth", "g", "cents", rn.alias("rn"))
+    r = r.withColumn(
+        "r2",
+        F.expr(
+            "cast(2 * avg(rn) over (partition by mth, cents) as bigint)"
+        ),
+    )
+    ties = (
+        c.groupBy("mth", "cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(F.expr("t * t * t - t")).alias("tie3"),
+        )
+    )
+    grid = r.groupBy("g").agg(F.sum("r2").alias("rs2"))
+    m = F.broadcast(full.agg(F.count(F.lit(1)).alias("m")))
+    s4 = (
+        grid.crossJoin(m)
+        .agg(
+            F.sum(
+                F.expr("(rs2 - m * 6) * (rs2 - m * 6)")
+            ).alias("s4"),
+            F.max("m").alias("m"),
+        )
+    )
+    out = s4.crossJoin(F.broadcast(ties))
+    return out.selectExpr(
+        "m AS n_months",
+        f"{sp_rat6('3 * cast(s4 as decimal(38,0))', 'cast(m as decimal(38,0)) * m * 120 - cast(m as decimal(38,0)) * tie3')}"
+        " AS kendall_w",
+    )
+
+
+def stats_kendall_w_sql() -> str:
+    return f"""
+    WITH cells AS (
+        SELECT date_trunc('month', o_orderdate::DATE) AS mth,
+               substr(o_orderpriority, 1, 1)::INT AS g,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+        GROUP BY 1, 2
+    ), full_m AS (
+        SELECT mth FROM cells GROUP BY 1 HAVING count(DISTINCT g) = 5
+    ), c AS (
+        SELECT cells.* FROM cells JOIN full_m USING (mth)
+    ), rbase AS (
+        SELECT mth, g, cents,
+               row_number() OVER (PARTITION BY mth ORDER BY cents, g) AS rn
+        FROM c
+    ), r AS (
+        SELECT g,
+               (2 * avg(rn) OVER (PARTITION BY mth, cents))::BIGINT AS r2
+        FROM rbase
+    ), ties AS (
+        SELECT sum(t * t * t - t)::BIGINT AS tie3
+        FROM (SELECT count(*)::BIGINT AS t FROM c GROUP BY mth, cents)
+    ), grid AS (
+        SELECT g, sum(r2)::BIGINT AS rs2 FROM r GROUP BY 1
+    ), mm AS (
+        SELECT count(*)::BIGINT AS m FROM full_m
+    ), s AS (
+        SELECT sum((rs2 - m * 6) * (rs2 - m * 6))::BIGINT AS s4,
+               max(m)::BIGINT AS m
+        FROM grid CROSS JOIN mm
+    )
+    SELECT m AS n_months,
+           {dk_rat6('3 * s4::HUGEINT', 'm::HUGEINT * m * 120 - m::HUGEINT * tie3')}
+        AS kendall_w
+    FROM s CROSS JOIN ties
+    """
+
+
+def q_events_sax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-style symbolic daily-rhythm profile per event type: the 24h
+    cycle compressed to eight 3-hour segments, each segment's activity
+    mapped to a 4-letter alphabet (a = quietest quartile .. d =
+    busiest) by WITHIN-TYPE rank — the symbolic-aggregate
+    representation time-series motif mining and cheap rhythm
+    clustering run on ("is purchase traffic a two-peak 'bdcadbca'
+    type?") without a single float.
+
+    Exactness discipline: segment loads are integer counts; symbols
+    come from rank-of-8 (row_number, ties broken by segment index —
+    documented, deterministic), not from z-normalized breakpoints, so
+    NO float ever enters the word. The spine cross-join (distinct
+    types × 8 literal segments) keeps absent segments as explicit
+    zero-load 'a's. Bounded everywhere: the grid is |types|×8; the
+    ranking window partitions by type. NULL type/ts rows drop (both
+    engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_type", F.expr("hour(ts) div 3").alias("seg")
+        )
+    )
+    cnt = ev.groupBy("event_type", "seg").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(1).select(
+                    F.explode(F.expr("sequence(0, 7)")).alias("seg")
+                )
+            )
+        )
+    )
+    g = spine.join(cnt, ["event_type", "seg"], "left").fillna(
+        0, subset=["cnt"]
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("cnt", "seg")
+    )
+    sym = g.select("event_type", "seg", "cnt", rn.alias("rn")).select(
+        "event_type",
+        "seg",
+        "cnt",
+        F.expr("substring('abcd', ((rn - 1) * 4) div 8 + 1, 1)").alias(
+            "sym"
+        ),
+    )
+    return (
+        sym.groupBy("event_type")
+        .agg(
+            F.expr(
+                "concat_ws('', transform(array_sort(collect_list("
+                "struct(seg, sym))), s -> s.sym))"
+            ).alias("sax_word"),
+            F.sum("cnt").alias("n_events"),
+            F.expr("min(CASE WHEN sym = 'd' THEN seg END)").alias(
+                "first_peak_seg"
+            ),
+            F.expr("min(CASE WHEN sym = 'a' THEN seg END)").alias(
+                "first_quiet_seg"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_events_sax_profile_sql() -> str:
+    return """
+    WITH ev AS (
+        SELECT event_type, hour(ts::TIMESTAMP) // 3 AS seg
+        FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ), cnt AS (
+        SELECT event_type, seg, count(*)::BIGINT AS cnt
+        FROM ev GROUP BY 1, 2
+    ), spine AS (
+        SELECT t.event_type, g.seg
+        FROM (SELECT DISTINCT event_type FROM ev) t
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seg) g
+    ), grid AS (
+        SELECT s.event_type, s.seg, coalesce(c.cnt, 0)::BIGINT AS cnt
+        FROM spine s LEFT JOIN cnt c
+          ON s.event_type = c.event_type AND s.seg = c.seg
+    ), sym AS (
+        SELECT event_type, seg, cnt,
+               substr('abcd',
+                      ((row_number() OVER (PARTITION BY event_type
+                                           ORDER BY cnt, seg) - 1) * 4)
+                      // 8 + 1, 1) AS sym
+        FROM grid
+    )
+    SELECT event_type,
+           string_agg(sym, '' ORDER BY seg) AS sax_word,
+           sum(cnt)::BIGINT AS n_events,
+           min(CASE WHEN sym = 'd' THEN seg END)::BIGINT AS first_peak_seg,
+           min(CASE WHEN sym = 'a' THEN seg END)::BIGINT AS first_quiet_seg
+    FROM sym
+    GROUP BY event_type
+    ORDER BY event_type
+    """

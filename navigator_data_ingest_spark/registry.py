@@ -95,7 +95,10 @@ _DRIVER_CERTIFIED = frozenset({
     "stats_cramers_v", "stats_deming_regression", "stats_extreme_gumbel",
     "stats_jarque_bera", "stats_kendall_tau", "stats_kruskal_wallis",
     "stats_levene", "stats_mcnemar", "stats_moving_median",
-    "stats_qq_normal", "stats_seasonal_decompose", "stats_spectral_peak",
+    # stats_qq_normal was certified r5 but its z_theory emission changed
+    # in round 8 (judge-census latent type flip; now a Python-pre-rounded
+    # double literal) — de-listed so the driver re-certifies it.
+    "stats_seasonal_decompose", "stats_spectral_peak",
     "stats_tost_equivalence", "stats_two_way_anova", "stats_var_cvar",
     "stats_winsorized_trimmed", "stream_quota_enforcer", "text_jsd_drift",
     "text_rake_keywords",
@@ -216,11 +219,13 @@ _FRONT_NEW: frozenset[str] = frozenset({
     "src_csv_roundtrip", "src_jsonl_roundtrip", "src_orc_roundtrip",
     "src_binary_files", "src_corrupt_quarantine", "sink_bucketed_join",
     "sink_partitioned_prune", "sink_compact", "sink_partition_overwrite",
-    # oldest never-sampled TPC-H suite + classic analytics (11)
+    # round-8 NEW operators (7) — never judged, highest risk
+    "stats_jonckheere_terpstra", "stats_pettitt_changepoint",
+    "stats_turning_points", "stats_bartels_rank", "stats_weighted_kappa",
+    "stats_kendall_w", "q_events_sax_profile",
+    # oldest never-sampled TPC-H suite + classic analytics (4)
     "q_orders_rollup", "q_orders_pivot", "q_events_percentiles",
-    "q6_revenue_delta", "q4_order_priority", "q12_priority_lines",
-    "q14_promo_revenue", "q18_large_orders", "q19_bracket_revenue",
-    "q13_order_distribution", "q22_idle_customers",
+    "q6_revenue_delta",
 })
 
 
@@ -6848,3 +6853,66 @@ register(
     analytics.stats_cmh_sql(),
     front=True,
 )
+
+
+# --------------------------------------------------------------------------
+# round 8: ordered/ordinal rank tests, change detection, SAX profiling
+# --------------------------------------------------------------------------
+
+register(
+    "stats_jonckheere_terpstra",
+    analytics.stats_jonckheere_terpstra,
+    analytics.stats_jonckheere_terpstra_sql(),
+    front=True,
+)
+
+register(
+    "stats_pettitt_changepoint",
+    analytics.stats_pettitt_changepoint,
+    analytics.stats_pettitt_changepoint_sql(),
+    front=True,
+)
+
+register(
+    "stats_turning_points",
+    analytics.stats_turning_points,
+    analytics.stats_turning_points_sql(),
+    front=True,
+)
+
+register(
+    "stats_bartels_rank",
+    analytics.stats_bartels_rank,
+    analytics.stats_bartels_rank_sql(),
+    front=True,
+)
+
+register(
+    "stats_weighted_kappa",
+    analytics.stats_weighted_kappa,
+    analytics.stats_weighted_kappa_sql(),
+    front=True,
+)
+
+register(
+    "stats_kendall_w",
+    analytics.stats_kendall_w,
+    analytics.stats_kendall_w_sql(),
+    front=True,
+)
+
+register(
+    "q_events_sax_profile",
+    analytics.q_events_sax_profile,
+    analytics.q_events_sax_profile_sql(),
+    front=True,
+)
+
+
+# Round-8 rotation invariant: every name pinned into the driver's
+# head-50 window (_HEAD_FIRST triage + _FRONT_NEW rotation picks) counts
+# as front-flagged regardless of how its original register() call was
+# made, so the emission order stays monotone front -> never-certified ->
+# certified (test_registry_rotation_puts_uncertified_queries_first).
+_FRONT.update(_HEAD_FIRST)
+_FRONT.update(_FRONT_NEW)

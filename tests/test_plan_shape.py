@@ -344,6 +344,19 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_benford_second",
     # broadcast bounded query stripe scored once + 1-row sweep stats
     "emb_lsh_tuning",
+    # round 8: 1-row min/max range broadcast onto the block mapper
+    "stats_jonckheere_terpstra",
+    # 1-row day-count / max-|U| broadcasts onto the DAYS-bounded series
+    "stats_pettitt_changepoint",
+    "stats_bartels_rank",
+    # 5-row margin grids + 1-row totals (bounded 5x5 expectation)
+    "stats_weighted_kappa",
+    # 1-row month-count broadcast onto the 5-row treatment grid
+    "stats_kendall_w",
+    # distinct-types x 8-literal-segment spine
+    "q_events_sax_profile",
+    # 1-row plan-derived insert-shift broadcast (max orderkey)
+    "cdc_merge_into",
 }
 
 
@@ -443,6 +456,13 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "q_orders_abc_class",
     # <=1024-row score-block offset table (AUC prefix sum)
     "stats_auc_classifier",
+    # round 8: 1024-block offset table (per-group prefix sums)
+    "stats_jonckheere_terpstra",
+    # DAYS-bounded calendar series (distinct-cents prefix, day prefix,
+    # lag/lead, rank windows)
+    "stats_pettitt_changepoint",
+    "stats_turning_points",
+    "stats_bartels_rank",
 }
 
 
