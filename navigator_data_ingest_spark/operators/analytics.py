@@ -17826,3 +17826,248 @@ def q_events_sax_profile_sql() -> str:
     GROUP BY event_type
     ORDER BY event_type
     """
+
+
+def stats_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-association battery for priority (5 rungs) vs fulfilled
+    status (binary): concordant/discordant pair counts and the three
+    classic normalizations — Goodman-Kruskal gamma (ties dropped),
+    Somers' D(y|x) (y-ties penalized — the direction a "does priority
+    predict fulfillment?" question needs), and Kendall tau-b (both tie
+    margins). stats_kendall_tau ranks two CONTINUOUS series; this is
+    the contingency-grid version where all pair counting collapses to
+    the bounded 5×2 cell table.
+
+    C/D/tie counts are exact integer sums over the 10×10 cell
+    cross-join (bounded — never the corpus); gamma and D(y|x) are pure
+    integer rationals (integer-exact HALF_UP), tau-b's sqrt denominator
+    is the one float step (raw emission). NULL priority/status rows are
+    not observations (both engines).
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderpriority").isNotNull()
+            & F.col("o_orderstatus").isNotNull()
+        )
+        .selectExpr(
+            "cast(substr(o_orderpriority, 1, 1) as int) AS x",
+            "cast(o_orderstatus = 'F' as int) AS y",
+        )
+    )
+    cells = o.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n"))
+    a = cells.selectExpr("x AS xa", "y AS ya", "n AS na")
+    b = cells.selectExpr("x AS xb", "y AS yb", "n AS nb")
+    pairs = a.join(F.broadcast(b), F.expr("xa < xb"))
+    agg = pairs.agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN ya < yb THEN cast(na as decimal(38,0)) * nb"
+                " ELSE 0 END"
+            )
+        ).alias("c_pairs"),
+        F.sum(
+            F.expr(
+                "CASE WHEN ya > yb THEN cast(na as decimal(38,0)) * nb"
+                " ELSE 0 END"
+            )
+        ).alias("d_pairs"),
+        F.sum(
+            F.expr(
+                "CASE WHEN ya = yb THEN cast(na as decimal(38,0)) * nb"
+                " ELSE 0 END"
+            )
+        ).alias("ty_pairs"),
+    )
+    # x-ties with differing y: within each x rung, n_x0 * n_x1
+    tx = (
+        cells.groupBy("x")
+        .agg(
+            F.sum(F.expr("CASE WHEN y = 0 THEN n ELSE 0 END")).alias("n0"),
+            F.sum(F.expr("CASE WHEN y = 1 THEN n ELSE 0 END")).alias("n1"),
+        )
+        .agg(
+            F.sum(F.expr("cast(n0 as decimal(38,0)) * n1")).alias("tx_pairs")
+        )
+    )
+    out = agg.crossJoin(F.broadcast(tx))
+    taub = (
+        "(cast(c_pairs - d_pairs as double)"
+        " / sqrt(cast(c_pairs + d_pairs + tx_pairs as double)"
+        " * cast(c_pairs + d_pairs + ty_pairs as double)))"
+    )
+    return out.selectExpr(
+        "cast(c_pairs as bigint) AS concordant",
+        "cast(d_pairs as bigint) AS discordant",
+        f"{sp_rat6('c_pairs - d_pairs', 'c_pairs + d_pairs')} AS gamma",
+        f"{sp_rat6('c_pairs - d_pairs', 'c_pairs + d_pairs + ty_pairs')}"
+        " AS somers_d_yx",
+        f"{taub} AS tau_b",
+    )
+
+
+def stats_somers_d_sql() -> str:
+    taub = (
+        "((c_pairs - d_pairs)::DOUBLE"
+        " / sqrt((c_pairs + d_pairs + tx_pairs)::DOUBLE"
+        " * (c_pairs + d_pairs + ty_pairs)::DOUBLE))"
+    )
+    return f"""
+    WITH o AS (
+        SELECT substr(o_orderpriority, 1, 1)::INT AS x,
+               (o_orderstatus = 'F')::INT AS y
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+    ), cells AS (
+        SELECT x, y, count(*)::BIGINT AS n FROM o GROUP BY 1, 2
+    ), pairs AS (
+        SELECT sum(CASE WHEN a.y < b.y THEN a.n::HUGEINT * b.n
+                        ELSE 0 END) AS c_pairs,
+               sum(CASE WHEN a.y > b.y THEN a.n::HUGEINT * b.n
+                        ELSE 0 END) AS d_pairs,
+               sum(CASE WHEN a.y = b.y THEN a.n::HUGEINT * b.n
+                        ELSE 0 END) AS ty_pairs
+        FROM cells a JOIN cells b ON a.x < b.x
+    ), tx AS (
+        SELECT sum(n0::HUGEINT * n1) AS tx_pairs
+        FROM (SELECT x,
+                     sum(CASE WHEN y = 0 THEN n ELSE 0 END)::BIGINT AS n0,
+                     sum(CASE WHEN y = 1 THEN n ELSE 0 END)::BIGINT AS n1
+              FROM cells GROUP BY 1)
+    )
+    SELECT c_pairs::BIGINT AS concordant,
+           d_pairs::BIGINT AS discordant,
+           {dk_rat6('c_pairs - d_pairs', 'c_pairs + d_pairs')} AS gamma,
+           {dk_rat6('c_pairs - d_pairs', 'c_pairs + d_pairs + ty_pairs')}
+               AS somers_d_yx,
+           {taub} AS tau_b
+    FROM pairs CROSS JOIN tx
+    """
+
+
+def stats_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade test — Friedman's within-block ranking REWEIGHTED by how
+    much each block discriminates (months with a wide revenue spread
+    across priorities count more): the more powerful small-k
+    alternative every applied-stats text recommends at k ≤ 5, beside
+    stats_friedman (equal-weight) and stats_kendall_w (effect size) on
+    the same months × priorities design.
+
+    Complete blocks only. Within-month ranks and the month-range ranks
+    both tie-average on the 0.5 lattice over EXACT integer cell cents,
+    so the weighted scores s_ij = Q_i·(r_ij − (k+1)/2) are exact on the
+    ×4 lattice and the statistic F = (m−1)·B/(A−B) collapses to a PURE
+    integer rational (m·Σs4² − ΣS4_j² in the denominator — the ×16
+    scale cancels; integer-exact HALF_UP). Bounded everywhere: cells ≤
+    months×5, the month-range rank window sits on the ≤|months| table.
+    NULL dates/priorities drop (both engines).
+    """
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
+        .groupBy(
+            F.expr("date_trunc('MONTH', cast(o_orderdate as date))").alias(
+                "mth"
+            ),
+            F.expr("cast(substr(o_orderpriority, 1, 1) as int)").alias("g"),
+        )
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint)")
+            ).alias("cents")
+        )
+    )
+    full = (
+        cells.groupBy("mth")
+        .agg(F.countDistinct("g").alias("kk"))
+        .where(F.col("kk") == 5)
+        .select("mth")
+    )
+    c = cells.join(full, "mth")
+    rn = F.row_number().over(
+        Window.partitionBy("mth").orderBy("cents", "g")
+    )
+    r = c.select("mth", "g", "cents", rn.alias("rn")).withColumn(
+        "r2",
+        F.expr(
+            "cast(2 * avg(rn) over (partition by mth, cents) as bigint)"
+        ),
+    )
+    ranges = c.groupBy("mth").agg(
+        (F.max("cents") - F.min("cents")).alias("rng")
+    )
+    qrn = F.row_number().over(Window.orderBy("rng", "mth"))
+    q = ranges.select("mth", "rng", qrn.alias("qrn")).withColumn(
+        "q2",
+        F.expr(
+            "cast(2 * avg(qrn) over (partition by rng) as bigint)"
+        ),
+    )
+    s = r.join(q.select("mth", "q2"), "mth").select(
+        "g", F.expr("q2 * (r2 - 6)").alias("s4")
+    )
+    a16 = s.agg(F.sum(F.expr("cast(s4 as decimal(38,0)) * s4")).alias("a16"))
+    sj = s.groupBy("g").agg(F.sum("s4").alias("s4_j"))
+    b16m = sj.agg(
+        F.sum(F.expr("cast(s4_j as decimal(38,0)) * s4_j")).alias("b16m")
+    )
+    m = F.broadcast(full.agg(F.count(F.lit(1)).alias("m")))
+    out = a16.crossJoin(F.broadcast(b16m)).crossJoin(m)
+    return out.selectExpr(
+        "m AS n_months",
+        f"{sp_rat6('cast(m - 1 as decimal(38,0)) * b16m', 'cast(m as decimal(38,0)) * a16 - b16m')}"
+        " AS quade_f",
+    )
+
+
+def stats_quade_sql() -> str:
+    return f"""
+    WITH cells AS (
+        SELECT date_trunc('month', o_orderdate::DATE) AS mth,
+               substr(o_orderpriority, 1, 1)::INT AS g,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+        GROUP BY 1, 2
+    ), full_m AS (
+        SELECT mth FROM cells GROUP BY 1 HAVING count(DISTINCT g) = 5
+    ), c AS (
+        SELECT cells.* FROM cells JOIN full_m USING (mth)
+    ), rbase AS (
+        SELECT mth, g, cents,
+               row_number() OVER (PARTITION BY mth ORDER BY cents, g) AS rn
+        FROM c
+    ), r AS (
+        SELECT mth, g,
+               (2 * avg(rn) OVER (PARTITION BY mth, cents))::BIGINT AS r2
+        FROM rbase
+    ), ranges AS (
+        SELECT mth, max(cents) - min(cents) AS rng FROM c GROUP BY 1
+    ), qbase AS (
+        SELECT mth, rng,
+               row_number() OVER (ORDER BY rng, mth) AS qrn
+        FROM ranges
+    ), q AS (
+        SELECT mth,
+               (2 * avg(qrn) OVER (PARTITION BY rng))::BIGINT AS q2
+        FROM qbase
+    ), s AS (
+        SELECT g, q2 * (r2 - 6) AS s4
+        FROM r JOIN q USING (mth)
+    ), a16 AS (
+        SELECT sum(s4::HUGEINT * s4) AS a16 FROM s
+    ), sj AS (
+        SELECT g, sum(s4)::BIGINT AS s4_j FROM s GROUP BY 1
+    ), b16m AS (
+        SELECT sum(s4_j::HUGEINT * s4_j) AS b16m FROM sj
+    ), mm AS (
+        SELECT count(*)::BIGINT AS m FROM full_m
+    )
+    SELECT m AS n_months,
+           {dk_rat6('(m - 1)::HUGEINT * b16m', 'm::HUGEINT * a16 - b16m')}
+               AS quade_f
+    FROM a16 CROSS JOIN b16m CROSS JOIN mm
+    """

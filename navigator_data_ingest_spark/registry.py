@@ -219,13 +219,13 @@ _FRONT_NEW: frozenset[str] = frozenset({
     "src_csv_roundtrip", "src_jsonl_roundtrip", "src_orc_roundtrip",
     "src_binary_files", "src_corrupt_quarantine", "sink_bucketed_join",
     "sink_partitioned_prune", "sink_compact", "sink_partition_overwrite",
-    # round-8 NEW operators (7) — never judged, highest risk
+    # round-8 NEW operators (9) — never judged, highest risk
     "stats_jonckheere_terpstra", "stats_pettitt_changepoint",
     "stats_turning_points", "stats_bartels_rank", "stats_weighted_kappa",
-    "stats_kendall_w", "q_events_sax_profile",
-    # oldest never-sampled TPC-H suite + classic analytics (4)
-    "q_orders_rollup", "q_orders_pivot", "q_events_percentiles",
-    "q6_revenue_delta",
+    "stats_kendall_w", "q_events_sax_profile", "stats_somers_d",
+    "stats_quade",
+    # oldest never-sampled TPC-H suite (2)
+    "q_orders_rollup", "q_orders_pivot",
 })
 
 
@@ -6905,6 +6905,21 @@ register(
     "q_events_sax_profile",
     analytics.q_events_sax_profile,
     analytics.q_events_sax_profile_sql(),
+    front=True,
+)
+
+
+register(
+    "stats_somers_d",
+    analytics.stats_somers_d,
+    analytics.stats_somers_d_sql(),
+    front=True,
+)
+
+register(
+    "stats_quade",
+    analytics.stats_quade,
+    analytics.stats_quade_sql(),
     front=True,
 )
 

@@ -357,6 +357,10 @@ _DELIBERATE_NESTED_LOOP = {
     "q_events_sax_profile",
     # 1-row plan-derived insert-shift broadcast (max orderkey)
     "cdc_merge_into",
+    # bounded 10x10 cell self-join + 1-row tie-total broadcast
+    "stats_somers_d",
+    # 1-row A/B/m broadcasts over the bounded month x priority grid
+    "stats_quade",
 }
 
 
@@ -463,6 +467,8 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "stats_pettitt_changepoint",
     "stats_turning_points",
     "stats_bartels_rank",
+    # MONTHS-bounded block-weight rank window (<=|months| rows)
+    "stats_quade",
 }
 
 
