@@ -18071,3 +18071,280 @@ def stats_quade_sql() -> str:
                AS quade_f
     FROM a16 CROSS JOIN b16m CROSS JOIN mm
     """
+
+
+def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann location estimate of daily revenue: the median of
+    all pairwise Walsh averages (x_i + x_j)/2, i ≤ j — the robust
+    location estimator with 0.29 breakdown AND near-normal efficiency
+    (the "better median" rank texts pair with stats_theil_sen's slope
+    and the Wilcoxon machinery), reported beside the plain median and
+    mean for the classic robustness triptych.
+
+    The O(T²) Walsh set is BOUNDED (calendar² pairs, never corpus²): a
+    DAYS-grain collapse first, then a day ≤ day self-join. The Walsh
+    median does NOT go through percentile() — buffering the ~3M pair
+    rows in one aggregation task measured 9.5 s where the distinct-sum
+    histogram + two-level 1024-block cumulative-rank lookup (the repo's
+    percentile-lattice discipline) runs in ~2 s and never single-tasks.
+    Doubled Walsh sums are exact integers and 2·median picks the two
+    straddling rank positions exactly, so every emitted value is an
+    exact integer or an exact rational. NULL dates drop (both engines).
+    """
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint)")
+            ).alias("cents")
+        )
+    )
+    a = d.selectExpr("day AS da", "cents AS ca")
+    b = d.selectExpr("day AS db", "cents AS cb")
+    g = (
+        a.join(b, F.expr("da <= db"))
+        .selectExpr("ca + cb AS w2")
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rng = g.agg(F.min("w2").alias("mn"), F.max("w2").alias("mx"))
+    blk = g.crossJoin(F.broadcast(rng)).withColumn(
+        "blk",
+        F.least(
+            F.lit(1023),
+            F.floor(
+                (F.col("w2") - F.col("mn"))
+                / (F.col("mx") - F.col("mn") + F.lit(1e-9))
+                * 1024
+            ),
+        ),
+    )
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("w2")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blk = blk.withColumn(
+        "cum_in", F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+    )
+    bt = blk.groupBy("blk").agg(F.sum("cnt").alias("blk_n"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    bt = bt.withColumn(
+        "off", F.coalesce(F.sum("blk_n").over(w_blk), F.lit(0))
+    )
+    tot = F.broadcast(g.agg(F.sum("cnt").alias("n_pairs")))
+    ranks = (
+        blk.join(F.broadcast(bt.select("blk", "off")), "blk")
+        .crossJoin(tot)
+        .selectExpr(
+            "w2",
+            "cnt",
+            "off + cum_in AS below",
+            "n_pairs",
+            "(n_pairs + 1) div 2 AS lo_rank",
+            "n_pairs div 2 + 1 AS hi_rank",
+        )
+    )
+    agg = ranks.agg(
+        F.max("n_pairs").alias("n_pairs"),
+        F.sum(
+            F.expr(
+                "CASE WHEN below < lo_rank AND lo_rank <= below + cnt"
+                " THEN w2 ELSE 0 END"
+            )
+        ).alias("hl_lo"),
+        F.sum(
+            F.expr(
+                "CASE WHEN below < hi_rank AND hi_rank <= below + cnt"
+                " THEN w2 ELSE 0 END"
+            )
+        ).alias("hl_hi"),
+    ).selectExpr("n_pairs", "hl_lo + hl_hi AS hl4")
+    med = d.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr(
+            "cast(round(percentile(cents, 0.5) * 2) as bigint)"
+        ).alias("med2"),
+        F.sum("cents").alias("total"),
+    )
+    out = agg.crossJoin(F.broadcast(med))
+    # hl4 = 4·HL (Walsh sums are 2·avg, the doubled median doubles again)
+    return out.selectExpr(
+        "n_days",
+        "n_pairs",
+        f"{sp_rat('hl4', '400', 2)} AS hl_dollars",
+        f"{sp_rat('med2', '200', 2)} AS median_dollars",
+        f"{sp_rat('total', 'cast(n_days as decimal(38,0)) * 100', 2)}"
+        " AS mean_dollars",
+    )
+
+
+def stats_hodges_lehmann_sql() -> str:
+    return f"""
+    WITH d AS (
+        SELECT o_orderdate::DATE AS day,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ), g AS (
+        SELECT a.cents + b.cents AS w2, count(*)::BIGINT AS cnt
+        FROM d a JOIN d b ON a.day <= b.day
+        GROUP BY 1
+    ), cum AS (
+        SELECT w2, cnt,
+               coalesce(sum(cnt) OVER (ORDER BY w2
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below,
+               (SELECT sum(cnt)::BIGINT FROM g) AS n_pairs
+        FROM g
+    ), agg AS (
+        SELECT max(n_pairs)::BIGINT AS n_pairs,
+               (sum(CASE WHEN below < (n_pairs + 1) // 2
+                         AND (n_pairs + 1) // 2 <= below + cnt
+                         THEN w2 ELSE 0 END)
+                + sum(CASE WHEN below < n_pairs // 2 + 1
+                           AND n_pairs // 2 + 1 <= below + cnt
+                           THEN w2 ELSE 0 END))::BIGINT AS hl4
+        FROM cum
+    ), med AS (
+        SELECT count(*)::BIGINT AS n_days,
+               round(quantile_cont(cents, 0.5) * 2)::BIGINT AS med2,
+               sum(cents)::BIGINT AS total
+        FROM d
+    )
+    SELECT n_days, n_pairs,
+           {dk_rat('hl4', '400', 2)} AS hl_dollars,
+           {dk_rat('med2', '200', 2)} AS median_dollars,
+           {dk_rat('total', 'n_days::HUGEINT * 100', 2)} AS mean_dollars
+    FROM agg CROSS JOIN med
+    """
+
+
+def stats_ww_runs_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz two-sample runs test: pool click and purchase
+    values, sort, and count label runs — too FEW runs means the two
+    samples separate (any distributional difference, not just
+    location), the omnibus complement to stats_mann_whitney (location)
+    and stats_ks_two_sample (max gap). stats_runs_test is the
+    one-sample above/below-median cousin.
+
+    Ties are broken deterministically (all clicks before purchases at
+    an equal value — documented; the classic test assumes continuous
+    data). NO global sort of the corpus: the distinct-value collapse
+    carries (ca, cb) per value, so runs count = Σ within-value
+    boundaries (+1 where both groups present) + Σ adjacent-value
+    boundaries (last label of v ≠ first label of v′) + 1 — and
+    adjacency comes from a GLOBAL POSITION assembled from the
+    two-level 1024-block prefix machinery (block-partitioned
+    row_number + bounded block-offset table), then a pos = pos+1
+    self-equijoin. Exact integers into the raw-sqrt z. NULL values
+    are not observations (both engines).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("value").isNotNull()
+        )
+        .select((F.col("event_type") == F.lit("click")).alias("is_a"), "value")
+    )
+    vc = ev.groupBy("value").agg(
+        F.sum(F.col("is_a").cast("bigint")).alias("ca"),
+        F.sum((~F.col("is_a")).cast("bigint")).alias("cb"),
+    )
+    rng = vc.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    b = vc.crossJoin(F.broadcast(rng)).withColumn(
+        "blk",
+        F.least(
+            F.lit(1023),
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                / (F.col("mx") - F.col("mn") + F.lit(1e-9))
+                * 1024
+            ),
+        ),
+    )
+    w_in = Window.partitionBy("blk").orderBy("value")
+    b = b.withColumn("rn_in", F.row_number().over(w_in))
+    bt = b.groupBy("blk").agg(F.count(F.lit(1)).alias("blk_n"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    bt = bt.withColumn("off", F.coalesce(F.sum("blk_n").over(w_blk), F.lit(0)))
+    p = (
+        b.join(F.broadcast(bt.select("blk", "off")), "blk")
+        .selectExpr(
+            "off + rn_in AS pos",
+            "ca",
+            "cb",
+            # labels at the edges of this value's span (clicks first)
+            "CASE WHEN ca > 0 THEN 'a' ELSE 'b' END AS first_lbl",
+            "CASE WHEN cb > 0 THEN 'b' ELSE 'a' END AS last_lbl",
+            "CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END AS inner_bnd",
+        )
+    )
+    nxt = p.selectExpr("pos - 1 AS pos", "first_lbl AS nxt_first")
+    j = p.join(nxt, "pos", "left")
+    agg = j.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        (
+            F.sum("inner_bnd")
+            + F.sum(
+                F.expr(
+                    "CASE WHEN nxt_first IS NOT NULL"
+                    " AND nxt_first <> last_lbl THEN 1 ELSE 0 END"
+                )
+            )
+            + F.lit(1)
+        ).alias("runs"),
+    )
+    mu = "(1.0 + 2.0 * n_a * cast(n_b as double) / (n_a + n_b))"
+    var = (
+        "(2.0 * n_a * cast(n_b as double)"
+        " * (2.0 * n_a * cast(n_b as double) - n_a - n_b)"
+        " / ((cast(n_a as double) + n_b) * (n_a + n_b)"
+        " * (n_a + n_b - 1.0)))"
+    )
+    return agg.selectExpr(
+        "n_a",
+        "n_b",
+        "runs",
+        f"(cast(runs as double) - {mu}) / sqrt({var}) AS z",
+    )
+
+
+def stats_ww_runs_two_sample_sql() -> str:
+    mu = "(1.0 + 2.0 * n_a * n_b::DOUBLE / (n_a + n_b))"
+    var = (
+        "(2.0 * n_a * n_b::DOUBLE * (2.0 * n_a * n_b::DOUBLE - n_a - n_b)"
+        " / ((n_a::DOUBLE + n_b) * (n_a + n_b) * (n_a + n_b - 1.0)))"
+    )
+    return f"""
+    WITH vc AS (
+        SELECT value,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS ca,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS cb
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+        GROUP BY value
+    ), p AS (
+        SELECT row_number() OVER (ORDER BY value) AS pos, ca, cb,
+               CASE WHEN ca > 0 THEN 'a' ELSE 'b' END AS first_lbl,
+               CASE WHEN cb > 0 THEN 'b' ELSE 'a' END AS last_lbl,
+               CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END AS inner_bnd
+        FROM vc
+    ), j AS (
+        SELECT p.*, lead(first_lbl) OVER (ORDER BY pos) AS nxt_first
+        FROM p
+    ), agg AS (
+        SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+               (sum(inner_bnd)
+                + sum(CASE WHEN nxt_first IS NOT NULL
+                           AND nxt_first <> last_lbl THEN 1 ELSE 0 END)
+                + 1)::BIGINT AS runs
+        FROM j
+    )
+    SELECT n_a, n_b, runs,
+           (runs::DOUBLE - {mu}) / sqrt({var}) AS z
+    FROM agg
+    """

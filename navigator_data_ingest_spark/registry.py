@@ -219,13 +219,11 @@ _FRONT_NEW: frozenset[str] = frozenset({
     "src_csv_roundtrip", "src_jsonl_roundtrip", "src_orc_roundtrip",
     "src_binary_files", "src_corrupt_quarantine", "sink_bucketed_join",
     "sink_partitioned_prune", "sink_compact", "sink_partition_overwrite",
-    # round-8 NEW operators (9) — never judged, highest risk
+    # round-8 NEW operators (11) — never judged, highest risk
     "stats_jonckheere_terpstra", "stats_pettitt_changepoint",
     "stats_turning_points", "stats_bartels_rank", "stats_weighted_kappa",
     "stats_kendall_w", "q_events_sax_profile", "stats_somers_d",
-    "stats_quade",
-    # oldest never-sampled TPC-H suite (2)
-    "q_orders_rollup", "q_orders_pivot",
+    "stats_quade", "stats_hodges_lehmann", "stats_ww_runs_two_sample",
 })
 
 
@@ -6920,6 +6918,21 @@ register(
     "stats_quade",
     analytics.stats_quade,
     analytics.stats_quade_sql(),
+    front=True,
+)
+
+
+register(
+    "stats_hodges_lehmann",
+    analytics.stats_hodges_lehmann,
+    analytics.stats_hodges_lehmann_sql(),
+    front=True,
+)
+
+register(
+    "stats_ww_runs_two_sample",
+    analytics.stats_ww_runs_two_sample,
+    analytics.stats_ww_runs_two_sample_sql(),
     front=True,
 )
 

@@ -361,6 +361,10 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_somers_d",
     # 1-row A/B/m broadcasts over the bounded month x priority grid
     "stats_quade",
+    # calendar-bounded day<=day Walsh pair join + 1-row range/total
+    "stats_hodges_lehmann",
+    # 1-row min/max range broadcast onto the block mapper
+    "stats_ww_runs_two_sample",
 }
 
 
@@ -469,6 +473,9 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "stats_bartels_rank",
     # MONTHS-bounded block-weight rank window (<=|months| rows)
     "stats_quade",
+    # <=1024-row block-offset tables (two-level prefix machinery)
+    "stats_hodges_lehmann",
+    "stats_ww_runs_two_sample",
 }
 
 
