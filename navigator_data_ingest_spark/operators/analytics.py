@@ -18348,3 +18348,446 @@ def stats_ww_runs_two_sample_sql() -> str:
            (runs::DOUBLE - {mu}) / sqrt({var}) AS z
     FROM agg
     """
+
+
+def _pooled_score_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared base for the two-sample SCALE tests (stats_ansari_bradley,
+    stats_mood_scale): click vs purchase event values collapsed to
+    DISTINCT-VALUE group counts with the pooled strictly-below count —
+    the stats_mann_whitney two-level prefix-sum discipline (range-
+    bucketed block id from a 1-row min/max broadcast, within-block
+    running sum, <=1024-row block-offset window; no global sort, no
+    unpartitioned corpus window). Returns one row per distinct value:
+    ca, cb, c, below (pooled observations strictly below the value).
+    NULL values are filtered in BOTH engines (rank scores are undefined
+    for NULL; the r4 mann-whitney lesson).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("value").isNotNull()
+        )
+        .select((F.col("event_type") == F.lit("click")).alias("is_a"), "value")
+    )
+    vc = ev.groupBy("value").agg(
+        F.sum(F.col("is_a").cast("bigint")).alias("ca"),
+        F.sum((~F.col("is_a")).cast("bigint")).alias("cb"),
+    )
+    rng = vc.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    b = vc.crossJoin(F.broadcast(rng)).withColumn(
+        "blk",
+        F.least(
+            F.lit(1023),
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                / (F.col("mx") - F.col("mn") + F.lit(1e-9))
+                * 1024
+            ),
+        ),
+    )
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = b.withColumn("c", F.col("ca") + F.col("cb")).withColumn(
+        "cum_in", F.coalesce(F.sum("c").over(w_in), F.lit(0))
+    )
+    bt = b.groupBy("blk").agg(F.sum("c").alias("blk_c"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    bt = bt.withColumn("off", F.coalesce(F.sum("blk_c").over(w_blk), F.lit(0)))
+    return (
+        b.join(F.broadcast(bt.select("blk", "off")), "blk")
+        .select("ca", "cb", "c", (F.col("off") + F.col("cum_in")).alias("below"))
+    )
+
+
+_POOLED_SCORE_GROUPS_SQL = """
+        SELECT value,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS ca,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS cb
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+        GROUP BY value
+"""
+
+
+def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley two-sample SCALE test: do click and purchase event
+    values have the same dispersion around a common center? Ranks count
+    inward from both ends (extreme observations get LOW scores), so a
+    small click score-sum means clicks are MORE spread — the rank
+    complement to stats_mann_whitney (location) and stats_levene
+    (variance): AB needs no normality and no variance existence.
+
+    Scores on midranks, ×2 lattice: with doubled midrank m2 = 2·below +
+    c + 1, the doubled AB score is s2 = min(m2, 2(N+1) − m2) — an exact
+    integer per tied group (the convention R's ansari.test applies with
+    ties). The exact PERMUTATION moments conditional on the observed tie
+    pattern — E[A] = m·mean(s), Var[A] = m(N−m)/(N−1)·var(s) over the
+    N fixed scores — come from the exact integer score sums S1 = Σc·s2
+    and S2q = Σc·s2² (S2q ≤ N·(N+1)² — BIGINT-safe to N ≈ 2M, then
+    decimal38/HUGEINT to N ≈ 10^12; both engines widen identically).
+    e_ab is a pure integer rational (integer-exact HALF_UP); z is
+    +,−,×,÷,sqrt over bit-identical integers — raw emission
+    (functions/exact.py policy). Pooled below-counts use the two-level
+    block prefix sum; no corpus-size window anywhere.
+    """
+    g = _pooled_score_groups(spark, sf_dir)
+    tot = F.broadcast(
+        g.agg(
+            F.sum("ca").alias("n_a"),
+            F.sum("cb").alias("n_b"),
+            F.sum("c").alias("nn"),
+        )
+    )
+    s = g.crossJoin(tot).selectExpr(
+        "ca",
+        "cb",
+        "c",
+        "n_a",
+        "n_b",
+        "nn",
+        "least(2 * below + c + 1, 2 * (nn + 1) - (2 * below + c + 1)) AS s2",
+    )
+    agg = s.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("nn").alias("nn"),
+        F.sum(F.expr("ca * s2")).alias("a2"),
+        F.sum(F.expr("c * s2")).alias("s1"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * s2 * s2")).alias("s2q"),
+    )
+    var = (
+        "(cast(n_a as double) * n_b / (nn - 1.0)"
+        " * (nn * cast(s2q as double) - cast(s1 as double) * s1)"
+        " / (cast(nn as double) * nn))"
+    )
+    return agg.selectExpr(
+        "n_a",
+        "n_b",
+        "cast(a2 as double) / 2.0 AS ab_stat",
+        f"{sp_rat6('cast(n_a as decimal(38,0)) * s1', '2 * cast(nn as decimal(38,0))')} AS e_ab",
+        f"(cast(a2 as double) / 2.0 - cast(n_a as double) * s1 / (2.0 * nn))"
+        f" / sqrt({var} / 4.0) AS z",
+    )
+
+
+def stats_ansari_bradley_sql() -> str:
+    var = (
+        "(n_a::DOUBLE * n_b / (nn - 1.0)"
+        " * (nn * s2q::DOUBLE - s1::DOUBLE * s1)"
+        " / (nn::DOUBLE * nn))"
+    )
+    return f"""
+    WITH vc AS (
+{_POOLED_SCORE_GROUPS_SQL}
+    ), cum AS (
+        SELECT ca, cb, ca + cb AS c,
+               coalesce(sum(ca + cb) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below
+        FROM vc
+    ), tot AS (
+        SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+               sum(c)::BIGINT AS nn
+        FROM cum
+    ), s AS (
+        SELECT ca, cb, c, n_a, n_b, nn,
+               least(2 * below + c + 1,
+                     2 * (nn + 1) - (2 * below + c + 1)) AS s2
+        FROM cum CROSS JOIN tot
+    ), agg AS (
+        SELECT max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b,
+               max(nn)::BIGINT AS nn,
+               sum(ca * s2)::BIGINT AS a2,
+               sum(c * s2)::BIGINT AS s1,
+               sum(c::HUGEINT * s2 * s2) AS s2q
+        FROM s
+    )
+    SELECT n_a, n_b,
+           a2::DOUBLE / 2.0 AS ab_stat,
+           {dk_rat6('n_a::HUGEINT * s1', '2 * nn::HUGEINT')} AS e_ab,
+           (a2::DOUBLE / 2.0 - n_a::DOUBLE * s1 / (2.0 * nn))
+               / sqrt({var} / 4.0) AS z
+    FROM agg
+    """
+
+
+def stats_mood_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's two-sample SCALE test: squared deviation of each pooled
+    rank from the grand mid-rank, summed over the click sample —
+    quadratic weighting makes it more sensitive than Ansari-Bradley to
+    heavy-tail dispersion differences (AB's linear inward scores cap
+    the influence of extremes; Mood's squares don't), the pairing
+    applied-stats texts run together.
+
+    Midrank scores on the ×4 lattice: d = (2·below + c + 1) − (N + 1)
+    is the doubled centered midrank, so 4·score = d² is an exact
+    integer. Exact permutation moments conditional on ties from
+    S1 = Σc·d² and S2q = Σc·d⁴ — S2q grows as N⁵, so BOTH engines
+    widen the sum identically (decimal(38,0) / HUGEINT; exact to
+    N ≈ 3×10⁷, the stats_median_test magnitude-bound discipline).
+    t_stat is on the exact ¼ lattice, e_t is a pure integer rational
+    (integer-exact HALF_UP, numerator ≤ N⁴·10⁶ — decimal38-safe to
+    N ≈ 10⁸), z is raw (sqrt policy). Same two-level prefix-sum base
+    as stats_ansari_bradley; no corpus-size window.
+    """
+    g = _pooled_score_groups(spark, sf_dir)
+    tot = F.broadcast(
+        g.agg(
+            F.sum("ca").alias("n_a"),
+            F.sum("cb").alias("n_b"),
+            F.sum("c").alias("nn"),
+        )
+    )
+    s = g.crossJoin(tot).selectExpr(
+        "ca",
+        "c",
+        "n_a",
+        "n_b",
+        "nn",
+        "(2 * below + c + 1) - (nn + 1) AS d",
+    )
+    agg = s.selectExpr(
+        "ca", "c", "n_a", "n_b", "nn", "d * d AS d2"
+    ).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("nn").alias("nn"),
+        F.sum(F.expr("cast(ca as decimal(38,0)) * d2")).alias("t4"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * d2")).alias("s1"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * d2 * d2")).alias("s2q"),
+    )
+    var = (
+        "(cast(n_a as double) * n_b / (nn - 1.0)"
+        " * (nn * cast(s2q as double) - cast(s1 as double) * s1)"
+        " / (cast(nn as double) * nn))"
+    )
+    return agg.selectExpr(
+        "n_a",
+        "n_b",
+        "cast(t4 as double) / 4.0 AS t_stat",
+        f"{sp_rat6('cast(n_a as decimal(38,0)) * s1', '4 * cast(nn as decimal(38,0))')} AS e_t",
+        f"(cast(t4 as double) / 4.0 - cast(n_a as double) * (cast(s1 as double) / nn) / 4.0)"
+        f" / sqrt({var} / 16.0) AS z",
+    )
+
+
+def stats_mood_scale_sql() -> str:
+    var = (
+        "(n_a::DOUBLE * n_b / (nn - 1.0)"
+        " * (nn * s2q::DOUBLE - s1::DOUBLE * s1)"
+        " / (nn::DOUBLE * nn))"
+    )
+    return f"""
+    WITH vc AS (
+{_POOLED_SCORE_GROUPS_SQL}
+    ), cum AS (
+        SELECT ca, cb, ca + cb AS c,
+               coalesce(sum(ca + cb) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below
+        FROM vc
+    ), tot AS (
+        SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+               sum(c)::BIGINT AS nn
+        FROM cum
+    ), s AS (
+        SELECT ca, c, n_a, n_b, nn,
+               ((2 * below + c + 1) - (nn + 1))
+                   * ((2 * below + c + 1) - (nn + 1)) AS d2
+        FROM cum CROSS JOIN tot
+    ), agg AS (
+        SELECT max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b,
+               max(nn)::BIGINT AS nn,
+               sum(ca::HUGEINT * d2) AS t4,
+               sum(c::HUGEINT * d2) AS s1,
+               sum(c::HUGEINT * d2 * d2) AS s2q
+        FROM s
+    )
+    SELECT n_a, n_b,
+           t4::DOUBLE / 4.0 AS t_stat,
+           {dk_rat6('n_a::HUGEINT * s1', '4 * nn::HUGEINT')} AS e_t,
+           (t4::DOUBLE / 4.0 - n_a::DOUBLE * (s1::DOUBLE / nn) / 4.0)
+               / sqrt({var} / 16.0) AS z
+    FROM agg
+    """
+
+
+def stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L test for an ORDERED alternative across the months ×
+    priority design: is revenue monotonically ordered by priority code
+    (1-URGENT … 5-LOW)? Friedman/Quade (same blocks) only ask "any
+    difference?"; Page's L = Σ_j j·R_j weights each priority's rank sum
+    by its hypothesized position, the trend-specific and strictly more
+    powerful test when the alternative is monotone.
+
+    Complete months only (stats_quade's framing). Within-month midranks
+    tie-average on the ×2 lattice over exact integer cell cents
+    (deterministic both engines; cents ties across the 5 priorities are
+    measure-zero but the lattice keeps them identical), so
+    L2 = Σ_j j·R2_j is an exact integer. For k = 5 the null moments
+    collapse to integers on the same lattice — E[L2] = b·k(k+1)²/2 =
+    90b, Var[L2] = b·(k³−k)²/(36(k−1)) = 100b — so e_l is an exact
+    BIGINT and z = (L2 − 90b)/(10√b) is float only at the final sqrt
+    (raw emission). Bounded everywhere: cells ≤ months×5, rank windows
+    sit on ≤5-row month partitions, the month table is calendar-sized.
+    NULL dates/priorities drop (both engines).
+    """
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
+        .groupBy(
+            F.expr("date_trunc('MONTH', cast(o_orderdate as date))").alias(
+                "mth"
+            ),
+            F.expr("cast(substr(o_orderpriority, 1, 1) as int)").alias("g"),
+        )
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint)")
+            ).alias("cents")
+        )
+    )
+    full = (
+        cells.groupBy("mth")
+        .agg(F.countDistinct("g").alias("kk"))
+        .where(F.col("kk") == 5)
+        .select("mth")
+    )
+    c = cells.join(full, "mth")
+    rn = F.row_number().over(Window.partitionBy("mth").orderBy("cents", "g"))
+    r = c.select("mth", "g", "cents", rn.alias("rn")).withColumn(
+        "r2",
+        F.expr("cast(2 * avg(rn) over (partition by mth, cents) as bigint)"),
+    )
+    lsum = r.selectExpr("g * r2 AS jr2").agg(F.sum("jr2").alias("l2"))
+    b = F.broadcast(full.agg(F.count(F.lit(1)).alias("b")))
+    return lsum.crossJoin(b).selectExpr(
+        "b AS n_months",
+        "l2",
+        "90 * b AS e_l2",
+        "(cast(l2 as double) - 90.0 * b) / (10.0 * sqrt(cast(b as double)))"
+        " AS z",
+    )
+
+
+def stats_page_trend_sql() -> str:
+    return """
+    WITH cells AS (
+        SELECT date_trunc('month', o_orderdate::DATE) AS mth,
+               substr(o_orderpriority, 1, 1)::INT AS g,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+        GROUP BY 1, 2
+    ), full_m AS (
+        SELECT mth FROM cells GROUP BY 1 HAVING count(DISTINCT g) = 5
+    ), c AS (
+        SELECT cells.* FROM cells JOIN full_m USING (mth)
+    ), r AS (
+        SELECT mth, g, cents,
+               row_number() OVER (PARTITION BY mth ORDER BY cents, g) AS rn
+        FROM c
+    ), r2t AS (
+        SELECT g,
+               (2 * avg(rn) OVER (PARTITION BY mth, cents))::BIGINT AS r2
+        FROM r
+    ), lsum AS (
+        SELECT sum(g * r2)::BIGINT AS l2 FROM r2t
+    ), bt AS (
+        SELECT count(*)::BIGINT AS b FROM full_m
+    )
+    SELECT b AS n_months, l2,
+           (90 * b)::BIGINT AS e_l2,
+           (l2::DOUBLE - 90.0 * b) / (10.0 * sqrt(b::DOUBLE)) AS z
+    FROM lsum CROSS JOIN bt
+    """
+
+
+def stats_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-Stuart trend test on the daily-revenue series: pair day i
+    with day i + ⌈n/2⌉ (the middle day drops when n is odd) and sign-
+    test the later-minus-earlier differences — the distribution-free
+    "is there ANY monotone trend?" screen that needs no rank machinery,
+    beside stats_mann_kendall (all-pairs) and stats_turning_points
+    (randomness): Cox-Stuart is the O(n) one.
+
+    One DAYS-grain collapse; positions come from a row_number on the
+    bounded calendar axis and the half-offset pairing is a self-
+    equijoin on pos = pos + offset with the offset resolved IN-PLAN
+    from a 1-row count broadcast (no driver round-trip, any corpus
+    size). Zero differences drop (the classic convention, both
+    engines); the sign-test z uses the exact pair counts with
+    continuity correction — float only at the final sqrt (raw
+    emission). NULL order dates drop (both engines).
+    """
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint)")
+            ).alias("cents")
+        )
+    )
+    pos = d.select(
+        F.row_number().over(Window.orderBy("day")).alias("pos"), "cents"
+    )
+    nt = F.broadcast(d.agg(F.count(F.lit(1)).alias("n_days")))
+    early = pos.crossJoin(nt).where(
+        F.expr("pos <= n_days div 2")
+    ).selectExpr("pos", "cents AS c_early", "n_days")
+    late = pos.selectExpr("pos AS pos_l", "cents AS c_late")
+    pairs = early.join(
+        late, F.expr("pos_l = pos + (n_days + 1) div 2")
+    )
+    agg = pairs.agg(
+        F.max("n_days").alias("n_days"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.expr("cast(c_late > c_early as bigint)")).alias("n_plus"),
+        F.sum(F.expr("cast(c_late < c_early as bigint)")).alias("n_minus"),
+    )
+    return agg.selectExpr(
+        "n_days",
+        "n_pairs",
+        "n_plus",
+        "n_minus",
+        "(abs(cast(n_plus as double) - cast(n_plus + n_minus as double) / 2.0)"
+        " - 0.5) / sqrt(cast(n_plus + n_minus as double) / 4.0) AS z",
+    )
+
+
+def stats_cox_stuart_sql() -> str:
+    return """
+    WITH d AS (
+        SELECT o_orderdate::DATE AS day,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ), pos AS (
+        SELECT row_number() OVER (ORDER BY day) AS pos, cents FROM d
+    ), nt AS (
+        SELECT count(*)::BIGINT AS n_days FROM d
+    ), pairs AS (
+        SELECT e.cents AS c_early, l.cents AS c_late, n_days
+        FROM pos e CROSS JOIN nt
+        JOIN pos l ON l.pos = e.pos + (n_days + 1) // 2
+        WHERE e.pos <= n_days // 2
+    ), agg AS (
+        SELECT max(n_days)::BIGINT AS n_days,
+               count(*)::BIGINT AS n_pairs,
+               sum((c_late > c_early)::INT)::BIGINT AS n_plus,
+               sum((c_late < c_early)::INT)::BIGINT AS n_minus
+        FROM pairs
+    )
+    SELECT n_days, n_pairs, n_plus, n_minus,
+           (abs(n_plus::DOUBLE - (n_plus + n_minus)::DOUBLE / 2.0) - 0.5)
+               / sqrt((n_plus + n_minus)::DOUBLE / 4.0) AS z
+    FROM agg
+    """

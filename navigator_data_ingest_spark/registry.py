@@ -224,6 +224,8 @@ _FRONT_NEW: frozenset[str] = frozenset({
     "stats_turning_points", "stats_bartels_rank", "stats_weighted_kappa",
     "stats_kendall_w", "q_events_sax_profile", "stats_somers_d",
     "stats_quade", "stats_hodges_lehmann", "stats_ww_runs_two_sample",
+    "stats_ansari_bradley", "stats_mood_scale", "stats_page_trend",
+    "stats_cox_stuart",
 })
 
 
@@ -6933,6 +6935,35 @@ register(
     "stats_ww_runs_two_sample",
     analytics.stats_ww_runs_two_sample,
     analytics.stats_ww_runs_two_sample_sql(),
+    front=True,
+)
+
+
+register(
+    "stats_ansari_bradley",
+    analytics.stats_ansari_bradley,
+    analytics.stats_ansari_bradley_sql(),
+    front=True,
+)
+
+register(
+    "stats_mood_scale",
+    analytics.stats_mood_scale,
+    analytics.stats_mood_scale_sql(),
+    front=True,
+)
+
+register(
+    "stats_page_trend",
+    analytics.stats_page_trend,
+    analytics.stats_page_trend_sql(),
+    front=True,
+)
+
+register(
+    "stats_cox_stuart",
+    analytics.stats_cox_stuart,
+    analytics.stats_cox_stuart_sql(),
     front=True,
 )
 
