@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 from navigator_data_ingest_spark.functions import exprs as X
 from navigator_data_ingest_spark.functions.exact import (
     dk_rat6,
+    dk_units,
     sp_rat6,
+    sp_units,
 )
 from navigator_data_ingest_spark.sources.tables import load_table, scatter
 
@@ -3958,4 +3960,296 @@ def corpus_lm_holdout_ppl_sql() -> str:
            round(nll / n_bigrams, 6) AS cross_entropy_nats,
            round(exp(nll / n_bigrams), 4) AS perplexity
     FROM g ORDER BY source
+    """
+
+
+# --------------------------------------------------------------------------
+# context-length planning, temporal & leakage-safe splits (round 8)
+# --------------------------------------------------------------------------
+
+PACK_CANDIDATE_LENS = (128, 256, 512, 1024)   # candidate context lengths
+SPLIT_TEMPORAL_PERMILLE = 900                 # train share of events (exact)
+
+
+def pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length planning table: for each candidate training
+    context length L, the padding overhead of pad-to-L batching
+    (every doc padded to ⌈n/L⌉·L) versus the sequence count of
+    concat-and-chop packing (pack_sequences' regime) — the one-pass
+    audit that picks L before a packing run commits 100 TB of compute.
+
+    Scale shape: the doc-grain token counts expand ×|LENS| MAP-SIDE
+    (explode over a 4-element literal array — no join, no extra scan)
+    and partial aggregation collapses to |LENS| rows per partition
+    before the single 4-key shuffle. All counts are exact integers;
+    the overhead ratio is an integer permille (integer-exact HALF_UP,
+    cast BIGINT both engines — the r7 type-surface rule).
+    """
+    lens = ", ".join(str(c) for c in PACK_CANDIDATE_LENS)
+    docs = (
+        _tokens_df(spark, sf_dir)
+        .select("doc_id", F.size("t").alias("n_tokens"))
+        .where("n_tokens > 0")
+    )
+    per = docs.select(
+        "n_tokens", F.explode(F.expr(f"array({lens})")).alias("ctx_len")
+    )
+    agg = per.groupBy("ctx_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(
+            F.expr("((n_tokens + ctx_len - 1) div ctx_len) * ctx_len")
+        ).alias("padded_tokens"),
+    )
+    return agg.selectExpr(
+        "cast(ctx_len as bigint) AS ctx_len",
+        "n_docs",
+        "total_tokens",
+        "padded_tokens",
+        "cast("
+        + sp_units("padded_tokens - total_tokens", "padded_tokens", 3)
+        + " as bigint) AS pad_waste_permille",
+        "(total_tokens + ctx_len - 1) div ctx_len AS packed_chunks",
+    ).orderBy("ctx_len")
+
+
+def pack_efficiency_sql() -> str:
+    vals = ", ".join(f"({c})" for c in PACK_CANDIDATE_LENS)
+    return f"""
+    WITH toks AS (
+        SELECT len({X.dk_tokens('text')}) AS n_tokens FROM documents
+    ), nz AS (
+        SELECT * FROM toks WHERE n_tokens > 0
+    ), per AS (
+        SELECT n_tokens, ctx_len
+        FROM nz CROSS JOIN (VALUES {vals}) AS lens(ctx_len)
+    ), agg AS (
+        SELECT ctx_len, count(*)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS total_tokens,
+               sum(((n_tokens + ctx_len - 1) // ctx_len) * ctx_len)::BIGINT
+                   AS padded_tokens
+        FROM per GROUP BY ctx_len
+    )
+    SELECT ctx_len::BIGINT AS ctx_len, n_docs, total_tokens, padded_tokens,
+           ({dk_units("padded_tokens - total_tokens", "padded_tokens", 3)})::BIGINT
+               AS pad_waste_permille,
+           ((total_tokens + ctx_len - 1) // ctx_len)::BIGINT AS packed_chunks
+    FROM agg ORDER BY ctx_len
+    """
+
+
+def split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/holdout split of the event stream with a leakage
+    audit: the cutoff day is the FIRST day whose cumulative event count
+    reaches the train share (an exact integer rule — 1000·cum ≥
+    share·total — never a float percentile), train is every day ≤
+    cutoff, and the audit counts users seen on BOTH sides (the
+    entity-overlap a temporal split must report before anyone reads
+    holdout metrics as out-of-time generalization).
+
+    Scale shape: the cumulative rule runs on the DAYS-grain table
+    (calendar-bounded window); the cutoff re-enters the plan as a 1-row
+    broadcast (seed-stripe discipline, no driver round-trip); the user
+    audit is one user-grain aggregate keyed on user_id. All exact
+    integers; the holdout share is an integer permille.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            F.col("ts").cast("date").alias("day"),
+            "user_id",
+        )
+    )
+    days = ev.groupBy("day").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = days.withColumn("cum", F.sum("cnt").over(w))
+    tot = F.broadcast(days.agg(F.sum("cnt").alias("total")))
+    cutoff = F.broadcast(
+        cum.crossJoin(tot)
+        .where(F.expr(f"1000 * cum >= {SPLIT_TEMPORAL_PERMILLE} * total"))
+        .agg(F.min("day").alias("cutoff_day"))
+    )
+    sides = ev.crossJoin(cutoff).select(
+        "user_id",
+        "cutoff_day",
+        (F.col("day") <= F.col("cutoff_day")).alias("in_train"),
+    )
+    users = sides.groupBy("user_id").agg(
+        F.max("cutoff_day").alias("cutoff_day"),
+        F.sum(F.col("in_train").cast("bigint")).alias("n_train_u"),
+        F.sum((~F.col("in_train")).cast("bigint")).alias("n_hold_u"),
+    )
+    agg = users.agg(
+        F.max("cutoff_day").alias("cutoff_day"),
+        F.sum("n_train_u").alias("n_train"),
+        F.sum("n_hold_u").alias("n_holdout"),
+        F.sum(F.expr("cast(n_train_u > 0 as bigint)")).alias("train_users"),
+        F.sum(F.expr("cast(n_hold_u > 0 as bigint)")).alias("holdout_users"),
+        F.sum(
+            F.expr("cast(n_train_u > 0 AND n_hold_u > 0 as bigint)")
+        ).alias("leak_users"),
+    )
+    return agg.selectExpr(
+        "cutoff_day",
+        "n_train",
+        "n_holdout",
+        "train_users",
+        "holdout_users",
+        "leak_users",
+        "cast("
+        + sp_units("n_holdout", "n_train + n_holdout", 3)
+        + " as bigint) AS holdout_permille",
+    )
+
+
+def split_temporal_sql() -> str:
+    return f"""
+    WITH ev AS (
+        SELECT ts::DATE AS day, user_id FROM events WHERE ts IS NOT NULL
+    ), days AS (
+        SELECT day, count(*)::BIGINT AS cnt FROM ev GROUP BY day
+    ), cum AS (
+        SELECT day, sum(cnt) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            (SELECT sum(cnt) FROM days) AS total
+        FROM days
+    ), cutoff AS (
+        SELECT min(day) AS cutoff_day FROM cum
+        WHERE 1000 * cum >= {SPLIT_TEMPORAL_PERMILLE} * total
+    ), users AS (
+        SELECT user_id, max(cutoff_day) AS cutoff_day,
+               sum((day <= cutoff_day)::INT)::BIGINT AS n_train_u,
+               sum((day > cutoff_day)::INT)::BIGINT AS n_hold_u
+        FROM ev CROSS JOIN cutoff GROUP BY user_id
+    ), agg AS (
+        SELECT max(cutoff_day) AS cutoff_day,
+               sum(n_train_u)::BIGINT AS n_train,
+               sum(n_hold_u)::BIGINT AS n_holdout,
+               sum((n_train_u > 0)::INT)::BIGINT AS train_users,
+               sum((n_hold_u > 0)::INT)::BIGINT AS holdout_users,
+               sum((n_train_u > 0 AND n_hold_u > 0)::INT)::BIGINT AS leak_users
+        FROM users
+    )
+    SELECT cutoff_day, n_train, n_holdout, train_users, holdout_users,
+           leak_users,
+           ({dk_units("n_holdout", "n_train + n_holdout", 3)})::BIGINT
+               AS holdout_permille
+    FROM agg
+    """
+
+
+SPLIT_PREFIX_LEN = 120   # dedup_prefix_family's family key length
+
+
+def split_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split assignment: hash-split documents by their
+    NEAR-DUP FAMILY key (min doc_id of the shared-prefix family,
+    dedup_prefix_family's grouping) instead of per-document, so no
+    family ever straddles train/holdout — the decontamination rule that
+    keeps a holdout document's near-twin out of train. Reports the
+    audit a reviewer asks for: how many multi-doc families the NAIVE
+    per-document split straddles versus the family-keyed split (always
+    0), and how many documents the family rule reassigns.
+
+    Scale shape: one shuffle on the prefix hash builds families; the
+    family key re-joins doc-grain on the same key (no second shuffle of
+    the corpus — AQE reuses the partitioning); both split decisions are
+    map-side integer hash comparisons (split_train_holdout's stable
+    permille rule, same cut). All exact integers.
+    """
+    lo = SPLIT_CUTS[0]
+    h_doc = X.sp_hash32("cast(doc_id as string)", "split")
+    h_fam = X.sp_hash32("cast(fam_key as string)", "split")
+    docs = scatter(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.md5(F.expr(f"substring(text, 1, {SPLIT_PREFIX_LEN})")).alias(
+            "pfx_hash"
+        ),
+    )
+    fams = docs.groupBy("pfx_hash").agg(
+        F.min("doc_id").alias("fam_key"),
+        F.count(F.lit(1)).alias("fam_size"),
+    )
+    j = docs.join(fams, "pfx_hash").selectExpr(
+        "doc_id",
+        "pfx_hash",
+        "fam_key",
+        "fam_size",
+        f"cast(({h_doc}) % 1000 >= {lo} as int) AS naive_hold",
+        f"cast(({h_fam}) % 1000 >= {lo} as int) AS fam_hold",
+    )
+    fam_audit = j.groupBy("pfx_hash").agg(
+        F.max("fam_size").alias("fam_size"),
+        F.countDistinct("naive_hold").alias("naive_sides"),
+        F.countDistinct("fam_hold").alias("fam_sides"),
+    )
+    a1 = fam_audit.agg(
+        F.count(F.lit(1)).alias("n_families"),
+        F.sum(F.expr("cast(fam_size >= 2 as bigint)")).alias(
+            "n_multi_families"
+        ),
+        F.sum(
+            F.expr("cast(fam_size >= 2 AND naive_sides > 1 as bigint)")
+        ).alias("naive_straddling"),
+        F.sum(
+            F.expr("cast(fam_size >= 2 AND fam_sides > 1 as bigint)")
+        ).alias("fam_straddling"),
+    )
+    a2 = j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr("cast(fam_hold as bigint)")).alias("holdout_docs"),
+        F.sum(F.expr("cast(naive_hold <> fam_hold as bigint)")).alias(
+            "docs_reassigned"
+        ),
+    )
+    return a1.crossJoin(F.broadcast(a2)).select(
+        "n_docs",
+        "n_families",
+        "n_multi_families",
+        "naive_straddling",
+        "fam_straddling",
+        "holdout_docs",
+        "docs_reassigned",
+    )
+
+
+def split_dedup_aware_sql() -> str:
+    lo = SPLIT_CUTS[0]
+    h_doc = X.dk_hash32("doc_id::varchar", "split")
+    h_fam = X.dk_hash32("fam_key::varchar", "split")
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, md5(substr(text, 1, {SPLIT_PREFIX_LEN})) AS pfx_hash
+        FROM documents
+    ), fams AS (
+        SELECT pfx_hash, min(doc_id) AS fam_key, count(*)::BIGINT AS fam_size
+        FROM docs GROUP BY pfx_hash
+    ), j AS (
+        SELECT doc_id, docs.pfx_hash, fam_key, fam_size,
+               (({h_doc}) % 1000 >= {lo})::INT AS naive_hold,
+               (({h_fam}) % 1000 >= {lo})::INT AS fam_hold
+        FROM docs JOIN fams USING (pfx_hash)
+    ), fam_audit AS (
+        SELECT pfx_hash, max(fam_size) AS fam_size,
+               count(DISTINCT naive_hold) AS naive_sides,
+               count(DISTINCT fam_hold) AS fam_sides
+        FROM j GROUP BY pfx_hash
+    ), a1 AS (
+        SELECT count(*)::BIGINT AS n_families,
+               sum((fam_size >= 2)::INT)::BIGINT AS n_multi_families,
+               sum((fam_size >= 2 AND naive_sides > 1)::INT)::BIGINT
+                   AS naive_straddling,
+               sum((fam_size >= 2 AND fam_sides > 1)::INT)::BIGINT
+                   AS fam_straddling
+        FROM fam_audit
+    ), a2 AS (
+        SELECT count(*)::BIGINT AS n_docs,
+               sum(fam_hold)::BIGINT AS holdout_docs,
+               sum((naive_hold <> fam_hold)::INT)::BIGINT AS docs_reassigned
+        FROM j
+    )
+    SELECT n_docs, n_families, n_multi_families, naive_straddling,
+           fam_straddling, holdout_docs, docs_reassigned
+    FROM a1 CROSS JOIN a2
     """

@@ -225,7 +225,8 @@ _FRONT_NEW: frozenset[str] = frozenset({
     "stats_kendall_w", "q_events_sax_profile", "stats_somers_d",
     "stats_quade", "stats_hodges_lehmann", "stats_ww_runs_two_sample",
     "stats_ansari_bradley", "stats_mood_scale", "stats_page_trend",
-    "stats_cox_stuart",
+    "stats_cox_stuart", "pack_efficiency", "split_temporal",
+    "split_dedup_aware",
 })
 
 
@@ -6964,6 +6965,27 @@ register(
     "stats_cox_stuart",
     analytics.stats_cox_stuart,
     analytics.stats_cox_stuart_sql(),
+    front=True,
+)
+
+register(
+    "pack_efficiency",
+    corpus.pack_efficiency,
+    corpus.pack_efficiency_sql(),
+    front=True,
+)
+
+register(
+    "split_temporal",
+    corpus.split_temporal,
+    corpus.split_temporal_sql(),
+    front=True,
+)
+
+register(
+    "split_dedup_aware",
+    corpus.split_dedup_aware,
+    corpus.split_dedup_aware_sql(),
     front=True,
 )
 
