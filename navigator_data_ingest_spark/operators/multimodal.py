@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from navigator_data_ingest_spark.functions.exact import dk_units, sp_units
 from navigator_data_ingest_spark.sources.tables import load_table, scatter
 
 MODALITIES = ["image", "audio", "video"]
@@ -1240,4 +1241,143 @@ def mm_bitrate_sql() -> str:
            round(quantile_cont(kbps, 0.5), 6) AS p50_kbps,
            round(quantile_cont(kbps, 0.95), 6) AS p95_kbps
     FROM f GROUP BY 1, 2 ORDER BY modality, format
+    """
+
+
+SHARD_BYTES = 65536       # target payload bytes per output shard
+SHARD_BLOCK = 4096        # doc_id block for the prefix-sum levels
+
+
+def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-balanced shard manifest: lay every asset's payload bytes
+    end-to-end per modality (doc_id order) and cut the stream into
+    ``SHARD_BYTES`` shards — the write-planning step a 100 TB
+    multimodal corpus runs before materializing tar/parquet shards, so
+    downstream loaders see near-uniform shard sizes regardless of the
+    long-tailed per-asset byte distribution. Emits one manifest row per
+    (modality, shard): asset count, payload bytes, id span, and the
+    permille deviation from the target.
+
+    Scale shape: the global byte offset per modality reuses
+    pack_sequences' THREE-level prefix sum, with modality prepended to
+    every partition key — (1) intra-block cumsum windowed by (modality,
+    doc_id div SHARD_BLOCK); (2) block subtotals per (modality, super);
+    (3) super-block subtotals through a tiny per-modality window
+    (|corpus|/SHARD_BLOCK² rows), broadcast back. No window task sees
+    more than SHARD_BLOCK rows at any corpus size; shard assignment is
+    map-side integer arithmetic and the manifest shuffle keys on
+    (modality, shard). Exact integers; deviation is integer permille
+    (cast BIGINT both engines).
+    """
+    assets = (
+        multimodal_table(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.col("meta.modality").alias("modality"),
+            F.length("media").alias("n_bytes"),
+        )
+        .withColumn("block", F.expr(f"doc_id div {SHARD_BLOCK}"))
+    )
+    intra = assets.withColumn(
+        "intra_cum",
+        F.sum("n_bytes").over(
+            Window.partitionBy("modality", "block")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    blocks = (
+        assets.groupBy("modality", "block")
+        .agg(F.sum("n_bytes").alias("block_total"))
+        .withColumn("super", F.expr(f"block div {SHARD_BLOCK}"))
+    )
+    intra_super = blocks.withColumn(
+        "intra_super_cum",
+        F.sum("block_total").over(
+            Window.partitionBy("modality", "super")
+            .orderBy("block")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    super_offsets = (
+        blocks.groupBy("modality", "super")
+        .agg(F.sum("block_total").alias("super_total"))
+        .withColumn(
+            "super_offset",
+            F.coalesce(
+                F.sum("super_total").over(
+                    Window.partitionBy("modality")
+                    .orderBy("super")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("modality", "super", "super_offset")
+    )
+    block_offsets = intra_super.join(
+        F.broadcast(super_offsets), ["modality", "super"]
+    ).select(
+        "modality",
+        "block",
+        (
+            F.col("super_offset")
+            + F.col("intra_super_cum")
+            - F.col("block_total")
+        ).alias("block_offset"),
+    )
+    placed = (
+        intra.join(F.broadcast(block_offsets), ["modality", "block"])
+        .withColumn(
+            "offset",
+            F.col("block_offset") + F.col("intra_cum") - F.col("n_bytes"),
+        )
+        .withColumn("shard", F.expr(f"offset div {SHARD_BYTES}"))
+    )
+    man = placed.groupBy("modality", "shard").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("n_bytes").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+    return man.selectExpr(
+        "modality",
+        "shard",
+        "n_assets",
+        "shard_bytes",
+        "first_doc",
+        "last_doc",
+        "cast("
+        + sp_units(
+            f"abs(shard_bytes - {SHARD_BYTES})", str(SHARD_BYTES), 3
+        )
+        + " as bigint) AS dev_permille",
+    ).orderBy("modality", "shard")
+
+
+def mm_shard_manifest_sql() -> str:
+    return f"""
+    WITH assets AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ), placed AS (
+        SELECT doc_id, modality, n_bytes,
+               (sum(n_bytes) OVER (PARTITION BY modality ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_bytes) // {SHARD_BYTES} AS shard
+        FROM assets
+    ), man AS (
+        SELECT modality, shard::BIGINT AS shard,
+               count(*)::BIGINT AS n_assets,
+               sum(n_bytes)::BIGINT AS shard_bytes,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM placed GROUP BY 1, 2
+    )
+    SELECT modality, shard, n_assets, shard_bytes, first_doc, last_doc,
+           ({dk_units(f"abs(shard_bytes - {SHARD_BYTES})", str(SHARD_BYTES), 3)})::BIGINT
+               AS dev_permille
+    FROM man ORDER BY modality, shard
     """

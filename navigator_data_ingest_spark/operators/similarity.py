@@ -3171,3 +3171,127 @@ def emb_duplicate_vectors_sql() -> str:
     FROM hist CROSS JOIN tot
     ORDER BY group_size
     """
+
+
+CKA_SPLIT = EMB_DIM // 2   # view X = dims [0, CKA_SPLIT), view Y = rest
+
+
+def emb_cka_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear CKA (centered kernel alignment) between two VIEWS of the
+    embedding space — the first and second halves of the dimension
+    axis: CKA = ‖Cxy‖²_F / (‖Cxx‖_F·‖Cyy‖_F) on centered features, the
+    representation-similarity score used to compare embedding versions
+    / layers without any alignment step (rotation-invariant, scale-
+    invariant). A CKA near 1 means the second half of the dims carries
+    the same geometry as the first — redundancy that emb_matryoshka /
+    emb_pca_power would then confirm truncatable.
+
+    Scale shape: the full 64×64 raw Gram matrix comes from ONE pass —
+    each row map-side expands to the (i, j) index grid via two LATERAL
+    posexplodes (no self-join, no second scan) and partial aggregation
+    collapses every partition to ≤ EMB_DIM² cells before the single
+    4096-key shuffle. Means are 64 rows broadcast back twice (i and j);
+    centering, block masks (XX / YY / XY) and the three Frobenius sums
+    are map-side arithmetic on the 4096-row cell table. Float sums are
+    order-insensitive at the 6-dp emission (the emb-family convention).
+    """
+    e = scatter(spark, load_table(spark, sf_dir, "embeddings"))
+    cells = (
+        e.selectExpr(
+            "vec_id",
+            "embedding",
+        )
+        .selectExpr(
+            "posexplode(embedding) AS (i, x)",
+            "embedding",
+        )
+        .selectExpr("i", "x", "posexplode(embedding) AS (j, y)")
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("cast(x as double) * cast(y as double)")).alias(
+                "sxy"
+            ),
+        )
+    )
+    means = (
+        e.selectExpr("posexplode(embedding) AS (i, x)")
+        .groupBy("i")
+        .agg(F.sum(F.expr("cast(x as double)")).alias("sx"))
+    )
+    c = (
+        cells.join(
+            F.broadcast(means.selectExpr("i", "sx AS sx_i")), "i"
+        )
+        .join(F.broadcast(means.selectExpr("i AS j", "sx AS sx_j")), "j")
+        .selectExpr(
+            "i",
+            "j",
+            "n",
+            "sxy - sx_i * sx_j / n AS cc",
+        )
+    )
+    blk = c.agg(
+        F.max("n").alias("n_vectors"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN i < {CKA_SPLIT} AND j < {CKA_SPLIT}"
+                " THEN cc * cc ELSE 0.0 END"
+            )
+        ).alias("ss_xx"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN i >= {CKA_SPLIT} AND j >= {CKA_SPLIT}"
+                " THEN cc * cc ELSE 0.0 END"
+            )
+        ).alias("ss_yy"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN i < {CKA_SPLIT} AND j >= {CKA_SPLIT}"
+                " THEN cc * cc ELSE 0.0 END"
+            )
+        ).alias("ss_xy"),
+    )
+    return blk.selectExpr(
+        "n_vectors",
+        "round(ss_xy / sqrt(ss_xx * ss_yy), 6) AS cka",
+        "round(sqrt(ss_xy), 6) AS cross_norm",
+        "round(sqrt(ss_xx), 6) AS x_norm",
+        "round(sqrt(ss_yy), 6) AS y_norm",
+    )
+
+
+def emb_cka_similarity_sql() -> str:
+    return f"""
+    WITH pairs AS (
+        SELECT i, j, count(*)::BIGINT AS n,
+               sum(embedding[i]::DOUBLE * embedding[j]::DOUBLE) AS sxy
+        FROM embeddings,
+             range(1, {EMB_DIM} + 1) t(i), range(1, {EMB_DIM} + 1) u(j)
+        GROUP BY i, j
+    ), means AS (
+        SELECT i, sum(embedding[i]::DOUBLE) AS sx
+        FROM embeddings, range(1, {EMB_DIM} + 1) t(i)
+        GROUP BY i
+    ), c AS (
+        SELECT p.i, p.j, p.n, p.sxy - mi.sx * mj.sx / p.n AS cc
+        FROM pairs p
+        JOIN means mi ON mi.i = p.i
+        JOIN means mj ON mj.i = p.j
+    ), blk AS (
+        SELECT max(n)::BIGINT AS n_vectors,
+               sum(CASE WHEN i <= {CKA_SPLIT} AND j <= {CKA_SPLIT}
+                        THEN cc * cc ELSE 0.0 END) AS ss_xx,
+               sum(CASE WHEN i > {CKA_SPLIT} AND j > {CKA_SPLIT}
+                        THEN cc * cc ELSE 0.0 END) AS ss_yy,
+               sum(CASE WHEN i <= {CKA_SPLIT} AND j > {CKA_SPLIT}
+                        THEN cc * cc ELSE 0.0 END) AS ss_xy
+        FROM c
+    )
+    SELECT n_vectors,
+           round(ss_xy / sqrt(ss_xx * ss_yy), 6) AS cka,
+           round(sqrt(ss_xy), 6) AS cross_norm,
+           round(sqrt(ss_xx), 6) AS x_norm,
+           round(sqrt(ss_yy), 6) AS y_norm
+    FROM blk
+    """

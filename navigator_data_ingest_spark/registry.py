@@ -226,7 +226,7 @@ _FRONT_NEW: frozenset[str] = frozenset({
     "stats_quade", "stats_hodges_lehmann", "stats_ww_runs_two_sample",
     "stats_ansari_bradley", "stats_mood_scale", "stats_page_trend",
     "stats_cox_stuart", "pack_efficiency", "split_temporal",
-    "split_dedup_aware",
+    "split_dedup_aware", "mm_shard_manifest", "emb_cka_similarity",
 })
 
 
@@ -6986,6 +6986,20 @@ register(
     "split_dedup_aware",
     corpus.split_dedup_aware,
     corpus.split_dedup_aware_sql(),
+    front=True,
+)
+
+register(
+    "mm_shard_manifest",
+    multimodal.mm_shard_manifest,
+    multimodal.mm_shard_manifest_sql(),
+    front=True,
+)
+
+register(
+    "emb_cka_similarity",
+    similarity.emb_cka_similarity,
+    similarity.emb_cka_similarity_sql(),
     front=True,
 )
 
