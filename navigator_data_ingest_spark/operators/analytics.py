@@ -18358,7 +18358,10 @@ def _pooled_score_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed block id from a 1-row min/max broadcast, within-block
     running sum, <=1024-row block-offset window; no global sort, no
     unpartitioned corpus window). Returns one row per distinct value:
-    ca, cb, c, below (pooled observations strictly below the value).
+    ca, cb, c, below (pooled observations strictly below the value),
+    plus the per-sample cumulatives below_a / below_b
+    (stats_brunner_munzel needs own-sample midranks; the extra two
+    running sums ride the SAME block windows — no additional shuffle).
     NULL values are filtered in BOTH engines (rank scores are undefined
     for NULL; the r4 mann-whitney lesson).
     """
@@ -18391,15 +18394,33 @@ def _pooled_score_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    b = b.withColumn("c", F.col("ca") + F.col("cb")).withColumn(
-        "cum_in", F.coalesce(F.sum("c").over(w_in), F.lit(0))
+    b = (
+        b.withColumn("c", F.col("ca") + F.col("cb"))
+        .withColumn("cum_in", F.coalesce(F.sum("c").over(w_in), F.lit(0)))
+        .withColumn("cum_a", F.coalesce(F.sum("ca").over(w_in), F.lit(0)))
+        .withColumn("cum_b", F.coalesce(F.sum("cb").over(w_in), F.lit(0)))
     )
-    bt = b.groupBy("blk").agg(F.sum("c").alias("blk_c"))
+    bt = b.groupBy("blk").agg(
+        F.sum("c").alias("blk_c"),
+        F.sum("ca").alias("blk_a"),
+        F.sum("cb").alias("blk_b"),
+    )
     w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
-    bt = bt.withColumn("off", F.coalesce(F.sum("blk_c").over(w_blk), F.lit(0)))
+    bt = (
+        bt.withColumn("off", F.coalesce(F.sum("blk_c").over(w_blk), F.lit(0)))
+        .withColumn("off_a", F.coalesce(F.sum("blk_a").over(w_blk), F.lit(0)))
+        .withColumn("off_b", F.coalesce(F.sum("blk_b").over(w_blk), F.lit(0)))
+    )
     return (
-        b.join(F.broadcast(bt.select("blk", "off")), "blk")
-        .select("ca", "cb", "c", (F.col("off") + F.col("cum_in")).alias("below"))
+        b.join(F.broadcast(bt.select("blk", "off", "off_a", "off_b")), "blk")
+        .select(
+            "ca",
+            "cb",
+            "c",
+            (F.col("off") + F.col("cum_in")).alias("below"),
+            (F.col("off_a") + F.col("cum_a")).alias("below_a"),
+            (F.col("off_b") + F.col("cum_b")).alias("below_b"),
+        )
     )
 
 
@@ -18790,4 +18811,287 @@ def stats_cox_stuart_sql() -> str:
            (abs(n_plus::DOUBLE - (n_plus + n_minus)::DOUBLE / 2.0) - 0.5)
                / sqrt((n_plus + n_minus)::DOUBLE / 4.0) AS z
     FROM agg
+    """
+
+
+def stats_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel generalized Wilcoxon test: P(click < purchase) +
+    ½P(=) with a variance estimated SEPARATELY per sample — the modern
+    replacement for Mann-Whitney when the two distributions may differ
+    in shape/variance (MW's single pooled variance is only valid under
+    exchangeability; BM is the rank analogue of Welch's t), finishing
+    the two-sample rank suite beside stats_mann_whitney (location,
+    pooled), stats_ansari_bradley / stats_mood_scale (scale) and
+    stats_ww_runs_two_sample (omnibus).
+
+    Everything is exact integers until the final doubles: pooled and
+    OWN-sample midranks both live on the ×2 lattice (m2 = 2·below+c+1,
+    a2/b2 from the per-sample cumulatives that ride the same two-level
+    block prefix sum — no extra shuffle), the per-item deviation
+    R − R^own − R̄ + (n_own+1)/2 scales to the integer u = n_own·(m2−a2)
+    − (SR2_own − n_own(n_own+1)) with dev² = u²/(4·n_own²), and the
+    deviation-square sums widen decimal(38,0)/HUGEINT identically on
+    both engines (u² grows as N⁴·n_own — exact to N ≈ 10⁷, the
+    stats_mood_scale magnitude-bound discipline). p̂ is a pure integer
+    rational (integer-exact HALF_UP); W and the Welch-Satterthwaite df
+    are +,−,×,÷,sqrt over bit-identical integers — raw emission.
+    """
+    g = _pooled_score_groups(spark, sf_dir).withColumn(
+        "m2", F.expr("2 * below + c + 1")
+    )
+    tot = F.broadcast(
+        g.agg(
+            F.sum("ca").alias("n_a"),
+            F.sum("cb").alias("n_b"),
+            F.sum(F.expr("ca * m2")).alias("sr2_a"),
+            F.sum(F.expr("cb * m2")).alias("sr2_b"),
+        )
+    )
+    s = g.crossJoin(tot).selectExpr(
+        "ca",
+        "cb",
+        "n_a",
+        "n_b",
+        "sr2_a",
+        "sr2_b",
+        "n_a * (m2 - (2 * below_a + ca + 1)) - (sr2_a - n_a * (n_a + 1))"
+        " AS u",
+        "n_b * (m2 - (2 * below_b + cb + 1)) - (sr2_b - n_b * (n_b + 1))"
+        " AS v",
+    )
+    agg = s.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("sr2_a").alias("sr2_a"),
+        F.max("sr2_b").alias("sr2_b"),
+        F.sum(F.expr("cast(ca as decimal(38,0)) * u * u")).alias("du_a"),
+        F.sum(F.expr("cast(cb as decimal(38,0)) * v * v")).alias("du_b"),
+    )
+    # S²_own = du/(4·n_own²·(n_own−1)); σ̂² = N(S²_A/n_b + S²_B/n_a)
+    sa2 = "(cast(du_a as double) / (4.0 * n_a * n_a * (n_a - 1.0)))"
+    sb2 = "(cast(du_b as double) / (4.0 * n_b * n_b * (n_b - 1.0)))"
+    se2 = f"({sa2} / n_b + {sb2} / n_a)"
+    return agg.selectExpr(
+        "n_a",
+        "n_b",
+        f"{sp_rat6('cast(sr2_b as decimal(38,0)) - cast(n_b as decimal(38,0)) * (n_b + 1)', '2 * cast(n_b as decimal(38,0)) * n_a')} AS p_hat",
+        f"(cast(sr2_b as double) / (2.0 * n_b)"
+        f" - cast(sr2_a as double) / (2.0 * n_a))"
+        f" / sqrt((n_a + n_b) * {se2})"
+        f" * sqrt(cast(n_a as double) * n_b / (n_a + n_b)) AS w_bm",
+        f"({se2} * {se2})"
+        f" / (({sa2} / n_b) * ({sa2} / n_b) / (n_a - 1.0)"
+        f"    + ({sb2} / n_a) * ({sb2} / n_a) / (n_b - 1.0)) AS df",
+    )
+
+
+def stats_brunner_munzel_sql() -> str:
+    sa2 = "(du_a::DOUBLE / (4.0 * n_a * n_a * (n_a - 1.0)))"
+    sb2 = "(du_b::DOUBLE / (4.0 * n_b * n_b * (n_b - 1.0)))"
+    se2 = f"({sa2} / n_b + {sb2} / n_a)"
+    return f"""
+    WITH vc AS (
+{_POOLED_SCORE_GROUPS_SQL}
+    ), cum AS (
+        SELECT ca, cb, ca + cb AS c,
+               coalesce(sum(ca + cb) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below,
+               coalesce(sum(ca) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below_a,
+               coalesce(sum(cb) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below_b
+        FROM vc
+    ), m AS (
+        SELECT ca, cb, below_a, below_b, 2 * below + c + 1 AS m2 FROM cum
+    ), tot AS (
+        SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+               sum(ca * m2)::BIGINT AS sr2_a, sum(cb * m2)::BIGINT AS sr2_b
+        FROM m
+    ), s AS (
+        SELECT ca, cb, n_a, n_b, sr2_a, sr2_b,
+               n_a * (m2 - (2 * below_a + ca + 1))
+                   - (sr2_a - n_a * (n_a + 1)) AS u,
+               n_b * (m2 - (2 * below_b + cb + 1))
+                   - (sr2_b - n_b * (n_b + 1)) AS v
+        FROM m CROSS JOIN tot
+    ), agg AS (
+        SELECT max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b,
+               max(sr2_a)::BIGINT AS sr2_a, max(sr2_b)::BIGINT AS sr2_b,
+               sum(ca::HUGEINT * u * u) AS du_a,
+               sum(cb::HUGEINT * v * v) AS du_b
+        FROM s
+    )
+    SELECT n_a, n_b,
+           {dk_rat6('sr2_b::HUGEINT - n_b::HUGEINT * (n_b + 1)', '2 * n_b::HUGEINT * n_a')} AS p_hat,
+           (sr2_b::DOUBLE / (2.0 * n_b) - sr2_a::DOUBLE / (2.0 * n_a))
+               / sqrt((n_a + n_b) * {se2})
+               * sqrt(n_a::DOUBLE * n_b / (n_a + n_b)) AS w_bm,
+           ({se2} * {se2})
+               / (({sa2} / n_b) * ({sa2} / n_b) / (n_a - 1.0)
+                  + ({sb2} / n_a) * ({sb2} / n_a) / (n_b - 1.0)) AS df
+    FROM agg
+    """
+
+
+PERM_REPS = 256   # sign-flip replicates (deterministic hash draws)
+
+
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign-flip permutation test on the daily click-minus-
+    purchase revenue differences: under H₀ (no systematic difference
+    within a day) each day's difference is symmetric around 0, so every
+    replicate flips each day's sign by a DETERMINISTIC hash draw
+    (md5(perm:rep:day) — the stats_bootstrap_ci
+    resampling-without-resampling trick) and the p-value is the
+    add-one share of replicates whose |Σ s·d| reaches the observed
+    |Σ d|. The exact-inference companion to stats_welch_t /
+    stats_sign_test when nothing about the daily distribution is
+    assumed.
+
+    Scale shape: the corpus collapses to the DAYS grain first (one
+    shuffle); the ×PERM_REPS fan-out is a map-side sequence explode on
+    the calendar-bounded day table and partial aggregation collapses
+    every partition to ≤PERM_REPS rows before the one tiny shuffle.
+    Every replicate sum is an exact BIGINT (integer cents, order-free);
+    the p-value is a pure integer rational (integer-exact HALF_UP).
+    """
+    h = X.sp_hash32(
+        "concat(cast(rep as string), ':', cast(day as string))", "perm"
+    )
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN event_type = 'click'"
+                    " THEN cast(round(value * 100) as bigint)"
+                    " ELSE -cast(round(value * 100) as bigint) END"
+                )
+            ).alias("d_cents")
+        )
+    )
+    obs = F.broadcast(
+        d.agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.abs(F.sum("d_cents")).alias("t_obs_cents"),
+        )
+    )
+    reps = d.select(
+        "day",
+        "d_cents",
+        F.explode(F.expr(f"sequence(0, {PERM_REPS - 1})")).alias("rep"),
+    ).select(
+        "rep",
+        F.expr(
+            f"CASE WHEN ({h}) % 2 = 0 THEN d_cents ELSE -d_cents END"
+        ).alias("sd"),
+    )
+    per_rep = reps.groupBy("rep").agg(F.abs(F.sum("sd")).alias("t_rep"))
+    agg = per_rep.crossJoin(obs).agg(
+        F.max("n_days").alias("n_days"),
+        F.max("t_obs_cents").alias("t_obs_cents"),
+        F.count(F.lit(1)).alias("n_reps"),
+        F.sum(F.expr("cast(t_rep >= t_obs_cents as bigint)")).alias("n_geq"),
+    )
+    return agg.selectExpr(
+        "n_days",
+        "t_obs_cents",
+        "n_reps",
+        "n_geq",
+        f"{sp_rat6('1 + n_geq', str(PERM_REPS + 1))} AS p_value",
+    )
+
+
+def stats_permutation_test_sql() -> str:
+    h = X.dk_hash32("rep::VARCHAR || ':' || day::VARCHAR", "perm")
+    return f"""
+    WITH d AS (
+        SELECT ts::DATE AS day,
+               sum(CASE WHEN event_type = 'click'
+                        THEN round(value * 100)::BIGINT
+                        ELSE -(round(value * 100)::BIGINT) END)::BIGINT
+                   AS d_cents
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+          AND value IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1
+    ), obs AS (
+        SELECT count(*)::BIGINT AS n_days,
+               abs(sum(d_cents))::BIGINT AS t_obs_cents
+        FROM d
+    ), reps AS (
+        SELECT rep,
+               CASE WHEN ({h}) % 2 = 0 THEN d_cents ELSE -d_cents END AS sd
+        FROM d CROSS JOIN range(0, {PERM_REPS}) t(rep)
+    ), per_rep AS (
+        SELECT rep, abs(sum(sd))::BIGINT AS t_rep FROM reps GROUP BY rep
+    ), agg AS (
+        SELECT max(n_days)::BIGINT AS n_days,
+               max(t_obs_cents)::BIGINT AS t_obs_cents,
+               count(*)::BIGINT AS n_reps,
+               sum((t_rep >= t_obs_cents)::INT)::BIGINT AS n_geq
+        FROM per_rep CROSS JOIN obs
+    )
+    SELECT n_days, t_obs_cents, n_reps, n_geq,
+           {dk_rat6('1 + n_geq', str(PERM_REPS + 1))} AS p_value
+    FROM agg
+    """
+
+
+def q_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``UNPIVOT`` clause surface — the statement twin of
+    q_unpivot_measures' ``stack()`` (wide→long after aggregation, so
+    the explosion is 3× a handful of grouped rows, never 3× the fact
+    table). Certifies Spark's UNPIVOT (3.4+) parses and matches the
+    CASE-free relational semantics DuckDB's UNPIVOT applies.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_unpivot_orders"
+    )
+    return spark.sql(
+        """
+        WITH wide AS (
+            SELECT o_orderpriority,
+                   cast(sum(cast(round(o_totalprice * 100) as bigint))
+                        as bigint) AS m_cents,
+                   cast(count(*) as bigint) AS m_orders,
+                   cast(count(DISTINCT o_custkey) as bigint) AS m_customers
+            FROM v_unpivot_orders
+            WHERE o_orderpriority IS NOT NULL
+            GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, measure, val
+        FROM wide
+        UNPIVOT (val FOR measure IN (m_cents, m_orders, m_customers))
+        ORDER BY o_orderpriority, measure
+        """
+    )
+
+
+def q_sql_unpivot_sql() -> str:
+    return """
+    WITH wide AS (
+        SELECT o_orderpriority,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS m_cents,
+               count(*)::BIGINT AS m_orders,
+               count(DISTINCT o_custkey)::BIGINT AS m_customers
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL
+        GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, name AS measure, val
+    FROM (
+        UNPIVOT wide ON m_cents, m_orders, m_customers
+        INTO NAME name VALUE val
+    )
+    ORDER BY o_orderpriority, measure
     """

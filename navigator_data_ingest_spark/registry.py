@@ -227,6 +227,7 @@ _FRONT_NEW: frozenset[str] = frozenset({
     "stats_ansari_bradley", "stats_mood_scale", "stats_page_trend",
     "stats_cox_stuart", "pack_efficiency", "split_temporal",
     "split_dedup_aware", "mm_shard_manifest", "emb_cka_similarity",
+    "stats_brunner_munzel", "stats_permutation_test", "q_sql_unpivot",
 })
 
 
@@ -7000,6 +7001,27 @@ register(
     "emb_cka_similarity",
     similarity.emb_cka_similarity,
     similarity.emb_cka_similarity_sql(),
+    front=True,
+)
+
+register(
+    "stats_brunner_munzel",
+    analytics.stats_brunner_munzel,
+    analytics.stats_brunner_munzel_sql(),
+    front=True,
+)
+
+register(
+    "stats_permutation_test",
+    analytics.stats_permutation_test,
+    analytics.stats_permutation_test_sql(),
+    front=True,
+)
+
+register(
+    "q_sql_unpivot",
+    analytics.q_sql_unpivot,
+    analytics.q_sql_unpivot_sql(),
     front=True,
 )
 
