@@ -89,6 +89,15 @@ HEADLINE = [
     "graph_harmonic_centrality",
     "q_customer_migration",
     "text_simpson_diversity",
+    # round-8 widening: Walsh-pair pseudo-median lattice, rank-Welch
+    # two-sample test, byte-balanced shard planning, dimension-view CKA,
+    # leakage-safe family split, sign-flip permutation inference
+    "stats_hodges_lehmann",
+    "stats_brunner_munzel",
+    "mm_shard_manifest",
+    "emb_cka_similarity",
+    "split_dedup_aware",
+    "stats_permutation_test",
 ]
 
 
