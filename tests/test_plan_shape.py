@@ -365,6 +365,21 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_hodges_lehmann",
     # 1-row min/max range broadcast onto the block mapper
     "stats_ww_runs_two_sample",
+    # round 8: 1-row min/max range + totals broadcasts onto the
+    # distinct-value block mapper (_pooled_score_groups discipline)
+    "stats_ansari_bradley",
+    "stats_mood_scale",
+    "stats_brunner_munzel",
+    # 1-row month-count broadcast onto the single L-sum row
+    "stats_page_trend",
+    # 1-row day-count broadcast resolving the half-offset in-plan
+    "stats_cox_stuart",
+    # 1-row total / cutoff-day broadcasts onto the day + user grains
+    "split_temporal",
+    # 1-row observed-statistic broadcast onto the 256-row replicate table
+    "stats_permutation_test",
+    # 1-row doc-grain audit broadcast onto the single family-audit row
+    "split_dedup_aware",
 }
 
 
@@ -387,6 +402,12 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     # 1024-block prefix-sum block tables
     "stats_mann_whitney", "stats_cramer_von_mises", "stats_gains_table",
     "stats_dunn_posthoc",
+    # round 8: _pooled_score_groups' <=1024-row block-offset window
+    # (ansari/mood 1; brunner 2 — the same bounded block table feeds
+    # both the pooled and the per-sample offset columns)
+    "stats_ansari_bradley", "stats_mood_scale", "stats_brunner_munzel",
+    # DAYS-bounded calendar grain (position index + cumulative rule)
+    "stats_cox_stuart", "split_temporal",
     # column-bisect diagnostic projections (same plan, projected)
     "stats_mann_whitney_u", "stats_mann_whitney_z",
     "q_orders_pareto_8020",
@@ -906,3 +927,105 @@ def test_join_hints_steer_physical_strategy(spark):
     assert "BroadcastHashJoin" in bc
     assert "SortMergeJoin" in sm
     assert "SortMergeJoin" not in bc
+
+
+def test_mm_shard_manifest_three_level_prefix_sum(spark):
+    """Byte offsets must come from the pack_sequences discipline with
+    modality PREPENDED to every partition key: the asset cumsum windowed
+    by (modality, block), block subtotals by (modality, super), offsets
+    broadcast back — no window task over more than SHARD_BLOCK rows at
+    any corpus size."""
+    df = _Q["mm_shard_manifest"](spark, SF_CORRECT)
+    plan = formatted_plan(df)
+    assert "windowspecdefinition(modality" in plan, (
+        "shard prefix sum lost its modality-prefixed partition"
+    )
+    assert plan_audit(df).broadcast_joins >= 1, "offsets not broadcast"
+
+
+def test_mm_shard_manifest_depth3_matches_global_scan(spark, monkeypatch):
+    """With SHARD_BLOCK shrunk to 4 all three prefix-sum levels carry
+    real work and the manifest must equal the default (single-super)
+    configuration's."""
+    from navigator_data_ingest_spark.operators import multimodal
+
+    key = lambda r: (r.modality, r.shard)  # noqa: E731
+    base = {key(r): (r.n_assets, r.shard_bytes)
+            for r in _Q["mm_shard_manifest"](spark, SF_CORRECT).collect()}
+    monkeypatch.setattr(multimodal, "SHARD_BLOCK", 4)
+    small = {key(r): (r.n_assets, r.shard_bytes)
+             for r in _Q["mm_shard_manifest"](spark, SF_CORRECT).collect()}
+    assert base == small
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["stats_ansari_bradley", "stats_mood_scale", "stats_brunner_munzel"],
+)
+def test_scale_tests_use_block_partitioned_prefix_sums(spark, name):
+    """The pooled-rank scale tests must keep every corpus-derived window
+    partitioned by the range-bucket block id (the mann-whitney two-level
+    discipline): the only unpartitioned window allowed is the <=1024-row
+    block-offset table."""
+    df = _Q[name](spark, SF_CORRECT)
+    plan = formatted_plan(df)
+    assert "windowspecdefinition(blk" in plan, (
+        f"{name}: distinct-value cumsum lost its block partition"
+    )
+    assert plan_audit(df).broadcast_joins >= 2, (
+        f"{name}: block offsets / totals not broadcast"
+    )
+
+
+def test_pack_efficiency_expands_mapside_before_agg(spark):
+    """The ×|LENS| candidate-length fan-out must be a map-side literal
+    explode feeding partial aggregation — no join anywhere in the
+    plan."""
+    df = _Q["pack_efficiency"](spark, SF_CORRECT)
+    plan = formatted_plan(df)
+    audit = plan_audit(df)
+    assert "Generate" in plan, "candidate lengths not exploded map-side"
+    assert (
+        audit.broadcast_joins == 0
+        and audit.sortmerge_joins == 0
+        and audit.cartesian_products == 0
+    ), "pack_efficiency must be join-free"
+
+
+def test_emb_cka_gram_is_single_scan_no_self_join(spark):
+    """The 64x64 Gram must come from ONE corpus pass (two lateral
+    posexplodes) — a vec_id self-join would shuffle the corpus twice and
+    is the shape this test forbids. Means re-enter via broadcast."""
+    df = _Q["emb_cka_similarity"](spark, SF_CORRECT)
+    plan = formatted_plan(df)
+    audit = plan_audit(df)
+    assert "Generate" in plan, "gram grid not generated map-side"
+    assert "SortMergeJoin" not in plan, "corpus self-join crept in"
+    assert audit.broadcast_joins >= 2, "dimension means not broadcast"
+
+
+def test_permutation_test_fanout_is_mapside(spark):
+    """The ×PERM_REPS replicate fan-out must be a map-side sequence
+    explode on the calendar-grain table; the observed statistic re-enters
+    via a 1-row broadcast, never a driver collect."""
+    df = _Q["stats_permutation_test"](spark, SF_CORRECT)
+    plan = formatted_plan(df)
+    audit = plan_audit(df)
+    assert "Generate" in plan, "replicates not exploded map-side"
+    assert "BroadcastNestedLoopJoin" in plan, "observed stat not broadcast"
+    assert audit.cartesian_products == 1, (
+        "only the declared 1-row observed-stat broadcast may nest-loop"
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_split_dedup_aware_reuses_family_partitioning(spark):
+    """Both split decisions are map-side hash comparisons; the only
+    shuffles are the family build + re-join on the SAME key (pfx_hash)
+    and the final audits. A row_number / global window anywhere here
+    would break the map-side claim."""
+    df = _Q["split_dedup_aware"](spark, SF_CORRECT)
+    plan = formatted_plan(df)
+    assert "windowspecdefinition" not in plan, (
+        "split assignment must not use windows"
+    )
