@@ -19047,7 +19047,7 @@ def stats_permutation_test_sql() -> str:
     """
 
 
-def q_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sql_unpivot_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL ``UNPIVOT`` clause surface — the statement twin of
     q_unpivot_measures' ``stack()`` (wide→long after aggregation, so
     the explosion is 3× a handful of grouped rows, never 3× the fact
@@ -19077,7 +19077,7 @@ def q_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_sql_unpivot_sql() -> str:
+def q_sql_unpivot_stmt_sql() -> str:
     return """
     WITH wide AS (
         SELECT o_orderpriority,

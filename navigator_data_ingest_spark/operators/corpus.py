@@ -4253,3 +4253,92 @@ def split_dedup_aware_sql() -> str:
            fam_straddling, holdout_docs, docs_reassigned
     FROM a1 CROSS JOIN a2
     """
+
+
+def sample_downweight_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup by sampling weight: instead of DROPPING near-dup
+    family members (dedup_prefix_family's hard rule), every document is
+    weighted 1/family_size so each family contributes ONE document's
+    worth of probability mass to the training sampler — the SemDeDup /
+    soft-dedup alternative that keeps intra-family variation available
+    while removing the duplication bias. Emits the per-source audit:
+    raw vs effective (weighted) document and char mass, and the
+    effective-mass permille the downweighting leaves.
+
+    Exactness: each doc's weight is the integer micro-unit
+    HALF_UP(10⁶/fam_size) and its char mass HALF_UP(10⁶·n_chars/
+    fam_size) — exact BIGINT sums on both engines, never a float sum.
+    Shape: one shuffle on the prefix hash builds family sizes, the
+    doc-grain re-join rides the same key, the audit is one source-grain
+    aggregate (bounded by the source catalog).
+    """
+    docs = scatter(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.expr("substring(text, 1, 120)")).alias("pfx_hash"),
+    )
+    fams = docs.groupBy("pfx_hash").agg(
+        F.count(F.lit(1)).alias("fam_size")
+    )
+    j = docs.join(fams, "pfx_hash").selectExpr(
+        "source",
+        "n_chars",
+        "fam_size",
+        "cast(" + sp_units("1", "fam_size") + " as bigint) AS w_micro",
+        "cast("
+        + sp_units("cast(n_chars as decimal(38,0))", "fam_size")
+        + " as bigint) AS chars_micro",
+    )
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr("cast(fam_size >= 2 as bigint)")).alias("n_dup_docs"),
+        F.sum("n_chars").alias("raw_chars"),
+        F.sum("w_micro").alias("eff_docs_micro"),
+        F.sum("chars_micro").alias("eff_chars_micro"),
+    )
+    return agg.selectExpr(
+        "source",
+        "n_docs",
+        "n_dup_docs",
+        "raw_chars",
+        "eff_docs_micro",
+        "eff_chars_micro",
+        "cast("
+        + sp_units(
+            "cast(eff_chars_micro as decimal(38,0))",
+            "cast(raw_chars as decimal(38,0)) * 1000000",
+            3,
+        )
+        + " as bigint) AS eff_mass_permille",
+    ).orderBy("source")
+
+
+def sample_downweight_duplicates_sql() -> str:
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, source, n_chars,
+               md5(substr(text, 1, 120)) AS pfx_hash
+        FROM documents
+    ), fams AS (
+        SELECT pfx_hash, count(*)::BIGINT AS fam_size FROM docs GROUP BY 1
+    ), j AS (
+        SELECT source, n_chars, fam_size,
+               ({dk_units("1", "fam_size")})::BIGINT AS w_micro,
+               ({dk_units("n_chars::HUGEINT", "fam_size")})::BIGINT
+                   AS chars_micro
+        FROM docs JOIN fams USING (pfx_hash)
+    ), agg AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum((fam_size >= 2)::INT)::BIGINT AS n_dup_docs,
+               sum(n_chars)::BIGINT AS raw_chars,
+               sum(w_micro)::BIGINT AS eff_docs_micro,
+               sum(chars_micro)::BIGINT AS eff_chars_micro
+        FROM j GROUP BY source
+    )
+    SELECT source, n_docs, n_dup_docs, raw_chars, eff_docs_micro,
+           eff_chars_micro,
+           ({dk_units("eff_chars_micro::HUGEINT", "raw_chars::HUGEINT * 1000000", 3)})::BIGINT
+               AS eff_mass_permille
+    FROM agg ORDER BY source
+    """

@@ -1345,3 +1345,115 @@ def graph_rich_club_sql() -> str:
                AS graph_density
     FROM nc CROSS JOIN ec CROSS JOIN tot
     """
+
+
+RA_TOP_N = 20   # bounded output: strongest link predictions
+
+
+def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link-prediction index over the brand
+    co-purchase graph: for each NON-adjacent brand pair, RA(a,b) =
+    Σ_{z ∈ Γ(a)∩Γ(b)} 1/deg(z) — common neighbors weighted inversely by
+    their degree, so a hub shared with everyone contributes almost
+    nothing while a rare shared neighbor dominates. The strongest
+    simple predictor in the Zhou/Lü/Zhang benchmark family and the
+    float-free cousin of Adamic-Adar (whose 1/ln·deg would re-expose
+    engine libm differences — the repo's ln-literal rule; 1/deg is a
+    pure rational).
+
+    Exactness: each neighbor's contribution is the integer micro-unit
+    HALF_UP(10⁶/deg) — computed ONCE per node on the degree table — so
+    the pair score is an exact BIGINT SUM of integers, not a float sum
+    (order-free on both engines). Shape: same bounded wedge join as
+    graph_jaccard_neighbors (per-order brand sets → oriented pairs →
+    mid-keyed equijoin); the adjacency ANTI-join drops already-linked
+    pairs (link prediction scores absent edges); brand-grain tables
+    are bounded by the catalog, top-N output.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    und = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(brands, (x, i) -> "
+                    "transform(slice(brands, i + 2, size(brands)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = und.select(F.col("a").alias("n"), F.col("b").alias("nb")).unionByName(
+        und.select(F.col("b").alias("n"), F.col("a").alias("nb"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    units = deg.selectExpr(
+        "n AS mid", "cast(" + sp_units("1", "deg") + " as bigint) AS unit"
+    )
+    l = adj.select(F.col("nb").alias("mid"), F.col("n").alias("a"))
+    r = adj.select(F.col("nb").alias("mid_r"), F.col("n").alias("b"))
+    pairs = (
+        l.join(r, (F.col("mid") == F.col("mid_r")) & (F.col("a") < F.col("b")))
+        .join(units, "mid")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum("unit").alias("ra_microunits"),
+        )
+    )
+    non_edges = pairs.join(und, ["a", "b"], "left_anti")
+    return (
+        non_edges.selectExpr(
+            "a",
+            "b",
+            "common",
+            "ra_microunits",
+            "cast(ra_microunits as double) / 1000000.0 AS ra_score",
+        )
+        .orderBy(F.desc("ra_microunits"), "a", "b")
+        .limit(RA_TOP_N)
+    )
+
+
+def graph_resource_allocation_sql() -> str:
+    return f"""
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), und AS (
+        SELECT DISTINCT x.p_brand AS a, y.p_brand AS b
+        FROM ob x JOIN ob y
+          ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+    ), adj AS (
+        SELECT a AS n, b AS nb FROM und
+        UNION ALL SELECT b, a FROM und
+    ), deg AS (
+        SELECT n, count(*)::BIGINT AS deg FROM adj GROUP BY n
+    ), units AS (
+        SELECT n AS mid, ({dk_units("1", "deg")})::BIGINT AS unit FROM deg
+    ), pairs AS (
+        SELECT l.n AS a, r.n AS b, count(*)::BIGINT AS common,
+               sum(unit)::BIGINT AS ra_microunits
+        FROM adj l
+        JOIN adj r ON l.nb = r.nb AND l.n < r.n
+        JOIN units ON units.mid = l.nb
+        GROUP BY l.n, r.n
+    ), non_edges AS (
+        SELECT p.* FROM pairs p
+        ANTI JOIN und ON und.a = p.a AND und.b = p.b
+    )
+    SELECT a, b, common, ra_microunits,
+           ra_microunits::DOUBLE / 1000000.0 AS ra_score
+    FROM non_edges
+    ORDER BY ra_microunits DESC, a, b
+    LIMIT {RA_TOP_N}
+    """

@@ -227,7 +227,8 @@ _FRONT_NEW: frozenset[str] = frozenset({
     "stats_ansari_bradley", "stats_mood_scale", "stats_page_trend",
     "stats_cox_stuart", "pack_efficiency", "split_temporal",
     "split_dedup_aware", "mm_shard_manifest", "emb_cka_similarity",
-    "stats_brunner_munzel", "stats_permutation_test", "q_sql_unpivot",
+    "stats_brunner_munzel", "stats_permutation_test", "q_sql_unpivot_stmt",
+    "graph_resource_allocation", "sample_downweight_duplicates",
 })
 
 
@@ -7019,9 +7020,23 @@ register(
 )
 
 register(
-    "q_sql_unpivot",
-    analytics.q_sql_unpivot,
-    analytics.q_sql_unpivot_sql(),
+    "q_sql_unpivot_stmt",
+    analytics.q_sql_unpivot_stmt,
+    analytics.q_sql_unpivot_stmt_sql(),
+    front=True,
+)
+
+register(
+    "graph_resource_allocation",
+    graph.graph_resource_allocation,
+    graph.graph_resource_allocation_sql(),
+    front=True,
+)
+
+register(
+    "sample_downweight_duplicates",
+    corpus.sample_downweight_duplicates,
+    corpus.sample_downweight_duplicates_sql(),
     front=True,
 )
 
