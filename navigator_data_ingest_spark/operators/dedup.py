@@ -1560,3 +1560,126 @@ def dedup_cross_source_sql() -> str:
     JOIN sizes zb ON sb = zb.source
     ORDER BY source_a, source_b
     """
+
+
+SWEEP_TAUS = (150, 300, 500, 700, 900)   # Jaccard thresholds (permille)
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity sweep for the near-dup verifier: exact
+    3-gram Jaccard on the LSH candidate pairs, summarized at a permille
+    threshold GRID — pairs surviving, documents flagged, corpus share —
+    the one-pass audit that justifies JACCARD_THRESHOLD before a 100 TB
+    dedup run commits to it (the curve's knee IS the threshold
+    decision; a single-τ report can't show it).
+
+    Exactness: the pair score is the INTEGER permille 1000·|∩| div |∪|
+    (never a float compare at the boundary — the r5 round-half lesson);
+    every output is an exact integer or integer permille. Shape: the
+    candidate set is bounded by the LSH bands (funnel stage 2, the
+    dedup_ngram_jaccard discipline — no block self-join at any corpus
+    size), the ×|TAUS| fan-out is a map-side literal explode on the
+    candidate-pair table, and the τ spine LEFT-joins so empty
+    thresholds report zeros. Total-doc count enters as a 1-row
+    broadcast.
+    """
+    taus = ", ".join(str(t) for t in SWEEP_TAUS)
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_pairs(docs).select("doc_a", "doc_b")
+    sh_expr = X.sp_let(
+        "t", X.sp_tokens("text"), f"array_distinct({X.sp_shingles('t')})"
+    )
+    sh = scatter(spark, docs.select("doc_id", "text")).select(
+        "doc_id", F.expr(sh_expr).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "size(array_intersect(sh_a, sh_b)) AS inter",
+            "size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))"
+            " AS un",
+        )
+        .selectExpr("doc_a", "doc_b", "1000 * inter div un AS jp")
+    )
+    per = scored.select(
+        "doc_a", "doc_b", "jp",
+        F.explode(F.expr(f"array({taus})")).alias("tau_permille"),
+    ).where(F.expr("jp >= tau_permille"))
+    pair_counts = per.groupBy("tau_permille").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    doc_counts = (
+        per.selectExpr("tau_permille", "explode(array(doc_a, doc_b)) AS d")
+        .groupBy("tau_permille")
+        .agg(F.countDistinct("d").alias("n_docs_flagged"))
+    )
+    tot = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs_total")))
+    spine = tot.select(
+        F.explode(F.expr(f"array({taus})")).alias("tau_permille"),
+        "n_docs_total",
+    )
+    out = (
+        spine.join(F.broadcast(pair_counts), "tau_permille", "left")
+        .join(F.broadcast(doc_counts), "tau_permille", "left")
+        .selectExpr(
+            "cast(tau_permille as bigint) AS tau_permille",
+            "coalesce(n_pairs, 0) AS n_pairs",
+            "coalesce(n_docs_flagged, 0) AS n_docs_flagged",
+            "1000 * coalesce(n_docs_flagged, 0) div n_docs_total"
+            " AS flagged_share_permille",
+        )
+    )
+    return out.orderBy("tau_permille")
+
+
+def dedup_threshold_sweep_oracle_sql(minhash_ctes: str) -> str:
+    """Oracle body (registry passes the shared minhash candidate CTEs)."""
+    vals = ", ".join(f"({t})" for t in SWEEP_TAUS)
+    return f"""
+    WITH {minhash_ctes},
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT doc_a, doc_b,
+               1000 * len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+               // (len(sa.sh) + len(sb.sh)
+                   - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))))
+                   AS jp
+        FROM cand
+        JOIN base sa ON doc_a = sa.doc_id
+        JOIN base sb ON doc_b = sb.doc_id
+    ), per AS (
+        SELECT doc_a, doc_b, jp, tau_permille
+        FROM scored CROSS JOIN (VALUES {vals}) t(tau_permille)
+        WHERE jp >= tau_permille
+    ), pair_counts AS (
+        SELECT tau_permille, count(*)::BIGINT AS n_pairs
+        FROM per GROUP BY 1
+    ), doc_counts AS (
+        SELECT tau_permille, count(DISTINCT d)::BIGINT AS n_docs_flagged
+        FROM (SELECT tau_permille, doc_a AS d FROM per
+              UNION ALL SELECT tau_permille, doc_b FROM per)
+        GROUP BY 1
+    ), tot AS (
+        SELECT count(*)::BIGINT AS n_docs_total FROM documents
+    )
+    SELECT s.tau_permille::BIGINT AS tau_permille,
+           coalesce(n_pairs, 0)::BIGINT AS n_pairs,
+           coalesce(n_docs_flagged, 0)::BIGINT AS n_docs_flagged,
+           (1000 * coalesce(n_docs_flagged, 0) // n_docs_total)::BIGINT
+               AS flagged_share_permille
+    FROM (VALUES {vals}) s(tau_permille)
+    LEFT JOIN pair_counts pc ON pc.tau_permille = s.tau_permille
+    LEFT JOIN doc_counts dc ON dc.tau_permille = s.tau_permille
+    CROSS JOIN tot
+    ORDER BY s.tau_permille
+    """

@@ -229,6 +229,7 @@ _FRONT_NEW: frozenset[str] = frozenset({
     "split_dedup_aware", "mm_shard_manifest", "emb_cka_similarity",
     "stats_brunner_munzel", "stats_permutation_test", "q_sql_unpivot_stmt",
     "graph_resource_allocation", "sample_downweight_duplicates",
+    "dedup_threshold_sweep",
 })
 
 
@@ -7037,6 +7038,15 @@ register(
     "sample_downweight_duplicates",
     corpus.sample_downweight_duplicates,
     corpus.sample_downweight_duplicates_sql(),
+    front=True,
+)
+
+register(
+    "dedup_threshold_sweep",
+    dedup.dedup_threshold_sweep,
+    # exact-permille Jaccard on the shared LSH candidate CTEs, swept
+    # over the SWEEP_TAUS threshold grid with a zero-filled spine
+    dedup.dedup_threshold_sweep_oracle_sql(_MINHASH_CTES),
     front=True,
 )
 
