@@ -1575,63 +1575,105 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the pair score is the INTEGER permille 1000·|∩| div |∪|
     (never a float compare at the boundary — the r5 round-half lesson);
-    every output is an exact integer or integer permille. Shape: the
-    candidate set is bounded by the LSH bands (funnel stage 2, the
-    dedup_ngram_jaccard discipline — no block self-join at any corpus
-    size), the ×|TAUS| fan-out is a map-side literal explode on the
-    candidate-pair table, and the τ spine LEFT-joins so empty
-    thresholds report zeros. Total-doc count enters as a 1-row
-    broadcast.
+    every output is an exact integer or integer permille.
+
+    Scale shape — EXACT-PAYLOAD COLLAPSE (the dedup_semantic 100×-probe
+    doctrine): banding, candidate generation and the Jaccard verify all
+    run at DISTINCT-TEXT grain (group key md5(text), representative id
+    min(doc_id) so the Arrow signature path applies unchanged); doc-
+    grain pair counts re-enter by MULTIPLICATION (cnt_a·cnt_b per cross
+    pair, C(cnt,2) per identical-text group — identical texts share a
+    signature, so every within-group pair is a jp=1000 candidate by
+    construction, and the short-text gate mirrors minhash_pairs'
+    size(tokens) >= SHINGLE_K banding gate). No doc-grain pair list is
+    ever materialized: 100×-duplicated corpora cost ~1× (probe ratio
+    1.2 at 10×; the pre-collapse doc-grain draft probed 6.3× at 100×).
+    The ×|TAUS| fan-out is a map-side literal explode on the bounded
+    group-pair table; the τ spine LEFT-joins so empty thresholds report
+    zeros; totals enter as a 1-row broadcast.
     """
     taus = ", ".join(str(t) for t in SWEEP_TAUS)
     docs = load_table(spark, sf_dir, "documents")
-    cand = minhash_pairs(docs).select("doc_a", "doc_b")
+    groups = (
+        scatter(spark, docs.select("doc_id", "text"))
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    eligible = F.expr(f"size({X.sp_tokens('text')}) >= {SHINGLE_K}")
+    cand = minhash_pairs(groups.select("doc_id", "text")).select(
+        "doc_a", "doc_b"
+    )
     sh_expr = X.sp_let(
         "t", X.sp_tokens("text"), f"array_distinct({X.sp_shingles('t')})"
     )
-    sh = scatter(spark, docs.select("doc_id", "text")).select(
-        "doc_id", F.expr(sh_expr).alias("sh")
-    )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sh = groups.select("doc_id", "cnt", F.expr(sh_expr).alias("sh"))
+    a = sh.selectExpr("doc_id AS doc_a", "sh AS sh_a", "cnt AS cnt_a")
+    b = sh.selectExpr("doc_id AS doc_b", "sh AS sh_b", "cnt AS cnt_b")
     scored = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .selectExpr(
             "doc_a",
             "doc_b",
+            "cnt_a",
+            "cnt_b",
             "size(array_intersect(sh_a, sh_b)) AS inter",
             "size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))"
             " AS un",
         )
-        .selectExpr("doc_a", "doc_b", "1000 * inter div un AS jp")
+        .selectExpr(
+            "doc_a", "doc_b", "cnt_a", "cnt_b", "1000 * inter div un AS jp"
+        )
     )
     per = scored.select(
-        "doc_a", "doc_b", "jp",
+        "doc_a", "doc_b", "cnt_a", "cnt_b", "jp",
         F.explode(F.expr(f"array({taus})")).alias("tau_permille"),
     ).where(F.expr("jp >= tau_permille"))
-    pair_counts = per.groupBy("tau_permille").agg(
-        F.count(F.lit(1)).alias("n_pairs")
+    cross_pairs = per.groupBy("tau_permille").agg(
+        F.sum(F.expr("cnt_a * cnt_b")).alias("n_cross_pairs")
     )
-    doc_counts = (
-        per.selectExpr("tau_permille", "explode(array(doc_a, doc_b)) AS d")
+    cross_groups = (
+        per.selectExpr(
+            "tau_permille", "explode(array(doc_a, doc_b)) AS gid"
+        )
+        .distinct()
+        .join(
+            groups.where(F.col("cnt") == 1).selectExpr("doc_id AS gid", "cnt"),
+            "gid",
+        )
         .groupBy("tau_permille")
-        .agg(F.countDistinct("d").alias("n_docs_flagged"))
+        .agg(F.sum("cnt").alias("cross_only_docs"))
+    )
+    # identical-text groups: every member pair is a candidate with
+    # jp = 1000 >= every grid τ; multi-doc groups flag ALL members at
+    # every τ, so the cross-side union only needs singleton groups.
+    within = F.broadcast(
+        groups.where(F.col("cnt") >= 2)
+        .where(eligible)
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("cnt * (cnt - 1) div 2")), F.lit(0)
+            ).alias("n_within_pairs"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("within_docs"),
+        )
     )
     tot = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs_total")))
-    spine = tot.select(
+    spine = tot.crossJoin(within).select(
         F.explode(F.expr(f"array({taus})")).alias("tau_permille"),
         "n_docs_total",
+        "n_within_pairs",
+        "within_docs",
     )
     out = (
-        spine.join(F.broadcast(pair_counts), "tau_permille", "left")
-        .join(F.broadcast(doc_counts), "tau_permille", "left")
+        spine.join(F.broadcast(cross_pairs), "tau_permille", "left")
+        .join(F.broadcast(cross_groups), "tau_permille", "left")
         .selectExpr(
             "cast(tau_permille as bigint) AS tau_permille",
-            "coalesce(n_pairs, 0) AS n_pairs",
-            "coalesce(n_docs_flagged, 0) AS n_docs_flagged",
-            "1000 * coalesce(n_docs_flagged, 0) div n_docs_total"
-            " AS flagged_share_permille",
+            "coalesce(n_cross_pairs, 0) + n_within_pairs AS n_pairs",
+            "coalesce(cross_only_docs, 0) + within_docs AS n_docs_flagged",
+            "1000 * (coalesce(cross_only_docs, 0) + within_docs)"
+            " div n_docs_total AS flagged_share_permille",
         )
     )
     return out.orderBy("tau_permille")
