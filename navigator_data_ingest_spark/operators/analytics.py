@@ -19095,3 +19095,137 @@ def q_sql_unpivot_stmt_sql() -> str:
     )
     ORDER BY o_orderpriority, measure
     """
+
+
+# Poisson(8) inverse-CDF thresholds for the BLB resampling weights —
+# PRECOMPUTED Python-repr literals shared verbatim by both engines (the
+# _POIS_CUM discipline: an in-engine exp/ln would re-expose libm
+# last-ulp differences in the branch decisions).
+_POIS8_CUM = [
+    0.00033546262790251185, 0.003019163651122607, 0.013753967744002987,
+    0.042380111991684, 0.09963240048704602, 0.19123606207962526,
+    0.31337427753639757, 0.45296080948699446, 0.5925473414375914,
+    0.7166242587270109, 0.8158857925585464, 0.8880759989814814,
+    0.936202803263438, 0.9658192982061805, 0.9827430096020334,
+    0.9917689890131549, 0.9962819787187157, 0.998405738580156,
+    0.9993496318519073, 0.9997470605979079, 0.999906032096308,
+    0.9999665926671272, 0.9999886146928796, 0.999996274527924,
+    0.999998827806272, 0.9999996448553434, 0.9999998962550577,
+    0.9999999707438619, 0.9999999920263775, 0.9999999978974162,
+]
+BLB_SUBSAMPLES = 8
+BLB_REPS = 16
+
+
+def _pois8_weight(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS8_CUM)
+    )
+    return f"(CASE {branches} ELSE {len(_POIS8_CUM)} END)"
+
+
+def stats_blb_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag of Little Bootstraps for the mean order value — the
+    bootstrap that actually scales: each of s=8 DISJOINT hash
+    subsamples (≈n/s rows, small enough to live on few executors)
+    runs r=16 replicates whose Poisson(s) weights rescale it back to a
+    FULL-SIZE resample (Σw ≈ n — Kleiner et al.'s inflation step, the
+    part plain subsampling gets wrong), so every replicate estimates
+    the full-data mean and the per-subsample spread estimates its
+    sampling error without any replicate ever materializing n rows.
+    stats_bootstrap_ci is the single-bag Poisson(1) cousin; BLB is
+    what replaces it when n no longer fits one bag.
+
+    Determinism: subsample id and weights are hash-derived
+    (md5-uniform → Poisson(8) inverse-CDF over PRECOMPUTED repr
+    literals); replicate means are integer-exact HALF_UP micro-units,
+    the per-subsample replicate variance is a PURE integer rational,
+    and the only floats are the final per-row sqrt (raw emission) and
+    the 6-dp mean. Shape: one ×r map-side explode, partial agg to
+    (s·r) rows per partition, two bounded shuffles (s·r, then s);
+    output is the s-row per-bag table (the consumer averages bags).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    uj = (
+        "cast(conv(substr(md5(concat('blb:', cast(o_orderkey as string))),"
+        " 1, 8), 16, 10) as bigint)"
+    )
+    uw = (
+        "cast(conv(substr(md5(concat('blbw:', cast(rep as string), ':', "
+        "cast(o_orderkey as string))), 1, 8), 16, 10) as bigint) "
+        "/ 4294967296.0"
+    )
+    reps = o.selectExpr(
+        "o_orderkey",
+        f"({uj}) % {BLB_SUBSAMPLES} AS bag",
+        "cast(round(o_totalprice * 100) as bigint) AS cents",
+        f"explode(sequence(0, {BLB_REPS - 1})) AS rep",
+    ).selectExpr("bag", "rep", "cents", f"{_pois8_weight(uw)} AS w")
+    per_rep = (
+        reps.groupBy("bag", "rep")
+        .agg(
+            F.sum("w").alias("nw"),
+            F.sum(F.expr("cast(w as bigint) * cents")).alias("swc"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .selectExpr(
+            "bag",
+            "n_rows",
+            "cast(" + sp_units("swc", "100 * nw") + " as bigint) AS m6",
+        )
+    )
+    bags = per_rep.groupBy("bag").agg(
+        F.max("n_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_reps"),
+        F.sum("m6").alias("sm6"),
+        F.sum(F.expr("cast(m6 as decimal(38,0)) * m6")).alias("sqm6"),
+    )
+    var_units = (
+        f"(cast({BLB_REPS} as double) * cast(sqm6 as double)"
+        f" - cast(sm6 as double) * sm6)"
+        f" / ({BLB_REPS} * ({BLB_REPS} - 1.0))"
+    )
+    return bags.selectExpr(
+        "bag",
+        "n_rows",
+        "n_reps",
+        f"{sp_rat6('sm6', str(BLB_REPS * 1_000_000))} AS bag_mean",
+        f"sqrt({var_units}) / 1000000.0 AS bag_se",
+    ).orderBy("bag")
+
+
+def stats_blb_ci_sql() -> str:
+    uj = "('0x' || substr(md5('blb:' || o_orderkey::VARCHAR), 1, 8))::UBIGINT::BIGINT"
+    uw = (
+        "('0x' || substr(md5('blbw:' || rep::VARCHAR || ':' || "
+        "o_orderkey::VARCHAR), 1, 8))::UBIGINT::BIGINT / 4294967296.0"
+    )
+    var_units = (
+        f"({BLB_REPS}::DOUBLE * sqm6::DOUBLE - sm6::DOUBLE * sm6)"
+        f" / ({BLB_REPS} * ({BLB_REPS} - 1.0))"
+    )
+    return f"""
+    WITH reps AS (
+        SELECT ({uj}) % {BLB_SUBSAMPLES} AS bag, r.rep,
+               round(o_totalprice * 100)::BIGINT AS cents,
+               {_pois8_weight(uw)} AS w
+        FROM orders,
+             (SELECT unnest(generate_series(0, {BLB_REPS - 1})) AS rep) r
+    ), per_rep AS (
+        SELECT bag, count(*)::BIGINT AS n_rows,
+               ({dk_units("sum(w * cents)::HUGEINT", "100 * sum(w)::HUGEINT")})::BIGINT AS m6
+        FROM reps GROUP BY bag, rep
+    ), bags AS (
+        SELECT bag, max(n_rows)::BIGINT AS n_rows,
+               count(*)::BIGINT AS n_reps,
+               sum(m6)::BIGINT AS sm6,
+               sum(m6::HUGEINT * m6) AS sqm6
+        FROM per_rep GROUP BY bag
+    )
+    SELECT bag::BIGINT AS bag, n_rows, n_reps,
+           {dk_rat6('sm6', str(BLB_REPS * 1_000_000))} AS bag_mean,
+           sqrt({var_units}) / 1000000.0 AS bag_se
+    FROM bags ORDER BY bag
+    """
