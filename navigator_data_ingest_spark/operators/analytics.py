@@ -19229,3 +19229,138 @@ def stats_blb_ci_sql() -> str:
            sqrt({var_units}) / 1000000.0 AS bag_se
     FROM bags ORDER BY bag
     """
+
+
+MARKOV_POWER_ITERS = 10   # stationary-distribution power iterations
+
+
+def stats_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    — where the behavior process settles if it runs forever, the single
+    long-run summary of stats_markov_transitions' matrix (and the
+    weights stats_entropy_rate_markov integrates against): π = πP by
+    MARKOV_POWER_ITERS unrolled power iterations from the uniform
+    start.
+
+    Exactness: the iteration runs on an INTEGER lattice — π in 10⁻⁹
+    units, each term HALF_UP(π_i·n_ij/n_i) by integer division, summed
+    as exact integers — so both engines walk bit-identical states (a
+    float π·p sum would re-expose cross-engine summation order; the
+    per-term half-ulp rounding is identical by construction and decays
+    geometrically in the final distribution). Products π_i·n_ij widen
+    decimal(38,0)/HUGEINT (≤10⁹·|transitions| — exact to 10²⁸
+    transitions). Shape: the chain state is the TYPES-bounded (≤5-row)
+    π table; each iteration is one tiny keyed join + integer-sum
+    aggregate with the type spine LEFT-joined back (mass through
+    missing cells drops, documented), lazily checkpointed per round
+    (the graph_pagerank unroll discipline). The corpus is touched
+    ONCE to build the transition counts.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_ij"))
+    )
+    wr = Window.partitionBy("from_type")
+    t = (
+        trans.withColumn("n_i", F.sum("n_ij").over(wr))
+        .localCheckpoint(eager=False)
+    )
+    spine = (
+        t.select(F.col("from_type").alias("event_type"))
+        .union(t.select("to_type"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_types = F.broadcast(spine.agg(F.count(F.lit(1)).alias("k")))
+    pi = spine.crossJoin(n_types).selectExpr(
+        "event_type", "1000000000 div k AS u"
+    )
+    for _ in range(MARKOV_POWER_ITERS):
+        stepped = (
+            pi.join(t, pi.event_type == t.from_type)
+            .selectExpr(
+                "to_type",
+                "(2 * cast(u as decimal(38,0)) * n_ij + n_i)"
+                " div (2 * cast(n_i as decimal(38,0))) AS term",
+            )
+            .groupBy("to_type")
+            .agg(F.sum("term").alias("u_new"))
+        )
+        pi = (
+            spine.join(
+                stepped, spine.event_type == stepped.to_type, "left"
+            )
+            .selectExpr(
+                "event_type", "cast(coalesce(u_new, 0) as bigint) AS u"
+            )
+            .localCheckpoint(eager=False)
+        )
+    out_n = t.groupBy("from_type").agg(F.max("n_i").alias("n_out"))
+    return (
+        pi.join(out_n, pi.event_type == out_n.from_type, "left")
+        .selectExpr(
+            "event_type",
+            "u AS stationary_ppb",
+            "cast(u as double) / 1000000000.0 AS stationary_prob",
+            "coalesce(n_out, 0) AS n_out",
+        )
+        .orderBy("event_type")
+    )
+
+
+def stats_markov_stationary_sql() -> str:
+    term = "(2 * u::HUGEINT * n_ij + n_i) // (2 * n_i::HUGEINT)"
+    iters = []
+    prev = "i0"
+    for k in range(1, MARKOV_POWER_ITERS + 1):
+        iters.append(
+            f"i{k} AS (\n"
+            f"        SELECT s.event_type,\n"
+            f"               coalesce((SELECT sum({term})::BIGINT\n"
+            f"                         FROM {prev} p JOIN t\n"
+            f"                           ON p.event_type = t.from_type\n"
+            f"                         WHERE t.to_type = s.event_type), 0)\n"
+            f"                   AS u\n"
+            f"        FROM spine s\n"
+            f"    )"
+        )
+        prev = f"i{k}"
+    return f"""
+    WITH trans AS (
+        SELECT from_type, to_type, count(*)::BIGINT AS n_ij
+        FROM (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS to_type
+            FROM events WHERE event_type IS NOT NULL
+        ) WHERE to_type IS NOT NULL
+        GROUP BY 1, 2
+    ), t AS (
+        SELECT from_type, to_type, n_ij,
+               sum(n_ij) OVER (PARTITION BY from_type) AS n_i
+        FROM trans
+    ), spine AS (
+        SELECT from_type AS event_type FROM t
+        UNION SELECT to_type FROM t
+    ), i0 AS (
+        SELECT event_type,
+               1000000000 // (SELECT count(*) FROM spine) AS u
+        FROM spine
+    ), {", ".join(iters)}
+    SELECT p.event_type,
+           u::BIGINT AS stationary_ppb,
+           u::DOUBLE / 1000000000.0 AS stationary_prob,
+           coalesce((SELECT max(n_i) FROM t
+                     WHERE from_type = p.event_type), 0)::BIGINT AS n_out
+    FROM {prev} p
+    ORDER BY event_type
+    """

@@ -229,7 +229,7 @@ _FRONT_NEW: frozenset[str] = frozenset({
     "split_dedup_aware", "mm_shard_manifest", "emb_cka_similarity",
     "stats_brunner_munzel", "stats_permutation_test", "q_sql_unpivot_stmt",
     "graph_resource_allocation", "sample_downweight_duplicates",
-    "dedup_threshold_sweep", "stats_blb_ci",
+    "dedup_threshold_sweep", "stats_blb_ci", "stats_markov_stationary",
 })
 
 
@@ -7038,6 +7038,13 @@ register(
     "sample_downweight_duplicates",
     corpus.sample_downweight_duplicates,
     corpus.sample_downweight_duplicates_sql(),
+    front=True,
+)
+
+register(
+    "stats_markov_stationary",
+    analytics.stats_markov_stationary,
+    analytics.stats_markov_stationary_sql(),
     front=True,
 )
 
