@@ -4342,3 +4342,104 @@ def sample_downweight_duplicates_sql() -> str:
                AS eff_mass_permille
     FROM agg ORDER BY source
     """
+
+
+QUALITY_TAUS = (500, 600, 650, 700, 750, 800)   # alpha-ratio permille cuts
+
+
+def corpus_quality_mix_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold yield curve: for each candidate alpha-ratio
+    cut τ (permille), the documents and tokens a Gopher-style gate
+    (n_tokens ≥ 10 AND alpha_ratio ≥ τ) keeps — the curve whose knee
+    picks the quality threshold BEFORE a 100 TB filter run commits to
+    one number (the corpus_funnel report shows one gate; this shows
+    the alternative gates side by side).
+
+    Exactness: the gate is the INTEGER comparison 1000·alpha ≥
+    τ·n_chars (never a float ratio at the cut — the r5 round-half
+    lesson); every output is an exact integer or integer permille.
+    Shape: one doc-grain pass computes (alpha, n_chars, n_tokens), the
+    ×|TAUS| fan-out is a map-side literal explode with partial
+    aggregation to |TAUS| rows per partition, totals enter as a 1-row
+    broadcast, and the τ spine LEFT-joins so empty cuts report zeros.
+    """
+    taus = ", ".join(str(t) for t in QUALITY_TAUS)
+    d = scatter(spark, load_table(spark, sf_dir, "documents")).select(
+        F.length("text").alias("n_chars_actual"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("alpha"),
+        F.expr(f"size({X.sp_tokens('text')})").alias("n_tokens"),
+    )
+    per = d.select(
+        "n_chars_actual",
+        "alpha",
+        "n_tokens",
+        F.explode(F.expr(f"array({taus})")).alias("tau_permille"),
+    ).where(
+        F.expr(
+            "n_tokens >= 10 AND 1000 * alpha >= tau_permille * n_chars_actual"
+        )
+    )
+    kept = per.groupBy("tau_permille").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )
+    tot = F.broadcast(
+        d.agg(
+            F.count(F.lit(1)).alias("n_docs_total"),
+            F.sum("n_tokens").alias("tokens_total"),
+        )
+    )
+    spine = tot.select(
+        F.explode(F.expr(f"array({taus})")).alias("tau_permille"),
+        "n_docs_total",
+        "tokens_total",
+    )
+    return (
+        spine.join(F.broadcast(kept), "tau_permille", "left")
+        .selectExpr(
+            "cast(tau_permille as bigint) AS tau_permille",
+            "coalesce(n_docs_kept, 0) AS n_docs_kept",
+            "coalesce(tokens_kept, 0) AS tokens_kept",
+            "1000 * coalesce(n_docs_kept, 0) div n_docs_total"
+            " AS docs_share_permille",
+            "1000 * coalesce(tokens_kept, 0) div tokens_total"
+            " AS tokens_share_permille",
+        )
+        .orderBy("tau_permille")
+    )
+
+
+def corpus_quality_mix_curve_sql() -> str:
+    vals = ", ".join(f"({t})" for t in QUALITY_TAUS)
+    return f"""
+    WITH d AS (
+        SELECT length(text) AS n_chars_actual,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               len({X.dk_tokens('text')}) AS n_tokens
+        FROM documents
+    ), per AS (
+        SELECT n_tokens, tau_permille
+        FROM d CROSS JOIN (VALUES {vals}) t(tau_permille)
+        WHERE n_tokens >= 10
+          AND 1000 * alpha >= tau_permille * n_chars_actual
+    ), kept AS (
+        SELECT tau_permille, count(*)::BIGINT AS n_docs_kept,
+               sum(n_tokens)::BIGINT AS tokens_kept
+        FROM per GROUP BY 1
+    ), tot AS (
+        SELECT count(*)::BIGINT AS n_docs_total,
+               sum(n_tokens)::BIGINT AS tokens_total
+        FROM d
+    )
+    SELECT s.tau_permille::BIGINT AS tau_permille,
+           coalesce(n_docs_kept, 0)::BIGINT AS n_docs_kept,
+           coalesce(tokens_kept, 0)::BIGINT AS tokens_kept,
+           (1000 * coalesce(n_docs_kept, 0) // n_docs_total)::BIGINT
+               AS docs_share_permille,
+           (1000 * coalesce(tokens_kept, 0) // tokens_total)::BIGINT
+               AS tokens_share_permille
+    FROM (VALUES {vals}) s(tau_permille)
+    LEFT JOIN kept ON kept.tau_permille = s.tau_permille
+    CROSS JOIN tot
+    ORDER BY s.tau_permille
+    """

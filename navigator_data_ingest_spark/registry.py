@@ -230,6 +230,7 @@ _FRONT_NEW: frozenset[str] = frozenset({
     "stats_brunner_munzel", "stats_permutation_test", "q_sql_unpivot_stmt",
     "graph_resource_allocation", "sample_downweight_duplicates",
     "dedup_threshold_sweep", "stats_blb_ci", "stats_markov_stationary",
+    "corpus_quality_mix_curve",
 })
 
 
@@ -7038,6 +7039,13 @@ register(
     "sample_downweight_duplicates",
     corpus.sample_downweight_duplicates,
     corpus.sample_downweight_duplicates_sql(),
+    front=True,
+)
+
+register(
+    "corpus_quality_mix_curve",
+    corpus.corpus_quality_mix_curve,
+    corpus.corpus_quality_mix_curve_sql(),
     front=True,
 )
 
