@@ -19364,3 +19364,64 @@ def stats_markov_stationary_sql() -> str:
     FROM {prev} p
     ORDER BY event_type
     """
+
+
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: ``parse_json`` the semi-structured
+    props column ONCE into the binary VARIANT encoding, then typed
+    ``variant_get`` path extraction — the successor to repeated
+    ``get_json_object`` string re-parsing (q_events_json's query-time
+    form): at 100 TB the variant column is parsed once at ingest and
+    every downstream path read is a typed binary probe, not a JSON
+    scan. Certifies extraction, a missing path degrading to NULL, and
+    the VARIANT null-semantics helper against DuckDB's native JSON
+    reader.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    v = ev.selectExpr(
+        "event_type",
+        "parse_json(props) AS v",
+    ).selectExpr(
+        "event_type",
+        "variant_get(v, '$.k', 'bigint') AS k",
+        "variant_get(v, '$.missing', 'bigint') AS missing",
+        "cast(is_variant_null(v) as int) AS v_is_null",
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.expr("cast(k IS NULL as bigint)")).alias("null_ks"),
+            F.sum(F.expr("cast(missing IS NULL as bigint)")).alias(
+                "null_missing"
+            ),
+            F.sum("v_is_null").alias("variant_nulls"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_events",
+            "sum_k",
+            "max_k",
+            "null_ks",
+            "null_missing",
+            "cast(variant_nulls as bigint) AS variant_nulls",
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_variant_props_sql() -> str:
+    return """
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+           max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k,
+           sum((json_extract(props, '$.k') IS NULL)::INT)::BIGINT AS null_ks,
+           sum((json_extract(props, '$.missing') IS NULL)::INT)::BIGINT
+               AS null_missing,
+           sum((props IS NOT NULL AND json(props) = 'null'::JSON)::INT)::BIGINT
+               AS variant_nulls
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """

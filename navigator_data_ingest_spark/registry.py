@@ -230,7 +230,7 @@ _FRONT_NEW: frozenset[str] = frozenset({
     "stats_brunner_munzel", "stats_permutation_test", "q_sql_unpivot_stmt",
     "graph_resource_allocation", "sample_downweight_duplicates",
     "dedup_threshold_sweep", "stats_blb_ci", "stats_markov_stationary",
-    "corpus_quality_mix_curve",
+    "corpus_quality_mix_curve", "q_variant_props", "src_xml_roundtrip",
 })
 
 
@@ -7039,6 +7039,23 @@ register(
     "sample_downweight_duplicates",
     corpus.sample_downweight_duplicates,
     corpus.sample_downweight_duplicates_sql(),
+    front=True,
+)
+
+register(
+    "q_variant_props",
+    analytics.q_variant_props,
+    analytics.q_variant_props_sql(),
+    front=True,
+)
+
+register(
+    "src_xml_roundtrip",
+    flat.src_xml_roundtrip,
+    """
+    SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+    FROM documents ORDER BY doc_id
+    """,
     front=True,
 )
 

@@ -935,3 +935,37 @@ def src_text_lines_sql() -> str:
            sum(({h})::HUGEINT)::VARCHAR AS line_checksum
     FROM l
     """
+
+
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> XML dataset -> explicit-schema read-back, on
+    Spark 4's BUILT-IN XML source (the spark-xml package folded into
+    core in 4.0 — no external jar). XML is what regulatory/patent/
+    legal corpora actually arrive as; the round trip proves the
+    connector pair is lossless INCLUDING the text payload — XML entity
+    escaping (&, <, >, quotes) is exactly what ``text_md5`` hash-covers
+    beyond the typed columns. As with CSV/JSONL, the read side carries
+    an explicit schema: inference is a full extra pass over 100 TB.
+    """
+    out = sink_path("documents_xml", sf_dir)
+    (
+        load_table(spark, sf_dir, "documents")
+        .select(*[f.name for f in DOCUMENTS_JSONL_SCHEMA.fields])
+        .write.mode("overwrite")
+        .option("rootTag", "documents")
+        .option("rowTag", "document")
+        .xml(out)
+    )
+    return (
+        spark.read.schema(DOCUMENTS_JSONL_SCHEMA)
+        .option("rowTag", "document")
+        .xml(out)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.md5("text").alias("text_md5"),
+        )
+        .orderBy("doc_id")
+    )
