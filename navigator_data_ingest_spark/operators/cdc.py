@@ -124,60 +124,6 @@ DIFF_CHANGE_MOD = 37   # doc_id % 37 == 0 -> payload changed in v2
 DIFF_ADD_MOD = 43      # doc_id % 43 == 0 -> a NEW (doc_id + 10^6) row in v2
 
 
-def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot diff — the table-regression primitive (what changed
-    between yesterday's and today's pipeline output?): two table
-    versions FULL-OUTER-joined on the key, payload identity compared by
-    md5, rows classified added / removed / changed / unchanged, and the
-    metadata-sized per-status counts reported.
-
-    The v2 snapshot derives deterministically from v1 (drop every 41st
-    key, change every 37th payload, add a shifted key for every 43rd),
-    so the oracle recomputes the exact same diff. Scale shape: one key
-    shuffle for the join; md5 comparison is map-side; at 100 TB this is
-    the cheapest possible "what did the pipeline change" audit — no
-    sort, no window, one bounded aggregate.
-    """
-    base = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("payload_md5")
-    )
-    v2 = (
-        base.where(F.col("doc_id") % DIFF_REMOVE_MOD != 0)
-        .select(
-            "doc_id",
-            F.when(
-                F.col("doc_id") % DIFF_CHANGE_MOD == 0,
-                F.md5(F.concat(F.col("payload_md5"), F.lit(":v2"))),
-            )
-            .otherwise(F.col("payload_md5"))
-            .alias("payload_md5"),
-        )
-        .unionByName(
-            base.where(F.col("doc_id") % DIFF_ADD_MOD == 0).select(
-                (F.col("doc_id") + 1_000_000).alias("doc_id"),
-                F.md5(F.concat(F.col("payload_md5"), F.lit(":new"))).alias(
-                    "payload_md5"
-                ),
-            )
-        )
-    )
-    joined = base.alias("v1").join(
-        v2.alias("v2"), F.col("v1.doc_id") == F.col("v2.doc_id"), "full_outer"
-    )
-    status = (
-        F.when(F.col("v1.doc_id").isNull(), F.lit("added"))
-        .when(F.col("v2.doc_id").isNull(), F.lit("removed"))
-        .when(
-            F.col("v1.payload_md5") != F.col("v2.payload_md5"), F.lit("changed")
-        )
-        .otherwise(F.lit("unchanged"))
-    )
-    return (
-        joined.select(status.alias("status"))
-        .groupBy("status")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .orderBy("status")
-    )
 
 
 SCD2_MOD = 5  # keys getting a version-3 status change
