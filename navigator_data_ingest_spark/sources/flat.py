@@ -156,53 +156,6 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-evolution read: one dataset root containing files written
-    under TWO schema versions (v2 adds a ``priority_rank`` column), read
-    back with ``mergeSchema`` — old files surface NULL for the new
-    column instead of failing the scan.
-
-    This is the long-lived-dataset reality at 100 TB: columns get added
-    over months and a full rewrite of petabytes just to backfill a NULL
-    is not an option. mergeSchema reconciles footers at planning time;
-    note the cost is per-FILE footer reads, which is why production
-    datasets pin the merged schema in a catalog after evolution rather
-    than re-merging on every read (spark.read.schema(...) thereafter).
-    v1/v2 membership is keyed on ``o_orderkey % 2`` so the oracle can
-    replay the split exactly.
-    """
-    out = sink_path("orders_evolved", sf_dir)
-    orders = load_table(spark, sf_dir, "orders")
-    v1_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
-    (
-        orders.where(F.col("o_orderkey") % 2 == 0)
-        .select(*v1_cols)
-        .write.mode("overwrite")
-        .parquet(f"{out}/v=1")
-    )
-    (
-        orders.where(F.col("o_orderkey") % 2 == 1)
-        .select(
-            *v1_cols,
-            # map-side: priorities are '1-URGENT'..'5-LOW', the rank is
-            # the leading digit (no global-window rank needed)
-            F.substring("o_orderpriority", 1, 1).cast("int").alias("priority_rank"),
-        )
-        .write.mode("overwrite")
-        .parquet(f"{out}/v=2")
-    )
-    return (
-        spark.read.option("mergeSchema", "true")
-        .parquet(out)
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            F.round("o_totalprice", 6).alias("price"),
-            "priority_rank",
-            F.col("v").cast("int").alias("v"),
-        )
-        .orderBy("o_orderkey")
-    )
 
 
 def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
