@@ -19425,3 +19425,88 @@ def q_variant_props_sql() -> str:
     FROM events
     GROUP BY event_type ORDER BY event_type
     """
+
+
+def stats_paired_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t-test on the daily click-minus-purchase revenue
+    differences — the parametric twin of stats_permutation_test on the
+    SAME pairing (and the within-pair companion to stats_welch_t's
+    independent-samples form): pairing by day removes the day-to-day
+    volume swing both arms share, which is the whole point of pairing.
+
+    One DAYS-grain collapse to exact integer cent differences; mean
+    and variance come from exact BIGINT sums (Σd, Σd² — the two-pass
+    trap doesn't apply to exact integers; Σd² ≤ days·max(d)², widened
+    decimal(38,0)/HUGEINT), the mean difference is an exact rational
+    (integer-exact HALF_UP), and t = d̄/(s/√n) plus Cohen's dz = d̄/s
+    are +,−,×,÷,sqrt over bit-identical integers — raw emission.
+    NULL timestamps/values drop (both engines).
+    """
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN event_type = 'click'"
+                    " THEN cast(round(value * 100) as bigint)"
+                    " ELSE -cast(round(value * 100) as bigint) END"
+                )
+            ).alias("d_cents")
+        )
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("d_cents").alias("sd"),
+        F.sum(F.expr("cast(d_cents as decimal(38,0)) * d_cents")).alias(
+            "sdd"
+        ),
+    )
+    # s² = (n·Σd² − (Σd)²) / (n(n−1)); t = (Σd/n) / (s/√n) = Σd / (s·√n)
+    s2 = (
+        "((cast(n_days as double) * cast(sdd as double)"
+        " - cast(sd as double) * sd) / (cast(n_days as double)"
+        " * (n_days - 1.0)))"
+    )
+    return agg.selectExpr(
+        "n_days",
+        f"{sp_rat6('cast(sd as decimal(38,0))', 'cast(n_days as decimal(38,0)) * 100')} AS mean_diff_dollars",
+        f"cast(sd as double) / (sqrt({s2}) * sqrt(cast(n_days as double)))"
+        " AS t",
+        f"(cast(sd as double) / n_days) / sqrt({s2}) AS cohen_dz",
+    )
+
+
+def stats_paired_t_sql() -> str:
+    s2 = (
+        "((n_days::DOUBLE * sdd::DOUBLE - sd::DOUBLE * sd)"
+        " / (n_days::DOUBLE * (n_days - 1.0)))"
+    )
+    return f"""
+    WITH d AS (
+        SELECT ts::DATE AS day,
+               sum(CASE WHEN event_type = 'click'
+                        THEN round(value * 100)::BIGINT
+                        ELSE -(round(value * 100)::BIGINT) END)::BIGINT
+                   AS d_cents
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+          AND value IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1
+    ), agg AS (
+        SELECT count(*)::BIGINT AS n_days,
+               sum(d_cents)::BIGINT AS sd,
+               sum(d_cents::HUGEINT * d_cents) AS sdd
+        FROM d
+    )
+    SELECT n_days,
+           {dk_rat6('sd::HUGEINT', 'n_days::HUGEINT * 100')} AS mean_diff_dollars,
+           sd::DOUBLE / (sqrt({s2}) * sqrt(n_days::DOUBLE)) AS t,
+           (sd::DOUBLE / n_days) / sqrt({s2}) AS cohen_dz
+    FROM agg
+    """

@@ -231,6 +231,7 @@ _FRONT_NEW: frozenset[str] = frozenset({
     "graph_resource_allocation", "sample_downweight_duplicates",
     "dedup_threshold_sweep", "stats_blb_ci", "stats_markov_stationary",
     "corpus_quality_mix_curve", "q_variant_props", "src_xml_roundtrip",
+    "stats_paired_t",
 })
 
 
@@ -7039,6 +7040,13 @@ register(
     "sample_downweight_duplicates",
     corpus.sample_downweight_duplicates,
     corpus.sample_downweight_duplicates_sql(),
+    front=True,
+)
+
+register(
+    "stats_paired_t",
+    analytics.stats_paired_t,
+    analytics.stats_paired_t_sql(),
     front=True,
 )
 
