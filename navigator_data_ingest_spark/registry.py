@@ -199,27 +199,17 @@ _HEAD_FIRST: tuple[str, ...] = (
 )
 _HEAD_POS = {n: i for i, n in enumerate(_HEAD_FIRST)}
 
-# Round-8 sample fill (VERDICT r7 "Next round" #5): after the head-12
-# triage block, the remaining ~38 driver-sample slots go to the oldest
-# never-driver-sampled keys — the zero-certification families first
-# (sample_*, pack_*, split_*, filter_blocklist, the remaining
-# stream_*), then the never-sampled §2.2 source/sink round-trips, then
-# the oldest never-sampled TPC-H suite members. New round-8 operators
-# also go here.
-_FRONT_NEW: frozenset[str] = frozenset({
-    # zero-certification families (18)
-    "sample_class_balance", "sample_neyman_allocation", "sample_stratified",
-    "sample_temperature", "sample_cap_per_source", "pack_boundary_stats",
-    "pack_sequences", "split_train_holdout", "filter_blocklist",
-    "stream_unique_users_windowed", "stream_enrich_join", "stream_dedup_wm",
-    "stream_session_append", "stream_windowed_topk",
-    "stream_foreachbatch_upsert", "stream_outer_join_expiry",
-    "stream_static_enrich", "stream_incremental_files",
-    # never-sampled §2.2 source/sink round-trips (9)
-    "src_csv_roundtrip", "src_jsonl_roundtrip", "src_orc_roundtrip",
-    "src_binary_files", "src_corrupt_quarantine", "sink_bucketed_join",
-    "sink_partitioned_prune", "sink_compact", "sink_partition_overwrite",
-    # round-8 NEW operators (11) — never judged, highest risk
+# Round-8 sample fill (VERDICT r7 "Next round" #5, amended): after the
+# head-12 triage block, the remaining ~38 driver-sample slots go FIRST
+# to the round-8 NEW operators (never judged anywhere — highest risk;
+# the house rule that fronted every prior wave), then to the oldest
+# never-driver-sampled zero-certification families (sample_*, pack_*,
+# split_*, filter_blocklist, the remaining stream_*) and §2.2
+# round-trips — the tail past 50 rotates into the round-9 sample.
+# ORDERED: rank = position here (ties were previously registration
+# order, which buried the newest operators below the cut line).
+_FRONT_NEW_ORDER: tuple[str, ...] = (
+    # round-8 NEW operators, oldest wave first (32)
     "stats_jonckheere_terpstra", "stats_pettitt_changepoint",
     "stats_turning_points", "stats_bartels_rank", "stats_weighted_kappa",
     "stats_kendall_w", "q_events_sax_profile", "stats_somers_d",
@@ -232,7 +222,22 @@ _FRONT_NEW: frozenset[str] = frozenset({
     "dedup_threshold_sweep", "stats_blb_ci", "stats_markov_stationary",
     "corpus_quality_mix_curve", "q_variant_props", "src_xml_roundtrip",
     "stats_paired_t",
-})
+    # zero-certification families (18) — first ~6 make the r8 window,
+    # the rest lead the r9 rotation
+    "sample_class_balance", "sample_neyman_allocation", "sample_stratified",
+    "sample_temperature", "sample_cap_per_source", "pack_boundary_stats",
+    "pack_sequences", "split_train_holdout", "filter_blocklist",
+    "stream_unique_users_windowed", "stream_enrich_join", "stream_dedup_wm",
+    "stream_session_append", "stream_windowed_topk",
+    "stream_foreachbatch_upsert", "stream_outer_join_expiry",
+    "stream_static_enrich", "stream_incremental_files",
+    # never-sampled §2.2 source/sink round-trips (9)
+    "src_csv_roundtrip", "src_jsonl_roundtrip", "src_orc_roundtrip",
+    "src_binary_files", "src_corrupt_quarantine", "sink_bucketed_join",
+    "sink_partitioned_prune", "sink_compact", "sink_partition_overwrite",
+)
+_FRONT_NEW: frozenset[str] = frozenset(_FRONT_NEW_ORDER)
+_FRONT_NEW_POS = {n: i for i, n in enumerate(_FRONT_NEW_ORDER)}
 
 
 def register(name: str, fn: QueryFn, oracle: str | None, front: bool = False) -> None:
@@ -252,7 +257,7 @@ def _emission_order() -> list[str]:
         if name in _DRIVER_CERTIFIED:
             return (2, 0)
         if name in _FRONT_NEW:
-            return (0, -1)
+            return (0, -len(_FRONT_NEW_ORDER) + _FRONT_NEW_POS[name])
         return (0 if name in _FRONT else 1, 0)
 
     return sorted(_REGISTRY, key=rank)  # sorted() is stable
