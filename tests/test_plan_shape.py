@@ -380,6 +380,8 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_permutation_test",
     # 1-row doc-grain audit broadcast onto the single family-audit row
     "split_dedup_aware",
+    # 1-row totals/within-pairs broadcast onto the |TAUS|-row spine
+    "dedup_threshold_sweep",
 }
 
 
