@@ -161,6 +161,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/multimodal.py", "mm_aspect_buckets_sql"): IRRATIONAL,
     ("operators/multimodal.py", "mm_byte_entropy"): IRRATIONAL,
     ("operators/multimodal.py", "mm_byte_entropy_sql"): IRRATIONAL,
+    ("operators/similarity.py", "emb_cka_similarity"): FLOAT_DATA,  # centered gram of float embeddings
+    ("operators/similarity.py", "emb_cka_similarity_sql"): FLOAT_DATA,
     ("operators/similarity.py", "emb_centroid_drift"): IRRATIONAL,  # cos over sqrt
     ("operators/similarity.py", "emb_centroid_drift_sql"): IRRATIONAL,
     ("operators/similarity.py", "emb_dim_relevance"): FLOAT_DATA,
@@ -198,6 +200,7 @@ RENDERED_ALLOWED: dict[str, str] = {
     "emb_confusion_metrics": IRRATIONAL,  # corr over sqrt·sqrt
     "emb_dim_relevance": FLOAT_DATA,
     "emb_intrinsic_dim": IRRATIONAL,
+    "emb_cka_similarity": FLOAT_DATA,  # Frobenius ratios of float gram sums
     "emb_isotropy": FLOAT_DATA,
     "emb_pca_power": IRRATIONAL,
     "emb_random_projection": FLOAT_DATA,
