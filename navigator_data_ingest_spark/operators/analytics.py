@@ -19510,3 +19510,110 @@ def stats_paired_t_sql() -> str:
            (sd::DOUBLE / n_days) / sqrt({s2}) AS cohen_dz
     FROM agg
     """
+
+
+def stats_anderson_darling_2s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling (Scholz-Stephens k=2, midrank tie
+    form): the ECDF distance that up-weights the TAILS by 1/(F(1−F)) —
+    completing the whole-shape trio beside stats_ks_two_sample (single
+    worst gap) and stats_cramer_von_mises (uniform-weight L2); AD is
+    the one that keeps power when the two samples differ in the
+    extremes, exactly where training-data value distributions usually
+    do.
+
+    Exactness: on the ×2 midrank lattice (2B = 2·below + c pooled,
+    2M = 2·below_own + c_own per sample — the _pooled_score_groups
+    cumulatives, no extra shuffle), each group's tail-weighted term
+    l·(N·2M − nᵢ·2B)²/(nᵢ·(2B(2N−2B) − N·l)) is a PURE integer
+    rational; each is emitted as integer-exact HALF_UP micro-units and
+    SUMMED AS INTEGERS (never a float accumulation), with the
+    numerator widened decimal(38,0)/HUGEINT (grows as N⁵ — the
+    stats_mood_scale magnitude-bound discipline, exact to N ≈ 3×10⁷).
+    The single-value degenerate pool yields NULL on both engines (the
+    sp_units zero-denominator rule). A² is the unstandardized
+    Scholz-Stephens statistic (the k-sample standardization needs the
+    Σ1/i harmonic series — an N-row scan by construction — so the raw
+    A² with counts is the scale-sane emission, documented).
+    """
+    g = _pooled_score_groups(spark, sf_dir).withColumn(
+        "b2", F.expr("2 * below + c")
+    )
+    tot = F.broadcast(
+        g.agg(
+            F.sum("ca").alias("n_a"),
+            F.sum("cb").alias("n_b"),
+            F.sum("c").alias("nn"),
+        )
+    )
+    den = "(cast(b2 as decimal(38,0)) * (2 * nn - b2) - cast(nn as decimal(38,0)) * c)"
+    num_a = (
+        "(cast(nn as decimal(38,0)) * (2 * below_a + ca)"
+        " - cast(n_a as decimal(38,0)) * b2)"
+    )
+    num_b = (
+        "(cast(nn as decimal(38,0)) * (2 * below_b + cb)"
+        " - cast(n_b as decimal(38,0)) * b2)"
+    )
+    s = g.crossJoin(tot).selectExpr(
+        "n_a",
+        "n_b",
+        "nn",
+        f"cast({sp_units(f'c * {num_a} * {num_a}', f'cast(n_a as decimal(38,0)) * {den}')} as bigint) AS u_a",
+        f"cast({sp_units(f'c * {num_b} * {num_b}', f'cast(n_b as decimal(38,0)) * {den}')} as bigint) AS u_b",
+    )
+    agg = s.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("nn").alias("nn"),
+        F.sum("u_a").alias("su_a"),
+        F.sum("u_b").alias("su_b"),
+    )
+    return agg.selectExpr(
+        "n_a",
+        "n_b",
+        "(cast(nn as double) - 1.0) / (cast(nn as double) * nn)"
+        " * (cast(su_a as double) + su_b) / 1000000.0 AS a2",
+    )
+
+
+def stats_anderson_darling_2s_sql() -> str:
+    den = "(b2::HUGEINT * (2 * nn - b2) - nn::HUGEINT * c)"
+    num_a = "(nn::HUGEINT * (2 * below_a + ca) - n_a::HUGEINT * b2)"
+    num_b = "(nn::HUGEINT * (2 * below_b + cb) - n_b::HUGEINT * b2)"
+    return f"""
+    WITH vc AS (
+{_POOLED_SCORE_GROUPS_SQL}
+    ), cum AS (
+        SELECT ca, cb, ca + cb AS c,
+               coalesce(sum(ca + cb) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below,
+               coalesce(sum(ca) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below_a,
+               coalesce(sum(cb) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below_b
+        FROM vc
+    ), m AS (
+        SELECT ca, cb, c, below_a, below_b, 2 * below + c AS b2 FROM cum
+    ), tot AS (
+        SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+               sum(c)::BIGINT AS nn
+        FROM m
+    ), s AS (
+        SELECT n_a, n_b, nn,
+               ({dk_units(f'c * {num_a} * {num_a}', f'n_a::HUGEINT * {den}')})::BIGINT AS u_a,
+               ({dk_units(f'c * {num_b} * {num_b}', f'n_b::HUGEINT * {den}')})::BIGINT AS u_b
+        FROM m CROSS JOIN tot
+    ), agg AS (
+        SELECT max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b,
+               max(nn)::BIGINT AS nn,
+               sum(u_a)::BIGINT AS su_a, sum(u_b)::BIGINT AS su_b
+        FROM s
+    )
+    SELECT n_a, n_b,
+           (nn::DOUBLE - 1.0) / (nn::DOUBLE * nn)
+               * (su_a::DOUBLE + su_b) / 1000000.0 AS a2
+    FROM agg
+    """

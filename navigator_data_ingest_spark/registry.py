@@ -221,7 +221,7 @@ _FRONT_NEW_ORDER: tuple[str, ...] = (
     "graph_resource_allocation", "sample_downweight_duplicates",
     "dedup_threshold_sweep", "stats_blb_ci", "stats_markov_stationary",
     "corpus_quality_mix_curve", "q_variant_props", "src_xml_roundtrip",
-    "stats_paired_t", "graph_katz_centrality",
+    "stats_paired_t", "graph_katz_centrality", "stats_anderson_darling_2s",
     # zero-certification families (18) — first ~6 make the r8 window,
     # the rest lead the r9 rotation
     "sample_class_balance", "sample_neyman_allocation", "sample_stratified",
@@ -7045,6 +7045,13 @@ register(
     "sample_downweight_duplicates",
     corpus.sample_downweight_duplicates,
     corpus.sample_downweight_duplicates_sql(),
+    front=True,
+)
+
+register(
+    "stats_anderson_darling_2s",
+    analytics.stats_anderson_darling_2s,
+    analytics.stats_anderson_darling_2s_sql(),
     front=True,
 )
 

@@ -370,6 +370,7 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_ansari_bradley",
     "stats_mood_scale",
     "stats_brunner_munzel",
+    "stats_anderson_darling_2s",
     # 1-row month-count broadcast onto the single L-sum row
     "stats_page_trend",
     # 1-row day-count broadcast resolving the half-offset in-plan
@@ -408,6 +409,7 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     # (ansari/mood 1; brunner 2 — the same bounded block table feeds
     # both the pooled and the per-sample offset columns)
     "stats_ansari_bradley", "stats_mood_scale", "stats_brunner_munzel",
+    "stats_anderson_darling_2s",
     # DAYS-bounded calendar grain (position index + cumulative rule)
     "stats_cox_stuart", "split_temporal",
     # column-bisect diagnostic projections (same plan, projected)
