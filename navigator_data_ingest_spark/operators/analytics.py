@@ -19617,3 +19617,86 @@ def stats_anderson_darling_2s_sql() -> str:
                * (su_a::DOUBLE + su_b) / 1000000.0 AS a2
     FROM agg
     """
+
+
+def q_sql_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-arithmetic surface certification: add_months month-end
+    clamping (Jan 31 + 1 month = Feb 28 — the case naive day-addition
+    gets wrong), last_day, date_trunc to quarter, ISO day-of-week and
+    a 90-day shelf date — the date-function semantics two engines most
+    often disagree on, certified value-for-value against DuckDB's
+    INTERVAL arithmetic on every order date. Aggregated to the bounded
+    (year, quarter) grain so the output is calendar-sized.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    d = o.selectExpr(
+        "cast(o_orderdate as date) AS d",
+    ).selectExpr(
+        "year(d) AS yr",
+        "quarter(d) AS qtr",
+        "add_months(d, 1) AS plus_month",
+        "last_day(d) AS eom",
+        "date_add(d, 90) AS shelf",
+        "dayofweek(d) AS dow",
+        "(d = last_day(d)) AS is_eom",
+        "(day(add_months(d, 1)) <> day(d)) AS clamped",
+    )
+    return (
+        d.groupBy("yr", "qtr")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("plus_month").alias("max_plus_month"),
+            F.max("eom").alias("max_eom"),
+            F.max("shelf").alias("max_shelf"),
+            F.sum(F.expr("cast(is_eom as bigint)")).alias("eom_orders"),
+            F.sum(F.expr("cast(clamped as bigint)")).alias(
+                "month_end_clamped"
+            ),
+            F.sum(F.expr("cast(dow = 1 as bigint)")).alias("sunday_orders"),
+        )
+        .selectExpr(
+            "cast(yr as bigint) AS yr",
+            "cast(qtr as bigint) AS qtr",
+            "n_orders",
+            "max_plus_month",
+            "max_eom",
+            "max_shelf",
+            "eom_orders",
+            "month_end_clamped",
+            "sunday_orders",
+        )
+        .orderBy("yr", "qtr")
+    )
+
+
+def q_sql_date_arithmetic_sql() -> str:
+    # DuckDB date + INTERVAL 1 MONTH clamps to month-end exactly like
+    # Spark's add_months; dayofweek: Spark 1=Sunday, DuckDB dayofweek
+    # 0=Sunday — certified via the Sunday count.
+    return """
+    WITH d AS (
+        SELECT o_orderdate::DATE AS d FROM orders
+        WHERE o_orderdate IS NOT NULL
+    ), e AS (
+        SELECT year(d) AS yr, quarter(d) AS qtr,
+               (d + INTERVAL 1 MONTH)::DATE AS plus_month,
+               last_day(d) AS eom,
+               d + 90 AS shelf,
+               dayofweek(d) AS dow,
+               (d = last_day(d)) AS is_eom,
+               (day((d + INTERVAL 1 MONTH)::DATE) <> day(d)) AS clamped
+        FROM d
+    )
+    SELECT yr::BIGINT AS yr, qtr::BIGINT AS qtr,
+           count(*)::BIGINT AS n_orders,
+           max(plus_month) AS max_plus_month,
+           max(eom) AS max_eom,
+           max(shelf) AS max_shelf,
+           sum(is_eom::INT)::BIGINT AS eom_orders,
+           sum(clamped::INT)::BIGINT AS month_end_clamped,
+           sum((dow = 0)::INT)::BIGINT AS sunday_orders
+    FROM e
+    GROUP BY yr, qtr ORDER BY yr, qtr
+    """

@@ -4443,3 +4443,102 @@ def corpus_quality_mix_curve_sql() -> str:
     CROSS JOIN tot
     ORDER BY s.tau_permille
     """
+
+
+COMMON_TOKEN_TOP_K = 100       # corpus-dominant token set size
+COMMON_GATE_PERMILLE = 800     # drop docs whose tokens are >=80% dominant
+
+
+def filter_common_token_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-token dominance gate: drop documents whose token stream
+    is ≥COMMON_GATE_PERMILLE‰ made of the corpus's TOP-K most frequent
+    tokens — the C4-style boilerplate screen that catches navigation
+    chrome, cookie banners and template glue which pass length and
+    alpha-ratio gates (every word is a real, common word; the DOCUMENT
+    carries no information). Emits the per-source audit: docs dropped,
+    tokens dropped, drop share.
+
+    Scale shape: the dominant set is a plan-derived TOP-K (sort+limit
+    on the token-frequency table — K rows at any corpus size) BROADCAST
+    to the exploded token stream (map-side hash join, partial agg back
+    to doc grain); the gate is the integer comparison 1000·n_common ≥
+    τ·n_tokens (no float ratio at the cut). One token-grain shuffle for
+    the frequency table, one doc-grain aggregate, one bounded source
+    rollup.
+    """
+    toks = _tokens_df(spark, sf_dir).select(
+        "doc_id", "source", F.explode("t").alias("tok")
+    )
+    top = F.broadcast(
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "tok")
+        .limit(COMMON_TOKEN_TOP_K)
+        .select("tok", F.lit(1).alias("is_common"))
+    )
+    per_doc = (
+        toks.join(top, "tok", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.expr("coalesce(is_common, 0)")).alias("n_common"),
+        )
+        .withColumn(
+            "dropped",
+            F.expr(
+                f"1000 * n_common >= {COMMON_GATE_PERMILLE} * n_tokens"
+            ),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr("cast(dropped as bigint)")).alias("docs_dropped"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.expr("CASE WHEN dropped THEN n_tokens ELSE 0 END")).alias(
+                "tokens_dropped"
+            ),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "docs_dropped",
+            "total_tokens",
+            "tokens_dropped",
+            "1000 * docs_dropped div n_docs AS drop_share_permille",
+        )
+        .orderBy("source")
+    )
+
+
+def filter_common_token_gate_sql() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest({X.dk_tokens('text')}) AS tok
+        FROM documents
+    ), top AS (
+        SELECT tok, 1 AS is_common FROM (
+            SELECT tok, count(*)::BIGINT AS freq FROM toks GROUP BY tok
+            ORDER BY freq DESC, tok LIMIT {COMMON_TOKEN_TOP_K}
+        )
+    ), per_doc AS (
+        SELECT doc_id, source, count(*)::BIGINT AS n_tokens,
+               sum(coalesce(is_common, 0))::BIGINT AS n_common
+        FROM toks LEFT JOIN top USING (tok)
+        GROUP BY doc_id, source
+    ), gated AS (
+        SELECT source, n_tokens,
+               (1000 * n_common >= {COMMON_GATE_PERMILLE} * n_tokens)
+                   AS dropped
+        FROM per_doc
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(dropped::INT)::BIGINT AS docs_dropped,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           sum(CASE WHEN dropped THEN n_tokens ELSE 0 END)::BIGINT
+               AS tokens_dropped,
+           (1000 * sum(dropped::INT) // count(*))::BIGINT
+               AS drop_share_permille
+    FROM gated GROUP BY source ORDER BY source
+    """

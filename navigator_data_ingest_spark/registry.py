@@ -222,6 +222,7 @@ _FRONT_NEW_ORDER: tuple[str, ...] = (
     "dedup_threshold_sweep", "stats_blb_ci", "stats_markov_stationary",
     "corpus_quality_mix_curve", "q_variant_props", "src_xml_roundtrip",
     "stats_paired_t", "graph_katz_centrality", "stats_anderson_darling_2s",
+    "q_sql_date_arithmetic", "filter_common_token_gate",
     # zero-certification families (18) — first ~6 make the r8 window,
     # the rest lead the r9 rotation
     "sample_class_balance", "sample_neyman_allocation", "sample_stratified",
@@ -7045,6 +7046,20 @@ register(
     "sample_downweight_duplicates",
     corpus.sample_downweight_duplicates,
     corpus.sample_downweight_duplicates_sql(),
+    front=True,
+)
+
+register(
+    "q_sql_date_arithmetic",
+    analytics.q_sql_date_arithmetic,
+    analytics.q_sql_date_arithmetic_sql(),
+    front=True,
+)
+
+register(
+    "filter_common_token_gate",
+    corpus.filter_common_token_gate,
+    corpus.filter_common_token_gate_sql(),
     front=True,
 )
 
