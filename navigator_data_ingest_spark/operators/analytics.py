@@ -19700,3 +19700,104 @@ def q_sql_date_arithmetic_sql() -> str:
     FROM e
     GROUP BY yr, qtr ORDER BY yr, qtr
     """
+
+
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over the months × priority block design, binarized:
+    did priority j "over-deliver" in month i (cell revenue above the
+    month's mean cell — the exact integer comparison 5·cents > total)?
+    Q is the k-related-samples test FOR BINARY outcomes — the missing
+    member beside stats_friedman (ranks), stats_quade (weighted ranks)
+    and stats_kendall_w (effect size) on the same complete-month
+    design; for k=2 it collapses to McNemar (stats_mcnemar).
+
+    Everything is exact integers: the binarization is an integer
+    comparison (never a float mean), column totals C_j, block totals
+    R_i and ΣR², and Q = k(k−1)·Σ(k·C_j − T)²  /  (k·(k·T − ΣR²))
+    (the k²-scaled form keeps the numerator integer; T = ΣC = ΣR).
+    Q is emitted as an integer-exact HALF_UP rational — it reads
+    against chi²(k−1) criticals. Cells ≤ months×5, every aggregate is
+    on the bounded month or priority grain. NULL dates/priorities drop
+    (both engines).
+    """
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
+        .groupBy(
+            F.expr("date_trunc('MONTH', cast(o_orderdate as date))").alias(
+                "mth"
+            ),
+            F.expr("cast(substr(o_orderpriority, 1, 1) as int)").alias("g"),
+        )
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint)")
+            ).alias("cents")
+        )
+    )
+    full = (
+        cells.groupBy("mth")
+        .agg(
+            F.countDistinct("g").alias("kk"),
+            F.sum("cents").alias("mtotal"),
+        )
+        .where(F.col("kk") == 5)
+        .select("mth", "mtotal")
+    )
+    x = cells.join(full, "mth").selectExpr(
+        "mth", "g", "cast(5 * cents > mtotal as bigint) AS x"
+    )
+    cj = x.groupBy("g").agg(F.sum("x").alias("c_j"))
+    ri = x.groupBy("mth").agg(F.sum("x").alias("r_i"))
+    a1 = cj.agg(
+        F.sum("c_j").alias("t"),
+        F.sum(F.expr("c_j * c_j")).alias("sc2"),
+    )
+    a2 = ri.agg(F.sum(F.expr("r_i * r_i")).alias("sr2"))
+    b = F.broadcast(full.agg(F.count(F.lit(1)).alias("b")))
+    out = a1.crossJoin(F.broadcast(a2)).crossJoin(b)
+    # Σ(k·C_j − T)² = k²·ΣC² − 2kT·T + k·T² = k²·ΣC² − k·T² (k terms)
+    qp = "(5 * 4 * (25 * sc2 - 5 * cast(t as decimal(38,0)) * t))"
+    qq = "(25 * (5 * cast(t as decimal(38,0)) - sr2))"
+    return out.selectExpr(
+        "b AS n_months",
+        "t AS n_over",
+        f"{sp_rat6(qp, qq)} AS q_stat",
+    )
+
+
+def stats_cochran_q_sql() -> str:
+    qp = "(5 * 4 * (25 * sc2 - 5 * t::HUGEINT * t))"
+    qq = "(25 * (5 * t::HUGEINT - sr2))"
+    return f"""
+    WITH cells AS (
+        SELECT date_trunc('month', o_orderdate::DATE) AS mth,
+               substr(o_orderpriority, 1, 1)::INT AS g,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+        GROUP BY 1, 2
+    ), full_m AS (
+        SELECT mth, sum(cents)::BIGINT AS mtotal FROM cells
+        GROUP BY 1 HAVING count(DISTINCT g) = 5
+    ), x AS (
+        SELECT cells.mth, g, (5 * cents > mtotal)::BIGINT AS x
+        FROM cells JOIN full_m USING (mth)
+    ), cj AS (
+        SELECT g, sum(x)::BIGINT AS c_j FROM x GROUP BY g
+    ), ri AS (
+        SELECT mth, sum(x)::BIGINT AS r_i FROM x GROUP BY mth
+    ), a1 AS (
+        SELECT sum(c_j)::BIGINT AS t, sum(c_j * c_j)::BIGINT AS sc2 FROM cj
+    ), a2 AS (
+        SELECT sum(r_i * r_i)::BIGINT AS sr2 FROM ri
+    ), bt AS (
+        SELECT count(*)::BIGINT AS b FROM full_m
+    )
+    SELECT b AS n_months, t AS n_over,
+           {dk_rat6(qp, qq)} AS q_stat
+    FROM a1 CROSS JOIN a2 CROSS JOIN bt
+    """

@@ -383,6 +383,8 @@ _DELIBERATE_NESTED_LOOP = {
     "split_dedup_aware",
     # 1-row totals/within-pairs broadcast onto the |TAUS|-row spine
     "dedup_threshold_sweep",
+    # 1-row column/block-total broadcasts onto the single Q row
+    "stats_cochran_q",
 }
 
 
