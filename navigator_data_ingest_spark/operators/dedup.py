@@ -1725,3 +1725,126 @@ def dedup_threshold_sweep_oracle_sql(minhash_ctes: str) -> str:
     CROSS JOIN tot
     ORDER BY s.tau_permille
     """
+
+
+BAND_CONFIGS = ((2, 8), (4, 4), (8, 2))   # (bands, rows) over N_MINHASH=16
+
+
+def dedup_band_config_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bands, rows) tuning sweep for the MinHash-LSH scheme: re-band
+    the SAME 16 affine minhashes as (2×8), (4×4 — production) and
+    (8×2) and report each config's bucket census and candidate-pair
+    LOAD Σ s(s−1)/2 — the recall/cost frontier that picks N_BANDS
+    before a 100 TB dedup run (more bands = higher recall at s-curve
+    threshold (1/b)^(1/r) = 0.42 / 0.71 / 0.84 here, but superlinear
+    candidate load; dedup_bucket_stats audits only the production
+    point, this shows the alternatives).
+
+    Scale shape: the 16-minhash signature is ONE let-bound map-side
+    pass per doc (the _band_hashes_expr chain, stopping at the raw
+    signature); each config's banding is a map-side explode and the
+    ONLY shuffle is the (config, band, hash) bucket aggregation — no
+    pair join EXISTS in the plan, the load is computed from bucket
+    sizes, so 100× duplicate explosion costs ~1× (pure input growth).
+    All exact integers; the same short-doc gate as minhash_pairs.
+    """
+    i = "i"
+    affine = (
+        f"array_min(transform(hh, h -> "
+        f"((2 * {i} + 1) * h + (97 * {i} + 13)) % {MINHASH_P}))"
+    )
+    sig16 = f"transform(sequence(0, {N_MINHASH - 1}), i -> {affine})"
+    sig_expr = X.sp_let(
+        "t",
+        X.sp_tokens("text"),
+        X.sp_let(
+            "sh",
+            f"array_distinct({X.sp_shingles('t')})",
+            X.sp_let("hh", f"transform(sh, s -> {X.sp_hash32('s', 0)})", sig16),
+        ),
+    )
+    docs = scatter(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).where(F.expr(f"size({X.sp_tokens('text')}) >= {SHINGLE_K}"))
+    sig = docs.select("doc_id", F.expr(sig_expr).alias("mh"))
+    per_cfg = []
+    for b, r in BAND_CONFIGS:
+        band_hash = (
+            f"transform(sequence(0, {b - 1}), bb -> "
+            f"md5(array_join(transform(sequence(0, {r - 1}), "
+            f"rr -> cast(element_at(mh, bb * {r} + rr + 1) as string)), ',')))"
+        )
+        per_cfg.append(
+            sig.select(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.posexplode(F.expr(band_hash)).alias("band_id", "band_hash"),
+            )
+        )
+    bands = per_cfg[0]
+    for p in per_cfg[1:]:
+        bands = bands.unionByName(p)
+    buckets = bands.groupBy("bands", "rows_per_band", "band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    return (
+        buckets.groupBy("bands", "rows_per_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.expr("cast(s >= 2 as bigint)")).alias(
+                "nonsingleton_buckets"
+            ),
+            F.max("s").alias("max_bucket"),
+            F.sum(F.expr("s * (s - 1) div 2")).alias("candidate_pair_load"),
+        )
+        .selectExpr(
+            "cast(bands as bigint) AS bands",
+            "cast(rows_per_band as bigint) AS rows_per_band",
+            "n_buckets",
+            "nonsingleton_buckets",
+            "max_bucket",
+            "candidate_pair_load",
+        )
+        .orderBy("bands")
+    )
+
+
+def dedup_band_config_sweep_oracle_sql(minhash_ctes: str) -> str:
+    """Oracle body (registry passes the shared minhash CTEs, whose
+    ``sig`` CTE exposes the raw mh0..mh15 signature columns)."""
+    cfg_rows = ", ".join(f"({b}, {r})" for b, r in BAND_CONFIGS)
+    max_b = max(b for b, _ in BAND_CONFIGS)
+    band_ids = ", ".join(f"({i})" for i in range(max_b))
+    cases = []
+    for b, r in BAND_CONFIGS:
+        inner = " ".join(
+            "WHEN {bb} THEN md5({concat})".format(
+                bb=bb,
+                concat=" || ',' || ".join(
+                    f"mh{bb * r + rr}::varchar" for rr in range(r)
+                ),
+            )
+            for bb in range(b)
+        )
+        cases.append(f"WHEN {b} THEN (CASE band_id {inner} END)")
+    cfg_case = " ".join(cases)
+    return f"""
+    WITH {minhash_ctes}, cfg_bands AS (
+        SELECT doc_id, cfg.bands, cfg.rows_per_band, b.band_id,
+               CASE cfg.bands {cfg_case} END AS band_hash
+        FROM sig
+        CROSS JOIN (VALUES {cfg_rows}) cfg(bands, rows_per_band)
+        JOIN (VALUES {band_ids}) b(band_id) ON b.band_id < cfg.bands
+    ), buckets AS (
+        SELECT bands, rows_per_band, band_id, band_hash,
+               count(*)::BIGINT AS s
+        FROM cfg_bands GROUP BY 1, 2, 3, 4
+    )
+    SELECT bands::BIGINT AS bands,
+           rows_per_band::BIGINT AS rows_per_band,
+           count(*)::BIGINT AS n_buckets,
+           sum((s >= 2)::INT)::BIGINT AS nonsingleton_buckets,
+           max(s)::BIGINT AS max_bucket,
+           sum(s * (s - 1) // 2)::BIGINT AS candidate_pair_load
+    FROM buckets GROUP BY 1, 2 ORDER BY bands
+    """
