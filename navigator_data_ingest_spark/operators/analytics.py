@@ -19801,3 +19801,68 @@ def stats_cochran_q_sql() -> str:
            {dk_rat6(qp, qq)} AS q_stat
     FROM a1 CROSS JOIN a2 CROSS JOIN bt
     """
+
+
+def q_sql_regexp_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp-function surface certification on the PORTABLE pattern
+    subset: regexp_extract with a capture group, regexp_count,
+    regexp_replace with a class, and split-based token counting — the
+    four regex entry points every text pipeline leans on, certified
+    value-for-value between Java regex (Spark) and RE2 (DuckDB) on
+    patterns restricted to the repo's portability rules (explicit
+    character classes, no backslash shorthand, no lookaround — the
+    text_charset_profile discipline; patterns OUTSIDE this subset are
+    exactly what this op exists to keep out of the codebase).
+    Aggregated to the bounded source grain.
+    """
+    d = scatter(spark, load_table(spark, sf_dir, "documents")).select(
+        "source",
+        F.expr("regexp_extract(text, '([a-z]+)', 1)").alias("first_word"),
+        F.expr("regexp_count(text, '[0-9]')").alias("n_digits"),
+        F.expr(
+            "length(regexp_replace(text, '[aeiou]', ''))"
+        ).alias("n_novowel"),
+        F.expr("size(split(text, '[ ]+'))").alias("n_splits"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("first_word").alias("distinct_first_words"),
+            F.sum("n_digits").alias("total_digits"),
+            F.sum("n_novowel").alias("total_novowel_chars"),
+            F.sum("n_splits").alias("total_splits"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "distinct_first_words",
+            "cast(total_digits as bigint) AS total_digits",
+            "total_novowel_chars",
+            "cast(total_splits as bigint) AS total_splits",
+        )
+        .orderBy("source")
+    )
+
+
+def q_sql_regexp_surface_sql() -> str:
+    # DuckDB split: string_split_regex; empty trailing fields match
+    # Spark's split default (-1 limit keeps trailing empties) — both
+    # keep them, certified by total_splits.
+    return """
+    WITH d AS (
+        SELECT source,
+               regexp_extract(text, '([a-z]+)', 1) AS first_word,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                   AS n_digits,
+               length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_novowel,
+               len(string_split_regex(text, '[ ]+')) AS n_splits
+        FROM documents
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+           count(DISTINCT first_word)::BIGINT AS distinct_first_words,
+           sum(n_digits)::BIGINT AS total_digits,
+           sum(n_novowel)::BIGINT AS total_novowel_chars,
+           sum(n_splits)::BIGINT AS total_splits
+    FROM d GROUP BY source ORDER BY source
+    """
