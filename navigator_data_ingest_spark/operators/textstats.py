@@ -3149,3 +3149,79 @@ def text_ocr_artifacts_sql() -> str:
            {dk_rat6(f'100 * {art}', 'n_tokens')} AS artifacts_per_100_tokens
     FROM g ORDER BY source
     """
+
+
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-segmentation profile per source: sentence count (runs
+    of terminator punctuation, so "!!" or "?!" end ONE sentence), mean
+    sentence length in characters, and the share of documents with no
+    terminator at all — the pre-flight audit for any sentence-grain
+    stage (sentence-level dedup, packing on sentence boundaries,
+    readability) and the cheapest OCR-damage smell test (terminator-
+    free prose usually means stripped punctuation).
+
+    Patterns stay inside the PORTABLE regex subset (explicit [.!?]
+    classes, no backslash shorthand — the q_sql_regexp_surface /
+    charset discipline, identical under Java regex and RE2). Counts
+    are exact integers; the ratios are integer-exact HALF_UP (mean
+    sentence chars = non-terminator chars over sentence runs). One
+    doc-grain map pass, one bounded source rollup. NULL/empty text
+    drops (both engines).
+    """
+    d = (
+        scatter(spark, load_table(spark, sf_dir, "documents"))
+        .where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            "source",
+            F.expr("regexp_count(text, '[.!?]+')").alias("n_sent"),
+            F.expr(
+                "length(regexp_replace(text, '[.!?]', ''))"
+            ).alias("n_body_chars"),
+        )
+    )
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr("cast(n_sent = 0 as bigint)")).alias(
+            "no_terminator_docs"
+        ),
+        F.sum("n_sent").alias("total_sentences"),
+        F.sum("n_body_chars").alias("total_body_chars"),
+    )
+    return agg.selectExpr(
+        "source",
+        "n_docs",
+        "no_terminator_docs",
+        "cast(total_sentences as bigint) AS total_sentences",
+        "cast(total_body_chars as bigint) AS total_body_chars",
+        f"{sp_rat('total_body_chars', 'total_sentences', 2)}"
+        " AS mean_sentence_chars",
+        "cast("
+        + sp_units("no_terminator_docs", "n_docs", 3)
+        + " as bigint) AS no_terminator_permille",
+    ).orderBy("source")
+
+
+def text_sentence_stats_sql() -> str:
+    return f"""
+    WITH d AS (
+        SELECT source,
+               len(regexp_extract_all(text, '[.!?]+')) AS n_sent,
+               length(regexp_replace(text, '[.!?]', '', 'g'))
+                   AS n_body_chars
+        FROM documents
+        WHERE text IS NOT NULL AND length(text) > 0
+    ), agg AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum((n_sent = 0)::INT)::BIGINT AS no_terminator_docs,
+               sum(n_sent)::BIGINT AS total_sentences,
+               sum(n_body_chars)::BIGINT AS total_body_chars
+        FROM d GROUP BY source
+    )
+    SELECT source, n_docs, no_terminator_docs, total_sentences,
+           total_body_chars,
+           {dk_rat('total_body_chars', 'total_sentences', 2)}
+               AS mean_sentence_chars,
+           ({dk_units("no_terminator_docs", "n_docs", 3)})::BIGINT
+               AS no_terminator_permille
+    FROM agg ORDER BY source
+    """

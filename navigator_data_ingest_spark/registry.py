@@ -224,6 +224,7 @@ _FRONT_NEW_ORDER: tuple[str, ...] = (
     "stats_paired_t", "graph_katz_centrality", "stats_anderson_darling_2s",
     "q_sql_date_arithmetic", "filter_common_token_gate", "stats_cochran_q",
     "dedup_band_config_sweep", "q_sql_regexp_surface",
+    "text_sentence_stats",
     # zero-certification families (18) — first ~6 make the r8 window,
     # the rest lead the r9 rotation
     "sample_class_balance", "sample_neyman_allocation", "sample_stratified",
@@ -7047,6 +7048,13 @@ register(
     "sample_downweight_duplicates",
     corpus.sample_downweight_duplicates,
     corpus.sample_downweight_duplicates_sql(),
+    front=True,
+)
+
+register(
+    "text_sentence_stats",
+    textstats.text_sentence_stats,
+    textstats.text_sentence_stats_sql(),
     front=True,
 )
 
