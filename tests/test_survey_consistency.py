@@ -53,6 +53,29 @@ def test_survey_oracle_markers_match_registry():
     assert not wrong, wrong
 
 
+def _survey_row_keys_multiset() -> list[str]:
+    """Every §2 table-row key INCLUDING duplicates (raw match list)."""
+    keys = []
+    for line in open(SURVEY):
+        m = re.match(
+            r"\| `([a-z0-9_]+)` \|(.*)\|\s*(\(infra\)|\[sql\]|\[rows\])\s*\|",
+            line.strip(),
+        )
+        if m:
+            keys.append(m.group(1))
+    return keys
+
+
+def test_survey_has_no_duplicate_rows():
+    """VERDICT r8 #5: a key listed twice with diverging descriptions is a
+    doc bug the set-based tests above cannot see — compare multiset to
+    set so the class cannot recur."""
+    keys = _survey_row_keys_multiset()
+    dupes = sorted({k for k in keys if keys.count(k) > 1})
+    assert not dupes, f"SURVEY §2 keys listed more than once: {dupes}"
+    assert len(keys) == len(set(keys))
+
+
 def test_every_registered_query_is_documented():
     text = open(SURVEY).read()
     undocumented = [k for k in registry.queries() if f"`{k}`" not in text]
