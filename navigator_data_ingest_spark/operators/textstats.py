@@ -872,24 +872,11 @@ ZLIB_LEVEL = 6          # fixed level => bit-deterministic output size
 LOW_ENTROPY_RATIO = 0.4  # compresses below this => repetitive/templated
 
 
-def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """zlib compression ratio per document — the Gopher/FineWeb-class
-    quality signal (highly compressible text is boilerplate, templated
-    spam, or degenerate repetition; barely-compressible is often
-    binary junk). This is the repo's REAL-Python-compute
-    representative: actual ``zlib.compress`` over Arrow batches via
-    ``mapInPandas`` — exactly where a production pipeline swaps in any
-    CPU-bound Python scorer — not a digest stub.
-
-    Scale shape: map-side only (the Python stage sees each batch once,
-    no shuffle anywhere); payload bytes cross the Arrow boundary once.
-    zlib at a FIXED level is bit-deterministic for a given input, so
-    the output is stable across runs/engines — but DuckDB has no zlib,
-    so certification is rows-only at the driver with the exact values
-    pinned by pytest against direct ``zlib`` on the same rows
-    (tests/test_api.py::test_compression_ratio_matches_zlib — the
-    sim_search_bruteforce_np precedent).
-    """
+def _compression_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared zlib scoring stage: doc_id, utf-8 byte count,
+    compressed size, ratio and low-entropy flag — one map-side
+    ``mapInPandas`` pass, no shuffle, payload bytes cross the Arrow
+    boundary once."""
     import pandas as pd
 
     def _score(batches):
@@ -917,15 +904,87 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, n_bytes bigint, n_compressed bigint, "
         "compression_ratio double, is_low_entropy boolean"
     )
-    scored = docs.mapInPandas(_score, schema=schema)
-    # in-query value witness: the driver's rows-only check carries a
-    # corpus-level checksum IN the rows (functions/witness.py); pytest
-    # pins it against direct zlib at the test SFs
+    return docs.mapInPandas(_score, schema=schema)
+
+
+def text_compression_ratio_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document — the Gopher/FineWeb-class
+    quality signal (highly compressible text is boilerplate, templated
+    spam, or degenerate repetition; barely-compressible is often
+    binary junk). This is the repo's REAL-Python-compute
+    representative: actual ``zlib.compress`` over Arrow batches via
+    ``mapInPandas`` — exactly where a production pipeline swaps in any
+    CPU-bound Python scorer — not a digest stub.
+
+    zlib at a FIXED level is bit-deterministic for a given input, so
+    the output is stable across runs/engines — but DuckDB has no zlib,
+    so the per-row values are pinned by pytest against direct ``zlib``
+    on the same rows (tests/test_api.py::
+    test_compression_ratio_matches_zlib) while the REGISTERED
+    ``text_compression_ratio`` certifies the pipeline's
+    DuckDB-recomputable invariants at the driver (VERDICT r8 #2).
+    """
+    # in-query value witness: a corpus-level checksum bound INTO the
+    # rows (functions/witness.py); pytest pins it against direct zlib
+    # at the test SFs
     from navigator_data_ingest_spark.functions.witness import corpus_witness
 
     return corpus_witness(
-        scored, "doc_id", "n_bytes", "n_compressed", "is_low_entropy"
+        _compression_scores(spark, sf_dir),
+        "doc_id", "n_bytes", "n_compressed", "is_low_entropy",
     ).orderBy("doc_id")
+
+
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certifiable surface of the zlib scorer (VERDICT r8 #2):
+    the full ``mapInPandas`` zlib pipeline runs, then ONE bounded
+    aggregate emits what DuckDB CAN recompute from the documents view —
+    row accounting (count, utf-8 byte sums/extremes, empty-doc census)
+    — plus invariants any correct zlib pass satisfies (output size
+    inside deflate's documented envelope: >= 8 bytes, the empty-input
+    zlib frame, and <= input + stored-block overhead; flag/ratio
+    consistency). A broken Arrow batch boundary, dropped row, or text
+    mangling flips a hashed value; pytest keeps pinning the exact
+    per-row zlib values via ``text_compression_ratio_scored``.
+
+    Scale shape: the map-side Python stage feeds partial aggregates —
+    one 1-row shuffle at any corpus size, no witness crossJoin (the
+    hashed values ARE the fingerprint now).
+    """
+    scored = _compression_scores(spark, sf_dir)
+    # deflate stored-block envelope: 2B zlib header + 4B adler32 + 5B
+    # per 16 KiB stored block; 64B slack keeps the bound version-proof
+    bound_hi = (
+        F.col("n_bytes") + F.lit(64)
+        + F.floor(F.col("n_bytes") / F.lit(16000)) * F.lit(5)
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("sum_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+        F.sum((F.col("n_bytes") == 0).cast("bigint")).alias("n_empty"),
+        F.every(
+            (F.col("n_compressed") >= 8) & (F.col("n_compressed") <= bound_hi)
+        ).alias("compressed_in_bounds"),
+        F.every(
+            F.col("is_low_entropy")
+            == (F.col("compression_ratio") < F.lit(LOW_ENTROPY_RATIO))
+        ).alias("flag_consistent"),
+        F.every(F.col("compression_ratio") > 0).alias("ratio_positive"),
+    )
+
+
+def text_compression_ratio_sql() -> str:
+    return """
+    SELECT count(*)::BIGINT                                   AS n_docs,
+           sum(strlen(coalesce(text, '')))::BIGINT            AS sum_bytes,
+           max(strlen(coalesce(text, '')))::BIGINT            AS max_bytes,
+           sum((strlen(coalesce(text, '')) = 0)::INT)::BIGINT AS n_empty,
+           true AS compressed_in_bounds,
+           true AS flag_consistent,
+           true AS ratio_positive
+    FROM documents
+    """
 
 
 # --------------------------------------------------------------------------

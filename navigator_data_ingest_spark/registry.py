@@ -1845,9 +1845,33 @@ register(
 )
 
 
-# float sum order differs from a SQL fold (numpy matmul) -> rows-only
-# for the driver; result parity with the fold-exact twin is pytest-gated
-register("sim_search_bruteforce_np", similarity.sim_search_bruteforce_np, None)
+# VERDICT r8 #2 conversion: the numpy path's float cosines carry
+# summation-order ulps a SQL fold can't replay, so the DRIVER surface is
+# the integer identity projection (query_id, vec_id, rank) — exactly the
+# fold oracle minus its float column (measured identical at
+# sf0.001/sf0.01, including round(cos,6)). pytest pins the float values
+# via sim_search_bruteforce_np_scored vs the fold twin.
+register(
+    "sim_search_bruteforce_np",
+    similarity.sim_search_bruteforce_np,
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE {similarity.query_stripe_sql()}
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               {_DK_DOT_QE} / (sqrt({_DK_DOT_QQ}) * sqrt({_DK_DOT_EE})) AS c
+        FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, rank::int AS rank
+    FROM ranked WHERE rank <= {similarity.TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
 
 
 register(
@@ -4931,10 +4955,14 @@ register(
     front=True,
 )
 
+# VERDICT r8 #2 conversion: DuckDB has no zlib, so the driver hashes the
+# pipeline's recomputable invariants (row/byte accounting + deflate
+# envelope booleans); exact per-row zlib values stay pytest-pinned via
+# text_compression_ratio_scored (tests/test_api.py).
 register(
     "text_compression_ratio",
     textstats.text_compression_ratio,
-    None,  # rows-only: no zlib in DuckDB; values pinned in tests/test_api.py
+    textstats.text_compression_ratio_sql(),
     front=True,
 )
 
@@ -6336,15 +6364,15 @@ register(
 
 from navigator_data_ingest_spark.sources import flat as flat_src2
 
-# rows-only BY DESIGN: the driver's oracle connection exposes table
-# VIEWS, and parquet row-group structure is not derivable from a view —
-# tests/test_sources.py::test_parquet_footer_stats_pinned certifies the
-# values against BOTH pyarrow ground truth and DuckDB parquet_metadata()
-# on the same files (the [rows] pattern of text_compression_ratio).
+# VERDICT r8 #2 conversion: the driver's DuckDB sees only table VIEWS,
+# so the hashed surface is the per-file reduction a view CAN recompute
+# (footer row sums == count(*), leaf-column count == view width) plus
+# layout invariants; the per-row-group grid stays pytest-pinned against
+# pyarrow AND parquet_metadata() (tests/test_sources.py).
 register(
     "src_parquet_footer_stats",
     flat_src2.src_parquet_footer_stats,
-    None,
+    flat_src2.src_parquet_footer_stats_sql(),
     front=True,
 )
 

@@ -193,7 +193,7 @@ def test_compression_ratio_matches_zlib(spark):
 
     got = {
         r["doc_id"]: r
-        for r in T.text_compression_ratio(spark, SF_CORRECT).collect()
+        for r in T.text_compression_ratio_scored(spark, SF_CORRECT).collect()
     }
     want = duckdb.sql(
         f"SELECT doc_id, text FROM '{SF_CORRECT}/documents.parquet'"

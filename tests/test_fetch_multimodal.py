@@ -153,21 +153,32 @@ def test_multimodal_schema_and_stub(spark):
 
 
 def test_bruteforce_np_matches_fold_exact(spark):
-    """The vectorized ANN path returns the same neighbors as the
-    bit-exact fold baseline (float path differences only move cosines
-    at ~1e-15, far below the ranking granularity of this corpus)."""
+    """The vectorized ANN path returns the same neighbors, ranks AND
+    rounded cosines as the bit-exact fold baseline (float path
+    differences only move cosines at ~1e-15, far below the ranking
+    granularity of this corpus) — the value gate behind the registered
+    integer projection's SQL oracle (VERDICT r8 #2)."""
     from navigator_data_ingest_spark.operators.similarity import (
         sim_search_bruteforce,
         sim_search_bruteforce_np,
+        sim_search_bruteforce_np_scored,
     )
 
     base = {
-        (r.query_id, r.vec_id)
+        (r.query_id, r.vec_id): (r.rank, r.cos_sim)
         for r in sim_search_bruteforce(spark, SF_SMOKE).collect()
     }
     fast = {
-        (r.query_id, r.vec_id)
+        (r.query_id, r.vec_id): (r.rank, r.cos_sim)
+        for r in sim_search_bruteforce_np_scored(spark, SF_SMOKE).collect()
+    }
+    assert set(base) == set(fast), "neighbor id sets diverge"
+    for k, (rank, cos) in base.items():
+        assert fast[k][0] == rank, f"rank flip at {k}"
+        assert abs(fast[k][1] - cos) < 1e-9, f"cosine drift at {k}"
+    # the registered driver surface is the integer projection of scored
+    proj = {
+        (r.query_id, r.vec_id): r.rank
         for r in sim_search_bruteforce_np(spark, SF_SMOKE).collect()
     }
-    overlap = len(base & fast) / max(1, len(base | fast))
-    assert overlap >= 0.95, f"neighbor overlap only {overlap:.2%}"
+    assert proj == {k: v[0] for k, v in fast.items()}

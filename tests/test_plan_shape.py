@@ -240,10 +240,9 @@ _DELIBERATE_NESTED_LOOP = {
     "stats_levene",
     # 1-row rounded-mean centering broadcast: deliberate
     "stats_deming_regression",
-    # 1-row corpus-witness checksum broadcast (functions/witness.py):
-    # the rows-only ops carry their value fingerprint in-query
-    "text_compression_ratio",
-    "sim_search_bruteforce_np",
+    # (text_compression_ratio / sim_search_bruteforce_np left this list
+    # in round 9: their registered surfaces no longer carry the 1-row
+    # corpus-witness crossJoin — VERDICT r8 #2 oracle conversion)
     # 1-row min/max range + tie-term broadcasts (Mann-Whitney family)
     "stats_kruskal_wallis",
     # O(D²) day-pair non-equi self-join on the DAYS-bounded calendar

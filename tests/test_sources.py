@@ -60,9 +60,10 @@ def test_json_cache_translated_flag(spark):
 
 
 def test_parquet_footer_stats_pinned(spark):
-    """src_parquet_footer_stats is rows-only at the driver (footers are
-    not view-derivable); pin its values against pyarrow ground truth
-    AND DuckDB's parquet_metadata() on the same files."""
+    """The full per-row-group footer grid is not view-derivable, so the
+    driver hashes the invariant reduction (src_parquet_footer_stats);
+    this test pins the GRID's values against pyarrow ground truth AND
+    DuckDB's parquet_metadata() on the same files."""
     import os
 
     import duckdb
@@ -70,14 +71,14 @@ def test_parquet_footer_stats_pinned(spark):
 
     from navigator_data_ingest_spark.sources.flat import (
         FOOTER_TABLES,
-        src_parquet_footer_stats,
-        src_parquet_footer_stats_sql,
+        src_parquet_footer_grid,
+        src_parquet_footer_grid_sql,
     )
     from tests.conftest import SF_CORRECT
 
     got = {
         (r.file_name, r.row_group_id): (r.n_cols, r.rg_rows, r.compressed_bytes)
-        for r in src_parquet_footer_stats(spark, SF_CORRECT).collect()
+        for r in src_parquet_footer_grid(spark, SF_CORRECT).collect()
     }
     # pyarrow ground truth
     expected = {}
@@ -97,7 +98,7 @@ def test_parquet_footer_stats_pinned(spark):
     # DuckDB parquet_metadata agrees on the same files
     dk = {
         (r[0], r[1]): (r[2], r[3], r[4])
-        for r in duckdb.sql(src_parquet_footer_stats_sql(SF_CORRECT)).fetchall()
+        for r in duckdb.sql(src_parquet_footer_grid_sql(SF_CORRECT)).fetchall()
     }
     assert dk == expected
 

@@ -32,7 +32,7 @@ def test_compression_witness_matches_direct_zlib(spark):
 
     from navigator_data_ingest_spark.operators import textstats as T
 
-    out = T.text_compression_ratio(spark, SF_CORRECT).collect()
+    out = T.text_compression_ratio_scored(spark, SF_CORRECT).collect()
     witness = {r["corpus_witness"] for r in out}
     assert len(witness) == 1, "witness must be a single corpus constant"
 
@@ -57,11 +57,19 @@ def test_compression_witness_matches_direct_zlib(spark):
 
 
 def test_bruteforce_np_witness_binds_to_rows(spark):
+    """sim_search_bruteforce_np now carries a real SQL oracle (integer
+    projection — VERDICT r8 #2), so the witness is no longer part of its
+    registered surface; this test keeps certifying the witness MACHINERY
+    binds arbitrary query output rows correctly."""
+    from navigator_data_ingest_spark.functions.witness import corpus_witness
     from navigator_data_ingest_spark.operators.similarity import (
         sim_search_bruteforce_np,
     )
 
-    out = sim_search_bruteforce_np(spark, SF_SMOKE).collect()
+    out = corpus_witness(
+        sim_search_bruteforce_np(spark, SF_SMOKE),
+        "query_id", "vec_id", "rank",
+    ).collect()
     witness = {r["corpus_witness"] for r in out}
     assert len(witness) == 1
     rehashed = _witness_of(
