@@ -27,6 +27,27 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 # whole registry instead of re-certifying the same head. The full local
 # sweep (scripts/sweep.py) stays the all-query safety net.
 _DRIVER_CERTIFIED = frozenset({
+    # round 8 sample (CORRECTNESS_r08.json): 50/50 hash-green — the
+    # first fully-green driver round; closes the r7 type-surface class
+    # (all 12 triage keys) and certifies the round-8 new-operator wave.
+    "corpus_quality_mix_curve", "dedup_band_config_sweep",
+    "dedup_threshold_sweep", "emb_cka_similarity", "filter_common_token_gate",
+    "graph_katz_centrality", "graph_resource_allocation", "mm_shard_manifest",
+    "pack_efficiency", "q_events_concurrency", "q_events_concurrency_peak",
+    "q_events_sax_profile", "q_sql_agg_filter", "q_sql_date_arithmetic",
+    "q_sql_pivot", "q_sql_unpivot_stmt", "q_variant_props",
+    "sample_downweight_duplicates", "sink_checksum_manifest",
+    "split_dedup_aware", "split_temporal", "src_text_lines",
+    "src_xml_roundtrip", "stats_anderson_darling_2s", "stats_ansari_bradley",
+    "stats_bartels_rank", "stats_benford_second", "stats_blb_ci",
+    "stats_brunner_munzel", "stats_cochran_q", "stats_cox_stuart",
+    "stats_gains_table", "stats_hodges_lehmann", "stats_jonckheere_terpstra",
+    "stats_kendall_w", "stats_mann_whitney", "stats_mann_whitney_u",
+    "stats_markov_stationary", "stats_mood_scale", "stats_nelson_aalen",
+    "stats_page_trend", "stats_paired_t", "stats_permutation_test",
+    "stats_pettitt_changepoint", "stats_qq_normal", "stats_quade",
+    "stats_somers_d", "stats_turning_points", "stats_weighted_kappa",
+    "stats_ww_runs_two_sample",
     # round 7 sample (CORRECTNESS_r07.json): 43 hash-green, including
     # both r6 value-level fails re-certified (stats_wilcoxon_signed_rank
     # exact var_w units, stats_mann_whitney_z raw emission) and the
@@ -106,9 +127,9 @@ _DRIVER_CERTIFIED = frozenset({
     # hash FAILs (stats_mann_whitney, q_events_concurrency — NULL
     # events.value divergence, fixed this round) are deliberately NOT
     # listed so they re-enter the head-50 for re-certification;
-    # text_compression_ratio is the documented rows-only zlib op
-    # (pytest-pinned, in-query md5 self-witness) and stays certified-
-    # equivalent like sim_search_bruteforce_np.
+    # text_compression_ratio was carried here as certified-equivalent
+    # while rows-only — de-listed in round 9 (invariant SQL oracle now
+    # registered, VERDICT r8 #2) so the driver hash-certifies it.
     "corpus_dsir_weights", "corpus_embed_pool", "corpus_knn_pseudo_label",
     "corpus_length_buckets", "corpus_perplexity_filter",
     "corpus_upsample_apply", "dedup_shingle_containment",
@@ -124,10 +145,12 @@ _DRIVER_CERTIFIED = frozenset({
     "stats_fdr_bh", "stats_jackknife_ci", "stats_mutual_information",
     "stats_spearman_daily", "stats_survival_km", "stats_theil_sen",
     "stream_bus_adapter", "stream_chained_windows", "stream_state_reader",
-    "text_bm25", "text_count_min", "text_compression_ratio",
+    "text_bm25", "text_count_min",
     "text_zipf_fit",
-    # round 3 sample (CORRECTNESS_r03.json): 49 hash-green + the
-    # documented rows-only sim_search_bruteforce_np (pytest-pinned)
+    # round 3 sample (CORRECTNESS_r03.json): 49 hash-green
+    # (sim_search_bruteforce_np was carried here as the documented
+    # rows-only twin — de-listed in round 9 for hash certification
+    # under its new integer-projection oracle, VERDICT r8 #2)
     "cdc_scd2_lookup", "corpus_bigram_lm", "corpus_decontaminate_split",
     "corpus_token_budget", "corpus_udtf_passages", "corpus_upsample_plan",
     "dedup_bloom", "dedup_recall_report", "dedup_semantic",
@@ -138,7 +161,7 @@ _DRIVER_CERTIFIED = frozenset({
     "q_events_cohort_retention", "q_events_distinct_sliding",
     "q_events_heatmap", "q_events_rfm", "q_grouping_sets",
     "q_lateral_join_api", "q_multiset_ops", "q_observe_metrics",
-    "q_sql_pipe", "q_variant_json", "sim_search_bruteforce_np",
+    "q_sql_pipe", "q_variant_json",
     "sink_atomic_publish", "sink_vacuum_orphans", "src_codec_roundtrip",
     "src_python_datasource", "src_time_travel", "stats_ab_test",
     "stats_benford", "stats_correlation_matrix", "stats_entropy_per_source",
@@ -176,65 +199,59 @@ _DRIVER_CERTIFIED = frozenset({
 # certified
 _FRONT: set[str] = set()
 
-# Round-8 head block (VERDICT r7 "Next round" #3): the r7 type-surface
-# class, fixed this round, pinned at positions 1-12 so CORRECTNESS_r08
-# certifies the whole class in one round — the 5 distinct failing ops +
-# the 2 still-flipping diagnostics + the 4 latent members the judge's
-# type census named + sink_checksum_manifest (checksum re-emitted as
-# string, same class). The long-green diagnostics (_epoch/_load/_z) are
-# retired to _DRIVER_CERTIFIED per VERDICT r7 #7.
+# Round-9 head block (VERDICT r8 "Next round" #2): the three ops whose
+# driver rows were permanently `no_oracle` under the rows-only design
+# now carry invariant SQL oracles — pinned at positions 1-3 so
+# CORRECTNESS_r09 retires the last red rows in the file.
 _HEAD_FIRST: tuple[str, ...] = (
-    "q_events_concurrency_peak",
-    "stats_mann_whitney_u",
-    "q_events_concurrency",
-    "stats_mann_whitney",
-    "q_sql_agg_filter",
-    "q_sql_pivot",
-    "src_text_lines",
-    "stats_gains_table",
-    "stats_nelson_aalen",
-    "stats_qq_normal",
-    "stats_benford_second",
-    "sink_checksum_manifest",
+    "sim_search_bruteforce_np",
+    "text_compression_ratio",
+    "src_parquet_footer_stats",
 )
 _HEAD_POS = {n: i for i, n in enumerate(_HEAD_FIRST)}
 
-# Round-8 sample fill (VERDICT r7 "Next round" #5, amended): after the
-# head-12 triage block, the remaining ~38 driver-sample slots go FIRST
-# to the round-8 NEW operators (never judged anywhere — highest risk;
-# the house rule that fronted every prior wave), then to the oldest
-# never-driver-sampled zero-certification families (sample_*, pack_*,
-# split_*, filter_blocklist, the remaining stream_*) and §2.2
-# round-trips — the tail past 50 rotates into the round-9 sample.
-# ORDERED: rank = position here (ties were previously registration
-# order, which buried the newest operators below the cut line).
+# Round-9 sample fill (VERDICT r8 "Next round" #1): burn down the
+# never-driver-sampled backlog at maximum rate — the entire head-50 is
+# never-sampled keys, oldest zero-certification families first
+# (stream_*, cdc_*, then the graph_*/emb_*/corpus_* remainders, then
+# sample_*/pack_*/split_*/filter_* and the two round-8 ops that just
+# missed the r8 cut line). The r8-certified diagnostics
+# (q_events_concurrency_* / stats_mann_whitney_*) stay registered as
+# regression canaries but never consume head slots again (VERDICT r8
+# #6). The tail past 50 (mm_*, sim_*, §2.2 round-trips) leads the
+# round-10 rotation. ORDERED: rank = position here.
 _FRONT_NEW_ORDER: tuple[str, ...] = (
-    # round-8 NEW operators, oldest wave first (32)
-    "stats_jonckheere_terpstra", "stats_pettitt_changepoint",
-    "stats_turning_points", "stats_bartels_rank", "stats_weighted_kappa",
-    "stats_kendall_w", "q_events_sax_profile", "stats_somers_d",
-    "stats_quade", "stats_hodges_lehmann", "stats_ww_runs_two_sample",
-    "stats_ansari_bradley", "stats_mood_scale", "stats_page_trend",
-    "stats_cox_stuart", "pack_efficiency", "split_temporal",
-    "split_dedup_aware", "mm_shard_manifest", "emb_cka_similarity",
-    "stats_brunner_munzel", "stats_permutation_test", "q_sql_unpivot_stmt",
-    "graph_resource_allocation", "sample_downweight_duplicates",
-    "dedup_threshold_sweep", "stats_blb_ci", "stats_markov_stationary",
-    "corpus_quality_mix_curve", "q_variant_props", "src_xml_roundtrip",
-    "stats_paired_t", "graph_katz_centrality", "stats_anderson_darling_2s",
-    "q_sql_date_arithmetic", "filter_common_token_gate", "stats_cochran_q",
-    "dedup_band_config_sweep", "q_sql_regexp_surface",
-    "text_sentence_stats",
-    # zero-certification families (18) — first ~6 make the r8 window,
-    # the rest lead the r9 rotation
-    "sample_class_balance", "sample_neyman_allocation", "sample_stratified",
-    "sample_temperature", "sample_cap_per_source", "pack_boundary_stats",
-    "pack_sequences", "split_train_holdout", "filter_blocklist",
+    # streaming family — oldest never-sampled block (9)
     "stream_unique_users_windowed", "stream_enrich_join", "stream_dedup_wm",
     "stream_session_append", "stream_windowed_topk",
     "stream_foreachbatch_upsert", "stream_outer_join_expiry",
     "stream_static_enrich", "stream_incremental_files",
-    # never-sampled §2.2 source/sink round-trips (9)
+    # cdc remainders (2)
+    "cdc_upsert", "cdc_scd2",
+    # graph remainders (4)
+    "graph_pagerank", "graph_degree_distribution",
+    "graph_harmonic_centrality", "graph_rich_club",
+    # emb remainders (13)
+    "emb_centroids", "emb_pq", "emb_kmeans", "emb_label_purity",
+    "emb_centroid_distances", "emb_confusion_metrics",
+    "emb_variance_spectrum", "emb_intrinsic_dim", "emb_norm_by_label",
+    "emb_lsh_tuning", "emb_centroid_drift", "emb_ivf_cell_census",
+    "emb_duplicate_vectors",
+    # corpus remainders (8)
+    "corpus_overlap", "corpus_funnel", "corpus_mix_report",
+    "corpus_tokenizer_fertility", "corpus_sample_exact_k",
+    "corpus_ngram_novelty", "corpus_lang_purity", "corpus_preference_pairs",
+    # sample/pack/split/filter zero-certification families (9)
+    "sample_class_balance", "sample_neyman_allocation", "sample_stratified",
+    "sample_temperature", "sample_cap_per_source", "pack_boundary_stats",
+    "pack_sequences", "split_train_holdout", "filter_blocklist",
+    # the two round-8 new ops that just missed the r8 cut line (2)
+    "q_sql_regexp_surface", "text_sentence_stats",
+    # ---- cut line: 3 head + 47 above = the driver's 50 ----
+    # round-10 leaders: multimodal, similarity, §2.2 round-trips
+    "mm_frame_sample", "mm_phash_neardup", "mm_audio_chunk",
+    "mm_codec_stats", "mm_bitrate",
+    "sim_search_pq_adc", "sim_search_recall_report",
     "src_csv_roundtrip", "src_jsonl_roundtrip", "src_orc_roundtrip",
     "src_binary_files", "src_corrupt_quarantine", "sink_bucketed_join",
     "sink_partitioned_prune", "sink_compact", "sink_partition_overwrite",
