@@ -1067,12 +1067,18 @@ HARMONIC_SEED_TARGET = 8
 HARMONIC_SEED_MOD_MIN = 100
 
 
-def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_harmonic_centrality_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-seed harmonic centrality within 3 hops on the part–supplier
     bipartite graph: Σ 1/d(seed, v) over nodes reached at hop 1..3 —
     the distance-weighted reach score (robust to disconnection, unlike
     closeness) beside graph_pagerank's flow centrality and
     graph_shortest_paths' aggregate hop census.
+
+    FRONTIER form — superseded as the registered implementation by the
+    hop-bitmap rewrite (``graph_harmonic_centrality``, VERDICT r8 #4:
+    5.3 s vs 8.9 s median at sf0.1 on the round-9 host) and kept as its
+    independent parity twin (tests/test_api.py::
+    test_harmonic_bitmap_matches_frontier).
 
     Per-seed frontier expansion keyed by (seed, node) — 3 UNROLLED
     rounds of frontier⋈edges equijoin + anti-join against the visited
@@ -1158,6 +1164,120 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         grid.selectExpr(
+            "seed",
+            "n1 AS n_hop1",
+            "n2 AS n_hop2",
+            "n3 AS n_hop3",
+            f"{sp_rat6('6 * n1 + 3 * n2 + 2 * n3', '6')} AS harmonic_3hop",
+        )
+        .orderBy("seed")
+    )
+
+
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bitmap rewrite of the per-seed BFS (VERDICT r8 #4): instead
+    of (seed, node) frontier rows — whose expansion join carries a
+    |seeds|× multiplier and needs a distinct + anti-join pair every
+    round — pack ALL seeds into one 64-bit mask per node and expand
+    CUMULATIVE reachability:
+
+        C_0(node) = seed bit;  C_h = bit_or(C_{h-1} ∪ expand(C_{h-1}))
+
+    Each round is ONE equijoin against the undirected edge list (output
+    bounded by |edges|, independent of seed count — map-side partial
+    bit_or collapses before the shuffle) and ONE node-keyed bit_or
+    aggregate; no distinct, no anti-join. Newly-reached-at-hop-h counts
+    per seed fall out of the cumulative per-seed counts: n_h = c_h −
+    c_{h-1} (a node first reached at hop h contributes to C_h but not
+    C_{h-1}; re-reached nodes are already in C_{h-1} and cancel —
+    exactly the frontier version's visited-set semantics). The seed
+    stripe keeps |seeds| ≤ ~SEED_TARGET+1 at ANY corpus size (the
+    derived modulus), so the 64-bit mask never saturates; the seed
+    index window is over that same bounded stripe. Oracle and output
+    identical to graph_harmonic_centrality_sql.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
+    edges = (
+        li.select(
+            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("p"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # (pre-partitioning und by src was measured and rejected: the extra
+    # 2|E|-row exchange costs more than the per-round join shuffles it
+    # saves — 5.8 s vs 5.3 s median at sf0.1)
+    und = edges.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionAll(
+        edges.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    supp = li.select(F.col("l_suppkey").alias("k")).distinct()
+    smod = F.broadcast(
+        supp.groupBy()
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.greatest(
+                F.lit(HARMONIC_SEED_MOD_MIN).cast("bigint"),
+                (F.col("_n") / F.lit(HARMONIC_SEED_TARGET)).cast("bigint"),
+            ).alias("_smod")
+        )
+    )
+    # seed bit index NEEDS no window: seeds are exactly k ≡ 1 (mod smod),
+    # so idx = (k-1)/smod is unique per seed and bounded by
+    # n/smod ≤ SEED_TARGET+1 < 64 at any corpus size
+    sidx = (
+        supp.crossJoin(smod)
+        .where(F.col("k") % F.col("_smod") == 1)
+        .select(
+            F.concat(F.lit("s:"), F.col("k").cast("string")).alias("seed"),
+            ((F.col("k") - 1) / F.col("_smod")).cast("int").alias("idx"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cum = sidx.select(
+        F.col("seed").alias("node"),
+        F.expr("shiftleft(cast(1 as bigint), idx)").alias("mask"),
+    )
+    cums = []
+    for _h in range(1, HARMONIC_HOPS + 1):
+        expanded = cum.join(und, cum["node"] == und["src"]).select(
+            und["dst"].alias("node"), "mask"
+        )
+        # lazy checkpoint: each C_h feeds BOTH the next round and the
+        # final count union — without it the reuse doubles per round
+        cum = (
+            cum.unionAll(expanded)
+            .groupBy("node")
+            .agg(F.expr("bit_or(mask)").alias("mask"))
+            .localCheckpoint(eager=False)
+        )
+        cums.append(cum)
+    tagged = None
+    for h, c_h in enumerate(cums, start=1):
+        t = c_h.select(F.lit(h).alias("h"), "mask")
+        tagged = t if tagged is None else tagged.unionAll(t)
+    counts = (
+        tagged.crossJoin(F.broadcast(sidx))
+        .select("h", "seed", F.expr("bit_get(mask, idx)").cast("bigint").alias("b"))
+        .groupBy("seed")
+        .agg(
+            *[
+                F.sum(F.when(F.col("h") == h, F.col("b")).otherwise(F.lit(0)))
+                .alias(f"c{h}")
+                for h in range(1, HARMONIC_HOPS + 1)
+            ]
+        )
+    )
+    return (
+        counts.selectExpr(
+            "seed",
+            "c1 - 1 AS n1",          # C_0 is exactly {seed}
+            "c2 - c1 AS n2",
+            "c3 - c2 AS n3",
+        )
+        .selectExpr(
             "seed",
             "n1 AS n_hop1",
             "n2 AS n_hop2",
