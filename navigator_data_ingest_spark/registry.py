@@ -248,7 +248,9 @@ _FRONT_NEW_ORDER: tuple[str, ...] = (
     # the two round-8 new ops that just missed the r8 cut line (2)
     "q_sql_regexp_surface", "text_sentence_stats",
     # ---- cut line: 3 head + 47 above = the driver's 50 ----
-    # round-10 leaders: multimodal, similarity, §2.2 round-trips
+    # round-10 leaders: the round-9 new op (behind the backlog per
+    # VERDICT r8 #1), then multimodal, similarity, §2.2 round-trips
+    "sink_hll_sketch_union",
     "mm_frame_sample", "mm_phash_neardup", "mm_audio_chunk",
     "mm_codec_stats", "mm_bitrate",
     "sim_search_pq_adc", "sim_search_recall_report",
@@ -6380,6 +6382,19 @@ register(
 )
 
 from navigator_data_ingest_spark.sources import flat as flat_src2
+
+# round-9 new op: persisted mergeable-sketch layer (Spark 4
+# DataSketches HLL binaries written to parquet, read back, unioned) —
+# the driver hashes exact counts + the 5%-band / union-monotonicity
+# invariants; raw estimates are pytest-pinned via the _scored twin.
+from navigator_data_ingest_spark.sources import sketches as sketches_src
+
+register(
+    "sink_hll_sketch_union",
+    sketches_src.sink_hll_sketch_union,
+    sketches_src.sink_hll_sketch_union_sql(),
+    front=True,
+)
 
 # VERDICT r8 #2 conversion: the driver's DuckDB sees only table VIEWS,
 # so the hashed surface is the per-file reduction a view CAN recompute

@@ -151,3 +151,54 @@ def test_text_lines_cr_escaping_roundtrip(spark):
     dk = con.sql(src_text_lines_sql()).fetchone()
     assert (row.n_lines, row.n_doc_ids, row.line_checksum) == dk
     assert isinstance(row.line_checksum, str)
+
+
+def test_hll_sketch_union_roundtrip_and_bounds(spark):
+    """The persisted-HLL path (round 9): estimates read back from the
+    stored parquet binaries must equal a direct in-memory sketch of the
+    same set (binary round-trip fidelity), sit inside the 5% band of
+    the DuckDB-exact distincts, and the union estimate must dominate
+    every per-scope estimate."""
+    import duckdb
+
+    from navigator_data_ingest_spark.sources.sketches import (
+        HLL_LGK,
+        _type_user,
+        sink_hll_sketch_union_scored,
+    )
+    from tests.conftest import SF_CORRECT
+
+    rows = {
+        r.scope: (r.n_exact, r.n_est)
+        for r in sink_hll_sketch_union_scored(spark, SF_CORRECT).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            "SELECT coalesce(event_type, '<null>') AS scope,"
+            " count(DISTINCT user_id) FROM"
+            f" '{SF_CORRECT}/events.parquet' WHERE user_id IS NOT NULL"
+            " GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(rows) == set(want) | {"ALL"}
+    for scope, (n_exact, n_est) in rows.items():
+        if scope != "ALL":
+            assert n_exact == want[scope], scope
+        assert 20 * abs(n_est - n_exact) <= n_exact, scope
+    assert rows["ALL"][1] >= max(v[1] for k, v in rows.items() if k != "ALL")
+    # binary round-trip fidelity: stored-sketch estimates == direct
+    # in-memory sketch estimates over the same collapsed set
+    from pyspark.sql import functions as F
+
+    direct = {
+        r.scope: r.e
+        for r in _type_user(spark, SF_CORRECT)
+        .groupBy("scope")
+        .agg(
+            F.expr(
+                f"hll_sketch_estimate(hll_sketch_agg(user_id, {HLL_LGK}))"
+            ).cast("bigint").alias("e")
+        )
+        .collect()
+    }
+    assert direct == {k: v[1] for k, v in rows.items() if k != "ALL"}
