@@ -19866,3 +19866,72 @@ def q_sql_regexp_surface_sql() -> str:
            sum(n_splits)::BIGINT AS total_splits
     FROM d GROUP BY source ORDER BY source
     """
+
+
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 ``WITH RECURSIVE`` surface (round 9): a recursion-
+    generated month spine from the orders table's own min/max month,
+    LEFT-joined to the monthly revenue rollup — the gap-filled calendar
+    every reporting layer needs, expressed as the ANSI recursive CTE
+    instead of a sequence()/explode generator (q_events_gapfill's
+    sibling at month grain). The recursion is CALENDAR-bounded (months
+    between min and max order date — ~84 at any corpus size, far under
+    Spark's default 100-level recursion cap) and carries its own upper
+    bound in each row, so no scalar subquery sits inside the recursive
+    step (the one recursion shape both engines plan identically).
+    Revenue is exact integer cents (repo round-boundary rule); months
+    with no orders surface as explicit zero rows — the property the
+    spine exists for. NULL o_orderdate rows feed neither bounds nor
+    rollup (both engines).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_rcte_orders"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m, mx) AS (
+            SELECT mn, mx FROM (
+                SELECT date_trunc('month', min(o_orderdate)) AS mn,
+                       date_trunc('month', max(o_orderdate)) AS mx
+                FROM v_rcte_orders
+            ) WHERE mn IS NOT NULL
+            UNION ALL
+            SELECT add_months(m, 1), mx FROM months WHERE m < mx
+        ), rev AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   count(*) AS n_orders,
+                   sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))
+                       AS cents
+            FROM v_rcte_orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+        )
+        SELECT cast(months.m as date) AS month_start,
+               coalesce(n_orders, 0) AS n_orders,
+               coalesce(cents, 0) AS cents
+        FROM months LEFT JOIN rev ON months.m = rev.m
+        ORDER BY month_start
+        """
+    )
+
+
+def q_sql_recursive_cte_sql() -> str:
+    return """
+    WITH RECURSIVE months(m, mx) AS (
+        SELECT mn, mx FROM (
+            SELECT date_trunc('month', min(o_orderdate::DATE))::DATE AS mn,
+                   date_trunc('month', max(o_orderdate::DATE))::DATE AS mx
+            FROM orders
+        ) WHERE mn IS NOT NULL
+        UNION ALL
+        SELECT (m + INTERVAL 1 MONTH)::DATE, mx FROM months WHERE m < mx
+    ), rev AS (
+        SELECT date_trunc('month', o_orderdate::DATE)::DATE AS m,
+               count(*)::BIGINT AS n_orders,
+               sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    )
+    SELECT months.m AS month_start,
+           coalesce(n_orders, 0)::BIGINT AS n_orders,
+           coalesce(cents, 0)::BIGINT AS cents
+    FROM months LEFT JOIN rev ON months.m = rev.m
+    ORDER BY month_start
+    """

@@ -248,9 +248,9 @@ _FRONT_NEW_ORDER: tuple[str, ...] = (
     # the two round-8 new ops that just missed the r8 cut line (2)
     "q_sql_regexp_surface", "text_sentence_stats",
     # ---- cut line: 3 head + 47 above = the driver's 50 ----
-    # round-10 leaders: the round-9 new op (behind the backlog per
+    # round-10 leaders: the round-9 new ops (behind the backlog per
     # VERDICT r8 #1), then multimodal, similarity, §2.2 round-trips
-    "sink_hll_sketch_union",
+    "sink_hll_sketch_union", "q_sql_recursive_cte",
     "mm_frame_sample", "mm_phash_neardup", "mm_audio_chunk",
     "mm_codec_stats", "mm_bitrate",
     "sim_search_pq_adc", "sim_search_recall_report",
@@ -6393,6 +6393,15 @@ register(
     "sink_hll_sketch_union",
     sketches_src.sink_hll_sketch_union,
     sketches_src.sink_hll_sketch_union_sql(),
+    front=True,
+)
+
+# round-9 new op: Spark 4.1 WITH RECURSIVE surface (recursion-generated
+# gap-filled month spine; calendar-bounded depth, exact integer cents)
+register(
+    "q_sql_recursive_cte",
+    analytics.q_sql_recursive_cte,
+    analytics.q_sql_recursive_cte_sql(),
     front=True,
 )
 
