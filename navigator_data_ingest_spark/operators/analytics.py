@@ -2408,7 +2408,26 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("overwrite")
         .save()
     )
-    m = obs.get
+    try:
+        m = obs.get
+    except Exception:
+        # zero-task plans never fire the observation listener (Spark
+        # collapses an empty scan to a LocalTableScan and Observation.get
+        # throws from toPyRow — round-9 empty-input axis). The pipeline
+        # must not lose its job to a metrics read: recompute the same
+        # exact metrics with one direct aggregate over the (empty) input.
+        m = orders.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(
+                "sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))"
+            ).alias("cents"),
+            F.expr(
+                "min(cast(floor(o_totalprice * 100 + 0.5) as bigint))"
+            ).alias("min_cents"),
+            F.expr(
+                "max(cast(floor(o_totalprice * 100 + 0.5) as bigint))"
+            ).alias("max_cents"),
+        ).collect()[0].asDict()
     return spark.createDataFrame(
         [(m["n_rows"], m["cents"], m["min_cents"], m["max_cents"])],
         "n_rows bigint, cents bigint, min_cents bigint, max_cents bigint",
@@ -17385,9 +17404,14 @@ def stats_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint")
         ).alias("n_turns"),
     )
+    # n_days >= 2 guard: below that the variance term (16n-29)/90 is
+    # negative and DuckDB's sqrt raises on an empty/degenerate series
+    # (round-9 empty-input axis) — the statistic is undefined there, so
+    # both engines emit NULL
     z = (
-        "(cast(n_turns as double) - 2.0 * (n_days - 2) / 3.0)"
-        " / sqrt((16.0 * n_days - 29.0) / 90.0)"
+        "CASE WHEN n_days >= 2 THEN"
+        " (cast(n_turns as double) - 2.0 * (n_days - 2) / 3.0)"
+        " / sqrt((16.0 * n_days - 29.0) / 90.0) END"
     )
     return agg.selectExpr(
         "n_days",
@@ -17399,8 +17423,9 @@ def stats_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stats_turning_points_sql() -> str:
     z = (
-        "(n_turns::DOUBLE - 2.0 * (n_days - 2) / 3.0)"
-        " / sqrt((16.0 * n_days - 29.0) / 90.0)"
+        "CASE WHEN n_days >= 2 THEN"
+        " (n_turns::DOUBLE - 2.0 * (n_days - 2) / 3.0)"
+        " / sqrt((16.0 * n_days - 29.0) / 90.0) END"
     )
     return f"""
     WITH d AS (

@@ -4400,9 +4400,12 @@ def corpus_quality_mix_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(tau_permille as bigint) AS tau_permille",
             "coalesce(n_docs_kept, 0) AS n_docs_kept",
             "coalesce(tokens_kept, 0) AS tokens_kept",
-            "1000 * coalesce(n_docs_kept, 0) div n_docs_total"
+            # nullif guard: an empty corpus has zero totals — shares are
+            # NULL then, not a DIVIDE_BY_ZERO crash (round-9 empty-input
+            # axis); non-empty values unchanged
+            "1000 * coalesce(n_docs_kept, 0) div nullif(n_docs_total, 0)"
             " AS docs_share_permille",
-            "1000 * coalesce(tokens_kept, 0) div tokens_total"
+            "1000 * coalesce(tokens_kept, 0) div nullif(tokens_total, 0)"
             " AS tokens_share_permille",
         )
         .orderBy("tau_permille")
@@ -4434,9 +4437,9 @@ def corpus_quality_mix_curve_sql() -> str:
     SELECT s.tau_permille::BIGINT AS tau_permille,
            coalesce(n_docs_kept, 0)::BIGINT AS n_docs_kept,
            coalesce(tokens_kept, 0)::BIGINT AS tokens_kept,
-           (1000 * coalesce(n_docs_kept, 0) // n_docs_total)::BIGINT
+           (1000 * coalesce(n_docs_kept, 0) // nullif(n_docs_total, 0))::BIGINT
                AS docs_share_permille,
-           (1000 * coalesce(tokens_kept, 0) // tokens_total)::BIGINT
+           (1000 * coalesce(tokens_kept, 0) // nullif(tokens_total, 0))::BIGINT
                AS tokens_share_permille
     FROM (VALUES {vals}) s(tau_permille)
     LEFT JOIN kept ON kept.tau_permille = s.tau_permille

@@ -1672,8 +1672,11 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(tau_permille as bigint) AS tau_permille",
             "coalesce(n_cross_pairs, 0) + n_within_pairs AS n_pairs",
             "coalesce(cross_only_docs, 0) + within_docs AS n_docs_flagged",
+            # nullif guard: an empty corpus has n_docs_total = 0 — the
+            # share is NULL then, not a DIVIDE_BY_ZERO crash (round-9
+            # empty-input axis); non-empty values unchanged
             "1000 * (coalesce(cross_only_docs, 0) + within_docs)"
-            " div n_docs_total AS flagged_share_permille",
+            " div nullif(n_docs_total, 0) AS flagged_share_permille",
         )
     )
     return out.orderBy("tau_permille")
@@ -1717,7 +1720,7 @@ def dedup_threshold_sweep_oracle_sql(minhash_ctes: str) -> str:
     SELECT s.tau_permille::BIGINT AS tau_permille,
            coalesce(n_pairs, 0)::BIGINT AS n_pairs,
            coalesce(n_docs_flagged, 0)::BIGINT AS n_docs_flagged,
-           (1000 * coalesce(n_docs_flagged, 0) // n_docs_total)::BIGINT
+           (1000 * coalesce(n_docs_flagged, 0) // nullif(n_docs_total, 0))::BIGINT
                AS flagged_share_permille
     FROM (VALUES {vals}) s(tau_permille)
     LEFT JOIN pair_counts pc ON pc.tau_permille = s.tau_permille

@@ -362,6 +362,12 @@ def sim_search_bruteforce_np_scored(spark: SparkSession, sf_dir: str) -> DataFra
         .select("vec_id", "embedding")
         .collect()
     )
+    if not q_rows:
+        # filter-to-zero robustness (round-9 empty-input axis): an empty
+        # query stripe must yield an empty result, not an np.stack crash
+        return spark.createDataFrame(
+            [], "query_id bigint, vec_id bigint, cos_sim double, rank int"
+        )
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     qm = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in q_rows])
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)

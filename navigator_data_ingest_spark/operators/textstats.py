@@ -958,19 +958,31 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bytes") + F.lit(64)
         + F.floor(F.col("n_bytes") / F.lit(16000)) * F.lit(5)
     )
+    # coalesce(..., true): every() over ZERO rows is NULL, but the
+    # invariants hold vacuously on an empty corpus and the oracle emits
+    # literal true (round-9 empty-input axis)
     return scored.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_bytes").alias("sum_bytes"),
         F.max("n_bytes").alias("max_bytes"),
         F.sum((F.col("n_bytes") == 0).cast("bigint")).alias("n_empty"),
-        F.every(
-            (F.col("n_compressed") >= 8) & (F.col("n_compressed") <= bound_hi)
+        F.coalesce(
+            F.every(
+                (F.col("n_compressed") >= 8)
+                & (F.col("n_compressed") <= bound_hi)
+            ),
+            F.lit(True),
         ).alias("compressed_in_bounds"),
-        F.every(
-            F.col("is_low_entropy")
-            == (F.col("compression_ratio") < F.lit(LOW_ENTROPY_RATIO))
+        F.coalesce(
+            F.every(
+                F.col("is_low_entropy")
+                == (F.col("compression_ratio") < F.lit(LOW_ENTROPY_RATIO))
+            ),
+            F.lit(True),
         ).alias("flag_consistent"),
-        F.every(F.col("compression_ratio") > 0).alias("ratio_positive"),
+        F.coalesce(
+            F.every(F.col("compression_ratio") > 0), F.lit(True)
+        ).alias("ratio_positive"),
     )
 
 

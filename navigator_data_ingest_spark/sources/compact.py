@@ -210,13 +210,17 @@ def sink_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from navigator_data_ingest_spark.functions import exprs as X
 
     out = sink_path("orders_manifest", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
     (
-        load_table(spark, sf_dir, "orders")
+        orders
         .write.mode("overwrite")
         .partitionBy("o_orderpriority")
         .parquet(out)
     )
-    back = spark.read.parquet(out)
+    # explicit (writer-derived) schema: a zero-row table writes no
+    # partition dirs and inference raises UNABLE_TO_INFER_SCHEMA
+    # (round-9 empty-input axis); non-empty reads are unchanged
+    back = spark.read.schema(orders.schema).parquet(out)
     row = (
         "coalesce(cast(o_orderkey as string), '<null>') || ':' ||"
         " coalesce(cast(cast(round(o_totalprice * 100) as bigint) as string),"

@@ -71,8 +71,19 @@ def dpp_busy_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DPP join itself (kept separate so the plan test can build it
     without re-running the layout writes)."""
     fact_dir, dim_dir = _ensure_layout(spark, sf_dir)
-    fact = spark.read.parquet(fact_dir)
-    dim = spark.read.parquet(dim_dir)
+    # explicit schemas: a zero-row events table writes no fact partition
+    # dirs / dim data files, and inference over the bare directories
+    # raises UNABLE_TO_INFER_SCHEMA (round-9 empty-input axis). The fact
+    # schema is DERIVED from the same lazy plan the writer used (ts may
+    # be NTZ or LTZ depending on the testdata generation), never a
+    # hardcoded DDL; building the frame runs no job.
+    fact_schema = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("d", F.col("ts").cast("date"))
+        .schema
+    )
+    fact = spark.read.schema(fact_schema).parquet(fact_dir)
+    dim = spark.read.schema("d date, n bigint").parquet(dim_dir)
     return (
         fact.join(dim.where(F.col("n") > 0), "d")
         .groupBy("d")

@@ -578,13 +578,22 @@ def q_analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows = int(_re.search(r"(\d+) rows", stats_row).group(1))
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # catalog stats surface 'NULL' strings for min/max of an empty (or
+    # all-NULL) column — emit real NULLs, matching the oracle's
+    # min()/max() over the same rows (round-9 empty-input axis)
+    def _fnum(v: str | None) -> float | None:
+        return None if v in (None, "NULL") else float(v)
+
+    def _fdate(v: str | None) -> str | None:
+        return None if v in (None, "NULL") else v[:19]
+
     return spark.range(1).select(
         F.lit(n_rows).cast("bigint").alias("n_rows"),
-        F.round(F.lit(float(price["min"])), 6).alias("price_min"),
-        F.round(F.lit(float(price["max"])), 6).alias("price_max"),
+        F.round(F.lit(_fnum(price["min"])).cast("double"), 6).alias("price_min"),
+        F.round(F.lit(_fnum(price["max"])).cast("double"), 6).alias("price_max"),
         F.lit(int(price["num_nulls"])).cast("bigint").alias("price_nulls"),
-        F.lit(date["min"][:19]).alias("date_min"),
-        F.lit(date["max"][:19]).alias("date_max"),
+        F.lit(_fdate(date["min"])).cast("string").alias("date_min"),
+        F.lit(_fdate(date["max"])).cast("string").alias("date_max"),
         F.lit(int(date["num_nulls"])).cast("bigint").alias("date_nulls"),
     )
 
@@ -594,10 +603,10 @@ def q_analyze_column_stats_sql() -> str:
     SELECT count(*)::BIGINT AS n_rows,
            round(min(o_totalprice), 6) AS price_min,
            round(max(o_totalprice), 6) AS price_max,
-           sum((o_totalprice IS NULL)::INT)::BIGINT AS price_nulls,
+           coalesce(sum((o_totalprice IS NULL)::INT), 0)::BIGINT AS price_nulls,
            cast(min(o_orderdate) as varchar) AS date_min,
            cast(max(o_orderdate) as varchar) AS date_max,
-           sum((o_orderdate IS NULL)::INT)::BIGINT AS date_nulls
+           coalesce(sum((o_orderdate IS NULL)::INT), 0)::BIGINT AS date_nulls
     FROM orders
     """
 
@@ -694,25 +703,62 @@ def src_parquet_footer_grid_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
 
 def src_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-certifiable surface of the footer census (VERDICT r8 #2):
-    the real pyarrow footer pass runs (``src_parquet_footer_grid``),
-    then one bounded per-file reduction emits what a VIEW-only DuckDB
-    oracle can recompute — total rows (footer row-group sums must equal
-    the table's count(*)), leaf-column count (equals the view's column
-    count on these flat tables) — plus layout invariants any healthy
-    footer satisfies (uniform column count across row groups, positive
-    row/byte sizes). A footer misread, dropped row group, or
-    row-accounting bug flips a hashed value; the exact per-row-group
-    grid stays pytest-pinned against pyarrow AND parquet_metadata().
+    a FILE-level footer pass (pyarrow metadata: num_rows, leaf column
+    count — present even for a zero-row-group file, the round-9
+    empty-input axis) joined against the per-row-group grid
+    (``src_parquet_footer_grid``), emitting what a VIEW-only DuckDB
+    oracle can recompute — total rows (== count(*) on the view),
+    leaf-column count (== view width on these flat tables) — plus
+    layout invariants any healthy footer satisfies: the grid's
+    row-group sums RECONCILE with the file-level count, column counts
+    are uniform across row groups, row/byte sizes positive (all
+    vacuously true for an empty file). A footer misread, dropped row
+    group, or row-accounting bug flips a hashed value; the exact grid
+    stays pytest-pinned against pyarrow AND parquet_metadata().
     """
-    grid = src_parquet_footer_grid(spark, sf_dir)
-    return (
-        grid.groupBy("file_name")
+    import pandas as pd
+
+    paths = [os.path.join(sf_dir, f"{t}.parquet") for t in FOOTER_TABLES]
+
+    def file_facts(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                rows.append((os.path.basename(p), md.num_rows, md.num_columns))
+            yield pd.DataFrame(
+                rows, columns=["file_name", "total_rows", "n_cols"]
+            )
+
+    files = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        len(paths)
+    )
+    facts = files.mapInPandas(
+        file_facts, "file_name string, total_rows bigint, n_cols bigint"
+    )
+    grid_agg = (
+        src_parquet_footer_grid(spark, sf_dir)
+        .groupBy("file_name")
         .agg(
-            F.sum("rg_rows").alias("total_rows"),
-            F.max("n_cols").alias("n_cols"),
-            (F.min("n_cols") == F.max("n_cols")).alias("cols_uniform"),
-            F.every(F.col("rg_rows") > 0).alias("rg_rows_positive"),
-            F.every(F.col("compressed_bytes") > 0).alias("bytes_positive"),
+            F.sum("rg_rows").alias("_grid_rows"),
+            (F.min("n_cols") == F.max("n_cols")).alias("_cols_uniform"),
+            F.every(F.col("rg_rows") > 0).alias("_rg_rows_positive"),
+            F.every(F.col("compressed_bytes") > 0).alias("_bytes_positive"),
+        )
+    )
+    return (
+        facts.join(F.broadcast(grid_agg), "file_name", "left")
+        .select(
+            "file_name",
+            "total_rows",
+            "n_cols",
+            (F.coalesce(F.col("_grid_rows"), F.lit(0)) == F.col("total_rows"))
+            .alias("rows_reconcile"),
+            F.coalesce("_cols_uniform", F.lit(True)).alias("cols_uniform"),
+            F.coalesce("_rg_rows_positive", F.lit(True)).alias("rg_rows_positive"),
+            F.coalesce("_bytes_positive", F.lit(True)).alias("bytes_positive"),
         )
         .orderBy("file_name")
     )
@@ -726,6 +772,7 @@ def src_parquet_footer_stats_sql() -> str:
         f"""SELECT '{t}.parquet' AS file_name,
                count(*)::BIGINT AS total_rows,
                (SELECT count(*) FROM (DESCRIBE {t}))::BIGINT AS n_cols,
+               true AS rows_reconcile,
                true AS cols_uniform,
                true AS rg_rows_positive,
                true AS bytes_positive

@@ -35,10 +35,20 @@ def write_partitioned(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+DOCS_PART_SCHEMA = "doc_id bigint, text string, source string, n_chars bigint, lang string"
+
+
 def pruned_read(spark: SparkSession, path: str, lang: str) -> DataFrame:
-    """Per-source stats over ONE lang partition (pruned scan, no write)."""
+    """Per-source stats over ONE lang partition (pruned scan, no write).
+
+    Explicit schema on the read-back: a zero-row upstream (filter-to-
+    zero, empty backfill window) writes NO data files, and schema
+    inference over the bare directory raises UNABLE_TO_INFER_SCHEMA —
+    the round-9 empty-input-axis class. The declared schema is what the
+    writer contractually produces, so non-empty reads are unchanged.
+    """
     return (
-        spark.read.parquet(path)
+        spark.read.schema(DOCS_PART_SCHEMA).parquet(path)
         .filter(F.col("lang") == lang)
         .groupBy("source")
         .agg(
@@ -107,8 +117,12 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     assert os.path.isdir(out)
+    # explicit schema: empty-input robustness (see pruned_read)
     return (
-        spark.read.parquet(out)
+        spark.read.schema(
+            "doc_id bigint, source string, n_chars bigint, lang string"
+        )
+        .parquet(out)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )

@@ -401,7 +401,15 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.write.format("audit_sink").mode("append").option("path", out).save()
     with open(os.path.join(out, "_MANIFEST.json")) as fh:
         man = json.load(fh)
-    parts = spark.read.json(man["files"])
+    # explicit schema + empty-manifest guard: with a zero-row source the
+    # committed parts are empty JSON files (inference finds no columns
+    # and the agg below would fail UNRESOLVED_COLUMN — round-9
+    # empty-input axis); non-empty reads are unchanged
+    rb_schema = "doc_id bigint, n_chars bigint"
+    if man["files"]:
+        parts = spark.read.schema(rb_schema).json(man["files"])
+    else:
+        parts = spark.createDataFrame([], rb_schema)
     readback = parts.agg(
         F.count(F.lit(1)).alias("rb_rows"),
         F.sum("n_chars").alias("rb_chars"),

@@ -81,9 +81,13 @@ def sink_parser_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     from navigator_data_ingest_spark.sources.json_cache import PARSER_INPUT_FIELDS
 
     out = sink_path("parser_parquet", sf_dir)
-    write_parser_input(ingest_parser_input(spark, sf_dir), out, fmt="parquet")
+    src = ingest_parser_input(spark, sf_dir)
+    write_parser_input(src, out, fmt="parquet")
+    # explicit schema (the writer's own): a zero-row upstream writes no
+    # data files and inference raises UNABLE_TO_INFER_SCHEMA (round-9
+    # empty-input axis); non-empty reads are unchanged
     return (
-        spark.read.parquet(out)
+        spark.read.schema(src.schema).parquet(out)
         .select(*PARSER_INPUT_FIELDS)
         .orderBy("document_id")
     )

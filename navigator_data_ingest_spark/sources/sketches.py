@@ -117,9 +117,14 @@ def sink_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scope",
             "n_exact",
             tol.alias("est_within_tol"),
+            # coalesce: with ZERO scopes (empty events) there is no
+            # per-part maximum — monotonicity holds vacuously (round-9
+            # empty-input axis)
             F.when(
                 F.col("scope") == "ALL",
-                F.col("n_est") >= F.col("_max_part_est"),
+                F.coalesce(
+                    F.col("n_est") >= F.col("_max_part_est"), F.lit(True)
+                ),
             )
             .otherwise(F.lit(True))
             .alias("union_monotone"),

@@ -438,6 +438,26 @@ def _scatter_time_ordered_feed(spark: SparkSession, sf_dir: str, n_files: int) -
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(fin, ignore_errors=True)
     os.makedirs(fin)
+    if n == 0:
+        # filter-to-zero robustness (round-9 empty-input axis): a
+        # dynamic-partition write of zero rows creates NO chunk dirs, so
+        # stamp schema-only chunk files directly from the source footer —
+        # the stream then runs its micro-batches over empty files instead
+        # of crashing the feed builder
+        import pyarrow.parquet as pq
+
+        empty = pq.read_table(src)
+        for i in range(n_files):
+            path = os.path.join(fin, f"chunk{i}.parquet")
+            pq.write_table(empty, path)
+            os.utime(path, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+        if os.path.isdir(d) and len(os.listdir(d)) != n_files:
+            shutil.rmtree(d, ignore_errors=True)
+        try:
+            os.rename(fin, d)  # atomic publish (same protocol as below)
+        except OSError:
+            shutil.rmtree(fin, ignore_errors=True)
+        return d
     (
         ranged.withColumn("_chunk", chunk)
         # range-partition on _chunk co-locates each chunk in ONE task ⇒
