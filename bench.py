@@ -98,6 +98,10 @@ HEADLINE = [
     "emb_cka_similarity",
     "split_dedup_aware",
     "stats_permutation_test",
+    # round-9 widening: persisted mergeable-sketch distinct layer,
+    # recursive-CTE month spine
+    "sink_hll_sketch_union",
+    "q_sql_recursive_cte",
 ]
 
 
