@@ -467,14 +467,34 @@ def _scatter_time_ordered_feed(spark: SparkSession, sf_dir: str, n_files: int) -
         .write.partitionBy("_chunk")
         .parquet(tmp)
     )
+    # a chunk with ZERO rows (n < n_files — round-9 degenerate-input
+    # axis) gets no dynamic-partition directory: stamp those chunks as
+    # schema-only files cloned from a populated chunk's part schema, so
+    # the feed keeps exactly n_files micro-batches at any row count
+    missing = []
+    donor = None
     for i in range(n_files):
         cdir = os.path.join(tmp, f"_chunk={i}")
+        if not os.path.isdir(cdir):
+            missing.append(i)
+            continue
         parts = [f for f in os.listdir(cdir) if f.endswith(".parquet")]
         if len(parts) != 1:
             raise RuntimeError(f"chunk {i}: expected 1 file, got {parts}")
         path = os.path.join(fin, f"chunk{i}.parquet")
         shutil.move(os.path.join(cdir, parts[0]), path)
         os.utime(path, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+        donor = path
+    if missing:
+        import pyarrow.parquet as pq
+
+        if donor is None:  # unreachable: n == 0 took the branch above
+            raise RuntimeError("no populated chunk to clone a schema from")
+        sch = pq.read_schema(donor)
+        for i in missing:
+            path = os.path.join(fin, f"chunk{i}.parquet")
+            pq.write_table(sch.empty_table(), path)
+            os.utime(path, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
     shutil.rmtree(tmp, ignore_errors=True)
     if os.path.isdir(d) and len(os.listdir(d)) != n_files:
         shutil.rmtree(d, ignore_errors=True)  # pre-protocol partial leftover
