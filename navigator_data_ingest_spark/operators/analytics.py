@@ -2022,9 +2022,12 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "tot_ref",
             "tot_cur",
+            # nullif: a 1-row corpus puts every event in ONE half, the
+            # other side's total is 0 — the KS distance is undefined,
+            # delta emits NULL instead of an ANSI crash (round-9 probe)
             F.abs(
-                F.expr("cum_ref * 1000 div tot_ref")
-                - F.expr("cum_cur * 1000 div tot_cur")
+                F.expr("cum_ref * 1000 div nullif(tot_ref, 0)")
+                - F.expr("cum_cur * 1000 div nullif(tot_cur, 0)")
             ).alias("delta"),
         )
         .groupBy("event_type")
@@ -2280,18 +2283,25 @@ def stats_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CASE WHEN grp = 1 THEN 1 ELSE 0 END")).alias("n_b"),
         F.sum(F.expr("CASE WHEN grp = 1 THEN converted ELSE 0 END")).alias("conv_b"),
     )
-    pool = "((conv_a + conv_b) / cast(n_a + n_b as double))"
+    # nullif guards (round-9 degenerate-input probe): with 0 or 1 users
+    # one arm is EMPTY and every n_a/n_b denominator is zero — the test
+    # is undefined there, so the rates and z emit NULL instead of an
+    # ANSI DIVIDE_BY_ZERO crash; values unchanged whenever both arms
+    # have members
+    pool = "((conv_a + conv_b) / cast(nullif(n_a + n_b, 0) as double))"
     z = (
-        f"round((conv_a / cast(n_a as double) - conv_b / cast(n_b as double))"
-        f" / sqrt({pool} * (1.0 - {pool}) * (1.0 / n_a + 1.0 / n_b)), 6)"
+        f"round((conv_a / cast(nullif(n_a, 0) as double)"
+        f" - conv_b / cast(nullif(n_b, 0) as double))"
+        f" / sqrt({pool} * (1.0 - {pool})"
+        f" * (1.0 / nullif(n_a, 0) + 1.0 / nullif(n_b, 0))), 6)"
     )
     return agg.selectExpr(
         "n_a",
         "conv_a",
         "n_b",
         "conv_b",
-        "conv_a * 1000 div n_a AS conv_a_permille",
-        "conv_b * 1000 div n_b AS conv_b_permille",
+        "conv_a * 1000 div nullif(n_a, 0) AS conv_a_permille",
+        "conv_b * 1000 div nullif(n_b, 0) AS conv_b_permille",
         f"{z} AS z_score",
     )
 
@@ -8346,6 +8356,11 @@ def stats_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # odds_ratio = ad/bc is a PURE integer rational — integer-exact
     # HALF_UP (rendered-SQL lint, round 7); the ln/exp/sqrt columns are
     # IRRATIONAL-protected and keep plain round.
+    # all-cells-positive guard (round-9 degenerate-input probe): the
+    # log-odds CI is undefined with any empty 2x2 cell (classic rule) —
+    # emit NULL there instead of an ANSI DIVIDE_BY_ZERO / ln(0) crash;
+    # values unchanged whenever all four cells are populated
+    pos = "(a > 0 AND b > 0 AND c > 0 AND d > 0)"
     orr = "((a * cast(d as double)) / (b * cast(c as double)))"
     se = "sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)"
     orp = "(cast(a as decimal(38,0)) * d)"
@@ -8356,14 +8371,17 @@ def stats_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c AS control_returned",
         "d AS control_kept",
         f"{sp_rat6(orp, orq)} AS odds_ratio",
-        f"round(ln({orr}), 6) AS ln_or",
-        f"round({se}, 6) AS se_ln_or",
-        f"round(exp(ln({orr}) - 1.959964 * {se}), 6) AS ci_low",
-        f"round(exp(ln({orr}) + 1.959964 * {se}), 6) AS ci_high",
+        f"CASE WHEN {pos} THEN round(ln({orr}), 6) END AS ln_or",
+        f"CASE WHEN {pos} THEN round({se}, 6) END AS se_ln_or",
+        f"CASE WHEN {pos} THEN"
+        f" round(exp(ln({orr}) - 1.959964 * {se}), 6) END AS ci_low",
+        f"CASE WHEN {pos} THEN"
+        f" round(exp(ln({orr}) + 1.959964 * {se}), 6) END AS ci_high",
     )
 
 
 def stats_odds_ratio_sql() -> str:
+    pos = "(a > 0 AND b > 0 AND c > 0 AND d > 0)"
     orr = "((a * d::DOUBLE) / (b * c::DOUBLE))"
     se = "sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)"
     orp = "(a::HUGEINT * d)"
@@ -8387,10 +8405,12 @@ def stats_odds_ratio_sql() -> str:
     SELECT a AS exposed_returned, b AS exposed_kept,
            c AS control_returned, d AS control_kept,
            {dk_rat6(orp, orq)} AS odds_ratio,
-           round(ln({orr}), 6) AS ln_or,
-           round({se}, 6) AS se_ln_or,
-           round(exp(ln({orr}) - 1.959964 * {se}), 6) AS ci_low,
-           round(exp(ln({orr}) + 1.959964 * {se}), 6) AS ci_high
+           CASE WHEN {pos} THEN round(ln({orr}), 6) END AS ln_or,
+           CASE WHEN {pos} THEN round({se}, 6) END AS se_ln_or,
+           CASE WHEN {pos} THEN
+               round(exp(ln({orr}) - 1.959964 * {se}), 6) END AS ci_low,
+           CASE WHEN {pos} THEN
+               round(exp(ln({orr}) + 1.959964 * {se}), 6) END AS ci_high
     FROM cells
     """
 
@@ -9399,6 +9419,11 @@ def stats_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.datediff(F.max("day"), cut) + 1).cast("bigint").alias("t2"),
         )
     )
+    # degenerate-window guard (round-9 probe): with a 1-day corpus one
+    # exposure window is empty/zero-length — the rate test is undefined,
+    # so z emits NULL instead of an ANSI DIVIDE_BY_ZERO / ln-domain
+    # crash; values unchanged on any two-sided window
+    pos = "(a > 0 AND b > 0 AND t1 > 0 AND t2 > 0)"
     r1 = "(cast(a as double) / t1)"
     r2 = "(cast(b as double) / t2)"
     return (
@@ -9410,7 +9435,8 @@ def stats_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t1 AS days_pre",
             "t2 AS days_post",
             f"{sp_rat6('cast(b as decimal(38,0)) * t1', 'cast(a as decimal(38,0)) * t2')} AS rate_ratio",
-            f"round(ln({r2} / {r1}) / sqrt(1.0 / a + 1.0 / b), 6) AS z",
+            f"CASE WHEN {pos} THEN"
+            f" round(ln({r2} / {r1}) / sqrt(1.0 / a + 1.0 / b), 6) END AS z",
         )
         .orderBy("event_type")
     )
@@ -9435,7 +9461,8 @@ def stats_poisson_rate_test_sql() -> str:
     SELECT event_type, a AS n_pre, b AS n_post,
            t1 AS days_pre, t2 AS days_post,
            {dk_rat6('b::HUGEINT * t1', 'a::HUGEINT * t2')} AS rate_ratio,
-           round(ln({r2} / {r1}) / sqrt(1.0 / a + 1.0 / b), 6) AS z
+           CASE WHEN a > 0 AND b > 0 AND t1 > 0 AND t2 > 0 THEN
+               round(ln({r2} / {r1}) / sqrt(1.0 / a + 1.0 / b), 6) END AS z
     FROM g CROSS JOIN exposure
     ORDER BY event_type
     """
@@ -12037,6 +12064,14 @@ def stats_cpk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_in_spec"),
     )
+    # capability indices are undefined for n < 2 or a zero-variance
+    # group (round-9 degenerate-input probe): emit NULL there instead of
+    # an ANSI DIVIDE_BY_ZERO crash; the variance-positive guard is the
+    # EXACT integer discriminant n·Σt² − (Σt)² (never a float compare)
+    pos = (
+        "(n >= 2 AND cast(n as decimal(38,0)) * stt"
+        " - cast(st as decimal(38,0)) * st > 0)"
+    )
     mean = "(cast(st as double) / n)"
     sd = "sqrt((n * cast(stt as double) - cast(st as double) * st) / (n * (n - 1.0)))"
     cp = f"(({CPK_SPEC_HI} - {CPK_SPEC_LO}.0) / (6.0 * {sd}))"
@@ -12049,9 +12084,9 @@ def stats_cpk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority AS priority",
             "n AS n_lines",
             f"{sp_rat6('st', 'n')} AS mean_lag",
-            f"round({sd}, 6) AS sd_lag",
-            f"round({cp}, 6) AS cp",
-            f"round({cpk}, 6) AS cpk",
+            f"CASE WHEN {pos} THEN round({sd}, 6) END AS sd_lag",
+            f"CASE WHEN {pos} THEN round({cp}, 6) END AS cp",
+            f"CASE WHEN {pos} THEN round({cpk}, 6) END AS cpk",
             f"{sp_rat6('n_in_spec', 'n')} AS yield_in_spec",
         )
         .orderBy("priority")
@@ -12083,9 +12118,12 @@ def stats_cpk_sql() -> str:
     )
     SELECT o_orderpriority AS priority, n AS n_lines,
            {dk_rat6('st', 'n')} AS mean_lag,
-           round({sd}, 6) AS sd_lag,
-           round({cp}, 6) AS cp,
-           round({cpk}, 6) AS cpk,
+           CASE WHEN n >= 2 AND n::HUGEINT * stt - st::HUGEINT * st > 0
+                THEN round({sd}, 6) END AS sd_lag,
+           CASE WHEN n >= 2 AND n::HUGEINT * stt - st::HUGEINT * st > 0
+                THEN round({cp}, 6) END AS cp,
+           CASE WHEN n >= 2 AND n::HUGEINT * stt - st::HUGEINT * st > 0
+                THEN round({cpk}, 6) END AS cpk,
            {dk_rat6('n_in_spec', 'n')} AS yield_in_spec
     FROM m ORDER BY priority
     """

@@ -3280,8 +3280,8 @@ register(
         FROM g
     )
     SELECT event_type,
-           max(abs(cum_ref * 1000 // tot_ref
-                   - cum_cur * 1000 // tot_cur))::bigint AS ks_permille,
+           max(abs(cum_ref * 1000 // nullif(tot_ref, 0)
+                   - cum_cur * 1000 // nullif(tot_cur, 0)))::bigint AS ks_permille,
            max(tot_ref)::bigint AS n_ref,
            max(tot_cur)::bigint AS n_cur
     FROM cdf GROUP BY event_type ORDER BY event_type
@@ -3752,7 +3752,7 @@ register(
     front=True,
 )
 
-_AB_POOL = "((conv_a + conv_b) / (n_a + n_b)::double)"
+_AB_POOL = "((conv_a + conv_b) / nullif(n_a + n_b, 0)::double)"
 
 register(
     "stats_ab_test",
@@ -3777,11 +3777,13 @@ register(
         FROM g
     )
     SELECT n_a, conv_a, n_b, conv_b,
-           (conv_a * 1000 // n_a)::bigint AS conv_a_permille,
-           (conv_b * 1000 // n_b)::bigint AS conv_b_permille,
-           round((conv_a / n_a::double - conv_b / n_b::double)
+           (conv_a * 1000 // nullif(n_a, 0))::bigint AS conv_a_permille,
+           (conv_b * 1000 // nullif(n_b, 0))::bigint AS conv_b_permille,
+           round((conv_a / nullif(n_a, 0)::double
+                  - conv_b / nullif(n_b, 0)::double)
                  / sqrt({_AB_POOL} * (1.0 - {_AB_POOL})
-                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+                        * (1.0 / nullif(n_a, 0) + 1.0 / nullif(n_b, 0))),
+                 6) AS z_score
     FROM a
     """,
     front=True,
