@@ -10842,23 +10842,38 @@ def stats_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d").alias("sd_"),
         F.sum(F.expr("d * d")).alias("sdd"),
     )
+    # limits of agreement are undefined for n < 2 or zero variance
+    # (round-9 degenerate-input probe): sd/LoA/outside emit NULL instead
+    # of an ANSI DIVIDE_BY_ZERO crash; the variance-positive guard is
+    # the EXACT integer discriminant (sdd is an exact bigint here)
+    pos = (
+        "(n >= 2 AND cast(n as decimal(38,0)) * sdd"
+        " - cast(sd_ as decimal(38,0)) * sd_ > 0)"
+    )
     mean = "(cast(sd_ as double) / n)"
     sd = f"sqrt((n * cast(sdd as double) - cast(sd_ as double) * sd_) / (n * (n - 1.0)))"
     j = d.crossJoin(F.broadcast(m)).selectExpr(
         "n",
         "sd_",
         "sdd",
-        f"(cast(d as double) < {mean} - 1.96 * {sd}"
-        f" OR cast(d as double) > {mean} + 1.96 * {sd}) AS outside",
+        f"CASE WHEN {pos} THEN"
+        f" (cast(d as double) < {mean} - 1.96 * {sd}"
+        f" OR cast(d as double) > {mean} + 1.96 * {sd}) END AS outside",
     )
     return (
         j.groupBy()
         .agg(
             F.max("n").alias("n_orders"),
             F.max(F.expr(sp_rat6("sd_", "n"))).alias("mean_diff_cents"),
-            F.max(F.expr(f"round({sd}, 6)")).alias("sd_diff_cents"),
-            F.max(F.expr(f"round({mean} - 1.96 * {sd}, 6)")).alias("loa_low"),
-            F.max(F.expr(f"round({mean} + 1.96 * {sd}, 6)")).alias("loa_high"),
+            F.max(F.expr(f"CASE WHEN {pos} THEN round({sd}, 6) END")).alias(
+                "sd_diff_cents"
+            ),
+            F.max(
+                F.expr(f"CASE WHEN {pos} THEN round({mean} - 1.96 * {sd}, 6) END")
+            ).alias("loa_low"),
+            F.max(
+                F.expr(f"CASE WHEN {pos} THEN round({mean} + 1.96 * {sd}, 6) END")
+            ).alias("loa_high"),
             F.sum(F.col("outside").cast("bigint")).alias("n_outside"),
         )
         .selectExpr(
@@ -10874,6 +10889,7 @@ def stats_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stats_bland_altman_sql() -> str:
+    pos = "(n >= 2 AND n::HUGEINT * sdd - sd_::HUGEINT * sd_ > 0)"
     mean = "(sd_::DOUBLE / n)"
     sd = "sqrt((n * sdd::DOUBLE - sd_::DOUBLE * sd_) / (n * (n - 1.0)))"
     return f"""
@@ -10894,8 +10910,9 @@ def stats_bland_altman_sql() -> str:
         FROM d
     ), j AS (
         SELECT n, sd_, sdd,
-               (d::DOUBLE < {mean} - 1.96 * {sd}
-                OR d::DOUBLE > {mean} + 1.96 * {sd}) AS outside
+               CASE WHEN {pos} THEN
+                   (d::DOUBLE < {mean} - 1.96 * {sd}
+                    OR d::DOUBLE > {mean} + 1.96 * {sd}) END AS outside
         FROM d CROSS JOIN m
     )
     SELECT n_orders,
@@ -10905,9 +10922,11 @@ def stats_bland_altman_sql() -> str:
     FROM (
         SELECT max(n)::BIGINT AS n_orders,
                max(sd_)::BIGINT AS sd2,
-               max(round({sd}, 6)) AS sd_diff_cents,
-               max(round({mean} - 1.96 * {sd}, 6)) AS loa_low,
-               max(round({mean} + 1.96 * {sd}, 6)) AS loa_high,
+               max(CASE WHEN {pos} THEN round({sd}, 6) END) AS sd_diff_cents,
+               max(CASE WHEN {pos} THEN
+                   round({mean} - 1.96 * {sd}, 6) END) AS loa_low,
+               max(CASE WHEN {pos} THEN
+                   round({mean} + 1.96 * {sd}, 6) END) AS loa_high,
                sum(outside::INT)::BIGINT AS n_outside
         FROM j
     )
@@ -11043,13 +11062,20 @@ def stats_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("cast(y as double) * cast(y as double)")).alias("syy"),
         )
     )
+    # Grubbs is undefined for n < 2 or zero variance (round-9
+    # degenerate-input probe): z emits NULL there instead of an ANSI
+    # DIVIDE_BY_ZERO crash. The variance check reuses the identical
+    # IEEE expression both engines already share, so the branch taken
+    # is bit-identical cross-engine; values unchanged on real series.
     mean = "(cast(sy as double) / n)"
-    sd = "sqrt((n * syy - cast(sy as double) * sy) / (n * (n - 1.0)))"
+    var_num = "(n * syy - cast(sy as double) * sy)"
+    sd = f"sqrt({var_num} / (n * (n - 1.0)))"
     scored = d.crossJoin(m).selectExpr(
         "day",
         "n",
         f"cast(round(abs(cast(y as double) - {mean}) * 1e6) as bigint) AS dev6",
-        f"((cast(y as double) - {mean}) / {sd}) AS z",
+        f"CASE WHEN n >= 2 AND {var_num} > 0 THEN"
+        f" ((cast(y as double) - {mean}) / {sd}) END AS z",
     )
     best = F.broadcast(scored.agg(F.max("dev6").alias("bdev")))
     return (
@@ -11067,7 +11093,8 @@ def stats_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stats_grubbs_sql() -> str:
     mean = "(sy::DOUBLE / n)"
-    sd = "sqrt((n * syy - sy::DOUBLE * sy) / (n * (n - 1.0)))"
+    var_num = "(n * syy - sy::DOUBLE * sy)"
+    sd = f"sqrt({var_num} / (n * (n - 1.0)))"
     return f"""
     WITH d AS (
         SELECT o_orderdate::DATE AS day,
@@ -11080,7 +11107,8 @@ def stats_grubbs_sql() -> str:
     ), scored AS (
         SELECT day, n,
                round(abs(y::DOUBLE - {mean}) * 1e6)::BIGINT AS dev6,
-               ((y::DOUBLE - {mean}) / {sd}) AS z
+               CASE WHEN n >= 2 AND {var_num} > 0 THEN
+                   ((y::DOUBLE - {mean}) / {sd}) END AS z
         FROM d CROSS JOIN m
     ), best AS (
         SELECT max(dev6) AS bdev FROM scored
@@ -12344,7 +12372,9 @@ def stats_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_cents",
         "xk AS kth_cents",
         "round(s, 6) AS sum_log_excess",
-        "round(k / s, 4) AS hill_alpha",
+        # s = 0 when every top-k value ties the k-th (degenerate tail,
+        # round-9 probe): alpha is undefined, emit NULL not a crash
+        "CASE WHEN s > 0 THEN round(k / s, 4) END AS hill_alpha",
     )
 
 
@@ -12361,7 +12391,9 @@ def stats_hill_tail_sql() -> str:
            max(cents)::BIGINT AS max_cents,
            max(xk)::BIGINT AS kth_cents,
            round(sum(ln(cents::DOUBLE / xk)), 6) AS sum_log_excess,
-           round(count(*) / sum(ln(cents::DOUBLE / xk)), 4) AS hill_alpha
+           CASE WHEN sum(ln(cents::DOUBLE / xk)) > 0 THEN
+               round(count(*) / sum(ln(cents::DOUBLE / xk)), 4)
+           END AS hill_alpha
     FROM top CROSS JOIN kth
     """
 

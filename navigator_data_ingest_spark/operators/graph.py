@@ -736,17 +736,24 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("dx * dx")).alias("sxx"),
         F.sum(F.expr("dy * dy")).alias("syy"),
     )
+    # degree-assortativity is undefined when either endpoint degree
+    # sequence has zero variance (a single-edge / star-degenerate graph
+    # — round-9 probe): emit NULL, not an ANSI DIVIDE_BY_ZERO crash.
+    # The guard reuses the sqrt operands (exact integers), so both
+    # engines take the same branch.
+    pos = "(m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0)"
     r = (
         "(m * sxy - sx * sy) / (sqrt(m * sxx - sx * sx) "
         "* sqrt(m * syy - sy * sy))"
     )
     return agg.selectExpr(
         "m AS n_directed_edges",
-        f"round({r}, 6) AS assortativity",
+        f"CASE WHEN {pos} THEN round({r}, 6) END AS assortativity",
     )
 
 
 def graph_assortativity_sql() -> str:
+    pos = "(m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0)"
     r = (
         "(m * sxy - sx * sy) / (sqrt(m * sxx - sx * sx) "
         "* sqrt(m * syy - sy * sy))"
@@ -769,7 +776,8 @@ def graph_assortativity_sql() -> str:
                sum(dx * dx)::BIGINT AS sxx, sum(dy * dy)::BIGINT AS syy
         FROM j
     )
-    SELECT m AS n_directed_edges, round({r}, 6) AS assortativity
+    SELECT m AS n_directed_edges,
+           CASE WHEN {pos} THEN round({r}, 6) END AS assortativity
     FROM agg
     """
 
