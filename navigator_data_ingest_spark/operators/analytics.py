@@ -12586,9 +12586,12 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_normal",
             "ks_at_cents",
             f"{sp_rat6('bx', 'cast(n_urgent as decimal(38,0)) * n_normal')} AS ks_d",
-            "round(cast(bx as double) / (cast(n_urgent as double) * n_normal)"
+            # two-sample KS is undefined with an empty arm (round-9
+            # degenerate-input probe): NULL, not an ANSI crash
+            "CASE WHEN n_urgent > 0 AND n_normal > 0 THEN"
+            " round(cast(bx as double) / (cast(n_urgent as double) * n_normal)"
             " * sqrt(cast(n_urgent as double) * n_normal / (n_urgent + n_normal)), 4)"
-            " AS ks_stat",
+            " END AS ks_stat",
         )
     )
 
@@ -12620,9 +12623,11 @@ def stats_ks_two_sample_sql() -> str:
     SELECT max(n1)::BIGINT AS n_urgent, max(n2)::BIGINT AS n_normal,
            min(v)::BIGINT AS ks_at_cents,
            {dk_rat6('max(x.x)', 'max(n1)::HUGEINT * max(n2)')} AS ks_d,
-           round(max(x.x)::DOUBLE / (max(n1)::DOUBLE * max(n2))
-                 * sqrt(max(n1)::DOUBLE * max(n2) / (max(n1) + max(n2))), 4)
-               AS ks_stat
+           CASE WHEN max(n1) > 0 AND max(n2) > 0 THEN
+               round(max(x.x)::DOUBLE / (max(n1)::DOUBLE * max(n2))
+                     * sqrt(max(n1)::DOUBLE * max(n2)
+                            / (max(n1) + max(n2))), 4)
+           END AS ks_stat
     FROM x CROSS JOIN best
     WHERE x.x = bx
     """
