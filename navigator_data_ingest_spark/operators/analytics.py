@@ -4758,10 +4758,14 @@ def stats_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("ry") * F.col("ry")).alias("syy"),
         F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
     )
+    # rank correlation is undefined when a rank sequence has zero
+    # variance (n <= 1 — round-9 probe): NULL, not an ANSI crash; the
+    # guard reuses the sqrt operands (identical expressions cross-engine)
     return agg.selectExpr(
         "n AS n_days",
-        "round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) "
-        "* (n * syy - sy * sy)), 6) AS rho_spearman",
+        "CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN"
+        " round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) "
+        "* (n * syy - sy * sy)), 6) END AS rho_spearman",
     )
 
 
@@ -4787,8 +4791,10 @@ def stats_spearman_daily_sql() -> str:
         FROM r
     )
     SELECT n AS n_days,
-           round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx)
-                 * (n * syy - sy * sy)), 6) AS rho_spearman
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+               round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx)
+                     * (n * syy - sy * sy)), 6)
+           END AS rho_spearman
     FROM agg
     """
 
@@ -5796,12 +5802,15 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounds at 2 dp (it is read against chi-square criticals like
     # 5.99; 6 dp precision on the amplified statistic is meaningless)
     jb = f"(n / 6.0 * ({skew} * {skew} + {kurt} * {kurt} / 4.0))"
+    # c2 = 0 (zero-variance / single-value group, round-9 probe) leaves
+    # skewness/kurtosis undefined: NULL, not an ANSI crash; c2 is the
+    # identical summed expression on both engines, so the branch agrees
     return g.selectExpr(
         "event_type",
         "n",
-        f"round({skew}, 6) AS skewness",
-        f"round({kurt}, 6) AS excess_kurtosis",
-        f"round({jb}, 2) AS jb_stat",
+        f"CASE WHEN c2 > 0 THEN round({skew}, 6) END AS skewness",
+        f"CASE WHEN c2 > 0 THEN round({kurt}, 6) END AS excess_kurtosis",
+        f"CASE WHEN c2 > 0 THEN round({jb}, 2) END AS jb_stat",
     ).orderBy("event_type")
 
 
@@ -5824,9 +5833,9 @@ def stats_jarque_bera_sql() -> str:
         FROM c GROUP BY 1
     )
     SELECT event_type, n::BIGINT AS n,
-           round({skew}, 6) AS skewness,
-           round({kurt}, 6) AS excess_kurtosis,
-           round({jb}, 2) AS jb_stat
+           CASE WHEN c2 > 0 THEN round({skew}, 6) END AS skewness,
+           CASE WHEN c2 > 0 THEN round({kurt}, 6) END AS excess_kurtosis,
+           CASE WHEN c2 > 0 THEN round({jb}, 2) END AS jb_stat
     FROM g ORDER BY event_type
     """
 
