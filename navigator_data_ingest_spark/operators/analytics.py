@@ -7135,13 +7135,21 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     phi2t = f"greatest(0.0, {phi2} - (r - 1.0) * (c - 1.0) / (n - 1.0))"
     rt_ = "(r - (r - 1.0) * (r - 1.0) / (n - 1.0))"
     ct_ = "(c - (c - 1.0) * (c - 1.0) / (n - 1.0))"
+    # V needs a real 2x2+ table and n >= 2 (round-9 degenerate-input
+    # probe); the bias-corrected form additionally needs its shrunken
+    # dimension terms to stay positive — NULL otherwise, not an ANSI
+    # DIVIDE_BY_ZERO / sqrt-domain crash (identical guards both engines)
+    vpos = "(n >= 2 AND r >= 2 AND c >= 2)"
+    cpos = f"({vpos} AND least({rt_} - 1.0, {ct_} - 1.0) > 0)"
     return chi2.selectExpr(
         "cast(n as bigint) AS n_obs",
         "cast(r as bigint) AS n_priorities",
         "cast(c as bigint) AS n_statuses",
         "round(chi2, 6) AS chi2",
-        f"round(sqrt({phi2} / least(r - 1.0, c - 1.0)), 6) AS cramers_v",
-        f"round(sqrt({phi2t} / least({rt_} - 1.0, {ct_} - 1.0)), 6)"
+        f"CASE WHEN {vpos} THEN"
+        f" round(sqrt({phi2} / least(r - 1.0, c - 1.0)), 6) END AS cramers_v",
+        f"CASE WHEN {cpos} THEN"
+        f" round(sqrt({phi2t} / least({rt_} - 1.0, {ct_} - 1.0)), 6) END"
         " AS cramers_v_corrected",
     )
 
@@ -7181,9 +7189,13 @@ def stats_cramers_v_sql() -> str:
     )
     SELECT n AS n_obs, r AS n_priorities, c AS n_statuses,
            round(chi2, 6) AS chi2,
-           round(sqrt({phi2} / least(r - 1.0, c - 1.0)), 6) AS cramers_v,
-           round(sqrt({phi2t} / least({rt_} - 1.0, {ct_} - 1.0)), 6)
-               AS cramers_v_corrected
+           CASE WHEN n >= 2 AND r >= 2 AND c >= 2 THEN
+               round(sqrt({phi2} / least(r - 1.0, c - 1.0)), 6)
+           END AS cramers_v,
+           CASE WHEN n >= 2 AND r >= 2 AND c >= 2
+                    AND least({rt_} - 1.0, {ct_} - 1.0) > 0 THEN
+               round(sqrt({phi2t} / least({rt_} - 1.0, {ct_} - 1.0)), 6)
+           END AS cramers_v_corrected
     FROM x
     """
 
