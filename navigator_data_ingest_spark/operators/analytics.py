@@ -16159,14 +16159,18 @@ def stats_mcc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d AS tn",
         f"{sp_rat6('(a + d)', '(a + b + c + d)')} AS accuracy",
         f"{sp_rat6(f'{num} * {num}', den)} AS mcc_squared",
-        f"{mcc_raw} AS mcc",
+        # MCC is undefined when any marginal is empty (den = 0 — the
+        # exact integer product; round-9 degenerate-input probe): NULL,
+        # not an ANSI DIVIDE_BY_ZERO crash (sp_rat already nullif-guards
+        # mcc_squared; this mirrors it on the raw float)
+        f"CASE WHEN {den} > 0 THEN {mcc_raw} END AS mcc",
     )
 
 
 def stats_mcc_langid_sql(langid_oracle: str) -> str:
     num = "(CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)"
     den = "(CAST(a + b AS HUGEINT) * (a + c) * (d + b) * (d + c))"
-    mcc_raw = f"(({num})::DOUBLE / sqrt(({den})::DOUBLE))"
+    mcc_raw = f"(CASE WHEN {den} > 0 THEN ({num})::DOUBLE / sqrt(({den})::DOUBLE) END)"
     return f"""
     WITH lid AS (
         {langid_oracle}
