@@ -5350,15 +5350,25 @@ def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     z2 = f"(({delta} - {diff}) / {se})"
     p1 = _normal_upper_tail(z1)
     p2 = _normal_upper_tail(z2)
+    # TOST is undefined with an empty/singleton arm or zero pooled
+    # variance (round-9 degenerate-input probe): NULL, not an ANSI
+    # crash. The se > 0 check nests INSIDE the n-guard so the variance
+    # expression (which divides by n-1) is never evaluated on a
+    # degenerate arm; identical structure on both engines.
+    narm = "(na >= 2 AND nb >= 2)"
     return agg.selectExpr(
         "na AS n_a",
         "nb AS n_b",
-        f"round({diff}, 6) AS mean_diff",
-        f"round({delta}, 6) AS margin",
-        f"round({z1}, 6) AS z_lower",
-        f"round({z2}, 6) AS z_upper",
-        f"round(greatest({p1}, {p2}), 6) AS p_tost",
-        f"round(greatest({p1}, {p2}), 6) < 0.05 AS equivalent",
+        f"CASE WHEN na > 0 AND nb > 0 THEN round({diff}, 6) END AS mean_diff",
+        f"CASE WHEN na + nb > 0 THEN round({delta}, 6) END AS margin",
+        f"CASE WHEN {narm} THEN CASE WHEN {se} > 0 THEN"
+        f" round({z1}, 6) END END AS z_lower",
+        f"CASE WHEN {narm} THEN CASE WHEN {se} > 0 THEN"
+        f" round({z2}, 6) END END AS z_upper",
+        f"CASE WHEN {narm} THEN CASE WHEN {se} > 0 THEN"
+        f" round(greatest({p1}, {p2}), 6) END END AS p_tost",
+        f"CASE WHEN {narm} THEN CASE WHEN {se} > 0 THEN"
+        f" round(greatest({p1}, {p2}), 6) < 0.05 END END AS equivalent",
     )
 
 
@@ -5384,12 +5394,16 @@ def stats_tost_equivalence_sql() -> str:
         FROM orders
     )
     SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
-           round({diff}, 6) AS mean_diff,
-           round({delta}, 6) AS margin,
-           round({z1}, 6) AS z_lower,
-           round({z2}, 6) AS z_upper,
-           round(greatest({p1}, {p2}), 6) AS p_tost,
-           round(greatest({p1}, {p2}), 6) < 0.05 AS equivalent
+           CASE WHEN na > 0 AND nb > 0 THEN round({diff}, 6) END AS mean_diff,
+           CASE WHEN na + nb > 0 THEN round({delta}, 6) END AS margin,
+           CASE WHEN na >= 2 AND nb >= 2 THEN CASE WHEN {se} > 0 THEN
+               round({z1}, 6) END END AS z_lower,
+           CASE WHEN na >= 2 AND nb >= 2 THEN CASE WHEN {se} > 0 THEN
+               round({z2}, 6) END END AS z_upper,
+           CASE WHEN na >= 2 AND nb >= 2 THEN CASE WHEN {se} > 0 THEN
+               round(greatest({p1}, {p2}), 6) END END AS p_tost,
+           CASE WHEN na >= 2 AND nb >= 2 THEN CASE WHEN {se} > 0 THEN
+               round(greatest({p1}, {p2}), 6) < 0.05 END END AS equivalent
     FROM agg
     """
 
