@@ -7781,12 +7781,19 @@ def stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     vy = "((syy - sy * sy / n) / (n - 1.0))"
     theta = f"({cov} / {vx})"
     rho2 = f"({cov} * {cov} / ({vx} * {vy}))"
+    # CUPED is undefined for n < 2 or zero pre/post variance (round-9
+    # degenerate-input probe): NULL, not an ANSI crash. The variance
+    # checks nest INSIDE the n-guard so the /(n-1) terms never evaluate
+    # on a singleton; identical structure on both engines.
+    vpos = f"CASE WHEN n >= 2 THEN {vx} > 0 AND {vy} > 0 END"
     return m.selectExpr(
         "n AS n_users",
-        f"round({theta}, 6) AS theta",
-        f"round({vy}, 2) AS var_post",
-        f"round({vy} * (1.0 - {rho2}), 2) AS var_adjusted",
-        f"round(100.0 * {rho2}, 2) AS reduction_pct",
+        f"CASE WHEN {vpos} THEN round({theta}, 6) END AS theta",
+        f"CASE WHEN n >= 2 THEN round({vy}, 2) END AS var_post",
+        f"CASE WHEN {vpos} THEN"
+        f" round({vy} * (1.0 - {rho2}), 2) END AS var_adjusted",
+        f"CASE WHEN {vpos} THEN"
+        f" round(100.0 * {rho2}, 2) END AS reduction_pct",
     )
 
 
@@ -7811,10 +7818,13 @@ def stats_cuped_sql() -> str:
         FROM u
     )
     SELECT n AS n_users,
-           round({theta}, 6) AS theta,
-           round({vy}, 2) AS var_post,
-           round({vy} * (1.0 - {rho2}), 2) AS var_adjusted,
-           round(100.0 * {rho2}, 2) AS reduction_pct
+           CASE WHEN CASE WHEN n >= 2 THEN {vx} > 0 AND {vy} > 0 END THEN
+               round({theta}, 6) END AS theta,
+           CASE WHEN n >= 2 THEN round({vy}, 2) END AS var_post,
+           CASE WHEN CASE WHEN n >= 2 THEN {vx} > 0 AND {vy} > 0 END THEN
+               round({vy} * (1.0 - {rho2}), 2) END AS var_adjusted,
+           CASE WHEN CASE WHEN n >= 2 THEN {vx} > 0 AND {vy} > 0 END THEN
+               round(100.0 * {rho2}, 2) END AS reduction_pct
     FROM m
     """
 
