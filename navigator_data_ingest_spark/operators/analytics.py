@@ -8490,8 +8490,17 @@ def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("cast(t as bigint) * cast(t as bigint)")).alias("stt"),
         F.sum(F.expr("cast(t as bigint) * y")).alias("sty"),
     )
-    slope = "((n * cast(sty as double) - cast(st as double) * sy)" \
-            " / (n * cast(stt as double) - cast(st as double) * st))"
+    # OLS slope guard (round-9 degenerate-input probe, shared by the
+    # daily-trend regression family): the EXACT integer discriminant
+    # n·Σt² − (Σt)² is zero on a singleton series — slope (and every
+    # residual statistic downstream) emits NULL instead of an ANSI
+    # DIVIDE_BY_ZERO crash; values unchanged for n >= 2
+    slope = (
+        "(CASE WHEN cast(n as decimal(38,0)) * stt"
+        " - cast(st as decimal(38,0)) * st > 0 THEN"
+        " (n * cast(sty as double) - cast(st as double) * sy)"
+        " / (n * cast(stt as double) - cast(st as double) * st) END)"
+    )
     icept = f"((sy - {slope} * st) / cast(n as double))"
     e = (
         d.crossJoin(F.broadcast(s))
@@ -8514,15 +8523,18 @@ def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.selectExpr(
         "n_days",
         "slope_cents_per_day",
-        "round(sdd / sse, 6) AS dw",
-        "round(1.0 - (sdd / sse) / 2.0, 6) AS rho_approx",
+        # sse = 0 on a perfectly-fit short series: DW undefined
+        "CASE WHEN sse > 0 THEN round(sdd / sse, 6) END AS dw",
+        "CASE WHEN sse > 0 THEN"
+        " round(1.0 - (sdd / sse) / 2.0, 6) END AS rho_approx",
     )
 
 
 def stats_durbin_watson_sql() -> str:
     slope = (
-        "((n * sty::DOUBLE - st::DOUBLE * sy)"
-        " / (n * stt::DOUBLE - st::DOUBLE * st))"
+        "(CASE WHEN n::HUGEINT * stt - st::HUGEINT * st > 0 THEN"
+        " (n * sty::DOUBLE - st::DOUBLE * sy)"
+        " / (n * stt::DOUBLE - st::DOUBLE * st) END)"
     )
     icept = f"((sy - {slope} * st) / n::DOUBLE)"
     return f"""
@@ -8551,8 +8563,9 @@ def stats_durbin_watson_sql() -> str:
         FROM e
     )
     SELECT n_days, slope_cents_per_day,
-           round(sdd / sse, 6) AS dw,
-           round(1.0 - (sdd / sse) / 2.0, 6) AS rho_approx
+           CASE WHEN sse > 0 THEN round(sdd / sse, 6) END AS dw,
+           CASE WHEN sse > 0 THEN
+               round(1.0 - (sdd / sse) / 2.0, 6) END AS rho_approx
     FROM agg
     """
 
@@ -9368,8 +9381,17 @@ def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("cast(t as bigint) * cast(t as bigint)")).alias("stt"),
         F.sum(F.expr("cast(t as bigint) * y")).alias("sty"),
     )
-    slope = "((n * cast(sty as double) - cast(st as double) * sy)" \
-            " / (n * cast(stt as double) - cast(st as double) * st))"
+    # OLS slope guard (round-9 degenerate-input probe, shared by the
+    # daily-trend regression family): the EXACT integer discriminant
+    # n·Σt² − (Σt)² is zero on a singleton series — slope (and every
+    # residual statistic downstream) emits NULL instead of an ANSI
+    # DIVIDE_BY_ZERO crash; values unchanged for n >= 2
+    slope = (
+        "(CASE WHEN cast(n as decimal(38,0)) * stt"
+        " - cast(st as decimal(38,0)) * st > 0 THEN"
+        " (n * cast(sty as double) - cast(st as double) * sy)"
+        " / (n * cast(stt as double) - cast(st as double) * st) END)"
+    )
     icept = f"((sy - {slope} * st) / cast(n as double))"
     e = d.crossJoin(F.broadcast(s)).selectExpr(
         "n",
@@ -9398,8 +9420,9 @@ def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stats_breusch_pagan_sql() -> str:
     slope = (
-        "((n * sty::DOUBLE - st::DOUBLE * sy)"
-        " / (n * stt::DOUBLE - st::DOUBLE * st))"
+        "(CASE WHEN n::HUGEINT * stt - st::HUGEINT * st > 0 THEN"
+        " (n * sty::DOUBLE - st::DOUBLE * sy)"
+        " / (n * stt::DOUBLE - st::DOUBLE * st) END)"
     )
     icept = f"((sy - {slope} * st) / n::DOUBLE)"
     sxx = "(n * (n::DOUBLE * n - 1.0) / 12.0)"
@@ -11203,11 +11226,27 @@ def stats_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("cast(t as bigint) * y")).alias("sty"),
         )
     )
-    slope = "((n * cast(sty as double) - cast(st as double) * sy)" \
-            " / (n * cast(stt as double) - cast(st as double) * st))"
+    # OLS slope guard (round-9 degenerate-input probe, shared by the
+    # daily-trend regression family): the EXACT integer discriminant
+    # n·Σt² − (Σt)² is zero on a singleton series — slope (and every
+    # residual statistic downstream) emits NULL instead of an ANSI
+    # DIVIDE_BY_ZERO crash; values unchanged for n >= 2
+    slope = (
+        "(CASE WHEN cast(n as decimal(38,0)) * stt"
+        " - cast(st as decimal(38,0)) * st > 0 THEN"
+        " (n * cast(sty as double) - cast(st as double) * sy)"
+        " / (n * cast(stt as double) - cast(st as double) * st) END)"
+    )
     icept = f"((sy - {slope} * st) / cast(n as double))"
     sxx = "(n * (cast(n as double) * n - 1.0) / 12.0)"
-    h = f"(1.0 / n + (t - (n + 1.0) / 2.0) * (t - (n + 1.0) / 2.0) / {sxx})"
+    # leverage needs sxx > 0 (n >= 2); Cook's D additionally n >= 3
+    # (the s² denominator is n-2), positive SSE and leverage < 1 —
+    # NULL otherwise (round-9 degenerate-input probe), identical
+    # guards both engines
+    h = (
+        f"(CASE WHEN n >= 2 THEN 1.0 / n"
+        f" + (t - (n + 1.0) / 2.0) * (t - (n + 1.0) / 2.0) / {sxx} END)"
+    )
     e = d.crossJoin(s).selectExpr(
         "day",
         "t",
@@ -11221,8 +11260,9 @@ def stats_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resid",
         "lev",
         "n",
-        "(resid * resid * lev"
-        " / (2.0 * (sse / (n - 2.0)) * (1.0 - lev) * (1.0 - lev))) AS cd",
+        "(CASE WHEN n >= 3 AND sse > 0 AND lev < 1.0 THEN"
+        " resid * resid * lev"
+        " / (2.0 * (sse / (n - 2.0)) * (1.0 - lev) * (1.0 - lev)) END) AS cd",
     ).withColumn("cd6", F.expr("cast(round(cd * 1e6) as bigint)"))
     w = Window.orderBy(F.desc("cd6"), F.asc("day"))
     return (
@@ -11241,12 +11281,16 @@ def stats_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stats_cooks_distance_sql() -> str:
     slope = (
-        "((n * sty::DOUBLE - st::DOUBLE * sy)"
-        " / (n * stt::DOUBLE - st::DOUBLE * st))"
+        "(CASE WHEN n::HUGEINT * stt - st::HUGEINT * st > 0 THEN"
+        " (n * sty::DOUBLE - st::DOUBLE * sy)"
+        " / (n * stt::DOUBLE - st::DOUBLE * st) END)"
     )
     icept = f"((sy - {slope} * st) / n::DOUBLE)"
     sxx = "(n * (n::DOUBLE * n - 1.0) / 12.0)"
-    h = f"(1.0 / n + (t - (n + 1.0) / 2.0) * (t - (n + 1.0) / 2.0) / {sxx})"
+    h = (
+        f"(CASE WHEN n >= 2 THEN 1.0 / n"
+        f" + (t - (n + 1.0) / 2.0) * (t - (n + 1.0) / 2.0) / {sxx} END)"
+    )
     return f"""
     WITH d AS (
         SELECT o_orderdate::DATE AS day,
@@ -11268,8 +11312,10 @@ def stats_cooks_distance_sql() -> str:
         SELECT sum(resid * resid) AS sse FROM e
     ), scored AS (
         SELECT day, resid, lev, n,
-               (resid * resid * lev
-                / (2.0 * (sse / (n - 2.0)) * (1.0 - lev) * (1.0 - lev))) AS cd
+               (CASE WHEN n >= 3 AND sse > 0 AND lev < 1.0 THEN
+                resid * resid * lev
+                / (2.0 * (sse / (n - 2.0)) * (1.0 - lev) * (1.0 - lev))
+                END) AS cd
         FROM e CROSS JOIN sse
     ), ranked AS (
         SELECT *, row_number() OVER (
