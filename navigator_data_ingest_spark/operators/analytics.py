@@ -5438,12 +5438,17 @@ def stats_extreme_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
     beta = f"({sd} * sqrt(6.0) / pi())"
     mu = f"({mean} - 0.5772156649015329 * {beta})"
     p_exc = f"(1.0 - exp(-exp(-((hist_max - {mu}) / {beta}))))"
+    # the moment fit needs >= 2 blocks with spread (round-9
+    # degenerate-input probe): NULL otherwise, not an ANSI crash; the
+    # variance check nests inside the n-guard and reuses the identical
+    # cross-engine expression
+    pos = "CASE WHEN n >= 2 THEN (q - s * s / n) > 0 END"
     return agg.selectExpr(
         "n AS n_blocks",
-        f"round({mu}, 6) AS gumbel_mu",
-        f"round({beta}, 6) AS gumbel_beta",
+        f"CASE WHEN {pos} THEN round({mu}, 6) END AS gumbel_mu",
+        f"CASE WHEN {pos} THEN round({beta}, 6) END AS gumbel_beta",
         "round(hist_max, 6) AS hist_max",
-        f"round({p_exc}, 6) AS p_exceed_hist_max",
+        f"CASE WHEN {pos} THEN round({p_exc}, 6) END AS p_exceed_hist_max",
     )
 
 
@@ -5466,10 +5471,13 @@ def stats_extreme_gumbel_sql() -> str:
         FROM monthly
     )
     SELECT n::BIGINT AS n_blocks,
-           round({mu}, 6) AS gumbel_mu,
-           round({beta}, 6) AS gumbel_beta,
+           CASE WHEN CASE WHEN n >= 2 THEN (q - s * s / n) > 0 END THEN
+               round({mu}, 6) END AS gumbel_mu,
+           CASE WHEN CASE WHEN n >= 2 THEN (q - s * s / n) > 0 END THEN
+               round({beta}, 6) END AS gumbel_beta,
            round(hist_max, 6) AS hist_max,
-           round({p_exc}, 6) AS p_exceed_hist_max
+           CASE WHEN CASE WHEN n >= 2 THEN (q - s * s / n) > 0 END THEN
+               round({p_exc}, 6) END AS p_exceed_hist_max
     FROM agg
     """
 
