@@ -9073,7 +9073,9 @@ def stats_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "n",
         "mu",
-        "sqrt(css / (n - 1.0)) AS sigma",
+        # sigma undefined for a single-order priority group (round-9
+        # degenerate-input probe): NULL, not an ANSI crash
+        "CASE WHEN n >= 2 THEN sqrt(css / (n - 1.0)) END AS sigma",
         "cast(round(exp(mu) * 100.0) as bigint) AS fit_median_cents",
     )
     back = o.join(
@@ -9112,7 +9114,9 @@ def stats_lognormal_fit_sql() -> str:
         FROM o GROUP BY 1
     ), fit AS (
         SELECT o.o_orderpriority, max(n)::BIGINT AS n, max(mu) AS mu,
-               sqrt(sum((lnp - mu) * (lnp - mu)) / (max(n) - 1.0)) AS sigma,
+               CASE WHEN max(n) >= 2 THEN
+                   sqrt(sum((lnp - mu) * (lnp - mu)) / (max(n) - 1.0))
+               END AS sigma,
                round(exp(max(mu)) * 100.0)::BIGINT AS fit_median_cents
         FROM o JOIN mu ON o.o_orderpriority = mu.o_orderpriority
         GROUP BY 1
