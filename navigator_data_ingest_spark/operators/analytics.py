@@ -6758,10 +6758,14 @@ def stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(((ssb_raw - cf) / (k - 1.0)) "
         "/ ((qt - ssb_raw) / (nt - k)))"
     )
+    # Levene needs >= 2 groups, more rows than groups, and nonzero
+    # within-group deviation (round-9 degenerate-input probe): NULL
+    # otherwise, not an ANSI crash; identical guard both engines
+    pos = "(k >= 2 AND nt > k AND (qt - ssb_raw) > 0)"
     return agg.selectExpr(
         "nt AS n_rows",
         "cast(k as bigint) AS k_groups",
-        f"round({w}, 2) AS levene_w",
+        f"CASE WHEN {pos} THEN round({w}, 2) END AS levene_w",
     )
 
 
@@ -6791,7 +6795,9 @@ def stats_levene_sql() -> str:
                sum(qz) AS qt
         FROM g CROSS JOIN tot
     )
-    SELECT nt AS n_rows, k AS k_groups, round({w}, 2) AS levene_w
+    SELECT nt AS n_rows, k AS k_groups,
+           CASE WHEN k >= 2 AND nt > k AND (qt - ssb_raw) > 0 THEN
+               round({w}, 2) END AS levene_w
     FROM agg
     """
 
