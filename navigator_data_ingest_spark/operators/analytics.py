@@ -6976,11 +6976,16 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(ties))
     h_raw = "(12.0 / (n * (n + 1.0)) * s_rr - 3.0 * (n + 1.0))"
     corr = "(1.0 - tie3 / cast(n * n * n - n as double))"
+    # the tie correction divides by n^3 - n (zero at n = 1) and is
+    # itself zero when EVERY observation ties (round-9 degenerate-input
+    # probe): H emits NULL there, not an ANSI crash; the corr > 0 check
+    # nests inside the n-guard so n^3 - n never evaluates at n = 1
+    h_guard = f"CASE WHEN n >= 2 THEN CASE WHEN {corr} > 0 THEN"
     return agg.selectExpr(
         "cast(n as bigint) AS n_obs",
         "cast(k as bigint) AS k_groups",
         f"round({h_raw}, 6) AS h_uncorrected",
-        f"round({h_raw} / {corr}, 6) AS h_stat",
+        f"{h_guard} round({h_raw} / {corr}, 6) END END AS h_stat",
     )
 
 
@@ -7016,7 +7021,8 @@ def stats_kruskal_wallis_sql() -> str:
     )
     SELECT n AS n_obs, k AS k_groups,
            round({h_raw}, 6) AS h_uncorrected,
-           round({h_raw} / {corr}, 6) AS h_stat
+           CASE WHEN n >= 2 THEN CASE WHEN {corr} > 0 THEN
+               round({h_raw} / {corr}, 6) END END AS h_stat
     FROM agg CROSS JOIN ties
     """
 
