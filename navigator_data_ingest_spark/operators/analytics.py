@@ -4547,10 +4547,18 @@ def stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.round("_ssb", 6).alias("ss_between"),
         F.round("_ssw", 6).alias("ss_within"),
-        F.round(
-            (F.col("_ssb") / (F.col("k") - 1).cast("double"))
-            / (F.col("_ssw") / (F.col("n_rows") - F.col("k")).cast("double")),
-            6,
+        # F is undefined with one group, no within-group df, or zero
+        # within-group variation (round-9 degenerate-input probe):
+        # NULL, not an ANSI crash; identical guard both engines
+        F.when(
+            (F.col("k") >= 2)
+            & (F.col("n_rows") > F.col("k"))
+            & (F.col("_ssw") > 0),
+            F.round(
+                (F.col("_ssb") / (F.col("k") - 1).cast("double"))
+                / (F.col("_ssw") / (F.col("n_rows") - F.col("k")).cast("double")),
+                6,
+            ),
         ).alias("f_stat"),
     )
     return out
@@ -4576,8 +4584,10 @@ def stats_anova_sql() -> str:
     SELECT k::BIGINT AS k_groups, n_rows::BIGINT AS n_rows,
            round(ssb, 6) AS ss_between,
            round(ssw, 6) AS ss_within,
-           round((ssb / (k - 1)::DOUBLE) / (ssw / (n_rows - k)::DOUBLE), 6)
-               AS f_stat
+           CASE WHEN k >= 2 AND n_rows > k AND ssw > 0 THEN
+               round((ssb / (k - 1)::DOUBLE)
+                     / (ssw / (n_rows - k)::DOUBLE), 6)
+           END AS f_stat
     FROM a
     """
 
