@@ -3517,11 +3517,18 @@ def stats_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = b.groupBy("event_type").agg(
         F.sum("s").alias("tot_s"), F.sum("n").alias("tot_n"), F.count(F.lit(1)).alias("k")
     )
+    # the leave-one-out mean is undefined when the removed bucket IS the
+    # whole sample (k = 1 ⇒ tot_n = n): NULL loo (cascading to NULL
+    # se/ci), not an ANSI crash (round-10 single-row probe)
     loo = (
         b.join(F.broadcast(t), "event_type")
         .withColumn(
             "loo",
-            (F.col("tot_s") - F.col("s")) / (F.col("tot_n") - F.col("n")).cast("double"),
+            F.when(
+                F.col("tot_n") > F.col("n"),
+                (F.col("tot_s") - F.col("s"))
+                / (F.col("tot_n") - F.col("n")).cast("double"),
+            ),
         )
     )
     out = (
@@ -3567,7 +3574,8 @@ def stats_jackknife_ci_sql() -> str:
         FROM b GROUP BY 1
     ), loo AS (
         SELECT b.event_type, t.k, t.S, t.N,
-               (t.S - b.s) / (t.N - b.n)::DOUBLE AS loo
+               CASE WHEN t.N > b.n THEN
+                   (t.S - b.s) / (t.N - b.n)::DOUBLE END AS loo
         FROM b JOIN t ON b.event_type = t.event_type
     ), agg AS (
         SELECT event_type, max(k)::BIGINT AS k,
@@ -6665,6 +6673,11 @@ def stats_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_b = "(kb - 1.0)"
     df_ab = "((ka - 1.0) * (kb - 1.0))"
     df_e = "(nt - nc)"
+    # each F is undefined with a single level on its factor, no error
+    # df, or zero within-cell variation (the stats_anova guard,
+    # factorial form — round-10 single-row probe): NULL, not an ANSI
+    # crash; identical guard both engines
+    mse_ok = f"(nt > nc AND {ss_e} > 0)"
     return out.selectExpr(
         "nt AS n_rows",
         "cast(ka as bigint) AS k_types",
@@ -6673,9 +6686,13 @@ def stats_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({ss_b}, 2) AS ss_dow",
         f"round({ss_ab}, 2) AS ss_interaction",
         f"round({ss_e}, 2) AS ss_error",
-        f"round(({ss_a} / {df_a}) / ({ss_e} / {df_e}), 2) AS f_type",
-        f"round(({ss_b} / {df_b}) / ({ss_e} / {df_e}), 2) AS f_dow",
-        f"round(({ss_ab} / {df_ab}) / ({ss_e} / {df_e}), 2) AS f_interaction",
+        f"CASE WHEN ka >= 2 AND {mse_ok} THEN "
+        f"round(({ss_a} / {df_a}) / ({ss_e} / {df_e}), 2) END AS f_type",
+        f"CASE WHEN kb >= 2 AND {mse_ok} THEN "
+        f"round(({ss_b} / {df_b}) / ({ss_e} / {df_e}), 2) END AS f_dow",
+        f"CASE WHEN ka >= 2 AND kb >= 2 AND {mse_ok} THEN "
+        f"round(({ss_ab} / {df_ab}) / ({ss_e} / {df_e}), 2) END"
+        " AS f_interaction",
     )
 
 
@@ -6721,9 +6738,15 @@ def stats_two_way_anova_sql() -> str:
            round({ss_b}, 2) AS ss_dow,
            round({ss_ab}, 2) AS ss_interaction,
            round({ss_e}, 2) AS ss_error,
-           round(({ss_a} / {df_a}) / ({ss_e} / {df_e}), 2) AS f_type,
-           round(({ss_b} / {df_b}) / ({ss_e} / {df_e}), 2) AS f_dow,
-           round(({ss_ab} / {df_ab}) / ({ss_e} / {df_e}), 2) AS f_interaction
+           CASE WHEN ka >= 2 AND nt > nc AND {ss_e} > 0 THEN
+               round(({ss_a} / {df_a}) / ({ss_e} / {df_e}), 2)
+           END AS f_type,
+           CASE WHEN kb >= 2 AND nt > nc AND {ss_e} > 0 THEN
+               round(({ss_b} / {df_b}) / ({ss_e} / {df_e}), 2)
+           END AS f_dow,
+           CASE WHEN ka >= 2 AND kb >= 2 AND nt > nc AND {ss_e} > 0 THEN
+               round(({ss_ab} / {df_ab}) / ({ss_e} / {df_e}), 2)
+           END AS f_interaction
     FROM x
     """
 
@@ -6847,11 +6870,16 @@ def stats_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "((syy - sxx + sqrt((syy - sxx) * (syy - sxx) "
         "+ 4 * sxy * sxy)) / (2 * sxy))"
     )
+    # the closed form needs nonzero covariance (2·sxy denominator) and
+    # OLS nonzero x-variation — a 1-day series has neither (round-10
+    # single-row probe): NULL, not an ANSI crash; identical guard both
+    # engines
     return agg.selectExpr(
         "n AS n_days",
-        f"round({deming}, 2) AS deming_slope",
-        "round(sxy / sxx, 2) AS ols_slope",
-        f"round({deming} - sxy / sxx, 2) AS attenuation_gap",
+        f"CASE WHEN sxy <> 0 THEN round({deming}, 2) END AS deming_slope",
+        "CASE WHEN sxx > 0 THEN round(sxy / sxx, 2) END AS ols_slope",
+        f"CASE WHEN sxy <> 0 AND sxx > 0 THEN "
+        f"round({deming} - sxy / sxx, 2) END AS attenuation_gap",
     )
 
 
@@ -6875,9 +6903,10 @@ def stats_deming_regression_sql() -> str:
         FROM c
     )
     SELECT n AS n_days,
-           round({deming}, 2) AS deming_slope,
-           round(sxy / sxx, 2) AS ols_slope,
-           round({deming} - sxy / sxx, 2) AS attenuation_gap
+           CASE WHEN sxy <> 0 THEN round({deming}, 2) END AS deming_slope,
+           CASE WHEN sxx > 0 THEN round(sxy / sxx, 2) END AS ols_slope,
+           CASE WHEN sxy <> 0 AND sxx > 0 THEN
+               round({deming} - sxy / sxx, 2) END AS attenuation_gap
     FROM agg
     """
 
@@ -7896,13 +7925,19 @@ def stats_bimodality(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(({g1} * {g1} + 1.0) / "
         f"({g2} + 3.0 * (n - 1.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0))))"
     )
+    # moment ratios need nonzero deviation (m2 = Σd² is exactly 0 iff
+    # every d is 0, order-independent both engines); the finite-sample
+    # kurtosis correction additionally needs n > 3 (round-9/10
+    # degenerate-input probe): NULL, not an ANSI crash
+    mom = "(m2 > 0)"
+    bcd = "(m2 > 0 AND n > 3)"
     return g.selectExpr(
         "event_type",
         "n AS n_obs",
-        f"round({g1}, 2) AS skewness",
-        f"round({g2}, 2) AS excess_kurtosis",
-        f"round({bc}, 2) AS bimodality_coef",
-        f"round({bc}, 2) > 0.56 AS bimodal_flag",
+        f"CASE WHEN {mom} THEN round({g1}, 2) END AS skewness",
+        f"CASE WHEN {mom} THEN round({g2}, 2) END AS excess_kurtosis",
+        f"CASE WHEN {bcd} THEN round({bc}, 2) END AS bimodality_coef",
+        f"CASE WHEN {bcd} THEN round({bc}, 2) > 0.56 END AS bimodal_flag",
     ).orderBy("event_type")
 
 
@@ -7930,10 +7965,12 @@ def stats_bimodality_sql() -> str:
         FROM d GROUP BY event_type
     )
     SELECT event_type, n AS n_obs,
-           round({g1}, 2) AS skewness,
-           round({g2}, 2) AS excess_kurtosis,
-           round({bc}, 2) AS bimodality_coef,
-           round({bc}, 2) > 0.56 AS bimodal_flag
+           CASE WHEN m2 > 0 THEN round({g1}, 2) END AS skewness,
+           CASE WHEN m2 > 0 THEN round({g2}, 2) END AS excess_kurtosis,
+           CASE WHEN m2 > 0 AND n > 3 THEN
+               round({bc}, 2) END AS bimodality_coef,
+           CASE WHEN m2 > 0 AND n > 3 THEN
+               round({bc}, 2) > 0.56 END AS bimodal_flag
     FROM g ORDER BY event_type
     """
 
@@ -7984,15 +8021,23 @@ def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_req = f"ceil(round({num} * {num} / (({p1} - {p2}) * ({p1} - {p2})), 6))"
     # rate_a/rate_b/observed_delta are PURE integer rationals —
     # integer-exact HALF_UP (rendered-SQL lint, round 7); n_req passes
-    # through sqrt (IRRATIONAL-protected).
+    # through sqrt (IRRATIONAL-protected). The calculator needs BOTH
+    # arms populated and a nonzero observed effect (exact cross-multiply
+    # check, never a float compare) — NULL otherwise, not an ANSI crash
+    # (round-10 single-row probe).
+    arms = "(n_a > 0 AND n_b > 0)"
+    eff = (
+        "(cast(conv_a as decimal(38,0)) * n_b"
+        " <> cast(conv_b as decimal(38,0)) * n_a)"
+    )
     return agg.selectExpr(
         "n_a",
         "n_b",
-        f"{sp_rat6('conv_a', 'n_a')} AS rate_a",
-        f"{sp_rat6('conv_b', 'n_b')} AS rate_b",
-        f"{sp_rat6('cast(conv_a as decimal(38,0)) * n_b - cast(conv_b as decimal(38,0)) * n_a', 'cast(n_a as decimal(38,0)) * n_b')} AS observed_delta",
-        f"cast({n_req} as bigint) AS n_required_per_arm",
-        f"least(n_a, n_b) >= {n_req} AS adequately_powered",
+        f"CASE WHEN n_a > 0 THEN {sp_rat6('conv_a', 'n_a')} END AS rate_a",
+        f"CASE WHEN n_b > 0 THEN {sp_rat6('conv_b', 'n_b')} END AS rate_b",
+        f"CASE WHEN {arms} THEN {sp_rat6('cast(conv_a as decimal(38,0)) * n_b - cast(conv_b as decimal(38,0)) * n_a', 'cast(n_a as decimal(38,0)) * n_b')} END AS observed_delta",
+        f"CASE WHEN {arms} AND {eff} THEN cast({n_req} as bigint) END AS n_required_per_arm",
+        f"CASE WHEN {arms} AND {eff} THEN least(n_a, n_b) >= {n_req} END AS adequately_powered",
     )
 
 
@@ -8020,11 +8065,16 @@ def stats_power_analysis_sql() -> str:
         FROM u
     )
     SELECT n_a, n_b,
-           {dk_rat6('conv_a', 'n_a')} AS rate_a,
-           {dk_rat6('conv_b', 'n_b')} AS rate_b,
-           {dk_rat6('conv_a::HUGEINT * n_b - conv_b::HUGEINT * n_a', 'n_a::HUGEINT * n_b')} AS observed_delta,
-           {n_req}::BIGINT AS n_required_per_arm,
-           least(n_a, n_b) >= {n_req} AS adequately_powered
+           CASE WHEN n_a > 0 THEN {dk_rat6('conv_a', 'n_a')} END AS rate_a,
+           CASE WHEN n_b > 0 THEN {dk_rat6('conv_b', 'n_b')} END AS rate_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+               {dk_rat6('conv_a::HUGEINT * n_b - conv_b::HUGEINT * n_a', 'n_a::HUGEINT * n_b')} END AS observed_delta,
+           CASE WHEN n_a > 0 AND n_b > 0
+                     AND conv_a::HUGEINT * n_b <> conv_b::HUGEINT * n_a THEN
+               {n_req}::BIGINT END AS n_required_per_arm,
+           CASE WHEN n_a > 0 AND n_b > 0
+                     AND conv_a::HUGEINT * n_b <> conv_b::HUGEINT * n_a THEN
+               least(n_a, n_b) >= {n_req} END AS adequately_powered
     FROM agg
     """
 
@@ -8893,6 +8943,14 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = "(cast(rr as double) / nn)"
     num = f"(cast(swr as double) - {p} * swn)"
     den = f"sqrt({p} * (1.0 - {p}) * (cast(swwn as double) - cast(swn as double) * swn / nn))"
+    # z is undefined at a degenerate outcome (all or none returned) or
+    # zero dose variance — EXACT integer discriminant nn·Σw²n > (Σwn)²
+    # in decimal(38,0)/HUGEINT, never a float compare (round-10
+    # single-row probe): NULL, not an ANSI crash
+    zdef = (
+        "(rr > 0 AND rr < nn AND cast(nn as decimal(38,0)) * swwn"
+        " > cast(swn as decimal(38,0)) * swn)"
+    )
     return (
         grid.crossJoin(F.broadcast(tot))
         .selectExpr(
@@ -8900,7 +8958,7 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_k AS n_orders",
             "r_k AS n_returned",
             f"{sp_rat6('r_k', 'n_k')} AS return_rate",
-            f"round({num} / {den}, 6) AS z_trend",
+            f"CASE WHEN {zdef} THEN round({num} / {den}, 6) END AS z_trend",
         )
         .orderBy("priority_rank")
     )
@@ -8929,7 +8987,9 @@ def stats_cochran_armitage_sql() -> str:
     )
     SELECT w AS priority_rank, n_k AS n_orders, r_k AS n_returned,
            {dk_rat6('r_k', 'n_k')} AS return_rate,
-           round({num} / {den}, 6) AS z_trend
+           CASE WHEN rr > 0 AND rr < nn
+                     AND nn::HUGEINT * swwn > swn::HUGEINT * swn THEN
+               round({num} / {den}, 6) END AS z_trend
     FROM grid CROSS JOIN tot
     ORDER BY priority_rank
     """
@@ -9727,12 +9787,30 @@ def stats_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(({rxy}) - ({rxz}) * ({ryz}))"
         f" / sqrt((1.0 - ({rxz}) * ({rxz})) * (1.0 - ({ryz}) * ({ryz})))"
     )
+    # each ρ needs positive variance on BOTH series — EXACT integer
+    # discriminant n·Σa² − (Σa)² > 0 in decimal(38,0)/HUGEINT; the
+    # partial additionally needs |ρxz|,|ρyz| < 1 (float compare is safe
+    # there: both engines derive the SAME doubles from the SAME exact
+    # integer moments). Round-10 single-row probe: NULL, not a crash.
+    def var_pos(saa, sa):
+        return (
+            f"(cast(n as decimal(38,0)) * {saa}"
+            f" > cast({sa} as decimal(38,0)) * {sa})"
+        )
+
+    vx, vy, vz = var_pos("sxx", "sx"), var_pos("syy", "sy"), var_pos("szz", "sz")
+    # NESTED CASE: the |ρ|<1 float check itself divides by the variance
+    # discriminants, so it may only be evaluated once they are positive
+    # (CASE branches are lazy; a flat AND is not guaranteed to be)
     return m.selectExpr(
         "n AS n_days",
-        f"round({rxy}, 6) AS r_volume_value",
-        f"round({rxz}, 6) AS r_volume_users",
-        f"round({ryz}, 6) AS r_value_users",
-        f"round({part}, 6) AS partial_r_volume_value",
+        f"CASE WHEN {vx} AND {vy} THEN round({rxy}, 6) END AS r_volume_value",
+        f"CASE WHEN {vx} AND {vz} THEN round({rxz}, 6) END AS r_volume_users",
+        f"CASE WHEN {vy} AND {vz} THEN round({ryz}, 6) END AS r_value_users",
+        f"CASE WHEN {vx} AND {vy} AND {vz} THEN "
+        f"CASE WHEN (1.0 - ({rxz}) * ({rxz}))"
+        f" * (1.0 - ({ryz}) * ({ryz})) > 0 THEN round({part}, 6) END END"
+        " AS partial_r_volume_value",
     )
 
 
@@ -9766,10 +9844,21 @@ def stats_partial_correlation_sql() -> str:
         FROM d
     )
     SELECT n AS n_days,
-           round({rxy}, 6) AS r_volume_value,
-           round({rxz}, 6) AS r_volume_users,
-           round({ryz}, 6) AS r_value_users,
-           round({part}, 6) AS partial_r_volume_value
+           CASE WHEN n::HUGEINT * sxx > sx::HUGEINT * sx
+                 AND n::HUGEINT * syy > sy::HUGEINT * sy THEN
+               round({rxy}, 6) END AS r_volume_value,
+           CASE WHEN n::HUGEINT * sxx > sx::HUGEINT * sx
+                 AND n::HUGEINT * szz > sz::HUGEINT * sz THEN
+               round({rxz}, 6) END AS r_volume_users,
+           CASE WHEN n::HUGEINT * syy > sy::HUGEINT * sy
+                 AND n::HUGEINT * szz > sz::HUGEINT * sz THEN
+               round({ryz}, 6) END AS r_value_users,
+           CASE WHEN n::HUGEINT * sxx > sx::HUGEINT * sx
+                 AND n::HUGEINT * syy > sy::HUGEINT * sy
+                 AND n::HUGEINT * szz > sz::HUGEINT * sz THEN
+               CASE WHEN (1.0 - ({rxz}) * ({rxz}))
+                         * (1.0 - ({ryz}) * ({ryz})) > 0 THEN
+                   round({part}, 6) END END AS partial_r_volume_value
     FROM m
     """
 
@@ -10343,11 +10432,16 @@ def stats_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("v1"),
     )
+    # the hypergeometric variance is a sum of NON-NEGATIVE terms, so
+    # v1 = 0 exactly (order-independent, both engines) when no event
+    # time has two groups at risk — z/chi2 undefined there (round-10
+    # single-row probe): NULL, not an ANSI crash
     return agg.selectExpr(
         "o1 AS observed_urgent",
         "round(e1, 6) AS expected_urgent",
-        "round((o1 - e1) / sqrt(v1), 6) AS z",
-        "round((o1 - e1) * (o1 - e1) / v1, 4) AS chi2",
+        "CASE WHEN v1 > 0 THEN round((o1 - e1) / sqrt(v1), 6) END AS z",
+        "CASE WHEN v1 > 0 THEN "
+        "round((o1 - e1) * (o1 - e1) / v1, 4) END AS chi2",
     )
 
 
@@ -10389,8 +10483,10 @@ def stats_log_rank_sql() -> str:
     )
     SELECT o1 AS observed_urgent,
            round(e1, 6) AS expected_urgent,
-           round((o1 - e1) / sqrt(v1), 6) AS z,
-           round((o1 - e1) * (o1 - e1) / v1, 4) AS chi2
+           CASE WHEN v1 > 0 THEN
+               round((o1 - e1) / sqrt(v1), 6) END AS z,
+           CASE WHEN v1 > 0 THEN
+               round((o1 - e1) * (o1 - e1) / v1, 4) END AS chi2
     FROM agg
     """
 
@@ -11986,8 +12082,14 @@ def stats_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(({dx} * {dx} * {vyy} - 2.0 * {dx} * {dy} * {vxy}"
         f" + {dy} * {dy} * {vxx}) / {det})"
     )
+    # D² needs n ≥ 2 (the covariance itself divides by n(n−1)) and an
+    # invertible covariance (det > 0 — safe float compare: both engines
+    # derive det from the SAME exact integer moments). NESTED CASE so
+    # det is only evaluated once n ≥ 2. Round-10 single-row probe:
+    # NULL D², not an ANSI crash; NULLs rank last in both engines.
+    d2g = f"CASE WHEN n >= 2 THEN CASE WHEN {det} > 0 THEN {d2} END END"
     scored = d.crossJoin(m).selectExpr(
-        "day", "x", "y", f"{d2} AS d2"
+        "day", "x", "y", f"{d2g} AS d2"
     ).withColumn("d6", F.expr("cast(round(d2 * 1e6) as bigint)"))
     w = Window.orderBy(F.desc("d6"), F.asc("day"))
     return (
@@ -12027,7 +12129,9 @@ def stats_mahalanobis_outliers_sql() -> str:
                sum(y::DOUBLE * y) AS syy
         FROM d
     ), scored AS (
-        SELECT day, x, y, {d2} AS d2
+        SELECT day, x, y,
+               CASE WHEN n >= 2 THEN
+                   CASE WHEN {det} > 0 THEN {d2} END END AS d2
         FROM d CROSS JOIN m
     ), ranked AS (
         SELECT *, row_number() OVER (
@@ -13633,14 +13737,24 @@ def stats_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = "sqrt((n * sll - sl * sl) / (n * (n - 1.0)))"
     k = f"(1.2825498301618641 / {sd})"
     lam = f"exp(sl / n + 0.5772156649015329 / {k})"
+    # the method-of-moments fit needs n ≥ 2 and positive ln-variance
+    # (k divides by sd) — NESTED CASE so sd is only evaluated once the
+    # discriminant is positive (round-10 single-row probe): NULL fit,
+    # not an ANSI crash; identical guard both engines
+    def fit(expr):
+        return (
+            "CASE WHEN n >= 2 THEN CASE WHEN (n * sll - sl * sl) > 0"
+            f" THEN {expr} END END"
+        )
+
     return (
         m.selectExpr(
             "o_orderpriority AS priority",
             "n AS n_lines",
-            f"round({k}, 6) AS shape_k",
-            f"round({lam}, 6) AS scale_days",
-            f"round({lam} * pow(0.6931471805599453, 1.0 / {k}), 6)"
-            " AS fitted_median_days",
+            f"{fit(f'round({k}, 6)')} AS shape_k",
+            f"{fit(f'round({lam}, 6)')} AS scale_days",
+            fit(f"round({lam} * pow(0.6931471805599453, 1.0 / {k}), 6)")
+            + " AS fitted_median_days",
             "round(p50_exact, 6) AS p50_exact_days",
         )
         .orderBy("priority")
@@ -13667,10 +13781,13 @@ def stats_weibull_fit_sql() -> str:
         GROUP BY 1
     )
     SELECT o_orderpriority AS priority, n AS n_lines,
-           round({k}, 6) AS shape_k,
-           round({lam}, 6) AS scale_days,
-           round({lam} * pow(0.6931471805599453, 1.0 / {k}), 6)
-               AS fitted_median_days,
+           CASE WHEN n >= 2 THEN CASE WHEN (n * sll - sl * sl) > 0 THEN
+               round({k}, 6) END END AS shape_k,
+           CASE WHEN n >= 2 THEN CASE WHEN (n * sll - sl * sl) > 0 THEN
+               round({lam}, 6) END END AS scale_days,
+           CASE WHEN n >= 2 THEN CASE WHEN (n * sll - sl * sl) > 0 THEN
+               round({lam} * pow(0.6931471805599453, 1.0 / {k}), 6)
+           END END AS fitted_median_days,
            round(p50_exact, 6) AS p50_exact_days
     FROM m ORDER BY priority
     """
@@ -15017,8 +15134,14 @@ def stats_crosstab_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             # residual stays sqrt-protected plain round.
             f"{sp_rat6('cast(row_tot as decimal(38,0)) * col_tot', 'n_total')}"
             " AS expected",
-            f"round({z}, 6) AS std_residual",
-            f"abs(round({z}, 6)) > 2.0 AS notable",
+            # the adjusted residual's variance factor (1−r/n)(1−c/n) is
+            # zero when a margin IS the whole table (single row / single
+            # column crosstab — round-10 single-row probe): NULL, not an
+            # ANSI crash; exact integer compares, identical both engines
+            f"CASE WHEN row_tot < n_total AND col_tot < n_total THEN "
+            f"round({z}, 6) END AS std_residual",
+            f"CASE WHEN row_tot < n_total AND col_tot < n_total THEN "
+            f"abs(round({z}, 6)) > 2.0 END AS notable",
         )
         .orderBy("lang", "source")
     )
@@ -15053,8 +15176,10 @@ def stats_crosstab_residuals_sql() -> str:
     )
     SELECT lang, source, o AS observed,
            {dk_rat6('row_tot::HUGEINT * col_tot', 'n_total')} AS expected,
-           round({z}, 6) AS std_residual,
-           abs(round({z}, 6)) > 2.0 AS notable
+           CASE WHEN row_tot < n_total AND col_tot < n_total THEN
+               round({z}, 6) END AS std_residual,
+           CASE WHEN row_tot < n_total AND col_tot < n_total THEN
+               abs(round({z}, 6)) > 2.0 END AS notable
     FROM dense ORDER BY lang, source
     """
 
@@ -17409,11 +17534,15 @@ def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ")"
     )
     # jt2 = 2·JT and mu2 = 4·μ (μ = (N²−Σn²)/4): JT−μ = (jt2 − mu2/2)/2
+    # var72 = N²(2N+3) − Σnk²(2nk+3) is 0 exactly when ONE group holds
+    # every observation — EXACT integer guard (greatest(nk) < N), never
+    # a float compare (round-10 single-row probe): NULL z, not a crash
     return agg.selectExpr(
         f"{n} AS n_total",
         "jt2",
+        f"CASE WHEN greatest(n1, n2, n3, n4, n5) < {n} THEN "
         f"(cast(jt2 as double) - {mu2} / 2.0) / 2.0"
-        f" / sqrt({var72} / 72.0) AS z",
+        f" / sqrt({var72} / 72.0) END AS z",
     )
 
 
@@ -17457,7 +17586,9 @@ def stats_jonckheere_terpstra_sql() -> str:
         SELECT {ncols}, sum({pair_terms})::BIGINT AS jt2 FROM cum
     )
     SELECT {n}::BIGINT AS n_total, jt2,
-           (jt2::DOUBLE - {mu2} / 2.0) / 2.0 / sqrt({var72} / 72.0) AS z
+           CASE WHEN greatest(n1, n2, n3, n4, n5) < {n} THEN
+               (jt2::DOUBLE - {mu2} / 2.0) / 2.0 / sqrt({var72} / 72.0)
+           END AS z
     FROM agg
     """
 

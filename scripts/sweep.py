@@ -7,8 +7,10 @@ Writes one JSON line per query and a summary to stdout.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -50,6 +52,30 @@ _EMPTY_DIVERGENCE = {
     "emb_pca_power": "64 NULL-stat rows vs 0 oracle rows on empty",
 }
 
+# SWEEP_ONE=1 allowlist: keys whose Spark and DuckDB results disagree on a
+# SINGLE-ROW-per-table corpus for engine-semantic (not bug) reasons. Same
+# contract as _EMPTY_DIVERGENCE: these are downgraded to a
+# runs-without-exception check in n=1 mode and fully oracle-checked on
+# every other axis. Keep this list short and every entry reasoned.
+_ONE_DIVERGENCE: dict[str, str] = {}
+
+
+def _derived_corpus(src: str, tag: str) -> str:
+    """A fresh /tmp dir for a derived (empty / 1-row) copy of src.
+
+    The name embeds a hash of the FULL source path so two corpora with the
+    same basename under different parents can't collide, and the dir is
+    rebuilt from scratch each run so stale tables from a prior sweep never
+    leak into what this sweep certifies.
+    """
+    h = hashlib.sha256(os.path.abspath(src).encode()).hexdigest()[:10]
+    out = os.path.join(
+        "/tmp", f"nav_{tag}_{os.path.basename(src.rstrip('/'))}_{h}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    return out
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -66,27 +92,39 @@ def main() -> None:
         sf_dir = _ni_build(sf_dir)
 
     empty_mode = bool(os.environ.get("SWEEP_EMPTY"))
-    if empty_mode:
+    one_mode = bool(os.environ.get("SWEEP_ONE"))
+    if empty_mode or one_mode:
         # robustness mode 4 (round 9): every table ZERO rows — the
         # filter-to-zero / empty-backfill-window class a 100 TB job must
-        # survive. Keys in _EMPTY_DIVERGENCE are engine-semantic
-        # differences (documented below), downgraded to a
-        # runs-without-exception check; everything else must still match
-        # its oracle on the empty input.
+        # survive. robustness mode 5 (round 10): every table exactly ONE
+        # row (deterministic: ORDER BY all columns, LIMIT 1) — the 1-row
+        # group / post-filter singleton class that turns /(n-1)-style
+        # denominators into ANSI DIVIDE_BY_ZERO crashes. Keys in the
+        # matching allowlist are engine-semantic differences (documented
+        # above), downgraded to a runs-without-exception check; everything
+        # else must still match its oracle on the derived input.
         import duckdb as _dk
 
         src = sf_dir
-        sf_dir = os.path.join(
-            "/tmp", f"nav_empty_{os.path.basename(src.rstrip('/'))}"
-        )
-        os.makedirs(sf_dir, exist_ok=True)
+        sf_dir = _derived_corpus(src, "one" if one_mode else "empty")
         _con = _dk.connect()
         import glob as _glob
 
         for _p in _glob.glob(os.path.join(src, "*.parquet")):
             _t = os.path.basename(_p)
+            if one_mode:
+                _cols = [
+                    r[0]
+                    for r in _con.execute(
+                        f"DESCRIBE SELECT * FROM '{_p}'"
+                    ).fetchall()
+                ]
+                _ob = ", ".join(f'"{c}"' for c in _cols)
+                _sel = f"SELECT * FROM '{_p}' ORDER BY {_ob} LIMIT 1"
+            else:
+                _sel = f"SELECT * FROM '{_p}' LIMIT 0"
             _con.execute(
-                f"COPY (SELECT * FROM '{_p}' LIMIT 0)"
+                f"COPY ({_sel})"
                 f" TO '{os.path.join(sf_dir, _t)}' (FORMAT PARQUET)"
             )
 
@@ -139,6 +177,9 @@ def main() -> None:
             if empty_mode and name in _EMPTY_DIVERGENCE:
                 n = df.count()
                 ok, msg = n >= 0, f"runs-on-empty ({n} rows): {_EMPTY_DIVERGENCE[name]}"
+            elif one_mode and name in _ONE_DIVERGENCE:
+                n = df.count()
+                ok, msg = n >= 0, f"runs-on-one ({n} rows): {_ONE_DIVERGENCE[name]}"
             elif name in oracles:
                 ok, msg = compare(df, con, oracles[name])
             else:
