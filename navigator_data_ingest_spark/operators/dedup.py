@@ -1005,7 +1005,12 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hit.agg(
             F.count(F.lit(1)).alias("n_true_pairs"),
-            F.sum(F.coalesce(F.col("_c"), F.lit(0))).alias("n_found"),
+            # coalesce the OUTER sum too: with zero true pairs (1-doc /
+            # empty corpora) sum-over-no-rows is NULL but the count
+            # convention — and the oracle — says 0 found
+            F.coalesce(
+                F.sum(F.coalesce(F.col("_c"), F.lit(0))), F.lit(0)
+            ).alias("n_found"),
         )
         .join(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
         .select(

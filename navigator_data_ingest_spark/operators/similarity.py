@@ -388,6 +388,11 @@ def sim_search_bruteforce_np_scored(spark: SparkSession, sf_dir: str) -> DataFra
                 col[vids == qid] = -np.inf  # exclude self
                 k = min(TOP_K, len(col))
                 top = np.argpartition(-col, k - 1)[:k]
+                # drop the -inf self marker: a batch with < k non-self
+                # rows (the n = 1 corpus is the extreme) must not leak
+                # a phantom (qid, qid) row the SQL oracle's
+                # vec_id <> query_id join never produces
+                top = top[np.isfinite(col[top])]
                 out_q.extend([qid] * len(top))
                 out_v.extend(vids[top])
                 out_c.extend(col[top])
@@ -398,7 +403,13 @@ def sim_search_bruteforce_np_scored(spark: SparkSession, sf_dir: str) -> DataFra
     local = e.select("vec_id", "embedding").mapInPandas(
         _score, schema="query_id bigint, vec_id bigint, cos double"
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    # rank on the QUANTIZED cosine (round 6dp, the emitted grain) with
+    # the vec_id tie-break — an ulp-level near-tie between numpy-matmul
+    # and SQL-fold cosines then resolves identically in both engines by
+    # construction (r9 ADVICE); the oracle ranks on round(c, 6) too
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos", 6)), F.asc("vec_id")
+    )
     return (
         local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
@@ -1460,11 +1471,27 @@ def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     mu = F.array(*[F.col(f"sx{j}") / F.col("n") for j in range(EMB_DIM)])
+    # a dimension's std is undefined with n < 2 or zero deviation
+    # (round-10 single-row probe): NULL element, which NULL-propagates
+    # through the z² chain to a NULL score in BOTH engines — never an
+    # ANSI crash. At n = 1 the discriminant is exactly 0 (single term,
+    # no summation-order dependence).
     sd = F.array(
         *[
-            F.sqrt(
-                (F.col(f"sxx{j}") - F.col(f"sx{j}") * F.col(f"sx{j}") / F.col("n"))
-                / (F.col("n") - 1)
+            F.when(
+                (F.col("n") >= 2)
+                & (
+                    F.col(f"sxx{j}")
+                    - F.col(f"sx{j}") * F.col(f"sx{j}") / F.col("n")
+                    > 0
+                ),
+                F.sqrt(
+                    (
+                        F.col(f"sxx{j}")
+                        - F.col(f"sx{j}") * F.col(f"sx{j}") / F.col("n")
+                    )
+                    / (F.col("n") - 1)
+                ),
             )
             for j in range(EMB_DIM)
         ]
@@ -1503,7 +1530,9 @@ def emb_outlier_zscore_sql() -> str:
         GROUP BY j
     ), lists AS (
         SELECT list(sx / n ORDER BY j) AS mu,
-               list(sqrt((sxx - sx * sx / n) / (n - 1)) ORDER BY j) AS sd
+               list(CASE WHEN n >= 2 AND (sxx - sx * sx / n) > 0 THEN
+                        sqrt((sxx - sx * sx / n) / (n - 1)) END
+                    ORDER BY j) AS sd
         FROM dims
     ), scored AS (
         SELECT vec_id,
@@ -1731,12 +1760,21 @@ def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     norm2 = " + ".join(f"{w(i)} * {w(i)}" for i in range(EMB_DIM))
     wmax = "greatest(" + ", ".join(f"abs({w(i)})" for i in range(EMB_DIM)) + ")"
+    # whitening is undefined with n < 2 or ANY zero-deviation dimension
+    # (round-10 single-row probe): ONE whole-row guard via least() over
+    # the 64 discriminants, evaluated BEFORE any division — NULL audit
+    # columns, not an ANSI crash; identical guard both engines
+    wdef = (
+        "(n >= 2 AND least("
+        + ", ".join(f"(sxx{i} - sx{i} * sx{i} / n)" for i in range(EMB_DIM))
+        + ") > 0)"
+    )
     return (
         emb.crossJoin(stats)
         .selectExpr(
             "vec_id",
-            f"round({norm2}, 6) AS w_norm2",
-            f"round({wmax}, 6) AS w_absmax",
+            f"CASE WHEN {wdef} THEN round({norm2}, 6) END AS w_norm2",
+            f"CASE WHEN {wdef} THEN round({wmax}, 6) END AS w_absmax",
         )
         .orderBy("vec_id")
     )
@@ -1756,11 +1794,18 @@ def emb_whitening_sql() -> str:
 
     norm2 = " + ".join(f"{w(i)} * {w(i)}" for i in range(EMB_DIM))
     wmax = "greatest(" + ", ".join(f"abs({w(i)})" for i in range(EMB_DIM)) + ")"
+    wdef = (
+        "(n >= 2 AND least("
+        + ", ".join(f"(sxx{i} - sx{i} * sx{i} / n)" for i in range(EMB_DIM))
+        + ") > 0)"
+    )
     return f"""
     WITH stats AS (
         SELECT count(*)::BIGINT AS n, {stat_cols} FROM embeddings
     )
-    SELECT vec_id, round({norm2}, 6) AS w_norm2, round({wmax}, 6) AS w_absmax
+    SELECT vec_id,
+           CASE WHEN {wdef} THEN round({norm2}, 6) END AS w_norm2,
+           CASE WHEN {wdef} THEN round({wmax}, 6) END AS w_absmax
     FROM embeddings CROSS JOIN stats
     ORDER BY vec_id
     """
@@ -1907,12 +1952,18 @@ def emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     vmax = "greatest(" + ", ".join(vars_) + ")"
     vmin = "least(" + ", ".join(vars_) + ")"
+    # no pairs with n < 2 (the identity divides by n(n−1)); the ratio
+    # needs a strictly positive min variance (exactly 0 at n = 1 — a
+    # single normalized vector has zero spread in every dim). Round-10
+    # single-row probe: NULL, not an ANSI crash; both engines.
     return g.selectExpr(
         "n AS n_vectors",
-        f"round((({ssq}) - n) / (n * (n - 1.0)), 6) AS mean_pairwise_cos",
+        f"CASE WHEN n >= 2 THEN "
+        f"round((({ssq}) - n) / (n * (n - 1.0)), 6) END AS mean_pairwise_cos",
         f"round({vmax}, 6) AS dim_var_max",
         f"round({vmin}, 6) AS dim_var_min",
-        f"round({vmax} / {vmin}, 2) AS dim_var_ratio",
+        f"CASE WHEN {vmin} > 0 THEN "
+        f"round({vmax} / {vmin}, 2) END AS dim_var_ratio",
     )
 
 
@@ -1936,10 +1987,13 @@ def emb_isotropy_sql() -> str:
         SELECT count(*)::BIGINT AS n, {", ".join(cols)} FROM e
     )
     SELECT n AS n_vectors,
-           round((({ssq}) - n) / (n * (n - 1.0)), 6) AS mean_pairwise_cos,
+           CASE WHEN n >= 2 THEN
+               round((({ssq}) - n) / (n * (n - 1.0)), 6)
+           END AS mean_pairwise_cos,
            round({vmax}, 6) AS dim_var_max,
            round({vmin}, 6) AS dim_var_min,
-           round({vmax} / {vmin}, 2) AS dim_var_ratio
+           CASE WHEN {vmin} > 0 THEN
+               round({vmax} / {vmin}, 2) END AS dim_var_ratio
     FROM g
     """
 
@@ -2215,10 +2269,15 @@ def emb_dim_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("s * s / nl")).alias("bss_raw"),
     )
     # total SS = qt - st^2/n ; between SS = bss_raw - st^2/n
+    # η² is undefined with zero total SS (n = 1 gives qt = st²/n
+    # exactly — a single value, no summation-order dependence):
+    # NULL, not an ANSI crash (round-10 single-row probe), both engines
     return (
         out.selectExpr(
             "cast(dim as int) AS dim",
-            "round((bss_raw - st * st / n) / (qt - st * st / n), 6) AS eta2",
+            "CASE WHEN (qt - st * st / n) > 0 THEN "
+            "round((bss_raw - st * st / n) / (qt - st * st / n), 6) END"
+            " AS eta2",
             "round(st / n, 6) AS mean_val",
         )
         .orderBy("dim")
@@ -2243,7 +2302,9 @@ def emb_dim_relevance_sql() -> str:
         FROM per_label GROUP BY 1
     )
     SELECT dim::INT AS dim,
-           round((bss_raw - st * st / n) / (qt - st * st / n), 6) AS eta2,
+           CASE WHEN (qt - st * st / n) > 0 THEN
+               round((bss_raw - st * st / n) / (qt - st * st / n), 6)
+           END AS eta2,
            round(st / n, 6) AS mean_val
     FROM agg ORDER BY dim
     """
@@ -2401,6 +2462,14 @@ def emb_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (sqrt(cast(s as double) * s - sum_pp)"
         " * sqrt(cast(s as double) * s - sum_tt)))"
     )
+    # MCC is undefined when a single class owns every true (s² = Σt_k²)
+    # or every predicted (s² = Σp_k²) label — EXACT integer
+    # discriminants in decimal(38,0)/HUGEINT (round-10 single-row
+    # probe): NULL, not an ANSI crash; identical guard both engines
+    mcc_def = (
+        "(cast(s as decimal(38,0)) * s > sum_tt"
+        " AND cast(s as decimal(38,0)) * s > sum_pp)"
+    )
     return (
         per_class.crossJoin(glob)
         .selectExpr(
@@ -2412,7 +2481,7 @@ def emb_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{sp_rat6('tp', 't_k')} AS recall",
             f"CASE WHEN tp > 0 THEN {sp_rat6('2 * tp', 'p_k + t_k')} END AS f1",
             f"{sp_rat6('corr', 's')} AS accuracy",
-            f"round({mcc}, 6) AS mcc",
+            f"CASE WHEN {mcc_def} THEN round({mcc}, 6) END AS mcc",
         )
         .orderBy("label")
     )
@@ -2472,7 +2541,9 @@ def emb_confusion_metrics_sql() -> str:
            {dk_rat6('tp', 't_k')} AS recall,
            CASE WHEN tp > 0 THEN {dk_rat6('2 * tp', 'p_k + t_k')} END AS f1,
            {dk_rat6('corr', 's')} AS accuracy,
-           round({mcc}, 6) AS mcc
+           CASE WHEN s::HUGEINT * s > sum_tt
+                 AND s::HUGEINT * s > sum_pp THEN
+               round({mcc}, 6) END AS mcc
     FROM per_class CROSS JOIN gtot
     ORDER BY label
     """
@@ -2512,7 +2583,10 @@ def emb_variance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dim", "sq"),
     ).selectExpr(
         "cast(dim as int) AS dim",
-        "round((sq.q - sq.s * sq.s / n) / (n - 1.0), 6) AS variance",
+        # sample variance needs n ≥ 2 (round-10 single-row probe):
+        # NULL spectrum rows, not an ANSI crash; identical both engines
+        "CASE WHEN n >= 2 THEN "
+        "round((sq.q - sq.s * sq.s / n) / (n - 1.0), 6) END AS variance",
     )
     wtot = Window.partitionBy()
     wrank = Window.orderBy(F.desc("variance"), F.asc("dim"))
@@ -2522,12 +2596,19 @@ def emb_variance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         grid.withColumn("total_var", F.sum("variance").over(wtot))
         .withColumn("rank", F.row_number().over(wrank))
-        .withColumn("cum_share", F.sum("variance").over(wcum) / F.col("total_var"))
+        .withColumn(
+            "cum_share",
+            F.when(
+                F.col("total_var") > 0,
+                F.sum("variance").over(wcum) / F.col("total_var"),
+            ),
+        )
         .selectExpr(
             "rank",
             "dim",
             "variance",
-            "round(variance / total_var, 6) AS var_share",
+            "CASE WHEN total_var > 0 THEN "
+            "round(variance / total_var, 6) END AS var_share",
             "round(cum_share, 6) AS cum_share",
             "cum_share >= 0.9 AS reaches_90pct",
         )
@@ -2543,20 +2624,23 @@ def emb_variance_spectrum_sql() -> str:
         FROM embeddings
     ), grid AS (
         SELECT dim::INT AS dim,
-               round((sum(v * v) - sum(v) * sum(v) / count(*))
-                     / (count(*) - 1.0), 6) AS variance
+               CASE WHEN count(*) >= 2 THEN
+                   round((sum(v * v) - sum(v) * sum(v) / count(*))
+                         / (count(*) - 1.0), 6) END AS variance
         FROM x GROUP BY 1
     ), ranked AS (
         SELECT dim, variance,
                sum(variance) OVER () AS total_var,
                row_number() OVER (ORDER BY variance DESC, dim) AS rank,
-               sum(variance) OVER (ORDER BY variance DESC, dim
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   / sum(variance) OVER () AS cum_share
+               CASE WHEN sum(variance) OVER () > 0 THEN
+                   sum(variance) OVER (ORDER BY variance DESC, dim
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       / sum(variance) OVER () END AS cum_share
         FROM grid
     )
     SELECT rank, dim, variance,
-           round(variance / total_var, 6) AS var_share,
+           CASE WHEN total_var > 0 THEN
+               round(variance / total_var, 6) END AS var_share,
            round(cum_share, 6) AS cum_share,
            cum_share >= 0.9 AS reaches_90pct
     FROM ranked ORDER BY rank
@@ -2749,7 +2833,10 @@ def emb_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "n AS n_vectors",
             f"{sp_rat6('s6', 'n * 1000000')} AS mean_norm",
-            f"round(sqrt(greatest({var}, 0.0)), 6) AS sd_norm",
+            # sd needs n ≥ 2 (round-10 single-row probe): NULL, not an
+            # ANSI crash; identical guard both engines
+            f"CASE WHEN n >= 2 THEN "
+            f"round(sqrt(greatest({var}, 0.0)), 6) END AS sd_norm",
             f"""{sp_rat6(
                 'cast(s6 as decimal(38,0)) * gn',
                 'cast(n as decimal(38,0)) * gs6',
@@ -2779,7 +2866,8 @@ def emb_norm_by_label_sql() -> str:
     )
     SELECT label, n AS n_vectors,
            {dk_rat6('s6', 'n * 1000000')} AS mean_norm,
-           round(sqrt(greatest({var}, 0.0)), 6) AS sd_norm,
+           CASE WHEN n >= 2 THEN
+               round(sqrt(greatest({var}, 0.0)), 6) END AS sd_norm,
            {dk_rat6('s6::HUGEINT * gn', 'n::HUGEINT * gs6')}
                AS norm_ratio_vs_global
     FROM per CROSS JOIN g
@@ -3269,9 +3357,14 @@ def emb_cka_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ss_xy"),
     )
+    # CKA needs both self-block Frobenius norms positive; each ss_* is
+    # a sum of NON-NEGATIVE cc² terms, so = 0 exactly (order-free, both
+    # engines) when every centered cell is 0 — the n = 1 corpus
+    # (round-10 single-row probe): NULL, not an ANSI crash
     return blk.selectExpr(
         "n_vectors",
-        "round(ss_xy / sqrt(ss_xx * ss_yy), 6) AS cka",
+        "CASE WHEN ss_xx > 0 AND ss_yy > 0 THEN "
+        "round(ss_xy / sqrt(ss_xx * ss_yy), 6) END AS cka",
         "round(sqrt(ss_xy), 6) AS cross_norm",
         "round(sqrt(ss_xx), 6) AS x_norm",
         "round(sqrt(ss_yy), 6) AS y_norm",
@@ -3306,7 +3399,8 @@ def emb_cka_similarity_sql() -> str:
         FROM c
     )
     SELECT n_vectors,
-           round(ss_xy / sqrt(ss_xx * ss_yy), 6) AS cka,
+           CASE WHEN ss_xx > 0 AND ss_yy > 0 THEN
+               round(ss_xy / sqrt(ss_xx * ss_yy), 6) END AS cka,
            round(sqrt(ss_xy), 6) AS cross_norm,
            round(sqrt(ss_xx), 6) AS x_norm,
            round(sqrt(ss_yy), 6) AS y_norm

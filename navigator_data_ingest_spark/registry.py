@@ -1883,7 +1883,8 @@ register(
         FROM embeddings e JOIN q ON e.vec_id <> q.query_id
     ), ranked AS (
         SELECT query_id, vec_id,
-               row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(c, 6) DESC, vec_id) AS rank
         FROM scored
     )
     SELECT query_id, vec_id, rank::int AS rank

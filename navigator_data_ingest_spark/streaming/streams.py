@@ -1563,11 +1563,19 @@ def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         query.awaitTermination()
-        progress = [p for p in query.recentProgress if p["numInputRows"] > 0]
+        progress = list(query.recentProgress)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     rows = []
+    # batch_id is the MICRO-BATCH index, not the position among
+    # non-empty batches: with maxFilesPerTrigger=1 a zero-row chunk
+    # file (the n=1 feed stamps schema-only chunks) still consumes a
+    # batch, and the oracle's rank expression numbers by CHUNK —
+    # renumbering after the filter mislabels the surviving batches
+    # (round-10 single-row probe)
     for k, p in enumerate(progress):
+        if p["numInputRows"] <= 0:
+            continue
         et = p.get("eventTime", {}) or {}
         rows.append(
             (

@@ -43,7 +43,6 @@ _EMPTY_DIVERGENCE = {
     # deliberately untouched).
     "q_tablesample": "every() NULL vs literal-true invariants on empty",
     "sink_range_sorted_write": "every() NULL vs literal invariants on empty",
-    "dedup_recall_report": "0-vs-NULL recall counters on empty",
     "src_file_metadata": "file-count metadata vs view-derived 0s on empty",
     "sink_python_datasource": "task-count n_files vs view-derived on empty",
     # per-dimension unrolled aggregates emit EMB_DIM NULL-stat rows on

@@ -153,10 +153,13 @@ def test_multimodal_schema_and_stub(spark):
 
 
 def test_bruteforce_np_matches_fold_exact(spark):
-    """The vectorized ANN path returns the same neighbors, ranks AND
-    rounded cosines as the bit-exact fold baseline (float path
-    differences only move cosines at ~1e-15, far below the ranking
-    granularity of this corpus) — the value gate behind the registered
+    """The vectorized ANN path returns the same neighbors and rounded
+    cosines as the bit-exact fold baseline (float path differences only
+    move cosines at ~1e-15, far below the ranking granularity of this
+    corpus), and its ranks follow the QUANTIZED contract — sort on
+    (round(cos, 6) DESC, vec_id), the same keys its SQL oracle ranks on
+    (r9 ADVICE: ulp-level near-ties must resolve identically across
+    engines by construction) — the value gate behind the registered
     integer projection's SQL oracle (VERDICT r8 #2)."""
     from navigator_data_ingest_spark.operators.similarity import (
         sim_search_bruteforce,
@@ -174,8 +177,18 @@ def test_bruteforce_np_matches_fold_exact(spark):
     }
     assert set(base) == set(fast), "neighbor id sets diverge"
     for k, (rank, cos) in base.items():
-        assert fast[k][0] == rank, f"rank flip at {k}"
         assert abs(fast[k][1] - cos) < 1e-9, f"cosine drift at {k}"
+    # np ranks = the quantized re-ranking of the fold neighbor set
+    by_query: dict = {}
+    for (qid, vid), (_, cos) in base.items():
+        by_query.setdefault(qid, []).append((round(cos, 6), vid))
+    expected = {}
+    for qid, rows in by_query.items():
+        for i, (_, vid) in enumerate(
+            sorted(rows, key=lambda t: (-t[0], t[1])), start=1
+        ):
+            expected[(qid, vid)] = i
+    assert {k: v[0] for k, v in fast.items()} == expected
     # the registered driver surface is the integer projection of scored
     proj = {
         (r.query_id, r.vec_id): r.rank
