@@ -157,11 +157,27 @@ def main() -> None:
         if dt == dt:
             total += dt
 
+    # Per-query timings go on their OWN stdout line (and a sidecar file)
+    # BEFORE the summary: at 68 headliners the combined line (~2.3 KB)
+    # overflowed the driver's stdout tail-capture window, leaving
+    # BENCH_r09 "parsed": null. The FINAL line is the short summary the
+    # driver tail-parses; per-query attribution stays one line up and in
+    # bench_queries.json.
+    print(json.dumps({"bench_queries": timings, "sf": sf}))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_queries.json"),
+            "w",
+        ) as fh:
+            json.dump({"queries": timings, "sf": sf}, fh)
+    except OSError as e:
+        print(f"bench: sidecar write failed ({e})", file=sys.stderr)
     print(json.dumps({
         "metric": "headline_total_runtime",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": timings,
+        "n_queries": len(timings),
         "sf": sf,
     }))
     spark.stop()

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from navigator_data_ingest_spark.functions.exact import (
     dk_rat6,
@@ -1232,15 +1233,20 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_smod")
         )
     )
-    # seed bit index NEEDS no window: seeds are exactly k ≡ 1 (mod smod),
-    # so idx = (k-1)/smod is unique per seed and bounded by
-    # n/smod ≤ SEED_TARGET+1 < 64 at any corpus size
+    # seed bit index = RANK over the bounded seed stripe (≤ SEED_TARGET
+    # + 1 rows — the one intentionally-serial window, like the kmeans
+    # seed pick), NOT (k-1)/smod from the raw key value: with SPARSE
+    # supplier keys that quotient can exceed 63, where Spark's shiftleft
+    # masks the shift amount mod 64 (silent seed aliasing) and
+    # bit_get(mask, idx) raises (r9 ADVICE). The stripe row count is
+    # ≤ n/smod + 1 < 64 regardless of key density.
+    sw = Window.orderBy("k")
     sidx = (
         supp.crossJoin(smod)
         .where(F.col("k") % F.col("_smod") == 1)
         .select(
             F.concat(F.lit("s:"), F.col("k").cast("string")).alias("seed"),
-            ((F.col("k") - 1) / F.col("_smod")).cast("int").alias("idx"),
+            (F.row_number().over(sw) - 1).cast("int").alias("idx"),
         )
         .localCheckpoint(eager=False)
     )

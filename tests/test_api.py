@@ -227,3 +227,33 @@ def test_harmonic_bitmap_matches_frontier(spark):
     new = key(graph_harmonic_centrality(spark, SF_CORRECT).collect())
     old = key(graph_harmonic_centrality_frontier(spark, SF_CORRECT).collect())
     assert new == old and len(new) >= 1
+
+
+def test_harmonic_bitmap_sparse_seed_keys(spark, tmp_path):
+    """Seed bit indices derive from a RANK over the bounded seed
+    stripe, not from the raw key value (r9 ADVICE): with SPARSE
+    supplier keys the old (k-1)/smod quotient exceeded 63, where
+    shiftleft silently wraps mod 64 (seed aliasing) and bit_get
+    raises. Keys 1 / 101 / 6401 are all seeds under smod=100; the
+    raw-key quotients 0 / 1 / 64 would alias seed 6401 onto seed 1."""
+    from navigator_data_ingest_spark.operators.graph import (
+        graph_harmonic_centrality,
+        graph_harmonic_centrality_frontier,
+    )
+
+    rows = [
+        # (l_partkey, l_suppkey): seeds 1, 101, 6401; 7 a non-seed
+        (10, 1), (11, 1), (11, 101), (12, 101),
+        (12, 6401), (13, 6401), (13, 7),
+    ]
+    spark.createDataFrame(
+        rows, "l_partkey bigint, l_suppkey bigint"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    key = lambda rows: [  # noqa: E731
+        (r.seed, r.n_hop1, r.n_hop2, r.n_hop3, r.harmonic_3hop) for r in rows
+    ]
+    new = key(graph_harmonic_centrality(spark, str(tmp_path)).collect())
+    old = key(graph_harmonic_centrality_frontier(spark, str(tmp_path)).collect())
+    assert new == old
+    assert [r[0] for r in new] == ["s:1", "s:101", "s:6401"]

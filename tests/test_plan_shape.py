@@ -413,6 +413,10 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "stats_anderson_darling_2s",
     # DAYS-bounded calendar grain (position index + cumulative rule)
     "stats_cox_stuart", "split_temporal",
+    # round 10: seed-bit rank over the derived-modulus seed stripe
+    # (≤ SEED_TARGET+1 rows) — rank-based idx is key-density-proof,
+    # unlike (k-1)/smod which can exceed 63 on sparse keys (r9 ADVICE)
+    "graph_harmonic_centrality",
     # column-bisect diagnostic projections (same plan, projected)
     "stats_mann_whitney_u", "stats_mann_whitney_z",
     "q_orders_pareto_8020",
