@@ -27,6 +27,28 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 # whole registry instead of re-certifying the same head. The full local
 # sweep (scripts/sweep.py) stays the all-query safety net.
 _DRIVER_CERTIFIED = frozenset({
+    # round 9 sample (CORRECTNESS_r09.json): 50/50 hash-green — the
+    # second consecutive fully-green driver round; retires the last
+    # rows-only rows (the three invariant-oracle conversions led the
+    # head) and certifies the stream_*/emb_*/corpus_*/graph_* backlog.
+    "cdc_scd2", "cdc_upsert", "corpus_funnel", "corpus_lang_purity",
+    "corpus_mix_report", "corpus_ngram_novelty", "corpus_overlap",
+    "corpus_preference_pairs", "corpus_sample_exact_k",
+    "corpus_tokenizer_fertility", "emb_centroid_distances",
+    "emb_centroid_drift", "emb_centroids", "emb_confusion_metrics",
+    "emb_duplicate_vectors", "emb_intrinsic_dim", "emb_ivf_cell_census",
+    "emb_kmeans", "emb_label_purity", "emb_lsh_tuning", "emb_norm_by_label",
+    "emb_pq", "emb_variance_spectrum", "filter_blocklist",
+    "graph_degree_distribution", "graph_harmonic_centrality",
+    "graph_pagerank", "graph_rich_club", "pack_boundary_stats",
+    "pack_sequences", "q_sql_regexp_surface", "sample_cap_per_source",
+    "sample_class_balance", "sample_neyman_allocation", "sample_stratified",
+    "sample_temperature", "sim_search_bruteforce_np", "split_train_holdout",
+    "src_parquet_footer_stats", "stream_dedup_wm", "stream_enrich_join",
+    "stream_foreachbatch_upsert", "stream_incremental_files",
+    "stream_outer_join_expiry", "stream_session_append",
+    "stream_static_enrich", "stream_unique_users_windowed",
+    "stream_windowed_topk", "text_compression_ratio", "text_sentence_stats",
     # round 8 sample (CORRECTNESS_r08.json): 50/50 hash-green — the
     # first fully-green driver round; closes the r7 type-surface class
     # (all 12 triage keys) and certifies the round-8 new-operator wave.
@@ -199,57 +221,45 @@ _DRIVER_CERTIFIED = frozenset({
 # certified
 _FRONT: set[str] = set()
 
-# Round-9 head block (VERDICT r8 "Next round" #2): the three ops whose
-# driver rows were permanently `no_oracle` under the rows-only design
-# now carry invariant SQL oracles — pinned at positions 1-3 so
-# CORRECTNESS_r09 retires the last red rows in the file.
-_HEAD_FIRST: tuple[str, ...] = (
-    "sim_search_bruteforce_np",
-    "text_compression_ratio",
-    "src_parquet_footer_stats",
-)
+# Round-10: no head-pinned triage keys — the r9 invariant-oracle trio
+# certified green and rotated into _DRIVER_CERTIFIED; the mechanism
+# stays for future hash-fail triage rounds.
+_HEAD_FIRST: tuple[str, ...] = ()
 _HEAD_POS = {n: i for i, n in enumerate(_HEAD_FIRST)}
 
-# Round-9 sample fill (VERDICT r8 "Next round" #1): burn down the
-# never-driver-sampled backlog at maximum rate — the entire head-50 is
-# never-sampled keys, oldest zero-certification families first
-# (stream_*, cdc_*, then the graph_*/emb_*/corpus_* remainders, then
-# sample_*/pack_*/split_*/filter_* and the two round-8 ops that just
-# missed the r8 cut line). The r8-certified diagnostics
-# (q_events_concurrency_* / stats_mann_whitney_*) stay registered as
-# regression canaries but never consume head slots again (VERDICT r8
-# #6). The tail past 50 (mm_*, sim_*, §2.2 round-trips) leads the
-# round-10 rotation. ORDERED: rank = position here.
+# Round-10 sample fill (VERDICT r9 "Next round" #2): the entire
+# head-50 is never-sampled keys again, thinnest zero-certification
+# families first — the q10-q22 TPC-H shapes (zero driver rows since
+# round 1), then the q_events_* backlog, the stats_* long tail, and
+# the text_*/dedup_* remainders. The tail past 50 (the r9 new ops,
+# mm_*, sim_*, §2.2 round-trips) leads the round-11 rotation.
+# ORDERED: rank = position here.
 _FRONT_NEW_ORDER: tuple[str, ...] = (
-    # streaming family — oldest never-sampled block (9)
-    "stream_unique_users_windowed", "stream_enrich_join", "stream_dedup_wm",
-    "stream_session_append", "stream_windowed_topk",
-    "stream_foreachbatch_upsert", "stream_outer_join_expiry",
-    "stream_static_enrich", "stream_incremental_files",
-    # cdc remainders (2)
-    "cdc_upsert", "cdc_scd2",
-    # graph remainders (4)
-    "graph_pagerank", "graph_degree_distribution",
-    "graph_harmonic_centrality", "graph_rich_club",
-    # emb remainders (13)
-    "emb_centroids", "emb_pq", "emb_kmeans", "emb_label_purity",
-    "emb_centroid_distances", "emb_confusion_metrics",
-    "emb_variance_spectrum", "emb_intrinsic_dim", "emb_norm_by_label",
-    "emb_lsh_tuning", "emb_centroid_drift", "emb_ivf_cell_census",
-    "emb_duplicate_vectors",
-    # corpus remainders (8)
-    "corpus_overlap", "corpus_funnel", "corpus_mix_report",
-    "corpus_tokenizer_fertility", "corpus_sample_exact_k",
-    "corpus_ngram_novelty", "corpus_lang_purity", "corpus_preference_pairs",
-    # sample/pack/split/filter zero-certification families (9)
-    "sample_class_balance", "sample_neyman_allocation", "sample_stratified",
-    "sample_temperature", "sample_cap_per_source", "pack_boundary_stats",
-    "pack_sequences", "split_train_holdout", "filter_blocklist",
-    # the two round-8 new ops that just missed the r8 cut line (2)
-    "q_sql_regexp_surface", "text_sentence_stats",
-    # ---- cut line: 3 head + 47 above = the driver's 50 ----
-    # round-10 leaders: the round-9 new ops (behind the backlog per
-    # VERDICT r8 #1), then multimodal, similarity, §2.2 round-trips
+    # TPC-H query shapes — never driver-sampled since round 1 (21)
+    "q2_min_cost_supplier", "q4_order_priority", "q6_revenue_delta",
+    "q7_nation_volume", "q8_market_share", "q9_profit_shape",
+    "q10_returned_customers", "q10_returned_items", "q11_important_stock",
+    "q12_priority_lines", "q13_order_distribution", "q14_promo_effect",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_variety",
+    "q17_small_qty_revenue", "q18_large_orders", "q19_bracket_revenue",
+    "q20_promotion_supply", "q21_blamed_supplier", "q22_idle_customers",
+    # q_events_* backlog — oldest registrations first (12)
+    "q_events_funnel", "q_events_sliding", "q_events_moving_avg",
+    "q_events_percentiles", "q_events_json", "q_events_gapfill",
+    "q_events_ffill", "q_events_histogram", "q_events_range_frame",
+    "q_events_zscore", "q_events_ohlc", "q_events_gap_histogram",
+    # stats_* long tail (9)
+    "stats_autocorrelation", "stats_ks_drift", "stats_profile_table",
+    "stats_cogroup_monthly", "stats_price_index", "stats_wilson_ci",
+    "stats_ljung_box", "stats_grubbs", "stats_pacf",
+    # text_* remainder (5)
+    "text_normalize", "text_repetition", "text_readability",
+    "text_gopher_rules", "text_contamination",
+    # dedup_* remainder (3)
+    "dedup_incremental", "dedup_url", "dedup_survivorship",
+    # ---- cut line: 50 above = the driver's 50 ----
+    # round-11 leaders: the round-9 new ops, then multimodal,
+    # similarity, §2.2 round-trips
     "sink_hll_sketch_union", "q_sql_recursive_cte",
     "mm_frame_sample", "mm_phash_neardup", "mm_audio_chunk",
     "mm_codec_stats", "mm_bitrate",
