@@ -2420,12 +2420,24 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         m = obs.get
-    except Exception:
+    except Exception as exc:
         # zero-task plans never fire the observation listener (Spark
         # collapses an empty scan to a LocalTableScan and Observation.get
         # throws from toPyRow — round-9 empty-input axis). The pipeline
         # must not lose its job to a metrics read: recompute the same
         # exact metrics with one direct aggregate over the (empty) input.
+        # ONLY that documented case falls back (r9 ADVICE): any other
+        # observation failure is a listener regression this op exists to
+        # surface, and it propagates.
+        if "toPyRow" not in str(exc):
+            raise
+        import sys as _sys
+
+        print(
+            "q_observe_metrics: Observation.get hit the zero-task "
+            "LocalTableScan case; recomputing via direct aggregate",
+            file=_sys.stderr,
+        )
         m = orders.agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.expr(
