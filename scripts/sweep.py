@@ -105,20 +105,36 @@ def main() -> None:
         import duckdb as _dk
 
         src = sf_dir
-        sf_dir = _derived_corpus(src, "one" if one_mode else "empty")
+        tag = "empty"
+        if one_mode:
+            tag = (
+                "onedesc"
+                if os.environ["SWEEP_ONE"].lower() == "desc"
+                else "one"
+            )
+        sf_dir = _derived_corpus(src, tag)
         _con = _dk.connect()
         import glob as _glob
 
         for _p in _glob.glob(os.path.join(src, "*.parquet")):
             _t = os.path.basename(_p)
             if one_mode:
+                # SWEEP_ONE=desc draws the MAXIMUM row instead of the
+                # minimum — a second, different 1-row corpus, so a guard
+                # accidentally tuned to the specific min-row values
+                # (zero cents, first date, label 0) is still exercised
+                _dir = (
+                    "DESC"
+                    if os.environ["SWEEP_ONE"].lower() == "desc"
+                    else "ASC"
+                )
                 _cols = [
                     r[0]
                     for r in _con.execute(
                         f"DESCRIBE SELECT * FROM '{_p}'"
                     ).fetchall()
                 ]
-                _ob = ", ".join(f'"{c}"' for c in _cols)
+                _ob = ", ".join(f'"{c}" {_dir}' for c in _cols)
                 _sel = f"SELECT * FROM '{_p}' ORDER BY {_ob} LIMIT 1"
             else:
                 _sel = f"SELECT * FROM '{_p}' LIMIT 0"
