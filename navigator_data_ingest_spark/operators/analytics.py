@@ -2295,6 +2295,13 @@ def stats_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" / sqrt({pool} * (1.0 - {pool})"
         f" * (1.0 / nullif(n_a, 0) + 1.0 / nullif(n_b, 0))), 6)"
     )
+    # the pooled factor p̂(1−p̂) is 0 when NOBODY or EVERYBODY converts
+    # (round-10 n=3 probe — 3 users, none past the 20% rule): z is
+    # undefined there, exact integer guard both engines
+    zdef = (
+        "(n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0"
+        " AND conv_a + conv_b < n_a + n_b)"
+    )
     return agg.selectExpr(
         "n_a",
         "conv_a",
@@ -2302,7 +2309,7 @@ def stats_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_b",
         "conv_a * 1000 div nullif(n_a, 0) AS conv_a_permille",
         "conv_b * 1000 div nullif(n_b, 0) AS conv_b_permille",
-        f"{z} AS z_score",
+        f"CASE WHEN {zdef} THEN {z} END AS z_score",
     )
 
 
@@ -4714,12 +4721,23 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ANSI Spark 4 session a bare `u2_a / 2.0` types as decimal(27,6)
     # while DuckDB's BIGINT / 2.0 is DOUBLE — equal values, different
     # hash surface (r7 driver flip; VERDICT r7 "What's wrong" #2).
+    # z needs BOTH groups populated and not-all-tied (σ² > 0 iff
+    # tie_term < N³−N — EXACT integer discriminant in decimal(38,0)/
+    # HUGEINT); the effect size needs both groups (round-10 n=2/n=3
+    # probe): NULL, not an ANSI crash; identical guards both engines.
+    zdef = (
+        "(n_a > 0 AND n_b > 0 AND tie_term"
+        " < cast(n_a + n_b as decimal(38,0)) * (n_a + n_b) * (n_a + n_b)"
+        " - (n_a + n_b))"
+    )
     return agg.selectExpr(
         "n_a",
         "n_b",
         "cast(u2_a as double) / 2.0 AS u_a",
-        f"(cast(u2_a as double) / 2.0 - n_a * n_b / 2.0) / {sigma} AS z",
-        f"{sp_rat6(rp, rq)} AS r_rank_biserial",
+        f"CASE WHEN {zdef} THEN "
+        f"(cast(u2_a as double) / 2.0 - n_a * n_b / 2.0) / {sigma} END AS z",
+        f"CASE WHEN n_a > 0 AND n_b > 0 THEN "
+        f"{sp_rat6(rp, rq)} END AS r_rank_biserial",
     )
 
 
@@ -4745,10 +4763,16 @@ def stats_mann_whitney_sql() -> str:
     )
     SELECT n_a, n_b,
            u2_a::DOUBLE / 2.0 AS u_a,
-           (u2_a::DOUBLE / 2.0 - n_a * n_b / 2.0)
+           CASE WHEN n_a > 0 AND n_b > 0 AND tie_term
+                     < (n_a + n_b)::HUGEINT * (n_a + n_b) * (n_a + n_b)
+                       - (n_a + n_b) THEN
+               (u2_a::DOUBLE / 2.0 - n_a * n_b / 2.0)
                  / sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1.0)
-                        - tie_term / ((n_a + n_b) * (n_a + n_b - 1.0)))) AS z,
-           {dk_rat6('(u2_a::HUGEINT - n_a::HUGEINT * n_b)', '(n_a::HUGEINT * n_b)')} AS r_rank_biserial
+                        - tie_term / ((n_a + n_b) * (n_a + n_b - 1.0))))
+           END AS z,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+               {dk_rat6('(u2_a::HUGEINT - n_a::HUGEINT * n_b)', '(n_a::HUGEINT * n_b)')}
+           END AS r_rank_biserial
     FROM agg
     """
 
@@ -5219,12 +5243,16 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rational — emit it through the integer-exact HALF_UP helper (repo
     # round-boundary rule; the r5 driver flipped this column). z passes
     # through sqrt (irrational) so plain round is safe.
+    # z's variance is 0 exactly when n1 = n2 = 1 (2·n1·n2 = n1+n2) or a
+    # sign class is empty — EXACT integer guard (round-10 n=2 probe):
+    # NULL, not an ANSI crash; identical both engines
     return agg.selectExpr(
         "n1",
         "n2",
         "runs",
         f"{sp_rat6('2 * n1 * n2 + n1 + n2', 'n1 + n2')} AS expected_runs",
-        f"round((runs - {mu}) / sqrt({var}), 6) AS z",
+        f"CASE WHEN n1 > 0 AND n2 > 0 AND 2 * n1 * n2 > n1 + n2 THEN "
+        f"round((runs - {mu}) / sqrt({var}), 6) END AS z",
     )
 
 
@@ -5256,7 +5284,8 @@ def stats_runs_test_sql() -> str:
     )
     SELECT n1, n2, runs,
            {dk_rat6('2 * n1 * n2 + n1 + n2', 'n1 + n2')} AS expected_runs,
-           round((runs - {mu}) / sqrt({var}), 6) AS z
+           CASE WHEN n1 > 0 AND n2 > 0 AND 2 * n1 * n2 > n1 + n2 THEN
+               round((runs - {mu}) / sqrt({var}), 6) END AS z
     FROM agg
     """
 
@@ -5933,15 +5962,23 @@ def stats_qq_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "p",
         z_map[F.col("p")].alias("z_theory"),
-        F.round(
-            (F.expr("qs[i]") - F.col("mu")) / F.col("sd"), 6
+        # + 0.0 normalizes IEEE negative zero: at tiny n the p=0.5
+        # interpolant can land an ulp below the rounded mean, and
+        # DuckDB's round() preserves the sign (−0.0) while Spark's
+        # doesn't (round-10 n=2 probe). x + 0.0 is the identity for
+        # every other double in BOTH engines.
+        (
+            F.round((F.expr("qs[i]") - F.col("mu")) / F.col("sd"), 6)
+            + F.lit(0.0)
         ).alias("z_empirical"),
     )
     return rows.select(
         "p",
         "z_theory",
         "z_empirical",
-        F.round(F.col("z_empirical") - F.col("z_theory"), 6).alias("gap"),
+        (
+            F.round(F.col("z_empirical") - F.col("z_theory"), 6) + F.lit(0.0)
+        ).alias("gap"),
     ).orderBy("p")
 
 
@@ -5966,9 +6003,9 @@ def stats_qq_normal_sql() -> str:
     )
     SELECT p,
            CASE p {zcase} END AS z_theory,
-           round((qs[i] - mu) / sd, 6) AS z_empirical,
-           round(round((qs[i] - mu) / sd, 6)
-                 - CASE p {zcase} END, 6) AS gap
+           round((qs[i] - mu) / sd, 6) + 0.0 AS z_empirical,
+           round(round((qs[i] - mu) / sd, 6) + 0.0
+                 - CASE p {zcase} END, 6) + 0.0 AS gap
     FROM rows_ ORDER BY p
     """
 
@@ -6690,14 +6727,17 @@ def stats_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     # factorial form — round-10 single-row probe): NULL, not an ANSI
     # crash; identical guard both engines
     mse_ok = f"(nt > nc AND {ss_e} > 0)"
+    # + 0.0 normalizes IEEE −0.0: a degenerate grid leaves an SS as
+    # round(−1e−18, 2), whose sign DuckDB's round keeps and Spark's
+    # drops (round-10 n=3 probe); identity for every other double
     return out.selectExpr(
         "nt AS n_rows",
         "cast(ka as bigint) AS k_types",
         "cast(kb as bigint) AS k_dows",
-        f"round({ss_a}, 2) AS ss_type",
-        f"round({ss_b}, 2) AS ss_dow",
-        f"round({ss_ab}, 2) AS ss_interaction",
-        f"round({ss_e}, 2) AS ss_error",
+        f"round({ss_a}, 2) + 0.0 AS ss_type",
+        f"round({ss_b}, 2) + 0.0 AS ss_dow",
+        f"round({ss_ab}, 2) + 0.0 AS ss_interaction",
+        f"round({ss_e}, 2) + 0.0 AS ss_error",
         f"CASE WHEN ka >= 2 AND {mse_ok} THEN "
         f"round(({ss_a} / {df_a}) / ({ss_e} / {df_e}), 2) END AS f_type",
         f"CASE WHEN kb >= 2 AND {mse_ok} THEN "
@@ -6746,10 +6786,10 @@ def stats_two_way_anova_sql() -> str:
         FROM tot CROSS JOIN ma CROSS JOIN mb
     )
     SELECT nt AS n_rows, ka AS k_types, kb AS k_dows,
-           round({ss_a}, 2) AS ss_type,
-           round({ss_b}, 2) AS ss_dow,
-           round({ss_ab}, 2) AS ss_interaction,
-           round({ss_e}, 2) AS ss_error,
+           round({ss_a}, 2) + 0.0 AS ss_type,
+           round({ss_b}, 2) + 0.0 AS ss_dow,
+           round({ss_ab}, 2) + 0.0 AS ss_interaction,
+           round({ss_e}, 2) + 0.0 AS ss_error,
            CASE WHEN ka >= 2 AND nt > nc AND {ss_e} > 0 THEN
                round(({ss_a} / {df_a}) / ({ss_e} / {df_e}), 2)
            END AS f_type,
@@ -7137,11 +7177,14 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     tau = (
         "(nc - nd) / sqrt((n0 - (tx + txy)) * cast(n0 - (ty + txy) as double))"
     )
+    # tau-b is undefined when EVERY pair ties on x (or on y) — exact
+    # integer guard (round-10 n=2 probe): NULL, not an ANSI crash
     return agg.selectExpr(
         "n0 AS n_pairs",
         "nc AS n_concordant",
         "nd AS n_discordant",
-        f"round({tau}, 6) AS tau_b",
+        f"CASE WHEN n0 > tx + txy AND n0 > ty + txy THEN "
+        f"round({tau}, 6) END AS tau_b",
     )
 
 
@@ -7162,7 +7205,8 @@ def stats_kendall_tau_sql() -> str:
         FROM d a JOIN d b ON a.o_orderdate < b.o_orderdate
     )
     SELECT n0 AS n_pairs, nc AS n_concordant, nd AS n_discordant,
-           round({tau}, 6) AS tau_b
+           CASE WHEN n0 > tx + txy AND n0 > ty + txy THEN
+               round({tau}, 6) END AS tau_b
     FROM agg
     """
 
@@ -9517,10 +9561,14 @@ def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = "(n * (cast(n as double) * n - 1.0) / 12.0)"
     syy = "(sy2y2 - sy2 * sy2 / n)"
     r2 = f"(sxy * sxy / ({sxx} * {syy}))"
+    # a ≤2-day series is fitted EXACTLY by the trend line, so the
+    # squared residuals have zero variance and R² is undefined
+    # (round-10 n=2 probe): NULL, not an ANSI crash; both engines
     return m.selectExpr(
         "n AS n_days",
-        f"round({r2}, 6) AS bp_r2",
-        f"round(n * {r2}, 2) AS bp_lm",
+        f"CASE WHEN n >= 2 AND {syy} > 0 THEN round({r2}, 6) END AS bp_r2",
+        f"CASE WHEN n >= 2 AND {syy} > 0 THEN round(n * {r2}, 2) END"
+        " AS bp_lm",
     )
 
 
@@ -9556,8 +9604,10 @@ def stats_breusch_pagan_sql() -> str:
         FROM e
     )
     SELECT n AS n_days,
-           round({r2}, 6) AS bp_r2,
-           round(n * {r2}, 2) AS bp_lm
+           CASE WHEN n >= 2 AND {syy} > 0 THEN
+               round({r2}, 6) END AS bp_r2,
+           CASE WHEN n >= 2 AND {syy} > 0 THEN
+               round(n * {r2}, 2) END AS bp_lm
     FROM m
     """
 
@@ -14556,13 +14606,19 @@ def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp_ = f"sqrt(({ssa} + {ssb}) / (na + nb - 2.0))"
     d = f"((cast(sa as double) / na - cast(sb as double) / nb) / {sp_})"
     corr = "(1.0 - 3.0 / (4.0 * (na + nb) - 9.0))"
+    # d needs both groups, pooled df > 0 and positive pooled SS
+    # (round-10 n=2/n=3 probe); + 0.0 normalizes the −0.0 that
+    # Hedges' correction factor produces at N = 3 (corr = 0, and
+    # DuckDB's round() keeps the sign while Spark's drops it)
+    ddef = f"(na > 0 AND nb > 0 AND na + nb >= 3 AND {ssa} + {ssb} > 0)"
     return agg.selectExpr(
         "na AS n_urgent",
         "nb AS n_normal",
         f"{sp_rat('sa', '100 * na', 2)} AS mean_urgent",
         f"{sp_rat('sb', '100 * nb', 2)} AS mean_normal",
-        f"round({d}, 6) AS cohens_d",
-        f"round({d} * {corr}, 6) AS hedges_g",
+        f"CASE WHEN {ddef} THEN round({d}, 6) + 0.0 END AS cohens_d",
+        f"CASE WHEN {ddef} THEN round({d} * {corr}, 6) + 0.0 END"
+        " AS hedges_g",
     )
 
 
@@ -14590,8 +14646,12 @@ def stats_cohens_d_sql() -> str:
     SELECT na AS n_urgent, nb AS n_normal,
            {dk_rat('sa', '100 * na', 2)} AS mean_urgent,
            {dk_rat('sb', '100 * nb', 2)} AS mean_normal,
-           round({d}, 6) AS cohens_d,
-           round({d} * {corr}, 6) AS hedges_g
+           CASE WHEN na > 0 AND nb > 0 AND na + nb >= 3
+                     AND {ssa} + {ssb} > 0 THEN
+               round({d}, 6) + 0.0 END AS cohens_d,
+           CASE WHEN na > 0 AND nb > 0 AND na + nb >= 3
+                     AND {ssa} + {ssb} > 0 THEN
+               round({d} * {corr}, 6) + 0.0 END AS hedges_g
     FROM agg
     """
 
@@ -16786,13 +16846,23 @@ def stats_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(({va} + {vb}) * ({va} + {vb})"
         f" / ({va} * {va} / (na - 1.0) + {vb} * {vb} / (nb - 1.0)))"
     )
+    # the Welch machinery needs n ≥ 2 in BOTH groups and a positive
+    # pooled variance — NESTED CASE because the variance expressions
+    # themselves divide by (n−1) (round-10 n=2/n=3 probe): NULL, not an
+    # ANSI crash; identical guards both engines
+    two = "(na >= 2 AND nb >= 2)"
     return agg.selectExpr(
         "na AS n_a",
         "nb AS n_b",
-        "round(sa / na - sb / nb, 6) AS mean_diff",
-        f"round({t}, 6) AS t_stat",
-        f"round({df_w}, 6) AS df_welch",
-        f"abs({t}) > 1.959964 AS reject_95",
+        "CASE WHEN na > 0 AND nb > 0 THEN "
+        "round(sa / na - sb / nb, 6) END AS mean_diff",
+        f"CASE WHEN {two} THEN CASE WHEN {va} + {vb} > 0 THEN "
+        f"round({t}, 6) END END AS t_stat",
+        f"CASE WHEN {two} THEN CASE WHEN {va} * {va} / (na - 1.0)"
+        f" + {vb} * {vb} / (nb - 1.0) > 0 THEN "
+        f"round({df_w}, 6) END END AS df_welch",
+        f"CASE WHEN {two} THEN CASE WHEN {va} + {vb} > 0 THEN "
+        f"abs({t}) > 1.959964 END END AS reject_95",
     )
 
 
@@ -16816,10 +16886,18 @@ def stats_welch_t_sql() -> str:
         WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
     )
     SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
-           round(sa / na - sb / nb, 6) AS mean_diff,
-           round({t}, 6) AS t_stat,
-           round({df_w}, 6) AS df_welch,
-           abs({t}) > 1.959964 AS reject_95
+           CASE WHEN na > 0 AND nb > 0 THEN
+               round(sa / na - sb / nb, 6) END AS mean_diff,
+           CASE WHEN na >= 2 AND nb >= 2 THEN
+               CASE WHEN {va} + {vb} > 0 THEN
+                   round({t}, 6) END END AS t_stat,
+           CASE WHEN na >= 2 AND nb >= 2 THEN
+               CASE WHEN {va} * {va} / (na - 1.0)
+                         + {vb} * {vb} / (nb - 1.0) > 0 THEN
+                   round({df_w}, 6) END END AS df_welch,
+           CASE WHEN na >= 2 AND nb >= 2 THEN
+               CASE WHEN {va} + {vb} > 0 THEN
+                   abs({t}) > 1.959964 END END AS reject_95
     FROM agg
     """
 
@@ -18677,11 +18755,14 @@ def stats_ww_runs_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / ((cast(n_a as double) + n_b) * (n_a + n_b)"
         " * (n_a + n_b - 1.0)))"
     )
+    # z's variance is 0 with an empty group or n_a = n_b = 1 — exact
+    # integer guard (round-10 n=2 probe): NULL, not an ANSI crash
     return agg.selectExpr(
         "n_a",
         "n_b",
         "runs",
-        f"(cast(runs as double) - {mu}) / sqrt({var}) AS z",
+        f"CASE WHEN n_a > 0 AND n_b > 0 AND 2 * n_a * n_b > n_a + n_b THEN "
+        f"(cast(runs as double) - {mu}) / sqrt({var}) END AS z",
     )
 
 
@@ -18717,7 +18798,8 @@ def stats_ww_runs_two_sample_sql() -> str:
         FROM j
     )
     SELECT n_a, n_b, runs,
-           (runs::DOUBLE - {mu}) / sqrt({var}) AS z
+           CASE WHEN n_a > 0 AND n_b > 0 AND 2 * n_a * n_b > n_a + n_b THEN
+               (runs::DOUBLE - {mu}) / sqrt({var}) END AS z
     FROM agg
     """
 
@@ -18857,13 +18939,25 @@ def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * (nn * cast(s2q as double) - cast(s1 as double) * s1)"
         " / (cast(nn as double) * nn))"
     )
+    # z needs both groups, nn >= 2, and nonzero score variance:
+    # nn*S2q > S1^2. The comparison runs in DOUBLE — S1^2 grows as N^4+
+    # and would overflow the 128-bit lattice the sums live on, while
+    # the degenerate case (all scores equal) is an EXACT integer tie
+    # that both engines round to the SAME doubles (round-10 n=2/n=3
+    # probe): NULL, not an ANSI crash; identical both engines
+    zdef = (
+        "(n_a > 0 AND n_b > 0 AND nn >= 2 AND"
+        " cast(nn as double) * cast(s2q as double)"
+        " > cast(s1 as double) * cast(s1 as double))"
+    )
     return agg.selectExpr(
         "n_a",
         "n_b",
         "cast(a2 as double) / 2.0 AS ab_stat",
         f"{sp_rat6('cast(n_a as decimal(38,0)) * s1', '2 * cast(nn as decimal(38,0))')} AS e_ab",
+        f"CASE WHEN {zdef} THEN "
         f"(cast(a2 as double) / 2.0 - cast(n_a as double) * s1 / (2.0 * nn))"
-        f" / sqrt({var} / 4.0) AS z",
+        f" / sqrt({var} / 4.0) END AS z",
     )
 
 
@@ -18902,8 +18996,11 @@ def stats_ansari_bradley_sql() -> str:
     SELECT n_a, n_b,
            a2::DOUBLE / 2.0 AS ab_stat,
            {dk_rat6('n_a::HUGEINT * s1', '2 * nn::HUGEINT')} AS e_ab,
-           (a2::DOUBLE / 2.0 - n_a::DOUBLE * s1 / (2.0 * nn))
-               / sqrt({var} / 4.0) AS z
+           CASE WHEN n_a > 0 AND n_b > 0 AND nn >= 2
+                     AND nn::DOUBLE * s2q::DOUBLE
+                         > s1::DOUBLE * s1::DOUBLE THEN
+               (a2::DOUBLE / 2.0 - n_a::DOUBLE * s1 / (2.0 * nn))
+                   / sqrt({var} / 4.0) END AS z
     FROM agg
     """
 
@@ -18958,13 +19055,21 @@ def stats_mood_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * (nn * cast(s2q as double) - cast(s1 as double) * s1)"
         " / (cast(nn as double) * nn))"
     )
+    # same degenerate surface as stats_ansari_bradley (round-10 probe);
+    # same DOUBLE comparison rationale (S1² grows as N⁶ here)
+    zdef = (
+        "(n_a > 0 AND n_b > 0 AND nn >= 2 AND"
+        " cast(nn as double) * cast(s2q as double)"
+        " > cast(s1 as double) * cast(s1 as double))"
+    )
     return agg.selectExpr(
         "n_a",
         "n_b",
         "cast(t4 as double) / 4.0 AS t_stat",
         f"{sp_rat6('cast(n_a as decimal(38,0)) * s1', '4 * cast(nn as decimal(38,0))')} AS e_t",
+        f"CASE WHEN {zdef} THEN "
         f"(cast(t4 as double) / 4.0 - cast(n_a as double) * (cast(s1 as double) / nn) / 4.0)"
-        f" / sqrt({var} / 16.0) AS z",
+        f" / sqrt({var} / 16.0) END AS z",
     )
 
 
@@ -19003,8 +19108,11 @@ def stats_mood_scale_sql() -> str:
     SELECT n_a, n_b,
            t4::DOUBLE / 4.0 AS t_stat,
            {dk_rat6('n_a::HUGEINT * s1', '4 * nn::HUGEINT')} AS e_t,
-           (t4::DOUBLE / 4.0 - n_a::DOUBLE * (s1::DOUBLE / nn) / 4.0)
-               / sqrt({var} / 16.0) AS z
+           CASE WHEN n_a > 0 AND n_b > 0 AND nn >= 2
+                     AND nn::DOUBLE * s2q::DOUBLE
+                         > s1::DOUBLE * s1::DOUBLE THEN
+               (t4::DOUBLE / 4.0 - n_a::DOUBLE * (s1::DOUBLE / nn) / 4.0)
+                   / sqrt({var} / 16.0) END AS z
     FROM agg
     """
 
@@ -19243,17 +19351,25 @@ def stats_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa2 = "(cast(du_a as double) / (4.0 * n_a * n_a * (n_a - 1.0)))"
     sb2 = "(cast(du_b as double) / (4.0 * n_b * n_b * (n_b - 1.0)))"
     se2 = f"({sa2} / n_b + {sb2} / n_a)"
+    # the BM machinery needs n ≥ 2 in BOTH groups (S²_own divides by
+    # n_own−1) and a nonzero rank variance (du_a + du_b > 0 — exact
+    # integer sums of non-negative terms); p̂ needs both groups
+    # populated (round-10 n=2/n=3 probe): NULL, not an ANSI crash
+    wdef = "(n_a >= 2 AND n_b >= 2 AND du_a + du_b > 0)"
     return agg.selectExpr(
         "n_a",
         "n_b",
-        f"{sp_rat6('cast(sr2_b as decimal(38,0)) - cast(n_b as decimal(38,0)) * (n_b + 1)', '2 * cast(n_b as decimal(38,0)) * n_a')} AS p_hat",
+        f"CASE WHEN n_a > 0 AND n_b > 0 THEN "
+        f"{sp_rat6('cast(sr2_b as decimal(38,0)) - cast(n_b as decimal(38,0)) * (n_b + 1)', '2 * cast(n_b as decimal(38,0)) * n_a')} END AS p_hat",
+        f"CASE WHEN {wdef} THEN "
         f"(cast(sr2_b as double) / (2.0 * n_b)"
         f" - cast(sr2_a as double) / (2.0 * n_a))"
         f" / sqrt((n_a + n_b) * {se2})"
-        f" * sqrt(cast(n_a as double) * n_b / (n_a + n_b)) AS w_bm",
+        f" * sqrt(cast(n_a as double) * n_b / (n_a + n_b)) END AS w_bm",
+        f"CASE WHEN {wdef} THEN "
         f"({se2} * {se2})"
         f" / (({sa2} / n_b) * ({sa2} / n_b) / (n_a - 1.0)"
-        f"    + ({sb2} / n_a) * ({sb2} / n_a) / (n_b - 1.0)) AS df",
+        f"    + ({sb2} / n_a) * ({sb2} / n_a) / (n_b - 1.0)) END AS df",
     )
 
 
@@ -19297,13 +19413,18 @@ def stats_brunner_munzel_sql() -> str:
         FROM s
     )
     SELECT n_a, n_b,
-           {dk_rat6('sr2_b::HUGEINT - n_b::HUGEINT * (n_b + 1)', '2 * n_b::HUGEINT * n_a')} AS p_hat,
-           (sr2_b::DOUBLE / (2.0 * n_b) - sr2_a::DOUBLE / (2.0 * n_a))
-               / sqrt((n_a + n_b) * {se2})
-               * sqrt(n_a::DOUBLE * n_b / (n_a + n_b)) AS w_bm,
-           ({se2} * {se2})
-               / (({sa2} / n_b) * ({sa2} / n_b) / (n_a - 1.0)
-                  + ({sb2} / n_a) * ({sb2} / n_a) / (n_b - 1.0)) AS df
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+               {dk_rat6('sr2_b::HUGEINT - n_b::HUGEINT * (n_b + 1)', '2 * n_b::HUGEINT * n_a')}
+           END AS p_hat,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND du_a + du_b > 0 THEN
+               (sr2_b::DOUBLE / (2.0 * n_b) - sr2_a::DOUBLE / (2.0 * n_a))
+                   / sqrt((n_a + n_b) * {se2})
+                   * sqrt(n_a::DOUBLE * n_b / (n_a + n_b)) END AS w_bm,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND du_a + du_b > 0 THEN
+               ({se2} * {se2})
+                   / (({sa2} / n_b) * ({sa2} / n_b) / (n_a - 1.0)
+                      + ({sb2} / n_a) * ({sb2} / n_a) / (n_b - 1.0))
+           END AS df
     FROM agg
     """
 
@@ -19845,12 +19966,21 @@ def stats_paired_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - cast(sd as double) * sd) / (cast(n_days as double)"
         " * (n_days - 1.0)))"
     )
+    # t/dz need n ≥ 2 and nonzero difference variance — EXACT integer
+    # discriminant n·Σd² − (Σd)² > 0 in decimal(38,0)/HUGEINT
+    # (round-10 n=2/n=3 probe): NULL, not an ANSI crash; both engines
+    tdef = (
+        "(n_days >= 2 AND cast(n_days as decimal(38,0)) * sdd"
+        " > cast(sd as decimal(38,0)) * sd)"
+    )
     return agg.selectExpr(
         "n_days",
         f"{sp_rat6('cast(sd as decimal(38,0))', 'cast(n_days as decimal(38,0)) * 100')} AS mean_diff_dollars",
+        f"CASE WHEN {tdef} THEN "
         f"cast(sd as double) / (sqrt({s2}) * sqrt(cast(n_days as double)))"
-        " AS t",
-        f"(cast(sd as double) / n_days) / sqrt({s2}) AS cohen_dz",
+        " END AS t",
+        f"CASE WHEN {tdef} THEN "
+        f"(cast(sd as double) / n_days) / sqrt({s2}) END AS cohen_dz",
     )
 
 
@@ -19878,8 +20008,12 @@ def stats_paired_t_sql() -> str:
     )
     SELECT n_days,
            {dk_rat6('sd::HUGEINT', 'n_days::HUGEINT * 100')} AS mean_diff_dollars,
-           sd::DOUBLE / (sqrt({s2}) * sqrt(n_days::DOUBLE)) AS t,
-           (sd::DOUBLE / n_days) / sqrt({s2}) AS cohen_dz
+           CASE WHEN n_days >= 2
+                 AND n_days::HUGEINT * sdd > sd::HUGEINT * sd THEN
+               sd::DOUBLE / (sqrt({s2}) * sqrt(n_days::DOUBLE)) END AS t,
+           CASE WHEN n_days >= 2
+                 AND n_days::HUGEINT * sdd > sd::HUGEINT * sd THEN
+               (sd::DOUBLE / n_days) / sqrt({s2}) END AS cohen_dz
     FROM agg
     """
 

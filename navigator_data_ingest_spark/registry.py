@@ -3790,11 +3790,13 @@ register(
     SELECT n_a, conv_a, n_b, conv_b,
            (conv_a * 1000 // nullif(n_a, 0))::bigint AS conv_a_permille,
            (conv_b * 1000 // nullif(n_b, 0))::bigint AS conv_b_permille,
-           round((conv_a / nullif(n_a, 0)::double
-                  - conv_b / nullif(n_b, 0)::double)
-                 / sqrt({_AB_POOL} * (1.0 - {_AB_POOL})
-                        * (1.0 / nullif(n_a, 0) + 1.0 / nullif(n_b, 0))),
-                 6) AS z_score
+           CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+                     AND conv_a + conv_b < n_a + n_b THEN
+               round((conv_a / nullif(n_a, 0)::double
+                      - conv_b / nullif(n_b, 0)::double)
+                     / sqrt({_AB_POOL} * (1.0 - {_AB_POOL})
+                            * (1.0 / nullif(n_a, 0) + 1.0 / nullif(n_b, 0))),
+                     6) END AS z_score
     FROM a
     """,
     front=True,

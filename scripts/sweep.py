@@ -107,11 +107,8 @@ def main() -> None:
         src = sf_dir
         tag = "empty"
         if one_mode:
-            tag = (
-                "onedesc"
-                if os.environ["SWEEP_ONE"].lower() == "desc"
-                else "one"
-            )
+            _spec = os.environ["SWEEP_ONE"].lower()
+            tag = "onedesc" if _spec == "desc" else f"one{_spec}"
         sf_dir = _derived_corpus(src, tag)
         _con = _dk.connect()
         import glob as _glob
@@ -122,12 +119,14 @@ def main() -> None:
                 # SWEEP_ONE=desc draws the MAXIMUM row instead of the
                 # minimum — a second, different 1-row corpus, so a guard
                 # accidentally tuned to the specific min-row values
-                # (zero cents, first date, label 0) is still exercised
-                _dir = (
-                    "DESC"
-                    if os.environ["SWEEP_ONE"].lower() == "desc"
-                    else "ASC"
-                )
+                # (zero cents, first date, label 0) is still exercised.
+                # SWEEP_ONE=<n> (e.g. 2, 3) draws the first n rows —
+                # the minimal-degrees-of-freedom cousin of n=1 that
+                # exercises /(n-2), /(n-3) and tie corrections at the
+                # smallest defined sample sizes.
+                _spec = os.environ["SWEEP_ONE"].lower()
+                _dir = "DESC" if _spec == "desc" else "ASC"
+                _lim = int(_spec) if _spec.isdigit() else 1
                 _cols = [
                     r[0]
                     for r in _con.execute(
@@ -135,7 +134,7 @@ def main() -> None:
                     ).fetchall()
                 ]
                 _ob = ", ".join(f'"{c}" {_dir}' for c in _cols)
-                _sel = f"SELECT * FROM '{_p}' ORDER BY {_ob} LIMIT 1"
+                _sel = f"SELECT * FROM '{_p}' ORDER BY {_ob} LIMIT {_lim}"
             else:
                 _sel = f"SELECT * FROM '{_p}' LIMIT 0"
             _con.execute(

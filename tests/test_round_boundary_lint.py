@@ -134,6 +134,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/analytics.py", "stats_power_analysis_sql"): IRRATIONAL,
     ("operators/analytics.py", "stats_price_index"): IRRATIONAL,  # fisher sqrt
     ("operators/analytics.py", "stats_price_index_sql"): IRRATIONAL,
+    ("operators/analytics.py", "stats_qq_normal"): IRRATIONAL,  # /sd sqrt
     ("operators/analytics.py", "stats_qq_normal_sql"): IRRATIONAL,  # /sd sqrt
     ("operators/analytics.py", "stats_retention_halflife"): IRRATIONAL,  # ln2/slope
     ("operators/analytics.py", "stats_retention_halflife_sql"): IRRATIONAL,
