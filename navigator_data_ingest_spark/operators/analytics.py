@@ -1203,15 +1203,42 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
         F.expr("approx_percentile(value, 0.95, 10000)").alias("p95_approx"),
     )
+    # the sketch returns an OBSERVED value, so on a tiny group the ±5%
+    # VALUE tolerance against the INTERPOLATED exact is the wrong yard-
+    # stick (two spread values put the midpoint >5% from both). A
+    # rank-exact answer is always one of the two order statistics
+    # BRACKETING the interpolated exact — accept those exactly, keep
+    # the 5% band for real sketch noise at scale (round-10 n=4 probe).
+    # null-safe join key: a NULL event_type is still a group in both
+    # engines' GROUP BY, and a plain equi-join would drop it
+    br = agg.join(
+        ev.select(F.col("event_type").alias("_et"), "value"),
+        F.col("event_type").eqNullSafe(F.col("_et")),
+    ).groupBy(
+        "event_type", "p50_exact", "p95_exact", "p50_approx", "p95_approx"
+    ).agg(
+        F.max(F.expr("CASE WHEN value <= p50_exact THEN value END")).alias("lo50"),
+        F.min(F.expr("CASE WHEN value >= p50_exact THEN value END")).alias("hi50"),
+        F.max(F.expr("CASE WHEN value <= p95_exact THEN value END")).alias("lo95"),
+        F.min(F.expr("CASE WHEN value >= p95_exact THEN value END")).alias("hi95"),
+    )
     tol = lambda a, e: F.abs(F.col(a) - F.col(e)) <= 0.05 * F.abs(F.col(e))  # noqa: E731
+    ok50 = (
+        tol("p50_approx", "p50_exact")
+        | (F.col("p50_approx") == F.col("lo50"))
+        | (F.col("p50_approx") == F.col("hi50"))
+    )
+    ok95 = (
+        tol("p95_approx", "p95_exact")
+        | (F.col("p95_approx") == F.col("lo95"))
+        | (F.col("p95_approx") == F.col("hi95"))
+    )
     return (
-        agg.select(
+        br.select(
             "event_type",
             _r(F.col("p50_exact"), "p50_exact"),
             _r(F.col("p95_exact"), "p95_exact"),
-            (tol("p50_approx", "p50_exact") & tol("p95_approx", "p95_exact")).alias(
-                "within_tol"
-            ),
+            (ok50 & ok95).alias("within_tol"),
         )
         .orderBy("event_type")
     )
@@ -5886,12 +5913,16 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     # c2 = 0 (zero-variance / single-value group, round-9 probe) leaves
     # skewness/kurtosis undefined: NULL, not an ANSI crash; c2 is the
     # identical summed expression on both engines, so the branch agrees
+    # + 0.0 normalizes IEEE −0.0: a symmetric 2-value group rounds the
+    # skewness to −0.0 on DuckDB (its round keeps the sign) and +0.0 on
+    # Spark (round-10 n=5 probe); identity for every other double
     return g.selectExpr(
         "event_type",
         "n",
-        f"CASE WHEN c2 > 0 THEN round({skew}, 6) END AS skewness",
-        f"CASE WHEN c2 > 0 THEN round({kurt}, 6) END AS excess_kurtosis",
-        f"CASE WHEN c2 > 0 THEN round({jb}, 2) END AS jb_stat",
+        f"CASE WHEN c2 > 0 THEN round({skew}, 6) + 0.0 END AS skewness",
+        f"CASE WHEN c2 > 0 THEN round({kurt}, 6) + 0.0 END"
+        " AS excess_kurtosis",
+        f"CASE WHEN c2 > 0 THEN round({jb}, 2) + 0.0 END AS jb_stat",
     ).orderBy("event_type")
 
 
@@ -5914,9 +5945,10 @@ def stats_jarque_bera_sql() -> str:
         FROM c GROUP BY 1
     )
     SELECT event_type, n::BIGINT AS n,
-           CASE WHEN c2 > 0 THEN round({skew}, 6) END AS skewness,
-           CASE WHEN c2 > 0 THEN round({kurt}, 6) END AS excess_kurtosis,
-           CASE WHEN c2 > 0 THEN round({jb}, 2) END AS jb_stat
+           CASE WHEN c2 > 0 THEN round({skew}, 6) + 0.0 END AS skewness,
+           CASE WHEN c2 > 0 THEN round({kurt}, 6) + 0.0 END
+               AS excess_kurtosis,
+           CASE WHEN c2 > 0 THEN round({jb}, 2) + 0.0 END AS jb_stat
     FROM g ORDER BY event_type
     """
 
