@@ -1210,9 +1210,13 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BRACKETING the interpolated exact — accept those exactly, keep
     # the 5% band for real sketch noise at scale (round-10 n=4 probe).
     # null-safe join key: a NULL event_type is still a group in both
-    # engines' GROUP BY, and a plain equi-join would drop it
-    br = agg.join(
-        ev.select(F.col("event_type").alias("_et"), "value"),
+    # engines' GROUP BY, and a plain equi-join would drop it. The
+    # ≤TYPES-row agg side carries an EXPLICIT broadcast: without it the
+    # optimizer broadcasts whichever side is smaller at THIS scale (the
+    # corpus, at sf0.01) and would fall back to a sort-merge join that
+    # shuffles the whole corpus onto a ≤6-value key at 100 TB.
+    br = ev.select(F.col("event_type").alias("_et"), "value").join(
+        F.broadcast(agg),
         F.col("event_type").eqNullSafe(F.col("_et")),
     ).groupBy(
         "event_type", "p50_exact", "p95_exact", "p50_approx", "p95_approx"
