@@ -27,6 +27,27 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 # whole registry instead of re-certifying the same head. The full local
 # sweep (scripts/sweep.py) stays the all-query safety net.
 _DRIVER_CERTIFIED = frozenset({
+    # round 10 sample (CORRECTNESS_r10.json): 50/50 hash-green — the
+    # third consecutive fully-green driver round; certifies the 21
+    # TPC-H q-shapes (never sampled since round 1), the q_events_*
+    # backlog, the stats_* long tail and the text_*/dedup_* remainders.
+    "q2_min_cost_supplier", "q4_order_priority", "q6_revenue_delta",
+    "q7_nation_volume", "q8_market_share", "q9_profit_shape",
+    "q10_returned_customers", "q10_returned_items", "q11_important_stock",
+    "q12_priority_lines", "q13_order_distribution", "q14_promo_effect",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_variety",
+    "q17_small_qty_revenue", "q18_large_orders", "q19_bracket_revenue",
+    "q20_promotion_supply", "q21_blamed_supplier", "q22_idle_customers",
+    "q_events_funnel", "q_events_sliding", "q_events_moving_avg",
+    "q_events_percentiles", "q_events_json", "q_events_gapfill",
+    "q_events_ffill", "q_events_histogram", "q_events_range_frame",
+    "q_events_zscore", "q_events_ohlc", "q_events_gap_histogram",
+    "stats_autocorrelation", "stats_ks_drift", "stats_profile_table",
+    "stats_cogroup_monthly", "stats_price_index", "stats_wilson_ci",
+    "stats_ljung_box", "stats_grubbs", "stats_pacf",
+    "text_normalize", "text_repetition", "text_readability",
+    "text_gopher_rules", "text_contamination",
+    "dedup_incremental", "dedup_url", "dedup_survivorship",
     # round 9 sample (CORRECTNESS_r09.json): 50/50 hash-green — the
     # second consecutive fully-green driver round; retires the last
     # rows-only rows (the three invariant-oracle conversions led the
@@ -39,11 +60,16 @@ _DRIVER_CERTIFIED = frozenset({
     "emb_duplicate_vectors", "emb_intrinsic_dim", "emb_ivf_cell_census",
     "emb_kmeans", "emb_label_purity", "emb_lsh_tuning", "emb_norm_by_label",
     "emb_pq", "emb_variance_spectrum", "filter_blocklist",
-    "graph_degree_distribution", "graph_harmonic_centrality",
+    "graph_degree_distribution",
+    # graph_harmonic_centrality and sim_search_bruteforce_np were
+    # certified in the r9 sample but both implementations CHANGED in
+    # round 10 (seed-index rank rewrite; quantized re-rank) — de-listed
+    # per ADVICE r10 so the driver re-certifies the shipped code; they
+    # lead the round-12 rotation (just past this round's cut line).
     "graph_pagerank", "graph_rich_club", "pack_boundary_stats",
     "pack_sequences", "q_sql_regexp_surface", "sample_cap_per_source",
     "sample_class_balance", "sample_neyman_allocation", "sample_stratified",
-    "sample_temperature", "sim_search_bruteforce_np", "split_train_holdout",
+    "sample_temperature", "split_train_holdout",
     "src_parquet_footer_stats", "stream_dedup_wm", "stream_enrich_join",
     "stream_foreachbatch_upsert", "stream_incremental_files",
     "stream_outer_join_expiry", "stream_session_append",
@@ -227,46 +253,51 @@ _FRONT: set[str] = set()
 _HEAD_FIRST: tuple[str, ...] = ()
 _HEAD_POS = {n: i for i, n in enumerate(_HEAD_FIRST)}
 
-# Round-10 sample fill (VERDICT r9 "Next round" #2): the entire
-# head-50 is never-sampled keys again, thinnest zero-certification
-# families first — the q10-q22 TPC-H shapes (zero driver rows since
-# round 1), then the q_events_* backlog, the stats_* long tail, and
-# the text_*/dedup_* remainders. The tail past 50 (the r9 new ops,
-# mm_*, sim_*, §2.2 round-trips) leads the round-11 rotation.
-# ORDERED: rank = position here.
+# Round-11 sample fill (VERDICT r10 "Next round" #1): the entire
+# head-50 is never-sampled keys again — the q_orders_*/q_events_*
+# TPC-H-adjacent long tail, the §2.2 src_/sink_ round-trips, mm_*,
+# then the q_* analytics remainder (q_approx_quantiles deliberately
+# included: its broadcast pin from 48a9cee gets a driver row this
+# round). The tail past 50 (the two r10-changed de-certified ops,
+# then sim_*/stats_/text_/dedup_ remainders) leads the round-12
+# rotation. ORDERED: rank = position here.
 _FRONT_NEW_ORDER: tuple[str, ...] = (
-    # TPC-H query shapes — never driver-sampled since round 1 (21)
-    "q2_min_cost_supplier", "q4_order_priority", "q6_revenue_delta",
-    "q7_nation_volume", "q8_market_share", "q9_profit_shape",
-    "q10_returned_customers", "q10_returned_items", "q11_important_stock",
-    "q12_priority_lines", "q13_order_distribution", "q14_promo_effect",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_variety",
-    "q17_small_qty_revenue", "q18_large_orders", "q19_bracket_revenue",
-    "q20_promotion_supply", "q21_blamed_supplier", "q22_idle_customers",
-    # q_events_* backlog — oldest registrations first (12)
-    "q_events_funnel", "q_events_sliding", "q_events_moving_avg",
-    "q_events_percentiles", "q_events_json", "q_events_gapfill",
-    "q_events_ffill", "q_events_histogram", "q_events_range_frame",
-    "q_events_zscore", "q_events_ohlc", "q_events_gap_histogram",
-    # stats_* long tail (9)
-    "stats_autocorrelation", "stats_ks_drift", "stats_profile_table",
-    "stats_cogroup_monthly", "stats_price_index", "stats_wilson_ci",
-    "stats_ljung_box", "stats_grubbs", "stats_pacf",
-    # text_* remainder (5)
-    "text_normalize", "text_repetition", "text_readability",
-    "text_gopher_rules", "text_contamination",
-    # dedup_* remainder (3)
-    "dedup_incremental", "dedup_url", "dedup_survivorship",
+    # q_orders_* long tail — never driver-sampled (13)
+    "q_orders_above_avg", "q_orders_aging", "q_orders_basket_size",
+    "q_orders_dow_profile", "q_orders_fill_rate", "q_orders_gap_islands",
+    "q_orders_month_index", "q_orders_pareto_8020", "q_orders_pivot",
+    "q_orders_rollup", "q_orders_running_share", "q_orders_trailing_range",
+    "q_orders_yoy_growth",
+    # q_events_* long tail (11)
+    "q_events_bot_screen", "q_events_burst_detection", "q_events_dau_mau",
+    "q_events_funnel_steps", "q_events_heavy_hitters",
+    "q_events_markov_stationary", "q_events_peak_hour",
+    "q_events_session_depth", "q_events_type_overlap", "q_events_type_pmi",
+    "q_events_user_lifespan",
+    # §2.2 src_/sink_ round-trips (10)
+    "sink_bucketed_join", "sink_partition_overwrite", "sink_partitioned_prune",
+    "sink_compact", "sink_hll_sketch_union", "src_csv_roundtrip",
+    "src_jsonl_roundtrip", "src_orc_roundtrip", "src_binary_files",
+    "src_corrupt_quarantine",
+    # multimodal (5)
+    "mm_audio_chunk", "mm_bitrate", "mm_codec_stats", "mm_frame_sample",
+    "mm_phash_neardup",
+    # q_* analytics remainder (11)
+    "q_approx_distinct", "q_approx_quantiles", "q_cube_pricing",
+    "q_customer_churn", "q_customer_migration", "q_customer_order_cycle",
+    "q_customer_retention", "q_customers_no_orders", "q_hash_sample",
+    "q_ntile_spend", "q_null_safe_join",
     # ---- cut line: 50 above = the driver's 50 ----
-    # round-11 leaders: the round-9 new ops, then multimodal,
-    # similarity, §2.2 round-trips
-    "sink_hll_sketch_union", "q_sql_recursive_cte",
-    "mm_frame_sample", "mm_phash_neardup", "mm_audio_chunk",
-    "mm_codec_stats", "mm_bitrate",
+    # round-12 leaders: the two ops whose implementations changed AFTER
+    # their r9 certification (de-listed from _DRIVER_CERTIFIED above),
+    # then the sim_*/q_sql_* backlog; the stats_/text_/dedup_ remainder
+    # follows in registration order without explicit listing.
+    "graph_harmonic_centrality", "sim_search_bruteforce_np",
     "sim_search_pq_adc", "sim_search_recall_report",
-    "src_csv_roundtrip", "src_jsonl_roundtrip", "src_orc_roundtrip",
-    "src_binary_files", "src_corrupt_quarantine", "sink_bucketed_join",
-    "sink_partitioned_prune", "sink_compact", "sink_partition_overwrite",
+    "q_sql_recursive_cte", "q_recursive_cte", "q_sql_api",
+    "q_sql_interval_calendar", "q_sql_listagg", "q_sql_null_semantics",
+    "q_sql_unpivot", "q_pandas_udf_scalar", "q_parameterized_sql",
+    "q_skew_join_salted", "q_spend_distribution", "layout_zorder",
 )
 _FRONT_NEW: frozenset[str] = frozenset(_FRONT_NEW_ORDER)
 _FRONT_NEW_POS = {n: i for i, n in enumerate(_FRONT_NEW_ORDER)}
