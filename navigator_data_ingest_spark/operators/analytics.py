@@ -2461,19 +2461,26 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception as exc:
         # zero-task plans never fire the observation listener (Spark
         # collapses an empty scan to a LocalTableScan and Observation.get
-        # throws from toPyRow — round-9 empty-input axis). The pipeline
-        # must not lose its job to a metrics read: recompute the same
-        # exact metrics with one direct aggregate over the (empty) input.
-        # ONLY that documented case falls back (r9 ADVICE): any other
-        # observation failure is a listener regression this op exists to
-        # surface, and it propagates.
-        if "toPyRow" not in str(exc):
+        # throws — round-9 empty-input axis). The pipeline must not lose
+        # its job to a metrics read: recompute the same exact metrics
+        # with one direct aggregate over the (empty) input. The
+        # discriminant is the CONDITION, not the message text (r10
+        # ADVICE: the old 'toPyRow' substring is an internal PySpark
+        # symbol a version bump may reword): fall back only when the
+        # observed input is genuinely empty — the one case whose plan
+        # collapses to a zero-task LocalTableScan. isEmpty() here is
+        # cheap (first-row probe; the fallback path only matters on
+        # empty scans) and any observation failure on NON-empty input is
+        # a listener regression this op exists to surface — it
+        # propagates.
+        if not orders.isEmpty():
             raise
         import sys as _sys
 
         print(
-            "q_observe_metrics: Observation.get hit the zero-task "
-            "LocalTableScan case; recomputing via direct aggregate",
+            "q_observe_metrics: Observation.get failed on a zero-task "
+            f"(empty-scan) plan ({type(exc).__name__}); recomputing via "
+            "direct aggregate",
             file=_sys.stderr,
         )
         m = orders.agg(

@@ -387,12 +387,26 @@ def sim_search_bruteforce_np_scored(spark: SparkSession, sf_dir: str) -> DataFra
                 col = s[:, j].copy()
                 col[vids == qid] = -np.inf  # exclude self
                 k = min(TOP_K, len(col))
-                top = np.argpartition(-col, k - 1)[:k]
-                # drop the -inf self marker: a batch with < k non-self
-                # rows (the n = 1 corpus is the extreme) must not leak
-                # a phantom (qid, qid) row the SQL oracle's
+                # the per-batch cut must use the same key as the global
+                # window (round 6dp + ties kept), NOT the raw cosine:
+                # two candidates equal at the emitted 6dp grain but a
+                # ulp apart raw could straddle the k boundary, and
+                # argpartition on raw would keep the higher ulp while
+                # the oracle's (round DESC, vec_id ASC) rank keeps the
+                # lower vec_id (r10 ADVICE). Cut on the quantized value
+                # with every boundary tie retained — plus a 2-quanta
+                # slack that absorbs np.round (half-even) vs Spark
+                # round() (HALF_UP) single-quantum disagreements — and
+                # let the global window apply the final TOP_K.
+                colq = np.round(col, 6)
+                kth_val = -np.partition(-colq, k - 1)[k - 1]
+                # isfinite drops the -inf self marker: a batch with < k
+                # non-self rows (the n = 1 corpus is the extreme) must
+                # not leak a phantom (qid, qid) row the SQL oracle's
                 # vec_id <> query_id join never produces
-                top = top[np.isfinite(col[top])]
+                top = np.flatnonzero(
+                    np.isfinite(col) & (colq >= kth_val - 2e-6)
+                )
                 out_q.extend([qid] * len(top))
                 out_v.extend(vids[top])
                 out_c.extend(col[top])

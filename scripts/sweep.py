@@ -7,6 +7,7 @@ Writes one JSON line per query and a summary to stdout.
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import json
 import os
@@ -60,17 +61,23 @@ _ONE_DIVERGENCE: dict[str, str] = {}
 
 
 def _derived_corpus(src: str, tag: str) -> str:
-    """A fresh /tmp dir for a derived (empty / 1-row) copy of src.
+    """A fresh /tmp dir for a derived (empty / 1-row / ties) copy of src.
 
     The name embeds a hash of the FULL source path so two corpora with the
-    same basename under different parents can't collide, and the dir is
-    rebuilt from scratch each run so stale tables from a prior sweep never
-    leak into what this sweep certifies.
+    same basename under different parents can't collide, plus this
+    process's PID so two CONCURRENT sweeps in the same mode over the same
+    corpus can't delete each other's tables mid-run (ADVICE r10). Stale
+    dirs from dead sweeps with the same (tag, src) signature are reaped
+    here — keyed off the nav_<tag>_..._<hash> prefix — so /tmp doesn't
+    accumulate one copy per run.
     """
     h = hashlib.sha256(os.path.abspath(src).encode()).hexdigest()[:10]
-    out = os.path.join(
-        "/tmp", f"nav_{tag}_{os.path.basename(src.rstrip('/'))}_{h}"
-    )
+    base = f"nav_{tag}_{os.path.basename(src.rstrip('/'))}_{h}"
+    for stale in glob.glob(os.path.join("/tmp", base + "_pid*")):
+        pid = stale.rsplit("_pid", 1)[-1]
+        if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(stale, ignore_errors=True)
+    out = os.path.join("/tmp", f"{base}_pid{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     return out

@@ -29,9 +29,13 @@ import re
 from tests.test_round_boundary_lint import MODULES, PKG, _normalize
 
 # divisor shapes that hit zero on a 1-row group: "/ (x - 1)",
-# "/ (x - 1.0)", "/ (count(*) - 1.0)", "/ (n * (n - 1.0))"
+# "/ (x - 1.0)", "/ (count(*) - 1.0)", "/ (n * (n - 1.0))", and — the
+# r10 ADVICE blind spot — compound (parenthesized-sum or bare-sum)
+# subtrahend bases like "/ ((n_a + n_b) * (n_a + n_b - 1.0))" or
+# "/ (n_a + n_b - 1)" that the single-token pattern let through.
+_NBASE = r"(?:count\(\*\)|\([\w.\s+*-]+\)|[\w.]+(?:\s*\+\s*[\w.]+)*)"
 NPAT = re.compile(
-    r"/\s*\(\s*(?:[\w.]+\s*\*\s*\(\s*)?(?:[\w.]+|count\(\*\))"
+    rf"/\s*\(\s*(?:{_NBASE}\s*\*\s*\(\s*)?{_NBASE}"
     r"\s*-\s*1(?:\.0)?\s*\)"
 )
 
@@ -69,7 +73,13 @@ SRC_ALLOWED: dict[tuple[str, str], str] = {
     ("operators/analytics.py", "stats_levene"): GUARDED,
     ("operators/analytics.py", "stats_levene_sql"): GUARDED,
     ("operators/analytics.py", "stats_log_rank"): GUARDED,
+    ("operators/analytics.py", "stats_log_rank_sql"): GUARDED,
     ("operators/analytics.py", "stats_lognormal_fit"): GUARDED,
+    # compound-sum subtrahend sites, visible since the r11 NPAT
+    # extension; guards are the r10 campaign's exact-integer
+    # tie_term < N³−N discriminants, sweep-proven at n=1/2/3/desc
+    ("operators/analytics.py", "stats_mann_whitney"): GUARDED,
+    ("operators/analytics.py", "stats_mann_whitney_sql"): GUARDED,
     ("operators/analytics.py", "stats_mahalanobis_outliers"): GUARDED,
     ("operators/analytics.py", "stats_mahalanobis_outliers_sql"): GUARDED,
     ("operators/analytics.py", "stats_mood_scale"): GUARDED,
@@ -115,6 +125,12 @@ RENDERED_ALLOWED: dict[str, str] = {
     "stats_grubbs": GUARDED,
     "stats_levene": GUARDED,
     "stats_ljung_box": GUARDED,
+    # compound-sum subtrahend oracles, visible since the r11 NPAT
+    # extension (guards mirrored in the SQL; sweep-proven n=1/2/3/desc)
+    "stats_log_rank": GUARDED,
+    "stats_mann_whitney": GUARDED,
+    "stats_mann_whitney_u": GUARDED,
+    "stats_mann_whitney_z": GUARDED,
     "stats_mahalanobis_outliers": GUARDED,
     "stats_mood_scale": GUARDED,
     "stats_tost_equivalence": GUARDED,
@@ -199,12 +215,18 @@ def test_no_stale_rendered_entries():
 
 
 def test_pattern_catches_the_proven_shapes():
-    """The four divisor shapes the r9/r10 probes actually found."""
+    """The divisor shapes the r9/r10 probes actually found, including
+    the compound-sum bases the r10 ADVICE flagged as lint-invisible."""
     for snippet in (
         "sqrt((n * sll - sl * sl) / (n * (n - 1.0)))",
         "(ssb / (k - 1))",
         "x / (count(*) - 1.0)",
         "(tot_s - s) / (tot_n - 1)",
+        # compound subtrahend bases (stats_mann_whitney / stats_runs_test
+        # class) — single-token NPAT missed these through round 10
+        "u / ((n_a + n_b) * (n_a + n_b - 1.0))",
+        "s / (n_a + n_b - 1)",
+        "v / ((n1 + n2) - 1.0)",
     ):
         assert NPAT.search(_normalize(snippet)), snippet
     # guarded or unrelated forms must NOT match
