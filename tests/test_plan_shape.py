@@ -533,6 +533,32 @@ def test_dedup_lsh_joins_are_bucketed_equijoins(spark):
     assert audit.broadcast_joins + audit.sortmerge_joins >= 1
 
 
+def test_approx_quantiles_bracket_join_builds_right(spark):
+    """The bracket join-back must broadcast the ≤TYPES-row aggregate
+    side EXPLICITLY (48a9cee): without the hint the optimizer picks the
+    build side by size at the TESTED scale — at sf0.01 it would happily
+    broadcast the corpus — and at 100 TB the plan degrades to a
+    sort-merge join shuffling the whole corpus onto a ≤6-value key.
+    Disabling the size-based threshold isolates the hint: only the
+    explicit F.broadcast(agg) can produce the BuildRight BHJ here, so
+    removing it makes this test fail (VERDICT r10 #2)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _Q["q_approx_quantiles"](spark, SF_CORRECT)
+        plan = formatted_plan(df)
+        audit = plan_audit(df)
+        assert audit.sortmerge_joins == 0, (
+            "bracket join-back fell off broadcast onto a corpus-wide "
+            "sort-merge shuffle"
+        )
+        assert "BroadcastHashJoin" in plan and "BuildRight" in plan, (
+            "aggregate side no longer the broadcast build side"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_ntile_spend_has_no_global_window(spark):
     """Quartile assignment must be a broadcast cut-point comparison, not
     an ntile window with no partition (a single-task global sort)."""
