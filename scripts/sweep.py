@@ -39,13 +39,12 @@ _EMPTY_DIVERGENCE = {
     "q_orders_pareto_8020": "global-agg 1-row vs grouped 0-row shape",
     "stats_two_way_anova": "grid aggregates NULL-vs-absent on empty",
     "stats_bartels_rank": "0-vs-NULL count convention on empty series",
-    # bool_and/every over zero rows is NULL on one side, a literal
-    # true/false invariant on the other (certified non-empty surfaces,
-    # deliberately untouched).
-    "q_tablesample": "every() NULL vs literal-true invariants on empty",
-    "sink_range_sorted_write": "every() NULL vs literal invariants on empty",
-    "src_file_metadata": "file-count metadata vs view-derived 0s on empty",
-    "sink_python_datasource": "task-count n_files vs view-derived on empty",
+    # (r11 retired the four every()/invariant-row entries —
+    # q_tablesample, sink_range_sorted_write, src_file_metadata,
+    # sink_python_datasource — by reformulating op+oracle with
+    # vacuous-truth / coalesce / CASE-on-count guards so both engines
+    # agree on the zero-row corpus; they are fully oracle-checked in
+    # empty mode now.)
     # per-dimension unrolled aggregates emit EMB_DIM NULL-stat rows on
     # Spark; the oracle's row-generating CTE emits none.
     "emb_variance_spectrum": "64 NULL-stat rows vs 0 oracle rows on empty",
@@ -83,9 +82,81 @@ def _derived_corpus(src: str, tag: str) -> str:
     return out
 
 
+def _codegen_log_setup() -> str:
+    """Route ERROR-level driver-JVM log events to a per-PID file.
+
+    Whole-stage-codegen compile failures (janino '64 KB' overflows) make
+    Spark degrade silently to interpreted eval — results stay green but
+    the hot stage loses codegen, a constant-factor tax at 100x scale
+    (VERDICT r10: one unattributed fallback during the 4-thread sweep).
+    A ThresholdFilter(ERROR) File appender captures them with
+    UNIX_MILLIS timestamps so the summary can attribute each event to
+    the queries in flight. Must run BEFORE the JVM launches: the log4j2
+    override rides spark.driver.extraJavaOptions via PYSPARK_SUBMIT_ARGS
+    (local mode, so executor-side codegen errors land here too).
+    """
+    log_path = f"/tmp/nav_sweep_jvmerr_{os.getpid()}.log"
+    conf_path = f"/tmp/nav_sweep_log4j2_{os.getpid()}.properties"
+    with open(conf_path, "w") as f:
+        f.write(
+            "rootLogger.level = warn\n"
+            "rootLogger.appenderRef.console.ref = console\n"
+            "rootLogger.appenderRef.errfile.ref = errfile\n"
+            "appender.console.type = Console\n"
+            "appender.console.name = console\n"
+            "appender.console.target = SYSTEM_ERR\n"
+            "appender.console.layout.type = PatternLayout\n"
+            "appender.console.layout.pattern = "
+            "%d{yy/MM/dd HH:mm:ss} %p %c{1}: %m%n\n"
+            "appender.errfile.type = File\n"
+            "appender.errfile.name = errfile\n"
+            f"appender.errfile.fileName = {log_path}\n"
+            "appender.errfile.layout.type = PatternLayout\n"
+            "appender.errfile.layout.pattern = %d{UNIX_MILLIS} %p %c{1}: %m%n\n"
+            "appender.errfile.filter.threshold.type = ThresholdFilter\n"
+            "appender.errfile.filter.threshold.level = error\n"
+        )
+    existing = os.environ.get("PYSPARK_SUBMIT_ARGS", "pyspark-shell")
+    os.environ["PYSPARK_SUBMIT_ARGS"] = (
+        "--conf spark.driver.extraJavaOptions="
+        f"-Dlog4j.configurationFile=file:{conf_path} " + existing
+    )
+    return log_path
+
+
+def _scan_codegen_log(
+    log_path: str, windows: dict[str, tuple[float, float]]
+) -> list[dict]:
+    """Attribute captured ERROR CodeGenerator events to in-flight queries.
+
+    Each compile-failure event is one line (the multi-line generated-code
+    dump has no timestamp prefix and is skipped). Attribution is by time
+    overlap with each query's [start, end] wall-clock window — exact for
+    serial sweeps, a small candidate set under SWEEP_THREADS.
+    """
+    events: list[dict] = []
+    if not os.path.exists(log_path):
+        return events
+    for line in open(log_path, errors="replace"):
+        parts = line.split(" ", 3)
+        if len(parts) < 4 or not parts[0].isdigit() or parts[1] != "ERROR":
+            continue
+        if "CodeGenerator" not in parts[2]:
+            continue
+        ts = int(parts[0]) / 1000.0
+        inflight = sorted(
+            n for n, (a, b) in windows.items() if a - 0.5 <= ts <= b + 0.5
+        )
+        events.append(
+            {"at": round(ts, 3), "inflight": inflight, "msg": parts[3][:200]}
+        )
+    return events
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:]
+    codegen_log = _codegen_log_setup()
 
     if os.environ.get("SWEEP_NULL_INJECT"):
         # robustness mode: run the whole registry on a copy of sf_dir
@@ -191,8 +262,11 @@ def main() -> None:
     qs = entry.queries()
     oracles = entry.oracle_sql()
 
+    windows: dict[str, tuple[float, float]] = {}
+
     def run_one(name, fn, con):
         t0 = time.monotonic()
+        w0 = time.time()
         try:
             df = fn(spark, sf_dir)
             if empty_mode and name in _EMPTY_DIVERGENCE:
@@ -209,6 +283,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             ok, msg = False, f"EXC: {type(exc).__name__}: {exc}"
         dt = time.monotonic() - t0
+        windows[name] = (w0, time.time())
         return {"ok": ok, "sec": round(dt, 2), "msg": msg[:200]}
 
     selected = [
@@ -253,11 +328,18 @@ def main() -> None:
     total = time.monotonic() - t_all
     bad = {k: v for k, v in results.items() if not v["ok"]}
     slow = sorted(results.items(), key=lambda kv: -kv[1]["sec"])[:15]
+    # surface whole-stage-codegen fallbacks (VERDICT r10 #3): every
+    # ERROR CodeGenerator event the JVM logged, attributed to the
+    # queries in flight at its timestamp. Results stay green when Spark
+    # degrades to interpreted eval, so ONLY this field makes the
+    # constant-factor tax visible; a non-empty list is a plan-size bug
+    # to split (intermediate projection / checkpoint), not an allowlist.
     print(json.dumps({
         "total_sec": round(total, 1),
         "n": len(results),
         "n_fail": len(bad),
         "fails": {k: v["msg"] for k, v in bad.items()},
+        "codegen_fallbacks": _scan_codegen_log(codegen_log, windows),
         "slowest": [(k, v["sec"]) for k, v in slow],
     }, indent=1))
 
