@@ -553,8 +553,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from navigator_data_ingest_spark.operators.similarity import _bucket_expr
 
+    # the SELF-norms are join-independent, so they are hoisted BELOW the
+    # join (one unrolled fold per side, pre-join): with all three folds
+    # (dot + both norms) inlined into the join's generated consume
+    # method, janino overflowed the JVM's 64 KB method limit and Spark
+    # silently degraded the whole stage to interpreted eval (the r10
+    # phantom `bhj_doConsume_0(long, ArrayData, long)` fallback,
+    # attributed to THIS op by the r11 sweep's codegen capture). The
+    # build side's norm is now computed while building the broadcast
+    # relation and the stream side's in its own split-able projection,
+    # leaving one fold in the join stage — values are bit-identical
+    # (same expressions, same order, evaluated earlier).
     e = scatter(spark, load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "embedding", F.expr(_bucket_expr("embedding")).alias("bucket")
+        "vec_id",
+        "embedding",
+        F.expr(_bucket_expr("embedding")).alias("bucket"),
+        F.sqrt(F.expr(X.sp_fold_dot("embedding", "embedding", EMB_DIM))).alias(
+            "norm_a"
+        ),
     )
     # rename one side up front: alias-qualified column refs inside
     # F.expr() don't survive a same-source self-join
@@ -562,11 +578,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_id_b"),
         F.col("bucket").alias("bucket_b"),
         F.col("embedding").alias("embedding_b"),
+        F.col("norm_a").alias("norm_b"),
     )
     dot = F.expr(X.sp_fold_dot("embedding", "embedding_b", EMB_DIM))
-    na = F.sqrt(F.expr(X.sp_fold_dot("embedding", "embedding", EMB_DIM)))
-    nb = F.sqrt(F.expr(X.sp_fold_dot("embedding_b", "embedding_b", EMB_DIM)))
-    cos = dot / (na * nb)
+    cos = dot / (F.col("norm_a") * F.col("norm_b"))
     return (
         e.join(
             b,
