@@ -16022,7 +16022,12 @@ def q_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n_sampled,
                n_sampled = expect_n AS exact_row_count,
                n_keys = n_sampled AS keys_distinct,
-               s_mn >= mn AND s_mx <= mx AS keys_in_bounds
+               -- vacuous truth on an EMPTY sample (zero-row corpus):
+               -- "no sampled key out of bounds" holds with no keys; the
+               -- NULL-bounds comparison alone would emit NULL (r11
+               -- SWEEP_EMPTY allowlist retirement)
+               coalesce(s_mn >= mn AND s_mx <= mx,
+                        n_sampled = 0) AS keys_in_bounds
         FROM a CROSS JOIN b
         """
     )

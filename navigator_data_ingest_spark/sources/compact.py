@@ -157,13 +157,17 @@ def sink_range_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file COUNT is not certified as an exact constant: RangePartitioner
     # can leave partitions empty (low-cardinality sort keys, tiny SFs)
     # and empty partitions write no file — the stable contract is
-    # 1 <= files <= RANGE_FILES, certified as a boolean
+    # least(n_rows, 1) <= files <= RANGE_FILES, certified as a boolean
+    # (the lower bound collapses to 0 on a zero-row source, where no
+    # file is the CORRECT outcome — r11 SWEEP_EMPTY allowlist
+    # retirement), with n_rows itself coalesced to the count the
+    # oracle's count(*) yields on empty.
     totals = ranges.agg(
         (
-            (F.count(F.lit(1)) >= 1)
+            (F.count(F.lit(1)) >= F.least(F.coalesce(F.sum("n"), F.lit(0)), F.lit(1)))
             & (F.count(F.lit(1)) <= RANGE_FILES)
         ).alias("files_within_target"),
-        F.sum("n").alias("n_rows"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_rows"),
         F.round(F.min("lo"), 2).alias("global_min"),
         F.round(F.max("hi"), 2).alias("global_max"),
     )

@@ -508,28 +508,40 @@ def src_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_metadata.file_size").alias("fsize"),
         F.col("_metadata.row_index").alias("ri"),
     )
+    # empty-corpus convention (r11 SWEEP_EMPTY allowlist retirement):
+    # the ok-counters and the row-index SUM coalesce to the 0 the
+    # oracle's closed forms yield over zero rows; min/max row-index
+    # stay NULL (undefined) and the oracle mirrors that with CASE
+    # guards on count(*).
     return df.agg(
         F.countDistinct("fname").cast("bigint").alias("n_files"),
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum((F.col("fname") == "documents.parquet").cast("int"))
+        F.coalesce(
+            F.sum((F.col("fname") == "documents.parquet").cast("int")), F.lit(0)
+        )
         .cast("bigint")
         .alias("n_name_ok"),
-        F.sum((F.col("fsize") > 0).cast("int")).cast("bigint").alias("n_size_ok"),
+        F.coalesce(F.sum((F.col("fsize") > 0).cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("n_size_ok"),
         F.min("ri").cast("bigint").alias("min_ri"),
         F.max("ri").cast("bigint").alias("max_ri"),
-        F.sum("ri").cast("bigint").alias("sum_ri"),
+        F.coalesce(F.sum("ri"), F.lit(0)).cast("bigint").alias("sum_ri"),
         F.countDistinct("ri").cast("bigint").alias("n_ri_distinct"),
     )
 
 
 def src_file_metadata_sql() -> str:
+    # least(1, count(*)) and the CASE guards make the closed forms hold
+    # on a ZERO-ROW table too (no file scanned -> 0 files, undefined
+    # min/max row-index -> NULL), mirroring the Spark aggregates.
     return """
-    SELECT 1::BIGINT AS n_files,
+    SELECT least(1, count(*))::BIGINT AS n_files,
            count(*)::BIGINT AS n_rows,
            count(*)::BIGINT AS n_name_ok,
            count(*)::BIGINT AS n_size_ok,
-           0::BIGINT AS min_ri,
-           (count(*) - 1)::BIGINT AS max_ri,
+           CASE WHEN count(*) > 0 THEN 0::BIGINT END AS min_ri,
+           CASE WHEN count(*) > 0 THEN (count(*) - 1)::BIGINT END AS max_ri,
            (count(*) * (count(*) - 1) / 2)::BIGINT AS sum_ri,
            count(*)::BIGINT AS n_ri_distinct
     FROM documents

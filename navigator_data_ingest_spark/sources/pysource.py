@@ -426,10 +426,14 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sink_python_datasource_sql() -> str:
+    # manifest_chars is a DEFINITE total the Python committer sums (0 on
+    # an empty source), so the oracle coalesces its SQL sum; rb_chars is
+    # the readback's SQL aggregate and stays NULL-on-empty on both
+    # engines (r11 SWEEP_EMPTY allowlist retirement).
     return f"""
     SELECT {SINK_PARTITIONS}::BIGINT AS n_files,
            count(*)::BIGINT AS manifest_rows,
-           sum(n_chars)::BIGINT AS manifest_chars,
+           coalesce(sum(n_chars), 0)::BIGINT AS manifest_chars,
            count(*)::BIGINT AS rb_rows,
            sum(n_chars)::BIGINT AS rb_chars,
            count(DISTINCT doc_id)::BIGINT AS rb_docs
