@@ -3597,10 +3597,22 @@ def stats_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("loo") * F.col("loo")).alias("sl2"),
         )
         .withColumn(
+            # greatest(.., 0): at an all-ties corpus (round-11 axis) the
+            # sum-of-squares identity leaves a ~1e-19 float residue of
+            # EITHER sign; a negative residue is sqrt-NaN on Spark and a
+            # hard OutOfRange error on DuckDB. Clamped-to-zero it rounds
+            # to 0.000000 at 6 dp on both engines (residue scale is six
+            # orders below the rounding grain). Mirrored in the oracle.
             "var_jack",
-            (F.col("k") - 1).cast("double")
-            / F.col("k").cast("double")
-            * (F.col("sl2") - F.col("sl") * F.col("sl") / F.col("k").cast("double")),
+            F.greatest(
+                (F.col("k") - 1).cast("double")
+                / F.col("k").cast("double")
+                * (
+                    F.col("sl2")
+                    - F.col("sl") * F.col("sl") / F.col("k").cast("double")
+                ),
+                F.lit(0.0),
+            ),
         )
         .select(
             "event_type",
@@ -3642,12 +3654,12 @@ def stats_jackknife_ci_sql() -> str:
     )
     SELECT event_type, k,
            round(mean_value, 6) AS mean_value,
-           round(sqrt((k - 1)::DOUBLE / k::DOUBLE
-                      * (sl2 - sl * sl / k::DOUBLE)), 6) AS se_jack,
-           round(mean_value - 1.96 * sqrt((k - 1)::DOUBLE / k::DOUBLE
-                      * (sl2 - sl * sl / k::DOUBLE)), 6) AS ci_lo,
-           round(mean_value + 1.96 * sqrt((k - 1)::DOUBLE / k::DOUBLE
-                      * (sl2 - sl * sl / k::DOUBLE)), 6) AS ci_hi
+           round(sqrt(greatest((k - 1)::DOUBLE / k::DOUBLE
+                      * (sl2 - sl * sl / k::DOUBLE), 0.0)), 6) AS se_jack,
+           round(mean_value - 1.96 * sqrt(greatest((k - 1)::DOUBLE / k::DOUBLE
+                      * (sl2 - sl * sl / k::DOUBLE), 0.0)), 6) AS ci_lo,
+           round(mean_value + 1.96 * sqrt(greatest((k - 1)::DOUBLE / k::DOUBLE
+                      * (sl2 - sl * sl / k::DOUBLE), 0.0)), 6) AS ci_hi
     FROM agg ORDER BY event_type
     """
 
@@ -4580,6 +4592,7 @@ def stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates (n, Σx, Σx²); everything after is arithmetic on the
     k-row table with grand totals from a bounded re-aggregation.
     """
+    cents = "cast(round(value * 100) as bigint)"
     g = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -4587,6 +4600,10 @@ def stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("value").alias("sx"),
             F.sum(F.col("value") * F.col("value")).alias("sxx"),
+            F.sum(F.expr(cents)).alias("sxc"),
+            F.sum(F.expr(f"cast({cents} as decimal(38,0)) * {cents}")).alias(
+                "sxxc"
+            ),
         )
     )
     tot = g.agg(
@@ -4602,23 +4619,36 @@ def stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     ssw = F.max("tot_sxx") - F.sum(
         F.col("sx") * F.col("sx") / F.col("n").cast("double")
     )
+    # EXACT within-variation discriminant on the integer-cents lattice
+    # (round-11 all-ties axis): the float ssw residue at all-ties has an
+    # engine-dependent sign, so "ssw > 0" could define f_stat on one
+    # engine and not the other; sum_g(n_g*sxxc_g - sxc_g^2) is zero iff
+    # every group's values tie, identically on both engines. The
+    # rounded SS columns carry "+ 0.0" because DuckDB's round() keeps
+    # the residue's negative sign (-0.000000) while Spark's drops it.
+    vw = F.sum(
+        F.expr(
+            "cast(n as decimal(38,0)) * sxxc - cast(sxc as decimal(38,0)) * sxc"
+        )
+    )
     out = j.agg(
         F.max("k").alias("k"),
         F.max("tot_n").alias("n_rows"),
         ssb.alias("_ssb"),
         ssw.alias("_ssw"),
+        vw.alias("_vw"),
     ).select(
         F.col("k").cast("bigint").alias("k_groups"),
         F.col("n_rows").cast("bigint").alias("n_rows"),
-        F.round("_ssb", 6).alias("ss_between"),
-        F.round("_ssw", 6).alias("ss_within"),
+        (F.round("_ssb", 6) + F.lit(0.0)).alias("ss_between"),
+        (F.round("_ssw", 6) + F.lit(0.0)).alias("ss_within"),
         # F is undefined with one group, no within-group df, or zero
         # within-group variation (round-9 degenerate-input probe):
         # NULL, not an ANSI crash; identical guard both engines
         F.when(
             (F.col("k") >= 2)
             & (F.col("n_rows") > F.col("k"))
-            & (F.col("_ssw") > 0),
+            & (F.col("_vw") > 0),
             F.round(
                 (F.col("_ssb") / (F.col("k") - 1).cast("double"))
                 / (F.col("_ssw") / (F.col("n_rows") - F.col("k")).cast("double")),
@@ -4633,7 +4663,10 @@ def stats_anova_sql() -> str:
     return """
     WITH g AS (
         SELECT event_type, count(*)::BIGINT AS n, sum(value) AS sx,
-               sum(value * value) AS sxx
+               sum(value * value) AS sxx,
+               sum(round(value * 100)::BIGINT)::BIGINT AS sxc,
+               sum(round(value * 100)::HUGEINT
+                   * round(value * 100)::BIGINT) AS sxxc
         FROM events GROUP BY 1
     ), t AS (
         SELECT sum(n)::BIGINT AS tot_n, sum(sx) AS tot_sx,
@@ -4643,13 +4676,14 @@ def stats_anova_sql() -> str:
         SELECT max(k) AS k, max(tot_n) AS n_rows,
                sum(sx * sx / n::DOUBLE)
                    - max(tot_sx * tot_sx / tot_n::DOUBLE) AS ssb,
-               max(tot_sxx) - sum(sx * sx / n::DOUBLE) AS ssw
+               max(tot_sxx) - sum(sx * sx / n::DOUBLE) AS ssw,
+               sum(n::HUGEINT * sxxc - sxc::HUGEINT * sxc) AS vw
         FROM g CROSS JOIN t
     )
     SELECT k::BIGINT AS k_groups, n_rows::BIGINT AS n_rows,
-           round(ssb, 6) AS ss_between,
-           round(ssw, 6) AS ss_within,
-           CASE WHEN k >= 2 AND n_rows > k AND ssw > 0 THEN
+           round(ssb, 6) + 0.0 AS ss_between,
+           round(ssw, 6) + 0.0 AS ss_within,
+           CASE WHEN k >= 2 AND n_rows > k AND vw > 0 THEN
                round((ssb / (k - 1)::DOUBLE)
                      / (ssw / (n_rows - k)::DOUBLE), 6)
            END AS f_stat
@@ -4906,28 +4940,46 @@ def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # moments on the EXACT integer-cents lattice (round-11 all-ties
+    # axis): with raw double sums the sum-of-squares identity leaves a
+    # float residue of either sign at zero variance — sqrt-NaN on Spark,
+    # a hard OutOfRange error on DuckDB, and an engine-dependent
+    # near-zero ulp otherwise. Integer moments make the variance
+    # discriminant exact (v = n*sxx - sx^2 in decimal(38,0), zero iff
+    # every price ties), z is scale-invariant so cents vs dollars
+    # cancels, and every double below derives from the same exact
+    # integers on both engines.
+    cents = "cast(round(o_totalprice * 100) as bigint)"
     g = (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("o_totalprice").alias("sx"),
-            F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("sxx"),
+            F.sum(F.expr(cents)).alias("sx"),
+            F.sum(
+                F.expr(f"cast({cents} as decimal(38,0)) * {cents}")
+            ).alias("sxx"),
         )
     )
     tot = g.agg(F.sum("n").alias("tn"), F.sum("sx").alias("tsx"))
     j = g.crossJoin(F.broadcast(tot)).join(
         F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
     )
+    v = "(cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx)"
     z = (
-        "((sx / cast(n as double) - tsx / cast(tn as double)) "
-        "/ sqrt(((sxx - sx * sx / cast(n as double)) / (n - 1.0)) / n))"
+        f"(CASE WHEN n > 1 AND {v} > 0 THEN"
+        " ((sx / cast(n as double) - tsx / cast(tn as double))"
+        f" / sqrt(cast({v} as double)"
+        " / (cast(n as double) * n * (n - 1.0)))) END)"
     )
     p = f"(2.0 * {_normal_upper_tail(f'abs({z})')})"
     h = j.selectExpr(
         "n_name", "n", f"round({z}, 6) AS z", f"round({p}, 6) AS p"
     )
-    wk = Window.orderBy("p", "n_name")
+    # explicit NULLS LAST: undefined-z hypotheses (zero-variance
+    # nations) sort after every real p on BOTH engines (Spark default
+    # is NULLS FIRST asc, DuckDB's is NULLS LAST)
+    wk = Window.orderBy(F.asc_nulls_last("p"), "n_name")
     wall = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -4958,24 +5010,28 @@ def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stats_fdr_bh_sql() -> str:
+    v = "(n::HUGEINT * sxx - sx::HUGEINT * sx)"
     z = (
-        "((sx / n::DOUBLE - tsx / tn::DOUBLE) "
-        "/ sqrt(((sxx - sx * sx / n::DOUBLE) / (n - 1.0)) / n))"
+        f"(CASE WHEN n > 1 AND {v} > 0 THEN"
+        " ((sx / n::DOUBLE - tsx / tn::DOUBLE)"
+        f" / sqrt({v}::DOUBLE / (n::DOUBLE * n * (n - 1.0)))) END)"
     )
     p = f"(2.0 * {_normal_upper_tail(f'abs({z})')})"
     return f"""
     WITH g AS (
-        SELECT c_nationkey, count(*)::BIGINT AS n, sum(o_totalprice) AS sx,
-               sum(o_totalprice * o_totalprice) AS sxx
+        SELECT c_nationkey, count(*)::BIGINT AS n,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sx,
+               sum(round(o_totalprice * 100)::HUGEINT
+                   * round(o_totalprice * 100)::BIGINT) AS sxx
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1
     ), t AS (
-        SELECT sum(n)::BIGINT AS tn, sum(sx) AS tsx FROM g
+        SELECT sum(n)::BIGINT AS tn, sum(sx)::BIGINT AS tsx FROM g
     ), h AS (
         SELECT n_name, n, round({z}, 6) AS z, round({p}, 6) AS p
         FROM g CROSS JOIN t JOIN nation ON c_nationkey = n_nationkey
     ), ranked AS (
-        SELECT *, row_number() OVER (ORDER BY p, n_name) AS k,
+        SELECT *, row_number() OVER (ORDER BY p NULLS LAST, n_name) AS k,
                count(*) OVER () AS m
         FROM h
     ), thr AS (
@@ -5429,77 +5485,99 @@ def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared Abramowitz-Stegun tail polynomial; the equivalence
     verdict compares ROUNDED values (repo float rule).
     """
+    # moments on the EXACT integer-cents lattice (round-11 all-ties
+    # axis): raw double sums left a float residue of either sign in
+    # qa - sa^2/na at zero variance, and sqrt(residue) fired INSIDE the
+    # old "se > 0" guard (DuckDB raises OutOfRange while EVALUATING the
+    # guard). Exact integer arm variances (va = na*qa - sa^2 in
+    # decimal(38,0)) make the zero-variance discriminant exact and
+    # every derived double bit-identical cross-engine; z is
+    # scale-invariant so cents cancel, and the dollar-facing outputs
+    # divide by 100.0 once (exact binary literal, one rounding).
+    cents = "cast(round(o_totalprice * 100) as bigint)"
     agg = load_table(spark, sf_dir, "orders").agg(
         F.sum(F.expr("CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END")).alias("na"),
-        F.sum(F.expr("CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice ELSE 0 END")).alias("sa"),
-        F.sum(F.expr("CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * o_totalprice ELSE 0 END")).alias("qa"),
+        F.sum(F.expr(f"CASE WHEN o_orderkey % 2 = 0 THEN {cents} ELSE 0 END")).alias("sa"),
+        F.sum(F.expr(f"CASE WHEN o_orderkey % 2 = 0 THEN cast({cents} as decimal(38,0)) * {cents} ELSE 0 END")).alias("qa"),
         F.sum(F.expr("CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END")).alias("nb"),
-        F.sum(F.expr("CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice ELSE 0 END")).alias("sb"),
-        F.sum(F.expr("CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice * o_totalprice ELSE 0 END")).alias("qb"),
+        F.sum(F.expr(f"CASE WHEN o_orderkey % 2 = 1 THEN {cents} ELSE 0 END")).alias("sb"),
+        F.sum(F.expr(f"CASE WHEN o_orderkey % 2 = 1 THEN cast({cents} as decimal(38,0)) * {cents} ELSE 0 END")).alias("qb"),
     )
-    diff = "(sa / na - sb / nb)"
-    delta = "(0.01 * (sa + sb) / (na + nb))"
+    diff = "(sa / cast(na as double) - sb / cast(nb as double))"
+    delta = "(0.01 * (sa + sb) / cast(na + nb as double))"
+    va = "(cast(na as decimal(38,0)) * qa - cast(sa as decimal(38,0)) * sa)"
+    vb = "(cast(nb as decimal(38,0)) * qb - cast(sb as decimal(38,0)) * sb)"
     se = (
-        "sqrt(((qa - sa * sa / na) / (na - 1.0)) / na "
-        "+ ((qb - sb * sb / nb) / (nb - 1.0)) / nb)"
+        f"sqrt(cast({va} as double)"
+        " / (cast(na as double) * na * (na - 1.0))"
+        f" + cast({vb} as double)"
+        " / (cast(nb as double) * nb * (nb - 1.0)))"
     )
     z1 = f"(({diff} + {delta}) / {se})"
     z2 = f"(({delta} - {diff}) / {se})"
     p1 = _normal_upper_tail(z1)
     p2 = _normal_upper_tail(z2)
     # TOST is undefined with an empty/singleton arm or zero pooled
-    # variance (round-9 degenerate-input probe): NULL, not an ANSI
-    # crash. The se > 0 check nests INSIDE the n-guard so the variance
-    # expression (which divides by n-1) is never evaluated on a
+    # variance: NULL, not an ANSI crash. The variance check is the
+    # EXACT integer discriminant (va + vb > 0 iff any value differs),
+    # nested INSIDE the n-guard so /(n-1) never evaluates on a
     # degenerate arm; identical structure on both engines.
     narm = "(na >= 2 AND nb >= 2)"
+    sdef = f"({va} + {vb} > 0)"
     return agg.selectExpr(
         "na AS n_a",
         "nb AS n_b",
-        f"CASE WHEN na > 0 AND nb > 0 THEN round({diff}, 6) END AS mean_diff",
-        f"CASE WHEN na + nb > 0 THEN round({delta}, 6) END AS margin",
-        f"CASE WHEN {narm} THEN CASE WHEN {se} > 0 THEN"
+        f"CASE WHEN na > 0 AND nb > 0 THEN round({diff} / 100.0, 6) END"
+        " AS mean_diff",
+        # margin IS one integer rational ((sa+sb) / ((na+nb)*10000)):
+        # integer-exact HALF_UP per the round-boundary rule
+        f"CASE WHEN na + nb > 0 THEN"
+        f" {sp_rat6('(sa + sb)', '((na + nb) * 10000)')} END AS margin",
+        f"CASE WHEN {narm} THEN CASE WHEN {sdef} THEN"
         f" round({z1}, 6) END END AS z_lower",
-        f"CASE WHEN {narm} THEN CASE WHEN {se} > 0 THEN"
+        f"CASE WHEN {narm} THEN CASE WHEN {sdef} THEN"
         f" round({z2}, 6) END END AS z_upper",
-        f"CASE WHEN {narm} THEN CASE WHEN {se} > 0 THEN"
+        f"CASE WHEN {narm} THEN CASE WHEN {sdef} THEN"
         f" round(greatest({p1}, {p2}), 6) END END AS p_tost",
-        f"CASE WHEN {narm} THEN CASE WHEN {se} > 0 THEN"
+        f"CASE WHEN {narm} THEN CASE WHEN {sdef} THEN"
         f" round(greatest({p1}, {p2}), 6) < 0.05 END END AS equivalent",
     )
 
 
 def stats_tost_equivalence_sql() -> str:
-    diff = "(sa / na - sb / nb)"
-    delta = "(0.01 * (sa + sb) / (na + nb))"
+    diff = "(sa / na::DOUBLE - sb / nb::DOUBLE)"
+    delta = "(0.01 * (sa + sb) / (na + nb)::DOUBLE)"
+    va = "(na::HUGEINT * qa - sa::HUGEINT * sa)"
+    vb = "(nb::HUGEINT * qb - sb::HUGEINT * sb)"
     se = (
-        "sqrt(((qa - sa * sa / na) / (na - 1.0)) / na "
-        "+ ((qb - sb * sb / nb) / (nb - 1.0)) / nb)"
+        f"sqrt({va}::DOUBLE / (na::DOUBLE * na * (na - 1.0))"
+        f" + {vb}::DOUBLE / (nb::DOUBLE * nb * (nb - 1.0)))"
     )
     z1 = f"(({diff} + {delta}) / {se})"
     z2 = f"(({delta} - {diff}) / {se})"
     p1 = _normal_upper_tail(z1)
     p2 = _normal_upper_tail(z2)
+    sdef = f"({va} + {vb} > 0)"
     return f"""
     WITH agg AS (
-        SELECT sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)::DOUBLE AS na,
-               sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice ELSE 0 END) AS sa,
-               sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * o_totalprice ELSE 0 END) AS qa,
-               sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)::DOUBLE AS nb,
-               sum(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice ELSE 0 END) AS sb,
-               sum(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice * o_totalprice ELSE 0 END) AS qb
+        SELECT sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+               sum(CASE WHEN o_orderkey % 2 = 0 THEN round(o_totalprice * 100)::BIGINT ELSE 0 END)::BIGINT AS sa,
+               sum(CASE WHEN o_orderkey % 2 = 0 THEN round(o_totalprice * 100)::HUGEINT * round(o_totalprice * 100)::BIGINT ELSE 0 END) AS qa,
+               sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS nb,
+               sum(CASE WHEN o_orderkey % 2 = 1 THEN round(o_totalprice * 100)::BIGINT ELSE 0 END)::BIGINT AS sb,
+               sum(CASE WHEN o_orderkey % 2 = 1 THEN round(o_totalprice * 100)::HUGEINT * round(o_totalprice * 100)::BIGINT ELSE 0 END) AS qb
         FROM orders
     )
-    SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
-           CASE WHEN na > 0 AND nb > 0 THEN round({diff}, 6) END AS mean_diff,
-           CASE WHEN na + nb > 0 THEN round({delta}, 6) END AS margin,
-           CASE WHEN na >= 2 AND nb >= 2 THEN CASE WHEN {se} > 0 THEN
+    SELECT na AS n_a, nb AS n_b,
+           CASE WHEN na > 0 AND nb > 0 THEN round({diff} / 100.0, 6) END AS mean_diff,
+           CASE WHEN na + nb > 0 THEN {dk_rat6('(sa + sb)', '((na + nb) * 10000)')} END AS margin,
+           CASE WHEN na >= 2 AND nb >= 2 THEN CASE WHEN {sdef} THEN
                round({z1}, 6) END END AS z_lower,
-           CASE WHEN na >= 2 AND nb >= 2 THEN CASE WHEN {se} > 0 THEN
+           CASE WHEN na >= 2 AND nb >= 2 THEN CASE WHEN {sdef} THEN
                round({z2}, 6) END END AS z_upper,
-           CASE WHEN na >= 2 AND nb >= 2 THEN CASE WHEN {se} > 0 THEN
+           CASE WHEN na >= 2 AND nb >= 2 THEN CASE WHEN {sdef} THEN
                round(greatest({p1}, {p2}), 6) END END AS p_tost,
-           CASE WHEN na >= 2 AND nb >= 2 THEN CASE WHEN {se} > 0 THEN
+           CASE WHEN na >= 2 AND nb >= 2 THEN CASE WHEN {sdef} THEN
                round(greatest({p1}, {p2}), 6) < 0.05 END END AS equivalent
     FROM agg
     """
@@ -6009,9 +6087,15 @@ def stats_qq_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
         # interpolant can land an ulp below the rounded mean, and
         # DuckDB's round() preserves the sign (−0.0) while Spark's
         # doesn't (round-10 n=2 probe). x + 0.0 is the identity for
-        # every other double in BOTH engines.
+        # every other double in BOTH engines. nullif(sd, 0): a
+        # zero-variance corpus (round-11 all-ties axis) has no
+        # standardization — NULL, matching DuckDB's div-by-zero→NULL.
         (
-            F.round((F.expr("qs[i]") - F.col("mu")) / F.col("sd"), 6)
+            F.round(
+                (F.expr("qs[i]") - F.col("mu"))
+                / F.expr("nullif(sd, cast(0.0 as double))"),
+                6,
+            )
             + F.lit(0.0)
         ).alias("z_empirical"),
     )
@@ -6046,8 +6130,8 @@ def stats_qq_normal_sql() -> str:
     )
     SELECT p,
            CASE p {zcase} END AS z_theory,
-           round((qs[i] - mu) / sd, 6) + 0.0 AS z_empirical,
-           round(round((qs[i] - mu) / sd, 6) + 0.0
+           round((qs[i] - mu) / nullif(sd, 0.0), 6) + 0.0 AS z_empirical,
+           round(round((qs[i] - mu) / nullif(sd, 0.0), 6) + 0.0
                  - CASE p {zcase} END, 6) + 0.0 AS gap
     FROM rows_ ORDER BY p
     """
@@ -6722,10 +6806,13 @@ def stats_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+    cents = "cast(round(value * 100) as bigint)"
     cells = ev.groupBy("event_type", "dow").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("value").alias("s"),
         F.sum(F.expr("value * value")).alias("q"),
+        F.sum(F.expr(cents)).alias("sc"),
+        F.sum(F.expr(f"cast({cents} as decimal(38,0)) * {cents}")).alias("qc"),
     )
     ca = cells.groupBy("event_type").agg(
         F.sum("n").alias("na"), F.sum("s").alias("sa")
@@ -6738,6 +6825,15 @@ def stats_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cells"),
         F.countDistinct("event_type").alias("ka"),
         F.countDistinct("dow").alias("kb"),
+        # EXACT within-cell variation discriminant (integer cents):
+        # zero iff every cell's values tie — the float ss_e residue's
+        # sign is engine-dependent at an all-ties corpus (round-11
+        # axis) and was defining garbage F ratios on one engine only
+        F.sum(
+            F.expr(
+                "cast(n as decimal(38,0)) * qc - cast(sc as decimal(38,0)) * sc"
+            )
+        ).alias("vw"),
     )
     j = (
         cells.join(F.broadcast(ca), "event_type")
@@ -6751,6 +6847,7 @@ def stats_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_cells").alias("nc"),
         F.max(F.expr("st * st / nt")).alias("cf"),
         F.max("qt").alias("qt"),
+        F.max("vw").alias("vw"),
         F.sum(F.expr("s * s / n")).alias("ss_cells_raw"),
     )
     # marginal raw SS re-aggregated from the margin tables (1-row each)
@@ -6769,7 +6866,7 @@ def stats_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df, or zero within-cell variation (the stats_anova guard,
     # factorial form — round-10 single-row probe): NULL, not an ANSI
     # crash; identical guard both engines
-    mse_ok = f"(nt > nc AND {ss_e} > 0)"
+    mse_ok = "(nt > nc AND vw > 0)"
     # + 0.0 normalizes IEEE −0.0: a degenerate grid leaves an SS as
     # round(−1e−18, 2), whose sign DuckDB's round keeps and Spark's
     # drops (round-10 n=3 probe); identity for every other double
@@ -6804,13 +6901,17 @@ def stats_two_way_anova_sql() -> str:
     WITH cells AS (
         SELECT event_type, dayofweek(ts::TIMESTAMP)::INT AS dow,
                count(*)::BIGINT AS n, sum(value) AS s,
-               sum(value * value) AS q
+               sum(value * value) AS q,
+               sum(round(value * 100)::BIGINT)::BIGINT AS sc,
+               sum(round(value * 100)::HUGEINT
+                   * round(value * 100)::BIGINT) AS qc
         FROM events
         WHERE event_type IS NOT NULL AND value IS NOT NULL
         GROUP BY 1, 2
     ), tot AS (
         SELECT sum(n)::BIGINT AS nt, sum(s) AS st, sum(q) AS qt,
                count(*)::BIGINT AS nc,
+               sum(n::HUGEINT * qc - sc::HUGEINT * sc) AS vw,
                count(DISTINCT event_type)::BIGINT AS ka,
                count(DISTINCT dow)::BIGINT AS kb,
                sum(s * s / n) AS ss_cells_raw
@@ -6824,7 +6925,7 @@ def stats_two_way_anova_sql() -> str:
             SELECT dow, sum(n)::BIGINT AS nb, sum(s) AS sb
             FROM cells GROUP BY 1) t
     ), x AS (
-        SELECT nt, ka, kb, nc, st * st / nt AS cf, qt, ss_cells_raw,
+        SELECT nt, ka, kb, nc, st * st / nt AS cf, qt, vw, ss_cells_raw,
                ssa_raw, ssb_raw
         FROM tot CROSS JOIN ma CROSS JOIN mb
     )
@@ -6833,13 +6934,13 @@ def stats_two_way_anova_sql() -> str:
            round({ss_b}, 2) + 0.0 AS ss_dow,
            round({ss_ab}, 2) + 0.0 AS ss_interaction,
            round({ss_e}, 2) + 0.0 AS ss_error,
-           CASE WHEN ka >= 2 AND nt > nc AND {ss_e} > 0 THEN
+           CASE WHEN ka >= 2 AND nt > nc AND vw > 0 THEN
                round(({ss_a} / {df_a}) / ({ss_e} / {df_e}), 2)
            END AS f_type,
-           CASE WHEN kb >= 2 AND nt > nc AND {ss_e} > 0 THEN
+           CASE WHEN kb >= 2 AND nt > nc AND vw > 0 THEN
                round(({ss_b} / {df_b}) / ({ss_e} / {df_e}), 2)
            END AS f_dow,
-           CASE WHEN ka >= 2 AND kb >= 2 AND nt > nc AND {ss_e} > 0 THEN
+           CASE WHEN ka >= 2 AND kb >= 2 AND nt > nc AND vw > 0 THEN
                round(({ss_ab} / {df_ab}) / ({ss_e} / {df_e}), 2)
            END AS f_interaction
     FROM x
@@ -9145,11 +9246,16 @@ def stats_granger_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     s12 = "(cast(n as double) * sy1x1 - cast(sy1 as double) * sx1)"
     s1y = "(cast(n as double) * syy1 - cast(sy1 as double) * sy)"
     s2y = "(cast(n as double) * syx1 - cast(sx1 as double) * sy)"
+    # degenerate guards (round-11 all-ties axis): a constant VALUE makes
+    # y exactly proportional to x, so the two regressors are perfectly
+    # collinear (det = 0) — and a constant lagged series zeroes s11.
+    # Undefined coefficients are NULL (DuckDB's div-by-zero→NULL
+    # convention, mirrored), never an ANSI crash.
     det = f"({s11} * {s22} - {s12} * {s12})"
-    br = f"({s1y} / {s11})"
+    br = f"({s1y} / nullif({s11}, 0.0d))"
     ar = f"((sy - {br} * sy1) / cast(n as double))"
-    b1 = f"(({s1y} * {s22} - {s2y} * {s12}) / {det})"
-    b2 = f"(({s2y} * {s11} - {s1y} * {s12}) / {det})"
+    b1 = f"(({s1y} * {s22} - {s2y} * {s12}) / nullif({det}, 0.0d))"
+    b2 = f"(({s2y} * {s11} - {s1y} * {s12}) / nullif({det}, 0.0d))"
     au = f"((sy - {b1} * sy1 - {b2} * sx1) / cast(n as double))"
     e = lagged.crossJoin(F.broadcast(m)).selectExpr(
         "n",
@@ -9169,7 +9275,8 @@ def stats_granger_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_obs",
         "beta_y1",
         "beta_x1",
-        "round((sse_r - sse_u) * (n_obs - 3) / sse_u, 4) AS f_stat",
+        "round((sse_r - sse_u) * (n_obs - 3)"
+        " / nullif(sse_u, cast(0.0 as double)), 4) AS f_stat",
     )
 
 
@@ -9180,10 +9287,10 @@ def stats_granger_daily_sql() -> str:
     s1y = "(n::DOUBLE * syy1 - sy1::DOUBLE * sy)"
     s2y = "(n::DOUBLE * syx1 - sx1::DOUBLE * sy)"
     det = f"({s11} * {s22} - {s12} * {s12})"
-    br = f"({s1y} / {s11})"
+    br = f"({s1y} / nullif({s11}, 0.0))"
     ar = f"((sy - {br} * sy1) / n::DOUBLE)"
-    b1 = f"(({s1y} * {s22} - {s2y} * {s12}) / {det})"
-    b2 = f"(({s2y} * {s11} - {s1y} * {s12}) / {det})"
+    b1 = f"(({s1y} * {s22} - {s2y} * {s12}) / nullif({det}, 0.0))"
+    b2 = f"(({s2y} * {s11} - {s1y} * {s12}) / nullif({det}, 0.0))"
     au = f"((sy - {b1} * sy1 - {b2} * sx1) / n::DOUBLE)"
     return f"""
     WITH d AS (
@@ -9214,7 +9321,7 @@ def stats_granger_daily_sql() -> str:
            max(beta_y1) AS beta_y1,
            max(beta_x1) AS beta_x1,
            round((sum(res_r * res_r) - sum(res_u * res_u)) * (max(n) - 3)
-                 / sum(res_u * res_u), 4) AS f_stat
+                 / nullif(sum(res_u * res_u), 0.0), 4) AS f_stat
     FROM e
     """
 
@@ -12535,8 +12642,21 @@ def stats_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").alias("sy"),
         F.sum(F.expr("x * x")).alias("sxx"),
         F.sum(F.expr("x * y")).alias("sxy"),
+        F.min("x").alias("mnx"),
+        F.max("x").alias("mxx"),
     )
-    slope = "((k * sxy - sx * sy) / nullif(k * sxx - sx * sx, 0.0))"
+    # the regressor-variance residual k*sxx - sx^2 has an
+    # ENGINE-DEPENDENT sign and magnitude when every part in a brand
+    # shares one unit price (round-11 all-ties axis), so nullif alone
+    # let each engine emit different garbage slopes. min(x) < max(x) is
+    # an order-free EXACT degeneracy test (each engine folds identical
+    # ln() doubles, so a constant regressor is bit-constant within the
+    # engine): NULL slope/intercept on a degenerate regressor, both
+    # engines.
+    slope = (
+        "(CASE WHEN mnx < mxx THEN"
+        " ((k * sxy - sx * sy) / nullif(k * sxx - sx * sx, 0.0)) END)"
+    )
     return (
         m.selectExpr(
             "p_brand AS brand",
@@ -12549,7 +12669,10 @@ def stats_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stats_elasticity_loglog_sql() -> str:
-    slope = "((k * sxy - sx * sy) / nullif(k * sxx - sx * sx, 0.0))"
+    slope = (
+        "(CASE WHEN mnx < mxx THEN"
+        " ((k * sxy - sx * sy) / nullif(k * sxx - sx * sx, 0.0)) END)"
+    )
     return f"""
     WITH pp AS (
         SELECT p_brand,
@@ -12564,7 +12687,8 @@ def stats_elasticity_loglog_sql() -> str:
     ), m AS (
         SELECT p_brand, count(*)::BIGINT AS k,
                sum(x) AS sx, sum(y) AS sy,
-               sum(x * x) AS sxx, sum(x * y) AS sxy
+               sum(x * x) AS sxx, sum(x * y) AS sxy,
+               min(x) AS mnx, max(x) AS mxx
         FROM pp GROUP BY 1
     )
     SELECT p_brand AS brand, k AS n_parts,
@@ -12606,16 +12730,24 @@ def stats_fisher_z_corr_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("x * y")).alias("sxy"),
         F.sum(F.expr("cast(y as double) * y")).alias("syy"),
     )
+    # degenerate guards (round-11 ALL-TIES axis): a constant-value
+    # corpus makes y exactly proportional to x, so r = ±1 and the
+    # Fisher transform's (1+r)/(1-r) divides by zero — and a constant
+    # SERIES zeroes the r denominator itself. Both are undefined
+    # statistics: NULL, not an ANSI crash, with DuckDB's
+    # division-by-zero→NULL convention mirrored via nullif/CASE. The
+    # z denominator needs n > 3 in BOTH periods (1/(n−3)).
     r = (
         "((n * cast(sxy as double) - cast(sx as double) * sy)"
-        " / (sqrt(n * cast(sxx as double) - cast(sx as double) * sx)"
-        " * sqrt(n * syy - cast(sy as double) * sy)))"
+        " / nullif(sqrt(n * cast(sxx as double) - cast(sx as double) * sx)"
+        " * sqrt(n * syy - cast(sy as double) * sy), 0.0))"
     )
     per = m.selectExpr(
         "pre",
         "n",
         f"{r} AS r",
-        f"(0.5 * ln((1.0 + {r}) / (1.0 - {r}))) AS fz",
+        f"CASE WHEN abs({r}) < 1.0"
+        f" THEN (0.5 * ln((1.0 + {r}) / (1.0 - {r}))) END AS fz",
     )
     a = per.where(F.col("pre")).selectExpr(
         "n AS n_pre", "r AS r_pre", "fz AS fz_pre"
@@ -12630,8 +12762,10 @@ def stats_fisher_z_corr_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_post",
             "round(r_pre, 6) AS r_pre",
             "round(r_post, 6) AS r_post",
-            "round((fz_pre - fz_post)"
-            " / sqrt(1.0 / (n_pre - 3.0) + 1.0 / (n_post - 3.0)), 6) AS z_diff",
+            "CASE WHEN n_pre > 3 AND n_post > 3 THEN"
+            " round((fz_pre - fz_post)"
+            " / sqrt(1.0 / (n_pre - 3.0) + 1.0 / (n_post - 3.0)), 6)"
+            " END AS z_diff",
         )
     )
 
@@ -12639,8 +12773,8 @@ def stats_fisher_z_corr_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_fisher_z_corr_diff_sql() -> str:
     r = (
         "((n * sxy::DOUBLE - sx::DOUBLE * sy)"
-        " / (sqrt(n * sxx::DOUBLE - sx::DOUBLE * sx)"
-        " * sqrt(n * syy - sy::DOUBLE * sy)))"
+        " / nullif(sqrt(n * sxx::DOUBLE - sx::DOUBLE * sx)"
+        " * sqrt(n * syy - sy::DOUBLE * sy), 0.0))"
     )
     return f"""
     WITH d AS (
@@ -12656,13 +12790,16 @@ def stats_fisher_z_corr_diff_sql() -> str:
         FROM d GROUP BY 1
     ), per AS (
         SELECT pre, n, {r} AS r,
-               (0.5 * ln((1.0 + {r}) / (1.0 - {r}))) AS fz
+               CASE WHEN abs({r}) < 1.0
+                    THEN (0.5 * ln((1.0 + {r}) / (1.0 - {r}))) END AS fz
         FROM m
     )
     SELECT a.n AS n_pre, b.n AS n_post,
            round(a.r, 6) AS r_pre, round(b.r, 6) AS r_post,
-           round((a.fz - b.fz)
-                 / sqrt(1.0 / (a.n - 3.0) + 1.0 / (b.n - 3.0)), 6) AS z_diff
+           CASE WHEN a.n > 3 AND b.n > 3 THEN
+               round((a.fz - b.fz)
+                     / sqrt(1.0 / (a.n - 3.0) + 1.0 / (b.n - 3.0)), 6)
+           END AS z_diff
     FROM per a CROSS JOIN per b
     WHERE a.pre AND NOT b.pre
     """
@@ -14987,8 +15124,13 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seg AS segment",
             "n AS stratum_size",
             f"round({sd}, 2) AS stratum_sd_cents",
-            f"round(wh / tw, 6) AS alloc_fraction",
-            f"cast(round({SAMPLE_BUDGET} * wh / tw) as bigint) AS n_neyman",
+            # nullif(tw, 0): every stratum zero-variance (round-11
+            # all-ties axis) gives total weight 0 — the optimal split is
+            # undefined (NULL, DuckDB's div-by-zero convention), never
+            # an ANSI crash
+            f"round(wh / nullif(tw, 0.0d), 6) AS alloc_fraction",
+            f"cast(round({SAMPLE_BUDGET} * wh / nullif(tw, 0.0d)) as bigint)"
+            " AS n_neyman",
             f"{sp_rat6(f'{SAMPLE_BUDGET} * n', 'tn')} AS n_proportional",
         )
         .orderBy("segment")
@@ -15014,8 +15156,8 @@ def sample_neyman_allocation_sql() -> str:
     )
     SELECT seg AS segment, n AS stratum_size,
            round(sd_, 2) AS stratum_sd_cents,
-           round(wh / tw, 6) AS alloc_fraction,
-           round({SAMPLE_BUDGET} * wh / tw)::BIGINT AS n_neyman,
+           round(wh / nullif(tw, 0.0), 6) AS alloc_fraction,
+           round({SAMPLE_BUDGET} * wh / nullif(tw, 0.0))::BIGINT AS n_neyman,
            {dk_rat6(f'{SAMPLE_BUDGET} * n', 'tn')} AS n_proportional
     FROM w CROSS JOIN tot
     ORDER BY segment
@@ -17138,9 +17280,14 @@ def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = a.join(bb, F.col("type_a") < F.col("type_b")).crossJoin(glob)
     s2 = "(n * (n + 1.0) / 12.0 - tie3 / (12.0 * (n - 1.0)))"
+    # S2 = 0 exactly when EVERY observation ties (tie3 == N3-N, the
+    # round-11 all-ties axis): z is undefined (NULL both engines, never
+    # an ANSI crash) -- exact integer discriminant in decimal(38,0),
+    # the stats_mann_whitney pattern
+    zdef = "(tie3 < cast(n as decimal(38,0)) * n * n - n)"
     z = (
-        f"((ra / na - rb / nb)"
-        f" / sqrt({s2} * (1.0 / na + 1.0 / nb)))"
+        f"(CASE WHEN {zdef} THEN ((ra / na - rb / nb)"
+        f" / sqrt({s2} * (1.0 / na + 1.0 / nb))) END)"
     )
     return pairs.selectExpr(
         "type_a",
@@ -17180,7 +17327,11 @@ def _dunn_threshold_case() -> str:
 
 def stats_dunn_posthoc_sql() -> str:
     s2 = "(n * (n + 1.0) / 12.0 - tie3 / (12.0 * (n - 1.0)))"
-    z = f"((ra / na - rb / nb) / sqrt({s2} * (1.0 / na + 1.0 / nb)))"
+    zdef = "(tie3 < n::HUGEINT * n * n - n)"
+    z = (
+        f"(CASE WHEN {zdef} THEN ((ra / na - rb / nb)"
+        f" / sqrt({s2} * (1.0 / na + 1.0 / nb))) END)"
+    )
     return f"""
     WITH ev AS (
         SELECT event_type, value FROM events

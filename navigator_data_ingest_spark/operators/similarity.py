@@ -1970,13 +1970,18 @@ def emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # needs a strictly positive min variance (exactly 0 at n = 1 — a
     # single normalized vector has zero spread in every dim). Round-10
     # single-row probe: NULL, not an ANSI crash; both engines.
+    # "+ 0.0" drops the IEEE -0.0 a tiny negative variance residue
+    # leaves after DuckDB's sign-preserving round() (round-11 all-ties
+    # axis: identical vectors); the ratio guard compares the ROUNDED
+    # min variance (repo float rule) so an engine-dependent residue
+    # sign can't define the ratio on one engine only.
     return g.selectExpr(
         "n AS n_vectors",
         f"CASE WHEN n >= 2 THEN "
         f"round((({ssq}) - n) / (n * (n - 1.0)), 6) END AS mean_pairwise_cos",
-        f"round({vmax}, 6) AS dim_var_max",
-        f"round({vmin}, 6) AS dim_var_min",
-        f"CASE WHEN {vmin} > 0 THEN "
+        f"round({vmax}, 6) + 0.0 AS dim_var_max",
+        f"round({vmin}, 6) + 0.0 AS dim_var_min",
+        f"CASE WHEN round({vmin}, 6) > 0 THEN "
         f"round({vmax} / {vmin}, 2) END AS dim_var_ratio",
     )
 
@@ -2004,9 +2009,9 @@ def emb_isotropy_sql() -> str:
            CASE WHEN n >= 2 THEN
                round((({ssq}) - n) / (n * (n - 1.0)), 6)
            END AS mean_pairwise_cos,
-           round({vmax}, 6) AS dim_var_max,
-           round({vmin}, 6) AS dim_var_min,
-           CASE WHEN {vmin} > 0 THEN
+           round({vmax}, 6) + 0.0 AS dim_var_max,
+           round({vmin}, 6) + 0.0 AS dim_var_min,
+           CASE WHEN round({vmin}, 6) > 0 THEN
                round({vmax} / {vmin}, 2) END AS dim_var_ratio
     FROM g
     """
@@ -2598,9 +2603,12 @@ def emb_variance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "cast(dim as int) AS dim",
         # sample variance needs n ≥ 2 (round-10 single-row probe):
-        # NULL spectrum rows, not an ANSI crash; identical both engines
+        # NULL spectrum rows, not an ANSI crash; identical both engines.
+        # "+ 0.0" drops the IEEE -0.0 a tiny negative residue leaves
+        # after DuckDB's sign-preserving round() at an all-identical
+        # corpus (round-11 all-ties axis).
         "CASE WHEN n >= 2 THEN "
-        "round((sq.q - sq.s * sq.s / n) / (n - 1.0), 6) END AS variance",
+        "round((sq.q - sq.s * sq.s / n) / (n - 1.0), 6) + 0.0 END AS variance",
     )
     wtot = Window.partitionBy()
     wrank = Window.orderBy(F.desc("variance"), F.asc("dim"))
@@ -2640,7 +2648,7 @@ def emb_variance_spectrum_sql() -> str:
         SELECT dim::INT AS dim,
                CASE WHEN count(*) >= 2 THEN
                    round((sum(v * v) - sum(v) * sum(v) / count(*))
-                         / (count(*) - 1.0), 6) END AS variance
+                         / (count(*) - 1.0), 6) + 0.0 END AS variance
         FROM x GROUP BY 1
     ), ranked AS (
         SELECT dim, variance,
@@ -3336,7 +3344,32 @@ def emb_cka_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     means = (
         e.selectExpr("posexplode(embedding) AS (i, x)")
         .groupBy("i")
-        .agg(F.sum(F.expr("cast(x as double)")).alias("sx"))
+        .agg(
+            F.sum(F.expr("cast(x as double)")).alias("sx"),
+            F.min(F.expr("cast(x as double)")).alias("mn"),
+            F.max(F.expr("cast(x as double)")).alias("mx"),
+        )
+    )
+    # EXACT block-variation discriminant (round-11 all-ties axis, which
+    # also collapses the embedding arrays): with an all-identical
+    # corpus every centered cell is a ~1e-13 float residue, the cc^2
+    # sums are tiny-but-positive, and "ss > 0" let each engine emit a
+    # different residue-over-residue CKA. A block has real variation
+    # iff SOME of its dimensions has min < max — an order-free exact
+    # test each engine evaluates on its own doubles.
+    spread = F.broadcast(
+        means.agg(
+            F.max(
+                F.expr(
+                    f"CASE WHEN i < {CKA_SPLIT} AND mx > mn THEN 1 ELSE 0 END"
+                )
+            ).alias("x_varies"),
+            F.max(
+                F.expr(
+                    f"CASE WHEN i >= {CKA_SPLIT} AND mx > mn THEN 1 ELSE 0 END"
+                )
+            ).alias("y_varies"),
+        )
     )
     c = (
         cells.join(
@@ -3374,10 +3407,14 @@ def emb_cka_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CKA needs both self-block Frobenius norms positive; each ss_* is
     # a sum of NON-NEGATIVE cc² terms, so = 0 exactly (order-free, both
     # engines) when every centered cell is 0 — the n = 1 corpus
-    # (round-10 single-row probe): NULL, not an ANSI crash
+    # (round-10 single-row probe): NULL, not an ANSI crash. The
+    # x/y_varies flags (exact per-dim spread) additionally kill the
+    # residue-over-residue CKA on an all-identical corpus.
+    blk = blk.crossJoin(spread)
     return blk.selectExpr(
         "n_vectors",
-        "CASE WHEN ss_xx > 0 AND ss_yy > 0 THEN "
+        "CASE WHEN x_varies = 1 AND y_varies = 1"
+        " AND ss_xx > 0 AND ss_yy > 0 THEN "
         "round(ss_xy / sqrt(ss_xx * ss_yy), 6) END AS cka",
         "round(sqrt(ss_xy), 6) AS cross_norm",
         "round(sqrt(ss_xx), 6) AS x_norm",
@@ -3394,9 +3431,17 @@ def emb_cka_similarity_sql() -> str:
              range(1, {EMB_DIM} + 1) t(i), range(1, {EMB_DIM} + 1) u(j)
         GROUP BY i, j
     ), means AS (
-        SELECT i, sum(embedding[i]::DOUBLE) AS sx
+        SELECT i, sum(embedding[i]::DOUBLE) AS sx,
+               min(embedding[i]::DOUBLE) AS mn,
+               max(embedding[i]::DOUBLE) AS mx
         FROM embeddings, range(1, {EMB_DIM} + 1) t(i)
         GROUP BY i
+    ), spread AS (
+        SELECT max(CASE WHEN i <= {CKA_SPLIT} AND mx > mn
+                        THEN 1 ELSE 0 END) AS x_varies,
+               max(CASE WHEN i > {CKA_SPLIT} AND mx > mn
+                        THEN 1 ELSE 0 END) AS y_varies
+        FROM means
     ), c AS (
         SELECT p.i, p.j, p.n, p.sxy - mi.sx * mj.sx / p.n AS cc
         FROM pairs p
@@ -3413,10 +3458,11 @@ def emb_cka_similarity_sql() -> str:
         FROM c
     )
     SELECT n_vectors,
-           CASE WHEN ss_xx > 0 AND ss_yy > 0 THEN
+           CASE WHEN x_varies = 1 AND y_varies = 1
+                AND ss_xx > 0 AND ss_yy > 0 THEN
                round(ss_xy / sqrt(ss_xx * ss_yy), 6) END AS cka,
            round(sqrt(ss_xy), 6) AS cross_norm,
            round(sqrt(ss_xx), 6) AS x_norm,
            round(sqrt(ss_yy), 6) AS y_norm
-    FROM blk
+    FROM blk CROSS JOIN spread
     """

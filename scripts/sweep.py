@@ -58,6 +58,13 @@ _EMPTY_DIVERGENCE = {
 # every other axis. Keep this list short and every entry reasoned.
 _ONE_DIVERGENCE: dict[str, str] = {}
 
+# SWEEP_TIES=1 allowlist (round 11): every numeric VALUE column constant
+# at FULL n — the all-ties corpus that exercises tie-correction factors
+# (Σt³−t == n³−n exactly), zero-variance denominators and rank
+# degeneracy at production-like cardinality, which the n<=5 ladder only
+# probes at tiny n. Same downgrade contract as the other axes.
+_TIES_DIVERGENCE: dict[str, str] = {}
+
 
 def _derived_corpus(src: str, tag: str) -> str:
     """A fresh /tmp dir for a derived (empty / 1-row / ties) copy of src.
@@ -170,6 +177,43 @@ def main() -> None:
 
     empty_mode = bool(os.environ.get("SWEEP_EMPTY"))
     one_mode = bool(os.environ.get("SWEEP_ONE"))
+    ties_mode = bool(os.environ.get("SWEEP_TIES"))
+    if ties_mode:
+        # robustness mode 6 (round 11): every numeric VALUE column is
+        # replaced by its global min — full-n ALL-TIES. Identity/key/
+        # sequence columns (…key, …_id, …number) and every non-numeric
+        # column keep their real values, so join cardinalities, time
+        # axes and text stay intact while measures, ranks and variances
+        # collapse to total degeneracy: Σt³−t hits exactly n³−n,
+        # group variances hit exact zero at LARGE n, rank tests see one
+        # giant tie group. Oracle views read the same derived corpus.
+        import re as _re
+
+        import duckdb as _dk
+        import glob as _glob
+
+        src = sf_dir
+        sf_dir = _derived_corpus(src, "ties")
+        _con = _dk.connect()
+        _numeric = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+                    "FLOAT", "REAL", "DOUBLE", "DECIMAL")
+        for _p in _glob.glob(os.path.join(src, "*.parquet")):
+            _t = os.path.basename(_p)
+            _cols = _con.execute(f"DESCRIBE SELECT * FROM '{_p}'").fetchall()
+            _sel = []
+            for _c, _ty, *_rest in _cols:
+                is_value = _ty.upper().startswith(_numeric) and not _re.search(
+                    r"(key|_id|id|number)$", _c
+                )
+                if is_value:
+                    _sel.append(f'(SELECT min("{_c}") FROM \'{_p}\') AS "{_c}"')
+                else:
+                    _sel.append(f'"{_c}"')
+            _con.execute(
+                f"COPY (SELECT {', '.join(_sel)} FROM '{_p}')"
+                f" TO '{os.path.join(sf_dir, _t)}' (FORMAT PARQUET)"
+            )
     if empty_mode or one_mode:
         # robustness mode 4 (round 9): every table ZERO rows — the
         # filter-to-zero / empty-backfill-window class a 100 TB job must
@@ -275,6 +319,9 @@ def main() -> None:
             elif one_mode and name in _ONE_DIVERGENCE:
                 n = df.count()
                 ok, msg = n >= 0, f"runs-on-one ({n} rows): {_ONE_DIVERGENCE[name]}"
+            elif ties_mode and name in _TIES_DIVERGENCE:
+                n = df.count()
+                ok, msg = n >= 0, f"runs-on-ties ({n} rows): {_TIES_DIVERGENCE[name]}"
             elif name in oracles:
                 ok, msg = compare(df, con, oracles[name])
             else:

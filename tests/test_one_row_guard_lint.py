@@ -64,8 +64,6 @@ SRC_ALLOWED: dict[tuple[str, str], str] = {
     ("operators/analytics.py", "stats_dunn_posthoc_sql"): GUARDED,
     ("operators/analytics.py", "stats_extreme_gumbel"): GUARDED,
     ("operators/analytics.py", "stats_extreme_gumbel_sql"): GUARDED,
-    ("operators/analytics.py", "stats_fdr_bh"): NONZERO,  # rank m floor
-    ("operators/analytics.py", "stats_fdr_bh_sql"): NONZERO,
     ("operators/analytics.py", "stats_geometric_mean"): NONZERO,
     ("operators/analytics.py", "stats_geometric_mean_sql"): NONZERO,
     ("operators/analytics.py", "stats_grubbs"): GUARDED,
@@ -85,7 +83,6 @@ SRC_ALLOWED: dict[tuple[str, str], str] = {
     ("operators/analytics.py", "stats_mood_scale"): GUARDED,
     ("operators/analytics.py", "stats_mood_scale_sql"): GUARDED,
     ("operators/analytics.py", "stats_tost_equivalence"): GUARDED,
-    ("operators/analytics.py", "stats_tost_equivalence_sql"): GUARDED,
     ("operators/analytics.py", "stats_weibull_fit"): GUARDED,
     ("operators/analytics.py", "stats_weibull_fit_sql"): GUARDED,
     ("operators/analytics.py", "stats_welch_t"): GUARDED,
@@ -120,7 +117,6 @@ RENDERED_ALLOWED: dict[str, str] = {
     "stats_cuped": GUARDED,
     "stats_dunn_posthoc": GUARDED,
     "stats_extreme_gumbel": GUARDED,
-    "stats_fdr_bh": NONZERO,
     "stats_geometric_mean": NONZERO,
     "stats_grubbs": GUARDED,
     "stats_levene": GUARDED,
@@ -133,7 +129,6 @@ RENDERED_ALLOWED: dict[str, str] = {
     "stats_mann_whitney_z": GUARDED,
     "stats_mahalanobis_outliers": GUARDED,
     "stats_mood_scale": GUARDED,
-    "stats_tost_equivalence": GUARDED,
     "stats_two_way_anova": GUARDED,
     "stats_weibull_fit": GUARDED,
     "stats_welch_t": GUARDED,

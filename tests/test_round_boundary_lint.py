@@ -88,8 +88,6 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/analytics.py", "q_events_twap_sql"): FLOAT_DATA,
     ("operators/analytics.py", "q_sql_lambda_arrays_sql"): FLOAT_DATA,
     ("operators/analytics.py", "q_sql_try_arithmetic_sql"): FLOAT_DATA,
-    ("operators/analytics.py", "sample_neyman_allocation"): IRRATIONAL,  # wh = N·σ
-    ("operators/analytics.py", "sample_neyman_allocation_sql"): IRRATIONAL,
     ("operators/analytics.py", "stats_ab_test"): IRRATIONAL,  # z over sqrt
     ("operators/analytics.py", "stats_anova_sql"): FLOAT_DATA,  # SS of double values
     ("operators/analytics.py", "stats_autocorrelation"): IRRATIONAL,
@@ -113,19 +111,20 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/analytics.py", "stats_fisher_z_corr_diff_sql"): IRRATIONAL,
     ("operators/analytics.py", "stats_geometric_mean"): IRRATIONAL,  # exp(mean ln)
     ("operators/analytics.py", "stats_geometric_mean_sql"): IRRATIONAL,
-    ("operators/analytics.py", "stats_granger_daily"): COMPOUND_RATIONAL,
-    ("operators/analytics.py", "stats_granger_daily_sql"): COMPOUND_RATIONAL,
     ("operators/analytics.py", "stats_hill_tail"): IRRATIONAL,  # ln sums
     ("operators/analytics.py", "stats_hill_tail_sql"): IRRATIONAL,
     ("operators/analytics.py", "stats_hurst_exponent"): IRRATIONAL,  # ln-ln OLS
     ("operators/analytics.py", "stats_hurst_exponent_sql"): IRRATIONAL,
-    ("operators/analytics.py", "stats_jackknife_ci_sql"): IRRATIONAL,  # sqrt CI
     ("operators/analytics.py", "stats_kruskal_wallis"): COMPOUND_RATIONAL,
     ("operators/analytics.py", "stats_kruskal_wallis_sql"): COMPOUND_RATIONAL,
     ("operators/analytics.py", "stats_ks_two_sample"): IRRATIONAL,  # D·sqrt scale
     ("operators/analytics.py", "stats_ks_two_sample_sql"): IRRATIONAL,
     ("operators/analytics.py", "stats_log_rank"): COMPOUND_RATIONAL,
     ("operators/analytics.py", "stats_log_rank_sql"): COMPOUND_RATIONAL,
+    # r11 ties campaign: mean_diff = (sa/na - sb/nb)/100 over exact
+    # integer-cents moments — a compound rational (two denominators)
+    ("operators/analytics.py", "stats_tost_equivalence"): COMPOUND_RATIONAL,
+    ("operators/analytics.py", "stats_tost_equivalence_sql"): COMPOUND_RATIONAL,
     ("operators/analytics.py", "stats_mutual_information_sql"): IRRATIONAL,  # p·ln
     ("operators/analytics.py", "stats_nelson_aalen_sql"): COMPOUND_RATIONAL,  # Σd/n window
     ("operators/analytics.py", "stats_poisson_rate_test"): IRRATIONAL,  # ln/sqrt z
@@ -134,8 +133,6 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/analytics.py", "stats_power_analysis_sql"): IRRATIONAL,
     ("operators/analytics.py", "stats_price_index"): IRRATIONAL,  # fisher sqrt
     ("operators/analytics.py", "stats_price_index_sql"): IRRATIONAL,
-    ("operators/analytics.py", "stats_qq_normal"): IRRATIONAL,  # /sd sqrt
-    ("operators/analytics.py", "stats_qq_normal_sql"): IRRATIONAL,  # /sd sqrt
     ("operators/analytics.py", "stats_retention_halflife"): IRRATIONAL,  # ln2/slope
     ("operators/analytics.py", "stats_retention_halflife_sql"): IRRATIONAL,
     ("operators/analytics.py", "stats_runs_test"): IRRATIONAL,  # z over sqrt
@@ -225,7 +222,6 @@ RENDERED_ALLOWED: dict[str, str] = {
     "q_sql_lambda_arrays": FLOAT_DATA,
     "q_sql_try_arithmetic": FLOAT_DATA,
     "q_supplier_reliability": IRRATIONAL,  # Wilson sqrt
-    "sample_neyman_allocation": IRRATIONAL,
     "stats_ab_test": IRRATIONAL,
     "stats_anova": FLOAT_DATA,
     "stats_autocorrelation": IRRATIONAL,
@@ -249,10 +245,8 @@ RENDERED_ALLOWED: dict[str, str] = {
     "stats_fisher_z_corr_diff": IRRATIONAL,
     "stats_g_test": IRRATIONAL,  # o·ln(o/e) sum
     "stats_geometric_mean": IRRATIONAL,  # exp/sqrt columns (arith_mean exact)
-    "stats_granger_daily": COMPOUND_RATIONAL,
     "stats_hill_tail": IRRATIONAL,
     "stats_hurst_exponent": IRRATIONAL,
-    "stats_jackknife_ci": IRRATIONAL,
     "stats_jarque_bera": COMPOUND_RATIONAL,  # float central-moment sums
     "stats_kendall_tau": IRRATIONAL,
     "stats_kruskal_wallis": COMPOUND_RATIONAL,
@@ -269,7 +263,6 @@ RENDERED_ALLOWED: dict[str, str] = {
     "stats_power_analysis": IRRATIONAL,  # n_req sqrt (rates exact)
     "stats_price_index": IRRATIONAL,
     "stats_psi_drift": IRRATIONAL,
-    "stats_qq_normal": IRRATIONAL,
     "stats_retention_halflife": IRRATIONAL,
     "stats_runs_test": IRRATIONAL,
     "stats_seasonal_decompose": COMPOUND_RATIONAL,
@@ -277,7 +270,7 @@ RENDERED_ALLOWED: dict[str, str] = {
     "stats_spearman_daily": IRRATIONAL,
     "stats_spectral_peak": IRRATIONAL,
     "stats_survival_km": IRRATIONAL,
-    "stats_tost_equivalence": FLOAT_DATA,  # double price moment sums
+    "stats_tost_equivalence": COMPOUND_RATIONAL,  # (sa/na - sb/nb)/100, exact-cents moments
     "stats_two_way_anova": COMPOUND_RATIONAL,
     "stats_weibull_fit": IRRATIONAL,
     "stats_welch_t": FLOAT_DATA,
