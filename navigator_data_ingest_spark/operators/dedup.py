@@ -541,62 +541,147 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: hyperplane-bucket candidates + cosine
-    verify.
+    verify, with the DISTINCT-PAYLOAD collapse in front of the pair
+    join.
 
     The embedding twin of the text funnel: random-hyperplane sign
     buckets (the ``sim_search_lsh`` bucketing) generate candidates via
     a bucket-equality self-join — the shuffle key is the bucket, never
-    a label/category block (label blocks are O(n²/|labels|): at corpus
-    scale the dominant label is quadratic). Cosine is verified on
-    bucket-local pairs only, as a deterministic left fold so Spark and
-    the oracle sum in the same order (cross-engine bit-stable floats).
+    a label/category block. The EXPENSIVE work (the unrolled 64-term
+    cosine fold) runs once per DISTINCT (bucket, embedding) payload
+    pair, not once per vector pair: under duplicate explosion (the
+    100x probe: 23M raw bucket-local pairs but only ~2k distinct
+    payload pairs) the naive join burned a fold per raw pair — 189x
+    wall; the collapse holds it at 1.6x. A map-side-partial groupBy
+    collapses identical payloads to a rep row (min vec_id, count);
+    identical payloads score once (the self-cos fold, shared by every
+    within-group pair); qualifying rep pairs — thresholded BEFORE
+    expansion — join back to member ids (the thresholded side is the
+    small side, so AQE broadcasts it and the corpus never reshuffles),
+    so compute is bounded by distinct content and only the OUTPUT
+    (genuinely quadratic under duplication) scales with the duplicate
+    count. Folds are deterministic left folds so Spark and the oracle
+    sum in the same order (cross-engine bit-stable floats); the
+    expansion emits the exact cos doubles the per-pair formula would
+    (identical arrays -> identical fold operands; IEEE multiply
+    commutes per term, so (a,b) and (b,a) agree exactly). The r10
+    64 KB codegen overflow fix stands: norms live on the collapsed
+    payload table, one fold per join stage.
     """
     from navigator_data_ingest_spark.operators.similarity import _bucket_expr
 
-    # the SELF-norms are join-independent, so they are hoisted BELOW the
-    # join (one unrolled fold per side, pre-join): with all three folds
-    # (dot + both norms) inlined into the join's generated consume
-    # method, janino overflowed the JVM's 64 KB method limit and Spark
-    # silently degraded the whole stage to interpreted eval (the r10
-    # phantom `bhj_doConsume_0(long, ArrayData, long)` fallback,
-    # attributed to THIS op by the r11 sweep's codegen capture). The
-    # build side's norm is now computed while building the broadcast
-    # relation and the stream side's in its own split-able projection,
-    # leaving one fold in the join stage — values are bit-identical
-    # (same expressions, same order, evaluated earlier).
-    e = scatter(spark, load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        "embedding",
-        F.expr(_bucket_expr("embedding")).alias("bucket"),
-        F.sqrt(F.expr(X.sp_fold_dot("embedding", "embedding", EMB_DIM))).alias(
-            "norm_a"
-        ),
+    # e is consumed FOUR times (the collapse, the rep-pair join, both
+    # id expansions): localCheckpoint materializes (vec_id, embedding,
+    # bucket) once, so the 384-element-access hyperplane expression is
+    # computed one time instead of being re-inlined into every
+    # consumer's scan/filter stage — which re-tripped janino's 64 KB
+    # method limit (inferred isnotnull(bucket) + join-key copies) and
+    # would re-scan the corpus 4x besides.
+    # the self-dot fold rides the SAME materialized projection as the
+    # bucket expression: computing it downstream re-tripped janino's
+    # 64 KB method limit twice (the r11 codegen capture caught both) —
+    # first CollapseProject, then HashAggregate's result-projection
+    # merge, re-inlined the unrolled 64-term fold 3-4x into one fused
+    # method. Here each big expression is generated exactly once, in
+    # this stage, and every consumer reads materialized columns.
+    e = (
+        scatter(spark, load_table(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(_bucket_expr("embedding")).alias("bucket"),
+            F.expr(X.sp_fold_dot("embedding", "embedding", EMB_DIM)).alias(
+                "sd"
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
-    # rename one side up front: alias-qualified column refs inside
-    # F.expr() don't survive a same-source self-join
-    b = e.select(
-        F.col("vec_id").alias("vec_id_b"),
+    # distinct-payload groups: one row per (bucket, embedding); the
+    # norm and self-cos derive from the AGGREGATED sd column (min of
+    # bit-identical doubles), so the agg stage carries no fold at all
+    grp = (
+        e.groupBy("bucket", "embedding")
+        .agg(
+            F.min("vec_id").alias("rep_id"),
+            F.count(F.lit(1)).alias("m"),
+            F.min("sd").alias("sd"),
+        )
+        .select(
+            "bucket",
+            "embedding",
+            "rep_id",
+            "m",
+            F.sqrt("sd").alias("norm"),
+            (F.col("sd") / (F.sqrt("sd") * F.sqrt("sd"))).alias("self_cos"),
+        )
+    )
+    gb = grp.select(
         F.col("bucket").alias("bucket_b"),
         F.col("embedding").alias("embedding_b"),
-        F.col("norm_a").alias("norm_b"),
+        F.col("rep_id").alias("rep_id_b"),
+        F.col("norm").alias("norm_b"),
     )
     dot = F.expr(X.sp_fold_dot("embedding", "embedding_b", EMB_DIM))
-    cos = dot / (F.col("norm_a") * F.col("norm_b"))
-    return (
-        e.join(
-            b,
+    cos = dot / (F.col("norm") * F.col("norm_b"))
+    # cross-payload candidates: one fold per distinct payload pair,
+    # thresholded BEFORE the id expansion
+    cross = (
+        grp.join(
+            gb,
             (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("vec_id") < F.col("vec_id_b")),
+            & (F.col("rep_id") < F.col("rep_id_b")),
         )
+        .select("bucket", "embedding", "embedding_b", cos.alias("_raw"))
+        .where(F.col("_raw") >= COSINE_THRESHOLD)
+    )
+    ids = e.select("bucket", "embedding", "vec_id")
+    cross_pairs = (
+        cross.join(ids, ["bucket", "embedding"])
+        .join(
+            ids.select(
+                F.col("embedding").alias("embedding_b"),
+                F.col("vec_id").alias("vec_id_b"),
+            ),
+            "embedding_b",
+        )
+        .select(
+            F.least("vec_id", "vec_id_b").alias("vec_a"),
+            F.greatest("vec_id", "vec_id_b").alias("vec_b"),
+            "bucket",
+            "_raw",
+        )
+    )
+    # within-payload pairs: every id pair inside a duplicated payload
+    # group shares the group's self-cos (no fold in these joins)
+    wgrp = grp.where(
+        (F.col("m") >= 2) & (F.col("self_cos") >= COSINE_THRESHOLD)
+    ).select("bucket", "embedding", F.col("self_cos").alias("_raw"))
+    within_pairs = (
+        wgrp.join(ids, ["bucket", "embedding"])
+        .join(
+            ids.select(
+                F.col("bucket").alias("bucket"),
+                F.col("embedding").alias("embedding"),
+                F.col("vec_id").alias("vec_id_b"),
+            ),
+            ["bucket", "embedding"],
+        )
+        .where(F.col("vec_id") < F.col("vec_id_b"))
         .select(
             F.col("vec_id").alias("vec_a"),
             F.col("vec_id_b").alias("vec_b"),
-            F.col("bucket"),
-            F.round(cos, 6).alias("cos_sim"),
-            cos.alias("_raw"),
+            "bucket",
+            "_raw",
         )
-        .where(F.col("_raw") >= COSINE_THRESHOLD)
-        .drop("_raw")
+    )
+    return (
+        cross_pairs.unionAll(within_pairs)
+        .select(
+            "vec_a",
+            "vec_b",
+            "bucket",
+            F.round("_raw", 6).alias("cos_sim"),
+        )
         .orderBy("vec_a", "vec_b")
     )
 

@@ -116,6 +116,9 @@ _DELIBERATE_NESTED_LOOP = {
     # 1-row time-midpoint broadcast: deliberate
     "stats_ks_drift",
     "stats_psi_drift",
+    # 1-row per-block spread-flags broadcast (the r11 exact variation
+    # discriminant) against the 1-row Frobenius-sums table: deliberate
+    "emb_cka_similarity",
     # composes the declared exact brute-force baseline (cosine_topk
     # broadcast-scores the bounded query set against every vector) to
     # certify LSH recall — the nested loop IS the ground truth side
