@@ -5230,28 +5230,35 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr("rep", f"{sp_rat6('swc', '100 * nw')} AS m")
     )
+    # boot_se from the EXACT 6dp-lattice integers (round-11 all-ties
+    # axis): the float sum-of-squares identity over the 64 replicate
+    # means left an ASSOCIATION-dependent ~1e-5 residue when every
+    # replicate mean ties (Spark's partial-sum tree vs DuckDB's
+    # sequential fold round differently), which survived the 6dp
+    # rounding. m is integer-exact at 6dp by construction, so the
+    # variance moments are exact decimal(38,0) integers — zero iff all
+    # replicates agree — and the one double sqrt is bit-identical
+    # cross-engine.
+    m6 = "cast(round(m * 1e6) as bigint)"
     return per_rep.agg(
         F.count(F.lit(1)).alias("n_reps"),
-        F.sum(F.expr("cast(round(m * 1e6) as bigint)")).alias("sm6"),
+        F.sum(F.expr(m6)).alias("sm6"),
+        F.sum(F.expr(f"cast({m6} as decimal(38,0)) * {m6}")).alias("sq6"),
         F.expr(
             "cast(round(percentile(m, 0.025) * 40000000) as bigint)"
         ).alias("lo40"),
         F.expr(
             "cast(round(percentile(m, 0.975) * 40000000) as bigint)"
         ).alias("hi40"),
-        F.round(
-            F.expr(
-                f"sqrt((sum(m * m) - sum(m) * sum(m) / {BOOT_REPS}) "
-                f"/ ({BOOT_REPS} - 1.0))"
-            ),
-            6,
-        ).alias("boot_se"),
     ).selectExpr(
         "n_reps",
         f"{sp_rat6('sm6', str(BOOT_REPS * 1_000_000))} AS boot_mean",
         f"{sp_rat6('lo40', '40000000')} AS ci_lo",
         f"{sp_rat6('hi40', '40000000')} AS ci_hi",
-        "boot_se",
+        f"round(sqrt(cast({BOOT_REPS} * sq6"
+        " - cast(sm6 as decimal(38,0)) * sm6 as double)"
+        f" / ({BOOT_REPS}.0 * {BOOT_REPS - 1}.0 * 1e12)), 6)"
+        " AS boot_se",
     )
 
 
@@ -5271,17 +5278,19 @@ def stats_bootstrap_ci_sql() -> str:
     ), agg AS (
         SELECT count(*)::BIGINT AS n_reps,
                sum(round(m * 1e6)::BIGINT)::BIGINT AS sm6,
+               sum(round(m * 1e6)::BIGINT::HUGEINT
+                   * round(m * 1e6)::BIGINT) AS sq6,
                round(quantile_cont(m, 0.025) * 40000000)::BIGINT AS lo40,
-               round(quantile_cont(m, 0.975) * 40000000)::BIGINT AS hi40,
-               round(sqrt((sum(m * m) - sum(m) * sum(m) / {BOOT_REPS})
-                     / ({BOOT_REPS} - 1.0)), 6) AS boot_se
+               round(quantile_cont(m, 0.975) * 40000000)::BIGINT AS hi40
         FROM per_rep
     )
     SELECT n_reps,
            {dk_rat6('sm6', str(BOOT_REPS * 1_000_000))} AS boot_mean,
            {dk_rat6('lo40', '40000000')} AS ci_lo,
            {dk_rat6('hi40', '40000000')} AS ci_hi,
-           boot_se
+           round(sqrt(({BOOT_REPS} * sq6 - sm6::HUGEINT * sm6)::DOUBLE
+                 / ({BOOT_REPS}.0 * {BOOT_REPS - 1}.0 * 1e12)),
+                 6) AS boot_se
     FROM agg
     """
 

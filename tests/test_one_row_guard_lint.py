@@ -110,7 +110,6 @@ RENDERED_ALLOWED: dict[str, str] = {
     "stats_ansari_bradley": GUARDED,
     "stats_bland_altman": GUARDED,
     "stats_blb_ci": NONZERO,  # fixed replicate count literal
-    "stats_bootstrap_ci": NONZERO,  # fixed replicate count literal
     "stats_brunner_munzel": GUARDED,
     "stats_cpk": GUARDED,
     "stats_cramers_v": GUARDED,
