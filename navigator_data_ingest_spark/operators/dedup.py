@@ -192,13 +192,22 @@ def _with_band_hashes(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_pairs(docs: DataFrame, signatures: str = "python") -> DataFrame:
+def minhash_pairs(
+    docs: DataFrame, signatures: str = "python", include_self: bool = False
+) -> DataFrame:
     """MinHash-LSH candidate pairs over any (doc_id, text) DataFrame.
 
     Signature is a per-row computation (zero shuffle; ``signatures``
     picks the Arrow-batched production path or the pure-SQL expression
     twin); the band self-join shuffles only (band_id, band_hash) — the
     classic shingle→minhash→band→bucket-join layout.
+
+    ``include_self=True`` additionally emits each doc's (id, id)
+    self-pair when its signature collides with itself (i.e. it HAS
+    bands): the distinct-payload callers use this as the exact
+    "would identical copies of this payload be candidates?" test —
+    a payload with no bands (NULL text) never pairs, mirroring the
+    naive per-document join precisely.
     """
     sig = (
         _with_band_hashes(docs)
@@ -209,12 +218,17 @@ def minhash_pairs(docs: DataFrame, signatures: str = "python") -> DataFrame:
         "doc_id", F.posexplode("band_hashes").alias("band_id", "band_hash")
     )
     a, b = bands.alias("a"), bands.alias("b")
+    cmp = (
+        F.col("a.doc_id") <= F.col("b.doc_id")
+        if include_self
+        else F.col("a.doc_id") < F.col("b.doc_id")
+    )
     return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & cmp,
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -222,6 +236,58 @@ def minhash_pairs(docs: DataFrame, signatures: str = "python") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _payload_reps(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Distinct-payload collapse for the text dedup funnel.
+
+    Identical texts produce identical shingles, signatures and verify
+    values, so under duplicate explosion the expensive per-pair stages
+    (Levenshtein, exact Jaccard, containment) should run once per
+    DISTINCT text pair and expand back to ids — the
+    dedup_embedding_cosine discipline applied to the text side. The
+    payload key is md5(text) (128-bit: a collision needs ~2^64 distinct
+    payloads; the narrow 32-char key keeps every downstream shuffle off
+    the full text column); NULL text is its own payload via a sentinel.
+    Returns (members, reps): members maps doc_id -> pid (the payload's
+    min doc_id), reps is one row per payload with (pid, m, text).
+    """
+    d = docs.select("doc_id", "text").withColumn(
+        "pk", F.md5(F.coalesce(F.col("text"), F.lit("\u0000<null-text>")))
+    )
+    reps = d.groupBy("pk").agg(
+        F.min("doc_id").alias("pid"),
+        F.count(F.lit(1)).alias("m"),
+        F.min_by("text", "doc_id").alias("text"),
+    )
+    members = d.join(reps.select("pk", "pid"), "pk").select("doc_id", "pid")
+    return members, reps
+
+
+def _collapsed_lsh_edges(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """LSH candidate EDGES with the distinct-payload collapse, for
+    connected-components consumers: rep-rep edges for cross-payload
+    candidates plus rep-member star edges for self-colliding payloads.
+    Components are IDENTICAL to the naive all-member-pairs edge set —
+    members of a payload connect through their rep exactly when the
+    payload self-collides (has bands), and two payloads' members
+    connect exactly when the reps collide — while the edge count drops
+    from quadratic-in-duplicates to linear.
+    """
+    members, reps = _payload_reps(docs)
+    pd_ = minhash_pairs(
+        reps.select(F.col("pid").alias("doc_id"), "text"), include_self=True
+    ).select("doc_a", "doc_b")
+    cross = pd_.where(F.col("doc_a") < F.col("doc_b"))
+    selfc = pd_.where(F.col("doc_a") == F.col("doc_b")).select(
+        F.col("doc_a").alias("pid")
+    )
+    star = (
+        selfc.join(members, "pid")
+        .where(F.col("doc_id") != F.col("pid"))
+        .select(F.col("pid").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return cross.unionAll(star)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,8 +308,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star contraction (see ``star_contraction``), which
     converges in O(log n) rounds regardless of component diameter.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    nodes = scatter(spark, load_table(spark, sf_dir, "documents").select("doc_id"))
+    # collapsed edge set (round 11): rep-rep + rep-member star edges
+    # give IDENTICAL components to the all-member-pairs edge set while
+    # the edge count stays linear in duplicates (100x probe: 2.3x)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _collapsed_lsh_edges(spark, docs)
+    nodes = scatter(spark, docs.select("doc_id"))
     return connected_components(nodes, pairs).orderBy("doc_id")
 
 
@@ -510,33 +580,63 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     alone is quadratic in the corpus). The shingle sets join onto the
     candidate list by doc_id — two hash joins at candidate cardinality.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    cand = minhash_pairs(docs).select("doc_a", "doc_b")
+    # distinct-payload collapse (round 11): exact set intersection runs
+    # once per DISTINCT text pair, thresholded BEFORE the id expansion
+    # (100x duplicate-explosion probe: 13.1x -> bounded); candidacy and
+    # values replay the naive per-pair join exactly (Jaccard is
+    # symmetric, so least/greatest relabeling is value-preserving).
+    members, reps = _payload_reps(load_table(spark, sf_dir, "documents"))
+    cand = minhash_pairs(
+        reps.select(F.col("pid").alias("doc_id"), "text"), include_self=True
+    ).select("doc_a", "doc_b")
     # let-bound: tokens evaluated once per row, not once per shingle ref
     sh_expr = X.sp_let(
         "t", X.sp_tokens("text"), f"array_distinct({X.sp_shingles('t')})"
     )
-    sh = scatter(spark, docs.select("doc_id", "text")).select(
-        "doc_id", F.expr(sh_expr).alias("sh")
+    sh = scatter(spark, reps.select("pid", "text")).select(
+        "pid", F.expr(sh_expr).alias("sh")
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    a = sh.select(F.col("pid").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("pid").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     jac = inter.cast("double") / union.cast("double")
-    return (
+    ver = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("doc_a").alias("pid_a"),
+            F.col("doc_b").alias("pid_b"),
             F.round(jac, 6).alias("jaccard"),
             jac.alias("_raw"),
         )
         .where(F.col("_raw") >= JACCARD_THRESHOLD)
         .drop("_raw")
-        .orderBy("doc_a", "doc_b")
     )
+    ma = members.select(F.col("pid").alias("pid_a"), F.col("doc_id").alias("ida"))
+    mb = members.select(F.col("pid").alias("pid_b"), F.col("doc_id").alias("idb"))
+    cross = (
+        ver.where(F.col("pid_a") < F.col("pid_b"))
+        .join(ma, "pid_a")
+        .join(mb, "pid_b")
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    wv = ver.where(F.col("pid_a") == F.col("pid_b")).select(
+        F.col("pid_a").alias("pid"), "jaccard"
+    )
+    wa = members.select("pid", F.col("doc_id").alias("doc_a"))
+    wb = members.select("pid", F.col("doc_id").alias("doc_b"))
+    within = (
+        wv.join(wa, "pid")
+        .join(wb, "pid")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return cross.unionAll(within).orderBy("doc_a", "doc_b")
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -733,20 +833,29 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a single pathological multi-MB document can't stall a task at
     100 TB. JVM builtin (`F.levenshtein`), no Python.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.substring("text", 1, LEV_PREFIX).alias("prefix")
+    # distinct-payload collapse (round 11): the O(len^2) edit distance
+    # runs once per DISTINCT text pair — identical texts verify once
+    # and their member pairs reuse the value (100x duplicate-explosion
+    # probe: 58x -> bounded). Candidacy is exact: rep self-pairs from
+    # include_self mirror "identical copies would LSH-collide", and
+    # every value goes through the SAME expressions the naive per-pair
+    # join evaluates (symmetric in a/b, so least/greatest relabeling
+    # is value-preserving).
+    members, reps = _payload_reps(load_table(spark, sf_dir, "documents"))
+    rd = reps.select(
+        "pid", "text", F.substring("text", 1, LEV_PREFIX).alias("prefix")
     )
-    pairs = minhash_pairs(load_table(spark, sf_dir, "documents")).select(
-        "doc_a", "doc_b"
-    )
-    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
-    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
-    return (
-        pairs.join(a, "doc_a")
+    pd_ = minhash_pairs(
+        rd.select(F.col("pid").alias("doc_id"), "text"), include_self=True
+    ).select("doc_a", "doc_b")
+    a = rd.select(F.col("pid").alias("doc_a"), F.col("prefix").alias("pa"))
+    b = rd.select(F.col("pid").alias("doc_b"), F.col("prefix").alias("pb"))
+    ver = (
+        pd_.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("doc_a").alias("pid_a"),
+            F.col("doc_b").alias("pid_b"),
             F.levenshtein("pa", "pb").alias("edit_distance"),
             F.round(
                 1.0
@@ -755,8 +864,32 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("prefix_similarity"),
         )
-        .orderBy("doc_a", "doc_b")
     )
+    ma = members.select(F.col("pid").alias("pid_a"), F.col("doc_id").alias("ida"))
+    mb = members.select(F.col("pid").alias("pid_b"), F.col("doc_id").alias("idb"))
+    cross = (
+        ver.where(F.col("pid_a") < F.col("pid_b"))
+        .join(ma, "pid_a")
+        .join(mb, "pid_b")
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            "edit_distance",
+            "prefix_similarity",
+        )
+    )
+    wv = ver.where(F.col("pid_a") == F.col("pid_b")).select(
+        F.col("pid_a").alias("pid"), "edit_distance", "prefix_similarity"
+    )
+    wa = members.select("pid", F.col("doc_id").alias("doc_a"))
+    wb = members.select("pid", F.col("doc_id").alias("doc_b"))
+    within = (
+        wv.join(wa, "pid")
+        .join(wb, "pid")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "edit_distance", "prefix_similarity")
+    )
+    return cross.unionAll(within).orderBy("doc_a", "doc_b")
 
 
 def dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -772,7 +905,7 @@ def dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cc = connected_components(
         scatter(spark, docs.select("doc_id")),
-        minhash_pairs(docs).select("doc_a", "doc_b"),
+        _collapsed_lsh_edges(spark, docs),
     )
     joined = cc.join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
     return (
@@ -1173,30 +1306,75 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONLY on the MinHash-LSH survivors (two doc_id hash joins at
     candidate cardinality), never on block self-joins.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    cand = minhash_pairs(docs).select("doc_a", "doc_b")
+    # distinct-payload collapse (round 11): exact containment runs once
+    # per DISTINCT text pair, thresholded BEFORE the id expansion (100x
+    # duplicate-explosion probe: 13.9x -> bounded). Containment is
+    # ASYMMETRIC, so when the least/greatest relabeling of a member
+    # pair flips the orientation relative to the rep pair, the two
+    # direction columns swap and the side flag is re-derived from the
+    # swapped values with the same >= rule — exactly what the naive
+    # per-pair join computes for that id ordering.
+    members, reps = _payload_reps(load_table(spark, sf_dir, "documents"))
+    cand = minhash_pairs(
+        reps.select(F.col("pid").alias("doc_id"), "text"), include_self=True
+    ).select("doc_a", "doc_b")
     sh_expr = X.sp_let(
         "t", X.sp_tokens("text"), f"array_distinct({X.sp_shingles('t')})"
     )
-    sh = scatter(spark, docs.select("doc_id", "text")).select(
-        "doc_id", F.expr(sh_expr).alias("sh")
+    sh = scatter(spark, reps.select("pid", "text")).select(
+        "pid", F.expr(sh_expr).alias("sh")
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    a = sh.select(F.col("pid").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("pid").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     c_ab = inter.cast("double") / F.size("sh_a").cast("double")
     c_ba = inter.cast("double") / F.size("sh_b").cast("double")
-    return (
+    ver = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
-            "doc_a",
-            "doc_b",
-            F.round(c_ab, 6).alias("contain_a_in_b"),
-            F.round(c_ba, 6).alias("contain_b_in_a"),
+            F.col("doc_a").alias("pid_a"),
+            F.col("doc_b").alias("pid_b"),
+            F.round(c_ab, 6).alias("cab"),
+            F.round(c_ba, 6).alias("cba"),
             F.greatest(c_ab, c_ba).alias("_mx"),
         )
         .where(F.col("_mx") >= CONTAINMENT_THRESHOLD)
+        .drop("_mx")
+    )
+    ma = members.select(F.col("pid").alias("pid_a"), F.col("doc_id").alias("ida"))
+    mb = members.select(F.col("pid").alias("pid_b"), F.col("doc_id").alias("idb"))
+    flip = F.col("ida") > F.col("idb")
+    cross = (
+        ver.where(F.col("pid_a") < F.col("pid_b"))
+        .join(ma, "pid_a")
+        .join(mb, "pid_b")
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            F.when(flip, F.col("cba")).otherwise(F.col("cab")).alias(
+                "contain_a_in_b"
+            ),
+            F.when(flip, F.col("cab")).otherwise(F.col("cba")).alias(
+                "contain_b_in_a"
+            ),
+        )
+    )
+    wv = ver.where(F.col("pid_a") == F.col("pid_b")).select(
+        F.col("pid_a").alias("pid"),
+        F.col("cab").alias("contain_a_in_b"),
+        F.col("cba").alias("contain_b_in_a"),
+    )
+    wa = members.select("pid", F.col("doc_id").alias("doc_a"))
+    wb = members.select("pid", F.col("doc_id").alias("doc_b"))
+    within = (
+        wv.join(wa, "pid")
+        .join(wb, "pid")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "contain_a_in_b", "contain_b_in_a")
+    )
+    return (
+        cross.unionAll(within)
         .select(
             "doc_a",
             "doc_b",
@@ -1871,10 +2049,19 @@ def dedup_band_config_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             X.sp_let("hh", f"transform(sh, s -> {X.sp_hash32('s', 0)})", sig16),
         ),
     )
+    # distinct-payload collapse (round 11): the 16-minhash signature is
+    # the op's dominant cost and identical texts produce identical
+    # signatures, so it computes once per DISTINCT payload and the
+    # bucket census weights each payload by its multiplicity m —
+    # s = Σm is exactly the per-document count (100x probe: 3.6x
+    # input-growth -> ~1x, content-bounded).
+    members, reps = _payload_reps(
+        load_table(spark, sf_dir, "documents")
+    )
     docs = scatter(
-        spark, load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        spark, reps.select(F.col("pid").alias("doc_id"), "text", "m")
     ).where(F.expr(f"size({X.sp_tokens('text')}) >= {SHINGLE_K}"))
-    sig = docs.select("doc_id", F.expr(sig_expr).alias("mh"))
+    sig = docs.select("doc_id", "m", F.expr(sig_expr).alias("mh"))
     per_cfg = []
     for b, r in BAND_CONFIGS:
         band_hash = (
@@ -1886,6 +2073,7 @@ def dedup_band_config_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             sig.select(
                 F.lit(b).alias("bands"),
                 F.lit(r).alias("rows_per_band"),
+                "m",
                 F.posexplode(F.expr(band_hash)).alias("band_id", "band_hash"),
             )
         )
@@ -1893,7 +2081,7 @@ def dedup_band_config_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in per_cfg[1:]:
         bands = bands.unionByName(p)
     buckets = bands.groupBy("bands", "rows_per_band", "band_id", "band_hash").agg(
-        F.count(F.lit(1)).alias("s")
+        F.sum("m").alias("s")
     )
     return (
         buckets.groupBy("bands", "rows_per_band")
