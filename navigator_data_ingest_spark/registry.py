@@ -59,7 +59,7 @@ _DRIVER_CERTIFIED = frozenset({
     "emb_centroid_drift", "emb_centroids", "emb_confusion_metrics",
     "emb_duplicate_vectors", "emb_intrinsic_dim", "emb_ivf_cell_census",
     "emb_kmeans", "emb_label_purity", "emb_lsh_tuning", "emb_norm_by_label",
-    "emb_pq", "emb_variance_spectrum", "filter_blocklist",
+    "emb_pq", "filter_blocklist",
     "graph_degree_distribution",
     # graph_harmonic_centrality and sim_search_bruteforce_np were
     # certified in the r9 sample but both implementations CHANGED in
@@ -68,7 +68,7 @@ _DRIVER_CERTIFIED = frozenset({
     # lead the round-12 rotation (just past this round's cut line).
     "graph_pagerank", "graph_rich_club", "pack_boundary_stats",
     "pack_sequences", "q_sql_regexp_surface", "sample_cap_per_source",
-    "sample_class_balance", "sample_neyman_allocation", "sample_stratified",
+    "sample_class_balance", "sample_stratified",
     "sample_temperature", "split_train_holdout",
     "src_parquet_footer_stats", "stream_dedup_wm", "stream_enrich_join",
     "stream_foreachbatch_upsert", "stream_incremental_files",
@@ -78,8 +78,7 @@ _DRIVER_CERTIFIED = frozenset({
     # round 8 sample (CORRECTNESS_r08.json): 50/50 hash-green — the
     # first fully-green driver round; closes the r7 type-surface class
     # (all 12 triage keys) and certifies the round-8 new-operator wave.
-    "corpus_quality_mix_curve", "dedup_band_config_sweep",
-    "dedup_threshold_sweep", "emb_cka_similarity", "filter_common_token_gate",
+    "corpus_quality_mix_curve", "dedup_threshold_sweep", "filter_common_token_gate",
     "graph_katz_centrality", "graph_resource_allocation", "mm_shard_manifest",
     "pack_efficiency", "q_events_concurrency", "q_events_concurrency_peak",
     "q_events_sax_profile", "q_sql_agg_filter", "q_sql_date_arithmetic",
@@ -93,7 +92,7 @@ _DRIVER_CERTIFIED = frozenset({
     "stats_kendall_w", "stats_mann_whitney", "stats_mann_whitney_u",
     "stats_markov_stationary", "stats_mood_scale", "stats_nelson_aalen",
     "stats_page_trend", "stats_paired_t", "stats_permutation_test",
-    "stats_pettitt_changepoint", "stats_qq_normal", "stats_quade",
+    "stats_pettitt_changepoint", "stats_quade",
     "stats_somers_d", "stats_turning_points", "stats_weighted_kappa",
     "stats_ww_runs_two_sample",
     # round 7 sample (CORRECTNESS_r07.json): 43 hash-green, including
@@ -113,8 +112,8 @@ _DRIVER_CERTIFIED = frozenset({
     "q_nation_trade_matrix", "q_orders_interarrival",
     "q_orders_seasonality_index", "q_sql_exists_in", "q_sql_group_by_all",
     "q_sql_join_hints", "q_sql_lateral_subquery", "q_sql_rank_functions",
-    "q_sql_star_except", "q_sql_try_cast", "q_tablesample", "q_union_by_name",
-    "stats_chao1_vocab", "stats_cmh", "stats_dunn_posthoc", "stats_g_test",
+    "q_sql_star_except", "q_sql_try_cast", "q_union_by_name",
+    "stats_chao1_vocab", "stats_cmh", "stats_g_test",
     "stats_gwet_ac1", "stats_iqr_outliers", "stats_mann_whitney_z",
     "stats_mcc_langid", "stats_median_test", "stats_mode_exact",
     "stats_seasonal_mann_kendall", "stats_sprt_ab", "stats_welch_t",
@@ -130,7 +129,7 @@ _DRIVER_CERTIFIED = frozenset({
     # round-boundary escapee) are deliberately NOT listed: round 7
     # re-fronts them plus single-column diagnostic splits so the driver
     # names the flipping cell.
-    "cdc_snapshot_diff", "emb_hubness", "emb_isotropy", "emb_silhouette",
+    "cdc_snapshot_diff", "emb_hubness", "emb_silhouette",
     "emb_triplet_mining", "graph_bipartite_projection",
     "graph_clustering_coefficient", "mm_audio_vad_segments", "mm_av_sync",
     "q_events_conversion_lag", "q_events_latest_by",
@@ -140,7 +139,7 @@ _DRIVER_CERTIFIED = frozenset({
     "stats_breusch_pagan", "stats_capture_recapture", "stats_cochran_armitage",
     "stats_cohens_kappa", "stats_cuped", "stats_dispersion_index",
     "stats_durbin_watson", "stats_friedman", "stats_gini_exact",
-    "stats_granger_daily", "stats_herfindahl", "stats_hurst_exponent",
+    "stats_herfindahl", "stats_hurst_exponent",
     "stats_lognormal_fit", "stats_mann_kendall", "stats_odds_ratio",
     "stats_partial_correlation", "stats_poisson_rate_test",
     "stats_power_analysis", "stats_runs_test", "stats_sign_test",
@@ -159,8 +158,7 @@ _DRIVER_CERTIFIED = frozenset({
     "q_events_inter_arrival", "q_events_interval_union",
     "q_events_regex_match", "q_orders_skyline", "q_reconcile_sources",
     "q_sql_exec_immediate", "q_sql_identifier", "q_sql_try_arithmetic",
-    "sample_weighted_reservoir", "sink_python_datasource",
-    "src_file_metadata", "stats_bootstrap_ci", "stats_control_chart",
+    "sample_weighted_reservoir", "stats_control_chart",
     "stats_cramers_v", "stats_deming_regression", "stats_extreme_gumbel",
     "stats_jarque_bera", "stats_kendall_tau", "stats_kruskal_wallis",
     "stats_levene", "stats_mcnemar", "stats_moving_median",
@@ -168,7 +166,7 @@ _DRIVER_CERTIFIED = frozenset({
     # in round 8 (judge-census latent type flip; now a Python-pre-rounded
     # double literal) — de-listed so the driver re-certifies it.
     "stats_seasonal_decompose", "stats_spectral_peak",
-    "stats_tost_equivalence", "stats_two_way_anova", "stats_var_cvar",
+    "stats_var_cvar",
     "stats_winsorized_trimmed", "stream_quota_enforcer", "text_jsd_drift",
     "text_rake_keywords",
     # round 4 sample (CORRECTNESS_r04.json): 47 hash-green. The two r4
@@ -180,17 +178,16 @@ _DRIVER_CERTIFIED = frozenset({
     # registered, VERDICT r8 #2) so the driver hash-certifies it.
     "corpus_dsir_weights", "corpus_embed_pool", "corpus_knn_pseudo_label",
     "corpus_length_buckets", "corpus_perplexity_filter",
-    "corpus_upsample_apply", "dedup_shingle_containment",
-    "emb_outlier_zscore", "emb_pca_power", "emb_random_projection",
+    "corpus_upsample_apply", "emb_outlier_zscore", "emb_pca_power", "emb_random_projection",
     "graph_kcore", "graph_label_propagation", "ingest_download_fetch",
     "layout_hilbert", "mm_aspect_buckets", "mm_image_tiles",
     "mm_scene_segments", "q_apply_in_arrow", "q_basket_lift",
     "q_events_asof_nearest", "q_events_mad", "q_events_top_paths",
     "q_events_twap", "q_map_in_arrow", "q_sql_scripting", "q_sql_udf",
-    "q_xml_roundtrip", "sink_range_sorted_write", "src_agg_pushdown",
-    "src_python_datasource_stream", "stats_anova", "stats_calibration",
+    "q_xml_roundtrip", "src_agg_pushdown",
+    "src_python_datasource_stream", "stats_calibration",
     "stats_chi_square", "stats_cusum_changepoint", "stats_ewma",
-    "stats_fdr_bh", "stats_jackknife_ci", "stats_mutual_information",
+    "stats_mutual_information",
     "stats_spearman_daily", "stats_survival_km", "stats_theil_sen",
     "stream_bus_adapter", "stream_chained_windows", "stream_state_reader",
     "text_bm25", "text_count_min",
@@ -208,8 +205,7 @@ _DRIVER_CERTIFIED = frozenset({
     "q_collated_groupby", "q_dpp_join", "q_events_asof_forward",
     "q_events_cohort_retention", "q_events_distinct_sliding",
     "q_events_heatmap", "q_events_rfm", "q_grouping_sets",
-    "q_lateral_join_api", "q_multiset_ops", "q_observe_metrics",
-    "q_sql_pipe", "q_variant_json",
+    "q_lateral_join_api", "q_multiset_ops", "q_sql_pipe", "q_variant_json",
     "sink_atomic_publish", "sink_vacuum_orphans", "src_codec_roundtrip",
     "src_python_datasource", "src_time_travel", "stats_ab_test",
     "stats_benford", "stats_correlation_matrix", "stats_entropy_per_source",
@@ -218,8 +214,8 @@ _DRIVER_CERTIFIED = frozenset({
     "stream_tws_totals", "text_boilerplate", "text_hash_classifier",
     "text_lang_confusion", "text_tfidf",
     # rounds 1-2 sample (CORRECTNESS_r01/r02.json)
-    "dedup_clusters", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_exact",
+    "dedup_minhash_lsh", "dedup_simhash",
     # ingest_download_fetch was rows-certified in r1/r2 but its contract
     # changed in round 4 (full-row [sql] oracle incl. converted-PDF md5,
     # redirect/timeout taxonomy) — deliberately NOT listed, so it
@@ -288,11 +284,25 @@ _FRONT_NEW_ORDER: tuple[str, ...] = (
     "q_customer_retention", "q_customers_no_orders", "q_hash_sample",
     "q_ntile_spend", "q_null_safe_join",
     # ---- cut line: 50 above = the driver's 50 ----
-    # round-12 leaders: the two ops whose implementations changed AFTER
-    # their r9 certification (de-listed from _DRIVER_CERTIFIED above),
-    # then the sim_*/q_sql_* backlog; the stats_/text_/dedup_ remainder
-    # follows in registration order without explicit listing.
+    # round-12 leaders: every op whose implementation (or oracle)
+    # changed AFTER its driver certification — de-listed from
+    # _DRIVER_CERTIFIED above so the driver re-certifies shipped code
+    # (r10 ADVICE discipline): the r10-changed pair, then the round-11
+    # ties-campaign keys, the empty-allowlist retirements, and the
+    # distinct-payload-collapse dedup family; then the sim_*/q_sql_*
+    # backlog; the stats_/text_/dedup_ remainder follows in
+    # registration order without explicit listing.
     "graph_harmonic_centrality", "sim_search_bruteforce_np",
+    "dedup_embedding_cosine", "dedup_clusters", "dedup_ngram_jaccard",
+    "dedup_shingle_containment", "dedup_band_config_sweep",
+    "stats_bootstrap_ci", "stats_qq_normal", "stats_granger_daily",
+    "sample_neyman_allocation", "stats_dunn_posthoc", "stats_jackknife_ci",
+    "stats_fdr_bh", "stats_tost_equivalence", "stats_anova",
+    "stats_two_way_anova", "emb_isotropy", "emb_variance_spectrum",
+    "emb_cka_similarity", "q_observe_metrics", "q_tablesample",
+    "sink_range_sorted_write", "src_file_metadata", "sink_python_datasource",
+    "dedup_levenshtein", "dedup_resolution", "stats_fisher_z_corr_diff",
+    "stats_elasticity_loglog",
     "sim_search_pq_adc", "sim_search_recall_report",
     "q_sql_recursive_cte", "q_recursive_cte", "q_sql_api",
     "q_sql_interval_calendar", "q_sql_listagg", "q_sql_null_semantics",
