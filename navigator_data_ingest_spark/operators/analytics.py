@@ -2650,14 +2650,21 @@ def q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     with IGNORE NULLS first_value.
     """
     ev = load_table(spark, sf_dir, "events")
+    # the next-click lookup runs as a reverse-order RUNNING frame:
+    # Spark recomputes a CURRENT ROW -> UNBOUNDED FOLLOWING frame from
+    # scratch per row (O(partition^2) — the round-11 100x events probe
+    # measured the naive frame at ~90x). Ordering (ts, event_id) DESC
+    # exactly reverses the ASC order (desc nulls-last mirrors asc
+    # nulls-first), so last(ignorenulls) over UNBOUNDED PRECEDING ->
+    # CURRENT ROW picks the same earliest at-or-after click in O(n).
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     is_click = F.col("event_type") == "click"
-    nxt_ts = F.first(F.when(is_click, F.col("ts")), ignorenulls=True).over(w)
-    nxt_val = F.first(F.when(is_click, F.col("value")), ignorenulls=True).over(w)
+    nxt_ts = F.last(F.when(is_click, F.col("ts")), ignorenulls=True).over(w)
+    nxt_val = F.last(F.when(is_click, F.col("value")), ignorenulls=True).over(w)
     return (
         ev.withColumn("next_click_ts", nxt_ts)
         .withColumn("next_click_value", F.round(nxt_val, 6))
@@ -3394,14 +3401,20 @@ def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*ord_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # forward side as a reverse-order RUNNING frame (not CURRENT ROW ->
+    # UNBOUNDED FOLLOWING, which Spark executes by recomputing the
+    # aggregate per row — O(partition^2); the round-11 100x events
+    # probe measured 93x on the naive frame). (us, event_id) DESC
+    # exactly reverses the ASC order, so last(ignorenulls) over the
+    # running frame is the same earliest at-or-after click, in O(n).
     wf = (
         Window.partitionBy("user_id")
-        .orderBy(*ord_cols)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("us"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     click_us = F.when(F.col("event_type") == "click", F.col("us"))
     prev_us = F.last(click_us, ignorenulls=True).over(wb)
-    nxt_us = F.first(click_us, ignorenulls=True).over(wf)
+    nxt_us = F.last(click_us, ignorenulls=True).over(wf)
     take_prev = F.col("prev_us").isNotNull() & (
         F.col("nxt_us").isNull()
         | ((F.col("us") - F.col("prev_us")) <= (F.col("nxt_us") - F.col("us")))
@@ -15261,11 +15274,17 @@ def q_orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    # at-or-above cohort via FOLLOWING-side prefix sums
+    # at-or-above cohort via reverse-order RUNNING sums: Spark executes
+    # a CURRENT ROW -> UNBOUNDED FOLLOWING frame by recomputing the
+    # aggregate from scratch per row (O(block^2)); ordering DESC with an
+    # UNBOUNDED PRECEDING -> CURRENT ROW frame covers the identical
+    # "v at or above current" row set as one O(block) running sum
+    # (exact integer sums — association-free). Round-11 events-probe
+    # find on the asof-forward family, applied here too.
     w_in = (
         Window.partitionBy("blk")
-        .orderBy("v")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     b = (
         b.withColumn("cnt_in", F.sum("c").over(w_in))
