@@ -182,7 +182,7 @@ _DRIVER_CERTIFIED = frozenset({
     "graph_kcore", "graph_label_propagation", "ingest_download_fetch",
     "layout_hilbert", "mm_aspect_buckets", "mm_image_tiles",
     "mm_scene_segments", "q_apply_in_arrow", "q_basket_lift",
-    "q_events_asof_nearest", "q_events_mad", "q_events_top_paths",
+    "q_events_mad", "q_events_top_paths",
     "q_events_twap", "q_map_in_arrow", "q_sql_scripting", "q_sql_udf",
     "q_xml_roundtrip", "src_agg_pushdown",
     "src_python_datasource_stream", "stats_calibration",
@@ -202,8 +202,7 @@ _DRIVER_CERTIFIED = frozenset({
     "emb_binary_hamming", "emb_matryoshka", "emb_quantize",
     "graph_jaccard_neighbors", "graph_triangle_count",
     "ingest_cache_rewrite", "mm_text_embedding_coverage", "q_basket_pairs",
-    "q_collated_groupby", "q_dpp_join", "q_events_asof_forward",
-    "q_events_cohort_retention", "q_events_distinct_sliding",
+    "q_collated_groupby", "q_dpp_join", "q_events_cohort_retention", "q_events_distinct_sliding",
     "q_events_heatmap", "q_events_rfm", "q_grouping_sets",
     "q_lateral_join_api", "q_multiset_ops", "q_sql_pipe", "q_variant_json",
     "sink_atomic_publish", "sink_vacuum_orphans", "src_codec_roundtrip",
@@ -302,7 +301,8 @@ _FRONT_NEW_ORDER: tuple[str, ...] = (
     "emb_cka_similarity", "q_observe_metrics", "q_tablesample",
     "sink_range_sorted_write", "src_file_metadata", "sink_python_datasource",
     "dedup_levenshtein", "dedup_resolution", "stats_fisher_z_corr_diff",
-    "stats_elasticity_loglog",
+    "stats_elasticity_loglog", "q_events_asof_forward",
+    "q_events_asof_nearest",
     "sim_search_pq_adc", "sim_search_recall_report",
     "q_sql_recursive_cte", "q_recursive_cte", "q_sql_api",
     "q_sql_interval_calendar", "q_sql_listagg", "q_sql_null_semantics",
