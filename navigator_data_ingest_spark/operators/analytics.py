@@ -4604,6 +4604,15 @@ def stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stats_ab_test), computed from ONE pass of per-group moment
     aggregates (n, Σx, Σx²); everything after is arithmetic on the
     k-row table with grand totals from a bounded re-aggregation.
+
+    PRECONDITION (2dp lattice): the integer-cents moments below decide
+    statistic DEFINEDNESS (zero-variance → NULL f_stat) exactly only
+    because every money/value column in this corpus is quantized to
+    hundredths (events.value to quarters) — asserted once per corpus in
+    tests/test_lattice_precondition.py. Data off the 2-decimal lattice
+    with sub-cent spread would be declared zero-variance despite real
+    variation; the same precondition underpins stats_fdr_bh,
+    stats_tost_equivalence and stats_two_way_anova.
     """
     cents = "cast(round(value * 100) as bigint)"
     g = (

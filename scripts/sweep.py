@@ -123,10 +123,31 @@ def _codegen_log_setup() -> str:
             "appender.errfile.filter.threshold.type = ThresholdFilter\n"
             "appender.errfile.filter.threshold.level = error\n"
         )
+    flag = f"-Dlog4j.configurationFile=file:{conf_path}"
     existing = os.environ.get("PYSPARK_SUBMIT_ARGS", "pyspark-shell")
-    os.environ["PYSPARK_SUBMIT_ARGS"] = (
-        "--conf spark.driver.extraJavaOptions="
-        f"-Dlog4j.configurationFile=file:{conf_path} " + existing
+    # spark-submit keeps the LAST occurrence of a duplicated --conf, so
+    # blindly prepending ours would be silently dropped whenever the
+    # environment already sets spark.driver.extraJavaOptions — and an
+    # empty codegen_fallbacks field would then falsely read as "no
+    # fallbacks" (ADVICE r11). Merge the flag into the existing value
+    # instead. PYSPARK_SUBMIT_ARGS is shlex.split by pyspark's
+    # java_gateway, so parse at the token level and re-quote the merged
+    # multi-flag value (a bare space inside an unquoted conf would
+    # otherwise shear into a stray argv token).
+    import shlex as _shlex
+
+    key = "spark.driver.extraJavaOptions="
+    toks = _shlex.split(existing)
+    merged = False
+    for i, tok in enumerate(toks):
+        if tok.startswith(key) and i > 0 and toks[i - 1] == "--conf":
+            toks[i] = key + flag + " " + tok[len(key):]
+            merged = True
+            break
+    if not merged:
+        toks = ["--conf", key + flag] + toks
+    os.environ["PYSPARK_SUBMIT_ARGS"] = " ".join(
+        _shlex.quote(t) for t in toks
     )
     return log_path
 
@@ -198,13 +219,31 @@ def main() -> None:
         _numeric = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
                     "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
                     "FLOAT", "REAL", "DOUBLE", "DECIMAL")
+        # Identity/sequence columns keep their real values under the
+        # ties collapse. The corpus's identity columns are enumerable —
+        # list them explicitly rather than pattern-match, because a
+        # loose `id$` suffix would silently exempt a future VALUE
+        # column merely ending in "id" (valid, paid) from the axis
+        # (ADVICE r11). The fallback regex for columns not in this
+        # list is word-boundary-anchored for `id` and keeps the loose
+        # key/number suffixes (every `…key`/`…number` here is a
+        # compound identity name: l_orderkey, l_linenumber).
+        _identity_cols = {
+            "c_custkey", "c_nationkey", "doc_id", "vec_id", "event_id",
+            "user_id", "l_orderkey", "l_partkey", "l_suppkey",
+            "l_linenumber", "n_nationkey", "n_regionkey", "o_orderkey",
+            "o_custkey", "p_partkey", "r_regionkey", "s_suppkey",
+            "s_nationkey",
+        }
         for _p in _glob.glob(os.path.join(src, "*.parquet")):
             _t = os.path.basename(_p)
             _cols = _con.execute(f"DESCRIBE SELECT * FROM '{_p}'").fetchall()
             _sel = []
             for _c, _ty, *_rest in _cols:
-                is_value = _ty.upper().startswith(_numeric) and not _re.search(
-                    r"(key|_id|id|number)$", _c
+                is_value = (
+                    _ty.upper().startswith(_numeric)
+                    and _c not in _identity_cols
+                    and not _re.search(r"key$|number$|(?:^|_)id$", _c)
                 )
                 if is_value:
                     _sel.append(f'(SELECT min("{_c}") FROM \'{_p}\') AS "{_c}"')
