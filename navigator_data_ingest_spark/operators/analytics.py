@@ -6865,22 +6865,18 @@ def stats_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cast(n as decimal(38,0)) * qc - cast(sc as decimal(38,0)) * sc"
             )
         ).alias("vw"),
-    )
-    j = (
-        cells.join(F.broadcast(ca), "event_type")
-        .join(F.broadcast(cb), "dow")
-        .crossJoin(F.broadcast(tot))
-    )
-    agg = j.agg(
-        F.max("nt").alias("nt"),
-        F.max("ka").alias("ka"),
-        F.max("kb").alias("kb"),
-        F.max("n_cells").alias("nc"),
-        F.max(F.expr("st * st / nt")).alias("cf"),
-        F.max("qt").alias("qt"),
-        F.max("vw").alias("vw"),
+        # cell raw SS lives in the same global agg as the other grand
+        # totals (it only reads cell-grain columns): pulling constants
+        # through max() over a cells-join instead left every tot field
+        # NULL-not-0 on an empty corpus while the oracle's direct
+        # global agg kept ka/kb/nc = 0 — the r11 empty-allowlist shape
+        # retired by this formulation (which also drops two broadcast
+        # joins the output never used).
         F.sum(F.expr("s * s / n")).alias("ss_cells_raw"),
     )
+    agg = tot.withColumn(
+        "cf", F.expr("st * st / nt")
+    ).withColumnRenamed("n_cells", "nc")
     # marginal raw SS re-aggregated from the margin tables (1-row each)
     ssa = ca.agg(F.sum(F.expr("sa * sa / na")).alias("ssa_raw"))
     ssb = cb.agg(F.sum(F.expr("sb * sb / nb")).alias("ssb_raw"))
@@ -12010,11 +12006,15 @@ def stats_cronbach_alpha_sql() -> str:
                 - sum(x)::HUGEINT * sum(x)) AS a_item
         FROM ev CROSS JOIN u GROUP BY event_type, uu
     ), totals AS (
-        SELECT uu,
-               (uu::HUGEINT * sum(t::HUGEINT * t)
+        -- GLOBAL aggregate (not GROUP BY uu): uu is constant under the
+        -- cross join, so the grouped form is value-identical on any
+        -- nonempty input but emits 0 rows on an empty corpus where the
+        -- Spark side's global agg emits its 1 NULL-moment row — the
+        -- r11 empty-allowlist shape retired by this formulation.
+        SELECT (SELECT uu FROM u) AS uu,
+               ((SELECT uu FROM u)::HUGEINT * sum(t::HUGEINT * t)
                 - sum(t)::HUGEINT * sum(t)) AS t_total
         FROM (SELECT user_id, sum(x)::BIGINT AS t FROM ev GROUP BY 1)
-        CROSS JOIN u GROUP BY uu
     ), agg AS (
         SELECT (SELECT count(*) FROM items)::BIGINT AS k,
                uu, t_total,
@@ -15377,6 +15377,12 @@ def q_orders_pareto_8020_sql() -> str:
            {dk_rat6("max(CASE WHEN v = (SELECT max(v) FROM qual) THEN cum_r END)", "max(tot_r)")}
                AS revenue_share
     FROM qual
+    -- vacuous on any nonempty input (the max-v level always qualifies
+    -- when vc is nonempty), but suppresses the global aggregate's
+    -- 1-row NULL output on an EMPTY corpus, matching the Spark side's
+    -- 0-row inner join-back — the r11 empty-allowlist shape retired by
+    -- this formulation.
+    HAVING count(*) > 0
     """
 
 
@@ -18150,16 +18156,21 @@ def stats_bartels_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = r.select(
         "r2", (F.lead("r2").over(w) - F.col("r2")).alias("d2")
     )
-    # denominator needs T (doubled mean = T+1): 1-row broadcast
-    tot = F.broadcast(r.agg(F.count(F.lit(1)).alias("t_days")))
-    den = (
-        r.crossJoin(tot)
-        .agg(
-            F.max("t_days").alias("n_days"),
-            F.sum(
-                F.expr("(r2 - t_days - 1) * (r2 - t_days - 1)")
-            ).alias("den4"),
-        )
+    # denominator needs T (doubled mean = T+1). Expand the centered sum
+    # algebraically — Σ(r2−(T+1))² = Σr2² − 2(T+1)·Σr2 + T(T+1)² — so
+    # ONE global agg over r yields n_days=count(*) (0 on an empty
+    # series, like the oracle's count) instead of pulling T through a
+    # max() over a crossJoin that leaves it NULL-not-0 on empty — the
+    # r11 empty-allowlist shape retired by this formulation. Exact
+    # integers throughout (Σr2² ≤ 4T³ ≪ bigint).
+    den = r.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("r2").alias("sr2"),
+        F.sum(F.expr("r2 * r2")).alias("qr2"),
+    ).selectExpr(
+        "n_days",
+        "qr2 - 2 * (n_days + 1) * sr2"
+        " + n_days * (n_days + 1) * (n_days + 1) AS den4",
     )
     num = t.agg(F.sum(F.expr("d2 * d2")).alias("num4"))
     out = den.crossJoin(F.broadcast(num))

@@ -1407,6 +1407,12 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return (
         vdf.select(F.posexplode("v").alias("pos", "loading"), "nrm")
+        # nrm is non-NULL on any nonempty corpus (embeddings are dense),
+        # so this filter is vacuous except on EMPTY input, where the
+        # global-agg chain leaves a NULL norm and 64 NULL loadings that
+        # the oracle's group-by-of-nothing never emits — the r11
+        # empty-allowlist shape retired by this formulation.
+        .where(F.col("nrm").isNotNull())
         .select(
             F.col("pos").cast("int").alias("pos"),
             F.round("loading", 6).alias("loading"),
@@ -2592,6 +2598,11 @@ def emb_variance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(EMB_DIM)
     ]
     m = emb.groupBy().agg(F.count(F.lit(1)).alias("n"), *sums, *sqs)
+    # vacuous on any nonempty corpus, but drops the global agg's 1
+    # moment row when the corpus is EMPTY so the 64-row posexplode grid
+    # vanishes like the oracle's unnest-of-nothing does — the r11
+    # empty-allowlist shape retired by this formulation.
+    m = m.where(F.col("n") >= 1)
     grid = m.select(
         "n",
         F.posexplode(

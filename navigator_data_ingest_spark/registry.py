@@ -27,6 +27,33 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 # whole registry instead of re-certifying the same head. The full local
 # sweep (scripts/sweep.py) stays the all-query safety net.
 _DRIVER_CERTIFIED = frozenset({
+    # round 11 sample (CORRECTNESS_r11.json): 50/50 hash-green — the
+    # fourth consecutive fully-green driver round; certifies the
+    # q_orders_*/q_events_* long tail, the §2.2 src_/sink_ round-trips,
+    # mm_bitrate and the q_* analytics remainder. q_orders_pareto_8020
+    # was green here but its ORACLE changed in round 12 (HAVING
+    # count(*) > 0 retired its empty-allowlist entry) — de-listed per
+    # the changed-after-cert discipline; it leads the r12 re-cert queue.
+    "q_orders_above_avg", "q_orders_aging", "q_orders_basket_size",
+    "q_orders_dow_profile", "q_orders_fill_rate", "q_orders_gap_islands",
+    "q_orders_month_index", "q_orders_pivot",
+    "q_orders_rollup", "q_orders_running_share", "q_orders_trailing_range",
+    "q_orders_yoy_growth",
+    "q_events_bot_screen", "q_events_burst_detection", "q_events_dau_mau",
+    "q_events_funnel_steps", "q_events_heavy_hitters",
+    "q_events_markov_stationary", "q_events_peak_hour",
+    "q_events_session_depth", "q_events_type_overlap", "q_events_type_pmi",
+    "q_events_user_lifespan",
+    "sink_bucketed_join", "sink_partition_overwrite", "sink_partitioned_prune",
+    "sink_compact", "sink_hll_sketch_union", "src_csv_roundtrip",
+    "src_jsonl_roundtrip", "src_orc_roundtrip", "src_binary_files",
+    "src_corrupt_quarantine",
+    "mm_audio_chunk", "mm_bitrate", "mm_codec_stats", "mm_frame_sample",
+    "mm_phash_neardup",
+    "q_approx_distinct", "q_approx_quantiles", "q_cube_pricing",
+    "q_customer_churn", "q_customer_migration", "q_customer_order_cycle",
+    "q_customer_retention", "q_customers_no_orders", "q_hash_sample",
+    "q_ntile_spend", "q_null_safe_join",
     # round 10 sample (CORRECTNESS_r10.json): 50/50 hash-green — the
     # third consecutive fully-green driver round; certifies the 21
     # TPC-H q-shapes (never sampled since round 1), the q_events_*
@@ -86,7 +113,10 @@ _DRIVER_CERTIFIED = frozenset({
     "sample_downweight_duplicates", "sink_checksum_manifest",
     "split_dedup_aware", "split_temporal", "src_text_lines",
     "src_xml_roundtrip", "stats_anderson_darling_2s", "stats_ansari_bradley",
-    "stats_bartels_rank", "stats_benford_second", "stats_blb_ci",
+    # stats_bartels_rank was certified r8 but its denominator aggregate
+    # was restructured in round 12 (algebraic expansion retired its
+    # empty-allowlist entry) — de-listed for driver re-certification.
+    "stats_benford_second", "stats_blb_ci",
     "stats_brunner_munzel", "stats_cochran_q", "stats_cox_stuart",
     "stats_gains_table", "stats_hodges_lehmann", "stats_jonckheere_terpstra",
     "stats_kendall_w", "stats_mann_whitney", "stats_mann_whitney_u",
@@ -178,7 +208,10 @@ _DRIVER_CERTIFIED = frozenset({
     # registered, VERDICT r8 #2) so the driver hash-certifies it.
     "corpus_dsir_weights", "corpus_embed_pool", "corpus_knn_pseudo_label",
     "corpus_length_buckets", "corpus_perplexity_filter",
-    "corpus_upsample_apply", "emb_outlier_zscore", "emb_pca_power", "emb_random_projection",
+    # emb_pca_power was certified r4 but gained a vacuous-on-nonempty
+    # nrm-not-null filter in round 12 (retired its empty-allowlist
+    # entry) — de-listed for driver re-certification.
+    "corpus_upsample_apply", "emb_outlier_zscore", "emb_random_projection",
     "graph_kcore", "graph_label_propagation", "ingest_download_fetch",
     "layout_hilbert", "mm_aspect_buckets", "mm_image_tiles",
     "mm_scene_segments", "q_apply_in_arrow", "q_basket_lift",
@@ -214,6 +247,13 @@ _DRIVER_CERTIFIED = frozenset({
     "text_lang_confusion", "text_tfidf",
     # rounds 1-2 sample (CORRECTNESS_r01/r02.json)
     "dedup_exact",
+    # dedup_minhash_lsh stays listed despite minhash_pairs() gaining an
+    # include_self parameter in round 11: the op calls it with the
+    # default include_self=False, where the added `cmp` conditional
+    # resolves at plan-build time to the identical pre-change
+    # `a.doc_id < b.doc_id` join condition — same logical plan
+    # byte-for-byte, so the r1/r2 certification still covers the
+    # shipped code (ADVICE r11).
     "dedup_minhash_lsh", "dedup_simhash",
     # ingest_download_fetch was rows-certified in r1/r2 but its contract
     # changed in round 4 (full-row [sql] oracle incl. converted-PDF md5,
@@ -248,49 +288,20 @@ _FRONT: set[str] = set()
 _HEAD_FIRST: tuple[str, ...] = ()
 _HEAD_POS = {n: i for i, n in enumerate(_HEAD_FIRST)}
 
-# Round-11 sample fill (VERDICT r10 "Next round" #1): the entire
-# head-50 is never-sampled keys again — the q_orders_*/q_events_*
-# TPC-H-adjacent long tail, the §2.2 src_/sink_ round-trips, mm_*,
-# then the q_* analytics remainder (q_approx_quantiles deliberately
-# included: its broadcast pin from 48a9cee gets a driver row this
-# round). The tail past 50 (the two r10-changed de-certified ops,
-# then sim_*/stats_/text_/dedup_ remainders) leads the round-12
-# rotation. ORDERED: rank = position here.
+# Round-12 sample fill (VERDICT r11 "Next round" #1): the head-50 is
+# the RE-CERTIFICATION queue first — all 31 keys whose implementation
+# or oracle changed after their last driver certification (the 27
+# r10/r11-era de-lists in the verdict's staged order, then the four
+# round-12 empty-allowlist reformulations, stats_cronbach_alpha being
+# both changed and never-sampled) — then 19 never-sampled keys
+# (sim_*/q_sql_*/dedup_ remainders, layout_zorder). The tail past 50
+# stages the round-13 endgame: the remaining 51 never-sampled keys in
+# family order, so r13's sample brings the walk to 551/552 ever-sampled
+# and r14 closes it (the round-12 de-lists cost the exact-50 closure by
+# one key — the empty-allowlist retirement was judged worth it).
+# ORDERED: rank = position here.
 _FRONT_NEW_ORDER: tuple[str, ...] = (
-    # q_orders_* long tail — never driver-sampled (13)
-    "q_orders_above_avg", "q_orders_aging", "q_orders_basket_size",
-    "q_orders_dow_profile", "q_orders_fill_rate", "q_orders_gap_islands",
-    "q_orders_month_index", "q_orders_pareto_8020", "q_orders_pivot",
-    "q_orders_rollup", "q_orders_running_share", "q_orders_trailing_range",
-    "q_orders_yoy_growth",
-    # q_events_* long tail (11)
-    "q_events_bot_screen", "q_events_burst_detection", "q_events_dau_mau",
-    "q_events_funnel_steps", "q_events_heavy_hitters",
-    "q_events_markov_stationary", "q_events_peak_hour",
-    "q_events_session_depth", "q_events_type_overlap", "q_events_type_pmi",
-    "q_events_user_lifespan",
-    # §2.2 src_/sink_ round-trips (10)
-    "sink_bucketed_join", "sink_partition_overwrite", "sink_partitioned_prune",
-    "sink_compact", "sink_hll_sketch_union", "src_csv_roundtrip",
-    "src_jsonl_roundtrip", "src_orc_roundtrip", "src_binary_files",
-    "src_corrupt_quarantine",
-    # multimodal (5)
-    "mm_audio_chunk", "mm_bitrate", "mm_codec_stats", "mm_frame_sample",
-    "mm_phash_neardup",
-    # q_* analytics remainder (11)
-    "q_approx_distinct", "q_approx_quantiles", "q_cube_pricing",
-    "q_customer_churn", "q_customer_migration", "q_customer_order_cycle",
-    "q_customer_retention", "q_customers_no_orders", "q_hash_sample",
-    "q_ntile_spend", "q_null_safe_join",
-    # ---- cut line: 50 above = the driver's 50 ----
-    # round-12 leaders: every op whose implementation (or oracle)
-    # changed AFTER its driver certification — de-listed from
-    # _DRIVER_CERTIFIED above so the driver re-certifies shipped code
-    # (r10 ADVICE discipline): the r10-changed pair, then the round-11
-    # ties-campaign keys, the empty-allowlist retirements, and the
-    # distinct-payload-collapse dedup family; then the sim_*/q_sql_*
-    # backlog; the stats_/text_/dedup_ remainder follows in
-    # registration order without explicit listing.
+    # --- re-certification queue: changed after certification (31) ---
     "graph_harmonic_centrality", "sim_search_bruteforce_np",
     "dedup_embedding_cosine", "dedup_clusters", "dedup_ngram_jaccard",
     "dedup_shingle_containment", "dedup_band_config_sweep",
@@ -300,14 +311,39 @@ _FRONT_NEW_ORDER: tuple[str, ...] = (
     "stats_two_way_anova", "emb_isotropy", "emb_variance_spectrum",
     "emb_cka_similarity", "q_observe_metrics", "q_tablesample",
     "sink_range_sorted_write", "src_file_metadata", "sink_python_datasource",
+    "q_events_asof_forward", "q_events_asof_nearest",
+    # round-12 empty-allowlist reformulations (changed this round)
+    "q_orders_pareto_8020", "stats_bartels_rank", "emb_pca_power",
+    "stats_cronbach_alpha",
+    # --- never-driver-sampled fill (19) ---
     "dedup_levenshtein", "dedup_resolution", "stats_fisher_z_corr_diff",
-    "stats_elasticity_loglog", "q_events_asof_forward",
-    "q_events_asof_nearest",
-    "sim_search_pq_adc", "sim_search_recall_report",
+    "stats_elasticity_loglog", "sim_search_pq_adc", "sim_search_recall_report",
     "q_sql_recursive_cte", "q_recursive_cte", "q_sql_api",
     "q_sql_interval_calendar", "q_sql_listagg", "q_sql_null_semantics",
     "q_sql_unpivot", "q_pandas_udf_scalar", "q_parameterized_sql",
     "q_skew_join_salted", "q_spend_distribution", "layout_zorder",
+    "q_unpivot_measures",
+    # ---- cut line: 50 above = the driver's 50 ----
+    # round-13 endgame staging: the remaining 51 never-sampled keys.
+    "q_brand_share_shift", "q_catalog_census", "q_nation_trade_balance",
+    "q_part_supply_risk", "q_supplier_reliability",
+    "dedup_bucket_stats", "dedup_cross_source", "dedup_fingerprint",
+    "dedup_numeric_blocking", "dedup_passage", "dedup_rate_by_source",
+    "stats_ab_srm", "stats_bland_altman", "stats_bowley_skew",
+    "stats_brier_score", "stats_cohens_d", "stats_cooks_distance",
+    "stats_cpk", "stats_cramer_von_mises", "stats_crosstab_residuals",
+    "stats_entropy_rate_markov", "stats_fleiss_kappa",
+    "stats_geometric_mean", "stats_hill_tail", "stats_icc",
+    "stats_ks_two_sample", "stats_length_regression", "stats_log_rank",
+    "stats_mahalanobis_outliers", "stats_negative_binomial_fit",
+    "stats_page_hinkley", "stats_retention_halflife", "stats_theil_index",
+    "stats_wape_forecast", "stats_weibull_fit", "stats_youden_j",
+    "text_charset_profile", "text_code_detection", "text_collocations",
+    "text_cooccurrence", "text_hapax_ratio", "text_length_percentiles",
+    "text_ngram_novelty", "text_pii_patterns", "text_pii_scrub",
+    "text_rarity", "text_readability_fk", "text_simpson_diversity",
+    "text_source_similarity", "text_tokenizer_fertility",
+    "text_topk_coverage",
 )
 _FRONT_NEW: frozenset[str] = frozenset(_FRONT_NEW_ORDER)
 _FRONT_NEW_POS = {n: i for i, n in enumerate(_FRONT_NEW_ORDER)}

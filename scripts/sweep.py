@@ -33,22 +33,20 @@ _EMPTY_DIVERGENCE = {
     "q_cube_pricing": "grand-total row on empty: DuckDB 1 row, Spark 0",
     "q_grouping_sets": "grand-total row on empty: DuckDB 1 row, Spark 0",
     "q_groupingsets_api": "grand-total row on empty: DuckDB 1 row, Spark 0",
-    # global-aggregate (1 row) vs grouped-CTE (0 rows) shape asymmetry
-    # between the Spark plan and its oracle's formulation.
-    "stats_cronbach_alpha": "global-agg 1-row vs grouped-oracle 0-row shape",
-    "q_orders_pareto_8020": "global-agg 1-row vs grouped 0-row shape",
-    "stats_two_way_anova": "grid aggregates NULL-vs-absent on empty",
-    "stats_bartels_rank": "0-vs-NULL count convention on empty series",
     # (r11 retired the four every()/invariant-row entries —
     # q_tablesample, sink_range_sorted_write, src_file_metadata,
     # sink_python_datasource — by reformulating op+oracle with
-    # vacuous-truth / coalesce / CASE-on-count guards so both engines
-    # agree on the zero-row corpus; they are fully oracle-checked in
-    # empty mode now.)
-    # per-dimension unrolled aggregates emit EMB_DIM NULL-stat rows on
-    # Spark; the oracle's row-generating CTE emits none.
-    "emb_variance_spectrum": "64 NULL-stat rows vs 0 oracle rows on empty",
-    "emb_pca_power": "64 NULL-stat rows vs 0 oracle rows on empty",
+    # vacuous-truth / coalesce / CASE-on-count guards; r12 retired the
+    # entire global-agg-vs-grouped 1-row/0-row shape family —
+    # stats_cronbach_alpha's grouped totals CTE became a global
+    # aggregate, q_orders_pareto_8020's oracle gained HAVING
+    # count(*) > 0, stats_two_way_anova's grand totals moved into the
+    # cells global agg, stats_bartels_rank's centered denominator was
+    # expanded algebraically into the same global agg as its count, and
+    # emb_variance_spectrum / emb_pca_power gained vacuous n>=1 /
+    # nrm-not-null filters — all value-identical on any nonempty input
+    # and fully oracle-checked in empty mode now. Only the
+    # engine-semantic grouping-sets grand-total family remains.)
 }
 
 # SWEEP_ONE=1 allowlist: keys whose Spark and DuckDB results disagree on a
