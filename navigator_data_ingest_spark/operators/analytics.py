@@ -18781,12 +18781,28 @@ def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     The O(T²) Walsh set is BOUNDED (calendar² pairs, never corpus²): a
     DAYS-grain collapse first, then a day ≤ day self-join. The Walsh
     median does NOT go through percentile() — buffering the ~3M pair
-    rows in one aggregation task measured 9.5 s where the distinct-sum
-    histogram + two-level 1024-block cumulative-rank lookup (the repo's
-    percentile-lattice discipline) runs in ~2 s and never single-tasks.
-    Doubled Walsh sums are exact integers and 2·median picks the two
-    straddling rank positions exactly, so every emitted value is an
-    exact integer or an exact rational. NULL dates drop (both engines).
+    rows in one aggregation task measured 9.5 s (single-task sort).
+
+    Round-12 optimization (guide §2.3/§2.4 — shuffle fewer bytes,
+    remove shuffles outright; before/after in OPTIMIZATION_r12.md): the
+    previous lattice shuffled the FULL pair distribution three times
+    (groupBy(w2) at ~n_pairs distinct sums, an in-block prefix window
+    over it, a rank-lookup join) and, because every lattice stage
+    re-derived the day table, the physical plan re-scanned orders 11×.
+    Now: (1) the DAYS-grain table is localCheckpointed once (≤calendar
+    rows) and every stage reads it; (2) the median is found by TWO
+    passes over the regenerated pair stream — pass 1 histograms pair
+    COUNTS into 1024 fixed w2-range blocks (map-side partial agg ⇒ the
+    shuffle carries ≤1024 rows/task, never the pair set), pass 2
+    re-streams the pairs, keeps only the 1-2 blocks that straddle the
+    median ranks (expected n_pairs/1024 rows), and picks the exact
+    straddling rank positions with an in-block row_number. Selection by
+    global rank over exact integer w2 is unchanged, so the output —
+    and the declarative DuckDB oracle — is identical; only the shuffle
+    volume moved from O(n_pairs) to O(1024 + sliver). Doubled Walsh
+    sums are exact integers and 2·median picks the two straddling rank
+    positions exactly, so every emitted value is an exact integer or an
+    exact rational. NULL dates drop (both engines).
     """
     d = (
         load_table(spark, sf_dir, "orders")
@@ -18797,76 +18813,102 @@ def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("cast(round(o_totalprice * 100) as bigint)")
             ).alias("cents")
         )
+        .localCheckpoint(eager=False)
+    )
+    # one pass over the ≤calendar-row day table gives every scalar the
+    # lattice needs: the pair count, the w2 range (min/max Walsh sums
+    # are 2·min/2·max of the day sums — the da==db self-pairs attain
+    # them), and the plain-median/mean triptych columns
+    stat = F.broadcast(
+        d.agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.min("cents").alias("mn_c"),
+            F.max("cents").alias("mx_c"),
+            F.expr(
+                "cast(round(percentile(cents, 0.5) * 2) as bigint)"
+            ).alias("med2"),
+            F.sum("cents").alias("total"),
+        ).selectExpr(
+            "n_days",
+            "mn_c",
+            "mx_c",
+            "med2",
+            "total",
+            "cast(n_days as bigint) * (n_days + 1) div 2 AS n_pairs",
+            "(cast(n_days as bigint) * (n_days + 1) div 2 + 1) div 2"
+            " AS lo_rank",
+            "cast(n_days as bigint) * (n_days + 1) div 2 div 2 + 1"
+            " AS hi_rank",
+        )
     )
     a = d.selectExpr("day AS da", "cents AS ca")
     b = d.selectExpr("day AS db", "cents AS cb")
-    g = (
-        a.join(b, F.expr("da <= db"))
-        .selectExpr("ca + cb AS w2")
-        .groupBy("w2")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    rng = g.agg(F.min("w2").alias("mn"), F.max("w2").alias("mx"))
-    blk = g.crossJoin(F.broadcast(rng)).withColumn(
-        "blk",
-        F.least(
-            F.lit(1023),
-            F.floor(
-                (F.col("w2") - F.col("mn"))
-                / (F.col("mx") - F.col("mn") + F.lit(1e-9))
-                * 1024
-            ),
+    blk_col = F.least(
+        F.lit(1023),
+        F.floor(
+            (F.col("w2") - F.lit(2) * F.col("mn_c"))
+            / (F.lit(2) * (F.col("mx_c") - F.col("mn_c")) + F.lit(1e-9))
+            * 1024
         ),
     )
-    w_in = (
-        Window.partitionBy("blk")
-        .orderBy("w2")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # pass 1: pair counts per fixed block — partial aggregation
+    # collapses map-side, so the exchange carries ≤1024 rows per task
+    pairs1 = (
+        a.join(b, F.expr("da <= db"))
+        .selectExpr("ca + cb AS w2")
+        .crossJoin(stat)
+        .withColumn("blk", blk_col)
+        .groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    blk = blk.withColumn(
-        "cum_in", F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
-    )
-    bt = blk.groupBy("blk").agg(F.sum("cnt").alias("blk_n"))
     w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
-    bt = bt.withColumn(
-        "off", F.coalesce(F.sum("blk_n").over(w_blk), F.lit(0))
+    bt = pairs1.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_blk), F.lit(0))
     )
-    tot = F.broadcast(g.agg(F.sum("cnt").alias("n_pairs")))
-    ranks = (
-        blk.join(F.broadcast(bt.select("blk", "off")), "blk")
-        .crossJoin(tot)
-        .selectExpr(
-            "w2",
-            "cnt",
-            "off + cum_in AS below",
-            "n_pairs",
-            "(n_pairs + 1) div 2 AS lo_rank",
-            "n_pairs div 2 + 1 AS hi_rank",
-        )
-    )
-    agg = ranks.agg(
-        F.max("n_pairs").alias("n_pairs"),
-        F.sum(
-            F.expr(
-                "CASE WHEN below < lo_rank AND lo_rank <= below + cnt"
-                " THEN w2 ELSE 0 END"
+    # the 1-2 blocks whose [off, off+cnt] span straddles a median rank
+    targets = F.broadcast(
+        bt.crossJoin(stat.select("lo_rank", "hi_rank"))
+        .where(
+            (
+                (F.col("off") < F.col("lo_rank"))
+                & (F.col("lo_rank") <= F.col("off") + F.col("cnt"))
             )
+            | (
+                (F.col("off") < F.col("hi_rank"))
+                & (F.col("hi_rank") <= F.col("off") + F.col("cnt"))
+            )
+        )
+        .select("blk", "off")
+    )
+    # pass 2: re-stream the pairs, keep only the target blocks' sliver,
+    # exact in-block rank (ties share a w2 value, so row_number order
+    # within a tie is value-irrelevant)
+    w_in = Window.partitionBy("blk").orderBy("w2")
+    sliver = (
+        a.join(b, F.expr("da <= db"))
+        .selectExpr("ca + cb AS w2")
+        .crossJoin(stat.select("mn_c", "mx_c", "lo_rank", "hi_rank"))
+        .withColumn("blk", blk_col)
+        .join(targets, "blk")
+        .withColumn("rn", F.row_number().over(w_in))
+    )
+    agg = sliver.agg(
+        F.sum(
+            F.expr("CASE WHEN off + rn = lo_rank THEN w2 ELSE 0 END")
         ).alias("hl_lo"),
         F.sum(
-            F.expr(
-                "CASE WHEN below < hi_rank AND hi_rank <= below + cnt"
-                " THEN w2 ELSE 0 END"
-            )
+            F.expr("CASE WHEN off + rn = hi_rank THEN w2 ELSE 0 END")
         ).alias("hl_hi"),
-    ).selectExpr("n_pairs", "hl_lo + hl_hi AS hl4")
-    med = d.agg(
-        F.count(F.lit(1)).alias("n_days"),
-        F.expr(
-            "cast(round(percentile(cents, 0.5) * 2) as bigint)"
-        ).alias("med2"),
-        F.sum("cents").alias("total"),
+    ).selectExpr("hl_lo + hl_hi AS hl4")
+    # empty-input parity: the old plan's n_pairs was max() over an empty
+    # rank table ⇒ NULL; the count-derived n_pairs must NULL the same way
+    med = stat.selectExpr(
+        "n_days",
+        "CASE WHEN n_days > 0 THEN n_pairs END AS n_pairs",
+        "med2",
+        "total",
     )
-    out = agg.crossJoin(F.broadcast(med))
+    out = agg.crossJoin(med)
     # hl4 = 4·HL (Walsh sums are 2·avg, the doubled median doubles again)
     return out.selectExpr(
         "n_days",

@@ -1082,8 +1082,20 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" % {BLOOM_BITS} as int)"
         for j in range(BLOOM_K)
     ]
-    docs = scatter(spark, load_table(spark, sf_dir, "documents")).withColumn(
-        "h", F.md5("text")
+    # r12 (guide §2.3 project-early + §2.4): every downstream stage —
+    # filter build, probe screen, exact verify — needs only (doc_id,
+    # md5), so hash behind the scatter and pin the 2-column result
+    # once. The old shape re-expanded this subtree under each branch:
+    # 5 parquet scans of documents and repeated repartitions of the
+    # full text payload; now ONE scan + ONE narrow exchange feed all
+    # three consumers, and no shuffle ever carries text.
+    docs = (
+        scatter(
+            spark,
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        )
+        .select("doc_id", F.md5("text").alias("h"))
+        .localCheckpoint(eager=False)
     )
     hist = docs.where(F.col("doc_id") % BLOOM_HIST_MOD == 0)
     # the filter: one agg row holding the sorted distinct set positions

@@ -1256,9 +1256,16 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cums = []
     for _h in range(1, HARMONIC_HOPS + 1):
-        expanded = cum.join(und, cum["node"] == und["src"]).select(
-            und["dst"].alias("node"), "mask"
-        )
+        # r12 (guide §3.1): the checkpointed cum side carries no stats,
+        # so the planner falls back to sort-merge — sorting the 2|E|-row
+        # edge list every round. SHUFFLE_HASH builds the (strictly
+        # smaller, |nodes|-bounded) cum side as a per-partition hash
+        # table instead: same shuffles, zero per-round sorts, and the
+        # build side stays memory-bounded at any scale because it is
+        # per-partition nodes, not the corpus.
+        expanded = cum.hint("shuffle_hash").join(
+            und, cum["node"] == und["src"]
+        ).select(und["dst"].alias("node"), "mask")
         # lazy checkpoint: each C_h feeds BOTH the next round and the
         # final count union — without it the reuse doubles per round
         cum = (
