@@ -29,6 +29,30 @@ TABLE_NAMES = (
 )
 
 
+# Relation cache (guide §6 — file-listing/metadata caching, the same
+# idea as spark.sql.hive.filesourcePartitionFileCacheSize): every
+# ``spark.read.parquet`` resolves the relation from scratch — driver-side
+# file listing plus a footer read — which measures 0.3-0.5 s per call on
+# the bench host. A registry process (bench: 68 headliners; sweep: 552
+# queries) calls load_table hundreds of times over the same ten
+# read-only tables, so the repeated resolution is pure fixed overhead.
+# Caching the resolved DataFrame (NOT its data — every action still
+# scans parquet) removes it. The key carries the owning SparkContext's
+# applicationId (a restarted session gets fresh relations) and the
+# path's (mtime_ns, size) so a table rewritten in place — the sweep's
+# altered-corpus generators — invalidates its entry.
+_RELATION_CACHE: dict[tuple, DataFrame] = {}
+_RELATION_CACHE_MAX = 512
+
+
+def _path_stamp(path: str) -> tuple:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return (0, 0)
+    return (st.st_mtime_ns, st.st_size)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table from a scale-factor directory.
 
@@ -37,6 +61,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to a microsecond timestamp here so downstream operators see a real
     timestamp column.
     """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(path),
+        _path_stamp(path),
+    )
+    cached = _RELATION_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # runtime-settable; needed even when the caller built the session
         # (e.g. the verify driver) without our defaults.
@@ -44,7 +77,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # integer division — a double divide loses precision at ~1e18 ns.
         # Build the timestamp in the NTZ domain (timestampadd on an NTZ
@@ -58,6 +91,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 " timestamp_ntz'1970-01-01 00:00:00')"
             ),
         )
+    if len(_RELATION_CACHE) >= _RELATION_CACHE_MAX:
+        _RELATION_CACHE.clear()
+    _RELATION_CACHE[key] = df
     return df
 
 
