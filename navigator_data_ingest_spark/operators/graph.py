@@ -1208,10 +1208,17 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
     )
+    # r12 (guide §2.3 — narrower types shuffle fewer bytes): nodes are
+    # packed BIGINTs internally (part k → 2k, supplier k → 2k+1) instead
+    # of 'p:…'/'s:…' strings. Every per-round exchange then carries an
+    # 8-byte key with cheap hashing/equality instead of a ~10-byte
+    # string; the seed strings the declared output needs are
+    # reconstructed at the end over the ≤64-row seed stripe, so the
+    # emitted rows (and the DuckDB oracle) are unchanged.
     edges = (
         li.select(
-            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("p"),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+            (F.col("l_partkey").cast("bigint") * 2).alias("p"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("s"),
         )
         .distinct()
         .localCheckpoint(eager=False)
@@ -1245,7 +1252,7 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp.crossJoin(smod)
         .where(F.col("k") % F.col("_smod") == 1)
         .select(
-            F.concat(F.lit("s:"), F.col("k").cast("string")).alias("seed"),
+            (F.col("k").cast("bigint") * 2 + 1).alias("seed"),
             (F.row_number().over(sw) - 1).cast("int").alias("idx"),
         )
         .localCheckpoint(eager=False)
@@ -1293,7 +1300,9 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         counts.selectExpr(
-            "seed",
+            # unpack the bigint seed back to the declared 's:<k>' string
+            # (supplier ids are odd-packed: k = (seed - 1) / 2)
+            "'s:' || cast((seed - 1) div 2 as string) AS seed",
             "c1 - 1 AS n1",          # C_0 is exactly {seed}
             "c2 - c1 AS n2",
             "c3 - c2 AS n3",

@@ -421,12 +421,19 @@ def ingest_update_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def order_update_actions(acts: DataFrame) -> DataFrame:
+def order_update_actions(acts: DataFrame, ordered: bool = True) -> DataFrame:
     """Per-document action ordering (updated_document_actions.py:65).
 
     If any action is `parse`, only the FIRST parse action runs. Else all
     actions run, stable-ordered with `update_dont_parse` last. Expressed
     with window functions over (document_id) — no driver loop.
+
+    ``ordered=False`` skips the presentation sort for compositions whose
+    next operator (an aggregation or join) destroys row order anyway: an
+    inherited ``orderBy`` is a full range exchange + global sort + the
+    range partitioner's sampling job, all wasted (guide §2.4 — remove
+    shuffles outright; Catalyst's EliminateSorts does not fire through
+    the Window/Generate operators stacked above it here).
     """
     from pyspark.sql import Window
 
@@ -437,7 +444,7 @@ def order_update_actions(acts: DataFrame) -> DataFrame:
     ).over(w)
     priority = F.when(F.col("action") == "update_dont_parse", 1).otherwise(0)
     w_order = Window.partitionBy("document_id").orderBy(priority.asc(), F.col("seq").asc())
-    return (
+    out = (
         acts.withColumn("has_parse", has_parse)
         .withColumn("first_parse_seq", first_parse_seq)
         .withColumn("rn", F.row_number().over(w_order))
@@ -450,13 +457,27 @@ def order_update_actions(acts: DataFrame) -> DataFrame:
             F.when(F.col("has_parse") == 1, F.lit(1)).otherwise(F.col("rn")),
         )
         .select("document_id", "exec_order", "update_type", "action")
-        .orderBy("document_id", "exec_order")
+    )
+    return out.orderBy("document_id", "exec_order") if ordered else out
+
+
+def _order_actions_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered action ordering over the raw (unsorted) update actions.
+
+    Row-identical to ingest_order_actions — the window logic imposes its
+    own per-partition sort, so neither the input's nor the output's
+    presentation orderBy affects the rows — but the plan carries two
+    fewer range exchanges. Compositions consume this; the registry key
+    keeps the declared ordered output.
+    """
+    return order_update_actions(
+        map_update_actions(synthetic_updates(spark, sf_dir)), ordered=False
     )
 
 
 def ingest_order_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry wrapper: ordering over the synthetic updates."""
-    return order_update_actions(ingest_update_actions(spark, sf_dir))
+    return _order_actions_raw(spark, sf_dir).orderBy("document_id", "exec_order")
 
 
 # archive-path expansion rules per action (updated_document_actions.py):
@@ -470,7 +491,7 @@ SUFFIXES = ["json", "npy"]
 VARIANTS = ["", "_translated_en"]
 
 
-def expand_archive_paths(ordered: DataFrame) -> DataFrame:
+def expand_archive_paths(ordered: DataFrame, sort_output: bool = True) -> DataFrame:
     """Archive/rename plans for ordered actions (updated_document_actions.py).
 
     The reference performs one S3 rename at a time; here the (action ×
@@ -505,18 +526,23 @@ def expand_archive_paths(ordered: DataFrame) -> DataFrame:
         F.lit("archive/"), F.col("prefix"), F.lit("/"), F.col("document_id"),
         F.lit("/"), F.lit(ARCHIVE_TS), F.lit("."), F.col("suffix"),
     )
-    return expanded.select(
+    out = expanded.select(
         "document_id", "action", "prefix", "suffix", "variant",
         src.alias("src_path"), dst.alias("dst_path"),
-    ).orderBy("document_id", "action", "prefix", "suffix", "variant")
+    )
+    if sort_output:
+        out = out.orderBy("document_id", "action", "prefix", "suffix", "variant")
+    return out
 
 
 def ingest_archive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry wrapper: archive plans over the synthetic updates."""
-    return expand_archive_paths(ingest_order_actions(spark, sf_dir))
+    return expand_archive_paths(_order_actions_raw(spark, sf_dir))
 
 
-def ingest_field_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ingest_field_update(
+    spark: SparkSession, sf_dir: str, sort_output: bool = True
+) -> DataFrame:
     """update_file_field as a join (updated_document_actions.py:342).
 
     The reference reads each JSON object, compares the current value to
@@ -526,7 +552,7 @@ def ingest_field_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     field mapping (name/description/metadata/slug via update_dont_parse /
     update_field_in_all_occurences paths) participate.
     """
-    upd = ingest_order_actions(spark, sf_dir).where(
+    upd = _order_actions_raw(spark, sf_dir).where(
         F.col("action").isin("update_dont_parse", "update_field_in_all_occurences")
     )
     field = None
@@ -549,12 +575,15 @@ def ingest_field_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     current = F.concat(F.lit("cur-"), F.col("update_type"), F.lit("-"), doc_num_s)
     s3_value = F.when(doc_num % 5 == 0, F.concat(F.lit("stale-"), F.col("update_type"))).otherwise(current)
     new_value = F.concat(F.lit("new-"), F.col("update_type"), F.lit("-"), doc_num_s)
-    return upd.select(
+    out = upd.select(
         "document_id", "prefix", "pipeline_field",
         current.alias("old_value"),
         new_value.alias("new_value"),
         (current != s3_value).alias("value_mismatch"),
-    ).orderBy("document_id", "prefix", "pipeline_field")
+    )
+    if sort_output:
+        out = out.orderBy("document_id", "prefix", "pipeline_field")
+    return out
 
 
 def ingest_results_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -627,8 +656,11 @@ def ingest_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ct.alias("content_type"),
         F.lit(0).cast("bigint").alias("n_renames"),
     )
+    # unordered expansion: the groupBy destroys row order, so the
+    # declared operator's presentation sorts (two range exchanges + the
+    # range partitioner's sampling jobs) would be pure waste here
     renames = (
-        ingest_archive_paths(spark, sf_dir)
+        expand_archive_paths(_order_actions_raw(spark, sf_dir), sort_output=False)
         .groupBy("document_id")
         .agg(F.count(F.lit(1)).alias("n_renames"))
     )
@@ -680,7 +712,7 @@ def ingest_cache_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value"),
         )
     )
-    changes = ingest_field_update(spark, sf_dir).select(
+    changes = ingest_field_update(spark, sf_dir, sort_output=False).select(
         "document_id", "prefix", "pipeline_field", "new_value"
     )
     return (

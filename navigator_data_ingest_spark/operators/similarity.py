@@ -896,7 +896,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("gid", F.min("vec_id").over(gw))
         # reused by the rep pipeline, both sides of the count join and
         # the final audit join — pin the grouped pass
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     reps = members.where(F.col("vec_id") == F.col("gid")).select(
         "gid", "embedding"
@@ -940,7 +940,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the near-rel self-join reads it twice and the audit join once;
         # pin the (1-row-per-rep) result so the reps x K scoring pass
         # runs once, not three times
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     ga = assign.select(
         F.col("gid").alias("gid_a"),
@@ -2065,33 +2065,41 @@ def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c6u"),
         )
     )
+    # r12 (guide §2.4/§1.2 — don't compute things twice): extremum AND
+    # witness id collapse into ONE aggregation via min/max-of-struct.
+    # min(struct(c6u, vec_id)) over positives = (lowest cosine, then
+    # lowest vec_id among its ties) — exactly the old pos_u + the
+    # join-back's min(vec_id) witness; max(struct(c6u, -vec_id)) over
+    # negatives = (highest cosine, then lowest vec_id among ties, as
+    # -vec_id maximizes where vec_id minimizes). The previous shape ran
+    # the expensive broadcast-cosine pass TWICE (once for extrema, once
+    # for the witness join-back) plus two broadcast joins; rows emitted
+    # are value-identical (NULL extremum ⇒ NULL witness, both forms),
+    # so the DuckDB oracle is unchanged.
     ext = cand.groupBy("query_id", "alabel").agg(
-        F.min(F.when(F.col("is_pos"), F.col("c6u"))).alias("pos_u"),
-        F.max(F.when(~F.col("is_pos"), F.col("c6u"))).alias("neg_u"),
-    )
-    ids = (
-        cand.join(F.broadcast(ext.select("query_id", "pos_u", "neg_u")), "query_id")
-        .where(
-            (F.col("is_pos") & (F.col("c6u") == F.col("pos_u")))
-            | (~F.col("is_pos") & (F.col("c6u") == F.col("neg_u")))
-        )
-        .groupBy("query_id")
-        .agg(
-            F.min(F.when(F.col("is_pos"), F.col("vec_id"))).alias("pos_id"),
-            F.min(F.when(~F.col("is_pos"), F.col("vec_id"))).alias("neg_id"),
-        )
+        F.min(
+            F.when(
+                F.col("is_pos"),
+                F.struct(F.col("c6u").alias("c6u"), F.col("vec_id").alias("vid")),
+            )
+        ).alias("p"),
+        F.max(
+            F.when(
+                ~F.col("is_pos"),
+                F.struct(F.col("c6u").alias("c6u"), (-F.col("vec_id")).alias("nv")),
+            )
+        ).alias("n"),
     )
     return (
-        ext.join(F.broadcast(ids), "query_id")
-        .selectExpr(
+        ext.selectExpr(
             "query_id",
             "alabel AS anchor_label",
-            "pos_id",
-            "(cast(pos_u as double) / 1000000.0) AS pos_cos",
-            "neg_id",
-            "(cast(neg_u as double) / 1000000.0) AS neg_cos",
-            "(cast(neg_u - pos_u as double) / 1000000.0) AS margin",
-            "neg_u >= pos_u AS violation",
+            "p.vid AS pos_id",
+            "(cast(p.c6u as double) / 1000000.0) AS pos_cos",
+            "-n.nv AS neg_id",
+            "(cast(n.c6u as double) / 1000000.0) AS neg_cos",
+            "(cast(n.c6u - p.c6u as double) / 1000000.0) AS margin",
+            "n.c6u >= p.c6u AS violation",
         )
         .orderBy("query_id")
     )

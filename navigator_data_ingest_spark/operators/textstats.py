@@ -1715,10 +1715,20 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL source is its own group (both engines).
     """
     docs = scatter(spark, load_table(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "doc_id", "source", F.explode(F.expr(X.sp_tokens("text"))).alias("token")
-    )
-    per_doc = tok.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("n_tok"))
+    # r12 (guide §2.3/§2.4 — aggregate before you shuffle, don't
+    # tokenize twice): per-doc token counts come from size() AT DOC
+    # GRAIN (no explode, no token-grain groupBy shuffle — rows with ≥1
+    # token are exactly the rows explode+count kept), and the
+    # first-occurrence rank joins r AFTER the (source, token) → min
+    # doc_id aggregation: rank r is monotone in doc_id within a source,
+    # so min(r) == r(min(doc_id)) and the join shrinks from every token
+    # row to one row per distinct (source, token). Same rows out, same
+    # oracle; two fewer full-token-stream passes.
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"size({X.sp_tokens('text')})").cast("bigint").alias("n_tok"),
+    ).where(F.col("n_tok") > 0)
     r = per_doc.withColumn(
         "r",
         F.row_number().over(Window.partitionBy("source").orderBy("doc_id")),
@@ -1729,13 +1739,19 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_g = r.groupBy("source", "g").agg(
         F.count(F.lit(1)).alias("docs_g"), F.sum("n_tok").alias("toks_g")
     )
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.expr(X.sp_tokens("text"))).alias("token")
+    )
     fr = (
-        tok.join(r.select("doc_id", "r"), "doc_id")
-        .groupBy("source", "token")
-        .agg(F.min("r").alias("fr"))
+        tok.groupBy("source", "token")
+        .agg(F.min("doc_id").alias("fd"))
+        .join(
+            r.select(F.col("doc_id").alias("fd"), "r"),
+            "fd",
+        )
         .withColumn(
             "g",
-            F.expr("CASE WHEN fr <= 1 THEN 0 ELSE length(bin(fr - 1)) END").cast(
+            F.expr("CASE WHEN r <= 1 THEN 0 ELSE length(bin(r - 1)) END").cast(
                 "int"
             ),
         )
