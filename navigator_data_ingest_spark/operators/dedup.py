@@ -501,7 +501,7 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
     members = (
         sig.withColumn("gid", F.min("doc_id").over(gw))
         # reused by the rep pipeline and both sides of the expansion
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     reps = members.where(F.col("doc_id") == F.col("gid")).select(
         "gid", "sim_hi", "sim_lo"

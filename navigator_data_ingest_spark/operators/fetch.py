@@ -41,7 +41,8 @@ from navigator_data_ingest_spark.functions.text import slugify_col
 from navigator_data_ingest_spark.operators.ingest import synthetic_new_documents
 
 FETCH_RESULT_SCHEMA = (
-    "import_id string, fetch_url string, domain string, status int, "
+    "import_id string, fetch_url string, domain string, name string, "
+    "geography string, publication_ts timestamp, status int, "
     "attempts int, backoff_ms int, elapsed_ms int, redirects int, "
     "error_kind string, content binary, content_type string"
 )
@@ -235,6 +236,9 @@ def _fetch_and_convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             pdf["fetch_url"], pdf["head_hex"], pdf["header"],
             pdf["publication_ts"],
         ):
+            # (name/geography/publication_ts ride through untouched —
+            # r12: echoing them here removes the join-back that
+            # re-derived the whole synthetic work list a second time)
             status, content, ms, attempts, backoff, hops, err = _fetch_with_retry(
                 url, head_hex
             )
@@ -261,6 +265,9 @@ def _fetch_and_convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 "import_id": pdf["import_id"],
                 "fetch_url": pdf["fetch_url"],
                 "domain": pdf["domain"],
+                "name": pdf["name"],
+                "geography": pdf["geography"],
+                "publication_ts": pdf["publication_ts"],
                 "status": statuses,
                 "attempts": attempts_l,
                 "backoff_ms": backoffs,
@@ -301,9 +308,15 @@ def ingest_download_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sees a single domain, so a per-task rate limiter enforcing
     # domain_budget / FETCH_SALT_N keeps aggregate politeness while the
     # stage parallelizes.
+    # r12 (guide §2.4 — remove the join outright): name/geography/
+    # publication_ts pass THROUGH the Python stage as echoed columns, so
+    # no join-back re-derives the synthetic work list a second time
+    # (that join re-ran the whole md5/regex projection and added a
+    # broadcast build + join stage; the echoed columns cost only their
+    # Arrow bytes).
     fetched = work.select(
         "import_id", "fetch_url", "domain", "head_hex", "header",
-        "publication_ts",
+        "name", "geography", "publication_ts",
     ).withColumn(
         "fetch_salt", F.pmod(F.xxhash64("fetch_url"), F.lit(FETCH_SALT_N))
     ).repartition(n_parts, "domain", "fetch_salt").drop("fetch_salt").mapInPandas(
@@ -311,10 +324,7 @@ def ingest_download_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # everything below is JVM-side column work on the fetched bytes
     enriched = (
-        fetched.join(
-            work.select("import_id", "name", "geography", "publication_ts"),
-            "import_id",
-        )
+        fetched
         .withColumn("n_bytes", F.length("content").cast("bigint"))
         .withColumn("md5_sum", F.when(F.col("status") == 200, F.md5("content")))
     )

@@ -278,7 +278,9 @@ def phash_neardup_pairs(raw_docs: DataFrame) -> DataFrame:
     )
     sigs = docs.select("doc_id", F.expr(_phash_bands_expr()).alias("bands"))
     gw = Window.partitionBy("bands")
-    members = sigs.withColumn("gid", F.min("doc_id").over(gw)).localCheckpoint()
+    members = sigs.withColumn("gid", F.min("doc_id").over(gw)).localCheckpoint(
+        eager=False
+    )
     reps = members.where(F.col("doc_id") == F.col("gid")).select("gid", "bands")
     banded = reps.select(
         "gid", "bands", F.posexplode("bands").alias("band_idx", "band_val")

@@ -889,8 +889,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_table(spark, sf_dir, "embeddings")
     e = scatter(spark, raw)
     # exact-payload groups: one shuffle on the embedding, gid = lowest
-    # member id; reps are the gid rows (they carry the payload once)
-    gw = Window.partitionBy("embedding")
+    # member id; reps are the gid rows (they carry the payload once).
+    # r12: the partition key is (xxhash64(embedding), embedding) — the
+    # hash is a pure function of the array, so the groups are identical,
+    # but the window's sort comparator now decides on the 8-byte hash
+    # first and touches the 64-double array comparison only for
+    # hash-equal rows (guide §1.2 per-task work).
+    gw = Window.partitionBy(F.xxhash64("embedding"), "embedding")
     members = (
         e.select("vec_id", "embedding")
         .withColumn("gid", F.min("vec_id").over(gw))
