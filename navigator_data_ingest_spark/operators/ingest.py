@@ -608,9 +608,11 @@ def ingest_results_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("string"))
         .alias("error"),
     )
+    # same doc-grain-distinct argument as ingest_pipeline_e2e's upd_ids
     upd_results = (
-        synthetic_updates(spark, sf_dir)
-        .select("document_id")
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull())
         .distinct()
         .select(
             F.lit("updated").alias("ingest_type"),
@@ -664,9 +666,27 @@ def ingest_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("document_id")
         .agg(F.count(F.lit(1)).alias("n_renames"))
     )
+    # r12 (guide §2.4 — a distinct on data already unique is a wasted
+    # shuffle): synthetic_updates emits seq 1..(doc_id % 3 + 1) ≥ 1 rows
+    # per document with one document_id per doc_id, so its distinct
+    # document_id set IS the documents table projected — derived here
+    # without the explode + two-level distinct aggregation.
+    # NULL doc_id generates no update rows in synthetic_updates (NULL
+    # sequence bound → explode drops), and duplicate doc_ids must still
+    # collapse — so distinct at DOC grain (narrow bigint, half the rows
+    # of the exploded stream, no Generate).
+    upd_ids = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull())
+        .distinct()
+        .selectExpr(
+            "'TEST.executive.' || cast(doc_id as string) || '.'"
+            " || cast(doc_id as string) AS document_id"
+        )
+    )
     upd_side = (
-        synthetic_updates(spark, sf_dir)
-        .select("document_id").distinct()
+        upd_ids
         .join(renames, "document_id", "left")
         .select(
             "document_id",

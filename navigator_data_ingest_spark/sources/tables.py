@@ -116,6 +116,33 @@ def scatter(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def raw_relation(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The UNCONVERTED parquet relation for one table (stored schema,
+    no events-ts adaptation), resolved once per application via the
+    same relation cache. Streaming readers use it to see the storage
+    representation (e.g. TIMESTAMP(NANOS) arriving as long) and apply
+    their own in-stream conversion."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (
+        spark.sparkContext.applicationId,
+        "raw:" + os.path.abspath(path),
+        _path_stamp(path),
+    )
+    cached = _RELATION_CACHE.get(key)
+    if cached is not None:
+        return cached
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+    df = spark.read.parquet(path)
+    if len(_RELATION_CACHE) >= _RELATION_CACHE_MAX:
+        _RELATION_CACHE.clear()
+    _RELATION_CACHE[key] = df
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every engine table as a dict of DataFrames."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}

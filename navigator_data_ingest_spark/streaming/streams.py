@@ -58,9 +58,18 @@ def read_stream_events(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    schema = (
-        spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
-    )
+    if glob == "events.parquet":
+        # r12: the stored-schema footer read goes through the
+        # per-application relation cache (0.3-0.5 s of driver-side
+        # resolution per drain otherwise); non-default globs (tests'
+        # multi-file feeds) keep the direct read.
+        from navigator_data_ingest_spark.sources.tables import raw_relation
+
+        schema = raw_relation(spark, sf_dir, "events").schema
+    else:
+        schema = (
+            spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+        )
     # FileStreamSource wants a directory; scope it to the events file
     # with a glob (on a cluster this is the arriving-files directory)
     reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
