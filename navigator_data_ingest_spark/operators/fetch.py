@@ -44,7 +44,8 @@ FETCH_RESULT_SCHEMA = (
     "import_id string, fetch_url string, domain string, name string, "
     "geography string, publication_ts timestamp, status int, "
     "attempts int, backoff_ms int, elapsed_ms int, redirects int, "
-    "error_kind string, content binary, content_type string"
+    "error_kind string, n_bytes bigint, md5_sum string, "
+    "content_type string"
 )
 
 # watermark date: the reference stamps datetime.now()
@@ -230,7 +231,8 @@ def _fetch_and_convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     the result.
     """
     for pdf in batches:
-        statuses, contents, elapsed, ctypes = [], [], [], []
+        statuses, elapsed, ctypes = [], [], []
+        n_bytes_l, md5s = [], []
         attempts_l, backoffs, redirects_l, errkinds = [], [], [], []
         for url, head_hex, header, pub_ts in zip(
             pdf["fetch_url"], pdf["head_hex"], pdf["header"],
@@ -253,7 +255,15 @@ def _fetch_and_convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                     content = _convert_to_pdf(content, ct, url, pub_ts)
                 # PDF passes through; unsupported stays raw (error later)
             statuses.append(status)
-            contents.append(content)
+            # r12 (guide §4.1 — ship only what crosses the boundary is
+            # needed): the converted bytes were Arrow-shipped to the JVM
+            # solely for length()/md5(); both reduce HERE, so the heavy
+            # content column never leaves the Python worker. hashlib's
+            # lowercase hex digest equals Spark's md5(binary) exactly.
+            n_bytes_l.append(len(content))
+            md5s.append(
+                hashlib.md5(content).hexdigest() if status == 200 else None
+            )
             elapsed.append(ms)
             ctypes.append(ct)
             attempts_l.append(attempts)
@@ -274,7 +284,8 @@ def _fetch_and_convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 "elapsed_ms": elapsed,
                 "redirects": redirects_l,
                 "error_kind": errkinds,
-                "content": contents,
+                "n_bytes": pd.Series(n_bytes_l, dtype="int64"),
+                "md5_sum": md5s,
                 "content_type": ctypes,
             }
         )
@@ -322,12 +333,9 @@ def ingest_download_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition(n_parts, "domain", "fetch_salt").drop("fetch_salt").mapInPandas(
         _fetch_and_convert, schema=FETCH_RESULT_SCHEMA
     )
-    # everything below is JVM-side column work on the fetched bytes
-    enriched = (
-        fetched
-        .withColumn("n_bytes", F.length("content").cast("bigint"))
-        .withColumn("md5_sum", F.when(F.col("status") == 200, F.md5("content")))
-    )
+    # n_bytes/md5_sum arrive pre-reduced from the Python stage (the
+    # content bytes never cross the Arrow boundary)
+    enriched = fetched
     supported = F.col("content_type").isin(
         CONTENT_TYPE_PDF, CONTENT_TYPE_HTML, CONTENT_TYPE_DOCX, CONTENT_TYPE_DOC
     )

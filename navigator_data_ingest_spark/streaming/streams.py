@@ -95,7 +95,13 @@ def windowed_dedup_agg(ev: DataFrame) -> DataFrame:
     windows.
     """
     return (
-        ev.withWatermark("ts", "1 hour")
+        # project to the four consumed columns BEFORE the dedup shuffle
+        # (guide §2.3): the dropDuplicates state store keeps the whole
+        # row per (event_id, ts) key, so the projection narrows both the
+        # exchange and the per-key state at scale. event_id is the event
+        # PK, so the kept row is unchanged.
+        ev.select("event_id", "ts", "event_type", "value")
+        .withWatermark("ts", "1 hour")
         .dropDuplicates(["event_id", "ts"])
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
         .agg(
