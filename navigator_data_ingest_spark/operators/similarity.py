@@ -129,7 +129,11 @@ def sim_search_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings table (query set ~QUERY_TARGET rows at any scale)."""
     raw = load_table(spark, sf_dir, "embeddings")
     e = scatter(spark, raw)
-    q = query_stripe(e, raw).select(
+    # r12 (guide §2.4): the query side is BROADCAST, so routing it
+    # through the scatter repartition only inserted an Exchange inside
+    # the broadcast build (the collect gathers every partition anyway).
+    # Stripe the raw relation instead — same rows, one less exchange.
+    q = query_stripe(raw, raw).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return cosine_topk(e, q, TOP_K, dim=EMB_DIM)
@@ -242,7 +246,9 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     raw = load_table(spark, sf_dir, "embeddings")
     e = scatter(spark, raw)
-    cents = centroid_stripe(e, raw).select(
+    # r12 (guide §2.4): the centroid side is BROADCAST — stripe the raw
+    # relation so the broadcast build carries no scatter Exchange.
+    cents = centroid_stripe(raw, raw).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
     ccos = _cos("embedding", "cvec")
@@ -358,7 +364,9 @@ def sim_search_bruteforce_np_scored(spark: SparkSession, sf_dir: str) -> DataFra
     # ~QUERY_TARGET rows at any corpus size (the broadcast below is the
     # production pattern — queries to every task, corpus never moves)
     q_rows = (
-        query_stripe(e, raw)
+        # r12 (guide §2.4): this side is COLLECTED — striping the raw
+        # relation drops the scatter Exchange from the collect job.
+        query_stripe(raw, raw)
         .select("vec_id", "embedding")
         .collect()
     )
@@ -712,9 +720,12 @@ def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.concat(*[F.col(f"m{s}.s") for s in range(PQ_M)]).alias("recon"),
     )
-    q = query_stripe(emb, raw).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qvec")
-    )
+    # r12 (guide §2.4): broadcast side — stripe raw (same cast) so the
+    # broadcast build carries no scatter Exchange.
+    q = query_stripe(
+        raw.select("vec_id", F.col("embedding").cast("array<double>").alias("e")),
+        raw,
+    ).select(F.col("vec_id").alias("query_id"), F.col("e").alias("qvec"))
     adc = (
         f"aggregate(sequence(1, {EMB_DIM}), cast(0.0 as double), (acc, i) -> "
         "acc + (element_at(qvec, cast(i as int)) - element_at(recon, cast(i as int)))"
@@ -906,7 +917,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = members.where(F.col("vec_id") == F.col("gid")).select(
         "gid", "embedding"
     )
-    cents = centroid_stripe(e, raw).select(
+    # r12 (guide §2.4): broadcast side — stripe the raw relation so
+    # the broadcast build (and the checkpointed assign plan) carries no
+    # scatter Exchange.
+    cents = centroid_stripe(raw, raw).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
     ccos = _cos("embedding", "cvec")
@@ -1078,7 +1092,9 @@ def emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     raw = load_table(spark, sf_dir, "embeddings")
     e = scatter(spark, raw)
-    q = query_stripe(e, raw).select(
+    # r12 (guide §2.4): broadcast side — stripe raw, no scatter Exchange
+    # inside the broadcast build.
+    q = query_stripe(raw, raw).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     full = cosine_topk(e, q, TOP_K, dim=EMB_DIM).select(
@@ -2049,7 +2065,11 @@ def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     raw = load_table(spark, sf_dir, "embeddings")
     e = scatter(spark, raw).where(F.col("label").isNotNull())
-    q = query_stripe(e, raw).select(
+    # r12 (guide §2.4): broadcast side — stripe the raw (filtered)
+    # relation, no scatter Exchange inside the broadcast build.
+    q = query_stripe(
+        raw.where(F.col("label").isNotNull()), raw
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
         F.col("label").alias("alabel"),
@@ -2774,7 +2794,9 @@ def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     raw = load_table(spark, sf_dir, "embeddings")
     e = scatter(spark, raw).select("vec_id", "embedding")
-    q = query_stripe(e, raw).select(
+    # r12 (guide §2.4): broadcast side — stripe raw, no scatter Exchange
+    # inside the broadcast build.
+    q = query_stripe(raw, raw).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     diff2 = " + ".join(
@@ -3180,7 +3202,9 @@ def emb_ivf_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     raw = load_table(spark, sf_dir, "embeddings")
     e = scatter(spark, raw)
-    cents = centroid_stripe(e, raw).select(
+    # r12 (guide §2.4): broadcast side — stripe raw, no scatter Exchange
+    # inside the broadcast build.
+    cents = centroid_stripe(raw, raw).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
     ccos = _cos("embedding", "cvec")
