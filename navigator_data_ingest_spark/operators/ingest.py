@@ -186,8 +186,14 @@ new_docs AS (
 
 def synthetic_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic (document_id, seq, update_type) rows: 1-3 per doc.
-    One selectExpr pass (see synthetic_new_documents on py4j depth)."""
-    docs = scatter(spark, load_table(spark, sf_dir, "documents").select("doc_id"))
+    One selectExpr pass (see synthetic_new_documents on py4j depth).
+
+    r12 (guide §2.4): no scatter here — every consumer re-distributes
+    almost immediately (the action window's document_id exchange or a
+    presentation orderBy), so a repartition "for parallelism" of the
+    cheap CASE+explode map work was a pure extra exchange in all of
+    them."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     ds = "cast(doc_id as string)"
     return docs.selectExpr(
         "doc_id",
