@@ -365,7 +365,12 @@ def stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = read_stream_events(spark, sf_dir)
     dedup = (
-        ev.withWatermark("ts", "1 hour")
+        # project to key+event-time BEFORE the dedup (guide §2.3):
+        # dropDuplicates* semantically keeps whole rows, so the
+        # optimizer cannot prune below it — without this the exchange
+        # and the per-key state carry every event column.
+        ev.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
@@ -1705,8 +1710,12 @@ def stream_unique_users_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = read_stream_events(spark, sf_dir)
     dedup = (
+        # project to the dedup key early (guide §2.3): dropDuplicates
+        # keeps whole rows, so without this the exchange and state
+        # carry every event column; only (hour_start, user_id) is
+        # consumed downstream.
         ev.where(F.col("user_id").isNotNull())
-        .withColumn("hour_start", F.date_trunc("hour", F.col("ts")))
+        .select("user_id", F.date_trunc("hour", F.col("ts")).alias("hour_start"))
         .withWatermark("hour_start", "2 hours")
         .dropDuplicates(["hour_start", "user_id"])
     )
