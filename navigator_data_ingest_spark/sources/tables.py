@@ -37,12 +37,29 @@ TABLE_NAMES = (
 # queries) calls load_table hundreds of times over the same ten
 # read-only tables, so the repeated resolution is pure fixed overhead.
 # Caching the resolved DataFrame (NOT its data — every action still
-# scans parquet) removes it. The key carries the owning SparkContext's
-# applicationId (a restarted session gets fresh relations) and the
-# path's (mtime_ns, size) so a table rewritten in place — the sweep's
-# altered-corpus generators — invalidates its entry.
-_RELATION_CACHE: dict[tuple, DataFrame] = {}
+# scans parquet) removes it. DataFrames are SESSION-bound (sessionState,
+# temp-view catalog, confs), so the outer key is the owning SparkSession
+# object itself via a weak map — ``spark.newSession()`` gets fresh
+# relations, a stopped session's entries are collectable, and a cached
+# df can never leak another session's catalog (an applicationId key did
+# exactly that: a temp view created on the cached df registered on the
+# ORIGINAL session). The inner key carries the path's (mtime_ns, size)
+# so a table rewritten in place — the sweep's altered-corpus
+# generators — invalidates its entry.
+import weakref
+
+_RELATION_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 _RELATION_CACHE_MAX = 512
+
+
+def _session_relations(spark: SparkSession) -> dict[tuple, DataFrame]:
+    d = _RELATION_CACHE.get(spark)
+    if d is None:
+        d = {}
+        _RELATION_CACHE[spark] = d
+    return d
 
 
 def _path_stamp(path: str) -> tuple:
@@ -62,12 +79,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamp column.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (
-        spark.sparkContext.applicationId,
-        os.path.abspath(path),
-        _path_stamp(path),
-    )
-    cached = _RELATION_CACHE.get(key)
+    cache = _session_relations(spark)
+    key = (os.path.abspath(path), _path_stamp(path))
+    cached = cache.get(key)
     if cached is not None:
         return cached
     if name == "events":
@@ -91,9 +105,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 " timestamp_ntz'1970-01-01 00:00:00')"
             ),
         )
-    if len(_RELATION_CACHE) >= _RELATION_CACHE_MAX:
-        _RELATION_CACHE.clear()
-    _RELATION_CACHE[key] = df
+    if len(cache) >= _RELATION_CACHE_MAX:
+        cache.clear()
+    cache[key] = df
     return df
 
 
@@ -123,12 +137,9 @@ def raw_relation(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     representation (e.g. TIMESTAMP(NANOS) arriving as long) and apply
     their own in-stream conversion."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (
-        spark.sparkContext.applicationId,
-        "raw:" + os.path.abspath(path),
-        _path_stamp(path),
-    )
-    cached = _RELATION_CACHE.get(key)
+    cache = _session_relations(spark)
+    key = ("raw:" + os.path.abspath(path), _path_stamp(path))
+    cached = cache.get(key)
     if cached is not None:
         return cached
     if name == "events":
@@ -137,9 +148,9 @@ def raw_relation(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:
             pass
     df = spark.read.parquet(path)
-    if len(_RELATION_CACHE) >= _RELATION_CACHE_MAX:
-        _RELATION_CACHE.clear()
-    _RELATION_CACHE[key] = df
+    if len(cache) >= _RELATION_CACHE_MAX:
+        cache.clear()
+    cache[key] = df
     return df
 
 

@@ -202,3 +202,27 @@ def test_hll_sketch_union_roundtrip_and_bounds(spark):
         .collect()
     }
     assert direct == {k: v[1] for k, v in rows.items() if k != "ALL"}
+
+
+def test_relation_cache_is_session_scoped(spark):
+    """The load_table relation cache must never hand session A's
+    DataFrame to session B: DataFrames are session-bound (temp-view
+    catalog, sessionState), so an applicationId-keyed cache made
+    createOrReplaceTempView register views on the WRONG session
+    (caught by test_type_surface's newSession run). Same-session calls
+    must still hit the cache (the round-12 resolution-cost win)."""
+    from navigator_data_ingest_spark.sources.tables import load_table, raw_relation
+
+    d1 = load_table(spark, SF_SMOKE, "documents")
+    assert load_table(spark, SF_SMOKE, "documents") is d1
+
+    other = spark.newSession()
+    d2 = load_table(other, SF_SMOKE, "documents")
+    assert d2 is not d1
+    # the failing mechanism, directly: a view created on the returned df
+    # must be visible to the session that asked for the table
+    d2.createOrReplaceTempView("_cache_scope_probe")
+    assert other.sql("SELECT count(*) FROM _cache_scope_probe").collect()[0][0] > 0
+    assert raw_relation(other, SF_SMOKE, "events") is raw_relation(
+        other, SF_SMOKE, "events"
+    )
