@@ -1116,7 +1116,20 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(False),
     )
-    screened = new.join(F.broadcast(bloom)).withColumn("flagged", flagged_col)
+    # r12 (guide §2.4 duplicated subtrees): the hit/miss branch split
+    # below reads screened TWICE, and Spark performs no cross-branch
+    # CSE — the md5 + 8-probe + array_contains pipeline (the operator's
+    # whole per-row cost) executed once per branch. Project to the three
+    # consumed columns (p0..p7 die here; §2.3) and pin the result so the
+    # screen runs ONCE; both branches read the narrow (doc_id, h,
+    # flagged) table — the same magnitude as the docs checkpoint the
+    # operator already materializes, and the verify join input stays the
+    # flagged sliver.
+    screened = (
+        new.join(F.broadcast(bloom))
+        .select("doc_id", "h", flagged_col.alias("flagged"))
+        .localCheckpoint(eager=False)
+    )
     hist_md5 = hist.select("h").distinct().withColumn("is_dup", F.lit(True))
     hit = (
         screened.where("flagged")

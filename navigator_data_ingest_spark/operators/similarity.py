@@ -1937,7 +1937,17 @@ def emb_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     output rows, one bounded re-agg to the histogram, the stripe size
     on a 1-row broadcast. Integers end-to-end.
     """
-    bf = sim_search_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    # r12 (guide §2.4 duplicated subtrees): bf feeds BOTH the occurrence
+    # aggregation and the n_queries count; without a pin the ENTIRE
+    # bruteforce composition (corpus scan, broadcast scoring, top-k
+    # window) executed twice — the plan held two copies of the subtree.
+    # bf is bounded at K x |stripe| (~40) rows at ANY corpus size, so
+    # the lazy checkpoint is a constant-size artifact.
+    bf = (
+        sim_search_bruteforce(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
     nq = F.broadcast(
         bf.agg(F.countDistinct("query_id").alias("n_queries"))
     )
