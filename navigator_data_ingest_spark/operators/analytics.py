@@ -1957,10 +1957,18 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (NULL = stage not reached) and the reached-stage depth.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # r12 (guide §2.4 duplicated subtrees): v feeds BOTH the click stage
+    # and the final join (and rides inside p via c), c feeds the
+    # purchase stage and the final join — unpinned, the plan expanded to
+    # v x3 / c x2 = SIX events scans. Pinning the user-grain stage
+    # tables makes each stage scan events exactly once (three
+    # type-filtered scans total); the pins are user-grain aggregates,
+    # orders of magnitude below event grain.
     v = (
         ev.where(F.col("event_type") == FUNNEL_STEPS[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("view_ts"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.where(F.col("event_type") == FUNNEL_STEPS[1])
@@ -1968,6 +1976,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("view_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("click_ts"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.where(F.col("event_type") == FUNNEL_STEPS[2])
@@ -4757,9 +4766,18 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select((F.col("event_type") == F.lit("click")).alias("is_a"), "value")
     )
-    vc = ev.groupBy("value").agg(
-        F.sum(F.col("is_a").cast("bigint")).alias("ca"),
-        F.sum((~F.col("is_a")).cast("bigint")).alias("cb"),
+    vc = (
+        ev.groupBy("value")
+        .agg(
+            F.sum(F.col("is_a").cast("bigint")).alias("ca"),
+            F.sum((~F.col("is_a")).cast("bigint")).alias("cb"),
+        )
+        # r12 (guide §2.4 duplicated subtrees): vc feeds rng, b and (via
+        # b's block totals) the offset side — unpinned, the events scan
+        # + value groupBy re-ran once per consumer. One row per DISTINCT
+        # value (the corpus quantizes value columns, so this is bounded
+        # at any scale) — pin it; the events fact is scanned ONCE.
+        .localCheckpoint(eager=False)
     )
     rng = vc.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
     b = vc.crossJoin(F.broadcast(rng)).withColumn(
@@ -7188,7 +7206,17 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
         .select("event_type", "value")
     )
-    tv = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("cg"))
+    # r12 (guide §2.4 duplicated subtrees): tv feeds vc AND the
+    # per-group rank pass, and vc fans out to rng/b/ties — unpinned,
+    # the events scan ran up to 6x in one plan. tv is (event_type,
+    # value) grain — bounded by K types x the quantized value lattice
+    # at any corpus size — so pin it; the events fact is scanned ONCE
+    # and every downstream pass re-reads the pin.
+    tv = (
+        ev.groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("cg"))
+        .localCheckpoint(eager=False)
+    )
     vc = tv.groupBy("value").agg(F.sum("cg").alias("c"))
     rng = vc.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
     b = vc.crossJoin(F.broadcast(rng)).withColumn(
@@ -7863,6 +7891,11 @@ def q_orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     Class boundaries compare EXACT integer products (cum*1000 vs
     total*cut) — no float share crosses an inequality.
     """
+    # r12 (guide §2.4 duplicated subtrees): pr feeds rng, tot AND the
+    # block pass (which itself fans out to the block-offset side) —
+    # unpinned, the lineitem scan + part-grain aggregation ran 5x in one
+    # plan. Pin the part-grain table: the fact is scanned ONCE and the
+    # range/total/block passes re-read the (|parts|-sized) pin.
     pr = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
@@ -7873,6 +7906,7 @@ def q_orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("bigint")
             ).alias("cents")
         )
+        .localCheckpoint(eager=False)
     )
     rng = pr.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
     b = pr.crossJoin(F.broadcast(rng)).withColumn(
@@ -8348,9 +8382,18 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("d") != 0)
     )
-    vc = u.groupBy(F.abs(F.col("d")).alias("ad")).agg(
-        F.sum((F.col("d") > 0).cast("bigint")).alias("p"),
-        F.sum((F.col("d") < 0).cast("bigint")).alias("q"),
+    vc = (
+        u.groupBy(F.abs(F.col("d")).alias("ad"))
+        .agg(
+            F.sum((F.col("d") > 0).cast("bigint")).alias("p"),
+            F.sum((F.col("d") < 0).cast("bigint")).alias("q"),
+        )
+        # r12 (guide §2.4 duplicated subtrees): vc feeds rng and the
+        # block pass (which fans out again to the block-offset side) —
+        # unpinned, the events scan + user pairing + |d| groupBy ran 4x
+        # in one plan. Distinct-|d| grain is far below event grain: pin
+        # it; the fact is scanned ONCE.
+        .localCheckpoint(eager=False)
     )
     rng = vc.agg(F.min("ad").alias("mn"), F.max("ad").alias("mx"))
     b = vc.crossJoin(F.broadcast(rng)).withColumn(
@@ -17260,7 +17303,17 @@ def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
         .select("event_type", "value")
     )
-    tv = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("cg"))
+    # r12 (guide §2.4 duplicated subtrees): tv feeds vc AND the
+    # per-group rank pass, and vc fans out to rng/b/ties — unpinned,
+    # the events scan ran up to 6x in one plan. tv is (event_type,
+    # value) grain — bounded by K types x the quantized value lattice
+    # at any corpus size — so pin it; the events fact is scanned ONCE
+    # and every downstream pass re-reads the pin.
+    tv = (
+        ev.groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("cg"))
+        .localCheckpoint(eager=False)
+    )
     vc = tv.groupBy("value").agg(F.sum("cg").alias("c"))
     rng = vc.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
     b = vc.crossJoin(F.broadcast(rng)).withColumn(
@@ -18988,9 +19041,18 @@ def stats_ww_runs_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select((F.col("event_type") == F.lit("click")).alias("is_a"), "value")
     )
-    vc = ev.groupBy("value").agg(
-        F.sum(F.col("is_a").cast("bigint")).alias("ca"),
-        F.sum((~F.col("is_a")).cast("bigint")).alias("cb"),
+    vc = (
+        ev.groupBy("value")
+        .agg(
+            F.sum(F.col("is_a").cast("bigint")).alias("ca"),
+            F.sum((~F.col("is_a")).cast("bigint")).alias("cb"),
+        )
+        # r12 (guide §2.4 duplicated subtrees): vc feeds rng, b and (via
+        # b's block totals) the offset side — unpinned, the events scan
+        # + value groupBy re-ran once per consumer. One row per DISTINCT
+        # value (the corpus quantizes value columns, so this is bounded
+        # at any scale) — pin it; the events fact is scanned ONCE.
+        .localCheckpoint(eager=False)
     )
     rng = vc.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
     b = vc.crossJoin(F.broadcast(rng)).withColumn(
@@ -19116,9 +19178,18 @@ def _pooled_score_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select((F.col("event_type") == F.lit("click")).alias("is_a"), "value")
     )
-    vc = ev.groupBy("value").agg(
-        F.sum(F.col("is_a").cast("bigint")).alias("ca"),
-        F.sum((~F.col("is_a")).cast("bigint")).alias("cb"),
+    vc = (
+        ev.groupBy("value")
+        .agg(
+            F.sum(F.col("is_a").cast("bigint")).alias("ca"),
+            F.sum((~F.col("is_a")).cast("bigint")).alias("cb"),
+        )
+        # r12 (guide §2.4 duplicated subtrees): vc feeds rng, b and (via
+        # b's block totals) the offset side — unpinned, the events scan
+        # + value groupBy re-ran once per consumer. One row per DISTINCT
+        # value (the corpus quantizes value columns, so this is bounded
+        # at any scale) — pin it; the events fact is scanned ONCE.
+        .localCheckpoint(eager=False)
     )
     rng = vc.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
     b = vc.crossJoin(F.broadcast(rng)).withColumn(
@@ -19164,6 +19235,12 @@ def _pooled_score_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("off_a") + F.col("cum_a")).alias("below_a"),
             (F.col("off_b") + F.col("cum_b")).alias("below_b"),
         )
+        # r12 (guide §2.4): every caller (ansari_bradley, mood_scale,
+        # brunner_munzel, ww_runs_two_sample) consumes this table twice
+        # (a 1-row totals broadcast + the scored pass) — unpinned, the
+        # whole prefix-sum pipeline ran twice per query. Distinct-value
+        # grain, bounded by the quantized lattice: pin it.
+        .localCheckpoint(eager=False)
     )
 
 

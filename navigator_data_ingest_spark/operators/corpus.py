@@ -2853,9 +2853,18 @@ def stats_auc_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_sum",
         (F.coalesce(F.col("lang"), F.lit("")) == "en").alias("is_pos"),
     )
-    vc = sc.groupBy("score_sum").agg(
-        F.sum(F.col("is_pos").cast("bigint")).alias("p"),
-        F.sum((~F.col("is_pos")).cast("bigint")).alias("q"),
+    vc = (
+        sc.groupBy("score_sum")
+        .agg(
+            F.sum(F.col("is_pos").cast("bigint")).alias("p"),
+            F.sum((~F.col("is_pos")).cast("bigint")).alias("q"),
+        )
+        # r12 (guide §2.4 duplicated subtrees): vc feeds rng and the
+        # block pass (fanning out again to the block-offset side) —
+        # unpinned, the documents scan + tokenize + classifier scoring
+        # (the operator's whole per-row cost) ran 4x in one plan. Pin
+        # the distinct-score table; the heavy scoring runs ONCE.
+        .localCheckpoint(eager=False)
     )
     # two-level 1024-block prefix sum for the below-count (the
     # Mann-Whitney discipline — the distinct-score table is NOT bounded,
@@ -4161,11 +4170,21 @@ def split_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = SPLIT_CUTS[0]
     h_doc = X.sp_hash32("cast(doc_id as string)", "split")
     h_fam = X.sp_hash32("cast(fam_key as string)", "split")
-    docs = scatter(spark, load_table(spark, sf_dir, "documents")).select(
-        "doc_id",
-        F.md5(F.expr(f"substring(text, 1, {SPLIT_PREFIX_LEN})")).alias(
-            "pfx_hash"
-        ),
+    # r12 (guide §2.4 duplicated subtrees): docs feeds fams AND the
+    # join probe, and j feeds BOTH audit aggregates — unpinned, the
+    # documents scan + prefix-md5 ran 4x in one plan and the family
+    # join twice. Pin both doc-grain tables (two narrow columns / six
+    # integer-ish columns): the fact is scanned once, the hash and the
+    # join each computed once.
+    docs = (
+        scatter(spark, load_table(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.md5(F.expr(f"substring(text, 1, {SPLIT_PREFIX_LEN})")).alias(
+                "pfx_hash"
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
     fams = docs.groupBy("pfx_hash").agg(
         F.min("doc_id").alias("fam_key"),
@@ -4178,7 +4197,7 @@ def split_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fam_size",
         f"cast(({h_doc}) % 1000 >= {lo} as int) AS naive_hold",
         f"cast(({h_fam}) % 1000 >= {lo} as int) AS fam_hold",
-    )
+    ).localCheckpoint(eager=False)
     fam_audit = j.groupBy("pfx_hash").agg(
         F.max("fam_size").alias("fam_size"),
         F.countDistinct("naive_hold").alias("naive_sides"),

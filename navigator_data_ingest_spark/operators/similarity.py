@@ -3407,6 +3407,12 @@ def emb_cka_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.expr("cast(x as double)")).alias("mn"),
             F.max(F.expr("cast(x as double)")).alias("mx"),
         )
+        # r12 (guide §2.4 duplicated subtrees): means feeds the spread
+        # flags AND two broadcast joins — unpinned, the corpus scan +
+        # posexplode ran 3x for this EMB_DIM-row table. Pin it (64 rows
+        # at any scale); the corpus is scanned once here and once in the
+        # cells grid.
+        .localCheckpoint(eager=False)
     )
     # EXACT block-variation discriminant (round-11 all-ties axis, which
     # also collapses the embedding arrays): with an all-identical
