@@ -946,8 +946,15 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     document shuffle, and it is |sources|-grained.
     """
     docs = scatter(spark, load_table(spark, sf_dir, "documents"))
-    srcs = docs.groupBy("source").agg(F.count("*").alias("n")).withColumn(
-        "w", F.sqrt(F.col("n").cast("double"))
+    # r12 (guide §2.4 duplicated subtrees): srcs feeds the wsum total
+    # AND the rates join — unpinned, the documents scan + source groupBy
+    # ran twice for this |sources|-row table. Pin it; the corpus is
+    # scanned once here and once in the keep pass.
+    srcs = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .withColumn("w", F.sqrt(F.col("n").cast("double")))
+        .localCheckpoint(eager=False)
     )
     tot = srcs.agg(
         F.expr(
@@ -1283,6 +1290,11 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("h", F.expr(h))
         .withColumn("blk", F.expr("substr(h, 1, 2)"))
+        # r12 (guide §2.4 duplicated subtrees): docs feeds the intra
+        # window AND the block totals — unpinned, the documents scan +
+        # tokenize + priority-hash ran twice. Pin the narrow doc-grain
+        # table; tokenization runs ONCE.
+        .localCheckpoint(eager=False)
     )
     intra = docs.withColumn(
         "intra_cum",
@@ -1292,8 +1304,12 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    blocks = docs.groupBy("quality_class", "blk").agg(
-        F.sum("n_tokens").alias("blk_total")
+    # (class, blk) grain — bounded at (BUDGET_CLASS_MAX+1) x 256 rows at
+    # any corpus size; feeds both offset tables, so pin it too (§2.4).
+    blocks = (
+        docs.groupBy("quality_class", "blk")
+        .agg(F.sum("n_tokens").alias("blk_total"))
+        .localCheckpoint(eager=False)
     )
     blk_offsets = blocks.withColumn(
         "blk_offset",

@@ -1279,6 +1279,11 @@ def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("media").alias("n_bytes"),
         )
         .withColumn("block", F.expr(f"doc_id div {SHARD_BLOCK}"))
+        # r12 (guide §2.4 duplicated subtrees + §2.3): assets feeds the
+        # intra window AND the block totals — unpinned, the binary media
+        # scan ran twice just to re-take length(). Pin the 4-integer
+        # asset-grain table; the payload bytes are read ONCE.
+        .localCheckpoint(eager=False)
     )
     intra = assets.withColumn(
         "intra_cum",
@@ -1288,10 +1293,13 @@ def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    # (modality, block) grain — |corpus|/SHARD_BLOCK rows; feeds both
+    # the super cumsum and the super offsets, so pin it too (§2.4).
     blocks = (
         assets.groupBy("modality", "block")
         .agg(F.sum("n_bytes").alias("block_total"))
         .withColumn("super", F.expr(f"block div {SHARD_BLOCK}"))
+        .localCheckpoint(eager=False)
     )
     intra_super = blocks.withColumn(
         "intra_super_cum",

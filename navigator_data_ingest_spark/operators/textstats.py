@@ -1729,13 +1729,17 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.expr(f"size({X.sp_tokens('text')})").cast("bigint").alias("n_tok"),
     ).where(F.col("n_tok") > 0)
+    # r12 (guide §2.4): r feeds doc_g AND the first-occurrence join —
+    # unpinned, the documents scan + size(tokens) + rank window ran
+    # twice. Pin the 5-column doc-grain table; the count-tokenize runs
+    # ONCE (the explode pass below remains the only other text read).
     r = per_doc.withColumn(
         "r",
         F.row_number().over(Window.partitionBy("source").orderBy("doc_id")),
     ).withColumn(
         "g",
         F.expr("CASE WHEN r <= 1 THEN 0 ELSE length(bin(r - 1)) END").cast("int"),
-    )
+    ).localCheckpoint(eager=False)
     doc_g = r.groupBy("source", "g").agg(
         F.count(F.lit(1)).alias("docs_g"), F.sum("n_tok").alias("toks_g")
     )
