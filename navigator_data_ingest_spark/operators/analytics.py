@@ -14698,8 +14698,15 @@ def q_events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .select("user_id", "event_type", F.expr(sp_epoch_us("ts")).alias("us"))
     )
-    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("us").alias("v_us")
+    # r12 (guide §2.4 duplicated subtrees): v feeds the click stage AND
+    # its own count (and rides inside p via c) — unpinned the plan
+    # expanded to v x3 / c x2 = SIX events scans. Pin the user-grain
+    # stage anchors; each stage scans events exactly once.
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.where(F.col("event_type") == "click")
@@ -14710,6 +14717,7 @@ def q_events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("us").alias("c_us"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.where(F.col("event_type") == "purchase")
@@ -15313,7 +15321,15 @@ def q_orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v")
         )
     )
-    vc = r.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    # r12 (guide §2.4 duplicated subtrees): vc feeds rng, the block pass
+    # AND the totals broadcast — unpinned, the orders scan + customer
+    # collapse ran per copy (10 fact scans). Distinct-spend-level grain:
+    # pin it; the fact is scanned ONCE.
+    vc = (
+        r.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     rng = vc.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
     b = vc.crossJoin(F.broadcast(rng)).withColumn(
         "blk",
@@ -15363,7 +15379,9 @@ def q_orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qual = j.crossJoin(tot).where(
         F.expr("5 * cast(cum_r as decimal(38,0)) >= 4 * tot_r")
-    )
+    # qual feeds the argmax AND the witness join-back (§2.4);
+    # distinct-level grain — pin it so the block pipeline runs once
+    ).localCheckpoint(eager=False)
     best = qual.agg(
         F.max("v").alias("v_star"),
         F.max("tot_c").alias("tot_c"),
@@ -18003,8 +18021,17 @@ def stats_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("cast(round(o_totalprice * 100) as bigint)")
             ).alias("cents")
         )
+        # r12 (guide §2.4 duplicated subtrees): d feeds the cents
+        # collapse AND the day-series join; vc feeds the totals and the
+        # rank pass — unpinned, the orders scan ran 8x. DAYS-calendar
+        # grain: pin both; the fact is scanned ONCE.
+        .localCheckpoint(eager=False)
     )
-    vc = d.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    vc = (
+        d.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     w_v = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
     tot = F.broadcast(vc.agg(F.sum("c").alias("t_days")))
     ranked = (
@@ -18022,6 +18049,9 @@ def stats_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(ranked, "cents")
         .withColumn("u_t", F.sum("w_s").over(w_day))
         .crossJoin(tot)
+        # u feeds the max broadcast AND the final aggregate (§2.4);
+        # DAYS grain — pin it
+        .localCheckpoint(eager=False)
     )
     mx = F.broadcast(u.agg(F.max(F.abs(F.col("u_t"))).alias("k_max")))
     agg = u.crossJoin(mx).agg(
@@ -18386,6 +18416,11 @@ def stats_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("cast(round(o_totalprice * 100) as bigint)")
             ).alias("cents")
         )
+        # r12 (guide §2.4 duplicated subtrees): cells feeds the
+        # complete-block filter AND the rank/score passes — unpinned,
+        # the orders scan re-ran per consumer copy. months x 5 grain:
+        # pin it; the fact is scanned ONCE.
+        .localCheckpoint(eager=False)
     )
     full = (
         cells.groupBy("mth")
@@ -18729,6 +18764,11 @@ def stats_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("cast(round(o_totalprice * 100) as bigint)")
             ).alias("cents")
         )
+        # r12 (guide §2.4 duplicated subtrees): cells feeds the
+        # complete-block filter AND the rank/score passes — unpinned,
+        # the orders scan re-ran per consumer copy. months x 5 grain:
+        # pin it; the fact is scanned ONCE.
+        .localCheckpoint(eager=False)
     )
     full = (
         cells.groupBy("mth")
@@ -18758,7 +18798,9 @@ def stats_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = r.join(q.select("mth", "q2"), "mth").select(
         "g", F.expr("q2 * (r2 - 6)").alias("s4")
-    )
+    # s feeds the A and per-treatment B aggregates (§2.4); cell grain —
+    # pin it so the two rank windows run once
+    ).localCheckpoint(eager=False)
     a16 = s.agg(F.sum(F.expr("cast(s4 as decimal(38,0)) * s4")).alias("a16"))
     sj = s.groupBy("g").agg(F.sum("s4").alias("s4_j"))
     b16m = sj.agg(
@@ -19520,6 +19562,11 @@ def stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("cast(round(o_totalprice * 100) as bigint)")
             ).alias("cents")
         )
+        # r12 (guide §2.4 duplicated subtrees): cells feeds the
+        # complete-block filter AND the rank/score passes — unpinned,
+        # the orders scan re-ran per consumer copy. months x 5 grain:
+        # pin it; the fact is scanned ONCE.
+        .localCheckpoint(eager=False)
     )
     full = (
         cells.groupBy("mth")

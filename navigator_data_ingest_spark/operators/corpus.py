@@ -526,6 +526,11 @@ def corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.expr(X.sp_shingles("t"))).alias("shingle"),
         )
         .distinct()
+        # r12 (guide §2.4): sh feeds sizes, the sketch aggs AND both
+        # sides of the overlap self-join — unpinned, the tokenize +
+        # shingle explode + distinct ran 4x. Pin the distinct
+        # (source, shingle) table; the corpus tokenizes ONCE.
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
     sigs = sh.groupBy("source").agg(
@@ -2479,9 +2484,12 @@ def corpus_upsample_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (no payload duplication until the write), and the audit
     re-aggregates on the same source key.
     """
+    # r12 (guide §2.4): docs feeds the factor plan AND the fan-out —
+    # unpinned, the tokenize ran per copy (6 documents scans). Pin the
+    # 3-column doc-grain table; tokenization runs ONCE.
     docs = _tokens_df(spark, sf_dir).select(
         "doc_id", "source", F.size("t").alias("n_tok")
-    )
+    ).localCheckpoint(eager=False)
     per_src = docs.groupBy("source").agg(F.sum("n_tok").alias("n_tokens"))
     totals = per_src.agg(
         F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n_sources")
@@ -2513,6 +2521,9 @@ def corpus_upsample_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_tokens_out"),
             F.max("epoch").alias("epochs"),
         )
+        # out feeds the grand total AND the final shares (§2.4);
+        # |sources| grain — pin it so the fan-out aggregate runs once
+        .localCheckpoint(eager=False)
     )
     grand = out.agg(F.sum("n_tokens_out").alias("tot_out"))
     return (
@@ -3192,9 +3203,17 @@ def stats_youden_j(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_sum",
         (F.coalesce(F.col("lang"), F.lit("")) == "en").alias("is_pos"),
     )
-    vc = sc.groupBy("score_sum").agg(
-        F.sum(F.col("is_pos").cast("bigint")).alias("p"),
-        F.sum((~F.col("is_pos")).cast("bigint")).alias("q"),
+    # r12 (guide §2.4 duplicated subtrees): vc feeds rng, the block pass
+    # AND the totals broadcast — unpinned, the documents scan + tokenize
+    # + classifier scoring ran per copy (10 fact scans in the plan). Pin
+    # the distinct-score table; the heavy scoring runs ONCE.
+    vc = (
+        sc.groupBy("score_sum")
+        .agg(
+            F.sum(F.col("is_pos").cast("bigint")).alias("p"),
+            F.sum((~F.col("is_pos")).cast("bigint")).alias("q"),
+        )
+        .localCheckpoint(eager=False)
     )
     rng = vc.agg(F.min("score_sum").alias("mn"), F.max("score_sum").alias("mx"))
     b = vc.crossJoin(F.broadcast(rng)).withColumn(
@@ -3241,6 +3260,9 @@ def stats_youden_j(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "j_num", F.expr("p_above * tq - q_above * tp")
         )
+        # r feeds the argmax broadcast AND the witness re-filter (§2.4);
+        # distinct-score grain — pin it so the block pipeline runs once
+        .localCheckpoint(eager=False)
     )
     best = F.broadcast(
         r.agg(F.max(F.struct(F.col("j_num"), (-F.col("score_sum")).alias("ns"))).alias("b"))
@@ -3700,7 +3722,10 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         # BOTH engines (a NULL group would shift histogram ranks vs the
         # NULL-skipping quantile identity)
         F.col("n_tokens").isNotNull()
-    )
+    # r12 (guide §2.4): docs feeds the histogram AND the phase rollup —
+    # unpinned, the documents scan + difficulty tokenize ran per copy
+    # (6 scans). One bigint per doc: pin it; tokenize runs ONCE.
+    ).localCheckpoint(eager=False)
     # exact quartile cuts WITHOUT percentile() over the raw corpus (its
     # aggregation buffer grows with row count — a 100 TB hazard): the
     # distinct-length histogram is bounded by max document length, and
@@ -3713,7 +3738,11 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cum = Window.orderBy("n_tokens").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    vc = vc.withColumn("below", F.coalesce(F.sum("c").over(w_cum), F.lit(0)))
+    # vc feeds the row total AND the rank lookup (§2.4); distinct-length
+    # grain — pin it
+    vc = vc.withColumn(
+        "below", F.coalesce(F.sum("c").over(w_cum), F.lit(0))
+    ).localCheckpoint(eager=False)
     nrow = vc.agg(F.sum("c").alias("n"))
     j = vc.crossJoin(F.broadcast(nrow))
     rank_aggs = []
@@ -3756,6 +3785,9 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_tokens").alias("min_tokens"),
             F.max("n_tokens").alias("max_tokens"),
         )
+        # g feeds the token total AND the final shares (§2.4);
+        # PHASES-bounded — pin it
+        .localCheckpoint(eager=False)
     )
     tot = F.broadcast(g.agg(F.sum("n_tokens").alias("t_tok")))
     return (

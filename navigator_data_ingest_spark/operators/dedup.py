@@ -217,6 +217,13 @@ def minhash_pairs(
     bands = sig.select(
         "doc_id", F.posexplode("band_hashes").alias("band_id", "band_hash")
     )
+    # r12 (guide §2.4 duplicated subtrees): the band bucket join is a
+    # SELF-join, so without a pin the shingle + MinHash signature
+    # computation — the funnel's dominant map cost — ran TWICE per
+    # plan (and the input subtree, e.g. the payload-rep collapse, with
+    # it). Pin the narrow (doc_id, band_id, band_hash) table; signatures
+    # compute once and both join sides read the pin.
+    bands = bands.localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     cmp = (
         F.col("a.doc_id") <= F.col("b.doc_id")
@@ -255,12 +262,27 @@ def _payload_reps(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     d = docs.select("doc_id", "text").withColumn(
         "pk", F.md5(F.coalesce(F.col("text"), F.lit("\u0000<null-text>")))
     )
-    reps = d.groupBy("pk").agg(
-        F.min("doc_id").alias("pid"),
-        F.count(F.lit(1)).alias("m"),
-        F.min_by("text", "doc_id").alias("text"),
+    # r12 (guide §2.4 duplicated subtrees): every funnel consumer reads
+    # reps 2-3x (signature pass, shingle/verify pass) and members 2-4x
+    # (both sides of the id expansion joins) — unpinned, the documents
+    # scan + payload md5 re-ran per copy (16 fact scans in the
+    # containment plan). Pin both: reps is DISTINCT-payload grain (the
+    # collapse's own bound), members is two integers per doc; the fact
+    # is scanned once per pin build.
+    reps = (
+        d.groupBy("pk")
+        .agg(
+            F.min("doc_id").alias("pid"),
+            F.count(F.lit(1)).alias("m"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+        .localCheckpoint(eager=False)
     )
-    members = d.join(reps.select("pk", "pid"), "pk").select("doc_id", "pid")
+    members = (
+        d.join(reps.select("pk", "pid"), "pk")
+        .select("doc_id", "pid")
+        .localCheckpoint(eager=False)
+    )
     return members, reps
 
 

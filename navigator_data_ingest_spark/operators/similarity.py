@@ -187,20 +187,11 @@ def _bucket_expr(vec: str) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
-def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed ANN: candidates share the query's hyperplane sign bucket."""
-    raw = load_table(spark, sf_dir, "embeddings")
-    e = scatter(spark, raw).withColumn(
-        "bucket", F.expr(_bucket_expr("embedding"))
-    )
-    q = (
-        query_stripe(e, raw)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qvec"),
-            F.col("bucket").alias("qbucket"),
-        )
-    )
+def _lsh_topk(e: DataFrame, q: DataFrame) -> DataFrame:
+    """Bucket-local ANN top-k over a bucketed corpus ``e`` (vec_id,
+    embedding, bucket) and query set ``q`` (query_id, qvec, qbucket) —
+    the shared body of sim_search_lsh and sim_search_recall_report (the
+    latter passes a PINNED query stripe so the stripe scan runs once)."""
     joined = e.join(
         F.broadcast(q),
         (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
@@ -217,6 +208,23 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: candidates share the query's hyperplane sign bucket."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = scatter(spark, raw).withColumn(
+        "bucket", F.expr(_bucket_expr("embedding"))
+    )
+    q = (
+        query_stripe(e, raw)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    return _lsh_topk(e, q)
 
 
 K_CENTROIDS = 40  # bounded centroid count — the IVF scale invariant
@@ -247,9 +255,16 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_table(spark, sf_dir, "embeddings")
     e = scatter(spark, raw)
     # r12 (guide §2.4): the centroid side is BROADCAST — stripe the raw
-    # relation so the broadcast build carries no scatter Exchange.
-    cents = centroid_stripe(raw, raw).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    # relation so the broadcast build carries no scatter Exchange; PIN
+    # the ≤K_CENTROIDS-row stripe because BOTH the cell assignment and
+    # the probe ranking broadcast it (unpinned, each copy was its own
+    # full-corpus stripe pass).
+    cents = (
+        centroid_stripe(raw, raw)
+        .select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+        )
+        .localCheckpoint(eager=False)
     )
     ccos = _cos("embedding", "cvec")
     assign = (
@@ -815,6 +830,13 @@ def sim_search_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = scatter(spark, raw).withColumn(
         "bucket", F.expr(_bucket_expr("embedding"))
     )
+    # r12 (guide §2.4 duplicated subtrees): the query stripe fed the
+    # exact baseline, the candidate count AND the composed LSH ranking —
+    # each copy a full corpus pass to find ~QUERY_TARGET rows (9
+    # embeddings scans in the plan). Pin the bounded stripe once and
+    # pass it into the shared _lsh_topk body instead of re-deriving
+    # everything through sim_search_lsh: corpus passes drop 6+ -> 3
+    # (baseline scoring, candidate screen, LSH ranking).
     q = (
         query_stripe(e, raw)
         .select(
@@ -822,6 +844,7 @@ def sim_search_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("qvec"),
             F.col("bucket").alias("qbucket"),
         )
+        .localCheckpoint(eager=False)
     )
     bf = cosine_topk(e.select("vec_id", "embedding"),
                      q.select("query_id", "qvec"), TOP_K, dim=EMB_DIM)
@@ -834,7 +857,7 @@ def sim_search_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_candidates"))
     )
-    lsh = sim_search_lsh(spark, sf_dir).select(
+    lsh = _lsh_topk(e, q).select(
         "query_id", F.col("vec_id").alias("lsh_vec")
     )
     overlap = (
@@ -1094,9 +1117,12 @@ def emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = scatter(spark, raw)
     # r12 (guide §2.4): broadcast side — stripe raw, no scatter Exchange
     # inside the broadcast build.
+    # r12 (guide §2.4): the stripe feeds BOTH scoring passes — unpinned,
+    # each was its own full-corpus stripe scan. Bounded (~QUERY_TARGET
+    # rows): pin it.
     q = query_stripe(raw, raw).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
-    )
+    ).localCheckpoint(eager=False)
     full = cosine_topk(e, q, TOP_K, dim=EMB_DIM).select(
         "query_id", F.col("vec_id").alias("full_vec")
     )
@@ -1294,6 +1320,10 @@ def emb_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= PURITY_K)
         .groupBy("query_id", "q_label")
         .agg(F.sum("same").alias("n_same"))
+        # r12 (guide §2.4): votes feeds the per-label AND overall
+        # aggregates — unpinned, the corpus kNN join + window ran twice.
+        # Bounded at |stripe| rows: pin it.
+        .localCheckpoint(eager=False)
     )
     per_label = votes.groupBy(F.col("q_label").cast("string").alias("label")).agg(
         F.count(F.lit(1)).alias("n_queries"),
@@ -1866,22 +1896,28 @@ def emb_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the histogram is a 20-bin floor bucketing of ROUNDED similarity.
     """
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pairs = None
-    for k in DIST_HIST_STRIDES:
-        p = (
-            e.alias("a")
-            .join(
-                e.selectExpr(f"vec_id - {k} AS vec_id", "embedding AS eb"),
-                "vec_id",
-            )
-            .selectExpr(
-                f"{k} AS stride",
-                f"round({X.sp_fold_dot('embedding', 'eb', EMB_DIM)} "
-                f"/ (sqrt({X.sp_fold_dot('embedding', 'embedding', EMB_DIM)}) "
-                f"* sqrt({X.sp_fold_dot('eb', 'eb', EMB_DIM)})), 6) AS cos",
-            )
+    # r12 (guide §2.4): the three stride equijoins each scanned the
+    # corpus twice (6 scans, 3 joins). One exploded shifted-probe side
+    # (3 rows per vector, stride-tagged) turns them into ONE equijoin on
+    # vec_id — 2 scans, one join; the per-pair cosine expression and the
+    # (stride, pair) multiset are unchanged.
+    shifted = ", ".join(
+        f"struct(vec_id - {k} AS vec_id, {k} AS stride)"
+        for k in DIST_HIST_STRIDES
+    )
+    probes = e.selectExpr(
+        f"inline(array({shifted}))", "embedding AS eb"
+    )
+    pairs = (
+        e.alias("a")
+        .join(probes, "vec_id")
+        .selectExpr(
+            "stride",
+            f"round({X.sp_fold_dot('embedding', 'eb', EMB_DIM)} "
+            f"/ (sqrt({X.sp_fold_dot('embedding', 'embedding', EMB_DIM)}) "
+            f"* sqrt({X.sp_fold_dot('eb', 'eb', EMB_DIM)})), 6) AS cos",
         )
-        pairs = p if pairs is None else pairs.unionAll(p)
+    )
     binned = pairs.selectExpr(
         "stride",
         f"least({DIST_HIST_BINS - 1}, greatest(0, "
@@ -2501,7 +2537,16 @@ def emb_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cand").alias("best"))
         .select("label", F.col("best.cl").alias("pred"))
     )
-    conf = pred.groupBy("label", "pred").agg(F.count(F.lit(1)).alias("n"))
+    # r12 (guide §2.4 duplicated subtrees): conf feeds t, p, tp and the
+    # two global aggregates — unpinned, the corpus scoring crossJoin ran
+    # 5x in one plan (12 embeddings scans). The L x L confusion grid is
+    # bounded at any corpus size: pin it; the corpus is scanned twice
+    # (centroids + scoring) total.
+    conf = (
+        pred.groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     t = conf.groupBy("label").agg(F.sum("n").alias("t_k"))
     p = conf.groupBy(F.col("pred").alias("_p")).agg(F.sum("n").alias("p_k"))
     glob = F.broadcast(
@@ -2998,11 +3043,14 @@ def emb_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.expr(_bucket_expr_n("embedding", LSH_TUNE_MAX)).alias("code"),
     )
+    # r12 (guide §2.4): q feeds the scored pass AND the n_queries count
+    # — unpinned, each was its own full-corpus stripe scan. Bounded
+    # (~QUERY_TARGET rows): pin it.
     q = query_stripe(e, raw).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
         F.col("code").alias("qcode"),
-    )
+    ).localCheckpoint(eager=False)
     cos6 = F.round(_cos("qvec", "embedding", EMB_DIM), 6)
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
@@ -3232,7 +3280,14 @@ def emb_ivf_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", F.col("m.cid").alias("cell"))
     )
-    cells = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    # r12 (guide §2.4): cells feeds the totals AND the final share rows
+    # — unpinned, the corpus cell-assignment scoring ran twice. Bounded
+    # at K_CENTROIDS rows: pin it.
+    cells = (
+        assign.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .localCheckpoint(eager=False)
+    )
     tot = F.broadcast(
         cells.agg(
             F.sum("n_vectors").alias("total"),

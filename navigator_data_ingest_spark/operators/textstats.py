@@ -2716,13 +2716,24 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
     )
-    pair = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
-    uni = big.select(F.col("a").alias("tok")).unionAll(
-        big.select(F.col("b").alias("tok"))
+    # r12 (guide §2.4 duplicated subtrees + §2.3 aggregate before you
+    # shuffle): pair feeds the unigram slot counts, the N total AND the
+    # scoring join — pin the distinct-bigram table so the tokenize +
+    # explode runs ONCE. Unigram counts are derived FROM pair (slot
+    # count of tok = Σ c_ab over bigrams with tok in that slot — the
+    # identical number the raw-slot union counted), so the corpus-sized
+    # bigram stream is never read again.
+    pair = (
+        big.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint(eager=False)
+    )
+    uni = pair.select(F.col("a").alias("tok"), "c_ab").unionAll(
+        pair.select(F.col("b").alias("tok"), "c_ab")
     )
     # unigram counts as bigram-slot occurrences keep N consistent:
     # N = 2*#bigrams slots; both engines share the same convention
-    cnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    cnt = uni.groupBy("tok").agg(F.sum("c_ab").alias("c"))
     tot = F.broadcast(pair.agg(F.sum("c_ab").alias("nn")))
     scored = (
         pair.where(F.col("c_ab") >= COLLOC_MIN_COUNT)
