@@ -3508,6 +3508,10 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .groupBy("lang", "source")
         .agg(F.count(F.lit(1)).alias("o"))
+        # r12 (guide §2.4): cells feeds the margins, the grand total AND
+        # the term pass — unpinned, the documents scan re-ran per copy.
+        # |langs| x |sources| grain: pin it; the fact is scanned ONCE.
+        .localCheckpoint(eager=False)
     )
     rowt = cells.groupBy("lang").agg(F.sum("o").alias("row_tot"))
     colt = cells.groupBy("source").agg(F.sum("o").alias("col_tot"))
@@ -3702,6 +3706,10 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .groupBy("lang", "source")
         .agg(F.count(F.lit(1)).alias("o"))
+        # r12 (guide §2.4): cells feeds the margins, the grand total AND
+        # the term pass — unpinned, the documents scan re-ran per copy.
+        # |langs| x |sources| grain: pin it; the fact is scanned ONCE.
+        .localCheckpoint(eager=False)
     )
     rowt = cells.groupBy("lang").agg(F.sum("o").alias("row_tot"))
     colt = cells.groupBy("source").agg(F.sum("o").alias("col_tot"))
@@ -9418,6 +9426,12 @@ def stats_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
         )
         .withColumn("lnp", F.expr("ln(cast(cents as double) / 100.0)"))
+        # r12 (guide §2.4): o feeds the μ pass, the σ pass AND the
+        # below-median share — unpinned, the orders scan ran per pass
+        # (5 fact scans with the fit re-expansion). Pin the 3-column
+        # order-grain table; the fact is scanned ONCE and the two-pass
+        # moments run over the pin.
+        .localCheckpoint(eager=False)
     )
     mu = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"), F.avg("lnp").alias("mu")
@@ -9435,7 +9449,9 @@ def stats_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # degenerate-input probe): NULL, not an ANSI crash
         "CASE WHEN n >= 2 THEN sqrt(css / (n - 1.0)) END AS sigma",
         "cast(round(exp(mu) * 100.0) as bigint) AS fit_median_cents",
-    )
+    # fit feeds the share join-back AND the final report (§2.4);
+    # priority grain — pin it
+    ).localCheckpoint(eager=False)
     back = o.join(
         F.broadcast(fit.select("o_orderpriority", "fit_median_cents")),
         "o_orderpriority",
@@ -15061,6 +15077,11 @@ def q_events_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "sid", "event_type")
         .distinct()
+        # r12 (guide §2.4): st feeds the session count, the type totals
+        # AND both self-join sides — unpinned, the full sessionization
+        # window over events ran 4x (5 fact scans). (session, type)
+        # grain: pin it; events is scanned and sessionized ONCE.
+        .localCheckpoint(eager=False)
     )
     n_sess = F.broadcast(
         st.select("user_id", "sid").distinct().agg(
@@ -15986,6 +16007,11 @@ def q_customer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
         .select("o_custkey", F.year("o_orderdate").alias("yr"))
         .distinct()
+        # r12 (guide §2.4): cy feeds both self-join sides, the year max
+        # AND the new-customer anti-join — unpinned, the orders scan +
+        # distinct ran 5x. (customer, year) grain: pin it; the fact is
+        # scanned ONCE.
+        .localCheckpoint(eager=False)
     )
     nxt = cy.select(
         F.col("o_custkey").alias("_c"), (F.col("yr") - 1).alias("_y")
@@ -20656,6 +20682,11 @@ def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("cast(round(o_totalprice * 100) as bigint)")
             ).alias("cents")
         )
+        # r12 (guide §2.4): cells feeds the complete-block filter AND
+        # the indicator pass; x feeds both margin aggregates — unpinned,
+        # the orders scan ran 5x. months x 5 grain: pin both; the fact
+        # is scanned ONCE.
+        .localCheckpoint(eager=False)
     )
     full = (
         cells.groupBy("mth")
@@ -20668,7 +20699,7 @@ def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = cells.join(full, "mth").selectExpr(
         "mth", "g", "cast(5 * cents > mtotal as bigint) AS x"
-    )
+    ).localCheckpoint(eager=False)
     cj = x.groupBy("g").agg(F.sum("x").alias("c_j"))
     ri = x.groupBy("mth").agg(F.sum("x").alias("r_i"))
     a1 = cj.agg(

@@ -166,9 +166,13 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     predecessor's interval without emitting a row of its own, so
     deleted keys have history but no current row.
     """
+    # r12 (guide §2.4): the base row plus the three changelog branches
+    # each re-scanned orders (the % filters are not parquet-pushable, so
+    # every branch read the full columns). Pin the 4-column snapshot;
+    # the fact is scanned ONCE and the branches read the pin.
     snapshot = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    )
+    ).localCheckpoint(eager=False)
     base = snapshot.withColumn("op", F.lit("U")).withColumn("version", F.lit(1))
     hist = base.unionByName(scd2_changelog(snapshot))
     w = Window.partitionBy("o_orderkey").orderBy("version")

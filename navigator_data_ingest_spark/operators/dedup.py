@@ -1251,9 +1251,13 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_expr = X.sp_let(
         "t", X.sp_tokens("text"), f"array_distinct({X.sp_shingles('t')})"
     )
+    # r12 (guide §2.4): sh feeds BOTH sides of the ground-truth
+    # self-join — unpinned, the full-corpus sample filter + tokenize +
+    # shingle ran twice. The sample is ~RECALL_SAMPLE_TARGET rows at any
+    # scale: pin it.
     sh = scatter(spark, sample.select("doc_id", "text")).select(
         "doc_id", F.expr(sh_expr).alias("sh")
-    )
+    ).localCheckpoint(eager=False)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -1274,12 +1278,15 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_j") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
+    # cand feeds the hit join AND its own count (§2.4): unpinned, the
+    # band bucket join ran twice. Sample-pair grain — pin it.
     cand = (
         minhash_pairs(docs)
         .crossJoin(mdf)
         .where((F.col("doc_a") % F.col("_rmod") == 0)
                & (F.col("doc_b") % F.col("_rmod") == 0))
         .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
     )
     hit = truth.join(cand.withColumn("_c", F.lit(1)), ["doc_a", "doc_b"], "left")
     return (

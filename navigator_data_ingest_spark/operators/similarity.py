@@ -2864,17 +2864,24 @@ def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id", F.expr(f"round(sqrt({diff2}), 6)").alias("d")
     )
-    nn = scored.groupBy("query_id").agg(F.min("d").alias("r1"))
     # r2 = min distance strictly above r1 (ties at r1 mean r2 = r1,
-    # which the ratio turns into ln(1) = 0 — drop those too)
+    # which the ratio turns into ln(1) = 0 — drop those too).
+    # r12 (guide §2.4): the old nn-then-join shape scored the corpus
+    # TWICE (scored fed both the min pass and the strictly-above pass).
+    # dense_rank <= 2 keeps exactly the rows carrying the two smallest
+    # DISTINCT distances per query in ONE pass (WindowGroupLimit prunes
+    # map-side); r1/r2 fall out as conditional mins, and the surviving
+    # query set (has a second distinct distance, r1 > 0) is unchanged.
+    dw = Window.partitionBy("query_id").orderBy("d")
     r2 = (
-        scored.join(
-            F.broadcast(nn.select("query_id", "r1")), "query_id"
-        )
-        .where(F.col("d") > F.col("r1"))
+        scored.withColumn("dr", F.dense_rank().over(dw))
+        .where(F.col("dr") <= 2)
         .groupBy("query_id")
-        .agg(F.min("d").alias("r2"), F.max("r1").alias("r1"))
-        .where(F.col("r1") > 0)
+        .agg(
+            F.min(F.when(F.col("dr") == 1, F.col("d"))).alias("r1"),
+            F.min(F.when(F.col("dr") == 2, F.col("d"))).alias("r2"),
+        )
+        .where(F.col("r2").isNotNull() & (F.col("r1") > 0))
     )
     agg = r2.agg(
         F.count(F.lit(1)).alias("n_anchors"),
