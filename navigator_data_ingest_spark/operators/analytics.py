@@ -2370,11 +2370,15 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent / highest spend), matching RFM convention.
     """
     ev = load_table(spark, sf_dir, "events")
+    # r12 (guide §2.4): per_user feeds the anchor aggregate AND the
+    # recency join; anchored feeds the quartile cuts AND the scoring
+    # pass — unpinned, the events scan + user collapse ran 4x. User
+    # grain: pin both; the fact is scanned ONCE.
     per_user = ev.groupBy("user_id").agg(
         F.max(F.col("ts").cast("date")).alias("last_day"),
         F.count(F.lit(1)).alias("frequency"),
         F.expr("sum(cast(floor(value * 100 + 0.5) as bigint))").alias("cents"),
-    )
+    ).localCheckpoint(eager=False)
     anchored = per_user.join(
         F.broadcast(per_user.agg(F.max("last_day").alias("anchor")))
     ).select(
@@ -2382,7 +2386,7 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("anchor", "last_day").alias("recency_days"),
         "frequency",
         "cents",
-    )
+    ).localCheckpoint(eager=False)
     cuts = anchored.agg(
         *[
             F.expr(f"percentile({m}, {q})").alias(f"{m}_{int(q * 100)}")
@@ -3879,10 +3883,15 @@ def stats_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.expr(sp_epoch_us("ts")).alias("us")
     )
+    # r12 (guide §2.4): users feeds the lifetime table and (via the
+    # max-of-last identity) the corpus end — unpinned, the events scan
+    # ran per copy. Pin the user-grain table and derive the corpus end
+    # FROM it (max(last_us) == max(us): every event belongs to some
+    # user_id group, the NULL group included): events is scanned ONCE.
     users = ev.groupBy("user_id").agg(
         F.min("us").alias("first_us"), F.max("us").alias("last_us")
-    )
-    end = ev.agg(F.max("us").alias("end_us"))
+    ).localCheckpoint(eager=False)
+    end = users.agg(F.max("last_us").alias("end_us"))
     lives = (
         users.crossJoin(F.broadcast(end))
         .select(
@@ -3899,7 +3908,8 @@ def stats_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_t = lives.groupBy("t_days").agg(
         F.sum(1 - F.col("censored")).alias("d_events"),
         F.sum("censored").alias("c_censored"),
-    )
+    # per_t feeds the total AND the KM pass (§2.4); ~31-day grain -- pin
+    ).localCheckpoint(eager=False)
     run = Window.orderBy("t_days").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -4525,10 +4535,15 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # r12 (guide §2.4): baskets feeds the order total, the item counts
+    # AND the pair mining — unpinned, the lineitem scan + basket
+    # collapse ran 3x (4 fact scans). Order grain with a bounded brand
+    # array: pin it; the fact is scanned ONCE.
     baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        .localCheckpoint(eager=False)
     )
     n_orders = baskets.agg(F.count(F.lit(1)).alias("n_total"))
     item = (
@@ -5108,9 +5123,13 @@ def q_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.5)").alias("med"),
         F.count(F.lit(1)).alias("n"),
     )
+    # r12 (guide §2.4): dev feeds the MAD aggregate AND the flag pass —
+    # unpinned, the events scan + median join ran twice (4 fact scans
+    # with med's own copy). Pin the narrow deviation table; the fact is
+    # scanned twice total (median pass + deviation build).
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "dev", F.abs(F.col("value") - F.col("med"))
-    )
+    ).localCheckpoint(eager=False)
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile(dev, 0.5)").alias("mad")
     )
@@ -6325,9 +6344,14 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*", F.explode(F.expr(f"array(ps div {lb}, ps div {lb} - 1)")).alias("bkt")
     )
     cc = clicks.withColumn("bkt", F.expr(f"cs div {lb}"))
+    # r12 (guide §2.4): pairs feeds the touch counts AND the credit
+    # rollup — unpinned, the bucket equijoin (and both event passes
+    # under it) ran twice. Candidate-pair grain (bounded by the
+    # lookback window): pin it; events is scanned twice total
+    # (clicks + purchases).
     pairs = pp.join(cc, ["user_id", "bkt"]).where(
         (F.col("cs") < F.col("ps")) & (F.col("cs") >= F.col("ps") - lb)
-    )
+    ).localCheckpoint(eager=False)
     touches = pairs.groupBy("purchase_id").agg(
         F.sum("cnt").alias("n_touch")
     )
@@ -9951,7 +9975,15 @@ def stats_gini_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "c_custkey")
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("v"))
     )
-    vc = r.groupBy("c_mktsegment", "v").agg(F.count(F.lit(1)).alias("c"))
+    # r12 (guide §2.4): vc feeds the range table AND the block pass —
+    # unpinned, the orders x customer join + two collapses ran per copy
+    # (4 fact scans). (segment, distinct-cents) grain: pin it; each
+    # fact is scanned ONCE.
+    vc = (
+        r.groupBy("c_mktsegment", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     rng = vc.groupBy("c_mktsegment").agg(
         F.min("v").alias("mn"), F.max("v").alias("mx")
     )
@@ -11070,6 +11102,10 @@ def q_events_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
         .select("user_id", "event_type")
         .distinct()
+        # r12 (guide §2.4): ut feeds both self-join sides AND the
+        # per-type totals — unpinned, the events scan + distinct ran 3x.
+        # (user, type) grain: pin it; the fact is scanned ONCE.
+        .localCheckpoint(eager=False)
     )
     a = ut.select("user_id", F.col("event_type").alias("t1"))
     b = ut.select(F.col("user_id").alias("_u"), F.col("event_type").alias("t2"))
@@ -11997,6 +12033,11 @@ def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id", "event_type")
         .agg(F.round(F.sum("value") * 100).cast("bigint").alias("x"))
+        # r12 (guide §2.4): the (user, type) grid feeds the user count,
+        # the item moments AND the user totals — unpinned, the events
+        # scan + grid collapse ran 3x (4 fact scans). Pin it; the fact
+        # is scanned ONCE.
+        .localCheckpoint(eager=False)
     )
     u = F.broadcast(
         ev.agg(F.countDistinct("user_id").alias("uu"))
@@ -13211,14 +13252,20 @@ def stats_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # r12 (guide §2.4): r feeds the segment totals AND the within pass,
+    # seg feeds the within broadcast, the global totals AND the between
+    # pass — unpinned, the orders x customer join ran twice (4 fact
+    # scans). Customer / segment grain: pin both; each fact is scanned
+    # ONCE.
     r = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "c_custkey")
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x"))
+        .localCheckpoint(eager=False)
     )
     seg = r.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
-    )
+    ).localCheckpoint(eager=False)
     j = r.join(
         F.broadcast(seg.withColumnRenamed("c_mktsegment", "_seg")),
         F.col("c_mktsegment").eqNullSafe(F.col("_seg")),
@@ -15490,6 +15537,10 @@ def stats_crosstab_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("source"), F.lit("<null>")).alias("source"),
         )
         .agg(F.count(F.lit(1)).alias("o"))
+        # r12 (guide §2.4): cells feeds the margins, the grand total AND
+        # the dense join — unpinned, the documents scan ran 4x.
+        # |langs| x |sources| grain: pin it; the fact is scanned ONCE.
+        .localCheckpoint(eager=False)
     )
     rowt = cells.groupBy("lang").agg(F.sum("o").alias("row_tot"))
     colt = cells.groupBy("source").agg(F.sum("o").alias("col_tot"))
@@ -15817,10 +15868,15 @@ def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .select("user_id", F.expr(sp_epoch_us("ts")).alias("us"))
     )
+    # r12 (guide §2.4): users feeds the lifetime table and (via the
+    # max-of-last identity) the corpus end — unpinned, the events scan
+    # ran per copy. Pin the user-grain table and derive the corpus end
+    # FROM it (max(last_us) == max(us): every event belongs to some
+    # user_id group, the NULL group included): events is scanned ONCE.
     users = ev.groupBy("user_id").agg(
         F.min("us").alias("first_us"), F.max("us").alias("last_us")
-    )
-    end = ev.agg(F.max("us").alias("end_us"))
+    ).localCheckpoint(eager=False)
+    end = users.agg(F.max("last_us").alias("end_us"))
     lives = users.crossJoin(F.broadcast(end)).select(
         ((F.col("last_us") - F.col("first_us")) / F.lit(DAY_US))
         .cast("bigint")
@@ -15834,7 +15890,8 @@ def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_t = lives.groupBy("t_days").agg(
         F.sum(1 - F.col("censored")).alias("d"),
         F.sum("censored").alias("c"),
-    )
+    # per_t feeds the total AND the NA pass (§2.4); ~31-day grain -- pin
+    ).localCheckpoint(eager=False)
     tot = per_t.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
     w_prev = Window.orderBy("t_days").rowsBetween(
         Window.unboundedPreceding, -1
@@ -17532,6 +17589,10 @@ def stats_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("source"), F.lit("<null>")).alias("source"),
         )
         .agg(F.count(F.lit(1)).alias("o"))
+        # r12 (guide §2.4): cells feeds the margins, the grand total AND
+        # the dense join — unpinned, the documents scan ran 4x.
+        # |langs| x |sources| grain: pin it; the fact is scanned ONCE.
+        .localCheckpoint(eager=False)
     )
     rowt = cells.groupBy("lang").agg(F.sum("o").alias("row_tot"))
     colt = cells.groupBy("source").agg(F.sum("o").alias("col_tot"))

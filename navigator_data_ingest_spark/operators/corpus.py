@@ -2605,7 +2605,14 @@ def corpus_kn_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.w1", "p.w2")
     )
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # r12 (guide §2.4): big feeds the head/continuation tables, the
+    # type total AND the top-k — unpinned, the tokenize + bigram explode
+    # ran 4x. Distinct-bigram grain: pin it; the corpus tokenizes ONCE.
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     heads = big.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n_follow")
     )
@@ -3939,12 +3946,24 @@ def corpus_lm_holdout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(slice(t, 1, size(t) - 1),"
         " (x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))"
     )
+    # r12 (guide §2.4): pairs feeds the train LM AND the holdout probe
+    # (one tokenize/explode pass pinned — the corpus_perplexity_filter
+    # discipline); big and heads each feed two consumers. Pin all three;
+    # the corpus tokenizes ONCE and the LM aggregates build once.
     pairs = docs.where("size(t) >= 2").select(
         "source", "is_train", F.explode(F.expr(pair_expr)).alias("p")
-    ).select("source", "is_train", "p.w1", "p.w2")
+    ).select("source", "is_train", "p.w1", "p.w2").localCheckpoint(eager=False)
     train = pairs.where("is_train")
-    big = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    heads = big.groupBy("w1").agg(F.sum("c").alias("head_total"))
+    big = (
+        train.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    heads = (
+        big.groupBy("w1")
+        .agg(F.sum("c").alias("head_total"))
+        .localCheckpoint(eager=False)
+    )
     v = F.broadcast(heads.agg(F.count(F.lit(1)).alias("v")))
     hold = (
         pairs.where("NOT is_train")

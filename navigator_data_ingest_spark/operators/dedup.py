@@ -975,13 +975,17 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{X.sp_hash32('s', FINGERPRINT_SEED)}), h -> h % {FINGERPRINT_MOD} = 0))"
     )
     sel = X.sp_let("t", t, hashes)
+    # r12 (guide §2.4): docs feeds the df stoplist AND the prune join,
+    # and pruned feeds BOTH self-join sides — unpinned, the tokenize +
+    # shingle + hash pipeline ran 4x. Pin both narrow (doc_id, fp)
+    # tables; the corpus tokenizes ONCE.
     docs = scatter(spark, load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.explode(F.expr(sel)).alias("fp")
-    )
+    ).localCheckpoint(eager=False)
     rare = docs.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= FP_MAX_DF
     )
-    pruned = docs.join(rare.select("fp"), "fp")
+    pruned = docs.join(rare.select("fp"), "fp").localCheckpoint(eager=False)
     a, b = pruned.alias("a"), pruned.alias("b")
     return (
         a.join(
@@ -1845,6 +1849,11 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("text").alias("h"),
         )
         .distinct()
+        # r12 (guide §2.4): d feeds the size table AND both self-join
+        # sides — unpinned, the documents scan + md5 + distinct ran 3x.
+        # Distinct (source, hash) grain: pin it; the fact is scanned
+        # ONCE.
+        .localCheckpoint(eager=False)
     )
     sizes = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = d.select(F.col("source").alias("sa"), "h")

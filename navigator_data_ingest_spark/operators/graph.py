@@ -884,6 +884,10 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
         .groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).alias("w"))
+        # r12 (guide §2.4): w feeds the norms AND both self-join sides —
+        # unpinned, the events scan + grid collapse ran 3x. (user, type)
+        # grain: pin it; the fact is scanned ONCE.
+        .localCheckpoint(eager=False)
     )
     norms = w.groupBy("event_type").agg(
         F.sum(F.expr("w * w")).alias("n2"),

@@ -786,12 +786,16 @@ def mm_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.width").cast("double").alias("w"),
         F.col("meta.height").cast("double").alias("h"),
     )
+    # r12 (guide §2.4): b feeds the max-id broadcast AND the block pass,
+    # inb feeds the offset table AND the enumeration join — unpinned,
+    # the media metadata scan ran 4x. Narrow image grain: pin both; the
+    # fact is scanned ONCE.
     b = img.selectExpr(
         "doc_id",
         f"cast(greatest(-{ASPECT_BUCKET_CLAMP}, least({ASPECT_BUCKET_CLAMP}, "
         f"round(ln(w / h) / ln(2.0) * {ASPECT_LOG_SCALE}, 0))) as int) "
         "AS bucket",
-    )
+    ).localCheckpoint(eager=False)
     mx = F.broadcast(b.agg(F.max("doc_id").alias("max_id")))
     blk = b.crossJoin(mx).select(
         "doc_id",
@@ -801,7 +805,9 @@ def mm_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("blk"),
     )
     w_in = Window.partitionBy("bucket", "blk").orderBy("doc_id")
-    inb = blk.withColumn("rn_in", F.row_number().over(w_in))
+    inb = blk.withColumn("rn_in", F.row_number().over(w_in)).localCheckpoint(
+        eager=False
+    )
     off_tbl = inb.groupBy("bucket", "blk").agg(F.max("rn_in").alias("n_blk"))
     w_off = (
         Window.partitionBy("bucket")

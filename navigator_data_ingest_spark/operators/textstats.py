@@ -1220,14 +1220,27 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(nw))
         .withColumn("grp", F.col("pos") - F.col("rn"))
     )
-    words = ph.select("doc_id", "grp", "token")
+    # r12 (guide §2.4): words feeds the phrase build, the word stats and
+    # the scoring join; phrases feeds the stats join and the final
+    # re-join — unpinned, the tokenize + posexplode + island window ran
+    # 4x. Pin both (token grain / phrase grain); the corpus tokenizes
+    # ONCE.
+    words = ph.select("doc_id", "grp", "pos", "token").localCheckpoint(
+        eager=False
+    )
     # phrase instances: ordered tokens per (doc, grp)
     phrases = (
         words.groupBy("doc_id", "grp")
         .agg(
-            F.array_join(F.collect_list("token"), " ").alias("phrase"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "token"))
+                ).getField("token"),
+                " ",
+            ).alias("phrase"),
             F.count(F.lit(1)).alias("plen"),
         )
+        .localCheckpoint(eager=False)
     )
     # word stats over phrase members: freq + degree (Σ phrase length)
     wstat = (
@@ -1304,7 +1317,14 @@ def text_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = scatter(spark, load_table(spark, sf_dir, "documents")).select(
         "source", F.explode(F.expr(X.sp_tokens("text"))).alias("token")
     )
-    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    # r12 (guide §2.4): st feeds the corpus totals, the source totals
+    # AND the divergence join — unpinned, the tokenize + explode ran 3x.
+    # (source, token) grain: pin it; the corpus tokenizes ONCE.
+    st = (
+        tok.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     ct = st.groupBy("token").agg(F.sum("c").alias("cc"))
     stot = st.groupBy("source").agg(F.sum("c").alias("sn"))
     tot = ct.agg(F.sum("cc").alias("n"))
@@ -2153,6 +2173,11 @@ def text_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("c"))
+        # r12 (guide §2.4): cnt feeds the source totals AND both sides
+        # of the shared-token self-join — unpinned, the tokenize +
+        # explode ran 3x. (source, token) grain: pin it; the corpus
+        # tokenizes ONCE.
+        .localCheckpoint(eager=False)
     )
     tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
     a = cnt.select(
