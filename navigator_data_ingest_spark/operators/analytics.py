@@ -19284,7 +19284,9 @@ def stats_ww_runs_two_sample_sql() -> str:
     """
 
 
-def _pooled_score_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pooled_score_groups(
+    spark: SparkSession, sf_dir: str, pin: bool = True
+) -> DataFrame:
     """Shared base for the two-sample SCALE tests (stats_ansari_bradley,
     stats_mood_scale): click vs purchase event values collapsed to
     DISTINCT-VALUE group counts with the pooled strictly-below count —
@@ -19354,7 +19356,7 @@ def _pooled_score_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("off_a", F.coalesce(F.sum("blk_a").over(w_blk), F.lit(0)))
         .withColumn("off_b", F.coalesce(F.sum("blk_b").over(w_blk), F.lit(0)))
     )
-    return (
+    out = (
         b.join(F.broadcast(bt.select("blk", "off", "off_a", "off_b")), "blk")
         .select(
             "ca",
@@ -19364,13 +19366,15 @@ def _pooled_score_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("off_a") + F.col("cum_a")).alias("below_a"),
             (F.col("off_b") + F.col("cum_b")).alias("below_b"),
         )
-        # r12 (guide §2.4): every caller (ansari_bradley, mood_scale,
-        # brunner_munzel, ww_runs_two_sample) consumes this table twice
-        # (a 1-row totals broadcast + the scored pass) — unpinned, the
-        # whole prefix-sum pipeline ran twice per query. Distinct-value
-        # grain, bounded by the quantized lattice: pin it.
-        .localCheckpoint(eager=False)
     )
+    # r12 (guide §2.4): every caller (ansari_bradley, mood_scale,
+    # brunner_munzel) consumes this table twice (a 1-row totals
+    # broadcast + the scored pass) — unpinned, the whole prefix-sum
+    # pipeline ran twice per query. Distinct-value grain, bounded by
+    # the quantized lattice: pin it. pin=False exposes the unpinned
+    # body so the plan-shape test can assert the block-window
+    # discipline that runs INSIDE the pin.
+    return out.localCheckpoint(eager=False) if pin else out
 
 
 _POOLED_SCORE_GROUPS_SQL = """

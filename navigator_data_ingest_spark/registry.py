@@ -276,6 +276,49 @@ _DRIVER_CERTIFIED = frozenset({
     "text_vocabulary",
 })
 
+# Round-12 OPTIMIZATION de-list (the r11 discipline, applied to this
+# round's shuffle/scan-shape campaign): every key whose physical plan
+# changed after its last driver certification — the duplicated-subtree
+# pins, the single-pass restructures (emb_intrinsic_dim,
+# emb_distance_histogram, text_collocations, sim_search_recall_report),
+# the dedup-funnel helper pins (_payload_reps / minhash_pairs
+# consumers), the _pooled_score_groups family, the streaming
+# dropDuplicates projections and the fetch/ingest rewrites — drops out
+# of _DRIVER_CERTIFIED until a driver round re-certifies it. All are
+# green in the round-12 full-registry sweep and the per-batch
+# plain-session oracle checks; the de-list is certification
+# bookkeeping, not a correctness signal. (Infra-only changes —
+# load_table's session-scoped relation cache, scatter — follow the r12
+# relation-cache precedent and do not blanket-de-list the registry;
+# the full sweep covers them.)
+_R12_OPT_DELIST = frozenset({
+    "cdc_scd2", "cdc_scd2_lookup", "corpus_curriculum_order", "corpus_kn_smoothing",
+    "corpus_knn_pseudo_label", "corpus_lm_holdout_ppl", "corpus_overlap",
+    "corpus_token_budget", "corpus_upsample_apply", "dedup_bloom", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_recall_report", "dedup_semantic", "dedup_survivorship",
+    "dedup_threshold_sweep", "dedup_url", "emb_confusion_metrics", "emb_distance_histogram",
+    "emb_hubness", "emb_intrinsic_dim", "emb_ivf_cell_census", "emb_label_purity",
+    "emb_lsh_tuning", "emb_matryoshka", "emb_triplet_mining", "graph_bipartite_projection",
+    "ingest_archive_paths", "ingest_cache_rewrite", "ingest_download_fetch",
+    "ingest_field_update", "ingest_order_actions", "ingest_pipeline_e2e",
+    "ingest_results_report", "ingest_update_actions", "mm_aspect_buckets",
+    "mm_shard_manifest", "q_basket_lift", "q_customer_churn", "q_events_attribution",
+    "q_events_funnel", "q_events_funnel_steps", "q_events_mad", "q_events_rfm",
+    "q_events_type_overlap", "q_events_type_pmi", "q_orders_abc_class",
+    "sample_temperature", "sim_search_bruteforce", "sim_search_ivf", "sim_search_lsh",
+    "split_dedup_aware", "src_stream_events", "stats_ansari_bradley", "stats_auc_classifier",
+    "stats_brunner_munzel", "stats_chi_square", "stats_cochran_q", "stats_g_test",
+    "stats_gini_exact", "stats_hodges_lehmann", "stats_kendall_w", "stats_kruskal_wallis",
+    "stats_lognormal_fit", "stats_mann_whitney", "stats_mann_whitney_u",
+    "stats_mann_whitney_z", "stats_mood_scale", "stats_mutual_information",
+    "stats_nelson_aalen", "stats_page_trend", "stats_pettitt_changepoint",
+    "stats_quade", "stats_survival_km", "stats_wilcoxon_signed_rank", "stats_ww_runs_two_sample",
+    "stream_dedup_wm", "stream_ingest", "stream_unique_users_windowed",
+    "text_heaps_law", "text_jsd_drift", "text_rake_keywords",
+})
+_DRIVER_CERTIFIED = _DRIVER_CERTIFIED - _R12_OPT_DELIST
+
+
 # registration order within each class is preserved; head-first names
 # (this round's hash-fail triage) come absolutely first, then
 # front-flagged names (new this round), then never-driver-sampled, then
