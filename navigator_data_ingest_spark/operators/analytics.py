@@ -1004,14 +1004,30 @@ def q_customer_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins the customer dim for segment attribution.
     """
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
-    y96 = orders.where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01"))
-    ).select("o_custkey").distinct()
-    y97 = orders.where(
-        (F.col("o_orderdate") >= F.lit("1997-01-01"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01"))
-    ).select("o_custkey").distinct()
+    # r12 (guide §2.4 duplicated subtrees): intersect AND subtract each
+    # consume both year slices, so the unpinned shape scanned orders 4x.
+    # ONE customer-grain pass derives both membership flags (a custkey
+    # is in y96 iff it has >= 1 order in [96,97) — max(flag) over the
+    # group is exactly that), the custkey-bounded flag table pins, and
+    # the set operators consume filtered views of the pin: identical
+    # y96/y97 sets, orders scanned ONCE.
+    in96 = (F.col("o_orderdate") >= F.lit("1996-01-01")) & (
+        F.col("o_orderdate") < F.lit("1997-01-01")
+    )
+    in97 = (F.col("o_orderdate") >= F.lit("1997-01-01")) & (
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    yy = (
+        orders.where(in96 | in97)
+        .groupBy("o_custkey")
+        .agg(
+            F.max(in96.cast("int")).alias("a96"),
+            F.max(in97.cast("int")).alias("a97"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    y96 = yy.where(F.col("a96") == 1).select("o_custkey")
+    y97 = yy.where(F.col("a97") == 1).select("o_custkey")
     repeat = y96.intersect(y97).withColumn("kind", F.lit("repeat"))
     churned = y96.subtract(y97).withColumn("kind", F.lit("churned"))
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
@@ -6513,7 +6529,15 @@ def q_orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(round(o_totalprice * 100) as bigint) AS cents",
         "datediff(o_orderdate, date'1970-01-01') AS days",
     )
-    rng = o.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+    # r12 (guide §2.4): b is consumed by BOTH the in-block window and
+    # the 64-row block table, and each copy re-derived rng — 4 orders
+    # scans unpinned. Pinning the 1-row range removes the duplicated
+    # min/max passes; the two fact passes that remain (window + block
+    # max) are the shape's floor without a fact-grain pin, which at
+    # 100 TB would cost more than the narrow column-pruned rescan.
+    rng = o.agg(
+        F.min("cents").alias("mn"), F.max("cents").alias("mx")
+    ).localCheckpoint(eager=False)
     b = o.crossJoin(F.broadcast(rng)).select(
         "o_orderkey",
         "cents",
@@ -7042,10 +7066,18 @@ def stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = ev.join(F.broadcast(med), "event_type").select(
         "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
     )
-    g = z.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("z").alias("sz"),
-        F.sum(F.expr("z * z")).alias("qz"),
+    # r12 (guide §2.4): g fans out to tot and j — unpinned, the whole
+    # ev-join-med subtree (2 events scans) duplicated, 4 scans total.
+    # K-bounded, so pin; events is scanned twice (the exact-median
+    # two-pass floor), not 4x.
+    g = (
+        z.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("z").alias("sz"),
+            F.sum(F.expr("z * z")).alias("qz"),
+        )
+        .localCheckpoint(eager=False)
     )
     tot = g.agg(
         F.sum("n").alias("nt"),
@@ -7464,6 +7496,10 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderpriority", "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("o"))
+        # r12 (guide §2.4): cells fans out to rowt/colt/tot/dense — 4
+        # orders scans unpinned. The |priorities|x|statuses| grid is
+        # bounded, so pin; the fact is scanned once.
+        .localCheckpoint(eager=False)
     )
     rowt = cells.groupBy("o_orderpriority").agg(F.sum("o").alias("rt"))
     colt = cells.groupBy("o_orderstatus").agg(F.sum("o").alias("ct"))
@@ -7712,12 +7748,17 @@ def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberate non-equi self-join as stats_kendall_tau), and S / tie
     terms stay integers until the final ratio.
     """
+    # r12 (guide §2.4 duplicated subtrees): d fans out to BOTH pair
+    # sides, the n count and the tie table — unpinned, the orders fact
+    # scanned 4x in one plan. d is DAYS-bounded (calendar grain at any
+    # corpus size), so pin it; the fact is scanned once.
     d = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderdate")
         .agg(
             F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y")
         )
+        .localCheckpoint(eager=False)
     )
     a = d.select(F.col("o_orderdate").alias("da"), F.col("y").alias("ya"))
     b = d.select(F.col("o_orderdate").alias("db"), F.col("y").alias("yb"))
@@ -8559,11 +8600,19 @@ def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "event_type", "value")
     )
-    g = ev.groupBy("user_id", "event_type").agg(
-        F.round(F.sum("value") * 100).cast("bigint").alias("v")
+    # r12 (guide §2.4 duplicated subtrees): g feeds the completeness
+    # window AND (via per_type) two consumers, and kt re-scanned the
+    # fact — 4 events scans unpinned. g is (user x type) grain (far
+    # below fact), so pin it; k is read off the PIN (every event_type
+    # in ev survives the groupBy, so countDistinct over g is the
+    # identical value) — the events fact is scanned ONCE.
+    g = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.round(F.sum("value") * 100).cast("bigint").alias("v"))
+        .localCheckpoint(eager=False)
     )
     kt = F.broadcast(
-        ev.agg(F.countDistinct("event_type").alias("k"))
+        g.agg(F.countDistinct("event_type").alias("k"))
     )
     complete = (
         g.withColumn(
@@ -8577,11 +8626,17 @@ def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = complete.withColumn("r_min", F.rank().over(wr)).withColumn(
         "ct", F.count(F.lit(1)).over(wt)
     )
-    per_type = ranked.groupBy("event_type").agg(
-        F.sum(2 * F.col("r_min") + F.col("ct") - 1).alias("r2"),
-        F.count(F.lit(1)).alias("n"),
-        F.max("k").alias("k"),
-        F.sum(F.col("ct") * F.col("ct") - 1).alias("tie_part"),
+    # per_type feeds tot AND the output row — pin the K-row table so
+    # the rank windows over the pinned g run once, not twice.
+    per_type = (
+        ranked.groupBy("event_type")
+        .agg(
+            F.sum(2 * F.col("r_min") + F.col("ct") - 1).alias("r2"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("k").alias("k"),
+            F.sum(F.col("ct") * F.col("ct") - 1).alias("tie_part"),
+        )
+        .localCheckpoint(eager=False)
     )
     # mean_rank, χ² and the tie-adjusted χ² are PURE integer rationals
     # of the BIGINT rank moments (rr = Σr2² summed as DECIMAL(38,0)):
@@ -11583,6 +11638,10 @@ def stats_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y")
         )
+        # r12 (guide §2.4): d feeds the moment agg AND scored, and the
+        # scored subtree is consumed twice (best + witness filter) — 4
+        # orders scans unpinned. DAYS-bounded, so pin; fact scanned once.
+        .localCheckpoint(eager=False)
     )
     m = F.broadcast(
         d.agg(
@@ -11680,6 +11739,11 @@ def stats_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y")
         )
         .withColumn("t", F.row_number().over(Window.orderBy("day")))
+        # r12 (guide §2.4): d feeds the moment agg AND e, and e is
+        # consumed twice (sse + scored) — 4 orders scans and 4 runs of
+        # the global row_number window unpinned. DAYS-bounded, so pin;
+        # fact scanned once, window computed once.
+        .localCheckpoint(eager=False)
     )
     s = F.broadcast(
         d.agg(
@@ -12229,22 +12293,34 @@ def q_part_supply_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
     )
-    rel = li.select("l_partkey", "l_suppkey").distinct()
+    # r12 (guide §2.4/§2.3): rel and rev each re-scanned the fact, and
+    # the grid's tot fan-out doubled both — 4 lineitem scans unpinned.
+    # ONE (part, supplier)-grain aggregation carries the revenue
+    # partials (rev per part = sum of its per-relationship sums, an
+    # exact integer regroup), pins at relationship cardinality, and
+    # every pass reads the pin: lineitem is scanned ONCE.
+    rel = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("rel_cents")
+        )
+        .localCheckpoint(eager=False)
+    )
     per_part = rel.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_suppliers")
     )
-    rev = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        F.sum(
-            F.round(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-            ).cast("bigint")
-        ).alias("rev_cents")
+    rev = rel.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("rel_cents").alias("rev_cents")
     )
     j = per_part.join(rev, per_part.l_partkey == F.col("_pk"))
     grid = j.groupBy("n_suppliers").agg(
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("rev_cents").alias("rev_cents"),
-    )
+    ).localCheckpoint(eager=False)
     tot = F.broadcast(
         grid.agg(
             F.sum("n_parts").alias("tp"), F.sum("rev_cents").alias("tr")
@@ -13159,9 +13235,17 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.substring("o_orderpriority", 1, 1).cast("int") <= 2).alias("g1"),
         )
     )
-    vc = o.groupBy("v").agg(
-        F.sum(F.col("g1").cast("bigint")).alias("d1"),
-        F.sum((~F.col("g1")).cast("bigint")).alias("d2"),
+    # r12 (guide §2.4): vc feeds cum (itself consumed by best AND the
+    # final filter) plus the n1/n2 totals — 4 orders scans unpinned.
+    # Distinct-cents grain is value-lattice-bounded, so pin; the fact
+    # is scanned once.
+    vc = (
+        o.groupBy("v")
+        .agg(
+            F.sum(F.col("g1").cast("bigint")).alias("d1"),
+            F.sum((~F.col("g1")).cast("bigint")).alias("d2"),
+        )
+        .localCheckpoint(eager=False)
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = (
@@ -14275,9 +14359,16 @@ def stats_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g1"),
         )
     )
-    vc = o.groupBy("v").agg(
-        F.sum(F.col("g1").cast("bigint")).alias("ca"),
-        F.sum((~F.col("g1")).cast("bigint")).alias("cb"),
+    # r12 (guide §2.4): vc fans out to rng and b, and b to bt and j —
+    # 4 orders scans unpinned. Distinct-cents grain is bounded, so pin;
+    # the fact is scanned once.
+    vc = (
+        o.groupBy("v")
+        .agg(
+            F.sum(F.col("g1").cast("bigint")).alias("ca"),
+            F.sum((~F.col("g1")).cast("bigint")).alias("cb"),
+        )
+        .localCheckpoint(eager=False)
     )
     rng = vc.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
     b = vc.crossJoin(F.broadcast(rng)).withColumn(
@@ -17049,8 +17140,22 @@ def q_sql_exists_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi/anti joins — the certification is that the SQL surface
     reaches those plans with standard semantics intact.
     """
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_qei_cust")
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_qei_orders")
+    # r12 (guide §2.4 duplicated subtrees): five scalar subqueries each
+    # re-scanned both views (5x customer + 5x orders unpinned). Every
+    # arm consumes the views MEMBERSHIP-ONLY — customer via c_custkey
+    # counts, orders via the o_custkey set (EXISTS / IN / NOT IN are
+    # set predicates; duplicate o_custkey rows cannot change any arm,
+    # and the distinct set keeps a NULL iff orders has one, so the
+    # NOT-IN three-valued trap is preserved bit-for-bit). Register the
+    # key projection (customer) and the distinct key set (orders),
+    # both pinned: each base table is scanned ONCE, the SQL text and
+    # its semi/anti-join plans are unchanged.
+    load_table(spark, sf_dir, "customer").select("c_custkey").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("v_qei_cust")
+    load_table(spark, sf_dir, "orders").select("o_custkey").distinct().localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("v_qei_orders")
     return spark.sql(
         """
         SELECT
@@ -17732,6 +17837,10 @@ def stats_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y")
         )
         .select(F.month("day").alias("m"), "day", "y")
+        # r12 (guide §2.4): d fans out to both pair sides + per-season
+        # counts + tie grid (4 orders scans unpinned); DAYS-bounded, so
+        # pin — the fact is scanned once.
+        .localCheckpoint(eager=False)
     )
     a = d.select(F.col("m").alias("ma"), F.col("day").alias("da"), F.col("y").alias("ya"))
     b = d.select(F.col("m").alias("mb"), F.col("day").alias("db"), F.col("y").alias("yb"))
@@ -17960,11 +18069,18 @@ def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(round(o_totalprice * 100) as bigint) AS cents",
         )
     )
-    vc = o.groupBy("cents").agg(
-        *[
-            F.sum((F.col("g") == k).cast("bigint")).alias(f"c{k}")
-            for k in range(1, 6)
-        ]
+    # r12 (guide §2.4): vc fans out to rng and b, and b to bt and j —
+    # 4 orders scans unpinned. Distinct-cents grain is bounded, so pin;
+    # the fact is scanned once.
+    vc = (
+        o.groupBy("cents")
+        .agg(
+            *[
+                F.sum((F.col("g") == k).cast("bigint")).alias(f"c{k}")
+                for k in range(1, 6)
+            ]
+        )
+        .localCheckpoint(eager=False)
     )
     rng = vc.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
     b = vc.crossJoin(F.broadcast(rng)).withColumn(

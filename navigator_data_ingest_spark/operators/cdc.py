@@ -445,7 +445,16 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("changed"))
         .alias("status")
     )
-    grid = j.groupBy("status").agg(F.count(F.lit(1)).alias("n_rows"))
+    # r12 (guide §2.4): grid feeds tot AND the output row — unpinned,
+    # the whole two-snapshot outer join (2 orders scans + the md5
+    # fingerprints) executed twice, 4 scans total. The status grid is
+    # <= 4 rows, so pin it; the join runs once and the two snapshot
+    # scans that remain are the two-snapshots shape's floor.
+    grid = (
+        j.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .localCheckpoint(eager=False)
+    )
     tot = F.broadcast(grid.agg(F.sum("n_rows").alias("t")))
     return (
         grid.crossJoin(tot)
@@ -527,36 +536,40 @@ def cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderpriority",
     )
-    src_matched = target.where(
-        (F.col("o_orderkey") % MERGE_UPDATE_MOD == 0)
-        | (F.col("o_orderkey") % MERGE_DELETE_MOD == 0)
-    ).select(
-        "o_orderkey",
-        (F.col("o_totalprice") * MERGE_PRICE_SCALE).alias("new_price"),
-    )
     mx = target.agg(F.max("o_orderkey").alias("merge_shift"))
-    src_insert = (
-        target.where(F.col("o_orderkey") % 17 == 0)
-        .crossJoin(F.broadcast(mx))
-        .select(
-            (F.col("o_orderkey") + F.col("merge_shift")).alias("o_orderkey"),
-            F.col("o_custkey"),
-            F.lit("N").alias("o_orderstatus"),
-            F.col("o_totalprice").alias("new_price"),
-            F.lit("5-LOW").alias("o_orderpriority"),
+    # r12 (guide §2.4 duplicated subtrees): the matched and insert arms
+    # each re-scanned orders (4 scans total with mx and the join's
+    # target side). ONE filtered pass emits both arms per qualifying
+    # row via inline(filter(array(...))) — a key on both the matched
+    # and the %17 ladder still yields exactly its two union rows, and
+    # the full-outer join is order-insensitive, so the source multiset
+    # is identical. Scans: join target + source derivation + max = 3,
+    # the three-pass floor of this shape.
+    source = (
+        target.where(
+            (F.col("o_orderkey") % MERGE_UPDATE_MOD == 0)
+            | (F.col("o_orderkey") % MERGE_DELETE_MOD == 0)
+            | (F.col("o_orderkey") % 17 == 0)
         )
-    )
-    source = src_matched.select(
-        "o_orderkey", "new_price",
-        F.lit(None).cast("bigint").alias("src_custkey"),
-        F.lit(None).cast("string").alias("src_status"),
-        F.lit(None).cast("string").alias("src_priority"),
-    ).unionByName(
-        src_insert.select(
-            "o_orderkey", "new_price",
-            F.col("o_custkey").alias("src_custkey"),
-            F.col("o_orderstatus").alias("src_status"),
-            F.col("o_orderpriority").alias("src_priority"),
+        .crossJoin(F.broadcast(mx))
+        .selectExpr(
+            f"""inline(filter(array(
+              CASE WHEN o_orderkey % {MERGE_UPDATE_MOD} = 0
+                     OR o_orderkey % {MERGE_DELETE_MOD} = 0 THEN
+                named_struct(
+                  'o_orderkey', o_orderkey,
+                  'new_price', o_totalprice * {MERGE_PRICE_SCALE},
+                  'src_custkey', CAST(NULL AS BIGINT),
+                  'src_status', CAST(NULL AS STRING),
+                  'src_priority', CAST(NULL AS STRING)) END,
+              CASE WHEN o_orderkey % 17 = 0 THEN
+                named_struct(
+                  'o_orderkey', o_orderkey + merge_shift,
+                  'new_price', cast(o_totalprice as double),
+                  'src_custkey', o_custkey,
+                  'src_status', 'N',
+                  'src_priority', '5-LOW') END
+            ), x -> x IS NOT NULL))"""
         )
     )
     j = target.alias("t").join(

@@ -429,7 +429,15 @@ def ingest_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ord", F.expr("cast(regexp_extract(import_id, '([0-9]+)$', 1) as bigint)")
         )
     )
-    mx = F.broadcast(work.agg(F.max("ord").alias("mx")))
+    # r12 (guide §2.4): inb is consumed by offs AND ranked, and each
+    # copy re-derived the 1-row max — 4 documents scans unpinned.
+    # Pinning the 1-row quantizer removes the duplicated max passes;
+    # the block-count branch below aggregates blk directly (count per
+    # (host, blk) == max in-block row_number) so no second window runs.
+    # The two fact passes that remain (window + block counts) are the
+    # floor without a doc-grain pin, which at 100 TB would cost more
+    # than the narrow rescan.
+    mx = F.broadcast(work.agg(F.max("ord").alias("mx")).localCheckpoint(eager=False))
     blk = work.crossJoin(mx).select(
         "host",
         "ord",
@@ -439,7 +447,7 @@ def ingest_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_in = Window.partitionBy("host", "blk").orderBy("ord")
     inb = blk.withColumn("rn_in", F.row_number().over(w_in))
-    offs = inb.groupBy("host", "blk").agg(F.max("rn_in").alias("nb"))
+    offs = blk.groupBy("host", "blk").agg(F.count(F.lit(1)).alias("nb"))
     w_off = (
         Window.partitionBy("host")
         .orderBy("blk")

@@ -617,12 +617,18 @@ def emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower code id; all arithmetic is an explicit left fold, bit-equal
     across engines.
     """
-    emb = scatter(spark, load_table(spark, sf_dir, "embeddings")).select(
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = scatter(spark, raw).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     w = Window.orderBy("vec_id")
+    # r12 (guide §2.4): the 16-row codebook is a bounded limit — build
+    # it from the RAW relation (same cast) so the broadcast side
+    # carries no scatter Exchange; identical rows (vec_id order, same
+    # projection).
     codebook = (
-        emb.orderBy("vec_id")
+        raw.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .orderBy("vec_id")
         .limit(PQ_K)
         .select((F.row_number().over(w) - 1).alias("j"), F.col("e").alias("c"))
     )
@@ -705,8 +711,12 @@ def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     w = Window.orderBy("vec_id")
+    # r12 (guide §2.4): bounded codebook limit reads the RAW relation
+    # (same cast) — no scatter Exchange under the broadcast build;
+    # identical 16 rows.
     codebook = (
-        emb.orderBy("vec_id")
+        raw.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .orderBy("vec_id")
         .limit(PQ_K)
         .select((F.row_number().over(w) - 1).alias("j"), F.col("e").alias("c"))
     )

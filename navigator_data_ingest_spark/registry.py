@@ -315,6 +315,13 @@ _R12_OPT_DELIST = frozenset({
     "stats_quade", "stats_survival_km", "stats_wilcoxon_signed_rank", "stats_ww_runs_two_sample",
     "stream_dedup_wm", "stream_ingest", "stream_unique_users_windowed",
     "text_heaps_law", "text_jsd_drift", "text_rake_keywords",
+    # session-4 duplicate-scan tail (bounded pins / single-scan
+    # regroups; per-batch plain+ties+empty+one oracle checks green):
+    "cdc_merge_into", "cdc_snapshot_diff", "emb_pq",
+    "ingest_frontier_schedule", "q_customer_retention", "q_orders_skyline",
+    "q_sql_exists_in", "stats_cramers_v", "stats_friedman", "stats_grubbs",
+    "stats_jonckheere_terpstra", "stats_levene", "stats_mann_kendall",
+    "stats_seasonal_mann_kendall",
 })
 _DRIVER_CERTIFIED = _DRIVER_CERTIFIED - _R12_OPT_DELIST
 
