@@ -1301,16 +1301,22 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "event_type"
     )
-    daily = ev.groupBy("day", "event_type").agg(
-        F.count(F.lit(1)).alias("n_raw")
+    # r12 (guide §2.4): span and the type dimension re-scanned events
+    # (3 scans). Both derive EXACTLY from the (day x type)-bounded
+    # daily table (same distinct days/types, min/max skip NULLs the
+    # same way) — pin it; the fact is scanned once.
+    daily = (
+        ev.groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_raw"))
+        .localCheckpoint(eager=False)
     )
-    span = ev.agg(
+    span = daily.agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
     spine_days = span.select(
         F.explode(F.sequence("d0", "d1")).alias("day")
     )
-    types = ev.select("event_type").distinct()
+    types = daily.select("event_type").distinct()
     spine = spine_days.crossJoin(types)
     return (
         spine.join(daily, ["day", "event_type"], "left")
@@ -3234,20 +3240,24 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dur_us"),
         )
     )
-    starts = ev.select(
-        "event_type", F.col("us").alias("bus"), F.lit(1).alias("delta")
-    )
-    ends = ev.select(
+    # r12 (guide §2.4): the start/end boundary union re-scanned events
+    # per side (3 scans with loads). inline() emits BOTH boundaries of
+    # a row in the SAME pass — an identical boundary multiset (the
+    # sweep window sorts it anyway) — so the union costs one scan.
+    bounds = ev.select(
         "event_type",
-        (F.col("us") + F.col("dur_us")).alias("bus"),
-        F.lit(-1).alias("delta"),
+        F.expr(
+            "inline(array("
+            "named_struct('bus', us, 'delta', 1), "
+            "named_struct('bus', us + dur_us, 'delta', -1)))"
+        ),
     )
     w = (
         Window.partitionBy("event_type")
         .orderBy("bus", "delta")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    run = starts.unionByName(ends).withColumn("run", F.sum("delta").over(w))
+    run = bounds.withColumn("run", F.sum("delta").over(w))
     peaks = (
         run.groupBy("event_type")
         .agg(F.min(F.struct((-F.col("run")).alias("nr"), F.col("bus"))).alias("m"))
@@ -4106,6 +4116,10 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # r12 (guide §2.4): daily fans out to both pair sides AND the
+        # median-level agg — 3 events scans unpinned. (type x day) is
+        # bounded, so pin; the fact is scanned once.
+        .localCheckpoint(eager=False)
     )
     a = daily.select(
         "event_type", F.col("day").alias("d1"), F.col("cnt").alias("c1")
@@ -6918,7 +6932,10 @@ def stats_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("value * value")).alias("q"),
         F.sum(F.expr(cents)).alias("sc"),
         F.sum(F.expr(f"cast({cents} as decimal(38,0)) * {cents}")).alias("qc"),
-    )
+    # r12 (guide §2.4): cells fans out to both margins and the grand
+    # totals — 3 events scans unpinned. The 5x7 grid is bounded, so
+    # pin; the fact is scanned once.
+    ).localCheckpoint(eager=False)
     ca = cells.groupBy("event_type").agg(
         F.sum("n").alias("na"), F.sum("s").alias("sa")
     )
@@ -9756,6 +9773,11 @@ def q_events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v_ts")
         )
         .where(F.col("v_ts").isNotNull())
+        # r12 (guide §2.4): u feeds the purchase probe AND the cohort
+        # rollup — unpinned, its events scan ran twice (3 total). User
+        # grain, so pin; events is scanned twice (first-view agg +
+        # purchase probe, the two-pass floor).
+        .localCheckpoint(eager=False)
     )
     p = ev.where(F.col("event_type") == "purchase").join(u, "user_id")
     first_p = (
@@ -10909,6 +10931,11 @@ def stats_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("yr", "l_partkey")
         .agg(F.sum("q").alias("sq"), F.sum("sp").alias("sp"))
         .where(F.col("sq") > 0)
+        # r12 (guide §2.4): yp fans out to the base-year scalar, the
+        # base basket and the index join — 3 fact joins unpinned.
+        # (year x part) grain is part-dimension-bounded, so pin; the
+        # lineitem-orders join runs once.
+        .localCheckpoint(eager=False)
     )
     base_yr = F.broadcast(yp.agg(F.min("yr").alias("byr")))
     base = (
@@ -11251,6 +11278,11 @@ def stats_entropy_rate_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # r12 (guide §2.4): trans fans out to the row marginal (consumed
+    # twice) and the joint entropy join — 3 events scans AND 3 runs of
+    # the per-user lead window unpinned. TYPES²-bounded, so pin; the
+    # fact and its window run once.
+    trans = trans.localCheckpoint(eager=False)
     rows = trans.groupBy("a").agg(F.sum("c").alias("ca"))
     j = trans.join(
         F.broadcast(rows.withColumnRenamed("a", "_a")), F.col("a") == F.col("_a")
@@ -11985,6 +12017,11 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # r12 (guide §2.4): rows is consumed by p AND twice by the
+    # empirical marginal — unpinned, the per-user lead window re-ran
+    # per copy. Pin the TYPES²-bounded transition grid; rows and p
+    # read the pin and the fact (and its window) runs once.
+    trans = trans.localCheckpoint(eager=False)
     rows = trans.groupBy("a").agg(F.sum("c").alias("ca"))
     p = (
         trans.join(F.broadcast(rows.withColumnRenamed("a", "_a")), F.col("a") == F.col("_a"))
@@ -12387,7 +12424,15 @@ def stats_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .select("user_id", F.col("ts").cast("date").alias("day"))
     )
-    first = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    # r12 (guide §2.4): first feeds the ages join AND the user count —
+    # unpinned, its events scan ran twice (3 scans total). User grain
+    # is far below fact, so pin; events is scanned twice (the
+    # first-day-then-ages two-pass floor), not 3x.
+    first = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("d0"))
+        .localCheckpoint(eager=False)
+    )
     ages = (
         ev.join(first, "user_id")
         .select("user_id", F.datediff("day", "d0").alias("age"))
@@ -18528,13 +18573,24 @@ def stats_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "        WHEN o_orderkey % 11 = 0 THEN -1 ELSE 0 END)) AS q",
         )
     )
-    base = o.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.expr("abs(p - q)")).alias("d_o"),
-        F.sum((F.col("p") == F.col("q")).cast("bigint")).alias("n_agree"),
+    # r12 (guide §2.4): base/rows/cols each re-scanned orders (3x).
+    # All three are regroups of the bounded 5x5 (p, q) cell table —
+    # integer count sums regroup exactly — so collapse to cells once,
+    # pin, and aggregate the pin; the fact is scanned ONCE.
+    kcells = (
+        o.groupBy("p", "q")
+        .agg(F.count(F.lit(1)).alias("kn"))
+        .localCheckpoint(eager=False)
     )
-    rows = o.groupBy("p").agg(F.count(F.lit(1)).alias("row_n"))
-    cols = o.groupBy("q").agg(F.count(F.lit(1)).alias("col_n"))
+    base = kcells.agg(
+        # coalesce: the pre-pin shape was count(*) (0 on EMPTY input);
+        # sum over the zero-row cell table is NULL — keep the 0.
+        F.coalesce(F.sum("kn"), F.lit(0).cast("bigint")).alias("n"),
+        F.sum(F.expr("kn * abs(p - q)")).alias("d_o"),
+        F.sum(F.expr("CASE WHEN p = q THEN kn ELSE 0 END")).alias("n_agree"),
+    )
+    rows = kcells.groupBy("p").agg(F.sum("kn").alias("row_n"))
+    cols = kcells.groupBy("q").agg(F.sum("kn").alias("col_n"))
     de = (
         rows.crossJoin(F.broadcast(cols))
         .agg(
@@ -18843,7 +18899,14 @@ def stats_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(o_orderstatus = 'F' as int) AS y",
         )
     )
-    cells = o.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n"))
+    # r12 (guide §2.4): cells fans out to both pair sides and the
+    # x-tie margin — 3 orders scans unpinned. The 5x2 grid is bounded,
+    # so pin; the fact is scanned once.
+    cells = (
+        o.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     a = cells.selectExpr("x AS xa", "y AS ya", "n AS na")
     b = cells.selectExpr("x AS xb", "y AS yb", "n AS nb")
     pairs = a.join(F.broadcast(b), F.expr("xa < xb"))
@@ -19857,6 +19920,10 @@ def stats_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("cast(round(o_totalprice * 100) as bigint)")
             ).alias("cents")
         )
+        # r12 (guide §2.4): d fans out to pos (consumed by both pair
+        # sides) and the 1-row count — 3-4 orders scans unpinned.
+        # DAYS-bounded, so pin; the fact is scanned once.
+        .localCheckpoint(eager=False)
     )
     pos = d.select(
         F.row_number().over(Window.orderBy("day")).alias("pos"), "cents"

@@ -309,11 +309,16 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle is the plain global window — same numbers, serial
     plan.
     """
+    # r12 (guide §2.4): docs feeds the intra-block window AND blocks
+    # (itself consumed twice) — unpinned, the corpus tokenized 3x. Pin
+    # the 3-int doc-grain length table (tokenize ONCE) and the
+    # block-grain subtotal table (one groupBy, not two).
     docs = (
         _tokens_df(spark, sf_dir)
         .select("doc_id", F.size("t").alias("n_tokens"))
         .where("n_tokens > 0")
         .withColumn("block", F.expr(f"doc_id div {PACK_BLOCK}"))
+        .localCheckpoint(eager=False)
     )
     intra = docs.withColumn(
         "intra_cum",
@@ -327,6 +332,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy("block")
         .agg(F.sum("n_tokens").alias("block_total"))
         .withColumn("super", F.expr(f"block div {PACK_BLOCK}"))
+        .localCheckpoint(eager=False)
     )
     intra_super = blocks.withColumn(
         "intra_super_cum",
@@ -695,12 +701,22 @@ def _tokenized_flags_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_dedup", F.col("qualifies") & (F.row_number().over(w) == 1)
     )
 
-    # contamination flag (benchmark members themselves are dropped)
-    grams = docs.withColumn(
-        "g",
-        F.expr(
-            f"array_distinct(transform({X.sp_shingles('t', CONTAM_K)}, s -> md5(s)))"
-        ),
+    # contamination flag (benchmark members themselves are dropped).
+    # r12 (guide §2.4): bench and the contamination probe each
+    # re-shingled the corpus (3 documents scans in the funnel plan);
+    # the gram sets depend only on (doc_id, t), so derive them from
+    # the token base and pin the narrow (doc_id, gram-hash) table —
+    # ONE shingle+md5 pass serves both sides.
+    grams = (
+        _tokens_df(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(
+                f"array_distinct(transform({X.sp_shingles('t', CONTAM_K)},"
+                " s -> md5(s)))"
+            ).alias("g"),
+        )
+        .localCheckpoint(eager=False)
     )
     bench = (
         grams.where(F.col("doc_id") % CONTAM_MOD == 0)
@@ -1820,6 +1836,12 @@ def corpus_decontaminate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     h = X.sp_hash32("cast(doc_id as string)", "split")
     lo = SPLIT_CUTS[0]
+    # r12 (guide §2.4): docs fans out to the holdout gram set, the
+    # train explode AND the final audit base — unpinned, the corpus
+    # was tokenized+shingled 3x. Pin the narrow (doc_id, lang, bucket,
+    # gram-hash) projection: one tokenize pass; the pin trades its
+    # (gram-stream-sized) materialization for two full regex+md5
+    # corpus passes.
     docs = _tokens_df(spark, sf_dir).withColumn(
         "bucket", F.expr(f"({h}) % 1000")
     ).withColumn(
@@ -1827,7 +1849,7 @@ def corpus_decontaminate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"array_distinct(transform({X.sp_shingles('t', CONTAM_K)}, s -> md5(s)))"
         ),
-    )
+    ).select("doc_id", "lang", "bucket", "g").localCheckpoint(eager=False)
     holdout_grams = (
         docs.where(F.col("bucket") >= lo)
         .select(F.explode("g").alias("gram"))
@@ -4137,7 +4159,15 @@ def split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
         )
     )
-    days = ev.groupBy("day").agg(F.count(F.lit(1)).alias("cnt"))
+    # r12 (guide §2.4): days feeds the cumulative rule AND the total —
+    # unpinned, its events scan ran twice (3 total with the user-side
+    # pass). DAYS-bounded, so pin; events is scanned twice (cutoff
+    # derivation + user audit, the two-pass floor).
+    days = (
+        ev.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     cum = days.withColumn("cum", F.sum("cnt").over(w))
     tot = F.broadcast(days.agg(F.sum("cnt").alias("total")))

@@ -1638,6 +1638,10 @@ def dedup_numeric_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         # WIDENS coverage, never splits a within-tolerance pair more
         # than one bucket apart
         .withColumn("bkt", F.expr(f"bal div {NUM_TOL_CENTS}"))
+        # r12 (guide §2.4): s fans out to the probe side, the join
+        # side and the per-nation supplier count — 3 supplier scans
+        # unpinned. Pin the narrow bucketed projection; one scan.
+        .localCheckpoint(eager=False)
     )
     probes = s.select(
         F.col("s_suppkey").alias("ka"),

@@ -920,22 +920,12 @@ def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = Window.partitionBy("doc_id").orderBy("i").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    seg = (
-        voiced.withColumn(
-            "newseg",
-            F.when(
-                F.lag("i").over(w).isNull() | (F.col("i") - F.lag("i").over(w) > 1),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn("seg_id", F.sum("newseg").over(run))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_voiced"),
-            F.max("seg_id").cast("bigint").alias("n_segments"),
-        )
-    )
-    runs = (
+    # r12 (guide §2.4): seg and runs built the IDENTICAL island
+    # windows twice — the whole explode+per-frame-md5 subtree ran 2x
+    # (3 scans with the base join). One (doc, seg) rollup yields all
+    # three audit numbers exactly: n_voiced = Σ seg_len, n_segments =
+    # max seg_id, longest = max seg_len — one frame pass, one join.
+    segrun = (
         voiced.withColumn(
             "newseg",
             F.when(
@@ -947,12 +937,15 @@ def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "seg_id")
         .agg(F.count(F.lit(1)).alias("seg_len"))
         .groupBy("doc_id")
-        .agg(F.max("seg_len").alias("longest_voiced_s"))
+        .agg(
+            F.sum("seg_len").alias("n_voiced"),
+            F.max("seg_id").cast("bigint").alias("n_segments"),
+            F.max("seg_len").alias("longest_voiced_s"),
+        )
     )
     return (
         aud.select("doc_id", "n_frames")
-        .join(seg, "doc_id", "left")
-        .join(runs, "doc_id", "left")
+        .join(segrun, "doc_id", "left")
         .select(
             "doc_id",
             F.col("n_frames").cast("bigint").alias("n_frames"),

@@ -244,7 +244,17 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.expr(X.sp_tokens("text"))).alias("token")
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # r12 (guide §2.4): tf feeds the document-frequency rollup AND the
+    # scoring join — unpinned, the tokenize+explode subtree ran twice
+    # (3 documents scans with the N count). Pin the (doc, token) tf
+    # table; the corpus is tokenized ONCE and both consumers read the
+    # pin. (N stays its own count-only scan: zero-token documents are
+    # in N but not in tf, so N cannot be derived from the pin.)
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df_tbl), "token")
@@ -1027,21 +1037,35 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     +0.5-smoothed log, identical literal in both engines.
     """
     terms = _arr_lit(BM25_TERMS)
-    docs = scatter(spark, load_table(spark, sf_dir, "documents")).select(
-        "doc_id", F.expr(X.sp_tokens("text")).alias("t")
-    ).select("doc_id", "t", F.size("t").alias("dl"))
+    # r12 (guide §2.4): the corpus stats and the query-term hits each
+    # re-tokenized the corpus, and tf's fan-out doubled the latter — 3
+    # tokenize passes. ONE doc-grain pass emits the doc length AND the
+    # (small, pre-filtered) query-term hit array; pin it — every doc
+    # row survives (zero-hit docs keep an empty array), so n_docs and
+    # avgdl off the pin are identical, and the corpus is tokenized
+    # ONCE.
+    base = (
+        scatter(spark, load_table(spark, sf_dir, "documents"))
+        .select("doc_id", F.expr(X.sp_tokens("text")).alias("t"))
+        .select(
+            "doc_id",
+            F.size("t").alias("dl"),
+            F.expr(f"filter(t, tok -> array_contains({terms}, tok))").alias(
+                "hits_t"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
     stats = F.broadcast(
-        docs.agg(
+        base.agg(
             F.count(F.lit(1)).cast("double").alias("n_docs"),
             F.avg(F.col("dl").cast("double")).alias("avgdl"),
         )
     )
-    hits = docs.select(
+    hits = base.select(
         "doc_id",
         "dl",
-        F.explode(F.expr(f"filter(t, tok -> array_contains({terms}, tok))")).alias(
-            "term"
-        ),
+        F.explode("hits_t").alias("term"),
     )
     tf = hits.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
@@ -1927,7 +1951,15 @@ def text_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", "p.w1", "p.w2")
     )
-    big = pairs.groupBy("source", "w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # r12 (guide §2.4): big fans out to heads, the entropy join and the
+    # continuation rollup — unpinned, the tokenize+bigram subtree ran
+    # 3x. The distinct-bigram grain is vocabulary-bounded, so pin; the
+    # corpus is tokenized ONCE.
+    big = (
+        pairs.groupBy("source", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     heads = (
         big.groupBy("source", "w1")
         .agg(F.sum("c12").alias("c1"))

@@ -322,6 +322,17 @@ _R12_OPT_DELIST = frozenset({
     "q_sql_exists_in", "stats_cramers_v", "stats_friedman", "stats_grubbs",
     "stats_jonckheere_terpstra", "stats_levene", "stats_mann_kendall",
     "stats_seasonal_mann_kendall",
+    # session-5 duplicate-scan tail + tokenize-once batch (bounded pins
+    # / single-scan regroups; per-batch plain+ties+empty+one oracle
+    # checks green):
+    "q_events_gapfill", "q_events_concurrency", "q_events_concurrency_peak",
+    "q_events_concurrency_epoch", "q_events_concurrency_load",
+    "stats_theil_sen", "q_events_conversion_lag", "stats_price_index",
+    "q_events_markov_stationary", "stats_weighted_kappa", "stats_somers_d",
+    "stats_cox_stuart", "pack_sequences", "pack_boundary_stats",
+    "corpus_funnel", "corpus_decontaminate_split", "split_temporal",
+    "mm_audio_vad_segments", "text_tfidf", "text_bm25",
+    "text_conditional_entropy",
 })
 _DRIVER_CERTIFIED = _DRIVER_CERTIFIED - _R12_OPT_DELIST
 
