@@ -1,9 +1,9 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for named queries to plans/r12/.
+"""Capture .explain("formatted") for named queries to plans/r13/.
 
 Usage: python scripts/capture_plans.py <suffix> [query,query,...]
 
-Writes plans/r12/<query>_<suffix>.txt for each query (default: the
+Writes plans/r13/<query>_<suffix>.txt for each query (default: the
 bench.py HEADLINE list). The judge checks plan claims against these
 files, so they are generated from the live registry at sf0.1.
 """
@@ -30,7 +30,7 @@ def main() -> None:
 
         names = bench.HEADLINE
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name=f"capture-plans-{suffix}")
