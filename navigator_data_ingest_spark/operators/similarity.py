@@ -931,7 +931,6 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the output's own lower bound), with map-side partial counting.
     """
     raw = load_table(spark, sf_dir, "embeddings")
-    e = scatter(spark, raw)
     # exact-payload groups: one shuffle on the embedding, gid = lowest
     # member id; reps are the gid rows (they carry the payload once).
     # r12: the partition key is (xxhash64(embedding), embedding) — the
@@ -939,16 +938,27 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # but the window's sort comparator now decides on the 8-byte hash
     # first and touches the 64-double array comparison only for
     # hash-equal rows (guide §1.2 per-task work).
+    # r13 (guide §2.4 remove shuffles outright): the window's hash
+    # exchange immediately reshuffles whatever partitioning the scan
+    # arrives with, and there is no compute-heavy map work between scan
+    # and exchange — the former scatter() round-robin exchange here
+    # moved the full vector payload an extra time for nothing.
     gw = Window.partitionBy(F.xxhash64("embedding"), "embedding")
     members = (
-        e.select("vec_id", "embedding")
+        raw.select("vec_id", "embedding")
         .withColumn("gid", F.min("vec_id").over(gw))
         # reused by the rep pipeline, both sides of the count join and
         # the final audit join — pin the grouped pass
         .localCheckpoint(eager=False)
     )
-    reps = members.where(F.col("vec_id") == F.col("gid")).select(
-        "gid", "embedding"
+    # r13 (guide §2.5 idle capacity): the pin inherits AQE's coalesced
+    # partitioning — at toy scale that is ONE partition, which would
+    # serialize the reps x K scoring fold on a single core. scatter()
+    # only repartitions UPWARD, so on a well-partitioned pin (any real
+    # corpus) it is a no-op; locally it spreads the codegen'd fold.
+    reps = scatter(
+        spark,
+        members.where(F.col("vec_id") == F.col("gid")).select("gid", "embedding"),
     )
     # r12 (guide §2.4): broadcast side — stripe the raw relation so
     # the broadcast build (and the checkpointed assign plan) carries no
@@ -976,18 +986,18 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("m")
         )
+        # bucket + rep norm materialized THROUGH the checkpoint in ONE
+        # projection (each chained withColumn re-analyzes the whole
+        # giant-fold tree; m.emb substitutes into the folds exactly as
+        # the former embedding alias did): the pair stage's cosine then
+        # divides by stored norms instead of re-inlining two more
+        # 64-term chains per pair (keeps its codegen unit small)
         .select(
             "gid",
             F.col("m.emb").alias("embedding"),
             F.col("m.cid").alias("cell"),
-        )
-        .withColumn("bucket", F.expr(_bucket_expr("embedding")))
-        # rep norm materialized THROUGH the checkpoint: the pair stage's
-        # cosine then divides by stored norms instead of re-inlining two
-        # more 64-term chains per pair (keeps its codegen unit small)
-        .withColumn(
-            "nrm",
-            F.sqrt(F.expr(X.sp_fold_dot("embedding", "embedding", EMB_DIM))),
+            F.expr(_bucket_expr("m.emb")).alias("bucket"),
+            F.sqrt(F.expr(X.sp_fold_dot("m.emb", "m.emb", EMB_DIM))).alias("nrm"),
         )
         # the near-rel self-join reads it twice and the audit join once;
         # pin the (1-row-per-rep) result so the reps x K scoring pass
